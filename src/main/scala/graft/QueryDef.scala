@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine operator exposed through the driver contract: a Spark
+  * definition plus (when SQL-expressible) a DuckDB oracle producing the
+  * identical result on the same parquet tables.
+  *
+  * Determinism conventions (both sides):
+  *   - full ORDER BY over a unique key set;
+  *   - doubles wrapped in round(_, 2) so float summation order can't
+  *     flip the hash;
+  *   - integer sums cast to BIGINT in the oracle (DuckDB widens to
+  *     HUGEINT, Spark to LongType).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Oracled query: hash-checked against DuckDB. */
+  def apply(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(sql))
+
+  /** Rows-only query: no SQL-expressible oracle (driver checks rows>0). */
+  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}
