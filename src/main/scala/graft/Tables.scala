@@ -10,7 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so Catalyst can push filters/projections into the parquet reader.
   */
 final class Tables(val spark: SparkSession, val dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4 rejects
+  // unless read as long; we convert back to a microsecond timestamp
+  // (integer division — going through double would lose precision at
+  // ~1.7e18 ns). DuckDB oracles over events must CAST(ts AS TIMESTAMP)
+  // for the same truncation.
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def table(name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   def region: DataFrame = table("region")
   def nation: DataFrame = table("nation")

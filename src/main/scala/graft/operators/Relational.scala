@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A-family: relational query core (SURVEY.md §2.A).
@@ -8,7 +9,8 @@ import org.apache.spark.sql.functions._
   * Spark-first: declarative DataFrame plans so Catalyst handles
   * pushdown, join strategy, and partial aggregation. Small dimension
   * tables are broadcast explicitly; large-large joins shuffle once on
-  * the join key with AQE re-planning.
+  * the join key with AQE re-planning. Every query is fully ordered and
+  * rounds doubles (see QueryDef) for oracle hash parity.
   */
 object Relational {
 
@@ -46,5 +48,244 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  val all: Seq[QueryDef] = Seq(q01)
+  /** q02: selective filter + narrow projection; both must reach the
+    * parquet scan (PushedFilters / 3-column ReadSchema) — at 100 TB this
+    * is the difference between reading 3 columns of a few row groups and
+    * reading everything. */
+  val q02 = QueryDef(
+    "q02_filter_pushdown_projection",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp") && col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q03: 5-way star join. region/nation/customer are broadcast (no
+    * shuffle of the fact table for dimension lookups); only
+    * orders⋈lineitem shuffles, on the join key. */
+  val q03 = QueryDef(
+    "q03_join_broadcast",
+    """SELECT n_name,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'AFRICA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val orders = t.orders.filter(
+      col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+      col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    t.lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "AFRICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q04: large-large join (orders⋈lineitem) — a single shuffle on the
+    * orderkey; AQE handles skew/coalescing at scale. Late-shipment
+    * count per priority. */
+  val q04 = QueryDef(
+    "q04_join_shuffle",
+    """SELECT o_orderpriority, COUNT(*) AS n_late,
+      |  ROUND(AVG(l_extendedprice), 2) AS avg_late_price
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_late"),
+        round(avg(col("l_extendedprice")), 2).as("avg_late_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q05: left-semi (EXISTS) and left-anti (NOT EXISTS) joins — the
+    * set-membership primitives; semi/anti never materialize the right
+    * side's payload, so the shuffle carries keys only. */
+  val q05 = QueryDef(
+    "q05_semi_anti_join",
+    """SELECT kind, n FROM (
+      |  SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  UNION ALL
+      |  SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |) ORDER BY kind""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val withO = t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+    val withoutO = t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), col("n"))
+    withO.unionAll(withoutO).orderBy(col("kind"))
+  }
+
+  /** q06: window functions — running total + row_number per customer.
+    * One shuffle on the partition key; the running sum is computed
+    * within sorted partitions (no global sort). */
+  val q06 = QueryDef(
+    "q06_window_running",
+    """SELECT o_custkey, o_orderkey,
+      |  ROW_NUMBER() OVER w AS rn,
+      |  ROUND(SUM(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** q07: top-k per group via rank window — never a global sort; each
+    * group sorts locally after one shuffle on the group key. */
+  val q07 = QueryDef(
+    "q07_topk_per_group",
+    """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_orderpriority, rk""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  /** q08: set operations — INTERSECT / EXCEPT distinct semantics (both
+    * are hash aggregations under the hood, one shuffle each). */
+  val q08 = QueryDef(
+    "q08_set_ops",
+    """SELECT kind, k FROM (
+      |  SELECT 'both' AS kind, k FROM
+      |    (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) a
+      |  UNION ALL
+      |  SELECT 'cust_only' AS kind, k FROM
+      |    (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) b
+      |) ORDER BY kind, k""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val cust = t.customer.select(col("c_nationkey").as("k"))
+    val supp = t.supplier.select(col("s_nationkey").as("k"))
+    val both = cust.intersect(supp).select(lit("both").as("kind"), col("k"))
+    val custOnly = cust.except(supp).select(lit("cust_only").as("kind"), col("k"))
+    both.unionAll(custOnly).orderBy(col("kind"), col("k"))
+  }
+
+  /** q09: conditional aggregation (pivot-by-CASE) — one pass, one
+    * shuffle, no per-status scans. */
+  val q09 = QueryDef(
+    "q09_conditional_agg",
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+      |  ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_value
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_filled"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_pending"),
+        round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0)), 2).as("open_value"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q10: exact distinct counts (two-level hash agg). */
+  val q10 = QueryDef(
+    "q10_distinct_exact",
+    """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+      |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      |FROM lineitem""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  /** q10b: HLL sketch distinct — the 100 TB path where exact distinct
+    * would shuffle every key; the sketch is mergeable and fixed-size.
+    * Rows-only (sketch estimates are engine-specific). */
+  val q10b = QueryDef.rowsOnly("q10_approx_distinct") { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+  }
+
+  /** q11: the same engine surface via SQL text over registered views —
+    * proves the SQL interface produces the identical Catalyst plan. */
+  val q11 = QueryDef(
+    "q11_sql_interface",
+    """SELECT n_name, ROUND(AVG(c_acctbal), 2) AS avg_bal, COUNT(*) AS n_cust
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).registerViews()
+    spark.sql(
+      """SELECT n_name, ROUND(AVG(c_acctbal), 2) AS avg_bal, COUNT(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  /** q12: scalar subquery (global average, broadcast as a 1-row join)
+    * + correlated EXISTS as a left-semi join. */
+  val q12 = QueryDef(
+    "q12_scalar_subquery_exists",
+    """SELECT p_partkey, p_retailprice
+      |FROM part
+      |WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val avgPrice = t.part.agg(avg(col("p_retailprice")).as("avg_price"))
+    t.part
+      .join(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .join(t.lineitem, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12)
 }

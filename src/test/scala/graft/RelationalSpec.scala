@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("all A-family queries return rows at sf0.001") {
+    Relational.all.foreach { q =>
+      val n = q.fn(spark, sf).count()
+      assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q01 groups are the 3 flag/status combos with positive counts") {
+    val rows = Relational.q01.fn(spark, sf).collect()
+    assert(rows.length >= 3)
+    val flags = rows.map(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))).toSet
+    assert(flags.subsetOf(
+      Set("A", "N", "R").flatMap(f => Set("F", "O").map(s => (f, s)))))
+    rows.foreach(r => assert(r.getAs[Long]("count_order") > 0))
+  }
+
+  test("q02 pushes filter and projection into the parquet scan") {
+    val plan = physicalPlan(Relational.q02.fn(spark, sf))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("l_shipdate") && plan.contains("l_quantity"))
+    // narrow ReadSchema: only the 5 referenced columns, not all 11
+    assert(!plan.contains("l_returnflag"), "ReadSchema not pruned")
+  }
+
+  test("q03 broadcasts the dimension tables") {
+    val plan = physicalPlan(Relational.q03.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+  }
+
+  test("q05 semi+anti counts partition the customer table") {
+    val rows = Relational.q05.fn(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val nCust = Tables(spark, sf).customer.count()
+    assert(total == nCust)
+  }
+
+  test("q07 returns exactly k rows per group") {
+    val rows = Relational.q07.fn(spark, sf).collect()
+    val perGroup = rows.groupBy(_.getAs[String]("o_orderpriority")).view.mapValues(_.length)
+    perGroup.foreach { case (g, n) => assert(n == 3, s"group $g has $n rows") }
+  }
+
+  test("q10 exact and approx distinct agree within 5%") {
+    val exact = Relational.q10.fn(spark, sf).collect()(0)
+    val approx = Relational.q10b.fn(spark, sf).collect()(0)
+    val e = exact.getAs[Long]("n_parts").toDouble
+    val a = approx.getAs[Long]("approx_parts").toDouble
+    assert(math.abs(e - a) / e < 0.05, s"exact=$e approx=$a")
+  }
+
+  test("oracle coverage: every query has an oracle or is explicitly rows-only") {
+    val rowsOnly = Set("q10_approx_distinct")
+    Relational.all.foreach { q =>
+      assert(q.oracle.isDefined || rowsOnly.contains(q.name), s"${q.name} missing oracle")
+    }
+  }
+}
