@@ -1,0 +1,465 @@
+package graft.operators
+
+import graft.functions.Calendar
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** B-family: ingestion/ETL operators re-expressing the reference's
+  * semantics Spark-first (SURVEY.md §2.B). Each public method is the
+  * reusable library operator; the QueryDefs below exercise it on the
+  * driver test tables with a DuckDB oracle.
+  */
+object Ingest {
+
+  // ---- library operators -------------------------------------------------
+
+  /** Elementwise unit conversion — reference `convert_data`
+    * (`ingest/utils.py:163`): value {add|subtract|multiply|divide}
+    * constant. Pure Column expression (codegen'd). */
+  def unitConvert(value: Column, operation: String, constant: Double): Column =
+    operation match {
+      case "multiply" => value * constant
+      case "divide"   => value / constant
+      case "add"      => value + constant
+      case "subtract" => value - constant
+      case other      => throw new IllegalArgumentException(s"Unknown operation: $other")
+    }
+
+  /** Config-driven conversion over a variable/type discriminator —
+    * mirrors the reference's per-parameter `convert` configs. */
+  def unitConvertByType(typeCol: Column, value: Column,
+      config: Seq[(String, String, Double)]): Column =
+    config.foldRight(value) { case ((tpe, op, const), acc) =>
+      when(typeCol === tpe, unitConvert(value, op, const)).otherwise(acc)
+    }
+
+  /** Derived wind speed sqrt(u²+v²) — reference `calculate_wind_speed`
+    * (`ingest/ecmwf_opendata/__init__.py:495`). */
+  def windSpeed(u: Column, v: Column): Column = sqrt(u * u + v * v)
+
+  /** Climatology normal: per-key mean over a multi-year window keyed by
+    * a calendar period — reference `get_month_normal`
+    * (`ingest/chirps_rainfall/__init__.py:232`). The result is small
+    * (|cells| × |periods|) and meant to be broadcast into [[anomaly]]. */
+  def climatologyNormal(df: DataFrame, cellCols: Seq[Column], periodCol: Column,
+      valueCol: Column): DataFrame =
+    df.groupBy(cellCols :+ periodCol.as("cal_period"): _*)
+      .agg(avg(valueCol).as("normal"), count(lit(1)).as("n_obs"))
+
+  /** Anomaly = current − normal with sentinel masking on missing
+    * normals — reference `chirps_rainfall/__init__.py:93`. `normals` is
+    * broadcast: at 100 TB the normals table stays |cells|×12 rows while
+    * the current side streams through map-side joined. */
+  def anomaly(currentVal: Column, normalVal: Column, sentinel: Double = -9999.0): Column =
+    when(normalVal.isNull, sentinel).otherwise(currentVal - normalVal)
+
+  /** Incremental ingest: rows strictly newer than the watermark —
+    * reference state machine `read_state`/`update_state`
+    * (`ingest/utils.py:96`). The watermark predicate prunes date
+    * partitions at the scan. */
+  def afterWatermark(df: DataFrame, tsCol: Column, watermark: DataFrame): DataFrame =
+    df.join(broadcast(watermark)).filter(tsCol > col("watermark"))
+
+  /** Date-partition upsert: incoming slice replaces all existing rows
+    * of the same date — reference `insert_update_data`
+    * (`ingest/raster_vector.py:158`, delete-then-insert by date). At
+    * scale this is a partition overwrite, never a full rewrite: the
+    * anti-join broadcasts the (tiny) set of incoming dates. */
+  def upsertByDate(existing: DataFrame, incoming: DataFrame, dateCol: String): DataFrame =
+    existing
+      .join(broadcast(incoming.select(col(dateCol)).distinct()), Seq(dateCol), "left_anti")
+      .unionByName(incoming)
+
+  /** Retention: keep only rows within `days` of the latest date —
+    * reference `delete_past_data_files` (`ingest/utils.py:141`) /
+    * `DELETE WHERE date < latest` (`raster_vector.py:170`). */
+  def retainLastDays(df: DataFrame, tsCol: Column, days: Int): DataFrame = {
+    val cutoff = df.agg(max(tsCol).as("latest"))
+      .select((col("latest") - expr(s"INTERVAL $days DAYS")).as("cutoff"))
+    df.join(broadcast(cutoff)).filter(tsCol >= col("cutoff")).drop("cutoff")
+  }
+
+  /** Latest record per key — the reference's `state.json` latest-update
+    * semantics as a table compaction. One shuffle on the key. */
+  def latestSnapshot(df: DataFrame, keys: Seq[Column], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Iso-interval classification — reference contour generation
+    * `gdal_contour -i interval` (`ingest/utils.py:180`): the contour
+    * level containing a value. */
+  def contourLevel(value: Column, interval: Double): Column =
+    (floor(value / interval) * interval).cast("double")
+
+  /** Bounding-box clip — reference `clip_to_africa`
+    * (`ingest/__init__.py:50`) reduced to its relational core: a 2-D
+    * range predicate that pushes down to the scan. */
+  def bboxClip(df: DataFrame, x: Column, y: Column,
+      xMin: Double, xMax: Double, yMin: Double, yMax: Double): DataFrame =
+    df.filter(x >= xMin && x <= xMax && y >= yMin && y <= yMax)
+
+  /** Clamp coordinates to world extents — reference
+    * `fix_linestring_within_world_extents` (`ingest/raster_vector.py:13`). */
+  def clampLon(lon: Column): Column = greatest(least(lon, lit(180.0)), lit(-180.0))
+  def clampLat(lat: Column): Column = greatest(least(lat, lit(90.0)), lit(-90.0))
+
+  /** Mosaic: union overlapping tiles, resolving overlap by highest tile
+    * priority — reference MODIS mosaic (`ingest/modis/convertmodis.py`).
+    * One shuffle on the cell key. */
+  def mosaic(tiles: Seq[DataFrame], keyCols: Seq[String], priorityCol: String): DataFrame = {
+    val unioned = tiles.reduce(_.unionByName(_))
+    latestSnapshot(unioned, keyCols.map(col), Seq(col(priorityCol)))
+  }
+
+  /** Slippy-map tile envelope (z/x/y → lon/lat bounds) — reference MVT
+    * tile function `ST_TileEnvelope` (`ingest/raster_vector.py:88`). */
+  def tileEnvelope(z: Int, x: Int, y: Int): (Double, Double, Double, Double) = {
+    val n = 1 << z
+    def lon(i: Int): Double = i.toDouble / n * 360.0 - 180.0
+    def lat(j: Int): Double = math.toDegrees(math.atan(math.sinh(math.Pi * (1 - 2.0 * j / n))))
+    (lon(x), lon(x + 1), lat(y + 1), lat(y)) // (west, east, south, north)
+  }
+
+  // ---- QueryDefs over the driver test tables -----------------------------
+
+  private val eventConvertConfig = Seq(
+    ("click", "multiply", 1000.0),    // m  → mm   (cf. ecmwf tp)
+    ("view", "subtract", 273.15),     // K  → degC (cf. ecmwf 2t)
+    ("purchase", "divide", 100.0),    // Pa → hPa  (cf. ecmwf msl)
+    ("signup", "add", 100.0))
+
+  val i01 = QueryDef(
+    "i01_unit_convert",
+    """SELECT event_id, event_type,
+      |  ROUND(CASE event_type
+      |    WHEN 'click'    THEN value * 1000.0
+      |    WHEN 'view'     THEN value - 273.15
+      |    WHEN 'purchase' THEN value / 100.0
+      |    WHEN 'signup'   THEN value + 100.0
+      |    ELSE value END, 4) AS converted
+      |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    // round(_, 4): the inputs are 2-decimal values, so every converted
+    // result is exactly representable at 4 decimals — rounding at 2
+    // would land on .xx5 halves where Spark (decimal-string HALF_UP)
+    // and DuckDB (binary) disagree.
+    Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"),
+        round(unitConvertByType(col("event_type"), col("value"), eventConvertConfig), 4)
+          .as("converted"))
+      .orderBy(col("event_id"))
+  }
+
+  val i02 = QueryDef(
+    "i02_derived_windspeed",
+    """SELECT user_id, ROUND(SQRT(u * u + v * v), 2) AS wind_speed FROM (
+      |  SELECT user_id,
+      |    AVG(value) FILTER (WHERE event_type = 'click') AS u,
+      |    AVG(value) FILTER (WHERE event_type = 'view')  AS v
+      |  FROM events GROUP BY user_id) t
+      |WHERE u IS NOT NULL AND v IS NOT NULL
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(
+        avg(when(col("event_type") === "click", col("value"))).as("u"),
+        avg(when(col("event_type") === "view", col("value"))).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .select(col("user_id"), round(windSpeed(col("u"), col("v")), 2).as("wind_speed"))
+      .orderBy(col("user_id"))
+  }
+
+  val i03 = QueryDef(
+    "i03_climatology_normal",
+    """SELECT l_returnflag AS cell, CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS cal_period,
+      |  ROUND(AVG(l_quantity), 2) AS normal_qty, COUNT(*) AS n_obs
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val hist = Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") < lit("2000-01-01 00:00:00").cast("timestamp"))
+    climatologyNormal(hist, Seq(col("l_returnflag").as("cell")), month(col("l_shipdate")),
+        col("l_quantity"))
+      .select(col("cell"), col("cal_period"),
+        round(col("normal"), 2).as("normal_qty"), col("n_obs"))
+      .orderBy(col("cell"), col("cal_period"))
+  }
+
+  val i04 = QueryDef(
+    "i04_anomaly_nodata",
+    """WITH normal AS (
+      |  SELECT l_returnflag AS cell, CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS cal_period,
+      |         AVG(l_quantity) AS normal
+      |  FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01 00:00:00' GROUP BY 1, 2),
+      |cur AS (
+      |  SELECT l_returnflag AS cell, CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS cal_period,
+      |         AVG(l_quantity) AS cur_qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+      |  GROUP BY 1, 2)
+      |SELECT cur.cell AS cell, cur.cal_period AS cal_period,
+      |  ROUND(CASE WHEN normal.normal IS NULL THEN -9999.0
+      |             ELSE cur.cur_qty - normal.normal END, 2) AS anomaly
+      |FROM cur LEFT JOIN normal
+      |  ON cur.cell = normal.cell AND cur.cal_period = normal.cal_period
+      |ORDER BY cell, cal_period""".stripMargin) { (spark, dir) =>
+    val li = Tables(spark, dir).lineitem
+    val y2000 = lit("2000-01-01 00:00:00").cast("timestamp")
+    val normals = climatologyNormal(
+      li.filter(col("l_shipdate") < y2000),
+      Seq(col("l_returnflag").as("cell")), month(col("l_shipdate")), col("l_quantity"))
+      .select(col("cell"), col("cal_period"), col("normal"))
+    val current = li
+      .filter(col("l_shipdate") >= y2000 &&
+        col("l_shipdate") < lit("2001-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag").as("cell"), month(col("l_shipdate")).as("cal_period"))
+      .agg(avg(col("l_quantity")).as("cur_qty"))
+    current
+      .join(broadcast(normals), Seq("cell", "cal_period"), "left")
+      .select(col("cell"), col("cal_period"),
+        round(anomaly(col("cur_qty"), col("normal")), 2).as("anomaly"))
+      .orderBy(col("cell"), col("cal_period"))
+  }
+
+  val i05 = QueryDef(
+    "i05_pentad_key",
+    """SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+      |       CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS mon,
+      |  CASE WHEN EXTRACT(day FROM l_shipdate) <= 5 THEN 1
+      |       WHEN EXTRACT(day FROM l_shipdate) <= 10 THEN 2
+      |       WHEN EXTRACT(day FROM l_shipdate) <= 15 THEN 3
+      |       WHEN EXTRACT(day FROM l_shipdate) <= 20 THEN 4
+      |       WHEN EXTRACT(day FROM l_shipdate) <= 25 THEN 5
+      |       ELSE 6 END AS pentad,
+      |  COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy(
+        year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mon"),
+        Calendar.pentadOfMonth(col("l_shipdate")).as("pentad"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("yr"), col("mon"), col("pentad"))
+  }
+
+  val i06 = QueryDef(
+    "i06_dekad_month_keys",
+    """SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+      |       CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS mon,
+      |  CASE WHEN EXTRACT(day FROM l_shipdate) <= 10 THEN 1
+      |       WHEN EXTRACT(day FROM l_shipdate) <= 20 THEN 2
+      |       ELSE 3 END AS dekad,
+      |  CASE WHEN EXTRACT(month FROM l_shipdate) = 12 OR EXTRACT(month FROM l_shipdate) <= 2 THEN 'DJF'
+      |       WHEN EXTRACT(month FROM l_shipdate) <= 5 THEN 'MAM'
+      |       WHEN EXTRACT(month FROM l_shipdate) <= 8 THEN 'JJA'
+      |       ELSE 'SON' END AS season,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .groupBy(
+        year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mon"),
+        Calendar.dekadOfMonth(col("l_shipdate")).as("dekad"),
+        Calendar.season(col("l_shipdate")).as("season"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("yr"), col("mon"), col("dekad"), col("season"))
+  }
+
+  val i07 = QueryDef(
+    "i07_watermark_increment",
+    """SELECT o_orderkey, o_orderdate FROM orders
+      |WHERE o_orderdate > (SELECT MAX(o_orderdate) FROM orders
+      |                     WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00')
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val orders = Tables(spark, dir).orders
+    val watermark = orders
+      .filter(col("o_orderdate") < lit("2000-01-01 00:00:00").cast("timestamp"))
+      .agg(max(col("o_orderdate")).as("watermark"))
+    afterWatermark(orders, col("o_orderdate"), watermark)
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val i08 = QueryDef(
+    "i08_date_upsert",
+    """WITH existing AS (
+      |  SELECT l_orderkey, l_linenumber, DATE_TRUNC('day', l_shipdate) AS d, l_quantity
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '2000-07-01 00:00:00'),
+      |incoming AS (
+      |  SELECT l_orderkey, l_linenumber, d, l_quantity * 2 AS l_quantity
+      |  FROM existing WHERE d = TIMESTAMP '2000-06-15 00:00:00')
+      |SELECT l_orderkey, l_linenumber, d, ROUND(l_quantity, 2) AS qty FROM (
+      |  SELECT * FROM existing WHERE d NOT IN (SELECT d FROM incoming)
+      |  UNION ALL SELECT * FROM incoming) u
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    val existing = Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") >= lit("2000-06-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-07-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_trunc("day", col("l_shipdate")).as("d"), col("l_quantity"))
+    val incoming = existing
+      .filter(col("d") === lit("2000-06-15 00:00:00").cast("timestamp"))
+      .withColumn("l_quantity", col("l_quantity") * 2)
+    upsertByDate(existing, incoming, "d")
+      .select(col("l_orderkey"), col("l_linenumber"), col("d"),
+        round(col("l_quantity"), 2).as("qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val i09 = QueryDef(
+    "i09_retention",
+    """SELECT o_orderkey, o_orderdate FROM orders
+      |WHERE o_orderdate >= (SELECT MAX(o_orderdate) - INTERVAL 30 DAY FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    retainLastDays(Tables(spark, dir).orders, col("o_orderdate"), 30)
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val i10 = QueryDef(
+    "i10_latest_snapshot",
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    latestSnapshot(Tables(spark, dir).events,
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val i11 = QueryDef(
+    "i11_contour_bins",
+    """SELECT CAST(FLOOR(value / 25) * 25 AS DOUBLE) AS level,
+      |  COUNT(*) AS n, ROUND(AVG(value), 2) AS avg_v
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).events
+      .groupBy(contourLevel(col("value"), 25).as("level"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_v"))
+      .orderBy(col("level"))
+  }
+
+  val i12 = QueryDef(
+    "i12_bbox_clip",
+    """SELECT event_id, user_id, value FROM events
+      |WHERE user_id >= 3 AND user_id <= 90 AND value >= 50.0 AND value <= 300.0
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    bboxClip(Tables(spark, dir).events, col("user_id"), col("value"), 3, 90, 50.0, 300.0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val i13 = QueryDef(
+    "i13_coord_clamp",
+    """SELECT event_id,
+      |  ROUND(GREATEST(LEAST(value * 2 - 250.0, 180.0), -180.0), 2) AS lon,
+      |  ROUND(GREATEST(LEAST(user_id * 1.5 - 100.0, 90.0), -90.0), 2) AS lat
+      |FROM events ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).events
+      .select(col("event_id"),
+        round(clampLon(col("value") * 2 - 250.0), 2).as("lon"),
+        round(clampLat(col("user_id") * 1.5 - 100.0), 2).as("lat"))
+      .orderBy(col("event_id"))
+  }
+
+  val i14 = QueryDef(
+    "i14_mosaic_dedup",
+    """WITH t1 AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity, 1 AS tile FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
+      |t2 AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity, 2 AS tile FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00')
+      |SELECT l_orderkey, l_linenumber, l_quantity, tile FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY tile DESC) AS rn
+      |  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) u) v
+      |WHERE rn = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    val li = Tables(spark, dir).lineitem
+    def slice(from: String, to: String, tile: Int) = li
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(to).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), lit(tile).as("tile"))
+    mosaic(
+      Seq(slice("1997-01-01 00:00:00", "1998-01-01 00:00:00", 1),
+          slice("1997-07-01 00:00:00", "1998-07-01 00:00:00", 2)),
+      Seq("l_orderkey", "l_linenumber"), "tile")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val i15 = QueryDef(
+    "i15_tile_query",
+    """SELECT event_id,
+      |  ROUND(user_id * 1.7 - 95.0, 4) AS lon,
+      |  ROUND(value * 0.35 - 80.0, 4) AS lat
+      |FROM events
+      |WHERE user_id * 1.7 - 95.0 >= -90.0
+      |  AND user_id * 1.7 - 95.0 <  0.0
+      |  AND value * 0.35 - 80.0 >= 0.0
+      |  AND value * 0.35 - 80.0 <  66.51326044311186
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    // Tile (z=2, x=1, y=1): lon [-90, 0), lat [0, 66.51326044311186)
+    // (web-mercator north bound; DuckDB lacks SINH so the oracle inlines
+    // the closed-form constant).
+    val (west, east, south, north) = tileEnvelope(z = 2, x = 1, y = 1)
+    val lon = col("user_id") * 1.7 - 95.0
+    val lat = col("value") * 0.35 - 80.0
+    Tables(spark, dir).events
+      .filter(lon >= west && lon < east && lat >= south && lat < north)
+      .select(col("event_id"), round(lon, 4).as("lon"), round(lat, 4).as("lat"))
+      .orderBy(col("event_id"))
+  }
+
+  /** i16: heterogeneous-source union — the reference ingests GRIB,
+    * NetCDF, GeoTIFF, HDF and normalizes to one layout; here csv + json
+    * + parquet slices of `events` are normalized and unioned with an
+    * explicit schema (never inferred). Oracle: the union equals the
+    * original table's aggregate. */
+  val i16 = QueryDef(
+    "i16_multi_source_union",
+    """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val base = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sources_${dir.hashCode.toHexString}"
+    base.filter(col("event_id") % 3 === 0).write.mode("overwrite")
+      .option("header", "true").csv(s"$tmp/csv")
+    base.filter(col("event_id") % 3 === 1).write.mode("overwrite").json(s"$tmp/json")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$tmp/csv")
+    val fromJson = spark.read.schema(schema).json(s"$tmp/json")
+    val fromParquet = base.filter(col("event_id") % 3 === 2)
+    fromCsv.unionByName(fromJson).unionByName(fromParquet)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .orderBy(col("event_type"))
+  }
+
+  /** i17: time-window aggregation (batch twin of the streaming st01). */
+  val i17 = QueryDef(
+    "i17_window_agg_batch",
+    """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+      |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
+    i11, i12, i13, i14, i15, i16, i17)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Ingest
+import org.apache.spark.sql.functions._
+
+class IngestSpec extends SparkSpec {
+
+  test("all B-family queries return rows at sf0.001") {
+    Ingest.all.foreach { q =>
+      val n = q.fn(spark, sf).count()
+      assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("unitConvert implements the four reference operations") {
+    val df = spark.range(1).select(lit(10.0).as("v"))
+    def eval(op: String, c: Double): Double =
+      df.select(Ingest.unitConvert(col("v"), op, c).as("r")).collect()(0).getDouble(0)
+    assert(eval("multiply", 3) == 30.0)
+    assert(eval("divide", 4) == 2.5)
+    assert(eval("add", 5) == 15.0)
+    assert(eval("subtract", 1) == 9.0)
+    intercept[IllegalArgumentException](Ingest.unitConvert(col("v"), "modulo", 2))
+  }
+
+  test("upsertByDate replaces exactly the incoming date partitions") {
+    val existing = Tables(spark, sf).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_trunc("day", col("l_shipdate")).as("d"), col("l_quantity"))
+    val targetDate = existing.select(col("d")).limit(1).collect()(0).getTimestamp(0)
+    val incoming = existing.filter(col("d") === targetDate)
+      .withColumn("l_quantity", lit(-1.0))
+    val result = Ingest.upsertByDate(existing, incoming, "d")
+    assert(result.count() == existing.count())
+    // every row of the target date now carries the incoming value
+    val vals = result.filter(col("d") === targetDate)
+      .select(col("l_quantity")).distinct().collect().map(_.getDouble(0))
+    assert(vals.sameElements(Array(-1.0)))
+  }
+
+  test("anomaly masks missing normals with the sentinel") {
+    val df = spark.range(1).select(lit(5.0).as("cur"), lit(null).cast("double").as("norm"))
+    val r = df.select(Ingest.anomaly(col("cur"), col("norm")).as("a")).collect()(0).getDouble(0)
+    assert(r == -9999.0)
+    val df2 = spark.range(1).select(lit(5.0).as("cur"), lit(3.0).as("norm"))
+    val r2 = df2.select(Ingest.anomaly(col("cur"), col("norm")).as("a")).collect()(0).getDouble(0)
+    assert(r2 == 2.0)
+  }
+
+  test("pentad boundaries match the reference get_next_pentad buckets") {
+    import graft.functions.Calendar
+    val df = spark.createDataFrame(Seq(
+      Tuple1("2023-01-01"), Tuple1("2023-01-05"), Tuple1("2023-01-06"),
+      Tuple1("2023-01-25"), Tuple1("2023-01-26"), Tuple1("2023-01-31")
+    )).toDF("d").select(col("d").cast("date").as("d"))
+    val got = df.select(Calendar.pentadOfMonth(col("d")).as("p")).collect().map(_.getInt(0))
+    assert(got.sameElements(Array(1, 1, 2, 5, 6, 6)))
+  }
+
+  test("tileEnvelope matches slippy-map corners") {
+    val (w, e, s, n) = Ingest.tileEnvelope(0, 0, 0)
+    assert(w == -180.0 && e == 180.0)
+    assert(math.abs(n - 85.0511287798066) < 1e-9)
+    assert(math.abs(s + 85.0511287798066) < 1e-9)
+    val (w2, e2, s2, n2) = Ingest.tileEnvelope(2, 1, 1)
+    assert(w2 == -90.0 && e2 == 0.0 && s2 == 0.0)
+    assert(math.abs(n2 - 66.51326044311186) < 1e-12)
+  }
+
+  test("retention keeps only the trailing window") {
+    val orders = Tables(spark, sf).orders
+    val kept = Ingest.retainLastDays(orders, col("o_orderdate"), 30)
+    val spread = kept.agg(
+      datediff(max(col("o_orderdate")), min(col("o_orderdate"))).as("dd"))
+      .collect()(0).getInt(0)
+    assert(spread <= 30)
+    assert(kept.count() < orders.count())
+  }
+
+  test("mosaic resolves overlaps to the highest-priority tile") {
+    import spark.implicits._
+    val t1 = Seq((1L, 10.0, 1), (2L, 20.0, 1)).toDF("k", "v", "tile")
+    val t2 = Seq((2L, 99.0, 2), (3L, 30.0, 2)).toDF("k", "v", "tile")
+    val m = Ingest.mosaic(Seq(t1, t2), Seq("k"), "tile")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(m.sameElements(Array((1L, 10.0, 1), (2L, 99.0, 2), (3L, 30.0, 2))))
+  }
+}
