@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.functions.{Text, Vectors}
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** C-family deduplication (SURVEY.md §2 d01–d05).
+  *
+  * Scale shape: every near-dup variant is
+  * signature → band/bucket key → shuffle on bucket → pairs only within
+  * buckets — never an O(n²) cross join. Signatures are computed with
+  * single-pass higher-order folds (no explode of the shingle stream).
+  */
+object Dedup {
+
+  /** d01: exact dedup by content hash — one hash-shuffle, keeps the
+    * min doc_id of each content group (reference analogue: idempotent
+    * re-ingest of identical slices). */
+  val d01 = QueryDef(
+    "d01_exact_dedup",
+    """SELECT MIN(doc_id) AS keep_id, MD5(text) AS content_hash, COUNT(*) AS n_copies
+      |FROM documents GROUP BY MD5(text) ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("content_hash"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Shingle sets per doc (distinct 3-gram word shingles). */
+  private def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Candidate pairs from an exploded (doc_id, band_idx, band_hash)
+    * relation: equi-join on the band key, id1 < id2, distinct. */
+  private def bucketPairs(bands: DataFrame): DataFrame = {
+    val left = bands.toDF("id1", "band_idx", "band_hash")
+    val right = bands.toDF("id2", "band_idx", "band_hash")
+    left.join(right, Seq("band_idx", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** d02: MinHash + LSH banding. 64 hashes, 8 bands × 8 rows —
+    * collision probability curve centered near J≈0.5. Summary output
+    * (pair lists are engine-specific under a rows-only check). */
+  val d02 = QueryDef.rowsOnly("d02_minhash_lsh") { (spark, dir) =>
+    val sh = docShingles(Tables(spark, dir).documents)
+    val sigs = sh.select(col("doc_id"), Text.minhashSignature(col("sh"), 64).as("sig"))
+    val numBands = 8
+    val bands = sigs.select(col("doc_id"), explode(array(
+      (0 until numBands).map(b =>
+        struct(lit(b).as("band_idx"),
+          xxhash64(slice(col("sig"), b * 8 + 1, 8), lit(b)).as("band_hash"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band_idx"), col("bs.band_hash"))
+    val cand = bucketPairs(bands)
+    val confirmed = cand
+      .join(sh.toDF("id1", "sh1"), "id1")
+      .join(sh.toDF("id2", "sh2"), "id2")
+      .filter(jaccard(col("sh1"), col("sh2")) >= 0.3)
+    cand.agg(count(lit(1)).as("n_candidate_pairs")).crossJoin(
+      confirmed.agg(count(lit(1)).as("n_confirmed_pairs")))
+  }
+
+  /** d03: SimHash near-dup: 64-bit sign fingerprint, 4×16-bit chunk
+    * banding (Hamming ≤ k pairs must share ≥1 exact chunk for k<4). */
+  val d03 = QueryDef.rowsOnly("d03_simhash") { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val bits = docs.select(col("doc_id"),
+      Text.simhashBits(Text.simhashCounts(Text.tokens(col("text")), 64)).as("bits"))
+    val chunks = bits.select(col("doc_id"), explode(array(
+      (0 until 4).map(c =>
+        struct(lit(c).as("band_idx"),
+          xxhash64(slice(col("bits"), c * 16 + 1, 16), lit(c)).as("band_hash"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band_idx"), col("bs.band_hash"))
+    val cand = bucketPairs(chunks)
+    val confirmed = cand
+      .join(bits.toDF("id1", "b1"), "id1")
+      .join(bits.toDF("id2", "b2"), "id2")
+      .filter(Text.hamming(col("b1"), col("b2")) <= 8)
+    cand.agg(count(lit(1)).as("n_candidate_pairs")).crossJoin(
+      confirmed.agg(count(lit(1)).as("n_confirmed_pairs")))
+  }
+
+  /** d04: exact n-gram Jaccard similarity on deterministic candidate
+    * pairs (adjacent doc ids) — oracles the similarity math itself;
+    * d02/d03 own the candidate generation story. */
+  val d04 = QueryDef(
+    "d04_ngram_jaccard",
+    """WITH s AS (
+      |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      |    RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 1)),
+      |    i -> STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i+1] || ' ' || STRING_SPLIT(text, ' ')[i+2])) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+      |        LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 4) AS jaccard
+      |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+      |ORDER BY id1""".stripMargin) { (spark, dir) =>
+    val sh = docShingles(Tables(spark, dir).documents)
+    sh.toDF("id1", "sh1")
+      .join(sh.toDF("id2", "sh2"), col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"), round(jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
+      .orderBy(col("id1"))
+  }
+
+  /** d05: embedding-cosine near-dup via hyperplane-LSH buckets —
+    * brute force only within buckets. */
+  val d05 = QueryDef.rowsOnly("d05_embedding_neardup") { (spark, dir) =>
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val buckets = emb.select(col("vec_id"),
+      Vectors.hyperplaneBucket(col("v"), 8).as("bucket"))
+    val left = buckets.toDF("id1", "bucket")
+    val right = buckets.toDF("id2", "bucket")
+    val cand = left.join(right, Seq("bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val scored = cand
+      .join(emb.toDF("id1", "v1"), "id1")
+      .join(emb.toDF("id2", "v2"), "id2")
+      .select(Vectors.cosine(col("v1"), col("v2")).as("sim"))
+    cand.agg(count(lit(1)).as("n_candidate_pairs")).crossJoin(
+      scored.agg(
+        count(when(col("sim") >= 0.9, 1)).as("n_confirmed_pairs"),
+        round(max(col("sim")), 4).as("max_cosine")))
+  }
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.functions.Vectors
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** C-family similarity search (SURVEY.md §2 s01–s02) over the
+  * `embeddings` table (64-dim float vectors).
+  *
+  * s01 is the exact baseline: broadcast the query vector, score every
+  * row map-side (no shuffle), top-k via a single ordered take. s02 is
+  * the scale path: hyperplane-LSH bucketing so only the query's bucket
+  * is scored — at 100 TB the bucket column is a partition/cluster key
+  * and the scan prunes to one bucket.
+  */
+object Similarity {
+
+  /** s01: brute-force cosine top-k against the vec_id=0 query vector.
+    * Index-ordered folds make the doubles bit-identical to DuckDB's
+    * sequential loop, so ranking and rounded sims hash-match. */
+  val s01 = QueryDef(
+    "s01_cosine_topk",
+    """WITH q AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), qv), 4) AS sim
+      |FROM embeddings, q
+      |WHERE vec_id <> 0
+      |ORDER BY LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val query = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(query))
+      .select(col("vec_id"), Vectors.cosine(col("v"), col("qv")).as("raw_sim"))
+      .orderBy(col("raw_sim").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("raw_sim"), 4).as("sim"))
+  }
+
+  /** s02: LSH-bucketed ANN — score only vectors sharing the query's
+    * hyperplane bucket (4 planes → 16 buckets here; more planes as the
+    * corpus grows). Rows-only: bucket membership is engine-specific. */
+  val s02 = QueryDef.rowsOnly("s02_lsh_ann") { (spark, dir) =>
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), 4))
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    emb.join(broadcast(query), col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(Vectors.cosine(col("v"), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val all: Seq[QueryDef] = Seq(s01, s02)
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.functions.Text
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** C-family text analysis (SURVEY.md §2 t01–t04): token counting,
+  * quality scoring, language ID, fingerprinting — all pure Column
+  * expressions over `documents`, embarrassingly parallel at 100 TB
+  * (no shuffle at all until the final ORDER BY for oracle parity).
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("a", "the")
+
+  val t01 = QueryDef(
+    "t01_token_count",
+    """SELECT doc_id,
+      |  CAST(LENGTH(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_ws_tokens,
+      |  CAST(LENGTH(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).as("n_ws_tokens"),
+        size(Text.regexTokens(col("text"))).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t02 = QueryDef(
+    "t02_quality_score",
+    """WITH t AS (
+      |  SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
+      |    STRING_SPLIT(text, ' ') AS toks
+      |  FROM documents)
+      |SELECT doc_id, n_chars_m,
+      |  CAST(LEN(toks) AS INTEGER) AS n_tokens,
+      |  ROUND(CAST(LEN(LIST_FILTER(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / LEN(toks), 4) AS stop_ratio,
+      |  ROUND(LEAST(LEN(toks) / 200.0, 1.0) * 0.4 +
+      |        (1.0 - CAST(LEN(LIST_FILTER(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / LEN(toks)) * 0.6, 4) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val toks = Text.tokens(col("text"))
+    val nToks = size(toks)
+    val nStop = Text.countIn(toks, stopwords)
+    val stopRatio = nStop.cast("double") / nToks
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        nToks.as("n_tokens"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(least(nToks / lit(200.0), lit(1.0)) * 0.4 + (lit(1.0) - stopRatio) * 0.6, 4)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker-token language ID. The synthetic corpus is english-ish, so
+    * the interesting part is the deterministic argmax plumbing — the
+    * marker lists are the pluggable heuristic. */
+  val t03 = QueryDef(
+    "t03_langid",
+    """WITH t AS (
+      |  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  CAST(LEN(LIST_FILTER(toks, x -> x IN ('the', 'a', 'is'))) AS INTEGER) AS en_hits,
+      |  CAST(LEN(LIST_FILTER(toks, x -> x IN ('le', 'la', 'et'))) AS INTEGER) AS fr_hits,
+      |  CAST(LEN(LIST_FILTER(toks, x -> x IN ('el', 'los', 'y'))) AS INTEGER) AS es_hits,
+      |  CASE
+      |    WHEN LEN(LIST_FILTER(toks, x -> x IN ('the', 'a', 'is'))) >= LEN(LIST_FILTER(toks, x -> x IN ('le', 'la', 'et')))
+      |     AND LEN(LIST_FILTER(toks, x -> x IN ('the', 'a', 'is'))) >= LEN(LIST_FILTER(toks, x -> x IN ('el', 'los', 'y')))
+      |     AND LEN(LIST_FILTER(toks, x -> x IN ('the', 'a', 'is'))) > 0 THEN 'en'
+      |    WHEN LEN(LIST_FILTER(toks, x -> x IN ('le', 'la', 'et'))) >= LEN(LIST_FILTER(toks, x -> x IN ('el', 'los', 'y')))
+      |     AND LEN(LIST_FILTER(toks, x -> x IN ('le', 'la', 'et'))) > 0 THEN 'fr'
+      |    WHEN LEN(LIST_FILTER(toks, x -> x IN ('el', 'los', 'y'))) > 0 THEN 'es'
+      |    ELSE 'und' END AS predicted
+      |FROM t ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val toks = Text.tokens(col("text"))
+    val en = Text.countIn(toks, Seq("the", "a", "is"))
+    val fr = Text.countIn(toks, Seq("le", "la", "et"))
+    val es = Text.countIn(toks, Seq("el", "los", "y"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        en.as("en_hits"), fr.as("fr_hits"), es.as("es_hits"),
+        when(en >= fr && en >= es && en > 0, "en")
+          .when(fr >= es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("und").as("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t04 = QueryDef(
+    "t04_fingerprint",
+    """SELECT doc_id, MD5(text) AS content_md5,
+      |  LIST_REDUCE(
+      |    LIST_PREPEND(CAST(0 AS BIGINT),
+      |      LIST_TRANSFORM(STRING_SPLIT(text, ''), c -> CAST(ASCII(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000000000037) AS rolling_fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        Text.rollingFingerprint(col("text")).as("rolling_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04)
+}

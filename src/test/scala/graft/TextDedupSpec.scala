@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.{Text, Vectors}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+
+  test("all C-family queries return rows at sf0.001") {
+    (TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all).foreach { q =>
+      val n = q.fn(spark, sf).count()
+      assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("shingles produces n-2 trigrams and handles short docs") {
+    import spark.implicits._
+    val df = Seq("a b c d e", "a b", "").toDF("text")
+    val got = df.select(size(Text.shingles(Text.tokens(col("text")), 3)).as("n"))
+      .collect().map(_.getInt(0))
+    assert(got.sameElements(Array(3, 0, 0)))
+  }
+
+  test("rolling fingerprint matches hand-computed value") {
+    import spark.implicits._
+    // "ab" -> (0*31+97)*31+98 = 3105 (cross-checked against DuckDB)
+    val got = Seq("ab").toDF("text")
+      .select(Text.rollingFingerprint(col("text")).as("fp")).collect()(0).getLong(0)
+    assert(got == 3105L)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0), Seq(0.0, 0.0, 1.0)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Vectors.cosine(col("a"), col("b")).as("same"),
+      Vectors.cosine(col("a").cast("array<double>"),
+        array(lit(3.0), lit(0.0), lit(-1.0))).as("orth")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("minhash signature: identical docs collide on every band") {
+    import spark.implicits._
+    val df = Seq("x y z w v u t s", "x y z w v u t s").toDF("text")
+    val sigs = df.select(
+      Text.minhashSignature(Text.shingles(Text.tokens(col("text")), 3), 64).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == 64)
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val near = base + " extra"
+    val far = (1 to 50).map(i => s"q$i").mkString(" ")
+    val df = Seq(base, near, far).toDF("text")
+    val bits = df.select(
+      Text.simhashBits(Text.simhashCounts(Text.tokens(col("text")), 64)).as("b"))
+      .collect().map(_.getSeq[Int](0))
+    def ham(a: Seq[Int], b: Seq[Int]) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(bits(0), bits(1)) < ham(bits(0), bits(2)),
+      s"near=${ham(bits(0), bits(1))} far=${ham(bits(0), bits(2))}")
+    assert(ham(bits(0), bits(1)) <= 8)
+  }
+
+  test("s01 top-k is ordered by similarity descending") {
+    val sims = Similarity.s01.fn(spark, sf).collect().map(_.getAs[Double]("sim"))
+    assert(sims.length == 10)
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("d01 keeps one representative per distinct content") {
+    val docs = Tables(spark, sf).documents.count()
+    val out = Dedup.d01.fn(spark, sf)
+    val totalCopies = out.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(totalCopies == docs)
+  }
+
+  test("langid predicts a language for every doc") {
+    val out = TextAnalysis.t03.fn(spark, sf).collect()
+    assert(out.forall(r => Set("en", "fr", "es", "und").contains(r.getAs[String]("predicted"))))
+  }
+}
