@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** D-family: Structured Streaming re-expression of the reference's
+  * scheduler + state pipeline (SURVEY.md §2.D).
+  *
+  * The reference polls remote sources on an interval, keeps a
+  * `last_update` watermark in state.json, and idempotently upserts
+  * date slices (`ingest/jobs.py`, `ingest/utils.py:96`,
+  * `ingest/raster_vector.py:158`). Spark-first that is: a file/stream
+  * source + event-time watermark + windowed aggregation + an
+  * idempotent foreachBatch partition-overwrite sink.
+  *
+  * Each query runs the streaming pipeline to completion on the static
+  * test file (file source → memory/parquet sink, processAllAvailable)
+  * and returns the materialized result, so the driver's DuckDB oracle
+  * checks the STREAMING path against batch SQL.
+  */
+object Streaming {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over the events parquet (nanos ts read as long,
+    * converted to a microsecond timestamp — same convention as
+    * [[graft.Tables]]). */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source wants a directory: stream the SF dir, filtered to
+    // the events file
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def runToCompletion(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** st01: watermarked event-time window aggregation — the streaming
+    * twin of i17; the oracle is the identical batch SQL. */
+  val st01 = QueryDef(
+    "st01_stream_window_agg",
+    """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+      |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
+    runToCompletion(agg, "st01_out")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** st02: streaming dedup (dropDuplicates keyed on event_id within the
+    * watermark horizon) + running counts — state is bounded by the
+    * watermark, the 100 TB requirement for infinite streams. */
+  val st02 = QueryDef(
+    "st02_stream_dedup_state",
+    """SELECT event_type, COUNT(*) AS n FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToCompletion(agg, "st02_out")
+      .orderBy(col("event_type"))
+  }
+
+  /** st03: idempotent date-partitioned upsert sink via foreachBatch +
+    * dynamic partition overwrite — the reference's delete-then-insert
+    * by date (`raster_vector.py:158`) as a partition overwrite that
+    * never rewrites the whole table. Result: re-read of the sink. */
+  val st03 = QueryDef(
+    "st03_stream_upsert_sink",
+    """SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d, event_type,
+      |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val sinkDir = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_${dir.hashCode.toHexString}"
+    // partition key as a yyyy-MM-dd string: partition-value type
+    // inference on read is config-dependent, a string key is stable.
+    val src = eventStream(spark, dir)
+      .withColumn("d_key", date_format(col("ts"), "yyyy-MM-dd"))
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write
+          .mode("overwrite")
+          .partitionBy("d_key")
+          .parquet(sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$sinkDir-ckpt-${System.nanoTime()}")
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+      .groupBy(to_timestamp(col("d_key").cast("string"), "yyyy-MM-dd").as("d"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .orderBy(col("d"), col("event_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(st01, st02, st03)
+}
