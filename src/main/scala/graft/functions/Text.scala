@@ -38,35 +38,40 @@ object Text {
       lit(0L),
       (acc, c) => (acc * 31 + c) % RollMod)
 
-  /** 64 MinHash signature values for a shingle array: one fold,
-    * no explode — sig[j] = min over shingles of xxhash64(shingle, j). */
-  def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column =
-    aggregate(
-      shingleArr,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), j => xxhash64(s, j)),
-        (a, h) => least(a, h)))
+  /** MinHash signatures, computed the codegen-friendly way: explode the
+    * shingle stream, hash each shingle ONCE (the string hash dominates),
+    * then take `numHashes` grouped minima of cheap long re-hashes —
+    * a single partial-aggregating shuffle on doc id, all inside
+    * whole-stage codegen. (A per-row higher-order fold is interpreted
+    * and was measured ~10× slower at sf0.1.)
+    *
+    * Input: (id, shingleArr); output: (id, sig: array<bigint>[numHashes]).
+    */
+  def minhashSignatures(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      shingleArr: Column, numHashes: Int = 64): org.apache.spark.sql.DataFrame = {
+    val exploded = docs.select(col(idCol), explode(shingleArr).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("h"))
+    val mins = (0 until numHashes).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+  }
 
-  /** SimHash ±1 bit-count accumulator over tokens: out[i] ∈ ±count.
-    * (shiftright via call_function: the Scala helper only takes a
-    * literal shift, the SQL function takes a column.) */
-  def simhashCounts(toks: Column, bits: Int = 64): Column =
-    aggregate(
-      toks,
-      array_repeat(lit(0L), bits),
-      (acc, t) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(bits - 1)),
-          i => when(call_function("shiftright", xxhash64(t), i)
-            .bitwiseAND(lit(1L)) =!= 0, lit(1L)).otherwise(lit(-1L))),
-        (a, b) => a + b))
-
-  /** Pack sign bits of a simhash count array into a 64-element ±1 bit
-    * array (the comparable fingerprint form). */
-  def simhashBits(counts: Column): Column =
-    transform(counts, c => when(c > 0, lit(1)).otherwise(lit(0)))
+  /** SimHash sign-bit fingerprints, same explode + grouped-agg shape:
+    * bit i = sign of Σ(±1 from bit i of xxhash64(token)).
+    * Input: (id, toks); output: (id, bits: array<int>[bits]). */
+  def simhashBitsOf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      toks: Column, bits: Int = 64): org.apache.spark.sql.DataFrame = {
+    val exploded = docs.select(col(idCol), explode(toks).as("t"))
+      .select(col(idCol), xxhash64(col("t")).as("h"))
+    val sums = (0 until bits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"c$i")
+    }
+    exploded.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), array((0 until bits).map(i =>
+        when(col(s"c$i") > 0, lit(1)).otherwise(lit(0))): _*).as("bits"))
+  }
 
   /** Hamming distance between two equal-length bit arrays. */
   def hamming(a: Column, b: Column): Column =

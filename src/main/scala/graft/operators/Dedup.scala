@@ -50,8 +50,12 @@ object Dedup {
     * collision probability curve centered near J≈0.5. Summary output
     * (pair lists are engine-specific under a rows-only check). */
   val d02 = QueryDef.rowsOnly("d02_minhash_lsh") { (spark, dir) =>
-    val sh = docShingles(Tables(spark, dir).documents)
-    val sigs = sh.select(col("doc_id"), Text.minhashSignature(col("sh"), 64).as("sig"))
+    // persist: the shingle/signature subtree feeds the self-join's two
+    // branches plus both confirm-side joins — without it the pipeline
+    // recomputes 4× (measured ~4× wall time at sf0.1). At 100 TB this
+    // is a checkpoint of the signature table.
+    val sh = docShingles(Tables(spark, dir).documents).persist()
+    val sigs = Text.minhashSignatures(sh, "doc_id", col("sh"), 64).persist()
     val numBands = 8
     val bands = sigs.select(col("doc_id"), explode(array(
       (0 until numBands).map(b =>
@@ -71,8 +75,7 @@ object Dedup {
     * banding (Hamming ≤ k pairs must share ≥1 exact chunk for k<4). */
   val d03 = QueryDef.rowsOnly("d03_simhash") { (spark, dir) =>
     val docs = Tables(spark, dir).documents
-    val bits = docs.select(col("doc_id"),
-      Text.simhashBits(Text.simhashCounts(Text.tokens(col("text")), 64)).as("bits"))
+    val bits = Text.simhashBitsOf(docs, "doc_id", Text.tokens(col("text")), 64).persist()
     val chunks = bits.select(col("doc_id"), explode(array(
       (0 until 4).map(c =>
         struct(lit(c).as("band_idx"),
@@ -113,7 +116,7 @@ object Dedup {
     * brute force only within buckets. */
   val d05 = QueryDef.rowsOnly("d05_embedding_neardup") { (spark, dir) =>
     val emb = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).persist()
     val buckets = emb.select(col("vec_id"),
       Vectors.hyperplaneBucket(col("v"), 8).as("bucket"))
     val left = buckets.toDF("id1", "bucket")

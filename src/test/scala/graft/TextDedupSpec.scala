@@ -43,10 +43,11 @@ class TextDedupSpec extends SparkSpec {
 
   test("minhash signature: identical docs collide on every band") {
     import spark.implicits._
-    val df = Seq("x y z w v u t s", "x y z w v u t s").toDF("text")
-    val sigs = df.select(
-      Text.minhashSignature(Text.shingles(Text.tokens(col("text")), 3), 64).as("sig"))
-      .collect().map(_.getSeq[Long](0))
+    val df = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s")).toDF("doc_id", "text")
+    val sigs = Text.minhashSignatures(
+        df.select(col("doc_id"), Text.shingles(Text.tokens(col("text")), 3).as("sh")),
+        "doc_id", col("sh"), 64)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
     assert(sigs(0) == sigs(1))
     assert(sigs(0).length == 64)
   }
@@ -56,10 +57,9 @@ class TextDedupSpec extends SparkSpec {
     val base = (1 to 50).map(i => s"w$i").mkString(" ")
     val near = base + " extra"
     val far = (1 to 50).map(i => s"q$i").mkString(" ")
-    val df = Seq(base, near, far).toDF("text")
-    val bits = df.select(
-      Text.simhashBits(Text.simhashCounts(Text.tokens(col("text")), 64)).as("b"))
-      .collect().map(_.getSeq[Int](0))
+    val df = Seq((0L, base), (1L, near), (2L, far)).toDF("doc_id", "text")
+    val bits = Text.simhashBitsOf(df, "doc_id", Text.tokens(col("text")), 64)
+      .orderBy("doc_id").collect().map(_.getSeq[Int](1))
     def ham(a: Seq[Int], b: Seq[Int]) = a.zip(b).count { case (x, y) => x != y }
     assert(ham(bits(0), bits(1)) < ham(bits(0), bits(2)),
       s"near=${ham(bits(0), bits(1))} far=${ham(bits(0), bits(2))}")
