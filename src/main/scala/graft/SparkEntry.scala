@@ -8,8 +8,9 @@ object SparkEntry {
 
   /** All operator definitions, one QueryDef per SURVEY.md §2 line. */
   def defs: Seq[QueryDef] =
-    Relational.all ++ Ingest.all ++ TextAnalysis.all ++ Dedup.all ++
-      Similarity.all ++ Multimodal.all ++ graft.streaming.Streaming.all
+    Relational.all ++ Ingest.all ++ Temporal.all ++ Scale.all ++
+      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
+      graft.streaming.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -286,6 +286,48 @@ object Relational {
       .orderBy(col("p_partkey"))
   }
 
+  /** q13: ROLLUP hierarchy totals — one pass over the fact table, the
+    * grouping-sets expansion happens in the aggregate, not via
+    * re-scans. */
+  val q13 = QueryDef(
+    "q13_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |       COALESCE(l_linestatus, 'ALL') AS status,
+      |       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("flag"), col("status"))
+  }
+
+  /** q14: exact quantiles per group (sort-based within groups). Both
+    * engines use the same linear-interpolation definition; outputs are
+    * rounded for hash parity. */
+  val q14 = QueryDef(
+    "q14_percentiles",
+    """SELECT event_type,
+      |  ROUND(QUANTILE_CONT(value, 0.25), 2) AS p25,
+      |  ROUND(QUANTILE_CONT(value, 0.5),  2) AS p50,
+      |  ROUND(QUANTILE_CONT(value, 0.75), 2) AS p75,
+      |  ROUND(QUANTILE_CONT(value, 0.99), 2) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.25)), 2).as("p25"),
+        round(percentile(col("value"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("value"), lit(0.75)), 2).as("p75"),
+        round(percentile(col("value"), lit(0.99)), 2).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13, q14)
 }

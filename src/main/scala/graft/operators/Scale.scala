@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Scale patterns (SURVEY.md §5): skew salting and bucketed co-located
+  * joins. Correctness is oracle-checked (a salted join must equal the
+  * plain join); the scale benefit is in the shuffle shape.
+  */
+object Scale {
+
+  /** Salted equi-join for skewed fact keys: the fact side gets a
+    * deterministic salt in [0, numSalts); the dimension side is
+    * replicated once per salt, so one hot key spreads over `numSalts`
+    * reducers instead of melting one. (AQE skew-join handles the
+    * common case at runtime — explicit salting is for the planned-for,
+    * always-hot key distributions.)
+    *
+    * `saltBy` must be deterministic per fact row (any non-join column
+    * works; uniqueness isn't required, only spread). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+      saltBy: Seq[Column], numSalts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(saltBy: _*), lit(numSalts)).cast("int"))
+    val explodedDim = dim.withColumn("__salt",
+      explode(array((0 until numSalts).map(lit): _*)))
+    saltedFact.join(explodedDim,
+        saltedFact(factKey) === explodedDim(dimKey) &&
+        saltedFact("__salt") === explodedDim("__salt"))
+      .drop("__salt")
+  }
+
+  /** q15: salted orders⋈lineitem — must hash-match the plain join. */
+  val q15 = QueryDef(
+    "q15_salted_join",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    saltedJoin(t.lineitem, t.orders, "l_orderkey", "o_orderkey",
+        Seq(col("l_partkey"), col("l_linenumber")), numSalts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q15)
+}

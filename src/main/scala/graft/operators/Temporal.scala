@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Time-series operators beyond plain SQL (SURVEY.md §2 additions
+  * j01–j02): as-of join and gap sessionization — the two operators the
+  * reference's time-ordered ingestion world implies but Spark lacks as
+  * built-ins.
+  *
+  * Both are implemented the scale-correct way: a single shuffle on the
+  * entity key, then sorted-window logic within partitions — never a
+  * range cross-join.
+  */
+object Temporal {
+
+  /** As-of join (point-in-time lookup): for each left row, the latest
+    * right row with rightTs <= leftTs and equal keys.
+    *
+    * Implementation: tag both sides, union, one window sorted by
+    * (ts, side) per key, carry the last right value forward
+    * (`last(_, ignoreNulls=true)`), keep left rows. Right rows sort
+    * before left rows at equal ts → inclusive (>=) semantics, matching
+    * SQL ASOF JOIN. One shuffle total, O(n log n) per partition. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, leftTs: String,
+      rightTs: String, carryCols: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val l = left
+      .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .select(Seq(col(key), col("__ts"), col("__side")) ++
+        lCols.filter(_ != key).map(col) ++
+        carryCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__carry_$c")): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+      .select(Seq(col(key), col("__ts"), col("__side")) ++
+        lCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        carryCols.map(c => col(c).as(s"__carry_$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select((Seq(col(key)) ++ lCols.filter(_ != key).map(col) ++ Seq(col("__side")) ++
+        carryCols.map(c => last(col(s"__carry_$c"), ignoreNulls = true).over(w).as(c))): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** j01: each purchase event picks up the value of the user's latest
+    * click at-or-before it — oracle is DuckDB's native ASOF LEFT JOIN. */
+  val j01 = QueryDef(
+    "j01_asof_join",
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |      FROM events WHERE event_type = 'click')
+      |SELECT l.event_id, l.user_id, r.value AS last_click_value
+      |FROM p l ASOF LEFT JOIN c r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("value"))
+      .select(col("event_id"), col("user_id"), col("value").as("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Gap sessionization: new session when the gap to the previous event
+    * of the same key exceeds `gapMicros`. Session ids are per-key
+    * ordinals (1-based). One shuffle on the key. */
+  def sessionize(df: DataFrame, key: Column, ts: Column, tieBreak: Column,
+      gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tieBreak)
+    val cum = Window.partitionBy(key).orderBy(ts, tieBreak)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__new_sess",
+        when(unix_micros(ts) - unix_micros(lag(ts, 1).over(w)) > gapMicros, 1)
+          .when(lag(ts, 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_num", sum(col("__new_sess")).over(cum).cast("int"))
+      .drop("__new_sess")
+  }
+
+  /** j02: 30-minute-gap sessions per user with per-session rollup. */
+  val j02 = QueryDef(
+    "j02_sessionize",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |g AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+      |                     WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+      |                     ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_num
+      |      FROM g)
+      |SELECT user_id, session_num, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  ROUND(SUM(value), 2) AS session_value
+      |FROM s GROUP BY user_id, session_num
+      |ORDER BY user_id, session_num""".stripMargin) { (spark, dir) =>
+    val sessions = sessionize(
+      Tables(spark, dir).events.select(col("user_id"), col("event_id"), col("ts"), col("value")),
+      col("user_id"), col("ts"), col("event_id"), 30L * 60 * 1000000)
+    sessions
+      .groupBy(col("user_id"), col("session_num"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_num"))
+  }
+
+  val all: Seq[QueryDef] = Seq(j01, j02)
+}

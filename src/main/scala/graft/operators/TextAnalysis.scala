@@ -94,10 +94,11 @@ object TextAnalysis {
       |      LIST_TRANSFORM(STRING_SPLIT(text, ''), c -> CAST(ASCII(c) AS BIGINT))),
       |    (a, b) -> (a * 31 + b) % 1000000000000037) AS rolling_fp
       |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.functions.RollingFingerprintExpr.register(spark)
     Tables(spark, dir).documents
       .select(col("doc_id"),
         md5(col("text")).as("content_md5"),
-        Text.rollingFingerprint(col("text")).as("rolling_fp"))
+        expr("graft_rolling_fp(text)").as("rolling_fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Scale, Temporal}
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+
+  test("salted join equals the plain join") {
+    val t = Tables(spark, sf)
+    val plain = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val salted = Scale.q15.fn(spark, sf).select(col("o_orderpriority"), col("n"))
+    assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val t = Tables(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // a previously crashed run can leave the managed location behind
+    import scala.reflect.io.Directory
+    Seq("li_bucketed", "o_bucketed").foreach(n =>
+      new Directory(new java.io.File(s"/tmp/graft_warehouse/$n")).deleteRecursively())
+    t.lineitem.write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+    t.orders.write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("asof join: every purchase gets the latest prior click value") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10), (1L, 200L, 20), (2L, 50L, 30)).toDF("k", "t", "eid")
+    val right = Seq((1L, 90L, 1.0), (1L, 150L, 2.0), (1L, 201L, 3.0), (3L, 1L, 9.0))
+      .toDF("k", "t", "v")
+    val got = Temporal.asofJoin(
+        left.select(col("k"), col("eid"), col("t")),
+        right.select(col("k"), col("t"), col("v")),
+        "k", "t", "t", Seq("v"))
+      .orderBy("eid")
+      .select("eid", "v").collect()
+      .map(r => (r.getInt(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+    // eid 10 @t=100 → click @90 (1.0); eid 20 @t=200 → click @150 (2.0);
+    // eid 30 (k=2) → no click → null
+    assert(got.sameElements(Array((10, Some(1.0)), (20, Some(2.0)), (30, None))))
+  }
+
+  test("asof join is inclusive at equal timestamps") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 1)).toDF("k", "t", "eid")
+    val right = Seq((1L, 100L, 42.0)).toDF("k", "t", "v")
+    val got = Temporal.asofJoin(
+        left.select(col("k"), col("eid"), col("t")),
+        right.select(col("k"), col("t"), col("v")),
+        "k", "t", "t", Seq("v"))
+      .select("v").collect()(0).getDouble(0)
+    assert(got == 42.0)
+  }
+
+  test("sessionize splits on gaps greater than the threshold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (1L, "2024-01-01 00:10:00", 2L),
+      (1L, "2024-01-01 01:00:00", 3L), (2L, "2024-01-01 00:00:00", 4L)
+    ).toDF("user_id", "ts", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Temporal.sessionize(df, col("user_id"), col("ts"), col("event_id"),
+        30L * 60 * 1000000)
+      .orderBy("event_id")
+      .select("session_num").collect().map(_.getInt(0))
+    assert(got.sameElements(Array(1, 1, 2, 1)))
+  }
+
+  test("custom rolling fingerprint expression matches the HOF fold and is codegen'd") {
+    import spark.implicits._
+    graft.functions.RollingFingerprintExpr.register(spark)
+    val df = Seq("ab", "key agg row scan", "").toDF("text")
+    val rows = df.select(
+      expr("graft_rolling_fp(text)").as("fast"),
+      graft.functions.Text.rollingFingerprint(col("text")).as("slow")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(rows(0).getLong(0) == 3105L)
+    // local relations constant-fold to LocalTableScan; assert codegen
+    // on a real parquet-backed scan
+    // "*(n)" marks WholeStageCodegen stages in the plan string
+    val plan = Tables(spark, sf).documents.select(expr("graft_rolling_fp(text)"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("*(1) Project"), s"not codegen'd:\n$plan")
+  }
+}
