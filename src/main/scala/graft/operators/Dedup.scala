@@ -33,6 +33,19 @@ object Dedup {
     docs.select(col("doc_id"),
       array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
 
+  /** Hashed shingle sets: each 3-gram collapsed to one xxhash64 long —
+    * no string materialization, and jaccard set ops run over longs.
+    * (MinHash/LSH only ever consumes hashes, so this is lossless for
+    * d02; d04 keeps string shingles to match its string-based oracle.) */
+  private def docShingleHashes(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    docs.select(col("doc_id"), array_distinct(
+      when(size(toks) < 3, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 2),
+          i => xxhash64(element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))).as("sh"))
+  }
+
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
@@ -54,7 +67,7 @@ object Dedup {
     // branches plus both confirm-side joins — without it the pipeline
     // recomputes 4× (measured ~4× wall time at sf0.1). At 100 TB this
     // is a checkpoint of the signature table.
-    val sh = docShingles(Tables(spark, dir).documents).persist()
+    val sh = docShingleHashes(Tables(spark, dir).documents).persist()
     val sigs = Text.minhashSignatures(sh, "doc_id", col("sh"), 64).persist()
     val numBands = 8
     val bands = sigs.select(col("doc_id"), explode(array(

@@ -459,7 +459,55 @@ object Ingest {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** i18: semi-structured column extraction — the reference's XML/JSON
+    * catalog parsing (`dustforecast/__init__.py` xmltodict) as a
+    * columnar JSON path op over `events.props`. */
+  val i18 = QueryDef(
+    "i18_json_extract",
+    """SELECT CAST(JSON_EXTRACT(props, '$.k') AS INTEGER) AS k,
+      |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).events
+      .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .orderBy(col("k"))
+  }
+
+  /** Web-mercator tile coordinates of a lon/lat point at zoom z —
+    * the inverse of [[tileEnvelope]] (assign rows to the tiles the MVT
+    * function would serve, `raster_vector.py:88`). Same closed-form
+    * double math as DuckDB, so tile ids hash-match. */
+  def tileXY(lon: Column, lat: Column, z: Int): (Column, Column) = {
+    val n = lit((1 << z).toDouble)
+    val latRad = radians(lat)
+    val x = floor((lon + 180.0) / 360.0 * n).cast("int")
+    val y = floor((lit(1.0) - log(tan(latRad) + lit(1.0) / cos(latRad)) / math.Pi) / 2.0 * n)
+      .cast("int")
+    (x, y)
+  }
+
+  /** i19: tile assignment at z=4 over synthetic lon/lat from events. */
+  val i19 = QueryDef(
+    "i19_tile_assign",
+    """WITH pts AS (
+      |  SELECT GREATEST(LEAST(value * 2 - 250.0, 179.9), -179.9) AS lon,
+      |         GREATEST(LEAST(user_id * 1.5 - 100.0, 85.0), -85.0) AS lat
+      |  FROM events)
+      |SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 16.0) AS INTEGER) AS tile_x,
+      |  CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI()) / 2.0 * 16.0) AS INTEGER) AS tile_y,
+      |  COUNT(*) AS n
+      |FROM pts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val lon = greatest(least(col("value") * 2 - 250.0, lit(179.9)), lit(-179.9))
+    val lat = greatest(least(col("user_id") * 1.5 - 100.0, lit(85.0)), lit(-85.0))
+    val (tx, ty) = tileXY(lon, lat, 4)
+    Tables(spark, dir).events
+      .groupBy(tx.as("tile_x"), ty.as("tile_y"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("tile_x"), col("tile_y"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15, i16, i17)
+    i11, i12, i13, i14, i15, i16, i17, i18, i19)
 }

@@ -48,5 +48,16 @@ object Scale {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Small-file compaction: rewrite a date-partitioned dataset into
+    * ~`targetRowsPerFile` chunks per partition — the 100 TB
+    * housekeeping op for streaming sinks (st03) that accrete a file per
+    * micro-batch. Range-partitioning by the partition key keeps file
+    * pruning intact after the rewrite. */
+  def compact(df: DataFrame, partitionCol: String, targetRowsPerFile: Long,
+      totalRows: Long): DataFrame = {
+    val numFiles = math.max(1, math.ceil(totalRows.toDouble / targetRowsPerFile).toInt)
+    df.repartitionByRange(numFiles, col(partitionCol))
+  }
+
   val all: Seq[QueryDef] = Seq(q15)
 }

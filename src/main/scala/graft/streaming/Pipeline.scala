@@ -119,5 +119,47 @@ object Streaming {
       .orderBy(col("d"), col("event_type"))
   }
 
-  val all: Seq[QueryDef] = Seq(st01, st02, st03)
+  /** Per-key running state for st04. */
+  final case class UserState(n_events: Long, last_micros: Long)
+  final case class UserUpdate(user_id: Long, n_events: Long, last_micros: Long)
+
+  /** st04: custom managed state via flatMapGroupsWithState — the
+    * reference's per-dataset `{"last_update": ...}` state machine
+    * (`ingest/utils.py:96`) keyed per user: each batch folds new events
+    * into (count, last-seen) state and emits the updated snapshot.
+    * One batch on the static file → one snapshot per user, so the
+    * batch-SQL oracle applies. */
+  val st04 = QueryDef(
+    "st04_stream_custom_state",
+    """SELECT user_id, COUNT(*) AS n_events, MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val updates = eventStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("micros"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
+          val (n, lastM) = rows.foldLeft((prev.n_events, prev.last_micros)) {
+            case ((c, m), (_, micros)) => (c + 1, math.max(m, micros))
+          }
+          state.update(UserState(n, lastM))
+          Iterator.single(UserUpdate(user, n, lastM))
+      }
+    val q = updates.toDF().writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("st04_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("st04_out")
+      .select(col("user_id"), col("n_events"),
+        timestamp_micros(col("last_micros")).as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04)
 }
