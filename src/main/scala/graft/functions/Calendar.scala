@@ -36,4 +36,34 @@ object Calendar {
       .when(m <= 8, "JJA")
       .otherwise("SON")
   }
+
+  /** First day of the month after `date` — reference
+    * `get_next_month_date` (`ingest/dateutils.py:5`). */
+  def nextMonthStart(date: Column): Column =
+    add_months(trunc(date, "month"), 1)
+
+  /** Start date of the pentad AFTER the one containing `date` —
+    * reference `get_next_pentad` (`ingest/dateutils.py:19`): day<=25 →
+    * day (p*5+1) of this month; day>25 → 1st of next month. */
+  def nextPentadStart(date: Column): Column = {
+    val p = pentadOfMonth(date)
+    when(p < 6, make_date(year(date), month(date), p * 5 + 1))
+      .otherwise(nextMonthStart(date).cast("date"))
+  }
+
+  /** Number (1–6) of the pentad AFTER the one containing `date`. */
+  def nextPentadNum(date: Column): Column = {
+    val p = pentadOfMonth(date)
+    when(p < 6, p + 1).otherwise(1)
+  }
+
+  /** Extract the first embedded ISO-8601 timestamp from a string (the
+    * reference's filename-date convention `{ns}_{ISO}.tif`,
+    * `ingest/utils.py:141` delete_past_data_files). Null if absent. */
+  def isoDateIn(s: Column): Column = {
+    val m = regexp_extract(s,
+      "(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{3}Z)", 1)
+    when(m === "", lit(null).cast("timestamp"))
+      .otherwise(to_timestamp(m, "yyyy-MM-dd'T'HH:mm:ss.SSSX"))
+  }
 }

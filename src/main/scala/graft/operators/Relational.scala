@@ -328,6 +328,47 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q16: order-sensitive aggregates — the row that attains each
+    * group's extreme (ties broken by the paired orderkey are absent in
+    * this data; doubles are unique per group). */
+  val q16 = QueryDef(
+    "q16_argminmax",
+    """SELECT o_orderpriority,
+      |  ARG_MAX(o_orderkey, o_totalprice) AS biggest_order,
+      |  ARG_MIN(o_orderkey, o_totalprice) AS smallest_order,
+      |  ROUND(MAX(o_totalprice), 2) AS max_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("biggest_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("smallest_order"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q17: the typed Dataset API over the same engine — case-class rows,
+    * lambda filter, typed groupByKey — proving the Dataset[T] surface
+    * plans into the identical Catalyst pipeline. */
+  val q17 = QueryDef(
+    "q17_typed_dataset",
+    """SELECT l_returnflag AS flag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+      |FROM lineitem WHERE l_quantity > 45
+      |GROUP BY l_returnflag ORDER BY flag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ds = Tables(spark, dir).lineitem
+      .select(col("l_returnflag").as("flag"), col("l_quantity").as("qty"))
+      .as[(String, Double)]
+    ds.filter(_._2 > 45)
+      .groupByKey(_._1)
+      .agg(
+        count(lit(1)).as("n").as[Long],
+        round(sum(col("qty")), 2).as("qty").as[Double])
+      .toDF("flag", "n", "qty")
+      .orderBy(col("flag"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13, q14)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
+      q14, q16, q17)
 }

@@ -55,5 +55,26 @@ object Similarity {
       .limit(5)
   }
 
-  val all: Seq[QueryDef] = Seq(s01, s02)
+  /** s03: per-vector statistics (L2 norm, min/max/mean component) —
+    * the normalize/quantize preprocessing stage of an embedding
+    * pipeline, scalar-projected so the oracle hash-checks it. */
+  val s03 = QueryDef(
+    "s03_vector_stats",
+    """SELECT vec_id,
+      |  ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2,
+      |  ROUND(LIST_MIN(CAST(embedding AS DOUBLE[])), 4) AS min_c,
+      |  ROUND(LIST_MAX(CAST(embedding AS DOUBLE[])), 4) AS max_c,
+      |  ROUND(LIST_SUM(CAST(embedding AS DOUBLE[])) / LEN(embedding), 4) AS mean_c
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    val v = col("embedding").cast("array<double>")
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        round(Vectors.norm(v), 4).as("l2"),
+        round(array_min(v), 4).as("min_c"),
+        round(array_max(v), 4).as("max_c"),
+        round(aggregate(v, lit(0.0), (a, x) => a + x) / size(v), 4).as("mean_c"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s03)
 }

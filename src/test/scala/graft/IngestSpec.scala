@@ -57,6 +57,35 @@ class IngestSpec extends SparkSpec {
     assert(got.sameElements(Array(1, 1, 2, 5, 6, 6)))
   }
 
+  test("next-period functions match the reference dateutils") {
+    import graft.functions.Calendar
+    import spark.implicits._
+    // reference get_next_pentad: day 3 → (6th, 2); day 26 → (1st next month, 1)
+    val df = Seq("2023-01-03", "2023-01-26", "2023-12-28").toDF("d")
+      .select(col("d").cast("date").as("d"))
+    val got = df.select(
+      Calendar.nextPentadStart(col("d")).cast("string").as("start"),
+      Calendar.nextPentadNum(col("d")).as("num"),
+      Calendar.nextMonthStart(col("d")).cast("string").as("nm")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(got.sameElements(Array(
+      ("2023-01-06", 2, "2023-02-01"),
+      ("2023-02-01", 1, "2023-02-01"),
+      ("2024-01-01", 1, "2024-01-01"))))
+  }
+
+  test("isoDateIn extracts the reference filename date convention") {
+    import graft.functions.Calendar
+    import spark.implicits._
+    val df = Seq(
+      "oper_fc_temperature_sfc_2024-03-01T06:00:00.000Z.tif",
+      "no_date_here.tif").toDF("f")
+    val got = df.select(Calendar.isoDateIn(col("f")).cast("string").as("d"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "2024-03-01 06:00:00")
+    assert(got(1) == null)
+  }
+
   test("tileEnvelope matches slippy-map corners") {
     val (w, e, s, n) = Ingest.tileEnvelope(0, 0, 0)
     assert(w == -180.0 && e == 180.0)
