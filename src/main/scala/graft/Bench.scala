@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val names = args.toSet // optional filter: bench only these queries
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -23,7 +24,9 @@ object Bench {
     // JVM + parquet-footer warm-up outside the timed region
     Tables(spark, sfDir).lineitem.count()
 
-    val results = SparkEntry.defs.sortBy(_.name).map { d =>
+    val results = SparkEntry.defs.sortBy(_.name)
+      .filter(d => names.isEmpty || names.contains(d.name))
+      .map { d =>
       val t0 = System.nanoTime()
       try { d.fn(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] ${d.name}: ${e.getMessage}") }

@@ -18,17 +18,25 @@ object Vectors {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Random-hyperplane LSH bucket id: `planes` pseudo-random ±1
-    * hyperplanes derived from xxhash64(plane, dim) parity — fully
-    * deterministic, no stored model. Bucket = sign-bit integer. */
-  def hyperplaneBucket(v: Column, numPlanes: Int = 8): Column = {
+  /** Deterministic ±1 pseudo-random hyperplane (splitmix64 parity per
+    * (plane, dim)) — computed ONCE in Scala and shipped as a literal
+    * array, not re-derived per row. */
+  def planeSigns(plane: Int, dims: Int): Array[Double] = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    Array.tabulate(dims)(i => if ((splitmix(plane.toLong * 1000003L + i) & 1L) == 0L) 1.0 else -1.0)
+  }
+
+  /** Random-hyperplane LSH bucket id over a `dims`-dim vector column.
+    * Bucket = integer of sign bits of the `numPlanes` projections. */
+  def hyperplaneBucket(v: Column, numPlanes: Int = 8, dims: Int = 64): Column = {
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(
-        zip_with(
-          v,
-          transform(sequence(lit(0), size(v) - 1),
-            i => when(xxhash64(lit(p), i).bitwiseAND(lit(1L)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-          (x, s) => x * s),
+        zip_with(v, typedlit(planeSigns(p, dims)), (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }

@@ -28,22 +28,28 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
-  /** Shingle sets per doc (distinct 3-gram word shingles). */
+  /** Shingle sets per doc (distinct 3-gram word shingles). Tokens are
+    * materialized first — see docShingleHashes for why. */
   private def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(Text.shingles(col("toks"), 3)).as("sh"))
 
   /** Hashed shingle sets: each 3-gram collapsed to one xxhash64 long —
     * no string materialization, and jaccard set ops run over longs.
     * (MinHash/LSH only ever consumes hashes, so this is lossless for
     * d02; d04 keeps string shingles to match its string-based oracle.) */
   private def docShingleHashes(docs: DataFrame): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    docs.select(col("doc_id"), array_distinct(
-      when(size(toks) < 3, array().cast("array<bigint>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - 2),
-          i => xxhash64(element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2))))).as("sh"))
+    // materialize the token array in its own projection: referencing the
+    // split(...) EXPRESSION inside the per-shingle lambda would re-split
+    // the whole text for every element_at (measured: most of d02's
+    // runtime). CollapseProject keeps the non-cheap split un-inlined.
+    val toks = col("toks")
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(
+        when(size(toks) < 3, array().cast("array<bigint>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 2),
+            i => xxhash64(element_at(toks, i), element_at(toks, i + 1),
+              element_at(toks, i + 2))))).as("sh"))
   }
 
   private def jaccard(a: Column, b: Column): Column =
@@ -135,7 +141,7 @@ object Dedup {
     val left = buckets.toDF("id1", "bucket")
     val right = buckets.toDF("id2", "bucket")
     val cand = left.join(right, Seq("bucket")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+      .select(col("id1"), col("id2")).distinct().persist()
     val scored = cand
       .join(emb.toDF("id1", "v1"), "id1")
       .join(emb.toDF("id2", "v2"), "id2")
