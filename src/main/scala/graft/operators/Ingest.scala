@@ -39,6 +39,14 @@ object Ingest {
     * (`ingest/ecmwf_opendata/__init__.py:495`). */
   def windSpeed(u: Column, v: Column): Column = sqrt(u * u + v * v)
 
+  /** Attach a units label as column metadata — the reference writes
+    * `data_array.attrs["units"]` after conversion
+    * (`ingest/__init__.py:62`); in Spark that is schema metadata, which
+    * survives parquet round-trips. */
+  def withUnits(c: Column, name: String, units: String): Column =
+    c.as(name, new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("units", units).build())
+
   /** Climatology normal: per-key mean over a multi-year window keyed by
     * a calendar period — reference `get_month_normal`
     * (`ingest/chirps_rainfall/__init__.py:232`). The result is small
@@ -507,7 +515,36 @@ object Ingest {
       .orderBy(col("tile_x"), col("tile_y"))
   }
 
+  /** i20: unpivot (melt) — the reference's per-variable extraction
+    * loop (`for param in params: ds[param.variable]`,
+    * `ecmwf_opendata/__init__.py:300`) is exactly wide→long unpivot.
+    * Round-trips q18's pivot back to long form. */
+  val i20 = QueryDef(
+    "i20_unpivot",
+    """WITH wide AS (
+      |  SELECT user_id,
+      |    ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'click'), 0), 2) AS click,
+      |    ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'purchase'), 0), 2) AS purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, variable, sum_v FROM (
+      |  SELECT user_id, 'click' AS variable, click AS sum_v FROM wide
+      |  UNION ALL
+      |  SELECT user_id, 'purchase' AS variable, purchase AS sum_v FROM wide) u
+      |ORDER BY user_id, variable""".stripMargin) { (spark, dir) =>
+    val wide = Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "purchase"))
+      .agg(sum(col("value")))
+      .select(col("user_id"),
+        round(coalesce(col("click"), lit(0)), 2).as("click"),
+        round(coalesce(col("purchase"), lit(0)), 2).as("purchase"))
+    wide.unpivot(
+        Array(col("user_id")), Array(col("click"), col("purchase")),
+        "variable", "sum_v")
+      .orderBy(col("user_id"), col("variable"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15, i16, i17, i18, i19)
+    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20)
 }

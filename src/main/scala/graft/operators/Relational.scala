@@ -368,7 +368,28 @@ object Relational {
       .orderBy(col("flag"))
   }
 
+  /** q18: PIVOT — event_type values become columns (explicit value
+    * list, so the plan is a single-pass conditional aggregation, no
+    * distinct-values pre-query). */
+  val q18 = QueryDef(
+    "q18_pivot",
+    """SELECT user_id,
+      |  ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'click'), 0), 2) AS click,
+      |  ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'purchase'), 0), 2) AS purchase,
+      |  ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'view'), 0), 2) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "purchase", "view"))
+      .agg(sum(col("value")))
+      .select(col("user_id"),
+        round(coalesce(col("click"), lit(0)), 2).as("click"),
+        round(coalesce(col("purchase"), lit(0)), 2).as("purchase"),
+        round(coalesce(col("view"), lit(0)), 2).as("view"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
-      q14, q16, q17)
+      q14, q16, q17, q18)
 }

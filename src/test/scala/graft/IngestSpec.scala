@@ -57,6 +57,19 @@ class IngestSpec extends SparkSpec {
     assert(got.sameElements(Array(1, 1, 2, 5, 6, 6)))
   }
 
+  test("withUnits attaches units metadata that survives a parquet round-trip") {
+    import java.nio.file.Files
+    val df = Tables(spark, sf).events.select(
+      col("event_id"),
+      Ingest.withUnits(Ingest.unitConvert(col("value"), "subtract", 273.15),
+        "temp_degc", "degC"))
+    assert(df.schema("temp_degc").metadata.getString("units") == "degC")
+    val p = Files.createTempDirectory("graft_units").resolve("t.parquet").toString
+    df.limit(10).write.parquet(p)
+    val back = spark.read.parquet(p)
+    assert(back.schema("temp_degc").metadata.getString("units") == "degC")
+  }
+
   test("next-period functions match the reference dateutils") {
     import graft.functions.Calendar
     import spark.implicits._
