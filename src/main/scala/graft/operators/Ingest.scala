@@ -76,8 +76,15 @@ object Ingest {
     * scale this is a partition overwrite, never a full rewrite: the
     * anti-join broadcasts the (tiny) set of incoming dates. */
   def upsertByDate(existing: DataFrame, incoming: DataFrame, dateCol: String): DataFrame =
+    upsertByKey(existing, incoming, Seq(dateCol))
+
+  /** Generalized merge/upsert: incoming rows replace existing rows with
+    * the same key (SCD type-1). Broadcast anti-join on the incoming key
+    * set — a partition overwrite when keyed by partition, a MERGE when
+    * keyed by business key. */
+  def upsertByKey(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     existing
-      .join(broadcast(incoming.select(col(dateCol)).distinct()), Seq(dateCol), "left_anti")
+      .join(broadcast(incoming.select(keys.map(col): _*).distinct()), keys, "left_anti")
       .unionByName(incoming)
 
   /** Retention: keep only rows within `days` of the latest date —
@@ -544,7 +551,58 @@ object Ingest {
       .orderBy(col("user_id"), col("variable"))
   }
 
+  /** i21: key-merge upsert — an incoming snapshot updates matching
+    * customers, everything else passes through. */
+  val i21 = QueryDef(
+    "i21_merge_upsert",
+    """WITH incoming AS (
+      |  SELECT c_custkey, c_name, ROUND(c_acctbal + 100.0, 2) AS bal
+      |  FROM customer WHERE c_custkey % 10 = 0)
+      |SELECT c_custkey, c_name, bal FROM (
+      |  SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal FROM customer
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM incoming)
+      |  UNION ALL SELECT c_custkey, c_name, bal FROM incoming) u
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val existing = Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("bal"))
+    val incoming = Tables(spark, dir).customer
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal") + 100.0, 2).as("bal"))
+    upsertByKey(existing, incoming, Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Single-pass column profile (completeness + cardinality) — the
+    * validation step a pipeline runs before publishing a slice. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))) :+
+      count(lit(1)).as("n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"), col("n"),
+        col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as("n_distinct"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column"))
+  }
+
+  /** i22: data-quality profile of the orders table. */
+  val i22 = QueryDef(
+    "i22_data_profile",
+    """SELECT col AS "column", n, nn AS n_nonnull, nd AS n_distinct FROM (
+      |  SELECT 'o_custkey' AS col, COUNT(*) AS n, COUNT(o_custkey) AS nn,
+      |         COUNT(DISTINCT o_custkey) AS nd FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+      |         COUNT(DISTINCT o_orderstatus) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+      |         COUNT(DISTINCT o_totalprice) FROM orders) u
+      |ORDER BY col""".stripMargin) { (spark, dir) =>
+    profile(Tables(spark, dir).orders, Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20)
+    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22)
 }

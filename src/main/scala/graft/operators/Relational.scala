@@ -389,7 +389,31 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q19: top-k per group via the custom bounded TopKAggregate — the
+    * scale-correct formulation of q07 (map-side buffers carry ≤k rows
+    * per group; no full-partition sort). Same oracle as q07. */
+  val q19 = QueryDef(
+    "q19_topk_aggregate",
+    """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_orderpriority, rk""".stripMargin) { (spark, dir) =>
+    graft.functions.TopKAggregate.register(spark)
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("o_orderpriority"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("entry.key").as("o_orderkey"),
+        col("entry.score").as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
-      q14, q16, q17, q18)
+      q14, q16, q17, q18, q19)
 }

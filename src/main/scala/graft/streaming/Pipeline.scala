@@ -161,5 +161,33 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04)
+  /** st05: built-in session windows in streaming — gap-merged sessions
+    * per user (the streaming twin of j02's batch sessionization;
+    * session end = last event + gap per session_window semantics). */
+  val st05 = QueryDef(
+    "st05_stream_session_window",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |g AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+      |                     WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+      |                     ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_num
+      |      FROM g)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
+      |FROM s GROUP BY user_id, session_num
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("sum_v"))
+    runToCompletion(agg, "st05_out")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05)
 }
