@@ -10,7 +10,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     Relational.all ++ Ingest.all ++ Temporal.all ++ Scale.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
-      graft.streaming.Streaming.all
+      TrainingPipeline.all ++ graft.streaming.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

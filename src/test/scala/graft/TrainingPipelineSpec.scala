@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.TrainingPipeline
+import org.apache.spark.sql.functions._
+
+class TrainingPipelineSpec extends SparkSpec {
+
+  test("curation keeps a nonempty, deduplicated, quality-gated subset") {
+    val docs = Tables(spark, sf).documents
+    val curated = TrainingPipeline.curate(docs).cache()
+    val n = curated.count()
+    assert(n > 0 && n <= docs.count())
+    // gates hold on every surviving row
+    assert(curated.filter(col("n_tokens") < 20).count() == 0)
+    assert(curated.filter(col("stop_ratio") >= 0.5).count() == 0)
+    // no exact duplicates survive
+    val distinctTexts = curated.select(md5(col("text"))).distinct().count()
+    assert(distinctTexts == n)
+  }
+
+  test("p01 summary aggregates per source") {
+    val out = TrainingPipeline.p01.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_docs") > 0))
+  }
+
+  test("multi-batch streaming upsert converges to the batch result") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_multi").toString
+    val events = Tables(spark, sf).events
+    // 4 source files → 4 micro-batches with maxFilesPerTrigger=1
+    events.repartition(4).write.mode("overwrite").parquet(s"$srcDir/in")
+    val schema = spark.read.parquet(s"$srcDir/in").schema
+    val sinkDir = s"$srcDir/sink"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/in")
+      .withColumn("d_key", date_format(col("ts"), "yyyy-MM-dd"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write.mode("append").partitionBy("d_key").parquet(sinkDir)
+      }
+      .option("checkpointLocation", s"$srcDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(sinkDir)
+    assert(got.count() == events.count())
+    val gotSum = got.agg(round(sum("value"), 2)).collect()(0).getDouble(0)
+    val wantSum = events.agg(round(sum("value"), 2)).collect()(0).getDouble(0)
+    assert(gotSum == wantSum)
+  }
+}
