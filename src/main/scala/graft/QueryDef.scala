@@ -19,6 +19,17 @@ final case class QueryDef(
     oracle: Option[String])
 
 object QueryDef {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.round
+
+  /** Epsilon-biased rounding for INEXACT quantities (averages,
+    * divisions, sqrt): a value landing exactly on a .xx5 boundary
+    * rounds differently under Spark (decimal-string HALF_UP) and
+    * DuckDB (binary). Adding 1e-9 pushes boundary values decisively
+    * above the half on BOTH sides, so the engines agree; the oracle SQL
+    * must write the same `ROUND(x + 1e-9, n)`. Sums of fixed-decimal
+    * inputs are exact and don't need the bias. */
+  def roundBiased(c: Column, scale: Int): Column = round(c + 1e-9, scale)
   /** Oracled query: hash-checked against DuckDB. */
   def apply(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, Some(sql))

@@ -121,13 +121,14 @@ object Dedup {
       |  FROM documents)
       |SELECT a.doc_id AS id1, b.doc_id AS id2,
       |  ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
-      |        LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 4) AS jaccard
+      |        LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) + 1e-9, 4) AS jaccard
       |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
       |ORDER BY id1""".stripMargin) { (spark, dir) =>
     val sh = docShingles(Tables(spark, dir).documents)
     sh.toDF("id1", "sh1")
       .join(sh.toDF("id2", "sh2"), col("id2") === col("id1") + 1)
-      .select(col("id1"), col("id2"), round(jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
+      .select(col("id1"), col("id2"),
+        graft.QueryDef.roundBiased(jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
       .orderBy(col("id1"))
   }
 

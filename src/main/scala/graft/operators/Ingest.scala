@@ -124,9 +124,10 @@ object Ingest {
   /** Mosaic: union overlapping tiles, resolving overlap by highest tile
     * priority — reference MODIS mosaic (`ingest/modis/convertmodis.py`).
     * One shuffle on the cell key. */
-  def mosaic(tiles: Seq[DataFrame], keyCols: Seq[String], priorityCol: String): DataFrame = {
+  def mosaic(tiles: Seq[DataFrame], keyCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
     val unioned = tiles.reduce(_.unionByName(_))
-    latestSnapshot(unioned, keyCols.map(col), Seq(col(priorityCol)))
+    latestSnapshot(unioned, keyCols.map(col), orderCols.map(col))
   }
 
   /** Slippy-map tile envelope (z/x/y → lon/lat bounds) — reference MVT
@@ -169,7 +170,7 @@ object Ingest {
 
   val i02 = QueryDef(
     "i02_derived_windspeed",
-    """SELECT user_id, ROUND(SQRT(u * u + v * v), 2) AS wind_speed FROM (
+    """SELECT user_id, ROUND(SQRT(u * u + v * v) + 1e-9, 2) AS wind_speed FROM (
       |  SELECT user_id,
       |    AVG(value) FILTER (WHERE event_type = 'click') AS u,
       |    AVG(value) FILTER (WHERE event_type = 'view')  AS v
@@ -182,14 +183,15 @@ object Ingest {
         avg(when(col("event_type") === "click", col("value"))).as("u"),
         avg(when(col("event_type") === "view", col("value"))).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
-      .select(col("user_id"), round(windSpeed(col("u"), col("v")), 2).as("wind_speed"))
+      .select(col("user_id"),
+        graft.QueryDef.roundBiased(windSpeed(col("u"), col("v")), 2).as("wind_speed"))
       .orderBy(col("user_id"))
   }
 
   val i03 = QueryDef(
     "i03_climatology_normal",
     """SELECT l_returnflag AS cell, CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS cal_period,
-      |  ROUND(AVG(l_quantity), 2) AS normal_qty, COUNT(*) AS n_obs
+      |  ROUND(AVG(l_quantity) + 1e-9, 2) AS normal_qty, COUNT(*) AS n_obs
       |FROM lineitem
       |WHERE l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
@@ -198,7 +200,7 @@ object Ingest {
     climatologyNormal(hist, Seq(col("l_returnflag").as("cell")), month(col("l_shipdate")),
         col("l_quantity"))
       .select(col("cell"), col("cal_period"),
-        round(col("normal"), 2).as("normal_qty"), col("n_obs"))
+        graft.QueryDef.roundBiased(col("normal"), 2).as("normal_qty"), col("n_obs"))
       .orderBy(col("cell"), col("cal_period"))
   }
 
@@ -217,7 +219,7 @@ object Ingest {
       |  GROUP BY 1, 2)
       |SELECT cur.cell AS cell, cur.cal_period AS cal_period,
       |  ROUND(CASE WHEN normal.normal IS NULL THEN -9999.0
-      |             ELSE cur.cur_qty - normal.normal END, 2) AS anomaly
+      |             ELSE cur.cur_qty - normal.normal END + 1e-9, 2) AS anomaly
       |FROM cur LEFT JOIN normal
       |  ON cur.cell = normal.cell AND cur.cal_period = normal.cal_period
       |ORDER BY cell, cal_period""".stripMargin) { (spark, dir) =>
@@ -235,7 +237,7 @@ object Ingest {
     current
       .join(broadcast(normals), Seq("cell", "cal_period"), "left")
       .select(col("cell"), col("cal_period"),
-        round(anomaly(col("cur_qty"), col("normal")), 2).as("anomaly"))
+        graft.QueryDef.roundBiased(anomaly(col("cur_qty"), col("normal")), 2).as("anomaly"))
       .orderBy(col("cell"), col("cal_period"))
   }
 
@@ -353,11 +355,12 @@ object Ingest {
   val i11 = QueryDef(
     "i11_contour_bins",
     """SELECT CAST(FLOOR(value / 25) * 25 AS DOUBLE) AS level,
-      |  COUNT(*) AS n, ROUND(AVG(value), 2) AS avg_v
+      |  COUNT(*) AS n, ROUND(AVG(value) + 1e-9, 2) AS avg_v
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     Tables(spark, dir).events
       .groupBy(contourLevel(col("value"), 25).as("level"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_v"))
+      .agg(count(lit(1)).as("n"),
+        graft.QueryDef.roundBiased(avg(col("value")), 2).as("avg_v"))
       .orderBy(col("level"))
   }
 
@@ -395,7 +398,8 @@ object Ingest {
       |  WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
       |    AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00')
       |SELECT l_orderkey, l_linenumber, l_quantity, tile FROM (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY tile DESC) AS rn
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+      |                          ORDER BY tile DESC, l_quantity DESC) AS rn
       |  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) u) v
       |WHERE rn = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
     val li = Tables(spark, dir).lineitem
@@ -403,10 +407,13 @@ object Ingest {
       .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
         col("l_shipdate") < lit(to).cast("timestamp"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), lit(tile).as("tile"))
+    // order by (tile, quantity): the cell key is NOT unique at larger
+    // SFs, so overlap resolution needs a total order to stay
+    // deterministic across engines
     mosaic(
       Seq(slice("1997-01-01 00:00:00", "1998-01-01 00:00:00", 1),
           slice("1997-07-01 00:00:00", "1998-07-01 00:00:00", 2)),
-      Seq("l_orderkey", "l_linenumber"), "tile")
+      Seq("l_orderkey", "l_linenumber"), Seq("tile", "l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 

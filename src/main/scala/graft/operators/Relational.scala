@@ -24,9 +24,9 @@ object Relational {
       |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
       |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
       |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      |  ROUND(AVG(l_quantity), 2) AS avg_qty,
-      |  ROUND(AVG(l_extendedprice), 2) AS avg_price,
-      |  ROUND(AVG(l_discount), 2) AS avg_disc,
+      |  ROUND(AVG(l_quantity) + 1e-9, 2) AS avg_qty,
+      |  ROUND(AVG(l_extendedprice) + 1e-9, 2) AS avg_price,
+      |  ROUND(AVG(l_discount) + 1e-9, 2) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -41,9 +41,9 @@ object Relational {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 2).as("avg_disc"),
+        graft.QueryDef.roundBiased(avg(col("l_quantity")), 2).as("avg_qty"),
+        graft.QueryDef.roundBiased(avg(col("l_extendedprice")), 2).as("avg_price"),
+        graft.QueryDef.roundBiased(avg(col("l_discount")), 2).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -105,7 +105,7 @@ object Relational {
   val q04 = QueryDef(
     "q04_join_shuffle",
     """SELECT o_orderpriority, COUNT(*) AS n_late,
-      |  ROUND(AVG(l_extendedprice), 2) AS avg_late_price
+      |  ROUND(AVG(l_extendedprice) + 1e-9, 2) AS avg_late_price
       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
       |GROUP BY o_orderpriority
@@ -117,7 +117,7 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_late"),
-        round(avg(col("l_extendedprice")), 2).as("avg_late_price"))
+        graft.QueryDef.roundBiased(avg(col("l_extendedprice")), 2).as("avg_late_price"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -255,13 +255,13 @@ object Relational {
     * proves the SQL interface produces the identical Catalyst plan. */
   val q11 = QueryDef(
     "q11_sql_interface",
-    """SELECT n_name, ROUND(AVG(c_acctbal), 2) AS avg_bal, COUNT(*) AS n_cust
+    """SELECT n_name, ROUND(AVG(c_acctbal) + 1e-9, 2) AS avg_bal, COUNT(*) AS n_cust
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin) { (spark, dir) =>
     Tables(spark, dir).registerViews()
     spark.sql(
-      """SELECT n_name, ROUND(AVG(c_acctbal), 2) AS avg_bal, COUNT(*) AS n_cust
+      """SELECT n_name, ROUND(AVG(c_acctbal) + 1e-9, 2) AS avg_bal, COUNT(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin)
@@ -313,18 +313,18 @@ object Relational {
   val q14 = QueryDef(
     "q14_percentiles",
     """SELECT event_type,
-      |  ROUND(QUANTILE_CONT(value, 0.25), 2) AS p25,
-      |  ROUND(QUANTILE_CONT(value, 0.5),  2) AS p50,
-      |  ROUND(QUANTILE_CONT(value, 0.75), 2) AS p75,
-      |  ROUND(QUANTILE_CONT(value, 0.99), 2) AS p99
+      |  ROUND(QUANTILE_CONT(value, 0.25) + 1e-9, 2) AS p25,
+      |  ROUND(QUANTILE_CONT(value, 0.5) + 1e-9,  2) AS p50,
+      |  ROUND(QUANTILE_CONT(value, 0.75) + 1e-9, 2) AS p75,
+      |  ROUND(QUANTILE_CONT(value, 0.99) + 1e-9, 2) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
     Tables(spark, dir).events
       .groupBy(col("event_type"))
       .agg(
-        round(percentile(col("value"), lit(0.25)), 2).as("p25"),
-        round(percentile(col("value"), lit(0.5)), 2).as("p50"),
-        round(percentile(col("value"), lit(0.75)), 2).as("p75"),
-        round(percentile(col("value"), lit(0.99)), 2).as("p99"))
+        graft.QueryDef.roundBiased(percentile(col("value"), lit(0.25)), 2).as("p25"),
+        graft.QueryDef.roundBiased(percentile(col("value"), lit(0.5)), 2).as("p50"),
+        graft.QueryDef.roundBiased(percentile(col("value"), lit(0.75)), 2).as("p75"),
+        graft.QueryDef.roundBiased(percentile(col("value"), lit(0.99)), 2).as("p99"))
       .orderBy(col("event_type"))
   }
 

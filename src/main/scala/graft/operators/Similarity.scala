@@ -23,7 +23,7 @@ object Similarity {
     """WITH q AS (
       |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
       |SELECT vec_id,
-      |  ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), qv), 4) AS sim
+      |  ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), qv) + 1e-9, 4) AS sim
       |FROM embeddings, q
       |WHERE vec_id <> 0
       |ORDER BY LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id
@@ -36,7 +36,7 @@ object Similarity {
       .select(col("vec_id"), Vectors.cosine(col("v"), col("qv")).as("raw_sim"))
       .orderBy(col("raw_sim").desc, col("vec_id"))
       .limit(10)
-      .select(col("vec_id"), round(col("raw_sim"), 4).as("sim"))
+      .select(col("vec_id"), graft.QueryDef.roundBiased(col("raw_sim"), 4).as("sim"))
   }
 
   /** s02: LSH-bucketed ANN — score only vectors sharing the query's
@@ -61,18 +61,19 @@ object Similarity {
   val s03 = QueryDef(
     "s03_vector_stats",
     """SELECT vec_id,
-      |  ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2,
-      |  ROUND(LIST_MIN(CAST(embedding AS DOUBLE[])), 4) AS min_c,
-      |  ROUND(LIST_MAX(CAST(embedding AS DOUBLE[])), 4) AS max_c,
-      |  ROUND(LIST_SUM(CAST(embedding AS DOUBLE[])) / LEN(embedding), 4) AS mean_c
+      |  ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x))) + 1e-9, 4) AS l2,
+      |  ROUND(LIST_MIN(CAST(embedding AS DOUBLE[])) + 1e-9, 4) AS min_c,
+      |  ROUND(LIST_MAX(CAST(embedding AS DOUBLE[])) + 1e-9, 4) AS max_c,
+      |  ROUND(LIST_SUM(CAST(embedding AS DOUBLE[])) / LEN(embedding) + 1e-9, 4) AS mean_c
       |FROM embeddings ORDER BY vec_id""".stripMargin) { (spark, dir) =>
     val v = col("embedding").cast("array<double>")
     Tables(spark, dir).embeddings
       .select(col("vec_id"),
-        round(Vectors.norm(v), 4).as("l2"),
-        round(array_min(v), 4).as("min_c"),
-        round(array_max(v), 4).as("max_c"),
-        round(aggregate(v, lit(0.0), (a, x) => a + x) / size(v), 4).as("mean_c"))
+        graft.QueryDef.roundBiased(Vectors.norm(v), 4).as("l2"),
+        graft.QueryDef.roundBiased(array_min(v), 4).as("min_c"),
+        graft.QueryDef.roundBiased(array_max(v), 4).as("max_c"),
+        graft.QueryDef.roundBiased(aggregate(v, lit(0.0), (a, x) => a + x) / size(v), 4)
+          .as("mean_c"))
       .orderBy(col("vec_id"))
   }
 

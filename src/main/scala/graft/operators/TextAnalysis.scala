@@ -34,9 +34,9 @@ object TextAnalysis {
       |  FROM documents)
       |SELECT doc_id, n_chars_m,
       |  CAST(LEN(toks) AS INTEGER) AS n_tokens,
-      |  ROUND(CAST(LEN(LIST_FILTER(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / LEN(toks), 4) AS stop_ratio,
+      |  ROUND(CAST(LEN(LIST_FILTER(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / LEN(toks) + 1e-9, 4) AS stop_ratio,
       |  ROUND(LEAST(LEN(toks) / 200.0, 1.0) * 0.4 +
-      |        (1.0 - CAST(LEN(LIST_FILTER(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / LEN(toks)) * 0.6, 4) AS quality
+      |        (1.0 - CAST(LEN(LIST_FILTER(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / LEN(toks)) * 0.6 + 1e-9, 4) AS quality
       |FROM t ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val toks = Text.tokens(col("text"))
     val nToks = size(toks)
@@ -46,8 +46,9 @@ object TextAnalysis {
       .select(col("doc_id"),
         length(col("text")).as("n_chars_m"),
         nToks.as("n_tokens"),
-        round(stopRatio, 4).as("stop_ratio"),
-        round(least(nToks / lit(200.0), lit(1.0)) * 0.4 + (lit(1.0) - stopRatio) * 0.6, 4)
+        graft.QueryDef.roundBiased(stopRatio, 4).as("stop_ratio"),
+        graft.QueryDef.roundBiased(
+          least(nToks / lit(200.0), lit(1.0)) * 0.4 + (lit(1.0) - stopRatio) * 0.6, 4)
           .as("quality"))
       .orderBy(col("doc_id"))
   }

@@ -123,7 +123,7 @@ class IngestSpec extends SparkSpec {
     import spark.implicits._
     val t1 = Seq((1L, 10.0, 1), (2L, 20.0, 1)).toDF("k", "v", "tile")
     val t2 = Seq((2L, 99.0, 2), (3L, 30.0, 2)).toDF("k", "v", "tile")
-    val m = Ingest.mosaic(Seq(t1, t2), Seq("k"), "tile")
+    val m = Ingest.mosaic(Seq(t1, t2), Seq("k"), Seq("tile"))
       .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
     assert(m.sameElements(Array((1L, 10.0, 1), (2L, 99.0, 2), (3L, 30.0, 2))))
   }
