@@ -15,8 +15,12 @@ object Vectors {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** NaN for zero-norm inputs (ANSI mode would otherwise raise
+    * DIVIDE_BY_ZERO; when() keeps the division unevaluated). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / d)
+  }
 
   /** Deterministic ±1 pseudo-random hyperplane (splitmix64 parity per
     * (plane, dim)) — computed ONCE in Scala and shipped as a literal

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Ingest, Temporal}
+import graft.functions.{Text, Vectors}
+import org.apache.spark.sql.functions._
+
+/** Edge semantics the sf-scale data doesn't exercise. */
+class EdgeCaseSpec extends SparkSpec {
+
+  test("asof join with an empty right side yields all-null carries") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1)).toDF("k", "t", "eid")
+    val right = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
+    val got = Temporal.asofJoin(
+      left.select(col("k"), col("eid"), col("t")),
+      right.select(col("k"), col("t"), col("v")),
+      "k", "t", "t", Seq("v")).collect()
+    assert(got.length == 1 && got(0).isNullAt(got(0).fieldIndex("v")))
+  }
+
+  test("sessionize on a single event per user emits session 1") {
+    import spark.implicits._
+    val df = Seq((7L, "2024-01-01 00:00:00", 1L)).toDF("user_id", "ts", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Temporal.sessionize(df, col("user_id"), col("ts"), col("event_id"), 1L)
+      .select("session_num").collect()(0).getInt(0)
+    assert(got == 1)
+  }
+
+  test("upsertByKey with empty incoming is the identity") {
+    val existing = Tables(spark, sf).customer
+    val incoming = existing.filter(lit(false))
+    assert(Ingest.upsertByKey(existing, incoming, Seq("c_custkey")).count() == existing.count())
+  }
+
+  test("contourLevel handles negatives (floor toward -inf)") {
+    import spark.implicits._
+    val got = Seq(-0.1, -25.0, 24.9).toDF("v")
+      .select(Ingest.contourLevel(col("v"), 25).as("l")).collect().map(_.getDouble(0))
+    assert(got.sameElements(Array(-25.0, -25.0, 0.0)))
+  }
+
+  test("minhash signature of an empty shingle set stays at the identity") {
+    import spark.implicits._
+    val df = Seq((1L, "a b")).toDF("doc_id", "text") // < 3 tokens → no shingles
+      .select(col("doc_id"), Text.shingles(Text.tokens(col("text")), 3).as("sh"))
+    // explode-based signatures drop docs with no shingles — the LSH
+    // pipeline treats them as having no near-dup candidates
+    val sigs = Text.minhashSignatures(df, "doc_id", col("sh"), 8)
+    assert(sigs.count() == 0)
+  }
+
+  test("cosine of a zero vector is NaN, not an exception") {
+    import spark.implicits._
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(Vectors.cosine(col("a"), col("b")).as("c")).collect()(0).getDouble(0)
+    assert(r.isNaN)
+  }
+
+  test("rolling fingerprint of empty string is 0") {
+    import spark.implicits._
+    graft.functions.RollingFingerprintExpr.register(spark)
+    val r = Seq("").toDF("text").select(expr("graft_rolling_fp(text)")).collect()(0).getLong(0)
+    assert(r == 0L)
+  }
+}
