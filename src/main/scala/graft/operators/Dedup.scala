@@ -153,5 +153,56 @@ object Dedup {
         round(max(col("sim")), 4).as("max_cosine")))
   }
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)
+  /** d02b: the SAME MinHash-LSH pipeline, re-expressed with portable
+    * hashing (md5, lexicographic min over hex) so DuckDB can replicate
+    * it end-to-end — candidate generation, banding, and confirmation
+    * are all hash-checked, not just row-counted. 16 hashes × 4 bands
+    * (the production path d02 keeps xxhash64 × 64 for speed). */
+  val d02b = QueryDef(
+    "d02b_minhash_lsh_oracle",
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      |  RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks),
+      |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+      |sig AS (SELECT doc_id, j, MIN(MD5(s || '#' || j)) AS m
+      |        FROM ex, RANGE(16) r(j) GROUP BY doc_id, j),
+      |band AS (SELECT doc_id, j // 4 AS band_idx,
+      |         MD5(STRING_AGG(m, '|' ORDER BY j)) AS band_hash
+      |         FROM sig GROUP BY doc_id, j // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |         FROM band a JOIN band b
+      |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |          AND a.doc_id < b.doc_id),
+      |conf AS (SELECT id1, id2,
+      |  ROUND(CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS DOUBLE) /
+      |        LEN(LIST_DISTINCT(LIST_CONCAT(x.sh, y.sh))) + 1e-9, 4) AS jaccard
+      |  FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2)
+      |SELECT id1, id2, jaccard FROM conf WHERE jaccard >= 0.3
+      |ORDER BY id1, id2""".stripMargin) { (spark, dir) =>
+    val sh = docShingles(Tables(spark, dir).documents).persist()
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sig = ex
+      .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(15))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(md5(concat(col("s"), lit("#"), col("j")))).as("m"))
+    val band = sig
+      .groupBy(col("doc_id"), expr("j div 4").as("band_idx"))
+      .agg(md5(array_join(
+        transform(sort_array(collect_list(struct(col("j"), col("m")))), e => e.getField("m")),
+        "|")).as("band_hash"))
+    val cand = band.toDF("id1", "band_idx", "band_hash")
+      .join(band.toDF("id2", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    cand
+      .join(sh.toDF("id1", "sh1"), "id1")
+      .join(sh.toDF("id2", "sh2"), "id2")
+      .select(col("id1"), col("id2"),
+        graft.QueryDef.roundBiased(jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d02b, d03, d04, d05)
 }

@@ -77,5 +77,36 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s03)
+  /** s02b: the LSH-bucketed ANN with the hyperplane sign vectors
+    * inlined as SQL literals — DuckDB reproduces the bucketing AND the
+    * in-bucket ranking, so the whole ANN path is hash-checked. */
+  val s02b: QueryDef = {
+    val planeSql = (0 until 4).map { p =>
+      val arr = Vectors.planeSigns(p, 64).mkString("[", ", ", "]")
+      s"CASE WHEN LIST_DOT_PRODUCT(v, $arr) >= 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", "\n   + ", ")")
+    QueryDef(
+      "s02b_lsh_ann_oracle",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $planeSql AS bucket FROM e),
+         |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+         |SELECT vec_id, ROUND(LIST_COSINE_SIMILARITY(v, qv) + 1e-9, 4) AS sim
+         |FROM b, q WHERE bucket = qb AND vec_id <> 0
+         |ORDER BY LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id
+         |LIMIT 5""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), 4))
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      emb.join(broadcast(query), col("bucket") === col("qbucket"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), Vectors.cosine(col("v"), col("qv")).as("raw_sim"))
+        .orderBy(col("raw_sim").desc, col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), graft.QueryDef.roundBiased(col("raw_sim"), 4).as("sim"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03)
 }
