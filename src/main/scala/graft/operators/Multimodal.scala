@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * analogue of Arrow-batched python UDFs, and the one sanctioned
   * mapPartitions use (opaque byte decoding cannot be a Column
   * expression). The decode itself is STUBBED with a deterministic fake
-  * (no media codecs in this environment); the Spark-side contract —
-  * schema, batch shape, partition parallelism — is real and tested.
+  * (no media codecs in this environment) chosen to be replicable in
+  * SQL, so the whole plumbing — binary cast, partition batches, typed
+  * Encoders, re-aggregation — is DuckDB-oracled, not just row-counted.
   */
 object Multimodal {
 
@@ -23,17 +24,33 @@ object Multimodal {
   final case class BlobFeatures(doc_id: Long, source: String,
       n_bytes: Int, checksum: Long, feature0: Double)
 
+  private val Mod = graft.functions.Text.RollMod
+
   /** STUB decode: a real build would decode image/audio bytes here
     * (per-partition, so codec state is reused across a batch). The
-    * deterministic fake hashes the payload and derives one feature. */
+    * deterministic fake is the polynomial rolling hash of the bytes —
+    * the same recurrence as `graft_rolling_fp`, so the oracle can
+    * recompute it from the text. */
   private def decodeStub(payload: Array[Byte]): (Long, Double) = {
     var h = 0L
     var i = 0
-    while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
-    (h, (h & 0xffff).toDouble / 65536.0)
+    while (i < payload.length) { h = (h * 31 + (payload(i) & 0xff)) % Mod; i += 1 }
+    (h, (h % 65536L).toDouble / 65536.0)
   }
 
-  val m01 = QueryDef.rowsOnly("m01_multimodal_meta") { (spark, dir) =>
+  val m01 = QueryDef(
+    "m01_multimodal_meta",
+    """WITH f AS (
+      |  SELECT source, LENGTH(text) AS n_bytes,
+      |    LIST_REDUCE(
+      |      LIST_PREPEND(CAST(0 AS BIGINT),
+      |        LIST_TRANSFORM(STRING_SPLIT(text, ''), c -> CAST(ASCII(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000000000037) AS checksum
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_blobs,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |  ROUND(AVG((checksum % 65536) / 65536.0) + 1e-9, 4) AS avg_feature0
+      |FROM f GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val blobs = Tables(spark, dir).documents
       .select(col("doc_id"), col("source"),
@@ -49,7 +66,7 @@ object Multimodal {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_blobs"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("feature0")), 4).as("avg_feature0"))
+        graft.QueryDef.roundBiased(avg(col("feature0")), 4).as("avg_feature0"))
       .orderBy(col("source"))
   }
 
