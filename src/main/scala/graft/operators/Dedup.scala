@@ -204,5 +204,62 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d02b, d03, d04, d05)
+  /** d03b: SimHash with a portable bit derivation (parity of md5 hex
+    * digits) so DuckDB replicates fingerprints, banding, and Hamming
+    * confirmation exactly. 16-bit fingerprint, 2×8-bit chunk bands,
+    * Hamming ≤ 3. (Production path d03 keeps xxhash64 × 64 bits.) */
+  val d03b: QueryDef = {
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    QueryDef(
+      "d03b_simhash_oracle",
+      """WITH th AS (SELECT doc_id, MD5(UNNEST(STRING_SPLIT(text, ' '))) AS h FROM documents),
+        |bits AS (SELECT doc_id, i,
+        |  CASE WHEN SUM(CASE WHEN STRPOS('13579bdf', SUBSTR(h, CAST(i AS INT) + 1, 1)) > 0
+        |                     THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit
+        |  FROM th, RANGE(16) r(i) GROUP BY doc_id, i),
+        |fp AS (SELECT doc_id, STRING_AGG(bit, '' ORDER BY i) AS bitstr
+        |       FROM bits GROUP BY doc_id),
+        |band AS (SELECT doc_id, c AS band_idx,
+        |         SUBSTR(bitstr, CAST(c AS INT) * 8 + 1, 8) AS band_hash
+        |         FROM fp, RANGE(2) rc(c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |         FROM band a JOIN band b
+        |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        |          AND a.doc_id < b.doc_id),
+        |ham AS (SELECT id1, id2,
+        |  CAST(LEN(LIST_FILTER(RANGE(0, 16),
+        |    k -> SUBSTR(x.bitstr, CAST(k AS INT) + 1, 1) <>
+        |         SUBSTR(y.bitstr, CAST(k AS INT) + 1, 1))) AS INTEGER) AS hamming
+        |  FROM cand JOIN fp x ON x.doc_id = id1 JOIN fp y ON y.doc_id = id2)
+        |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY id1, id2""".stripMargin) { (spark, dir) =>
+      val th = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), md5(col("t")).as("h"))
+      val bitCols = (0 until 16).map { i =>
+        when(sum(when(substring(col("h"), i + 1, 1).isInCollection(oddHex), 1)
+          .otherwise(-1)) > 0, "1").otherwise("0").as(s"b$i")
+      }
+      val fp = th.groupBy(col("doc_id"))
+        .agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"), concat((0 until 16).map(i => col(s"b$i")): _*).as("bitstr"))
+        .persist()
+      val band = fp.select(col("doc_id"), explode(array(
+        (0 until 2).map(c => struct(lit(c).as("band_idx"),
+          substring(col("bitstr"), c * 8 + 1, 8).as("band_hash"))): _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band_idx"), col("bs.band_hash"))
+      val cand = bucketPairs(band)
+      val hammingExpr = (0 until 16).map(k =>
+        when(substring(col("bitstr1"), k + 1, 1) =!= substring(col("bitstr2"), k + 1, 1), 1)
+          .otherwise(0)).reduce(_ + _)
+      cand
+        .join(fp.toDF("id1", "bitstr1"), "id1")
+        .join(fp.toDF("id2", "bitstr2"), "id2")
+        .select(col("id1"), col("id2"), hammingExpr.as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("id1"), col("id2"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d02b, d03, d03b, d04, d05)
 }
