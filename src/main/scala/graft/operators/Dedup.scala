@@ -261,5 +261,38 @@ object Dedup {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d02b, d03, d03b, d04, d05)
+  /** d05b: embedding near-dup with the LSH planes inlined as SQL
+    * literals — bucketing, in-bucket pairing, and cosine confirmation
+    * all DuckDB-oracled (threshold 0.4: this corpus's in-bucket max is
+    * ~0.47, so real pairs survive). */
+  val d05b: QueryDef = {
+    val planeSql = (0 until 8).map { p =>
+      val arr = Vectors.planeSigns(p, 64).mkString("[", ", ", "]")
+      s"CASE WHEN LIST_DOT_PRODUCT(v, $arr) >= 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", "\n   + ", ")")
+    QueryDef(
+      "d05b_embedding_neardup_oracle",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $planeSql AS bucket FROM e)
+         |SELECT a.vec_id AS id1, c.vec_id AS id2,
+         |  ROUND(LIST_COSINE_SIMILARITY(a.v, c.v) + 1e-9, 4) AS sim
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE LIST_COSINE_SIMILARITY(a.v, c.v) >= 0.4
+         |ORDER BY id1, id2""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), 8))
+        .persist()
+      emb.toDF("id1", "v1", "bucket")
+        .join(emb.toDF("id2", "v2", "bucket"), Seq("bucket"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("raw_sim", Vectors.cosine(col("v1"), col("v2")))
+        .filter(col("raw_sim") >= 0.4)
+        .select(col("id1"), col("id2"),
+          graft.QueryDef.roundBiased(col("raw_sim"), 4).as("sim"))
+        .orderBy(col("id1"), col("id2"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b)
 }
