@@ -24,18 +24,26 @@ object Bench {
     // JVM + parquet-footer warm-up outside the timed region
     Tables(spark, sfDir).lineitem.count()
 
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.defs.sortBy(_.name)
       .filter(d => names.isEmpty || names.contains(d.name))
       .map { d =>
       val t0 = System.nanoTime()
       try { d.fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] ${d.name}: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        failed += d.name
+        System.err.println(s"[bench] ${d.name}: ${e.getMessage}")
+      }
       d.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    // failed queries are flagged in the JSON and fail the run — a
+    // fast-fail timing must never read as a performance win
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

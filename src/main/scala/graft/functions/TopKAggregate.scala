@@ -2,8 +2,9 @@ package graft.functions
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -29,6 +30,20 @@ case class TopKAggregate(
   import TopKAggregate.Buffer
 
   override def children: Seq[Expression] = Seq(score, key)
+
+  /** Fail at ANALYSIS time on wrong input types — update() does raw
+    * asInstanceOf, which would otherwise surface as a mid-job
+    * ClassCastException. (The SQL registry below inserts Casts, so
+    * numeric inputs of any width still work there.) */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk score must be DOUBLE, got ${score.dataType.sql}")
+    else if (key.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk key must be BIGINT, got ${key.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType), StructField("key", LongType))))
@@ -121,7 +136,9 @@ object TopKAggregate {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk",
-      exprs => TopKAggregate(exprs(0), exprs(1),
+      // widen any numeric score/key (INT, DECIMAL, …) to the buffer's
+      // native types so SQL callers don't hit the strict type check
+      exprs => TopKAggregate(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType),
         exprs(2).eval(null).asInstanceOf[Number].intValue()),
       "built-in")
 }

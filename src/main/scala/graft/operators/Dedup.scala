@@ -181,20 +181,23 @@ object Dedup {
       |SELECT id1, id2, jaccard FROM conf WHERE jaccard >= 0.3
       |ORDER BY id1, id2""".stripMargin) { (spark, dir) =>
     val sh = docShingles(Tables(spark, dir).documents).persist()
+    // explode the shingle stream ONCE and take the 16 md5 minima as
+    // grouped agg columns (the Text.minhashSignatures shape) — NOT the
+    // oracle SQL's literal `× RANGE(16)` cross join, which multiplies
+    // the shuffled row count ×16 for the identical result (measured:
+    // d02b was the slowest bench query before this change).
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sig = ex
-      .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(15))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(md5(concat(col("s"), lit("#"), col("j")))).as("m"))
-    val band = sig
-      .groupBy(col("doc_id"), expr("j div 4").as("band_idx"))
-      .agg(md5(array_join(
-        transform(sort_array(collect_list(struct(col("j"), col("m")))), e => e.getField("m")),
-        "|")).as("band_hash"))
-    val cand = band.toDF("id1", "band_idx", "band_hash")
-      .join(band.toDF("id2", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+    val mins = (0 until 16).map(j =>
+      min(md5(concat(col("s"), lit("#"), lit(j)))).as(s"m$j"))
+    val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // band hash = md5 of the band's 4 minima joined on '|' in j order —
+    // byte-identical to the oracle's STRING_AGG(m, '|' ORDER BY j)
+    val band = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band_idx"),
+        md5(concat_ws("|", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*))
+          .as("band_hash"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band_idx"), col("bs.band_hash"))
+    val cand = bucketPairs(band)
     cand
       .join(sh.toDF("id1", "sh1"), "id1")
       .join(sh.toDF("id2", "sh2"), "id2")

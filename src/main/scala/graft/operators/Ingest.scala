@@ -68,7 +68,12 @@ object Ingest {
     * (`ingest/utils.py:96`). The watermark predicate prunes date
     * partitions at the scan. */
   def afterWatermark(df: DataFrame, tsCol: Column, watermark: DataFrame): DataFrame =
-    df.join(broadcast(watermark)).filter(tsCol > col("watermark"))
+    // null watermark (no ingest history) ⇒ full ingest, matching the
+    // reference's read_state semantics (missing state → ingest all);
+    // tsCol > NULL would silently drop every row instead.
+    df.join(broadcast(watermark))
+      .filter(col("watermark").isNull || tsCol > col("watermark"))
+      .drop("watermark")
 
   /** Date-partition upsert: incoming slice replaces all existing rows
     * of the same date — reference `insert_update_data`

@@ -22,10 +22,16 @@ final class StateStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
   private def log: Option[DataFrame] =
+    // Only a missing path reads as "no state yet"; any other failure
+    // (corrupt log, permission, schema drift) must propagate — silently
+    // treating it as empty would restart ingestion from scratch.
     try {
       val df = spark.read.parquet(path)
       if (df.isEmpty) None else Some(df)
-    } catch { case _: Throwable => None }
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null && e.getCondition.startsWith("PATH_NOT_FOUND") => None
+    }
 
   /** Current state of one dataset: latest value per key. */
   def state(datasetId: String): Map[String, String] = {

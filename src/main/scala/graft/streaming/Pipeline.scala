@@ -69,16 +69,19 @@ object Streaming {
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  /** st02: streaming dedup (dropDuplicates keyed on event_id within the
-    * watermark horizon) + running counts — state is bounded by the
-    * watermark, the 100 TB requirement for infinite streams. */
+  /** st02: streaming dedup (dropDuplicatesWithinWatermark keyed on
+    * event_id) + running counts. The *WithinWatermark* variant matters
+    * for the 100 TB story: plain dropDuplicates("event_id") keeps every
+    * key forever (the watermark can't expire state that has no
+    * event-time column), so an unbounded stream OOMs; within-watermark
+    * dedup evicts keys once they age past the horizon. */
   val st02 = QueryDef(
     "st02_stream_dedup_state",
     """SELECT event_type, COUNT(*) AS n FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
     val agg = eventStream(spark, dir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
     runToCompletion(agg, "st02_out")
@@ -109,7 +112,11 @@ object Streaming {
           .parquet(sinkDir)
       }
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$sinkDir-ckpt-${System.nanoTime()}")
+      // STABLE checkpoint path: a fresh path per run would forfeit the
+      // exactly-once resume semantics the checkpoint exists for. Re-runs
+      // over the same static source are no-ops (already-committed
+      // batches are skipped) and the sink re-read stays correct.
+      .option("checkpointLocation", s"$sinkDir-ckpt")
       .start()
     q.awaitTermination()
     spark.read.parquet(sinkDir)
@@ -168,7 +175,7 @@ object Streaming {
     "st05_stream_session_window",
     """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
       |g AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL THEN 1
-      |                     WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+      |                     WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
       |                     ELSE 0 END AS new_sess
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
