@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{Text, Vectors}
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -9,10 +10,29 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Scale shape: every near-dup variant is
   * signature → band/bucket key → shuffle on bucket → pairs only within
-  * buckets — never an O(n²) cross join. Signatures are computed with
-  * single-pass higher-order folds (no explode of the shingle stream).
+  * buckets — never an O(n²) cross join. Within-bucket pairing is O(b²)
+  * in the bucket population b, so every bucket join is CAPPED: buckets
+  * above [[Dedup.BucketCap]] members are discarded before pairing
+  * (standard df-cap practice — a band value shared by thousands of
+  * documents is boilerplate, not a near-duplicate signal, and exact
+  * dedup (d01) already handles identical content). This bounds the
+  * candidate-pair count at cap²/2 per bucket regardless of corpus skew
+  * — the difference between "works at sf0.1" and "survives 100 TB of
+  * web text".
   */
 object Dedup {
+
+  /** Max bucket population that still participates in pair generation.
+    * 64 ⇒ at most 2016 pairs per degenerate bucket. */
+  val BucketCap = 64
+
+  /** Drop rows whose population within the `keys` group exceeds `cap`.
+    * One window count over the same shuffle the downstream bucket join
+    * needs anyway — no extra stage at scale. */
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    df.withColumn("__bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bsz") <= cap)
+      .drop("__bsz")
 
   /** d01: exact dedup by content hash — one hash-shuffle, keeps the
     * min doc_id of each content group (reference analogue: idempotent
@@ -52,14 +72,36 @@ object Dedup {
               element_at(toks, i + 2))))).as("sh"))
   }
 
-  private def jaccard(a: Column, b: Column): Column =
+  private[graft] def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Portable md5 MinHash banding: (id, shingleArr) → (id, band_idx,
+    * band_hash), `numHashes` md5 minima grouped into bands of
+    * `rowsPerBand`. Every step is replicable in ANSI SQL (min over md5
+    * hex strings, band hash = md5 of the '|'-joined minima in j order),
+    * which is what lets d02b and p01 be DuckDB-oracled end-to-end. */
+  private[graft] def md5MinhashBands(sh: DataFrame, idCol: String, shCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val ex = sh.select(col(idCol), explode(col(shCol)).as("s"))
+    val mins = (0 until numHashes).map(j =>
+      min(md5(concat(col("s"), lit("#"), lit(j)))).as(s"m$j"))
+    val sig = ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val numBands = numHashes / rowsPerBand
+    sig.select(col(idCol), explode(array(
+      (0 until numBands).map(b => struct(lit(b).as("band_idx"),
+        md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+          .as("band_hash"))): _*)).as("bs"))
+      .select(col(idCol), col("bs.band_idx"), col("bs.band_hash"))
+  }
+
   /** Candidate pairs from an exploded (doc_id, band_idx, band_hash)
-    * relation: equi-join on the band key, id1 < id2, distinct. */
-  private def bucketPairs(bands: DataFrame): DataFrame = {
-    val left = bands.toDF("id1", "band_idx", "band_hash")
-    val right = bands.toDF("id2", "band_idx", "band_hash")
+    * relation: cap oversized buckets, equi-join on the band key,
+    * id1 < id2, distinct. */
+  private[graft] def bucketPairs(bands: DataFrame, cap: Int = BucketCap): DataFrame = {
+    val capped = capBuckets(bands.toDF("id", "band_idx", "band_hash"),
+      Seq("band_idx", "band_hash"), cap)
+    val left = capped.toDF("id1", "band_idx", "band_hash")
+    val right = capped.toDF("id2", "band_idx", "band_hash")
     left.join(right, Seq("band_idx", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
@@ -137,8 +179,9 @@ object Dedup {
   val d05 = QueryDef.rowsOnly("d05_embedding_neardup") { (spark, dir) =>
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).persist()
-    val buckets = emb.select(col("vec_id"),
-      Vectors.hyperplaneBucket(col("v"), 8).as("bucket"))
+    val buckets = capBuckets(
+      emb.select(col("vec_id"), Vectors.hyperplaneBucket(col("v"), 8).as("bucket")),
+      Seq("bucket"), BucketCap) // embeddings cluster: a dense bucket goes quadratic
     val left = buckets.toDF("id1", "bucket")
     val right = buckets.toDF("id2", "bucket")
     val cand = left.join(right, Seq("bucket")).filter(col("id1") < col("id2"))
@@ -170,8 +213,11 @@ object Dedup {
       |band AS (SELECT doc_id, j // 4 AS band_idx,
       |         MD5(STRING_AGG(m, '|' ORDER BY j)) AS band_hash
       |         FROM sig GROUP BY doc_id, j // 4),
+      |bandc AS (SELECT doc_id, band_idx, band_hash FROM (
+      |         SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+      |         FROM band) t WHERE bsz <= 64),
       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      |         FROM band a JOIN band b
+      |         FROM bandc a JOIN bandc b
       |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
       |          AND a.doc_id < b.doc_id),
       |conf AS (SELECT id1, id2,
@@ -186,18 +232,7 @@ object Dedup {
     // oracle SQL's literal `× RANGE(16)` cross join, which multiplies
     // the shuffled row count ×16 for the identical result (measured:
     // d02b was the slowest bench query before this change).
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val mins = (0 until 16).map(j =>
-      min(md5(concat(col("s"), lit("#"), lit(j)))).as(s"m$j"))
-    val sig = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    // band hash = md5 of the band's 4 minima joined on '|' in j order —
-    // byte-identical to the oracle's STRING_AGG(m, '|' ORDER BY j)
-    val band = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map(b => struct(lit(b).as("band_idx"),
-        md5(concat_ws("|", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*))
-          .as("band_hash"))): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band_idx"), col("bs.band_hash"))
-    val cand = bucketPairs(band)
+    val cand = bucketPairs(md5MinhashBands(sh, "doc_id", "sh"))
     cand
       .join(sh.toDF("id1", "sh1"), "id1")
       .join(sh.toDF("id2", "sh2"), "id2")
@@ -225,8 +260,11 @@ object Dedup {
         |band AS (SELECT doc_id, c AS band_idx,
         |         SUBSTR(bitstr, CAST(c AS INT) * 8 + 1, 8) AS band_hash
         |         FROM fp, RANGE(2) rc(c)),
+        |bandc AS (SELECT doc_id, band_idx, band_hash FROM (
+        |         SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+        |         FROM band) t WHERE bsz <= 64),
         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |         FROM band a JOIN band b
+        |         FROM bandc a JOIN bandc b
         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
         |          AND a.doc_id < b.doc_id),
         |ham AS (SELECT id1, id2,
@@ -276,15 +314,20 @@ object Dedup {
     QueryDef(
       "d05b_embedding_neardup_oracle",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, $planeSql AS bucket FROM e)
+         |b AS (SELECT vec_id, v, $planeSql AS bucket FROM e),
+         |bc AS (SELECT vec_id, v, bucket FROM (
+         |       SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b) t
+         |       WHERE bsz <= 64)
          |SELECT a.vec_id AS id1, c.vec_id AS id2,
          |  ROUND(LIST_COSINE_SIMILARITY(a.v, c.v) + 1e-9, 4) AS sim
-         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |FROM bc a JOIN bc c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
          |WHERE LIST_COSINE_SIMILARITY(a.v, c.v) >= 0.4
          |ORDER BY id1, id2""".stripMargin) { (spark, dir) =>
-      val emb = Tables(spark, dir).embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), 8))
+      val emb = capBuckets(
+        Tables(spark, dir).embeddings
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), 8)),
+        Seq("bucket"), BucketCap)
         .persist()
       emb.toDF("id1", "v1", "bucket")
         .join(emb.toDF("id2", "v2", "bucket"), Seq("bucket"))

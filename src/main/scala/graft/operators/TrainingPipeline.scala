@@ -3,18 +3,23 @@ package graft.operators
 import graft.functions.Text
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** p01: the end-to-end training-data curation pipeline — the
   * composition story for the C-family operators (SURVEY.md §2.C):
   *
   *   documents → quality gate → language gate → exact dedup →
-  *   near-dup candidate pruning (MinHash-LSH) → corpus statistics.
+  *   near-dup candidate pruning (MinHash-LSH, capped buckets) →
+  *   corpus statistics.
   *
   * Every stage is one of the already-verified operators; the pipeline
   * is pure DataFrame composition, so Catalyst fuses the scalar gates
-  * into a single scan pass and the only shuffles are the two dedup
-  * key-shuffles.
+  * into a single scan pass and the only shuffles are the dedup
+  * key-shuffles. The near-dup stage runs on the portable md5 MinHash
+  * path ([[Dedup.md5MinhashBands]], the d02b shape), which makes the
+  * WHOLE pipeline expressible in ANSI SQL — so the driver's DuckDB
+  * oracle hash-checks it end-to-end rather than just counting rows.
   */
 object TrainingPipeline {
 
@@ -34,37 +39,68 @@ object TrainingPipeline {
     val exactKept = gated
       .withColumn("content_hash", md5(col("text")))
       .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+        Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn", "content_hash")
-    // near-dup prune: drop the higher doc_id of every confirmed pair
+    // near-dup prune: drop the higher doc_id of every confirmed pair.
+    // Bucket join capped (Dedup.BucketCap) — a boilerplate-heavy corpus
+    // must not go quadratic inside one hot band bucket.
     val sh = exactKept.select(col("doc_id"),
         array_distinct(Text.shingles(col("toks"), 3)).as("sh")).persist()
-    val sigs = Text.minhashSignatures(sh, "doc_id", col("sh"), 64).persist()
-    val bands = sigs.select(col("doc_id"), explode(array(
-      (0 until 8).map(b => struct(lit(b).as("band_idx"),
-        xxhash64(slice(col("sig"), b * 8 + 1, 8), lit(b)).as("band_hash"))): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band_idx"), col("bs.band_hash"))
-    val cand = bands.toDF("id1", "band_idx", "band_hash")
-      .join(bands.toDF("id2", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+    val cand = Dedup.bucketPairs(Dedup.md5MinhashBands(sh, "doc_id", "sh"))
     val confirmedDrops = cand
       .join(sh.toDF("id1", "sh1"), "id1")
       .join(sh.toDF("id2", "sh2"), "id2")
-      .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-        size(array_union(col("sh1"), col("sh2"))) >= 0.3)
+      .filter(Dedup.jaccard(col("sh1"), col("sh2")) >= 0.3)
       .select(col("id2").as("doc_id")).distinct()
     exactKept.join(confirmedDrops, Seq("doc_id"), "left_anti")
   }
 
-  /** Rows-only summary query: corpus stats per source after curation. */
-  val p01 = QueryDef.rowsOnly("p01_training_pipeline") { (spark, dir) =>
+  /** Corpus stats per source after curation — DuckDB-oracled across
+    * every stage (gates, exact dedup, md5-minhash banding with the
+    * 64-cap, Jaccard confirm, anti-join, aggregation). */
+  val p01 = QueryDef(
+    "p01_training_pipeline",
+    """WITH toks AS (
+      |  SELECT doc_id, source, text, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |gate AS (
+      |  SELECT doc_id, source, text, tk, LEN(tk) AS n_tokens,
+      |    CAST(LEN(LIST_FILTER(tk, t -> t = 'a' OR t = 'the')) AS DOUBLE) / LEN(tk) AS stop_ratio
+      |  FROM toks
+      |  WHERE LEN(tk) >= 20
+      |    AND CAST(LEN(LIST_FILTER(tk, t -> t = 'a' OR t = 'the')) AS DOUBLE) / LEN(tk) < 0.5
+      |    AND LEN(LIST_FILTER(tk, t -> t = 'the' OR t = 'a' OR t = 'is')) > 0),
+      |exact AS (
+      |  SELECT * FROM gate
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) = 1),
+      |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      |  RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM exact),
+      |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+      |sig AS (SELECT doc_id, j, MIN(MD5(s || '#' || j)) AS m
+      |        FROM ex, RANGE(16) r(j) GROUP BY doc_id, j),
+      |band AS (SELECT doc_id, j // 4 AS band_idx,
+      |         MD5(STRING_AGG(m, '|' ORDER BY j)) AS band_hash
+      |         FROM sig GROUP BY doc_id, j // 4),
+      |bandc AS (SELECT doc_id, band_idx, band_hash FROM (
+      |         SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+      |         FROM band) t WHERE bsz <= 64),
+      |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |         FROM bandc a JOIN bandc b
+      |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |          AND a.doc_id < b.doc_id),
+      |drops AS (SELECT DISTINCT id2 AS doc_id
+      |  FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
+      |  WHERE CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS DOUBLE) /
+      |        LEN(LIST_DISTINCT(LIST_CONCAT(x.sh, y.sh))) >= 0.3),
+      |kept AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  ROUND(AVG(stop_ratio) + 1e-9, 4) AS avg_stop_ratio
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     curate(Tables(spark, dir).documents)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"))
+        graft.QueryDef.roundBiased(avg(col("stop_ratio")), 4).as("avg_stop_ratio"))
       .orderBy(col("source"))
   }
 

@@ -79,6 +79,35 @@ class TextDedupSpec extends SparkSpec {
     assert(totalCopies == docs)
   }
 
+  test("bucket cap: identical-doc flood stays bounded, real near-dups survive") {
+    import spark.implicits._
+    // adversarial corpus: thousands of byte-identical boilerplate docs
+    // (the 100 TB web-text failure mode) + one genuine near-dup pair
+    val boiler = (1 to 40).map(i => s"b$i").mkString(" ")
+    val flood = (1L to 3000L).map(i => (i, boiler))
+    val nearA = (4001L, (1 to 30).map(i => s"w$i").mkString(" "))
+    val nearB = (4002L, (1 to 30).map(i => s"w$i").mkString(" ") + " tail")
+    val docs = (flood :+ nearA :+ nearB).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+    val pairs = Dedup.bucketPairs(Dedup.md5MinhashBands(sh, "doc_id", "sh")).collect()
+    // flood buckets (population 3000 > BucketCap) are discarded: the
+    // candidate count is bounded per bucket by cap²/2, not N²/2 ≈ 4.5M
+    assert(pairs.length <= Dedup.BucketCap * Dedup.BucketCap / 2,
+      s"uncapped blowup: ${pairs.length} candidate pairs")
+    // the genuinely-near pair sits in a size-2 bucket and survives the cap
+    assert(pairs.exists(r => r.getLong(0) == 4001L && r.getLong(1) == 4002L),
+      "near-dup pair lost by the cap")
+  }
+
+  test("capBuckets drops only oversized groups") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, if (i <= 8) "hot" else "cold")).toDF("id", "k")
+    val kept = Dedup.capBuckets(df, Seq("k"), 4).select("k").distinct()
+      .collect().map(_.getString(0))
+    assert(kept.sameElements(Array("cold")))
+  }
+
   test("langid predicts a language for every doc") {
     val out = TextAnalysis.t03.fn(spark, sf).collect()
     assert(out.forall(r => Set("en", "fr", "es", "und").contains(r.getAs[String]("predicted"))))
