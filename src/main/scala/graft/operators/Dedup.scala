@@ -340,5 +340,89 @@ object Dedup {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b)
+  /** Duplicate-cluster resolution by connected components over the
+    * confirmed near-dup pair graph — pair-based pruning (drop id2 of
+    * each pair) under- and over-prunes on transitive chains A~B~C;
+    * cluster resolution keeps exactly one representative (the min id)
+    * per component.
+    *
+    * Algorithm: iterative min-label propagation — each node starts
+    * labeled with its own id; every round, a node adopts the minimum
+    * label among itself and its neighbors, until a fixpoint. Rounds =
+    * component diameter; near-dup clusters are shallow (boilerplate
+    * families), so this converges in a handful of single-shuffle join
+    * rounds with nothing ever collected to the driver — the standard
+    * MapReduce-CC shape, no graph library needed. */
+  private[graft] def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.toDF("dst", "src").select(col("src"), col("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist()
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges.toDF("src", "nbr")
+        .join(labels.toDF("nbr", "nbr_label"), "nbr")
+        .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      val nChanged = next.toDF("id", "new_label")
+        .join(labels, "id")
+        .filter(col("new_label") =!= col("label")).count()
+      labels.unpersist()
+      labels = next
+      converged = nChanged == 0
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** d06: near-dup clusters on the portable md5-minhash pair graph —
+    * DuckDB replicates the label propagation with a recursive
+    * reachability CTE (min reachable id == min label at fixpoint). */
+  val d06 = QueryDef(
+    "d06_dup_clusters",
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      |  RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks),
+      |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+      |sig AS (SELECT doc_id, j, MIN(MD5(s || '#' || j)) AS m
+      |        FROM ex, RANGE(16) r(j) GROUP BY doc_id, j),
+      |band AS (SELECT doc_id, j // 4 AS band_idx,
+      |         MD5(STRING_AGG(m, '|' ORDER BY j)) AS band_hash
+      |         FROM sig GROUP BY doc_id, j // 4),
+      |bandc AS (SELECT doc_id, band_idx, band_hash FROM (
+      |         SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+      |         FROM band) t WHERE bsz <= 64),
+      |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |         FROM bandc a JOIN bandc b
+      |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |          AND a.doc_id < b.doc_id),
+      |conf AS (SELECT id1, id2
+      |  FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
+      |  WHERE CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS DOUBLE) /
+      |        LEN(LIST_DISTINCT(LIST_CONCAT(x.sh, y.sh))) >= 0.3),
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM conf
+      |          UNION SELECT id2, id1 FROM conf),
+      |reach AS (
+      |  SELECT DISTINCT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src)
+      |SELECT id AS doc_id, MIN(r) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val sh = docShingles(Tables(spark, dir).documents).persist()
+    val cand = bucketPairs(md5MinhashBands(sh, "doc_id", "sh"))
+    val confirmed = cand
+      .join(sh.toDF("id1", "sh1"), "id1")
+      .join(sh.toDF("id2", "sh2"), "id2")
+      .filter(jaccard(col("sh1"), col("sh2")) >= 0.3)
+      .select(col("id1"), col("id2")).persist()
+    dupClusters(confirmed).orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06)
 }

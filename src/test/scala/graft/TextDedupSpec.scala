@@ -100,6 +100,16 @@ class TextDedupSpec extends SparkSpec {
       "near-dup pair lost by the cap")
   }
 
+  test("dupClusters resolves transitive chains to one representative") {
+    import spark.implicits._
+    // chain 1~2~3 must collapse into ONE cluster (pair-based pruning
+    // would mishandle it), disjoint pair 10~11 stays separate
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val got = Dedup.dupClusters(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(Array((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))))
+  }
+
   test("capBuckets drops only oversized groups") {
     import spark.implicits._
     val df = (1 to 10).map(i => (i.toLong, if (i <= 8) "hot" else "cold")).toDF("id", "k")
