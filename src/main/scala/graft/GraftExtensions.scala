@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.RollingFingerprintExpr
+import graft.functions.{CosineSimExpr, DotExpr, HyperplaneBucketExpr, NormExpr, RollingFingerprintExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -25,8 +25,24 @@ object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  private def intArg(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
   val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("graft_rolling_fp"),
       new ExpressionInfo(classOf[RollingFingerprintExpr].getName, "graft_rolling_fp"),
-      (exprs: Seq[Expression]) => RollingFingerprintExpr(exprs.head)))
+      (exprs: Seq[Expression]) => RollingFingerprintExpr(exprs.head)),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[NormExpr].getName, "graft_norm"),
+      (exprs: Seq[Expression]) => NormExpr(exprs.head)),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "graft_hyperplane_bucket"),
+      (exprs: Seq[Expression]) =>
+        HyperplaneBucketExpr(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
 }

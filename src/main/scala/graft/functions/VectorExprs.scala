@@ -1,0 +1,214 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native Catalyst expressions for the dense-vector hot path
+  * (SURVEY §4 preference (b), mold: [[RollingFingerprintExpr]]).
+  *
+  * The previous formulation composed `zip_with` + `aggregate`
+  * higher-order folds, which run INTERPRETED (a lambda closure per
+  * element) and allocate an intermediate array per row — measured ~10×
+  * slower than codegen for the minhash signatures (SURVEY §7), and the
+  * embedding operators pay that per (pair × 64 dims). These
+  * expressions generate tight primitive loops inside whole-stage
+  * codegen with zero allocation.
+  *
+  * Numeric parity: every accumulator folds in ascending index order,
+  * exactly like the sequential `aggregate` fold they replace and like
+  * DuckDB's list functions — results are bit-identical, so the
+  * existing oracles keep hash-matching.
+  */
+private object VectorExprs {
+  def checkArrayOfDouble(name: String, dts: DataType*): TypeCheckResult =
+    dts.find { case ArrayType(DoubleType, _) => false; case _ => true } match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires ARRAY<DOUBLE> input, got ${bad.sql}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+}
+
+/** dot(a, b) = Σ a(i)·b(i) over the common prefix length. */
+case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkArrayOfDouble(prettyName, left.dataType, right.dataType)
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc += $a.getDouble($i) * $b.getDouble($i); }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** norm(a) = sqrt(Σ a(i)²). */
+case class NormExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_norm"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkArrayOfDouble(prettyName, child.dataType)
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getDouble(i); acc += v * v; i += 1 }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { double $v = $a.getDouble($i); $acc += $v * $v; }
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** cosine(a, b) = dot/(‖a‖·‖b‖), NaN on zero norms (matching the HOF
+  * formulation's ANSI-safe guard) — ONE pass over both arrays instead
+  * of three. */
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cosine"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkArrayOfDouble(prettyName, left.dataType, right.dataType)
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) Double.NaN else dot / d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i); double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |double $d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($d == 0.0) ? Double.NaN : $dot / $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH bucket id: bit p of the result is the sign of
+  * the projection onto deterministic ±1 plane p ([[Vectors.planeSigns]]).
+  * All `numPlanes` projections run in one generated loop nest over the
+  * row — the interpreted predecessor re-folded the vector once per
+  * plane through `zip_with`+`aggregate`. */
+case class HyperplaneBucketExpr(child: Expression, numPlanes: Int, dims: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hyperplane_bucket"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkArrayOfDouble(prettyName, child.dataType)
+
+  /** Plane sign matrix, flattened (plane-major), shared across rows. */
+  @transient private lazy val flatSigns: Array[Double] =
+    Array.tabulate(numPlanes * dims)(k => Vectors.planeSigns(k / dims, dims)(k % dims))
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(dims, v.numElements())
+    var bucket = 0
+    var p = 0
+    while (p < numPlanes) {
+      val off = p * dims
+      var proj = 0.0
+      var i = 0
+      while (i < n) { proj += v.getDouble(i) * flatSigns(off + i); i += 1 }
+      if (proj >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signs = ctx.addReferenceObj("graftPlaneSigns", flatSigns, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p")
+      val off = ctx.freshName("off")
+      val proj = ctx.freshName("proj")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($dims, $a.numElements());
+         |int $bucket = 0;
+         |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  int $off = $p * $dims;
+         |  double $proj = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $proj += $a.getDouble($i) * $signs[$off + $i]; }
+         |  if ($proj >= 0.0) $bucket |= (1 << $p);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,30 +1,30 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
-/** Dense-vector math over Array[Double] columns via higher-order
-  * functions — index-ordered folds, so results are bit-identical to a
-  * sequential C loop (which keeps the DuckDB oracle exact).
+/** Dense-vector math over Array[Double] columns, backed by the native
+  * codegen expressions in [[VectorExprs]] (index-ordered folds, so
+  * results are bit-identical to a sequential C loop — which keeps the
+  * DuckDB oracle exact — but run as generated primitive loops inside
+  * whole-stage codegen instead of interpreted higher-order folds).
   */
 object Vectors {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def ex(c: Column) = ColumnBridge.expression(c)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def dot(a: Column, b: Column): Column = ColumnBridge.column(DotExpr(ex(a), ex(b)))
+
+  def norm(a: Column): Column = ColumnBridge.column(NormExpr(ex(a)))
 
   /** NaN for zero-norm inputs (ANSI mode would otherwise raise
-    * DIVIDE_BY_ZERO; when() keeps the division unevaluated). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / d)
-  }
+    * DIVIDE_BY_ZERO). Single pass over both arrays. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimExpr(ex(a), ex(b)))
 
   /** Deterministic ±1 pseudo-random hyperplane (splitmix64 parity per
-    * (plane, dim)) — computed ONCE in Scala and shipped as a literal
-    * array, not re-derived per row. */
+    * (plane, dim)) — computed ONCE in Scala; consumed by the bucket
+    * expression and inlined as literals into oracle SQL. */
   def planeSigns(plane: Int, dims: Int): Array[Double] = {
     def splitmix(x0: Long): Long = {
       var x = x0 + 0x9E3779B97F4A7C15L
@@ -37,13 +37,6 @@ object Vectors {
 
   /** Random-hyperplane LSH bucket id over a `dims`-dim vector column.
     * Bucket = integer of sign bits of the `numPlanes` projections. */
-  def hyperplaneBucket(v: Column, numPlanes: Int = 8, dims: Int = 64): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v, typedlit(planeSigns(p, dims)), (x, s) => x * s),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
+  def hyperplaneBucket(v: Column, numPlanes: Int = 8, dims: Int = 64): Column =
+    ColumnBridge.column(HyperplaneBucketExpr(ex(v), numPlanes, dims))
 }

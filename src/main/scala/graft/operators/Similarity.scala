@@ -30,10 +30,15 @@ object Similarity {
       |LIMIT 10""".stripMargin) { (spark, dir) =>
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val query = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    // query norm computed ONCE on the broadcast side, not per scored row
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), Vectors.norm(col("v")).as("qnorm"))
+    val denom = Vectors.norm(col("v")) * col("qnorm")
     emb.filter(col("vec_id") =!= 0)
       .join(broadcast(query))
-      .select(col("vec_id"), Vectors.cosine(col("v"), col("qv")).as("raw_sim"))
+      .select(col("vec_id"),
+        when(denom === 0.0, lit(Double.NaN))
+          .otherwise(Vectors.dot(col("v"), col("qv")) / denom).as("raw_sim"))
       .orderBy(col("raw_sim").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), graft.QueryDef.roundBiased(col("raw_sim"), 4).as("sim"))

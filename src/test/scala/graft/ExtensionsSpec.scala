@@ -10,9 +10,19 @@ class ExtensionsSpec extends SparkSpec {
     // produce a working expression
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val arr = Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType))
+    val argsFor = Map(
+      "graft_rolling_fp" -> Seq(Literal("ab")),
+      "graft_dot" -> Seq(arr, arr),
+      "graft_norm" -> Seq(arr),
+      "graft_cosine" -> Seq(arr, arr),
+      "graft_hyperplane_bucket" -> Seq(arr, Literal(4), Literal(2)))
     GraftExtensions.functions.foreach { case (ident, _, builder) =>
-      val e = builder(Seq(org.apache.spark.sql.catalyst.expressions.Literal("ab")))
+      val e = builder(argsFor(ident.funcName))
       assert(e.dataType != null, s"${ident.funcName} built no expression")
+      assert(e.checkInputDataTypes().isSuccess, s"${ident.funcName} rejected valid input")
     }
     // and the expression evaluates to the known fingerprint
     val lit = org.apache.spark.sql.catalyst.expressions.Literal("ab")

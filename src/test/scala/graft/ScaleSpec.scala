@@ -86,6 +86,40 @@ class ScaleSpec extends SparkSpec {
     assert(got.sameElements(Array(1, 1, 2, 1)))
   }
 
+  test("vector expressions match the interpreted HOF folds bit-for-bit and are codegen'd") {
+    import graft.functions.Vectors
+    import org.apache.spark.sql.functions.{aggregate, lit, typedlit, zip_with}
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // interpreted reference formulations (the pre-codegen versions)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def hofNorm(a: org.apache.spark.sql.Column) =
+      sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    def hofBucket(v: org.apache.spark.sql.Column) =
+      (0 until 8).map { p =>
+        val proj = aggregate(zip_with(v, typedlit(Vectors.planeSigns(p, 64)), (x, s) => x * s),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val rows = emb.limit(50).select(
+      Vectors.dot(col("v"), col("v")).as("fast_dot"), hofDot(col("v"), col("v")).as("hof_dot"),
+      Vectors.norm(col("v")).as("fast_norm"), hofNorm(col("v")).as("hof_norm"),
+      Vectors.cosine(col("v"), col("v")).as("fast_cos"),
+      Vectors.hyperplaneBucket(col("v"), 8).as("fast_b"), hofBucket(col("v")).as("hof_b"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot mismatch")   // bit-exact
+      assert(r.getDouble(2) == r.getDouble(3), "norm mismatch")
+      assert(math.abs(r.getDouble(4) - 1.0) < 1e-12, "self-cosine != 1")
+      assert(r.getInt(5) == r.getInt(6), "bucket mismatch")
+    }
+    // whole-stage codegen must cover the vector projection on a real scan
+    val plan = emb.select(Vectors.cosine(col("v"), col("v")))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("*(1) Project"), s"not codegen'd:\n$plan")
+  }
+
   test("custom rolling fingerprint expression matches the HOF fold and is codegen'd") {
     import spark.implicits._
     graft.functions.RollingFingerprintExpr.register(spark)
