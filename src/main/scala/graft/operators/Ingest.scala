@@ -121,6 +121,34 @@ object Ingest {
       xMin: Double, xMax: Double, yMin: Double, yMax: Double): DataFrame =
     df.filter(x >= xMin && x <= xMax && y >= yMin && y <= yMax)
 
+  /** True point-in-polygon via ray casting (PNPOLY crossing parity)
+    * against a literal polygon ring — the reference's actual
+    * `clip_to_africa` (`ingest/__init__.py:49`) clips to a polygon
+    * geometry, not a bbox; this is that semantics without a geo
+    * library, as a pure Column expression (codegen'd, zero shuffle,
+    * pushable). Horizontal edges never flip crossing parity and are
+    * skipped, which also keeps the per-edge division ANSI-safe. */
+  def pointInPolygon(x: Column, y: Column, poly: Seq[(Double, Double)]): Column = {
+    val n = poly.length
+    val crossings = (0 until n).flatMap { k =>
+      val (xi, yi) = poly(k)
+      val (xj, yj) = poly((k + 1) % n)
+      if (yj == yi) None
+      else Some(when(
+        (lit(yi) > y) =!= (lit(yj) > y) &&
+          x < lit(xj - xi) * (y - lit(yi)) / lit(yj - yi) + lit(xi), 1).otherwise(0))
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
+  /** Simplified Africa outline (lon, lat) for the clip demo — the
+    * reference ships a shapefile; a literal ring keeps the operator
+    * self-contained and lets the oracle inline the same vertices. */
+  val AfricaPolygon: Seq[(Double, Double)] = Seq(
+    (-17.5, 14.7), (-10.0, 31.0), (-5.5, 35.9), (10.5, 37.3), (32.0, 31.3),
+    (43.5, 11.5), (51.3, 10.4), (40.6, -15.4), (31.4, -29.9), (17.9, -34.8),
+    (11.7, -17.9), (8.7, 4.6), (-8.0, 4.3))
+
   /** Clamp coordinates to world extents — reference
     * `fix_linestring_within_world_extents` (`ingest/raster_vector.py:13`). */
   def clampLon(lon: Column): Column = greatest(least(lon, lit(180.0)), lit(-180.0))
@@ -614,7 +642,94 @@ object Ingest {
     profile(Tables(spark, dir).orders, Seq("o_custkey", "o_orderstatus", "o_totalprice"))
   }
 
+  /** i23: true polygon clip — ray-cast point-in-polygon against the
+    * literal Africa ring, with the identical per-edge crossing tests
+    * inlined into the DuckDB oracle (same constants, same operation
+    * order, so the parity decision is bit-identical on both engines). */
+  val i23: QueryDef = {
+    val poly = AfricaPolygon
+    val edgeSql = poly.indices.flatMap { k =>
+      val (xi, yi) = poly(k)
+      val (xj, yj) = poly((k + 1) % poly.length)
+      if (yj == yi) None
+      else Some(s"(CASE WHEN ($yi > lat) <> ($yj > lat)" +
+        s" AND lon < ${xj - xi} * (lat - $yi) / ${yj - yi} + $xi THEN 1 ELSE 0 END)")
+    }.mkString("(", "\n      | + ", ")")
+    QueryDef(
+      "i23_polygon_clip",
+      s"""WITH pts AS (
+         |  SELECT event_id, value * 2 % 360.0 - 180.0 AS lon,
+         |         (value * 1.7 + user_id) % 120.0 - 60.0 AS lat
+         |  FROM events)
+         |SELECT event_id, ROUND(lon, 4) AS lon, ROUND(lat, 4) AS lat
+         |FROM pts
+         |WHERE $edgeSql % 2 = 1
+         |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      // synthetic world-spanning coordinates from `value` alone —
+      // user_id's range collapses at small SFs and would miss the ring
+      val lon = col("value") * 2 % 360.0 - 180.0
+      val lat = (col("value") * 1.7 + col("user_id")) % 120.0 - 60.0
+      Tables(spark, dir).events
+        .filter(pointInPolygon(lon, lat, poly))
+        .select(col("event_id"), round(lon, 4).as("lon"), round(lat, 4).as("lat"))
+        .orderBy(col("event_id"))
+    }
+  }
+
+  /** i24: PENTAD-keyed climatology normal + anomaly — the reference's
+    * actual CHIRPS pentad product (`get_pentad_normal`,
+    * `chirps_rainfall/__init__.py:278` feeding the anomaly at `:93`);
+    * i03/i04 cover only the month-keyed variant. Same broadcast-normals
+    * shape with the (month, pentad) composite calendar key. */
+  val i24 = QueryDef(
+    "i24_pentad_normal_anomaly",
+    """WITH keyed AS (
+      |  SELECT l_returnflag AS cell,
+      |         CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS mon,
+      |         CASE WHEN EXTRACT(day FROM l_shipdate) <= 5 THEN 1
+      |              WHEN EXTRACT(day FROM l_shipdate) <= 10 THEN 2
+      |              WHEN EXTRACT(day FROM l_shipdate) <= 15 THEN 3
+      |              WHEN EXTRACT(day FROM l_shipdate) <= 20 THEN 4
+      |              WHEN EXTRACT(day FROM l_shipdate) <= 25 THEN 5
+      |              ELSE 6 END AS pentad,
+      |         l_shipdate, l_quantity
+      |  FROM lineitem),
+      |normal AS (
+      |  SELECT cell, mon, pentad, AVG(l_quantity) AS normal
+      |  FROM keyed WHERE l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+      |  GROUP BY 1, 2, 3),
+      |cur AS (
+      |  SELECT cell, mon, pentad, AVG(l_quantity) AS cur_qty
+      |  FROM keyed
+      |  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+      |  GROUP BY 1, 2, 3)
+      |SELECT cur.cell AS cell, cur.mon AS mon, cur.pentad AS pentad,
+      |  ROUND(CASE WHEN normal.normal IS NULL THEN -9999.0
+      |             ELSE cur.cur_qty - normal.normal END + 1e-9, 2) AS anomaly
+      |FROM cur LEFT JOIN normal
+      |  ON cur.cell = normal.cell AND cur.mon = normal.mon AND cur.pentad = normal.pentad
+      |ORDER BY cell, mon, pentad""".stripMargin) { (spark, dir) =>
+    val li = Tables(spark, dir).lineitem
+    val y2000 = lit("2000-01-01 00:00:00").cast("timestamp")
+    val keys = Seq(month(col("l_shipdate")).as("mon"),
+      Calendar.pentadOfMonth(col("l_shipdate")).as("pentad"))
+    val normals = li.filter(col("l_shipdate") < y2000)
+      .groupBy(col("l_returnflag").as("cell") +: keys: _*)
+      .agg(avg(col("l_quantity")).as("normal"))
+    val current = li
+      .filter(col("l_shipdate") >= y2000 &&
+        col("l_shipdate") < lit("2001-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag").as("cell") +: keys: _*)
+      .agg(avg(col("l_quantity")).as("cur_qty"))
+    current
+      .join(broadcast(normals), Seq("cell", "mon", "pentad"), "left")
+      .select(col("cell"), col("mon"), col("pentad"),
+        graft.QueryDef.roundBiased(anomaly(col("cur_qty"), col("normal")), 2).as("anomaly"))
+      .orderBy(col("cell"), col("mon"), col("pentad"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22)
+    i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12,
+    i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24)
 }

@@ -127,4 +127,18 @@ class IngestSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
     assert(m.sameElements(Array((1L, 10.0, 1), (2L, 99.0, 2), (3L, 30.0, 2))))
   }
+  test("pointInPolygon: ray cast classifies known points") {
+    import spark.implicits._
+    // (name, lon, lat, expected-inside) against the Africa ring:
+    // Kinshasa inside; Madrid, Mumbai, mid-Atlantic outside
+    val pts = Seq(("kinshasa", 15.3, -4.3, true), ("madrid", -3.7, 40.4, false),
+      ("mumbai", 72.9, 19.1, false), ("atlantic", -30.0, 0.0, false),
+      ("sahara", 10.0, 22.0, true))
+      .toDF("name", "lon", "lat", "want")
+    val got = pts.withColumn("inside",
+      Ingest.pointInPolygon(col("lon"), col("lat"), Ingest.AfricaPolygon))
+      .collect()
+    got.foreach(r => assert(r.getAs[Boolean]("inside") == r.getAs[Boolean]("want"),
+      s"${r.getAs[String]("name")} misclassified"))
+  }
 }
