@@ -473,6 +473,23 @@ object Ingest {
       .orderBy(col("event_id"))
   }
 
+  /** One-time materialization of the csv/json demo sources for i16 —
+    * a QUERY must be read-only (it gets re-invoked by verify/bench
+    * loops); writing inside it was both a side effect and wasted work.
+    * Keyed per source dir, unique temp path (no hashCode collisions). */
+  private val i16Sources = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def heterogeneousSources(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    i16Sources.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sources_").toString
+      val base = Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"), col("value"))
+      base.filter(col("event_id") % 3 === 0).write.mode("overwrite")
+        .option("header", "true").csv(s"$tmp/csv")
+      base.filter(col("event_id") % 3 === 1).write.mode("overwrite").json(s"$tmp/json")
+      tmp
+    })
+
   /** i16: heterogeneous-source union — the reference ingests GRIB,
     * NetCDF, GeoTIFF, HDF and normalizes to one layout; here csv + json
     * + parquet slices of `events` are normalized and unioned with an
@@ -483,12 +500,9 @@ object Ingest {
     """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.types._
+    val tmp = heterogeneousSources(spark, dir)
     val base = Tables(spark, dir).events
       .select(col("event_id"), col("event_type"), col("value"))
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sources_${dir.hashCode.toHexString}"
-    base.filter(col("event_id") % 3 === 0).write.mode("overwrite")
-      .option("header", "true").csv(s"$tmp/csv")
-    base.filter(col("event_id") % 3 === 1).write.mode("overwrite").json(s"$tmp/json")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
@@ -729,7 +743,34 @@ object Ingest {
       .orderBy(col("cell"), col("mon"), col("pentad"))
   }
 
+  /** i25: XML catalog extraction — the reference's dust-forecast feed
+    * parses an XML catalog per cycle (`dustforecast/__init__.py` via
+    * xmltodict); Spark 4 has native `from_xml`. Each event is rendered
+    * to a deterministic XML record and parsed back through a typed
+    * schema; the filter and every output column come from the PARSED
+    * struct, so the oracle (computed from the raw columns) proves the
+    * XML round-trip is lossless. */
+  val i25 = QueryDef(
+    "i25_xml_extract",
+    """SELECT event_id, event_type AS typ, ROUND(value, 2) AS v
+      |FROM events WHERE event_id % 50 = 0
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val xmlSchema = StructType(Seq(
+      StructField("id", LongType), StructField("typ", StringType),
+      StructField("v", DoubleType)))
+    val xml = concat(
+      lit("<item><id>"), col("event_id"), lit("</id><typ>"), col("event_type"),
+      lit("</typ><v>"), col("value"), lit("</v></item>"))
+    Tables(spark, dir).events
+      .select(from_xml(xml, xmlSchema).as("x"))
+      .filter(col("x.id") % 50 === 0)
+      .select(col("x.id").as("event_id"), col("x.typ").as("typ"),
+        round(col("x.v"), 2).as("v"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12,
-    i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24)
+    i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
+    i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25)
 }

@@ -36,11 +36,33 @@ object Publish {
     IngestPayload(namespace, path, "parquet")
   }
 
-  /** Retention on the published layout — drop date partitions older
-    * than `latestDateKey` (reference `delete_past_data_files`,
-    * `ingest/utils.py:141`): rewrite the kept slice. Returns kept rows. */
+  /** PHYSICAL retention on the published layout — actually deletes the
+    * date-partition directories older than `cutoffDateKey` (reference
+    * `delete_past_data_files`, `ingest/utils.py:141`, and the vector
+    * table's `DELETE WHERE date < latest`, `raster_vector.py:170`).
+    * Partition-dir deletion is O(#dropped partitions) metadata work —
+    * never a table rewrite. Returns the dropped date keys. */
+  def dropOldPartitions(spark: SparkSession, outDir: String, namespace: String,
+      cutoffDateKey: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(s"$outDir/$namespace")
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Seq.empty
+    else {
+      val dropped = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("date_key=") &&
+            p.getName.stripPrefix("date_key=") < cutoffDateKey
+        }
+      dropped.foreach(p => fs.delete(p, true))
+      dropped.map(_.getName.stripPrefix("date_key=")).toSeq.sorted
+    }
+  }
+
+  /** The retained slice after [[dropOldPartitions]] — read back for
+    * callers that want the surviving rows. */
   def cleanupOldData(spark: SparkSession, outDir: String, namespace: String,
-      latestDateKey: String): DataFrame =
+      latestDateKey: String): DataFrame = {
+    dropOldPartitions(spark, outDir, namespace, latestDateKey)
     spark.read.parquet(s"$outDir/$namespace")
-      .filter(col("date_key") >= latestDateKey)
+  }
 }
