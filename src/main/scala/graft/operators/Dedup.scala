@@ -354,29 +354,59 @@ object Dedup {
     * rounds with nothing ever collected to the driver — the standard
     * MapReduce-CC shape, no graph library needed. */
   private[graft] def dupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.toDF("src", "dst")
-      .union(pairs.toDF("dst", "src").select(col("src"), col("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).persist()
-    var converged = false
-    while (!converged) {
-      val nbrMin = edges.toDF("src", "nbr")
-        .join(labels.toDF("nbr", "nbr_label"), "nbr")
-        .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .persist()
-      val nChanged = next.toDF("id", "new_label")
-        .join(labels, "id")
-        .filter(col("new_label") =!= col("label")).count()
-      labels.unpersist()
-      labels = next
-      converged = nChanged == 0
+    val spark = pairs.sparkSession
+    // eager materialization: `pairs` is referenced by BOTH union
+    // branches below, and a lazily-filled cache would let them
+    // recompute the (much more expensive) candidate/confirm subtree
+    // concurrently
+    val p = pairs.persist()
+    val nEdges = p.count() * 2
+    // iteration joins run on a parallelism sized to the EDGE LIST, not
+    // the session default — a few hundred confirmed pairs collapse to
+    // one partition (per-stage overhead dominates tiny iterations),
+    // while a web-scale edge list fans back out to the full cluster
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 100000L)).toInt
+    val edges = p.toDF("src", "dst")
+      .union(p.toDF("dst", "src").select(col("src"), col("dst")))
+      .repartition(parts, col("src")).persist()
+    // the iteration shuffles (join + groupBy) should run at the same
+    // edge-sized parallelism; AQE's per-stage re-planning is pure
+    // overhead on the already-sized tiny stages, so it is paused for
+    // the loop. Both confs restored after — `labels` is persisted, so
+    // downstream consumers never replay these stages.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")).persist()
+      // labels only ever DECREASE, so Σlabel strictly decreases while
+      // any node still changes — an agg is a cheaper convergence probe
+      // than a self-join diff (one job, no extra shuffle)
+      var prevSum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+      var converged = false
+      while (!converged) {
+        val nbrMin = edges.toDF("src", "nbr")
+          .join(labels.toDF("nbr", "nbr_label"), "nbr")
+          .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("nbr_min"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .persist()
+        val nextSum = next.agg(sum(col("label"))).collect()(0).getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+      }
+      edges.unpersist()
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** d06: near-dup clusters on the portable md5-minhash pair graph —

@@ -35,12 +35,15 @@ object TrainingPipeline {
       .filter(col("n_tokens") >= 20 && col("stop_ratio") < 0.5)
       // language gate: must hit at least one english marker
       .filter(Text.countIn(col("toks"), Seq("the", "a", "is")) > 0)
-    // exact dedup: keep min doc_id per content hash
+    // exact dedup: keep min doc_id per content hash. Persisted: the
+    // deduped set feeds BOTH the shingle/near-dup subtree and the final
+    // anti-join — without it the gate+window stages run twice.
     val exactKept = gated
       .withColumn("content_hash", md5(col("text")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn", "content_hash")
+      .persist()
     // near-dup prune: drop the higher doc_id of every confirmed pair.
     // Bucket join capped (Dedup.BucketCap) — a boilerplate-heavy corpus
     // must not go quadratic inside one hot band bucket.
