@@ -124,7 +124,19 @@ object Dedup {
           xxhash64(slice(col("sig"), b * 8 + 1, 8), lit(b)).as("band_hash"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band_idx"), col("bs.band_hash"))
     val cand = bucketPairs(bands)
-    val confirmed = cand
+    // confirm in two tiers: estimate J from FIXED-WIDTH signature
+    // agreement first (64 longs/doc shuffled per pair), ship the full
+    // variable-width shingle arrays only for pairs that plausibly pass
+    // — a doc in k candidate pairs no longer has its whole shingle set
+    // shuffled k times. Cutoff 0.2 sits ~1.75σ below the 0.3 target
+    // (σ≈√(J(1−J)/64)), so true near-dups survive the estimate tier.
+    val estKept = cand
+      .join(sigs.toDF("id1", "sig1"), "id1")
+      .join(sigs.toDF("id2", "sig2"), "id2")
+      .filter(size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+        x => x)).cast("double") / 64 >= 0.2)
+      .select(col("id1"), col("id2"))
+    val confirmed = estKept
       .join(sh.toDF("id1", "sh1"), "id1")
       .join(sh.toDF("id2", "sh2"), "id2")
       .filter(jaccard(col("sh1"), col("sh2")) >= 0.3)

@@ -154,6 +154,27 @@ object Ingest {
   def clampLon(lon: Column): Column = greatest(least(lon, lit(180.0)), lit(-180.0))
   def clampLat(lat: Column): Column = greatest(least(lat, lit(90.0)), lit(-90.0))
 
+  /** Per-line vertex thinning — the columnar analogue of the
+    * reference's linestring simplification (`raster_vector.py:27`,
+    * shapely `.simplify(0.001)` before insert): drop vertices closer
+    * than `tol` to their predecessor, always keeping each line's first
+    * and last vertex. One window pass (single shuffle on the line key);
+    * the predecessor is the previous ORIGINAL vertex, which is the
+    * standard streaming radial-distance approximation — true
+    * Douglas–Peucker is recursive and not expressible as one columnar
+    * pass. */
+  def thinVertices(df: DataFrame, line: Column, order: Seq[Column],
+      x: Column, y: Column, tol: Double): DataFrame = {
+    val w = Window.partitionBy(line).orderBy(order.map(c => c.asc): _*)
+    df.withColumn("__px", lag(x, 1).over(w))
+      .withColumn("__py", lag(y, 1).over(w))
+      .withColumn("__last", lead(order.head, 1).over(w).isNull)
+      .filter(col("__px").isNull || col("__last") ||
+        (x - col("__px")) * (x - col("__px")) +
+          (y - col("__py")) * (y - col("__py")) >= tol * tol)
+      .drop("__px", "__py", "__last")
+  }
+
   /** Mosaic: union overlapping tiles, resolving overlap by highest tile
     * priority — reference MODIS mosaic (`ingest/modis/convertmodis.py`).
     * One shuffle on the cell key. */
@@ -770,7 +791,37 @@ object Ingest {
       .orderBy(col("event_id"))
   }
 
+  /** i26: linestring vertex thinning over synthetic per-user tracks
+    * (line = user_id, vertex order = event time). The distance test
+    * compares raw doubles with identical operation order on both
+    * engines, so the keep/drop decision hash-matches. */
+  val i26 = QueryDef(
+    "i26_vertex_thin",
+    """WITH pts AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         value % 50.0 AS x, (value * 1.3) % 50.0 AS y
+      |  FROM events),
+      |lagged AS (
+      |  SELECT *, LAG(x) OVER w AS px, LAG(y) OVER w AS py,
+      |         LEAD(ts) OVER w AS nxt
+      |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id, ROUND(x + 1e-9, 4) AS x, ROUND(y + 1e-9, 4) AS y
+      |FROM lagged
+      |WHERE px IS NULL OR nxt IS NULL
+      |   OR (x - px) * (x - px) + (y - py) * (y - py) >= 100.0
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    val pts = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value") % 50.0).as("x"), (col("value") * 1.3 % 50.0).as("y"))
+    thinVertices(pts, col("user_id"), Seq(col("ts"), col("event_id")),
+        col("x"), col("y"), tol = 10.0)
+      .select(col("user_id"), col("event_id"),
+        graft.QueryDef.roundBiased(col("x"), 4).as("x"),
+        graft.QueryDef.roundBiased(col("y"), 4).as("y"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
-    i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25)
+    i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26)
 }

@@ -127,6 +127,19 @@ class IngestSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
     assert(m.sameElements(Array((1L, 10.0, 1), (2L, 99.0, 2), (3L, 30.0, 2))))
   }
+  test("thinVertices drops near-predecessor points, keeps endpoints") {
+    import spark.implicits._
+    val pts = Seq((1L, 1L, 0.0, 0.0), (1L, 2L, 1.0, 1.0), (1L, 3L, 30.0, 30.0),
+      (1L, 4L, 30.5, 30.5), (2L, 5L, 5.0, 5.0))
+      .toDF("line", "seq", "x", "y")
+    val kept = Ingest.thinVertices(pts, col("line"), Seq(col("seq")),
+        col("x"), col("y"), tol = 10.0)
+      .select("seq").orderBy("seq").collect().map(_.getLong(0))
+    // seq 2 is within tol of seq 1 → dropped; seq 4 is near seq 3 but
+    // is the line's LAST vertex → kept; singleton line 2 kept
+    assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
+  }
+
   test("pointInPolygon: ray cast classifies known points") {
     import spark.implicits._
     // (name, lon, lat, expected-inside) against the Africa ring:
