@@ -70,5 +70,59 @@ object Multimodal {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(m01)
+  /** One sampled frame's metadata+feature row. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int, checksum: Long)
+
+  /** m02: frame-sampling plumbing — the video path of a multimodal
+    * pipeline: treat each payload as a sequence of fixed-size frames,
+    * SAMPLE every k-th frame (here 64-byte frames, stride 4 ⇒ one
+    * frame per 256 bytes), and emit one typed row per sampled frame
+    * with its decoded feature (stub checksum, as m01). The flatMap
+    * inside mapPartitions is the batch shape: one iterator pass per
+    * partition, frames emitted without materializing all of them, and
+    * the downstream stays columnar. Oracle recomputes every sampled
+    * frame via SUBSTR over the same bytes. */
+  val m02 = QueryDef(
+    "m02_frame_sample",
+    """WITH f AS (
+      |  SELECT doc_id, text, LENGTH(text) AS n FROM documents
+      |  WHERE doc_id % 50 = 0 AND LENGTH(text) > 0),
+      |ix AS (
+      |  SELECT doc_id, text, UNNEST(RANGE(0, (n - 1) // 256 + 1)) AS i FROM f),
+      |fr AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+      |         SUBSTR(text, CAST(i AS INTEGER) * 256 + 1, 64) AS frame
+      |  FROM ix),
+      |ck AS (
+      |  SELECT doc_id, frame_idx, LENGTH(frame) AS frame_bytes,
+      |    LIST_REDUCE(
+      |      LIST_PREPEND(CAST(0 AS BIGINT),
+      |        LIST_TRANSFORM(STRING_SPLIT(frame, ''), c -> CAST(ASCII(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000000000037) AS checksum
+      |  FROM fr)
+      |SELECT doc_id, frame_idx, frame_bytes, checksum
+      |FROM ck ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val blobs = Tables(spark, dir).documents
+      .filter(col("doc_id") % 50 === 0 && length(col("text")) > 0)
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .as[Blob]
+    blobs.mapPartitions { iter =>
+      iter.flatMap { b =>
+        val n = b.payload.length
+        (0 until ((n - 1) / 256 + 1)).iterator.map { i =>
+          val off = i * 256
+          val len = math.min(64, n - off)
+          var h = 0L
+          var j = off
+          while (j < off + len) { h = (h * 31 + (b.payload(j) & 0xff)) % Mod; j += 1 }
+          Frame(b.doc_id, i, len, h)
+        }
+      }
+    }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val all: Seq[QueryDef] = Seq(m01, m02)
 }
