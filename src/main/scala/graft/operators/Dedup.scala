@@ -396,8 +396,11 @@ object Dedup {
         .select(col("id"), col("id").as("label")).persist()
       // labels only ever DECREASE, so Σlabel strictly decreases while
       // any node still changes — an agg is a cheaper convergence probe
-      // than a self-join diff (one job, no extra shuffle)
-      var prevSum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+      // than a self-join diff (one job, no extra shuffle). coalesce:
+      // sum over an EMPTY label set (no near-dups at all) is NULL.
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
+      var prevSum = labelSum(labels)
       var converged = false
       while (!converged) {
         val nbrMin = edges.toDF("src", "nbr")
@@ -407,7 +410,7 @@ object Dedup {
           .select(col("id"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
           .persist()
-        val nextSum = next.agg(sum(col("label"))).collect()(0).getLong(0)
+        val nextSum = labelSum(next)
         labels.unpersist()
         labels = next
         converged = nextSum == prevSum

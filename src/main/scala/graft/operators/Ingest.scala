@@ -68,10 +68,12 @@ object Ingest {
     * (`ingest/utils.py:96`). The watermark predicate prunes date
     * partitions at the scan. */
   def afterWatermark(df: DataFrame, tsCol: Column, watermark: DataFrame): DataFrame =
-    // null watermark (no ingest history) ⇒ full ingest, matching the
-    // reference's read_state semantics (missing state → ingest all);
-    // tsCol > NULL would silently drop every row instead.
-    df.join(broadcast(watermark))
+    // Missing history ⇒ full ingest, matching the reference's
+    // read_state semantics (missing state → ingest all). Two shapes of
+    // "missing": a NULL watermark value (tsCol > NULL would drop every
+    // row) and an EMPTY watermark relation (an inner/cross join would
+    // drop every row) — the left join + isNull handles both.
+    df.join(broadcast(watermark), lit(true), "left")
       .filter(col("watermark").isNull || tsCol > col("watermark"))
       .drop("watermark")
 

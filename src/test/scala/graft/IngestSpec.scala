@@ -127,6 +127,22 @@ class IngestSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
     assert(m.sameElements(Array((1L, 10.0, 1), (2L, 99.0, 2), (3L, 30.0, 2))))
   }
+  test("afterWatermark: null or empty watermark means full ingest") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "ts")
+    // watermark present → strictly-newer rows only
+    val wm = Seq(10L).toDF("watermark")
+    assert(Ingest.afterWatermark(df, col("ts"), wm).collect().map(_.getLong(0))
+      .sameElements(Array(2L)))
+    // 1-row NULL watermark (agg over empty history) → everything
+    val nullWm = Seq.empty[Long].toDF("x").agg(max(col("x")).as("watermark"))
+    assert(Ingest.afterWatermark(df, col("ts"), nullWm).count() == 2)
+    // 0-row watermark relation → everything, watermark column dropped
+    val emptyWm = Seq.empty[Long].toDF("watermark")
+    val out = Ingest.afterWatermark(df, col("ts"), emptyWm)
+    assert(out.count() == 2 && out.columns.sameElements(Array("id", "ts")))
+  }
+
   test("thinVertices drops near-predecessor points, keeps endpoints") {
     import spark.implicits._
     val pts = Seq((1L, 1L, 0.0, 0.0), (1L, 2L, 1.0, 1.0), (1L, 3L, 30.0, 30.0),

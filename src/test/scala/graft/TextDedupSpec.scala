@@ -110,6 +110,12 @@ class TextDedupSpec extends SparkSpec {
     assert(got.sameElements(Array((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))))
   }
 
+  test("dupClusters on an empty pair graph returns empty (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.dupClusters(empty).count() == 0)
+  }
+
   test("capBuckets drops only oversized groups") {
     import spark.implicits._
     val df = (1 to 10).map(i => (i.toLong, if (i <= 8) "hot" else "cold")).toDF("id", "k")
