@@ -75,19 +75,53 @@ final class GridTable(times: Int, height: Int, width: Int)
 }
 
 final class GridScanBuilder(times: Int, height: Int, width: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = GridSource.fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = required
-    override def toBatch: Batch = this
-    override def planInputPartitions(): Array[InputPartition] =
-      (0 until times).map(t => GridPartition(t, height, width): InputPartition).toArray
-    override def createReaderFactory(): PartitionReaderFactory =
-      new GridReaderFactory(required.fieldNames)
+  /** Accept time-dimension predicates for PARTITION PRUNING — the DSv2
+    * analogue of date-partition pruning on the 100 TB layout: a
+    * 10-year archive scan with `time = today` plans ONE InputPartition
+    * instead of 3650. All filters are also returned as residual, so
+    * Spark re-applies them post-scan (pruning only has to be sound,
+    * not exact). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(isTimeFilter)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def isTimeFilter(f: Filter): Boolean = f match {
+    case EqualTo("time", _) | GreaterThan("time", _) | GreaterThanOrEqual("time", _) |
+         LessThan("time", _) | LessThanOrEqual("time", _) | In("time", _) => true
+    case _ => false
+  }
+
+  private def timeOk(t: Int): Boolean = pushed.forall {
+    case EqualTo("time", v: Number) => t == v.intValue()
+    case GreaterThan("time", v: Number) => t > v.intValue()
+    case GreaterThanOrEqual("time", v: Number) => t >= v.intValue()
+    case LessThan("time", v: Number) => t < v.intValue()
+    case LessThanOrEqual("time", v: Number) => t <= v.intValue()
+    case In("time", vs) => vs.exists { case v: Number => v.intValue() == t; case _ => false }
+    case _ => true
+  }
+
+  override def build(): Scan = {
+    val live = (0 until times).filter(timeOk).toArray
+    new Scan with Batch {
+      override def readSchema(): StructType = required
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        live.map(t => GridPartition(t, height, width): InputPartition)
+      override def createReaderFactory(): PartitionReaderFactory =
+        new GridReaderFactory(required.fieldNames)
+    }
   }
 }
 

@@ -50,6 +50,25 @@ class GridSourceSpec extends SparkSpec {
     assert(lvls.forall(l => l >= 0.0 && l <= 8.0))
   }
 
+  test("time filters prune input partitions at the source") {
+    val df = grid(8, 4, 4)
+    // equality → exactly one of the 8 time partitions is planned
+    val one = df.filter(col("time") === 3)
+    assert(one.rdd.getNumPartitions == 1, s"got ${one.rdd.getNumPartitions} partitions")
+    assert(one.count() == 4 * 4)
+    // range → half the partitions
+    val half = df.filter(col("time") >= 4)
+    assert(half.rdd.getNumPartitions == 4)
+    assert(half.count() == 4 * 4 * 4)
+    // IN-list
+    val in = df.filter(col("time").isin(0, 7))
+    assert(in.rdd.getNumPartitions == 2)
+    // non-time filters prune nothing but still return correct results
+    val res = df.filter(col("u") > 0)
+    assert(res.rdd.getNumPartitions == 8)
+    assert(res.count() > 0 && res.count() < 8 * 4 * 4)
+  }
+
   test("grid values match the generator directly") {
     val row = grid(1, 2, 2).filter(col("y") === 1 && col("x") === 1)
       .select("u", "v").collect()(0)
