@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * exactly like the sequential `aggregate` fold they replace and like
   * DuckDB's list functions — results are bit-identical, so the
   * existing oracles keep hash-matching.
+  *
+  * Element-null caveat: rows with a NULL array are null-propagated
+  * (`nullIntolerant`), but individual NULL ELEMENTS inside an array
+  * are not checked — embedding vectors are dense by contract (parquet
+  * float arrays cast to double). Arrays of differing lengths fold over
+  * the common prefix.
   */
 private object VectorExprs {
   def checkArrayOfDouble(name: String, dts: DataType*): TypeCheckResult =
