@@ -113,5 +113,51 @@ object Similarity {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03)
+  /** s04: IVF-style ANN — the coarse-quantizer alternative to s02's
+    * hyperplane LSH. The first 8 data vectors form the centroid
+    * codebook; every vector is assigned to its nearest centroid
+    * MAP-SIDE (the codebook is driver-collected — 8×64 doubles — and
+    * shipped as literals, so assignment is a zero-shuffle projection:
+    * the 100 TB shape, where the inverted-list cell id becomes a
+    * partition/cluster key and a query probes one cell). Search scores
+    * only the query's cell. Fully DuckDB-oracled: the oracle derives
+    * the same assignment via a rank over the vector×centroid cross
+    * join with the identical (sim DESC, cid ASC) tie-break. */
+  val s04 = QueryDef(
+    "s04_ivf_ann",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |                         ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cv) DESC, c.cid) AS rn
+      |    FROM e CROSS JOIN cent c) t WHERE rn = 1),
+      |q AS (SELECT cid AS qcid, v AS qv FROM assign WHERE vec_id = 0)
+      |SELECT vec_id, ROUND(LIST_COSINE_SIMILARITY(v, qv) + 1e-9, 4) AS sim
+      |FROM assign, q
+      |WHERE cid = qcid AND vec_id <> 0
+      |ORDER BY LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id
+      |LIMIT 5""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+    // argmax by lexicographic struct max: (cosine, -cid) picks highest
+    // similarity, ties to the smallest centroid id — the same order the
+    // oracle's ROW_NUMBER uses
+    val best = array_max(array(centroids.map { case (cid, cv) =>
+      struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
+    val assigned = emb.withColumn("cid", -best.getField("n")).persist()
+    val q = assigned.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("cid").as("qcid"))
+    assigned.join(broadcast(q), col("cid") === col("qcid"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), Vectors.cosine(col("v"), col("qv")).as("raw"))
+      .orderBy(col("raw").desc, col("vec_id"))
+      .limit(5)
+      .select(col("vec_id"), graft.QueryDef.roundBiased(col("raw"), 4).as("sim"))
+  }
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03, s04)
 }

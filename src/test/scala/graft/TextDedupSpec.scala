@@ -66,6 +66,13 @@ class TextDedupSpec extends SparkSpec {
     assert(ham(bits(0), bits(1)) <= 8)
   }
 
+  test("s04 IVF probe returns descending sims from one cell") {
+    val out = Similarity.s04.fn(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 5)
+    val sims = out.map(_.getAs[Double]("sim"))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
   test("s01 top-k is ordered by similarity descending") {
     val sims = Similarity.s01.fn(spark, sf).collect().map(_.getAs[Double]("sim"))
     assert(sims.length == 10)
