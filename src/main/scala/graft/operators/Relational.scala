@@ -413,7 +413,32 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  /** q20: MERGEABLE sketch state — the capability that makes
+    * incremental 100 TB distinct-counting possible: build an HLL
+    * (DataSketches) sketch per month partition, then RE-AGGREGATE the
+    * stored sketches to the yearly total WITHOUT rescanning the data —
+    * exactly how an incremental ingest (the reference's per-slice
+    * cycle) maintains global distincts: union the new slice's sketch
+    * into the running one. Rows-only (sketch estimates are
+    * engine-specific); every row carries its exact twin, and a spec
+    * bounds the relative error. mon=0 is the merged-total row. */
+  val q20 = QueryDef.rowsOnly("q20_sketch_merge") { (spark, dir) =>
+    val orders = Tables(spark, dir).orders
+    val monthly = orders
+      .groupBy(month(col("o_orderdate")).as("mon"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        countDistinct(col("o_custkey")).as("exact"))
+      .persist()
+    val perMonth = monthly.select(col("mon"),
+      hll_sketch_estimate(col("sk")).as("est"), col("exact"))
+    val total = monthly
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .crossJoin(orders.agg(countDistinct(col("o_custkey")).as("exact")))
+      .select(lit(0).as("mon"), col("est"), col("exact"))
+    perMonth.unionByName(total).orderBy(col("mon"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
-      q14, q16, q17, q18, q19)
+      q14, q16, q17, q18, q19, q20)
 }

@@ -55,9 +55,20 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("oracle coverage: every query has an oracle or is explicitly rows-only") {
-    val rowsOnly = Set("q10_approx_distinct")
+    val rowsOnly = Set("q10_approx_distinct", "q20_sketch_merge")
     Relational.all.foreach { q =>
       assert(q.oracle.isDefined || rowsOnly.contains(q.name), s"${q.name} missing oracle")
+    }
+  }
+
+  test("q20 sketch estimates stay within 5% of exact, merged total included") {
+    val rows = Relational.q20.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est").toDouble
+      val exact = r.getAs[Long]("exact").toDouble
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"mon=${r.get(0)}: est=$est exact=$exact")
     }
   }
 }
