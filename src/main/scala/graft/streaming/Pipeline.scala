@@ -196,5 +196,45 @@ object Streaming {
       .orderBy(col("user_id"), col("session_start"))
   }
 
-  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05)
+  /** st06: stream-stream INTERVAL join — purchases matched to the
+    * clicks that preceded them within 1 hour, per user. Both sides
+    * carry event-time watermarks, so the join state is bounded: a
+    * click older than (watermark − 1 h) can never match a future
+    * purchase and is evicted — the requirement for an unbounded
+    * correlation join at 100 TB. Inner join emits matches eagerly, so
+    * the append-mode memory sink materializes every pair; the
+    * deterministic per-user rollup happens in batch on the sink and
+    * the oracle is the identical batch SQL. */
+  val st06 = QueryDef(
+    "st06_stream_stream_join",
+    """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, value AS cv
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id AS user_id, COUNT(*) AS n_pairs, ROUND(SUM(c.cv), 2) AS sum_click_v
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND c.cts BETWEEN p.pts - INTERVAL 1 HOUR AND p.pts
+      |GROUP BY p.user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val clicks = eventStream(spark, dir).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"), col("value").as("cv"))
+      .withWatermark("cts", "2 hours")
+    val purchases = eventStream(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"))
+      .withWatermark("pts", "2 hours")
+    val joined = purchases.join(clicks,
+      expr("p_user = c_user AND cts BETWEEN pts - INTERVAL 1 HOUR AND pts"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("st06_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("st06_out")
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), round(sum(col("cv")), 2).as("sum_click_v"))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06)
 }
