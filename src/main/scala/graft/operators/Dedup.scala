@@ -128,13 +128,18 @@ object Dedup {
     // agreement first (64 longs/doc shuffled per pair), ship the full
     // variable-width shingle arrays only for pairs that plausibly pass
     // — a doc in k candidate pairs no longer has its whole shingle set
-    // shuffled k times. Cutoff 0.2 sits ~1.75σ below the 0.3 target
-    // (σ≈√(J(1−J)/64)), so true near-dups survive the estimate tier.
+    // shuffled k times. Tradeoff made explicit: the estimate is
+    // ~N(J, √(J(1−J)/64)); cutoff 0.15 is ~2.6σ below the J=0.3
+    // confirm threshold, so a borderline true pair is lost with
+    // p≈0.004 (vs ~4% at a 0.2 cutoff) while clearly-false candidates
+    // still skip the array shuffle. LSH candidate generation is itself
+    // probabilistic, so this tier does not change the operator's
+    // contract.
     val estKept = cand
       .join(sigs.toDF("id1", "sig1"), "id1")
       .join(sigs.toDF("id2", "sig2"), "id2")
       .filter(size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
-        x => x)).cast("double") / 64 >= 0.2)
+        x => x)).cast("double") / 64 >= 0.15)
       .select(col("id1"), col("id2"))
     val confirmed = estKept
       .join(sh.toDF("id1", "sh1"), "id1")

@@ -346,9 +346,14 @@ object Ingest {
   val i07 = QueryDef(
     "i07_watermark_increment",
     """SELECT o_orderkey, o_orderdate FROM orders
-      |WHERE o_orderdate > (SELECT MAX(o_orderdate) FROM orders
-      |                     WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00')
+      |WHERE o_orderdate > COALESCE(
+      |  (SELECT MAX(o_orderdate) FROM orders
+      |   WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'),
+      |  TIMESTAMP '0001-01-01 00:00:00')
       |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    // COALESCE to -infinity mirrors afterWatermark's missing-history ⇒
+    // full-ingest contract, keeping the oracle aligned even on a
+    // dataset slice with no pre-2000 orders.
     val orders = Tables(spark, dir).orders
     val watermark = orders
       .filter(col("o_orderdate") < lit("2000-01-01 00:00:00").cast("timestamp"))

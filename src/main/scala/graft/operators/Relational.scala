@@ -429,6 +429,9 @@ object Relational {
       .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
         countDistinct(col("o_custkey")).as("exact"))
       .persist()
+    // eager: the union below references the cache from two branches —
+    // lazily-filled caches race and double-compute the sketch scan
+    monthly.count()
     val perMonth = monthly.select(col("mon"),
       hll_sketch_estimate(col("sk")).as("est"), col("exact"))
     val total = monthly

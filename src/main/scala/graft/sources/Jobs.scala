@@ -59,20 +59,22 @@ final class Jobs(spark: SparkSession, statePath: String) {
   def runAll(seq: Long): Seq[JobResult] = registry.values.map(run(_, seq)).toSeq
 
   def run(cfg: JobConfig, seq: Long): JobResult = {
-    val fresh = state.runIncremental(cfg.datasetId, cfg.source(spark), cfg.tsCol, seq)
-      .persist()
+    val fresh = state.freshSince(cfg.datasetId, cfg.source(spark), cfg.tsCol).persist()
     try {
       val n = fresh.count()
       if (n == 0) JobResult(cfg.datasetId, 0L, skipped = true, None) // "No update required"
       else {
+        import org.apache.spark.sql.functions.{col, max}
+        val newMax = fresh.agg(max(col(cfg.tsCol)).cast("string")).collect()(0).getString(0)
         val payload = Publish.writeDatePartitioned(
           cfg.transform(fresh), cfg.outDir, cfg.datasetId, cfg.tsCol)
-        // retention keyed off the just-advanced watermark date
-        state.watermark(cfg.datasetId).foreach { w =>
-          val cutoff = java.time.LocalDate.parse(w.substring(0, 10))
-            .minusDays(cfg.retentionDays).toString
-          Publish.dropOldPartitions(spark, cfg.outDir, cfg.datasetId, cutoff)
-        }
+        // the watermark advances ONLY after the publish committed — a
+        // failed transform/publish leaves it untouched, so the next
+        // cycle retries the same slice instead of losing it forever
+        state.update(cfg.datasetId, Map("last_update" -> newMax), seq)
+        val cutoff = java.time.LocalDate.parse(newMax.substring(0, 10))
+          .minusDays(cfg.retentionDays).toString
+        Publish.dropOldPartitions(spark, cfg.outDir, cfg.datasetId, cutoff)
         JobResult(cfg.datasetId, n, skipped = false, Some(payload))
       }
     } finally fresh.unpersist()

@@ -29,8 +29,14 @@ final class StateStore(spark: SparkSession, path: String) {
       val df = spark.read.parquet(path)
       if (df.isEmpty) None else Some(df)
     } catch {
+      // UNABLE_TO_INFER_SCHEMA: the directory exists but holds no
+      // readable parquet (aborted first write, leftover _temporary) —
+      // also "no state yet"; treating it as fatal would wedge every
+      // subsequent cycle until the dir is hand-deleted.
       case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition != null && e.getCondition.startsWith("PATH_NOT_FOUND") => None
+          if e.getCondition != null &&
+            (e.getCondition.startsWith("PATH_NOT_FOUND") ||
+              e.getCondition.startsWith("UNABLE_TO_INFER_SCHEMA")) => None
     }
 
   /** Current state of one dataset: latest value per key. */
@@ -58,17 +64,25 @@ final class StateStore(spark: SparkSession, path: String) {
       .select(lit(datasetId).as("dataset_id"), col("key"), col("value"), lit(seq).as("seq"))
       .write.mode("append").parquet(path)
 
+  /** Rows strictly newer than the stored watermark — the read half of
+    * the incremental cycle, with NO state mutation (callers that
+    * publish should advance the watermark only AFTER the publish
+    * succeeds; see [[graft.sources.Jobs]]). Missing watermark ⇒ full
+    * ingest. */
+  def freshSince(datasetId: String, df: DataFrame, tsCol: String): DataFrame =
+    watermark(datasetId) match {
+      case Some(w) => df.filter(col(tsCol) > lit(w).cast(df.schema(tsCol).dataType))
+      case None    => df
+    }
+
   /** Incremental-ingest cycle, reference `DataIngest.run` shape: take
     * rows strictly newer than the stored watermark, and if any were
     * taken, advance the watermark to their max ts. Returns the new
     * slice (empty → "No update required. Skipping", as the reference
-    * logs). */
+    * logs). For pipelines with a downstream publish step, prefer
+    * [[freshSince]] + explicit [[update]] after the publish commits. */
   def runIncremental(datasetId: String, df: DataFrame, tsCol: String, seq: Long): DataFrame = {
-    val wm = watermark(datasetId)
-    val fresh = wm match {
-      case Some(w) => df.filter(col(tsCol) > lit(w).cast(df.schema(tsCol).dataType))
-      case None    => df
-    }
+    val fresh = freshSince(datasetId, df, tsCol)
     val newMax = fresh.agg(max(col(tsCol)).cast("string")).collect()(0).getString(0)
     if (newMax != null) update(datasetId, Map("last_update" -> newMax), seq)
     fresh

@@ -97,7 +97,16 @@ object Streaming {
     """SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d, event_type,
       |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
-    val sinkDir = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_${dir.hashCode.toHexString}"
+    // sink + checkpoint are keyed by a SOURCE-CONTENT fingerprint
+    // (mtime ^ length of the events file): re-runs over unchanged data
+    // reuse the checkpoint (exactly-once no-op resume), while a
+    // regenerated source gets a fresh sink + checkpoint instead of the
+    // stale already-processed state answering for new data.
+    val srcFile = new java.io.File(s"$dir/events.parquet")
+    val fp = java.lang.Long.toHexString(
+      srcFile.lastModified() ^ (srcFile.length() * 1315423911L))
+    val sinkDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_upsert_${dir.hashCode.toHexString}_$fp"
     // partition key as a yyyy-MM-dd string: partition-value type
     // inference on read is config-dependent, a string key is stable.
     val src = eventStream(spark, dir)

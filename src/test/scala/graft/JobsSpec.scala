@@ -49,4 +49,24 @@ class JobsSpec extends SparkSpec {
     assert(a.count() == 3)
     assert(a.filter(col("v2") =!= col("v") * 2).count() == 0)
   }
+
+  test("a failed transform leaves the watermark untouched — the slice is retried") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_jobs_fail").toString
+    val src = s"$root/src"
+    Seq((java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 1.0))
+      .toDF("ts", "v").write.mode("overwrite").parquet(src)
+    def cfg(t: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      JobConfig("dsF", s => s.read.parquet(src), "ts", t, s"$root/out", retentionDays = 30)
+    val jobs = new Jobs(spark, s"$root/state")
+    // cycle 1: transform blows up mid-job → the exception propagates
+    // and, crucially, the watermark must NOT have advanced
+    intercept[RuntimeException] {
+      jobs.run(cfg(_ => throw new RuntimeException("boom")), 1)
+    }
+    // cycle 2 with a healthy transform still sees the full slice
+    val r = jobs.run(cfg(identity), 2)
+    assert(!r.skipped && r.ingested == 1L)
+  }
 }
