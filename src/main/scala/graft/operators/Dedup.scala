@@ -82,9 +82,15 @@ object Dedup {
     * which is what lets d02b and p01 be DuckDB-oracled end-to-end. */
   private[graft] def md5MinhashBands(sh: DataFrame, idCol: String, shCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    // all seeded digests of a shingle in one expression pass — emits
+    // exactly md5(concat(s,'#',j)) per element (Md5SeededExpr), so the
+    // oracle SQL stays MIN(MD5(s || '#' || j)) unchanged
     val ex = sh.select(col(idCol), explode(col(shCol)).as("s"))
+      .select(col(idCol), ColumnBridge.column(graft.functions.Md5SeededExpr(
+        ColumnBridge.expression(col("s")), numHashes)).as("hs"))
     val mins = (0 until numHashes).map(j =>
-      min(md5(concat(col("s"), lit("#"), lit(j)))).as(s"m$j"))
+      min(element_at(col("hs"), j + 1)).as(s"m$j"))
     val sig = ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     val numBands = numHashes / rowsPerBand
     sig.select(col(idCol), explode(array(
