@@ -18,12 +18,14 @@ object Text {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
-  /** Word n-gram shingles as strings ("w1 w2 w3"). Guarded: sequence()
-    * would generate a DESCENDING range for docs shorter than n. */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+  /** Word n-gram shingles as strings ("w1 w2 w3"), short docs ⇒ empty
+    * array. Backed by the codegen'd [[WordShinglesExpr]] — the built-in
+    * `transform`+`concat_ws` composition runs interpreted per shingle
+    * and dominated the near-dup pipelines' shingling stage. */
+  def shingles(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(toks), n))
+  }
 
   /** Count of tokens belonging to `set`. */
   def countIn(toks: Column, set: Seq[String]): Column =
