@@ -57,19 +57,15 @@ object Dedup {
   /** Hashed shingle sets: each 3-gram collapsed to one xxhash64 long —
     * no string materialization, and jaccard set ops run over longs.
     * (MinHash/LSH only ever consumes hashes, so this is lossless for
-    * d02; d04 keeps string shingles to match its string-based oracle.) */
+    * d02; d04 keeps string shingles to match its string-based oracle.)
+    * Backed by the codegen'd [[graft.functions.XxShinglesExpr]], which
+    * emits bit-identical values to the chained `xxhash64(t1, t2, t3)`
+    * composition it replaced (spec-asserted). */
   private def docShingleHashes(docs: DataFrame): DataFrame = {
-    // materialize the token array in its own projection: referencing the
-    // split(...) EXPRESSION inside the per-shingle lambda would re-split
-    // the whole text for every element_at (measured: most of d02's
-    // runtime). CollapseProject keeps the non-cheap split un-inlined.
-    val toks = col("toks")
+    import org.apache.spark.sql.graft.ColumnBridge
     docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), array_distinct(
-        when(size(toks) < 3, array().cast("array<bigint>"))
-          .otherwise(transform(sequence(lit(1), size(toks) - 2),
-            i => xxhash64(element_at(toks, i), element_at(toks, i + 1),
-              element_at(toks, i + 2))))).as("sh"))
+      .select(col("doc_id"), array_distinct(ColumnBridge.column(
+        graft.functions.XxShinglesExpr(ColumnBridge.expression(col("toks")), 3))).as("sh"))
   }
 
   private[graft] def jaccard(a: Column, b: Column): Column =

@@ -120,6 +120,34 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), s"not codegen'd:\n$plan")
   }
 
+  test("shingle expressions match the interpreted compositions bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.{Text, XxShinglesExpr}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.functions.{element_at, sequence, transform, xxhash64}
+    val df = Seq("a b c d e", "one two three", "a b", "").toDF("text")
+      .select(Text.tokens(col("text")).as("toks"))
+    // string shingles: new codegen expr vs the old transform+concat_ws form
+    val oldShingles = when(size(col("toks")) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+    // hashed shingles: new codegen expr vs the chained xxhash64 form
+    val oldHashes = when(size(col("toks")) < 3, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(col("toks")) - 2),
+        i => xxhash64(element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+    val rows = df.select(
+      Text.shingles(col("toks"), 3).as("ns"), oldShingles.as("os"),
+      ColumnBridge.column(XxShinglesExpr(
+        ColumnBridge.expression(col("toks")), 3)).as("nh"), oldHashes.as("oh"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), "string shingles diverge")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "hashed shingles diverge")
+    }
+  }
+
   test("custom rolling fingerprint expression matches the HOF fold and is codegen'd") {
     import spark.implicits._
     graft.functions.RollingFingerprintExpr.register(spark)
