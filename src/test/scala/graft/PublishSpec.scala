@@ -34,6 +34,43 @@ class PublishSpec extends SparkSpec {
     assert(untouched == 0)
   }
 
+  test("date filters prune partitions of the published layout at plan time") {
+    val out = Files.createTempDirectory("graft_pub_prune").toString
+    Publish.writeDatePartitioned(Tables(spark, sf).events, out, "ns", "ts")
+    // partition-value inference types date_key as DATE on read
+    val oneDay = spark.read.parquet(s"$out/ns")
+      .select(col("date_key").cast("string")).distinct()
+      .orderBy("date_key").collect()(0).getString(0)
+    val filtered = spark.read.parquet(s"$out/ns").filter(col("date_key") === oneDay)
+    val plan = filtered.queryExecution.executedPlan.toString()
+    // the date predicate must land in PartitionFilters (metadata-only
+    // pruning — the 100 TB guarantee that one day's query reads one
+    // day's files), not in the post-scan Filter
+    assert(plan.contains("PartitionFilters: [isnotnull(date_key"), s"no partition pruning:\n$plan")
+    assert(filtered.count() > 0)
+  }
+
+  test("registered graft functions are callable from plain SQL") {
+    graft.functions.RollingFingerprintExpr.register(spark)
+    // vector + hashing expressions through the SQL surface, same
+    // session-level registry GraftExtensions injects at session create
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+    val r = spark.sql(
+      """SELECT graft_rolling_fp('ab') AS fp,
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |  graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos,
+        |  graft_hyperplane_bucket(array(1.0d, 2.0d), 4, 2) AS bkt""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 3105L)
+    assert(r.getDouble(1) == 11.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getInt(3) >= 0 && r.getInt(3) < 16)
+  }
+
   test("GraftConf builder carries the graft function extensions") {
     // the shared test session predates GraftConf, so just validate the
     // builder constructs (extensions apply at session-create time)
