@@ -103,5 +103,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04)
+  /** t05: PII scrubbing — the redaction stage every training-data
+    * curation pipeline runs before tokenization: emails, URLs, then
+    * residual numbers are replaced with typed placeholders (ORDER
+    * matters — emails/URLs contain digits). The corpus has no PII, so
+    * the test text is synthesized from event columns (the i25 pattern)
+    * and the DuckDB oracle applies the identical RE2-compatible
+    * patterns with the 'g' flag, proving removal byte-for-byte.
+    * Pure codegen'd regexp_replace chain — zero shuffle. */
+  val t05 = QueryDef(
+    "t05_pii_scrub",
+    """WITH raw AS (
+      |  SELECT event_id,
+      |    'contact u' || user_id || '@mail.example.com visit https://ex.com/p/'
+      |      || event_id || ' amount ' || value || ' end' AS txt
+      |  FROM events WHERE event_id % 20 = 0)
+      |SELECT event_id,
+      |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(txt,
+      |    '[a-z0-9._]+@[a-z.]+', '<EMAIL>', 'g'),
+      |    'https?://[^ ]+', '<URL>', 'g'),
+      |    '[0-9]+(\.[0-9]+)?', '<NUM>', 'g') AS scrubbed,
+      |  LEN(REGEXP_EXTRACT_ALL(txt, '[a-z0-9._]+@[a-z.]+')) AS n_emails,
+      |  LEN(REGEXP_EXTRACT_ALL(txt, 'https?://[^ ]+')) AS n_urls
+      |FROM raw ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val txt = concat(
+      lit("contact u"), col("user_id"), lit("@mail.example.com visit https://ex.com/p/"),
+      col("event_id"), lit(" amount "), col("value"), lit(" end"))
+    Tables(spark, dir).events
+      .filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), txt.as("txt"))
+      .select(col("event_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("txt"),
+          "[a-z0-9._]+@[a-z.]+", "<EMAIL>"),
+          "https?://[^ ]+", "<URL>"),
+          "[0-9]+(\\.[0-9]+)?", "<NUM>").as("scrubbed"),
+        size(regexp_extract_all(col("txt"), lit("[a-z0-9._]+@[a-z.]+"), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit("https?://[^ ]+"), lit(0))).as("n_urls"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05)
 }
