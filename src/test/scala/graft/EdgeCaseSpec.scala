@@ -7,6 +7,16 @@ import org.apache.spark.sql.functions._
 /** Edge semantics the sf-scale data doesn't exercise. */
 class EdgeCaseSpec extends SparkSpec {
 
+  test("driver contract: query names unique, oracle keys subset of queries") {
+    val names = SparkEntry.defs.map(_.name)
+    // a duplicate name would silently drop an entry from the Map the
+    // driver iterates — every def must survive the Map round-trip
+    assert(names.distinct.size == names.size,
+      names.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }.mkString(","))
+    assert(SparkEntry.queries.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("asof join with an empty right side yields all-null carries") {
     import spark.implicits._
     val left = Seq((1L, 10L, 1)).toDF("k", "t", "eid")
