@@ -21,8 +21,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM + parquet-footer warm-up outside the timed region
-    Tables(spark, sfDir).lineitem.count()
+    // JVM + parquet-footer warm-up outside the timed region — all
+    // tables, so the alphabetically-first queries don't absorb the
+    // cold-scan cost of whichever table they happen to touch first
+    val t = Tables(spark, sfDir)
+    Tables.names.foreach(n => t.table(n).count())
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.defs.sortBy(_.name)
