@@ -245,5 +245,29 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06)
+  /** st07: stream-static enrichment — each streamed event is joined to
+    * a STATIC dimension (per-user profile aggregated from history),
+    * the reference's "join incoming slice to the climatology table"
+    * shape in streaming form. The static side is a bounded batch
+    * DataFrame, so Spark broadcasts it and the stream never shuffles
+    * for the join; only the downstream aggregation keeps state.
+    * Oracle: the identical batch SQL. */
+  val st07 = QueryDef(
+    "st07_stream_static_join",
+    """WITH dim AS (SELECT user_id, COUNT(*) AS user_n FROM events GROUP BY user_id)
+      |SELECT e.event_type AS event_type, COUNT(*) AS n,
+      |  CAST(SUM(d.user_n) AS BIGINT) AS sum_user_n
+      |FROM events e JOIN dim d ON e.user_id = d.user_id
+      |GROUP BY e.event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val dim = graft.Tables(spark, dir).events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("user_n"))
+    val enriched = eventStream(spark, dir)
+      .join(dim, Seq("user_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_n")).as("sum_user_n"))
+    runToCompletion(enriched, "st07_out")
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07)
 }
