@@ -28,7 +28,13 @@ object QueryDef {
     * DuckDB (binary). Adding 1e-9 pushes boundary values decisively
     * above the half on BOTH sides, so the engines agree; the oracle SQL
     * must write the same `ROUND(x + 1e-9, n)`. Sums of fixed-decimal
-    * inputs are exact and don't need the bias. */
+    * inputs are exact and don't need the bias.
+    *
+    * Sign-of-zero: Spark's round goes through BigDecimal and can never
+    * emit -0.0, but DuckDB's ROUND preserves the sign of a tiny negative
+    * (round(-0.004, 2) = -0.0) — equal under ==, DIFFERENT under the
+    * driver's value hash. Any oracle whose rounded expression can be
+    * negative must append `+ 0.0` after the ROUND to normalize. */
   def roundBiased(c: Column, scale: Int): Column = round(c + 1e-9, scale)
   /** Oracled query: hash-checked against DuckDB. */
   def apply(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): QueryDef =

@@ -275,7 +275,7 @@ object Ingest {
       |  GROUP BY 1, 2)
       |SELECT cur.cell AS cell, cur.cal_period AS cal_period,
       |  ROUND(CASE WHEN normal.normal IS NULL THEN -9999.0
-      |             ELSE cur.cur_qty - normal.normal END + 1e-9, 2) AS anomaly
+      |             ELSE cur.cur_qty - normal.normal END + 1e-9, 2) + 0.0 AS anomaly
       |FROM cur LEFT JOIN normal
       |  ON cur.cell = normal.cell AND cur.cal_period = normal.cal_period
       |ORDER BY cell, cal_period""".stripMargin) { (spark, dir) =>
@@ -748,7 +748,7 @@ object Ingest {
       |  GROUP BY 1, 2, 3)
       |SELECT cur.cell AS cell, cur.mon AS mon, cur.pentad AS pentad,
       |  ROUND(CASE WHEN normal.normal IS NULL THEN -9999.0
-      |             ELSE cur.cur_qty - normal.normal END + 1e-9, 2) AS anomaly
+      |             ELSE cur.cur_qty - normal.normal END + 1e-9, 2) + 0.0 AS anomaly
       |FROM cur LEFT JOIN normal
       |  ON cur.cell = normal.cell AND cur.mon = normal.mon AND cur.pentad = normal.pentad
       |ORDER BY cell, mon, pentad""".stripMargin) { (spark, dir) =>

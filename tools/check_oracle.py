@@ -22,8 +22,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
     return df
+
+
+def bit_diff(g: pd.DataFrame, w: pd.DataFrame):
+    """Bitwise float compare — catches -0.0 vs 0.0 and last-ulp drift that
+    pandas' tolerant equality hides but the driver's value hash does not."""
+    import numpy as np
+    for c in g.columns:
+        a, b = g[c].to_numpy(), w[c].to_numpy()
+        if a.dtype.kind == "f" and b.dtype.kind == "f":
+            av, bv = a.astype("f8").view("u8"), b.astype("f8").view("u8")
+            if not np.array_equal(av, bv):
+                idx = np.nonzero(av != bv)[0][:3]
+                return (f"col {c} float-bit diff rows {idx.tolist()}: "
+                        f"spark={a[idx].tolist()} duck={b[idx].tolist()}")
+    return None
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -67,8 +82,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
-            print(f"PASS       {name} rows={len(g)}")
-            n_pass += 1
+            bd = bit_diff(g, w)
+            if bd is not None:
+                print(f"FAIL-BITS  {name}: {bd}")
+                n_fail += 1
+            else:
+                print(f"PASS       {name} rows={len(g)}")
+                n_pass += 1
         except AssertionError as e:
             print(f"FAIL-VALS  {name}: {str(e).splitlines()[-1] if str(e) else e}")
             n_fail += 1
