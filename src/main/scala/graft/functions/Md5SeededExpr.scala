@@ -24,6 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class Md5SeededExpr(child: Expression, seeds: Int) extends UnaryExpression {
 
+  require(seeds > 0 && seeds <= Md5SeededExpr.SeedSuffixes.length,
+    s"seeds must be in [1, ${Md5SeededExpr.SeedSuffixes.length}], got $seeds")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_md5_seeded"

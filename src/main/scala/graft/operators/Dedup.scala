@@ -389,46 +389,43 @@ object Dedup {
     val edges = p.toDF("src", "dst")
       .union(p.toDF("dst", "src").select(col("src"), col("dst")))
       .repartition(parts, col("src")).persist()
-    // the iteration shuffles (join + groupBy) should run at the same
-    // edge-sized parallelism; AQE's per-stage re-planning is pure
-    // overhead on the already-sized tiny stages, so it is paused for
-    // the loop. Both confs restored after — `labels` is persisted, so
-    // downstream consumers never replay these stages.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label")).persist()
-      // labels only ever DECREASE, so Σlabel strictly decreases while
-      // any node still changes — an agg is a cheaper convergence probe
-      // than a self-join diff (one job, no extra shuffle). coalesce:
-      // sum over an EMPTY label set (no near-dups at all) is NULL.
-      def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
-      var prevSum = labelSum(labels)
-      var converged = false
-      while (!converged) {
-        val nbrMin = edges.toDF("src", "nbr")
-          .join(labels.toDF("nbr", "nbr_label"), "nbr")
-          .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("nbr_min"))
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-          .persist()
-        val nextSum = labelSum(next)
-        labels.unpersist()
-        labels = next
-        converged = nextSum == prevSum
-        prevSum = nextSum
-      }
-      edges.unpersist()
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // the iteration shuffles (join + groupBy) run at the same
+    // edge-sized parallelism, scoped PER PLAN: an explicit
+    // repartition-on-key ahead of each shuffle consumer leaves every
+    // required clustering already satisfied at `parts` partitions, so
+    // EnsureRequirements adds no conf-sized exchange — the
+    // session-global shuffle-partition/AQE confs are never mutated
+    // (queries running concurrently on this session are unaffected).
+    var labels = edges.select(col("src").as("id"))
+      .repartition(parts, col("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist()
+    // labels only ever DECREASE, so Σlabel strictly decreases while
+    // any node still changes — an agg is a cheaper convergence probe
+    // than a self-join diff (one job, no extra shuffle). coalesce:
+    // sum over an EMPTY label set (no near-dups at all) is NULL.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges.toDF("src", "nbr")
+        .repartition(parts, col("nbr"))
+        .join(labels.toDF("nbr", "nbr_label"), "nbr")
+        .repartition(parts, col("src"))
+        .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .repartition(parts, col("id"))
+        .persist()
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
     }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** d06: near-dup clusters on the portable md5-minhash pair graph —

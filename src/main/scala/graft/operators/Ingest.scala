@@ -67,15 +67,23 @@ object Ingest {
     * reference state machine `read_state`/`update_state`
     * (`ingest/utils.py:96`). The watermark predicate prunes date
     * partitions at the scan. */
-  def afterWatermark(df: DataFrame, tsCol: Column, watermark: DataFrame): DataFrame =
+  def afterWatermark(df: DataFrame, tsCol: Column, watermark: DataFrame): DataFrame = {
     // Missing history ⇒ full ingest, matching the reference's
     // read_state semantics (missing state → ingest all). Two shapes of
     // "missing": a NULL watermark value (tsCol > NULL would drop every
     // row) and an EMPTY watermark relation (an inner/cross join would
-    // drop every row) — the left join + isNull handles both.
-    df.join(broadcast(watermark), lit(true), "left")
-      .filter(col("watermark").isNull || tsCol > col("watermark"))
-      .drop("watermark")
+    // drop every row) — the left join + isNull handles both. The
+    // watermark value joins under a reserved name so an input df that
+    // itself has a `watermark` column can't make the filter ambiguous,
+    // and a multi-row watermark relation fails fast instead of
+    // silently duplicating every input row through the cross join.
+    require(watermark.limit(2).count() <= 1,
+      "watermark relation must have at most one row")
+    val wm = watermark.select(watermark.columns.head).toDF("__graft_wm")
+    df.join(broadcast(wm), lit(true), "left")
+      .filter(col("__graft_wm").isNull || tsCol > col("__graft_wm"))
+      .drop("__graft_wm")
+  }
 
   /** Date-partition upsert: incoming slice replaces all existing rows
     * of the same date — reference `insert_update_data`

@@ -38,6 +38,13 @@ object Multimodal {
     (h, (h % 65536L).toDouble / 65536.0)
   }
 
+  // The stub checksum walks UTF-8 BYTES while the DuckDB oracle walks
+  // CHARS (SUBSTR/LENGTH/ASCII are codepoint-based), so both engines
+  // gate on ASCII rows (chars == bytes ⇔ LENGTH = OCTET_LENGTH) —
+  // parity then holds for arbitrary corpora instead of only
+  // accidentally for all-ASCII ones. A real decode consumes raw bytes
+  // and needs no such gate; this is purely the oracle-portability
+  // boundary of the stub.
   val m01 = QueryDef(
     "m01_multimodal_meta",
     """WITH f AS (
@@ -46,13 +53,15 @@ object Multimodal {
       |      LIST_PREPEND(CAST(0 AS BIGINT),
       |        LIST_TRANSFORM(STRING_SPLIT(text, ''), c -> CAST(ASCII(c) AS BIGINT))),
       |      (a, b) -> (a * 31 + b) % 1000000000000037) AS checksum
-      |  FROM documents)
+      |  FROM documents
+      |  WHERE LENGTH(text) = OCTET_LENGTH(ENCODE(text)))
       |SELECT source, COUNT(*) AS n_blobs,
       |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
       |  ROUND(AVG((checksum % 65536) / 65536.0) + 1e-9, 4) AS avg_feature0
       |FROM f GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val blobs = Tables(spark, dir).documents
+      .filter(length(col("text")) === octet_length(col("text")))
       .select(col("doc_id"), col("source"),
         col("text").cast("binary").as("payload"))
       .as[Blob]
@@ -86,7 +95,8 @@ object Multimodal {
     "m02_frame_sample",
     """WITH f AS (
       |  SELECT doc_id, text, LENGTH(text) AS n FROM documents
-      |  WHERE doc_id % 50 = 0 AND LENGTH(text) > 0),
+      |  WHERE doc_id % 50 = 0 AND LENGTH(text) > 0
+      |    AND LENGTH(text) = OCTET_LENGTH(ENCODE(text))),
       |ix AS (
       |  SELECT doc_id, text, UNNEST(RANGE(0, (n - 1) // 256 + 1)) AS i FROM f),
       |fr AS (
@@ -104,7 +114,8 @@ object Multimodal {
       |FROM ck ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val blobs = Tables(spark, dir).documents
-      .filter(col("doc_id") % 50 === 0 && length(col("text")) > 0)
+      .filter(col("doc_id") % 50 === 0 && length(col("text")) > 0 &&
+        length(col("text")) === octet_length(col("text")))
       .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
       .as[Blob]
     blobs.mapPartitions { iter =>
