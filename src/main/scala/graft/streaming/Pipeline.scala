@@ -42,6 +42,28 @@ object Streaming {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Stateful streaming operators latch their state-store partitioning
+    * from `spark.sql.shuffle.partitions` when the query STARTS (it is
+    * snapshotted into the offset metadata), and every micro-batch then
+    * pays a fixed per-partition cost: store instances, delta-file
+    * commits, snapshot maintenance. Plan that count from the STREAM's
+    * volume, not the session default — measured locally, the st06
+    * stream-stream join drops ~4× (12.9 s → 2.8 s) going from 32 state
+    * partitions to 4 over a 2 MB source. At 100 TB rates the same
+    * formula fans back out to the cluster cap. The conf is mutated
+    * around the (blocking) run and restored after; because the value is
+    * latched at start, the restore cannot affect the running query —
+    * and a checkpoint-resumed query ignores the session value entirely
+    * (it is restored from checkpoint metadata). */
+  private def withStreamParallelism[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val bytes = new java.io.File(s"$dir/events.parquet").length()
+    val parts = math.max(1L,
+      math.min(spark.sparkContext.defaultParallelism.toLong, bytes >> 20)).toInt
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def runToCompletion(df: DataFrame, name: String): DataFrame = {
     val q = df.writeStream
       .outputMode("complete")
@@ -65,7 +87,7 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
-    runToCompletion(agg, "st01_out")
+    withStreamParallelism(spark, dir)(runToCompletion(agg, "st01_out"))
       .orderBy(col("window_start"), col("event_type"))
   }
 
@@ -84,7 +106,7 @@ object Streaming {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    runToCompletion(agg, "st02_out")
+    withStreamParallelism(spark, dir)(runToCompletion(agg, "st02_out"))
       .orderBy(col("event_type"))
   }
 
@@ -164,13 +186,15 @@ object Streaming {
           state.update(UserState(n, lastM))
           Iterator.single(UserUpdate(user, n, lastM))
       }
-    val q = updates.toDF().writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName("st04_out")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamParallelism(spark, dir) {
+      val q = updates.toDF().writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName("st04_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table("st04_out")
       .select(col("user_id"), col("n_events"),
         timestamp_micros(col("last_micros")).as("last_ts"))
@@ -201,7 +225,7 @@ object Streaming {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n"), col("sum_v"))
-    runToCompletion(agg, "st05_out")
+    withStreamParallelism(spark, dir)(runToCompletion(agg, "st05_out"))
       .orderBy(col("user_id"), col("session_start"))
   }
 
@@ -232,13 +256,15 @@ object Streaming {
       .withWatermark("pts", "2 hours")
     val joined = purchases.join(clicks,
       expr("p_user = c_user AND cts BETWEEN pts - INTERVAL 1 HOUR AND pts"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("st06_out")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamParallelism(spark, dir) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName("st06_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table("st06_out")
       .groupBy(col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"), round(sum(col("cv")), 2).as("sum_click_v"))
@@ -265,7 +291,7 @@ object Streaming {
       .join(dim, Seq("user_id"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("user_n")).as("sum_user_n"))
-    runToCompletion(enriched, "st07_out")
+    withStreamParallelism(spark, dir)(runToCompletion(enriched, "st07_out"))
       .orderBy(col("event_type"))
   }
 
