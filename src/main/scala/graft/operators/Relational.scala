@@ -441,7 +441,44 @@ object Relational {
     perMonth.unionByName(total).orderBy(col("mon"))
   }
 
+  /** q21: deterministic hash-based stratified sampling — each stratum
+    * (order status) keeps rows whose md5(key) prefix falls below a
+    * per-stratum threshold. No RNG, no seed coordination, no
+    * sampleBy: the SAME rows are selected on any engine, any cluster
+    * size, any re-run — the property a reproducible 100 TB training-
+    * data subset actually needs (resampling a corpus must not depend
+    * on partition layout). Map-only with partial aggregation; the
+    * per-stratum thresholds ride inline as a CASE, a broadcast rate
+    * table in the general form. Parity: Spark's md5 and DuckDB's MD5
+    * both emit lowercase hex over the identical decimal rendering of
+    * the BIGINT key. */
+  val q21 = QueryDef(
+    "q21_hash_sample",
+    """WITH s AS (
+      |  SELECT o_orderstatus, o_orderkey,
+      |    SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS hh,
+      |    CASE o_orderstatus WHEN 'O' THEN '40' WHEN 'F' THEN '20' ELSE '80' END AS thr
+      |  FROM orders)
+      |SELECT o_orderstatus, COUNT(*) AS n_total,
+      |  COUNT(*) FILTER (WHERE hh < thr) AS n_sampled,
+      |  ROUND(COUNT(*) FILTER (WHERE hh < thr) * 1.0 / COUNT(*) + 1e-9, 4) AS rate,
+      |  CAST(SUM(CASE WHEN hh < thr THEN o_orderkey ELSE 0 END) AS BIGINT) AS key_checksum
+      |FROM s GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    val hh = substring(md5(col("o_orderkey").cast("string")), 1, 2)
+    val thr = when(col("o_orderstatus") === "O", "40")
+      .when(col("o_orderstatus") === "F", "20").otherwise("80")
+    Tables(spark, dir).orders
+      .select(col("o_orderstatus"), col("o_orderkey"), (hh < thr).as("keep"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("keep"), 1)).as("n_sampled"),
+        graft.QueryDef.roundBiased(
+          count(when(col("keep"), 1)) * lit(1.0) / count(lit(1)), 4).as("rate"),
+        sum(when(col("keep"), col("o_orderkey")).otherwise(0L)).as("key_checksum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
-      q14, q16, q17, q18, q19, q20)
+      q14, q16, q17, q18, q19, q20, q21)
 }

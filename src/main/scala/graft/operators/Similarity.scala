@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Vectors
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** C-family similarity search (SURVEY.md §2 s01–s02) over the
@@ -23,7 +24,7 @@ object Similarity {
     """WITH q AS (
       |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
       |SELECT vec_id,
-      |  ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), qv) + 1e-9, 4) AS sim
+      |  ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), qv) + 1e-9, 4) + 0.0 AS sim
       |FROM embeddings, q
       |WHERE vec_id <> 0
       |ORDER BY LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id
@@ -67,9 +68,9 @@ object Similarity {
     "s03_vector_stats",
     """SELECT vec_id,
       |  ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x))) + 1e-9, 4) AS l2,
-      |  ROUND(LIST_MIN(CAST(embedding AS DOUBLE[])) + 1e-9, 4) AS min_c,
-      |  ROUND(LIST_MAX(CAST(embedding AS DOUBLE[])) + 1e-9, 4) AS max_c,
-      |  ROUND(LIST_SUM(CAST(embedding AS DOUBLE[])) / LEN(embedding) + 1e-9, 4) AS mean_c
+      |  ROUND(LIST_MIN(CAST(embedding AS DOUBLE[])) + 1e-9, 4) + 0.0 AS min_c,
+      |  ROUND(LIST_MAX(CAST(embedding AS DOUBLE[])) + 1e-9, 4) + 0.0 AS max_c,
+      |  ROUND(LIST_SUM(CAST(embedding AS DOUBLE[])) / LEN(embedding) + 1e-9, 4) + 0.0 AS mean_c
       |FROM embeddings ORDER BY vec_id""".stripMargin) { (spark, dir) =>
     val v = col("embedding").cast("array<double>")
     Tables(spark, dir).embeddings
@@ -95,7 +96,7 @@ object Similarity {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, v, $planeSql AS bucket FROM e),
          |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
-         |SELECT vec_id, ROUND(LIST_COSINE_SIMILARITY(v, qv) + 1e-9, 4) AS sim
+         |SELECT vec_id, ROUND(LIST_COSINE_SIMILARITY(v, qv) + 1e-9, 4) + 0.0 AS sim
          |FROM b, q WHERE bucket = qb AND vec_id <> 0
          |ORDER BY LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id
          |LIMIT 5""".stripMargin) { (spark, dir) =>
@@ -134,7 +135,7 @@ object Similarity {
       |                         ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cv) DESC, c.cid) AS rn
       |    FROM e CROSS JOIN cent c) t WHERE rn = 1),
       |q AS (SELECT cid AS qcid, v AS qv FROM assign WHERE vec_id = 0)
-      |SELECT vec_id, ROUND(LIST_COSINE_SIMILARITY(v, qv) + 1e-9, 4) AS sim
+      |SELECT vec_id, ROUND(LIST_COSINE_SIMILARITY(v, qv) + 1e-9, 4) + 0.0 AS sim
       |FROM assign, q
       |WHERE cid = qcid AND vec_id <> 0
       |ORDER BY LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id
@@ -159,5 +160,131 @@ object Similarity {
       .select(col("vec_id"), graft.QueryDef.roundBiased(col("raw"), 4).as("sim"))
   }
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03, s04)
+  /** s05: k-means training of the IVF coarse-quantizer codebook (the
+    * codebook s04 probes) — spherical k-means, two Lloyd iterations,
+    * deterministic seeding from the first K data vectors.
+    *
+    * The 100 TB shape per iteration: the assignment is a MAP-SIDE
+    * projection against the broadcast/literal centroids (zero shuffle —
+    * K×dims doubles is the only driver-side data, like s04's codebook),
+    * and the centroid update is ONE explode + partially-aggregated
+    * shuffle whose reduce side carries just K×dims groups. Nothing else
+    * moves; iterations scale linearly in corpus size with no quadratic
+    * term and no driver-side vectors.
+    *
+    * Cross-engine determinism: ties in the argmax break to the smallest
+    * centroid id in both engines, and the iteration-1 means are rounded
+    * to 6 decimals on BOTH sides before re-assignment, so float
+    * summation order can't flip an iteration-2 assignment. */
+  val s05 = QueryDef(
+    "s05_kmeans_train",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |a1 AS (SELECT vec_id, v, cid FROM (
+      |  SELECT e.vec_id, e.v, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |                       ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cv) DESC, c.cid) AS rn
+      |  FROM e CROSS JOIN c0 c) t WHERE rn = 1),
+      |m1 AS (SELECT cid, i, ROUND(AVG(v[i]) + 1e-9, 6) AS cx
+      |       FROM a1 CROSS JOIN generate_series(1, 64) g(i) GROUP BY cid, i),
+      |c1 AS (SELECT cid, LIST(cx ORDER BY i) AS cv FROM m1 GROUP BY cid),
+      |a2 AS (SELECT vec_id, v, cid FROM (
+      |  SELECT e.vec_id, e.v, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |                       ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cv) DESC, c.cid) AS rn
+      |  FROM e CROSS JOIN c1 c) t WHERE rn = 1),
+      |m2 AS (SELECT cid, CAST(i - 1 AS INTEGER) AS pos,
+      |         ROUND(AVG(v[i]) + 1e-9, 4) + 0.0 AS centroid
+      |       FROM a2 CROSS JOIN generate_series(1, 64) g(i) GROUP BY cid, i),
+      |n2 AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid)
+      |SELECT CAST(m2.cid AS BIGINT) AS cid, pos, centroid, n_members
+      |FROM m2 JOIN n2 ON m2.cid = n2.cid
+      |ORDER BY cid, pos""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    // argmax by lexicographic struct max — (cosine, -cid) picks highest
+    // similarity, ties to the smallest cid (same order as the oracle's
+    // ROW_NUMBER)
+    def assign(centroids: Seq[(Int, Array[Double])]) = {
+      val best = array_max(array(centroids.map { case (cid, cv) =>
+        struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
+      emb.withColumn("cid", -best.getField("n"))
+    }
+    // per-dim means: ONE explode + partial-agg shuffle, K×64 groups out
+    def dimMeans(assigned: org.apache.spark.sql.DataFrame, scale: Int) =
+      assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(graft.QueryDef.roundBiased(avg(col("x")), scale).as("cx"))
+    val seeds = emb.filter(col("vec_id") < 4).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    val c1 = dimMeans(assign(seeds), 6)
+      .orderBy(col("cid"), col("pos")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) => (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray) }
+    val a2 = assign(c1).persist()
+    val m2 = dimMeans(a2, 4).withColumnRenamed("cx", "centroid")
+    val n2 = a2.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    m2.join(broadcast(n2), "cid")
+      .select(col("cid").cast("long").as("cid"), col("pos"), col("centroid"),
+        col("n_members"))
+      .orderBy(col("cid"), col("pos"))
+  }
+
+  /** s06: int8 scalar quantization of the embedding column — the
+    * compression stage of an embedding pipeline (4 B float → 1 B code
+    * per dim). Per-dim global min/max form the quantizer grid; they are
+    * exact order-independent picks (no float-summation drift), tiny
+    * (dims rows, from one partially-aggregated explode), and inlined
+    * back as literals so the encode itself is a zero-shuffle map-side
+    * projection — at 100 TB the stats job is a cheap prepass and the
+    * encode streams. Output per vector: a position-weighted code
+    * checksum (exact integer parity) and the round-trip RMSE. */
+  val s06 = QueryDef(
+    "s06_int8_quantize",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |st AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) - MIN(v[i]) AS sp
+      |       FROM e CROSS JOIN generate_series(1, 64) g(i) GROUP BY i),
+      |q AS (SELECT e.vec_id, st.i, e.v[st.i] AS x, st.mn, st.sp,
+      |        CASE WHEN st.sp = 0 THEN 0.0
+      |             ELSE LEAST(GREATEST(FLOOR((e.v[st.i] - st.mn) / st.sp * 255.0), 0.0), 255.0)
+      |        END AS code
+      |      FROM e CROSS JOIN st),
+      |r AS (SELECT vec_id, i, code,
+      |        mn + (code + 0.5) * sp / 255.0 - x AS err
+      |      FROM q)
+      |SELECT vec_id,
+      |  CAST(SUM(CAST(code AS BIGINT) * i) AS BIGINT) AS code_sum,
+      |  ROUND(SQRT(SUM(err * err) / 64) + 1e-9, 6) AS rmse
+      |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stats = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val minsLit = typedlit(stats.map(_.getDouble(1)))
+    val spansLit = typedlit(stats.map(r => r.getDouble(2) - r.getDouble(1)))
+    // (x - mn) / sp * 255 evaluated with the same association as the
+    // oracle; sp == 0 guarded (ANSI division) exactly as in SQL
+    def codeOf(x: Column, i: Column) = {
+      val mn = element_at(minsLit, i + 1)
+      val sp = element_at(spansLit, i + 1)
+      when(sp === 0.0, lit(0.0))
+        .otherwise(least(greatest(floor((x - mn) / sp * 255.0), lit(0.0)), lit(255.0)))
+    }
+    def errOf(x: Column, i: Column) = {
+      val mn = element_at(minsLit, i + 1)
+      val sp = element_at(spansLit, i + 1)
+      mn + (codeOf(x, i) + 0.5) * sp / 255.0 - x
+    }
+    emb.select(col("vec_id"),
+        aggregate(transform(col("v"), (x, i) => codeOf(x, i) * (i + 1).cast("double")),
+          lit(0.0), (a, c) => a + c).cast("long").as("code_sum"),
+        graft.QueryDef.roundBiased(
+          sqrt(aggregate(transform(col("v"), (x, i) => { val e = errOf(x, i); e * e }),
+            lit(0.0), (a, c) => a + c) / 64.0), 6).as("rmse"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03, s04, s05, s06)
 }

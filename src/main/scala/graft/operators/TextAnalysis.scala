@@ -143,5 +143,62 @@ object TextAnalysis {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05)
+  /** t06: vocabulary statistics — global term frequency + document
+    * frequency, top 100 by tf with a deterministic token tie-break.
+    * The canonical 100 TB wordcount: explode + ONE partially-aggregated
+    * shuffle keyed by token (map-side combine collapses each
+    * partition's repeats before anything moves), then a second tiny
+    * shuffle for the exact document frequency. At corpus scale the
+    * exact distinct-doc count swaps for approx_count_distinct (q10's
+    * pattern) without touching the rest of the plan. */
+  val t06 = QueryDef(
+    "t06_vocab_topk",
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tk FROM documents),
+      |f AS (
+      |  SELECT tk, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |  FROM tok WHERE tk <> '' GROUP BY tk)
+      |SELECT tk, tf, df FROM f
+      |ORDER BY tf DESC, tk LIMIT 100""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))
+      .filter(col("tk") =!= "")
+      .groupBy(col("tk"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tk"))
+      .limit(100)
+  }
+
+  /** t07: domain-mixing weights — per-source token mass and the
+    * up/down-sampling weight that would equalize the mixture (target
+    * share / actual share), the data-mixing stage in front of training.
+    * One partial-agg shuffle on source; the totals are a broadcast
+    * 1-row cross join. */
+  val t07 = QueryDef(
+    "t07_domain_mix",
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(LENGTH(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |               COUNT(*) AS n_sources FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  ROUND(n_tokens * 1.0 / total_tokens + 1e-9, 4) AS token_share,
+      |  ROUND((1.0 / n_sources) / (n_tokens * 1.0 / total_tokens) + 1e-9, 4) AS mix_weight
+      |FROM s, tot ORDER BY source""".stripMargin) { (spark, dir) =>
+    val perSource = Tables(spark, dir).documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col("text")))).as("n_tokens"))
+    val totals = perSource
+      .agg(sum(col("n_tokens")).as("total_tokens"), count(lit(1)).as("n_sources"))
+    val share = col("n_tokens") * lit(1.0) / col("total_tokens")
+    perSource.join(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        graft.QueryDef.roundBiased(share, 4).as("token_share"),
+        graft.QueryDef.roundBiased((lit(1.0) / col("n_sources")) / share, 4).as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
 }

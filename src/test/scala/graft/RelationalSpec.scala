@@ -54,6 +54,19 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(e - a) / e < 0.05, s"exact=$e approx=$a")
   }
 
+  test("q21 hash sampling is deterministic and near the nominal rates") {
+    val run1 = Relational.q21.fn(spark, sf).collect()
+    val run2 = Relational.q21.fn(spark, sf).collect()
+    assert(run1.sameElements(run2)) // same rows every run — no RNG
+    val nominal = Map("O" -> 64.0 / 256, "F" -> 32.0 / 256, "P" -> 128.0 / 256)
+    run1.foreach { r =>
+      val status = r.getAs[String]("o_orderstatus")
+      val rate = r.getAs[Double]("rate")
+      assert(math.abs(rate - nominal(status)) < 0.08,
+        s"$status: rate=$rate nominal=${nominal(status)}")
+    }
+  }
+
   test("oracle coverage: every query has an oracle or is explicitly rows-only") {
     val rowsOnly = Set("q10_approx_distinct", "q20_sketch_merge")
     Relational.all.foreach { q =>

@@ -135,4 +135,46 @@ class TextDedupSpec extends SparkSpec {
     val out = TextAnalysis.t03.fn(spark, sf).collect()
     assert(out.forall(r => Set("en", "fr", "es", "und").contains(r.getAs[String]("predicted"))))
   }
+
+  test("s05 k-means: K×dims centroid rows, members partition the corpus") {
+    val rows = Similarity.s05.fn(spark, sf).collect()
+    assert(rows.length == 4 * 64)
+    val perCluster = rows.groupBy(_.getAs[Long]("cid"))
+      .map { case (cid, rs) => cid -> rs.head.getAs[Long]("n_members") }
+    val total = Similarity.s03.fn(spark, sf).count() // one row per vector
+    assert(perCluster.values.sum == total,
+      s"cluster members ${perCluster.values.sum} != corpus $total")
+    assert(perCluster.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+  }
+
+  test("s06 quantization: rmse bounded by the int8 grid step") {
+    val rows = Similarity.s06.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-dim error ≤ half a grid step; embeddings span ~[-0.6, 0.6] per
+    // dim, so rmse ≤ (max span)/255 generously bounded at 0.01
+    rows.foreach { r =>
+      val rmse = r.getAs[Double]("rmse")
+      assert(rmse >= 0 && rmse < 0.01, s"vec ${r.get(0)}: rmse=$rmse")
+    }
+  }
+
+  test("t06 vocab: tf descending, df never exceeds tf") {
+    val rows = TextAnalysis.t06.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tfs = rows.map(_.getAs[Long]("tf"))
+    assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r =>
+      assert(r.getAs[Long]("df") <= r.getAs[Long]("tf") && r.getAs[Long]("df") > 0))
+  }
+
+  test("t07 mix weights: shares sum to 1, weight inverts the share") {
+    val rows = TextAnalysis.t07.fn(spark, sf).collect()
+    val shares = rows.map(_.getAs[Double]("token_share"))
+    assert(math.abs(shares.sum - 1.0) < 0.01)
+    val n = rows.length.toDouble
+    rows.foreach { r =>
+      val implied = r.getAs[Double]("mix_weight") * r.getAs[Double]("token_share")
+      assert(math.abs(implied - 1.0 / n) < 0.01)
+    }
+  }
 }
