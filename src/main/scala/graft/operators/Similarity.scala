@@ -147,7 +147,7 @@ object Similarity {
     // argmax by lexicographic struct max: (cosine, -cid) picks highest
     // similarity, ties to the smallest centroid id — the same order the
     // oracle's ROW_NUMBER uses
-    val best = array_max(array(centroids.map { case (cid, cv) =>
+    val best = array_max(array(centroids.toSeq.map { case (cid, cv) =>
       struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
     val assigned = emb.withColumn("cid", -best.getField("n")).persist()
     val q = assigned.filter(col("vec_id") === 0)

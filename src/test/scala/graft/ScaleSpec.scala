@@ -164,4 +164,29 @@ class ScaleSpec extends SparkSpec {
       .queryExecution.executedPlan.toString()
     assert(plan.contains("*(1) Project"), s"not codegen'd:\n$plan")
   }
+
+  test("q21 hash sampling is a single partial-agg pass, no join or extra exchange") {
+    val plan = physicalPlan(graft.operators.Relational.q21.fn(spark, sf))
+    assert(!plan.contains("Join"), s"sampling must not join:\n$plan")
+    // one exchange for the groupBy, one for the oracle ORDER BY — the
+    // sampling predicate itself adds nothing
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("s05 assignment stage is map-side: no exchange below the centroid agg") {
+    // the literal-centroid argmax is a pure projection over the scan —
+    // the ONLY shuffles in an iteration are the per-dim mean agg and
+    // nothing else (broadcast/literal centroids, zero join exchanges)
+    val t = Tables(spark, sf)
+    val emb = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Seq((0, Array(1.0) ++ Array.fill(63)(0.0)), (1, Array.fill(64)(0.5)))
+    val best = array_max(array(cents.map { case (cid, cv) =>
+      struct(graft.functions.Vectors.cosine(col("v"), typedlit(cv)).as("c"),
+        lit(-cid).as("n")) }: _*))
+    val assigned = emb.withColumn("cid", -best.getField("n"))
+    val plan = physicalPlan(assigned)
+    assert(!plan.contains("Exchange"), s"assignment should be map-only:\n$plan")
+  }
 }
