@@ -200,5 +200,48 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  /** t08: tf-idf keyword extraction — top 3 terms per document by
+    * tf·ln(N/df), deterministic tie-break on the term. The full-corpus
+    * plan: per-doc term counts (one shuffle on (doc, term), map-side
+    * combined), document frequencies re-aggregated from the tf table
+    * (vocab-sized, broadcastable at 100 TB), a broadcast 1-row corpus
+    * count, and a per-doc rank window (one shuffle on doc). tf-idf is
+    * never negative (df ≤ N ⇒ ln ≥ 0), so no -0.0 normalization is
+    * needed. */
+  val t08 = QueryDef(
+    "t08_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tk FROM documents),
+      |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok WHERE tk <> ''
+      |       GROUP BY doc_id, tk),
+      |df AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY tk),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, tk, tf, df,
+      |  ROUND(tf * LN(n_docs * 1.0 / df) + 1e-9, 4) AS tfidf
+      |FROM (
+      |  SELECT tf.doc_id, tf.tk, tf.tf, df.df, n.n_docs,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |                       ORDER BY tf.tf * LN(n.n_docs * 1.0 / df.df) DESC, tf.tk) AS rn
+      |  FROM tf JOIN df USING (tk) CROSS JOIN n) t
+      |WHERE rn <= 3
+      |ORDER BY doc_id, tk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))
+      .filter(col("tk") =!= "")
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val score = col("tf") * log(col("n_docs") * lit(1.0) / col("df"))
+    tf.join(df, "tk").join(broadcast(n))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(score.desc, col("tk"))))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("tk"), col("tf"), col("df"),
+        graft.QueryDef.roundBiased(score, 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("tk"))
+  }
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }

@@ -167,6 +167,14 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getAs[Long]("df") <= r.getAs[Long]("tf") && r.getAs[Long]("df") > 0))
   }
 
+  test("t08 tf-idf: at most 3 terms per doc, scores non-negative") {
+    val rows = TextAnalysis.t08.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.values.forall(_.length <= 3))
+    rows.foreach(r => assert(r.getAs[Double]("tfidf") >= 0.0))
+  }
+
   test("t07 mix weights: shares sum to 1, weight inverts the share") {
     val rows = TextAnalysis.t07.fn(spark, sf).collect()
     val shares = rows.map(_.getAs[Double]("token_share"))
