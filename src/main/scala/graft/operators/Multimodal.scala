@@ -135,5 +135,53 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  val all: Seq[QueryDef] = Seq(m01, m02)
+  /** One thumbnail row per payload. */
+  final case class Thumb(doc_id: Long, n_bytes: Int, thumb_bytes: Int, thumb_checksum: Long)
+
+  /** m03: resize/downsample plumbing — the third multimodal verb next
+    * to m01 (decode/feature-extract) and m02 (frame-sample): reduce
+    * each payload to a fixed-budget "thumbnail" by striding the byte
+    * stream (every 16th byte of the first 4 KiB — a real build swaps
+    * the stride for pixel-aware resampling inside the same
+    * per-partition batch loop). Map-only, one typed row out per blob;
+    * the oracle recomputes the strided sample + checksum via SUBSTR
+    * over the same (ASCII-gated, see m01) bytes. */
+  val m03 = QueryDef(
+    "m03_resize_thumb",
+    """WITH f AS (
+      |  SELECT doc_id, text, LEAST(LENGTH(text), 4096) AS n
+      |  FROM documents
+      |  WHERE doc_id % 25 = 0 AND LENGTH(text) > 0
+      |    AND LENGTH(text) = OCTET_LENGTH(ENCODE(text))),
+      |s AS (
+      |  SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS n_bytes,
+      |    LIST_TRANSFORM(RANGE(0, (n + 15) // 16),
+      |      i -> CAST(ASCII(SUBSTR(text, CAST(i * 16 + 1 AS INTEGER), 1)) AS BIGINT)) AS codes
+      |  FROM f)
+      |SELECT doc_id, n_bytes,
+      |  CAST(LEN(codes) AS INTEGER) AS thumb_bytes,
+      |  LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), codes),
+      |    (a, b) -> (a * 31 + b) % 1000000000000037) AS thumb_checksum
+      |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val blobs = Tables(spark, dir).documents
+      .filter(col("doc_id") % 25 === 0 && length(col("text")) > 0 &&
+        length(col("text")) === octet_length(col("text")))
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .as[Blob]
+    blobs.mapPartitions { iter =>
+      iter.map { b =>
+        val n = math.min(b.payload.length, 4096)
+        val m = (n + 15) / 16
+        var h = 0L
+        var i = 0
+        while (i < m) { h = (h * 31 + (b.payload(i * 16) & 0xff)) % Mod; i += 1 }
+        Thumb(b.doc_id, b.payload.length, m, h)
+      }
+    }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(m01, m02, m03)
 }

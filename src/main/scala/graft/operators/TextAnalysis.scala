@@ -186,10 +186,13 @@ object TextAnalysis {
       |  ROUND(n_tokens * 1.0 / total_tokens + 1e-9, 4) AS token_share,
       |  ROUND((1.0 / n_sources) / (n_tokens * 1.0 / total_tokens) + 1e-9, 4) AS mix_weight
       |FROM s, tot ORDER BY source""".stripMargin) { (spark, dir) =>
+    // persisted: `totals` re-aggregates from this #sources-row result —
+    // without the cache the totals branch would re-SCAN the full corpus
     val perSource = Tables(spark, dir).documents
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(Text.tokens(col("text")))).as("n_tokens"))
+      .persist()
     val totals = perSource
       .agg(sum(col("n_tokens")).as("total_tokens"), count(lit(1)).as("n_sources"))
     val share = col("n_tokens") * lit(1.0) / col("total_tokens")
@@ -227,10 +230,13 @@ object TextAnalysis {
       |ORDER BY doc_id, tk""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
+    // persisted: df and the scored join both consume tf — without the
+    // cache the df branch re-explodes and re-aggregates the corpus
     val tf = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))
       .filter(col("tk") =!= "")
       .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val score = col("tf") * log(col("n_docs") * lit(1.0) / col("df"))

@@ -167,6 +167,16 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getAs[Long]("df") <= r.getAs[Long]("tf") && r.getAs[Long]("df") > 0))
   }
 
+  test("m03 thumbnail: strided size is ceil(min(n,4096)/16)") {
+    val rows = Multimodal.m03.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_bytes")
+      val expected = (math.min(n, 4096) + 15) / 16
+      assert(r.getAs[Int]("thumb_bytes") == expected)
+    }
+  }
+
   test("t08 tf-idf: at most 3 terms per doc, scores non-negative") {
     val rows = TextAnalysis.t08.fn(spark, sf).collect()
     assert(rows.nonEmpty)
