@@ -386,16 +386,19 @@ object Dedup {
     // while a web-scale edge list fans back out to the full cluster
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nEdges / 100000L)).toInt
-    val edges = p.toDF("src", "dst")
-      .union(p.toDF("dst", "src").select(col("src"), col("dst")))
-      .repartition(parts, col("src")).persist()
-    // the iteration shuffles (join + groupBy) run at the same
-    // edge-sized parallelism, scoped PER PLAN: an explicit
-    // repartition-on-key ahead of each shuffle consumer leaves every
-    // required clustering already satisfied at `parts` partitions, so
-    // EnsureRequirements adds no conf-sized exchange — the
-    // session-global shuffle-partition/AQE confs are never mutated
-    // (queries running concurrently on this session are unaffected).
+    // the iteration shuffles run at the same edge-sized parallelism,
+    // scoped PER PLAN rather than by mutating session confs (queries
+    // running concurrently on this session are unaffected). The loop is
+    // laid out so each round needs exactly ONE exchange: `edges` is
+    // CACHED pre-partitioned on the probe key (nbr), `labels` stays
+    // hash-partitioned on id across rounds (alias-aware partitioning
+    // carries it through the nbr rename), so the neighbor join and the
+    // final label join are both exchange-free SMJs and only the
+    // groupBy(src) repartition moves data.
+    val Seq(c1, c2) = p.columns.take(2).toSeq
+    val edges = p.select(col(c1).as("src"), col(c2).as("nbr"))
+      .union(p.select(col(c2).as("src"), col(c1).as("nbr")))
+      .repartition(parts, col("nbr")).persist()
     var labels = edges.select(col("src").as("id"))
       .repartition(parts, col("id")).distinct()
       .select(col("id"), col("id").as("label")).persist()
@@ -408,15 +411,13 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
-      val nbrMin = edges.toDF("src", "nbr")
-        .repartition(parts, col("nbr"))
+      val nbrMin = edges
         .join(labels.toDF("nbr", "nbr_label"), "nbr")
         .repartition(parts, col("src"))
         .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("nbr_min"))
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .repartition(parts, col("id"))
         .persist()
       val nextSum = labelSum(next)
       labels.unpersist()
