@@ -73,4 +73,43 @@ class EdgeCaseSpec extends SparkSpec {
     val r = Seq("").toDF("text").select(expr("graft_rolling_fp(text)")).collect()(0).getLong(0)
     assert(r == 0L)
   }
+
+  test("afterWatermark rejects a multi-row watermark relation") {
+    import spark.implicits._
+    val df = Seq((1L, 10L)).toDF("id", "ts")
+    val multi = Seq(5L, 7L).toDF("watermark")
+    intercept[IllegalArgumentException] {
+      Ingest.afterWatermark(df, col("ts"), multi)
+    }
+  }
+
+  test("afterWatermark tolerates an input that has its own watermark column") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, "x"), (2L, 3L, "y")).toDF("id", "ts", "watermark")
+    val wm = Seq(5L).toDF("watermark")
+    val kept = Ingest.afterWatermark(df, col("ts"), wm).collect()
+    assert(kept.map(_.getLong(0)).sameElements(Array(1L)))
+    assert(kept(0).schema.fieldNames.contains("watermark")) // input column survives
+  }
+
+  test("cleanupOldData returns an empty frame when retention drops everything") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret").toString
+    import spark.implicits._
+    val df = Seq((1L, "2020-01-01 00:00:00")).toDF("id", "ts")
+      .select(col("id"), col("ts").cast("timestamp").as("ts"))
+    graft.sources.Publish.writeDatePartitioned(df, dir, "ns", "ts")
+    val out = graft.sources.Publish.cleanupOldData(spark, dir, "ns", "2099-01-01")
+    assert(out.count() == 0)
+  }
+
+  test("Md5SeededExpr rejects seed counts outside [1, 64] at construction") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val child = ColumnBridge.expression(lit("x"))
+    intercept[IllegalArgumentException] {
+      graft.functions.Md5SeededExpr(child, 65)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Md5SeededExpr(child, 0)
+    }
+  }
 }
