@@ -474,5 +474,110 @@ object Dedup {
     dupClusters(confirmed).orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06)
+  /** d07: INCREMENTAL dedup — a new batch deduped against the existing
+    * corpus instead of against itself, the shape every continuously-fed
+    * training pipeline actually runs (the reference's idempotent
+    * re-ingest, `raster_vector.py:158`, generalized from exact date
+    * slices to near-dup content). Two tiers:
+    * exact (content-hash anti-join: at 100 TB a hash-shuffle anti-join
+    * against the corpus hash index, never a rescan of corpus text) then
+    * MinHash banding with batch×corpus candidates only — band buckets
+    * capped over the UNION of both sides, so a boilerplate band that is
+    * hot in either side still can't go quadratic. Corpus rows are never
+    * dropped (they are the already-accepted set); output is the
+    * per-source fate of the batch. Fully DuckDB-oracled on the portable
+    * md5-minhash path. */
+  val d07 = QueryDef(
+    "d07_incremental_dedup",
+    """WITH docs AS (
+      |  SELECT doc_id, source, text, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |corpus AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+      |batch AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+      |exact_kept AS (
+      |  SELECT * FROM batch WHERE MD5(text) NOT IN (SELECT MD5(text) FROM corpus)),
+      |shb AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      |  RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM exact_kept),
+      |shc AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      |  RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM corpus),
+      |exb AS (SELECT doc_id, UNNEST(sh) AS s FROM shb),
+      |exc AS (SELECT doc_id, UNNEST(sh) AS s FROM shc),
+      |sigb AS (SELECT doc_id, j, MIN(MD5(s || '#' || j)) AS m
+      |         FROM exb, RANGE(16) r(j) GROUP BY doc_id, j),
+      |sigc AS (SELECT doc_id, j, MIN(MD5(s || '#' || j)) AS m
+      |         FROM exc, RANGE(16) r(j) GROUP BY doc_id, j),
+      |bands AS (
+      |  SELECT doc_id, j // 4 AS band_idx,
+      |    MD5(STRING_AGG(m, '|' ORDER BY j)) AS band_hash, 'b' AS side
+      |  FROM sigb GROUP BY doc_id, j // 4
+      |  UNION ALL
+      |  SELECT doc_id, j // 4 AS band_idx,
+      |    MD5(STRING_AGG(m, '|' ORDER BY j)) AS band_hash, 'c' AS side
+      |  FROM sigc GROUP BY doc_id, j // 4),
+      |capped AS (SELECT doc_id, band_idx, band_hash, side FROM (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+      |  FROM bands) t WHERE bsz <= 64),
+      |cand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+      |         FROM capped b JOIN capped c
+      |           ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+      |          AND b.side = 'b' AND c.side = 'c'),
+      |near AS (SELECT DISTINCT bid AS doc_id FROM cand
+      |         JOIN shb x ON x.doc_id = bid JOIN shc y ON y.doc_id = cid
+      |         WHERE CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS DOUBLE) /
+      |               LEN(LIST_DISTINCT(LIST_CONCAT(x.sh, y.sh))) >= 0.3),
+      |kept AS (SELECT doc_id FROM exact_kept
+      |         WHERE doc_id NOT IN (SELECT doc_id FROM near))
+      |SELECT b.source AS source, COUNT(*) AS n_batch,
+      |  COUNT(*) FILTER (WHERE ek.doc_id IS NULL) AS n_exact_dup,
+      |  COUNT(*) FILTER (WHERE ek.doc_id IS NOT NULL AND kp.doc_id IS NULL) AS n_near_dup,
+      |  COUNT(*) FILTER (WHERE kp.doc_id IS NOT NULL) AS n_kept
+      |FROM batch b
+      |LEFT JOIN (SELECT doc_id FROM exact_kept) ek ON b.doc_id = ek.doc_id
+      |LEFT JOIN kept kp ON b.doc_id = kp.doc_id
+      |GROUP BY b.source ORDER BY b.source""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("text"),
+        graft.functions.Text.tokens(col("text")).as("toks"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    // exact tier: anti-join on the content hash (the corpus side is a
+    // hash INDEX — text never re-shipped). Persisted + eager: feeds the
+    // shingle subtree and the final fate join.
+    val exactKept = batch.withColumn("h", md5(col("text")))
+      .join(corpus.select(md5(col("text")).as("h")).distinct(), Seq("h"), "left_anti")
+      .drop("h").persist()
+    exactKept.count()
+    def shOf(df: DataFrame) = df.select(col("doc_id"),
+      array_distinct(graft.functions.Text.shingles(col("toks"), 3)).as("sh"))
+    val shB = shOf(exactKept).persist()
+    val shC = shOf(corpus).persist()
+    val bands = md5MinhashBands(shB, "doc_id", "sh").withColumn("side", lit("b"))
+      .unionByName(md5MinhashBands(shC, "doc_id", "sh").withColumn("side", lit("c")))
+    val capped = capBuckets(bands, Seq("band_idx", "band_hash"), BucketCap)
+    val cand = capped.filter(col("side") === "b")
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("bid"))
+      .join(capped.filter(col("side") === "c")
+        .select(col("band_idx"), col("band_hash"), col("doc_id").as("cid")),
+        Seq("band_idx", "band_hash"))
+      .select(col("bid"), col("cid")).distinct()
+    val nearDrops = cand
+      .join(shB.toDF("bid", "shb"), "bid")
+      .join(shC.toDF("cid", "shc"), "cid")
+      .filter(jaccard(col("shb"), col("shc")) >= 0.3)
+      .select(col("bid").as("doc_id")).distinct()
+    val kept = exactKept.select(col("doc_id"))
+      .join(nearDrops, Seq("doc_id"), "left_anti")
+    batch.select(col("doc_id"), col("source"))
+      .join(exactKept.select(col("doc_id"), lit(1).as("ek")), Seq("doc_id"), "left")
+      .join(kept.withColumn("kp", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+        count(when(col("ek").isNull, 1)).as("n_exact_dup"),
+        count(when(col("ek").isNotNull && col("kp").isNull, 1)).as("n_near_dup"),
+        count(when(col("kp").isNotNull, 1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07)
 }

@@ -123,6 +123,17 @@ class TextDedupSpec extends SparkSpec {
     assert(Dedup.dupClusters(empty).count() == 0)
   }
 
+  test("d07 incremental dedup: batch fates are exhaustive and exclusive") {
+    val rows = Dedup.d07.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ex, near, kept) = (r.getAs[Long]("n_batch"), r.getAs[Long]("n_exact_dup"),
+        r.getAs[Long]("n_near_dup"), r.getAs[Long]("n_kept"))
+      assert(ex + near + kept == n,
+        s"${r.getAs[String]("source")}: $ex+$near+$kept != $n")
+    }
+  }
+
   test("capBuckets drops only oversized groups") {
     import spark.implicits._
     val df = (1 to 10).map(i => (i.toLong, if (i <= 8) "hot" else "cold")).toDF("id", "k")
