@@ -478,7 +478,47 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q22: join-key skew profile — the diagnostic behind every salting /
+    * AQE-skew decision: per-key cardinalities of the lineitem join key,
+    * reduced to the distribution's shape (count of keys, max/p99/median
+    * group size, the share of rows owned by the single heaviest key,
+    * and the top heavy hitters). Two partially-aggregated passes: rows
+    * → per-key counts (shuffle carries keys only), then per-key counts
+    * → ~10 distribution rows. At 100 TB this is the cheap prepass you
+    * run BEFORE choosing q15's salt factor. */
+  val q22 = QueryDef(
+    "q22_skew_profile",
+    """WITH k AS (
+      |  SELECT l_orderkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_keys,
+      |    CAST(SUM(n) AS BIGINT) AS n_rows,
+      |    CAST(MAX(n) AS BIGINT) AS max_group,
+      |    ROUND(QUANTILE_CONT(n, 0.99) + 1e-9, 2) AS p99_group,
+      |    ROUND(QUANTILE_CONT(n, 0.5) + 1e-9, 2) AS median_group
+      |  FROM k),
+      |heavy AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS top_n FROM k)
+      |SELECT n_keys, n_rows, max_group, p99_group, median_group,
+      |  ROUND(top_n * 1.0 / n_rows + 1e-9, 6) AS top_key_share
+      |FROM stats, heavy""".stripMargin) { (spark, dir) =>
+    val perKey = Tables(spark, dir).lineitem
+      .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("n"))
+    perKey.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_group"),
+        // exact interpolated quantiles — the q14-proven portable pair
+        // (Spark `percentile` ↔ DuckDB QUANTILE_CONT)
+        graft.QueryDef.roundBiased(percentile(col("n"), lit(0.99)), 2).as("p99_group"),
+        graft.QueryDef.roundBiased(percentile(col("n"), lit(0.5)), 2).as("median_group"))
+      .withColumn("top_key_share",
+        graft.QueryDef.roundBiased(col("max_group") * lit(1.0) / col("n_rows"), 6))
+      .select(col("n_keys"), col("n_rows"), col("max_group"),
+        col("p99_group"), col("median_group"), col("top_key_share"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
-      q14, q16, q17, q18, q19, q20, q21)
+      q14, q16, q17, q18, q19, q20, q21, q22)
 }

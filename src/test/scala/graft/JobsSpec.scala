@@ -50,6 +50,67 @@ class JobsSpec extends SparkSpec {
     assert(a.filter(col("v2") =!= col("v") * 2).count() == 0)
   }
 
+  test("document curation as an incremental job: new slices dedup against the published corpus") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_jobs_cur").toString
+    val src = s"$root/docs_src"
+    val out = s"$root/out"
+    val corpusPath = s"$out/docs"
+    def docRows(rows: Seq[(Long, String, String)]) = rows
+      .map { case (id, day, text) =>
+        (id, java.sql.Timestamp.valueOf(s"2024-03-$day 00:00:00"), text)
+      }.toDF("doc_id", "ts", "text")
+    val base = "the quick brown fox jumps over a lazy dog near the river bank today"
+    // curation transform: quality gate (≥5 tokens) + exact dedup within
+    // the slice + near-dup prune AGAINST THE PUBLISHED CORPUS (d07's
+    // incremental shape inside the reference's job cycle)
+    def curate(slice: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val gated = slice.filter(size(split(col("text"), " ")) >= 5)
+        .withColumn("h", md5(col("text")))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+            .orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      val corpusDir = new java.io.File(corpusPath)
+      if (!corpusDir.exists()) gated.drop("h")
+      else {
+        val published = spark.read.parquet(corpusPath)
+        val exactKept = gated.join(
+          published.select(md5(col("text")).as("h")).distinct(), Seq("h"), "left_anti")
+        def sh(df: org.apache.spark.sql.DataFrame, id: String) = df.select(
+          col("doc_id").as(id),
+          array_distinct(graft.functions.Text.shingles(split(col("text"), " "), 3)).as(s"sh_$id"))
+        val near = sh(exactKept, "bid").join(sh(published, "cid"))
+          .filter(size(array_intersect(col("sh_bid"), col("sh_cid"))).cast("double") /
+            size(array_union(col("sh_bid"), col("sh_cid"))) >= 0.5)
+          .select(col("bid").as("doc_id")).distinct()
+        exactKept.drop("h").join(near, Seq("doc_id"), "left_anti")
+      }
+    }
+    val cfg = JobConfig("docs", s => s.read.parquet(src), "ts", curate, out,
+      retentionDays = 365)
+    val jobs = new Jobs(spark, s"$root/state").register(cfg)
+    // cycle 1: three docs, two identical → exact dedup inside the slice
+    docRows(Seq((1L, "01", base), (2L, "01", base), (3L, "02", base + " extra words here")))
+      .write.mode("overwrite").parquet(src)
+    val r1 = jobs.run(cfg, 1)
+    assert(!r1.skipped && r1.ingested == 3L)
+    assert(spark.read.parquet(corpusPath).count() == 2) // 1 exact dup dropped
+    // cycle 2: one exact dup of the corpus, one near-dup (1-token edit),
+    // one genuinely new doc → only the new doc lands
+    docRows(Seq(
+      (10L, "03", base),
+      (11L, "03", base.replace("today", "tonight")),
+      (12L, "03", "completely different content about spark shuffles and parquet scans")))
+      .write.mode("append").parquet(src)
+    val r2 = jobs.run(cfg, 2)
+    assert(!r2.skipped && r2.ingested == 3L)
+    val corpus = spark.read.parquet(corpusPath).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(corpus.sameElements(Array(1L, 3L, 12L)), corpus.mkString(","))
+  }
+
   test("a failed transform leaves the watermark untouched — the slice is retried") {
     import spark.implicits._
     import java.nio.file.Files
