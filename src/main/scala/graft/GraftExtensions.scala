@@ -1,6 +1,8 @@
 package graft
 
-import graft.functions.{CosineSimExpr, DotExpr, HyperplaneBucketExpr, NormExpr, RollingFingerprintExpr}
+import graft.functions.{CosineSimExpr, DotExpr, HyperplaneBucketExpr, Md5SeededExpr, NormExpr, RollingFingerprintExpr, TopKAggregate, WordShinglesExpr, XxShinglesExpr}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -44,5 +46,18 @@ object GraftExtensions {
     (FunctionIdentifier("graft_hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "graft_hyperplane_bucket"),
       (exprs: Seq[Expression]) =>
-        HyperplaneBucketExpr(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
+        HyperplaneBucketExpr(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
+    (FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "graft_word_shingles"),
+      (exprs: Seq[Expression]) => WordShinglesExpr(exprs(0), intArg(exprs(1)))),
+    (FunctionIdentifier("graft_xx_shingles"),
+      new ExpressionInfo(classOf[XxShinglesExpr].getName, "graft_xx_shingles"),
+      (exprs: Seq[Expression]) => XxShinglesExpr(exprs(0), intArg(exprs(1)))),
+    (FunctionIdentifier("graft_md5_seeded"),
+      new ExpressionInfo(classOf[Md5SeededExpr].getName, "graft_md5_seeded"),
+      (exprs: Seq[Expression]) => Md5SeededExpr(exprs(0), intArg(exprs(1)))),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAggregate].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => TopKAggregate(
+        Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), intArg(exprs(2)))))
 }

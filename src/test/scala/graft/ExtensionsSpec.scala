@@ -11,14 +11,19 @@ class ExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
     import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
     val arr = Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType))
+    val toks = Literal.create(Seq("a", "b", "c"), ArrayType(StringType))
     val argsFor = Map(
       "graft_rolling_fp" -> Seq(Literal("ab")),
       "graft_dot" -> Seq(arr, arr),
       "graft_norm" -> Seq(arr),
       "graft_cosine" -> Seq(arr, arr),
-      "graft_hyperplane_bucket" -> Seq(arr, Literal(4), Literal(2)))
+      "graft_hyperplane_bucket" -> Seq(arr, Literal(4), Literal(2)),
+      "graft_word_shingles" -> Seq(toks, Literal(2)),
+      "graft_xx_shingles" -> Seq(toks, Literal(2)),
+      "graft_md5_seeded" -> Seq(Literal("ab"), Literal(4)),
+      "graft_topk" -> Seq(Literal(1.0), Literal(2L), Literal(3)))
     GraftExtensions.functions.foreach { case (ident, _, builder) =>
       val e = builder(argsFor(ident.funcName))
       assert(e.dataType != null, s"${ident.funcName} built no expression")
