@@ -485,7 +485,10 @@ object Relational {
     * and the top heavy hitters). Two partially-aggregated passes: rows
     * → per-key counts (shuffle carries keys only), then per-key counts
     * → ~10 distribution rows. At 100 TB this is the cheap prepass you
-    * run BEFORE choosing q15's salt factor. */
+    * run BEFORE choosing q15's salt factor. The exact `percentile` is
+    * kept for oracle parity; at extreme key cardinality swap it for
+    * `approx_percentile` (mergeable sketch — no single-reducer sort of
+    * billions of per-key counts). */
   val q22 = QueryDef(
     "q22_skew_profile",
     """WITH k AS (
