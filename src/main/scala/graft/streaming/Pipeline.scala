@@ -135,12 +135,20 @@ object Streaming {
       .withColumn("d_key", date_format(col("ts"), "yyyy-MM-dd"))
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.write
+        // scoped overwrite-mode override (same save/restore discipline
+        // as Publish.writeDatePartitioned — a sink must not leave the
+        // session's overwrite semantics changed for whatever runs next)
+        val conf = batch.sparkSession.conf
+        val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try batch.write
           .mode("overwrite")
           .partitionBy("d_key")
           .parquet(sinkDir)
+        finally prev match {
+          case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
       }
       .trigger(Trigger.AvailableNow())
       // STABLE checkpoint path: a fresh path per run would forfeit the
