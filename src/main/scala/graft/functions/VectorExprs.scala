@@ -1,10 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Native Catalyst expressions for the dense-vector hot path
   * (SURVEY §4 preference (b), mold: [[RollingFingerprintExpr]]).
@@ -212,6 +213,86 @@ case class HyperplaneBucketExpr(child: Expression, numPlanes: Int, dims: Int)
          |  if ($proj >= 0.0) $bucket |= (1 << $p);
          |}
          |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** int8 scalar-quantization round-trip summary (s06 hot path): given
+  * the per-dim grid (mins and spans = max−min, the tiny stats-prepass
+  * result shipped as literals), returns
+  * `struct(code_sum BIGINT, err2_sum DOUBLE)` where
+  * code_i = clamp(floor((v_i − mn_i)/sp_i · 255), 0, 255) (0 when
+  * sp_i = 0), code_sum = Σ code_i·(i+1) and err2_sum = Σ (mn_i +
+  * (code_i + 0.5)·sp_i/255 − v_i)². Arithmetic association and fold
+  * order are identical to the interpreted transform/aggregate
+  * composition it replaces (and to the DuckDB oracle), so s06 keeps
+  * hash-matching — but the whole encode runs as one generated
+  * primitive loop instead of 64 interpreted `element_at` lambdas
+  * per row. */
+case class Int8QuantExpr(child: Expression, mins: Array[Double], spans: Array[Double])
+    extends UnaryExpression {
+  require(mins.length == spans.length, "mins/spans must have equal length")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("code_sum", LongType, nullable = false),
+    StructField("err2_sum", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_int8_quant"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkArrayOfDouble(prettyName, child.dataType)
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(mins.length, v.numElements())
+    var cs = 0.0
+    var es = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val mn = mins(i)
+      val sp = spans(i)
+      val code = if (sp == 0.0) 0.0
+        else math.min(math.max(math.floor((x - mn) / sp * 255.0), 0.0), 255.0)
+      cs += code * (i + 1)
+      val e = mn + (code + 0.5) * sp / 255.0 - x
+      es += e * e
+      i += 1
+    }
+    InternalRow(cs.toLong, es)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("graftQuantMins", mins, "double[]")
+    val spansRef = ctx.addReferenceObj("graftQuantSpans", spans, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val cs = ctx.freshName("cs")
+      val es = ctx.freshName("es")
+      val x = ctx.freshName("x")
+      val mn = ctx.freshName("mn")
+      val sp = ctx.freshName("sp")
+      val code = ctx.freshName("code")
+      val e = ctx.freshName("e")
+      s"""
+         |int $n = java.lang.Math.min($minsRef.length, $a.numElements());
+         |double $cs = 0.0; double $es = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $mn = $minsRef[$i];
+         |  double $sp = $spansRef[$i];
+         |  double $code = ($sp == 0.0) ? 0.0
+         |    : java.lang.Math.min(java.lang.Math.max(
+         |        java.lang.Math.floor(($x - $mn) / $sp * 255.0), 0.0), 255.0);
+         |  $cs += $code * ($i + 1);
+         |  double $e = $mn + ($code + 0.5) * $sp / 255.0 - $x;
+         |  $es += $e * $e;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { (long) $cs, $es });
        """.stripMargin
     })
   }

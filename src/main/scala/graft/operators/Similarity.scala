@@ -262,27 +262,19 @@ object Similarity {
     val stats = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy(col("pos")).collect()
-    val minsLit = typedlit(stats.map(_.getDouble(1)))
-    val spansLit = typedlit(stats.map(r => r.getDouble(2) - r.getDouble(1)))
-    // (x - mn) / sp * 255 evaluated with the same association as the
-    // oracle; sp == 0 guarded (ANSI division) exactly as in SQL
-    def codeOf(x: Column, i: Column) = {
-      val mn = element_at(minsLit, i + 1)
-      val sp = element_at(spansLit, i + 1)
-      when(sp === 0.0, lit(0.0))
-        .otherwise(least(greatest(floor((x - mn) / sp * 255.0), lit(0.0)), lit(255.0)))
-    }
-    def errOf(x: Column, i: Column) = {
-      val mn = element_at(minsLit, i + 1)
-      val sp = element_at(spansLit, i + 1)
-      mn + (codeOf(x, i) + 0.5) * sp / 255.0 - x
-    }
-    emb.select(col("vec_id"),
-        aggregate(transform(col("v"), (x, i) => codeOf(x, i) * (i + 1).cast("double")),
-          lit(0.0), (a, c) => a + c).cast("long").as("code_sum"),
-        graft.QueryDef.roundBiased(
-          sqrt(aggregate(transform(col("v"), (x, i) => { val e = errOf(x, i); e * e }),
-            lit(0.0), (a, c) => a + c) / 64.0), 6).as("rmse"))
+    val mins = stats.map(_.getDouble(1))
+    val spans = stats.map(r => r.getDouble(2) - r.getDouble(1))
+    // one generated loop per row (Int8QuantExpr) — association and the
+    // sp == 0 (ANSI division) guard identical to the oracle SQL; the
+    // interpreted transform/element_at composition it replaced is kept
+    // as the parity reference in ScaleSpec
+    import org.apache.spark.sql.graft.ColumnBridge
+    val qs = ColumnBridge.column(graft.functions.Int8QuantExpr(
+      ColumnBridge.expression(col("v")), mins, spans))
+    emb.select(col("vec_id"), qs.as("q"))
+      .select(col("vec_id"),
+        col("q.code_sum").as("code_sum"),
+        graft.QueryDef.roundBiased(sqrt(col("q.err2_sum") / 64.0), 6).as("rmse"))
       .orderBy(col("vec_id"))
   }
 

@@ -165,6 +165,48 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), s"not codegen'd:\n$plan")
   }
 
+  test("int8 quantize expression matches the interpreted composition bit-for-bit and is codegen'd") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stats = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val mins = stats.map(_.getDouble(1))
+    val spans = stats.map(r => r.getDouble(2) - r.getDouble(1))
+    val minsLit = typedlit(mins)
+    val spansLit = typedlit(spans)
+    // the interpreted reference formulation (pre-codegen s06)
+    def codeOf(x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) = {
+      val mn = element_at(minsLit, i + 1)
+      val sp = element_at(spansLit, i + 1)
+      when(sp === 0.0, lit(0.0))
+        .otherwise(least(greatest(floor((x - mn) / sp * 255.0), lit(0.0)), lit(255.0)))
+    }
+    def errOf(x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) = {
+      val mn = element_at(minsLit, i + 1)
+      val sp = element_at(spansLit, i + 1)
+      mn + (codeOf(x, i) + 0.5) * sp / 255.0 - x
+    }
+    val qs = ColumnBridge.column(graft.functions.Int8QuantExpr(
+      ColumnBridge.expression(col("v")), mins, spans))
+    val rows = emb.limit(100).select(
+        qs.getField("code_sum").as("fast_cs"),
+        aggregate(transform(col("v"), (x, i) => codeOf(x, i) * (i + 1).cast("double")),
+          lit(0.0), (a, c) => a + c).cast("long").as("hof_cs"),
+        qs.getField("err2_sum").as("fast_es"),
+        aggregate(transform(col("v"), (x, i) => { val e = errOf(x, i); e * e }),
+          lit(0.0), (a, c) => a + c).as("hof_es"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "code_sum mismatch")
+      assert(r.getDouble(2) == r.getDouble(3), "err2_sum mismatch") // bit-exact
+    }
+    val plan = emb.select(qs)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("*(1) Project"), s"not codegen'd:\n$plan")
+  }
+
   test("q21 hash sampling is a single partial-agg pass, no join or extra exchange") {
     val plan = physicalPlan(graft.operators.Relational.q21.fn(spark, sf))
     assert(!plan.contains("Join"), s"sampling must not join:\n$plan")
