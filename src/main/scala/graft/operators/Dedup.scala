@@ -486,7 +486,14 @@ object Dedup {
     * hot in either side still can't go quadratic. Corpus rows are never
     * dropped (they are the already-accepted set); output is the
     * per-source fate of the batch. Fully DuckDB-oracled on the portable
-    * md5-minhash path. */
+    * md5-minhash path.
+    *
+    * At 100 TB the corpus side's content hashes, shingle sets and band
+    * rows are NOT recomputed per batch as they are here (the testdata
+    * has no stored index): they are written once as the corpus's dedup
+    * INDEX (hash table + band table, date-partitioned like any other
+    * published layout) and each incremental batch joins against that —
+    * per-cycle cost then scales with the batch, not the corpus. */
   val d07 = QueryDef(
     "d07_incremental_dedup",
     """WITH docs AS (

@@ -231,7 +231,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
     // persisted: df and the scored join both consume tf — without the
-    // cache the df branch re-explodes and re-aggregates the corpus
+    // cache the df branch re-explodes and re-aggregates the corpus.
+    // (defaults to MEMORY_AND_DISK, so a corpus-scale tf spills rather
+    // than OOMs; at 100 TB you'd materialize tf once as a table — the
+    // cache-vs-recompute call is the caller's, recomputing costs a
+    // second full explode+agg pass)
     val tf = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))
       .filter(col("tk") =!= "")
