@@ -544,7 +544,12 @@ object Dedup {
       |         FROM capped b JOIN capped c
       |           ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
       |          AND b.side = 'b' AND c.side = 'c'),
-      |near AS (SELECT DISTINCT bid AS doc_id FROM cand
+      |est AS (SELECT cn.bid, cn.cid
+      |        FROM cand cn JOIN sigb a ON a.doc_id = cn.bid
+      |                     JOIN sigc b ON b.doc_id = cn.cid AND b.j = a.j
+      |        GROUP BY cn.bid, cn.cid
+      |        HAVING COUNT(*) FILTER (WHERE a.m = b.m) / 16.0 >= 0.15),
+      |near AS (SELECT DISTINCT bid AS doc_id FROM est
       |         JOIN shb x ON x.doc_id = bid JOIN shc y ON y.doc_id = cid
       |         WHERE CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS DOUBLE) /
       |               LEN(LIST_DISTINCT(LIST_CONCAT(x.sh, y.sh))) >= 0.3),
@@ -574,8 +579,10 @@ object Dedup {
       array_distinct(graft.functions.Text.shingles(col("toks"), 3)).as("sh"))
     val shB = shOf(exactKept).persist()
     val shC = shOf(corpus).persist()
-    val bands = md5MinhashBands(shB, "doc_id", "sh").withColumn("side", lit("b"))
-      .unionByName(md5MinhashBands(shC, "doc_id", "sh").withColumn("side", lit("c")))
+    val sigB = md5MinhashSigTable(shB, "doc_id", "sh").persist()
+    val sigC = md5MinhashSigTable(shC, "doc_id", "sh").persist()
+    val bands = bandsFromSigs(sigB, "doc_id").withColumn("side", lit("b"))
+      .unionByName(bandsFromSigs(sigC, "doc_id").withColumn("side", lit("c")))
     val capped = capBuckets(bands, Seq("band_idx", "band_hash"), BucketCap)
     val cand = capped.filter(col("side") === "b")
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("bid"))
@@ -583,7 +590,15 @@ object Dedup {
         .select(col("band_idx"), col("band_hash"), col("doc_id").as("cid")),
         Seq("band_idx", "band_hash"))
       .select(col("bid"), col("cid")).distinct()
-    val nearDrops = cand
+    // two-tier confirm (the d02/p01 shape): fixed-width signature
+    // estimate first, shingle arrays only for plausible pairs
+    val estKept = cand
+      .join(sigB.toDF("bid", "svb"), "bid")
+      .join(sigC.toDF("cid", "svc"), "cid")
+      .filter(size(filter(zip_with(col("svb"), col("svc"), (a, b) => a === b), x => x))
+        .cast("double") / 16 >= 0.15)
+      .select(col("bid"), col("cid"))
+    val nearDrops = estKept
       .join(shB.toDF("bid", "shb"), "bid")
       .join(shC.toDF("cid", "shc"), "cid")
       .filter(jaccard(col("shb"), col("shc")) >= 0.3)
