@@ -71,11 +71,6 @@ object Dedup {
   private[graft] def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** Portable md5 MinHash banding: (id, shingleArr) → (id, band_idx,
-    * band_hash), `numHashes` md5 minima grouped into bands of
-    * `rowsPerBand`. Every step is replicable in ANSI SQL (min over md5
-    * hex strings, band hash = md5 of the '|'-joined minima in j order),
-    * which is what lets d02b and p01 be DuckDB-oracled end-to-end. */
   /** Portable md5 minhash SIGNATURE table: (id, sv array<string>) with
     * element j = MIN(md5(s || '#' || j)) — the fixed-width summary the
     * estimate-confirm tier compares before any shingle array ships. */
@@ -106,6 +101,10 @@ object Dedup {
       .select(col(idCol), col("bs.band_idx"), col("bs.band_hash"))
   }
 
+  /** Portable md5 MinHash banding: (id, shingleArr) → (id, band_idx,
+    * band_hash). Every step is replicable in ANSI SQL (min over md5 hex
+    * strings, band hash = md5 of the '|'-joined minima in j order),
+    * which is what lets d02b/d06/d07/p01 be DuckDB-oracled end-to-end. */
   private[graft] def md5MinhashBands(sh: DataFrame, idCol: String, shCol: String,
       numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
     bandsFromSigs(md5MinhashSigTable(sh, idCol, shCol, numHashes),
@@ -467,8 +466,13 @@ object Dedup {
       |         FROM bandc a JOIN bandc b
       |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
       |          AND a.doc_id < b.doc_id),
+      |est AS (SELECT c.id1, c.id2
+      |        FROM cand c JOIN sig a ON a.doc_id = c.id1
+      |                    JOIN sig b ON b.doc_id = c.id2 AND b.j = a.j
+      |        GROUP BY c.id1, c.id2
+      |        HAVING COUNT(*) FILTER (WHERE a.m = b.m) / 16.0 >= 0.15),
       |conf AS (SELECT id1, id2
-      |  FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
+      |  FROM est JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
       |  WHERE CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS DOUBLE) /
       |        LEN(LIST_DISTINCT(LIST_CONCAT(x.sh, y.sh))) >= 0.3),
       |edges AS (SELECT id1 AS src, id2 AS dst FROM conf
@@ -480,8 +484,16 @@ object Dedup {
       |SELECT id AS doc_id, MIN(r) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val sh = docShingles(Tables(spark, dir).documents).persist()
-    val cand = bucketPairs(md5MinhashBands(sh, "doc_id", "sh"))
-    val confirmed = cand
+    val sigs = md5MinhashSigTable(sh, "doc_id", "sh").persist()
+    val cand = bucketPairs(bandsFromSigs(sigs, "doc_id"))
+    // two-tier confirm (d02/p01/d07 shape): signature estimate first
+    val estKept = cand
+      .join(sigs.toDF("id1", "sv1"), "id1")
+      .join(sigs.toDF("id2", "sv2"), "id2")
+      .filter(size(filter(zip_with(col("sv1"), col("sv2"), (a, b) => a === b), x => x))
+        .cast("double") / 16 >= 0.15)
+      .select(col("id1"), col("id2"))
+    val confirmed = estKept
       .join(sh.toDF("id1", "sh1"), "id1")
       .join(sh.toDF("id2", "sh2"), "id2")
       .filter(jaccard(col("sh1"), col("sh2")) >= 0.3)
