@@ -253,10 +253,15 @@ object Dedup {
       |         FROM bandc a JOIN bandc b
       |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
       |          AND a.doc_id < b.doc_id),
+      |est AS (SELECT c.id1, c.id2
+      |        FROM cand c JOIN sig a ON a.doc_id = c.id1
+      |                    JOIN sig b ON b.doc_id = c.id2 AND b.j = a.j
+      |        GROUP BY c.id1, c.id2
+      |        HAVING COUNT(*) FILTER (WHERE a.m = b.m) / 16.0 >= 0.15),
       |conf AS (SELECT id1, id2,
       |  ROUND(CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS DOUBLE) /
       |        LEN(LIST_DISTINCT(LIST_CONCAT(x.sh, y.sh))) + 1e-9, 4) AS jaccard
-      |  FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2)
+      |  FROM est JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2)
       |SELECT id1, id2, jaccard FROM conf WHERE jaccard >= 0.3
       |ORDER BY id1, id2""".stripMargin) { (spark, dir) =>
     val sh = docShingles(Tables(spark, dir).documents).persist()
@@ -265,8 +270,16 @@ object Dedup {
     // oracle SQL's literal `× RANGE(16)` cross join, which multiplies
     // the shuffled row count ×16 for the identical result (measured:
     // d02b was the slowest bench query before this change).
-    val cand = bucketPairs(md5MinhashBands(sh, "doc_id", "sh"))
-    cand
+    val sigs = md5MinhashSigTable(sh, "doc_id", "sh").persist()
+    val cand = bucketPairs(bandsFromSigs(sigs, "doc_id"))
+    // two-tier confirm (d02 shape), estimate gate mirrored in the oracle
+    val estKept = cand
+      .join(sigs.toDF("id1", "sv1"), "id1")
+      .join(sigs.toDF("id2", "sv2"), "id2")
+      .filter(size(filter(zip_with(col("sv1"), col("sv2"), (a, b) => a === b), x => x))
+        .cast("double") / 16 >= 0.15)
+      .select(col("id1"), col("id2"))
+    estKept
       .join(sh.toDF("id1", "sh1"), "id1")
       .join(sh.toDF("id2", "sh2"), "id2")
       .select(col("id1"), col("id2"),
