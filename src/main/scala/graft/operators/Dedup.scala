@@ -641,5 +641,47 @@ object Dedup {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07)
+  /** d08: benchmark decontamination — flag training documents sharing
+    * n-gram shingles with a held-out eval/benchmark set (the standard
+    * guard against test-set leakage into training data; production
+    * pipelines use 8–13-gram overlap, scaled here to 3-grams for the
+    * synthetic corpus). The eval side is `doc_id % 97 = 0`, standing in
+    * for an external benchmark table.
+    *
+    * 100 TB plan shape: eval benchmarks are a few MB of n-grams while
+    * the training corpus is the 100 TB side — so the eval shingle set
+    * is BROADCAST and the contamination join is map-side, no shuffle of
+    * the corpus at all until the per-doc overlap aggregation (keyed by
+    * doc_id, partial-agg combined, skew bounded by a single doc's
+    * shingle count). A doc is contaminated at >= 2 distinct overlapping
+    * shingles; one shared n-gram among short grams is noise. */
+  val d08 = QueryDef(
+    "d08_decontaminate",
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      |         RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g FROM toks),
+      |ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT tr.doc_id,
+      |  CAST(COUNT(DISTINCT tr.g) AS BIGINT) AS n_overlap,
+      |  CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+      |FROM tr JOIN ev ON tr.g = ev.g
+      |GROUP BY tr.doc_id HAVING COUNT(DISTINCT tr.g) >= 2
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val sh = docShingles(Tables(spark, dir).documents)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(ev), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_overlap"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .filter(col("n_overlap") >= 2)
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08)
 }

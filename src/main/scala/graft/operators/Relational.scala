@@ -521,7 +521,62 @@ object Relational {
         col("p99_group"), col("median_group"), col("top_key_share"))
   }
 
+  /** q23: interval (range) join — events matched to OVERLAPPING time
+    * windows, an operator Spark's equi-join machinery can't express
+    * directly: the naive formulation `e.ts >= ws AND e.ts < we` plans
+    * a BroadcastNestedLoopJoin (every row against every window).
+    * Standard bucket-quantization rewrite instead: each window explodes
+    * into the day buckets it covers, events map to their single day
+    * bucket, and the theta-join becomes an equi-join on the bucket plus
+    * a residual range filter. Work drops from |events|×|windows| to
+    * |events|×(windows overlapping that day).
+    *
+    * 100 TB: the exploded window→bucket table stays tiny (windows ×
+    * avg days covered) and is broadcast, so the event side never
+    * shuffles for the join; bucket granularity tracks the window span
+    * (days here; hours for narrow windows). The window set is a
+    * deterministic literal (10 tight 2-day windows + 4 wide 5-day
+    * windows, overlapping) so the oracle can inline identical VALUES. */
+  val q23: QueryDef = {
+    val narrow = (0 until 10).map { k =>
+      (k, f"2024-01-${1 + 3 * k}%02d 00:00:00", f"2024-01-${3 + 3 * k}%02d 00:00:00")
+    }
+    val wide = (0 until 4).map { k =>
+      (10 + k, f"2024-01-${1 + 7 * k}%02d 00:00:00", f"2024-01-${6 + 7 * k}%02d 00:00:00")
+    }
+    val windows = narrow ++ wide
+    val valuesSql = windows
+      .map { case (w, s, e) => s"  ($w, TIMESTAMP '$s', TIMESTAMP '$e')" }
+      .mkString(",\n")
+    QueryDef(
+      "q23_range_join",
+      s"""WITH win(wid, ws, we) AS (VALUES
+         |$valuesSql),
+         |e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+         |SELECT wid, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  ROUND(SUM(value), 2) AS sum_v
+         |FROM win JOIN e ON e.ts >= ws AND e.ts < we
+         |GROUP BY wid ORDER BY wid""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val win = windows.toDF("wid", "ws_s", "we_s")
+        .select(col("wid"), to_timestamp(col("ws_s")).as("ws"),
+          to_timestamp(col("we_s")).as("we"))
+      // day buckets covered by [ws, we): ends are at midnight, so the
+      // last covered day is we - 1 day
+      val winByDay = win.select(col("wid"), col("ws"), col("we"),
+        explode(sequence(to_date(col("ws")), date_add(to_date(col("we")), -1)))
+          .as("day"))
+      Tables(spark, dir).events
+        .select(to_date(col("ts")).as("day"), col("ts"), col("value"))
+        .join(broadcast(winByDay), "day")
+        .filter(col("ts") >= col("ws") && col("ts") < col("we"))
+        .groupBy(col("wid"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_v"))
+        .orderBy(col("wid"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
-      q14, q16, q17, q18, q19, q20, q21, q22)
+      q14, q16, q17, q18, q19, q20, q21, q22, q23)
 }

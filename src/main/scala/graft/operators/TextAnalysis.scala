@@ -253,5 +253,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("tk"))
   }
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  /** t09: repetition-based quality rules (the Gopher/C4 family): the
+    * token share of the single most frequent bigram and the fraction
+    * of trigram occurrences that are repeats. Boilerplate and
+    * SEO-spam pages score high on both; a doc is kept only when both
+    * stay under threshold. Plan: two explode→count passes keyed by
+    * (doc, gram) — partial-agg combined, key cardinality ≈ corpus
+    * gram count so no hot keys — then per-doc reductions joined back.
+    * Shingling runs in the codegen'd [[graft.functions.WordShinglesExpr]].
+    * Embarrassingly parallel at 100 TB: every shuffle key contains
+    * doc_id, so skew is bounded by the longest single document. */
+  val t09 = QueryDef(
+    "t09_repetition",
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |n AS (SELECT doc_id, CAST(LEN(tk) AS INTEGER) AS n_tokens FROM toks),
+      |bi AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk), 1)),
+      |         i -> tk[i] || ' ' || tk[i+1])) AS g FROM toks),
+      |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g),
+      |btop AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2_cnt FROM bc GROUP BY doc_id),
+      |tri AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM toks),
+      |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g),
+      |tagg AS (SELECT doc_id,
+      |         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3_occ,
+      |         CAST(SUM(c) AS BIGINT) AS tri_total FROM tc GROUP BY doc_id)
+      |SELECT n.doc_id, n_tokens, top2_cnt,
+      |  ROUND(top2_cnt * 2.0 / n_tokens + 1e-9, 4) AS top2_share,
+      |  ROUND(CAST(dup3_occ AS DOUBLE) / tri_total + 1e-9, 4) AS dup3_frac,
+      |  CAST(CASE WHEN ROUND(top2_cnt * 2.0 / n_tokens + 1e-9, 4) <= 0.10
+      |             AND ROUND(CAST(dup3_occ AS DOUBLE) / tri_total + 1e-9, 4) <= 0.10
+      |        THEN 1 ELSE 0 END AS INTEGER) AS keep
+      |FROM n JOIN btop USING (doc_id) JOIN tagg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val toks = Text.tokens(col("text"))
+    val n = docs.select(col("doc_id"), size(toks).as("n_tokens"))
+    val btop = docs
+      .select(col("doc_id"), explode(Text.shingles(toks, 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2_cnt"))
+    val tagg = docs
+      .select(col("doc_id"), explode(Text.shingles(toks, 3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup3_occ"),
+        sum(col("c")).as("tri_total"))
+    val top2Share = graft.QueryDef.roundBiased(
+      col("top2_cnt") * 2.0 / col("n_tokens"), 4)
+    val dup3Frac = graft.QueryDef.roundBiased(
+      col("dup3_occ").cast("double") / col("tri_total"), 4)
+    n.join(btop, "doc_id").join(tagg, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("top2_cnt"),
+        top2Share.as("top2_share"), dup3Frac.as("dup3_frac"),
+        when(top2Share <= 0.10 && dup3Frac <= 0.10, 1).otherwise(0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }

@@ -84,4 +84,28 @@ class RelationalSpec extends SparkSpec {
         s"mon=${r.get(0)}: est=$est exact=$exact")
     }
   }
+
+  test("q23 range join avoids the nested-loop plan and matches the theta-join") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q23.fn(spark, sf)
+    val plan = physicalPlan(out)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket quantization should yield an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"window buckets should broadcast:\n$plan")
+    // ground truth: the naive theta-join (fine at test scale)
+    val win = out.sparkSession.createDataFrame(Seq(
+      (0, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+      (10, "2024-01-01 00:00:00", "2024-01-06 00:00:00")))
+      .toDF("wid", "ws_s", "we_s")
+      .select(col("wid"), to_timestamp(col("ws_s")).as("ws"),
+        to_timestamp(col("we_s")).as("we"))
+    val naive = Tables(spark, sf).events.join(win,
+        col("ts") >= col("ws") && col("ts") < col("we"))
+      .groupBy(col("wid")).agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getAs[Int]("wid") -> r.getAs[Long]("n_events")).toMap
+    val got = out.collect().map(r => r.getAs[Int]("wid") -> r.getAs[Long]("n_events")).toMap
+    naive.foreach { case (w, n) => assert(got(w) == n, s"wid=$w: ${got(w)} != $n") }
+    // wide window 10 strictly contains narrow window 0 — overlap is real
+    assert(got(10) > got(0))
+  }
 }

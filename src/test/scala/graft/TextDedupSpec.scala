@@ -206,4 +206,32 @@ class TextDedupSpec extends SparkSpec {
       assert(math.abs(implied - 1.0 / n) < 0.01)
     }
   }
+
+  test("t09 repetition: metrics bounded, keep matches thresholds, both classes occur") {
+    val rows = TextAnalysis.t09.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val top2 = r.getAs[Double]("top2_share")
+      val dup3 = r.getAs[Double]("dup3_frac")
+      assert(top2 > 0.0 && top2 <= 1.0 && dup3 >= 0.0 && dup3 <= 1.0)
+      val expectKeep = if (top2 <= 0.10 && dup3 <= 0.10) 1 else 0
+      assert(r.getAs[Int]("keep") == expectKeep)
+    }
+    val keeps = rows.map(_.getAs[Int]("keep")).toSet
+    assert(keeps == Set(0, 1), "threshold should split the corpus")
+  }
+
+  test("d08 decontamination: eval docs never flagged, threshold holds, eval side broadcast") {
+    val out = Dedup.d08.fn(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 97 != 0, "eval doc leaked into training output")
+      assert(r.getAs[Long]("n_overlap") >= 2)
+      assert(r.getAs[Long]("n_eval_docs") >= 1)
+    }
+    val plan = physicalPlan(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingle set should broadcast:\n$plan")
+  }
 }
