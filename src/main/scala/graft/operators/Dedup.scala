@@ -655,6 +655,20 @@ object Dedup {
     * doc_id, partial-agg combined, skew bounded by a single doc's
     * shingle count). A doc is contaminated at >= 2 distinct overlapping
     * shingles; one shared n-gram among short grams is noise. */
+  def shingleStream(docs: DataFrame): DataFrame =
+    docShingles(docs).select(col("doc_id"), explode(col("sh")).as("g"))
+
+  /** Training docs sharing >= `minOverlap` distinct shingles with the
+    * (broadcast) eval shingle stream — d08's core, reused by p02. */
+  def contamination(train: DataFrame, evalDocs: DataFrame,
+      minOverlap: Int = 2): DataFrame =
+    shingleStream(train)
+      .join(broadcast(shingleStream(evalDocs).withColumnRenamed("doc_id", "eval_id")), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_overlap"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .filter(col("n_overlap") >= minOverlap)
+
   val d08 = QueryDef(
     "d08_decontaminate",
     """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
@@ -669,16 +683,10 @@ object Dedup {
       |FROM tr JOIN ev ON tr.g = ev.g
       |GROUP BY tr.doc_id HAVING COUNT(DISTINCT tr.g) >= 2
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val sh = docShingles(Tables(spark, dir).documents)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-    val ev = sh.filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("eval_id"), col("g"))
-    sh.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(ev), "g")
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("g")).as("n_overlap"),
-        countDistinct(col("eval_id")).as("n_eval_docs"))
-      .filter(col("n_overlap") >= 2)
+    val docs = Tables(spark, dir).documents
+    contamination(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
       .orderBy(col("doc_id"))
   }
 

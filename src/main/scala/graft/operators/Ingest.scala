@@ -836,7 +836,53 @@ object Ingest {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** i27: regrid / coarsen — the reference's raster downsampling
+    * (rioxarray reproject/resample when converting GRIB→COG, and COG
+    * overview levels) as its relational core: cells aggregate into
+    * 4×4 coarser cells with nodata masked out of the mean, and the
+    * NEXT pyramid level re-aggregates the (sum, count) pairs of the
+    * previous level — never rescanning the raw grid. That is the
+    * 100 TB overview-pyramid shape: level k+1 costs one shuffle of
+    * level k (16× smaller each step), all partial-agg combined; means
+    * are derived from the carried sums at the end, so coarser levels
+    * stay exact without a second pass. */
+  val i27 = QueryDef(
+    "i27_regrid_coarsen",
+    """WITH g AS (
+      |  SELECT CAST(user_id AS INTEGER) AS y, CAST(event_id % 128 AS INTEGER) AS x,
+      |         CASE WHEN value < 5.0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |l1 AS (SELECT CAST(y // 4 AS INTEGER) AS yc, CAST(x // 4 AS INTEGER) AS xc,
+      |       COUNT(v) AS n, SUM(v) AS sum_v FROM g GROUP BY 1, 2),
+      |l2 AS (SELECT CAST(yc // 4 AS INTEGER) AS yc, CAST(xc // 4 AS INTEGER) AS xc,
+      |       SUM(n) AS n, SUM(sum_v) AS sum_v FROM l1 GROUP BY 1, 2)
+      |SELECT * FROM (
+      |  SELECT 1 AS level, yc, xc, CAST(n AS BIGINT) AS n,
+      |         ROUND(sum_v / n + 1e-9, 4) AS avg_v FROM l1 WHERE n > 0
+      |  UNION ALL
+      |  SELECT 2, yc, xc, CAST(n AS BIGINT), ROUND(sum_v / n + 1e-9, 4)
+      |  FROM l2 WHERE n > 0)
+      |ORDER BY level, yc, xc""".stripMargin) { (spark, dir) =>
+    val g = Tables(spark, dir).events.select(
+      col("user_id").cast("int").as("y"),
+      (col("event_id") % 128).cast("int").as("x"),
+      when(col("value") < 5.0, lit(null)).otherwise(col("value")).as("v"))
+    val l1 = g.groupBy(expr("y div 4").cast("int").as("yc"),
+        expr("x div 4").cast("int").as("xc"))
+      .agg(count(col("v")).as("n"), sum(col("v")).as("sum_v"))
+    val l2 = l1.groupBy(expr("yc div 4").cast("int").as("yc2"),
+        expr("xc div 4").cast("int").as("xc2"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
+      .withColumnsRenamed(Map("yc2" -> "yc", "xc2" -> "xc"))
+    def finish(df: DataFrame, level: Int) = df.filter(col("n") > 0)
+      .select(lit(level).as("level"), col("yc"), col("xc"), col("n").cast("long").as("n"),
+        graft.QueryDef.roundBiased(col("sum_v") / col("n"), 4).as("avg_v"))
+    finish(l1, 1).unionAll(finish(l2, 2))
+      .orderBy(col("level"), col("yc"), col("xc"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
-    i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26)
+    i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26,
+    i27)
 }

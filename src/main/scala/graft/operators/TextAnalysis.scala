@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Text
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** C-family text analysis (SURVEY.md §2 t01–t04): token counting,
@@ -263,6 +264,32 @@ object TextAnalysis {
     * Shingling runs in the codegen'd [[graft.functions.WordShinglesExpr]].
     * Embarrassingly parallel at 100 TB: every shuffle key contains
     * doc_id, so skew is bounded by the longest single document. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val n = docs.select(col("doc_id"), size(toks).as("n_tokens"))
+    val btop = docs
+      .select(col("doc_id"), explode(Text.shingles(toks, 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2_cnt"))
+    val tagg = docs
+      .select(col("doc_id"), explode(Text.shingles(toks, 3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup3_occ"),
+        sum(col("c")).as("tri_total"))
+    n.join(btop, "doc_id").join(tagg, "doc_id")
+  }
+
+  /** Rounded repetition ratios + keep flag over [[repetitionMetrics]]
+    * columns — shared verbatim by t09 and p02 so their oracle gates
+    * can't drift apart. */
+  val top2Share: org.apache.spark.sql.Column =
+    graft.QueryDef.roundBiased(col("top2_cnt") * 2.0 / col("n_tokens"), 4)
+  val dup3Frac: org.apache.spark.sql.Column =
+    graft.QueryDef.roundBiased(col("dup3_occ").cast("double") / col("tri_total"), 4)
+  val repKeep: org.apache.spark.sql.Column =
+    when(top2Share <= 0.10 && dup3Frac <= 0.10, 1).otherwise(0)
+
   val t09 = QueryDef(
     "t09_repetition",
     """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
@@ -285,27 +312,10 @@ object TextAnalysis {
       |        THEN 1 ELSE 0 END AS INTEGER) AS keep
       |FROM n JOIN btop USING (doc_id) JOIN tagg USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val docs = Tables(spark, dir).documents
-    val toks = Text.tokens(col("text"))
-    val n = docs.select(col("doc_id"), size(toks).as("n_tokens"))
-    val btop = docs
-      .select(col("doc_id"), explode(Text.shingles(toks, 2)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top2_cnt"))
-    val tagg = docs
-      .select(col("doc_id"), explode(Text.shingles(toks, 3)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(
-        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup3_occ"),
-        sum(col("c")).as("tri_total"))
-    val top2Share = graft.QueryDef.roundBiased(
-      col("top2_cnt") * 2.0 / col("n_tokens"), 4)
-    val dup3Frac = graft.QueryDef.roundBiased(
-      col("dup3_occ").cast("double") / col("tri_total"), 4)
-    n.join(btop, "doc_id").join(tagg, "doc_id")
+    repetitionMetrics(Tables(spark, dir).documents)
       .select(col("doc_id"), col("n_tokens"), col("top2_cnt"),
         top2Share.as("top2_share"), dup3Frac.as("dup3_frac"),
-        when(top2Share <= 0.10 && dup3Frac <= 0.10, 1).otherwise(0).as("keep"))
+        repKeep.as("keep"))
       .orderBy(col("doc_id"))
   }
 

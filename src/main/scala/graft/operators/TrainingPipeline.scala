@@ -128,5 +128,78 @@ object TrainingPipeline {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(p01)
+  /** p02: curation v2 — the round-3 gates composed: repetition-quality
+    * gate (t09's metrics and thresholds, verbatim via
+    * [[TextAnalysis.repetitionMetrics]]) then benchmark decontamination
+    * (d08's broadcast contamination join via [[Dedup.contamination]],
+    * run only on repetition survivors — cheap per-doc gates first, the
+    * join tier after), reduced to per-source fate counts. Gate order is
+    * the 100 TB cost story: the scalar gates drop rows before any
+    * shingle is shuffled, and the eval side stays broadcast. */
+  val p02 = QueryDef(
+    "p02_curation_v2",
+    """WITH train AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0),
+      |toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM train),
+      |n AS (SELECT doc_id, CAST(LEN(tk) AS INTEGER) AS n_tokens FROM toks),
+      |bi AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk), 1)),
+      |         i -> tk[i] || ' ' || tk[i+1])) AS g FROM toks),
+      |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g),
+      |btop AS (SELECT doc_id, MAX(c) AS top2_cnt FROM bc GROUP BY doc_id),
+      |tri AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM toks),
+      |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g),
+      |tagg AS (SELECT doc_id,
+      |         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3_occ,
+      |         SUM(c) AS tri_total FROM tc GROUP BY doc_id),
+      |gated AS (SELECT n.doc_id, tr.source, n.n_tokens,
+      |    CASE WHEN ROUND(top2_cnt * 2.0 / n_tokens + 1e-9, 4) <= 0.10
+      |          AND ROUND(CAST(dup3_occ AS DOUBLE) / tri_total + 1e-9, 4) <= 0.10
+      |         THEN 1 ELSE 0 END AS rep_keep
+      |  FROM n JOIN btop USING (doc_id) JOIN tagg USING (doc_id)
+      |       JOIN train tr ON tr.doc_id = n.doc_id),
+      |shsv AS (SELECT toks.doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      |         RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+      |  FROM toks JOIN gated USING (doc_id) WHERE rep_keep = 1),
+      |evsh AS (SELECT e.doc_id AS eval_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      |         RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+      |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents
+      |        WHERE doc_id % 97 = 0) e),
+      |contam AS (SELECT s.doc_id FROM shsv s JOIN evsh ON s.g = evsh.g
+      |           GROUP BY s.doc_id HAVING COUNT(DISTINCT s.g) >= 2)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN rep_keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_drop,
+      |  CAST(SUM(CASE WHEN rep_keep = 1 AND c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_drop,
+      |  CAST(SUM(CASE WHEN rep_keep = 1 AND c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rep_keep = 1 AND c.doc_id IS NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM gated g LEFT JOIN contam c ON g.doc_id = c.doc_id
+      |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    // persisted + eagerly materialized: `gated` feeds both the
+    // survivor-shingle subtree and the final fate aggregation (the p01
+    // lazy-cache-race lesson applies unchanged)
+    val gated = train.select(col("doc_id"), col("source"), col("text"))
+      .join(TextAnalysis.repetitionMetrics(train), "doc_id")
+      .withColumn("rep_keep", TextAnalysis.repKeep)
+      .persist()
+    gated.count()
+    val contamIds = Dedup.contamination(
+        gated.filter(col("rep_keep") === 1).select(col("doc_id"), col("text")),
+        evalDocs)
+      .select(col("doc_id"), lit(1).as("cm"))
+    gated.join(contamIds, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rep_keep") === 0, 1).otherwise(0)).as("n_rep_drop"),
+        sum(when(col("rep_keep") === 1 && col("cm").isNotNull, 1).otherwise(0)).as("n_contam_drop"),
+        sum(when(col("rep_keep") === 1 && col("cm").isNull, 1).otherwise(0)).as("n_kept"),
+        sum(when(col("rep_keep") === 1 && col("cm").isNull, col("n_tokens")).otherwise(0)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(p01, p02)
 }

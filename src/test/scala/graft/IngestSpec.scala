@@ -170,4 +170,19 @@ class IngestSpec extends SparkSpec {
     got.foreach(r => assert(r.getAs[Boolean]("inside") == r.getAs[Boolean]("want"),
       s"${r.getAs[String]("name")} misclassified"))
   }
+
+  test("i27 pyramid: level-2 cell counts re-aggregate level 1 exactly") {
+    val rows = Ingest.i27.fn(spark, sf).collect()
+    val l1 = rows.filter(_.getAs[Int]("level") == 1)
+    val l2 = rows.filter(_.getAs[Int]("level") == 2)
+    assert(l1.nonEmpty && l2.nonEmpty && l2.length < l1.length)
+    // the coarser level partitions the finer one: same total population
+    assert(l1.map(_.getAs[Long]("n")).sum == l2.map(_.getAs[Long]("n")).sum)
+    // every level-1 cell maps into an existing level-2 cell
+    val l2Cells = l2.map(r => (r.getAs[Int]("yc"), r.getAs[Int]("xc"))).toSet
+    l1.foreach { r =>
+      val cell = (r.getAs[Int]("yc") / 4, r.getAs[Int]("xc") / 4)
+      assert(l2Cells.contains(cell), s"orphan level-1 cell $cell")
+    }
+  }
 }

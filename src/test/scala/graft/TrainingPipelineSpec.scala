@@ -5,6 +5,24 @@ import org.apache.spark.sql.functions._
 
 class TrainingPipelineSpec extends SparkSpec {
 
+  test("p02 fates are exhaustive and token mass only counts kept docs") {
+    val rows = TrainingPipeline.p02.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var totalDocs = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_rep_drop") + r.getAs[Long]("n_contam_drop") +
+        r.getAs[Long]("n_kept") == n, s"${r.getAs[String]("source")}: fates don't partition")
+      assert(r.getAs[Long]("kept_tokens") >= r.getAs[Long]("n_kept"),
+        "kept docs must carry at least one token each")
+      totalDocs += n
+    }
+    // every non-eval doc appears in exactly one source row
+    val want = Tables(spark, sf).documents
+      .filter(col("doc_id") % 97 =!= 0).count()
+    assert(totalDocs == want)
+  }
+
   test("curation keeps a nonempty, deduplicated, quality-gated subset") {
     val docs = Tables(spark, sf).documents
     val curated = TrainingPipeline.curate(docs).cache()
