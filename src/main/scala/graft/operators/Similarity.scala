@@ -278,5 +278,92 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03, s04, s05, s06)
+  /** s07: product quantization — the codebook family's third member
+    * (s04 IVF cells, s06 scalar int8, s07 PQ): the 64-dim vector splits
+    * into M=4 subspaces of 16 dims, each with its own K=4 k-means
+    * codebook (seeded from the first K vectors, one Lloyd refinement —
+    * the s05 recipe per subspace), and every vector encodes to M small
+    * codes (billion-vector ANN memory layout: 64 floats → 4 codes).
+    *
+    * 100 TB shape: the trained codebook is K×M×16 doubles — driver-held
+    * and inlined as literals exactly like s04's IVF codebook — so BOTH
+    * the per-subspace assignment passes and the final encode are
+    * zero-shuffle map-side projections over codegen'd dot products
+    * ([[Vectors.dot]]); the only shuffles are the M tiny (K×16-group)
+    * centroid-mean aggregations. Distances compare by squared L2 via
+    * the dot expansion ||x||² − 2x·c + ||c||² (monotonic with the
+    * oracle's LIST_DISTANCE ordering), ties break to the smaller code.
+    * Output: the M codes (exact integer parity) + round-trip RMSE. */
+  val s07 = QueryDef(
+    "s07_pq_quantize",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ms AS (SELECT UNNEST(RANGE(4)) AS m),
+      |sub AS (SELECT vec_id, CAST(m AS INTEGER) AS m, v[m*16+1 : m*16+16] AS s
+      |        FROM e CROSS JOIN ms),
+      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, m, s AS cv FROM sub WHERE vec_id < 4),
+      |a1 AS (SELECT vec_id, m, s, cid FROM (
+      |   SELECT sub.vec_id, sub.m, sub.s, c.cid,
+      |     ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+      |                        ORDER BY LIST_DISTANCE(sub.s, c.cv), c.cid) AS rn
+      |   FROM sub JOIN c0 c ON c.m = sub.m) t WHERE rn = 1),
+      |m1 AS (SELECT m, cid, i, ROUND(AVG(s[i]) + 1e-9, 6) AS cx
+      |       FROM a1 CROSS JOIN generate_series(1, 16) g(i) GROUP BY m, cid, i),
+      |c1 AS (SELECT m, cid, LIST(cx ORDER BY i) AS cv FROM m1 GROUP BY m, cid),
+      |enc AS (SELECT vec_id, m, s, cid, cv FROM (
+      |   SELECT sub.vec_id, sub.m, sub.s, c.cid, c.cv,
+      |     ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+      |                        ORDER BY LIST_DISTANCE(sub.s, c.cv), c.cid) AS rn
+      |   FROM sub JOIN c1 c ON c.m = sub.m) t WHERE rn = 1),
+      |err AS (SELECT vec_id,
+      |        SUM(LIST_DISTANCE(s, cv) ** 2) AS se,
+      |        CAST(SUM(CASE WHEN m = 0 THEN cid END) AS INTEGER) AS code0,
+      |        CAST(SUM(CASE WHEN m = 1 THEN cid END) AS INTEGER) AS code1,
+      |        CAST(SUM(CASE WHEN m = 2 THEN cid END) AS INTEGER) AS code2,
+      |        CAST(SUM(CASE WHEN m = 3 THEN cid END) AS INTEGER) AS code3
+      |        FROM enc GROUP BY vec_id)
+      |SELECT vec_id, code0, code1, code2, code3,
+      |  ROUND(SQRT(se / 64.0) + 1e-9, 4) AS rmse
+      |FROM err ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    val M = 4; val K = 4; val S = 16
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    def subCol(m: Int) = slice(col("v"), m * S + 1, S)
+    // squared L2 by dot expansion — every term a codegen'd native expr
+    def l2sq(s: Column, cv: Array[Double]): Column =
+      Vectors.dot(s, s) - lit(2.0) * Vectors.dot(s, typedlit(cv)) +
+        lit(cv.map(x => x * x).sum)
+    def bestStruct(m: Int, cents: Seq[(Int, Array[Double])]): Column =
+      array_min(array(cents.map { case (cid, cv) =>
+        struct(l2sq(subCol(m), cv).as("d"), lit(cid).as("c")) }: _*))
+    val seedRows = emb.filter(col("vec_id") < K).orderBy(col("vec_id")).collect()
+    def subArr(a: Array[Double], m: Int) = a.slice(m * S, (m + 1) * S)
+    val seeds = (0 until M).map { m =>
+      m -> seedRows.map(r =>
+        (r.getLong(0).toInt, subArr(r.getSeq[Double](1).toArray, m))).toSeq
+    }.toMap
+    // one Lloyd refinement per subspace: map-side assignment, then a
+    // K×S-group mean (iteration means rounded to 6 on both sides so
+    // summation order can't flip an encode — the s05 lesson)
+    val c1 = (0 until M).map { m =>
+      val rows = emb
+        .select(bestStruct(m, seeds(m)).getField("c").as("cid"),
+          posexplode(subCol(m)).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(graft.QueryDef.roundBiased(avg(col("x")), 6).as("cx"))
+        .collect()
+      m -> rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map { case (cid, rs) =>
+          (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray) }
+    }.toMap
+    // final encode: zero-shuffle projection; se is the min distance² of
+    // each subspace (identical for tied codes, so parity holds)
+    val codeCols = (0 until M).map(m => bestStruct(m, c1(m)).getField("c").as(s"code$m"))
+    val seTotal = (0 until M).map(m => bestStruct(m, c1(m)).getField("d")).reduce(_ + _)
+    emb.select(col("vec_id") +: codeCols :+
+        graft.QueryDef.roundBiased(sqrt(seTotal / 64.0), 4).as("rmse"): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03, s04, s05, s06, s07)
 }

@@ -169,6 +169,26 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("s07 PQ: codes within codebook range, all subspace codebooks used") {
+    val rows = Similarity.s07.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val codeCols = Seq("code0", "code1", "code2", "code3")
+    rows.foreach { r =>
+      codeCols.foreach { c =>
+        val code = r.getAs[Int](c)
+        assert(code >= 0 && code < 4, s"vec ${r.get(0)}: $c=$code out of range")
+      }
+      // PQ reconstruction is lossy but bounded: unit-ish 64-dim vectors
+      // against K=4 centroids stay well under per-dim std
+      val rmse = r.getAs[Double]("rmse")
+      assert(rmse > 0 && rmse < 0.5, s"vec ${r.get(0)}: rmse=$rmse")
+    }
+    codeCols.foreach { c =>
+      assert(rows.map(_.getAs[Int](c)).distinct.length > 1,
+        s"$c degenerate: one cluster swallowed the subspace")
+    }
+  }
+
   test("t06 vocab: tf descending, df never exceeds tf") {
     val rows = TextAnalysis.t06.fn(spark, sf).collect()
     assert(rows.nonEmpty)
