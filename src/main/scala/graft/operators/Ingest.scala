@@ -846,6 +846,18 @@ object Ingest {
     * level k (16× smaller each step), all partial-agg combined; means
     * are derived from the carried sums at the end, so coarser levels
     * stay exact without a second pass. */
+  /** Synthetic (yc, xc, n, sum_v) cell grid from events — the i27/i28
+    * raster stand-in: y = station row, x = hashed column, values under
+    * the detection limit masked as nodata. */
+  private def eventCells(events: DataFrame): DataFrame =
+    events.select(
+        col("user_id").cast("int").as("y"),
+        (col("event_id") % 128).cast("int").as("x"),
+        when(col("value") < 5.0, lit(null)).otherwise(col("value")).as("v"))
+      .groupBy(expr("y div 4").cast("int").as("yc"),
+        expr("x div 4").cast("int").as("xc"))
+      .agg(count(col("v")).as("n"), sum(col("v")).as("sum_v"))
+
   val i27 = QueryDef(
     "i27_regrid_coarsen",
     """WITH g AS (
@@ -863,13 +875,7 @@ object Ingest {
       |  SELECT 2, yc, xc, CAST(n AS BIGINT), ROUND(sum_v / n + 1e-9, 4)
       |  FROM l2 WHERE n > 0)
       |ORDER BY level, yc, xc""".stripMargin) { (spark, dir) =>
-    val g = Tables(spark, dir).events.select(
-      col("user_id").cast("int").as("y"),
-      (col("event_id") % 128).cast("int").as("x"),
-      when(col("value") < 5.0, lit(null)).otherwise(col("value")).as("v"))
-    val l1 = g.groupBy(expr("y div 4").cast("int").as("yc"),
-        expr("x div 4").cast("int").as("xc"))
-      .agg(count(col("v")).as("n"), sum(col("v")).as("sum_v"))
+    val l1 = eventCells(Tables(spark, dir).events)
     val l2 = l1.groupBy(expr("yc div 4").cast("int").as("yc2"),
         expr("xc div 4").cast("int").as("xc2"))
       .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
@@ -881,8 +887,54 @@ object Ingest {
       .orderBy(col("level"), col("yc"), col("xc"))
   }
 
+  /** i28: focal (neighborhood) mean — the raster stencil op (smoothing,
+    * gap-aware interpolation) the reference's gridded products imply:
+    * each cell's smoothed value is the mean of the 3×3 neighborhood's
+    * cell means, absent/nodata neighbors excluded.
+    *
+    * The distributed stencil shape: every cell EXPLODES to the 9 target
+    * cells it contributes to (map-side ×9 row expansion, no join), then
+    * one partial-agg shuffle keyed by target cell — never a 9-way
+    * self-join of shifted grid copies, and at 100 TB the expansion
+    * streams while the shuffle carries one row per (cell, contribution).
+    * Cell means are rounded before the stencil on BOTH engines so the
+    * focal inputs are bit-identical. */
+  val i28 = QueryDef(
+    "i28_focal_mean",
+    """WITH g AS (
+      |  SELECT CAST(user_id AS INTEGER) AS y, CAST(event_id % 128 AS INTEGER) AS x,
+      |         CASE WHEN value < 5.0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |cells AS (SELECT CAST(y // 4 AS INTEGER) AS yc, CAST(x // 4 AS INTEGER) AS xc,
+      |          COUNT(v) AS n, SUM(v) AS sum_v FROM g GROUP BY 1, 2),
+      |cm AS (SELECT yc, xc, ROUND(sum_v / n + 1e-9, 4) AS m FROM cells WHERE n > 0),
+      |nb AS (SELECT cm.yc + dy.d AS yt, cm.xc + dx.d AS xt, cm.m
+      |       FROM cm, (VALUES (-1), (0), (1)) dy(d), (VALUES (-1), (0), (1)) dx(d)),
+      |f AS (SELECT yt, xt, CAST(COUNT(*) AS BIGINT) AS n_nb,
+      |      ROUND(AVG(m) + 1e-9, 4) AS focal FROM nb GROUP BY yt, xt)
+      |SELECT cm.yc, cm.xc, cm.m AS cell_mean, f.n_nb, f.focal
+      |FROM f JOIN cm ON cm.yc = f.yt AND cm.xc = f.xt
+      |ORDER BY yc, xc""".stripMargin) { (spark, dir) =>
+    val cm = eventCells(Tables(spark, dir).events)
+      .filter(col("n") > 0)
+      .select(col("yc"), col("xc"),
+        graft.QueryDef.roundBiased(col("sum_v") / col("n"), 4).as("m"))
+    val offs = for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1) } yield (dy, dx)
+    val nb = cm.select(
+        explode(array(offs.map { case (dy, dx) =>
+          struct((col("yc") + dy).as("yt"), (col("xc") + dx).as("xt")) }: _*)).as("t"),
+        col("m"))
+      .select(col("t.yt").as("yt"), col("t.xt").as("xt"), col("m"))
+    val f = nb.groupBy(col("yt"), col("xt"))
+      .agg(count(lit(1)).as("n_nb"),
+        graft.QueryDef.roundBiased(avg(col("m")), 4).as("focal"))
+    cm.join(f, cm("yc") === f("yt") && cm("xc") === f("xt"))
+      .select(cm("yc"), cm("xc"), cm("m").as("cell_mean"), f("n_nb"), f("focal"))
+      .orderBy(col("yc"), col("xc"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26,
-    i27)
+    i27, i28)
 }

@@ -171,6 +171,25 @@ class IngestSpec extends SparkSpec {
       s"${r.getAs[String]("name")} misclassified"))
   }
 
+  test("i28 focal mean: neighborhood sizes bounded, stencil bounded by extremes") {
+    val out = Ingest.i28.fn(spark, sf)
+    assert(!physicalPlan(out).contains("NestedLoopJoin"),
+      "stencil must be explode+agg, not a shifted self-join")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val means = rows.map(_.getAs[Double]("cell_mean"))
+    val (lo, hi) = (means.min, means.max)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_nb")
+      assert(n >= 1 && n <= 9, s"cell (${r.get(0)},${r.get(1)}): n_nb=$n")
+      val focal = r.getAs[Double]("focal")
+      assert(focal >= lo - 1e-9 && focal <= hi + 1e-9,
+        s"cell (${r.get(0)},${r.get(1)}): focal=$focal outside [$lo,$hi]")
+    }
+    // a dense grid has interior cells with the full 3x3 neighborhood
+    assert(rows.exists(_.getAs[Long]("n_nb") == 9), "no interior cell found")
+  }
+
   test("i27 pyramid: level-2 cell counts re-aggregate level 1 exactly") {
     val rows = Ingest.i27.fn(spark, sf).collect()
     val l1 = rows.filter(_.getAs[Int]("level") == 1)
