@@ -875,7 +875,11 @@ object Ingest {
       |  SELECT 2, yc, xc, CAST(n AS BIGINT), ROUND(sum_v / n + 1e-9, 4)
       |  FROM l2 WHERE n > 0)
       |ORDER BY level, yc, xc""".stripMargin) { (spark, dir) =>
-    val l1 = eventCells(Tables(spark, dir).events)
+    // persisted: the level-1 and level-2 branches both consume the cell
+    // grid, and the non-identical subtrees defeat ReuseExchange — without
+    // the cache the raw events scan (the 100 TB side) runs twice. The
+    // cached set is grid-sized, orders of magnitude below the input.
+    val l1 = eventCells(Tables(spark, dir).events).persist()
     val l2 = l1.groupBy(expr("yc div 4").cast("int").as("yc2"),
         expr("xc div 4").cast("int").as("xc2"))
       .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
@@ -915,10 +919,13 @@ object Ingest {
       |SELECT cm.yc, cm.xc, cm.m AS cell_mean, f.n_nb, f.focal
       |FROM f JOIN cm ON cm.yc = f.yt AND cm.xc = f.xt
       |ORDER BY yc, xc""".stripMargin) { (spark, dir) =>
+    // persisted for the same reason as i27: cm feeds both the stencil
+    // explode and the final join-back; one raw scan, not two
     val cm = eventCells(Tables(spark, dir).events)
       .filter(col("n") > 0)
       .select(col("yc"), col("xc"),
         graft.QueryDef.roundBiased(col("sum_v") / col("n"), 4).as("m"))
+      .persist()
     val offs = for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1) } yield (dy, dx)
     val nb = cm.select(
         explode(array(offs.map { case (dy, dx) =>

@@ -266,18 +266,25 @@ object TextAnalysis {
     * doc_id, so skew is bounded by the longest single document. */
   def repetitionMetrics(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
-    val n = docs.select(col("doc_id"), size(toks).as("n_tokens"))
-    val btop = docs
-      .select(col("doc_id"), explode(Text.shingles(toks, 2)).as("g"))
+    // ONE scan of the corpus: both gram widths explode from the same
+    // row set (vs. one pass per width — 3 scans of the 100 TB side).
+    // The width is recoverable from the shingle's space count: tokens
+    // come from a split on ' ', so a token can never contain a space —
+    // a 2-gram has exactly 1, a 3-gram exactly 2, collisions impossible.
+    docs
+      .select(col("doc_id"),
+        explode(concat(Text.shingles(toks, 2), Text.shingles(toks, 3))).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top2_cnt"))
-    val tagg = docs
-      .select(col("doc_id"), explode(Text.shingles(toks, 3)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("w2", size(split(col("g"), " ", -1)) === 2)
       .groupBy(col("doc_id")).agg(
-        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup3_occ"),
-        sum(col("c")).as("tri_total"))
-    n.join(btop, "doc_id").join(tagg, "doc_id")
+        max(when(col("w2"), col("c"))).as("top2_cnt"),
+        sum(when(!col("w2") && col("c") >= 2, col("c")).otherwise(0L)).as("dup3_occ"),
+        sum(when(!col("w2"), col("c")).otherwise(0L)).as("tri_total"))
+      // docs too short for a trigram match the oracle's inner-join drop;
+      // n_tokens falls out of the trigram population (len = tri_total + 2)
+      .filter(col("tri_total") > 0)
+      .select(col("doc_id"), (col("tri_total") + 2).cast("int").as("n_tokens"),
+        col("top2_cnt"), col("dup3_occ"), col("tri_total"))
   }
 
   /** Rounded repetition ratios + keep flag over [[repetitionMetrics]]
