@@ -690,6 +690,73 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d09: Bloom-prefiltered incremental exact dedup — the runtime-filter
+    * pattern applied to d07's exact tier. The dedup key is a normalized
+    * content prefix (md5 of the first 8 tokens — the "same title/head"
+    * near-exact key); the corpus side aggregates its key hashes into a
+    * Bloom filter (Spark's native `BloomFilterAggregate`, the same
+    * machinery InjectRuntimeFilter uses), the batch probes it MAP-SIDE
+    * (`BloomFilterMightContain` over a literal filter — codegen'd, zero
+    * shuffle), and only bloom-positive rows reach the exact semi-join.
+    * False positives are killed by the join, so the result is exactly
+    * the plain semi-join — fully oracled; the bloom is pure pruning.
+    *
+    * 100 TB: the filter is bits-per-key-sized (MBs for billions of
+    * keys), driver-held and inlined like the s04/s07 codebooks; the
+    * semi-join then shuffles only the bloom-positive sliver of the
+    * batch instead of the whole batch — the classic way to make a
+    * batch×corpus join cheap when the overlap is sparse. */
+  val d09 = QueryDef(
+    "d09_bloom_prefilter",
+    """WITH d AS (SELECT doc_id, source,
+      |    MD5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:8], ' ')) AS pk
+      |  FROM documents),
+      |corpus AS (SELECT pk FROM d WHERE doc_id % 2 = 0),
+      |batch AS (SELECT doc_id, source, pk FROM d WHERE doc_id % 2 = 1)
+      |SELECT doc_id, source FROM batch
+      |WHERE pk IN (SELECT pk FROM corpus)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = Tables(spark, dir).documents
+    val pk = md5(concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)))
+    val corpus = docs.filter(col("doc_id") % 2 === 0).select(pk.as("pk"))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), pk.as("pk"))
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("pk"))), 1000000L)
+      .toAggregateExpression())
+    val bloom = corpus.agg(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom), ColumnBridge.expression(xxhash64(col("pk")))))
+    batch.filter(mightContain)
+      .join(corpus, Seq("pk"), "left_semi")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The d09 bloom prune fraction without the confirming join — used by
+    * the spec to assert the filter actually prunes and never drops a
+    * true duplicate. */
+  private[graft] def bloomPassCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = Tables(spark, dir).documents
+    val pk = md5(concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)))
+    val corpus = docs.filter(col("doc_id") % 2 === 0).select(pk.as("pk"))
+    val batch = docs.filter(col("doc_id") % 2 === 1).select(pk.as("pk"))
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("pk"))), 1000000L)
+      .toAggregateExpression())
+    val bloom = corpus.agg(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom), ColumnBridge.expression(xxhash64(col("pk")))))
+    (batch.filter(mightContain).count(), batch.count())
+  }
+
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08)
+    Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08, d09)
 }

@@ -169,6 +169,16 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("d09 bloom prefilter: prunes most of the batch, never a true dup") {
+    val dups = Dedup.d09.fn(spark, sf).count()
+    val (bloomPass, batchTotal) = Dedup.bloomPassCount(spark, sf)
+    // no false negatives: every true dup survives the bloom
+    assert(bloomPass >= dups, s"bloom dropped true dups: $bloomPass < $dups")
+    // and the filter actually prunes — the point of the prepass
+    assert(bloomPass < batchTotal / 2,
+      s"bloom passed $bloomPass of $batchTotal: no pruning happened")
+  }
+
   test("s07 PQ: codes within codebook range, all subspace codebooks used") {
     val rows = Similarity.s07.fn(spark, sf).collect()
     assert(rows.nonEmpty)
