@@ -112,5 +112,80 @@ object Temporal {
       .orderBy(col("user_id"), col("session_num"))
   }
 
-  val all: Seq[QueryDef] = Seq(j01, j02)
+  /** j03: interval-overlap (time-weighted) aggregation — usage metering:
+    * each event becomes a usage interval [ts, ts + value minutes] and
+    * every report window accumulates the EXACT overlap duration in
+    * integer microseconds (no floats anywhere — the sums hash bit-for-
+    * bit on any engine).
+    *
+    * Join shape = q23's bucket quantization extended to interval×
+    * interval: both sides explode to the day buckets they cover and
+    * equi-join on the bucket (windows broadcast). A pair sharing
+    * several days would match repeatedly, so the join keeps only the
+    * bucket holding the overlap's START (`day = date(max(start)))` —
+    * an overlapping pair shares that day by construction, making each
+    * pair match EXACTLY once with no distinct pass. Validated against
+    * the naive theta-join in the spec. */
+  val j03: QueryDef = {
+    val narrow = (0 until 10).map { k =>
+      (k, f"2024-01-${1 + 3 * k}%02d 00:00:00", f"2024-01-${3 + 3 * k}%02d 00:00:00")
+    }
+    val wide = (0 until 4).map { k =>
+      (10 + k, f"2024-01-${1 + 7 * k}%02d 00:00:00", f"2024-01-${6 + 7 * k}%02d 00:00:00")
+    }
+    val windows = narrow ++ wide
+    val valuesSql = windows
+      .map { case (w, s, e) => s"  ($w, TIMESTAMP '$s', TIMESTAMP '$e')" }
+      .mkString(",\n")
+    QueryDef(
+      "j03_overlap_weighted",
+      s"""WITH win(wid, ws, we) AS (VALUES
+         |$valuesSql),
+         |w AS (SELECT wid, ws, we, EPOCH_US(ws) AS wsm, EPOCH_US(we) AS wem FROM win),
+         |wd AS (SELECT wid, wsm, wem,
+         |       CAST(UNNEST(GENERATE_SERIES(CAST(ws AS DATE),
+         |         CAST(we - INTERVAL 1 MICROSECOND AS DATE), INTERVAL 1 DAY)) AS DATE) AS day
+         |       FROM w),
+         |e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |      EPOCH_US(CAST(ts AS TIMESTAMP)) AS sm,
+         |      EPOCH_US(CAST(ts AS TIMESTAMP)) + CAST(FLOOR(value * 60000000) AS BIGINT) AS em
+         |      FROM events),
+         |ed AS (SELECT event_id, sm, em,
+         |       CAST(UNNEST(GENERATE_SERIES(CAST(ts AS DATE),
+         |         CAST(MAKE_TIMESTAMP(em) AS DATE), INTERVAL 1 DAY)) AS DATE) AS day FROM e),
+         |j AS (SELECT wid, event_id, LEAST(em, wem) - GREATEST(sm, wsm) AS ov
+         |      FROM ed JOIN wd ON ed.day = wd.day AND sm < wem AND em > wsm
+         |       AND ed.day = CAST(MAKE_TIMESTAMP(GREATEST(sm, wsm)) AS DATE))
+         |SELECT wid, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(ov) AS BIGINT) AS total_overlap_us
+         |FROM j GROUP BY wid ORDER BY wid""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val win = windows.toDF("wid", "ws_s", "we_s")
+        .select(col("wid"), to_timestamp(col("ws_s")).as("ws"),
+          to_timestamp(col("we_s")).as("we"))
+        .select(col("wid"), col("ws"), col("we"),
+          unix_micros(col("ws")).as("wsm"), unix_micros(col("we")).as("wem"))
+      val winByDay = win.withColumn("wday",
+        explode(sequence(to_date(col("ws")), date_add(to_date(col("we")), -1))))
+        .select(col("wid"), col("wsm"), col("wem"), col("wday"))
+      val ev = Tables(spark, dir).events
+        // FLOOR, not a bare cast: Spark's double→long cast truncates but
+        // DuckDB's CAST rounds — FLOOR agrees everywhere
+        .select(col("event_id"), col("ts"), unix_micros(col("ts")).as("sm"),
+          (unix_micros(col("ts")) + floor(col("value") * 60000000d)).as("em"))
+        .withColumn("day",
+          explode(sequence(to_date(col("ts")), to_date(timestamp_micros(col("em"))))))
+      ev.join(broadcast(winByDay),
+          col("day") === col("wday") && col("sm") < col("wem") &&
+            col("em") > col("wsm") &&
+            col("day") === to_date(timestamp_micros(greatest(col("sm"), col("wsm")))))
+        .groupBy(col("wid"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(least(col("em"), col("wem")) - greatest(col("sm"), col("wsm")))
+            .as("total_overlap_us"))
+        .orderBy(col("wid"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(j01, j02, j03)
 }

@@ -108,4 +108,32 @@ class RelationalSpec extends SparkSpec {
     // wide window 10 strictly contains narrow window 0 — overlap is real
     assert(got(10) > got(0))
   }
+
+  test("j03 overlap join matches the naive interval theta-join exactly") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Temporal.j03.fn(spark, sf)
+    assert(!physicalPlan(out).contains("NestedLoopJoin"),
+      "bucketized interval join must not plan a nested loop")
+    val got = out.collect()
+      .map(r => r.getAs[Int]("wid") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("total_overlap_us"))).toMap
+    // ground truth: unbucketized theta-join over the same 14 windows
+    val win = spark.createDataFrame(
+      (0 until 10).map(k => (k, f"2024-01-${1 + 3 * k}%02d 00:00:00",
+        f"2024-01-${3 + 3 * k}%02d 00:00:00")) ++
+      (0 until 4).map(k => (10 + k, f"2024-01-${1 + 7 * k}%02d 00:00:00",
+        f"2024-01-${6 + 7 * k}%02d 00:00:00")))
+      .toDF("wid", "ws_s", "we_s")
+      .select(col("wid"), unix_micros(to_timestamp(col("ws_s"))).as("wsm"),
+        unix_micros(to_timestamp(col("we_s"))).as("wem"))
+    val ev = Tables(spark, sf).events.select(unix_micros(col("ts")).as("sm"),
+      (unix_micros(col("ts")) + floor(col("value") * 60000000d)).as("em"))
+    val naive = ev.join(win, col("sm") < col("wem") && col("em") > col("wsm"))
+      .groupBy(col("wid"))
+      .agg(count(lit(1)).as("n"),
+        sum(least(col("em"), col("wem")) - greatest(col("sm"), col("wsm"))).as("ov"))
+      .collect()
+      .map(r => r.getAs[Int]("wid") -> (r.getAs[Long]("n"), r.getAs[Long]("ov"))).toMap
+    assert(got == naive)
+  }
 }
