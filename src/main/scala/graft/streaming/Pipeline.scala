@@ -28,6 +28,19 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over the documents parquet — the continuous
+    * document-ingestion side of the curation pipelines. */
+  private def docStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
   /** File-source stream over the events parquet (nanos ts read as long,
     * converted to a microsecond timestamp — same convention as
     * [[graft.Tables]]). */
@@ -303,5 +316,39 @@ object Streaming {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07)
+  /** st08: streaming dedup against the STATIC published corpus — the
+    * d07/d09 incremental-dedup shape in streaming form: documents
+    * stream in, anti-join on the normalized-prefix content key against
+    * the (static, bounded) corpus, and only non-duplicates land in the
+    * per-source intake stats. The static side broadcasts, so the stream
+    * never shuffles for the dedup itself; only the downstream intake
+    * aggregation keeps state. At 100 TB the static side is the corpus's
+    * stored key index (a column of the published layout), refreshed per
+    * deployment cycle — Spark re-resolves static relations per
+    * micro-batch. Oracle: the identical batch anti-join SQL. */
+  val st08 = QueryDef(
+    "st08_stream_dedup_corpus",
+    """WITH d AS (SELECT doc_id, source, n_chars,
+      |    MD5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:8], ' ')) AS pk
+      |  FROM documents),
+      |corpus AS (SELECT pk FROM d WHERE doc_id % 2 = 0),
+      |batch AS (SELECT * FROM d WHERE doc_id % 2 = 1)
+      |SELECT source, COUNT(*) AS n_landed,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_landed
+      |FROM batch WHERE pk NOT IN (SELECT pk FROM corpus)
+      |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val pk = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+    val corpus = graft.Tables(spark, dir).documents
+      .filter(col("doc_id") % 2 === 0).select(pk.as("pk"))
+    val landed = docStream(spark, dir)
+      .filter(col("doc_id") % 2 === 1)
+      .withColumn("pk", pk)
+      .join(corpus, Seq("pk"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_landed"), sum(col("n_chars")).as("chars_landed"))
+    withStreamParallelism(spark, dir)(runToCompletion(landed, "st08_out"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
 }

@@ -24,4 +24,24 @@ class StreamingSpec extends SparkSpec {
     val second = Streaming.st03.fn(spark, sf).collect()
     assert(first.sameElements(second))
   }
+
+  test("st08 streamed corpus dedup equals the batch anti-join") {
+    val streamed = Streaming.st08.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_landed"), r.getAs[Long]("chars_landed"))).toMap
+    val pk = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+    val docs = Tables(spark, sf).documents.withColumn("pk", pk)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .join(docs.filter(col("doc_id") % 2 === 0).select(col("pk")), Seq("pk"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("c"))).toMap
+    assert(streamed == batch)
+    // the dedup actually dropped the cross-corpus prefix dups
+    val landedTotal = streamed.values.map(_._1).sum
+    val batchTotal = Tables(spark, sf).documents.filter(col("doc_id") % 2 === 1).count()
+    assert(landedTotal < batchTotal, "anti-join dropped nothing")
+  }
 }
