@@ -940,8 +940,56 @@ object Ingest {
       .orderBy(col("yc"), col("xc"))
   }
 
+  /** i29: resample + gap-fill — the time-series regularization the
+    * reference needs before any climatology math (station feeds skip
+    * days; CHIRPS/forecast products assume a dense calendar): per key,
+    * observations collapse to a daily grid spanning that key's own
+    * [min, max] range, missing days materialize as explicit rows, and
+    * values forward-fill (last observation carried forward) with a
+    * `was_gap` provenance flag.
+    *
+    * Scale shape: per-day means are one partial-agg shuffle; the dense
+    * grid explodes map-side from the per-key (min, max) span — never a
+    * calendar cross-join; the fill is one window per key ordered by
+    * day. Grid size is bounded by keys × span-days regardless of raw
+    * event volume. */
+  val i29 = QueryDef(
+    "i29_gapfill",
+    """WITH obs AS (
+      |  SELECT user_id, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         ROUND(AVG(value) + 1e-9, 4) AS v
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY user_id),
+      |grid AS (SELECT user_id, UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS day
+      |         FROM span),
+      |joined AS (SELECT g.user_id, g.day, o.v FROM grid g
+      |           LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day)
+      |SELECT user_id, day,
+      |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INTEGER) AS was_gap
+      |FROM joined ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // persisted: obs feeds both the span aggregation and the grid join
+    val obs = Tables(spark, dir).events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(graft.QueryDef.roundBiased(avg(col("value")), 4).as("v"))
+      .persist()
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled"),
+        when(col("v").isNull, 1).otherwise(0).as("was_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26,
-    i27, i28)
+    i27, i28, i29)
 }

@@ -190,6 +190,26 @@ class IngestSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_nb") == 9), "no interior cell found")
   }
 
+  test("i29 gap-fill: dense per-key calendar, no null fills, first day observed") {
+    val rows = Ingest.i29.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("filled")), s"null fill at ${r.get(0)}/${r.get(1)}")
+      assert(Set(0, 1).contains(r.getAs[Int]("was_gap")))
+    }
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+      // span endpoints are real observations, and the calendar is dense
+      assert(sorted.head.getAs[Int]("was_gap") == 0, s"user $u starts on a gap")
+      assert(sorted.last.getAs[Int]("was_gap") == 0, s"user $u ends on a gap")
+      val days = sorted.map(_.getAs[java.sql.Timestamp]("day").getTime)
+      assert(days.zip(days.tail).forall { case (a, b) => b - a == 86400000L },
+        s"user $u calendar has holes")
+    }
+    assert(rows.exists(_.getAs[Int]("was_gap") == 1), "corpus has no gaps to fill")
+  }
+
   test("i27 pyramid: level-2 cell counts re-aggregate level 1 exactly") {
     val rows = Ingest.i27.fn(spark, sf).collect()
     val l1 = rows.filter(_.getAs[Int]("level") == 1)
