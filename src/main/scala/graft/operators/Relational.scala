@@ -576,7 +576,31 @@ object Relational {
     }
   }
 
+  /** q24: CUBE — the full grouping-sets lattice (q13 covers the ROLLUP
+    * hierarchy; CUBE adds the cross-dimensional subtotals a reporting
+    * layer asks for). One pass, one shuffle: Spark expands the lattice
+    * map-side and partially aggregates every grouping set before the
+    * exchange. Subtotal NULLs coalesce to 'ALL' and the grouping_id
+    * bitmask (MSB = first dimension on both engines) disambiguates
+    * subtotal rows from real data. */
+  val q24 = QueryDef(
+    "q24_cube",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
-      q14, q16, q17, q18, q19, q20, q21, q22, q23)
+      q14, q16, q17, q18, q19, q20, q21, q22, q23, q24)
 }

@@ -365,5 +365,54 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03, s04, s05, s06, s07)
+  /** s08: ANN recall evaluation — the quality harness every approximate
+    * index needs: run the SAME query through the exact brute-force
+    * ranking (s01) and the LSH-bucketed ANN (s02b), intersect the
+    * top-k id sets, and report recall@k. At 100 TB this runs over a
+    * sampled query panel (q21's deterministic sampler picks it) while
+    * the corpus-side cost stays one bucket probe per query; here one
+    * query keeps the oracle single-row. Both rankings are
+    * deterministic, so recall itself is hash-checked — the approximate
+    * operator's quality is part of the verified surface, not a claim. */
+  val s08: QueryDef = {
+    val planeSql = (0 until 4).map { p =>
+      val arr = Vectors.planeSigns(p, 64).mkString("[", ", ", "]")
+      s"CASE WHEN LIST_DOT_PRODUCT(v, $arr) >= 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", "\n   + ", ")")
+    QueryDef(
+      "s08_ann_recall",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $planeSql AS bucket FROM e),
+         |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+         |exact AS (SELECT vec_id FROM e, q WHERE vec_id <> 0
+         |          ORDER BY LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id LIMIT 10),
+         |ann AS (SELECT vec_id FROM b, q WHERE bucket = qb AND vec_id <> 0
+         |        ORDER BY LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id LIMIT 10)
+         |SELECT 10 AS k,
+         |  CAST((SELECT COUNT(*) FROM ann) AS BIGINT) AS n_ann,
+         |  CAST((SELECT COUNT(*) FROM ann JOIN exact USING (vec_id)) AS BIGINT) AS n_hits,
+         |  ROUND((SELECT COUNT(*) FROM ann JOIN exact USING (vec_id)) / 10.0 + 1e-9, 4) AS recall
+         |""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), 4))
+        .persist()
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      def rank(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), Vectors.cosine(col("v"), col("qv")).as("raw_sim"))
+        .orderBy(col("raw_sim").desc, col("vec_id"))
+        .limit(10).select(col("vec_id"))
+      val exact = rank(emb.join(broadcast(query)))
+      val ann = rank(emb.join(broadcast(query), col("bucket") === col("qbucket")))
+      val nAnn = ann.agg(count(lit(1)).as("n_ann"))
+      val nHits = ann.join(exact, "vec_id").agg(count(lit(1)).as("n_hits"))
+      nAnn.join(nHits)
+        .select(lit(10).as("k"), col("n_ann"), col("n_hits"),
+          graft.QueryDef.roundBiased(col("n_hits") / 10.0, 4).as("recall"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08)
 }

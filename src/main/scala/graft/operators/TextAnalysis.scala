@@ -326,5 +326,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  /** t10: text normalization — the canonicalization pass that runs
+    * BEFORE exact dedup (d01's content hashes only dedupe what
+    * normalization makes byte-identical): lowercase, strip
+    * non-alphanumerics, collapse runs of whitespace, trim. Pure
+    * codegen'd scalar pipeline, zero shuffles. The corpus is already
+    * clean, so (the t05 pattern) the operator corrupts it
+    * DETERMINISTICALLY per doc-id class — case-folding, space
+    * inflation, punctuation padding — and the round-trip proves the
+    * normalizer inverts every class: `restored = 1` on all rows,
+    * hash-checked including the normalized content hash. */
+  val t10 = QueryDef(
+    "t10_normalize",
+    """WITH dirty AS (SELECT doc_id, text,
+      |  CASE CAST(doc_id % 4 AS INTEGER)
+      |    WHEN 0 THEN UPPER(text)
+      |    WHEN 1 THEN REPLACE(text, ' ', '   ')
+      |    WHEN 2 THEN '  ' || text || ' !!! '
+      |    ELSE text END AS raw FROM documents),
+      |norm AS (SELECT doc_id, text, raw,
+      |  TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(raw), '[^a-z0-9 ]', '', 'g'),
+      |       ' +', ' ', 'g')) AS cleaned FROM dirty)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN raw <> text THEN 1 ELSE 0 END AS INTEGER) AS was_dirty,
+      |  CAST(CASE WHEN cleaned = text THEN 1 ELSE 0 END AS INTEGER) AS restored,
+      |  MD5(cleaned) AS content_hash
+      |FROM norm ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val raw = when(col("doc_id") % 4 === 0, upper(col("text")))
+      .when(col("doc_id") % 4 === 1, regexp_replace(col("text"), " ", "   "))
+      .when(col("doc_id") % 4 === 2, concat(lit("  "), col("text"), lit(" !!! ")))
+      .otherwise(col("text"))
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("raw")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables(spark, dir).documents
+      .withColumn("raw", raw)
+      .withColumn("cleaned", cleaned)
+      .select(col("doc_id"),
+        when(col("raw") =!= col("text"), 1).otherwise(0).as("was_dirty"),
+        when(col("cleaned") === col("text"), 1).otherwise(0).as("restored"),
+        md5(col("cleaned")).as("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }

@@ -109,6 +109,16 @@ class RelationalSpec extends SparkSpec {
     assert(got(10) > got(0))
   }
 
+  test("q24 cube: full lattice present, grand total matches the table") {
+    val rows = Relational.q24.fn(spark, sf).collect()
+    val rf = rows.filter(_.getAs[Int]("gid") == 0).map(_.getAs[String]("rf")).distinct
+    val ls = rows.filter(_.getAs[Int]("gid") == 0).map(_.getAs[String]("ls")).distinct
+    assert(rows.length == rf.length * ls.length + rf.length + ls.length + 1)
+    val grand = rows.filter(_.getAs[Int]("gid") == 3)
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == Tables(spark, sf).lineitem.count())
+  }
+
   test("j03 overlap join matches the naive interval theta-join exactly") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.Temporal.j03.fn(spark, sf)

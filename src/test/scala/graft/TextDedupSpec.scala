@@ -169,6 +169,25 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("t10 normalization inverts every synthetic corruption class") {
+    val rows = TextAnalysis.t10.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("restored") == 1,
+      s"doc ${r.get(0)} not restored"))
+    // three of four doc-id classes are corrupted
+    val dirty = rows.count(_.getAs[Int]("was_dirty") == 1)
+    assert(math.abs(dirty.toDouble / rows.length - 0.75) < 0.05)
+  }
+
+  test("s08 ANN recall is a valid fraction and hits never exceed candidates") {
+    val r = Similarity.s08.fn(spark, sf).collect()(0)
+    val (nAnn, nHits) = (r.getAs[Long]("n_ann"), r.getAs[Long]("n_hits"))
+    assert(nAnn <= 10 && nHits <= nAnn)
+    val recall = r.getAs[Double]("recall")
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(math.abs(recall - nHits / 10.0) < 1e-6)
+  }
+
   test("d09 bloom prefilter: prunes most of the batch, never a true dup") {
     val dups = Dedup.d09.fn(spark, sf).count()
     val (bloomPass, batchTotal) = Dedup.bloomPassCount(spark, sf)
