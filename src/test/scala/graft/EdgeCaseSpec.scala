@@ -17,6 +17,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("repetitionMetrics drops sub-trigram docs and derives exact token counts") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "a"), (3L, "a b"), (4L, "a b c"),
+      (5L, "x y x y x y")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repetitionMetrics(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // docs 1–3 have no trigram — matching the oracle's inner-join drop
+    assert(got.keySet == Set(4L, 5L))
+    assert(got(4L).getAs[Int]("n_tokens") == 3 && got(4L).getAs[Long]("top2_cnt") == 1)
+    // "x y x y x y": 5 bigrams, "x y"×3; 4 trigrams, each ×2 → all dup
+    val r5 = got(5L)
+    assert(r5.getAs[Int]("n_tokens") == 6 && r5.getAs[Long]("top2_cnt") == 3)
+    assert(r5.getAs[Long]("dup3_occ") == 4 && r5.getAs[Long]("tri_total") == 4)
+  }
+
+  test("contamination with an empty eval side flags nothing and does not crash") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val evalDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.contamination(train, evalDocs).count() == 0)
+  }
+
   test("asof join with an empty right side yields all-null carries") {
     import spark.implicits._
     val left = Seq((1L, 10L, 1)).toDF("k", "t", "eid")
