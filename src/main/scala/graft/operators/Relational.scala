@@ -600,7 +600,32 @@ object Relational {
       .orderBy(col("rf"), col("ls"))
   }
 
+  /** q25: time-RANGE window frame — the rolling 7-day average per key,
+    * q06's ROWS-frame sibling: the frame is bounded by event TIME, not
+    * row position, so sparse and bursty keys get the same semantics.
+    * One shuffle (partition key), in-partition sort, frame arithmetic
+    * in integer MICROS on both engines (DuckDB's EPOCH is a fractional-
+    * second double and Spark's long cast truncates — either mixed
+    * choice shifts frame membership at the boundary). */
+  val q25 = QueryDef(
+    "q25_moving_window",
+    """SELECT event_id, user_id,
+      |  ROUND(AVG(value) OVER w + 1e-9, 4) AS avg_7d,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(CAST(ts AS TIMESTAMP))
+      |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-604800000000L, Window.currentRow)
+    Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"),
+        graft.QueryDef.roundBiased(avg(col("value")).over(w), 4).as("avg_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
-      q14, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+      q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
 }

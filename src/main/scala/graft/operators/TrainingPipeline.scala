@@ -201,5 +201,57 @@ object TrainingPipeline {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(p01, p02)
+  /** p03: mixture sampling EXECUTION — t07 computes the
+    * mixture-equalizing weights; p03 realizes them: each source's
+    * target rate derives from its token share (half the equalizing
+    * weight, capped at 1), and docs are picked by the q21 deterministic
+    * md5 sampler — same rows on any engine, cluster, or run.
+    *
+    * The s06 two-phase shape: the rate table is a tiny aggregation
+    * prepass (sources × 1 row, broadcast back), and the sampling pass
+    * is a map-side projection over the corpus — no shuffle of the
+    * 100 TB side beyond the final per-source tally. Rates are rounded
+    * to 4 decimals BEFORE the 16-bit threshold floor so both engines
+    * compare against the identical integer cutoff. */
+  val p03 = QueryDef(
+    "p03_mixture_sample",
+    """WITH tok AS (SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents),
+      |src AS (SELECT source, COUNT(*) AS n_docs,
+      |        CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM tok GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS n_sources FROM src),
+      |rates AS (SELECT source, n_docs,
+      |    ROUND(LEAST(0.5 * (1.0 / n_sources) / (n_tokens * 1.0 / total), 1.0) + 1e-9, 4) AS target_rate
+      |  FROM src, tot),
+      |samp AS (SELECT t.doc_id, t.source, r.target_rate,
+      |    CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+      |         < FLOOR(r.target_rate * 65536 + 1e-9) THEN 1 ELSE 0 END AS picked
+      |  FROM tok t JOIN rates r ON t.source = r.source)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(picked) AS BIGINT) AS n_sampled,
+      |  MAX(target_rate) AS target_rate,
+      |  ROUND(SUM(picked) * 1.0 / COUNT(*) + 1e-9, 4) AS realized_rate
+      |FROM samp GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val tok = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.Text.tokens(col("text"))).as("n_tok"))
+    val src = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = src.agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("n_sources"))
+    val rates = src.join(broadcast(tot))
+      .select(col("source"), graft.QueryDef.roundBiased(
+        least(lit(0.5) * (lit(1.0) / col("n_sources")) /
+          (col("n_tokens") * lit(1.0) / col("total")), lit(1.0)), 4).as("target_rate"))
+    val hex4 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    val picked = when(hex4 < floor(col("target_rate") * 65536 + 1e-9), 1).otherwise(0)
+    tok.join(broadcast(rates), "source")
+      .select(col("source"), col("target_rate"), picked.as("picked"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("picked")).as("n_sampled"),
+        max(col("target_rate")).as("target_rate"),
+        graft.QueryDef.roundBiased(sum(col("picked")) * lit(1.0) / count(lit(1)), 4)
+          .as("realized_rate"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(p01, p02, p03)
 }

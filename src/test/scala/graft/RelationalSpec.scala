@@ -119,6 +119,23 @@ class RelationalSpec extends SparkSpec {
     assert(grand.head.getAs[Long]("n") == Tables(spark, sf).lineitem.count())
   }
 
+  test("q25 time-range frame matches a brute-force recount") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q25.fn(spark, sf).collect()
+    val byId = Tables(spark, sf).events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> (r.getAs[Long]("user_id"), r.getAs[Long]("us")))
+      .toMap
+    val perUser = byId.values.groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
+    rows.foreach { r =>
+      val (u, t) = byId(r.getAs[Long]("event_id"))
+      val expected = perUser(u).count(x => x >= t - 604800000000L && x <= t)
+      assert(r.getAs[Long]("n_7d") == expected,
+        s"event ${r.get(0)}: frame count ${r.getAs[Long]("n_7d")} != $expected")
+    }
+  }
+
   test("j03 overlap join matches the naive interval theta-join exactly") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.Temporal.j03.fn(spark, sf)

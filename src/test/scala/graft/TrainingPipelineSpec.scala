@@ -23,6 +23,21 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(totalDocs == want)
   }
 
+  test("p03 sampling is deterministic and tracks the per-source target rate") {
+    val run1 = TrainingPipeline.p03.fn(spark, sf).collect()
+    val run2 = TrainingPipeline.p03.fn(spark, sf).collect()
+    assert(run1.sameElements(run2))
+    assert(run1.map(_.getAs[Long]("n_sampled")).sum > 0)
+    run1.foreach { r =>
+      val (target, realized) =
+        (r.getAs[Double]("target_rate"), r.getAs[Double]("realized_rate"))
+      assert(target > 0 && target <= 1.0)
+      // 25–2500 docs/source: generous binomial tolerance
+      assert(math.abs(realized - target) < 0.2,
+        s"${r.getAs[String]("source")}: realized=$realized target=$target")
+    }
+  }
+
   test("curation keeps a nonempty, deduplicated, quality-gated subset") {
     val docs = Tables(spark, sf).documents
     val curated = TrainingPipeline.curate(docs).cache()
