@@ -988,8 +988,63 @@ object Ingest {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** i30: zonal statistics — the raster⋈vector classic behind every
+    * per-region climate product (aggregate a gridded field inside each
+    * admin/zone polygon): points classify to their FIRST matching zone
+    * via the i23 ray-cast (a pure codegen'd Column chain over literal
+    * rings — zone geometry is broadcast-as-literals, the 100 TB side
+    * never joins), then one partial-agg shuffle keyed by zone. The
+    * DuckDB oracle inlines the identical per-edge crossing tests, so
+    * classification parity is bit-exact. */
+  val i30: QueryDef = {
+    // two synthetic non-axis-aligned quads next to the Africa ring —
+    // overlapping coverage resolved by first-match order, like rasterio
+    // burning zones in order
+    val zones: Seq[(String, Seq[(Double, Double)])] = Seq(
+      ("atlantic_band", Seq((-150.0, -40.0), (-40.0, -55.0), (-25.0, 30.0), (-140.0, 45.0))),
+      ("africa", AfricaPolygon),
+      ("indo_pacific", Seq((60.0, -45.0), (165.0, -30.0), (150.0, 50.0), (75.0, 35.0))))
+    def edgeSql(poly: Seq[(Double, Double)]): String =
+      poly.indices.flatMap { k =>
+        val (xi, yi) = poly(k)
+        val (xj, yj) = poly((k + 1) % poly.length)
+        if (yj == yi) None
+        else Some(s"(CASE WHEN ($yi > lat) <> ($yj > lat)" +
+          s" AND lon < ${xj - xi} * (lat - $yi) / ${yj - yi} + $xi THEN 1 ELSE 0 END)")
+      }.mkString("(", " + ", ")")
+    val zoneSql = zones.map { case (name, poly) =>
+      s"WHEN ${edgeSql(poly)} % 2 = 1 THEN '$name'"
+    }.mkString("CASE ", " ", " ELSE 'outside' END")
+    QueryDef(
+      "i30_zonal_stats",
+      s"""WITH pts AS (
+         |  SELECT value, value * 2 % 360.0 - 180.0 AS lon,
+         |         (value * 1.7 + user_id) % 120.0 - 60.0 AS lat
+         |  FROM events)
+         |SELECT $zoneSql AS zone,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ROUND(AVG(value) + 1e-9, 4) AS avg_v,
+         |  ROUND(MIN(value), 2) AS min_v, ROUND(MAX(value), 2) AS max_v
+         |FROM pts GROUP BY 1 ORDER BY zone""".stripMargin) { (spark, dir) =>
+      val lon = col("value") * 2 % 360.0 - 180.0
+      val lat = (col("value") * 1.7 + col("user_id")) % 120.0 - 60.0
+      val zone = zones.foldRight(lit("outside")) { case ((name, poly), rest) =>
+        when(pointInPolygon(lon, lat, poly), name).otherwise(rest)
+      }
+      // foldRight builds WHEN z1 .. WHEN z2 .. ELSE outside in declared
+      // order — same first-match resolution as the oracle's CASE
+      Tables(spark, dir).events
+        .groupBy(zone.as("zone"))
+        .agg(count(lit(1)).as("n"),
+          graft.QueryDef.roundBiased(avg(col("value")), 4).as("avg_v"),
+          round(min(col("value")), 2).as("min_v"),
+          round(max(col("value")), 2).as("max_v"))
+        .orderBy(col("zone"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26,
-    i27, i28, i29)
+    i27, i28, i29, i30)
 }

@@ -171,6 +171,17 @@ class IngestSpec extends SparkSpec {
       s"${r.getAs[String]("name")} misclassified"))
   }
 
+  test("i30 zonal stats: zones partition every point, all zones populated") {
+    val rows = Ingest.i30.fn(spark, sf).collect()
+    val zones = rows.map(_.getAs[String]("zone")).toSet
+    assert(zones == Set("atlantic_band", "africa", "indo_pacific", "outside"))
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables(spark, sf).events.count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("avg_v") + 1e-9)
+      assert(r.getAs[Double]("avg_v") <= r.getAs[Double]("max_v") + 1e-9)
+    }
+  }
+
   test("i28 focal mean: neighborhood sizes bounded, stencil bounded by extremes") {
     val out = Ingest.i28.fn(spark, sf)
     assert(!physicalPlan(out).contains("NestedLoopJoin"),
