@@ -397,6 +397,10 @@ object Similarity {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), 4))
         .persist()
+      // eager fill: the exact and ANN rankings both read emb — a lazily
+      // filled cache would let the branches race and re-bucket (p01's
+      // cache-race lesson)
+      emb.count()
       val query = emb.filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("bucket").as("qbucket"))
       def rank(df: org.apache.spark.sql.DataFrame) = df

@@ -234,8 +234,13 @@ object TrainingPipeline {
     val tok = Tables(spark, dir).documents
       .select(col("doc_id"), col("source"),
         size(graft.functions.Text.tokens(col("text"))).as("n_tok"))
+    // persisted + eagerly materialized: src feeds BOTH the totals and
+    // the rate table — without the cache each branch re-scans documents
+    // (sources-sized: ~1 row per source)
     val src = tok.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .persist()
+    src.count()
     val tot = src.agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("n_sources"))
     val rates = src.join(broadcast(tot))
       .select(col("source"), graft.QueryDef.roundBiased(
