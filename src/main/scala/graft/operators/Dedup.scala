@@ -757,6 +757,70 @@ object Dedup {
     (batch.filter(mightContain).count(), batch.count())
   }
 
+  /** d10: LSH recall/precision harness — s08's sibling for the dedup
+    * family: on a deterministic sample of the corpus (the q21 modulo
+    * sampler bounds the O(m²) ground truth), compute ALL exact
+    * Jaccard-over-threshold pairs and compare them against the
+    * md5-MinHash band candidates. The banding is md5-deterministic, so
+    * the measured recall/precision are fixed numbers per dataset and
+    * the oracle hash-checks the measurement itself.
+    *
+    * 100 TB framing: ground truth is quadratic BY DESIGN and therefore
+    * runs on the sample only; the measured pipeline (signatures →
+    * bands → capped buckets) is the linear-cost path. This is the
+    * standard way to monitor near-dup quality in production — sample,
+    * measure, alert on drift. */
+  val d10 = QueryDef(
+    "d10_lsh_recall",
+    """WITH samp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM samp),
+      |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      |  RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks),
+      |exact AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+      |        LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.3),
+      |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+      |sig AS (SELECT doc_id, j, MIN(MD5(s || '#' || j)) AS m
+      |        FROM ex, RANGE(16) r(j) GROUP BY doc_id, j),
+      |band AS (SELECT doc_id, j // 4 AS band_idx,
+      |         MD5(STRING_AGG(m, '|' ORDER BY j)) AS band_hash
+      |         FROM sig GROUP BY doc_id, j // 4),
+      |bandc AS (SELECT doc_id, band_idx, band_hash FROM (
+      |         SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+      |         FROM band) t WHERE bsz <= 64),
+      |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |         FROM bandc a JOIN bandc b
+      |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |          AND a.doc_id < b.doc_id),
+      |hit AS (SELECT COUNT(*) AS n_hit FROM cand JOIN exact USING (id1, id2))
+      |SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+      |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+      |  CAST((SELECT n_hit FROM hit) AS BIGINT) AS n_hit,
+      |  ROUND((SELECT n_hit FROM hit) * 1.0 / GREATEST((SELECT COUNT(*) FROM exact), 1) + 1e-9, 4) AS recall,
+      |  ROUND((SELECT n_hit FROM hit) * 1.0 / GREATEST((SELECT COUNT(*) FROM cand), 1) + 1e-9, 4) AS precision
+      |""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val samp = Tables(spark, dir).documents.filter(col("doc_id") % 10 === 0)
+    val sh = docShingles(samp).persist()
+    sh.count()
+    // ground truth: all-pairs on the SAMPLE (quadratic by design)
+    val exact = sh.toDF("id1", "sh1")
+      .join(sh.toDF("id2", "sh2"), col("id1") < col("id2"))
+      .filter(jaccard(col("sh1"), col("sh2")) >= 0.3)
+      .select(col("id1"), col("id2")).persist()
+    val cand = bucketPairs(md5MinhashBands(sh, "doc_id", "sh")).persist()
+    val (nExact, nCand) = (exact.count(), cand.count())
+    val nHit = cand.join(exact, Seq("id1", "id2")).count()
+    Seq((nExact, nCand, nHit)).toDF("n_exact", "n_cand", "n_hit")
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        graft.QueryDef.roundBiased(
+          col("n_hit") * 1.0 / greatest(col("n_exact"), lit(1L)), 4).as("recall"),
+        graft.QueryDef.roundBiased(
+          col("n_hit") * 1.0 / greatest(col("n_cand"), lit(1L)), 4).as("precision"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08, d09)
+    Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08, d09, d10)
 }

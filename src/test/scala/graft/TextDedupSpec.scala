@@ -188,6 +188,15 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(recall - nHits / 10.0) < 1e-6)
   }
 
+  test("d10 LSH quality harness: hits bounded by both sides, rates valid") {
+    val r = Dedup.d10.fn(spark, sf).collect()(0)
+    val (nExact, nCand, nHit) =
+      (r.getAs[Long]("n_exact"), r.getAs[Long]("n_cand"), r.getAs[Long]("n_hit"))
+    assert(nHit <= nExact && nHit <= nCand)
+    assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+    assert(r.getAs[Double]("precision") >= 0.0 && r.getAs[Double]("precision") <= 1.0)
+  }
+
   test("d09 bloom prefilter: prunes most of the batch, never a true dup") {
     val dups = Dedup.d09.fn(spark, sf).count()
     val (bloomPass, batchTotal) = Dedup.bloomPassCount(spark, sf)
