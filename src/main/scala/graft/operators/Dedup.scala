@@ -765,11 +765,12 @@ object Dedup {
     * the measured recall/precision are fixed numbers per dataset and
     * the oracle hash-checks the measurement itself.
     *
-    * 100 TB framing: ground truth is quadratic BY DESIGN and therefore
-    * runs on the sample only; the measured pipeline (signatures →
-    * bands → capped buckets) is the linear-cost path. This is the
-    * standard way to monitor near-dup quality in production — sample,
-    * measure, alert on drift. */
+    * 100 TB framing: ground truth has a quadratic worst case (its
+    * shingle co-occurrence join can emit every sharing pair) and
+    * therefore runs on the sample only; the measured pipeline
+    * (signatures → bands → capped buckets) is the linear-cost path.
+    * This is the standard way to monitor near-dup quality in
+    * production — sample, measure, alert on drift. */
   val d10 = QueryDef(
     "d10_lsh_recall",
     """WITH samp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
@@ -777,11 +778,14 @@ object Dedup {
       |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
       |  RANGE(1, GREATEST(LEN(tk) - 1, 1)),
       |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks),
-      |exact AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
-      |        LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.3),
+      |shx AS (SELECT doc_id, LEN(sh) AS nsh FROM sh),
       |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+      |co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |exact AS (SELECT id1, id2 FROM co
+      |  JOIN shx x ON x.doc_id = co.id1 JOIN shx y ON y.doc_id = co.id2
+      |  WHERE c * 1.0 / (x.nsh + y.nsh - c) >= 0.3),
       |sig AS (SELECT doc_id, j, MIN(MD5(s || '#' || j)) AS m
       |        FROM ex, RANGE(16) r(j) GROUP BY doc_id, j),
       |band AS (SELECT doc_id, j // 4 AS band_idx,
@@ -805,10 +809,22 @@ object Dedup {
     val samp = Tables(spark, dir).documents.filter(col("doc_id") % 10 === 0)
     val sh = docShingles(samp).persist()
     sh.count()
-    // ground truth: all-pairs on the SAMPLE (quadratic by design)
-    val exact = sh.toDF("id1", "sh1")
-      .join(sh.toDF("id2", "sh2"), col("id1") < col("id2"))
-      .filter(jaccard(col("sh1"), col("sh2")) >= 0.3)
+    // EXACT ground truth WITHOUT an all-pairs nested loop: distinct
+    // shingles co-occur via an equi-join on the shingle, giving
+    // |A∩B| = c per pair, and J = c / (|A| + |B| - c) — identical set
+    // semantics to intersect/union over the distinct shingle sets, but
+    // cost scales with Σ df² over shared shingles instead of m²·|sh|
+    // (pairs sharing nothing never materialize). Sampling still bounds
+    // the worst case; the measured pipeline stays the linear path.
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+    val exStream = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exact = exStream.toDF("id1", "s")
+      .join(exStream.toDF("id2", "s2"),
+        col("s") === col("s2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+      .join(sizes.toDF("id1", "n1"), "id1")
+      .join(sizes.toDF("id2", "n2"), "id2")
+      .filter(col("c") * 1.0 / (col("n1") + col("n2") - col("c")) >= 0.3)
       .select(col("id1"), col("id2")).persist()
     val cand = bucketPairs(md5MinhashBands(sh, "doc_id", "sh")).persist()
     val (nExact, nCand) = (exact.count(), cand.count())
