@@ -368,5 +368,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  /** t11: training-sequence packing — the concatenate-then-chunk layout
+    * (the industry-standard way LLM training corpora become fixed-size
+    * sequences): per source, docs concatenate in doc-id order and split
+    * into 512-token chunks, docs straddling boundaries. Output: per
+    * chunk, how many docs touch it and its token fill — every non-last
+    * chunk is exactly full (spec-asserted), all-integer arithmetic so
+    * the hash parity is exact.
+    *
+    * 100 TB shape: one window cumsum per source (single shuffle) gives
+    * each doc its global offset; the doc→chunk fan-out is a map-side
+    * sequence explode bounded by docLen/chunkSize; the tally is one
+    * partial agg on (source, chunk). True bin-packing (first-fit) is
+    * inherently sequential — concat-chunk is the parallelizable form
+    * production uses. */
+  val t11 = QueryDef(
+    "t11_sequence_pack",
+    """WITH tok AS (SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS n FROM documents),
+      |pos AS (SELECT doc_id, source, n,
+      |        CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      |        FROM tok),
+      |ch AS (SELECT source, doc_id, n, s,
+      |       UNNEST(GENERATE_SERIES(CAST(s // 512 AS BIGINT),
+      |         CAST((s + n - 1) // 512 AS BIGINT))) AS chunk FROM pos)
+      |SELECT source, chunk, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(LEAST(s + n, (chunk + 1) * 512) - GREATEST(s, chunk * 512)) AS BIGINT) AS tok_fill
+      |FROM ch GROUP BY source, chunk ORDER BY source, chunk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("s", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("source"), col("n"), col("s"),
+        explode(sequence(expr("s div 512"), expr("(s + n - 1) div 512"))).as("chunk"))
+      .groupBy(col("source"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("s") + col("n"), (col("chunk") + 1) * 512) -
+          greatest(col("s"), col("chunk") * 512)).as("tok_fill"))
+      .orderBy(col("source"), col("chunk"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }

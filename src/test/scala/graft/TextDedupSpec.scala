@@ -169,6 +169,26 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("t11 packing: every non-terminal chunk exactly full, mass conserved") {
+    val rows = TextAnalysis.t11.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      val lastChunk = rs.map(_.getAs[Long]("chunk")).max
+      rs.filter(_.getAs[Long]("chunk") < lastChunk).foreach { r =>
+        assert(r.getAs[Long]("tok_fill") == 512L,
+          s"$src chunk ${r.get(1)}: fill ${r.getAs[Long]("tok_fill")} != 512")
+      }
+      // chunk ids are dense from 0
+      assert(rs.map(_.getAs[Long]("chunk")).sorted.sameElements(0L to lastChunk))
+    }
+    // token mass conservation: sum of fills == corpus token count
+    val totalFill = rows.map(_.getAs[Long]("tok_fill")).sum
+    val totalTokens = Tables(spark, sf).documents
+      .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    assert(totalFill == totalTokens)
+  }
+
   test("t10 normalization inverts every synthetic corruption class") {
     val rows = TextAnalysis.t10.fn(spark, sf).collect()
     assert(rows.nonEmpty)
