@@ -520,17 +520,18 @@ object Ingest {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sources_").toString
       val base = Tables(spark, dir).events
         .select(col("event_id"), col("event_type"), col("value"))
-      base.filter(col("event_id") % 3 === 0).write.mode("overwrite")
+      base.filter(col("event_id") % 4 === 0).write.mode("overwrite")
         .option("header", "true").csv(s"$tmp/csv")
-      base.filter(col("event_id") % 3 === 1).write.mode("overwrite").json(s"$tmp/json")
+      base.filter(col("event_id") % 4 === 1).write.mode("overwrite").json(s"$tmp/json")
+      base.filter(col("event_id") % 4 === 2).write.mode("overwrite").orc(s"$tmp/orc")
       tmp
     })
 
   /** i16: heterogeneous-source union — the reference ingests GRIB,
-    * NetCDF, GeoTIFF, HDF and normalizes to one layout; here csv + json
-    * + parquet slices of `events` are normalized and unioned with an
-    * explicit schema (never inferred). Oracle: the union equals the
-    * original table's aggregate. */
+    * NetCDF, GeoTIFF, HDF and normalizes to one layout; here csv +
+    * json + orc + parquet slices of `events` are normalized and
+    * unioned with an explicit schema (never inferred). Oracle: the
+    * union equals the original table's aggregate. */
   val i16 = QueryDef(
     "i16_multi_source_union",
     """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
@@ -544,8 +545,9 @@ object Ingest {
       StructField("value", DoubleType)))
     val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$tmp/csv")
     val fromJson = spark.read.schema(schema).json(s"$tmp/json")
-    val fromParquet = base.filter(col("event_id") % 3 === 2)
-    fromCsv.unionByName(fromJson).unionByName(fromParquet)
+    val fromOrc = spark.read.schema(schema).orc(s"$tmp/orc")
+    val fromParquet = base.filter(col("event_id") % 4 === 3)
+    fromCsv.unionByName(fromJson).unionByName(fromOrc).unionByName(fromParquet)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .orderBy(col("event_type"))
