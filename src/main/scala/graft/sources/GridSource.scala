@@ -49,6 +49,11 @@ object GridSource {
     StructField("u", DoubleType, nullable = false),
     StructField("v", DoubleType, nullable = false)))
 
+  /** Cells materialized by the row reader — an ops/test counter (shared
+    * JVM in local mode) that lets specs PROVE aggregate pushdown never
+    * generated data rather than infer it from the plan. */
+  val cellsGenerated = new java.util.concurrent.atomic.AtomicLong
+
   /** splitmix64 — deterministic value field. */
   def mix(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
@@ -75,11 +80,15 @@ final class GridTable(times: Int, height: Int, width: Int)
 }
 
 final class GridScanBuilder(times: Int, height: Int, width: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = GridSource.fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggGroups: Seq[String] = Nil
+  private var aggFuncs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc] = Nil
+  private var aggPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -87,18 +96,23 @@ final class GridScanBuilder(times: Int, height: Int, width: Int)
   /** Accept time-dimension predicates for PARTITION PRUNING — the DSv2
     * analogue of date-partition pruning on the 100 TB layout: a
     * 10-year archive scan with `time = today` plans ONE InputPartition
-    * instead of 3650. All filters are also returned as residual, so
-    * Spark re-applies them post-scan (pruning only has to be sound,
-    * not exact). */
+    * instead of 3650. The accepted shapes are evaluated EXACTLY at the
+    * partition level (time is constant within a slice), so they are
+    * consumed rather than returned as residual — which is also what
+    * lets aggregate pushdown compose with them (Spark only pushes an
+    * aggregate when no post-scan filter remains). Anything else stays
+    * residual for Spark to re-apply. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(isTimeFilter)
-    filters
+    pushed = filters.filter(isExactTimeFilter)
+    filters.filterNot(isExactTimeFilter)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  private def isTimeFilter(f: Filter): Boolean = f match {
-    case EqualTo("time", _) | GreaterThan("time", _) | GreaterThanOrEqual("time", _) |
-         LessThan("time", _) | LessThanOrEqual("time", _) | In("time", _) => true
+  private def isExactTimeFilter(f: Filter): Boolean = f match {
+    case EqualTo("time", _: Number) | GreaterThan("time", _: Number) |
+         GreaterThanOrEqual("time", _: Number) | LessThan("time", _: Number) |
+         LessThanOrEqual("time", _: Number) => true
+    case In("time", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[Number])
     case _ => false
   }
 
@@ -112,15 +126,114 @@ final class GridScanBuilder(times: Int, height: Int, width: Int)
     case _ => true
   }
 
+  /** Aggregate pushdown answered from CHUNK METADATA — the pattern a
+    * production grid store (COG/Zarr per-chunk statistics) enables: a
+    * COUNT(*)/MIN/MAX over the dimension columns, optionally grouped by
+    * the time partition, never generates a single cell. A 10-year-
+    * archive inventory query (`GROUP BY time COUNT(*)`) returns one
+    * metadata row per slice. Pushdown is COMPLETE (each time slice is
+    * exactly one group, groups are partition-disjoint; global aggs plan
+    * one synthetic partition over the pruned slice list), so Spark
+    * plans no aggregation at all. Value-column aggregates (u/v) are
+    * declined — they need the data — and Spark falls back to the scan. */
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+
+  private def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case fr: org.apache.spark.sql.connector.expressions.NamedReference
+          if fr.fieldNames.length == 1 => Some(fr.fieldNames.head)
+      case _ => None
+    }
+  private val MetaCols = Set("time", "y", "x")
+  private def answerable(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case m: Min => refName(m.column).exists(MetaCols)
+    case m: Max => refName(m.column).exists(MetaCols)
+    case _ => false
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    val groups = agg.groupByExpressions.toSeq.map(refName)
+    agg.aggregateExpressions.forall(answerable) &&
+      (groups.isEmpty || groups == Seq(Some("time")))
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) false
+    else {
+      aggGroups = agg.groupByExpressions.toSeq.flatMap(refName)
+      aggFuncs = agg.aggregateExpressions.toSeq
+      aggPushed = true
+      true
+    }
+  }
+
+  private def aggSchema: StructType = StructType(
+    aggGroups.map(g => StructField(g, IntegerType, nullable = false)) ++
+      aggFuncs.zipWithIndex.map {
+        case (_: CountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
+        case (m: Min, i) => StructField(s"min_${refName(m.column).get}_$i", IntegerType)
+        case (m: Max, i) => StructField(s"max_${refName(m.column).get}_$i", IntegerType)
+        case (f, _) => throw new IllegalStateException(s"unanswerable pushed agg $f")
+      })
+
+  private def aggRows(live: Array[Int]): Array[InternalRow] = {
+    val cells = height.toLong * width
+    def row(timeOpt: Option[Int]): InternalRow = {
+      val vals: Seq[Any] = timeOpt.toSeq ++ aggFuncs.map {
+        case _: CountStar => timeOpt.map(_ => cells).getOrElse(cells * live.length)
+        case m: Min => refName(m.column).get match {
+          case "y" => if (live.isEmpty && timeOpt.isEmpty) null else 0
+          case "x" => if (live.isEmpty && timeOpt.isEmpty) null else 0
+          case "time" => timeOpt.getOrElse(if (live.isEmpty) null else live.min)
+        }
+        case m: Max => refName(m.column).get match {
+          case "y" => if (live.isEmpty && timeOpt.isEmpty) null else height - 1
+          case "x" => if (live.isEmpty && timeOpt.isEmpty) null else width - 1
+          case "time" => timeOpt.getOrElse(if (live.isEmpty) null else live.max)
+        }
+        case f => throw new IllegalStateException(s"unanswerable pushed agg $f")
+      }
+      InternalRow.fromSeq(vals)
+    }
+    if (aggGroups.nonEmpty) live.map(t => row(Some(t)))
+    else Array(row(None)) // global aggregate: one synthetic metadata row
+  }
+
   override def build(): Scan = {
     val live = (0 until times).filter(timeOk).toArray
-    new Scan with Batch {
+    if (aggPushed) {
+      val rows = aggRows(live)
+      val schema = aggSchema
+      new Scan with Batch {
+        override def readSchema(): StructType = schema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GridAggPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          GridAggReaderFactory
+      }
+    } else new Scan with Batch {
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
         live.map(t => GridPartition(t, height, width): InputPartition)
       override def createReaderFactory(): PartitionReaderFactory =
         new GridReaderFactory(required.fieldNames)
+    }
+  }
+}
+
+final case class GridAggPartition(rows: Array[InternalRow]) extends InputPartition
+
+object GridAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[GridAggPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = rows(i)
+      override def close(): Unit = ()
     }
   }
 }
@@ -133,7 +246,10 @@ final class GridReaderFactory(columns: Array[String]) extends PartitionReaderFac
     new PartitionReader[InternalRow] {
       private var i = -1
       private val n = p.height * p.width
-      override def next(): Boolean = { i += 1; i < n }
+      override def next(): Boolean = {
+        i += 1
+        if (i < n) { GridSource.cellsGenerated.incrementAndGet(); true } else false
+      }
       override def get(): InternalRow = {
         val y = i / p.width
         val x = i % p.width

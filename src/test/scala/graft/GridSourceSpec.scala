@@ -75,4 +75,26 @@ class GridSourceSpec extends SparkSpec {
     assert(row.getDouble(0) == graft.sources.GridSource.uAt(0, 1, 1))
     assert(row.getDouble(1) == graft.sources.GridSource.vAt(0, 1, 1))
   }
+
+  test("aggregate pushdown answers dimension stats from metadata, zero cells generated") {
+    import graft.sources.GridSource
+    val df = grid(6, 16, 8)
+    GridSource.cellsGenerated.set(0)
+    // grouped inventory: one metadata row per time slice
+    val perSlice = df.groupBy(col("time")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perSlice == (0 until 6).map(_ -> 128L).toMap)
+    // global dimension stats
+    val g = df.agg(count(lit(1)), min(col("y")), max(col("y")), max(col("x"))).collect()(0)
+    assert(g.getLong(0) == 6L * 128 && g.getInt(1) == 0 && g.getInt(2) == 15 && g.getInt(3) == 7)
+    // pushdown composes with time-partition pruning
+    val pruned = df.filter(col("time") >= 4).groupBy(col("time")).count().collect()
+    assert(pruned.map(_.getInt(0)).sorted.sameElements(Array(4, 5)))
+    assert(GridSource.cellsGenerated.get() == 0,
+      s"metadata-answerable aggregates generated ${GridSource.cellsGenerated.get()} cells")
+    // value-column aggregates are declined and fall back to the real scan
+    val uMax = df.agg(max(col("u"))).collect()(0).getDouble(0)
+    assert(uMax > 4.0 && uMax < 5.0)
+    assert(GridSource.cellsGenerated.get() == 6L * 128)
+  }
 }
