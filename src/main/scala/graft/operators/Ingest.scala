@@ -838,9 +838,11 @@ object Ingest {
       .orderBy(col("user_id"), col("event_id"))
   }
 
-  /** i27: regrid / coarsen — the reference's raster downsampling
-    * (rioxarray reproject/resample when converting GRIB→COG, and COG
-    * overview levels) as its relational core: cells aggregate into
+  /** i27: regrid / coarsen — the reference's raster downsampling as
+    * its relational core: every published product goes through
+    * `rio.to_raster(driver="COG")` (`ingest/utils.py:72`), whose COG
+    * driver builds exactly this overview pyramid internally; here
+    * cells aggregate into
     * 4×4 coarser cells with nodata masked out of the mean, and the
     * NEXT pyramid level re-aggregates the (sum, count) pairs of the
     * previous level — never rescanning the raw grid. That is the
@@ -894,9 +896,11 @@ object Ingest {
   }
 
   /** i28: focal (neighborhood) mean — the raster stencil op (smoothing,
-    * gap-aware interpolation) the reference's gridded products imply:
-    * each cell's smoothed value is the mean of the 3×3 neighborhood's
-    * cell means, absent/nodata neighbors excluded.
+    * gap-aware interpolation) behind the reference's gridded products
+    * (the COG resampler at `ingest/utils.py:72` applies the same
+    * neighborhood kernels when building overviews): each cell's
+    * smoothed value is the mean of the 3×3 neighborhood's cell means,
+    * absent/nodata neighbors excluded.
     *
     * The distributed stencil shape: every cell EXPLODES to the 9 target
     * cells it contributes to (map-side ×9 row expansion, no join), then
@@ -943,8 +947,9 @@ object Ingest {
   }
 
   /** i29: resample + gap-fill — the time-series regularization the
-    * reference needs before any climatology math (station feeds skip
-    * days; CHIRPS/forecast products assume a dense calendar): per key,
+    * reference needs before any climatology math: its period cursors
+    * (`ingest/dateutils.py` pentad/dekad successors) assume a DENSE
+    * calendar, while station feeds skip days. Per key,
     * observations collapse to a daily grid spanning that key's own
     * [min, max] range, missing days materialize as explicit rows, and
     * values forward-fill (last observation carried forward) with a
@@ -991,8 +996,10 @@ object Ingest {
   }
 
   /** i30: zonal statistics — the raster⋈vector classic behind every
-    * per-region climate product (aggregate a gridded field inside each
-    * admin/zone polygon): points classify to their FIRST matching zone
+    * per-region climate product (the step after the reference's
+    * region clip, `clip_to_africa`, `ingest/__init__.py:49`: aggregate
+    * the gridded field inside each admin/zone polygon): points
+    * classify to their FIRST matching zone
     * via the i23 ray-cast (a pure codegen'd Column chain over literal
     * rings — zone geometry is broadcast-as-literals, the 100 TB side
     * never joins), then one partial-agg shuffle keyed by zone. The
