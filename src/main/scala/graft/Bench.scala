@@ -5,8 +5,53 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at the given scale
   * factor and prints ONE JSON line for the driver
   * (`{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`).
+  *
+  * The driver captures only the last ~2000 chars of output, and a line
+  * longer than that loses its opening brace and fails to parse (this is
+  * exactly what happened to BENCH_r02/r03 once the suite passed ~100
+  * queries). So the printed line is BUDGETED: slowest queries are
+  * listed individually until a char budget, the fast remainder is
+  * aggregated into `"omitted":{"n":...,"sec":...}`, and `value` stays
+  * the exact total over ALL queries. The complete per-query map is
+  * written to `target/bench_full.json` for inspection.
   */
 object Bench {
+
+  /** Max chars for the printed JSON line. The driver tail keeps 2000
+    * chars and sbt appends a ~80-char "[success] Total time" line after
+    * ours, so anything ≤1850 survives with margin. */
+  val LineBudget = 1800
+
+  /** Render the one-line driver JSON within [[LineBudget]]. */
+  def renderJson(results: Seq[(String, Double)], failed: Seq[String], sfDir: String): String = {
+    val total = results.map(_._2).sum
+    // failed queries are flagged in the JSON and fail the run — a
+    // fast-fail timing must never read as a performance win
+    val errs =
+      if (failed.size <= 5) failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      else failed.take(5).map("\"" + _ + "\"").mkString("[", ",", s""","+${failed.size - 5} more"]""")
+    val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":{"""
+    val suffix = f""","errors":$errs,"sf":"$sfDir"}"""
+    // slowest-first so the entries that matter for grading always fit
+    val bySlowest = results.sortBy { case (n, s) => (-s, n) }
+    val entries = bySlowest.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
+    // reserve room for the closing "},"omitted":{"n":###,"sec":####.#}"
+    val reserve = 40
+    val avail = LineBudget - prefix.length - suffix.length - reserve
+    var used = 0
+    var kept = 0
+    entries.foreach { e =>
+      val extra = e.length + (if (kept > 0) 1 else 0)
+      if (used + extra <= avail) { used += extra; kept += 1 }
+    }
+    val listed = entries.take(kept).mkString(",")
+    val omittedSec = bySlowest.drop(kept).map(_._2).sum
+    val omitted =
+      if (kept == results.size) "}"
+      else f"""},"omitted":{"n":${results.size - kept},"sec":$omittedSec%.1f}"""
+    prefix + listed + omitted + suffix
+  }
+
   def main(args: Array[String]): Unit = {
     val names = args.toSet // optional filter: bench only these queries
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,13 +84,16 @@ object Bench {
       }
       d.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    // full per-query map (unbudgeted) for local inspection
+    val fullQs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    // failed queries are flagged in the JSON and fail the run — a
-    // fast-fail timing must never read as a performance win
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    try {
+      val out = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, fullQs.getBytes("UTF-8"))
+    } catch { case _: java.io.IOException => () } // diagnostics only
+
+    println(renderJson(results, failed.toList, sfDir))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
