@@ -837,6 +837,59 @@ object Dedup {
           col("n_hit") * 1.0 / greatest(col("n_cand"), lit(1L)), 4).as("precision"))
   }
 
+  /** d11: SPAN-level exact dedup — the sub-document sibling of d01:
+    * repeated token spans are removed ACROSS the corpus while the rest
+    * of each document survives (the C4/ExactSubstr family — duplicated
+    * boilerplate paragraphs removed from otherwise-unique pages —
+    * reduced to aligned fixed-width spans so it stays exactly
+    * SQL-expressible; suffix-array arbitrary-offset matching is the
+    * non-columnar extension). Each document splits into consecutive
+    * 10-token spans; a span keeps only its FIRST occurrence in
+    * (doc_id, span_idx) order, and documents are reassembled from
+    * their surviving spans.
+    *
+    * 100 TB shape: one shuffle keyed by the span (the first-occurrence
+    * window — rank only, never pairing, so a boilerplate span with
+    * millions of copies costs its group size LINEARLY), one shuffle
+    * keyed by doc_id to reassemble. Output carries an md5 of the
+    * reassembled text, not the text itself, so the result stays
+    * row-sized. */
+  val d11 = QueryDef(
+    "d11_span_dedup",
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |nch AS (SELECT doc_id, tk,
+      |        CAST(CEIL(LEN(tk) / 10.0) AS INTEGER) AS nc FROM toks),
+      |ex AS (SELECT doc_id, tk, UNNEST(RANGE(0, nc)) AS c FROM nch),
+      |sp AS (SELECT doc_id, CAST(c AS INTEGER) AS c,
+      |       ARRAY_TO_STRING(tk[c*10+1 : c*10+10], ' ') AS span FROM ex),
+      |kept AS (SELECT doc_id, c, span FROM sp
+      |         QUALIFY ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, c) = 1)
+      |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(COUNT(k.span) AS BIGINT) AS n_kept,
+      |  MD5(COALESCE(STRING_AGG(k.span, ' ' ORDER BY s.c), '')) AS dedup_hash
+      |FROM sp s LEFT JOIN kept k ON s.doc_id = k.doc_id AND s.c = k.c
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (spark, dir) =>
+    val spanW = 10
+    // tokens materialized in their own projection first (HOF-lambda
+    // re-evaluation pitfall), spans sliced from them map-side
+    val sp = Tables(spark, dir).documents
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        ceil(size(col("tk")) / lit(spanW.toDouble)).cast("int").as("nc"))
+      .select(col("doc_id"), col("tk"), explode(sequence(lit(0), col("nc") - 1)).as("c"))
+      .select(col("doc_id"), col("c"),
+        array_join(slice(col("tk"), col("c") * spanW + 1, lit(spanW)), " ").as("span"))
+    val firstW = Window.partitionBy(col("span")).orderBy(col("doc_id"), col("c"))
+    sp.withColumn("keep", row_number().over(firstW) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("c"), col("span"))))),
+          s => s.getField("span")), " ")).as("dedup_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08, d09, d10)
+    Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08, d09, d10, d11)
 }

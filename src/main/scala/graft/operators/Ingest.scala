@@ -1052,8 +1052,47 @@ object Ingest {
     }
   }
 
+  /** i31: climatology PERCENTILE rank — the drought-index shape (SPI
+    * proxy) downstream of the reference's CHIRPS normals: instead of
+    * anomaly = current − mean (i04/i24), each year's value is ranked
+    * within its (cell, calendar-month) climatology DISTRIBUTION —
+    * "this January is drier than 83% of Januaries". Reference
+    * analogue: the month-keyed climatology of `get_month_normal`
+    * (`ingest/chirps_rainfall/__init__.py:232`), upgraded from the
+    * mean to the full distribution.
+    *
+    * Plan: one partial-agg shuffle to the (cell, year, month) totals,
+    * then one window shuffle keyed (cell, month) — each climatology
+    * distribution (≤ #years rows/key) ranks entirely inside its own
+    * partition, so at 100 TB the rank never sees more than the key's
+    * few-dozen yearly values. Yearly totals are rounded to the exact
+    * 2-decimal grid BEFORE ranking so float summation order can't
+    * flip a rank tie across engines. */
+  val i31 = QueryDef(
+    "i31_climate_percentile",
+    """WITH monthly AS (
+      |  SELECT l_returnflag AS cell,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+      |    CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS cal_month,
+      |    ROUND(SUM(l_quantity), 2) AS v
+      |  FROM lineitem GROUP BY 1, 2, 3)
+      |SELECT cell, yr, cal_month, v,
+      |  ROUND(PERCENT_RANK() OVER (PARTITION BY cell, cal_month ORDER BY v) + 1e-9, 4) AS pct_rank,
+      |  CAST(COUNT(*) OVER (PARTITION BY cell, cal_month) AS BIGINT) AS n_years
+      |FROM monthly ORDER BY cell, cal_month, yr""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("cell"), col("cal_month")).orderBy(col("v"))
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag").as("cell"),
+        year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("cal_month"))
+      .agg(round(sum(col("l_quantity")), 2).as("v"))
+      .select(col("cell"), col("yr"), col("cal_month"), col("v"),
+        graft.QueryDef.roundBiased(percent_rank().over(w), 4).as("pct_rank"),
+        count(lit(1)).over(Window.partitionBy(col("cell"), col("cal_month"))).as("n_years"))
+      .orderBy(col("cell"), col("cal_month"), col("yr"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26,
-    i27, i28, i29, i30)
+    i27, i28, i29, i30, i31)
 }

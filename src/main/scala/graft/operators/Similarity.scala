@@ -418,5 +418,62 @@ object Similarity {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08)
+  /** s09: SEMANTIC dedup (the SemDeDup shape): cluster the embedding
+    * space with the s04 coarse quantizer, then compare vectors only
+    * WITHIN their cluster and emit pairs above the cosine threshold —
+    * near-duplicate MEANING (same content re-phrased) that d02's
+    * lexical shingles can't see. Keep-policy downstream is d06's
+    * min-label clustering; this operator owns candidate generation +
+    * confirmation.
+    *
+    * 100 TB shape: cell assignment is a zero-shuffle map-side argmax
+    * against the literal codebook (s04), so the only shuffle is the
+    * equi-join on the cell id — pairing is O(cell²) bounded by the
+    * cell population, which the capBuckets guard bounds explicitly
+    * (K scales with corpus size to keep cells at the target size; a
+    * degenerate cell — e.g. the all-near-zero embedding cluster —
+    * can't go quadratic). Fully DuckDB-oracled: assignment, capping,
+    * pairing, and cosine confirm. */
+  val s09 = QueryDef(
+    "s09_semantic_dedup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |                         ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cv) DESC, c.cid) AS rn
+      |    FROM e CROSS JOIN cent c) t WHERE rn = 1),
+      |capped AS (SELECT vec_id, v, cid FROM (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY cid) AS csz FROM assign) t
+      |  WHERE csz <= 256)
+      |SELECT CAST(a.cid AS BIGINT) AS cid, a.vec_id AS id1, b.vec_id AS id2,
+      |  ROUND(LIST_COSINE_SIMILARITY(a.v, b.v) + 1e-9, 4) AS sim
+      |FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.4
+      |ORDER BY cid, id1, id2""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+    // s04's zero-shuffle assignment: lexicographic struct argmax,
+    // (cosine, -cid) ties to the smallest centroid id like the
+    // oracle's ROW_NUMBER
+    val best = array_max(array(centroids.toSeq.map { case (cid, cv) =>
+      struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
+    val assigned = Dedup.capBuckets(
+      emb.withColumn("cid", (-best.getField("n")).cast("long")), Seq("cid"), 256)
+      .persist()
+    assigned.count() // eager: both self-join branches read the cache
+    assigned.toDF("id1", "v1", "cid")
+      .join(assigned.toDF("id2", "v2", "cid"), Seq("cid"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("raw_sim", Vectors.cosine(col("v1"), col("v2")))
+      .filter(col("raw_sim") >= 0.4)
+      .select(col("cid"), col("id1"), col("id2"),
+        graft.QueryDef.roundBiased(col("raw_sim"), 4).as("sim"))
+      .orderBy(col("cid"), col("id1"), col("id2"))
+  }
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09)
 }

@@ -411,6 +411,53 @@ object TextAnalysis {
       .orderBy(col("source"), col("chunk"))
   }
 
+  /** t12: unigram language-model quality score — the perplexity-filter
+    * proxy (CCNet/KenLM family, reduced to the unigram term so it is
+    * exactly SQL-expressible): train token frequencies on the corpus
+    * itself, then score each document by its mean token log-probability
+    * ln(cnt/T). Low-probability token soup (gibberish, rare-token spam)
+    * scores far below fluent text — the standard third quality gate
+    * next to t02's surface ratios and t09's repetition rules.
+    *
+    * 100 TB shape: the vocab is t06's table — megabytes after the
+    * wordcount agg — so scoring is a BROADCAST join on the token
+    * stream + one per-doc partial agg; the corpus shuffles only
+    * (doc_id, decimal) pairs. One corpus scan via a persisted token
+    * stream feeding both the vocab build and the scoring join.
+    *
+    * Parity: per-token ln() of bit-identical doubles is bit-identical;
+    * each log-prob is then rounded to the 1e-6 grid and summed as
+    * DECIMAL — an order-independent exact sum — so the per-doc mean
+    * divides identical operands on both engines. */
+  val t12 = QueryDef(
+    "t12_lm_quality",
+    """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+      |vocab AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM vocab),
+      |lp AS (SELECT doc_id,
+      |         CAST(ROUND(LN(cnt * 1.0 / tt) + 1e-9, 6) AS DECIMAL(12,6)) AS lp
+      |       FROM tok JOIN vocab USING (t) CROSS JOIN tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |  ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*) + 1e-9, 4) AS avg_logprob
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val tok = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .persist() // feeds vocab AND scoring — one corpus scan, not two
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("tt"))
+    tok.join(broadcast(vocab), "t")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        graft.QueryDef.roundBiased(log(col("cnt") * 1.0 / col("tt")), 6)
+          .cast("decimal(12,6)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_tok"),
+        graft.QueryDef.roundBiased(col("slp").cast("double") / col("n_tok"), 4)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }

@@ -258,5 +258,44 @@ object TrainingPipeline {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(p01, p02, p03)
+  /** p04: deterministic global SHUFFLE + SHARD layout — the last step
+    * of a curation pipeline: training wants documents in pseudo-random
+    * order, split into fixed shards, reproducibly on any engine/run
+    * (no RNG state, like q21's sampler). The shuffle key is
+    * md5(doc_id); the shard is the key's first hex nibble (16 shards);
+    * within a shard the key ordering IS the shuffled read order.
+    *
+    * 100 TB shape: shard assignment is a zero-shuffle map-side
+    * projection; the physical layout is one repartitionByRange on
+    * (shard, key) with in-partition sort — a single range shuffle
+    * writes every shard already in shuffled order. Never a global
+    * single-partition ROW_NUMBER: the within-shard order is carried by
+    * the sort key itself, not a counter. The md5 key is uniform, so
+    * shards are balanced by construction (the per-shard counts this
+    * query emits are the balance check). */
+  val p04 = QueryDef(
+    "p04_shuffle_shard",
+    """WITH d AS (SELECT doc_id, source,
+      |    LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+      |    MD5(CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents),
+      |s AS (SELECT *,
+      |    CAST(STRPOS('0123456789abcdef', SUBSTR(k, 1, 1)) - 1 AS INTEGER) AS shard
+      |  FROM d)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  MIN(k) AS first_key, ARG_MIN(doc_id, k) AS first_doc
+      |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).as("n_tok"),
+        md5(col("doc_id").cast("string")).as("k"))
+      .withColumn("shard", conv(substring(col("k"), 1, 1), 16, 10).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("k")).as("first_key"), min_by(col("doc_id"), col("k")).as("first_doc"))
+      .orderBy(col("shard"))
+  }
+
+  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04)
 }

@@ -235,4 +235,21 @@ class IngestSpec extends SparkSpec {
       assert(l2Cells.contains(cell), s"orphan level-1 cell $cell")
     }
   }
+
+  test("i31 percentile rank: bounded, extremes hit 0 and 1, years consistent") {
+    val rows = Ingest.i31.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pr = r.getAs[Double]("pct_rank")
+      assert(pr >= 0.0 && pr <= 1.0, s"pct_rank out of range: $pr")
+    }
+    rows.groupBy(r => (r.getAs[String]("cell"), r.getAs[Int]("cal_month")))
+      .foreach { case (k, g) =>
+        assert(g.length > 1, s"single-year climatology at $k")
+        val prs = g.map(_.getAs[Double]("pct_rank"))
+        assert(prs.min == 0.0, s"driest year at $k should rank 0")
+        assert(math.abs(prs.max - 1.0) < 1e-6, s"wettest year at $k should rank 1")
+        assert(g.forall(_.getAs[Long]("n_years") == g.length))
+      }
+  }
 }

@@ -163,4 +163,15 @@ class RelationalSpec extends SparkSpec {
       .map(r => r.getAs[Int]("wid") -> (r.getAs[Long]("n"), r.getAs[Long]("ov"))).toMap
     assert(got == naive)
   }
+
+  test("q26 incremental state merge equals the full recompute") {
+    import org.apache.spark.sql.functions._
+    val merged = Relational.q26.fn(spark, sf)
+    val full = Tables(spark, sf).lineitem
+      .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("cal_month"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"), count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("cal_month"), col("total_qty"), col("n_rows"),
+        graft.QueryDef.roundBiased(col("total_qty") / col("n_rows"), 4).as("avg_qty"))
+    assert(merged.exceptAll(full).count() == 0 && full.exceptAll(merged).count() == 0)
+  }
 }

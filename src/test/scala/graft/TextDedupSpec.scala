@@ -312,4 +312,46 @@ class TextDedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"eval shingle set should broadcast:\n$plan")
   }
+
+  test("t12 LM quality: scores negative, token counts agree with t01") {
+    val out = TextAnalysis.t12.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Double]("avg_logprob") < 0.0,
+      "a unigram log-probability can never be positive"))
+    val wsCounts = TextAnalysis.t01.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_ws_tokens")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tok") == wsCounts(r.getAs[Long]("doc_id")).toLong,
+        s"token count mismatch for doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("d11 span dedup: every distinct span survives exactly once") {
+    val out = Dedup.d11.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_spans") >= 1)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_spans"))
+    }
+    val distinctSpans = Tables(spark, sf).documents
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("tk"), explode(sequence(lit(0),
+        ceil(size(col("tk")) / 10.0).cast("int") - 1)).as("c"))
+      .select(array_join(slice(col("tk"), col("c") * 10 + 1, lit(10)), " ").as("span"))
+      .distinct().count()
+    assert(out.map(_.getAs[Long]("n_kept")).sum == distinctSpans,
+      "kept spans must equal the distinct span population")
+  }
+
+  test("s09 semantic dedup: pairs confined to cells, sims in the threshold band") {
+    val rows = Similarity.s09.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id1") < r.getAs[Long]("id2"))
+      val cid = r.getAs[Long]("cid")
+      assert(cid >= 0 && cid < 8, s"cell id $cid outside the codebook")
+      val s = r.getAs[Double]("sim")
+      assert(s >= 0.4 && s <= 1.0 + 1e-6, s"sim $s outside [0.4, 1]")
+    }
+  }
 }

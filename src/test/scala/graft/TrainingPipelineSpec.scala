@@ -85,4 +85,24 @@ class TrainingPipelineSpec extends SparkSpec {
     val wantSum = events.agg(round(sum("value"), 2)).collect()(0).getDouble(0)
     assert(gotSum == wantSum)
   }
+
+  test("p04 shuffle shard: partitions the corpus, keys consistent with shards") {
+    val rows = TrainingPipeline.p04.fn(spark, sf).collect()
+    assert(rows.length == 16, "md5 nibble sharding must populate all 16 shards")
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables(spark, sf).documents.count())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val shard = r.getAs[Int]("shard")
+      val hex = "0123456789abcdef"(shard).toString
+      assert(r.getAs[String]("first_key").startsWith(hex))
+      // ARG_MIN consistency: the first doc's md5 IS the shard's min key
+      val k = md.digest(r.getAs[Long]("first_doc").toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(k == r.getAs[String]("first_key"))
+      // uniform hashing keeps shards balanced
+      assert(r.getAs[Long]("n_docs") <= 3 * total / 16,
+        s"shard $shard is pathologically skewed")
+    }
+  }
 }
