@@ -434,6 +434,32 @@ object Similarity {
     * degenerate cell — e.g. the all-near-zero embedding cluster —
     * can't go quadratic). Fully DuckDB-oracled: assignment, capping,
     * pairing, and cosine confirm. */
+  /** Capped IVF-cell assignment + within-cell cosine pairing — s09's
+    * candidate/confirm core, shared with p05's cross-modal semantic
+    * curation. Returns (cid, id1, id2, raw_sim) for pairs ≥ `minSim`. */
+  private[graft] def semanticPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, minSim: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+    // s04's zero-shuffle assignment: lexicographic struct argmax,
+    // (cosine, -cid) ties to the smallest centroid id like the
+    // oracle's ROW_NUMBER
+    val best = array_max(array(centroids.toSeq.map { case (cid, cv) =>
+      struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
+    val assigned = Dedup.capBuckets(
+      emb.withColumn("cid", (-best.getField("n")).cast("long")), Seq("cid"), 256)
+      .persist()
+    assigned.count() // eager: both self-join branches read the cache
+    assigned.toDF("id1", "v1", "cid")
+      .join(assigned.toDF("id2", "v2", "cid"), Seq("cid"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("raw_sim", Vectors.cosine(col("v1"), col("v2")))
+      .filter(col("raw_sim") >= minSim)
+      .select(col("cid"), col("id1"), col("id2"), col("raw_sim"))
+  }
+
   val s09 = QueryDef(
     "s09_semantic_dedup",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -452,28 +478,55 @@ object Similarity {
       |FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
       |WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.4
       |ORDER BY cid, id1, id2""".stripMargin) { (spark, dir) =>
-    val emb = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val centroids = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
-      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
-    // s04's zero-shuffle assignment: lexicographic struct argmax,
-    // (cosine, -cid) ties to the smallest centroid id like the
-    // oracle's ROW_NUMBER
-    val best = array_max(array(centroids.toSeq.map { case (cid, cv) =>
-      struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
-    val assigned = Dedup.capBuckets(
-      emb.withColumn("cid", (-best.getField("n")).cast("long")), Seq("cid"), 256)
-      .persist()
-    assigned.count() // eager: both self-join branches read the cache
-    assigned.toDF("id1", "v1", "cid")
-      .join(assigned.toDF("id2", "v2", "cid"), Seq("cid"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("raw_sim", Vectors.cosine(col("v1"), col("v2")))
-      .filter(col("raw_sim") >= 0.4)
+    semanticPairs(spark, dir)
       .select(col("cid"), col("id1"), col("id2"),
         graft.QueryDef.roundBiased(col("raw_sim"), 4).as("sim"))
       .orderBy(col("cid"), col("id1"), col("id2"))
   }
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09)
+  /** s10: dimension-TRUNCATION retrieval quality — the Matryoshka /
+    * shortening-embeddings evaluation: rank the corpus against the
+    * query by full 64-dim cosine and again by cosine over only the
+    * FIRST 16 dims (what a prefix-truncated index stores), and measure
+    * top-k agreement. The memory/recall trade of serving truncated
+    * vectors, measured as a fixed deterministic number per corpus
+    * (s08's harness shape with truncation in place of LSH).
+    *
+    * 100 TB shape: both rankings are zero-shuffle broadcast-query
+    * scans; the truncated ranking reads a quarter of the vector bytes
+    * (at scale: a separate 16-dim column/index, column-pruned at the
+    * parquet scan). */
+  val s10 = QueryDef(
+    "s10_truncation_recall",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |t AS (SELECT vec_id, v, v[1:16] AS tv FROM e),
+      |q AS (SELECT v AS qv, tv AS qtv FROM t WHERE vec_id = 0),
+      |full_rank AS (SELECT vec_id FROM t, q WHERE vec_id <> 0
+      |  ORDER BY LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id LIMIT 10),
+      |trunc_rank AS (SELECT vec_id FROM t, q WHERE vec_id <> 0
+      |  ORDER BY LIST_COSINE_SIMILARITY(tv, qtv) DESC, vec_id LIMIT 10)
+      |SELECT 10 AS k,
+      |  CAST((SELECT COUNT(*) FROM trunc_rank JOIN full_rank USING (vec_id)) AS BIGINT) AS n_hits,
+      |  ROUND((SELECT COUNT(*) FROM trunc_rank JOIN full_rank USING (vec_id)) / 10.0 + 1e-9, 4) AS recall
+      |""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("tv", slice(col("v"), 1, 16))
+      .persist()
+    emb.count() // eager: both rankings read the cache (s08 lesson)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("tv").as("qtv"))
+    def rank(simCol: Column) = emb.join(broadcast(query))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), simCol.as("raw_sim"))
+      .orderBy(col("raw_sim").desc, col("vec_id"))
+      .limit(10).select(col("vec_id"))
+    val fullRank = rank(Vectors.cosine(col("v"), col("qv")))
+    val truncRank = rank(Vectors.cosine(col("tv"), col("qtv")))
+    truncRank.join(fullRank, "vec_id").agg(count(lit(1)).as("n_hits"))
+      .select(lit(10).as("k"), col("n_hits"),
+        graft.QueryDef.roundBiased(col("n_hits") / 10.0, 4).as("recall"))
+  }
+
+  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10)
 }

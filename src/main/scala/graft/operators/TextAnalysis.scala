@@ -458,6 +458,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t13: sliding-window CHUNKING with overlap — t11's retrieval-side
+    * sibling: t11 packs docs into exactly-full training sequences
+    * (concat-then-chunk, no overlap); t13 splits each document into
+    * 64-token windows advancing by a 48-token stride, so consecutive
+    * chunks share a 16-token overlap (the standard RAG / long-context
+    * ingestion layout — overlap keeps boundary-straddling facts intact
+    * in at least one chunk). Every non-final chunk is exactly full;
+    * the final chunk carries the tail.
+    *
+    * 100 TB shape: chunk starts explode MAP-SIDE from each doc's own
+    * token count (the i29 span-explode shape — never a cross join with
+    * a chunk calendar), the chunk text is sliced from the already-
+    * materialized token array, and nothing shuffles until the final
+    * oracle ORDER BY — the operator itself is embarrassingly
+    * parallel. */
+  val t13 = QueryDef(
+    "t13_chunk_overlap",
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |nch AS (SELECT doc_id, tk, LEN(tk) AS n,
+      |    CASE WHEN LEN(tk) <= 64 THEN 1
+      |         ELSE CAST(CEIL((LEN(tk) - 64) / 48.0) AS INTEGER) + 1 END AS nc
+      |  FROM toks),
+      |ex AS (SELECT doc_id, tk, n, UNNEST(RANGE(0, nc)) AS c FROM nch)
+      |SELECT doc_id, CAST(c AS INTEGER) AS chunk_idx,
+      |  CAST(LEAST(64, n - c * 48) AS INTEGER) AS n_tok_chunk,
+      |  MD5(ARRAY_TO_STRING(tk[c*48+1 : c*48+64], ' ')) AS chunk_hash
+      |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    val winW = 64
+    val stride = 48
+    Tables(spark, dir).documents
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      .withColumn("nc",
+        when(col("n") <= winW, 1)
+          .otherwise(ceil((col("n") - winW) / lit(stride.toDouble)).cast("int") + 1))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0), col("nc") - 1)).as("c"))
+      .select(col("doc_id"), col("c").as("chunk_idx"),
+        least(lit(winW), col("n") - col("c") * stride).cast("int").as("n_tok_chunk"),
+        md5(array_join(slice(col("tk"), col("c") * stride + 1, lit(winW)), " "))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }

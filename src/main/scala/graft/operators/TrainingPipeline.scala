@@ -297,5 +297,62 @@ object TrainingPipeline {
       .orderBy(col("shard"))
   }
 
-  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04)
+  /** p05: cross-modal SEMANTIC curation — the SemDeDup pipeline end to
+    * end: documents are deduplicated by the MEANING of their paired
+    * embeddings (vec_id ≡ doc_id in the test corpus), composing s09's
+    * cell-bounded cosine pairs with d06's min-label connected
+    * components so transitive paraphrase chains A~B~C collapse to ONE
+    * representative (pair-dropping would over-prune B AND C). Output
+    * is the per-source fate tally of the corpus.
+    *
+    * 100 TB shape: inherits s09's zero-shuffle cell assignment and
+    * capped within-cell pairing, plus d06's edge-sized iterative
+    * shuffles; the final fate join is a broadcast of the dropped-id
+    * list (bounded by the pair population, ≪ corpus). Oracle: the s09
+    * assignment/pairing SQL + the d06 recursive reachability CTE. */
+  val p05 = QueryDef(
+    "p05_semantic_curation",
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |assign AS (SELECT vec_id, v, cid FROM (
+      |  SELECT e.vec_id, e.v, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |                       ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cv) DESC, c.cid) AS rn
+      |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+      |capped AS (SELECT vec_id, v, cid FROM (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY cid) AS csz FROM assign) t
+      |  WHERE csz <= 256),
+      |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.4),
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+      |          UNION SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e2.dst AS r FROM reach JOIN edges e2 ON reach.r = e2.src),
+      |clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      |dropped AS (SELECT id FROM clusters WHERE cluster_id < id)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(dr.id) AS BIGINT) AS n_sem_dup,
+      |  CAST(COUNT(*) - COUNT(dr.id) AS BIGINT) AS n_kept
+      |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin) { (spark, dir) =>
+    val pairs = Similarity.semanticPairs(spark, dir).select(col("id1"), col("id2"))
+    // min-label connected components: the cluster representative is the
+    // min id, every other member is a semantic duplicate
+    val clusters = Dedup.dupClusters(pairs)
+    val dropped = clusters.filter(col("cluster_id") < col("doc_id"))
+      .select(col("doc_id"), lit(1).as("dr"))
+    Tables(spark, dir).documents.select(col("doc_id"), col("source"))
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("dr")).as("n_sem_dup"),
+        (count(lit(1)) - count(col("dr"))).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05)
 }

@@ -350,5 +350,42 @@ object Streaming {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
+  /** st09: streaming QUALITY gate — p01's scalar intake gates run LIVE
+    * on the document stream (the reference's transform step as a
+    * continuous job): token-count, stopword-ratio, and language-marker
+    * checks are pure map-side projections on each micro-batch, so the
+    * stream shuffles only the per-source fate aggregation. Rejected
+    * docs are tallied, not dropped silently — the intake monitor every
+    * production curation stream runs. Oracled against the identical
+    * batch SQL over the same table. */
+  val st09 = QueryDef(
+    "st09_stream_quality_gate",
+    """WITH g AS (SELECT source, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |m AS (SELECT source, LEN(tk) AS n_tok,
+      |    LEN(tk) >= 20
+      |    AND CAST(LEN(LIST_FILTER(tk, t -> t = 'a' OR t = 'the')) AS DOUBLE)
+      |        / LEN(tk) < 0.5
+      |    AND LEN(LIST_FILTER(tk, t -> t = 'the' OR t = 'a' OR t = 'is')) > 0 AS pass
+      |  FROM g)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) FILTER (WHERE pass) AS BIGINT) AS n_pass,
+      |  CAST(COALESCE(SUM(n_tok) FILTER (WHERE pass), 0) AS BIGINT) AS tokens_landed
+      |FROM m GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import graft.functions.Text
+    val gated = docStream(spark, dir)
+      .withColumn("tk", Text.tokens(col("text")))
+      .withColumn("n_tok", size(col("tk")))
+      .withColumn("pass",
+        col("n_tok") >= 20 &&
+          Text.countIn(col("tk"), Seq("a", "the")).cast("double") / col("n_tok") < 0.5 &&
+          Text.countIn(col("tk"), Seq("the", "a", "is")) > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pass"), 1)).as("n_pass"),
+        coalesce(sum(when(col("pass"), col("n_tok"))), lit(0L)).as("tokens_landed"))
+    withStreamParallelism(spark, dir)(runToCompletion(gated, "st09_out"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09)
 }

@@ -44,4 +44,26 @@ class StreamingSpec extends SparkSpec {
     val batchTotal = Tables(spark, sf).documents.filter(col("doc_id") % 2 === 1).count()
     assert(landedTotal < batchTotal, "anti-join dropped nothing")
   }
+
+  test("st09 streamed quality gate equals the batch gate") {
+    val streamed = Streaming.st09.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass"), r.getAs[Long]("tokens_landed"))).toMap
+    val tk = split(col("text"), " ")
+    val stopCount = size(filter(tk, t => t === "a" || t === "the"))
+    val markCount = size(filter(tk, t => t === "the" || t === "a" || t === "is"))
+    val batch = Tables(spark, sf).documents
+      .withColumn("n_tok", size(tk))
+      .withColumn("pass",
+        col("n_tok") >= 20 && stopCount.cast("double") / col("n_tok") < 0.5 && markCount > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), count(when(col("pass"), 1)).as("p"),
+        coalesce(sum(when(col("pass"), col("n_tok"))), lit(0L)).as("t"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p"), r.getAs[Long]("t"))).toMap
+    assert(streamed == batch)
+    // the gate actually rejects something on this corpus
+    assert(streamed.values.map(_._2).sum < streamed.values.map(_._1).sum)
+  }
 }

@@ -354,4 +354,31 @@ class TextDedupSpec extends SparkSpec {
       assert(s >= 0.4 && s <= 1.0 + 1e-6, s"sim $s outside [0.4, 1]")
     }
   }
+
+  test("t13 chunking: non-final chunks exactly full, stride covers every token") {
+    val chunks = TextAnalysis.t13.fn(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nTok = TextAnalysis.t01.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_ws_tokens")).toMap
+    assert(chunks.nonEmpty && chunks.keySet == nTok.keySet)
+    chunks.foreach { case (doc, g) =>
+      val byIdx = g.sortBy(_.getAs[Int]("chunk_idx"))
+      val n = nTok(doc)
+      byIdx.init.foreach(r => assert(r.getAs[Int]("n_tok_chunk") == 64,
+        s"non-final chunk of doc $doc not full"))
+      val last = byIdx.last
+      // the final chunk ends exactly at the document's last token
+      assert(last.getAs[Int]("chunk_idx") * 48 + last.getAs[Int]("n_tok_chunk") == n,
+        s"doc $doc chunks do not cover the tail")
+      assert(last.getAs[Int]("n_tok_chunk") >= 1)
+    }
+  }
+
+  test("s10 truncation recall is a valid fraction of k") {
+    val r = Similarity.s10.fn(spark, sf).collect()(0)
+    assert(r.getAs[Int]("k") == 10)
+    val hits = r.getAs[Long]("n_hits")
+    assert(hits >= 0 && hits <= 10)
+    assert(math.abs(r.getAs[Double]("recall") - hits / 10.0) < 1e-6)
+  }
 }

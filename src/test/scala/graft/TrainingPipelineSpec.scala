@@ -105,4 +105,27 @@ class TrainingPipelineSpec extends SparkSpec {
         s"shard $shard is pathologically skewed")
     }
   }
+
+  test("p05 semantic curation: fates exhaustive, drops = members minus components") {
+    val rows = TrainingPipeline.p05.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sem_dup") + r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n_docs"))
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf).documents.count())
+    // connected-components semantics: each cluster keeps exactly ONE
+    // representative, so drops = (docs in any pair) - (#components)
+    val pairs = graft.operators.Similarity.semanticPairs(spark, sf)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    // union-find over the collected pair list (test-side ground truth)
+    val parent = scala.collection.mutable.Map(members.map(m => m -> m).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val nComponents = members.map(find).size
+    assert(rows.map(_.getAs[Long]("n_sem_dup")).sum == members.size - nComponents)
+  }
 }
