@@ -1091,8 +1091,42 @@ object Ingest {
       .orderBy(col("cell"), col("cal_month"), col("yr"))
   }
 
+  /** i32: derived wind DIRECTION — i02's angular sibling: the
+    * reference derives wind speed from the (u, v) component pair
+    * (`ecmwf_opendata/__init__.py:495`); the meteorological direction
+    * (degrees the wind blows FROM, 0° = north, clockwise) is the other
+    * standard derived variable from the same pair:
+    * dir = mod(270 − atan2(v, u)·180/π, 360). Zero shuffle beyond the
+    * component agg; atan2 of identical doubles is bit-identical across
+    * engines, so the rounded degrees hash-match. */
+  val i32 = QueryDef(
+    "i32_wind_direction",
+    """SELECT user_id,
+      |  ROUND(SQRT(u * u + v * v) + 1e-9, 2) AS wind_speed,
+      |  ROUND(FMOD(270.0 - DEGREES(ATAN2(v, u)), 360.0) + 1e-9, 2) AS wind_dir_deg
+      |FROM (
+      |  SELECT user_id,
+      |    AVG(value) FILTER (WHERE event_type = 'click') AS u,
+      |    AVG(value) FILTER (WHERE event_type = 'view')  AS v
+      |  FROM events GROUP BY user_id) t
+      |WHERE u IS NOT NULL AND v IS NOT NULL
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(
+        avg(when(col("event_type") === "click", col("value"))).as("u"),
+        avg(when(col("event_type") === "view", col("value"))).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .select(col("user_id"),
+        graft.QueryDef.roundBiased(windSpeed(col("u"), col("v")), 2).as("wind_speed"),
+        graft.QueryDef.roundBiased(
+          pmod(lit(270.0) - degrees(atan2(col("v"), col("u"))), lit(360.0)), 2)
+          .as("wind_dir_deg"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26,
-    i27, i28, i29, i30, i31)
+    i27, i28, i29, i30, i31, i32)
 }

@@ -502,6 +502,67 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** t14: bigram-LM PERPLEXITY — t12's conditional upgrade and the
+    * closest SQL-expressible analogue of the KenLM perplexity filter:
+    * P(cur|prev) = (C(prev,cur)+1) / (C(prev)+V) (add-one smoothing
+    * over the vocab), scored as the mean log-probability over each
+    * document's bigram positions and reported as perplexity
+    * exp(−mean). Gibberish with unseen-in-context tokens collapses
+    * toward the smoothing floor and scores high-perplexity.
+    *
+    * 100 TB shape: the bigram count table is the t06 vocab's 2-gram
+    * sibling — aggregated once, broadcast to the scoring join (context
+    * counts re-aggregate FROM the bigram table, no second corpus
+    * scan); scoring is map-side + one per-doc partial agg. The bigram
+    * stream reuses the shingle machinery (explode once, persisted).
+    * Decimal-summed log-probs keep the mean order-independent. */
+  val t14 = QueryDef(
+    "t14_bigram_perplexity",
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+      |       FROM toks, UNNEST(RANGE(1, GREATEST(LEN(tk), 1))) r(i)),
+      |bc AS (SELECT b, COUNT(*) AS cnt FROM bg GROUP BY b),
+      |ctx AS (SELECT STRING_SPLIT(b, ' ')[1] AS prev, CAST(SUM(cnt) AS BIGINT) AS pc
+      |        FROM bc GROUP BY 1),
+      |voc AS (SELECT COUNT(DISTINCT t) AS v
+      |        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)),
+      |lp AS (SELECT doc_id,
+      |         CAST(ROUND(LN((cnt + 1.0) / (pc + v)) + 1e-9, 6) AS DECIMAL(12,6)) AS lp
+      |       FROM bg JOIN bc USING (b)
+      |       JOIN ctx ON ctx.prev = STRING_SPLIT(bg.b, ' ')[1]
+      |       CROSS JOIN voc)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*) + 1e-9, 4) AS avg_logprob,
+      |  ROUND(EXP(-(ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*) + 1e-9, 4))) + 1e-9, 4) AS ppl
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val bg = Tables(spark, dir).documents
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(Text.shingles(col("tk"), 2)).as("b"))
+      .persist() // feeds the count table AND the scoring join
+    val bc = bg.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    // context counts derived FROM the bigram table — vocab-sized input,
+    // never a second corpus scan
+    val ctx = bc.groupBy(substring_index(col("b"), " ", 1).as("prev"))
+      .agg(sum(col("cnt")).as("pc"))
+    val voc = Tables(spark, dir).documents
+      .select(explode(Text.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val meanLp = col("slp").cast("double") / col("n_bigrams")
+    bg.join(broadcast(bc), "b")
+      .join(broadcast(ctx), substring_index(col("b"), " ", 1) === col("prev"))
+      .crossJoin(broadcast(voc))
+      .select(col("doc_id"),
+        graft.QueryDef.roundBiased(log((col("cnt") + 1.0) / (col("pc") + col("v"))), 6)
+          .cast("decimal(12,6)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.QueryDef.roundBiased(meanLp, 4).as("avg_logprob"),
+        graft.QueryDef.roundBiased(
+          exp(-graft.QueryDef.roundBiased(meanLp, 4)), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }

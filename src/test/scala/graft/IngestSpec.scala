@@ -252,4 +252,17 @@ class IngestSpec extends SparkSpec {
         assert(g.forall(_.getAs[Long]("n_years") == g.length))
       }
   }
+
+  test("i32 wind direction: degrees in [0, 360), consistent with the components") {
+    val dirs = Ingest.i32.fn(spark, sf).collect()
+    assert(dirs.nonEmpty)
+    val speeds = Ingest.i02.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("wind_speed")).toMap
+    dirs.foreach { r =>
+      val d = r.getAs[Double]("wind_dir_deg")
+      assert(d >= 0.0 && d < 360.0, s"direction $d out of range")
+      // same (u, v) pair as i02: speeds must agree exactly
+      assert(r.getAs[Double]("wind_speed") == speeds(r.getAs[Long]("user_id")))
+    }
+  }
 }

@@ -381,4 +381,20 @@ class TextDedupSpec extends SparkSpec {
     assert(hits >= 0 && hits <= 10)
     assert(math.abs(r.getAs[Double]("recall") - hits / 10.0) < 1e-6)
   }
+
+  test("t14 bigram perplexity: ppl = exp(-mean), bigrams = tokens - 1") {
+    val out = TextAnalysis.t14.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nTok = TextAnalysis.t01.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_ws_tokens")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") == nTok(r.getAs[Long]("doc_id")).toLong - 1)
+      val lp = r.getAs[Double]("avg_logprob")
+      assert(lp < 0.0, "smoothed bigram probability is always < 1")
+      assert(math.abs(r.getAs[Double]("ppl") -
+        BigDecimal(math.exp(-lp) + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) < 1e-9)
+      assert(r.getAs[Double]("ppl") > 1.0)
+    }
+  }
 }
