@@ -426,9 +426,18 @@ object Dedup {
     val edges = p.select(col(c1).as("src"), col(c2).as("nbr"))
       .union(p.select(col(c2).as("src"), col(c1).as("nbr")))
       .repartition(parts, col("nbr")).persist()
+    // localCheckpoint (eager) rather than persist: the loop rebuilds
+    // `labels` from itself every round, and a persisted frame still
+    // CARRIES its full lineage — Catalyst re-analyzes a plan that grows
+    // by one round's joins per iteration, so round wall-time grows
+    // super-linearly (measured on p05: 0.7→0.9→1.9→5.9 s over 4
+    // rounds). Checkpointing truncates the lineage to a LogicalRDD
+    // (partitioning preserved), keeping every round's plan — and cost —
+    // constant. At cluster scale the same call swaps for a reliable
+    // checkpoint dir; the loop shape is unchanged.
     var labels = edges.select(col("src").as("id"))
       .repartition(parts, col("id")).distinct()
-      .select(col("id"), col("id").as("label")).persist()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
     // labels only ever DECREASE, so Σlabel strictly decreases while
     // any node still changes — an agg is a cheaper convergence probe
     // than a self-join diff (one job, no extra shuffle). coalesce:
@@ -445,7 +454,7 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
