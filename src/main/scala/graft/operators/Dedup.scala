@@ -863,6 +863,27 @@ object Dedup {
     * keyed by doc_id to reassemble. Output carries an md5 of the
     * reassembled text, not the text itself, so the result stays
     * row-sized. */
+  /** d11's core over any (doc_id, text) frame: span split, global
+    * first-occurrence retention, reassembly. Factored so the
+    * adversarial spec can flood it with identical documents. */
+  private[graft] def spanDedup(docs: DataFrame, spanW: Int): DataFrame = {
+    val sp = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        ceil(size(col("tk")) / lit(spanW.toDouble)).cast("int").as("nc"))
+      .select(col("doc_id"), col("tk"), explode(sequence(lit(0), col("nc") - 1)).as("c"))
+      .select(col("doc_id"), col("c"),
+        array_join(slice(col("tk"), col("c") * spanW + 1, lit(spanW)), " ").as("span"))
+    val firstW = Window.partitionBy(col("span")).orderBy(col("doc_id"), col("c"))
+    sp.withColumn("keep", row_number().over(firstW) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("c"), col("span"))))),
+          s => s.getField("span")), " ")).as("dedup_hash"))
+  }
+
   val d11 = QueryDef(
     "d11_span_dedup",
     """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
@@ -878,25 +899,9 @@ object Dedup {
       |  MD5(COALESCE(STRING_AGG(k.span, ' ' ORDER BY s.c), '')) AS dedup_hash
       |FROM sp s LEFT JOIN kept k ON s.doc_id = k.doc_id AND s.c = k.c
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (spark, dir) =>
-    val spanW = 10
     // tokens materialized in their own projection first (HOF-lambda
     // re-evaluation pitfall), spans sliced from them map-side
-    val sp = Tables(spark, dir).documents
-      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), col("tk"),
-        ceil(size(col("tk")) / lit(spanW.toDouble)).cast("int").as("nc"))
-      .select(col("doc_id"), col("tk"), explode(sequence(lit(0), col("nc") - 1)).as("c"))
-      .select(col("doc_id"), col("c"),
-        array_join(slice(col("tk"), col("c") * spanW + 1, lit(spanW)), " ").as("span"))
-    val firstW = Window.partitionBy(col("span")).orderBy(col("doc_id"), col("c"))
-    sp.withColumn("keep", row_number().over(firstW) === 1)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        count(when(col("keep"), 1)).as("n_kept"),
-        md5(array_join(transform(
-          array_sort(collect_list(when(col("keep"), struct(col("c"), col("span"))))),
-          s => s.getField("span")), " ")).as("dedup_hash"))
-      .orderBy(col("doc_id"))
+    spanDedup(Tables(spark, dir).documents, 10).orderBy(col("doc_id"))
   }
 
   val all: Seq[QueryDef] =

@@ -397,4 +397,23 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getAs[Double]("ppl") > 1.0)
     }
   }
+
+  test("d11 flood: 3000 identical docs keep exactly one copy of each span, linearly") {
+    import spark.implicits._
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = ((0 until 3000).map(i => (i.toLong, body)) :+
+      (3000L, "entirely different words never repeated anywhere at all ok"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, 10).collect()
+    assert(out.length == 3001)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the first copy keeps all 4 spans; every later identical doc keeps none
+    assert(byId(0L).getAs[Long]("n_kept") == 4)
+    (1L until 3000L).foreach(i => assert(byId(i).getAs[Long]("n_kept") == 0,
+      s"doc $i resurrected a duplicated span"))
+    // the unique doc is untouched
+    assert(byId(3000L).getAs[Long]("n_kept") == byId(3000L).getAs[Long]("n_spans"))
+    // dedup is rank-only: identical docs share one hash (empty rebuild)
+    assert((1L until 3000L).map(byId(_).getAs[String]("dedup_hash")).toSet.size == 1)
+  }
 }
