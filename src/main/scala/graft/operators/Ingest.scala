@@ -1125,8 +1125,57 @@ object Ingest {
       .orderBy(col("user_id"))
   }
 
+  /** i33: dekad PRODUCT — the TAMSAT calendar unit end to end: i06
+    * derives dekad keys, this aggregates the dekad TOTAL per cell
+    * (rainfall-style accumulation, SUM not AVG), computes the
+    * dekad-keyed climatology normal as the multi-year mean of those
+    * totals, and emits the current year's anomaly with the sentinel
+    * for missing normals — completing the month (i03/i04) / pentad
+    * (i24) / dekad family the reference publishes
+    * (TAMSAT configs in `ingest/tamsat/__init__.py`; dekad arithmetic
+    * `ingest/dateutils.py`).
+    *
+    * Parity: yearly dekad totals are rounded to the exact 2-decimal
+    * grid BEFORE the normal's AVG, so both engines average identical
+    * operands. Normals broadcast (≤ cells × 36 rows), same as i04. */
+  val i33 = QueryDef(
+    "i33_dekad_product",
+    """WITH dk AS (
+      |  SELECT l_returnflag AS cell,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+      |    CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS mon,
+      |    CASE WHEN EXTRACT(day FROM l_shipdate) <= 10 THEN 1
+      |         WHEN EXTRACT(day FROM l_shipdate) <= 20 THEN 2
+      |         ELSE 3 END AS dekad,
+      |    ROUND(SUM(l_quantity), 2) AS v
+      |  FROM lineitem GROUP BY 1, 2, 3, 4),
+      |normal AS (
+      |  SELECT cell, mon, dekad, ROUND(AVG(v) + 1e-9, 2) AS normal
+      |  FROM dk WHERE yr < 2000 GROUP BY 1, 2, 3),
+      |cur AS (SELECT cell, mon, dekad, v FROM dk WHERE yr = 2000)
+      |SELECT cur.cell AS cell, cur.mon AS mon, cur.dekad AS dekad, cur.v AS dekad_total,
+      |  ROUND(CASE WHEN normal.normal IS NULL THEN -9999.0
+      |             ELSE cur.v - normal.normal END + 1e-9, 2) + 0.0 AS anomaly
+      |FROM cur LEFT JOIN normal
+      |  ON cur.cell = normal.cell AND cur.mon = normal.mon AND cur.dekad = normal.dekad
+      |ORDER BY cell, mon, dekad""".stripMargin) { (spark, dir) =>
+    val dk = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag").as("cell"),
+        year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mon"),
+        Calendar.dekadOfMonth(col("l_shipdate")).as("dekad"))
+      .agg(round(sum(col("l_quantity")), 2).as("v"))
+    val normals = dk.filter(col("yr") < 2000)
+      .groupBy(col("cell"), col("mon"), col("dekad"))
+      .agg(graft.QueryDef.roundBiased(avg(col("v")), 2).as("normal"))
+    dk.filter(col("yr") === 2000)
+      .join(broadcast(normals), Seq("cell", "mon", "dekad"), "left")
+      .select(col("cell"), col("mon"), col("dekad"), col("v").as("dekad_total"),
+        graft.QueryDef.roundBiased(anomaly(col("v"), col("normal")), 2).as("anomaly"))
+      .orderBy(col("cell"), col("mon"), col("dekad"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26,
-    i27, i28, i29, i30, i31, i32)
+    i27, i28, i29, i30, i31, i32, i33)
 }

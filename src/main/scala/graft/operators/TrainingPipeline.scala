@@ -354,5 +354,35 @@ object TrainingPipeline {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05)
+  /** p06: deterministic train/val/test SPLIT — the q21 sampler turned
+    * into a partition: each document lands in a split by the
+    * lexicographic range of its md5(doc_id) prefix (train < 'cc' ≈
+    * 80%, val < 'e6' ≈ 10%, test otherwise), so membership is a pure
+    * function of the id — stable when the corpus grows, reproducible
+    * on any engine, and disjoint/complete by construction (spec).
+    * Per-source tallies surface stratification balance.
+    *
+    * 100 TB shape: the split is a map-side projection (no RNG state,
+    * no global count prepass — percentile-based splits need one);
+    * only the (source, split) tally shuffles. */
+  val p06 = QueryDef(
+    "p06_dataset_split",
+    """WITH d AS (SELECT source, SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS pk
+      |  FROM documents),
+      |s AS (SELECT source,
+      |    CASE WHEN pk < 'cc' THEN 'train'
+      |         WHEN pk < 'e6' THEN 'val' ELSE 'test' END AS split
+      |  FROM d)
+      |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin) { (spark, dir) =>
+    val pk = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables(spark, dir).documents
+      .select(col("source"),
+        when(pk < "cc", "train").when(pk < "e6", "val").otherwise("test").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06)
 }

@@ -265,4 +265,17 @@ class IngestSpec extends SparkSpec {
       assert(r.getAs[Double]("wind_speed") == speeds(r.getAs[Long]("user_id")))
     }
   }
+
+  test("i33 dekad product: anomaly = total - normal, sentinel only without history") {
+    val rows = Ingest.i33.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Double]("anomaly")
+      // year-2000 dekads all have pre-2000 history on this corpus, so
+      // the -9999 sentinel must never fire here
+      assert(a != -9999.0, s"unexpected sentinel at ${r}")
+      assert(r.getAs[Int]("dekad") >= 1 && r.getAs[Int]("dekad") <= 3)
+      assert(r.getAs[Double]("dekad_total") > 0.0)
+    }
+  }
 }

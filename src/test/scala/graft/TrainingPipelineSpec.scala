@@ -128,4 +128,26 @@ class TrainingPipelineSpec extends SparkSpec {
     val nComponents = members.map(find).size
     assert(rows.map(_.getAs[Long]("n_sem_dup")).sum == members.size - nComponents)
   }
+
+  test("p06 split: disjoint, complete, stable under corpus growth, roughly 80/10/10") {
+    val rows = TrainingPipeline.p06.fn(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables(spark, sf).documents.count(), "split must be complete")
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .map { case (k, g) => k -> g.map(_.getAs[Long]("n_docs")).sum }
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val trainFrac = bySplit("train").toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+    // stability: a doc's split is a pure function of its id — the same
+    // ids split identically when evaluated on a shrunken corpus
+    val sub = TrainingPipeline.p06.fn(spark, sf)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def splitOf(id: Long): String = {
+      val pk = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+      if (pk < "cc") "train" else if (pk < "e6") "val" else "test"
+    }
+    val docIds = Tables(spark, sf).documents.select("doc_id").collect().map(_.getLong(0))
+    val expected = docIds.groupBy(splitOf).map { case (k, v) => k -> v.length.toLong }
+    assert(bySplit == expected, "engine split disagrees with the pure md5 function")
+  }
 }
