@@ -416,4 +416,18 @@ class TextDedupSpec extends SparkSpec {
     // dedup is rank-only: identical docs share one hash (empty rebuild)
     assert((1L until 3000L).map(byId(_).getAs[String]("dedup_hash")).toSet.size == 1)
   }
+
+  test("t13 plan shape: zero shuffle before the oracle ORDER BY") {
+    val plan = TextAnalysis.t13.fn(spark, sf).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"chunking must not join:\n$plan")
+    // the only exchange is the final range partition for ORDER BY
+    val exchanges = "Exchange".r.findAllIn(plan.replace("BroadcastExchange", "")).length
+    assert(exchanges <= 1, s"chunking should be map-only plus the oracle sort:\n$plan")
+  }
+
+  test("s09 plan shape: cell join is hash-based, never a nested loop") {
+    val plan = Similarity.s09.fn(spark, sf).queryExecution.executedPlan.toString()
+    assert(!plan.contains("NestedLoopJoin"),
+      s"within-cell pairing must be an equi-join on the cell id:\n$plan")
+  }
 }

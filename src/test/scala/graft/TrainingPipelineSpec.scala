@@ -150,4 +150,15 @@ class TrainingPipelineSpec extends SparkSpec {
     val expected = docIds.groupBy(splitOf).map { case (k, v) => k -> v.length.toLong }
     assert(bySplit == expected, "engine split disagrees with the pure md5 function")
   }
+
+  test("p04/p06 plan shape: map-side assignment, no join anywhere") {
+    Seq(TrainingPipeline.p04, TrainingPipeline.p06).foreach { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString()
+      assert(!plan.contains("Join"), s"${q.name} should be join-free:\n$plan")
+      // min_by is not hash-aggregable, so p04 plans a SortAggregate —
+      // still partial-agg + one exchange
+      assert(plan.contains("Aggregate"), s"${q.name} missing the tally agg")
+      assert(plan.contains("partial_"), s"${q.name} missing map-side partial agg")
+    }
+  }
 }
