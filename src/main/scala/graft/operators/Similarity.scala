@@ -438,11 +438,20 @@ object Similarity {
     * candidate/confirm core, shared with p05's cross-modal semantic
     * curation. Returns (cid, id1, id2, raw_sim) for pairs ≥ `minSim`. */
   private[graft] def semanticPairs(spark: org.apache.spark.sql.SparkSession,
-      dir: String, minSim: Double = 0.4): org.apache.spark.sql.DataFrame = {
-    val emb = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      dir: String, minSim: Double = 0.4): org.apache.spark.sql.DataFrame =
+    semanticPairsOf(Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")), minSim)
+
+  /** semanticPairs over any (vec_id, v: array<double>) frame. */
+  private[graft] def semanticPairsOf(emb: org.apache.spark.sql.DataFrame,
+      minSim: Double): org.apache.spark.sql.DataFrame = {
     val centroids = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+    if (centroids.isEmpty)
+      // no seed vectors ⇒ no cells ⇒ no pairs (an empty-corpus call
+      // must not build a zero-arm array_max)
+      return emb.select(lit(0L).as("cid"), col("vec_id").as("id1"),
+        col("vec_id").as("id2"), lit(0.0).as("raw_sim")).limit(0)
     // s04's zero-shuffle assignment: lexicographic struct argmax,
     // (cosine, -cid) ties to the smallest centroid id like the
     // oracle's ROW_NUMBER

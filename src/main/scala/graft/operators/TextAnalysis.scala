@@ -563,6 +563,77 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t15: corpus DRIFT monitoring — the data-quality check between two
+    * corpus snapshots (here deterministic md5-nibble halves stand in
+    * for "last month's crawl" vs "this month's" — the q21 sampler, so
+    * the halves cut ACROSS sources): per-source total-
+    * variation distance between the two token distributions, plus the
+    * single most-drifted token. A distribution shift in a source —
+    * new boilerplate, a scraper regression, a language mix change —
+    * shows up as TV mass long before eyeballing documents would catch
+    * it; production pipelines alert on exactly this number.
+    *
+    * 100 TB shape: one corpus scan to (source, token, half) counts
+    * (partial-agg), per-source totals broadcast back, and the TV sum +
+    * top-token window both run on the VOCAB-sized count table, never
+    * the corpus. Per-term gaps are rounded to the 1e-9 grid and summed
+    * as DECIMAL so the distance is order-independent cross-engine. */
+  val t15 = QueryDef(
+    "t15_corpus_drift",
+    """WITH tok AS (SELECT source,
+      |    CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+      |         THEN 0 ELSE 1 END AS half,
+      |    UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+      |cnt AS (SELECT source, t,
+      |    CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS c0,
+      |    CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS c1
+      |  FROM tok GROUP BY source, t),
+      |tot AS (SELECT source, CAST(SUM(c0) AS BIGINT) AS t0,
+      |    CAST(SUM(c1) AS BIGINT) AS t1 FROM cnt GROUP BY source),
+      |gap AS (SELECT cnt.source AS source, t,
+      |    CAST(ROUND(CASE WHEN t0 = 0 OR t1 = 0 THEN 0.0
+      |      ELSE ABS(c0 * 1.0 / t0 - c1 * 1.0 / t1) END + 1e-9, 9) AS DECIMAL(18,9)) AS g
+      |  FROM cnt JOIN tot ON cnt.source = tot.source),
+      |top AS (SELECT source, t AS top_token, g AS top_gap FROM gap
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY g DESC, t) = 1)
+      |SELECT gap.source AS source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  ROUND(CAST(SUM(g) AS DOUBLE) / 2 + 1e-9, 6) AS tv_dist,
+      |  MAX(top.top_token) AS top_token,
+      |  ROUND(CAST(MAX(top.top_gap) AS DOUBLE) + 1e-9, 6) AS top_gap
+      |FROM gap JOIN top ON gap.source = top.source
+      |GROUP BY gap.source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val cnt = Tables(spark, dir).documents
+      .select(col("source"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "8", 0).otherwise(1)
+          .as("half"),
+        explode(Text.tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(when(col("half") === 0, 1)).as("c0"),
+        count(when(col("half") === 1, 1)).as("c1"))
+      .persist() // vocab-sized; feeds totals AND gaps
+    val tot = cnt.groupBy(col("source"))
+      .agg(sum(col("c0")).as("t0"), sum(col("c1")).as("t1"))
+    val gap = cnt.join(broadcast(tot), "source")
+      .select(col("source"), col("t"),
+        graft.QueryDef.roundBiased(
+          when(col("t0") === 0 || col("t1") === 0, 0.0)
+            .otherwise(abs(col("c0") * 1.0 / col("t0") - col("c1") * 1.0 / col("t1"))), 9)
+          .cast("decimal(18,9)").as("g"))
+      .persist() // feeds the TV sum AND the top-token window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("g").desc, col("t"))
+    val top = gap.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("source"), col("t").as("top_token"), col("g").as("top_gap"))
+    gap.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("g")).as("sg"))
+      .join(broadcast(top), "source")
+      .select(col("source"), col("n_terms"),
+        graft.QueryDef.roundBiased(col("sg").cast("double") / 2, 6).as("tv_dist"),
+        col("top_token"),
+        graft.QueryDef.roundBiased(col("top_gap").cast("double"), 6).as("top_gap"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
 }

@@ -134,4 +134,12 @@ class EdgeCaseSpec extends SparkSpec {
       graft.functions.Md5SeededExpr(child, 0)
     }
   }
+
+  test("semanticPairs on an empty embedding set returns empty, no exception") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "v")
+    val out = graft.operators.Similarity.semanticPairsOf(empty, 0.4)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("cid", "id1", "id2", "raw_sim"))
+  }
 }

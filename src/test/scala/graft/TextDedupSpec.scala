@@ -430,4 +430,17 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("NestedLoopJoin"),
       s"within-cell pairing must be an equi-join on the cell id:\n$plan")
   }
+
+  test("t15 drift: distances bounded in [0,1], top gap consistent, vocab-sized") {
+    val rows = TextAnalysis.t15.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getAs[Double]("tv_dist")
+      assert(tv >= 0.0 && tv <= 1.0, s"TV distance $tv outside [0,1]")
+      // the max per-term gap can never exceed twice the total distance
+      assert(r.getAs[Double]("top_gap") <= 2 * tv + 1e-6)
+      assert(r.getAs[String]("top_token").nonEmpty)
+      assert(r.getAs[Long]("n_terms") > 0)
+    }
+  }
 }
