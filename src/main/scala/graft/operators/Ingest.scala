@@ -1174,8 +1174,129 @@ object Ingest {
       .orderBy(col("cell"), col("mon"), col("dekad"))
   }
 
+  /** i34: Z-ORDER (Morton) layout key — the multi-dimensional
+    * clustering step a 100 TB spatial lakehouse runs before writing:
+    * interleaving the bits of the quantized (lon, lat) cell gives a
+    * 1-D sort key under which spatially-near points land in the same
+    * file, so per-file min/max column stats prune 2-D bbox queries
+    * (the reference's tile/bbox reads, `raster_vector.py:88`) without
+    * a spatial index. The query emits per-Z-range file stats — each
+    * range's bbox is TIGHT, which is exactly the property data
+    * skipping needs; writing is one `repartitionByRange(zkey)`.
+    *
+    * Map-side everything: quantization and bit-interleave are pure
+    * integer Column arithmetic (codegen'd); the only shuffle is the
+    * per-range stats aggregation. The oracle interleaves with the
+    * identical shift/mask terms. */
+  val i34: QueryDef = {
+    def mortonSql: String = (0 until 8).map { i =>
+      s"(((qx >> $i) & 1) << ${2 * i}) + (((qy >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+    QueryDef(
+      "i34_zorder_layout",
+      s"""WITH pts AS (
+         |  SELECT user_id * 1.7 - 95.0 AS lon, value * 0.35 - 80.0 AS lat
+         |  FROM events),
+         |q AS (SELECT lon, lat,
+         |    CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 256), 0), 255) AS INTEGER) AS qx,
+         |    CAST(LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * 256), 0), 255) AS INTEGER) AS qy
+         |  FROM pts),
+         |z AS (SELECT lon, lat, CAST($mortonSql AS INTEGER) AS zkey FROM q)
+         |SELECT CAST(zkey >> 6 AS INTEGER) AS zrange,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pts,
+         |  ROUND(MIN(lon), 4) + 0.0 AS min_lon, ROUND(MAX(lon), 4) + 0.0 AS max_lon,
+         |  ROUND(MIN(lat), 4) + 0.0 AS min_lat, ROUND(MAX(lat), 4) + 0.0 AS max_lat
+         |FROM z GROUP BY 1 ORDER BY zrange""".stripMargin) { (spark, dir) =>
+      val lon = col("user_id") * 1.7 - 95.0
+      val lat = col("value") * 0.35 - 80.0
+      def quant(c: Column, offset: Double, span: Double): Column =
+        least(greatest(floor((c + offset) / span * 256), lit(0)), lit(255)).cast("int")
+      val morton = (0 until 8).map { i =>
+        shiftleft(shiftright(col("qx"), i).bitwiseAND(lit(1)), 2 * i) +
+          shiftleft(shiftright(col("qy"), i).bitwiseAND(lit(1)), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables(spark, dir).events
+        .select(lon.as("lon"), lat.as("lat"))
+        .withColumn("qx", quant(col("lon"), 180.0, 360.0))
+        .withColumn("qy", quant(col("lat"), 90.0, 180.0))
+        .withColumn("zkey", morton.cast("int"))
+        .groupBy(shiftright(col("zkey"), 6).cast("int").as("zrange"))
+        .agg(count(lit(1)).as("n_pts"),
+          round(min(col("lon")), 4).as("min_lon"), round(max(col("lon")), 4).as("max_lon"),
+          round(min(col("lat")), 4).as("min_lat"), round(max(col("lat")), 4).as("max_lat"))
+        .orderBy(col("zrange"))
+    }
+  }
+
+  /** i35: LINEAR-interpolation gap fill — i29's fill upgraded from
+    * last-observation-carried-forward to the time-weighted blend
+    * climate series actually use (`pv + (nv−pv)·Δt/Δspan`): a 3-day
+    * hole between 10.0 and 13.0 fills 10.75/11.5/12.25, not 10/10/10.
+    * Same dense-grid construction as i29 (per-key span explode, never
+    * a calendar cross-join); the bracketing observations arrive via
+    * ONE window per key — `last(obs before)` / `first(obs after)`
+    * carried as (day, value) pairs — so interpolation is a map-side
+    * formula, not a self-join against the observation table.
+    *
+    * Grid endpoints are observations by construction, so every gap is
+    * interior (both brackets exist); the blend divides day offsets on
+    * the exact integer grid and rounds to 1e-4 on both engines. */
+  val i35 = QueryDef(
+    "i35_linear_interp",
+    """WITH obs AS (
+      |  SELECT user_id, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         ROUND(AVG(value) + 1e-9, 4) AS v
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY user_id),
+      |grid AS (SELECT user_id, UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS day
+      |         FROM span),
+      |j AS (SELECT g.user_id, g.day, o.v FROM grid g
+      |      LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day),
+      |w AS (SELECT *,
+      |    LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+      |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+      |    FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+      |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd
+      |  FROM j
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING),
+      |    wn AS (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, day,
+      |  ROUND(CASE WHEN v IS NOT NULL THEN v
+      |    ELSE pv + (nv - pv) * DATEDIFF('day', pd, day) / DATEDIFF('day', pd, nd)
+      |    END + 1e-9, 4) + 0.0 AS filled,
+      |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INTEGER) AS was_gap
+      |FROM w ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val obs = Tables(spark, dir).events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(graft.QueryDef.roundBiased(avg(col("value")), 4).as("v"))
+      .persist() // feeds the span aggregation AND the grid join
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val wp = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("v").isNotNull, col("day"))
+    grid.join(obs, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wn))
+      .select(col("user_id"), col("day"),
+        graft.QueryDef.roundBiased(
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              datediff(col("day"), col("pd")) / datediff(col("nd"), col("pd"))), 4)
+          .as("filled"),
+        when(col("v").isNull, 1).otherwise(0).as("was_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26,
-    i27, i28, i29, i30, i31, i32, i33)
+    i27, i28, i29, i30, i31, i32, i33, i34, i35)
 }

@@ -537,5 +537,55 @@ object Similarity {
         graft.QueryDef.roundBiased(col("n_hits") / 10.0, 4).as("recall"))
   }
 
-  val all: Seq[QueryDef] = Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10)
+  /** s11: cluster-BALANCED diversity sampling — the selection dual of
+    * s09's semantic dedup: instead of dropping near-duplicate meaning,
+    * cap how much any one semantic cluster contributes to the sample
+    * (≤32 vectors per IVF cell, picked by deterministic md5 rank).
+    * Dense clusters (boilerplate embeddings) stop dominating the
+    * training mix; sparse clusters survive intact — the
+    * cluster-balanced subsampling step of embedding-curated pipelines.
+    *
+    * 100 TB shape: cell assignment is s04's zero-shuffle literal-
+    * codebook projection; the only shuffle is the per-cell rank
+    * window, and the md5 rank needs no global order or RNG state —
+    * the same sample comes out on any engine, any run. */
+  val s11 = QueryDef(
+    "s11_diversity_sample",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |                         ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cv) DESC, c.cid) AS rn
+      |    FROM e CROSS JOIN cent c) t WHERE rn = 1),
+      |r AS (SELECT cid, vec_id,
+      |    CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS cell_n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cid
+      |      ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS rk
+      |  FROM assign)
+      |SELECT CAST(cid AS BIGINT) AS cid, vec_id, cell_n, rk
+      |FROM r WHERE rk <= 32 ORDER BY cid, rk""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+    // s04's zero-shuffle assignment: lexicographic struct max picks the
+    // highest-cosine centroid, ties to the smallest cid
+    val best = array_max(array(centroids.toSeq.map { case (cid, cv) =>
+      struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
+    val assigned = emb
+      .select(col("vec_id"), (-best.getField("n")).cast("long").as("cid"))
+    val cell = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    val rkw = cell.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned
+      .withColumn("cell_n", count(lit(1)).over(cell))
+      .withColumn("rk", row_number().over(rkw))
+      .filter(col("rk") <= 32)
+      .select(col("cid"), col("vec_id"), col("cell_n"), col("rk"))
+      .orderBy(col("cid"), col("rk"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11)
 }

@@ -187,5 +187,78 @@ object Temporal {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(j01, j02, j03)
+  /** j04: NEAREST-event join — j01's two-sided sibling: each purchase
+    * aligns to the closest click of the same user within ±10 minutes,
+    * whichever direction is nearer (ties to the earlier click). This is
+    * the observation-alignment shape the reference's multi-source
+    * weather world implies (pair each forecast with the nearest
+    * station reading), and ASOF JOIN alone can't express it.
+    *
+    * Implementation: the j01 union+window trick run BOTH ways in one
+    * pass — a single shuffle on the user key, then `last(click before)`
+    * and `first(click after)` over the same sorted partition; the
+    * nearer side wins under the tolerance. Never a range cross-join.
+    * The oracle derives the identical answer with the same window
+    * construction in DuckDB (IGNORE NULLS frames), so tie-break and
+    * tolerance semantics are hash-checked, not eyeballed. */
+  val j04 = QueryDef(
+    "j04_nearest_join",
+    """WITH e AS (SELECT event_id, user_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS tsu,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+      |    CASE WHEN event_type = 'click'
+      |         THEN EPOCH_US(CAST(ts AS TIMESTAMP)) END AS cts,
+      |    CASE WHEN event_type = 'click' THEN value END AS cval
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |w AS (SELECT *,
+      |    LAST_VALUE(cts IGNORE NULLS) OVER win_prev AS pts,
+      |    LAST_VALUE(cval IGNORE NULLS) OVER win_prev AS pval,
+      |    FIRST_VALUE(cts IGNORE NULLS) OVER win_next AS nts,
+      |    FIRST_VALUE(cval IGNORE NULLS) OVER win_next AS nval
+      |  FROM e
+      |  WINDOW win_prev AS (PARTITION BY user_id ORDER BY tsu, side, event_id
+      |      ROWS UNBOUNDED PRECEDING),
+      |    win_next AS (PARTITION BY user_id ORDER BY tsu, side, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |s AS (SELECT event_id, user_id, tsu - pts AS dp, nts - tsu AS dn, pval, nval,
+      |    pts IS NOT NULL AND tsu - pts <= 600000000 AS pok,
+      |    nts IS NOT NULL AND nts - tsu <= 600000000 AS nok
+      |  FROM w WHERE side = 1)
+      |SELECT event_id, user_id,
+      |  CASE WHEN pok AND (NOT nok OR dp <= dn) THEN pval
+      |       WHEN nok THEN nval END AS nearest_click_value,
+      |  CAST(CASE WHEN pok AND (NOT nok OR dp <= dn) THEN dp
+      |       WHEN nok THEN dn END AS BIGINT) AS delta_us
+      |FROM s ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val tol = 600000000L // ±10 minutes, integer micros
+    val ev = Tables(spark, dir).events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+        when(col("event_type") === "click", unix_micros(col("ts"))).as("cts"),
+        when(col("event_type") === "click", col("value")).as("cval"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("side"), col("event_id"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val s = ev
+      .withColumn("pts", last(col("cts"), ignoreNulls = true).over(wPrev))
+      .withColumn("pval", last(col("cval"), ignoreNulls = true).over(wPrev))
+      .withColumn("nts", first(col("cts"), ignoreNulls = true).over(wNext))
+      .withColumn("nval", first(col("cval"), ignoreNulls = true).over(wNext))
+      .filter(col("side") === 1)
+      .withColumn("dp", col("tsu") - col("pts"))
+      .withColumn("dn", col("nts") - col("tsu"))
+      // isNotNull first: false && null = false on both engines, so the
+      // flags are never three-valued and the CASE below can't leak null
+      .withColumn("pok", col("pts").isNotNull && col("dp") <= tol)
+      .withColumn("nok", col("nts").isNotNull && col("dn") <= tol)
+    val pickPrev = col("pok") && (!col("nok") || col("dp") <= col("dn"))
+    s.select(col("event_id"), col("user_id"),
+        when(pickPrev, col("pval")).when(col("nok"), col("nval"))
+          .as("nearest_click_value"),
+        when(pickPrev, col("dp")).when(col("nok"), col("dn")).as("delta_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(j01, j02, j03, j04)
 }

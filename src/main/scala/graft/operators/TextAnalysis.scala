@@ -634,6 +634,64 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** t16: DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how much more likely its tokens are under a
+    * TARGET domain's unigram LM than under the raw corpus LM —
+    * per-token log-likelihood ratio with add-one smoothing over the
+    * shared vocabulary, averaged per doc. High scores mark raw docs
+    * that "look like" the target domain; resampling by this weight is
+    * the standard recipe for tilting a 100 TB crawl toward a small
+    * high-quality corpus. Here `source = 'src0'` stands in for the
+    * target domain.
+    *
+    * 100 TB shape = t12's: ONE corpus token scan feeds both LM count
+    * tables (a conditional aggregate splits target vs raw in the same
+    * pass), the vocab-sized ratio table is BROADCAST to the scoring
+    * join, and per-token LLRs are rounded to the 1e-6 grid and summed
+    * as DECIMAL so the doc score is order-independent cross-engine. */
+  val t16 = QueryDef(
+    "t16_dsir_weights",
+    """WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
+      |    UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+      |vocab AS (SELECT t,
+      |    CAST(COUNT(*) FILTER (WHERE tgt) AS BIGINT) AS ct,
+      |    CAST(COUNT(*) AS BIGINT) AS cr
+      |  FROM tok GROUP BY t),
+      |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+      |    CAST(SUM(cr) AS BIGINT) AS tr,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+      |lp AS (SELECT doc_id,
+      |    CAST(ROUND(LN((ct + 1.0) / (tt + v)) - LN((cr + 1.0) / (tr + v))
+      |      + 1e-9, 6) AS DECIMAL(14,6)) AS llr
+      |  FROM tok JOIN vocab USING (t) CROSS JOIN tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |  ROUND(CAST(SUM(llr) AS DOUBLE) / COUNT(*) + 1e-9, 4) + 0.0 AS dsir_weight
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val tok = Tables(spark, dir).documents
+      .select(col("doc_id"), (col("source") === "src0").as("tgt"),
+        explode(Text.tokens(col("text"))).as("t"))
+      .persist() // feeds both LM count tables AND scoring — one corpus scan
+    val vocab = tok.groupBy(col("t"))
+      .agg(count(when(col("tgt"), 1)).as("ct"), count(lit(1)).as("cr"))
+    val tot = vocab.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"),
+      count(lit(1)).as("v"))
+    tok.join(broadcast(vocab), "t")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        graft.QueryDef.roundBiased(
+          log((col("ct") + 1.0) / (col("tt") + col("v"))) -
+            log((col("cr") + 1.0) / (col("tr") + col("v"))), 6)
+          .cast("decimal(14,6)").as("llr"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("llr")).as("sl"))
+      .select(col("doc_id"), col("n_tok"),
+        graft.QueryDef.roundBiased(col("sl").cast("double") / col("n_tok"), 4)
+          .as("dsir_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
+      t15, t16)
 }

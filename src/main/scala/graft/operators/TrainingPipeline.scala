@@ -384,5 +384,70 @@ object TrainingPipeline {
       .orderBy(col("source"), col("split"))
   }
 
-  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06)
+  /** p07: TOKEN-BUDGET selection — "take the best documents until the
+    * token budget is spent", the data-selection step that turns scores
+    * (t02 quality here; t16 DSIR weights in production) into an actual
+    * training set. A doc is kept iff the docs strictly before it in
+    * (quality DESC, doc_id) order total fewer tokens than the budget
+    * (25% of corpus tokens), so the boundary doc that crosses the
+    * budget is the last one in.
+    *
+    * 100 TB shape — the naive formulation is a GLOBAL window cumsum
+    * (one partition = one executor does all the work). Instead, the
+    * selection runs as histogram → threshold → boundary refinement:
+    * (1) one partial-agg shuffle builds the token mass per quality
+    * VALUE — the 1e-4 rounding grid bounds this table at ~10k rows
+    * regardless of corpus size, so its cumsum is driver-scale;
+    * (2) groups whose preceding mass already fits the budget are kept
+    * wholesale via a broadcast join (map-side); (3) only the in-group
+    * prefix sum runs as a real window, partitioned by quality — never
+    * a single-partition global sort. The spec proves the three-phase
+    * answer equals the naive global cumsum; the DuckDB oracle IS the
+    * naive global cumsum. */
+  val p07 = QueryDef(
+    "p07_token_budget",
+    """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens,
+      |    ROUND(LEAST(LEN(toks) / 200.0, 1.0) * 0.4 +
+      |      (1.0 - CAST(LEN(LIST_FILTER(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+      |        / LEN(toks)) * 0.6 + 1e-9, 4) AS quality
+      |  FROM t),
+      |b AS (SELECT CAST(FLOOR(0.25 * SUM(n_tokens)) AS BIGINT) AS budget FROM s),
+      |c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+      |SELECT doc_id, n_tokens, quality FROM c, b
+      |WHERE cum - n_tokens < budget ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val toks = Text.tokens(col("text"))
+    val nToks = size(toks)
+    val stopRatio = Text.countIn(toks, Seq("a", "the")).cast("double") / nToks
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"), nToks.cast("long").as("n_tokens"),
+        graft.QueryDef.roundBiased(
+          least(nToks / lit(200.0), lit(1.0)) * 0.4 + (lit(1.0) - stopRatio) * 0.6, 4)
+          .as("quality"))
+      .persist() // feeds the histogram AND the per-doc selection
+    // (1) token mass per quality value — bounded by the 1e-4 grid
+    val hist = scored.groupBy(col("quality")).agg(sum(col("n_tokens")).as("mass"))
+    // single-partition window is safe HERE: hist is grid-bounded (~10k
+    // rows at any corpus size), not corpus-sized
+    val wq = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = hist.agg(floor(lit(0.25) * sum(col("mass"))).cast("long").as("budget"))
+    val qualifying = hist
+      .withColumn("cum_before", coalesce(sum(col("mass")).over(wq), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_before") < col("budget"))
+      .select(col("quality"), col("cum_before"), col("budget"))
+    // (2)+(3) groups under budget join map-side; only the in-group
+    // prefix needs a (quality-partitioned) window
+    val wd = Window.partitionBy(col("quality")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(broadcast(qualifying), "quality")
+      .withColumn("s_incl", sum(col("n_tokens")).over(wd))
+      .filter(col("cum_before") + col("s_incl") - col("n_tokens") < col("budget"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07)
 }

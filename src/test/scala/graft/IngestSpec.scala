@@ -266,6 +266,62 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("i34 z-order ranges are spatially tight and partition the points") {
+    val rows = Ingest.i34.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_pts")).sum == Tables(spark, sf).events.count())
+    // zrange = z >> 6 keeps 5+5 interleaved bits = an 8×8 cell block:
+    // every range's bbox is bounded by the block size — the data-skipping
+    // guarantee (a bbox query overlaps few ranges, min/max stats prune
+    // the rest)
+    val maxLonSpan = 8 * 360.0 / 256 // 11.25°
+    val maxLatSpan = 8 * 180.0 / 256 // 5.625°
+    rows.foreach { r =>
+      val lonSpan = r.getAs[Double]("max_lon") - r.getAs[Double]("min_lon")
+      val latSpan = r.getAs[Double]("max_lat") - r.getAs[Double]("min_lat")
+      assert(lonSpan <= maxLonSpan + 1e-9,
+        s"zrange ${r.getAs[Int]("zrange")} lon span $lonSpan exceeds the block bound")
+      assert(latSpan <= maxLatSpan + 1e-9,
+        s"zrange ${r.getAs[Int]("zrange")} lat span $latSpan exceeds the block bound")
+    }
+  }
+
+  test("i35 linear interp matches i29's grid, blends inside the bracket") {
+    val lin = Ingest.i35.fn(spark, sf).collect()
+    val locf = Ingest.i29.fn(spark, sf).collect()
+    assert(lin.length == locf.length, "i35 must build the same dense grid as i29")
+    // on observed days the two fills agree (both are the observation)
+    val locfByKey = locf.map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("day")) -> r).toMap
+    lin.filter(_.getAs[Int]("was_gap") == 0).foreach { r =>
+      val twin = locfByKey((r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("day")))
+      assert(twin.getAs[Int]("was_gap") == 0)
+      assert(r.getAs[Double]("filled") == twin.getAs[Double]("filled"))
+    }
+    // every gap fill lies between its brackets (scan per user in day order)
+    var gaps = 0
+    lin.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      val seq = rows.sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+      var i = 0
+      while (i < seq.length) {
+        if (seq(i).getAs[Int]("was_gap") == 1) {
+          val prev = seq.take(i).reverse.find(_.getAs[Int]("was_gap") == 0).get
+          val next = seq.drop(i + 1).find(_.getAs[Int]("was_gap") == 0).get
+          val (lo, hi) = {
+            val (a, b) = (prev.getAs[Double]("filled"), next.getAs[Double]("filled"))
+            (math.min(a, b), math.max(a, b))
+          }
+          val v = seq(i).getAs[Double]("filled")
+          assert(v >= lo - 1e-3 && v <= hi + 1e-3,
+            s"gap fill $v escapes bracket [$lo, $hi]")
+          gaps += 1
+        }
+        i += 1
+      }
+    }
+    assert(gaps > 0, "corpus has no gaps — the interpolation path never ran")
+  }
+
   test("i33 dekad product: anomaly = total - normal, sentinel only without history") {
     val rows = Ingest.i33.fn(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -164,6 +164,39 @@ class RelationalSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("j04 nearest join equals the naive bounded theta-join") {
+    import org.apache.spark.sql.functions._
+    val tol = 600000000L
+    val got = graft.operators.Temporal.j04.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("delta_us"))) None
+         else Some(r.getAs[Long]("delta_us")))).toMap
+    val ev = Tables(spark, sf).events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tsu").as("pt"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsu").as("ct"))
+    // the O(n·m) formulation the operator must never plan — but at
+    // sf0.001 it is the perfect ground truth
+    val naive = purchases.join(clicks, Seq("user_id"), "left")
+      .withColumn("d", abs(col("pt") - col("ct")))
+      .filter(col("ct").isNull || col("d") <= tol)
+      .groupBy(col("event_id")).agg(min(col("d")).as("best"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(1)) None else Some(r.getAs[Long]("best")))).toMap
+    // naive's left join loses purchases whose clicks are all out of
+    // tolerance — those must appear in `got` as None
+    assert(got.size >= naive.size)
+    got.foreach { case (id, delta) =>
+      assert(delta == naive.getOrElse(id, None),
+        s"purchase $id: got $delta, naive ${naive.get(id)}")
+    }
+    assert(got.values.exists(_.isDefined), "no purchase found any nearby click")
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)

@@ -66,4 +66,27 @@ class StreamingSpec extends SparkSpec {
     // the gate actually rejects something on this corpus
     assert(streamed.values.map(_._2).sum < streamed.values.map(_._1).sum)
   }
+
+  test("st10 incremental state merge equals the one-shot batch aggregate") {
+    val streamed = Streaming.st10.fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("d")) ->
+        (r.getAs[Double]("total_v"), r.getAs[Long]("n"))).toMap
+    val batch = Tables(spark, sf).events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(round(sum(col("value")), 2).as("t"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("d")) ->
+        (r.getAs[Double]("t"), r.getAs[Long]("n"))).toMap
+    assert(streamed == batch)
+    // the merge really ran incrementally: one state version per epoch,
+    // three staged slice files → at least versions v0..v2 on disk
+    val srcFile = new java.io.File(s"$sf/events.parquet")
+    val fp = java.lang.Long.toHexString(
+      srcFile.lastModified() ^ (srcFile.length() * 1315423911L))
+    val stateRoot = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_st10stage_${sf.hashCode.toHexString}_$fp-state")
+    val versions = stateRoot.listFiles().map(_.getName).filter(_.startsWith("state_v"))
+    assert(versions.length >= 3,
+      s"expected one state version per micro-batch epoch, found ${versions.toSeq}")
+  }
 }

@@ -443,4 +443,46 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getAs[Long]("n_terms") > 0)
     }
   }
+
+  test("t16 DSIR weights tilt toward the target domain") {
+    val sourceOf = Tables(spark, sf).documents
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.t16.fn(spark, sf).collect()
+    assert(rows.length == sourceOf.size, "every doc must get a weight")
+    val (target, rest) = rows.partition(r => sourceOf(r.getAs[Long]("doc_id")) == "src0")
+    assert(target.nonEmpty && rest.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("dsir_weight")))
+      assert(!r.getAs[Double]("dsir_weight").isNaN)
+    }
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("dsir_weight")).sum / rs.length
+    // the whole point of the LLR: target-domain docs must score higher
+    // under the target LM than the rest of the corpus does on average
+    assert(mean(target) > mean(rest),
+      s"target mean ${mean(target)} not above raw mean ${mean(rest)}")
+  }
+
+  test("s11 diversity sample caps every cell and is deterministic") {
+    val run1 = Similarity.s11.fn(spark, sf).collect()
+    val run2 = Similarity.s11.fn(spark, sf).collect()
+    assert(run1.sameElements(run2), "md5-ranked sampling must be run-stable")
+    assert(run1.nonEmpty)
+    val byCell = run1.groupBy(_.getAs[Long]("cid"))
+    var corpus = 0L
+    byCell.foreach { case (cid, rows) =>
+      val cellN = rows.head.getAs[Long]("cell_n")
+      assert(rows.forall(_.getAs[Long]("cell_n") == cellN))
+      // exactly min(cell population, cap) sampled, ranks dense 1..k
+      assert(rows.length == math.min(cellN, 32L),
+        s"cell $cid kept ${rows.length} of $cellN (cap 32)")
+      assert(rows.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rows.length))
+      corpus += cellN
+    }
+    assert(corpus == Tables(spark, sf).embeddings.count(),
+      "cell populations must partition the corpus")
+    // the cap actually binds on this corpus (500 vectors / 8 cells)
+    assert(run1.length < corpus, "no cell hit the cap — the sample is the corpus")
+  }
 }

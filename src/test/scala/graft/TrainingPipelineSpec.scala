@@ -151,6 +151,36 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(bySplit == expected, "engine split disagrees with the pure md5 function")
   }
 
+  test("p07 three-phase budget selection equals the naive global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val kept = TrainingPipeline.p07.fn(spark, sf).collect()
+    assert(kept.nonEmpty)
+    // naive formulation: ONE global window cumsum (what the oracle runs,
+    // and what the histogram→threshold→boundary phases must equal)
+    val toks = split(col("text"), " ")
+    val nToks = size(toks)
+    val stopRatio = size(filter(toks, t => t === "a" || t === "the")).cast("double") / nToks
+    val scored = Tables(spark, sf).documents
+      .select(col("doc_id"), nToks.cast("long").as("n_tokens"),
+        graft.QueryDef.roundBiased(
+          least(nToks / lit(200.0), lit(1.0)) * 0.4 + (lit(1.0) - stopRatio) * 0.6, 4)
+          .as("quality"))
+    val budget = math.floor(
+      0.25 * scored.agg(sum("n_tokens")).collect()(0).getLong(0)).toLong
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = scored.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") - col("n_tokens") < budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet == naive)
+    // boundary property: the budget is crossed by the last doc, no earlier
+    val totalKept = kept.map(_.getAs[Long]("n_tokens")).sum
+    val lastKept = kept.maxBy(r => (-r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+    assert(totalKept >= budget, "selection stopped before the budget was spent")
+    assert(totalKept - lastKept.getAs[Long]("n_tokens") < budget,
+      "a doc before the boundary already crossed the budget")
+  }
+
   test("p04/p06 plan shape: map-side assignment, no join anywhere") {
     Seq(TrainingPipeline.p04, TrainingPipeline.p06).foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString()
