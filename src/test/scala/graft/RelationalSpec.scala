@@ -197,6 +197,18 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.exists(_.isDefined), "no purchase found any nearby click")
   }
 
+  test("j04 plan shape: one window pass, no join, filter pushed to the scan") {
+    val plan = graft.operators.Temporal.j04.fn(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"nearest join must be window-only:\n$plan")
+    // both directions resolve in ONE window operator over one user-key
+    // shuffle — not a second pass
+    assert(plan.sliding("Window [".length).count(_ == "Window [") == 1,
+      s"expected a single Window operator:\n$plan")
+    assert(plan.contains("PushedFilters: [In(event_type"),
+      s"event-type filter must reach the parquet scan:\n$plan")
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)

@@ -485,4 +485,26 @@ class TextDedupSpec extends SparkSpec {
     // the cap actually binds on this corpus (500 vectors / 8 cells)
     assert(run1.length < corpus, "no cell hit the cap — the sample is the corpus")
   }
+
+  test("s11/t16/i34 plan shapes: caps push down, LM tables broadcast, layout is map-side") {
+    // s11: the rk <= 32 filter becomes a WindowGroupLimit — only the cap
+    // survives the shuffle per cell, the window never buffers a dense cell
+    val s11Plan = Similarity.s11.fn(spark, sf).queryExecution.executedPlan.toString()
+    assert(s11Plan.contains("WindowGroupLimit"),
+      s"cell cap must push into the rank window:\n$s11Plan")
+    assert(!s11Plan.contains("Join"), s"sampling must not join:\n$s11Plan")
+    // t16: both LM count tables reach the token stream via broadcast —
+    // the corpus-sized side never shuffle-joins
+    val t16Plan = TextAnalysis.t16.fn(spark, sf).queryExecution.executedPlan.toString()
+    assert(t16Plan.contains("BroadcastHashJoin"),
+      s"vocab LLR table must broadcast:\n$t16Plan")
+    assert(!t16Plan.contains("SortMergeJoin"),
+      s"the scoring join must never shuffle the token stream:\n$t16Plan")
+    // i34: quantize + interleave are map-side; one partial-agg shuffle
+    val i34Plan = graft.operators.Ingest.i34.fn(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!i34Plan.contains("Join"), s"z-order layout must not join:\n$i34Plan")
+    assert(i34Plan.contains("partial_count"),
+      s"range stats must partial-aggregate map-side:\n$i34Plan")
+  }
 }

@@ -181,6 +181,19 @@ class TrainingPipelineSpec extends SparkSpec {
       "a doc before the boundary already crossed the budget")
   }
 
+  test("p07 plan shape: broadcast threshold join, corpus window key-partitioned") {
+    val plan = TrainingPipeline.p07.fn(spark, sf).queryExecution.executedPlan.toString()
+    // the under-budget quality groups reach the corpus via broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold table must broadcast to the corpus:\n$plan")
+    // global (single-partition) work is confined to the grid-bounded
+    // histogram cumsum and the scalar budget — never the corpus
+    assert("Exchange SinglePartition".r.findAllIn(plan).length <= 2,
+      s"unexpected corpus-sized single-partition stage:\n$plan")
+    // the per-doc prefix window partitions by quality, not a global sort
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join expected:\n$plan")
+  }
+
   test("p04/p06 plan shape: map-side assignment, no join anywhere") {
     Seq(TrainingPipeline.p04, TrainingPipeline.p06).foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString()
