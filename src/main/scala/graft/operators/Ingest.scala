@@ -1295,8 +1295,60 @@ object Ingest {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** i36: bilinear UPSAMPLE — i27's inverse direction (the reference
+    * regrids both ways: overview pyramids down, display/reanalysis
+    * alignment up, `ingest/utils.py:72` COG resampler): the coarse
+    * cell grid doubles per axis, each fine cell the 2×2-neighborhood
+    * bilinear blend with weights 0.75/0.25 from the half-cell offset.
+    *
+    * Distributed shape = i28's stencil inversion: each coarse cell
+    * EXPLODES map-side to the 16 fine cells it influences, carrying
+    * weight wy·wx (exact binary fractions), then ONE partial-agg
+    * shuffle sums Σw·v and Σw per fine cell — never a 4-way shifted
+    * self-join. Missing/edge neighbors renormalize via Σw, the same
+    * gap-aware rule as the focal mean. Coarse means are rounded to
+    * the 1e-4 grid BEFORE blending so both engines blend identical
+    * operands. */
+  val i36 = QueryDef(
+    "i36_bilinear_upsample",
+    """WITH g AS (
+      |  SELECT CAST(user_id AS INTEGER) AS y, CAST(event_id % 128 AS INTEGER) AS x,
+      |         CASE WHEN value < 5.0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |c AS (SELECT CAST(y // 4 AS INTEGER) AS yc, CAST(x // 4 AS INTEGER) AS xc,
+      |      ROUND(SUM(v) / COUNT(v) + 1e-9, 4) AS cv
+      |      FROM g GROUP BY 1, 2 HAVING COUNT(v) > 0),
+      |w(d, wt) AS (VALUES (-1, 0.25::DOUBLE), (0, 0.75::DOUBLE),
+      |             (1, 0.75::DOUBLE), (2, 0.25::DOUBLE)),
+      |contrib AS (
+      |  SELECT 2 * yc + wy.d AS fy, 2 * xc + wx.d AS fx, wy.wt * wx.wt AS wt, cv
+      |  FROM c, w wy, w wx)
+      |SELECT CAST(fy AS INTEGER) AS fy, CAST(fx AS INTEGER) AS fx,
+      |  CAST(COUNT(*) AS BIGINT) AS n_src,
+      |  ROUND(SUM(wt * cv) / SUM(wt) + 1e-9, 4) AS up_v
+      |FROM contrib WHERE fy >= 0 AND fx >= 0
+      |GROUP BY 1, 2 ORDER BY fy, fx""".stripMargin) { (spark, dir) =>
+    val offsets = Seq((-1, 0.25), (0, 0.75), (1, 0.75), (2, 0.25))
+    val c = eventCells(Tables(spark, dir).events)
+      .filter(col("n") > 0)
+      .select(col("yc"), col("xc"),
+        graft.QueryDef.roundBiased(col("sum_v") / col("n"), 4).as("cv"))
+    c.withColumn("wy", explode(typedlit(offsets)))
+      .withColumn("wx", explode(typedlit(offsets)))
+      .select((col("yc") * 2 + col("wy._1")).cast("int").as("fy"),
+        (col("xc") * 2 + col("wx._1")).cast("int").as("fx"),
+        (col("wy._2") * col("wx._2")).as("wt"), col("cv"))
+      .filter(col("fy") >= 0 && col("fx") >= 0)
+      .groupBy(col("fy"), col("fx"))
+      .agg(count(lit(1)).as("n_src"),
+        (sum(col("wt") * col("cv")) / sum(col("wt"))).as("raw"))
+      .select(col("fy"), col("fx"), col("n_src"),
+        graft.QueryDef.roundBiased(col("raw"), 4).as("up_v"))
+      .orderBy(col("fy"), col("fx"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26,
-    i27, i28, i29, i30, i31, i32, i33, i34, i35)
+    i27, i28, i29, i30, i31, i32, i33, i34, i35, i36)
 }

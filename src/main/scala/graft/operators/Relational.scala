@@ -680,7 +680,43 @@ object Relational {
       .orderBy(col("l_returnflag"), col("cal_month"))
   }
 
+  /** q27: explicit GROUPING SETS — the mixed-granularity lattice the
+    * ROLLUP hierarchy (q13) and full CUBE (q24) cannot express: one
+    * pass produces (returnflag × linestatus) detail, per-returnflag
+    * subtotals, AND an unrelated per-shipmode rollup — the reference's
+    * "publish the same field at several aggregation levels" pattern
+    * without rescanning per level. Same one-shuffle execution as
+    * CUBE: rows expand to their grouping sets map-side, partial aggs
+    * combine, grouping_id() disambiguates. */
+  val q27 = QueryDef(
+    "q27_grouping_sets",
+    """WITH t AS (SELECT l_returnflag, l_linestatus,
+      |  CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS ship_month, l_quantity
+      |  FROM lineitem)
+      |SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COALESCE(ship_month, -1) AS sm,
+      |  CAST(GROUPING(l_returnflag, l_linestatus, ship_month) AS INTEGER) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+      |FROM t
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (ship_month))
+      |ORDER BY gid, rf, ls, sm""".stripMargin) { (spark, dir) =>
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_linestatus"),
+        month(col("l_shipdate")).as("ship_month"), col("l_quantity"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")),
+          Seq(col("ship_month"))),
+        col("l_returnflag"), col("l_linestatus"), col("ship_month"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        coalesce(col("ship_month"), lit(-1)).as("sm"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("rf"), col("ls"), col("sm"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
-      q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+      q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
 }

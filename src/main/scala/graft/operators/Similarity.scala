@@ -586,6 +586,50 @@ object Similarity {
       .orderBy(col("cid"), col("rk"))
   }
 
+  /** s12: maximum-INNER-PRODUCT search (MIPS) with the norm-augmentation
+    * reduction (Bachrach et al. 2014 / Shrivastava & Li 2014):
+    * recommendation-style retrieval ranks by raw dot product, which no
+    * metric index serves directly — but appending the coordinate
+    * `sqrt(M² − ‖x‖²)` (M = max corpus norm) gives every vector the
+    * SAME norm M, making augmented-cosine order ≡ inner-product order,
+    * so the s02/s04 cosine machinery applies unchanged. The query emits
+    * the exact top-k by dot plus each hit's augmentation coordinate;
+    * the constant augmented norm is what a spec asserts.
+    *
+    * 100 TB shape: M is one broadcast scalar (a stored corpus stat);
+    * scoring is a zero-shuffle broadcast-query scan over the codegen'd
+    * [[graft.functions.Vectors.dot]]; the augmented column is map-side
+    * arithmetic — at scale it is materialized once at ingest and the
+    * ANN index builds over it. */
+  val s12 = QueryDef(
+    "s12_mips",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, LIST_DOT_PRODUCT(v, v) AS ns FROM e),
+      |m AS (SELECT MAX(ns) AS m2 FROM n),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  ROUND(LIST_DOT_PRODUCT(v, qv) + 1e-9, 4) + 0.0 AS dot,
+      |  ROUND(SQRT(GREATEST(m2 - ns, 0)) + 1e-9, 4) AS aug_coord
+      |FROM n, m, q WHERE vec_id <> 0
+      |ORDER BY LIST_DOT_PRODUCT(v, qv) DESC, vec_id
+      |LIMIT 5""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("ns", Vectors.dot(col("v"), col("v")))
+    val m2 = emb.agg(max(col("ns")).as("m2"))
+    val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    emb.crossJoin(broadcast(m2)).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        Vectors.dot(col("v"), col("qv")).as("raw"),
+        sqrt(greatest(col("m2") - col("ns"), lit(0.0))).as("aug_raw"))
+      .orderBy(col("raw").desc, col("vec_id"))
+      .limit(5)
+      .select(col("vec_id"),
+        graft.QueryDef.roundBiased(col("raw"), 4).as("dot"),
+        graft.QueryDef.roundBiased(col("aug_raw"), 4).as("aug_coord"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+    Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
 }

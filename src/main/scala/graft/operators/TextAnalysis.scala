@@ -691,7 +691,113 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t17: BPE pair-merge TRAINING — the tokenizer-training core (Sennrich
+    * et al. 2016) run as iterative distributed queries over the token
+    * stream: each round counts adjacent pairs (one partial-agg shuffle),
+    * adopts the most frequent pair as a merge (ties lexicographic),
+    * rewrites the stream with non-overlapping left-to-right greedy
+    * application, and repeats. Three rounds here; the learned merge
+    * list + post-merge stream sizes are the (exact-integer) output.
+    *
+    * Greedy overlap resolution WITHOUT a self-join: candidate runs
+    * (consecutive matching positions, e.g. `t t t` under merge (t,t))
+    * resolve by keeping even offsets from the run start, all computed
+    * in ONE doc-partitioned window pass — run starts are carried by
+    * `last(mark, ignoreNulls)`, so a million-token boilerplate run
+    * costs linear window work, never pairwise.
+    *
+    * 100 TB shape: the adopted merge is ONE row collected per round —
+    * the merge table is driver-held model state, exactly like s04's
+    * IVF codebook (every production BPE trainer holds the merge list
+    * centrally); the stream rewrite is map-side given the doc-key
+    * window; per-round lineage is truncated by eager localCheckpoint
+    * (the d06 lesson). All arithmetic is integer/string — the oracle
+    * replays the identical three rounds in SQL and hashes exactly. */
+  /** One BPE rewrite round: apply merge (a, b) to the token stream
+    * `w` (columns doc_id, pos, tok, nxt = lead(tok)) left-to-right
+    * greedily. Runs of consecutive candidates (`t t t t` under (t,t))
+    * keep even offsets from the run start — all resolved in one
+    * doc-partitioned window pass, linear in the run length. */
+  private[graft] def bpeMergeRound(w: DataFrame, a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val dwAll = dw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w.withColumn("iscand", col("tok") === a && col("nxt") === b)
+      .withColumn("prevcand", coalesce(lag(col("iscand"), 1).over(dw), lit(false)))
+      .withColumn("runstart",
+        last(when(col("iscand") && !col("prevcand"), col("pos")),
+          ignoreNulls = true).over(dwAll))
+      .withColumn("keep", col("iscand") && (col("pos") - col("runstart")) % 2 === 0)
+      .withColumn("dropped", coalesce(lag(col("keep"), 1).over(dw), lit(false)))
+      .filter(!col("dropped"))
+      .select(col("doc_id"), (row_number().over(dw).cast("long") - 1).as("pos"),
+        when(col("keep"), concat(col("tok"), lit("+"), col("nxt")))
+          .otherwise(col("tok")).as("tok"))
+  }
+
+  val t17: QueryDef = {
+    val iters = 3
+    val iterCtes = (1 to iters).map { k =>
+      s"""w$k AS (SELECT doc_id, pos, tok,
+         |  LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM s$k),
+         |best$k AS (SELECT tok AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM w$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY c DESC, a, b LIMIT 1),
+         |c1_$k AS (SELECT doc_id, pos, tok, nxt,
+         |  (tok = a AND nxt = b) AS iscand FROM w$k, best$k),
+         |c2_$k AS (SELECT *, COALESCE(LAG(iscand) OVER (PARTITION BY doc_id ORDER BY pos),
+         |  FALSE) AS prevcand FROM c1_$k),
+         |c3_$k AS (SELECT *, LAST_VALUE(CASE WHEN iscand AND NOT prevcand THEN pos END
+         |    IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS UNBOUNDED PRECEDING) AS runstart FROM c2_$k),
+         |c4_$k AS (SELECT *, (iscand AND (pos - runstart) % 2 = 0) AS keep FROM c3_$k),
+         |c5_$k AS (SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY doc_id ORDER BY pos),
+         |  FALSE) AS dropped FROM c4_$k),
+         |s${k + 1} AS (SELECT doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+         |  CASE WHEN keep THEN tok || '+' || nxt ELSE tok END AS tok
+         |  FROM c5_$k WHERE NOT dropped),
+         |st$k AS (SELECT CAST($k AS INTEGER) AS iter, a || '+' || b AS pair,
+         |  c AS pair_count,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s${k + 1}) AS tokens_after
+         |  FROM best$k)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to iters).map(k => s"SELECT * FROM st$k").mkString(" UNION ALL ")
+    QueryDef(
+      "t17_bpe_merges",
+      s"""WITH s1 AS (
+         |  SELECT doc_id, UNNEST(RANGE(LEN(STRING_SPLIT(text, ' ')))) AS pos,
+         |         UNNEST(STRING_SPLIT(text, ' ')) AS tok
+         |  FROM documents),
+         |$iterCtes
+         |SELECT * FROM ($unions) ORDER BY iter""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      var s = Tables(spark, dir).documents
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+      val stats = (1 to iters).map { k =>
+        val w = s.withColumn("nxt", lead(col("tok"), 1).over(dw))
+        // the adopted merge: one row, driver-held (the trainer's model
+        // state — s04's codebook precedent), shipped back as literals
+        val bestRow = w.filter(col("nxt").isNotNull)
+          .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok"), col("nxt")).limit(1)
+          .collect()(0)
+        val (a, b, c) = (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
+        // eager lineage truncation per round (the d06 localCheckpoint
+        // lesson): rounds stay constant-cost instead of re-analyzing a
+        // plan that grows by one rewrite per iteration
+        s = bpeMergeRound(w, a, b).localCheckpoint()
+        (k, s"$a+$b", c, s.count())
+      }
+      import spark.implicits._
+      stats.toDF("iter", "pair", "pair_count", "tokens_after")
+        .orderBy(col("iter"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16)
+      t15, t16, t17)
 }

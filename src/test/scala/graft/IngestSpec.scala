@@ -322,6 +322,38 @@ class IngestSpec extends SparkSpec {
     assert(gaps > 0, "corpus has no gaps — the interpolation path never ran")
   }
 
+  test("i36 upsample equals a direct bilinear recompute from the coarse grid") {
+    val up = Ingest.i36.fn(spark, sf).collect()
+    assert(up.nonEmpty)
+    // rebuild the coarse grid exactly as the operator sees it
+    val coarse = Tables(spark, sf).events
+      .select(col("user_id").cast("int").as("y"),
+        (col("event_id") % 128).cast("int").as("x"),
+        when(col("value") < 5.0, lit(null)).otherwise(col("value")).as("v"))
+      .groupBy(expr("y div 4").cast("int").as("yc"), expr("x div 4").cast("int").as("xc"))
+      .agg(count(col("v")).as("n"), sum(col("v")).as("s"))
+      .filter(col("n") > 0).collect()
+      .map(r => (r.getAs[Int]("yc"), r.getAs[Int]("xc")) ->
+        BigDecimal(r.getAs[Double]("s") / r.getAs[Long]("n") + 1e-9)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    val wts = Seq((-1, 0.25), (0, 0.75), (1, 0.75), (2, 0.25))
+    up.foreach { r =>
+      val (fy, fx) = (r.getAs[Int]("fy"), r.getAs[Int]("fx"))
+      val contribs = for {
+        (dy, wy) <- wts; (dx, wx) <- wts
+        // coarse (yc, xc) contributes to fine (2yc+dy, 2xc+dx)
+        yc = (fy - dy) / 2 if (fy - dy) % 2 == 0 && fy - dy >= 0
+        xc = (fx - dx) / 2 if (fx - dx) % 2 == 0 && fx - dx >= 0
+        v <- coarse.get((yc, xc))
+      } yield (wy * wx, v)
+      assert(contribs.nonEmpty, s"fine cell ($fy, $fx) has no contributor")
+      assert(contribs.length == r.getAs[Long]("n_src").toInt)
+      val expect = contribs.map { case (w, v) => w * v }.sum / contribs.map(_._1).sum
+      assert(math.abs(expect - r.getAs[Double]("up_v")) < 1e-3,
+        s"($fy, $fx): expected $expect, got ${r.getAs[Double]("up_v")}")
+    }
+  }
+
   test("i33 dekad product: anomaly = total - normal, sentinel only without history") {
     val rows = Ingest.i33.fn(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -197,6 +197,28 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.exists(_.isDefined), "no purchase found any nearby click")
   }
 
+  test("q27 grouping sets: each set partitions the table, subtotals re-aggregate") {
+    val rows = graft.operators.Relational.q27.fn(spark, sf).collect()
+    val total = Tables(spark, sf).lineitem.count()
+    // every grouping set independently covers all rows
+    rows.groupBy(_.getAs[Int]("gid")).foreach { case (gid, g) =>
+      assert(g.map(_.getAs[Long]("n")).sum == total,
+        s"grouping set gid=$gid does not partition the table")
+    }
+    assert(rows.map(_.getAs[Int]("gid")).distinct.sorted.length == 3,
+      "expected exactly three grouping sets")
+    // per-rf subtotal equals the sum of its (rf, ls) detail rows
+    val detail = rows.filter(r => r.getAs[String]("ls") != "ALL")
+    val subtotal = rows.filter(r =>
+      r.getAs[String]("ls") == "ALL" && r.getAs[String]("rf") != "ALL")
+    subtotal.foreach { st =>
+      val n = detail.filter(_.getAs[String]("rf") == st.getAs[String]("rf"))
+        .map(_.getAs[Long]("n")).sum
+      assert(n == st.getAs[Long]("n"),
+        s"rf=${st.getAs[String]("rf")} subtotal inconsistent with detail")
+    }
+  }
+
   test("j04 plan shape: one window pass, no join, filter pushed to the scan") {
     val plan = graft.operators.Temporal.j04.fn(spark, sf)
       .queryExecution.executedPlan.toString()

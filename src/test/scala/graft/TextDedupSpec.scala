@@ -486,6 +486,67 @@ class TextDedupSpec extends SparkSpec {
     assert(run1.length < corpus, "no cell hit the cap — the sample is the corpus")
   }
 
+  test("t17 greedy merge resolves runs left-to-right, linear in run length") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // adversarial run: `t t t t` merges to `t+t t+t`; `t t t` to `t+t t`
+    val docs = Seq(
+      (1L, Seq("t", "t", "t", "t")),
+      (2L, Seq("t", "t", "t")),
+      (3L, Seq("x", "t", "t", "x", "t"))).toDF("doc_id", "toks")
+    val s = docs.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+    val w = s.withColumn("nxt",
+      lead(col("tok"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val out = TextAnalysis.bpeMergeRound(w, "t", "t")
+      .orderBy(col("doc_id"), col("pos")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
+    assert(out(1L) == Seq("t+t", "t+t"))
+    assert(out(2L) == Seq("t+t", "t"))
+    assert(out(3L) == Seq("x", "t+t", "x", "t"))
+  }
+
+  test("t17 merge counts are non-increasing and the stream shrinks by the applied merges") {
+    val rows = TextAnalysis.t17.fn(spark, sf).collect().sortBy(_.getAs[Int]("iter"))
+    assert(rows.length == 3)
+    // each adopted pair's frequency bounds the next round's best
+    rows.sliding(2).foreach { case Array(p, n) =>
+      assert(n.getAs[Long]("pair_count") <= p.getAs[Long]("pair_count"),
+        "a later merge cannot beat an earlier round's maximum")
+      assert(n.getAs[Long]("tokens_after") < p.getAs[Long]("tokens_after"),
+        "every merge round must shrink the stream")
+    }
+    rows.foreach { r =>
+      // applied merges (stream shrinkage) never exceed the pair count
+      assert(r.getAs[Long]("pair_count") > 0)
+      assert(r.getAs[String]("pair").contains("+"))
+    }
+  }
+
+  test("s12 augmentation makes every vector the same norm; ranking matches raw dot") {
+    val rows = Similarity.s12.fn(spark, sf).collect()
+    assert(rows.length == 5)
+    // recompute ground truth: top-5 by raw inner product
+    val vecs = Tables(spark, sf).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val want = vecs.filter(_._1 != 0L).toSeq
+      .map { case (id, v) => (id, dot(v, q)) }
+      .sortBy { case (id, d) => (-d, id) }.take(5).map(_._1)
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq == want)
+    // the transform's guarantee: ||x~||² = ||x||² + aug² = M² for all
+    val m2 = vecs.values.map(v => dot(v, v)).max
+    rows.foreach { r =>
+      val ns = dot(vecs(r.getAs[Long]("vec_id")), vecs(r.getAs[Long]("vec_id")))
+      val aug = r.getAs[Double]("aug_coord")
+      assert(math.abs((ns + aug * aug) - m2) < 1e-3,
+        s"augmented norm ${ns + aug * aug} drifts from M²=$m2")
+    }
+  }
+
   test("s11/t16/i34 plan shapes: caps push down, LM tables broadcast, layout is map-side") {
     // s11: the rk <= 32 filter becomes a WindowGroupLimit — only the cap
     // survives the shuffle per cell, the window never buffers a dense cell
