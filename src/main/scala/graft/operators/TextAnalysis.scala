@@ -771,19 +771,30 @@ object TextAnalysis {
          |  FROM documents),
          |$iterCtes
          |SELECT * FROM ($unions) ORDER BY iter""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val dw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      var s = Tables(spark, dir).documents
-        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
-      val stats = (1 to iters).map { k =>
-        val w = s.withColumn("nxt", lead(col("tok"), 1).over(dw))
-        // the adopted merge: one row, driver-held (the trainer's model
-        // state — s04's codebook precedent), shipped back as literals
-        val bestRow = w.filter(col("nxt").isNotNull)
-          .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("tok"), col("nxt")).limit(1)
-          .collect()(0)
+      bpeTrain(Tables(spark, dir).documents, iters)
+    }
+  }
+
+  /** The t17 training loop: `iters` pair-merge rounds over `docs`
+    * (doc_id, text). Returns (iter, pair, pair_count, tokens_after).
+    * A corpus that runs out of adjacent pairs (single-token docs)
+    * ends training early instead of failing. */
+  private[graft] def bpeTrain(docs: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val dw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var s = docs
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+    val stats = (1 to iters).iterator.map { k =>
+      val w = s.withColumn("nxt", lead(col("tok"), 1).over(dw))
+      // the adopted merge: one row, driver-held (the trainer's model
+      // state — s04's codebook precedent), shipped back as literals
+      val bestRows = w.filter(col("nxt").isNotNull)
+        .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok"), col("nxt")).limit(1)
+        .collect()
+      bestRows.headOption.map { bestRow =>
         val (a, b, c) = (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
         // eager lineage truncation per round (the d06 localCheckpoint
         // lesson): rounds stay constant-cost instead of re-analyzing a
@@ -791,10 +802,10 @@ object TextAnalysis {
         s = bpeMergeRound(w, a, b).localCheckpoint()
         (k, s"$a+$b", c, s.count())
       }
-      import spark.implicits._
-      stats.toDF("iter", "pair", "pair_count", "tokens_after")
-        .orderBy(col("iter"))
-    }
+    }.takeWhile(_.isDefined).flatten.toSeq
+    import spark.implicits._
+    stats.toDF("iter", "pair", "pair_count", "tokens_after")
+      .orderBy(col("iter"))
   }
 
   val all: Seq[QueryDef] =

@@ -467,9 +467,12 @@ object Streaming {
       .option("checkpointLocation", s"$stateRoot-ckpt")
       .start()
     q.awaitTermination()
-    val latest = new java.io.File(stateRoot).listFiles()
-      .map(_.getName).filter(_.startsWith("state_v"))
-      .map(_.stripPrefix("state_v").toLong).max
+    val versions = Option(new java.io.File(stateRoot).listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("state_v"))
+      .map(_.stripPrefix("state_v").toLong)
+    require(versions.nonEmpty,
+      s"st10: no state version committed under $stateRoot — the stream produced no epoch")
+    val latest = versions.max
     spark.read.parquet(versionPath(latest))
       .select(col("event_type"), col("d"),
         round(col("s"), 2).as("total_v"), col("n"),

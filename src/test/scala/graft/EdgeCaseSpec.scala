@@ -142,4 +142,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.count() == 0)
     assert(out.columns.toSeq == Seq("cid", "id1", "id2", "raw_sim"))
   }
+
+  test("bpeTrain ends early when the corpus runs out of adjacent pairs") {
+    import spark.implicits._
+    // single-token docs: no pair at all → zero rounds, schema intact
+    val singles = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val none = graft.operators.TextAnalysis.bpeTrain(singles, 3)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("iter", "pair", "pair_count", "tokens_after"))
+    // one merge exhausts the corpus: round 1 fuses `a b` into one token
+    // per doc, leaving single-token docs — rounds 2–3 must not run
+    val onePair = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val one = graft.operators.TextAnalysis.bpeTrain(onePair, 3).collect()
+    assert(one.length == 1)
+    assert(one(0).getAs[String]("pair") == "a+b")
+    assert(one(0).getAs[Long]("pair_count") == 2)
+    assert(one(0).getAs[Long]("tokens_after") == 2)
+  }
 }
