@@ -1295,6 +1295,43 @@ object Ingest {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** i37: TERCILE classification — the seasonal-outlook product
+    * (below / near / above normal) every meteorological service
+    * publishes from exactly the reference's climatology data
+    * (CHIRPS/TAMSAT normals, `chirps_rainfall/__init__.py:232`): each
+    * (cell, year) total is ranked into equal-frequency thirds of that
+    * cell's own climatology via NTILE — i31's percent-rank upgraded to
+    * the categorical product, i11's equal-WIDTH bins' statistical
+    * sibling (equal-FREQUENCY).
+    *
+    * One partial-agg shuffle to yearly totals, one cell-partitioned
+    * window; ties broken (value, year) so both engines fill the
+    * NTILE buckets identically. */
+  val i37 = QueryDef(
+    "i37_tercile_class",
+    """WITH yearly AS (
+      |  SELECT l_returnflag AS cell,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+      |    ROUND(SUM(l_quantity), 2) AS v
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT cell, yr, v,
+      |  CAST(NTILE(3) OVER (PARTITION BY cell ORDER BY v, yr) AS INTEGER) AS tercile,
+      |  CASE NTILE(3) OVER (PARTITION BY cell ORDER BY v, yr)
+      |    WHEN 1 THEN 'below_normal' WHEN 2 THEN 'near_normal'
+      |    ELSE 'above_normal' END AS outlook
+      |FROM yearly ORDER BY cell, yr""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("cell")).orderBy(col("v"), col("yr"))
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag").as("cell"), year(col("l_shipdate")).as("yr"))
+      .agg(round(sum(col("l_quantity")), 2).as("v"))
+      .select(col("cell"), col("yr"), col("v"),
+        ntile(3).over(w).cast("int").as("tercile"),
+        when(ntile(3).over(w) === 1, "below_normal")
+          .when(ntile(3).over(w) === 2, "near_normal")
+          .otherwise("above_normal").as("outlook"))
+      .orderBy(col("cell"), col("yr"))
+  }
+
   /** i36: bilinear UPSAMPLE — i27's inverse direction (the reference
     * regrids both ways: overview pyramids down, display/reanalysis
     * alignment up, `ingest/utils.py:72` COG resampler): the coarse
@@ -1350,5 +1387,5 @@ object Ingest {
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26,
-    i27, i28, i29, i30, i31, i32, i33, i34, i35, i36)
+    i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37)
 }

@@ -61,11 +61,14 @@ final class Jobs(spark: SparkSession, statePath: String) {
   def run(cfg: JobConfig, seq: Long): JobResult = {
     val fresh = state.freshSince(cfg.datasetId, cfg.source(spark), cfg.tsCol).persist()
     try {
-      val n = fresh.count()
+      import org.apache.spark.sql.functions.{col, count, lit, max}
+      // one metadata prepass decides BOTH the skip and the new watermark
+      // (count + max in a single job over the cache fill, not two)
+      val meta = fresh.agg(count(lit(1)), max(col(cfg.tsCol)).cast("string")).collect()(0)
+      val n = meta.getLong(0)
       if (n == 0) JobResult(cfg.datasetId, 0L, skipped = true, None) // "No update required"
       else {
-        import org.apache.spark.sql.functions.{col, max}
-        val newMax = fresh.agg(max(col(cfg.tsCol)).cast("string")).collect()(0).getString(0)
+        val newMax = meta.getString(1)
         val payload = Publish.writeDatePartitioned(
           cfg.transform(fresh), cfg.outDir, cfg.datasetId, cfg.tsCol)
         // the watermark advances ONLY after the publish committed — a

@@ -354,6 +354,26 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("i37 terciles are equal-frequency and order-consistent per cell") {
+    val rows = Ingest.i37.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("cell")).foreach { case (cell, g) =>
+      val sizes = g.groupBy(_.getAs[Int]("tercile")).view.mapValues(_.length)
+      // NTILE guarantee: bucket populations differ by at most one
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"cell $cell terciles not equal-frequency: $sizes")
+      val sorted = g.sortBy(r => (r.getAs[Double]("v"), r.getAs[Int]("yr")))
+      assert(sorted.head.getAs[Int]("tercile") == 1, s"$cell: driest year not 'below'")
+      assert(sorted.last.getAs[Int]("tercile") == sizes.keys.max,
+        s"$cell: wettest year not in the top tercile")
+      // class boundaries are monotone in v
+      assert(sorted.map(_.getAs[Int]("tercile")).sliding(2).forall(p => p(0) <= p(1)))
+    }
+    val labels = rows.map(r => r.getAs[Int]("tercile") -> r.getAs[String]("outlook")).distinct
+    assert(labels.toSet.subsetOf(
+      Set(1 -> "below_normal", 2 -> "near_normal", 3 -> "above_normal")))
+  }
+
   test("i33 dekad product: anomaly = total - normal, sentinel only without history") {
     val rows = Ingest.i33.fn(spark, sf).collect()
     assert(rows.nonEmpty)
