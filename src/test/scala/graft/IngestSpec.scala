@@ -374,6 +374,18 @@ class IngestSpec extends SparkSpec {
       Set(1 -> "below_normal", 2 -> "near_normal", 3 -> "above_normal")))
   }
 
+  test("i36/i37 plan shapes: stencil explode never joins, tercile is agg+window") {
+    val i36Plan = Ingest.i36.fn(spark, sf).queryExecution.executedPlan.toString()
+    assert(!i36Plan.contains("Join"),
+      s"upsample must be explode + partial agg, not a shifted self-join:\n$i36Plan")
+    assert(i36Plan.contains("partial_"),
+      s"fine-cell sums must combine map-side:\n$i36Plan")
+    val i37Plan = Ingest.i37.fn(spark, sf).queryExecution.executedPlan.toString()
+    assert(!i37Plan.contains("Join"), s"tercile must not join:\n$i37Plan")
+    assert("Exchange hashpartitioning".r.findAllIn(i37Plan).length <= 2,
+      s"tercile is one agg shuffle + one window shuffle:\n$i37Plan")
+  }
+
   test("i33 dekad product: anomaly = total - normal, sentinel only without history") {
     val rows = Ingest.i33.fn(spark, sf).collect()
     assert(rows.nonEmpty)

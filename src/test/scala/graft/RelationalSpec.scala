@@ -219,6 +219,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q27/s12 plan shapes: one-pass lattice expand; broadcast-only MIPS scan") {
+    // q27: the whole mixed lattice is ONE Expand + one shuffle
+    val q27Plan = graft.operators.Relational.q27.fn(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(q27Plan.contains("Expand"),
+      s"grouping sets must expand rows map-side:\n$q27Plan")
+    assert("Exchange hashpartitioning".r.findAllIn(q27Plan).length == 1,
+      s"the lattice must aggregate in one shuffle:\n$q27Plan")
+    // s12: scoring never shuffles — broadcasts + a top-k sort only
+    val s12Plan = graft.operators.Similarity.s12.fn(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!s12Plan.contains("Exchange hashpartitioning"),
+      s"MIPS scoring must be a zero-shuffle broadcast scan:\n$s12Plan")
+    assert(s12Plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded take, not a global sort:\n$s12Plan")
+  }
+
   test("j04 plan shape: one window pass, no join, filter pushed to the scan") {
     val plan = graft.operators.Temporal.j04.fn(spark, sf)
       .queryExecution.executedPlan.toString()
