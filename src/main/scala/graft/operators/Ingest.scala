@@ -1207,19 +1207,14 @@ object Ingest {
          |  ROUND(MIN(lon), 4) + 0.0 AS min_lon, ROUND(MAX(lon), 4) + 0.0 AS max_lon,
          |  ROUND(MIN(lat), 4) + 0.0 AS min_lat, ROUND(MAX(lat), 4) + 0.0 AS max_lat
          |FROM z GROUP BY 1 ORDER BY zrange""".stripMargin) { (spark, dir) =>
+      import graft.functions.Spatial
       val lon = col("user_id") * 1.7 - 95.0
       val lat = col("value") * 0.35 - 80.0
-      def quant(c: Column, offset: Double, span: Double): Column =
-        least(greatest(floor((c + offset) / span * 256), lit(0)), lit(255)).cast("int")
-      val morton = (0 until 8).map { i =>
-        shiftleft(shiftright(col("qx"), i).bitwiseAND(lit(1)), 2 * i) +
-          shiftleft(shiftright(col("qy"), i).bitwiseAND(lit(1)), 2 * i + 1)
-      }.reduce(_ + _)
       Tables(spark, dir).events
         .select(lon.as("lon"), lat.as("lat"))
-        .withColumn("qx", quant(col("lon"), 180.0, 360.0))
-        .withColumn("qy", quant(col("lat"), 90.0, 180.0))
-        .withColumn("zkey", morton.cast("int"))
+        .withColumn("qx", Spatial.quantize8(col("lon"), 180.0, 360.0))
+        .withColumn("qy", Spatial.quantize8(col("lat"), 90.0, 180.0))
+        .withColumn("zkey", Spatial.morton16(col("qx"), col("qy")))
         .groupBy(shiftright(col("zkey"), 6).cast("int").as("zrange"))
         .agg(count(lit(1)).as("n_pts"),
           round(min(col("lon")), 4).as("min_lon"), round(max(col("lon")), 4).as("max_lon"),

@@ -59,5 +59,27 @@ object Scale {
     df.repartitionByRange(numFiles, col(partitionCol))
   }
 
+  /** Z-order layout maintenance — the OPTIMIZE-ZORDER analogue on the
+    * WRITE path (i34 computes the key; this lays files out by it):
+    * rewrite `df` into `numFiles` files range-partitioned on the
+    * Morton key of (x, y), so every output file covers a contiguous Z
+    * range and its parquet min/max column stats form a tight bbox —
+    * 2-D data skipping from a 1-D sort, no spatial index. At 100 TB
+    * this runs as the same housekeeping job as [[compact]] (streaming
+    * sinks accrete unclustered files; this restores skippability).
+    * The key is dropped before the write; rows stay Z-sorted within
+    * each file so row-group stats prune too. */
+  def zorderCompact(df: DataFrame, x: Column, y: Column,
+      xOffset: Double, xSpan: Double, yOffset: Double, ySpan: Double,
+      numFiles: Int, out: String): Unit = {
+    import graft.functions.Spatial
+    df.withColumn("__z", Spatial.morton16(
+        Spatial.quantize8(x, xOffset, xSpan), Spatial.quantize8(y, yOffset, ySpan)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(out)
+  }
+
   val all: Seq[QueryDef] = Seq(q15)
 }

@@ -231,4 +231,36 @@ class ScaleSpec extends SparkSpec {
     val plan = physicalPlan(assigned)
     assert(!plan.contains("Exchange"), s"assignment should be map-only:\n$plan")
   }
+
+  test("zorderCompact lays out files whose bboxes are collectively tight") {
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val pts = Tables(spark, sf).events
+      .select((col("user_id") * 1.7 - 95.0).as("lon"),
+        (col("value") * 0.35 - 80.0).as("lat"))
+    graft.operators.Scale.zorderCompact(
+      pts, col("lon"), col("lat"), 180.0, 360.0, 90.0, 180.0,
+      numFiles = 8, out = out)
+    val files = spark.read.parquet(out)
+      .withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg(min(col("lon")).as("x0"), max(col("lon")).as("x1"),
+        min(col("lat")).as("y0"), max(col("lat")).as("y1"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(files.length == 8, s"expected 8 output files, got ${files.length}")
+    assert(files.map(_.getAs[Long]("n")).sum == pts.count())
+    val global = pts.agg(min(col("lon")), max(col("lon")),
+      min(col("lat")), max(col("lat"))).collect()(0)
+    val globalArea = (global.getDouble(1) - global.getDouble(0)) *
+      (global.getDouble(3) - global.getDouble(2))
+    val sumArea = files.map { r =>
+      (r.getAs[Double]("x1") - r.getAs[Double]("x0")) *
+        (r.getAs[Double]("y1") - r.getAs[Double]("y0"))
+    }.sum
+    // an unclustered write gives ~numFiles × globalArea of total bbox
+    // cover; Z-ordering must do at least 2× better — that factor is the
+    // whole point of the layout (each file's stats prune most queries)
+    assert(sumArea < 0.5 * files.length * globalArea,
+      s"z-layout not tight: files cover $sumArea vs global $globalArea")
+  }
 }
