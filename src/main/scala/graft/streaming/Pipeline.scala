@@ -63,18 +63,25 @@ object Streaming {
     * volume, not the session default — measured locally, the st06
     * stream-stream join drops ~4× (12.9 s → 2.8 s) going from 32 state
     * partitions to 4 over a 2 MB source. At 100 TB rates the same
-    * formula fans back out to the cluster cap. The conf is mutated
-    * around the (blocking) run and restored after; because the value is
-    * latched at start, the restore cannot affect the running query —
-    * and a checkpoint-resumed query ignores the session value entirely
-    * (it is restored from checkpoint metadata). */
-  private def withStreamParallelism[T](spark: SparkSession, dir: String)(body: => T): T = {
+    * formula fans back out to the cluster cap.
+    *
+    * The sizing lives on an ISOLATED session (`newSession`: own
+    * SQLConf, shared SparkContext/cache) and the stream is BUILT on
+    * that session inside `body` — the conf is latched from the
+    * DataFrame's own session at query start. Nothing is ever mutated
+    * on the caller's session, so concurrent batch queries can never
+    * observe the stream's partition sizing (the earlier
+    * mutate-and-restore discipline was safe serially but racy under
+    * concurrent use). A checkpoint-resumed query ignores the session
+    * value entirely (restored from checkpoint metadata). */
+  private def withStreamParallelism[T](spark: SparkSession, dir: String)(
+      body: SparkSession => T): T = {
     val bytes = new java.io.File(s"$dir/events.parquet").length()
     val parts = math.max(1L,
       math.min(spark.sparkContext.defaultParallelism.toLong, bytes >> 20)).toInt
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val isolated = spark.newSession()
+    isolated.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    body(isolated)
   }
 
   private def runToCompletion(df: DataFrame, name: String): DataFrame = {
@@ -95,13 +102,14 @@ object Streaming {
     """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
       |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
-    val agg = eventStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
-      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
-    withStreamParallelism(spark, dir)(runToCompletion(agg, "st01_out"))
-      .orderBy(col("window_start"), col("event_type"))
+    withStreamParallelism(spark, dir) { s =>
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_v"))
+      runToCompletion(agg, "st01_out")
+    }.orderBy(col("window_start"), col("event_type"))
   }
 
   /** st02: streaming dedup (dropDuplicatesWithinWatermark keyed on
@@ -114,13 +122,14 @@ object Streaming {
     "st02_stream_dedup_state",
     """SELECT event_type, COUNT(*) AS n FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
-    val agg = eventStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    withStreamParallelism(spark, dir)(runToCompletion(agg, "st02_out"))
-      .orderBy(col("event_type"))
+    withStreamParallelism(spark, dir) { s =>
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToCompletion(agg, "st02_out")
+    }.orderBy(col("event_type"))
   }
 
   /** st03: idempotent date-partitioned upsert sink via foreachBatch +
@@ -193,21 +202,21 @@ object Streaming {
     """SELECT user_id, COUNT(*) AS n_events, MAX(CAST(ts AS TIMESTAMP)) AS last_ts
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import spark.implicits._
-    val updates = eventStream(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("micros"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
-          val (n, lastM) = rows.foldLeft((prev.n_events, prev.last_micros)) {
-            case ((c, m), (_, micros)) => (c + 1, math.max(m, micros))
-          }
-          state.update(UserState(n, lastM))
-          Iterator.single(UserUpdate(user, n, lastM))
-      }
-    withStreamParallelism(spark, dir) {
+    withStreamParallelism(spark, dir) { s =>
+      import s.implicits._
+      val updates = eventStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("micros"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+            val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
+            val (n, lastM) = rows.foldLeft((prev.n_events, prev.last_micros)) {
+              case ((c, m), (_, micros)) => (c + 1, math.max(m, micros))
+            }
+            state.update(UserState(n, lastM))
+            Iterator.single(UserUpdate(user, n, lastM))
+        }
       val q = updates.toDF().writeStream
         .outputMode("update")
         .format("memory")
@@ -215,9 +224,10 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
-    spark.table("st04_out")
-      .select(col("user_id"), col("n_events"),
+      // memory-sink temp views are session-scoped: read on the stream's
+      // own (isolated) session
+      s.table("st04_out")
+    }.select(col("user_id"), col("n_events"),
         timestamp_micros(col("last_micros")).as("last_ts"))
       .orderBy(col("user_id"))
   }
@@ -240,14 +250,15 @@ object Streaming {
       |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
       |FROM s GROUP BY user_id, session_num
       |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
-    val agg = eventStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
-      .select(col("user_id"), col("w.start").as("session_start"),
-        col("w.end").as("session_end"), col("n"), col("sum_v"))
-    withStreamParallelism(spark, dir)(runToCompletion(agg, "st05_out"))
-      .orderBy(col("user_id"), col("session_start"))
+    withStreamParallelism(spark, dir) { s =>
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n"), col("sum_v"))
+      runToCompletion(agg, "st05_out")
+    }.orderBy(col("user_id"), col("session_start"))
   }
 
   /** st06: stream-stream INTERVAL join — purchases matched to the
@@ -269,15 +280,15 @@ object Streaming {
       |FROM p JOIN c ON p.user_id = c.user_id
       |  AND c.cts BETWEEN p.pts - INTERVAL 1 HOUR AND p.pts
       |GROUP BY p.user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
-    val clicks = eventStream(spark, dir).filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("cts"), col("value").as("cv"))
-      .withWatermark("cts", "2 hours")
-    val purchases = eventStream(spark, dir).filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("pts"))
-      .withWatermark("pts", "2 hours")
-    val joined = purchases.join(clicks,
-      expr("p_user = c_user AND cts BETWEEN pts - INTERVAL 1 HOUR AND pts"))
-    withStreamParallelism(spark, dir) {
+    withStreamParallelism(spark, dir) { s =>
+      val clicks = eventStream(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("cts"), col("value").as("cv"))
+        .withWatermark("cts", "2 hours")
+      val purchases = eventStream(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"))
+        .withWatermark("pts", "2 hours")
+      val joined = purchases.join(clicks,
+        expr("p_user = c_user AND cts BETWEEN pts - INTERVAL 1 HOUR AND pts"))
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
@@ -285,9 +296,8 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
-    spark.table("st06_out")
-      .groupBy(col("p_user").as("user_id"))
+      s.table("st06_out")
+    }.groupBy(col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"), round(sum(col("cv")), 2).as("sum_click_v"))
       .orderBy(col("user_id"))
   }
@@ -306,14 +316,15 @@ object Streaming {
       |  CAST(SUM(d.user_n) AS BIGINT) AS sum_user_n
       |FROM events e JOIN dim d ON e.user_id = d.user_id
       |GROUP BY e.event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
-    val dim = graft.Tables(spark, dir).events
-      .groupBy(col("user_id")).agg(count(lit(1)).as("user_n"))
-    val enriched = eventStream(spark, dir)
-      .join(dim, Seq("user_id"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("user_n")).as("sum_user_n"))
-    withStreamParallelism(spark, dir)(runToCompletion(enriched, "st07_out"))
-      .orderBy(col("event_type"))
+    withStreamParallelism(spark, dir) { s =>
+      val dim = graft.Tables(s, dir).events
+        .groupBy(col("user_id")).agg(count(lit(1)).as("user_n"))
+      val enriched = eventStream(s, dir)
+        .join(dim, Seq("user_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_n")).as("sum_user_n"))
+      runToCompletion(enriched, "st07_out")
+    }.orderBy(col("event_type"))
   }
 
   /** st08: streaming dedup against the STATIC published corpus — the
@@ -338,16 +349,17 @@ object Streaming {
       |FROM batch WHERE pk NOT IN (SELECT pk FROM corpus)
       |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     val pk = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
-    val corpus = graft.Tables(spark, dir).documents
-      .filter(col("doc_id") % 2 === 0).select(pk.as("pk"))
-    val landed = docStream(spark, dir)
-      .filter(col("doc_id") % 2 === 1)
-      .withColumn("pk", pk)
-      .join(corpus, Seq("pk"), "left_anti")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_landed"), sum(col("n_chars")).as("chars_landed"))
-    withStreamParallelism(spark, dir)(runToCompletion(landed, "st08_out"))
-      .orderBy(col("source"))
+    withStreamParallelism(spark, dir) { s =>
+      val corpus = graft.Tables(s, dir).documents
+        .filter(col("doc_id") % 2 === 0).select(pk.as("pk"))
+      val landed = docStream(s, dir)
+        .filter(col("doc_id") % 2 === 1)
+        .withColumn("pk", pk)
+        .join(corpus, Seq("pk"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_landed"), sum(col("n_chars")).as("chars_landed"))
+      runToCompletion(landed, "st08_out")
+    }.orderBy(col("source"))
   }
 
   /** st09: streaming QUALITY gate — p01's scalar intake gates run LIVE
@@ -372,19 +384,20 @@ object Streaming {
       |  CAST(COALESCE(SUM(n_tok) FILTER (WHERE pass), 0) AS BIGINT) AS tokens_landed
       |FROM m GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     import graft.functions.Text
-    val gated = docStream(spark, dir)
-      .withColumn("tk", Text.tokens(col("text")))
-      .withColumn("n_tok", size(col("tk")))
-      .withColumn("pass",
-        col("n_tok") >= 20 &&
-          Text.countIn(col("tk"), Seq("a", "the")).cast("double") / col("n_tok") < 0.5 &&
-          Text.countIn(col("tk"), Seq("the", "a", "is")) > 0)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        count(when(col("pass"), 1)).as("n_pass"),
-        coalesce(sum(when(col("pass"), col("n_tok"))), lit(0L)).as("tokens_landed"))
-    withStreamParallelism(spark, dir)(runToCompletion(gated, "st09_out"))
-      .orderBy(col("source"))
+    withStreamParallelism(spark, dir) { s =>
+      val gated = docStream(s, dir)
+        .withColumn("tk", Text.tokens(col("text")))
+        .withColumn("n_tok", size(col("tk")))
+        .withColumn("pass",
+          col("n_tok") >= 20 &&
+            Text.countIn(col("tk"), Seq("a", "the")).cast("double") / col("n_tok") < 0.5 &&
+            Text.countIn(col("tk"), Seq("the", "a", "is")) > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("pass"), 1)).as("n_pass"),
+          coalesce(sum(when(col("pass"), col("n_tok"))), lit(0L)).as("tokens_landed"))
+      runToCompletion(gated, "st09_out")
+    }.orderBy(col("source"))
   }
 
   /** One-time staging for st10: the events table split into three

@@ -67,6 +67,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.map(_._2).sum < streamed.values.map(_._1).sum)
   }
 
+  test("stream partition sizing never touches the caller's session conf") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    // run a sized stateful stream while polling the caller's conf from
+    // another thread — the isolated-session design means no window in
+    // which a concurrent batch query could see the stream's sizing
+    @volatile var observed = Set.empty[String]
+    val poller = new Thread(() => {
+      (1 to 200).foreach { _ =>
+        observed += spark.conf.get("spark.sql.shuffle.partitions")
+        Thread.sleep(5)
+      }
+    })
+    poller.start()
+    Streaming.st01.fn(spark, sf).collect()
+    poller.join()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    assert(observed == Set(before),
+      s"caller session observed foreign conf values: $observed")
+  }
+
   test("st10 incremental state merge equals the one-shot batch aggregate") {
     val streamed = Streaming.st10.fn(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("d")) ->
