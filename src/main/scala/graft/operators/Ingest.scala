@@ -1327,6 +1327,56 @@ object Ingest {
       .orderBy(col("cell"), col("yr"))
   }
 
+  /** i38: IDW station-to-grid interpolation (Shepard's method) — the
+    * geostatistical core of station-blended rainfall products (the
+    * reference ingests TAMSAT/CHIRPS, which blend station observations
+    * into the satellite grid exactly this way): every grid cell takes
+    * the inverse-square-distance weighted mean of the station values
+    * within a cutoff radius; cells no station can see stay nodata.
+    *
+    * 100 TB shape: the station table is tiny next to the grid (here
+    * one aggregated row per reporting user) and BROADCASTS — the grid
+    * side (the scale side) never shuffles for the join; the only
+    * shuffle is the per-cell partial aggregation of (w·v, w, n).
+    * Station coordinates land on integer corners while cell centers
+    * sit at half-offsets, so d² ≥ 0.5 and the 1/d² weight is always
+    * finite; sums round biased at 1e-4 on both engines. */
+  val i38 = QueryDef(
+    "i38_idw_gridding",
+    """WITH stations AS (
+      |  SELECT CAST(user_id % 16 AS INTEGER) AS sx,
+      |    CAST(user_id // 16 % 16 AS INTEGER) AS sy,
+      |    ROUND(AVG(value) + 1e-9, 2) AS v
+      |  FROM events WHERE user_id < 64 GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT gx.x + 0.5 AS cx, gy.y + 0.5 AS cy
+      |  FROM (SELECT UNNEST(RANGE(16)) AS x) gx, (SELECT UNNEST(RANGE(16)) AS y) gy),
+      |pairs AS (
+      |  SELECT cx, cy, v,
+      |    1.0 / ((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)) AS w
+      |  FROM cells, stations
+      |  WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 16.0)
+      |SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_stations,
+      |  ROUND(SUM(w * v) / SUM(w) + 1e-9, 4) AS idw_v
+      |FROM pairs GROUP BY cx, cy ORDER BY cx, cy""".stripMargin) { (spark, dir) =>
+    val stations = Tables(spark, dir).events
+      .filter(col("user_id") < 64)
+      .groupBy((col("user_id") % 16).cast("int").as("sx"),
+        expr("user_id div 16 % 16").cast("int").as("sy"))
+      .agg(graft.QueryDef.roundBiased(avg(col("value")), 2).as("v"))
+    val cells = spark.range(16).select((col("id") + 0.5).as("cx"))
+      .crossJoin(spark.range(16).select((col("id") + 0.5).as("cy")))
+    val d2 = (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+      (col("cy") - col("sy")) * (col("cy") - col("sy"))
+    cells.crossJoin(broadcast(stations))
+      .filter(d2 <= 16.0)
+      .select(col("cx"), col("cy"), col("v"), (lit(1.0) / d2).as("w"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n_stations"),
+        graft.QueryDef.roundBiased(sum(col("w") * col("v")) / sum(col("w")), 4).as("idw_v"))
+      .orderBy(col("cx"), col("cy"))
+  }
+
   /** i36: bilinear UPSAMPLE — i27's inverse direction (the reference
     * regrids both ways: overview pyramids down, display/reanalysis
     * alignment up, `ingest/utils.py:72` COG resampler): the coarse
@@ -1382,5 +1432,5 @@ object Ingest {
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26,
-    i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37)
+    i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38)
 }

@@ -386,6 +386,34 @@ class IngestSpec extends SparkSpec {
       s"tercile is one agg shuffle + one window shuffle:\n$i37Plan")
   }
 
+  test("i38 IDW equals a direct recompute; out-of-radius cells stay nodata") {
+    val got = Ingest.i38.fn(spark, sf).collect()
+    assert(got.nonEmpty)
+    // cells beyond every station's radius must be absent, not zero
+    assert(got.length < 256, "radius cutoff produced a fully dense grid")
+    val stations = Tables(spark, sf).events
+      .filter(col("user_id") < 64)
+      .groupBy((col("user_id") % 16).cast("int").as("sx"),
+        expr("user_id div 16 % 16").cast("int").as("sy"))
+      .agg(avg(col("value")).as("v")).collect()
+      .map(r => (r.getAs[Int]("sx"), r.getAs[Int]("sy"),
+        BigDecimal(r.getAs[Double]("v") + 1e-9)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    got.foreach { r =>
+      val (cx, cy) = (r.getAs[Double]("cx"), r.getAs[Double]("cy"))
+      val near = stations.map { case (sx, sy, v) =>
+        ((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy), v)
+      }.filter(_._1 <= 16.0)
+      assert(near.length == r.getAs[Long]("n_stations").toInt)
+      val expect = near.map { case (d2, v) => v / d2 }.sum / near.map(1.0 / _._1).sum
+      assert(math.abs(expect - r.getAs[Double]("idw_v")) < 1e-3,
+        s"cell ($cx, $cy): expected $expect, got ${r.getAs[Double]("idw_v")}")
+      // the blend can never escape the contributing stations' range
+      assert(r.getAs[Double]("idw_v") >= near.map(_._2).min - 1e-3 &&
+        r.getAs[Double]("idw_v") <= near.map(_._2).max + 1e-3)
+    }
+  }
+
   test("i33 dekad product: anomaly = total - normal, sentinel only without history") {
     val rows = Ingest.i33.fn(spark, sf).collect()
     assert(rows.nonEmpty)
