@@ -213,13 +213,25 @@ final class GridScanBuilder(times: Int, height: Int, width: Int)
         override def createReaderFactory(): PartitionReaderFactory =
           GridAggReaderFactory
       }
-    } else new Scan with Batch {
+    } else new Scan with Batch with SupportsReportPartitioning {
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
         live.map(t => GridPartition(t, height, width): InputPartition)
       override def createReaderFactory(): PartitionReaderFactory =
         new GridReaderFactory(required.fieldNames)
+      /** Report the physical layout: one partition per time slice,
+        * keyed by `time` (each InputPartition exposes its key via
+        * HasPartitionKey). With `spark.sql.sources.v2.bucketing.enabled`
+        * Catalyst recognizes the KeyGroupedPartitioning and plans
+        * per-time aggregations WITHOUT a shuffle — the DSv2 analogue of
+        * "the store is already partitioned by date, don't re-shuffle
+        * to group by date" (spec-asserted zero-exchange). */
+      override def outputPartitioning():
+          org.apache.spark.sql.connector.read.partitioning.Partitioning =
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity("time")),
+          live.length)
     }
   }
 }
@@ -238,7 +250,10 @@ object GridAggReaderFactory extends PartitionReaderFactory {
   }
 }
 
-final case class GridPartition(time: Int, height: Int, width: Int) extends InputPartition
+final case class GridPartition(time: Int, height: Int, width: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(time)
+}
 
 final class GridReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

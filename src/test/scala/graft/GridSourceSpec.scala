@@ -97,4 +97,30 @@ class GridSourceSpec extends SparkSpec {
     assert(uMax > 4.0 && uMax < 5.0)
     assert(GridSource.cellsGenerated.get() == 6L * 128)
   }
+
+  test("reported key-grouped partitioning makes per-time aggregation shuffle-free") {
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // sum(u) is a VALUE aggregate — pushdown declines it, so this is a
+      // real per-time aggregation over generated cells; the scan reports
+      // KeyGroupedPartitioning(time), so no exchange is needed
+      val agg = grid(4, 8, 8).groupBy(col("time"))
+        .agg(round(sum(col("u")), 2).as("su"))
+      val plan = agg.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"per-time agg should reuse the source's time partitioning:\n$plan")
+      // and the answer is still right (matches the generator)
+      val got = agg.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val want = (0 until 4).map { t =>
+        t -> BigDecimal((for (y <- 0 until 8; x <- 0 until 8)
+          yield graft.sources.GridSource.uAt(t, y, x)).sum)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      assert(got == want)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
 }
