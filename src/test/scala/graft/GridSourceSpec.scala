@@ -123,4 +123,36 @@ class GridSourceSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
     }
   }
+
+  test("storage-partitioned join: two grid scans join with zero exchanges") {
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // per-time U mass joined to per-time V mass: both sides aggregate
+      // inside the connector's reported time partitioning and the join
+      // runs partition-to-partition — the whole plan has NO exchange
+      // (the 100 TB shape: two date-partitioned stores correlated by
+      // date never shuffle)
+      val a = grid(4, 8, 8).groupBy(col("time")).agg(round(sum(col("u")), 2).as("su"))
+      val b = grid(4, 8, 8).groupBy(col("time")).agg(round(sum(col("v")), 2).as("sv"))
+      val j = a.join(b, "time")
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join must not shuffle either side:\n$plan")
+      assert(plan.contains("Join"), s"expected a real join:\n$plan")
+      val rows = j.collect()
+      assert(rows.length == 4)
+      rows.foreach { r =>
+        val t = r.getInt(0)
+        def mass(f: (Int, Int, Int) => Double) = BigDecimal(
+          (for (y <- 0 until 8; x <- 0 until 8) yield f(t, y, x)).sum)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(1) == mass(graft.sources.GridSource.uAt))
+        assert(r.getDouble(2) == mass(graft.sources.GridSource.vAt))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
 }
