@@ -1334,10 +1334,17 @@ object Ingest {
     * the inverse-square-distance weighted mean of the station values
     * within a cutoff radius; cells no station can see stay nodata.
     *
-    * 100 TB shape: the station table is tiny next to the grid (here
-    * one aggregated row per reporting user) and BROADCASTS — the grid
-    * side (the scale side) never shuffles for the join; the only
-    * shuffle is the per-cell partial aggregation of (w·v, w, n).
+    * 100 TB shape: q23's bucket quantization in 2-D. Each station
+    * EXPLODES map-side to the grid tiles its cutoff radius can touch
+    * (≤3×3 tiles at radius 4 over tile size 4) and the tiled station
+    * table BROADCASTS; each cell belongs to exactly ONE tile, so the
+    * join is a BroadcastHashJoin on the tile key with a residual d²
+    * filter — per-cell work is bounded by the stations near its tile,
+    * never an iteration over EVERY station (the broadcast nested loop
+    * this replaced was O(cells × stations) map-side: fine at the
+    * reference's thousands of stations, a wall at a continental
+    * network). The grid side still never shuffles for the join; the
+    * only shuffle is the per-cell partial aggregation of (w·v, w, n).
     * Station coordinates land on integer corners while cell centers
     * sit at half-offsets, so d² ≥ 0.5 and the 1/d² weight is always
     * finite; sums round biased at 1e-4 on both engines. */
@@ -1364,11 +1371,24 @@ object Ingest {
       .groupBy((col("user_id") % 16).cast("int").as("sx"),
         expr("user_id div 16 % 16").cast("int").as("sy"))
       .agg(graft.QueryDef.roundBiased(avg(col("value")), 2).as("v"))
-    val cells = spark.range(16).select((col("id") + 0.5).as("cx"))
-      .crossJoin(spark.range(16).select((col("id") + 0.5).as("cy")))
+    // a station at (sx, sy) with cutoff radius 4 can only reach cells
+    // whose tile (4×4 block) intersects [sx−4, sx+4]² — at most 3×3
+    // tiles; cells carry their single tile, so every in-radius pair
+    // appears exactly once through the tile equi-join
+    val stationTiles = stations
+      .withColumn("tx", explode(sequence(
+        greatest(expr("(sx - 4) div 4").cast("int"), lit(0)),
+        least(expr("(sx + 4) div 4").cast("int"), lit(3)))))
+      .withColumn("ty", explode(sequence(
+        greatest(expr("(sy - 4) div 4").cast("int"), lit(0)),
+        least(expr("(sy + 4) div 4").cast("int"), lit(3)))))
+    val cells = spark.range(256).select(
+      (expr("id % 16") + 0.5).as("cx"), (expr("id div 16") + 0.5).as("cy"),
+      expr("id % 16 div 4").cast("int").as("tx"),
+      expr("id div 16 div 4").cast("int").as("ty"))
     val d2 = (col("cx") - col("sx")) * (col("cx") - col("sx")) +
       (col("cy") - col("sy")) * (col("cy") - col("sy"))
-    cells.crossJoin(broadcast(stations))
+    cells.join(broadcast(stationTiles), Seq("tx", "ty"))
       .filter(d2 <= 16.0)
       .select(col("cx"), col("cy"), col("v"), (lit(1.0) / d2).as("w"))
       .groupBy(col("cx"), col("cy"))

@@ -387,6 +387,13 @@ class IngestSpec extends SparkSpec {
   }
 
   test("i38 IDW equals a direct recompute; out-of-radius cells stay nodata") {
+    // the tile bucketing must plan a HASH join on the tile key — never
+    // a nested loop iterating every station per cell
+    val i38Plan = Ingest.i38.fn(spark, sf).queryExecution.executedPlan.toString()
+    assert(!i38Plan.contains("BroadcastNestedLoopJoin") && !i38Plan.contains("CartesianProduct"),
+      s"IDW must bucket stations to tiles, not nested-loop them:\n$i38Plan")
+    assert(i38Plan.contains("BroadcastHashJoin"),
+      s"tiled stations should broadcast-hash-join the cell grid:\n$i38Plan")
     val got = Ingest.i38.fn(spark, sf).collect()
     assert(got.nonEmpty)
     // cells beyond every station's radius must be absent, not zero
