@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.mutable
+import scala.util.control.NonFatal
 
 /** Per-dataset job definition — the reference's `DataIngest` subclass
   * config (`ingest/jobs.py`: one job per dataset wiring source,
@@ -19,20 +20,56 @@ final case class JobConfig(
     retentionDays: Int)
 
 /** Outcome of one job cycle: the reference either logs
-  * "No update required. Skipping" or publishes + notifies. */
+  * "No update required. Skipping", publishes + notifies, or (isolated
+  * per dataset) fails and retries the same slice next cycle. */
 final case class JobResult(
     datasetId: String,
     ingested: Long,
     skipped: Boolean,
-    payload: Option[Publish.IngestPayload])
+    payload: Option[Publish.IngestPayload],
+    publishedDates: Seq[String] = Nil,
+    error: Option[String] = None)
+
+/** Post-publish notification hook — the reference's webhook "ingest"
+  * command (`ingest/__init__.py:96` send_ingest_command POSTs one
+  * command per uploaded per-date file). Invoked once per published
+  * (dataset, dateKey) AFTER the partition committed and BEFORE the
+  * watermark advances, so notifications are at-least-once: a crashed
+  * notify leaves the watermark untouched and the next cycle re-publishes
+  * (idempotent partition overwrite) and re-notifies. */
+trait Notifier {
+  def notifyIngest(datasetId: String, dateKey: String,
+      payload: Publish.IngestPayload): Unit
+}
+
+object Notifier {
+  /** Default: publish without side channels. */
+  object Noop extends Notifier {
+    override def notifyIngest(datasetId: String, dateKey: String,
+        payload: Publish.IngestPayload): Unit = ()
+  }
+
+  /** File-backed double for tests/audit: one line per notification,
+    * `dataset\tdateKey\tpath\tdatatype`, append-only — the shape a real
+    * HTTP poster would send (payload fields are the reference's webhook
+    * body, `ecmwf_opendata/__init__.py:333`). */
+  final class FileNotifier(path: String) extends Notifier {
+    override def notifyIngest(datasetId: String, dateKey: String,
+        payload: Publish.IngestPayload): Unit = {
+      val line = s"$datasetId\t$dateKey\t${payload.path}\t${payload.datatype}\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), line.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+}
 
 /** Multi-dataset incremental job driver — the composition the
   * reference runs from its scheduler (`main.py:36` BlockingScheduler
   * firing `ingest/jobs.py` per dataset): for each registered dataset,
   *
   *   state check → incremental ingest (rows newer than the stored
-  *   watermark) → transform → date-partitioned publish → PHYSICAL
-  *   retention → watermark advance,
+  *   watermark) → transform → date-partitioned publish → notify per
+  *   published date → PHYSICAL retention → watermark advance,
   *
   * skipping idempotently when nothing is new. Each stage is one of the
   * library's verified pieces ([[StateStore.runIncremental]],
@@ -41,7 +78,8 @@ final case class JobResult(
   * Structured Streaming trigger) can call [[runAll]] on any cadence
   * and re-runs never duplicate data (upsert layout + watermark).
   */
-final class Jobs(spark: SparkSession, statePath: String) {
+final class Jobs(spark: SparkSession, statePath: String,
+    notifier: Notifier = Notifier.Noop) {
 
   private val state = new StateStore(spark, statePath)
   private val registry = mutable.LinkedHashMap.empty[String, JobConfig]
@@ -54,14 +92,27 @@ final class Jobs(spark: SparkSession, statePath: String) {
   def datasets: Seq[String] = registry.keys.toSeq
 
   /** One incremental cycle for every registered dataset, in
-    * registration order. `seq` is the cycle's monotonic version
-    * (the reference uses wall-clock run time). */
-  def runAll(seq: Long): Seq[JobResult] = registry.values.map(run(_, seq)).toSeq
+    * registration order, with PER-DATASET failure isolation — the
+    * reference registers each dataset as an independent scheduler job
+    * (`main.py:23`, `ingest/jobs.py:28`), so one dataset crashing can
+    * never starve the others. A failing source/transform/publish yields
+    * a failed [[JobResult]] and the cycle moves on; the failed
+    * dataset's watermark is untouched (advance happens only after its
+    * publish commits), so the SAME slice retries next cycle.
+    * `seq` is the cycle's monotonic version (the reference uses
+    * wall-clock run time). */
+  def runAll(seq: Long): Seq[JobResult] = registry.values.map { cfg =>
+    try run(cfg, seq)
+    catch {
+      case NonFatal(e) =>
+        JobResult(cfg.datasetId, 0L, skipped = false, None, Nil, Some(e.toString))
+    }
+  }.toSeq
 
   def run(cfg: JobConfig, seq: Long): JobResult = {
     val fresh = state.freshSince(cfg.datasetId, cfg.source(spark), cfg.tsCol).persist()
     try {
-      import org.apache.spark.sql.functions.{col, count, lit, max}
+      import org.apache.spark.sql.functions.{col, count, date_format, lit, max}
       // one metadata prepass decides BOTH the skip and the new watermark
       // (count + max in a single job over the cache fill, not two)
       val meta = fresh.agg(count(lit(1)), max(col(cfg.tsCol)).cast("string")).collect()(0)
@@ -69,16 +120,30 @@ final class Jobs(spark: SparkSession, statePath: String) {
       if (n == 0) JobResult(cfg.datasetId, 0L, skipped = true, None) // "No update required"
       else {
         val newMax = meta.getString(1)
-        val payload = Publish.writeDatePartitioned(
-          cfg.transform(fresh), cfg.outDir, cfg.datasetId, cfg.tsCol)
+        // date keys come from the TRANSFORMED slice (a curation
+        // transform may drop whole dates — a date that published no
+        // file must not notify); cached so the distinct-dates job and
+        // the publish share one transform computation
+        val transformed = cfg.transform(fresh).persist()
+        val (payload, dateKeys) = try {
+          val keys = transformed
+            .select(date_format(col(cfg.tsCol), "yyyy-MM-dd").as("k"))
+            .distinct().collect().map(_.getString(0)).sorted.toSeq
+          (Publish.writeDatePartitioned(
+            transformed, cfg.outDir, cfg.datasetId, cfg.tsCol), keys)
+        } finally transformed.unpersist()
+        // notify per published date AFTER the partition committed,
+        // BEFORE the watermark advances (reference: send_ingest_command
+        // after upload, update_state after) — at-least-once delivery
+        dateKeys.foreach(k => notifier.notifyIngest(cfg.datasetId, k, payload))
         // the watermark advances ONLY after the publish committed — a
-        // failed transform/publish leaves it untouched, so the next
-        // cycle retries the same slice instead of losing it forever
+        // failed transform/publish/notify leaves it untouched, so the
+        // next cycle retries the same slice instead of losing it forever
         state.update(cfg.datasetId, Map("last_update" -> newMax), seq)
         val cutoff = java.time.LocalDate.parse(newMax.substring(0, 10))
           .minusDays(cfg.retentionDays).toString
         Publish.dropOldPartitions(spark, cfg.outDir, cfg.datasetId, cutoff)
-        JobResult(cfg.datasetId, n, skipped = false, Some(payload))
+        JobResult(cfg.datasetId, n, skipped = false, Some(payload), dateKeys)
       }
     } finally fresh.unpersist()
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{JobConfig, Jobs}
+import graft.sources.{JobConfig, Jobs, Notifier}
 import org.apache.spark.sql.functions._
 
 class JobsSpec extends SparkSpec {
@@ -109,6 +109,94 @@ class JobsSpec extends SparkSpec {
     val corpus = spark.read.parquet(corpusPath).select("doc_id")
       .collect().map(_.getLong(0)).sorted
     assert(corpus.sameElements(Array(1L, 3L, 12L)), corpus.mkString(","))
+  }
+
+  test("runAll isolates a failing dataset: others publish, the failure retries next cycle") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_jobs_iso").toString
+    def writeSrc(name: String, days: Seq[Int]): String = {
+      val p = s"$root/$name"
+      days.map(d => (java.sql.Timestamp.valueOf(f"2024-04-$d%02d 08:00:00"), d.toDouble))
+        .toDF("ts", "v").write.mode("overwrite").parquet(p)
+      p
+    }
+    val srcA = writeSrc("srcA", Seq(1, 2))
+    val srcB = writeSrc("srcB", Seq(1))
+    val srcC = writeSrc("srcC", Seq(1))
+    val boom = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val jobs = new Jobs(spark, s"$root/state")
+      .register(JobConfig("dsA", s => s.read.parquet(srcA), "ts", identity,
+        s"$root/out", retentionDays = 30))
+      .register(JobConfig("dsBad", s => s.read.parquet(srcB), "ts",
+        df => if (boom.get) throw new RuntimeException("transform boom") else df,
+        s"$root/out", retentionDays = 30))
+      .register(JobConfig("dsC", s => s.read.parquet(srcC), "ts", identity,
+        s"$root/out", retentionDays = 30))
+
+    // cycle 1: the middle dataset blows up — the cycle still completes,
+    // the healthy datasets publish, the failure is reported not thrown
+    val r1 = jobs.runAll(1)
+    assert(r1.map(_.datasetId) == Seq("dsA", "dsBad", "dsC"))
+    assert(r1.filter(_.datasetId != "dsBad").forall(r => !r.skipped && r.error.isEmpty))
+    val bad = r1.find(_.datasetId == "dsBad").get
+    assert(bad.error.exists(_.contains("transform boom")) && bad.payload.isEmpty)
+    assert(new java.io.File(s"$root/out/dsA").exists())
+    assert(new java.io.File(s"$root/out/dsC").exists())
+    assert(!new java.io.File(s"$root/out/dsBad").exists())
+
+    // cycle 2, transform healed: the failed dataset's watermark never
+    // advanced, so the SAME slice is retried and now publishes; the
+    // healthy datasets skip (nothing new)
+    boom.set(false)
+    val r2 = jobs.runAll(2)
+    assert(r2.find(_.datasetId == "dsBad").get.ingested == 1L)
+    assert(r2.filter(_.datasetId != "dsBad").forall(_.skipped))
+    assert(spark.read.parquet(s"$root/out/dsBad").count() == 1)
+  }
+
+  test("notifier fires once per published (dataset, date) — never on skip or failure") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_jobs_ntf").toString
+    val log = s"$root/notify.log"
+    def rows(days: Seq[Int]) = days
+      .map(d => (java.sql.Timestamp.valueOf(f"2024-05-$d%02d 06:00:00"), d.toDouble))
+      .toDF("ts", "v")
+    val srcA = s"$root/srcA"
+    val srcB = s"$root/srcB"
+    rows(Seq(1, 1, 2)).write.mode("overwrite").parquet(srcA) // two distinct dates
+    rows(Seq(1)).write.mode("overwrite").parquet(srcB)
+    val jobs = new Jobs(spark, s"$root/state", new Notifier.FileNotifier(log))
+      .register(JobConfig("dsA", s => s.read.parquet(srcA), "ts", identity,
+        s"$root/out", retentionDays = 30))
+      // dsB's transform drops EVERYTHING: the publish writes no date
+      // partition, so no notification may fire even though rows ingested
+      .register(JobConfig("dsB", s => s.read.parquet(srcB), "ts",
+        df => df.filter(col("v") < 0), s"$root/out", retentionDays = 30))
+      .register(JobConfig("dsFail", _ => sys.error("source down"), "ts", identity,
+        s"$root/out", retentionDays = 30))
+
+    val r1 = jobs.runAll(1)
+    assert(r1.find(_.datasetId == "dsA").get.publishedDates ==
+      Seq("2024-05-01", "2024-05-02"))
+    assert(r1.find(_.datasetId == "dsB").get.publishedDates.isEmpty)
+    assert(r1.find(_.datasetId == "dsFail").get.error.isDefined)
+    val lines1 = scala.io.Source.fromFile(log).getLines().toSeq
+    assert(lines1 == Seq(
+      s"dsA\t2024-05-01\t$root/out/dsA\tparquet",
+      s"dsA\t2024-05-02\t$root/out/dsA\tparquet"), lines1.mkString("|"))
+
+    // cycle 2: nothing new → all skip → no new notifications
+    jobs.runAll(2)
+    assert(scala.io.Source.fromFile(log).getLines().size == 2)
+
+    // cycle 3: one new date for dsA → exactly one more notification
+    rows(Seq(3)).write.mode("append").parquet(srcA)
+    val r3 = jobs.runAll(3)
+    assert(r3.find(_.datasetId == "dsA").get.publishedDates == Seq("2024-05-03"))
+    val lines3 = scala.io.Source.fromFile(log).getLines().toSeq
+    assert(lines3.size == 3 && lines3.last == s"dsA\t2024-05-03\t$root/out/dsA\tparquet")
   }
 
   test("a failed transform leaves the watermark untouched — the slice is retried") {
