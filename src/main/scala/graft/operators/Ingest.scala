@@ -124,6 +124,83 @@ object Ingest {
   def contourLevel(value: Column, interval: Double): Column =
     (floor(value / interval) * interval).cast("double")
 
+  /** Marching-squares contour SEGMENT construction — the reference's
+    * actual contour product: `gdal_contour -i interval` emits per-level
+    * LineString vector features (`ingest/utils.py:180`, consumed by
+    * `handle_vector_generation`, `ecmwf_opendata/__init__.py:480`); i11
+    * only classifies cells into iso bins. Input: a point grid
+    * (px, py, v) with integer grid coordinates, one value per point.
+    * Output: one row per contour segment per (cell, level) — the
+    * iso-line of each level L = k·interval crossing a 2×2 cell,
+    * linearly interpolated along its crossing edges.
+    *
+    * Distributed shape — map-side explode, never a 4-way shifted
+    * self-join: each grid point explodes to the ≤4 cells it corners
+    * (i28's stencil pattern), ONE partial-agg shuffle gathers the four
+    * corners per cell, and levels, crossing edges, and segments are all
+    * per-row array work from there. Sign changes around the 4-cycle
+    * come in pairs, so a cell×level has 0, 2, or 4 crossing edges;
+    * crossing edges are paired consecutively in edge order (bottom=0,
+    * right=1, top=2, left=3), which for the two saddle cases is a
+    * fixed deterministic resolution both engines replay identically.
+    * A segment is keyed by its first crossing edge, so
+    * (cell, level, e1) is a unique key with no ordinal window needed. */
+  def contourSegments(points: DataFrame, interval: Double): DataFrame = {
+    val corners = points
+      .withColumn("d", explode(typedlit(Seq((0, 0), (1, 0), (0, 1), (1, 1)))))
+      .select((col("px") - col("d._1")).as("cx"), (col("py") - col("d._2")).as("cy"),
+        col("d._1").as("dx"), col("d._2").as("dy"), col("v"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(
+        max(when(col("dx") === 0 && col("dy") === 0, col("v"))).as("v00"),
+        max(when(col("dx") === 1 && col("dy") === 0, col("v"))).as("v10"),
+        max(when(col("dx") === 0 && col("dy") === 1, col("v"))).as("v01"),
+        max(when(col("dx") === 1 && col("dy") === 1, col("v"))).as("v11"),
+        count(lit(1)).as("nc"))
+      .filter(col("nc") === 4) // marching squares needs all four corners
+    val vs = Seq(col("v00"), col("v10"), col("v01"), col("v11"))
+    val kmin = ceil(least(vs: _*) / interval)
+    val kmax = floor(greatest(vs: _*) / interval)
+    // Spark's sequence(a, b) DESCENDS when a > b: a cell whose value
+    // span contains no level must yield NULL (explode drops the row),
+    // never a misused descending sequence
+    val lv = corners
+      .withColumn("k", explode(when(kmin <= kmax, sequence(kmin, kmax))))
+      .withColumn("L", col("k") * interval)
+    // interpolated crossing point along an edge; the denominator is
+    // NULL-guarded for ANSI — a zero span can only occur on an edge
+    // that does not cross, whose point is never referenced
+    def t(va: Column, vb: Column): Column =
+      (col("L") - va) / when(vb === va, lit(null)).otherwise(vb - va)
+    def in(vc: Column): Column = vc >= col("L")
+    val cross = array(
+      struct(lit(0).as("e"), (col("cx") + t(col("v00"), col("v10"))).as("x"),
+        col("cy").cast("double").as("y"), (in(col("v00")) =!= in(col("v10"))).as("c")),
+      struct(lit(1).as("e"), (col("cx") + 1).cast("double").as("x"),
+        (col("cy") + t(col("v10"), col("v11"))).as("y"),
+        (in(col("v10")) =!= in(col("v11"))).as("c")),
+      struct(lit(2).as("e"), (col("cx") + t(col("v01"), col("v11"))).as("x"),
+        (col("cy") + 1).cast("double").as("y"),
+        (in(col("v01")) =!= in(col("v11"))).as("c")),
+      struct(lit(3).as("e"), col("cx").cast("double").as("x"),
+        (col("cy") + t(col("v00"), col("v01"))).as("y"),
+        (in(col("v00")) =!= in(col("v01"))).as("c")))
+    lv.withColumn("f", filter(cross, s => s.getField("c")))
+      .withColumn("segs",
+        when(size(col("f")) === 2,
+          array(struct(col("f")(0).as("a"), col("f")(1).as("b"))))
+          .when(size(col("f")) === 4, array(
+            struct(col("f")(0).as("a"), col("f")(1).as("b")),
+            struct(col("f")(2).as("a"), col("f")(3).as("b")))))
+      .withColumn("s", explode(col("segs")))
+      .select(col("L").as("level"), col("cx"), col("cy"),
+        col("s.a.e").as("e1"),
+        graft.QueryDef.roundBiased(col("s.a.x"), 4).as("x1"),
+        graft.QueryDef.roundBiased(col("s.a.y"), 4).as("y1"),
+        graft.QueryDef.roundBiased(col("s.b.x"), 4).as("x2"),
+        graft.QueryDef.roundBiased(col("s.b.y"), 4).as("y2"))
+  }
+
   /** Bounding-box clip — reference `clip_to_africa`
     * (`ingest/__init__.py:50`) reduced to its relational core: a 2-D
     * range predicate that pushes down to the scan. */
@@ -1449,8 +1526,73 @@ object Ingest {
       .orderBy(col("fy"), col("fx"))
   }
 
+  /** i39: contour LineString construction — [[contourSegments]] run on
+    * the event cell grid (i27's coarse means as the scalar field), the
+    * last reference computation that was still reduced to a proxy: i11
+    * bins cells by level, this EMITS the per-level vector segments that
+    * `gdal_contour` produces (`ingest/utils.py:180`). The oracle
+    * replays the identical marching-squares case table in SQL: the
+    * same corner gather, the same level range, the same edge-order
+    * pairing (LEAD over crossing edges sorted by edge index), the same
+    * interpolation arithmetic on the same 1e-4-rounded operands. */
+  val i39 = QueryDef(
+    "i39_contour_segments",
+    """WITH g AS (
+      |  SELECT CAST(user_id AS INTEGER) AS y, CAST(event_id % 128 AS INTEGER) AS x,
+      |         CASE WHEN value < 5.0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |pts AS (SELECT CAST(y // 4 AS INTEGER) AS py, CAST(x // 4 AS INTEGER) AS px,
+      |        ROUND(SUM(v) / COUNT(v) + 1e-9, 4) AS v
+      |        FROM g GROUP BY 1, 2 HAVING COUNT(v) > 0),
+      |sp AS (SELECT px - dx AS cx, py - dy AS cy, dx, dy, v
+      |       FROM pts CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)),
+      |corners AS (
+      |  SELECT cx, cy,
+      |    MAX(CASE WHEN dx = 0 AND dy = 0 THEN v END) AS v00,
+      |    MAX(CASE WHEN dx = 1 AND dy = 0 THEN v END) AS v10,
+      |    MAX(CASE WHEN dx = 0 AND dy = 1 THEN v END) AS v01,
+      |    MAX(CASE WHEN dx = 1 AND dy = 1 THEN v END) AS v11
+      |  FROM sp GROUP BY 1, 2 HAVING COUNT(*) = 4),
+      |ks AS (SELECT *, UNNEST(RANGE(CAST(CEIL(LEAST(v00, v10, v01, v11) / 25) AS BIGINT),
+      |         CAST(FLOOR(GREATEST(v00, v10, v01, v11) / 25) AS BIGINT) + 1)) AS k
+      |       FROM corners),
+      |lv AS (SELECT cx, cy, v00, v10, v01, v11, CAST(25.0 AS DOUBLE) * k AS L FROM ks),
+      |edges AS (
+      |  SELECT cx, cy, L, e, ex, ey FROM (
+      |    SELECT cx, cy, L, 0 AS e,
+      |      cx + (L - v00) / NULLIF(v10 - v00, 0) AS ex, CAST(cy AS DOUBLE) AS ey,
+      |      (v00 >= L) <> (v10 >= L) AS c FROM lv
+      |    UNION ALL SELECT cx, cy, L, 1,
+      |      CAST(cx + 1 AS DOUBLE), cy + (L - v10) / NULLIF(v11 - v10, 0),
+      |      (v10 >= L) <> (v11 >= L) FROM lv
+      |    UNION ALL SELECT cx, cy, L, 2,
+      |      cx + (L - v01) / NULLIF(v11 - v01, 0), CAST(cy + 1 AS DOUBLE),
+      |      (v01 >= L) <> (v11 >= L) FROM lv
+      |    UNION ALL SELECT cx, cy, L, 3,
+      |      CAST(cx AS DOUBLE), cy + (L - v00) / NULLIF(v01 - v00, 0),
+      |      (v00 >= L) <> (v01 >= L) FROM lv) u
+      |  WHERE c),
+      |paired AS (
+      |  SELECT cx, cy, L, e, ex, ey,
+      |    ROW_NUMBER() OVER (PARTITION BY cx, cy, L ORDER BY e) - 1 AS r,
+      |    LEAD(ex) OVER (PARTITION BY cx, cy, L ORDER BY e) AS nx,
+      |    LEAD(ey) OVER (PARTITION BY cx, cy, L ORDER BY e) AS ny
+      |  FROM edges)
+      |SELECT L AS level, cx, cy, e AS e1,
+      |  ROUND(ex + 1e-9, 4) AS x1, ROUND(ey + 1e-9, 4) AS y1,
+      |  ROUND(nx + 1e-9, 4) AS x2, ROUND(ny + 1e-9, 4) AS y2
+      |FROM paired WHERE r % 2 = 0
+      |ORDER BY level, cy, cx, e1""".stripMargin) { (spark, dir) =>
+    val pts = eventCells(Tables(spark, dir).events)
+      .filter(col("n") > 0)
+      .select(col("xc").as("px"), col("yc").as("py"),
+        graft.QueryDef.roundBiased(col("sum_v") / col("n"), 4).as("v"))
+    contourSegments(pts, 25.0)
+      .orderBy(col("level"), col("cy"), col("cx"), col("e1"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26,
-    i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38)
+    i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38, i39)
 }

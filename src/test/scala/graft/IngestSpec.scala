@@ -421,6 +421,49 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("i39 marching squares: exact interpolated segments, deterministic saddle resolution") {
+    import spark.implicits._
+    def seg(r: org.apache.spark.sql.Row) =
+      (r.getAs[Double]("level"), r.getAs[Int]("cx"), r.getAs[Int]("cy"),
+        r.getAs[Int]("e1"), r.getAs[Double]("x1"), r.getAs[Double]("y1"),
+        r.getAs[Double]("x2"), r.getAs[Double]("y2"))
+    // one hot corner (bottom-right): the level-25 line cuts the bottom
+    // and right edges at their interpolated midpoints
+    val simple = Seq((0, 0, 10.0), (1, 0, 40.0), (0, 1, 10.0), (1, 1, 10.0))
+      .toDF("px", "py", "v")
+    val s1 = Ingest.contourSegments(simple, 25.0).collect()
+    assert(s1.map(seg).toSeq == Seq((25.0, 0, 0, 0, 0.5, 0.0, 1.0, 0.5)))
+    // saddle (opposite corners hot): all four edges cross; pairing in
+    // edge order resolves it deterministically into TWO segments
+    val saddle = Seq((0, 0, 40.0), (1, 0, 10.0), (0, 1, 10.0), (1, 1, 40.0))
+      .toDF("px", "py", "v")
+    val s2 = Ingest.contourSegments(saddle, 25.0).orderBy(col("e1")).collect()
+    assert(s2.map(seg).toSeq == Seq(
+      (25.0, 0, 0, 0, 0.5, 0.0, 1.0, 0.5),
+      (25.0, 0, 0, 2, 0.5, 1.0, 0.0, 0.5)))
+    // a flat cell spans no level → no segments; a 3-point grid has no
+    // complete cell → no segments
+    val flat = Seq((0, 0, 30.0), (1, 0, 30.0), (0, 1, 30.0), (1, 1, 30.0))
+      .toDF("px", "py", "v")
+    assert(Ingest.contourSegments(flat, 25.0).isEmpty)
+    val sparse = Seq((0, 0, 10.0), (1, 0, 40.0), (0, 1, 10.0)).toDF("px", "py", "v")
+    assert(Ingest.contourSegments(sparse, 25.0).isEmpty)
+    // a steep cell crosses MULTIPLE levels: 10→90 spans 25, 50, 75
+    val steep = Seq((0, 0, 10.0), (1, 0, 90.0), (0, 1, 10.0), (1, 1, 10.0))
+      .toDF("px", "py", "v")
+    val s3 = Ingest.contourSegments(steep, 25.0).collect()
+    assert(s3.map(_.getAs[Double]("level")).sorted.toSeq == Seq(25.0, 50.0, 75.0))
+    // every endpoint sits ON the cell boundary and interpolates inside it
+    s3.foreach { r =>
+      Seq((r.getAs[Double]("x1"), r.getAs[Double]("y1")),
+        (r.getAs[Double]("x2"), r.getAs[Double]("y2"))).foreach { case (x, y) =>
+        assert(x >= 0.0 && x <= 1.0 && y >= 0.0 && y <= 1.0)
+        assert(x == 0.0 || x == 1.0 || y == 0.0 || y == 1.0,
+          s"($x, $y) is not on a cell edge")
+      }
+    }
+  }
+
   test("i33 dekad product: anomaly = total - normal, sentinel only without history") {
     val rows = Ingest.i33.fn(spark, sf).collect()
     assert(rows.nonEmpty)
