@@ -718,11 +718,25 @@ object TextAnalysis {
     * greedily. Runs of consecutive candidates (`t t t t` under (t,t))
     * keep even offsets from the run start — all resolved in one
     * doc-partitioned window pass, linear in the run length. */
-  private[graft] def bpeMergeRound(w: DataFrame, a: String, b: String): DataFrame = {
+  private[graft] def bpeMergeRound(w: DataFrame, a: String, b: String): DataFrame =
+    bpeMergeRound(w, Seq((a, b)))
+
+  /** The multi-merge rewrite round: apply a BATCH of merges whose token
+    * sets are pairwise DISJOINT in one pass. Disjointness makes the
+    * batch exact, not approximate-per-pair: a position's token decides
+    * the one pair it can candidate for, two candidates of different
+    * pairs can never overlap (that would need a shared token), and
+    * consecutive candidates always belong to one pair's (t,t) self-run
+    * — so the single combined pass produces exactly what applying the
+    * merges one-round-each would, while paying ONE pair-count
+    * aggregation + ONE corpus rewrite for the whole batch. */
+  private[graft] def bpeMergeRound(w: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val dwAll = dw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w.withColumn("iscand", col("tok") === a && col("nxt") === b)
+    val isCand = pairs.map { case (a, b) => col("tok") === a && col("nxt") === b }
+      .reduce(_ || _)
+    w.withColumn("iscand", isCand)
       .withColumn("prevcand", coalesce(lag(col("iscand"), 1).over(dw), lit(false)))
       .withColumn("runstart",
         last(when(col("iscand") && !col("prevcand"), col("pos")),
@@ -778,8 +792,21 @@ object TextAnalysis {
   /** The t17 training loop: `iters` pair-merge rounds over `docs`
     * (doc_id, text). Returns (iter, pair, pair_count, tokens_after).
     * A corpus that runs out of adjacent pairs (single-token docs)
-    * ends training early instead of failing. */
-  private[graft] def bpeTrain(docs: DataFrame, iters: Int): DataFrame = {
+    * ends training early instead of failing.
+    *
+    * `batch` > 1 adopts up to that many NON-INTERACTING pairs per round
+    * (greedy by count desc / lex over the top candidates, skipping any
+    * pair sharing a token with an earlier adoption): each round still
+    * pays one pair-count aggregation + one corpus rewrite +
+    * checkpoint, so a 32k-merge vocabulary costs O(vocab/batch) corpus
+    * rewrites instead of O(vocab) — the known wall of distributed BPE.
+    * Within a round the batch is EXACT (disjoint token sets, see
+    * [[bpeMergeRound]]); across rounds it is the standard batch-BPE
+    * approximation: a pair formed BY a just-adopted merge can't be
+    * adopted until the next round, which sequential BPE would allow.
+    * batch = 1 degenerates to textbook sequential training (the
+    * oracle's formulation). */
+  private[graft] def bpeTrain(docs: DataFrame, iters: Int, batch: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val dw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -788,24 +815,36 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
     val stats = (1 to iters).iterator.map { k =>
       val w = s.withColumn("nxt", lead(col("tok"), 1).over(dw))
-      // the adopted merge: one row, driver-held (the trainer's model
-      // state — s04's codebook precedent), shipped back as literals
-      val bestRows = w.filter(col("nxt").isNotNull)
+      // the adopted merges: ≤ batch rows, driver-held (the trainer's
+      // model state — s04's codebook precedent), shipped back as
+      // literals; candidates beyond the batch cover greedy skips
+      val top = w.filter(col("nxt").isNotNull)
         .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("tok"), col("nxt")).limit(1)
+        .orderBy(col("c").desc, col("tok"), col("nxt"))
+        .limit(math.max(16, batch * 4))
         .collect()
-      bestRows.headOption.map { bestRow =>
-        val (a, b, c) = (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
+      if (top.isEmpty) None
+      else {
+        val adopted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        top.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .foreach { case (a, b, c) =>
+            if (adopted.length < batch && !used(a) && !used(b)) {
+              adopted += ((a, b, c)); used += a; used += b
+            }
+          }
         // eager lineage truncation per round (the d06 localCheckpoint
         // lesson): rounds stay constant-cost instead of re-analyzing a
         // plan that grows by one rewrite per iteration
-        s = bpeMergeRound(w, a, b).localCheckpoint()
-        (k, s"$a+$b", c, s.count())
+        s = bpeMergeRound(w, adopted.map(p => (p._1, p._2)).toSeq).localCheckpoint()
+        val nAfter = s.count()
+        Some(adopted.toSeq.map { case (a, b, c) => (k, s"$a+$b", c, nAfter) })
       }
-    }.takeWhile(_.isDefined).flatten.toSeq
+    }.takeWhile(_.isDefined).flatten.flatten.toSeq
     import spark.implicits._
     stats.toDF("iter", "pair", "pair_count", "tokens_after")
-      .orderBy(col("iter"))
+      .orderBy(col("iter"), col("pair"))
   }
 
   val all: Seq[QueryDef] =

@@ -507,6 +507,36 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == Seq("x", "t+t", "x", "t"))
   }
 
+  test("t17 batch rounds adopt multiple non-interacting pairs, skip interacting ones") {
+    import spark.implicits._
+    // (a,b) and (c,d) are both frequent and share no token → ONE round
+    // adopts both; (b,x) is frequent but interacts with (a,b) → skipped
+    val docs = Seq(
+      (1L, "a b c d a b c d"),
+      (2L, "a b c d b x"),
+      (3L, "b x b x")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTrain(docs, iters = 1, batch = 2)
+      .orderBy(col("pair")).collect()
+    // counts: (a,b)=3, (c,d)=3, (b,x)=3 — lex order adopts a+b, then
+    // b+x is skipped (shares b), then c+d lands as the second merge
+    assert(r.map(_.getAs[String]("pair")).toSeq == Seq("a+b", "c+d"))
+    assert(r.forall(_.getAs[Int]("iter") == 1))
+    assert(r.forall(_.getAs[Long]("pair_count") == 3L))
+    // 18 tokens − 3 a+b merges − 3 c+d merges = 12
+    assert(r.head.getAs[Long]("tokens_after") == 12L)
+
+    // batch = 1 stays textbook-sequential: round 1 adopts only (a,b)
+    val seq1 = TextAnalysis.bpeTrain(docs, iters = 1, batch = 1).collect()
+    assert(seq1.map(_.getAs[String]("pair")).toSeq == Seq("a+b"))
+    assert(seq1.head.getAs[Long]("tokens_after") == 15L)
+
+    // a fully interacting top (chain a b a b a …) adopts only ONE pair
+    // per round no matter the batch size
+    val chain = Seq((1L, "a b a b a b a")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.bpeTrain(chain, iters = 1, batch = 4).collect()
+    assert(r2.length == 1 && r2.head.getAs[String]("pair") == "a+b")
+  }
+
   test("t17 merge counts are non-increasing and the stream shrinks by the applied merges") {
     val rows = TextAnalysis.t17.fn(spark, sf).collect().sortBy(_.getAs[Int]("iter"))
     assert(rows.length == 3)
