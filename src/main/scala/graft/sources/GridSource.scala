@@ -213,25 +213,47 @@ final class GridScanBuilder(times: Int, height: Int, width: Int)
         override def createReaderFactory(): PartitionReaderFactory =
           GridAggReaderFactory
       }
-    } else new Scan with Batch with SupportsReportPartitioning {
+    } else new Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering {
+      /** Times surviving RUNTIME filtering — dynamic partition pruning:
+        * starts at the statically pruned list; when the grid joins a
+        * filtered dimension, Spark evaluates the dim side first and
+        * pushes the resulting time set through [[filter]] BEFORE
+        * execution, so a 10-year archive joined to "this week's
+        * products" plans 7 InputPartitions instead of 3650. Partial
+        * application is always safe — the join re-applies the
+        * predicate; pruning is purely a scan-size optimization. */
+      private var activeTimes: Array[Int] = live
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
-        live.map(t => GridPartition(t, height, width): InputPartition)
+        activeTimes.map(t => GridPartition(t, height, width): InputPartition)
       override def createReaderFactory(): PartitionReaderFactory =
         new GridReaderFactory(required.fieldNames)
+      override def filterAttributes():
+          Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column("time"))
+      override def filter(filters: Array[Filter]): Unit = {
+        activeTimes = activeTimes.filter(t => filters.forall {
+          case EqualTo("time", v: Number) => t == v.intValue()
+          case In("time", vs) =>
+            vs.exists { case v: Number => v.intValue() == t; case _ => false }
+          case _ => true // not time-prunable: leave to the join
+        })
+      }
       /** Report the physical layout: one partition per time slice,
         * keyed by `time` (each InputPartition exposes its key via
         * HasPartitionKey). With `spark.sql.sources.v2.bucketing.enabled`
         * Catalyst recognizes the KeyGroupedPartitioning and plans
         * per-time aggregations WITHOUT a shuffle — the DSv2 analogue of
         * "the store is already partitioned by date, don't re-shuffle
-        * to group by date" (spec-asserted zero-exchange). */
+        * to group by date" (spec-asserted zero-exchange). Runtime
+        * filtering only ever SHRINKS the partition-value set, which
+        * BatchScanExec accepts as a subset of the original grouping. */
       override def outputPartitioning():
           org.apache.spark.sql.connector.read.partitioning.Partitioning =
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.identity("time")),
-          live.length)
+          activeTimes.length)
     }
   }
 }
