@@ -586,6 +586,48 @@ object Ingest {
       .orderBy(col("event_id"))
   }
 
+  /** i15b: MVT-shape tile payload — the geometry half of the
+    * reference's MVT tile function (`raster_vector.py:88`
+    * `ST_AsMVT(ST_AsMVTGeom(geom, ST_TileEnvelope(z,x,y)), ...)`):
+    * features inside the (z,x,y) envelope (i15's range query)
+    * transformed into the TILE-LOCAL integer coordinate space —
+    * extent 4096, X from the tile's west edge, Y DOWN from the tile's
+    * north edge in web-mercator — exactly what ST_AsMVTGeom computes
+    * before protobuf encoding (the byte format itself is a declared
+    * reduction: serialization, not computation). Map-only: the
+    * envelope predicate pushes to the scan, the projection is
+    * codegen'd arithmetic. The mercator TAN/LN evaluate within 1 ulp
+    * on either engine, so the 4096-grid quantization carries the
+    * repo's 1e-9 bias applied to FLOOR. */
+  val i15b = QueryDef(
+    "i15b_mvt_tile_coords",
+    """SELECT event_id, 2 AS z, 1 AS tx, 1 AS ty,
+      |  CAST(GREATEST(LEAST(FLOOR(((user_id * 1.7 - 95.0 + 180.0) / 360.0 * 4 - 1)
+      |    * 4096 + 1e-9), 4096), 0) AS INTEGER) AS lx,
+      |  CAST(GREATEST(LEAST(FLOOR(((1 - LN(TAN(PI() / 4
+      |    + RADIANS(value * 0.35 - 80.0) / 2)) / PI()) / 2 * 4 - 1)
+      |    * 4096 + 1e-9), 4096), 0) AS INTEGER) AS ly,
+      |  ROUND(value, 2) AS el_val
+      |FROM events
+      |WHERE user_id * 1.7 - 95.0 >= -90.0 AND user_id * 1.7 - 95.0 < 0.0
+      |  AND value * 0.35 - 80.0 >= 0.0
+      |  AND value * 0.35 - 80.0 < 66.51326044311186
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val (west, east, south, north) = tileEnvelope(z = 2, x = 1, y = 1)
+    val lon = col("user_id") * 1.7 - 95.0
+    val lat = col("value") * 0.35 - 80.0
+    // global web-mercator fraction × 2^z − tile index = tile-local [0,1]
+    val fx = (lon + 180.0) / 360.0 * 4 - 1
+    val fy = (lit(1.0) - log(tan(lit(math.Pi / 4) + radians(lat) / 2)) / math.Pi) / 2 * 4 - 1
+    Tables(spark, dir).events
+      .filter(lon >= west && lon < east && lat >= south && lat < north)
+      .select(col("event_id"), lit(2).as("z"), lit(1).as("tx"), lit(1).as("ty"),
+        greatest(least(floor(fx * 4096 + 1e-9), lit(4096)), lit(0)).cast("int").as("lx"),
+        greatest(least(floor(fy * 4096 + 1e-9), lit(4096)), lit(0)).cast("int").as("ly"),
+        round(col("value"), 2).as("el_val"))
+      .orderBy(col("event_id"))
+  }
+
   /** One-time materialization of the csv/json demo sources for i16 —
     * a QUERY must be read-only (it gets re-invoked by verify/bench
     * loops); writing inside it was both a side effect and wasted work.
@@ -1593,6 +1635,7 @@ object Ingest {
 
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
-    i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25, i26,
-    i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38, i39)
+    i14, i15, i15b, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
+    i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
+    i39)
 }

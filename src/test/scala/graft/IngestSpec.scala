@@ -421,6 +421,27 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("i15b tile-local coords stay in extent and match a direct mercator recompute") {
+    val rows = Ingest.i15b.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val events = Tables(spark, sf).events
+      .select(col("event_id"), col("user_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lx, ly) = (r.getAs[Int]("lx"), r.getAs[Int]("ly"))
+      assert(lx >= 0 && lx <= 4096 && ly >= 0 && ly <= 4096)
+      val (uid, v) = events(r.getAs[Long]("event_id"))
+      val lon = uid * 1.7 - 95.0
+      val lat = v * 0.35 - 80.0
+      val fx = (lon + 180.0) / 360.0 * 4 - 1
+      val fy = (1.0 - math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)) / math.Pi) / 2 * 4 - 1
+      assert(lx == math.min(4096, math.max(0, math.floor(fx * 4096 + 1e-9).toInt)))
+      assert(ly == math.min(4096, math.max(0, math.floor(fy * 4096 + 1e-9).toInt)))
+      // in-envelope features quantize INSIDE the tile extent
+      assert(fx >= 0.0 && fx < 1.0 && fy > 0.0 && fy <= 1.0)
+    }
+  }
+
   test("i39 marching squares: exact interpolated segments, deterministic saddle resolution") {
     import spark.implicits._
     def seg(r: org.apache.spark.sql.Row) =
