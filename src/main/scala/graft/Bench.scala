@@ -82,7 +82,14 @@ object Bench {
         failed += d.name
         System.err.println(s"[bench] ${d.name}: ${e.getMessage}")
       }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop operator-persisted blocks between queries (outside the
+      // timed region): every query is measured cold on its own
+      // intermediates and cached blocks never accumulate across the
+      // suite — the 134-query session would otherwise leak every
+      // operator's persist() for its lifetime
+      spark.catalog.clearCache()
+      d.name -> sec
     }
     // full per-query map (unbudgeted) for local inspection
     val fullQs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

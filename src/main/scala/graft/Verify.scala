@@ -24,6 +24,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators persist() intermediates for their own self-joins; the
+      // harness owns the between-queries boundary, so cached blocks
+      // never accumulate across the full suite (base tables aren't
+      // cached — Tables returns lazy scans)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -14,6 +14,12 @@ object TextAnalysis {
 
   private val stopwords = Seq("a", "the")
 
+  /** Broadcast gate for corpus-derived vocabulary tables (t16): a vocab
+    * row is a token string + two longs (~50 bytes serialized), so 1M
+    * rows ≈ 50 MB — comfortably broadcastable; beyond that the shuffle
+    * join is the right physical plan. */
+  private[graft] val BroadcastVocabRows = 1000000L
+
   val t01 = QueryDef(
     "t01_token_count",
     """SELECT doc_id,
@@ -674,9 +680,16 @@ object TextAnalysis {
       .persist() // feeds both LM count tables AND scoring — one corpus scan
     val vocab = tok.groupBy(col("t"))
       .agg(count(when(col("tgt"), 1)).as("ct"), count(lit(1)).as("cr"))
+      .persist() // counted for the broadcast gate, reused by the join + totals
     val tot = vocab.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"),
       count(lit(1)).as("v"))
-    tok.join(broadcast(vocab), "t")
+    // the vocabulary is CORPUS-derived, so its cardinality is unbounded
+    // in principle (typo/numeric blow-up on a raw crawl): broadcast only
+    // while it is actually broadcast-sized (~1M rows ≈ tens of MB
+    // serialized), else fall back to the shuffle join — same result,
+    // the hint is purely physical
+    val vocabSide = if (vocab.count() <= BroadcastVocabRows) broadcast(vocab) else vocab
+    tok.join(vocabSide, "t")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"),
         graft.QueryDef.roundBiased(

@@ -84,6 +84,51 @@ object Streaming {
     body(isolated)
   }
 
+  /** CONTENT-keyed fingerprint of a source file: md5 over (length, head
+    * 64 KiB, tail 64 KiB), O(1) I/O regardless of file size. The tail
+    * covers the parquet footer (row counts, column stats, row-group
+    * offsets), so a regenerated file with the same byte length inside
+    * mtime granularity still changes the fingerprint — the failure mode
+    * of the previous lastModified ^ length key, which silently reused
+    * stale staged slices, checkpoints, and accumulated state. Two JVMs
+    * racing the same SOURCE also race the same content, so the staged
+    * artifacts they overwrite are identical — content keying makes the
+    * _SUCCESS-check race converge instead of corrupt. */
+  private[graft] def contentFingerprint(f: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val len = f.length()
+    md.update(java.nio.ByteBuffer.allocate(8).putLong(len).array())
+    val in = new java.io.RandomAccessFile(f, "r")
+    try {
+      val head = new Array[Byte](math.min(65536L, len).toInt)
+      in.readFully(head)
+      md.update(head)
+      if (len > 65536L) {
+        in.seek(len - 65536L)
+        val tail = new Array[Byte](65536)
+        in.readFully(tail)
+        md.update(tail)
+      }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Drop SUPERSEDED fingerprint generations: every tmpdir entry with
+    * this dataset's prefix but a different fingerprint (stage dirs and
+    * their -state/-ckpt siblings) is deleted when a new fingerprint
+    * stages — staged slices, checkpoints, and state versions no longer
+    * accumulate for the lifetime of java.io.tmpdir. */
+  private def dropOldGenerations(prefix: String, keepFp: String): Unit = {
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete()
+    }
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && !f.getName.startsWith(prefix + keepFp))
+      .foreach(deleteRec)
+  }
+
   private def runToCompletion(df: DataFrame, name: String): DataFrame = {
     val q = df.writeStream
       .outputMode("complete")
@@ -141,16 +186,15 @@ object Streaming {
     """SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d, event_type,
       |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
-    // sink + checkpoint are keyed by a SOURCE-CONTENT fingerprint
-    // (mtime ^ length of the events file): re-runs over unchanged data
-    // reuse the checkpoint (exactly-once no-op resume), while a
-    // regenerated source gets a fresh sink + checkpoint instead of the
-    // stale already-processed state answering for new data.
-    val srcFile = new java.io.File(s"$dir/events.parquet")
-    val fp = java.lang.Long.toHexString(
-      srcFile.lastModified() ^ (srcFile.length() * 1315423911L))
-    val sinkDir =
-      s"${System.getProperty("java.io.tmpdir")}/graft_upsert_${dir.hashCode.toHexString}_$fp"
+    // sink + checkpoint are keyed by a SOURCE-CONTENT fingerprint:
+    // re-runs over unchanged data reuse the checkpoint (exactly-once
+    // no-op resume), while a regenerated source gets a fresh sink +
+    // checkpoint instead of the stale already-processed state answering
+    // for new data; superseded generations are deleted on rollover.
+    val fp = contentFingerprint(new java.io.File(s"$dir/events.parquet"))
+    val prefix = s"graft_upsert_${dir.hashCode.toHexString}_"
+    dropOldGenerations(prefix, fp)
+    val sinkDir = s"${System.getProperty("java.io.tmpdir")}/$prefix$fp"
     // partition key as a yyyy-MM-dd string: partition-value type
     // inference on read is config-dependent, a string key is stable.
     val src = eventStream(spark, dir)
@@ -415,11 +459,10 @@ object Streaming {
   private val st10Stage = scala.collection.concurrent.TrieMap.empty[String, String]
   private def stagedSlices(spark: SparkSession, dir: String): String =
     st10Stage.getOrElseUpdate(dir, {
-      val srcFile = new java.io.File(s"$dir/events.parquet")
-      val fp = java.lang.Long.toHexString(
-        srcFile.lastModified() ^ (srcFile.length() * 1315423911L))
-      val stage =
-        s"${System.getProperty("java.io.tmpdir")}/graft_st10stage_${dir.hashCode.toHexString}_$fp"
+      val fp = contentFingerprint(new java.io.File(s"$dir/events.parquet"))
+      val prefix = s"graft_st10stage_${dir.hashCode.toHexString}_"
+      dropOldGenerations(prefix, fp)
+      val stage = s"${System.getProperty("java.io.tmpdir")}/$prefix$fp"
       val done = (0 until 3).forall(k => new java.io.File(s"$stage/slice_$k/_SUCCESS").exists())
       if (!done) {
         val ev = graft.Tables(spark, dir).events
@@ -457,29 +500,36 @@ object Streaming {
     val stateRoot = s"$stage-state"
     def versionPath(v: Long) = s"$stateRoot/state_v$v"
     val tsType = graft.Tables(spark, dir).events.schema // ts already micros timestamp
-    val src = spark.readStream
-      .schema(tsType)
-      .option("recursiveFileLookup", "true")
-      .option("maxFilesPerTrigger", "1") // one slice file = one epoch
-      .parquet(stage)
-    val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ss = batch.sparkSession
-        val delta = batch
-          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
-          .agg(sum(col("value")).as("s"), count(lit(1)).as("n"))
-        val merged =
-          if (batchId == 0) delta
-          else ss.read.parquet(versionPath(batchId - 1))
-            .unionByName(delta)
-            .groupBy(col("event_type"), col("d"))
-            .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
-        merged.write.mode("overwrite").parquet(versionPath(batchId))
-      }
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$stateRoot-ckpt")
-      .start()
-    q.awaitTermination()
+    // built under withStreamParallelism like st01–st09: the stream is
+    // STATELESS (merge state lives in the versioned parquet table, not
+    // a state store), so no checkpoint latch applies, but the
+    // foreachBatch merge aggregations shuffle at the isolated session's
+    // volume-derived partition count instead of the session default
+    withStreamParallelism(spark, dir) { s =>
+      val src = s.readStream
+        .schema(tsType)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1") // one slice file = one epoch
+        .parquet(stage)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ss = batch.sparkSession
+          val delta = batch
+            .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+            .agg(sum(col("value")).as("s"), count(lit(1)).as("n"))
+          val merged =
+            if (batchId == 0) delta
+            else ss.read.parquet(versionPath(batchId - 1))
+              .unionByName(delta)
+              .groupBy(col("event_type"), col("d"))
+              .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+          merged.write.mode("overwrite").parquet(versionPath(batchId))
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$stateRoot-ckpt")
+        .start()
+      q.awaitTermination()
+    }
     val versions = Option(new java.io.File(stateRoot).listFiles())
       .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("state_v"))
       .map(_.stripPrefix("state_v").toLong)

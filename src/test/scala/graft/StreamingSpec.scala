@@ -5,6 +5,28 @@ import org.apache.spark.sql.functions._
 
 class StreamingSpec extends SparkSpec {
 
+  test("staging fingerprint is content-based: same length + mtime, different bytes → different key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    def write(name: String, bytes: Array[Byte], mtime: Long): java.io.File = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath, bytes)
+      f.setLastModified(mtime)
+      f
+    }
+    val t0 = 1700000000000L
+    val a = write("a", Array.fill[Byte](1000)(1), t0)
+    val b = write("b", Array.fill[Byte](1000)(1), t0)
+    // regenerated in place: identical length, identical mtime, one byte
+    // of content differs (the failure mode mtime ^ length missed)
+    val c = write("c", Array.fill[Byte](1000)(1).updated(999, 2: Byte), t0)
+    assert(Streaming.contentFingerprint(a) == Streaming.contentFingerprint(b))
+    assert(Streaming.contentFingerprint(a) != Streaming.contentFingerprint(c))
+    // a large file differing only in its FOOTER region still re-keys
+    val big1 = write("d", Array.fill[Byte](200000)(7), t0)
+    val big2 = write("e", Array.fill[Byte](200000)(7).updated(199999, 8: Byte), t0)
+    assert(Streaming.contentFingerprint(big1) != Streaming.contentFingerprint(big2))
+  }
+
   test("st01 streaming window agg equals the batch plan") {
     val streamed = Streaming.st01.fn(spark, sf)
     val batch = graft.operators.Ingest.i17.fn(spark, sf)
@@ -100,9 +122,7 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     // the merge really ran incrementally: one state version per epoch,
     // three staged slice files → at least versions v0..v2 on disk
-    val srcFile = new java.io.File(s"$sf/events.parquet")
-    val fp = java.lang.Long.toHexString(
-      srcFile.lastModified() ^ (srcFile.length() * 1315423911L))
+    val fp = Streaming.contentFingerprint(new java.io.File(s"$sf/events.parquet"))
     val stateRoot = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_st10stage_${sf.hashCode.toHexString}_$fp-state")
     val versions = stateRoot.listFiles().map(_.getName).filter(_.startsWith("state_v"))
