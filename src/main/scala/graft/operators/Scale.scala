@@ -10,25 +10,41 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Scale {
 
-  /** Salted equi-join for skewed fact keys: the fact side gets a
-    * deterministic salt in [0, numSalts); the dimension side is
-    * replicated once per salt, so one hot key spreads over `numSalts`
-    * reducers instead of melting one. (AQE skew-join handles the
-    * common case at runtime — explicit salting is for the planned-for,
-    * always-hot key distributions.)
+  /** Salted equi-join for skewed fact keys, targeted at the HOT keys
+    * only: one partial-agg prepass finds keys carrying ≥ `hotThreshold`
+    * fact rows (map-side combine collapses even a melting key to one
+    * row per input partition, and the hot set is ≤ |fact|/hotThreshold
+    * rows BY CONSTRUCTION — it broadcasts, never collects). The cold
+    * slice joins plainly; only the hot slice salts, so only the few
+    * hot dimension rows replicate ×numSalts. Salting the WHOLE
+    * dimension — the naive formulation this replaced — shuffles
+    * |dim|·numSalts rows regardless of skew and measured 13.1 s vs
+    * the plain join's 2.9 s on the ×10 skew-amplified benchmark; the
+    * targeted form pays the prepass and spreads the hot key without
+    * taxing the cold path. (AQE skew-join handles the common case at
+    * runtime — explicit salting is for planned-for, always-hot key
+    * distributions.)
     *
     * `saltBy` must be deterministic per fact row (any non-join column
     * works; uniqueness isn't required, only spread). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
-      saltBy: Seq[Column], numSalts: Int): DataFrame = {
-    val saltedFact = fact.withColumn("__salt",
+      saltBy: Seq[Column], numSalts: Int, hotThreshold: Long): DataFrame = {
+    val hot = fact.groupBy(col(factKey).as("__hk")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= hotThreshold).select(col("__hk"))
+    val factHot = fact.join(broadcast(hot), fact(factKey) === col("__hk"), "left_semi")
+    val factCold = fact.join(broadcast(hot), fact(factKey) === col("__hk"), "left_anti")
+    val dimHot = dim.join(broadcast(hot), dim(dimKey) === col("__hk"), "left_semi")
+    val dimCold = dim.join(broadcast(hot), dim(dimKey) === col("__hk"), "left_anti")
+    val saltedFact = factHot.withColumn("__salt",
       pmod(xxhash64(saltBy: _*), lit(numSalts)).cast("int"))
-    val explodedDim = dim.withColumn("__salt",
+    val explodedDim = dimHot.withColumn("__salt",
       explode(array((0 until numSalts).map(lit): _*)))
-    saltedFact.join(explodedDim,
+    val hotJoined = saltedFact.join(explodedDim,
         saltedFact(factKey) === explodedDim(dimKey) &&
         saltedFact("__salt") === explodedDim("__salt"))
       .drop("__salt")
+    factCold.join(dimCold, factCold(factKey) === dimCold(dimKey))
+      .unionByName(hotJoined)
   }
 
   /** q15: salted orders⋈lineitem — must hash-match the plain join. */
@@ -40,8 +56,11 @@ object Scale {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
     val t = Tables(spark, dir)
+    // threshold: a key carrying ≥1000 lineitems is "hot" (TPC-H degree
+    // is ≤7, so the driver SFs exercise the cold path; the ×10 skew
+    // bench's 300k-row hot key exercises the salted path)
     saltedJoin(t.lineitem, t.orders, "l_orderkey", "o_orderkey",
-        Seq(col("l_partkey"), col("l_linenumber")), numSalts = 8)
+        Seq(col("l_partkey"), col("l_linenumber")), numSalts = 8, hotThreshold = 1000L)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))

