@@ -201,6 +201,140 @@ object Ingest {
         graft.QueryDef.roundBiased(col("s.b.y"), 4).as("y2"))
   }
 
+  /** Assemble [[contourSegments]] output into POLYLINE features — the
+    * LineString level of the reference's contour product: segments
+    * sharing an endpoint chain into one feature (`gdal_contour` emits
+    * one LineString per connected iso-line). Marching squares gives
+    * every crossing point degree ≤ 2, so features are simple open
+    * chains or closed rings; each output row is one feature with its
+    * segment count, open-end count (0 ⇔ ring), and total length.
+    *
+    * Distributed shape: connected components by min-label propagation
+    * over the segment graph (edges = segments meeting at a point, built
+    * by ONE self-join on the endpoint key — degree ≤ 2 bounds it), with
+    * a POINTER-DOUBLING jump each round (labels are node ids, so
+    * following the label's label squares the propagation distance):
+    * a thousand-segment coastline contour converges in O(log diameter)
+    * rounds, not O(diameter) — the d06 loop upgraded for path graphs.
+    * Per-round lineage is truncated by eager localCheckpoint (the d06
+    * lesson). Segment lengths round to the 1e-6 grid and sum as
+    * DECIMAL, so feature length is order-independent cross-engine;
+    * the representative label is the MIN segment id — an integer
+    * encoding of (level, cell, edge) the SQL oracle replays. */
+  def contourPolylines(segments: DataFrame, interval: Double): DataFrame = {
+    // deterministic integer segment id, replayable in SQL:
+    // ((k·4096 + cy+1)·4096 + cx+1)·4 + e1, k = level/interval
+    val sid = ((((col("level") / interval).cast("long") * 4096 +
+      col("cy") + 1) * 4096 + col("cx") + 1) * 4 + col("e1")).as("sid")
+    val segs = segments
+      .select(sid, col("level"), col("x1"), col("y1"), col("x2"), col("y2"))
+      .persist()
+    // endpoints: two rows per segment keyed by (level, point); degree
+    // ≤ 2 means the self-join below emits ≤ 2 edges per point
+    val ep = segs.select(col("level"), col("x1").as("px"), col("y1").as("py"), col("sid"))
+      .unionByName(segs.select(col("level"),
+        col("x2").as("px"), col("y2").as("py"), col("sid")))
+      .persist()
+    val edges0 = ep.select(col("level"), col("px"), col("py"), col("sid").as("u"))
+      .join(ep.select(col("level"), col("px"), col("py"), col("sid").as("v")),
+        Seq("level", "px", "py"))
+      .filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"))
+      .localCheckpoint(true)
+    // loop shuffles run at EDGE-LIST-sized parallelism (the d06
+    // discipline): a few thousand contour segments collapse to one
+    // partition — per-stage overhead dominates tiny iterations — while
+    // a continental grid fans back out to the cluster
+    val spark = segments.sparkSession
+    val nEdges = edges0.count()
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 100000L)).toInt
+    // Checkpoint AND reset statistics: LogicalRDD CARRIES the origin
+    // plan's size estimate through localCheckpoint, and a join plan
+    // multiplies its inputs' estimates — so the carried number is
+    // raised to the round's join fan-in every iteration, and within
+    // ~8 rounds the BigInt behind sizeInBytes has millions of bits and
+    // Catalyst spends minutes inside BigInteger.multiply (observed:
+    // 200+ s of driver CPU planning one round over 922 segments).
+    // Rebuilding the frame from the checkpointed RDD resets the
+    // estimate to the session default — constant-size stats, constant
+    // planning cost per round. (d06's loop survives without this only
+    // because it converges in a handful of rounds.)
+    def fresh(df: DataFrame, key: String): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema).repartition(parts, col(key))
+    }
+    // Components by ALTERNATING LARGE-STAR / SMALL-STAR contraction
+    // (Kiveris et al. 2014, "Connected Components in MapReduce and
+    // Beyond" — public algorithm): each half-round every node points
+    // its larger (large-star) or not-larger (small-star) neighbors at
+    // its neighborhood minimum; the edge set contracts into one star
+    // per component, center = component minimum, in O(log² n) rounds —
+    // measured 8–11 rounds on 200–5000-node chains where plain
+    // neighbor-min propagation (this loop's first cut) took one round
+    // PER HOP of chain diameter (72 rounds on a 922-segment region).
+    var e = fresh(edges0.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") =!= col("b")).distinct(), "a")
+    def star(cur: DataFrame, large: Boolean): DataFrame = {
+      val inc = cur.select(col("a").as("u"), col("b").as("v"))
+        .union(cur.select(col("b").as("u"), col("a").as("v")))
+        .repartition(parts, col("u"))
+      val mtab = inc.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val emitted =
+        if (large) inc.join(mtab, "u").filter(col("v") > col("u"))
+          .select(col("v").as("x"), col("m").as("y"))
+        else inc.join(mtab, "u").filter(col("v") <= col("u"))
+          .select(col("v").as("x"), col("m").as("y"))
+          .union(mtab.select(col("u").as("x"), col("m").as("y")))
+      emitted.select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    // the edge set is a SET, so an order-independent hash fold is a
+    // sound cheap convergence probe (stable set ⇒ stable fold); XOR
+    // can't overflow where an ANSI long sum of 64-bit hashes would
+    def edgeHash(df: DataFrame): Long =
+      df.agg(coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)))
+        .collect()(0).getLong(0)
+    var prevHash = edgeHash(e)
+    var converged = e.isEmpty
+    while (!converged) {
+      // one checkpoint per full round (the intra-round plan stays
+      // two star passes deep — bounded)
+      e = fresh(star(star(e, large = true), large = false), "a")
+      val h = edgeHash(e)
+      converged = h == prevHash
+      prevHash = h
+    }
+    // fixpoint = one star per component: every non-center node has
+    // exactly one edge (center, node); isolated segments stay their
+    // own single-segment feature
+    val comp = segs.select(col("sid"))
+      .join(e.select(col("b").as("sid"), col("a").as("ctr")), Seq("sid"), "left")
+      .select(col("sid"), coalesce(col("ctr"), col("sid")).as("comp"))
+    // per-feature stats: segment lengths on the 1e-6 decimal grid sum
+    // order-independently; an endpoint seen once in its component is an
+    // open end (interior points appear twice)
+    val segLen = graft.QueryDef
+      .roundBiased(sqrt((col("x2") - col("x1")) * (col("x2") - col("x1")) +
+        (col("y2") - col("y1")) * (col("y2") - col("y1"))), 6)
+      .cast("decimal(18,6)")
+    val lens = segs.join(comp, "sid")
+      .groupBy(col("level"), col("comp"))
+      .agg(count(lit(1)).as("n_segs"), sum(segLen).as("len"))
+    val openEnds = ep.join(comp, "sid")
+      .groupBy(col("level"), col("comp"), col("px"), col("py"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy(col("level"), col("comp"))
+      .agg(count(when(col("deg") === 1, 1)).as("n_open_ends"))
+    lens.join(openEnds, Seq("level", "comp"))
+      .select(col("level"), col("comp"), col("n_segs"), col("n_open_ends"),
+        (col("n_open_ends") === 0).as("closed"),
+        graft.QueryDef.roundBiased(col("len").cast("double"), 4).as("length"))
+  }
+
   /** Bounding-box clip — reference `clip_to_africa`
     * (`ingest/__init__.py:50`) reduced to its relational core: a 2-D
     * range predicate that pushes down to the scan. */
@@ -1577,54 +1711,68 @@ object Ingest {
     * same corner gather, the same level range, the same edge-order
     * pairing (LEAD over crossing edges sorted by edge index), the same
     * interpolation arithmetic on the same 1e-4-rounded operands. */
+  /** The marching-squares CTE chain shared by the i39/i39b oracles, up
+    * to `seg` = the rounded per-(cell, level) segments. `ptsWhere`
+    * restricts the point grid (i39b bounds the recursive closure);
+    * `recursive` switches the WITH form for oracles that append a
+    * recursive CTE. */
+  private def contourSegCtes(ptsWhere: String, recursive: Boolean): String = {
+    val withKw = if (recursive) "WITH RECURSIVE" else "WITH"
+    s"""$withKw g AS (
+       |  SELECT CAST(user_id AS INTEGER) AS y, CAST(event_id % 128 AS INTEGER) AS x,
+       |         CASE WHEN value < 5.0 THEN NULL ELSE value END AS v
+       |  FROM events),
+       |pts0 AS (SELECT CAST(y // 4 AS INTEGER) AS py, CAST(x // 4 AS INTEGER) AS px,
+       |        ROUND(SUM(v) / COUNT(v) + 1e-9, 4) AS v
+       |        FROM g GROUP BY 1, 2 HAVING COUNT(v) > 0),
+       |pts AS (SELECT * FROM pts0 $ptsWhere),
+       |sp AS (SELECT px - dx AS cx, py - dy AS cy, dx, dy, v
+       |       FROM pts CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)),
+       |corners AS (
+       |  SELECT cx, cy,
+       |    MAX(CASE WHEN dx = 0 AND dy = 0 THEN v END) AS v00,
+       |    MAX(CASE WHEN dx = 1 AND dy = 0 THEN v END) AS v10,
+       |    MAX(CASE WHEN dx = 0 AND dy = 1 THEN v END) AS v01,
+       |    MAX(CASE WHEN dx = 1 AND dy = 1 THEN v END) AS v11
+       |  FROM sp GROUP BY 1, 2 HAVING COUNT(*) = 4),
+       |ks AS (SELECT *, UNNEST(RANGE(CAST(CEIL(LEAST(v00, v10, v01, v11) / 25) AS BIGINT),
+       |         CAST(FLOOR(GREATEST(v00, v10, v01, v11) / 25) AS BIGINT) + 1)) AS k
+       |       FROM corners),
+       |lv AS (SELECT cx, cy, v00, v10, v01, v11, CAST(25.0 AS DOUBLE) * k AS L FROM ks),
+       |edges AS (
+       |  SELECT cx, cy, L, e, ex, ey FROM (
+       |    SELECT cx, cy, L, 0 AS e,
+       |      cx + (L - v00) / NULLIF(v10 - v00, 0) AS ex, CAST(cy AS DOUBLE) AS ey,
+       |      (v00 >= L) <> (v10 >= L) AS c FROM lv
+       |    UNION ALL SELECT cx, cy, L, 1,
+       |      CAST(cx + 1 AS DOUBLE), cy + (L - v10) / NULLIF(v11 - v10, 0),
+       |      (v10 >= L) <> (v11 >= L) FROM lv
+       |    UNION ALL SELECT cx, cy, L, 2,
+       |      cx + (L - v01) / NULLIF(v11 - v01, 0), CAST(cy + 1 AS DOUBLE),
+       |      (v01 >= L) <> (v11 >= L) FROM lv
+       |    UNION ALL SELECT cx, cy, L, 3,
+       |      CAST(cx AS DOUBLE), cy + (L - v00) / NULLIF(v01 - v00, 0),
+       |      (v00 >= L) <> (v01 >= L) FROM lv) u
+       |  WHERE c),
+       |paired AS (
+       |  SELECT cx, cy, L, e, ex, ey,
+       |    ROW_NUMBER() OVER (PARTITION BY cx, cy, L ORDER BY e) - 1 AS r,
+       |    LEAD(ex) OVER (PARTITION BY cx, cy, L ORDER BY e) AS nx,
+       |    LEAD(ey) OVER (PARTITION BY cx, cy, L ORDER BY e) AS ny
+       |  FROM edges),
+       |seg AS (
+       |  SELECT L AS level, cx, cy, e AS e1,
+       |    ROUND(ex + 1e-9, 4) AS x1, ROUND(ey + 1e-9, 4) AS y1,
+       |    ROUND(nx + 1e-9, 4) AS x2, ROUND(ny + 1e-9, 4) AS y2
+       |  FROM paired WHERE r % 2 = 0)""".stripMargin
+  }
+
   val i39 = QueryDef(
     "i39_contour_segments",
-    """WITH g AS (
-      |  SELECT CAST(user_id AS INTEGER) AS y, CAST(event_id % 128 AS INTEGER) AS x,
-      |         CASE WHEN value < 5.0 THEN NULL ELSE value END AS v
-      |  FROM events),
-      |pts AS (SELECT CAST(y // 4 AS INTEGER) AS py, CAST(x // 4 AS INTEGER) AS px,
-      |        ROUND(SUM(v) / COUNT(v) + 1e-9, 4) AS v
-      |        FROM g GROUP BY 1, 2 HAVING COUNT(v) > 0),
-      |sp AS (SELECT px - dx AS cx, py - dy AS cy, dx, dy, v
-      |       FROM pts CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)),
-      |corners AS (
-      |  SELECT cx, cy,
-      |    MAX(CASE WHEN dx = 0 AND dy = 0 THEN v END) AS v00,
-      |    MAX(CASE WHEN dx = 1 AND dy = 0 THEN v END) AS v10,
-      |    MAX(CASE WHEN dx = 0 AND dy = 1 THEN v END) AS v01,
-      |    MAX(CASE WHEN dx = 1 AND dy = 1 THEN v END) AS v11
-      |  FROM sp GROUP BY 1, 2 HAVING COUNT(*) = 4),
-      |ks AS (SELECT *, UNNEST(RANGE(CAST(CEIL(LEAST(v00, v10, v01, v11) / 25) AS BIGINT),
-      |         CAST(FLOOR(GREATEST(v00, v10, v01, v11) / 25) AS BIGINT) + 1)) AS k
-      |       FROM corners),
-      |lv AS (SELECT cx, cy, v00, v10, v01, v11, CAST(25.0 AS DOUBLE) * k AS L FROM ks),
-      |edges AS (
-      |  SELECT cx, cy, L, e, ex, ey FROM (
-      |    SELECT cx, cy, L, 0 AS e,
-      |      cx + (L - v00) / NULLIF(v10 - v00, 0) AS ex, CAST(cy AS DOUBLE) AS ey,
-      |      (v00 >= L) <> (v10 >= L) AS c FROM lv
-      |    UNION ALL SELECT cx, cy, L, 1,
-      |      CAST(cx + 1 AS DOUBLE), cy + (L - v10) / NULLIF(v11 - v10, 0),
-      |      (v10 >= L) <> (v11 >= L) FROM lv
-      |    UNION ALL SELECT cx, cy, L, 2,
-      |      cx + (L - v01) / NULLIF(v11 - v01, 0), CAST(cy + 1 AS DOUBLE),
-      |      (v01 >= L) <> (v11 >= L) FROM lv
-      |    UNION ALL SELECT cx, cy, L, 3,
-      |      CAST(cx AS DOUBLE), cy + (L - v00) / NULLIF(v01 - v00, 0),
-      |      (v00 >= L) <> (v01 >= L) FROM lv) u
-      |  WHERE c),
-      |paired AS (
-      |  SELECT cx, cy, L, e, ex, ey,
-      |    ROW_NUMBER() OVER (PARTITION BY cx, cy, L ORDER BY e) - 1 AS r,
-      |    LEAD(ex) OVER (PARTITION BY cx, cy, L ORDER BY e) AS nx,
-      |    LEAD(ey) OVER (PARTITION BY cx, cy, L ORDER BY e) AS ny
-      |  FROM edges)
-      |SELECT L AS level, cx, cy, e AS e1,
-      |  ROUND(ex + 1e-9, 4) AS x1, ROUND(ey + 1e-9, 4) AS y1,
-      |  ROUND(nx + 1e-9, 4) AS x2, ROUND(ny + 1e-9, 4) AS y2
-      |FROM paired WHERE r % 2 = 0
-      |ORDER BY level, cy, cx, e1""".stripMargin) { (spark, dir) =>
+    contourSegCtes("", recursive = false) +
+      """
+        |SELECT level, cx, cy, e1, x1, y1, x2, y2 FROM seg
+        |ORDER BY level, cy, cx, e1""".stripMargin) { (spark, dir) =>
     val pts = eventCells(Tables(spark, dir).events)
       .filter(col("n") > 0)
       .select(col("xc").as("px"), col("yc").as("py"),
@@ -1633,9 +1781,53 @@ object Ingest {
       .orderBy(col("level"), col("cy"), col("cx"), col("e1"))
   }
 
+  /** i39b: contour POLYLINE assembly — [[contourPolylines]] over the
+    * i39 segments on a bounded 24×24 sub-grid (the oracle's recursive
+    * reachability closure is quadratic per component, so the oracled
+    * region stays bounded; the Spark path is the pointer-doubling
+    * label loop and scales to the full grid). One feature row per
+    * connected iso-line with segment count, open ends, and length —
+    * the LineString level of `gdal_contour`'s output. */
+  val i39b = QueryDef(
+    "i39b_contour_polylines",
+    contourSegCtes("WHERE px < 24 AND py < 24", recursive = true) +
+      """,
+        |sidt AS (SELECT ((CAST(level / 25 AS BIGINT) * 4096 + cy + 1) * 4096
+        |    + cx + 1) * 4 + e1 AS sid, level, x1, y1, x2, y2 FROM seg),
+        |epp AS (SELECT level, x1 AS px, y1 AS py, sid FROM sidt
+        |        UNION ALL SELECT level, x2, y2, sid FROM sidt),
+        |adj AS (SELECT a.sid AS u, b.sid AS v FROM epp a JOIN epp b
+        |        ON a.level = b.level AND a.px = b.px AND a.py = b.py
+        |       AND a.sid <> b.sid),
+        |reach AS (SELECT sid AS id, sid AS r FROM sidt
+        |          UNION
+        |          SELECT reach.id, a.v FROM reach JOIN adj a ON reach.r = a.u),
+        |compt AS (SELECT id AS sid, MIN(r) AS comp FROM reach GROUP BY id),
+        |lens AS (SELECT s.level, c.comp, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |    SUM(CAST(ROUND(SQRT((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+        |      + 1e-9, 6) AS DECIMAL(18,6))) AS len
+        |  FROM sidt s JOIN compt c USING (sid) GROUP BY 1, 2),
+        |degs AS (SELECT e.level, c.comp, e.px, e.py, COUNT(*) AS deg
+        |  FROM epp e JOIN compt c USING (sid) GROUP BY 1, 2, 3, 4),
+        |opens AS (SELECT level, comp,
+        |    CAST(COUNT(*) FILTER (WHERE deg = 1) AS BIGINT) AS n_open_ends
+        |  FROM degs GROUP BY 1, 2)
+        |SELECT level, comp, n_segs, n_open_ends, n_open_ends = 0 AS closed,
+        |  ROUND(CAST(len AS DOUBLE) + 1e-9, 4) AS length
+        |FROM lens JOIN opens USING (level, comp)
+        |ORDER BY level, comp""".stripMargin) { (spark, dir) =>
+    val pts = eventCells(Tables(spark, dir).events)
+      .filter(col("n") > 0)
+      .select(col("xc").as("px"), col("yc").as("py"),
+        graft.QueryDef.roundBiased(col("sum_v") / col("n"), 4).as("v"))
+      .filter(col("px") < 24 && col("py") < 24)
+    contourPolylines(contourSegments(pts, 25.0), 25.0)
+      .orderBy(col("level"), col("comp"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
-    i39)
+    i39, i39b)
 }

@@ -485,6 +485,45 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("i39b polyline assembly: peak field chains into closed rings, gradient into an open path") {
+    import spark.implicits._
+    // 3×3 points, hot center: each of levels 25/50/75 cuts all four
+    // cells once → one CLOSED 4-segment diamond ring per level
+    val peak = (for (y <- 0 to 2; x <- 0 to 2)
+      yield (x, y, if (x == 1 && y == 1) 95.0 else 10.0)).toDF("px", "py", "v")
+    val rings = Ingest.contourPolylines(Ingest.contourSegments(peak, 25.0), 25.0)
+      .orderBy(col("level")).collect()
+    assert(rings.length == 3)
+    assert(rings.map(_.getAs[Double]("level")).toSeq == Seq(25.0, 50.0, 75.0))
+    rings.foreach { r =>
+      assert(r.getAs[Long]("n_segs") == 4, s"ring should have 4 segments: $r")
+      assert(r.getAs[Long]("n_open_ends") == 0 && r.getAs[Boolean]("closed"))
+      assert(r.getAs[Double]("length") > 0.0)
+    }
+    // higher levels hug the peak tighter: ring length strictly decreases
+    val lengths = rings.map(_.getAs[Double]("length"))
+    assert(lengths.sliding(2).forall { case Array(a, b) => a > b })
+
+    // 3×3 gradient in x: the level-25 line is a vertical chain of two
+    // segments sharing one interior point — one OPEN feature
+    val grad = (for (y <- 0 to 2; x <- 0 to 2)
+      yield (x, y, Seq(10.0, 10.0, 40.0)(x))).toDF("px", "py", "v")
+    val path = Ingest.contourPolylines(Ingest.contourSegments(grad, 25.0), 25.0).collect()
+    assert(path.length == 1)
+    assert(path.head.getAs[Long]("n_segs") == 2)
+    assert(path.head.getAs[Long]("n_open_ends") == 2 && !path.head.getAs[Boolean]("closed"))
+    assert(math.abs(path.head.getAs[Double]("length") - 2.0) < 1e-6)
+
+    // two peaks far apart at the same level stay two separate features
+    val twoPeaks = (for (y <- 0 to 2; x <- 0 to 6)
+      yield (x, y, if (y == 1 && (x == 1 || x == 5)) 95.0 else 10.0))
+      .toDF("px", "py", "v")
+    val two = Ingest.contourPolylines(Ingest.contourSegments(twoPeaks, 25.0), 25.0)
+      .filter(col("level") === 25.0).collect()
+    assert(two.length == 2, s"expected two features, got ${two.toSeq}")
+    assert(two.forall(r => r.getAs[Long]("n_segs") == 4 && r.getAs[Boolean]("closed")))
+  }
+
   test("i33 dekad product: anomaly = total - normal, sentinel only without history") {
     val rows = Ingest.i33.fn(spark, sf).collect()
     assert(rows.nonEmpty)
