@@ -392,77 +392,23 @@ object Dedup {
     * cluster resolution keeps exactly one representative (the min id)
     * per component.
     *
-    * Algorithm: iterative min-label propagation — each node starts
-    * labeled with its own id; every round, a node adopts the minimum
-    * label among itself and its neighbors, until a fixpoint. Rounds =
-    * component diameter; near-dup clusters are shallow (boilerplate
-    * families), so this converges in a handful of single-shuffle join
-    * rounds with nothing ever collected to the driver — the standard
-    * MapReduce-CC shape, no graph library needed. */
+    * Components come from the shared star-contraction core
+    * ([[Components.minLabel]]): O(log²) rounds regardless of component
+    * shape — the previous per-round min-label propagation converged
+    * fast on shallow boilerplate families but costs one round PER HOP
+    * of diameter, which a transitive paraphrase CHAIN (each doc a
+    * small edit of the previous) turns into a melting loop at corpus
+    * scale. Nothing is ever collected to the driver. */
   private[graft] def dupClusters(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    // eager materialization: `pairs` is referenced by BOTH union
-    // branches below, and a lazily-filled cache would let them
+    // eager materialization: the component core references the pair
+    // list repeatedly, and a lazily-filled cache would let branches
     // recompute the (much more expensive) candidate/confirm subtree
     // concurrently
     val p = pairs.persist()
-    val nEdges = p.count() * 2
-    // iteration joins run on a parallelism sized to the EDGE LIST, not
-    // the session default — a few hundred confirmed pairs collapse to
-    // one partition (per-stage overhead dominates tiny iterations),
-    // while a web-scale edge list fans back out to the full cluster
-    val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, nEdges / 100000L)).toInt
-    // the iteration shuffles run at the same edge-sized parallelism,
-    // scoped PER PLAN rather than by mutating session confs (queries
-    // running concurrently on this session are unaffected). The loop is
-    // laid out so each round needs exactly ONE exchange: `edges` is
-    // CACHED pre-partitioned on the probe key (nbr), `labels` stays
-    // hash-partitioned on id across rounds (alias-aware partitioning
-    // carries it through the nbr rename), so the neighbor join and the
-    // final label join are both exchange-free SMJs and only the
-    // groupBy(src) repartition moves data.
-    val Seq(c1, c2) = p.columns.take(2).toSeq
-    val edges = p.select(col(c1).as("src"), col(c2).as("nbr"))
-      .union(p.select(col(c2).as("src"), col(c1).as("nbr")))
-      .repartition(parts, col("nbr")).persist()
-    // localCheckpoint (eager) rather than persist: the loop rebuilds
-    // `labels` from itself every round, and a persisted frame still
-    // CARRIES its full lineage — Catalyst re-analyzes a plan that grows
-    // by one round's joins per iteration, so round wall-time grows
-    // super-linearly (measured on p05: 0.7→0.9→1.9→5.9 s over 4
-    // rounds). Checkpointing truncates the lineage to a LogicalRDD
-    // (partitioning preserved), keeping every round's plan — and cost —
-    // constant. At cluster scale the same call swaps for a reliable
-    // checkpoint dir; the loop shape is unchanged.
-    var labels = edges.select(col("src").as("id"))
-      .repartition(parts, col("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint(true)
-    // labels only ever DECREASE, so Σlabel strictly decreases while
-    // any node still changes — an agg is a cheaper convergence probe
-    // than a self-join diff (one job, no extra shuffle). coalesce:
-    // sum over an EMPTY label set (no near-dups at all) is NULL.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    while (!converged) {
-      val nbrMin = edges
-        .join(labels.toDF("nbr", "nbr_label"), "nbr")
-        .repartition(parts, col("src"))
-        .groupBy(col("src").as("id")).agg(min(col("nbr_label")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      labels.unpersist()
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
-    }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    p.count()
+    // near-dup pair lists are already distinct with id1 < id2 (the
+    // bucket-pairing invariant) — skip the canonicalization shuffle
+    Components.minLabel(p, canonical = true).toDF("doc_id", "cluster_id")
   }
 
   /** d06: near-dup clusters on the portable md5-minhash pair graph —

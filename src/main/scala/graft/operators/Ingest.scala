@@ -240,79 +240,11 @@ object Ingest {
         Seq("level", "px", "py"))
       .filter(col("u") =!= col("v"))
       .select(col("u"), col("v"))
-      .localCheckpoint(true)
-    // loop shuffles run at EDGE-LIST-sized parallelism (the d06
-    // discipline): a few thousand contour segments collapse to one
-    // partition — per-stage overhead dominates tiny iterations — while
-    // a continental grid fans back out to the cluster
-    val spark = segments.sparkSession
-    val nEdges = edges0.count()
-    val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, nEdges / 100000L)).toInt
-    // Checkpoint AND reset statistics: LogicalRDD CARRIES the origin
-    // plan's size estimate through localCheckpoint, and a join plan
-    // multiplies its inputs' estimates — so the carried number is
-    // raised to the round's join fan-in every iteration, and within
-    // ~8 rounds the BigInt behind sizeInBytes has millions of bits and
-    // Catalyst spends minutes inside BigInteger.multiply (observed:
-    // 200+ s of driver CPU planning one round over 922 segments).
-    // Rebuilding the frame from the checkpointed RDD resets the
-    // estimate to the session default — constant-size stats, constant
-    // planning cost per round. (d06's loop survives without this only
-    // because it converges in a handful of rounds.)
-    def fresh(df: DataFrame, key: String): DataFrame = {
-      val ck = df.localCheckpoint(true)
-      ck.sparkSession.createDataFrame(ck.rdd, ck.schema).repartition(parts, col(key))
-    }
-    // Components by ALTERNATING LARGE-STAR / SMALL-STAR contraction
-    // (Kiveris et al. 2014, "Connected Components in MapReduce and
-    // Beyond" — public algorithm): each half-round every node points
-    // its larger (large-star) or not-larger (small-star) neighbors at
-    // its neighborhood minimum; the edge set contracts into one star
-    // per component, center = component minimum, in O(log² n) rounds —
-    // measured 8–11 rounds on 200–5000-node chains where plain
-    // neighbor-min propagation (this loop's first cut) took one round
-    // PER HOP of chain diameter (72 rounds on a 922-segment region).
-    var e = fresh(edges0.select(least(col("u"), col("v")).as("a"),
-      greatest(col("u"), col("v")).as("b"))
-      .filter(col("a") =!= col("b")).distinct(), "a")
-    def star(cur: DataFrame, large: Boolean): DataFrame = {
-      val inc = cur.select(col("a").as("u"), col("b").as("v"))
-        .union(cur.select(col("b").as("u"), col("a").as("v")))
-        .repartition(parts, col("u"))
-      val mtab = inc.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val emitted =
-        if (large) inc.join(mtab, "u").filter(col("v") > col("u"))
-          .select(col("v").as("x"), col("m").as("y"))
-        else inc.join(mtab, "u").filter(col("v") <= col("u"))
-          .select(col("v").as("x"), col("m").as("y"))
-          .union(mtab.select(col("u").as("x"), col("m").as("y")))
-      emitted.select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-    }
-    // the edge set is a SET, so an order-independent hash fold is a
-    // sound cheap convergence probe (stable set ⇒ stable fold); XOR
-    // can't overflow where an ANSI long sum of 64-bit hashes would
-    def edgeHash(df: DataFrame): Long =
-      df.agg(coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)))
-        .collect()(0).getLong(0)
-    var prevHash = edgeHash(e)
-    var converged = e.isEmpty
-    while (!converged) {
-      // one checkpoint per full round (the intra-round plan stays
-      // two star passes deep — bounded)
-      e = fresh(star(star(e, large = true), large = false), "a")
-      val h = edgeHash(e)
-      converged = h == prevHash
-      prevHash = h
-    }
-    // fixpoint = one star per component: every non-center node has
-    // exactly one edge (center, node); isolated segments stay their
-    // own single-segment feature
+    // components via the shared star-contraction core ([[Components]]);
+    // isolated segments (no shared endpoint) stay their own
+    // single-segment feature via the left join
     val comp = segs.select(col("sid"))
-      .join(e.select(col("b").as("sid"), col("a").as("ctr")), Seq("sid"), "left")
+      .join(Components.minLabel(edges0).toDF("sid", "ctr"), Seq("sid"), "left")
       .select(col("sid"), coalesce(col("ctr"), col("sid")).as("comp"))
     // per-feature stats: segment lengths on the 1e-6 decimal grid sum
     // order-independently; an endpoint seen once in its component is an
