@@ -183,5 +183,101 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03)
+  /** One blob's perceptual fingerprint. */
+  final case class BlobFp(doc_id: Long, fp: Long)
+
+  /** m04: multimodal payload NEAR-DUP — the average-hash (aHash)
+    * perceptual dedup recipe on opaque binary payloads, closing the
+    * multimodal family with the dedup family's machinery: each payload
+    * reduces per-partition to a 60-bit fingerprint (60 byte blocks of
+    * the first 4 KiB; bit i = block i's mean byte ≥ the overall mean —
+    * compared as exact integers, blockSum·60 ≥ totalSum, so both
+    * engines agree bit-for-bit), then d03's Hamming machinery runs
+    * columnar: 4 bands × 15 bits bucket candidates (capped — a flood
+    * of identical thumbnails can't go quadratic), BIT_COUNT(XOR) ≤ 6
+    * confirms. A real build swaps the byte blocks for downscaled
+    * pixel/spectrogram blocks inside the same per-partition loop; the
+    * banding, capping, pairing, and confirm are the production path
+    * unchanged. Fully integer — fingerprints, bands, and Hamming
+    * distances all DuckDB-oracled. */
+  val m04 = QueryDef(
+    "m04_payload_neardup",
+    """WITH f AS (
+      |  SELECT doc_id, text, LEAST(LENGTH(text), 4096) AS n
+      |  FROM documents
+      |  WHERE doc_id % 2 = 0 AND LENGTH(text) >= 64
+      |    AND LENGTH(text) = OCTET_LENGTH(ENCODE(text))),
+      |blk AS (
+      |  SELECT doc_id, n // 60 AS s, UNNEST(RANGE(60)) AS i, text FROM f),
+      |bsum AS (
+      |  SELECT doc_id, i,
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(0, s), j ->
+      |      CAST(ASCII(SUBSTR(text, CAST(i * s + j + 1 AS INTEGER), 1)) AS BIGINT)))
+      |      AS bs
+      |  FROM blk),
+      |tot AS (SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS ts FROM bsum GROUP BY doc_id),
+      |fp AS (
+      |  SELECT b.doc_id,
+      |    CAST(SUM(CASE WHEN b.bs * 60 >= t.ts
+      |      THEN CAST(1 AS BIGINT) << b.i ELSE 0 END) AS BIGINT) AS fp
+      |  FROM bsum b JOIN tot t USING (doc_id) GROUP BY b.doc_id),
+      |bands AS (
+      |  SELECT doc_id, j AS band_idx, (fp >> CAST(15 * j AS INTEGER)) & 32767 AS band_val
+      |  FROM fp, (SELECT UNNEST(RANGE(4)) AS j) r),
+      |bandc AS (SELECT doc_id, band_idx, band_val FROM (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz FROM bands) t
+      |  WHERE bsz <= 64),
+      |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bandc a JOIN bandc b ON a.band_idx = b.band_idx
+      |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+      |SELECT c.id1, c.id2,
+      |  CAST(BIT_COUNT(XOR(f1.fp, f2.fp)) AS INTEGER) AS hamming
+      |FROM cand c JOIN fp f1 ON f1.doc_id = c.id1
+      |            JOIN fp f2 ON f2.doc_id = c.id2
+      |WHERE BIT_COUNT(XOR(f1.fp, f2.fp)) <= 6
+      |ORDER BY id1, id2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val blobs = Tables(spark, dir).documents
+      .filter(col("doc_id") % 2 === 0 && length(col("text")) >= 64 &&
+        length(col("text")) === octet_length(col("text")))
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .as[Blob]
+    // per-partition fingerprinting: the batch byte loop a real decoder
+    // would run (aHash over downscaled blocks), stubbed on raw bytes
+    val fps = blobs.mapPartitions { iter =>
+      iter.map { b =>
+        val n = math.min(b.payload.length, 4096)
+        val s = n / 60
+        val sums = new Array[Long](60)
+        var i = 0
+        while (i < 60) {
+          var acc = 0L
+          var j = 0
+          while (j < s) { acc += (b.payload(i * s + j) & 0xff); j += 1 }
+          sums(i) = acc
+          i += 1
+        }
+        val ts = sums.sum
+        var fp = 0L
+        i = 0
+        while (i < 60) { if (sums(i) * 60 >= ts) fp |= 1L << i; i += 1 }
+        BlobFp(b.doc_id, fp)
+      }
+    }.toDF().persist()
+    // from here the dedup family's columnar machinery takes over:
+    // banded candidates (capped buckets) + Hamming confirm
+    val bands = fps
+      .withColumn("band_idx", explode(sequence(lit(0), lit(3))))
+      .select(col("doc_id"),
+        col("band_idx"), expr("shiftright(fp, 15 * band_idx) & 32767").as("band_val"))
+    Dedup.bucketPairs(bands.select(col("doc_id"), col("band_idx"), col("band_val")))
+      .join(fps.toDF("id1", "fp1"), "id1")
+      .join(fps.toDF("id2", "fp2"), "id2")
+      .select(col("id1"), col("id2"),
+        expr("cast(bit_count(fp1 ^ fp2) as int)").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04)
 }

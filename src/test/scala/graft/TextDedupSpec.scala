@@ -266,6 +266,44 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("m04 payload near-dup: pairs match a direct aHash recompute, exact dups at hamming 0") {
+    // direct reimplementation of the 60-block average-hash
+    def fingerprint(text: String): Long = {
+      val bytes = text.getBytes("UTF-8")
+      val n = math.min(bytes.length, 4096)
+      val s = n / 60
+      val sums = Array.tabulate(60)(i =>
+        (0 until s).map(j => (bytes(i * s + j) & 0xff).toLong).sum)
+      val ts = sums.sum
+      (0 until 60).foldLeft(0L)((acc, i) =>
+        if (sums(i) * 60 >= ts) acc | (1L << i) else acc)
+    }
+    val pairs = Multimodal.m04.fn(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    val texts = Tables(spark, sf).documents
+      .filter(col("doc_id") % 2 === 0 && length(col("text")) >= 64 &&
+        length(col("text")) === octet_length(col("text")))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.foreach { p =>
+      val (i1, i2) = (p.getAs[Long]("id1"), p.getAs[Long]("id2"))
+      val want = java.lang.Long.bitCount(fingerprint(texts(i1)) ^ fingerprint(texts(i2)))
+      assert(p.getAs[Int]("hamming") == want, s"pair ($i1, $i2)")
+      assert(want <= 6)
+    }
+    // the corpus has exact duplicate families — identical payloads must
+    // surface at hamming 0
+    assert(pairs.exists(_.getAs[Int]("hamming") == 0))
+    // and every exact-dup SAMPLED pair is found (aHash of identical
+    // bytes always collides in every band)
+    val exactPairs = texts.toSeq.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.combinations(2).map(c => (c(0), c(1))))
+      .toSet
+    val got = pairs.map(p => (p.getAs[Long]("id1"), p.getAs[Long]("id2"))).toSet
+    assert(exactPairs.subsetOf(got),
+      s"missing exact-dup pairs: ${exactPairs.diff(got).take(3)}")
+  }
+
   test("t08 tf-idf: at most 3 terms per doc, scores non-negative") {
     val rows = TextAnalysis.t08.fn(spark, sf).collect()
     assert(rows.nonEmpty)
