@@ -411,11 +411,10 @@ object Dedup {
     Components.minLabel(p, canonical = true).toDF("doc_id", "cluster_id")
   }
 
-  /** d06: near-dup clusters on the portable md5-minhash pair graph —
-    * DuckDB replicates the label propagation with a recursive
-    * reachability CTE (min reachable id == min label at fixpoint). */
-  val d06 = QueryDef(
-    "d06_dup_clusters",
+  /** SQL prefix shared by the d06/d12 oracles: the portable
+    * md5-minhash pipeline up to `conf` (confirmed near-dup pairs) and
+    * `reach`/`clusters` (recursive reachability = min-label fixpoint). */
+  private val md5ClusterCtes: String =
     """WITH RECURSIVE
       |toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
       |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
@@ -448,9 +447,14 @@ object Dedup {
       |reach AS (
       |  SELECT DISTINCT src AS id, src AS r FROM edges
       |  UNION
-      |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src)
-      |SELECT id AS doc_id, MIN(r) AS cluster_id
-      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+      |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+      |             FROM reach GROUP BY id)""".stripMargin
+
+  /** The d06 pipeline up to confirmed pairs: md5-minhash banding →
+    * capped buckets → two-tier confirm. Shared by d06 and d12. */
+  private[graft] def md5ConfirmedPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
     val sh = docShingles(Tables(spark, dir).documents).persist()
     val sigs = md5MinhashSigTable(sh, "doc_id", "sh").persist()
     val cand = bucketPairs(bandsFromSigs(sigs, "doc_id"))
@@ -461,12 +465,72 @@ object Dedup {
       .filter(size(filter(zip_with(col("sv1"), col("sv2"), (a, b) => a === b), x => x))
         .cast("double") / 16 >= 0.15)
       .select(col("id1"), col("id2"))
-    val confirmed = estKept
+    estKept
       .join(sh.toDF("id1", "sh1"), "id1")
       .join(sh.toDF("id2", "sh2"), "id2")
       .filter(jaccard(col("sh1"), col("sh2")) >= 0.3)
       .select(col("id1"), col("id2")).persist()
-    dupClusters(confirmed).orderBy(col("doc_id"))
+  }
+
+  /** d06: near-dup clusters on the portable md5-minhash pair graph —
+    * DuckDB replicates the label propagation with a recursive
+    * reachability CTE (min reachable id == min label at fixpoint). */
+  val d06 = QueryDef(
+    "d06_dup_clusters",
+    md5ClusterCtes +
+      """
+        |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin) {
+    (spark, dir) =>
+      dupClusters(md5ConfirmedPairs(spark, dir)).orderBy(col("doc_id"))
+  }
+
+  /** d12: cluster REPRESENTATIVE selection — the retention policy on
+    * top of d06's components: production curation keeps the BEST copy
+    * of a near-dup cluster (here the most complete one: max token
+    * count, doc_id tie-break), not the arbitrary min-id member — a
+    * boilerplate family usually has one full article and many
+    * truncated scrapes, and min-id keeps whichever was crawled first.
+    * One row per multi-member cluster: the representative, its token
+    * count, members, and the tokens dropped with the losers.
+    *
+    * Scale shape: d06's pair machinery + component core unchanged; the
+    * selection is ONE window over (cluster) ordered by (tokens desc,
+    * id) — rank only, linear in cluster size — plus the per-cluster
+    * aggregate. Token counts ride in from a map-side projection. */
+  val d12 = QueryDef(
+    "d12_cluster_representative",
+    md5ClusterCtes +
+      """,
+        |ct AS (SELECT c.doc_id, c.cluster_id,
+        |    CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tok
+        |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+        |ranked AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                       ORDER BY n_tok DESC, doc_id) AS rn
+        |  FROM ct)
+        |SELECT r.cluster_id, r.doc_id AS keep_id, r.n_tok AS keep_tok,
+        |  CAST(s.n_members AS BIGINT) AS n_members,
+        |  CAST(s.total_tok - r.n_tok AS BIGINT) AS dropped_tok
+        |FROM ranked r JOIN (
+        |  SELECT cluster_id, COUNT(*) AS n_members, SUM(n_tok) AS total_tok
+        |  FROM ct GROUP BY cluster_id) s USING (cluster_id)
+        |WHERE r.rn = 1
+        |ORDER BY cluster_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(md5ConfirmedPairs(spark, dir))
+    val ct = clusters.join(
+      Tables(spark, dir).documents
+        .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tok")),
+      "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+    ct.withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("total_tok", sum(col("n_tok")).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_tok").as("keep_tok"),
+        col("n_members"), (col("total_tok") - col("n_tok")).as("dropped_tok"))
+      .orderBy(col("cluster_id"))
   }
 
   /** d07: INCREMENTAL dedup — a new batch deduped against the existing
@@ -851,5 +915,6 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08, d09, d10, d11)
+    Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08, d09, d10,
+      d11, d12)
 }

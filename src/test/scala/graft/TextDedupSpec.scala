@@ -266,6 +266,30 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("d12 keeps each cluster's longest member and conserves token totals") {
+    val clusters = Dedup.d06.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val toks = Tables(spark, sf).documents
+      .select(col("doc_id"), size(graft.functions.Text.tokens(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reps = Dedup.d12.fn(spark, sf).collect()
+    assert(reps.nonEmpty)
+    assert(reps.length == byCluster.size, "one representative per cluster")
+    reps.foreach { r =>
+      val members = byCluster(r.getAs[Long]("cluster_id"))
+      val keepId = r.getAs[Long]("keep_id")
+      assert(members.contains(keepId))
+      val best = members.map(id => (toks(id), -id)).max
+      assert((toks(keepId), -keepId) == best,
+        s"cluster ${r.getAs[Long]("cluster_id")}: kept $keepId, expected ${-best._2}")
+      assert(r.getAs[Long]("keep_tok") == toks(keepId))
+      assert(r.getAs[Long]("n_members") == members.size)
+      assert(r.getAs[Long]("dropped_tok") ==
+        members.toSeq.map(toks).sum - toks(keepId))
+    }
+  }
+
   test("m04 payload near-dup: pairs match a direct aHash recompute, exact dups at hamming 0") {
     // direct reimplementation of the 60-block average-hash
     def fingerprint(text: String): Long = {
