@@ -449,5 +449,62 @@ object TrainingPipeline {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07)
+  /** p08: CURRICULUM ordering (Bengio et al. 2009 — public): lay the
+    * corpus out easy → hard for training, here by document length
+    * (the classic simple curriculum), in four equal-frequency PHASES
+    * with a deterministic shuffle inside each phase.
+    *
+    * Scale shape — no global sort anywhere: phase boundaries come from
+    * an exact INTEGER histogram of token counts (bounded by distinct
+    * lengths, not corpus size — p07's grid trick with no rounding at
+    * all), cumulative counts stay integer (cum·4 ≥ N·k, never a
+    * fractional quantile), the three thresholds broadcast, and phase
+    * assignment is a map-side comparison. Within-phase order is
+    * CARRIED BY THE SORT KEY (md5 of the doc id — p04's discipline:
+    * position materializes at write time via repartitionByRange(phase,
+    * key), never a corpus-wide row_number). Docs sharing a boundary
+    * length always land in the lower phase, so phases are clean
+    * disjoint length intervals. */
+  val p08 = QueryDef(
+    "p08_curriculum",
+    """WITH s AS (SELECT doc_id,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM s),
+      |h AS (SELECT n_tok, COUNT(*) AS cnt FROM s GROUP BY n_tok),
+      |c AS (SELECT n_tok, SUM(cnt) OVER (ORDER BY n_tok
+      |    ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+      |t AS (SELECT
+      |    MIN(CASE WHEN cum * 4 >= total * 1 THEN n_tok END) AS t1,
+      |    MIN(CASE WHEN cum * 4 >= total * 2 THEN n_tok END) AS t2,
+      |    MIN(CASE WHEN cum * 4 >= total * 3 THEN n_tok END) AS t3
+      |  FROM c, n)
+      |SELECT s.doc_id,
+      |  CAST(1 + (s.n_tok > t.t1)::INT + (s.n_tok > t.t2)::INT
+      |    + (s.n_tok > t.t3)::INT AS INTEGER) AS phase,
+      |  s.n_tok, MD5(CAST(s.doc_id AS VARCHAR)) AS ord
+      |FROM s, t ORDER BY phase, ord, doc_id""".stripMargin) { (spark, dir) =>
+    val s = Tables(spark, dir).documents
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .persist() // feeds the histogram AND the per-doc assignment
+    val hist = s.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
+    // single-partition window is safe HERE: the histogram is bounded
+    // by distinct lengths (~thousands), not corpus size
+    val wc = Window.orderBy(col("n_tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wc))
+      .crossJoin(broadcast(s.agg(count(lit(1)).as("total"))))
+    val thresholds = cum.agg(
+      min(when(col("cum") * 4 >= col("total") * 1, col("n_tok"))).as("t1"),
+      min(when(col("cum") * 4 >= col("total") * 2, col("n_tok"))).as("t2"),
+      min(when(col("cum") * 4 >= col("total") * 3, col("n_tok"))).as("t3"))
+    s.crossJoin(broadcast(thresholds))
+      .select(col("doc_id"),
+        (lit(1) + (col("n_tok") > col("t1")).cast("int")
+          + (col("n_tok") > col("t2")).cast("int")
+          + (col("n_tok") > col("t3")).cast("int")).as("phase"),
+        col("n_tok"), md5(col("doc_id").cast("string")).as("ord"))
+      .orderBy(col("phase"), col("ord"), col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08)
 }

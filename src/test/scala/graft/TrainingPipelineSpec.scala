@@ -151,6 +151,31 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(bySplit == expected, "engine split disagrees with the pure md5 function")
   }
 
+  test("p08 curriculum: monotone length phases, near-equal sizes, stable shuffle") {
+    val rows = TrainingPipeline.p08.fn(spark, sf).collect()
+    val total = rows.length
+    assert(total > 0)
+    val byPhase = rows.groupBy(_.getAs[Int]("phase"))
+    assert(byPhase.keySet == Set(1, 2, 3, 4))
+    // phases are DISJOINT length intervals, in order
+    val bounds = byPhase.toSeq.sortBy(_._1).map { case (p, rs) =>
+      (p, rs.map(_.getAs[Long]("n_tok")).min, rs.map(_.getAs[Long]("n_tok")).max)
+    }
+    bounds.sliding(2).foreach { case Seq((_, _, hi), (_, lo, _)) =>
+      assert(hi < lo, s"phase intervals overlap: $bounds")
+    }
+    // equal-frequency up to boundary ties: every phase within ±10% + ties
+    val maxTie = rows.groupBy(_.getAs[Long]("n_tok")).values.map(_.length).max
+    byPhase.values.foreach(rs =>
+      assert(math.abs(rs.length - total / 4.0) <= total * 0.1 + maxTie,
+        s"unbalanced phases: ${byPhase.view.mapValues(_.length).toMap}"))
+    // the within-phase order key is a pure function of the id → the
+    // curriculum is run-stable
+    val again = TrainingPipeline.p08.fn(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSeq ==
+      again.map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSeq)
+  }
+
   test("p07 three-phase budget selection equals the naive global cumsum") {
     import org.apache.spark.sql.expressions.Window
     val kept = TrainingPipeline.p07.fn(spark, sf).collect()
