@@ -1276,6 +1276,53 @@ object Ingest {
       .orderBy(col("cell"), col("cal_month"), col("yr"))
   }
 
+  /** i41: climatology Z-SCORE — the PARAMETRIC standardized-anomaly
+    * index next to i31's percentile rank (the SPI family's two faces:
+    * empirical rank vs fitted-distribution deviation): each (cell,
+    * year, month) total standardized against the cell's own
+    * calendar-month climatology, z = (v − μ)/σ.
+    *
+    * Cross-engine exactness without a builtin STDDEV: μ and σ derive
+    * from (n, Σv, Σv²) — the totals are exact 2-decimal sums, so both
+    * moment sums are EXACT in doubles regardless of summation order
+    * and the whole z expression is bit-identical on both engines.
+    * One partial-agg shuffle to monthly totals + one unordered window
+    * per (cell, month) key; degenerate climatologies (single year or
+    * zero variance) yield NULL rather than a division blow-up. */
+  val i41 = QueryDef(
+    "i41_climate_zscore",
+    """WITH monthly AS (
+      |  SELECT l_returnflag AS cell,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+      |    CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS cal_month,
+      |    ROUND(SUM(l_quantity), 2) AS v
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |st AS (
+      |  SELECT *, COUNT(*) OVER w AS n, SUM(v) OVER w AS s1, SUM(v * v) OVER w AS s2
+      |  FROM monthly WINDOW w AS (PARTITION BY cell, cal_month))
+      |SELECT cell, yr, cal_month, v, CAST(n AS BIGINT) AS n_years,
+      |  ROUND(CASE WHEN n > 1 AND s2 - s1 * s1 / n > 0
+      |    THEN (v - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1)) END + 1e-9, 4) + 0.0
+      |    AS zscore
+      |FROM st ORDER BY cell, cal_month, yr""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("cell"), col("cal_month"))
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag").as("cell"),
+        year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("cal_month"))
+      .agg(round(sum(col("l_quantity")), 2).as("v"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("v")).over(w))
+      .withColumn("s2", sum(col("v") * col("v")).over(w))
+      .select(col("cell"), col("yr"), col("cal_month"), col("v"),
+        col("n").as("n_years"),
+        graft.QueryDef.roundBiased(
+          when(col("n") > 1 && col("s2") - col("s1") * col("s1") / col("n") > 0,
+            (col("v") - col("s1") / col("n")) /
+              sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))),
+          4).as("zscore"))
+      .orderBy(col("cell"), col("cal_month"), col("yr"))
+  }
+
   /** i32: derived wind DIRECTION — i02's angular sibling: the
     * reference derives wind speed from the (u, v) component pair
     * (`ecmwf_opendata/__init__.py:495`); the meteorological direction
@@ -1761,5 +1808,5 @@ object Ingest {
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
-    i39, i39b)
+    i39, i39b, i41)
 }

@@ -524,6 +524,26 @@ class IngestSpec extends SparkSpec {
     assert(two.forall(r => r.getAs[Long]("n_segs") == 4 && r.getAs[Boolean]("closed")))
   }
 
+  test("i41 z-scores have zero mean and unit sample deviation per climatology key") {
+    val rows = Ingest.i41.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(r => (r.getString(0), r.getAs[Int]("cal_month")))
+    var standardized = 0
+    byKey.values.foreach { g =>
+      val zs = g.flatMap(r => Option(r.getAs[java.lang.Double]("zscore")).map(_.toDouble))
+      if (zs.length > 2) {
+        standardized += 1
+        assert(math.abs(zs.sum) <= 2e-4 * zs.length, s"mean not ~0: ${zs.toSeq}")
+        val m = zs.sum / zs.length
+        val sd = math.sqrt(zs.map(z => (z - m) * (z - m)).sum / (zs.length - 1))
+        assert(math.abs(sd - 1.0) < 0.01, s"sample sd not ~1: $sd")
+      }
+      // degenerate climatologies must be NULL, never a division artifact
+      if (g.length == 1) assert(g.head.isNullAt(g.head.fieldIndex("zscore")))
+    }
+    assert(standardized > 0, "no key had a real climatology")
+  }
+
   test("i33 dekad product: anomaly = total - normal, sentinel only without history") {
     val rows = Ingest.i33.fn(spark, sf).collect()
     assert(rows.nonEmpty)
