@@ -914,7 +914,88 @@ object Dedup {
     spanDedup(Tables(spark, dir).documents, 10).orderBy(col("doc_id"))
   }
 
+  /** d13: CONTAINMENT detection — Broder's asymmetric sibling of the
+    * Jaccard resemblance (Broder 1997, "On the resemblance and
+    * containment of documents" — public): containment(A ⊆ B) =
+    * |A∩B| / |A|. An EXCERPT — a short doc quoted wholesale inside a
+    * long one — has near-1 containment but LOW Jaccard (the union is
+    * dominated by the long doc), so every Jaccard-gated dedup tier
+    * (d02/d04/d06) structurally misses it; this is the operator that
+    * catches quote/excerpt duplication in a training corpus.
+    *
+    * Candidates come from an INVERTED SHINGLE INDEX, not minhash
+    * banding (banding collision probability tracks Jaccard, which is
+    * exactly what containment pairs lack): shingles explode to
+    * (shingle, doc) postings, postings lists above a cap are dropped
+    * as boilerplate (a shingle shared by dozens of docs identifies
+    * nothing — the BucketCap argument), surviving postings self-join
+    * per shingle, and only pairs sharing ≥ 4 rare shingles reach the
+    * exact confirm. Work is bounded by cap²/2 per shingle regardless
+    * of corpus skew; the confirm computes exact containment on the
+    * two shingle sets, keeps ≥ 0.8, and orients the pair
+    * (contained, container). */
+  val d13 = QueryDef(
+    "d13_containment",
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      |  RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks),
+      |post AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+      |postc AS (SELECT doc_id, s FROM (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY s) AS df FROM post) t
+      |  WHERE df <= 16),
+      |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM postc a JOIN postc b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+      |conf AS (SELECT id1, id2,
+      |    LEN(LIST_INTERSECT(x.sh, y.sh)) AS inter,
+      |    LEN(x.sh) AS n1, LEN(y.sh) AS n2
+      |  FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2)
+      |SELECT CASE WHEN n1 <= n2 THEN id1 ELSE id2 END AS contained_id,
+      |  CASE WHEN n1 <= n2 THEN id2 ELSE id1 END AS container_id,
+      |  CAST(LEAST(n1, n2) AS BIGINT) AS n_sh_contained,
+      |  CAST(GREATEST(n1, n2) AS BIGINT) AS n_sh_container,
+      |  ROUND(CAST(inter AS DOUBLE) / LEAST(n1, n2) + 1e-9, 4) AS containment
+      |FROM conf
+      |WHERE CAST(inter AS DOUBLE) / LEAST(n1, n2) >= 0.8
+      |ORDER BY contained_id, container_id""".stripMargin) { (spark, dir) =>
+    containmentPairs(Tables(spark, dir).documents)
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
+  /** The d13 pipeline over any (doc_id, text) frame. */
+  private[graft] def containmentPairs(docs: DataFrame, dfCap: Int = 16,
+      minShared: Int = 4, minContainment: Double = 0.8): DataFrame = {
+    val sh = docShingles(docs).persist()
+    val post = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val postc = capBuckets(post.select(col("doc_id"), col("s")), Seq("s"), dfCap)
+    val cand = postc.toDF("id1", "s")
+      .join(postc.toDF("id2", "s"), Seq("s"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("id1"), col("id2"))
+    val conf = cand
+      .join(sh.toDF("id1", "sh1"), "id1")
+      .join(sh.toDF("id2", "sh2"), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("inter"),
+        size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
+    conf
+      .select(
+        when(col("n1") <= col("n2"), col("id1")).otherwise(col("id2")).as("contained_id"),
+        when(col("n1") <= col("n2"), col("id2")).otherwise(col("id1")).as("container_id"),
+        least(col("n1"), col("n2")).cast("long").as("n_sh_contained"),
+        greatest(col("n1"), col("n2")).cast("long").as("n_sh_container"),
+        graft.QueryDef.roundBiased(
+          col("inter").cast("double") / least(col("n1"), col("n2")), 4).as("containment"),
+        (col("inter").cast("double") / least(col("n1"), col("n2"))).as("raw"))
+      .filter(col("raw") >= minContainment)
+      .drop("raw")
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08, d09, d10,
-      d11, d12)
+      d11, d12, d13)
 }

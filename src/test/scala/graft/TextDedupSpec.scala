@@ -266,6 +266,40 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("d13 catches an excerpt Jaccard misses; boilerplate shingles can't explode candidates") {
+    import spark.implicits._
+    val excerpt = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val container = excerpt + " " + (1 to 60).map(i => s"filler$i word$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i token$i stuff$i").mkString(" ")
+    val docs = Seq((1L, excerpt), (2L, container), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("contained_id") == 1L && p.getAs[Long]("container_id") == 2L)
+    // the excerpt's shingles all appear in the container → containment 1
+    assert(p.getAs[Double]("containment") == 1.0)
+    // while Jaccard on the same pair is low — the tier d02/d04 gate on
+    // would have dropped it
+    val sh = docs.select(col("doc_id"),
+      array_distinct(graft.functions.Text.shingles(
+        graft.functions.Text.tokens(col("text")), 3)).as("sh"))
+    val jac = sh.filter(col("doc_id") === 1).select(col("sh").as("a"))
+      .crossJoin(sh.filter(col("doc_id") === 2).select(col("sh").as("b")))
+      .select((size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b")))).as("j")).collect()(0).getDouble(0)
+    assert(jac < 0.3, s"excerpt/container Jaccard should be low, got $jac")
+
+    // a shingle shared by MORE than the posting cap identifies nothing:
+    // 20 docs sharing one boilerplate sentence produce no candidates
+    // through it (every posting list capped away)
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val flood = (10L to 29L).map(i => (i, s"$boiler unique$i marker$i end$i"))
+      .toDF("doc_id", "text")
+    val floodPairs = Dedup.containmentPairs(flood).collect()
+    assert(floodPairs.isEmpty,
+      s"boilerplate-only overlap must not pair: ${floodPairs.take(3).toSeq}")
+  }
+
   test("d12 keeps each cluster's longest member and conserves token totals") {
     val clusters = Dedup.d06.fn(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
