@@ -543,6 +543,62 @@ object Streaming {
       .orderBy(col("event_type"), col("d"))
   }
 
+  /** Bounded top-k state for st11. */
+  final case class TopK(entries: Seq[(Double, Long)])
+
+  /** st11's state fold: merge a micro-batch into the per-key top-k
+    * buffer (value desc, id tie-break) and emit the refreshed
+    * leaderboard. State is ≤ k rows per key forever. */
+  private[graft] def topKFold(k: Int)(
+      key: String, rows: Iterator[(String, Long, Double)],
+      state: org.apache.spark.sql.streaming.GroupState[TopK]): Iterator[(String, Int, Long, Double)] = {
+    val prev = state.getOption.map(_.entries).getOrElse(Seq.empty)
+    val merged = (prev ++ rows.map(r => (r._3, r._2)))
+      .sortBy { case (v, id) => (-v, id) }.take(k)
+    state.update(TopK(merged))
+    merged.iterator.zipWithIndex.map { case ((v, id), i) => (key, i + 1, id, v) }
+  }
+
+  /** st11: STREAMING top-k with BOUNDED state — q19's
+    * TypedImperativeAggregate argument running live: each key's state
+    * is AT MOST k rows no matter how much history streams through
+    * (contrast st02, whose dedup state is bounded by the watermark
+    * horizon, and a naive "keep all events, rank at the end", whose
+    * state is the stream). Every micro-batch folds its rows into the
+    * per-key top-5 buffer (value desc, event_id tie-break — fully
+    * deterministic) and emits the refreshed leaderboard — the live
+    * dashboard query every event pipeline runs. One batch on the
+    * static file → one snapshot per key, so the batch rank-window SQL
+    * is the oracle. */
+  val st11 = QueryDef(
+    "st11_stream_topk",
+    """WITH ranked AS (SELECT event_type, event_id, value,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type
+      |                     ORDER BY value DESC, event_id) AS rnk
+      |  FROM events)
+      |SELECT event_type, CAST(rnk AS INTEGER) AS rnk, event_id,
+      |  ROUND(value, 2) AS value
+      |FROM ranked WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin) {
+    (spark, dir) =>
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      withStreamParallelism(spark, dir) { s =>
+        import s.implicits._
+        val updates = eventStream(s, dir)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .as[(String, Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Update,
+            GroupStateTimeout.NoTimeout)(topKFold(5))
+        val q = updates.toDF("event_type", "rnk", "event_id", "value").writeStream
+          .outputMode("update").format("memory").queryName("st11_out")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st11_out")
+      }.select(col("event_type"), col("rnk").cast("int").as("rnk"), col("event_id"),
+        round(col("value"), 2).as("value"))
+        .orderBy(col("event_type"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10)
+    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11)
 }

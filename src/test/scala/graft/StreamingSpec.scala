@@ -27,6 +27,55 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.contentFingerprint(big1) != Streaming.contentFingerprint(big2))
   }
 
+  test("st11 top-k state folds across micro-batches, bounded at k rows per key") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    import spark.implicits._
+    import java.nio.file.Files
+    // two slice files → two real micro-batches; the leaderboard after
+    // epoch 2 must equal the batch top-3 over BOTH slices even though
+    // epoch 2's state held only 3 rows of epoch 1
+    val dir = Files.createTempDirectory("graft_st11").toString
+    val slice1 = Seq(("A", 1L, 10.0), ("A", 2L, 50.0), ("A", 3L, 30.0),
+      ("A", 4L, 40.0), ("B", 5L, 5.0))
+    val slice2 = Seq(("A", 6L, 45.0), ("A", 7L, 1.0), ("B", 8L, 99.0),
+      ("A", 9L, 50.0)) // ties with id 2: id order breaks it
+    slice1.toDF("event_type", "event_id", "value")
+      .coalesce(1).write.parquet(s"$dir/s1")
+    slice2.toDF("event_type", "event_id", "value")
+      .coalesce(1).write.parquet(s"$dir/s2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val updates = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(Streaming.topKFold(3))
+    val q = updates.toDF("event_type", "rnk", "event_id", "value").writeStream
+      .outputMode("update").format("memory").queryName("st11_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the memory sink accumulates every epoch's emission; the bound
+    // holds on all of them, and the leaderboard reflecting BOTH slices
+    // must have been emitted — including the cross-batch merge where
+    // epoch 2's (id 9, 50.0) ties epoch 1's champion and (id 6, 45.0)
+    // displaces epoch 1's (id 4, 40.0) out of a state that only ever
+    // held 3 rows
+    val all = spark.table("st11_spec").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(all.forall(_._2 <= 3), s"state exceeded k: $all")
+    val expectedFinal = Set(
+      ("A", 1, 2L, 50.0), ("A", 2, 9L, 50.0), ("A", 3, 6L, 45.0),
+      ("B", 1, 8L, 99.0), ("B", 2, 5L, 5.0))
+    assert(expectedFinal.subsetOf(all), s"missing final rows: ${expectedFinal.diff(all)}")
+  }
+
   test("st01 streaming window agg equals the batch plan") {
     val streamed = Streaming.st01.fn(spark, sf)
     val batch = graft.operators.Ingest.i17.fn(spark, sf)
