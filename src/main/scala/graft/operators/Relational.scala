@@ -716,7 +716,49 @@ object Relational {
       .orderBy(col("gid"), col("rf"), col("ls"), col("sm"))
   }
 
+  /** q28: ROLLING DISTINCT cardinality — trailing-7-day active users,
+    * the classic engagement metric whose naive form
+    * (`COUNT(DISTINCT) OVER (RANGE 7 days)`) re-scans and re-dedups
+    * every window at every row — quadratic in window span and not
+    * even expressible in Spark's window functions. Scalable rewrite:
+    * dedup to (user, day) once, EXPLODE each pair map-side to the ≤7
+    * trailing windows it counts toward (q23's bucket pattern on the
+    * time axis), dedup (window, user) — a user active twice inside
+    * one window counts once — and tally per window. Two bounded
+    * shuffles, each ≤ 7× the user-day count, no window frame at all;
+    * the dense day grid (zero-active days included) explodes from the
+    * span like i29. Oracle = the naive per-day distinct join. */
+  val q28 = QueryDef(
+    "q28_rolling_distinct",
+    """WITH e AS (SELECT DISTINCT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE)
+      |    AS day, user_id FROM events),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+      |days AS (SELECT CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS DATE)
+      |    AS day FROM span)
+      |SELECT CAST(d.day AS TIMESTAMP) AS day,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active_7d
+      |FROM days d LEFT JOIN e
+      |  ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      |GROUP BY d.day ORDER BY d.day""".stripMargin) { (spark, dir) =>
+    val e = Tables(spark, dir).events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .persist() // feeds the span probe AND the window explode
+    val span = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val counts = e
+      .withColumn("wday", explode(expr("sequence(day, date_add(day, 6), interval 1 day)")))
+      .crossJoin(broadcast(span))
+      .filter(col("wday") <= col("hi"))
+      .select(col("wday").as("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active_7d"))
+    val allDays = span
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    allDays.join(counts, Seq("day"), "left")
+      .select(col("day").cast("timestamp").as("day"),
+        coalesce(col("n_active_7d"), lit(0L)).as("n_active_7d"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
-      q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+      q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
 }

@@ -248,6 +248,30 @@ class RelationalSpec extends SparkSpec {
       s"event-type filter must reach the parquet scan:\n$plan")
   }
 
+  test("q28 rolling distinct equals the naive window recompute, dense over the span") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val rows = Relational.q28.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // dense daily grid, no holes
+    val days = rows.map(_.getTimestamp(0).toLocalDateTime.toLocalDate)
+    days.sliding(2).foreach { case Array(a, b) => assert(b == a.plusDays(1)) }
+    // naive recompute from the raw (user, day) pairs
+    val pairs = Tables(spark, sf).events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    rows.foreach { r =>
+      val d = r.getTimestamp(0).toLocalDateTime.toLocalDate
+      val want = pairs.filter { case (pd, _) =>
+        !pd.isAfter(d) && !pd.isBefore(d.minusDays(6))
+      }.map(_._2).distinct.length
+      assert(r.getLong(1) == want, s"day $d")
+    }
+    // the plan must contain NO window frame — the whole point of the
+    // explode rewrite
+    val plan = Relational.q28.fn(spark, sf).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), s"rolling distinct must not plan a window:\n$plan")
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)
