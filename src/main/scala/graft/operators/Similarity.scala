@@ -630,6 +630,85 @@ object Similarity {
         graft.QueryDef.roundBiased(col("aug_raw"), 4).as("aug_coord"))
   }
 
+  /** s13: INCREMENTAL centroid maintenance — q26's state-merge pattern
+    * applied to s05's codebook (online/mini-batch k-means, the way a
+    * production IVF index absorbs a new embedding batch without
+    * retraining): the stored state is per-(centroid, dim) (Σx, n)
+    * moments from the corpus; a NEW batch assigns to the CURRENT
+    * centroids (zero-shuffle literal-codebook argmax, the s04 shape)
+    * and reduces to its own (Σx, n) delta; the updated codebook is the
+    * re-aggregated merge (Σ + Σb)/(n + nb) — the corpus is NEVER
+    * rescanned, each update costs |batch| + |state|. Sums live on the
+    * 1e-6 grid so the merge arithmetic is order-independent
+    * cross-engine; centroids that attract no batch vectors pass
+    * through via the left merge. */
+  val s13 = QueryDef(
+    "s13_incremental_centroids",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |corpus AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+      |batch AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+      |seeds AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+      |          FROM corpus WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, v, cid FROM (
+      |  SELECT c.vec_id, c.v, s.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      |      ORDER BY LIST_COSINE_SIMILARITY(c.v, s.cv) DESC, s.cid) AS rn
+      |  FROM corpus c CROSS JOIN seeds s) t WHERE rn = 1),
+      |st AS (SELECT cid, i, ROUND(SUM(v[i]) + 1e-9, 6) AS s, COUNT(*) AS n
+      |       FROM a1 CROSS JOIN generate_series(1, 64) g(i) GROUP BY cid, i),
+      |c1 AS (SELECT cid, LIST(ROUND(s / n + 1e-9, 6) ORDER BY i) AS cv
+      |       FROM st GROUP BY cid),
+      |a2 AS (SELECT vec_id, v, cid FROM (
+      |  SELECT b.vec_id, b.v, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |      ORDER BY LIST_COSINE_SIMILARITY(b.v, c.cv) DESC, c.cid) AS rn
+      |  FROM batch b CROSS JOIN c1 c) t WHERE rn = 1),
+      |dl AS (SELECT cid, i, ROUND(SUM(v[i]) + 1e-9, 6) AS sb, COUNT(*) AS nb
+      |       FROM a2 CROSS JOIN generate_series(1, 64) g(i) GROUP BY cid, i)
+      |SELECT CAST(st.cid AS BIGINT) AS cid, CAST(st.i - 1 AS INTEGER) AS pos,
+      |  ROUND((st.s + COALESCE(dl.sb, 0)) / (st.n + COALESCE(dl.nb, 0)) + 1e-9, 4)
+      |    + 0.0 AS centroid,
+      |  CAST(st.n + COALESCE(dl.nb, 0) AS BIGINT) AS n_members
+      |FROM st LEFT JOIN dl ON st.cid = dl.cid AND st.i = dl.i
+      |ORDER BY cid, pos""".stripMargin) { (spark, dir) =>
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+    val batch = e.filter(col("vec_id") % 2 === 1)
+    def assign(df: org.apache.spark.sql.DataFrame,
+        centroids: Seq[(Int, Array[Double])]) = {
+      val best = array_max(array(centroids.map { case (cid, cv) =>
+        struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
+      df.withColumn("cid", -best.getField("n"))
+    }
+    def moments(assigned: org.apache.spark.sql.DataFrame) = assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(graft.QueryDef.roundBiased(sum(col("x")), 6).as("s"),
+        count(lit(1)).as("n"))
+    val seeds = corpus.filter(col("vec_id") < 8).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    val state = moments(assign(corpus, seeds)).persist()
+    // the current codebook: K×64 doubles, driver-held model state
+    val c1 = state
+      .select(col("cid"),
+        col("pos"), graft.QueryDef.roundBiased(col("s") / col("n"), 6).as("cx"))
+      .orderBy(col("cid"), col("pos")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray) }
+    val delta = moments(assign(batch, c1))
+      .withColumnsRenamed(Map("s" -> "sb", "n" -> "nb"))
+    state.join(delta, Seq("cid", "pos"), "left")
+      .select(col("cid").cast("long").as("cid"), col("pos"),
+        graft.QueryDef.roundBiased(
+          (col("s") + coalesce(col("sb"), lit(0.0))) /
+            (col("n") + coalesce(col("nb"), lit(0L))), 4).as("centroid"),
+        (col("n") + coalesce(col("nb"), lit(0L))).as("n_members"))
+      .orderBy(col("cid"), col("pos"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
+    Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
 }

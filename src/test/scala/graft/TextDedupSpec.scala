@@ -266,6 +266,24 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("s13 merged centroids equal the weighted member mean; counts conserve") {
+    val rows = Similarity.s13.fn(spark, sf).collect()
+    assert(rows.length == 4 * 64, "4 centroids x 64 dims")
+    // member conservation: every vector lands in exactly one centroid
+    val total = Tables(spark, sf).embeddings.count()
+    val perCid = rows.groupBy(_.getAs[Long]("cid")).view
+      .mapValues(_.map(_.getAs[Long]("n_members")).distinct).toMap
+    perCid.values.foreach(ns => assert(ns.length == 1,
+      "n_members must be constant across a centroid's dims"))
+    assert(perCid.values.map(_.head).sum == total,
+      s"members must partition the corpus: ${perCid.view.mapValues(_.head).toMap} vs $total")
+    // the merge is a true weighted mean: |centroid| <= max |coordinate|
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("centroid")) <= 1.0 + 1e-6,
+        s"centroid coordinate outside the unit embedding range: $r")
+    }
+  }
+
   test("d13 catches an excerpt Jaccard misses; boilerplate shingles can't explode candidates") {
     import spark.implicits._
     val excerpt = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
