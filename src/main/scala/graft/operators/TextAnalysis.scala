@@ -860,7 +860,82 @@ object TextAnalysis {
       .orderBy(col("iter"), col("pair"))
   }
 
+  /** t18: Zipf / vocabulary statistics — the corpus-health diagnostic
+    * every crawl pipeline monitors: per source, token mass, vocabulary
+    * size, type-token ratio, and the ZIPF SLOPE (log-log least-squares
+    * over the top-100 token frequencies; natural text sits near −1,
+    * template/boilerplate spam flattens it — a machine-detectable
+    * quality signal).
+    *
+    * Scale shape: ONE (source, token) partial-agg shuffle; everything
+    * downstream runs on the vocab-sized table (per-source stats
+    * re-aggregate, the top-100 rank window, the regression sums).
+    * Cross-engine determinism for a REGRESSION: log(rank)/log(freq)
+    * round to the 1e-6 grid first, each product term rounds to 1e-8,
+    * and all four regression sums accumulate as DECIMAL — so the
+    * closed-form slope (kΣxy − ΣxΣy)/(kΣx² − (Σx)²) is computed from
+    * identical operands in identical order-independent arithmetic on
+    * both engines. */
+  val t18 = QueryDef(
+    "t18_zipf_stats",
+    """WITH tok AS (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1, 2),
+      |stats AS (SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+      |          CAST(COUNT(*) AS BIGINT) AS vocab FROM tf GROUP BY source),
+      |top AS (SELECT source, t, f, r FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY f DESC, t) AS r
+      |  FROM tf) q WHERE r <= 100),
+      |xy AS (SELECT source,
+      |    CAST(ROUND(LN(r) + 1e-9, 6) AS DECIMAL(18,6)) AS x,
+      |    CAST(ROUND(LN(f) + 1e-9, 6) AS DECIMAL(18,6)) AS y
+      |  FROM top),
+      |reg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS k,
+      |    SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) + 1e-9, 8)
+      |      AS DECIMAL(20,8))) AS sxy,
+      |    SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) + 1e-9, 8)
+      |      AS DECIMAL(20,8))) AS sxx
+      |  FROM xy GROUP BY source)
+      |SELECT s.source, s.n_tokens, s.vocab,
+      |  ROUND(CAST(s.vocab AS DOUBLE) / s.n_tokens + 1e-9, 6) AS type_token_ratio,
+      |  ROUND((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |        (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    + 1e-9, 4) + 0.0 AS zipf_slope
+      |FROM stats s JOIN reg USING (source)
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables(spark, dir).documents
+      .select(col("source"), explode(Text.tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("f"))
+      .persist() // vocab-sized; feeds the stats AND the rank window
+    val stats = tf.groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("vocab"))
+    val w = Window.partitionBy(col("source")).orderBy(col("f").desc, col("t"))
+    val xy = tf.withColumn("r", row_number().over(w)).filter(col("r") <= 100)
+      .select(col("source"),
+        graft.QueryDef.roundBiased(log(col("r")), 6).cast("decimal(18,6)").as("x"),
+        graft.QueryDef.roundBiased(log(col("f")), 6).cast("decimal(18,6)").as("y"))
+    val reg = xy.groupBy(col("source")).agg(count(lit(1)).as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(graft.QueryDef.roundBiased(
+        col("x").cast("double") * col("y").cast("double"), 8)
+        .cast("decimal(20,8)")).as("sxy"),
+      sum(graft.QueryDef.roundBiased(
+        col("x").cast("double") * col("x").cast("double"), 8)
+        .cast("decimal(20,8)")).as("sxx"))
+    stats.join(reg, "source")
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        graft.QueryDef.roundBiased(
+          col("vocab").cast("double") / col("n_tokens"), 6).as("type_token_ratio"),
+        graft.QueryDef.roundBiased(
+          (col("k") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("k") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 4).as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17)
+      t15, t16, t17, t18)
 }

@@ -266,6 +266,34 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("t18 zipf slope matches a direct least-squares recompute; ratios sane") {
+    val rows = TextAnalysis.t18.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ttr = r.getAs[Double]("type_token_ratio")
+      assert(ttr > 0.0 && ttr <= 1.0)
+      assert(r.getAs[Double]("zipf_slope") < 0.0,
+        s"token frequencies must fall with rank: $r")
+    }
+    // direct recompute for one source from raw counts
+    val src = rows.head.getAs[String]("source")
+    val freqs = Tables(spark, sf).documents.filter(col("source") === src)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, f) => (-f, t) }.take(100)
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.log(i + 1.0), math.log(f.toDouble))
+    }
+    val k = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val want = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(math.abs(rows.head.getAs[Double]("zipf_slope") - want) < 1e-3,
+      s"slope ${rows.head.getAs[Double]("zipf_slope")} vs direct $want")
+  }
+
   test("s13 merged centroids equal the weighted member mean; counts conserve") {
     val rows = Similarity.s13.fn(spark, sf).collect()
     assert(rows.length == 4 * 64, "4 centroids x 64 dims")
