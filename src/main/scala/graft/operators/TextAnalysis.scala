@@ -935,7 +935,106 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** t19: Naive-Bayes QUALITY CLASSIFIER — the fastText-style gate every
+    * production curation stack trains (GPT-3's WebText-vs-crawl filter,
+    * LLaMA's Wikipedia-reference classifier): learn token log-odds from
+    * a labeled TRAIN split, score the HELD-OUT split, and report the
+    * confusion matrix of the learned gate. Distinct from t16 (DSIR
+    * scores every doc against a target LM with no split and no
+    * decision): t19 is the supervised train/evaluate workflow —
+    * deterministic 50% md5 split, multinomial NB with add-one
+    * smoothing + class prior, hard predictions, held-out evaluation.
+    * `source = 'src0'` stands in for the curated positive class.
+    *
+    * 100 TB shape: ONE corpus token scan; the model is a vocab-sized
+    * (token → class counts) table built by one partial-agg shuffle and
+    * BROADCAST-GATED like t16 (unbounded crawl vocab falls back to a
+    * shuffle join); scoring is the token→model join + one doc-key
+    * aggregation; the confusion matrix is a 4-row final agg. Per-token
+    * log-likelihood ratios land on the 1e-6 decimal grid and sum
+    * order-independently, so the score — and the sign that decides the
+    * prediction — is bit-identical cross-engine. Held-out tokens
+    * OUTSIDE the train vocabulary contribute exactly 0 (no smoothing
+    * mass invented for unseen types; the LEFT join keeps the doc). */
+  val t19 = QueryDef(
+    "t19_quality_classifier",
+    """WITH tok AS (SELECT doc_id,
+      |    SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS train,
+      |    source = 'src0' AS pos, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      |  FROM documents),
+      |model AS (SELECT t,
+      |    CAST(COUNT(*) FILTER (WHERE pos) AS BIGINT) AS cp,
+      |    CAST(COUNT(*) FILTER (WHERE NOT pos) AS BIGINT) AS cn
+      |  FROM tok WHERE train GROUP BY t),
+      |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp,
+      |    CAST(SUM(cn) AS BIGINT) AS tn,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM model),
+      |prior AS (SELECT CAST(ROUND(
+      |      LN(CAST(COUNT(*) FILTER (WHERE source = 'src0') AS DOUBLE) /
+      |         COUNT(*) FILTER (WHERE source <> 'src0')) + 1e-9, 6)
+      |    AS DECIMAL(14,6)) AS pr
+      |  FROM documents
+      |  WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+      |sc AS (SELECT doc_id, pos,
+      |    CASE WHEN cp IS NULL THEN CAST(0 AS DECIMAL(14,6))
+      |      ELSE CAST(ROUND(LN((cp + 1.0) / (tp + v)) -
+      |                      LN((cn + 1.0) / (tn + v)) + 1e-9, 6)
+      |        AS DECIMAL(14,6)) END AS llr
+      |  FROM tok LEFT JOIN model USING (t) CROSS JOIN tot
+      |  WHERE NOT train),
+      |doc AS (SELECT doc_id, pos, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |    MAX(pr) + SUM(llr) AS score
+      |  FROM sc CROSS JOIN prior GROUP BY doc_id, pos)
+      |SELECT CAST(pos AS INTEGER) AS is_target,
+      |  CAST(score > 0 AS INTEGER) AS pred,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+      |  ROUND(AVG(CAST(score AS DOUBLE)) + 1e-9, 4) + 0.0 AS avg_score
+      |FROM doc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val trainSide = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
+    val tok = docs
+      .select(col("doc_id"), trainSide.as("train"),
+        (col("source") === "src0").as("pos"),
+        explode(Text.tokens(col("text"))).as("t"))
+      .persist() // one corpus scan feeds the model AND the scoring join
+    val model = tok.filter(col("train"))
+      .groupBy(col("t"))
+      .agg(count(when(col("pos"), 1)).as("cp"),
+        count(when(!col("pos"), 1)).as("cn"))
+      .persist() // counted for the broadcast gate, reused by join + totals
+    val tot = model.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
+      count(lit(1)).as("v"))
+    val prior = docs.filter(trainSide)
+      .agg(graft.QueryDef.roundBiased(
+        log(count(when(col("source") === "src0", 1)).cast("double") /
+          count(when(col("source") =!= "src0", 1))), 6)
+        .cast("decimal(14,6)").as("pr"))
+    // crawl vocabulary is unbounded in principle — broadcast only while
+    // broadcast-sized (t16's gate), else the shuffle join, same result
+    val modelSide = if (model.count() <= BroadcastVocabRows) broadcast(model) else model
+    tok.filter(!col("train"))
+      .join(modelSide, Seq("t"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("pos"),
+        when(col("cp").isNull, lit(0).cast("decimal(14,6)"))
+          .otherwise(graft.QueryDef.roundBiased(
+            log((col("cp") + 1.0) / (col("tp") + col("v"))) -
+              log((col("cn") + 1.0) / (col("tn") + col("v"))), 6)
+            .cast("decimal(14,6)")).as("llr"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("llr")).as("sl"))
+      .crossJoin(broadcast(prior))
+      .select(col("pos"), (col("pr") + col("sl")).as("score"), col("n_tok"))
+      .groupBy(col("pos").cast("int").as("is_target"),
+        (col("score") > 0).cast("int").as("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        graft.QueryDef.roundBiased(avg(col("score").cast("double")), 4)
+          .as("avg_score"))
+      .orderBy(col("is_target"), col("pred"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18)
+      t15, t16, t17, t18, t19)
 }

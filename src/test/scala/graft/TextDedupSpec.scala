@@ -294,6 +294,32 @@ class TextDedupSpec extends SparkSpec {
       s"slope ${rows.head.getAs[Double]("zipf_slope")} vs direct $want")
   }
 
+  test("t19 classifier separates disjoint-vocabulary classes on held-out docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t19").toString
+    val docs = (0L until 40L).map { i =>
+      if (i % 4 == 0) (i, "good clean prose text sample", "en", "src0", 28L)
+      else (i, "spam junk noise garbage filler", "en", s"src${i % 4}", 30L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.t19.fn(spark, dir).collect()
+    // the class vocabularies are disjoint, so every held-out doc must
+    // land on the diagonal of the confusion matrix
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("is_target") == r.getAs[Int]("pred"),
+      s"off-diagonal cell: $r"))
+    // every held-out doc is evaluated exactly once (the left join keeps
+    // docs whose tokens miss the train vocabulary)
+    val heldOut = docs.count { case (i, _, _, _, _) =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString).charAt(0) >= '8'
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == heldOut)
+    // the target cell scores strictly above the non-target cell
+    val byClass = rows.map(r => r.getAs[Int]("is_target") -> r.getAs[Double]("avg_score")).toMap
+    assert(byClass(1) > byClass(0))
+  }
+
   test("s13 merged centroids equal the weighted member mean; counts conserve") {
     val rows = Similarity.s13.fn(spark, sf).collect()
     assert(rows.length == 4 * 64, "4 centroids x 64 dims")
