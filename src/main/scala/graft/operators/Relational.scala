@@ -758,7 +758,68 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** q29: FUNNEL analysis — ordered multi-stage conversion
+    * (view → click → purchase within 7 days of the first view), the
+    * product-analytics query every event warehouse serves. Each stage's
+    * timestamp must fall STRICTLY AFTER the previous stage's — a plain
+    * per-type MIN can't express that, and the naive formulation
+    * (self-join events×events×events) is cubic in the hot user's
+    * event count.
+    *
+    * Scalable shape: stage k is the event scan FILTERED to stage k's
+    * type, equi-joined to the stage-(k-1) table — which is USER-sized,
+    * not event-sized — then min-aggregated on the user key. Every
+    * shuffle is on user_id, so one partitioning serves all stages
+    * (no event×event join anywhere); the cohort rollup at the end is
+    * day-cardinality. At 100 TB the per-type filters push to the scan
+    * and each stage table is bounded by the (much smaller) user count. */
+  val q29 = QueryDef(
+    "q29_funnel",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      |  GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+      |  JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      |  GROUP BY e.user_id)
+      |SELECT CAST(CAST(DATE_TRUNC('day', s1.t1) AS DATE) AS TIMESTAMP) AS cohort_day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_stage1,
+      |  CAST(COUNT(s2.t2) AS BIGINT) AS n_stage2,
+      |  CAST(COUNT(s3.t3) AS BIGINT) AS n_stage3,
+      |  ROUND(CAST(COUNT(s3.t3) AS DOUBLE) / COUNT(*) + 1e-9, 4) AS conv_rate
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .persist() // user-sized; feeds stages 2/3 AND the cohort rollup
+    val horizon = col("t1") + expr("INTERVAL 7 DAYS")
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s1, "user_id").join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .groupBy(to_date(date_trunc("day", col("t1"))).cast("timestamp").as("cohort_day"))
+      .agg(count(lit(1)).as("n_stage1"),
+        count(col("t2")).as("n_stage2"),
+        count(col("t3")).as("n_stage3"),
+        graft.QueryDef.roundBiased(
+          count(col("t3")).cast("double") / count(lit(1)), 4).as("conv_rate"))
+      .orderBy(col("cohort_day"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
-      q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
+      q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
+      q29)
 }

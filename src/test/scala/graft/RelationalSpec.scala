@@ -272,6 +272,40 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"rolling distinct must not plan a window:\n$plan")
   }
 
+  test("q29 funnel enforces stage order and the 7-day horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_q29").toString
+    val h = 3600L * 1000000000L // one hour in nanos
+    val t0 = 1704067200L * 1000000000L // 2024-01-01 00:00:00 UTC
+    val events = Seq(
+      // user 1 completes every stage in order
+      (0L, t0, 1L, "view", 1.0, "{}"),
+      (1L, t0 + h, 1L, "click", 1.0, "{}"),
+      (2L, t0 + 2 * h, 1L, "purchase", 1.0, "{}"),
+      // user 2's click PRECEDES its first view — must not count as stage 2
+      (3L, t0 + 2 * h, 2L, "click", 1.0, "{}"),
+      (4L, t0 + 3 * h, 2L, "view", 1.0, "{}"),
+      (5L, t0 + h, 2L, "purchase", 1.0, "{}"),
+      // user 3 purchases AFTER the 7-day horizon — stage 2 only
+      (6L, t0, 3L, "view", 1.0, "{}"),
+      (7L, t0 + h, 3L, "click", 1.0, "{}"),
+      (8L, t0 + 240 * h, 3L, "purchase", 1.0, "{}"),
+      // user 4 never clicks — stage 1 only
+      (9L, t0, 4L, "view", 1.0, "{}"),
+      (10L, t0 + h, 4L, "purchase", 1.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Relational.q29.fn(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 4 && rows(0).getLong(2) == 2 && rows(0).getLong(3) == 1,
+      s"expected 4/2/1: ${rows(0)}")
+    // on real data the funnel is monotone per cohort
+    Relational.q29.fn(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) >= r.getLong(3), s"$r")
+    }
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)
