@@ -1323,6 +1323,63 @@ object Ingest {
       .orderBy(col("cell"), col("cal_month"), col("yr"))
   }
 
+  /** i42: rainy-season ONSET / CESSATION detection — the seasonal
+    * monitoring product downstream of the reference's dekadal rainfall
+    * family (TAMSAT/CHIRPS dekad totals, `ingest/tamsat/__init__.py`,
+    * `chirps_rainfall/__init__.py`): per (cell, year), the first dekad
+    * where the season's cumulative rainfall reaches 15% of the annual
+    * total (onset) and 85% (cessation) — the fraction-of-cumulative
+    * definition used in operational rainfall-calendar monitoring
+    * (Liebmann et al. 2012's anomalous-accumulation family).
+    *
+    * Cross-engine exactness: dekad totals round to the 2-decimal grid,
+    * then convert to INTEGER CENTS — the running and annual sums are
+    * integer arithmetic, so the threshold comparisons (c·20 ≥ 3·tot,
+    * c·20 ≥ 17·tot) can never flip on a float ulp. Plan: one
+    * partial-agg shuffle to (cell, yr, dekad) totals, then one window
+    * keyed (cell, yr) — ≤36 rows per key regardless of data volume —
+    * and the per-(cell, yr) final agg. */
+  val i42 = QueryDef(
+    "i42_season_onset",
+    """WITH dek AS (
+      |  SELECT l_returnflag AS cell,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+      |    CAST((EXTRACT(month FROM l_shipdate) - 1) * 3 +
+      |      CASE WHEN EXTRACT(day FROM l_shipdate) <= 10 THEN 1
+      |           WHEN EXTRACT(day FROM l_shipdate) <= 20 THEN 2
+      |           ELSE 3 END AS INTEGER) AS dk,
+      |    CAST(ROUND(ROUND(SUM(l_quantity), 2) * 100) AS BIGINT) AS vc
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT *, SUM(vc) OVER (PARTITION BY cell, yr ORDER BY dk) AS c,
+      |    SUM(vc) OVER (PARTITION BY cell, yr) AS tot
+      |  FROM dek)
+      |SELECT cell, yr,
+      |  ROUND(MAX(tot) / 100.0, 2) AS annual_total,
+      |  MIN(CASE WHEN c * 20 >= 3 * tot THEN dk END) AS onset_dk,
+      |  MIN(CASE WHEN c * 20 >= 17 * tot THEN dk END) AS cessation_dk,
+      |  MIN(CASE WHEN c * 20 >= 17 * tot THEN dk END) -
+      |    MIN(CASE WHEN c * 20 >= 3 * tot THEN dk END) AS season_len
+      |FROM cum GROUP BY cell, yr ORDER BY cell, yr""".stripMargin) { (spark, dir) =>
+    val dk = ((month(col("l_shipdate")) - 1) * 3 +
+      Calendar.dekadOfMonth(col("l_shipdate"))).cast("int")
+    val wOrd = Window.partitionBy(col("cell"), col("yr")).orderBy(col("dk"))
+    val wAll = Window.partitionBy(col("cell"), col("yr"))
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag").as("cell"),
+        year(col("l_shipdate")).as("yr"), dk.as("dk"))
+      .agg(round(round(sum(col("l_quantity")), 2) * 100).cast("long").as("vc"))
+      .withColumn("c", sum(col("vc")).over(wOrd))
+      .withColumn("tot", sum(col("vc")).over(wAll))
+      .groupBy(col("cell"), col("yr"))
+      .agg(round(max(col("tot")) / 100.0, 2).as("annual_total"),
+        min(when(col("c") * 20 >= col("tot") * 3, col("dk"))).as("onset_dk"),
+        min(when(col("c") * 20 >= col("tot") * 17, col("dk"))).as("cessation_dk"),
+        (min(when(col("c") * 20 >= col("tot") * 17, col("dk"))) -
+          min(when(col("c") * 20 >= col("tot") * 3, col("dk")))).as("season_len"))
+      .orderBy(col("cell"), col("yr"))
+  }
+
   /** i32: derived wind DIRECTION — i02's angular sibling: the
     * reference derives wind speed from the (u, v) component pair
     * (`ecmwf_opendata/__init__.py:495`); the meteorological direction
@@ -1808,5 +1865,5 @@ object Ingest {
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
-    i39, i39b, i41)
+    i39, i39b, i41, i42)
 }

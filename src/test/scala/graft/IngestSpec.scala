@@ -556,4 +556,30 @@ class IngestSpec extends SparkSpec {
       assert(r.getAs[Double]("dekad_total") > 0.0)
     }
   }
+
+  test("i42 onset/cessation match a direct cumulative-fraction recompute") {
+    import org.apache.spark.sql.functions.{col, month, year, round => fnRound, sum => fnSum, dayofmonth, when, lit}
+    val rows = Ingest.i42.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // direct recompute: dekad totals in integer cents, ordered cumsum
+    val dek = Tables(spark, sf).lineitem
+      .groupBy(col("l_returnflag").as("cell"), year(col("l_shipdate")).as("yr"),
+        ((month(col("l_shipdate")) - 1) * 3 +
+          when(dayofmonth(col("l_shipdate")) <= 10, 1)
+            .when(dayofmonth(col("l_shipdate")) <= 20, 2).otherwise(lit(3))).as("dk"))
+      .agg(fnRound(fnRound(fnSum(col("l_quantity")), 2) * 100).cast("long").as("vc"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getInt(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getInt(1))
+      val deks = dek(key)
+      val tot = deks.map(_._2).sum
+      val cums = deks.scanLeft((0, 0L)) { case ((_, c), (dk, v)) => (dk, c + v) }.tail
+      def first(num: Long): Int = cums.find { case (_, c) => c * 20 >= num * tot }.get._1
+      assert(r.getInt(3) == first(3), s"onset mismatch at $key")
+      assert(r.getInt(4) == first(17), s"cessation mismatch at $key")
+      assert(r.getInt(3) <= r.getInt(4))
+      assert(r.getInt(5) == r.getInt(4) - r.getInt(3))
+    }
+  }
 }
