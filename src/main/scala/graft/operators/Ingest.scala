@@ -1380,6 +1380,46 @@ object Ingest {
       .orderBy(col("cell"), col("yr"))
   }
 
+  /** i43: observation QUALITY-CONTROL flags — the WMO station-data QC
+    * battery (WMO-No. 1269 automatic checks) the reference's ingest
+    * path presumes upstream: each reading gets a bitmask of
+    * (1) RANGE — outside the variable's plausible physical limits,
+    * (2) STEP — jump from the previous reading above the maximum
+    * plausible tendency, (3) PERSISTENCE — three identical consecutive
+    * readings (a stuck sensor flatlines; real signal varies).
+    *
+    * Plan: ONE window shuffle on the station key (two lags share the
+    * frame), everything else map-side — at 100 TB each station's
+    * series sorts inside its own partition and the flag arithmetic is
+    * codegen'd. All comparisons are on raw doubles both engines read
+    * from the same parquet, so flags are bit-deterministic. */
+  val i43 = QueryDef(
+    "i43_qc_flags",
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events),
+      |l AS (SELECT *, LAG(value, 1) OVER w AS p1, LAG(value, 2) OVER w AS p2
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id AS station, ROUND(value, 2) AS v,
+      |  CAST((CASE WHEN value < 0 OR value > 150 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN p1 IS NOT NULL AND ABS(value - p1) > 100 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN p1 = value AND p2 = value THEN 4 ELSE 0 END)
+      |    AS INTEGER) AS qc_flags
+      |FROM l ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("p1", lag(col("value"), 1).over(w))
+      .withColumn("p2", lag(col("value"), 2).over(w))
+      .select(col("event_id"), col("user_id").as("station"),
+        round(col("value"), 2).as("v"),
+        (when(col("value") < 0 || col("value") > 150, 1).otherwise(0)
+          + when(col("p1").isNotNull && abs(col("value") - col("p1")) > 100, 2)
+            .otherwise(0)
+          + when(col("p1") === col("value") && col("p2") === col("value"), 4)
+            .otherwise(0)).cast("int").as("qc_flags"))
+      .orderBy(col("event_id"))
+  }
+
   /** i32: derived wind DIRECTION — i02's angular sibling: the
     * reference derives wind speed from the (u, v) component pair
     * (`ecmwf_opendata/__init__.py:495`); the meteorological direction
@@ -1865,5 +1905,5 @@ object Ingest {
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
-    i39, i39b, i41, i42)
+    i39, i39b, i41, i42, i43)
 }

@@ -582,4 +582,26 @@ class IngestSpec extends SparkSpec {
       assert(r.getInt(5) == r.getInt(4) - r.getInt(3))
     }
   }
+
+  test("i43 QC flags: range, step and persistence trigger exactly as specified") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i43").toString
+    val h = 3600L * 1000000000L
+    val t0 = 1704067200L * 1000000000L
+    Seq(
+      (0L, t0, 1L, "obs", 50.0, "{}"),          // clean
+      (1L, t0 + h, 1L, "obs", 200.0, "{}"),     // range + step = 3
+      (2L, t0 + 2 * h, 1L, "obs", 49.0, "{}"),  // step = 2
+      (3L, t0 + 3 * h, 1L, "obs", 49.0, "{}"),  // two identical: clean
+      (4L, t0 + 4 * h, 1L, "obs", 49.0, "{}"),  // third identical: persistence = 4
+      (5L, t0 + 5 * h, 1L, "obs", -5.0, "{}"))  // range = 1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.i43.fn(spark, dir).collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got == Map(0L -> 0, 1L -> 3, 2L -> 2, 3L -> 0, 4L -> 4, 5L -> 1), s"$got")
+    // real data: flags stay within the 3-bit mask
+    Ingest.i43.fn(spark, sf).collect().foreach { r =>
+      assert(r.getInt(3) >= 0 && r.getInt(3) <= 7)
+    }
+  }
 }
