@@ -709,6 +709,66 @@ object Similarity {
       .orderBy(col("cid"), col("pos"))
   }
 
+  /** s14: TWO-STAGE retrieval — the production ANN serving shape
+    * (FAISS `nprobe`, ScaNN reordering): a cheap COARSE stage probes
+    * the query's `nprobe` = 2 nearest IVF cells (s04 probes exactly 1
+    * — higher recall costs a wider probe, never a full scan), then the
+    * EXACT rerank stage scores only the shortlisted candidates.
+    *
+    * 100 TB shape: cell assignment is s04's zero-shuffle literal-
+    * codebook argmax and the cell id is the partition key, so the
+    * probe is partition PRUNING — the rerank touches nprobe/K of the
+    * corpus and the exact math runs only there. The probed cell list
+    * is picked by an 8-row job over the codebook (driver-bounded,
+    * like the codebook itself). Fully oracled: DuckDB replays the
+    * assignment, the probe ranking, and the rerank with identical
+    * tie-breaks. */
+  val s14 = QueryDef(
+    "s14_ann_rerank",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |                         ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cv) DESC, c.cid) AS rn
+      |    FROM e CROSS JOIN cent c) t WHERE rn = 1),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |probe AS (SELECT c.cid FROM cent c, q
+      |  ORDER BY LIST_COSINE_SIMILARITY(q.qv, c.cv) DESC, c.cid LIMIT 2)
+      |SELECT vec_id, CAST(cid AS INTEGER) AS cid,
+      |  ROUND(LIST_COSINE_SIMILARITY(v, qv) + 1e-9, 4) + 0.0 AS sim
+      |FROM assign JOIN probe USING (cid), q
+      |WHERE vec_id <> 0
+      |ORDER BY LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    // same lexicographic-struct argmax as s04 (ties → smallest cid)
+    val best = array_max(array(centroids.map { case (cid, cv) =>
+      struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
+    val assigned = emb.withColumn("cid", -best.getField("n"))
+    val query = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    // probe ranking over the K-row codebook — a driver-bounded job
+    import spark.implicits._
+    val centDf = centroids.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+    val probed = centDf.crossJoin(broadcast(query))
+      .orderBy(Vectors.cosine(col("cv"), col("qv")).desc, col("cid"))
+      .limit(2).select(col("cid")).collect().map(_.getInt(0))
+    assigned.filter(col("cid").isin(probed.map(Int.box): _*))
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(query))
+      .select(col("vec_id"), col("cid"),
+        Vectors.cosine(col("v"), col("qv")).as("raw"))
+      .orderBy(col("raw").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("cid"),
+        graft.QueryDef.roundBiased(col("raw"), 4).as("sim"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
+    Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
+      s14)
 }

@@ -320,6 +320,29 @@ class TextDedupSpec extends SparkSpec {
     assert(byClass(1) > byClass(0))
   }
 
+  test("s14 two-stage rerank widens s04's single-cell probe consistently") {
+    val rows = Similarity.s14.fn(spark, sf).collect()
+    assert(rows.length == 10)
+    // ranked by similarity, deterministic tie-break
+    val sims = rows.map(_.getDouble(2))
+    sims.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    // at most nprobe = 2 distinct cells in the shortlist
+    val cells = rows.map(_.getInt(1)).distinct
+    assert(cells.length <= 2)
+    // the pool is a superset of s04's single-cell pool: any s04 hit
+    // missing from s14's top-10 must be displaced by a better score
+    val s04rows = Similarity.s04.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val ids = rows.map(_.getLong(0)).toSet
+    val minSim = sims.min
+    s04rows.filterNot { case (id, _) => ids.contains(id) }.foreach { case (id, s) =>
+      assert(minSim >= s, s"s04 hit $id (sim $s) dropped but not displaced")
+    }
+    // the rerank joins broadcast-only — the corpus side never shuffles
+    val plan = Similarity.s14.fn(spark, sf).queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin"), s"rerank must not shuffle-join:\n$plan")
+  }
+
   test("s13 merged centroids equal the weighted member mean; counts conserve") {
     val rows = Similarity.s13.fn(spark, sf).collect()
     assert(rows.length == 4 * 64, "4 centroids x 64 dims")
