@@ -506,5 +506,81 @@ object TrainingPipeline {
       .orderBy(col("phase"), col("ord"), col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08)
+  /** p09: EPOCH-CAPPED token allocation — "Scaling Data-Constrained
+    * Language Models" (Muennighoff et al. 2023) operationalized: a
+    * token budget (2× the corpus here) is spread across domains as
+    * evenly as possible, but no domain may repeat beyond 4 epochs —
+    * beyond that, repetition stops helping, so a small domain's
+    * surplus share must REDISTRIBUTE to the domains that still have
+    * headroom (water-filling with per-domain caps).
+    *
+    * Exactness: the entire allocation is INTEGER arithmetic. Sorting
+    * domains by cap (= 4·n_d), the capped set is provably a PREFIX:
+    * domain k caps iff cap_k·(D−k+1) + cumcap_{k−1} ≤ B (giving every
+    * remaining domain cap_k still fits), all integers. The survivors
+    * split the remaining budget by integer division, the remainder
+    * going one token each to the first (cap, source)-ranked survivors
+    * — so Σalloc = B exactly and both engines agree bit-for-bit.
+    *
+    * 100 TB shape: ONE corpus partial-agg shuffle to domain token
+    * counts; every window runs on the DOMAIN-cardinality table (tens
+    * of rows — p07's bounded-grid argument), never the corpus. */
+  val p09 = QueryDef(
+    "p09_epoch_alloc",
+    """WITH s AS (SELECT source,
+      |    CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n
+      |  FROM documents GROUP BY source),
+      |g AS (SELECT CAST(2 * SUM(n) AS BIGINT) AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS d FROM s),
+      |o AS (SELECT source, n, 4 * n AS cap,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY 4 * n, source) AS BIGINT) AS k,
+      |    CAST(SUM(4 * n) OVER (ORDER BY 4 * n, source
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumcap
+      |  FROM s),
+      |f AS (SELECT o.*, b, d,
+      |    (cap * (d - k + 1) + cumcap - cap <= b) AS capped FROM o, g),
+      |a AS (SELECT COALESCE(MAX(CASE WHEN capped THEN k END), 0) AS kk,
+      |    COALESCE(MAX(CASE WHEN capped THEN cumcap END), 0) AS cc FROM f),
+      |r AS (SELECT source, n, cap,
+      |    CAST(CASE WHEN capped OR d = kk THEN cap
+      |      ELSE (b - cc) // (d - kk)
+      |        + CASE WHEN k - kk <= (b - cc) % (d - kk) THEN 1 ELSE 0 END
+      |    END AS BIGINT) AS alloc
+      |  FROM f, a)
+      |SELECT source, n AS n_tokens, cap, alloc,
+      |  ROUND(CAST(alloc AS DOUBLE) / n + 1e-9, 4) AS epochs
+      |FROM r ORDER BY source""".stripMargin) { (spark, dir) =>
+    val s = Tables(spark, dir).documents
+      .groupBy(col("source"))
+      .agg(sum(size(Text.tokens(col("text")))).cast("long").as("n"))
+    val g = s.agg((lit(2) * sum(col("n"))).cast("long").as("b"),
+      count(lit(1)).cast("long").as("d"))
+    // single-partition window is safe HERE: the table is domain-sized
+    // (tens of rows at any corpus scale), not corpus-sized
+    val wo = Window.orderBy(col("cap"), col("source"))
+    val o = s.withColumn("cap", col("n") * 4)
+      .withColumn("k", row_number().over(wo).cast("long"))
+      .withColumn("cumcap",
+        sum(col("cap")).over(wo.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val f = o.crossJoin(broadcast(g))
+      .withColumn("capped",
+        col("cap") * (col("d") - col("k") + 1) + col("cumcap") - col("cap") <= col("b"))
+      .persist() // domain-sized; feeds the boundary agg AND the output
+    val a = f.agg(
+      coalesce(max(when(col("capped"), col("k"))), lit(0L)).as("kk"),
+      coalesce(max(when(col("capped"), col("cumcap"))), lit(0L)).as("cc"))
+    f.crossJoin(broadcast(a))
+      .withColumn("alloc",
+        when(col("capped") || col("d") === col("kk"), col("cap"))
+          .otherwise(expr("(b - cc) div (d - kk)") +
+            when(col("k") - col("kk") <= expr("(b - cc) % (d - kk)"), 1L)
+              .otherwise(0L)).cast("long"))
+      .select(col("source"), col("n").as("n_tokens"), col("cap"), col("alloc"),
+        graft.QueryDef.roundBiased(col("alloc").cast("double") / col("n"), 4)
+          .as("epochs"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09)
 }

@@ -229,4 +229,33 @@ class TrainingPipelineSpec extends SparkSpec {
       assert(plan.contains("partial_"), s"${q.name} missing map-side partial agg")
     }
   }
+
+  test("p09 allocation sums exactly to the budget and respects the epoch cap") {
+    import org.apache.spark.sql.functions.col
+    val rows = TrainingPipeline.p09.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(3)).sum == 2 * totalTokens, "sum(alloc) must equal B")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"alloc above 4-epoch cap: $r")
+      assert(r.getDouble(4) <= 4.0 + 1e-9)
+    }
+    // survivors' allocations are even to within the 1-token remainder
+    val uncapped = rows.filter(r => r.getLong(3) < r.getLong(2)).map(_.getLong(3))
+    if (uncapped.nonEmpty) assert(uncapped.max - uncapped.min <= 1)
+
+    // crafted skew: the tiny domain caps at 4 epochs, the rest split evenly
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_p09").toString
+    def doc(id: Long, src: String, nTok: Int) =
+      (id, Seq.fill(nTok)("w").mkString(" "), "en", src, nTok.toLong)
+    val docs = Seq(doc(0L, "tiny", 10)) ++
+      (1L to 10L).map(doc(_, "bigA", 100)) ++ (11L to 20L).map(doc(_, "bigB", 100))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingPipeline.p09.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // B = 2*2010 = 4020; tiny caps at 40; survivors split 3980 → 1990 each
+    assert(got == Map("tiny" -> 40L, "bigA" -> 1990L, "bigB" -> 1990L), s"$got")
+  }
 }
