@@ -1034,7 +1034,52 @@ object TextAnalysis {
       .orderBy(col("is_target"), col("pred"))
   }
 
+  /** t20: n-gram NOVELTY profile — for each document, the fraction of
+    * its distinct trigrams whose FIRST corpus occurrence (minimum
+    * doc_id) is this document. The crawl-monitoring diagnostic behind
+    * "how much genuinely new content does each snapshot add" (the
+    * longitudinal dedup view of Lee et al. 2022's repeated-substring
+    * analysis): near-1 novelty marks fresh material, near-0 marks
+    * recombined boilerplate.
+    *
+    * 100 TB shape: (doc, gram) pairs dedup per doc MAP-SIDE
+    * (array_distinct before the explode); the first-occurrence table
+    * is a groupBy(gram).min partial agg — the map-side combiner
+    * absorbs boilerplate-gram skew BEFORE the shuffle, which is why
+    * this is a groupBy+join and NOT a gram-partitioned window (a
+    * window would buffer a hot gram's million rows in one partition;
+    * the join redistributes under AQE skew splitting). Both shuffles
+    * key on the gram. */
+  val t20 = QueryDef(
+    "t20_ngram_novelty",
+    """WITH g AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      |    RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 1)),
+      |    i -> STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i+1]
+      |      || ' ' || STRING_SPLIT(text, ' ')[i+2]))) AS sh
+      |  FROM documents),
+      |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM g GROUP BY sh)
+      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) AS BIGINT) AS n_novel,
+      |  ROUND(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) * 1.0 / COUNT(*)
+      |    + 1e-9, 4) AS novelty
+      |FROM g JOIN f USING (sh)
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (spark, dir) =>
+    val g = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(Text.tokens(col("text")), 3))).as("sh"))
+      .persist() // feeds the first-occurrence agg AND the scoring join
+    val first = g.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    g.join(first, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        graft.QueryDef.roundBiased(
+          col("n_novel").cast("double") / col("n_grams"), 4).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19)
+      t15, t16, t17, t18, t19, t20)
 }

@@ -320,6 +320,29 @@ class TextDedupSpec extends SparkSpec {
     assert(byClass(1) > byClass(0))
   }
 
+  test("t20 novelty: first doc fully novel, verbatim copies score zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t20").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "src0", 29L),
+      (1L, "alpha beta gamma delta epsilon", "en", "src1", 29L), // verbatim copy
+      (2L, "zeta eta theta iota kappa", "en", "src2", 25L),      // fresh content
+      (3L, "alpha beta gamma nu xi omicron", "en", "src3", 30L)) // partial overlap
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t20.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(0L) == 1.0 && got(1L) == 0.0 && got(2L) == 1.0)
+    assert(got(3L) > 0.0 && got(3L) < 1.0, s"partial overlap: ${got(3L)}")
+    // real data: the earliest doc is fully novel and every ratio is in [0, 1]
+    val rows = TextAnalysis.t20.fn(spark, sf).collect()
+    assert(rows.head.getDouble(3) == 1.0)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   test("s14 two-stage rerank widens s04's single-cell probe consistently") {
     val rows = Similarity.s14.fn(spark, sf).collect()
     assert(rows.length == 10)
