@@ -599,6 +599,92 @@ object Streaming {
         .orderBy(col("event_type"), col("rnk"))
   }
 
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelOut(user_id: Long, t1: Long, t2: Long, t3: Long)
+
+  /** st12: streaming FUNNEL maintenance — q29's ordered view → click →
+    * purchase funnel kept live per user with BOUNDED state: three
+    * microsecond timestamps per user (the stage minima), nothing else,
+    * no matter how much history streams through.
+    *
+    * Each micro-batch folds the user's new events in EVENT-TIME order
+    * (sorted before the fold): at a click's position every earlier
+    * view — including the global earliest, if the click can qualify at
+    * all — has already been folded, so the stage conditions evaluate
+    * against their FINAL upstream values and the in-order fold is
+    * EXACT (matches q29's batch semantics whenever a user's events
+    * arrive time-ordered across batches, always within one). Late
+    * cross-batch arrivals are the usual watermark-bounded streaming
+    * caveat, shared with st01–st11.
+    *
+    * Scale: state is 3 longs/user (vs st02's seen-set growth), the
+    * groupByKey shuffle is the one stateful exchange, sized by
+    * withStreamParallelism. */
+  val st12 = QueryDef(
+    "st12_stream_funnel",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      |  GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+      |  JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      |  GROUP BY e.user_id)
+      |SELECT user_id, CAST(EPOCH_US(s1.t1) AS BIGINT) AS t1_us,
+      |  CAST(COALESCE(EPOCH_US(s2.t2), -1) AS BIGINT) AS t2_us,
+      |  CAST(COALESCE(EPOCH_US(s3.t3), -1) AS BIGINT) AS t3_us
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sevenDays = 7L * 24 * 3600 * 1000000L
+    val unset = Long.MaxValue
+    withStreamParallelism(spark, dir) { s =>
+      import s.implicits._
+      val updates = eventStream(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("m"),
+          col("event_id"))
+        .as[(Long, String, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, String, Long, Long)],
+              state: GroupState[FunnelState]) =>
+            val prev = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+            // fold in event-time order — the group iterator itself is unsorted
+            val next = rows.toArray.sortBy(r => (r._3, r._4))
+              .foldLeft(prev) { case (st, (_, typ, m, _)) =>
+                typ match {
+                  case "view" => st.copy(t1 = math.min(st.t1, m))
+                  case "click" if st.t1 != unset && m > st.t1 &&
+                      m <= st.t1 + sevenDays =>
+                    st.copy(t2 = math.min(st.t2, m))
+                  case "purchase" if st.t2 != unset && m > st.t2 &&
+                      m <= st.t1 + sevenDays =>
+                    st.copy(t3 = math.min(st.t3, m))
+                  case _ => st
+                }
+              }
+            state.update(next)
+            if (next.t1 == unset) Iterator.empty
+            else Iterator.single(FunnelOut(user, next.t1, next.t2, next.t3))
+        }
+      val q = updates.toDF().writeStream
+        .outputMode("update").format("memory").queryName("st12_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("st12_out")
+    }.select(col("user_id"), col("t1").as("t1_us"),
+        // NULL-able timestamps confuse cross-engine frame compares
+        // (ns-vs-us unit + NaT) — emit micros with a -1 sentinel instead
+        when(col("t2") =!= Long.MaxValue, col("t2")).otherwise(-1L).as("t2_us"),
+        when(col("t3") =!= Long.MaxValue, col("t3")).otherwise(-1L).as("t3_us"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11)
+    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11, st12)
 }

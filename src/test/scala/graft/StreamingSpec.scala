@@ -178,4 +178,35 @@ class StreamingSpec extends SparkSpec {
     assert(versions.length >= 3,
       s"expected one state version per micro-batch epoch, found ${versions.toSeq}")
   }
+
+  test("st12 streamed funnel enforces stage order and horizon like the batch path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st12").toString
+    val h = 3600L * 1000000000L
+    val t0 = 1704067200L * 1000000000L
+    Seq(
+      (0L, t0, 1L, "view", 1.0, "{}"),         // user 1: full funnel
+      (1L, t0 + h, 1L, "click", 1.0, "{}"),
+      (2L, t0 + 2 * h, 1L, "purchase", 1.0, "{}"),
+      (3L, t0 + 2 * h, 2L, "click", 1.0, "{}"), // user 2: click precedes view
+      (4L, t0 + 3 * h, 2L, "view", 1.0, "{}"),
+      (6L, t0, 3L, "view", 1.0, "{}"),          // user 3: purchase past horizon
+      (7L, t0 + h, 3L, "click", 1.0, "{}"),
+      (8L, t0 + 240 * h, 3L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/_stage")
+    // the file stream's pathGlobFilter matches leaf FILE names — stage
+    // a single part file and move it to $dir/events.parquet
+    val part = new java.io.File(s"$dir/_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val got = Streaming.st12.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val us = 3600L * 1000000L
+    val b = 1704067200L * 1000000L
+    assert(got(1L) == ((b, b + us, b + 2 * us)))
+    assert(got(2L) == ((b + 3 * us, -1L, -1L)), s"${got(2L)}")
+    assert(got(3L) == ((b, b + us, -1L)), s"${got(3L)}")
+  }
 }
