@@ -818,8 +818,50 @@ object Relational {
       .orderBy(col("cohort_day"))
   }
 
+  /** q30: cohort RETENTION matrix — q29's funnel sibling and the other
+    * canonical product-analytics table: users cohorted by their first
+    * active week, and each (cohort, week-offset) cell counts how many
+    * of that cohort were active that many weeks later. The naive
+    * formulation re-scans events per offset; this computes the whole
+    * matrix in one pass.
+    *
+    * Weeks are INTEGER indexes (epoch-days div 7) — no engine-specific
+    * week-truncation semantics anywhere. Shape: (user, week) dedup
+    * (one shuffle), per-user cohort min on the SAME user key (the
+    * exchange reuses), user-keyed join of the user-sized cohort table,
+    * and a (cohort, offset)-bounded final agg. At 100 TB nothing
+    * beyond the first dedup touches event-cardinality data. */
+  val q30 = QueryDef(
+    "q30_retention_cohorts",
+    """WITH e AS (SELECT user_id,
+      |    CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') // 7
+      |      AS BIGINT) AS wk FROM events),
+      |a AS (SELECT DISTINCT user_id, wk FROM e),
+      |c AS (SELECT user_id, MIN(wk) AS cw FROM a GROUP BY user_id),
+      |n AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM c GROUP BY cw)
+      |SELECT c.cw AS cohort_week, CAST(a.wk - c.cw AS INTEGER) AS week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active, MAX(n.n_cohort) AS n_cohort,
+      |  ROUND(COUNT(*) * 1.0 / MAX(n.n_cohort) + 1e-9, 4) AS retention
+      |FROM a JOIN c USING (user_id) JOIN n ON n.cw = c.cw
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val a = Tables(spark, dir).events
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), date'1970-01-01') div 7").cast("long").as("wk"))
+      .distinct()
+      .persist() // feeds the cohort min AND the activity join
+    val c = a.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+    val n = c.groupBy(col("cw")).agg(count(lit(1)).as("n_cohort"))
+    a.join(c, "user_id").join(broadcast(n), "cw")
+      .groupBy(col("cw").as("cohort_week"),
+        (col("wk") - col("cw")).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"), max(col("n_cohort")).as("n_cohort"),
+        graft.QueryDef.roundBiased(
+          count(lit(1)).cast("double") / max(col("n_cohort")), 4).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
       q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29)
+      q29, q30)
 }

@@ -306,6 +306,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q30 retention: offset-0 cells are complete and counts never exceed cohort size") {
+    val rows = Relational.q30.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), s"active above cohort size: $r")
+      if (r.getInt(1) == 0)
+        assert(r.getLong(2) == r.getLong(3) && r.getDouble(4) == 1.0,
+          s"every cohort member is active in week 0: $r")
+      assert(r.getInt(1) >= 0)
+    }
+    // cohort sizes partition the user population
+    val users = Tables(spark, sf).events
+      .select(org.apache.spark.sql.functions.col("user_id")).distinct().count()
+    assert(rows.filter(_.getInt(1) == 0).map(_.getLong(3)).sum == users)
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)
