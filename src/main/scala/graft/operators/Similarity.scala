@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.Vectors
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** C-family similarity search (SURVEY.md §2 s01–s02) over the
@@ -324,31 +324,52 @@ object Similarity {
       |SELECT vec_id, code0, code1, code2, code3,
       |  ROUND(SQRT(se / 64.0) + 1e-9, 4) AS rmse
       |FROM err ORDER BY vec_id""".stripMargin) { (spark, dir) =>
-    val M = 4; val K = 4; val S = 16
+    val (emb, c1) = pqTrain(spark, dir)
+    // final encode: zero-shuffle projection; se is the min distance² of
+    // each subspace (identical for tied codes, so parity holds)
+    val codeCols = (0 until PqM).map(m =>
+      pqBestStruct(m, c1(m)).getField("c").as(s"code$m"))
+    val seTotal = (0 until PqM).map(m => pqBestStruct(m, c1(m)).getField("d"))
+      .reduce(_ + _)
+    emb.select(col("vec_id") +: codeCols :+
+        graft.QueryDef.roundBiased(sqrt(seTotal / 64.0), 4).as("rmse"): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  // ---- shared PQ machinery (s07 trains, s15 serves) ----------------------
+  private val PqM = 4; private val PqK = 4; private val PqS = 16
+
+  private def pqSubCol(m: Int) = slice(col("v"), m * PqS + 1, PqS)
+
+  // squared L2 by dot expansion — every term a codegen'd native expr
+  private def pqL2sq(s: Column, cv: Array[Double]): Column =
+    Vectors.dot(s, s) - lit(2.0) * Vectors.dot(s, typedlit(cv)) +
+      lit(cv.map(x => x * x).sum)
+
+  private def pqBestStruct(m: Int, cents: Seq[(Int, Array[Double])]): Column =
+    array_min(array(cents.map { case (cid, cv) =>
+      struct(pqL2sq(pqSubCol(m), cv).as("d"), lit(cid).as("c")) }: _*))
+
+  /** PQ training (seeds from the first K vectors + one Lloyd round per
+    * subspace): map-side assignment, then a K×S-group mean — iteration
+    * means rounded to 6 on both sides so summation order can't flip an
+    * encode (the s05 lesson). Returns the persisted (vec_id, v) frame
+    * and the per-subspace codebooks. */
+  private def pqTrain(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, Map[Int, Seq[(Int, Array[Double])]]) = {
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist()
-    def subCol(m: Int) = slice(col("v"), m * S + 1, S)
-    // squared L2 by dot expansion — every term a codegen'd native expr
-    def l2sq(s: Column, cv: Array[Double]): Column =
-      Vectors.dot(s, s) - lit(2.0) * Vectors.dot(s, typedlit(cv)) +
-        lit(cv.map(x => x * x).sum)
-    def bestStruct(m: Int, cents: Seq[(Int, Array[Double])]): Column =
-      array_min(array(cents.map { case (cid, cv) =>
-        struct(l2sq(subCol(m), cv).as("d"), lit(cid).as("c")) }: _*))
-    val seedRows = emb.filter(col("vec_id") < K).orderBy(col("vec_id")).collect()
-    def subArr(a: Array[Double], m: Int) = a.slice(m * S, (m + 1) * S)
-    val seeds = (0 until M).map { m =>
+    val seedRows = emb.filter(col("vec_id") < PqK).orderBy(col("vec_id")).collect()
+    def subArr(a: Array[Double], m: Int) = a.slice(m * PqS, (m + 1) * PqS)
+    val seeds = (0 until PqM).map { m =>
       m -> seedRows.map(r =>
         (r.getLong(0).toInt, subArr(r.getSeq[Double](1).toArray, m))).toSeq
     }.toMap
-    // one Lloyd refinement per subspace: map-side assignment, then a
-    // K×S-group mean (iteration means rounded to 6 on both sides so
-    // summation order can't flip an encode — the s05 lesson)
-    val c1 = (0 until M).map { m =>
+    val c1 = (0 until PqM).map { m =>
       val rows = emb
-        .select(bestStruct(m, seeds(m)).getField("c").as("cid"),
-          posexplode(subCol(m)).as(Seq("pos", "x")))
+        .select(pqBestStruct(m, seeds(m)).getField("c").as("cid"),
+          posexplode(pqSubCol(m)).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(graft.QueryDef.roundBiased(avg(col("x")), 6).as("cx"))
         .collect()
@@ -356,13 +377,7 @@ object Similarity {
         .map { case (cid, rs) =>
           (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray) }
     }.toMap
-    // final encode: zero-shuffle projection; se is the min distance² of
-    // each subspace (identical for tied codes, so parity holds)
-    val codeCols = (0 until M).map(m => bestStruct(m, c1(m)).getField("c").as(s"code$m"))
-    val seTotal = (0 until M).map(m => bestStruct(m, c1(m)).getField("d")).reduce(_ + _)
-    emb.select(col("vec_id") +: codeCols :+
-        graft.QueryDef.roundBiased(sqrt(seTotal / 64.0), 4).as("rmse"): _*)
-      .orderBy(col("vec_id"))
+    (emb, c1)
   }
 
   /** s08: ANN recall evaluation — the quality harness every approximate
@@ -768,7 +783,91 @@ object Similarity {
         graft.QueryDef.roundBiased(col("raw"), 4).as("sim"))
   }
 
+  /** s15: PQ ASYMMETRIC-DISTANCE search (ADC — Jégou et al. 2011, the
+    * serving half of s07's IVF-PQ layout): the query stays FULL
+    * PRECISION, each corpus vector is only its M=4 one-byte codes, and
+    * distance = Σ_m dtable[m][code_m] where the per-query distance
+    * table (M×K subspace distances, 16 doubles here) is computed once.
+    * This is how a quantized index scans billions of codes without
+    * touching a single corpus float.
+    *
+    * 100 TB shape: encode and lookup are ZERO-SHUFFLE map-side
+    * projections against literal codebooks/tables (the only shuffles
+    * are inside the shared one-round trainer); the scored scan reads
+    * 4 bytes/vector where s01 reads 256. Cross-engine exactness: each
+    * table entry lands on the 1e-6 decimal grid and the ADC sum is
+    * DECIMAL — ranking can't flip on a float ulp. The output carries
+    * the true (full-precision) distance next to the ADC estimate, so
+    * the quantization gap is part of the verified surface. */
+  val s15 = QueryDef(
+    "s15_pq_adc_search",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ms AS (SELECT UNNEST(RANGE(4)) AS m),
+      |sub AS (SELECT vec_id, CAST(m AS INTEGER) AS m, v[m*16+1 : m*16+16] AS s
+      |        FROM e CROSS JOIN ms),
+      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, m, s AS cv FROM sub WHERE vec_id < 4),
+      |a1 AS (SELECT vec_id, m, s, cid FROM (
+      |   SELECT sub.vec_id, sub.m, sub.s, c.cid,
+      |     ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+      |                        ORDER BY LIST_DISTANCE(sub.s, c.cv), c.cid) AS rn
+      |   FROM sub JOIN c0 c ON c.m = sub.m) t WHERE rn = 1),
+      |m1 AS (SELECT m, cid, i, ROUND(AVG(s[i]) + 1e-9, 6) AS cx
+      |       FROM a1 CROSS JOIN generate_series(1, 16) g(i) GROUP BY m, cid, i),
+      |c1 AS (SELECT m, cid, LIST(cx ORDER BY i) AS cv FROM m1 GROUP BY m, cid),
+      |enc AS (SELECT vec_id, m, cid FROM (
+      |   SELECT sub.vec_id, sub.m, c.cid,
+      |     ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+      |                        ORDER BY LIST_DISTANCE(sub.s, c.cv), c.cid) AS rn
+      |   FROM sub JOIN c1 c ON c.m = sub.m) t WHERE rn = 1),
+      |q AS (SELECT m, s AS qs FROM sub WHERE vec_id = 0),
+      |dt AS (SELECT c1.m, c1.cid,
+      |    CAST(ROUND(LIST_DISTANCE(q.qs, c1.cv) ** 2 + 1e-9, 6)
+      |      AS DECIMAL(18,6)) AS d2
+      |  FROM c1 JOIN q USING (m)),
+      |adc AS (SELECT enc.vec_id, SUM(dt.d2) AS adc
+      |  FROM enc JOIN dt USING (m, cid) GROUP BY enc.vec_id),
+      |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0)
+      |SELECT adc.vec_id, CAST(adc.adc AS DOUBLE) AS adc_dist,
+      |  ROUND(LIST_DISTANCE(e.v, qv.qvec) ** 2 + 1e-9, 4) AS true_d2
+      |FROM adc JOIN e ON e.vec_id = adc.vec_id, qv
+      |WHERE adc.vec_id <> 0
+      |ORDER BY adc.adc, adc.vec_id LIMIT 10""".stripMargin) { (spark, dir) =>
+    val (emb, c1) = pqTrain(spark, dir)
+    val qArr = emb.filter(col("vec_id") === 0).collect()(0)
+      .getSeq[Double](1).toArray
+    def qsub(m: Int) = qArr.slice(m * PqS, (m + 1) * PqS)
+    // one distance-table entry, replicating the oracle's
+    // ROUND(LIST_DISTANCE(qs, cv)^2 + 1e-9, 6) exactly (sequential
+    // difference sum, sqrt, square, biased half-up round)
+    def d2(qs: Array[Double], cv: Array[Double]): java.math.BigDecimal = {
+      var s = 0.0; var i = 0
+      while (i < qs.length) { val d = qs(i) - cv(i); s += d * d; i += 1 }
+      val dist = math.sqrt(s)
+      java.math.BigDecimal.valueOf(dist * dist + 1e-9)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+    val dtCols = (0 until PqM).map { m =>
+      val code = pqBestStruct(m, c1(m)).getField("c")
+      c1(m).foldLeft(lit(null).cast("decimal(18,6)")) {
+        case (acc, (cid, cv)) =>
+          when(code === cid, lit(d2(qsub(m), cv)).cast("decimal(18,6)"))
+            .otherwise(acc)
+      }
+    }
+    val adc = dtCols.reduce(_ + _)
+    val trueD2 = Vectors.dot(col("v"), col("v")) -
+      lit(2.0) * Vectors.dot(col("v"), typedlit(qArr)) +
+      lit(qArr.map(x => x * x).sum)
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), adc.as("adcd"),
+        graft.QueryDef.roundBiased(trueD2, 4).as("true_d2"))
+      .orderBy(col("adcd"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("adcd").cast("double").as("adc_dist"),
+        col("true_d2"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14)
+      s14, s15)
 }

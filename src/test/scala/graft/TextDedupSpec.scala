@@ -366,6 +366,23 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"rerank must not shuffle-join:\n$plan")
   }
 
+  test("s15 ADC search scans codes join-free and ranks by the decimal table sum") {
+    val df = Similarity.s15.fn(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val adc = rows.map(_.getDouble(1))
+    adc.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(2) >= 0.0)
+    }
+    // the scored scan is a pure projection: no join, no aggregation —
+    // the only work besides the trainer is a TakeOrdered over map output
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"ADC scoring must not join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a TakeOrdered reduction, not a global sort:\n$plan")
+  }
+
   test("s13 merged centroids equal the weighted member mean; counts conserve") {
     val rows = Similarity.s13.fn(spark, sf).collect()
     assert(rows.length == 4 * 64, "4 centroids x 64 dims")
