@@ -1420,6 +1420,86 @@ object Ingest {
       .orderBy(col("event_id"))
   }
 
+  /** i45: SNHT HOMOGENEITY breakpoint detection (Alexandersson 1986,
+    * the standard-normal homogeneity test) — the climate-QC step after
+    * i43's per-reading flags: a station move or sensor swap shifts the
+    * series MEAN, and the test statistic T(k) = k·z̄²₍₁..k₎ +
+    * (n−k)·z̄²₍k+1..n₎ over the standardized series peaks at the break
+    * position. Output per station: the argmax day and T_max (compared
+    * against the published critical values downstream).
+    *
+    * Determinism discipline: daily totals go to INTEGER CENTS, so the
+    * full-series moments (n, Σv, Σv²) are exact integers and μ/σ are
+    * bit-identical doubles; z-scores then round to the 1e-6 grid and
+    * the prefix sums run as DECIMAL — order-independent — so T(k) on
+    * both engines derives from literally identical operands and the
+    * argmax can never flip on a float ulp. Shape: one daily partial
+    * agg + station-keyed windows (moments, ordered prefix, rank) that
+    * all share ONE exchange. */
+  val i45 = QueryDef(
+    "i45_snht_breakpoint",
+    """WITH d AS (SELECT user_id AS station,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(ROUND(ROUND(SUM(value), 2) * 100) AS BIGINT) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT *, COUNT(*) OVER w AS n,
+      |    SUM(vc) OVER w AS s1, SUM(vc * vc) OVER w AS s2
+      |  FROM d WINDOW w AS (PARTITION BY station)),
+      |z AS (SELECT station, day, n,
+      |    CAST(ROUND(CASE WHEN n > 1 AND s2 - s1 * s1 * 1.0 / n > 0
+      |      THEN (vc - s1 * 1.0 / n) / SQRT((s2 - s1 * s1 * 1.0 / n) / n) END
+      |      + 1e-9, 6) AS DECIMAL(18,6)) AS z
+      |  FROM st),
+      |c AS (SELECT *, SUM(z) OVER (PARTITION BY station ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS cz,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY station ORDER BY day) AS BIGINT) AS k,
+      |    SUM(z) OVER (PARTITION BY station) AS tz
+      |  FROM z WHERE z IS NOT NULL),
+      |t AS (SELECT station, day, n, k,
+      |    k * POW(CAST(cz AS DOUBLE) / k, 2) +
+      |      (n - k) * POW(CAST(tz - cz AS DOUBLE) / (n - k), 2) AS tk
+      |  FROM c WHERE k < n),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY station
+      |    ORDER BY tk DESC, day) AS rnk FROM t)
+      |SELECT station, CAST(n AS BIGINT) AS n_days,
+      |  CAST(day AS TIMESTAMP) AS break_day,
+      |  ROUND(tk + 1e-9, 4) AS t_max
+      |FROM r WHERE rnk = 1 ORDER BY station""".stripMargin) { (spark, dir) =>
+    val wAll = Window.partitionBy(col("station"))
+    val wOrd = Window.partitionBy(col("station")).orderBy(col("day"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = Tables(spark, dir).events
+      .groupBy(col("user_id").as("station"), to_date(col("ts")).as("day"))
+      .agg(round(round(sum(col("value")), 2) * 100).cast("long").as("vc"))
+    val z = d
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s1", sum(col("vc")).over(wAll))
+      .withColumn("s2", sum(col("vc") * col("vc")).over(wAll))
+      .select(col("station"), col("day"), col("n"),
+        graft.QueryDef.roundBiased(
+          when(col("n") > 1 && col("s2") - col("s1") * col("s1") * 1.0 / col("n") > 0,
+            (col("vc") - col("s1") * 1.0 / col("n")) /
+              sqrt((col("s2") - col("s1") * col("s1") * 1.0 / col("n")) / col("n"))),
+          6).cast("decimal(18,6)").as("z"))
+      .filter(col("z").isNotNull)
+    val t = z
+      .withColumn("cz", sum(col("z")).over(wCum))
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("tz", sum(col("z")).over(wAll))
+      .filter(col("k") < col("n"))
+      .withColumn("tk",
+        col("k") * pow(col("cz").cast("double") / col("k"), 2) +
+          (col("n") - col("k")) *
+            pow((col("tz") - col("cz")).cast("double") / (col("n") - col("k")), 2))
+    t.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("station")).orderBy(col("tk").desc, col("day"))))
+      .filter(col("rnk") === 1)
+      .select(col("station"), col("n").as("n_days"),
+        col("day").cast("timestamp").as("break_day"),
+        graft.QueryDef.roundBiased(col("tk"), 4).as("t_max"))
+      .orderBy(col("station"))
+  }
+
   /** i32: derived wind DIRECTION — i02's angular sibling: the
     * reference derives wind speed from the (u, v) component pair
     * (`ecmwf_opendata/__init__.py:495`); the meteorological direction
@@ -1905,5 +1985,5 @@ object Ingest {
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
-    i39, i39b, i41, i42, i43)
+    i39, i39b, i41, i42, i43, i45)
 }

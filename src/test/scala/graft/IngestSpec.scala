@@ -604,4 +604,27 @@ class IngestSpec extends SparkSpec {
       assert(r.getInt(3) >= 0 && r.getInt(3) <= 7)
     }
   }
+
+  test("i45 SNHT finds the exact step-change day in a crafted series") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i45").toString
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1704067200L * 1000000000L
+    // station 1: clean step 10.0 → 50.0 after day 10; station 2: smooth ramp
+    val events = (1 to 20).map { i =>
+      (i.toLong, t0 + (i - 1) * day, 1L, "obs", if (i <= 10) 10.0 else 50.0, "{}")
+    } ++ (1 to 20).map { i =>
+      (100L + i, t0 + (i - 1) * day, 2L, "obs", i.toDouble, "{}")
+    }
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.i45.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getTimestamp(2).toLocalDateTime.toLocalDate, r.getDouble(3))))
+      .toMap
+    // the step series breaks exactly at the last low day
+    assert(got(1L)._1 == java.time.LocalDate.of(2024, 1, 10), s"${got(1L)}")
+    // a clean step's T_max is the theoretical maximum n (= 20); the ramp's is lower
+    assert(got(1L)._2 > got(2L)._2, s"$got")
+    assert(math.abs(got(1L)._2 - 20.0) < 0.1, s"step T_max ≈ n: ${got(1L)._2}")
+  }
 }
