@@ -860,8 +860,58 @@ object Relational {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** q31: LAST-TOUCH conversion attribution — the third canonical
+    * product-analytics query next to q29 (funnel) and q30 (retention):
+    * every purchase is credited to the user's most recent preceding
+    * touch (view or click) within a 3-day lookback, and revenue rolls
+    * up by the credited channel. Expressed as ONE user-keyed ordered
+    * window — `last(..., ignoreNulls)` carries the running latest
+    * touch (type + timestamp) to each row, so a million-event user
+    * costs linear window work and there is never an event×event join.
+    * Purchases outside every lookback credit the 'organic' bucket
+    * (deterministic, not dropped). */
+  val q31 = QueryDef(
+    "q31_attribution",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    event_id, value FROM events),
+      |t AS (SELECT *,
+      |    LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+      |      IGNORE NULLS) OVER w AS touch_type,
+      |    LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN ts END
+      |      IGNORE NULLS) OVER w AS touch_ts
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |a AS (SELECT CASE WHEN touch_ts IS NOT NULL
+      |      AND ts - touch_ts <= INTERVAL 3 DAY THEN touch_type
+      |      ELSE 'organic' END AS channel, value
+      |  FROM t WHERE event_type = 'purchase')
+      |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+      |  ROUND(SUM(value), 2) AS revenue
+      |FROM a GROUP BY channel ORDER BY channel""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("view", "click")
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value"))
+      .withColumn("touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_ts",
+        last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("touch_ts").isNotNull &&
+            col("ts") <= col("touch_ts") + expr("INTERVAL 3 DAYS"),
+          col("touch_type")).otherwise("organic").as("channel"),
+        col("value"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("value")), 2).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
       q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30)
+      q29, q30, q31)
 }

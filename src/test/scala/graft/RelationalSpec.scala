@@ -322,6 +322,37 @@ class RelationalSpec extends SparkSpec {
     assert(rows.filter(_.getInt(1) == 0).map(_.getLong(3)).sum == users)
   }
 
+  test("q31 attribution credits the last in-window touch, else organic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_q31").toString
+    val h = 3600L * 1000000000L
+    val t0 = 1704067200L * 1000000000L
+    Seq(
+      // user 1: view then click then purchase → click credited
+      (0L, t0, 1L, "view", 1.0, "{}"),
+      (1L, t0 + h, 1L, "click", 1.0, "{}"),
+      (2L, t0 + 2 * h, 1L, "purchase", 10.0, "{}"),
+      // user 2: touch 5 days before purchase → organic
+      (3L, t0, 2L, "view", 1.0, "{}"),
+      (4L, t0 + 120 * h, 2L, "purchase", 20.0, "{}"),
+      // user 3: no touch at all → organic
+      (5L, t0, 3L, "purchase", 40.0, "{}"),
+      // user 4: view only → view credited
+      (6L, t0, 4L, "view", 1.0, "{}"),
+      (7L, t0 + h, 4L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.q31.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("click" -> ((1L, 10.0)), "organic" -> ((2L, 60.0)),
+      "view" -> ((1L, 5.0))), s"$got")
+    // conversions conserve: every purchase is credited exactly once
+    val purchases = Tables(spark, sf).events
+      .filter(col("event_type") === "purchase").count()
+    assert(Relational.q31.fn(spark, sf).collect().map(_.getLong(1)).sum == purchases)
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)
