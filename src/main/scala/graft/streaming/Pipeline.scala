@@ -685,6 +685,72 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** st13: streaming corpus DRIFT monitor — t15's total-variation
+    * diagnostic run LIVE: each micro-batch's (source, token) counts
+    * merge into an incrementally-maintained count state (st10's
+    * merge-aggregation shape: |state| + |delta| groups, history never
+    * re-tokenized), and the per-source TV distance against the GLOBAL
+    * corpus distribution is recomputed from the state after the batch
+    * — the alerting signal a production ingest stream watches for a
+    * source going off-distribution.
+    *
+    * TV over the full union support folds to source-support terms
+    * only: TV = ½(Σ_{t∈src}(|p_s−p_g| − p_g) + 1), since absent tokens
+    * contribute exactly p_g — so no source×vocab densification is
+    * ever materialized. Terms land on the 1e-9 decimal grid (t15's
+    * discipline) and sum order-independently. */
+  val st13 = QueryDef(
+    "st13_stream_drift",
+    """WITH tok AS (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+      |cnt AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      |stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+      |g AS (SELECT t, CAST(SUM(c) AS BIGINT) AS gc FROM cnt GROUP BY t),
+      |gtot AS (SELECT CAST(SUM(gc) AS BIGINT) AS gn FROM g),
+      |term AS (SELECT cnt.source,
+      |    CAST(ROUND(ABS(cnt.c * 1.0 / stot.n - g.gc * 1.0 / gtot.gn)
+      |      - g.gc * 1.0 / gtot.gn + 1e-9, 9) AS DECIMAL(18,9)) AS w
+      |  FROM cnt JOIN stot USING (source) JOIN g USING (t) CROSS JOIN gtot),
+      |drift AS (SELECT source, SUM(w) AS sw FROM term GROUP BY source)
+      |SELECT d.source, s.n AS n_tokens,
+      |  ROUND((CAST(d.sw AS DOUBLE) + 1) / 2 + 1e-9, 6) AS tv_dist
+      |FROM drift d JOIN stot s USING (source)
+      |ORDER BY d.source""".stripMargin) { (spark, dir) =>
+    withStreamParallelism(spark, dir) { s =>
+      var state: DataFrame = null
+      val q = docStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val delta = batch
+            .select(col("source"), explode(split(col("text"), " ")).as("t"))
+            .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+          val merged =
+            if (state == null) delta
+            else state.unionByName(delta)
+              .groupBy(col("source"), col("t")).agg(sum(col("c")).as("c"))
+          // eager checkpoint: per-batch lineage stays constant-cost
+          state = merged.localCheckpoint(true)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val stot = state.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val g = state.groupBy(col("t")).agg(sum(col("c")).as("gc"))
+      val gtot = g.agg(sum(col("gc")).as("gn"))
+      val term = state.join(broadcast(stot), "source").join(g, "t")
+        .crossJoin(broadcast(gtot))
+        .select(col("source"), graft.QueryDef.roundBiased(
+          abs(col("c") * 1.0 / col("n") - col("gc") * 1.0 / col("gn"))
+            - col("gc") * 1.0 / col("gn"), 9)
+          .cast("decimal(18,9)").as("w"))
+      term.groupBy(col("source")).agg(sum(col("w")).as("sw"))
+        .join(broadcast(stot), "source")
+        .select(col("source"), col("n").as("n_tokens"),
+          graft.QueryDef.roundBiased((col("sw").cast("double") + 1) / 2, 6)
+            .as("tv_dist"))
+        .orderBy(col("source"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11, st12)
+    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11, st12,
+      st13)
 }

@@ -209,4 +209,23 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) == ((b + 3 * us, -1L, -1L)), s"${got(2L)}")
     assert(got(3L) == ((b, b + us, -1L)), s"${got(3L)}")
   }
+
+  test("st13 drift matches the hand-computed TV distance on a crafted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st13").toString
+    Seq(
+      (0L, "x y", "en", "A", 3L),
+      (1L, "x z", "en", "B", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/_stage")
+    val part = new java.io.File(s"$dir/_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val got = Streaming.st13.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // global = {x: 1/2, y: 1/4, z: 1/4}; each source = {x: 1/2, own: 1/2}
+    // → TV = (|.5-.5| + |.5-.25| + .25) / 2 = 0.25
+    assert(got == Map("A" -> 0.25, "B" -> 0.25), s"$got")
+  }
 }
