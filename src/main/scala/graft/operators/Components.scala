@@ -48,12 +48,26 @@ object Components {
     * inside the cap; only deeper components pay the switch. */
   val PhaseRounds = 4
 
+  /** Edge count below which the component solve runs ON THE DRIVER
+    * (union-find over the collected edge list) instead of iterating
+    * Spark jobs. The same gating argument as a broadcast join: 100k
+    * pairs ≈ 1.6 MB — bounded driver data — while the DISTRIBUTED loop
+    * pays ~2 jobs per round × O(log²) rounds of fixed scheduling
+    * overhead, which dominates wall-clock for small graphs (i39b's
+    * contour graph is bounded by GRID RESOLUTION, not data volume:
+    * 8.9 s of job overhead collapses to one collect). Above the gate —
+    * every corpus-scale near-dup graph — the distributed path is
+    * unchanged. */
+  val DriverSolveEdgeCap = 100000L
+
   /** Components of the undirected graph given by `pairs` (first two
     * columns = the two endpoint ids, LongType). Returns one row per
     * distinct endpoint: (id, comp) with comp = minimum member id.
     * `canonical` = the caller guarantees distinct pairs with
-    * first < second (skips a dedup shuffle). */
-  def minLabel(pairs: DataFrame, canonical: Boolean = false): DataFrame = {
+    * first < second (skips a dedup shuffle). `driverCap` overrides
+    * [[DriverSolveEdgeCap]] (tests force the distributed path with 0). */
+  def minLabel(pairs: DataFrame, canonical: Boolean = false,
+      driverCap: Long = DriverSolveEdgeCap): DataFrame = {
     val spark = pairs.sparkSession
     val Seq(c1, c2) = pairs.columns.take(2).toSeq
     // canonical callers (pair lists already distinct, first < second,
@@ -66,6 +80,31 @@ object Components {
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint(true)
     val nEdges = canon.count() * 2
+    // bounded-size gate: solve tiny graphs in one collect + union-find
+    // (always unioning the larger root under the smaller makes each
+    // root the component MINIMUM — the contract of the distributed
+    // path), skipping O(log²) rounds of per-job scheduling overhead
+    if (nEdges / 2 <= driverCap) {
+      val es = canon.select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      import spark.implicits._
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "comp")
+    }
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nEdges / 100000L)).toInt
     def fresh(df: DataFrame, key: String): DataFrame = {

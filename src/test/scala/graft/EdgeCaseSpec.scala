@@ -159,4 +159,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(one(0).getAs[Long]("pair_count") == 2)
     assert(one(0).getAs[Long]("tokens_after") == 2)
   }
+
+  test("components: driver union-find and distributed star paths agree exactly") {
+    import spark.implicits._
+    // a chain (worst case for propagation), a star, a triangle with a
+    // tail, and a 2-cycle — mixed shapes, non-canonical input order
+    val edges = (1L to 40L).sliding(2).map(s => (s(1), s.head)).toSeq ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (103L, 100L)) ++
+      Seq((200L, 201L), (201L, 202L), (202L, 200L), (202L, 203L)) ++
+      Seq((300L, 301L), (301L, 300L))
+    val df = edges.toDF("x", "y")
+    val driver = operators.Components.minLabel(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = operators.Components.minLabel(df, driverCap = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist, s"paths diverge: ${driver.toSeq.diff(dist.toSeq)}")
+    assert(driver((1L to 40L).head) == 1L && driver(40L) == 1L)
+    assert(driver(103L) == 100L && driver(203L) == 200L && driver(301L) == 300L)
+  }
 }
