@@ -299,3 +299,148 @@ case class Int8QuantExpr(child: Expression, mins: Array[Double], spans: Array[Do
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Executor-shared codebook payload for [[CodebookArgmaxExpr]]:
+  * centroid ids, the centroid matrix flattened centroid-major, and the
+  * per-centroid L2 norms precomputed ONCE (index-ordered folds, so the
+  * cosine below is bit-identical to [[CosineSimExpr]] against each
+  * centroid). At production shape (K=4k–64k × 768 dims, FAISS regime)
+  * this is tens–hundreds of MB — exactly what a torrent Broadcast is
+  * for, and exactly what can NOT live in the expression tree as
+  * literals (plan size, constant-pool and codegen method limits). */
+case class Codebook(cids: Array[Int], flat: Array[Double], dims: Int,
+    norms: Array[Double]) {
+  def k: Int = cids.length
+}
+
+object Codebook {
+  def apply(centroids: Seq[(Int, Array[Double])]): Codebook = {
+    require(centroids.nonEmpty, "empty codebook")
+    val dims = centroids.head._2.length
+    require(centroids.forall(_._2.length == dims), "ragged codebook")
+    val flat = new Array[Double](centroids.size * dims)
+    val norms = new Array[Double](centroids.size)
+    centroids.zipWithIndex.foreach { case ((_, cv), kk) =>
+      System.arraycopy(cv, 0, flat, kk * dims, dims)
+      var acc = 0.0
+      var i = 0
+      while (i < dims) { acc += cv(i) * cv(i); i += 1 }
+      norms(kk) = math.sqrt(acc)
+    }
+    new Codebook(centroids.map(_._1).toArray, flat, dims, norms)
+  }
+}
+
+/** Nearest-centroid assignment against an executor-BROADCAST codebook:
+  * returns the cid of the highest-cosine centroid, ties to the
+  * smallest cid — the exact semantics of the literal-inlined
+  * `array_max(array(struct(cosine, -cid)…))` argmax it gates with
+  * (SQL double ordering: NaN greatest, -0.0 == 0.0), reproduced here
+  * with `x == y ? 0 : Double.compare(x, y)`.
+  *
+  * Scale design: the codebook rides a [[Broadcast]] handle — the plan
+  * holds ONE O(1) expression node regardless of K, the payload ships
+  * torrent-broadcast once per executor (not per task), and codegen is
+  * a fixed-size doubly-nested loop over the flat matrix, so assignment
+  * stays a zero-shuffle map-side projection at any K. The alternative
+  * broadcast-JOIN formulation would materialize N×K candidate rows and
+  * need a keyed re-aggregation (a full shuffle of the corpus) to take
+  * the per-row argmax — strictly worse than this fused loop.
+  *
+  * Parity caveat: centroid norms are precomputed over the full `dims`;
+  * input vectors are dense `dims`-length by contract (the file-wide
+  * element-null caveat applies). The row vector's norm is computed
+  * once and reused across all K centroids — bit-identical to the
+  * per-centroid recomputation it replaces (same fold order). */
+case class CodebookArgmaxExpr(child: Expression,
+    codebook: org.apache.spark.broadcast.Broadcast[Codebook])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_codebook_argmax"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkArrayOfDouble(prettyName, child.dataType)
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cb = codebook.value
+    val n = math.min(cb.dims, v.numElements())
+    var vn = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); vn += x * x; i += 1 }
+    val vnorm = math.sqrt(vn)
+    var bestC = 0.0
+    var bestCid = 0
+    var kk = 0
+    while (kk < cb.k) {
+      val off = kk * cb.dims
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += v.getDouble(i) * cb.flat(off + i); i += 1 }
+      val d = vnorm * cb.norms(kk)
+      val c = if (d == 0.0) Double.NaN else dot / d
+      // SQL double ordering (NaN greatest, -0.0 == 0.0), ties → min cid
+      val cmp = if (kk == 0) 1
+        else if (c == bestC) 0
+        else java.lang.Double.compare(c, bestC)
+      if (cmp > 0 || (cmp == 0 && cb.cids(kk) < bestCid)) {
+        bestC = c; bestCid = cb.cids(kk)
+      }
+      kk += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftCodebookBc", codebook,
+      "org.apache.spark.broadcast.Broadcast")
+    // fetched from the broadcast ONCE per generated-class instance
+    val cb = ctx.addMutableState("graft.functions.Codebook", "graftCodebook",
+      v => s"$v = (graft.functions.Codebook) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val kk = ctx.freshName("kk")
+      val x = ctx.freshName("x")
+      val vn = ctx.freshName("vn")
+      val vnorm = ctx.freshName("vnorm")
+      val bestC = ctx.freshName("bestC")
+      val bestCid = ctx.freshName("bestCid")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      val d = ctx.freshName("d")
+      val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      val flat = ctx.freshName("flat")
+      val norms = ctx.freshName("norms")
+      val cids = ctx.freshName("cids")
+      s"""
+         |double[] $flat = $cb.flat(); double[] $norms = $cb.norms();
+         |int[] $cids = $cb.cids();
+         |int $n = java.lang.Math.min($cb.dims(), $a.numElements());
+         |double $vn = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i); $vn += $x * $x;
+         |}
+         |double $vnorm = java.lang.Math.sqrt($vn);
+         |double $bestC = 0.0; int $bestCid = 0;
+         |for (int $kk = 0; $kk < $cids.length; $kk++) {
+         |  int $off = $kk * $cb.dims();
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) { $dot += $a.getDouble($j) * $flat[$off + $j]; }
+         |  double $d = $vnorm * $norms[$kk];
+         |  double $c = ($d == 0.0) ? Double.NaN : $dot / $d;
+         |  int $cmp = ($kk == 0) ? 1
+         |    : (($c == $bestC) ? 0 : java.lang.Double.compare($c, $bestC));
+         |  if ($cmp > 0 || ($cmp == 0 && $cids[$kk] < $bestCid)) {
+         |    $bestC = $c; $bestCid = $cids[$kk];
+         |  }
+         |}
+         |${ev.value} = $bestCid;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

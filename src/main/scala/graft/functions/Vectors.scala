@@ -39,4 +39,33 @@ object Vectors {
     * Bucket = integer of sign bits of the `numPlanes` projections. */
   def hyperplaneBucket(v: Column, numPlanes: Int = 8, dims: Int = 64): Column =
     ColumnBridge.column(HyperplaneBucketExpr(ex(v), numPlanes, dims))
+
+  /** Codebooks at or below this K inline as literal expressions (the
+    * codebook folds into the plan — zero runtime objects, the shape
+    * every existing oracle covers); above it the codebook moves behind
+    * an executor Broadcast ([[CodebookArgmaxExpr]]). A production IVF
+    * codebook (K=4k–64k × 768-dim, FAISS regime) cannot live in the
+    * expression tree — `typedlit` literals blow the plan size and the
+    * codegen constant pool — and a broadcast JOIN would materialize
+    * N×K candidate rows plus a keyed re-aggregation shuffle for the
+    * argmax; the broadcast-expression rung keeps assignment a
+    * zero-shuffle map-side projection at any K. */
+  val InlineCodebookK = 32
+
+  /** Nearest-centroid cid (highest cosine, ties → smallest cid — the
+    * oracle ROW_NUMBER order), gated on K between the literal-inlined
+    * argmax and the broadcast-codebook expression. Both rungs are
+    * bit-identical (spec-asserted: CodebookSpec). */
+  def codebookArgmaxCid(v: Column, centroids: Seq[(Int, Array[Double])],
+      spark: org.apache.spark.sql.SparkSession,
+      inlineGate: Int = InlineCodebookK): Column =
+    if (centroids.size <= inlineGate) {
+      import org.apache.spark.sql.functions.{array, array_max, lit, struct, typedlit}
+      val best = array_max(array(centroids.map { case (cid, cv) =>
+        struct(cosine(v, typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
+      -best.getField("n")
+    } else {
+      val bc = spark.sparkContext.broadcast(Codebook(centroids))
+      ColumnBridge.column(CodebookArgmaxExpr(ex(v), bc))
+    }
 }

@@ -144,12 +144,11 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val centroids = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
-    // argmax by lexicographic struct max: (cosine, -cid) picks highest
-    // similarity, ties to the smallest centroid id — the same order the
-    // oracle's ROW_NUMBER uses
-    val best = array_max(array(centroids.toSeq.map { case (cid, cv) =>
-      struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
-    val assigned = emb.withColumn("cid", -best.getField("n")).persist()
+    // K-gated argmax (cosine desc, ties → smallest cid — the oracle's
+    // ROW_NUMBER order): literal-inlined at this K, broadcast-codebook
+    // expression above Vectors.InlineCodebookK
+    val assigned = emb.withColumn("cid",
+      Vectors.codebookArgmaxCid(col("v"), centroids.toSeq, spark)).persist()
     val q = assigned.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("cid").as("qcid"))
     assigned.join(broadcast(q), col("cid") === col("qcid"))
@@ -203,14 +202,10 @@ object Similarity {
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist()
-    // argmax by lexicographic struct max — (cosine, -cid) picks highest
-    // similarity, ties to the smallest cid (same order as the oracle's
-    // ROW_NUMBER)
-    def assign(centroids: Seq[(Int, Array[Double])]) = {
-      val best = array_max(array(centroids.map { case (cid, cv) =>
-        struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
-      emb.withColumn("cid", -best.getField("n"))
-    }
+    // K-gated argmax — (cosine desc, ties → smallest cid), the same
+    // order as the oracle's ROW_NUMBER
+    def assign(centroids: Seq[(Int, Array[Double])]) =
+      emb.withColumn("cid", Vectors.codebookArgmaxCid(col("v"), centroids, spark))
     // per-dim means: ONE explode + partial-agg shuffle, K×64 groups out
     def dimMeans(assigned: org.apache.spark.sql.DataFrame, scale: Int) =
       assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -467,13 +462,13 @@ object Similarity {
       // must not build a zero-arm array_max)
       return emb.select(lit(0L).as("cid"), col("vec_id").as("id1"),
         col("vec_id").as("id2"), lit(0.0).as("raw_sim")).limit(0)
-    // s04's zero-shuffle assignment: lexicographic struct argmax,
-    // (cosine, -cid) ties to the smallest centroid id like the
-    // oracle's ROW_NUMBER
-    val best = array_max(array(centroids.toSeq.map { case (cid, cv) =>
-      struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
+    // s04's zero-shuffle K-gated assignment (cosine desc, ties to the
+    // smallest centroid id like the oracle's ROW_NUMBER)
     val assigned = Dedup.capBuckets(
-      emb.withColumn("cid", (-best.getField("n")).cast("long")), Seq("cid"), 256)
+      emb.withColumn("cid",
+        Vectors.codebookArgmaxCid(col("v"), centroids.toSeq, emb.sparkSession)
+          .cast("long")),
+      Seq("cid"), 256)
       .persist()
     assigned.count() // eager: both self-join branches read the cache
     assigned.toDF("id1", "v1", "cid")
@@ -585,12 +580,12 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val centroids = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
-    // s04's zero-shuffle assignment: lexicographic struct max picks the
-    // highest-cosine centroid, ties to the smallest cid
-    val best = array_max(array(centroids.toSeq.map { case (cid, cv) =>
-      struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
+    // s04's zero-shuffle K-gated assignment: highest cosine wins, ties
+    // to the smallest cid
     val assigned = emb
-      .select(col("vec_id"), (-best.getField("n")).cast("long").as("cid"))
+      .select(col("vec_id"),
+        Vectors.codebookArgmaxCid(col("v"), centroids.toSeq, spark)
+          .cast("long").as("cid"))
     val cell = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
     val rkw = cell.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
     assigned
@@ -692,11 +687,8 @@ object Similarity {
     val corpus = e.filter(col("vec_id") % 2 === 0)
     val batch = e.filter(col("vec_id") % 2 === 1)
     def assign(df: org.apache.spark.sql.DataFrame,
-        centroids: Seq[(Int, Array[Double])]) = {
-      val best = array_max(array(centroids.map { case (cid, cv) =>
-        struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
-      df.withColumn("cid", -best.getField("n"))
-    }
+        centroids: Seq[(Int, Array[Double])]) =
+      df.withColumn("cid", Vectors.codebookArgmaxCid(col("v"), centroids, spark))
     def moments(assigned: org.apache.spark.sql.DataFrame) = assigned
       .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos"))
@@ -761,10 +753,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val centroids = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
-    // same lexicographic-struct argmax as s04 (ties → smallest cid)
-    val best = array_max(array(centroids.map { case (cid, cv) =>
-      struct(Vectors.cosine(col("v"), typedlit(cv)).as("c"), lit(-cid).as("n")) }: _*))
-    val assigned = emb.withColumn("cid", -best.getField("n"))
+    // same K-gated argmax as s04 (ties → smallest cid)
+    val assigned = emb.withColumn("cid",
+      Vectors.codebookArgmaxCid(col("v"), centroids, spark))
     val query = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
     // probe ranking over the K-row codebook — a driver-bounded job
     import spark.implicits._
