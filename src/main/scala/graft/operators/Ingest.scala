@@ -209,13 +209,15 @@ object Ingest {
     * chains or closed rings; each output row is one feature with its
     * segment count, open-end count (0 ⇔ ring), and total length.
     *
-    * Distributed shape: connected components by min-label propagation
-    * over the segment graph (edges = segments meeting at a point, built
-    * by ONE self-join on the endpoint key — degree ≤ 2 bounds it), with
-    * a POINTER-DOUBLING jump each round (labels are node ids, so
-    * following the label's label squares the propagation distance):
-    * a thousand-segment coastline contour converges in O(log diameter)
-    * rounds, not O(diameter) — the d06 loop upgraded for path graphs.
+    * Distributed shape: connected components over the segment graph
+    * (edges = segments meeting at a point, built by ONE self-join on
+    * the endpoint key — degree ≤ 2 bounds it) resolved by the shared
+    * [[Components.minLabel]] core: the bounded driver union-find gate
+    * collapses grid-sized graphs in a single pass, and past the gate
+    * the neighbor-min fast path hands over to alternating large-star /
+    * small-star contraction (Kiveris et al. 2014) — O(log²) rounds on
+    * the chain/ring components contours produce, where plain min-label
+    * propagation would pay one round per hop of the contour length.
     * Per-round lineage is truncated by eager localCheckpoint (the d06
     * lesson). Segment lengths round to the 1e-6 grid and sum as
     * DECIMAL, so feature length is order-independent cross-engine;

@@ -95,6 +95,11 @@ object Streaming {
     * artifacts they overwrite are identical — content keying makes the
     * _SUCCESS-check race converge instead of corrupt. */
   private[graft] def contentFingerprint(f: java.io.File): String = {
+    // a missing source is a configuration error, not a stale-cache case:
+    // fail with a clear message instead of the raw FileNotFoundException
+    // the RandomAccessFile below would throw mid-hash
+    require(f.isFile,
+      s"source file missing or unreadable: $f — cannot derive a content fingerprint")
     val md = java.security.MessageDigest.getInstance("MD5")
     val len = f.length()
     md.update(java.nio.ByteBuffer.allocate(8).putLong(len).array())
@@ -117,8 +122,22 @@ object Streaming {
     * this dataset's prefix but a different fingerprint (stage dirs and
     * their -state/-ckpt siblings) is deleted when a new fingerprint
     * stages — staged slices, checkpoints, and state versions no longer
-    * accumulate for the lifetime of java.io.tmpdir. */
-  private def dropOldGenerations(prefix: String, keepFp: String): Unit = {
+    * accumulate for the lifetime of java.io.tmpdir.
+    *
+    * Ownership guard: only entries whose tree has been QUIET for
+    * [[GenerationGraceMs]] are deleted. A concurrent JVM still
+    * mid-query on the previous source generation keeps touching its
+    * sink/checkpoint/state files (every committed batch and parquet
+    * write bumps mtimes), so its generation survives the sweep; truly
+    * dead generations age past the grace window and are collected by
+    * the next rollover. Concurrent runs racing the SAME generation are
+    * already safe (content keying makes staged artifacts identical). */
+  private[graft] val GenerationGraceMs: Long = 60 * 60 * 1000L
+  private[graft] def dropOldGenerations(prefix: String, keepFp: String,
+      graceMs: Long = GenerationGraceMs): Unit = {
+    def newestMtime(f: java.io.File): Long =
+      (f.lastModified() +:
+        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
       f.delete()
@@ -126,6 +145,7 @@ object Streaming {
     val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
     Option(tmpRoot.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(prefix) && !f.getName.startsWith(prefix + keepFp))
+      .filter(f => System.currentTimeMillis() - newestMtime(f) > graceMs)
       .foreach(deleteRec)
   }
 
@@ -457,9 +477,12 @@ object Streaming {
     * stable path, reruns find the files already committed and the
     * merge stays exactly-once. */
   private val st10Stage = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def stagedSlices(spark: SparkSession, dir: String): String =
-    st10Stage.getOrElseUpdate(dir, {
-      val fp = contentFingerprint(new java.io.File(s"$dir/events.parquet"))
+  private def stagedSlices(spark: SparkSession, dir: String): String = {
+    // memo keyed on the CONTENT fingerprint, not the dir: a source
+    // regenerated in-session gets a fresh staging generation instead of
+    // silently reusing the first one the JVM ever saw
+    val fp = contentFingerprint(new java.io.File(s"$dir/events.parquet"))
+    st10Stage.getOrElseUpdate(s"$dir@$fp", {
       val prefix = s"graft_st10stage_${dir.hashCode.toHexString}_"
       dropOldGenerations(prefix, fp)
       val stage = s"${System.getProperty("java.io.tmpdir")}/$prefix$fp"
@@ -473,6 +496,7 @@ object Streaming {
       }
       stage
     })
+  }
 
   /** st10: STREAMING incremental-aggregate maintenance — q26's
     * materialized-view merge running live (the reference's climatology
@@ -543,20 +567,27 @@ object Streaming {
       .orderBy(col("event_type"), col("d"))
   }
 
-  /** Bounded top-k state for st11. */
-  final case class TopK(entries: Seq[(Double, Long)])
+  /** Bounded top-k state for st11: the buffer plus an update EPOCH —
+    * a per-key counter of how many batches have touched the key. Each
+    * emission carries its epoch, so the final read can keep only the
+    * LATEST leaderboard per key even when the source lands in several
+    * micro-batches (an update-mode memory sink appends every batch's
+    * emissions; without the epoch a multi-batch run would leave stale
+    * leaderboard rows beside the refreshed ones). */
+  final case class TopK(entries: Seq[(Double, Long)], epoch: Long)
 
   /** st11's state fold: merge a micro-batch into the per-key top-k
     * buffer (value desc, id tie-break) and emit the refreshed
     * leaderboard. State is ≤ k rows per key forever. */
   private[graft] def topKFold(k: Int)(
       key: String, rows: Iterator[(String, Long, Double)],
-      state: org.apache.spark.sql.streaming.GroupState[TopK]): Iterator[(String, Int, Long, Double)] = {
-    val prev = state.getOption.map(_.entries).getOrElse(Seq.empty)
-    val merged = (prev ++ rows.map(r => (r._3, r._2)))
+      state: org.apache.spark.sql.streaming.GroupState[TopK]): Iterator[(String, Int, Long, Double, Long)] = {
+    val prev = state.getOption.getOrElse(TopK(Seq.empty, 0L))
+    val merged = (prev.entries ++ rows.map(r => (r._3, r._2)))
       .sortBy { case (v, id) => (-v, id) }.take(k)
-    state.update(TopK(merged))
-    merged.iterator.zipWithIndex.map { case ((v, id), i) => (key, i + 1, id, v) }
+    val epoch = prev.epoch + 1
+    state.update(TopK(merged, epoch))
+    merged.iterator.zipWithIndex.map { case ((v, id), i) => (key, i + 1, id, v, epoch) }
   }
 
   /** st11: STREAMING top-k with BOUNDED state — q19's
@@ -589,18 +620,81 @@ object Streaming {
           .groupByKey(_._1)
           .flatMapGroupsWithState(OutputMode.Update,
             GroupStateTimeout.NoTimeout)(topKFold(5))
-        val q = updates.toDF("event_type", "rnk", "event_id", "value").writeStream
+        val q = updates.toDF("event_type", "rnk", "event_id", "value", "epoch")
+          .writeStream
           .outputMode("update").format("memory").queryName("st11_out")
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         s.table("st11_out")
-      }.select(col("event_type"), col("rnk").cast("int").as("rnk"), col("event_id"),
-        round(col("value"), 2).as("value"))
+      } // keep only each key's LATEST leaderboard (multi-batch-safe read)
+        .withColumn("mx", max(col("epoch")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+        .filter(col("epoch") === col("mx"))
+        .select(col("event_type"), col("rnk").cast("int").as("rnk"), col("event_id"),
+          round(col("value"), 2).as("value"))
         .orderBy(col("event_type"), col("rnk"))
   }
 
   final case class FunnelState(t1: Long, t2: Long, t3: Long)
   final case class FunnelOut(user_id: Long, t1: Long, t2: Long, t3: Long)
+
+  private[graft] val FunnelUnset = Long.MaxValue
+  private[graft] val FunnelWindowUs = 7L * 24 * 3600 * 1000000L
+
+  /** st12's per-user fold with EVENT-TIME state eviction. A funnel is
+    * FINAL once the watermark passes t1 + 7 d — no event can change any
+    * stage minimum after the window closes — so the state carries an
+    * event-time timeout at that deadline: on expiry the final funnel
+    * row is emitted once more and the key is REMOVED from the store.
+    * Without eviction the key space is every user ever seen, forever
+    * (3 longs each — bounded per key, unbounded in keys), and a
+    * long-running stream OOMs its state store for zero semantic
+    * benefit. A key with no view yet carries NO information (clicks
+    * can't qualify before a view), so it is never stored at all.
+    *
+    * Rows are (user_id, event_type, micros, event_id, ts); the
+    * trailing ts column exists so the upstream watermark survives the
+    * projection (EventTimeTimeout requires it). The duplicate final
+    * emission on expiry is harmless: every emission is a monotone
+    * snapshot (stage minima only ever decrease), so the final read
+    * min-aggregates per user — which also makes it robust to the
+    * source landing in several micro-batches. */
+  private[graft] def funnelFold(
+      user: Long, rows: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+      state: org.apache.spark.sql.streaming.GroupState[FunnelState]): Iterator[FunnelOut] = {
+    val unset = FunnelUnset
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      Iterator.single(FunnelOut(user, st.t1, st.t2, st.t3))
+    } else {
+      val prev = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+      // fold in event-time order — the group iterator itself is unsorted
+      val next = rows.toArray.sortBy(r => (r._3, r._4))
+        .foldLeft(prev) { case (st, (_, typ, m, _, _)) =>
+          typ match {
+            case "view" => st.copy(t1 = math.min(st.t1, m))
+            case "click" if st.t1 != unset && m > st.t1 &&
+                m <= st.t1 + FunnelWindowUs =>
+              st.copy(t2 = math.min(st.t2, m))
+            case "purchase" if st.t2 != unset && m > st.t2 &&
+                m <= st.t1 + FunnelWindowUs =>
+              st.copy(t3 = math.min(st.t3, m))
+            case _ => st
+          }
+        }
+      if (next.t1 == unset) Iterator.empty
+      else {
+        state.update(next)
+        // finalization deadline; clamped above the current watermark
+        // (a late-starting funnel whose window already closed expires
+        // on the very next batch)
+        val deadlineMs = next.t1 / 1000L + FunnelWindowUs / 1000L
+        state.setTimeoutTimestamp(math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
+        Iterator.single(FunnelOut(user, next.t1, next.t2, next.t3))
+      }
+    }
+  }
 
   /** st12: streaming FUNNEL maintenance — q29's ordered view → click →
     * purchase funnel kept live per user with BOUNDED state: three
@@ -617,8 +711,11 @@ object Streaming {
     * cross-batch arrivals are the usual watermark-bounded streaming
     * caveat, shared with st01–st11.
     *
-    * Scale: state is 3 longs/user (vs st02's seen-set growth), the
-    * groupByKey shuffle is the one stateful exchange, sized by
+    * Scale: state is 3 longs/user AND the key itself is EVICTED once
+    * the watermark passes t1 + 7 d (event-time timeout in
+    * [[funnelFold]]: emit-on-final, then remove) — the store holds
+    * only in-flight funnels, not every user ever seen. The groupByKey
+    * shuffle is the one stateful exchange, sized by
     * withStreamParallelism. */
   val st12 = QueryDef(
     "st12_stream_funnel",
@@ -639,45 +736,29 @@ object Streaming {
       |  CAST(COALESCE(EPOCH_US(s3.t3), -1) AS BIGINT) AS t3_us
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val sevenDays = 7L * 24 * 3600 * 1000000L
-    val unset = Long.MaxValue
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     withStreamParallelism(spark, dir) { s =>
       import s.implicits._
       val updates = eventStream(s, dir)
         .filter(col("event_type").isin("view", "click", "purchase"))
+        .withWatermark("ts", "1 hour")
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("m"),
-          col("event_id"))
-        .as[(Long, String, Long, Long)]
+          col("event_id"), col("ts"))
+        .as[(Long, String, Long, Long, java.sql.Timestamp)]
         .groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-          (user: Long, rows: Iterator[(Long, String, Long, Long)],
-              state: GroupState[FunnelState]) =>
-            val prev = state.getOption.getOrElse(FunnelState(unset, unset, unset))
-            // fold in event-time order — the group iterator itself is unsorted
-            val next = rows.toArray.sortBy(r => (r._3, r._4))
-              .foldLeft(prev) { case (st, (_, typ, m, _)) =>
-                typ match {
-                  case "view" => st.copy(t1 = math.min(st.t1, m))
-                  case "click" if st.t1 != unset && m > st.t1 &&
-                      m <= st.t1 + sevenDays =>
-                    st.copy(t2 = math.min(st.t2, m))
-                  case "purchase" if st.t2 != unset && m > st.t2 &&
-                      m <= st.t1 + sevenDays =>
-                    st.copy(t3 = math.min(st.t3, m))
-                  case _ => st
-                }
-              }
-            state.update(next)
-            if (next.t1 == unset) Iterator.empty
-            else Iterator.single(FunnelOut(user, next.t1, next.t2, next.t3))
-        }
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.EventTimeTimeout)(funnelFold)
       val q = updates.toDF().writeStream
         .outputMode("update").format("memory").queryName("st12_out")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table("st12_out")
-    }.select(col("user_id"), col("t1").as("t1_us"),
+    } // every emission is a monotone state snapshot (minima only ever
+      // decrease; the expiry re-emission duplicates the last one), so
+      // min-per-user recovers the final funnel under multi-batch runs
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .select(col("user_id"), col("t1").as("t1_us"),
         // NULL-able timestamps confuse cross-engine frame compares
         // (ns-vs-us unit + NaT) — emit micros with a -1 sentinel instead
         when(col("t2") =!= Long.MaxValue, col("t2")).otherwise(-1L).as("t2_us"),

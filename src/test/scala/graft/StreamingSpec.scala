@@ -57,7 +57,8 @@ class StreamingSpec extends SparkSpec {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(Streaming.topKFold(3))
-    val q = updates.toDF("event_type", "rnk", "event_id", "value").writeStream
+    val q = updates.toDF("event_type", "rnk", "event_id", "value", "epoch")
+      .writeStream
       .outputMode("update").format("memory").queryName("st11_spec")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -74,6 +75,15 @@ class StreamingSpec extends SparkSpec {
       ("A", 1, 2L, 50.0), ("A", 2, 9L, 50.0), ("A", 3, 6L, 45.0),
       ("B", 1, 8L, 99.0), ("B", 2, 5L, 5.0))
     assert(expectedFinal.subsetOf(all), s"missing final rows: ${expectedFinal.diff(all)}")
+    // the per-key epoch makes the multi-batch read unambiguous: keeping
+    // only max-epoch rows per key recovers EXACTLY the final leaderboard
+    // (the stale epoch-1 "A" rows drop out)
+    val latest = spark.table("st11_spec")
+      .withColumn("mx", max(col("epoch")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .filter(col("epoch") === col("mx")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(latest == expectedFinal, s"latest-epoch read diverges: $latest")
   }
 
   test("st01 streaming window agg equals the batch plan") {
@@ -208,6 +218,82 @@ class StreamingSpec extends SparkSpec {
     assert(got(1L) == ((b, b + us, b + 2 * us)))
     assert(got(2L) == ((b + 3 * us, -1L, -1L)), s"${got(2L)}")
     assert(got(3L) == ((b, b + us, -1L)), s"${got(3L)}")
+  }
+
+  test("st12 funnel state is evicted once the watermark passes the 7-day horizon") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st12evict").toString
+    val us = 3600L * 1000000L // one hour in micros
+    val t0 = 1704067200L * 1000000L
+    val day = 24 * us
+    // slice 1: three funnels starting at t0 (deadline t0 + 7 d);
+    // slice 2: user 99's view at t0 + 30 d advances the watermark past
+    // every slice-1 deadline; slice 3: user 100's view at t0 + 31 d is
+    // the DATA batch during which the expired slice-1 keys time out
+    // (no reliance on a trailing no-data batch). 99 and 100 stay
+    // unfinalized: their deadlines sit beyond the final watermark.
+    val slices = Seq(
+      Seq((1L, "view", 0L, 0L), (1L, "click", us, 1L),
+        (2L, "view", 0L, 2L), (2L, "click", us, 3L), (2L, "purchase", 2 * us, 4L),
+        (3L, "view", 0L, 5L)),
+      Seq((99L, "view", 30 * day, 6L)),
+      Seq((100L, "view", 31 * day, 7L)))
+    slices.zipWithIndex.foreach { case (rows, k) =>
+      rows.map { case (u, ty, off, id) => (u, ty, id) -> (t0 + off) }
+        .map { case ((u, ty, id), m) => (u, ty, id, m) }
+        .toDF("user_id", "event_type", "event_id", "m")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          timestamp_micros(col("m")).as("ts"))
+        .coalesce(1).write.parquet(s"$dir/s$k")
+      // deterministic batch order: mtime AND path both ascend with k
+      new java.io.File(s"$dir/s$k").listFiles().foreach(_.setLastModified(
+        1700000000000L + k * 60000L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val updates = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("m"),
+        col("event_id"), col("ts"))
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(Streaming.funnelFold)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_st12ckpt").toString
+    val q = updates.toDF().writeStream
+      .outputMode("update").format("memory").queryName("st12_evict")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the store holds ONLY the unfinalized funnels (99, 100) — the
+    // three slice-1 keys were emitted-on-final and removed
+    val stateKeys = spark.read.format("statestore").load(ckpt)
+      .select(col("key.*")).collect().map(_.getLong(0)).toSet
+    assert(stateKeys == Set(99L, 100L),
+      s"expected only unfinalized users in the state store, got $stateKeys")
+    // the min-agg final read still recovers every funnel exactly
+    // (update emissions + the expiry re-emissions are monotone snapshots)
+    val got = spark.table("st12_evict")
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val U = Long.MaxValue
+    assert(got(1L) == ((t0, t0 + us, U)))
+    assert(got(2L) == ((t0, t0 + us, t0 + 2 * us)))
+    assert(got(3L) == ((t0, U, U)))
+    assert(got(99L) == ((t0 + 30 * day, U, U)))
+    assert(got(100L) == ((t0 + 31 * day, U, U)))
   }
 
   test("st13 drift matches the hand-computed TV distance on a crafted corpus") {
