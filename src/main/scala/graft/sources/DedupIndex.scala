@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.functions.Text
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The corpus's persisted DEDUP INDEX — the stored artifact d07's
+  * design comment promises: at 100 TB the corpus side's content
+  * hashes, prefix keys, minhash signatures and band rows are computed
+  * ONCE when a slice publishes (cost ∝ slice) and every later
+  * incremental batch or streaming micro-batch joins against the
+  * stored tables — the corpus text is never re-shingled per cycle.
+  *
+  * Layout under `indexDir` (both date-partitioned like any published
+  * dataset, maintained per-slice by [[Jobs]] with the same dynamic
+  * partition overwrite as the data itself, so a retried cycle
+  * overwrites exactly its own dates):
+  *
+  *   - `hashes/`: one row per doc — `doc_id`, `h` (md5 of the full
+  *     text: d07's exact tier), `pk` (md5 of the 8-token normalized
+  *     prefix: st08's streaming key), `sv` (the 16-element md5 minhash
+  *     signature: d07's estimate tier).
+  *   - `bands/`: 4 rows per doc — `doc_id`, `band_idx`, `band_hash`
+  *     (d07's LSH candidate tier).
+  *
+  * Every column is byte-identical to what the inline d07/st08 paths
+  * computed from the raw text (same [[Dedup.md5MinhashSigTable]] /
+  * [[Dedup.bandsFromSigs]] expressions), so reading the index instead
+  * of recomputing cannot move an oracle. The confirm (jaccard) tier
+  * deliberately stays OUT of the index: storing shingle sets would
+  * duplicate the corpus text; confirmed candidates are rare and
+  * batch-proportional, so re-tokenizing just those docs is the right
+  * trade (reference `raster_vector.py:158`'s idempotent re-ingest,
+  * generalized). */
+object DedupIndex {
+
+  /** st08's normalized-prefix content key. */
+  private[graft] def prefixKey(text: org.apache.spark.sql.Column) =
+    md5(concat_ws(" ", slice(Text.tokens(text), 1, 8)))
+
+  /** Index rows for a document frame: (hashes, bands). */
+  def build(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val sh = base.select(col("doc_id"),
+      array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+    val sigs = Dedup.md5MinhashSigTable(sh, "doc_id", "sh")
+    val hashes = base
+      .select(col("doc_id"), md5(col("text")).as("h"), prefixKey(col("text")).as("pk"))
+      .join(sigs, "doc_id")
+    val bands = Dedup.bandsFromSigs(sigs, "doc_id")
+    (hashes, bands)
+  }
+
+  /** Index maintenance for one published slice: compute the index for
+    * the SLICE ONLY and overwrite exactly its date partitions (the
+    * [[Publish.writeDatePartitioned]] idempotency discipline) — the
+    * per-cycle index cost scales with the slice, never the corpus. */
+  def publishSlice(slice: DataFrame, indexDir: String, tsCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val keyed = slice.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      col(tsCol).as("__ts"))
+    val (hashes, bands) = build(keyed)
+    val ts = keyed.select(col("doc_id"), col("__ts"))
+    Publish.writeDatePartitioned(hashes.join(ts, "doc_id"), indexDir, "hashes", "__ts")
+    Publish.writeDatePartitioned(bands.join(ts, "doc_id"), indexDir, "bands", "__ts")
+  }
+
+  def readHashes(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/hashes")
+      .select(col("doc_id"), col("h"), col("pk"), col("sv"))
+
+  def readBands(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/bands")
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+}

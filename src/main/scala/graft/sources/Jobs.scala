@@ -9,15 +9,23 @@ import scala.util.control.NonFatal
   * transform, output namespace, retention).
   *
   * `transform` must preserve `tsCol` — the publish layout partitions
-  * on its date key.
-  */
+  * on its date key. `index`, when set, maintains the dataset's
+  * [[DedupIndex]] alongside the data: each cycle indexes ONLY the
+  * published slice (cost ∝ slice) with the same per-date overwrite
+  * idempotency as the data itself. */
+final case class DedupIndexSpec(
+    indexDir: String,
+    idCol: String = "doc_id",
+    textCol: String = "text")
+
 final case class JobConfig(
     datasetId: String,
     source: SparkSession => DataFrame,
     tsCol: String,
     transform: DataFrame => DataFrame,
     outDir: String,
-    retentionDays: Int)
+    retentionDays: Int,
+    index: Option[DedupIndexSpec] = None)
 
 /** Outcome of one job cycle: the reference either logs
   * "No update required. Skipping", publishes + notifies, or (isolated
@@ -129,8 +137,15 @@ final class Jobs(spark: SparkSession, statePath: String,
           val keys = transformed
             .select(date_format(col(cfg.tsCol), "yyyy-MM-dd").as("k"))
             .distinct().collect().map(_.getString(0)).sorted.toSeq
-          (Publish.writeDatePartitioned(
-            transformed, cfg.outDir, cfg.datasetId, cfg.tsCol), keys)
+          val p = Publish.writeDatePartitioned(
+            transformed, cfg.outDir, cfg.datasetId, cfg.tsCol)
+          // dedup-index maintenance rides the same commit window as the
+          // data (after publish, before watermark advance): a crashed
+          // cycle re-publishes data AND index for the same dates next
+          // time — both per-date overwrites, so the retry is idempotent
+          cfg.index.foreach(ix => DedupIndex.publishSlice(
+            transformed, ix.indexDir, cfg.tsCol, ix.idCol, ix.textCol))
+          (p, keys)
         } finally transformed.unpersist()
         // notify per published date AFTER the partition committed,
         // BEFORE the watermark advances (reference: send_ingest_command

@@ -397,10 +397,12 @@ object Streaming {
     * the (static, bounded) corpus, and only non-duplicates land in the
     * per-source intake stats. The static side broadcasts, so the stream
     * never shuffles for the dedup itself; only the downstream intake
-    * aggregation keeps state. At 100 TB the static side is the corpus's
-    * stored key index (a column of the published layout), refreshed per
-    * deployment cycle — Spark re-resolves static relations per
-    * micro-batch. Oracle: the identical batch anti-join SQL. */
+    * aggregation keeps state. The static side IS the corpus's STORED
+    * dedup index ([[graft.sources.DedupIndex]] `pk` column, staged per
+    * source-content fingerprint; Jobs-maintained per slice in
+    * production): Spark re-resolves static relations per micro-batch,
+    * so every batch re-reads a tiny key column instead of re-hashing
+    * the corpus text. Oracle: the identical batch anti-join SQL. */
   val st08 = QueryDef(
     "st08_stream_dedup_corpus",
     """WITH d AS (SELECT doc_id, source, n_chars,
@@ -413,9 +415,9 @@ object Streaming {
       |FROM batch WHERE pk NOT IN (SELECT pk FROM corpus)
       |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     val pk = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+    val idx = graft.operators.Dedup.stagedCorpusIndex(spark, dir)
     withStreamParallelism(spark, dir) { s =>
-      val corpus = graft.Tables(s, dir).documents
-        .filter(col("doc_id") % 2 === 0).select(pk.as("pk"))
+      val corpus = graft.sources.DedupIndex.readHashes(s, idx).select(col("pk"))
       val landed = docStream(s, dir)
         .filter(col("doc_id") % 2 === 1)
         .withColumn("pk", pk)

@@ -199,6 +199,70 @@ class JobsSpec extends SparkSpec {
     assert(lines3.size == 3 && lines3.last == s"dsA\t2024-05-03\t$root/out/dsA\tparquet")
   }
 
+  test("dedup index is maintained per slice: cycle-1 partitions untouched by cycle 2, batches join the stored index") {
+    import graft.sources.{DedupIndex, DedupIndexSpec}
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_jobs_idx").toString
+    val src = s"$root/docs_src"
+    val out = s"$root/out"
+    val idxDir = s"$root/index"
+    def docRows(rows: Seq[(Long, String, String, String)]) = rows
+      .map { case (id, text, source, day) =>
+        (id, text, source, java.sql.Timestamp.valueOf(s"$day 12:00:00")) }
+      .toDF("doc_id", "text", "source", "ts")
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val tB = "large scale training data pipelines need careful deduplication of every incoming document batch"
+    val tC = "completely unrelated text about weather stations reporting daily precipitation totals for archival"
+    docRows(Seq((0L, tA, "s0", "2024-03-01"), (2L, tB, "s0", "2024-03-02")))
+      .write.mode("overwrite").parquet(src)
+    val jobs = new Jobs(spark, s"$root/state")
+      .register(JobConfig("docs", s => s.read.parquet(src), "ts", identity, out,
+        retentionDays = 365, index = Some(DedupIndexSpec(idxDir))))
+    assert(!jobs.runAll(1).head.skipped)
+    def partDirs(t: String) = new java.io.File(s"$idxDir/$t").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("date_key=")).sorted
+    assert(partDirs("hashes").sameElements(
+      Array("date_key=2024-03-01", "date_key=2024-03-02")))
+    def mtimes(t: String, key: String) = new java.io.File(s"$idxDir/$t/date_key=$key")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val before = mtimes("hashes", "2024-03-01") -> mtimes("bands", "2024-03-01")
+
+    // cycle 2: ONE new doc on a new date — the index gains exactly that
+    // date; every cycle-1 partition file is byte-untouched (the proof
+    // that corpus signatures are computed once per slice, never again)
+    docRows(Seq((4L, tC, "s1", "2024-03-03"))).write.mode("append").parquet(src)
+    assert(jobs.runAll(2).head.ingested == 1L)
+    assert(partDirs("hashes").sameElements(Array(
+      "date_key=2024-03-01", "date_key=2024-03-02", "date_key=2024-03-03")))
+    assert(partDirs("bands").sameElements(Array(
+      "date_key=2024-03-01", "date_key=2024-03-02", "date_key=2024-03-03")))
+    assert(before == (mtimes("hashes", "2024-03-01") -> mtimes("bands", "2024-03-01")),
+      "cycle 2 rewrote cycle 1's index partitions")
+
+    // an incremental batch dedups against the STORED index: one exact
+    // copy of tA, one near-dup of tB (one word changed), one novel doc
+    val batch = docRows(Seq(
+      (11L, tA, "sb", "2024-03-04"),
+      (13L, tB.replace("batch", "stream"), "sb", "2024-03-04"),
+      (15L, "fresh novel content with entirely different tokens spanning multiple shingles easily", "sb", "2024-03-04")))
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpusDocs = spark.read.parquet(s"$out/docs").select(col("doc_id"), col("text"))
+    val fate = graft.operators.Dedup.incrementalDedupFate(batch, corpusDocs,
+      DedupIndex.readHashes(spark, idxDir), DedupIndex.readBands(spark, idxDir))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(fate.toSeq == Seq(("sb", 3L, 1L, 1L, 1L)), fate.mkString(","))
+
+    // and the stored-index path is value-identical to indexing the
+    // published corpus inline
+    val (h2, b2) = DedupIndex.build(corpusDocs)
+    val fate2 = graft.operators.Dedup.incrementalDedupFate(batch, corpusDocs, h2, b2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(fate2.sameElements(fate))
+  }
+
   test("a failed transform leaves the watermark untouched — the slice is retried") {
     import spark.implicits._
     import java.nio.file.Files
