@@ -25,7 +25,8 @@ final case class JobConfig(
     transform: DataFrame => DataFrame,
     outDir: String,
     retentionDays: Int,
-    index: Option[DedupIndexSpec] = None)
+    index: Option[DedupIndexSpec] = None,
+    transactional: Boolean = false)
 
 /** Outcome of one job cycle: the reference either logs
   * "No update required. Skipping", publishes + notifies, or (isolated
@@ -137,7 +138,13 @@ final class Jobs(spark: SparkSession, statePath: String,
           val keys = transformed
             .select(date_format(col(cfg.tsCol), "yyyy-MM-dd").as("k"))
             .distinct().collect().map(_.getString(0)).sorted.toSeq
-          val p = Publish.writeDatePartitioned(
+          // transactional = the manifest-committed DSv2 writer
+          // (PublishedTable): per-date upsert lands as ONE atomic
+          // manifest swap, so a concurrent reader's snapshot is never
+          // half-overwritten; default = the filesystem-level layout
+          val p = if (cfg.transactional)
+            PublishedTable.publishSlice(transformed, cfg.outDir, cfg.datasetId, cfg.tsCol)
+          else Publish.writeDatePartitioned(
             transformed, cfg.outDir, cfg.datasetId, cfg.tsCol)
           // dedup-index maintenance rides the same commit window as the
           // data (after publish, before watermark advance): a crashed
@@ -157,7 +164,11 @@ final class Jobs(spark: SparkSession, statePath: String,
         state.update(cfg.datasetId, Map("last_update" -> newMax), seq)
         val cutoff = java.time.LocalDate.parse(newMax.substring(0, 10))
           .minusDays(cfg.retentionDays).toString
-        Publish.dropOldPartitions(spark, cfg.outDir, cfg.datasetId, cutoff)
+        if (cfg.transactional)
+          // logical drop (one manifest commit); files are reclaimed by
+          // vacuum after the reader grace window
+          PublishedTable.dropPartitionsOlderThan(s"${cfg.outDir}/${cfg.datasetId}", cutoff)
+        else Publish.dropOldPartitions(spark, cfg.outDir, cfg.datasetId, cutoff)
         JobResult(cfg.datasetId, n, skipped = false, Some(payload), dateKeys)
       }
     } finally fresh.unpersist()
