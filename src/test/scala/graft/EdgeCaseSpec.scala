@@ -177,4 +177,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(driver((1L to 40L).head) == 1L && driver(40L) == 1L)
     assert(driver(103L) == 100L && driver(203L) == 200L && driver(301L) == 300L)
   }
+
+  test("components: driver-gate boundary (cap±1) picks different paths, same answer") {
+    import spark.implicits._
+    // crafted graph with a KNOWN canonical edge count: a 30-chain (29)
+    // + a 5-star (4) + one pair (1) = 34 canonical edges after dedup /
+    // self-loop removal (raw input is messier on purpose)
+    val edges = (1L to 30L).sliding(2).map(s => (s(1), s.head)).toSeq ++
+      Seq((100L, 101L), (101L, 100L), (100L, 102L), (100L, 103L), (100L, 104L)) ++
+      Seq((200L, 201L), (200L, 200L))
+    val df = edges.toDF("x", "y")
+    val E = 34L
+    // cap = E → the driver union-find takes it; cap = E−1 → one edge
+    // over the gate, the distributed star-contraction path runs (the
+    // 30-chain outlasts the PhaseRounds neighbor-min cap, so the slow
+    // path is genuinely exercised at the boundary)
+    val atCap = operators.Components.minLabel(df, driverCap = E).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val overCap = operators.Components.minLabel(df, driverCap = E - 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atCap == overCap,
+      s"boundary paths diverge: ${atCap.toSeq.diff(overCap.toSeq)}")
+    assert(atCap(30L) == 1L && atCap(104L) == 100L && atCap(201L) == 200L)
+    assert(atCap.size == 37) // 30 + 5 + 2 distinct endpoints
+  }
 }
