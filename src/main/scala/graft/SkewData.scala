@@ -15,6 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - documents replicate 10× likewise, then 10% of the corpus is
   *     REWRITTEN as one identical boilerplate text (~5k exact copies
   *     sharing every shingle) — the flood the LSH BucketCap bounds;
+  *   - events replicate 10× likewise, then ~5% of ALL events are
+  *     REPOINTED at one BOT user — the adversary of the user-keyed
+  *     product-analytics family (q28–q31) and the station-series QC
+  *     windows (i43, i45): a single key whose whole history lands in
+  *     one ordered window partition;
   *   - remaining tables copy through unchanged so the bench harness
   *     warm-up finds the full layout.
   *
@@ -63,8 +68,19 @@ object SkewData {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .coalesce(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // ~5% of all events repoint at ONE bot user (event ids stay unique);
+    // ts goes back to the layout's nanos-long encoding (Tables converts)
+    val botUser = t.events.agg(min(col("user_id"))).collect()(0).getLong(0) * Copies
+    amplify(t.events, Seq("event_id", "user_id"))
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(20)) === 7, lit(botUser))
+          .otherwise(col("user_id")))
+      .withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .coalesce(8).write.mode("overwrite").parquet(s"$out/events.parquet")
+
     // pass-through tables: byte-copy the originals
-    val copyThrough = Tables.names.filterNot(Seq("orders", "lineitem", "documents").contains)
+    val copyThrough = Tables.names
+      .filterNot(Seq("orders", "lineitem", "documents", "events").contains)
     copyThrough.foreach { n =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
       java.nio.file.Files.copy(
@@ -72,7 +88,7 @@ object SkewData {
         java.nio.file.Paths.get(s"$out/$n.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    Seq("orders", "lineitem", "documents").foreach { n =>
+    Seq("orders", "lineitem", "documents", "events").foreach { n =>
       println(s"$n: ${spark.read.parquet(s"$out/$n.parquet").count()} rows")
     }
     spark.stop()
