@@ -667,6 +667,25 @@ object Ingest {
     * codegen'd arithmetic. The mercator TAN/LN evaluate within 1 ulp
     * on either engine, so the 4096-grid quantization carries the
     * repo's 1e-9 bias applied to FLOOR. */
+  /** The (z=2, x=1, y=1) tile's features in TILE-LOCAL integer
+    * coordinates (ST_AsMVTGeom's math) — shared by i15b (coordinate
+    * parity) and i15c (byte encoding). */
+  private def mvtTileLocal(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (west, east, south, north) = tileEnvelope(z = 2, x = 1, y = 1)
+    val lon = col("user_id") * 1.7 - 95.0
+    val lat = col("value") * 0.35 - 80.0
+    // global web-mercator fraction × 2^z − tile index = tile-local [0,1]
+    val fx = (lon + 180.0) / 360.0 * 4 - 1
+    val fy = (lit(1.0) - log(tan(lit(math.Pi / 4) + radians(lat) / 2)) / math.Pi) / 2 * 4 - 1
+    Tables(spark, dir).events
+      .filter(lon >= west && lon < east && lat >= south && lat < north)
+      .select(col("event_id"), lit(2).as("z"), lit(1).as("tx"), lit(1).as("ty"),
+        greatest(least(floor(fx * 4096 + 1e-9), lit(4096)), lit(0)).cast("int").as("lx"),
+        greatest(least(floor(fy * 4096 + 1e-9), lit(4096)), lit(0)).cast("int").as("ly"),
+        round(col("value"), 2).as("el_val"))
+  }
+
   val i15b = QueryDef(
     "i15b_mvt_tile_coords",
     """SELECT event_id, 2 AS z, 1 AS tx, 1 AS ty,
@@ -681,19 +700,67 @@ object Ingest {
       |  AND value * 0.35 - 80.0 >= 0.0
       |  AND value * 0.35 - 80.0 < 66.51326044311186
       |ORDER BY event_id""".stripMargin) { (spark, dir) =>
-    val (west, east, south, north) = tileEnvelope(z = 2, x = 1, y = 1)
-    val lon = col("user_id") * 1.7 - 95.0
-    val lat = col("value") * 0.35 - 80.0
-    // global web-mercator fraction × 2^z − tile index = tile-local [0,1]
-    val fx = (lon + 180.0) / 360.0 * 4 - 1
-    val fy = (lit(1.0) - log(tan(lit(math.Pi / 4) + radians(lat) / 2)) / math.Pi) / 2 * 4 - 1
-    Tables(spark, dir).events
-      .filter(lon >= west && lon < east && lat >= south && lat < north)
-      .select(col("event_id"), lit(2).as("z"), lit(1).as("tx"), lit(1).as("ty"),
-        greatest(least(floor(fx * 4096 + 1e-9), lit(4096)), lit(0)).cast("int").as("lx"),
-        greatest(least(floor(fy * 4096 + 1e-9), lit(4096)), lit(0)).cast("int").as("ly"),
-        round(col("value"), 2).as("el_val"))
-      .orderBy(col("event_id"))
+    mvtTileLocal(spark, dir).orderBy(col("event_id"))
+  }
+
+  /** i15c: the MVT tile BYTES — `ST_AsMVT` itself
+    * (`raster_vector.py:88`), closing the one byte-level reduction
+    * i15b declared: the tile's id-sorted point features protobuf-encode
+    * into one binary blob per tile ([[graft.functions.MvtTileExpr]]:
+    * varint/zigzag/length-delimited wire format, MVT spec 2.1, with
+    * per-feature `el_val` attributes through the keys/values tables).
+    *
+    * Verified TWO ways: the DuckDB oracle recomputes the exact tile
+    * byte length from varint-length arithmetic in pure SQL (every
+    * field of the wire format contributes a CASE-computable size — a
+    * single byte of drift in the encoder moves the total), and
+    * MvtSpec DECODES the emitted bytes and round-trips every feature
+    * id/coordinate/value. Scale shape: per-point work (transform +
+    * struct assembly) is codegen'd map-side; the per-TILE encode runs
+    * on aggregated rows (features per tile bounded by the 4096-extent
+    * geometry — thousands of rows at planet scale, never per-point). */
+  val i15c = QueryDef(
+    "i15c_mvt_tile_bytes",
+    """WITH pts AS (
+      |  SELECT event_id,
+      |    CAST(GREATEST(LEAST(FLOOR(((user_id * 1.7 - 95.0 + 180.0) / 360.0 * 4 - 1)
+      |      * 4096 + 1e-9), 4096), 0) AS INTEGER) AS lx,
+      |    CAST(GREATEST(LEAST(FLOOR(((1 - LN(TAN(PI() / 4
+      |      + RADIANS(value * 0.35 - 80.0) / 2)) / PI()) / 2 * 4 - 1)
+      |      * 4096 + 1e-9), 4096), 0) AS INTEGER) AS ly
+      |  FROM events
+      |  WHERE user_id * 1.7 - 95.0 >= -90.0 AND user_id * 1.7 - 95.0 < 0.0
+      |    AND value * 0.35 - 80.0 >= 0.0
+      |    AND value * 0.35 - 80.0 < 66.51326044311186),
+      |o AS (SELECT *, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS i FROM pts),
+      |fl AS (SELECT
+      |    (CASE WHEN event_id < 128 THEN 1 WHEN event_id < 16384 THEN 2
+      |          WHEN event_id < 2097152 THEN 3 WHEN event_id < 268435456 THEN 4
+      |          ELSE 5 END) AS v_id,
+      |    (CASE WHEN i < 128 THEN 1 WHEN i < 16384 THEN 2 ELSE 3 END) AS v_i,
+      |    (CASE WHEN 2*lx < 128 THEN 1 WHEN 2*lx < 16384 THEN 2 ELSE 3 END) AS v_zx,
+      |    (CASE WHEN 2*ly < 128 THEN 1 WHEN 2*ly < 16384 THEN 2 ELSE 3 END) AS v_zy
+      |  FROM o),
+      |agg AS (SELECT COUNT(*) AS nf,
+      |    -- wrapped feature = tag + len + payload(9 + the 4 varints)
+      |    SUM(11 + v_id + v_i + v_zx + v_zy) AS sfw
+      |  FROM fl),
+      |lay AS (SELECT nf, 2 + 8 + sfw + 8 + 11 * nf + 3 AS ll FROM agg WHERE nf > 0)
+      |SELECT 2 AS z, 1 AS tx, 1 AS ty, CAST(nf AS BIGINT) AS n_features,
+      |  CAST(1 + (CASE WHEN ll < 128 THEN 1 WHEN ll < 16384 THEN 2
+      |            WHEN ll < 2097152 THEN 3 ELSE 4 END) + ll AS BIGINT) AS mvt_len
+      |FROM lay""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.graft.ColumnBridge
+    val bytes = ColumnBridge.column(graft.functions.MvtTileExpr(
+      ColumnBridge.expression(col("pts"))))
+    mvtTileLocal(spark, dir)
+      .groupBy(col("z"), col("tx"), col("ty"))
+      .agg(sort_array(collect_list(
+        struct(col("event_id"), col("lx"), col("ly"), col("el_val")))).as("pts"))
+      .select(col("z"), col("tx"), col("ty"),
+        size(col("pts")).cast("long").as("n_features"),
+        length(bytes).cast("long").as("mvt_len"))
+      .orderBy(col("z"), col("tx"), col("ty"))
   }
 
   /** One-time materialization of the csv/json demo sources for i16 —
@@ -1985,7 +2052,7 @@ object Ingest {
 
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
-    i14, i15, i15b, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
+    i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45)
 }
