@@ -2009,8 +2009,9 @@ object Ingest {
   /** i39b: contour POLYLINE assembly — [[contourPolylines]] over the
     * i39 segments on a bounded 24×24 sub-grid (the oracle's recursive
     * reachability closure is quadratic per component, so the oracled
-    * region stays bounded; the Spark path is the pointer-doubling
-    * label loop and scales to the full grid). One feature row per
+    * region stays bounded; the Spark path is [[Components.minLabel]]'s
+    * star-contraction core and scales to the full grid). One feature
+    * row per
     * connected iso-line with segment count, open ends, and length —
     * the LineString level of `gdal_contour`'s output. */
   val i39b = QueryDef(
