@@ -271,26 +271,27 @@ object TextAnalysis {
     * Embarrassingly parallel at 100 TB: every shuffle key contains
     * doc_id, so skew is bounded by the longest single document. */
   def repetitionMetrics(docs: DataFrame): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    // ONE scan of the corpus: both gram widths explode from the same
-    // row set (vs. one pass per width — 3 scans of the 100 TB side).
-    // The width is recoverable from the shingle's space count: tokens
-    // come from a split on ' ', so a token can never contain a space —
-    // a 2-gram has exactly 1, a 3-gram exactly 2, collisions impossible.
+    import org.apache.spark.sql.graft.ColumnBridge
+    // the metrics only depend on each document's OWN tokens, so they
+    // are computed map-side in one generated pass per row
+    // ([[graft.functions.RepetitionStatsExpr]]: per-row gram count
+    // tables) — the gram stream (≈2 rows per corpus token) never
+    // exists as rows and nothing shuffles. Earlier shape for the
+    // record: explode both widths → groupBy(doc_id, gram) →
+    // groupBy(doc_id), i.e. two shuffles of the whole gram stream.
+    val st = ColumnBridge.column(graft.functions.RepetitionStatsExpr(
+      ColumnBridge.expression(Text.tokens(col("text")))))
     docs
-      .select(col("doc_id"),
-        explode(concat(Text.shingles(toks, 2), Text.shingles(toks, 3))).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .withColumn("w2", size(split(col("g"), " ", -1)) === 2)
-      .groupBy(col("doc_id")).agg(
-        max(when(col("w2"), col("c"))).as("top2_cnt"),
-        sum(when(!col("w2") && col("c") >= 2, col("c")).otherwise(0L)).as("dup3_occ"),
-        sum(when(!col("w2"), col("c")).otherwise(0L)).as("tri_total"))
-      // docs too short for a trigram match the oracle's inner-join drop;
+      // docs too short for a trigram match the oracle's inner-join drop.
+      // The guard is tri_total > 0 ⇔ size(tokens) > 2 — phrased on the
+      // cheap token count so the pushed-down Filter never duplicates
+      // the stats expression below the Project
+      .filter(size(Text.tokens(col("text"))) > 2)
+      .select(col("doc_id"), st.as("st"))
       // n_tokens falls out of the trigram population (len = tri_total + 2)
-      .filter(col("tri_total") > 0)
-      .select(col("doc_id"), (col("tri_total") + 2).cast("int").as("n_tokens"),
-        col("top2_cnt"), col("dup3_occ"), col("tri_total"))
+      .select(col("doc_id"), (col("st.tri_total") + 2).cast("int").as("n_tokens"),
+        col("st.top2_cnt").as("top2_cnt"), col("st.dup3_occ").as("dup3_occ"),
+        col("st.tri_total").as("tri_total"))
   }
 
   /** Rounded repetition ratios + keep flag over [[repetitionMetrics]]

@@ -656,6 +656,36 @@ class TextDedupSpec extends SparkSpec {
     assert(exchanges <= 1, s"chunking should be map-only plus the oracle sort:\n$plan")
   }
 
+  test("t09 plan shape: map-side stats, zero shuffle before the oracle ORDER BY") {
+    val df = TextAnalysis.t09.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"repetition metrics must not join:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"per-doc gram counting must stay inside the row expression:\n$plan")
+    // the only exchange is the final range partition for ORDER BY
+    val exchanges = "Exchange".r.findAllIn(plan.replace("BroadcastExchange", "")).length
+    assert(exchanges <= 1, s"metrics should be map-only plus the oracle sort:\n$plan")
+    val docs = Tables(spark, sf).documents
+    // the exchange-free metrics core is one whole-stage-codegen'd scan,
+    // and the stats expression appears exactly ONCE (a pushed-down
+    // tri_total filter would duplicate it below the Project)
+    val core = TextAnalysis.repetitionMetrics(docs)
+      .queryExecution.executedPlan.toString()
+    assert(core.contains("*(1) "), s"stats expr must codegen:\n$core")
+    assert("graft_repetition_stats".r.findAllIn(core).length == 1,
+      s"stats expr must evaluate once per row:\n$core")
+    // per-row counting agrees with the exploded groupBy recompute
+    val toksC = graft.functions.Text.tokens(col("text"))
+    val reference = docs
+      .select(col("doc_id"), explode(graft.functions.Text.shingles(toksC, 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2_cnt"))
+    val got = TextAnalysis.repetitionMetrics(docs)
+      .select(col("doc_id"), col("top2_cnt"))
+    assert(got.join(reference, Seq("doc_id"))
+      .filter(got("top2_cnt") =!= reference("top2_cnt")).count() == 0)
+  }
+
   test("s09 plan shape: cell join is hash-based, never a nested loop") {
     val plan = Similarity.s09.fn(spark, sf).queryExecution.executedPlan.toString()
     assert(!plan.contains("NestedLoopJoin"),
