@@ -910,8 +910,85 @@ object Relational {
       .orderBy(col("channel"))
   }
 
+  /** q32: EXACT-k stratified sampling — k rows from every (lang,
+    * source) stratum of the corpus, selection deterministic under a
+    * content-blind hash order (md5 of the id, q21's coin but ranked
+    * instead of thresholded: q21 delivers a RATE per stratum, q32 an
+    * exact COUNT — the eval-set / human-review shape where "5 docs per
+    * language×source cell" is the contract, regardless of cell size).
+    *
+    * Plan: one shuffle keyed by the stratum, then a rank window.
+    * Stratum count is bounded (langs × sources), and the window sorts
+    * only within a stratum; if a single stratum is monster-sized the
+    * bounded-state rung is q19's TypedImperativeAggregate top-k keyed
+    * by stratum — the selection (min-k by hash) is associative and
+    * needs k rows of state, never the stratum. The rank formulation is
+    * kept here for the exact-tie-free oracle parity. */
+  val q32 = QueryDef(
+    "q32_stratified_sample",
+    """WITH r AS (
+      |  SELECT lang, source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source
+      |      ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY lang, source) AS stratum_n
+      |  FROM documents)
+      |SELECT lang, source, CAST(rnk AS INTEGER) AS rnk, doc_id,
+      |  CAST(stratum_n AS BIGINT) AS stratum_n
+      |FROM r WHERE rnk <= 5
+      |ORDER BY lang, source, rnk""".stripMargin) { (spark, dir) =>
+    val stratum = Window.partitionBy(col("lang"), col("source"))
+    val w = stratum.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("lang"), col("source"), col("doc_id"),
+        row_number().over(w).as("rnk"),
+        count(lit(1)).over(stratum).as("stratum_n"))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("source"), col("rnk"), col("doc_id"),
+        col("stratum_n"))
+      .orderBy(col("lang"), col("source"), col("rnk"))
+  }
+
+  /** q33: event-type TRANSITION matrix — the per-user Markov chain
+    * every journey/flow analysis starts from: consecutive event pairs
+    * within a user's ordered stream, counted into (prev, next) cells
+    * with the row-conditional probability. First events (no
+    * predecessor) count under prev='(start)', so columns sum to the
+    * full event mass and the chain is properly seeded.
+    *
+    * Plan shape: ONE user-keyed window (lag) — skew bounded by a
+    * single user's history like q31/i43, covered by the hot-user skew
+    * bench — then a partial-agg'd count over a tiny
+    * (#types+1)×#types key space; the conditional share joins the
+    * per-prev totals broadcast. */
+  val q33 = QueryDef(
+    "q33_markov_transitions",
+    """WITH s AS (SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |c AS (SELECT COALESCE(prev_type, '(start)') AS prev_type,
+      |    event_type AS next_type, COUNT(*) AS n
+      |  FROM s GROUP BY 1, 2)
+      |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+      |  ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type) + 1e-9, 4)
+      |    AS p_next
+      |FROM c ORDER BY prev_type, next_type""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .groupBy(coalesce(col("prev_type"), lit("(start)")).as("prev_type"),
+        col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p_next", graft.QueryDef.roundBiased(
+        col("n") * lit(1.0) / sum(col("n")).over(
+          Window.partitionBy(col("prev_type"))), 4))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
       q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31)
+      q29, q30, q31, q32, q33)
 }

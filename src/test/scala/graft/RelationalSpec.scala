@@ -353,6 +353,46 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.q31.fn(spark, sf).collect().map(_.getLong(1)).sum == purchases)
   }
 
+  test("q32 stratified sample: exact k per stratum, deterministic, within-stratum") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q32.fn(spark, sf)
+    // never more than k=5 per stratum; count matches min(5, stratum size)
+    val perStratum = got.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("k"), max(col("stratum_n")).as("n")).collect()
+    assert(perStratum.nonEmpty)
+    perStratum.foreach { r =>
+      assert(r.getAs[Long]("k") == math.min(5L, r.getAs[Long]("n")))
+    }
+    // every stratum of the corpus is represented
+    val strata = Tables(spark, sf).documents
+      .select(col("lang"), col("source")).distinct().count()
+    assert(perStratum.length.toLong == strata)
+    // sampled rows really belong to their stratum
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("lang").as("dl"), col("source").as("ds"))
+    assert(got.join(docs, "doc_id")
+      .filter(col("lang") =!= col("dl") || col("source") =!= col("ds"))
+      .count() == 0)
+    // deterministic: a rerun picks the identical sample
+    val again = Relational.q32.fn(spark, sf)
+    assert(got.exceptAll(again).count() == 0 && again.exceptAll(got).count() == 0)
+  }
+
+  test("q33 transitions: mass conserved, rows sum to 1, starts = users") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q33.fn(spark, sf).collect()
+    val events = Tables(spark, sf).events
+    // every event lands in exactly one transition cell
+    assert(got.map(_.getAs[Long]("n")).sum == events.count())
+    // each prev row is a probability distribution (grid-rounded)
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("p_next")).sum - 1.0) < 1e-2)
+    }
+    // '(start)' mass = one first event per user
+    val users = events.select(col("user_id")).distinct().count()
+    assert(got.filter(_.getString(0) == "(start)").map(_.getAs[Long]("n")).sum == users)
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)
