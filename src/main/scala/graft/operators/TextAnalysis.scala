@@ -1080,7 +1080,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t21: INVERTED-INDEX construction — the retrieval artifact every
+    * RAG / search / decontamination pipeline builds over its corpus:
+    * per term, the document frequency and the top-8 postings by term
+    * frequency (tf desc, doc_id tie-break).
+    *
+    * Scale shape: explode → (term, doc) tf with map-side partial
+    * counts, then the per-term posting list through the bounded
+    * [[graft.functions.TopKAggregate]] — the q19 argument applied to
+    * text: a stopword's posting list is the whole corpus, and a rank
+    * window would sort all of it per term; the aggregate's partial
+    * buffers carry AT MOST 8 entries per term per partition, so the
+    * hot-term shuffle volume is |vocab|×8×partitions no matter how
+    * skewed the term distribution (d13's postings-cap stance, made
+    * algebraic). df still counts every posting exactly. */
+  val t21 = QueryDef(
+    "t21_inverted_index",
+    """WITH tf AS (
+      |  SELECT t AS term, doc_id, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents) u
+      |  GROUP BY 1, 2),
+      |r AS (SELECT term, doc_id, tf,
+      |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY term) AS df
+      |  FROM tf)
+      |SELECT term, CAST(df AS BIGINT) AS df, CAST(rnk AS INTEGER) AS rnk,
+      |  doc_id, CAST(tf AS BIGINT) AS tf
+      |FROM r WHERE rnk <= 8
+      |ORDER BY term, rnk""".stripMargin) { (spark, dir) =>
+    graft.functions.TopKAggregate.register(spark)
+    val tf = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        expr("graft_topk(CAST(tf AS DOUBLE), doc_id, 8)").as("post"))
+      .select(col("term"), col("df"), posexplode(col("post")))
+      .select(col("term"), col("df"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.key").as("doc_id"), col("col.score").cast("long").as("tf"))
+      .orderBy(col("term"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20)
+      t15, t16, t17, t18, t19, t20, t21)
 }

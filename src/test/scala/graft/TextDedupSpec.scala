@@ -686,6 +686,38 @@ class TextDedupSpec extends SparkSpec {
       .filter(got("top2_cnt") =!= reference("top2_cnt")).count() == 0)
   }
 
+  test("t21 inverted index: bounded postings match the window recompute") {
+    val got = TextAnalysis.t21.fn(spark, sf)
+    // postings are capped, ranked, and ordered by tf desc within a term
+    val byTerm = got.collect().groupBy(_.getString(0))
+    assert(byTerm.nonEmpty)
+    byTerm.foreach { case (term, rows) =>
+      assert(rows.length <= 8, s"term $term postings uncapped")
+      val tfs = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("tf"))
+      assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b },
+        s"term $term postings not tf-descending")
+      assert(rows.map(_.getAs[Long]("df")).distinct.length == 1)
+      assert(rows.head.getAs[Long]("df") >= rows.length)
+    }
+    // the bounded aggregate selects exactly what the rank window would
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables(spark, sf).documents
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val win = tf.withColumn("rnk", row_number().over(Window.partitionBy(col("term"))
+        .orderBy(col("tf").desc, col("doc_id"))))
+      .filter(col("rnk") <= 8)
+      .select(col("term"), col("rnk").cast("int").as("rnk"), col("doc_id"),
+        col("tf"))
+    val gotSel = got.select(col("term"), col("rnk"), col("doc_id"), col("tf"))
+    assert(gotSel.exceptAll(win).count() == 0 && win.exceptAll(gotSel).count() == 0)
+    // plan: the posting list must aggregate (bounded partial buffers),
+    // never sort whole per-term partitions through a window
+    val plan = TextAnalysis.t21.fn(spark, sf).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), s"postings must not rank-window:\n$plan")
+    assert(plan.contains("graft_topk"), s"bounded aggregate missing:\n$plan")
+  }
+
   test("s09 plan shape: cell join is hash-based, never a nested loop") {
     val plan = Similarity.s09.fn(spark, sf).queryExecution.executedPlan.toString()
     assert(!plan.contains("NestedLoopJoin"),
