@@ -833,7 +833,62 @@ object Streaming {
     }
   }
 
+  /** st14: STREAMING decontamination — d08's test-set-leakage guard run
+    * live on the ingestion stream, the gate a production pipeline
+    * applies before a document can land in training data at all
+    * (batch decontamination after the fact means recalling shipped
+    * data). The eval/benchmark side is static and benchmark-sized
+    * (d08's stance: a few MB of n-grams vs the 100 TB stream), so its
+    * distinct gram set reduces to ONE broadcast row and the
+    * contamination test is a map-side `array_intersect` — no per-doc
+    * aggregation on the stream, which also keeps the plan to the ONE
+    * streaming aggregation (by source) Structured Streaming allows.
+    * Complete-mode totals make the final read multi-batch-safe. */
+  val st14 = QueryDef(
+    "st14_stream_decontaminate",
+    """WITH toks AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tk
+      |  FROM documents),
+      |sh AS (SELECT doc_id, source, LEN(tk) AS n_tok,
+      |    LIST_DISTINCT(LIST_TRANSFORM(
+      |      RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks),
+      |eg AS (SELECT DISTINCT UNNEST(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+      |egl AS (SELECT LIST(g) AS eg FROM eg),
+      |tr AS (SELECT source, n_tok,
+      |    LEN(LIST_INTERSECT(sh, eg)) >= 2 AS dirty
+      |  FROM sh CROSS JOIN egl WHERE doc_id % 97 <> 0)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) FILTER (WHERE dirty) AS BIGINT) AS n_contaminated,
+      |  CAST(COALESCE(SUM(n_tok) FILTER (WHERE NOT dirty), 0) AS BIGINT)
+      |    AS tokens_clean
+      |FROM tr GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import graft.functions.Text
+    withStreamParallelism(spark, dir) { s =>
+      val evalRow = graft.Tables(s, dir).documents
+        .filter(col("doc_id") % 97 === 0)
+        .select(explode(array_distinct(
+          Text.shingles(Text.tokens(col("text")), 3))).as("g"))
+        .distinct()
+        .agg(collect_list(col("g")).as("eg"))
+        .withColumn("k", lit(1))
+      val gated = docStream(s, dir)
+        .filter(col("doc_id") % 97 =!= 0)
+        .withColumn("tk", Text.tokens(col("text")))
+        .select(col("source"), size(col("tk")).as("n_tok"),
+          array_distinct(Text.shingles(col("tk"), 3)).as("sh"))
+        .withColumn("k", lit(1))
+        .join(broadcast(evalRow), "k")
+        .withColumn("dirty", size(array_intersect(col("sh"), col("eg"))) >= 2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("dirty"), 1)).as("n_contaminated"),
+          coalesce(sum(when(!col("dirty"), col("n_tok"))), lit(0L))
+            .as("tokens_clean"))
+      runToCompletion(gated, "st14_out")
+    }.orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11, st12,
-      st13)
+      st13, st14)
 }

@@ -314,4 +314,31 @@ class StreamingSpec extends SparkSpec {
     // → TV = (|.5-.5| + |.5-.25| + .25) / 2 = 0.25
     assert(got == Map("A" -> 0.25, "B" -> 0.25), s"$got")
   }
+
+  test("st14 streamed decontamination flags exactly the leaked documents") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st14").toString
+    Seq(
+      // doc 0 (id % 97 == 0) is the benchmark: grams "a b c", "b c d"
+      (0L, "a b c d", "en", "eval", 7L),
+      // doc 1 copies the benchmark verbatim → 2 shared grams → dirty
+      (1L, "a b c d", "en", "A", 7L),
+      // doc 2 shares ONE gram ("a b c") → below the ≥2 threshold
+      (2L, "a b c x", "en", "A", 7L),
+      // doc 3 is clean
+      (3L, "p q r s t", "en", "B", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/_stage")
+    val part = new java.io.File(s"$dir/_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val got = Streaming.st14.fn(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Long]("tokens_clean")))).toMap
+    // A: 2 docs, only the verbatim copy dirty, clean tokens = doc 2's 4;
+    // B: untouched; the eval doc itself never appears
+    assert(got == Map("A" -> ((2L, 1L, 4L)), "B" -> ((1L, 0L, 5L))), s"$got")
+  }
 }
