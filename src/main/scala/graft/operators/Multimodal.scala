@@ -279,5 +279,104 @@ object Multimodal {
       .orderBy(col("id1"), col("id2"))
   }
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04)
+  /** Per-payload audio segmentation summary. */
+  final case class AudioSeg(doc_id: Long, n_windows: Int, total_energy: Long,
+      peak_win: Int, peak_energy: Long, n_silent: Long)
+
+  /** One energy window (intermediate, emitted per partition batch). */
+  final case class AudioWin(doc_id: Long, win_idx: Int, energy: Long)
+
+  /** m05: audio ENERGY segmentation — the audio verb beside m01–m03:
+    * each payload decodes as 16-bit little-endian PCM (stub: byte
+    * pairs as signed samples — a real build swaps in the codec inside
+    * the same per-partition loop), non-overlapping 32-sample windows
+    * reduce to INTEGER energy Σs², and the per-doc summary carries
+    * the segmentation signals a speech pipeline gates on: window
+    * count, total/peak energy, the peak window index, and how many
+    * windows are RELATIVE silence (energy × 4 < peak — the adaptive
+    * threshold, since absolute scales vary per recording).
+    *
+    * All-integer arithmetic end to end, so the oracle replays byte
+    * pairs exactly (ASCII gate as m01). Scale: the window fold is the
+    * mapPartitions batch loop (one pass, nothing materialized beyond
+    * a window), the summary one doc-keyed agg + a broadcast-sized
+    * rejoin for the relative-silence count. */
+  val m05 = QueryDef(
+    "m05_audio_energy",
+    """WITH f AS (
+      |  SELECT doc_id, text, LENGTH(text) // 2 AS n_samp FROM documents
+      |  WHERE doc_id % 50 = 0 AND LENGTH(text) >= 2
+      |    AND LENGTH(text) = OCTET_LENGTH(ENCODE(text))),
+      |w AS (SELECT doc_id, text, n_samp,
+      |    UNNEST(RANGE(0, (n_samp - 1) // 32 + 1)) AS win_idx FROM f),
+      |e AS (
+      |  SELECT doc_id, CAST(win_idx AS INTEGER) AS win_idx,
+      |    LIST_SUM(LIST_TRANSFORM(
+      |      RANGE(CAST(win_idx * 32 AS INTEGER),
+      |            CAST(LEAST((win_idx + 1) * 32, n_samp) AS INTEGER)),
+      |      i -> CAST(POWER(
+      |        CASE WHEN ASCII(SUBSTR(text, 2 * CAST(i AS INTEGER) + 1, 1))
+      |               + 256 * ASCII(SUBSTR(text, 2 * CAST(i AS INTEGER) + 2, 1))
+      |               >= 32768
+      |             THEN ASCII(SUBSTR(text, 2 * CAST(i AS INTEGER) + 1, 1))
+      |               + 256 * ASCII(SUBSTR(text, 2 * CAST(i AS INTEGER) + 2, 1))
+      |               - 65536
+      |             ELSE ASCII(SUBSTR(text, 2 * CAST(i AS INTEGER) + 1, 1))
+      |               + 256 * ASCII(SUBSTR(text, 2 * CAST(i AS INTEGER) + 2, 1))
+      |        END, 2) AS BIGINT))) AS energy
+      |  FROM w),
+      |pk AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_windows,
+      |    CAST(SUM(energy) AS BIGINT) AS total_energy,
+      |    CAST(MAX(energy) AS BIGINT) AS peak_energy
+      |  FROM e GROUP BY doc_id)
+      |SELECT e.doc_id, pk.n_windows, pk.total_energy,
+      |  CAST(MIN(CASE WHEN e.energy = pk.peak_energy THEN e.win_idx END)
+      |    AS INTEGER) AS peak_win,
+      |  pk.peak_energy,
+      |  CAST(COUNT(*) FILTER (WHERE e.energy * 4 < pk.peak_energy) AS BIGINT)
+      |    AS n_silent
+      |FROM e JOIN pk USING (doc_id)
+      |GROUP BY e.doc_id, pk.n_windows, pk.total_energy, pk.peak_energy
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val blobs = Tables(spark, dir).documents
+      .filter(col("doc_id") % 50 === 0 && length(col("text")) >= 2 &&
+        length(col("text")) === octet_length(col("text")))
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .as[Blob]
+    val wins = blobs.mapPartitions { iter =>
+      iter.flatMap { b =>
+        val nSamp = b.payload.length / 2
+        (0 until ((nSamp - 1) / 32 + 1)).iterator.map { w =>
+          var e = 0L
+          var i = w * 32
+          val end = math.min((w + 1) * 32, nSamp)
+          while (i < end) {
+            val lo = b.payload(2 * i) & 0xff
+            val hi = b.payload(2 * i + 1) & 0xff
+            val raw = lo + 256 * hi
+            val s = if (raw >= 32768) raw - 65536 else raw
+            e += s.toLong * s
+            i += 1
+          }
+          AudioWin(b.doc_id, w, e)
+        }
+      }
+    }.toDF()
+    val pk = wins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_windows"),
+        sum(col("energy")).as("total_energy"),
+        max(col("energy")).as("peak_energy"))
+    wins.join(pk, "doc_id")
+      .groupBy(col("doc_id"), col("n_windows"), col("total_energy"),
+        col("peak_energy"))
+      .agg(min(when(col("energy") === col("peak_energy"), col("win_idx")))
+          .cast("int").as("peak_win"),
+        count(when(col("energy") * 4 < col("peak_energy"), 1)).as("n_silent"))
+      .select(col("doc_id"), col("n_windows"), col("total_energy"),
+        col("peak_win"), col("peak_energy"), col("n_silent"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
 }

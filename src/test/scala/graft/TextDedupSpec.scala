@@ -266,6 +266,38 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("m05 audio energy: PCM decode, windowing, and relative silence on crafted bytes") {
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_m05").toString
+    // doc 0 (picked by doc_id % 50 == 0): 64 samples = exactly 2 windows,
+    // all bytes ASCII (the oracle gate). Window 0 repeats the sample
+    // ('~','~') = 126 + 256*126 = 32382, energy 32*32382^2 = 33555005568;
+    // window 1 repeats (' ',' ') = 8224, energy 32*8224^2 = 2164293632,
+    // and 2164293632*4 < 33555005568 makes it relative silence.
+    val loud = "~~" * 32
+    val quiet = "  " * 32
+    spark.createDataFrame(Seq(
+      (0L, loud + quiet, "en", "A", 128L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.m05.fn(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Int]("n_windows") == 2)
+    assert(r.getAs[Long]("peak_energy") == 33555005568L)
+    assert(r.getAs[Int]("peak_win") == 0)
+    assert(r.getAs[Long]("total_energy") == 33555005568L + 2164293632L)
+    assert(r.getAs[Long]("n_silent") == 1L)
+    // on the real corpus: windows cover every sample pair, peaks sane
+    val corpus = Multimodal.m05.fn(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { c =>
+      assert(c.getAs[Long]("peak_energy") <= c.getAs[Long]("total_energy"))
+      assert(c.getAs[Int]("peak_win") < c.getAs[Int]("n_windows"))
+      assert(c.getAs[Long]("n_silent") < c.getAs[Int]("n_windows"))
+    }
+  }
+
   test("t18 zipf slope matches a direct least-squares recompute; ratios sane") {
     val rows = TextAnalysis.t18.fn(spark, sf).collect()
     assert(rows.nonEmpty)
