@@ -582,5 +582,74 @@ object TrainingPipeline {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09)
+  /** p10: TEMPERATURE-scaled mixture sampling — the multilingual /
+    * multi-source mixing recipe (mT5's τ-smoothed multinomial):
+    * source weights w_s ∝ (tokens_s)^τ with τ = 0.5, so
+    * low-resource sources are up-weighted relative to their natural
+    * share without drowning the head. The token budget is 50% of the
+    * corpus; each source's target rate is min(1, B·w_s/(Σw·tokens_s))
+    * and realization is p03's deterministic md5 threshold coin —
+    * reproducible on any engine, no RNG state.
+    *
+    * p03 is the UNIFORM-target special case (τ = 0); p10 is the tuned
+    * production knob between natural sampling (τ = 1) and uniform.
+    * Same scale shape as p03: per-source stats are a sources-sized
+    * table, rates broadcast back, the coin is map-side. The rate is
+    * fixed on the 1e-4 decimal grid BEFORE the coin so the threshold
+    * comparison is integer-exact cross-engine (sqrt itself is IEEE
+    * correctly-rounded on both engines). */
+  val p10 = QueryDef(
+    "p10_temperature_mix",
+    """WITH tok AS (SELECT doc_id, source,
+      |    LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents),
+      |src AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM tok GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+      |    SUM(SQRT(n_tokens)) AS sum_w FROM src),
+      |rates AS (SELECT source, n_docs, n_tokens,
+      |    ROUND(SQRT(n_tokens) / sum_w + 1e-9, 6) AS weight,
+      |    ROUND(LEAST((0.5 * total) * (SQRT(n_tokens) / sum_w)
+      |      / n_tokens, 1.0) + 1e-9, 4) AS target_rate
+      |  FROM src, tot),
+      |samp AS (SELECT t.doc_id, t.source, t.n_tok, r.target_rate,
+      |    CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+      |         < FLOOR(r.target_rate * 65536 + 1e-9) THEN 1 ELSE 0 END AS picked
+      |  FROM tok t JOIN rates r ON t.source = r.source)
+      |SELECT s.source, r.n_docs, r.n_tokens, r.weight, r.target_rate,
+      |  CAST(SUM(s.picked) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN s.picked = 1 THEN s.n_tok ELSE 0 END) AS BIGINT)
+      |    AS sampled_tokens
+      |FROM samp s JOIN rates r ON s.source = r.source
+      |GROUP BY s.source, r.n_docs, r.n_tokens, r.weight, r.target_rate
+      |ORDER BY s.source""".stripMargin) { (spark, dir) =>
+    val tok = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.Text.tokens(col("text"))).as("n_tok"))
+    val src = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .persist()
+    src.count()
+    val tot = src.agg(sum(col("n_tokens")).as("total"),
+      sum(sqrt(col("n_tokens"))).as("sum_w"))
+    val rates = src.join(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        graft.QueryDef.roundBiased(sqrt(col("n_tokens")) / col("sum_w"), 6)
+          .as("weight"),
+        graft.QueryDef.roundBiased(
+          least(lit(0.5) * col("total") * (sqrt(col("n_tokens")) / col("sum_w"))
+            / col("n_tokens"), lit(1.0)), 4).as("target_rate"))
+    val hex4 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val picked = when(hex4 < floor(col("target_rate") * 65536 + 1e-9), 1).otherwise(0)
+    tok.join(broadcast(rates), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_rate"), picked.as("picked"), col("n_tok"))
+      .groupBy(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_rate"))
+      .agg(sum(col("picked")).cast("long").as("n_sampled"),
+        sum(when(col("picked") === 1, col("n_tok")).otherwise(0L)).as("sampled_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
 }

@@ -258,4 +258,37 @@ class TrainingPipelineSpec extends SparkSpec {
     // B = 2*2010 = 4020; tiny caps at 40; survivors split 3980 → 1990 each
     assert(got == Map("tiny" -> 40L, "bigA" -> 1990L, "bigB" -> 1990L), s"$got")
   }
+
+  test("p10 temperature mix up-weights the tail, weights normalize, rates capped") {
+    val rows = TrainingPipeline.p10.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // weights are a (grid-rounded) distribution, every rate in (0, 1]
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-3, s"weights sum to $wSum")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("target_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+    }
+    // the temperature property: τ=0.5 compresses the weight ratio to
+    // the square root of the token ratio, so every smaller source gets
+    // a HIGHER sampling rate than every larger one
+    val byTokens = rows.sortBy(_.getAs[Long]("n_tokens"))
+    byTokens.sliding(2).foreach {
+      case Array(small, large) =>
+        assert(small.getAs[Double]("target_rate") >=
+          large.getAs[Double]("target_rate"),
+          s"${small.getAs[String]("source")} rate below " +
+            s"${large.getAs[String]("source")}")
+      case _ =>
+    }
+    // realized sampling tracks the target within binomial noise
+    rows.foreach { r =>
+      val expected = r.getAs[Double]("target_rate") * r.getAs[Long]("n_docs")
+      val got = r.getAs[Long]("n_sampled").toDouble
+      val sd = math.sqrt(expected max 1.0)
+      assert(math.abs(got - expected) <= 5 * sd + 2,
+        s"${r.getAs[String]("source")}: sampled $got vs expected $expected")
+    }
+  }
 }
