@@ -2051,9 +2051,56 @@ object Ingest {
       .orderBy(col("level"), col("comp"))
   }
 
+  /** i46: growing DEGREE-DAY accumulation — the agro-climate product
+    * beside i42's onset/cessation (FAO/WMO phenology: crop stages are
+    * predicted by accumulated heat units, not calendar days): per
+    * station-day the mean reading becomes min(t, cap) − base heat
+    * units (capped-at-30 / base-10 single-triangle formulation), the
+    * per-station running total accumulates in INTEGER cents (i42's
+    * discipline — one biased 2-decimal round at the daily mean, exact
+    * integers after), and each station reports its total plus the
+    * first day the cumulative sum crosses 200 degree-days (the
+    * sowing-window trigger; NULL if never reached).
+    *
+    * Plan: (station, day) partial-agg shuffle, ONE station-keyed
+    * cumsum window (partition = a station's day count, bounded by the
+    * series span — i45's stance), then a station-sized final agg. */
+  val i46 = QueryDef(
+    "i46_degree_days",
+    """WITH daily AS (
+      |  SELECT user_id AS station,
+      |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+      |      AS INTEGER) AS day,
+      |    CAST(ROUND(ROUND(AVG(value) + 1e-9, 2) * 100) AS BIGINT) AS tc
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT station, day,
+      |    GREATEST(LEAST(tc, 3000) - 1000, 0) AS gdd FROM daily),
+      |c AS (SELECT station, day, gdd,
+      |    SUM(gdd) OVER (PARTITION BY station ORDER BY day) AS cum FROM g)
+      |SELECT station, CAST(COUNT(*) AS INTEGER) AS n_days,
+      |  CAST(SUM(gdd) AS BIGINT) AS gdd_cents,
+      |  CAST(MIN(CASE WHEN cum >= 20000 THEN day END) AS INTEGER) AS cross_day
+      |FROM c GROUP BY station ORDER BY station""".stripMargin) { (spark, dir) =>
+    val daily = Tables(spark, dir).events
+      .select(col("user_id").as("station"),
+        expr("datediff(to_date(ts), date'1970-01-01')").cast("int").as("day"),
+        col("value"))
+      .groupBy(col("station"), col("day"))
+      .agg(round(round(avg(col("value")) + 1e-9, 2) * 100).cast("long").as("tc"))
+    val g = daily.select(col("station"), col("day"),
+      greatest(least(col("tc"), lit(3000L)) - 1000L, lit(0L)).as("gdd"))
+    val w = Window.partitionBy(col("station")).orderBy(col("day"))
+    g.withColumn("cum", sum(col("gdd")).over(w))
+      .groupBy(col("station"))
+      .agg(count(lit(1)).cast("int").as("n_days"),
+        sum(col("gdd")).as("gdd_cents"),
+        min(when(col("cum") >= 20000L, col("day"))).cast("int").as("cross_day"))
+      .orderBy(col("station"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
-    i39, i39b, i41, i42, i43, i45)
+    i39, i39b, i41, i42, i43, i45, i46)
 }

@@ -627,4 +627,31 @@ class IngestSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2, s"$got")
     assert(math.abs(got(1L)._2 - 20.0) < 0.1, s"step T_max ≈ n: ${got(1L)._2}")
   }
+
+  test("i46 degree days: cap/base arithmetic, crossing day, never-crossing NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i46").toString
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1704067200L * 1000000000L // 2024-01-01 = epoch day 19723
+    val events =
+      // station 1: 15 days at 35.0 → capped to 30 → 20.00 dd/day;
+      // the 200-dd trigger lands exactly on day 10 (2024-01-10)
+      (1 to 15).map { i =>
+        (i.toLong, t0 + (i - 1) * day, 1L, "obs", 35.0, "{}")
+      } ++
+        // station 2: below base → zero heat units, never crosses
+        (1 to 15).map { i => (100L + i, t0 + (i - 1) * day, 2L, "obs", 5.0, "{}") } ++
+        // station 3: two same-day readings average to 25.0 → 15.00 dd
+        Seq((200L, t0, 3L, "obs", 20.0, "{}"), (201L, t0, 3L, "obs", 30.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.i46.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("gdd_cents") == 15L * 2000)
+    assert(got(1L).getAs[Int]("cross_day") == 19723 + 9)
+    assert(got(2L).getAs[Long]("gdd_cents") == 0L)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("cross_day")))
+    assert(got(3L).getAs[Int]("n_days") == 1 &&
+      got(3L).getAs[Long]("gdd_cents") == 1500L)
+  }
 }
