@@ -1121,7 +1121,76 @@ object TextAnalysis {
       .orderBy(col("term"), col("rnk"))
   }
 
+  /** t22: COLLOCATION mining — pointwise mutual information over
+    * adjacent bigrams (Church & Hanks 1990), the corpus-linguistics
+    * pass that surfaces multi-word units ("new york", "machine
+    * learning") for tokenizer vocab seeding and phrase-aware indexing:
+    * PMI = ln(p(ab) / (p(a)·p(b))) with bigram and unigram
+    * probabilities over their own populations. Emitted: every bigram
+    * with count ≥ 5 whose grid-rounded PMI clears 0.2 (the
+    * synthetic corpus's bigrams are near-uniform, so absolute PMIs sit
+    * far below natural-language collocation scores — the machinery,
+    * not the constant, is the operator) — the
+    * threshold-on-the-rounded-value discipline means NO cross-engine
+    * float ranking anywhere (t08's ln-parity precedent carries the
+    * transcendental; ordering is purely lexicographic).
+    *
+    * Scale: bigram + unigram counts are two partial-agg'd shuffles of
+    * token streams; the two probability joins hit the BOUNDED vocab
+    * side through the t16/t19 broadcast gate (Heaps' law keeps vocab
+    * millions, not corpus-sized — above the gate the join falls back
+    * to shuffle). */
+  val t22 = QueryDef(
+    "t22_collocations",
+    """WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |uni AS (SELECT t, COUNT(*) AS cu FROM
+      |    (SELECT UNNEST(tk) AS t FROM tok) u GROUP BY t),
+      |nu AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
+      |bi AS (SELECT g, COUNT(*) AS cb FROM
+      |    (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk), 1)),
+      |       i -> tk[i] || ' ' || tk[i+1])) AS g FROM tok) x
+      |  GROUP BY g),
+      |nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS m FROM bi),
+      |pmi AS (SELECT STRING_SPLIT(g, ' ')[1] AS w1, STRING_SPLIT(g, ' ')[2] AS w2,
+      |    cb,
+      |    ROUND(LN((cb * 1.0 / m) / ((a.cu * 1.0 / n) * (b.cu * 1.0 / n)))
+      |      + 1e-9, 4) AS pmi
+      |  FROM bi JOIN uni a ON STRING_SPLIT(g, ' ')[1] = a.t
+      |          JOIN uni b ON STRING_SPLIT(g, ' ')[2] = b.t
+      |  CROSS JOIN nu CROSS JOIN nb
+      |  WHERE cb >= 5)
+      |SELECT w1, w2, CAST(cb AS BIGINT) AS n_pair, pmi
+      |FROM pmi WHERE pmi >= 0.2
+      |ORDER BY w1, w2""".stripMargin) { (spark, dir) =>
+    val toks = Tables(spark, dir).documents
+      .select(Text.tokens(col("text")).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      .persist()
+    val nU = uni.agg(sum(col("cu")).as("n"))
+    val bi = toks
+      .select(explode(Text.shingles(col("tk"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= 5)
+      .withColumn("sp", split(col("g"), " ", 2))
+      .select(col("sp").getItem(0).as("w1"), col("sp").getItem(1).as("w2"),
+        col("cb"))
+    val nB = toks.select(explode(Text.shingles(col("tk"), 2)).as("g"))
+      .agg(count(lit(1)).as("m"))
+    val uniSide = if (uni.count() <= BroadcastVocabRows) broadcast(uni) else uni
+    bi
+      .join(uniSide.select(col("t").as("w1"), col("cu").as("cu1")), "w1")
+      .join(uniSide.select(col("t").as("w2"), col("cu").as("cu2")), "w2")
+      .join(broadcast(nU)).join(broadcast(nB))
+      .withColumn("pmi", graft.QueryDef.roundBiased(
+        log((col("cb") * lit(1.0) / col("m")) /
+          ((col("cu1") * lit(1.0) / col("n")) * (col("cu2") * lit(1.0) / col("n")))), 4))
+      .filter(col("pmi") >= 0.2)
+      .select(col("w1"), col("w2"), col("cb").as("n_pair"), col("pmi"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21)
+      t15, t16, t17, t18, t19, t20, t21, t22)
 }

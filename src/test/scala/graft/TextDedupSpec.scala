@@ -298,6 +298,38 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("t22 collocations: a true pair dominates, PMI matches the hand formula") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t22").toString
+    // "neural nets" always adjacent (a collocation); filler words are
+    // shuffled independently so their pairings stay near-random
+    val filler = Seq("alpha", "beta", "gamma", "delta")
+    val docs = (0 until 40).map { i =>
+      val f = (0 until 6).map(j => filler((i * 7 + j * 3) % 4)).mkString(" ")
+      (i.toLong, s"neural nets $f", "en", "A", 0L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.t22.fn(spark, dir).collect()
+    val pair = rows.find(r => r.getString(0) == "neural" && r.getString(1) == "nets")
+    assert(pair.isDefined, s"collocation lost: ${rows.mkString(";")}")
+    // hand PMI: c(neural nets)=40, c(neural)=c(nets)=40, N=320 tokens,
+    // M=280 bigrams → ln((40/280)/((40/320)^2)) = ln(64/7)
+    val expected = math.round(
+      (math.log((40.0 / 280.0) / ((40.0 / 320.0) * (40.0 / 320.0))) + 1e-9) * 1e4) / 1e4
+    assert(pair.get.getAs[Double]("pmi") == expected,
+      s"${pair.get.getAs[Double]("pmi")} != $expected")
+    assert(pair.get.getAs[Long]("n_pair") == 40L)
+    // every emitted pair respects both thresholds
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pair") >= 5 && r.getAs[Double]("pmi") >= 0.2)
+    }
+    // the collocation outranks every filler-filler pairing's PMI
+    rows.filter(r => filler.contains(r.getString(0))).foreach { r =>
+      assert(r.getAs[Double]("pmi") < pair.get.getAs[Double]("pmi"))
+    }
+  }
+
   test("t18 zipf slope matches a direct least-squares recompute; ratios sane") {
     val rows = TextAnalysis.t18.fn(spark, sf).collect()
     assert(rows.nonEmpty)
