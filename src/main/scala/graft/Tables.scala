@@ -18,10 +18,22 @@ final class Tables(val spark: SparkSession, val dir: String) {
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def table(name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    var df = spark.read.parquet(s"$dir/$name.parquet")
+    // Generations of the driver data differ in timestamp encoding:
+    // events.ts has appeared as INT64 TIMESTAMP(NANOS) (read as long
+    // under nanosAsLong) and as TIMESTAMP_NTZ. Normalize both to the
+    // session-zone TIMESTAMP every operator and oracle assumes; with
+    // the UTC session zone the NTZ cast preserves the wall-clock value
+    // DuckDB reads from the same file.
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    df.schema.fields.foreach { f =>
+      if (f.dataType == TimestampNTZType)
+        df = df.withColumn(f.name, col(f.name).cast("timestamp"))
+    }
+    df
   }
 
   def region: DataFrame = table("region")

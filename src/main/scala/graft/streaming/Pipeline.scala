@@ -41,18 +41,25 @@ object Streaming {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
-  /** File-source stream over the events parquet (nanos ts read as long,
-    * converted to a microsecond timestamp — same convention as
-    * [[graft.Tables]]). */
+  /** File-source stream over the events parquet. Driver data
+    * generations encode `ts` differently (INT64 TIMESTAMP(NANOS) read
+    * as long vs TIMESTAMP_NTZ) — probe the file's batch schema once and
+    * normalize to the session-zone TIMESTAMP, same convention as
+    * [[graft.Tables]]. */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // the file source wants a directory: stream the SF dir, filtered to
     // the events file
-    spark.readStream
-      .schema(eventsSchema)
+    val raw = spark.readStream
+      .schema(StructType(eventsSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = physical) else f)))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    physical match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Stateful streaming operators latch their state-store partitioning
