@@ -1046,7 +1046,48 @@ object Dedup {
       .drop("raw")
   }
 
+  /** d14: duplication-aware sampling WEIGHTS — soft dedup: instead of
+    * dropping copies (d01's hard keep-one), every document stays in the
+    * corpus carrying weight 1/n_copies so a training loop sees each
+    * CONTENT with equal total mass (the repetition-aware loss weighting
+    * used when exact dedup is too blunt — boilerplate pages carry
+    * signal, repeated N× they shouldn't carry N× gradient). Weight is
+    * emitted as integer parts-per-million via FLOOR division
+    * (1000000 / n — exact cross-engine, no float rounding), alongside
+    * the copy count and the canonical flag (is the doc its group's
+    * min-id member — d01's keep choice, so `WHERE is_canonical`
+    * reproduces d01's corpus exactly).
+    *
+    * Plan: ONE md5-key partial agg (map-side combine absorbs the hot
+    * boilerplate group before the shuffle) to a group table keyed by
+    * content hash, then an equi-join back to the corpus on that hash —
+    * deliberately a join, not a hash-partitioned window: a 10⁶-copy
+    * page would pile one window partition, while the join's build side
+    * is group-sized and AQE splits any residual skew (t20's stance). */
+  val d14 = QueryDef(
+    "d14_dup_weights",
+    """WITH g AS (
+      |  SELECT MD5(text) AS h, MIN(doc_id) AS keep_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_copies
+      |  FROM documents GROUP BY 1)
+      |SELECT d.doc_id, g.n_copies,
+      |  CAST(1000000 // g.n_copies AS BIGINT) AS weight_ppm,
+      |  d.doc_id = g.keep_id AS is_canonical
+      |FROM documents d JOIN g ON MD5(d.text) = g.h
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val g = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(g, "h")
+      .select(col("doc_id"), col("n_copies"),
+        floor(lit(1000000L) / col("n_copies")).as("weight_ppm"),
+        (col("doc_id") === col("keep_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08, d09, d10,
-      d11, d12, d13)
+      d11, d12, d13, d14)
 }

@@ -2098,9 +2098,136 @@ object Ingest {
       .orderBy(col("station"))
   }
 
+  /** i47: consecutive DRY/WET spell lengths — the ETCCDI CDD/CWD
+    * climate-extremes indices over the station series the reference's
+    * rainfall products feed (`ingest/chirps_rainfall/__init__.py`
+    * computes the same daily series this op classifies; spell indices
+    * are the standard WMO product one step downstream): a station-day
+    * is DRY when its 2-decimal-rounded mean reading is below 20.00
+    * (integer-cents compare, i46's discipline), and maximal runs of
+    * consecutive CALENDAR days with the same dry/wet flag are found by
+    * gaps-and-islands (`run = day − row_number` within the flag class
+    * — a missing observation day breaks the run, matching the
+    * station-record semantics). Per station: longest dry spell (CDD),
+    * longest wet spell (CWD), and the count of dry spells ≥ 5 days
+    * (the drought-watch alert trigger).
+    *
+    * Plan: (station, day) partial-agg shuffle with map-side combine,
+    * ONE (station, is_dry)-keyed row_number window (partition bounded
+    * by a station's series span — i45's stance), then run-length
+    * groupBy and a station-sized final agg; no exchange after the
+    * window since every later clustering is a subset. */
+  val i47 = QueryDef(
+    "i47_spell_lengths",
+    """WITH daily AS (
+      |  SELECT user_id AS station,
+      |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+      |      AS INTEGER) AS day,
+      |    CAST(ROUND(ROUND(AVG(value) + 1e-9, 2) * 100) AS BIGINT) AS tc
+      |  FROM events GROUP BY 1, 2),
+      |f AS (SELECT station, day, tc < 2000 AS is_dry FROM daily),
+      |r AS (SELECT station, day, is_dry,
+      |    day - CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY station, is_dry ORDER BY day) AS INTEGER) AS grp
+      |  FROM f),
+      |s AS (SELECT station, is_dry, grp, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM r GROUP BY 1, 2, 3)
+      |SELECT station,
+      |  CAST(COALESCE(MAX(CASE WHEN is_dry THEN len END), 0) AS INTEGER)
+      |    AS cdd,
+      |  CAST(COALESCE(MAX(CASE WHEN NOT is_dry THEN len END), 0) AS INTEGER)
+      |    AS cwd,
+      |  CAST(COUNT(CASE WHEN is_dry AND len >= 5 THEN 1 END) AS INTEGER)
+      |    AS n_dry5
+      |FROM s GROUP BY station ORDER BY station""".stripMargin) { (spark, dir) =>
+    val daily = Tables(spark, dir).events
+      .select(col("user_id").as("station"),
+        expr("datediff(to_date(ts), date'1970-01-01')").cast("int").as("day"),
+        col("value"))
+      .groupBy(col("station"), col("day"))
+      .agg(round(round(avg(col("value")) + 1e-9, 2) * 100).cast("long").as("tc"))
+    val f = daily.select(col("station"), col("day"),
+      (col("tc") < 2000L).as("is_dry"))
+    val w = Window.partitionBy(col("station"), col("is_dry")).orderBy(col("day"))
+    val spells = f
+      .withColumn("grp", col("day") - row_number().over(w).cast("int"))
+      .groupBy(col("station"), col("is_dry"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    spells.groupBy(col("station"))
+      .agg(
+        coalesce(max(when(col("is_dry"), col("len"))), lit(0L))
+          .cast("int").as("cdd"),
+        coalesce(max(when(!col("is_dry"), col("len"))), lit(0L))
+          .cast("int").as("cwd"),
+        count(when(col("is_dry") && col("len") >= 5L, lit(1)))
+          .cast("int").as("n_dry5"))
+      .orderBy(col("station"))
+  }
+
+  /** i48: station-month COMPLETENESS QC (the WMO "3/5 rule" for
+    * climate normals, WMO-No. 1201): a monthly value may enter the
+    * normal only if the month has ≤ 5 missing days AND no run of more
+    * than 3 CONSECUTIVE missing days — the gate that sits directly
+    * upstream of i03's climatology (reference
+    * `chirps_rainfall/__init__.py:93` computes the normals this rule
+    * admits series into). Per station-month: observed-day count, total
+    * missing, the longest missing run, and the verdict.
+    *
+    * The longest missing run needs NO calendar-spine explode: over the
+    * month's PRESENT days sorted by day-of-month, every missing run is
+    * either the lead-in (first_dom − 1), an interior gap
+    * (dom − lag(dom) − 1), or the tail (days_in_month − last_dom) —
+    * one (station, month)-keyed lag window over ≤31 rows per
+    * partition, then a station-month agg folding the tail in with
+    * GREATEST. One daily-distinct shuffle + one window; the window's
+    * (station, ym) partitioning serves the final agg. */
+  val i48 = QueryDef(
+    "i48_month_completeness",
+    """WITH daily AS (
+      |  SELECT DISTINCT user_id AS station,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      |  FROM events),
+      |m AS (SELECT station,
+      |    CAST(EXTRACT(year FROM d) * 100 + EXTRACT(month FROM d)
+      |      AS INTEGER) AS ym,
+      |    CAST(EXTRACT(day FROM d) AS INTEGER) AS dom,
+      |    CAST(EXTRACT(day FROM LAST_DAY(d)) AS INTEGER) AS dim
+      |  FROM daily),
+      |g AS (SELECT station, ym, dim, dom,
+      |    COALESCE(dom - LAG(dom) OVER (
+      |      PARTITION BY station, ym ORDER BY dom) - 1, dom - 1) AS gap
+      |  FROM m)
+      |SELECT station, ym, CAST(COUNT(*) AS INTEGER) AS n_present,
+      |  CAST(dim - COUNT(*) AS INTEGER) AS n_missing,
+      |  CAST(GREATEST(MAX(gap), dim - MAX(dom)) AS INTEGER) AS max_gap,
+      |  (dim - COUNT(*)) <= 5 AND GREATEST(MAX(gap), dim - MAX(dom)) <= 3
+      |    AS month_ok
+      |FROM g GROUP BY station, ym, dim
+      |ORDER BY station, ym""".stripMargin) { (spark, dir) =>
+    val daily = Tables(spark, dir).events
+      .select(col("user_id").as("station"), to_date(col("ts")).as("d"))
+      .distinct()
+    val m = daily.select(col("station"),
+      (year(col("d")) * 100 + month(col("d"))).cast("int").as("ym"),
+      dayofmonth(col("d")).as("dom"),
+      dayofmonth(last_day(col("d"))).as("dim"))
+    val w = Window.partitionBy(col("station"), col("ym")).orderBy(col("dom"))
+    m.withColumn("gap",
+        coalesce(col("dom") - lag(col("dom"), 1).over(w) - 1, col("dom") - 1))
+      .groupBy(col("station"), col("ym"), col("dim"))
+      .agg(count(lit(1)).cast("int").as("n_present"),
+        (col("dim") - count(lit(1))).cast("int").as("n_missing"),
+        greatest(max(col("gap")), col("dim") - max(col("dom")))
+          .cast("int").as("max_gap"))
+      .select(col("station"), col("ym"), col("n_present"), col("n_missing"),
+        col("max_gap"),
+        (col("n_missing") <= 5 && col("max_gap") <= 3).as("month_ok"))
+      .orderBy(col("station"), col("ym"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
-    i39, i39b, i41, i42, i43, i45, i46)
+    i39, i39b, i41, i42, i43, i45, i46, i47, i48)
 }

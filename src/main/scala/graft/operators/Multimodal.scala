@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** C-family multimodal plumbing (SURVEY.md §2 m01).
@@ -378,5 +379,104 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
+  /** One decoded frame brightness row (intermediate). */
+  final case class ShotFrame(doc_id: Long, fi: Int, luma: Long)
+
+  /** m06: SHOT-BOUNDARY detection — the video segmentation verb that
+    * completes the m02 frame path (sample → decode → segment): each
+    * payload is read as consecutive 64-byte frames (stride 1 — every
+    * frame, unlike m02's sampler), a frame reduces to its integer
+    * "luma" (unsigned byte sum — the stub for a real decoder's mean
+    * luminance, swapped inside the same per-partition loop), and a CUT
+    * is declared wherever the frame-to-frame |Δluma| exceeds half the
+    * payload's own PEAK |Δ| (m05's relative-threshold stance — scale
+    * varies per recording, so the gate adapts per doc). Per doc:
+    * frame count, total/peak |Δ|, the first peak frame, and the cut
+    * count a scene-indexing pipeline stores.
+    *
+    * All-integer end to end; the oracle replays bytes via SUBSTR
+    * (ASCII gate as m01). Scale: decode is the mapPartitions batch
+    * loop; the lag runs in ONE doc-keyed window whose partition is a
+    * doc's frame count (payload-bounded); every later agg/join keys on
+    * doc_id so the window's shuffle partitioning serves all of them. */
+  val m06 = QueryDef(
+    "m06_shot_boundaries",
+    """WITH f AS (
+      |  SELECT doc_id, text, LENGTH(text) AS n FROM documents
+      |  WHERE doc_id % 50 = 0 AND LENGTH(text) > 0
+      |    AND LENGTH(text) = OCTET_LENGTH(ENCODE(text))),
+      |fr AS (SELECT doc_id, text, n,
+      |    UNNEST(RANGE(0, (n - 1) // 64 + 1)) AS fi FROM f),
+      |lu AS (
+      |  SELECT doc_id, CAST(fi AS INTEGER) AS fi,
+      |    CAST(LIST_SUM(LIST_TRANSFORM(
+      |      RANGE(CAST(fi * 64 AS INTEGER),
+      |            CAST(LEAST((fi + 1) * 64, n) AS INTEGER)),
+      |      i -> CAST(ASCII(SUBSTR(text, CAST(i AS INTEGER) + 1, 1))
+      |        AS BIGINT))) AS BIGINT) AS luma
+      |  FROM fr),
+      |d AS (SELECT doc_id, fi,
+      |    ABS(luma - LAG(luma) OVER (PARTITION BY doc_id ORDER BY fi))
+      |      AS diff FROM lu),
+      |nf AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_frames
+      |  FROM lu GROUP BY doc_id),
+      |pk AS (SELECT doc_id, CAST(SUM(diff) AS BIGINT) AS total_diff,
+      |    CAST(MAX(diff) AS BIGINT) AS peak_diff
+      |  FROM d WHERE diff IS NOT NULL GROUP BY doc_id),
+      |ct AS (SELECT d.doc_id,
+      |    CAST(MIN(CASE WHEN d.diff = pk.peak_diff THEN d.fi END)
+      |      AS INTEGER) AS peak_frame,
+      |    CAST(COUNT(*) FILTER (WHERE d.diff * 2 > pk.peak_diff) AS BIGINT)
+      |      AS n_cuts
+      |  FROM d JOIN pk USING (doc_id) WHERE d.diff IS NOT NULL
+      |  GROUP BY d.doc_id)
+      |SELECT nf.doc_id, nf.n_frames,
+      |  CAST(COALESCE(pk.total_diff, 0) AS BIGINT) AS total_diff,
+      |  CAST(COALESCE(pk.peak_diff, 0) AS BIGINT) AS peak_diff,
+      |  ct.peak_frame,
+      |  CAST(COALESCE(ct.n_cuts, 0) AS BIGINT) AS n_cuts
+      |FROM nf LEFT JOIN pk USING (doc_id) LEFT JOIN ct USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val blobs = Tables(spark, dir).documents
+      .filter(col("doc_id") % 50 === 0 && length(col("text")) > 0 &&
+        length(col("text")) === octet_length(col("text")))
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .as[Blob]
+    val lu = blobs.mapPartitions { iter =>
+      iter.flatMap { b =>
+        val n = b.payload.length
+        (0 until ((n - 1) / 64 + 1)).iterator.map { fi =>
+          var s = 0L
+          var i = fi * 64
+          val end = math.min((fi + 1) * 64, n)
+          while (i < end) { s += (b.payload(i) & 0xff); i += 1 }
+          ShotFrame(b.doc_id, fi, s)
+        }
+      }
+    }.toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
+    val d = lu
+      .withColumn("diff", abs(col("luma") - lag(col("luma"), 1).over(w)))
+      .filter(col("diff").isNotNull)
+    val nf = lu.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_frames"))
+    val pk = d.groupBy(col("doc_id"))
+      .agg(sum(col("diff")).as("total_diff"), max(col("diff")).as("peak_diff"))
+    val ct = d.join(pk, "doc_id")
+      .groupBy(col("doc_id"), col("peak_diff"))
+      .agg(min(when(col("diff") === col("peak_diff"), col("fi")))
+          .cast("int").as("peak_frame"),
+        count(when(col("diff") * 2 > col("peak_diff"), 1)).as("n_cuts"))
+      .select(col("doc_id"), col("peak_frame"), col("n_cuts"))
+    nf.join(pk, Seq("doc_id"), "left").join(ct, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("total_diff"), lit(0L)).as("total_diff"),
+        coalesce(col("peak_diff"), lit(0L)).as("peak_diff"),
+        col("peak_frame"),
+        coalesce(col("n_cuts"), lit(0L)).as("n_cuts"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06)
 }

@@ -987,8 +987,50 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** q34: EQUI-DEPTH histogram construction — the optimizer-statistics
+    * / drift-monitoring artifact (ANALYZE TABLE's column histogram):
+    * l_extendedprice split into 16 buckets of ~equal row count, each
+    * bucket reporting [lo, hi] bounds, row count, and distinct-value
+    * count. NOT the NTILE formulation — a global per-row NTILE sorts
+    * the whole table through one partition; instead the p07 rung:
+    * values land on the integer-cents grid, a map-side-combined
+    * histogram reduces the table to its ≤~10⁶ distinct grid values,
+    * and the cumulative-count bucket assignment
+    * `bucket(v) = floor(cum_before(v)·B / N)` runs as a window over
+    * that GRID-BOUNDED table (one small single-partition window over
+    * distinct values, never over rows; ties — one value's whole count
+    * — stay in one bucket by construction, which is what makes the
+    * histogram mergeable across partitions and days). */
+  val q34 = QueryDef(
+    "q34_equidepth_histogram",
+    """WITH h AS (
+      |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
+      |    SUM(c) OVER () AS total FROM h),
+      |b AS (SELECT v, c,
+      |    CAST(((cum - c) * 16) // total AS INTEGER) AS bucket FROM cum)
+      |SELECT bucket, MIN(v) AS lo_cents, MAX(v) AS hi_cents,
+      |  CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_values
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    val h = Tables(spark, dir).lineitem
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = h.select(col("v"), col("c"),
+      sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
+      sum(col("c")).over(Window.partitionBy()).as("total"))
+    cum
+      .withColumn("bucket", expr("CAST(((cum - c) * 16) div total AS INT)"))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"),
+        sum(col("c")).as("n_rows"), count(lit(1)).as("n_values"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
       q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33)
+      q29, q30, q31, q32, q33, q34)
 }

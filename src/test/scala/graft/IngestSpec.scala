@@ -654,4 +654,61 @@ class IngestSpec extends SparkSpec {
     assert(got(3L).getAs[Int]("n_days") == 1 &&
       got(3L).getAs[Long]("gdd_cents") == 1500L)
   }
+
+  test("i47 spell lengths: runs, calendar gaps break spells, threshold boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i47").toString
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1704067200L * 1000000000L
+    def ev(id: Long, d: Int, station: Long, v: Double) =
+      (id, t0 + (d - 1) * day, station, "obs", v, "{}")
+    val events =
+      // station 1: 3 dry, 2 wet, 7 dry → cdd=7, cwd=2, one spell ≥5
+      (1 to 3).map(i => ev(i, i, 1L, 5.0)) ++
+        (4 to 5).map(i => ev(i, i, 1L, 50.0)) ++
+        (6 to 12).map(i => ev(i, i, 1L, 10.0)) ++
+        // station 2: 4 dry, a MISSING day, 4 dry — the calendar gap
+        // breaks the run: cdd=4, no spell reaches 5
+        (1 to 4).map(i => ev(100L + i, i, 2L, 0.0)) ++
+        (6 to 9).map(i => ev(100L + i, i, 2L, 0.0)) ++
+        // station 3: all wet
+        (1 to 3).map(i => ev(200L + i, i, 3L, 99.0)) ++
+        // station 4: exactly 20.00 is WET (strict <), 19.99 is dry
+        Seq(ev(301L, 1, 4L, 20.0), ev(302L, 2, 4L, 19.99))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.i47.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == ((7, 2, 1)), s"${got(1L)}")
+    assert(got(2L) == ((4, 0, 0)), s"${got(2L)}")
+    assert(got(3L) == ((0, 3, 0)), s"${got(3L)}")
+    assert(got(4L) == ((1, 1, 0)), s"${got(4L)}")
+  }
+
+  test("i48 month completeness: lead/interior/tail gaps and the 3/5 verdict") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i48").toString
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1704067200L * 1000000000L // 2024-01-01; January has 31 days
+    def ev(id: Long, d: Int, station: Long) =
+      (id, t0 + (d - 1) * day, station, "obs", 1.0, "{}")
+    val events =
+      // station 1: days 1–28 → tail run of 3 missing → OK (3 ≤ 5, 3 ≤ 3)
+      (1 to 28).map(i => ev(i, i, 1L)) ++
+        // station 2: days 5–31 → lead run of 4 → max_gap 4 fails
+        (5 to 31).map(i => ev(100L + i, i, 2L)) ++
+        // station 3: 1–3 then 10–31 → interior run of 6 → n_missing 6 fails
+        ((1 to 3) ++ (10 to 31)).map(i => ev(200L + i, i, 3L)) ++
+        // station 4: complete month (two readings one day — DISTINCT days)
+        ((1 to 31).map(i => ev(300L + i, i, 4L)) :+ ev(400L, 15, 4L))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.i48.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))).toMap
+    assert(got(1L) == ((28, 3, 3, true)), s"${got(1L)}")
+    assert(got(2L) == ((27, 4, 4, false)), s"${got(2L)}")
+    assert(got(3L) == ((25, 6, 6, false)), s"${got(3L)}")
+    assert(got(4L) == ((31, 0, 0, true)), s"${got(4L)}")
+  }
 }

@@ -393,6 +393,40 @@ class RelationalSpec extends SparkSpec {
     assert(got.filter(_.getString(0) == "(start)").map(_.getAs[Long]("n")).sum == users)
   }
 
+  test("q34 equi-depth histogram: crafted grid exact, corpus partition invariants") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 32 distinct prices, one row each → 16 buckets of exactly 2 values
+    val dir = java.nio.file.Files.createTempDirectory("graft_q34").toString
+    (1 to 32).map(i => i.toDouble).toDF("l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val crafted = Relational.q34.fn(spark, dir).collect()
+    assert(crafted.length == 16)
+    crafted.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getAs[Int]("bucket") == k)
+      assert(r.getAs[Long]("n_rows") == 2L && r.getAs[Long]("n_values") == 2L)
+      assert(r.getAs[Long]("lo_cents") == (2 * k + 1) * 100L)
+      assert(r.getAs[Long]("hi_cents") == (2 * k + 2) * 100L)
+    }
+    // corpus: buckets partition the rows; ranges ordered and disjoint;
+    // depth is equal up to the largest single value's multiplicity
+    val li = Tables(spark, sf).lineitem
+    val n = li.count()
+    val maxMult = li.groupBy(round(col("l_extendedprice") * 100))
+      .count().agg(max("count")).collect()(0).getLong(0)
+    val rows = Relational.q34.fn(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == n)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_cents") < b.getAs[Long]("lo_cents"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") <= n / 16 + maxMult,
+        s"bucket ${r.getAs[Int]("bucket")} over-deep: ${r.getAs[Long]("n_rows")}")
+    }
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)

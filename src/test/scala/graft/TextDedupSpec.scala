@@ -86,6 +86,28 @@ class TextDedupSpec extends SparkSpec {
     assert(totalCopies == docs)
   }
 
+  test("d14 dup weights: per-copy mass, canonical flag reproduces d01") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_d14").toString
+    Seq((1L, "same text", "en", "A", 9L), (5L, "same text", "en", "A", 9L),
+      (9L, "same text", "en", "B", 9L), (2L, "unique", "en", "A", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = Dedup.d14.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((3L, 333333L, true)))
+    assert(got(5L) == ((3L, 333333L, false)))
+    assert(got(9L) == ((3L, 333333L, false)))
+    assert(got(2L) == ((1L, 1000000L, true)))
+    // corpus: every doc appears once; canonical set == d01's keep set
+    val w = Dedup.d14.fn(spark, sf)
+    assert(w.count() == Tables(spark, sf).documents.count())
+    val canon = w.filter(col("is_canonical")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val d01keep = Dedup.d01.fn(spark, sf).select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(canon == d01keep)
+  }
+
   test("bucket cap: identical-doc flood stays bounded, real near-dups survive") {
     import spark.implicits._
     // adversarial corpus: thousands of byte-identical boilerplate docs
@@ -295,6 +317,45 @@ class TextDedupSpec extends SparkSpec {
       assert(c.getAs[Long]("peak_energy") <= c.getAs[Long]("total_energy"))
       assert(c.getAs[Int]("peak_win") < c.getAs[Int]("n_windows"))
       assert(c.getAs[Long]("n_silent") < c.getAs[Int]("n_windows"))
+    }
+  }
+
+  test("m06 shot boundaries: luma diffs, adaptive cut threshold, single-frame doc") {
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_m06").toString
+    // doc 0: five 64-byte frames — A(4160) A(4160) z(7808) B(4224) C×10(670).
+    // Diffs: 0, 3648, 3584, 3554; peak 3648 at frame 2; every nonzero
+    // diff clears the half-peak gate (×2 > 3648) → 3 cuts.
+    val payload = "A" * 64 + "A" * 64 + "z" * 64 + "B" * 64 + "C" * 10
+    spark.createDataFrame(Seq(
+      (0L, payload, "en", "A", payload.length.toLong),
+      // doc 50: a single short frame — no diffs, NULL peak frame
+      (50L, "AA", "en", "A", 2L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.m06.fn(spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    val r0 = rows(0L)
+    assert(r0.getAs[Int]("n_frames") == 5)
+    assert(r0.getAs[Long]("total_diff") == 10786L)
+    assert(r0.getAs[Long]("peak_diff") == 3648L)
+    assert(r0.getAs[Int]("peak_frame") == 2)
+    assert(r0.getAs[Long]("n_cuts") == 3L)
+    val r50 = rows(50L)
+    assert(r50.getAs[Int]("n_frames") == 1)
+    assert(r50.getAs[Long]("peak_diff") == 0L)
+    assert(r50.isNullAt(r50.fieldIndex("peak_frame")))
+    assert(r50.getAs[Long]("n_cuts") == 0L)
+    // corpus invariants: the peak itself is always a cut; cuts bounded
+    val corpus = Multimodal.m06.fn(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { c =>
+      assert(c.getAs[Long]("peak_diff") <= c.getAs[Long]("total_diff"))
+      if (c.getAs[Long]("peak_diff") > 0) {
+        assert(c.getAs[Long]("n_cuts") >= 1L)
+        assert(c.getAs[Int]("peak_frame") >= 1 &&
+          c.getAs[Int]("peak_frame") < c.getAs[Int]("n_frames"))
+      }
+      assert(c.getAs[Long]("n_cuts") <= c.getAs[Int]("n_frames") - 1L)
     }
   }
 
