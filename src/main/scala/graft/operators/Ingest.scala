@@ -2114,9 +2114,10 @@ object Ingest {
     *
     * Plan: (station, day) partial-agg shuffle with map-side combine,
     * ONE (station, is_dry)-keyed row_number window (partition bounded
-    * by a station's series span — i45's stance), then run-length
-    * groupBy and a station-sized final agg; no exchange after the
-    * window since every later clustering is a subset. */
+    * by a station's series span — i45's stance); the run-length
+    * groupBy reuses the window's clustering exchange-free (its keys
+    * are a superset), and only the final station-sized rollup
+    * re-shuffles — on a station-count-sized table. */
   val i47 = QueryDef(
     "i47_spell_lengths",
     """WITH daily AS (

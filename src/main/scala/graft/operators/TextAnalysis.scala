@@ -1190,7 +1190,57 @@ object TextAnalysis {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** t23: token BURSTINESS — the variance-to-mean dispersion index
+    * (Church & Gale 1995): content words are BURSTY (a doc that
+    * mentions them mentions them repeatedly ⇒ VMR ≫ 1), function
+    * words are dispersed (VMR ≈ 1, near-Poisson) — the
+    * corpus-statistical signal that separates topical vocabulary from
+    * glue without any stopword list, feeding stopword induction and
+    * keyword weighting. Per token with corpus count ≥ 50
+    * (integer threshold — no float ranking): document frequency,
+    * total count, and VMR = Var[x]/E[x] with moments over ALL docs
+    * (zeros included — derived from Σx, Σx² and the doc count alone,
+    * so absent-doc rows are never materialized).
+    *
+    * Plan: token explode → (token, doc) partial-agg shuffle →
+    * vocab-sized token agg (Heaps' law bounds it) with the doc count
+    * broadcast; the VMR arithmetic is map-side on the vocab table.
+    * Both engines evaluate the identical double expression once, then
+    * the biased 4-decimal grid round (t08's ln-parity stance). */
+  val t23 = QueryDef(
+    "t23_burstiness",
+    """WITH tok AS (SELECT doc_id,
+      |    UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+      |tc AS (SELECT token, doc_id, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |n AS (SELECT COUNT(*) AS nd FROM documents),
+      |st AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(SUM(c) AS BIGINT) AS total,
+      |    CAST(SUM(c * c) AS BIGINT) AS sumsq
+      |  FROM tc GROUP BY token)
+      |SELECT token, df, total,
+      |  ROUND((sumsq * 1.0 / nd - (total * 1.0 / nd) * (total * 1.0 / nd))
+      |    / (total * 1.0 / nd) + 1e-9, 4) AS vmr
+      |FROM st, n WHERE total >= 50 ORDER BY token""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val tc = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val st = tc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .filter(col("total") >= 50L)
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val mean = col("total") * lit(1.0) / col("nd")
+    st.join(broadcast(n))
+      .select(col("token"), col("df"), col("total"),
+        graft.QueryDef.roundBiased(
+          (col("sumsq") * lit(1.0) / col("nd") - mean * mean) / mean, 4)
+          .as("vmr"))
+      .orderBy(col("token"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23)
 }

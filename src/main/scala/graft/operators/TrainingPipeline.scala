@@ -651,5 +651,94 @@ object TrainingPipeline {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
+  /** p11: DEDUP-AWARE temperature mixture — p10's τ=0.5 multinomial
+    * with the per-source mass measured in EFFECTIVE tokens: every
+    * doc's tokens are weighted by d14's soft-dedup mass (1/n_copies in
+    * integer ppm, floor-exact), so a source bloated by boilerplate
+    * duplicates no longer buys rate with repeated content — the
+    * production wiring between the dedup index and the mixture
+    * sampler (a crawl with 10× copies of one page contributes that
+    * page's tokens once to its source's weight). Effective mass stays
+    * in exact integer MICRO-tokens (n_tok × ppm — products of
+    * integers) all the way to the one SQRT both engines evaluate on
+    * the same bigint; rates land on the 4-decimal grid BEFORE the
+    * p03/p10 md5 coin.
+    *
+    * Plan: ONE md5-group partial agg (d14's), corpus equi-join on the
+    * content hash (AQE-split, never a hash window), source-sized
+    * stats, broadcast totals/rates, map-side coin + final source agg. */
+  val p11 = QueryDef(
+    "p11_dedup_mixture",
+    """WITH tok AS (SELECT doc_id, source, MD5(text) AS h,
+      |    LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents),
+      |g AS (SELECT MD5(text) AS h, COUNT(*) AS n_copies
+      |  FROM documents GROUP BY 1),
+      |d AS (SELECT t.doc_id, t.source, t.n_tok,
+      |    CAST(t.n_tok * (1000000 // g.n_copies) AS BIGINT) AS eff
+      |  FROM tok t JOIN g USING (h)),
+      |src AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(eff) AS BIGINT) AS eff_micro FROM d GROUP BY source),
+      |tot AS (SELECT CAST(SUM(eff_micro) AS BIGINT) AS total_eff,
+      |    SUM(SQRT(eff_micro)) AS sum_w FROM src),
+      |rates AS (SELECT source, n_docs, n_tokens, eff_micro,
+      |    ROUND(SQRT(eff_micro) / sum_w + 1e-9, 6) AS weight,
+      |    ROUND(LEAST((0.5 * total_eff) * (SQRT(eff_micro) / sum_w)
+      |      / eff_micro, 1.0) + 1e-9, 4) AS target_rate
+      |  FROM src, tot),
+      |samp AS (SELECT dd.doc_id, dd.source, dd.n_tok, r.target_rate,
+      |    CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5(CAST(dd.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+      |         < FLOOR(r.target_rate * 65536 + 1e-9) THEN 1 ELSE 0 END AS picked
+      |  FROM d dd JOIN rates r ON dd.source = r.source)
+      |SELECT s.source, r.n_docs, r.n_tokens, r.eff_micro, r.weight,
+      |  r.target_rate,
+      |  CAST(SUM(s.picked) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN s.picked = 1 THEN s.n_tok ELSE 0 END) AS BIGINT)
+      |    AS sampled_tokens
+      |FROM samp s JOIN rates r ON s.source = r.source
+      |GROUP BY s.source, r.n_docs, r.n_tokens, r.eff_micro, r.weight,
+      |  r.target_rate
+      |ORDER BY s.source""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val tok = docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("h"),
+      size(graft.functions.Text.tokens(col("text"))).as("n_tok"))
+    val g = docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_copies"))
+    val d = tok.join(g, "h")
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("n_tok").cast("long") *
+          floor(lit(1000000L) / col("n_copies"))).as("eff"))
+      .persist()
+    val src = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("eff")).as("eff_micro"))
+      .persist()
+    src.count()
+    val tot = src.agg(sum(col("eff_micro")).as("total_eff"),
+      sum(sqrt(col("eff_micro"))).as("sum_w"))
+    val rates = src.join(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("eff_micro"),
+        graft.QueryDef.roundBiased(sqrt(col("eff_micro")) / col("sum_w"), 6)
+          .as("weight"),
+        graft.QueryDef.roundBiased(
+          least(lit(0.5) * col("total_eff") *
+            (sqrt(col("eff_micro")) / col("sum_w")) / col("eff_micro"),
+            lit(1.0)), 4).as("target_rate"))
+    val hex4 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val picked = when(hex4 < floor(col("target_rate") * 65536 + 1e-9), 1).otherwise(0)
+    d.join(broadcast(rates), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("eff_micro"),
+        col("weight"), col("target_rate"), picked.as("picked"), col("n_tok"))
+      .groupBy(col("source"), col("n_docs"), col("n_tokens"), col("eff_micro"),
+        col("weight"), col("target_rate"))
+      .agg(sum(col("picked")).cast("long").as("n_sampled"),
+        sum(when(col("picked") === 1, col("n_tok")).otherwise(0L))
+          .as("sampled_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09,
+    p10, p11)
 }

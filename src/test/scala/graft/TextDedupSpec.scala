@@ -108,6 +108,36 @@ class TextDedupSpec extends SparkSpec {
     assert(canon == d01keep)
   }
 
+  test("m07 modality router: prefix-bounded sniff classifies text vs binary") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_m07").toString
+    // doc 1: pure text. doc 2: 8 control bytes in 64 → 875000 ppm → binary.
+    // doc 3: 300 printable bytes then controls — the sniff stops at 256,
+    // so the tail controls never flip the verdict.
+    val bin = ("A" * 56) + ("\u0001" * 8)
+    val longDoc = ("B" * 300) + ("\u0002" * 50)
+    Seq((1L, "hello world", "en", "A", 11L), (2L, bin, "en", "A", 64L),
+      (3L, longDoc, "en", "A", 350L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = Multimodal.m07.fn(spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("printable_ppm") == 1000000L)
+    assert(got(1L).getAs[String]("modality") == "text")
+    assert(got(2L).getAs[Long]("printable_ppm") == 875000L)
+    assert(got(2L).getAs[String]("modality") == "binary")
+    assert(got(2L).getAs[Int]("n_distinct") == 2)
+    assert(got(3L).getAs[Int]("sniff_bytes") == 256)
+    assert(got(3L).getAs[String]("modality") == "text")
+    // corpus: plain word text routes entirely to 'text'
+    val corpus = Multimodal.m07.fn(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { c =>
+      assert(c.getAs[Int]("sniff_bytes") == math.min(256, c.getAs[Int]("n_bytes")))
+      assert(c.getAs[String]("modality") == "text")
+    }
+  }
+
   test("bucket cap: identical-doc flood stays bounded, real near-dups survive") {
     import spark.implicits._
     // adversarial corpus: thousands of byte-identical boilerplate docs
@@ -357,6 +387,36 @@ class TextDedupSpec extends SparkSpec {
       }
       assert(c.getAs[Long]("n_cuts") <= c.getAs[Int]("n_frames") - 1L)
     }
+  }
+
+  test("t23 burstiness: bursty vs dispersed tokens, VMR hand-computed, threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_t23").toString
+    // 4 docs. 'x': 60 occurrences all in doc 1 (bursty).
+    // 'y': 15 in every doc (perfectly dispersed). 'z': 3 total (below 50).
+    val xDoc = (("x " * 60) + ("y " * 15)).trim
+    val yDoc = ("y " * 15).trim
+    Seq((1L, xDoc, "en", "A", 0L), (2L, yDoc, "en", "A", 0L),
+      (3L, yDoc, "en", "A", 0L), (4L, (yDoc + " z z z"), "en", "A", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t23.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // x: mean 15, E[x²] = 3600/4 = 900, var 675, VMR = 675/15 = 45
+    assert(got("x").getAs[Long]("df") == 1L)
+    assert(got("x").getAs[Long]("total") == 60L)
+    assert(math.abs(got("x").getAs[Double]("vmr") - 45.0) < 1e-9)
+    // y: same count in every doc → zero variance
+    assert(got("y").getAs[Long]("df") == 4L)
+    assert(math.abs(got("y").getAs[Double]("vmr")) < 1e-9)
+    // z: below the corpus-count threshold
+    assert(!got.contains("z"))
+    // corpus: VMR is nonnegative and a token in every doc with equal
+    // counts would be 0 — sanity bounds only
+    val rows = TextAnalysis.t23.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("vmr") >= 0.0))
   }
 
   test("t22 collocations: a true pair dominates, PMI matches the hand formula") {

@@ -291,4 +291,43 @@ class TrainingPipelineSpec extends SparkSpec {
         s"${r.getAs[String]("source")}: sampled $got vs expected $expected")
     }
   }
+
+  test("p11 dedup mixture: duplicated mass buys no weight; rates stay valid") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_p11").toString
+    // source A: one unique 100-token doc (eff = 100 × 1e6 = 1e8 micro).
+    // source B: TEN byte-identical copies of a 100-token doc — raw
+    // tokens 10×, but soft-dedup mass 100 × (1e6 // 10) × 10 = 1e8:
+    // identical effective mass ⇒ identical weight and rate, though
+    // p10 (raw counts) would hand B √10× the weight.
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text + " ua", "en", "A", 0L)) ++
+      (1 to 10).map(i => (100L + i, text, "en", "B", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = TrainingPipeline.p11.fn(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // A's extra token ("ua") makes 101 vs 100 raw tokens; effective
+    // mass 1.01e8 vs 1.0e8 — nearly equal weights despite 10× raw
+    assert(got("A").getAs[Long]("n_tokens") == 101L)
+    assert(got("B").getAs[Long]("n_tokens") == 1000L)
+    assert(got("A").getAs[Long]("eff_micro") == 101000000L)
+    // B: 10 copies × 100 tok × (1e6 // 10) ppm = 1e8 micro-tokens
+    assert(got("B").getAs[Long]("eff_micro") == 100000000L)
+    // weights reflect effective, not raw, mass
+    val wA = got("A").getAs[Double]("weight")
+    val wB = got("B").getAs[Double]("weight")
+    assert(math.abs(wA + wB - 1.0) < 1e-3)
+    // corpus sanity: weights normalize, rates valid, sampling bounded
+    val rows = TrainingPipeline.p11.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-3)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("target_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("eff_micro") <= r.getAs[Long]("n_tokens") * 1000000L)
+    }
+  }
 }
