@@ -1029,8 +1029,49 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** q35: time-DECAY engagement score — the recency-weighted lifetime
+    * value every feature store materializes (fraud/churn/ranking
+    * features): per user, Σ value·0.5^(Δdays/7) with a 7-day
+    * half-life, Δdays measured back from the corpus max day (the
+    * feature snapshot date). An event this week counts ~full, one a
+    * month ago ~1/16 — and unlike q25's bounded window the decay sum
+    * never truncates history, yet needs NO window at all.
+    *
+    * Determinism: value biased-rounded to cents first, each decay term
+    * to the 6-decimal grid, terms summed as DECIMAL(18,6) (exact,
+    * order-free — t24's discipline; POWER parity is the t08 ln
+    * convention), final biased 2-dec round.
+    *
+    * Plan: the snapshot day is ONE tiny agg broadcast to every
+    * partition; decay terms are map-side arithmetic; a single
+    * user-keyed partial agg is the only data shuffle. */
+  val q35 = QueryDef(
+    "q35_decay_score",
+    """WITH mx AS (SELECT MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0
+      |  FROM events),
+      |t AS (SELECT user_id,
+      |    CAST(mx.d0 - CAST(CAST(ts AS TIMESTAMP) AS DATE) AS INTEGER) AS dd,
+      |    ROUND(value + 1e-9, 2) AS v
+      |  FROM events, mx)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  ROUND(CAST(SUM(CAST(ROUND(v * POWER(0.5, dd / 7.0) + 1e-9, 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 2) AS decay_score
+      |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val events = Tables(spark, dir).events
+    val mx = events.agg(max(to_date(col("ts"))).as("d0"))
+    val t = events.join(broadcast(mx))
+      .select(col("user_id"),
+        datediff(col("d0"), to_date(col("ts"))).cast("int").as("dd"),
+        graft.QueryDef.roundBiased(col("value"), 2).as("v"))
+    t.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(round(col("v") * pow(lit(0.5), col("dd") / 7.0) + 1e-9, 6)
+            .cast("decimal(18,6)")).cast("double") + 1e-9, 2).as("decay_score"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
       q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34)
+      q29, q30, q31, q32, q33, q34, q35)
 }

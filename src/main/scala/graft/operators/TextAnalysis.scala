@@ -1240,7 +1240,52 @@ object TextAnalysis {
       .orderBy(col("token"))
   }
 
+  /** t24: character ENTROPY — per-doc Shannon entropy of the char
+    * distribution (nats): the gibberish / keyboard-mash / compression
+    * filter (a Gopher-style quality rule — "aaaa…" scores ≈ 0, diverse
+    * text ≈ ln(alphabet)); emitted with char and distinct-char counts.
+    *
+    * Determinism: −Σ p·ln p is a FLOAT SUM whose order differs across
+    * engines, so each term is biased-rounded to the 8-decimal grid and
+    * summed as DECIMAL(18,8) — exact, associative, order-free (i39b's
+    * length-sum discipline; ln parity is the t08 convention).
+    *
+    * Plan: char explode → (doc, char) partial agg — the map-side
+    * combiner collapses the per-CHAR stream to ≤alphabet rows per doc
+    * per partition BEFORE the shuffle (t09's gram stance: the explode
+    * never crosses the wire) — then a doc-keyed agg over the
+    * alphabet-bounded count table; ln/p arithmetic map-side. */
+  val t24 = QueryDef(
+    "t24_char_entropy",
+    """WITH ch AS (SELECT doc_id,
+      |    UNNEST(STRING_SPLIT(text, '')) AS ch FROM documents),
+      |cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ch GROUP BY 1, 2),
+      |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct FROM cc GROUP BY 1)
+      |SELECT cc.doc_id, n.n_chars, n.n_distinct,
+      |  ROUND(CAST(-SUM(CAST(ROUND(
+      |      (c * 1.0 / n.n_chars) * LN(c * 1.0 / n.n_chars) + 1e-9, 8)
+      |    AS DECIMAL(18,8))) AS DOUBLE) + 1e-9, 4) AS entropy
+      |FROM cc JOIN n USING (doc_id)
+      |GROUP BY cc.doc_id, n.n_chars, n.n_distinct
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val cc = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val n = cc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"), count(lit(1)).as("n_distinct"))
+    val p = col("c") * lit(1.0) / col("n_chars")
+    cc.join(n, "doc_id")
+      .groupBy(col("doc_id"), col("n_chars"), col("n_distinct"))
+      .agg(round((-sum(round(p * log(p) + 1e-9, 8).cast("decimal(18,8)")))
+          .cast("double") + 1e-9, 4).as("entropy"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"), col("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }

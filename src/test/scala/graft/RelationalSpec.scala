@@ -427,6 +427,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q35 decay score: half-life arithmetic exact on crafted days") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q35").toString
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1704067200L * 1000000000L
+    // user 1: 10.0 on the snapshot day, 10.0 exactly one half-life (7
+    // days) earlier, 10.0 fourteen days earlier → 10 + 5 + 2.5 = 17.5.
+    // user 2: one event 70 days back → 10·2⁻¹⁰ ≈ 0.009766 → 0.01.
+    val events = Seq(
+      (1L, t0 + 70 * day, 1L, "obs", 10.0, "{}"),
+      (2L, t0 + 63 * day, 1L, "obs", 10.0, "{}"),
+      (3L, t0 + 56 * day, 1L, "obs", 10.0, "{}"),
+      (4L, t0, 2L, "obs", 10.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.q35.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_events") == 3L)
+    assert(math.abs(got(1L).getAs[Double]("decay_score") - 17.5) < 1e-9)
+    assert(math.abs(got(2L).getAs[Double]("decay_score") - 0.01) < 1e-9)
+    // corpus: decayed mass never exceeds the plain sum of |values|
+    val plain = Tables(spark, sf).events.groupBy(col("user_id"))
+      .agg(sum(abs(col("value"))).as("cap"))
+    val joined = Relational.q35.fn(spark, sf)
+      .join(plain, "user_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Double]("decay_score") <= r.getAs[Double]("cap") + 0.01)
+    }
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)

@@ -419,6 +419,30 @@ class TextDedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("vmr") >= 0.0))
   }
 
+  test("t24 char entropy: degenerate zero, uniform ln(k), corpus bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_t24").toString
+    Seq((1L, "aaaa", "en", "A", 4L), (2L, "abab", "en", "A", 4L),
+      (3L, "abcd", "en", "A", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t24.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("entropy") == 0.0)
+    assert(got(1L).getAs[Long]("n_distinct") == 1L)
+    // two equiprobable chars → ln 2 ≈ 0.6931; four → ln 4 ≈ 1.3863
+    assert(math.abs(got(2L).getAs[Double]("entropy") - 0.6931) < 1e-9)
+    assert(math.abs(got(3L).getAs[Double]("entropy") - 1.3863) < 1e-9)
+    // corpus: 0 ≤ H ≤ ln(n_distinct) (+ grid slack)
+    val rows = TextAnalysis.t24.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      assert(h >= 0.0 && h <= math.log(r.getAs[Long]("n_distinct").toDouble) + 1e-3)
+    }
+  }
+
   test("t22 collocations: a true pair dominates, PMI matches the hand formula") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_t22").toString
