@@ -2226,9 +2226,75 @@ object Ingest {
       .orderBy(col("station"), col("ym"))
   }
 
+  /** i49: WIND ROSE — the 16-sector × speed-class frequency matrix
+    * every meteorological service publishes (WMO climate summaries;
+    * the polar plot behind airport/renewables siting), built from the
+    * same (u, v) pairs as i02's speed and i32's direction
+    * (`ecmwf:495`), one observation per station-day. Sector math is
+    * ALL-INTEGER after one rounding: direction and speed land on the
+    * cents grid (`ROUND(x·100)` of bit-identical atan2/sqrt doubles —
+    * i32's parity stance), then sector = ((dc + 1125) % 36000) / 2250
+    * (16 sectors centered on N; a ≥359.995° rounding to 36000 cents
+    * wraps to sector 0 through the modulo) and speed classes compare
+    * cents against integer thresholds (30.00 / 60.00). Frequencies as
+    * integer ppm via floor division.
+    *
+    * Plan: (station, day) partial agg; sector/class map-side integer
+    * arithmetic; the rose is a 16-group agg with the observation
+    * total broadcast from one tiny agg. */
+  val i49 = QueryDef(
+    "i49_wind_rose",
+    """WITH daily AS (
+      |  SELECT user_id AS station, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    AVG(value) FILTER (WHERE event_type = 'click') AS u,
+      |    AVG(value) FILTER (WHERE event_type = 'view')  AS v
+      |  FROM events GROUP BY 1, 2),
+      |obs AS (SELECT
+      |    CAST(ROUND(FMOD(270.0 - DEGREES(ATAN2(v, u)), 360.0) * 100)
+      |      AS BIGINT) AS dc,
+      |    CAST(ROUND(SQRT(u * u + v * v) * 100) AS BIGINT) AS sc
+      |  FROM daily WHERE u IS NOT NULL AND v IS NOT NULL),
+      |sect AS (SELECT ((dc + 1125) % 36000) // 2250 AS sector, sc FROM obs),
+      |tot AS (SELECT COUNT(*) AS total FROM sect)
+      |SELECT CAST(sector AS INTEGER) AS sector,
+      |  CAST(COUNT(*) FILTER (WHERE sc < 3000) AS BIGINT) AS n_light,
+      |  CAST(COUNT(*) FILTER (WHERE sc >= 3000 AND sc < 6000) AS BIGINT)
+      |    AS n_moderate,
+      |  CAST(COUNT(*) FILTER (WHERE sc >= 6000) AS BIGINT) AS n_strong,
+      |  CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(COUNT(*) * 1000000 // tot.total AS BIGINT) AS pct_ppm
+      |FROM sect, tot GROUP BY sector, tot.total
+      |ORDER BY sector""".stripMargin) { (spark, dir) =>
+    val daily = Tables(spark, dir).events
+      .select(col("user_id").as("station"), to_date(col("ts")).as("d"),
+        col("event_type"), col("value"))
+      .groupBy(col("station"), col("d"))
+      .agg(avg(when(col("event_type") === "click", col("value"))).as("u"),
+        avg(when(col("event_type") === "view", col("value"))).as("v"))
+    val obs = daily
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .select(
+        round(pmod(lit(270.0) - degrees(atan2(col("v"), col("u"))),
+          lit(360.0)) * 100).cast("long").as("dc"),
+        round(windSpeed(col("u"), col("v")) * 100).cast("long").as("sc"))
+    val sect = obs.select(
+      expr("((dc + 1125) % 36000) div 2250").as("sector"), col("sc"))
+    val tot = sect.agg(count(lit(1)).as("total"))
+    sect.join(broadcast(tot))
+      .groupBy(col("sector"), col("total"))
+      .agg(count(when(col("sc") < 3000L, 1)).as("n_light"),
+        count(when(col("sc") >= 3000L && col("sc") < 6000L, 1)).as("n_moderate"),
+        count(when(col("sc") >= 6000L, 1)).as("n_strong"),
+        count(lit(1)).as("n_total"))
+      .select(col("sector").cast("int").as("sector"), col("n_light"),
+        col("n_moderate"), col("n_strong"), col("n_total"),
+        expr("CAST((n_total * 1000000) div total AS BIGINT)").as("pct_ppm"))
+      .orderBy(col("sector"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
-    i39, i39b, i41, i42, i43, i45, i46, i47, i48)
+    i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49)
 }

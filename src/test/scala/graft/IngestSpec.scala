@@ -711,4 +711,37 @@ class IngestSpec extends SparkSpec {
     assert(got(3L) == ((25, 6, 6, false)), s"${got(3L)}")
     assert(got(4L) == ((31, 0, 0, true)), s"${got(4L)}")
   }
+
+  test("i49 wind rose: sectors, speed classes, north wraparound, ppm shares") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i49").toString
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1704067200L * 1000000000L
+    // one observation per (station, day): a click (u) + a view (v)
+    def pair(st: Long, d: Int, u: Double, v: Double) = Seq(
+      (st * 1000 + d * 2L, t0 + (d - 1) * day, st, "click", u, "{}"),
+      (st * 1000 + d * 2L + 1, t0 + (d - 1) * day, st, "view", v, "{}"))
+    val events =
+      pair(1L, 1, 0.0, 10.0) ++   // dir 180° → sector 8 (S), speed 10 light
+        pair(1L, 2, 10.0, 0.0) ++ // dir 270° → sector 12 (W), light
+        pair(2L, 1, 30.0, 40.0) ++ // dir 216.87° → sector 10, speed 50 moderate
+        pair(2L, 2, 0.0, -100.0)   // dir 0° (wraps) → sector 0 (N), strong
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.i49.fn(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(8) == ((1L, 0L, 0L, 1L, 250000L)), s"${got.get(8)}")
+    assert(got(12) == ((1L, 0L, 0L, 1L, 250000L)), s"${got.get(12)}")
+    assert(got(10) == ((0L, 1L, 0L, 1L, 250000L)), s"${got.get(10)}")
+    assert(got(0) == ((0L, 0L, 1L, 1L, 250000L)), s"${got.get(0)}")
+    // corpus: sectors within 0..15, class counts partition the totals
+    val rows = Ingest.i49.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 15)
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == r.getLong(4))
+    }
+  }
 }
