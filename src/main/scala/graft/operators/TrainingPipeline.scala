@@ -739,6 +739,116 @@ object TrainingPipeline {
       .orderBy(col("source"))
   }
 
+  /** p12: LOGISTIC-REGRESSION quality model — distributed batch
+    * gradient descent, the supervised counterpart to t19's
+    * count-based classifier and the second trained model beside s05's
+    * k-means: 3 full-batch GD steps (lr = 1) on two grid-rounded doc
+    * features (token count / 500, char count / 2000, both capped) with
+    * label `lang = 'en'`, emitting each iteration's weights and
+    * training accuracy — the convergence trajectory, not just the fit.
+    *
+    * Iteration discipline (s05's): every cross-engine float hazard is
+    * pinned to a grid — features biased-rounded to 4 decimals;
+    * per-row gradient terms (p − y)·x to 8 decimals then summed as
+    * DECIMAL(18,8) (order-free — t24's stance); the mean gradient and
+    * updated weights to 6 decimals per step (drift cannot compound);
+    * accuracy compares the 6-dec-rounded probability against 0.5.
+    * EXP parity is the t08 ln convention.
+    *
+    * Plan: the feature table persists and is scanned once per step
+    * (gradient agg) plus once for accuracy — each a map-side-combined
+    * partial agg to ONE row; weights travel as literals (s05's
+    * collect-and-inline), so no join, no shuffle beyond the 1-row
+    * aggs. 100 TB story: each GD step is one pass of pure codegen'd
+    * arithmetic — exactly how full-batch distributed GD should look. */
+  val p12 = QueryDef(
+    "p12_quality_logreg",
+    {
+      def p(w1: String, w2: String, w0: String) =
+        s"1.0 / (1.0 + EXP(-($w1 * x1 + $w2 * x2 + $w0)))"
+      def gradCte(name: String, w1: String, w2: String, w0: String,
+          prevTable: String) =
+        s"""$name AS (SELECT
+           |    ROUND(CAST(SUM(CAST(ROUND((${p(w1, w2, w0)} - y) * x1 + 1e-9, 8)
+           |      AS DECIMAL(18,8))) AS DOUBLE) / n.n + 1e-9, 6) AS gx1,
+           |    ROUND(CAST(SUM(CAST(ROUND((${p(w1, w2, w0)} - y) * x2 + 1e-9, 8)
+           |      AS DECIMAL(18,8))) AS DOUBLE) / n.n + 1e-9, 6) AS gx2,
+           |    ROUND(CAST(SUM(CAST(ROUND((${p(w1, w2, w0)} - y) + 1e-9, 8)
+           |      AS DECIMAL(18,8))) AS DOUBLE) / n.n + 1e-9, 6) AS gx0
+           |  FROM f, n${if (prevTable.isEmpty) "" else ", " + prevTable}
+           |  GROUP BY n.n)""".stripMargin
+      def accCte(name: String, wt: String) =
+        s"""$name AS (SELECT CAST(COUNT(*) FILTER (WHERE
+           |    (CASE WHEN ROUND(${p(s"$wt.w1", s"$wt.w2", s"$wt.w0")} + 1e-9, 6)
+           |       >= 0.5 THEN 1.0 ELSE 0.0 END) = y) AS BIGINT) AS n_correct
+           |  FROM f, $wt)""".stripMargin
+      // (prevTable threads the prior iteration's weight CTE into each
+      // gradient's FROM clause)
+      s"""WITH f AS (SELECT
+         |    ROUND(LEAST(LEN(STRING_SPLIT(text, ' ')), 500) / 500.0 + 1e-9, 4)
+         |      AS x1,
+         |    ROUND(LEAST(LENGTH(text), 2000) / 2000.0 + 1e-9, 4) AS x2,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         |n AS (SELECT COUNT(*) AS n FROM f),
+         |${gradCte("g1", "0.0", "0.0", "0.0", "")},
+         |wt1 AS (SELECT ROUND(0.0 - gx1 + 1e-9, 6) AS w1,
+         |  ROUND(0.0 - gx2 + 1e-9, 6) AS w2,
+         |  ROUND(0.0 - gx0 + 1e-9, 6) AS w0 FROM g1),
+         |${gradCte("g2", "wt1.w1", "wt1.w2", "wt1.w0", "wt1")},
+         |wt2 AS (SELECT ROUND(wt1.w1 - gx1 + 1e-9, 6) AS w1,
+         |  ROUND(wt1.w2 - gx2 + 1e-9, 6) AS w2,
+         |  ROUND(wt1.w0 - gx0 + 1e-9, 6) AS w0 FROM wt1, g2),
+         |${gradCte("g3", "wt2.w1", "wt2.w2", "wt2.w0", "wt2")},
+         |wt3 AS (SELECT ROUND(wt2.w1 - gx1 + 1e-9, 6) AS w1,
+         |  ROUND(wt2.w2 - gx2 + 1e-9, 6) AS w2,
+         |  ROUND(wt2.w0 - gx0 + 1e-9, 6) AS w0 FROM wt2, g3),
+         |${accCte("a1", "wt1")},
+         |${accCte("a2", "wt2")},
+         |${accCte("a3", "wt3")}
+         |SELECT 1 AS iter, w1, w2, w0,
+         |  (SELECT n_correct FROM a1) AS n_correct FROM wt1
+         |UNION ALL SELECT 2, w1, w2, w0, (SELECT n_correct FROM a2) FROM wt2
+         |UNION ALL SELECT 3, w1, w2, w0, (SELECT n_correct FROM a3) FROM wt3
+         |ORDER BY iter""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val f = Tables(spark, dir).documents
+      .select(
+        graft.QueryDef.roundBiased(
+          least(size(graft.functions.Text.tokens(col("text"))), lit(500))
+            .cast("double") / 500.0, 4).as("x1"),
+        graft.QueryDef.roundBiased(
+          least(length(col("text")), lit(2000)).cast("double") / 2000.0, 4)
+          .as("x2"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      .persist()
+    val n = f.count()
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x + 1e-9)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def prob(w: (Double, Double, Double)) =
+      lit(1.0) / (lit(1.0) +
+        exp(-(lit(w._1) * col("x1") + lit(w._2) * col("x2") + lit(w._3))))
+    var w = (0.0, 0.0, 0.0)
+    val rows = (1 to 3).map { it =>
+      val pc = prob(w)
+      def term(xc: org.apache.spark.sql.Column) =
+        sum(round((pc - col("y")) * xc + 1e-9, 8).cast("decimal(18,8)"))
+      val g = f.agg(term(col("x1")).as("s1"), term(col("x2")).as("s2"),
+          term(lit(1.0)).as("s0")).collect()(0)
+      def grad(i: Int) = round6(g.getDecimal(i).doubleValue() / n)
+      w = (round6(w._1 - grad(0)), round6(w._2 - grad(1)), round6(w._3 - grad(2)))
+      val nCorrect = f.filter(
+        when(graft.QueryDef.roundBiased(prob(w), 6) >= 0.5, 1.0).otherwise(0.0)
+          === col("y")).count()
+      (it, w._1, w._2, w._3, nCorrect)
+    }
+    f.unpersist()
+    rows.toDF("iter", "w1", "w2", "w0", "n_correct")
+      .orderBy(col("iter"))
+  }
+
   val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09,
-    p10, p11)
+    p10, p11, p12)
 }

@@ -330,4 +330,37 @@ class TrainingPipelineSpec extends SparkSpec {
       assert(r.getAs[Long]("eff_micro") <= r.getAs[Long]("n_tokens") * 1000000L)
     }
   }
+
+  test("p12 logreg: first-step gradient exact, separable corpus learned by step 2") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_p12").toString
+    // 10 long en docs (x1 = x2 = 1.0) vs 10 short de docs
+    // (x1 = 0.04, x2 = 0.0295) — linearly separable.
+    val en = ("word " * 500).trim
+    val de = ("de " * 20).trim
+    val docs = (1 to 10).map(i => (i.toLong, en, "en", "A", 0L)) ++
+      (1 to 10).map(i => (100L + i, de, "de", "B", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val rows = TrainingPipeline.p12.fn(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // w = 0 ⇒ p = 0.5 ∀; g_x1 = (10·0.5·0.04 − 10·0.5·1)/20 = −0.24
+    assert(rows(1).getAs[Double]("w1") == 0.24)
+    assert(rows(1).getAs[Double]("w2") == 0.242625)
+    assert(rows(1).getAs[Double]("w0") == 0.0)
+    // after one step everything predicts 1 (en right, de wrong);
+    // the bias correction flips de negative by step 2
+    assert(rows(1).getAs[Long]("n_correct") == 10L)
+    assert(rows(2).getAs[Long]("n_correct") == 20L)
+    assert(rows(3).getAs[Long]("n_correct") == 20L)
+    // corpus: three iterations, accuracy bounded, weights finite
+    val corpus = TrainingPipeline.p12.fn(spark, sf).collect()
+    assert(corpus.length == 3)
+    val n = Tables(spark, sf).documents.count()
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("n_correct") <= n)
+      assert(!r.getAs[Double]("w1").isNaN && !r.getAs[Double]("w1").isInfinite)
+    }
+  }
 }
