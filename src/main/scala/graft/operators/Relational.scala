@@ -1070,8 +1070,81 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q36: PAGERANK over the customer↔supplier TRADE graph — the
+    * entity-importance / fraud-ring centrality analysis run on
+    * transaction networks: nodes are customers (even ids) and
+    * suppliers (odd ids) that traded, edges the distinct
+    * (customer, supplier) order lines made BIDIRECTIONAL (trade is a
+    * relationship, and symmetry leaves no dangling mass), 3 power
+    * iterations at damping 0.85.
+    *
+    * Float discipline is p12's: each contribution pr/deg
+    * biased-rounds to the 8-dec grid and sums as DECIMAL(18,8)
+    * (order-free), the damped rank re-rounds to 6 decimals per
+    * round — drift cannot compound across iterations; the oracle
+    * unrolls all three rounds as CTEs and hash-matches.
+    *
+    * Plan: edge list built once from the orders⋈lineitem join and
+    * persisted; each round is ONE src-keyed join of the rank table to
+    * the edges plus a dst-keyed partial agg — shuffles bounded by the
+    * edge list per round (Components' loop stance), ranks re-derived
+    * never rescanning the fact tables; node count broadcast as a
+    * literal. */
+  val q36 = QueryDef(
+    "q36_pagerank",
+    """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (SELECT c AS src, s AS dst FROM e0
+      |      UNION ALL SELECT s, c FROM e0),
+      |d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+      |n AS (SELECT COUNT(*) AS nn FROM d),
+      |r0 AS (SELECT src AS node, ROUND(1.0 / n.nn + 1e-9, 6) AS pr FROM d, n),
+      |r1 AS (SELECT e.dst AS node,
+      |    ROUND(0.15 / n.nn + 0.85 * CAST(SUM(CAST(ROUND(r0.pr / d.deg + 1e-9,
+      |      8) AS DECIMAL(18,8))) AS DOUBLE) + 1e-9, 6) AS pr
+      |  FROM e JOIN r0 ON e.src = r0.node JOIN d ON d.src = e.src, n
+      |  GROUP BY e.dst, n.nn),
+      |r2 AS (SELECT e.dst AS node,
+      |    ROUND(0.15 / n.nn + 0.85 * CAST(SUM(CAST(ROUND(r1.pr / d.deg + 1e-9,
+      |      8) AS DECIMAL(18,8))) AS DOUBLE) + 1e-9, 6) AS pr
+      |  FROM e JOIN r1 ON e.src = r1.node JOIN d ON d.src = e.src, n
+      |  GROUP BY e.dst, n.nn),
+      |r3 AS (SELECT e.dst AS node,
+      |    ROUND(0.15 / n.nn + 0.85 * CAST(SUM(CAST(ROUND(r2.pr / d.deg + 1e-9,
+      |      8) AS DECIMAL(18,8))) AS DOUBLE) + 1e-9, 6) AS pr
+      |  FROM e JOIN r2 ON e.src = r2.node JOIN d ON d.src = e.src, n
+      |  GROUP BY e.dst, n.nn)
+      |SELECT r3.node, r3.pr, d.deg FROM r3 JOIN d ON d.src = r3.node
+      |ORDER BY node""".stripMargin) { (spark, dir) =>
+    val t = Tables(spark, dir)
+    val e0 = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val e = e0.select(col("c").as("src"), col("s").as("dst"))
+      .union(e0.select(col("s").as("src"), col("c").as("dst")))
+      .persist()
+    val d = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val nn = d.count()
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x + 1e-9)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var pr = d.select(col("src").as("node"), lit(round6(1.0 / nn)).as("pr"))
+    for (_ <- 1 to 3) {
+      pr = e.join(pr, col("src") === col("node")).join(d, "src")
+        .groupBy(col("dst"))
+        .agg(round(lit(0.15 / nn) + lit(0.85) *
+            sum(round(col("pr") / col("deg") + 1e-9, 8).cast("decimal(18,8)"))
+              .cast("double") + 1e-9, 6).as("npr"))
+        .select(col("dst").as("node"), col("npr").as("pr"))
+    }
+    pr.join(d, col("node") === col("src"))
+      .select(col("node"), col("pr"), col("deg"))
+      .orderBy(col("node"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
       q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34, q35)
+      q29, q30, q31, q32, q33, q34, q35, q36)
 }

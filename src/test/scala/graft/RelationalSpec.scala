@@ -459,6 +459,36 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q36 pagerank: hub dominates, mass conserved, degrees exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q36").toString
+    // customer 1 trades with suppliers 1,2,3; customer 2 with supplier 1
+    Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L), (11L, 2L), (12L, 3L), (13L, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.q36.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // node ids: customers even (c1=2, c2=4), suppliers odd (s1=3, s2=5, s3=7)
+    assert(got.keySet == Set(2L, 3L, 4L, 5L, 7L))
+    assert(got(2L)._2 == 3L && got(3L)._2 == 2L && got(4L)._2 == 1L)
+    // the 3-degree customer hub outranks everyone; the shared supplier
+    // outranks the single-link spokes
+    assert(got.forall { case (n, (pr, _)) => n == 2L || pr < got(2L)._1 })
+    assert(got(3L)._1 > got(5L)._1 && got(3L)._1 > got(4L)._1)
+    // rank mass conserved up to grid rounding
+    val mass = got.values.map(_._1).sum
+    assert(math.abs(mass - 1.0) < 0.01, s"mass $mass")
+    // corpus: every node ranked, mass ≈ 1
+    val rows = Relational.q36.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val m = rows.map(_.getDouble(1)).sum
+    assert(math.abs(m - 1.0) < 0.02, s"corpus mass $m")
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)
