@@ -2292,9 +2292,88 @@ object Ingest {
       .orderBy(col("sector"))
   }
 
+  /** i50: ALERT episodes with HYSTERESIS — the drought/heat-watch
+    * state machine every monitoring service runs on its station
+    * series (alert ON at ≥ 25.00, OFF only below 15.00 — the dead
+    * band suppresses flapping at the threshold): per station, total
+    * alert days, episode count, and the longest episode. A stateful
+    * scan re-expressed as pure windows: threshold CROSSINGS become
+    * events (≥ high → on, < low → off, dead band → none), the running
+    * state is `last_value(event) IGNORE NULLS` over the day order, an
+    * episode opens where state rises from 0, and episode lengths fall
+    * out of a running-sum run id — four stacked window functions
+    * sharing ONE (station, day-order) sort, no state store, no UDF.
+    *
+    * Plan: (station, day) partial agg, one station-keyed window
+    * exchange serving all four functions, then run-length and station
+    * rollups (i47's shape). */
+  val i50 = QueryDef(
+    "i50_alert_hysteresis",
+    """WITH daily AS (
+      |  SELECT user_id AS station,
+      |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+      |      AS INTEGER) AS day,
+      |    CAST(ROUND(ROUND(AVG(value) + 1e-9, 2) * 100) AS BIGINT) AS tc
+      |  FROM events GROUP BY 1, 2),
+      |ev AS (SELECT station, day,
+      |    CASE WHEN tc >= 2500 THEN 1 WHEN tc < 1500 THEN 0 END AS e
+      |  FROM daily),
+      |st AS (SELECT station, day,
+      |    COALESCE(LAST_VALUE(e IGNORE NULLS) OVER (
+      |      PARTITION BY station ORDER BY day), 0) AS state
+      |  FROM ev),
+      |chg AS (SELECT station, day, state,
+      |    CASE WHEN state = 1 AND COALESCE(LAG(state) OVER (
+      |      PARTITION BY station ORDER BY day), 0) = 0 THEN 1 ELSE 0 END
+      |      AS opens
+      |  FROM st),
+      |runs AS (SELECT station, day, state, opens,
+      |    SUM(opens) OVER (PARTITION BY station ORDER BY day) AS run_id
+      |  FROM chg),
+      |eps AS (SELECT station, run_id, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM runs WHERE state = 1 GROUP BY station, run_id),
+      |eps2 AS (SELECT station, MAX(len) AS longest FROM eps GROUP BY station)
+      |SELECT r.station,
+      |  CAST(COUNT(*) FILTER (WHERE r.state = 1) AS BIGINT) AS n_alert_days,
+      |  CAST(SUM(r.opens) AS BIGINT) AS n_episodes,
+      |  CAST(COALESCE(e2.longest, 0) AS BIGINT) AS longest_episode
+      |FROM runs r LEFT JOIN eps2 e2 USING (station)
+      |GROUP BY r.station, e2.longest
+      |ORDER BY r.station""".stripMargin) { (spark, dir) =>
+    val daily = Tables(spark, dir).events
+      .select(col("user_id").as("station"),
+        expr("datediff(to_date(ts), date'1970-01-01')").cast("int").as("day"),
+        col("value"))
+      .groupBy(col("station"), col("day"))
+      .agg(round(round(avg(col("value")) + 1e-9, 2) * 100).cast("long").as("tc"))
+    val w = Window.partitionBy(col("station")).orderBy(col("day"))
+    val runs = daily
+      .withColumn("e",
+        when(col("tc") >= 2500L, 1).when(col("tc") < 1500L, 0))
+      .withColumn("state", coalesce(last(col("e"), ignoreNulls = true).over(w),
+        lit(0)))
+      .withColumn("opens",
+        when(col("state") === 1 &&
+          coalesce(lag(col("state"), 1).over(w), lit(0)) === 0, 1).otherwise(0))
+      .withColumn("run_id", sum(col("opens")).over(w))
+      .persist()
+    val eps = runs.filter(col("state") === 1)
+      .groupBy(col("station"), col("run_id"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("station"))
+      .agg(max(col("len")).as("longest"))
+    runs.groupBy(col("station"))
+      .agg(count(when(col("state") === 1, 1)).as("n_alert_days"),
+        sum(col("opens")).cast("long").as("n_episodes"))
+      .join(eps, Seq("station"), "left")
+      .select(col("station"), col("n_alert_days"), col("n_episodes"),
+        coalesce(col("longest"), lit(0L)).as("longest_episode"))
+      .orderBy(col("station"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
-    i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49)
+    i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50)
 }

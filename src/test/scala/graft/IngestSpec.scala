@@ -744,4 +744,33 @@ class IngestSpec extends SparkSpec {
       assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == r.getLong(4))
     }
   }
+
+  test("i50 alert hysteresis: dead band holds state, episodes and lengths exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i50").toString
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1704067200L * 1000000000L
+    def ev(id: Long, d: Int, st: Long, v: Double) =
+      (id, t0 + (d - 1) * day, st, "obs", v, "{}")
+    val events =
+      // station 1: 0,0,ON,(dead band: stays ON),OFF,ON,ON →
+      // 4 alert days, 2 episodes, longest 2
+      Seq(10.0, 10.0, 30.0, 20.0, 10.0, 26.0, 27.0).zipWithIndex.map {
+        case (v, i) => ev(i + 1L, i + 1, 1L, v)
+      } ++
+        // station 2: dead band from the start — default state is OFF
+        Seq(ev(101L, 1, 2L, 20.0), ev(102L, 2, 2L, 24.99)) ++
+        // station 3: always on
+        (1 to 3).map(i => ev(200L + i, i, 3L, 25.0)) ++
+        // station 4: exact boundaries — 25.00 turns ON, 15.00 HOLDS, 14.99 off
+        Seq(ev(301L, 1, 4L, 25.0), ev(302L, 2, 4L, 15.0), ev(303L, 3, 4L, 14.99))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.i50.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((4L, 2L, 2L)), s"${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L)), s"${got(2L)}")
+    assert(got(3L) == ((3L, 1L, 3L)), s"${got(3L)}")
+    assert(got(4L) == ((2L, 1L, 2L)), s"${got(4L)}")
+  }
 }
