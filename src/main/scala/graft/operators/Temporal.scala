@@ -260,5 +260,73 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(j01, j02, j03, j04)
+  /** FORWARD as-of join: for each left row, the EARLIEST right row with
+    * rightTs >= leftTs and equal keys — j01's mirror (pandas
+    * merge_asof direction='forward'). Same single-shuffle union-window
+    * shape; at equal ts the left row sorts first and the frame runs
+    * CURRENT ROW → UNBOUNDED FOLLOWING, so an exactly-simultaneous
+    * right row matches (inclusive >=). */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, carryCols: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val l = left
+      .withColumn("__ts", col(leftTs)).withColumn("__side", lit(0))
+      .select(Seq(col(key), col("__ts"), col("__side")) ++
+        lCols.filter(_ != key).map(col) ++
+        carryCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__carry_$c")): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs)).withColumn("__side", lit(1))
+      .select(Seq(col(key), col("__ts"), col("__side")) ++
+        lCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        carryCols.map(c => col(c).as(s"__carry_$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .select((Seq(col(key)) ++ lCols.filter(_ != key).map(col) ++ Seq(col("__side")) ++
+        carryCols.map(c => first(col(s"__carry_$c"), ignoreNulls = true).over(w).as(c))): _*)
+      .filter(col("__side") === 0)
+      .drop("__side")
+  }
+
+  /** j05: forward as-of with TOLERANCE — each purchase picks up the
+    * FIRST click within 24 h after it (merge_asof direction='forward',
+    * tolerance=1d: the "next follow-up within SLA" lookup — delivery
+    * confirmation, next observation, support response). Matches
+    * outside the tolerance null out; the wait is exact integer
+    * MICROSECONDS (epoch_us difference — no boundary-crossing
+    * date_diff semantics to disagree on). Oracle = DuckDB's native
+    * forward ASOF (`l.ts <= r.ts`). One key shuffle (the union-window
+    * shape), tolerance map-side. */
+  val j05 = QueryDef(
+    "j05_asof_tolerance",
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |      FROM events WHERE event_type = 'click'),
+      |j AS (SELECT l.event_id, l.user_id, r.value,
+      |    epoch_us(r.ts) - epoch_us(l.ts) AS wait0
+      |  FROM p l ASOF LEFT JOIN c r
+      |    ON l.user_id = r.user_id AND l.ts <= r.ts)
+      |SELECT event_id, user_id,
+      |  CASE WHEN wait0 <= 86400000000 THEN value END AS next_click_value,
+      |  CASE WHEN wait0 <= 86400000000 THEN CAST(wait0 AS BIGINT) END
+      |    AS wait_us
+      |FROM j ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"),
+        col("ts").as("click_ts"))
+    val j = asofJoinForward(purchases, clicks, "user_id", "ts", "ts",
+      Seq("value", "click_ts"))
+    val wait0 = unix_micros(col("click_ts")) - unix_micros(col("ts"))
+    j.select(col("event_id"), col("user_id"),
+        when(wait0 <= 86400000000L, col("value")).as("next_click_value"),
+        when(wait0 <= 86400000000L, wait0).as("wait_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(j01, j02, j03, j04, j05)
 }

@@ -197,6 +197,36 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.exists(_.isDefined), "no purchase found any nearby click")
   }
 
+  test("j05 forward as-of equals the naive next-within-tolerance lookup") {
+    import org.apache.spark.sql.functions._
+    val tol = 86400000000L
+    val got = graft.operators.Temporal.j05.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("wait_us"))) None
+         else Some(r.getAs[Long]("wait_us")))).toMap
+    val ev = Tables(spark, sf).events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tsu").as("pt"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsu").as("ct"))
+    // ground truth: minimal nonnegative wait — the as-of match; then
+    // tolerance-gated (a first click beyond 24 h nulls out)
+    val naive = purchases.join(clicks, Seq("user_id"), "left")
+      .filter(col("ct").isNull || col("ct") >= col("pt"))
+      .groupBy(col("event_id")).agg(min(col("ct") - col("pt")).as("w"))
+      .collect()
+      .map { r =>
+        val w = if (r.isNullAt(1)) None else Some(r.getLong(1))
+        r.getLong(0) -> w.filter(_ <= tol)
+      }.toMap
+    assert(got.nonEmpty && got.values.exists(_.isDefined))
+    got.foreach { case (id, w) =>
+      assert(w == naive.getOrElse(id, None), s"purchase $id: $w vs ${naive.get(id)}")
+    }
+  }
+
   test("q27 grouping sets: each set partitions the table, subtotals re-aggregate") {
     val rows = graft.operators.Relational.q27.fn(spark, sf).collect()
     val total = Tables(spark, sf).lineitem.count()
