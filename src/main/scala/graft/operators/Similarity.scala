@@ -858,7 +858,106 @@ object Similarity {
         col("true_d2"))
   }
 
+  /** s16: CLUSTER-QUALITY evaluation — the model-eval verb closing the
+    * s05 train → assign → EVALUATE loop (the metrics a clustering job
+    * publishes before its centroids are allowed to serve s04/s09):
+    * per cluster, member count, INERTIA (Σ d² to own centroid),
+    * mean d², and the squared distance to the nearest OTHER centroid —
+    * the compactness-vs-separation pair behind Davies-Bouldin.
+    * Centroids are s05's trained output (4-dec grid), re-inlined as
+    * literals; assignment is the same K-gated argmax.
+    *
+    * Determinism: per-vector d² biased-rounds to the 1e-4 grid (the
+    * fold and DuckDB's LIST_SUM walk dims in the same order — s15's
+    * accepted empirical-parity stance), inertia sums those grid values
+    * as DECIMAL(18,4) (exact), centroid-pair separations are K²
+    * driver-side scalars. Plan: assignment + d² map-side (centroid
+    * arrays broadcast), ONE cid partial agg; corpus scanned once. */
+  val s16 = QueryDef(
+    "s16_cluster_quality",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |a1 AS (SELECT vec_id, v, cid FROM (
+      |  SELECT e.vec_id, e.v, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |                       ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cv) DESC, c.cid) AS rn
+      |  FROM e CROSS JOIN c0 c) t WHERE rn = 1),
+      |m1 AS (SELECT cid, i, ROUND(AVG(v[i]) + 1e-9, 6) AS cx
+      |       FROM a1 CROSS JOIN generate_series(1, 64) g(i) GROUP BY cid, i),
+      |c1 AS (SELECT cid, LIST(cx ORDER BY i) AS cv FROM m1 GROUP BY cid),
+      |a2 AS (SELECT vec_id, v, cid FROM (
+      |  SELECT e.vec_id, e.v, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |                       ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cv) DESC, c.cid) AS rn
+      |  FROM e CROSS JOIN c1 c) t WHERE rn = 1),
+      |m2 AS (SELECT cid, i, ROUND(AVG(v[i]) + 1e-9, 4) + 0.0 AS cx
+      |       FROM a2 CROSS JOIN generate_series(1, 64) g(i) GROUP BY cid, i),
+      |c2 AS (SELECT cid, LIST(cx ORDER BY i) AS cv FROM m2 GROUP BY cid),
+      |a3 AS (SELECT vec_id, v, cid FROM (
+      |  SELECT e.vec_id, e.v, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |                       ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cv) DESC, c.cid) AS rn
+      |  FROM e CROSS JOIN c2 c) t WHERE rn = 1),
+      |dd AS (SELECT a3.cid,
+      |    ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+      |      i -> (a3.v[i] - c.cv[i]) * (a3.v[i] - c.cv[i]))) + 1e-9, 4) AS d2
+      |  FROM a3 JOIN c2 c USING (cid)),
+      |agg AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |    SUM(CAST(d2 AS DECIMAL(18,4))) AS inertia FROM dd GROUP BY cid),
+      |sep AS (SELECT a.cid,
+      |    ROUND(MIN(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+      |      i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])))) + 1e-9, 4)
+      |      AS min_center_d2
+      |  FROM c2 a JOIN c2 b ON a.cid <> b.cid GROUP BY a.cid)
+      |SELECT CAST(agg.cid AS BIGINT) AS cid, agg.n_members,
+      |  ROUND(CAST(agg.inertia AS DOUBLE) + 1e-9, 4) AS inertia,
+      |  ROUND(CAST(agg.inertia AS DOUBLE) / agg.n_members + 1e-9, 4) AS mean_d2,
+      |  sep.min_center_d2
+      |FROM agg JOIN sep ON agg.cid = sep.cid
+      |ORDER BY cid""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    // trained centroids from s05 (4-dec grid), collected once
+    val cents = s05.fn(spark, dir).collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        (cid.toInt, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      }
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val assigned = emb.withColumn("cid",
+      Vectors.codebookArgmaxCid(col("v"), cents, spark))
+    val cvDf = cents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    val d2 = graft.QueryDef.roundBiased(
+      aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 4)
+    val agg = assigned.join(broadcast(cvDf), "cid")
+      .select(col("cid"), d2.as("d2"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("d2").cast("decimal(18,4)")).as("inertia"))
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x + 1e-9)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val seps = cents.map { case (cid, cv) =>
+      val m = cents.filter(_._1 != cid).map { case (_, o) =>
+        var s = 0.0; var i = 0
+        while (i < cv.length) { val dd = cv(i) - o(i); s += dd * dd; i += 1 }
+        s
+      }.min
+      (cid, round4(m))
+    }.toDF("cid", "min_center_d2")
+    agg.join(broadcast(seps), "cid")
+      .select(col("cid").cast("long").as("cid"), col("n_members"),
+        graft.QueryDef.roundBiased(col("inertia").cast("double"), 4)
+          .as("inertia"),
+        graft.QueryDef.roundBiased(
+          col("inertia").cast("double") / col("n_members"), 4).as("mean_d2"),
+        col("min_center_d2"))
+      .orderBy(col("cid"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15)
+      s14, s15, s16)
 }

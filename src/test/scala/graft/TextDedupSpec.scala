@@ -79,6 +79,22 @@ class TextDedupSpec extends SparkSpec {
     assert(sims.sameElements(sims.sorted.reverse))
   }
 
+  test("s16 cluster quality: members partition the corpus, metrics consistent") {
+    val rows = Similarity.s16.fn(spark, sf).collect()
+    assert(rows.length == 4, s"expected 4 clusters, got ${rows.length}")
+    val total = Tables(spark, sf).embeddings.count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      val inertia = r.getAs[Double]("inertia")
+      val mean = r.getAs[Double]("mean_d2")
+      assert(inertia >= 0.0)
+      // mean is the grid-rounded inertia/n
+      assert(math.abs(mean - inertia / n) < 1e-3, s"cid ${r.getLong(0)}")
+      assert(r.getAs[Double]("min_center_d2") > 0.0)
+    }
+  }
+
   test("d01 keeps one representative per distinct content") {
     val docs = Tables(spark, sf).documents.count()
     val out = Dedup.d01.fn(spark, sf)
