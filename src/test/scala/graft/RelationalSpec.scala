@@ -249,6 +249,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("r6 plan shapes: i48 exchange-free after window; q34 grid-bounded; i50 cached once; j05 joinless") {
+    // i48: the (station, ym, dim) agg reuses the window's clustering —
+    // exactly 2 hash exchanges (daily distinct + window), none after
+    val i48Plan = graft.operators.Ingest.i48.fn(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning".r.findAllIn(i48Plan).length == 2,
+      s"i48 must not re-shuffle after its window:\n$i48Plan")
+    // q34: the cum/bucket stage runs over the value GRID in one single
+    // partition — exactly one hash exchange (the grid histogram), one
+    // SinglePartition exchange, and NO range sort of the row table
+    val q34Plan = graft.operators.Relational.q34.fn(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning".r.findAllIn(q34Plan).length == 1,
+      s"q34 must shuffle rows once, into the grid histogram:\n$q34Plan")
+    assert(!q34Plan.contains("Exchange rangepartitioning"),
+      s"q34 must never globally sort the row table:\n$q34Plan")
+    // i50: the window pipeline materializes ONCE (persisted) and both
+    // rollups read the cache — the four window functions never re-run
+    val i50Plan = graft.operators.Ingest.i50.fn(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(i50Plan.contains("InMemoryTableScan"),
+      s"i50's window pipeline must be computed once and cached:\n$i50Plan")
+    // j05: the as-of is a union + window — no join operator anywhere
+    val j05Plan = graft.operators.Temporal.j05.fn(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!j05Plan.contains("Join"),
+      s"forward as-of must plan as union+window, never a join:\n$j05Plan")
+  }
+
   test("q27/s12 plan shapes: one-pass lattice expand; broadcast-only MIPS scan") {
     // q27: the whole mixed lattice is ONE Expand + one shuffle
     val q27Plan = graft.operators.Relational.q27.fn(spark, sf)
