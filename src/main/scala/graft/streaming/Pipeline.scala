@@ -895,7 +895,120 @@ object Streaming {
     }.orderBy(col("source"))
   }
 
+  /** Per-station alert-machine state: day → (value sum, count) partials
+    * plus an emission version (the final read keeps each station's
+    * max-version snapshot — snapshots are NOT per-field monotone, a
+    * late middle day can MERGE two episodes). Day entries are bounded
+    * by the station's series span (i45's stance). */
+  final case class AlertDays(days: Map[Int, (Double, Long)], version: Int)
+  final case class AlertOut(station: Long, n_alert_days: Long,
+      n_episodes: Long, longest_episode: Long, version: Int)
+
+  /** st15: i50's alert-hysteresis state machine run LIVE on the
+    * ingestion stream — the production placement of the drought/heat
+    * watch (the reference fires webhooks exactly here): per station the
+    * day → (sum, count) partials merge per batch (st10's
+    * merge-aggregation stance: history never rescanned), the dead-band
+    * walk (ON ≥ 25.00, OFF < 15.00) re-runs over the sorted day list —
+    * O(series span) per touched station per batch — and each batch
+    * emits a full versioned snapshot. The final read keeps the
+    * max-version row per station, so multi-batch runs stay correct
+    * even though episode counts are non-monotone. Oracle = i50's exact
+    * batch SQL (same daily rounding, same walk). */
+  val st15 = QueryDef(
+    "st15_stream_alerts",
+    """WITH daily AS (
+      |  SELECT user_id AS station,
+      |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+      |      AS INTEGER) AS day,
+      |    CAST(ROUND(ROUND(AVG(value) + 1e-9, 2) * 100) AS BIGINT) AS tc
+      |  FROM events GROUP BY 1, 2),
+      |ev AS (SELECT station, day,
+      |    CASE WHEN tc >= 2500 THEN 1 WHEN tc < 1500 THEN 0 END AS e
+      |  FROM daily),
+      |st AS (SELECT station, day,
+      |    COALESCE(LAST_VALUE(e IGNORE NULLS) OVER (
+      |      PARTITION BY station ORDER BY day), 0) AS state
+      |  FROM ev),
+      |chg AS (SELECT station, day, state,
+      |    CASE WHEN state = 1 AND COALESCE(LAG(state) OVER (
+      |      PARTITION BY station ORDER BY day), 0) = 0 THEN 1 ELSE 0 END
+      |      AS opens
+      |  FROM st),
+      |runs AS (SELECT station, day, state, opens,
+      |    SUM(opens) OVER (PARTITION BY station ORDER BY day) AS run_id
+      |  FROM chg),
+      |eps AS (SELECT station, run_id, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM runs WHERE state = 1 GROUP BY station, run_id),
+      |eps2 AS (SELECT station, MAX(len) AS longest FROM eps GROUP BY station)
+      |SELECT r.station,
+      |  CAST(COUNT(*) FILTER (WHERE r.state = 1) AS BIGINT) AS n_alert_days,
+      |  CAST(SUM(r.opens) AS BIGINT) AS n_episodes,
+      |  CAST(COALESCE(e2.longest, 0) AS BIGINT) AS longest_episode
+      |FROM runs r LEFT JOIN eps2 e2 USING (station)
+      |GROUP BY r.station, e2.longest
+      |ORDER BY r.station""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    withStreamParallelism(spark, dir) { s =>
+      import s.implicits._
+      val updates = eventStream(s, dir)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'1970-01-01')").cast("int").as("day"),
+          col("value"))
+        .as[(Long, Int, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(alertFold)
+      val q = updates.toDF().writeStream
+        .outputMode("update").format("memory").queryName("st15_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("st15_out")
+    }
+      .groupBy(col("station"))
+      .agg(max(struct(col("version"), col("n_alert_days"), col("n_episodes"),
+        col("longest_episode"))).as("snap"))
+      .select(col("station"), col("snap.n_alert_days").as("n_alert_days"),
+        col("snap.n_episodes").as("n_episodes"),
+        col("snap.longest_episode").as("longest_episode"))
+      .orderBy(col("station"))
+  }
+
+  /** Merge the batch's day partials into state and re-run the
+    * dead-band walk; rounding reproduces the batch `round(round(avg +
+    * 1e-9, 2) * 100)` exactly via BigDecimal HALF_UP. */
+  private[graft] def alertFold(
+      station: Long, rows: Iterator[(Long, Int, Double)],
+      state: org.apache.spark.sql.streaming.GroupState[AlertDays]): Iterator[AlertOut] = {
+    val prev = state.getOption.getOrElse(AlertDays(Map.empty, 0))
+    val days = rows.foldLeft(prev.days) { case (m, (_, day, v)) =>
+      val (sum, n) = m.getOrElse(day, (0.0, 0L))
+      m.updated(day, (sum + v, n + 1))
+    }
+    val version = prev.version + 1
+    state.update(AlertDays(days, version))
+    def round(x: Double, scale: Int): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+    var st = 0
+    var alertDays = 0L
+    var episodes = 0L
+    var run = 0L
+    var longest = 0L
+    days.toSeq.sortBy(_._1).foreach { case (_, (sum, n)) =>
+      val tc = round(round(sum / n + 1e-9, 2) * 100, 0).toLong
+      val e = if (tc >= 2500L) 1 else if (tc < 1500L) 0 else st
+      if (e == 1 && st == 0) { episodes += 1; run = 0 }
+      st = e
+      if (st == 1) {
+        alertDays += 1; run += 1
+        if (run > longest) longest = run
+      }
+    }
+    Iterator.single(AlertOut(station, alertDays, episodes, longest, version))
+  }
+
   val all: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11, st12,
-      st13, st14)
+      st13, st14, st15)
 }

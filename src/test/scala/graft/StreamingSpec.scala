@@ -315,6 +315,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("A" -> 0.25, "B" -> 0.25), s"$got")
   }
 
+  test("st15 streamed alerts equal the batch hysteresis walk on the corpus") {
+    import org.apache.spark.sql.functions.col
+    val got = Streaming.st15.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = graft.operators.Ingest.i50.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == batch, s"stream/batch diverge: ${got.size} vs ${batch.size}")
+  }
+
+  test("st15 dead band holds alert state across a crafted stream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st15").toString
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1704067200L * 1000000000L
+    // ON day 1 (30.0), dead band day 2 HOLDS (20.0), OFF day 3 (10.0),
+    // ON again day 4 → 3 alert days, 2 episodes, longest 2
+    Seq((1L, t0, 1L, "obs", 30.0, "{}"), (2L, t0 + day, 1L, "obs", 20.0, "{}"),
+      (3L, t0 + 2 * day, 1L, "obs", 10.0, "{}"),
+      (4L, t0 + 3 * day, 1L, "obs", 26.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/_stage")
+    val part = new java.io.File(s"$dir/_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val got = Streaming.st15.fn(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 2L &&
+      got(0).getLong(3) == 2L, s"${got(0)}")
+  }
+
   test("st14 streamed decontamination flags exactly the leaked documents") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st14").toString
