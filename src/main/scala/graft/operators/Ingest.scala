@@ -2371,9 +2371,69 @@ object Ingest {
       .orderBy(col("station"))
   }
 
+  /** i51: ROBUST outlier QC — the MAD-based robust z-score
+    * (Iglewicz–Hoaglin modified z, |0.6745·(x − med)/MAD| > 3.5), the
+    * station-QC twin of i41's moment z-score that does NOT let the
+    * outliers it hunts inflate their own threshold (one 45 °C typo
+    * shifts a mean/σ gate; the median/MAD gate shrugs). Per station:
+    * day count, median, MAD, and the flagged-day count.
+    *
+    * Exactness: daily values are integer CENTS, exact medians land on
+    * the half-cent grid (even-count interpolation), and the modified-z
+    * compare is the identical IEEE expression on identical inputs both
+    * engines — no rounding needed anywhere. Station series are
+    * span-bounded (i45's stance), so the exact per-group percentile is
+    * safe at scale; two (station) aggs + one join, all on the daily
+    * table. */
+  val i51 = QueryDef(
+    "i51_robust_outliers",
+    """WITH daily AS (
+      |  SELECT user_id AS station,
+      |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+      |      AS INTEGER) AS day,
+      |    CAST(ROUND(ROUND(AVG(value) + 1e-9, 2) * 100) AS BIGINT) AS tc
+      |  FROM events GROUP BY 1, 2),
+      |med AS (SELECT station, CAST(MEDIAN(tc) AS DOUBLE) AS med
+      |  FROM daily GROUP BY station),
+      |dev AS (SELECT d.station, d.tc, m.med, ABS(d.tc - m.med) AS adev
+      |  FROM daily d JOIN med m USING (station)),
+      |mad AS (SELECT station, CAST(MEDIAN(adev) AS DOUBLE) AS mad
+      |  FROM dev GROUP BY station)
+      |SELECT v.station, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  v.med AS median_cents, a.mad AS mad_cents,
+      |  CAST(COUNT(*) FILTER (WHERE a.mad > 0
+      |    AND ABS(0.6745 * (v.tc - v.med) / a.mad) > 3.5) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev v JOIN mad a USING (station)
+      |GROUP BY v.station, v.med, a.mad
+      |ORDER BY v.station""".stripMargin) { (spark, dir) =>
+    val daily = Tables(spark, dir).events
+      .select(col("user_id").as("station"),
+        expr("datediff(to_date(ts), date'1970-01-01')").cast("int").as("day"),
+        col("value"))
+      .groupBy(col("station"), col("day"))
+      .agg(round(round(avg(col("value")) + 1e-9, 2) * 100).cast("long").as("tc"))
+    val med = daily.groupBy(col("station"))
+      .agg(expr("percentile(tc, 0.5)").as("med"))
+    val dev = daily.join(med, "station")
+      .select(col("station"), col("tc"), col("med"),
+        abs(col("tc") - col("med")).as("adev"))
+    val mad = dev.groupBy(col("station"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(mad, "station")
+      .groupBy(col("station"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_days"),
+        count(when(col("mad") > 0 &&
+          abs(lit(0.6745) * (col("tc") - col("med")) / col("mad")) > 3.5, 1))
+          .as("n_outliers"))
+      .select(col("station"), col("n_days"), col("med").as("median_cents"),
+        col("mad").as("mad_cents"), col("n_outliers"))
+      .orderBy(col("station"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
-    i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50)
+    i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51)
 }

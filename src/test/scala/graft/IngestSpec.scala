@@ -773,4 +773,31 @@ class IngestSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1L, 3L)), s"${got(3L)}")
     assert(got(4L) == ((2L, 1L, 2L)), s"${got(4L)}")
   }
+
+  test("i51 robust outliers: one typo flags itself without moving the gate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i51").toString
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1704067200L * 1000000000L
+    def ev(id: Long, d: Int, st: Long, v: Double) =
+      (id, t0 + (d - 1) * day, st, "obs", v, "{}")
+    // station 1: 20 days oscillating 20/22 °C plus one 450.0 typo.
+    // Median of the 21 days is 22.00 (the typo can't drag it), MAD is
+    // 2.00; the typo's modified z is 0.6745·42800/200 ≈ 144 ≫ 3.5
+    // while every real day stays at ≤ 0.68
+    val events = (1 to 20).map(i =>
+      ev(i, i, 1L, if (i % 2 == 0) 20.0 else 22.0)) :+ ev(99L, 21, 1L, 450.0)
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Ingest.i51.fn(spark, dir).collect()(0)
+    assert(r.getLong(1) == 21L)
+    assert(r.getDouble(2) == 2200.0, s"median ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 200.0, s"mad ${r.getDouble(3)}")
+    assert(r.getLong(4) == 1L, s"outliers ${r.getLong(4)}")
+    // corpus: outliers are always a strict minority per station
+    Ingest.i51.fn(spark, sf).collect().foreach { c =>
+      assert(c.getLong(4) * 2 < c.getLong(1),
+        s"station ${c.getLong(0)} flags half its days")
+    }
+  }
 }
