@@ -871,21 +871,31 @@ object Streaming {
       |FROM tr GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     import graft.functions.Text
     withStreamParallelism(spark, dir) { s =>
-      val evalRow = graft.Tables(s, dir).documents
+      // benchmark grams (MB-sized by declaration) as ONE broadcast
+      // HashSet probed by a codegen'd expression — NOT array_intersect
+      // against a giant array column, which rebuilds the big side's
+      // hash set per row (rows × |set|: measured 45× past linear at
+      // sf1, the one super-linear entry this suite ever had)
+      val evalGrams = graft.Tables(s, dir).documents
         .filter(col("doc_id") % 97 === 0)
         .select(explode(array_distinct(
           Text.shingles(Text.tokens(col("text")), 3))).as("g"))
         .distinct()
-        .agg(collect_list(col("g")).as("eg"))
-        .withColumn("k", lit(1))
+        .collect()
+      val gramSet = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+        evalGrams.length * 2)
+      evalGrams.foreach(r =>
+        gramSet.add(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+      val bc = s.sparkContext.broadcast(gramSet)
+      import org.apache.spark.sql.graft.ColumnBridge
       val gated = docStream(s, dir)
         .filter(col("doc_id") % 97 =!= 0)
         .withColumn("tk", Text.tokens(col("text")))
         .select(col("source"), size(col("tk")).as("n_tok"),
           array_distinct(Text.shingles(col("tk"), 3)).as("sh"))
-        .withColumn("k", lit(1))
-        .join(broadcast(evalRow), "k")
-        .withColumn("dirty", size(array_intersect(col("sh"), col("eg"))) >= 2)
+        .withColumn("dirty", ColumnBridge.column(
+          graft.functions.SetMatchCountExpr(
+            ColumnBridge.expression(col("sh")), bc, 2)) >= 2)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("dirty"), 1)).as("n_contaminated"),
