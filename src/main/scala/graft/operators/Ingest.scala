@@ -2431,9 +2431,81 @@ object Ingest {
       .orderBy(col("station"))
   }
 
+  /** i52: HEAT INDEX — the NOAA apparent-temperature product beside
+    * i02's wind speed and i32's direction (the heat-health warnings
+    * the reference's pipeline family serves): per station-day, T =
+    * mean 'click' reading (°F), R = mean 'view' reading clamped to
+    * 0–100 (%RH), both biased-rounded to 2 decimals first; HI is the
+    * Rothfusz regression when T ≥ 80 and the Steadman simple formula
+    * below it (the standard NWS two-regime form). Per station: day
+    * count, max HI, mean HI, and danger days (HI ≥ 103 — the NWS
+    * "danger" band).
+    *
+    * Parity: the polynomials are PURE +/× on identical grid-rounded
+    * inputs mirrored term-for-term — identical IEEE results with no
+    * libm and no rounding needed at the compare; the mean's float sum
+    * rides the t24 DECIMAL-grid discipline. One (station, day)
+    * partial agg, HI map-side, one station rollup. */
+  val i52 = QueryDef(
+    "i52_heat_index",
+    """WITH daily AS (
+      |  SELECT user_id AS station,
+      |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+      |      AS INTEGER) AS day,
+      |    ROUND(AVG(value) FILTER (WHERE event_type = 'click') + 1e-9, 2) AS t,
+      |    ROUND(LEAST(GREATEST(
+      |      AVG(value) FILTER (WHERE event_type = 'view'), 0.0), 100.0)
+      |      + 1e-9, 2) AS r
+      |  FROM events GROUP BY 1, 2),
+      |hi AS (SELECT station, day,
+      |    CASE WHEN t >= 80.0 THEN
+      |      -42.379 + 2.04901523 * t + 10.14333127 * r
+      |      - 0.22475541 * t * r - 0.00683783 * t * t
+      |      - 0.05481717 * r * r + 0.00122874 * t * t * r
+      |      + 0.00085282 * t * r * r - 0.00000199 * t * t * r * r
+      |    ELSE
+      |      0.5 * (t + 61.0 + (t - 68.0) * 1.2 + r * 0.094)
+      |    END AS hi
+      |  FROM daily WHERE t IS NOT NULL AND r IS NOT NULL)
+      |SELECT station, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  ROUND(MAX(hi) + 1e-9, 2) AS max_hi,
+      |  ROUND(CAST(SUM(CAST(ROUND(hi + 1e-9, 4) AS DECIMAL(18,4)))
+      |    AS DOUBLE) / COUNT(*) + 1e-9, 2) AS mean_hi,
+      |  CAST(COUNT(*) FILTER (WHERE hi >= 103.0) AS BIGINT) AS n_danger
+      |FROM hi GROUP BY station ORDER BY station""".stripMargin) { (spark, dir) =>
+    val daily = Tables(spark, dir).events
+      .select(col("user_id").as("station"),
+        expr("datediff(to_date(ts), date'1970-01-01')").cast("int").as("day"),
+        col("event_type"), col("value"))
+      .groupBy(col("station"), col("day"))
+      .agg(
+        graft.QueryDef.roundBiased(
+          avg(when(col("event_type") === "click", col("value"))), 2).as("t"),
+        graft.QueryDef.roundBiased(
+          least(greatest(avg(when(col("event_type") === "view", col("value"))),
+            lit(0.0)), lit(100.0)), 2).as("r"))
+      .filter(col("t").isNotNull && col("r").isNotNull)
+    val t = col("t"); val r = col("r")
+    val rothfusz = lit(-42.379) + lit(2.04901523) * t + lit(10.14333127) * r -
+      lit(0.22475541) * t * r - lit(0.00683783) * t * t -
+      lit(0.05481717) * r * r + lit(0.00122874) * t * t * r +
+      lit(0.00085282) * t * r * r - lit(0.00000199) * t * t * r * r
+    val steadman = lit(0.5) * (t + lit(61.0) + (t - lit(68.0)) * lit(1.2) +
+      r * lit(0.094))
+    val hi = daily.withColumn("hi", when(t >= 80.0, rothfusz).otherwise(steadman))
+    hi.groupBy(col("station"))
+      .agg(count(lit(1)).as("n_days"),
+        graft.QueryDef.roundBiased(max(col("hi")), 2).as("max_hi"),
+        graft.QueryDef.roundBiased(
+          sum(round(col("hi") + 1e-9, 4).cast("decimal(18,4)")).cast("double") /
+            count(lit(1)), 2).as("mean_hi"),
+        count(when(col("hi") >= 103.0, 1)).as("n_danger"))
+      .orderBy(col("station"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
-    i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51)
+    i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52)
 }

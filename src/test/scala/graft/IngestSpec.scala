@@ -800,4 +800,27 @@ class IngestSpec extends SparkSpec {
         s"station ${c.getLong(0)} flags half its days")
     }
   }
+
+  test("i52 heat index: Rothfusz above 80F, Steadman below, danger days") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i52").toString
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1704067200L * 1000000000L
+    def pair(st: Long, d: Int, t: Double, r: Double) = Seq(
+      (st * 1000 + d * 2L, t0 + (d - 1) * day, st, "click", t, "{}"),
+      (st * 1000 + d * 2L + 1, t0 + (d - 1) * day, st, "view", r, "{}"))
+    // station 1 day 1: T=100 R=50 → Rothfusz 118.32 (danger ≥ 103);
+    // day 2: T=70 R=50 → Steadman 69.05. station 2: R clamps at 100.
+    val events = pair(1L, 1, 100.0, 50.0) ++ pair(1L, 2, 70.0, 50.0) ++
+      pair(2L, 1, 85.0, 250.0)
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.i52.fn(spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_days") == 2L)
+    assert(got(1L).getAs[Double]("max_hi") == 118.32)
+    assert(math.abs(got(1L).getAs[Double]("mean_hi") - 93.69) < 0.02)
+    assert(got(1L).getAs[Long]("n_danger") == 1L)
+    // clamped humidity: T=85, R=100 → Rothfusz fires with R=100
+    assert(got(2L).getAs[Double]("max_hi") > 100.0)
+  }
 }
