@@ -1143,8 +1143,50 @@ object Relational {
       .orderBy(col("node"))
   }
 
+  /** q37: AUDIENCE overlap — the segment-overlap matrix (ad-tech /
+    * product analytics: "how many users who X also Y"): for every
+    * event-type pair, the distinct-user overlap and its Jaccard in
+    * integer ppm (floor division — exact cross-engine). The naive
+    * events×events self-join is quadratic in a hot user's events; this
+    * runs on the DISTINCT (user, type) table — one dedup shuffle, a
+    * co-partitioned self-join emitting ≤ k²/2 pairs per user (k =
+    * #types, a constant), and a type²-bounded final agg with the
+    * per-type audience sizes broadcast. */
+  val q37 = QueryDef(
+    "q37_audience_overlap",
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |na AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+      |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb,
+      |    COUNT(*) AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ta, tb, CAST(n_both AS BIGINT) AS n_both,
+      |  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+      |  CAST(n_both * 1000000 // (x.n + y.n - n_both) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM pairs JOIN na x ON x.event_type = ta
+      |JOIN na y ON y.event_type = tb
+      |ORDER BY ta, tb""".stripMargin) { (spark, dir) =>
+    val ut = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type")).distinct()
+    val na = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut.toDF("user_id", "ta")
+      .join(ut.toDF("user_id", "tb"), "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(na.toDF("ta", "n_a")), "ta")
+      .join(broadcast(na.toDF("tb", "n_b")), "tb")
+      .select(col("ta"), col("tb"), col("n_both"), col("n_a"), col("n_b"),
+        expr("CAST((n_both * 1000000) div (n_a + n_b - n_both) AS BIGINT)")
+          .as("jaccard_ppm"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
       q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34, q35, q36)
+      q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }

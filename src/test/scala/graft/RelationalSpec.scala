@@ -548,6 +548,42 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(m - 1.0) < 0.02, s"corpus mass $m")
   }
 
+  test("q37 audience overlap: crafted sets exact, corpus bounds hold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q37").toString
+    val t0 = 1704067200L * 1000000000L
+    // users 1,2,3 do 'view'; users 1,2 do 'click'; user 4 only 'buy'
+    val events = Seq(
+      (1L, t0, 1L, "view", 1.0, "{}"), (2L, t0, 2L, "view", 1.0, "{}"),
+      (3L, t0, 3L, "view", 1.0, "{}"), (4L, t0, 1L, "click", 1.0, "{}"),
+      (5L, t0, 2L, "click", 1.0, "{}"), (6L, t0, 4L, "buy", 1.0, "{}"),
+      (7L, t0, 1L, "view", 2.0, "{}")) // duplicate (user,type) — distinct
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.q37.fn(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(0)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // note columns come back (tb, ta, ...) after the join reorder —
+    // key on (ta, tb) via the named fields instead
+    val byName = Relational.q37.fn(spark, dir).collect()
+      .map(r => (r.getAs[String]("ta"), r.getAs[String]("tb")) ->
+        ((r.getAs[Long]("n_both"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("jaccard_ppm")))).toMap
+    // click ∩ view = {1,2}: J = 2/(2+3-2) = 2/3 → 666666 ppm (floor)
+    assert(byName(("click", "view")) == ((2L, 2L, 3L, 666666L)), s"$byName")
+    // buy overlaps nothing → no (buy, *) pair rows survive the inner join
+    assert(!byName.keySet.exists { case (a, b) => a == "buy" || b == "buy" })
+    assert(got.size == byName.size)
+    // corpus: overlap ≤ min audience; jaccard within [0, 1e6]
+    Relational.q37.fn(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_both") <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      val j = r.getAs[Long]("jaccard_ppm")
+      assert(j >= 0L && j <= 1000000L)
+    }
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)
