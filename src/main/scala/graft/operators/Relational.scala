@@ -1185,8 +1185,57 @@ object Relational {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** q38: SCD2 point-in-time reconstruction — the warehouse "as-was"
+    * query (slowly-changing-dimension type 2): each user's event log
+    * becomes validity intervals [ts, next ts) via ONE lead window, and
+    * the state in effect at the snapshot instant (2024-01-15) is the
+    * interval containing it — per user, the version count, the value
+    * then in force, and its version ordinal (NULL when the user's
+    * history starts after the snapshot). Same-timestamp rewrites
+    * produce EMPTY intervals that containment excludes by
+    * construction, so the reconstruction is unique.
+    *
+    * One user-keyed window (row_number + lead share the sort), the
+    * containment filter map-side, and a user-sized left join back to
+    * the version counts. */
+  val q38 = QueryDef(
+    "q38_scd2_pointintime",
+    """WITH c AS (SELECT user_id, ts, ROUND(value + 1e-9, 2) AS v,
+      |    ROW_NUMBER() OVER w AS k, LEAD(CAST(ts AS TIMESTAMP)) OVER w
+      |      AS valid_to
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_versions
+      |  FROM c GROUP BY 1),
+      |a AS (SELECT user_id, v AS value_at, CAST(k AS INTEGER) AS version_at
+      |  FROM c
+      |  WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'
+      |    AND (valid_to IS NULL
+      |         OR valid_to > TIMESTAMP '2024-01-15 00:00:00'))
+      |SELECT n.user_id, n.n_versions, a.value_at, a.version_at
+      |FROM n LEFT JOIN a USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val at = lit("2024-01-15 00:00:00").cast("timestamp")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val c = Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        graft.QueryDef.roundBiased(col("value"), 2).as("v"))
+      .withColumn("k", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+    val n = c.groupBy(col("user_id")).agg(count(lit(1)).as("n_versions"))
+    val a = c.filter(col("ts") <= at &&
+        (col("valid_to").isNull || col("valid_to") > at))
+      .select(col("user_id"), col("v").as("value_at"),
+        col("k").cast("int").as("version_at"))
+    n.join(a, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_versions"), col("value_at"),
+        col("version_at"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
       q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34, q35, q36, q37)
+      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }

@@ -584,6 +584,39 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q38 SCD2 reconstruction: unique interval, pre-history NULL, rewrites empty") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q38").toString
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1704067200L * 1000000000L // 2024-01-01; snapshot is Jan 15
+    val events = Seq(
+      // user 1: v=1 from Jan 1, v=2 from Jan 10, v=3 from Jan 20 →
+      // at Jan 15 version 2 (value 2.0) is in force
+      (1L, t0, 1L, "obs", 1.0, "{}"),
+      (2L, t0 + 9 * day, 1L, "obs", 2.0, "{}"),
+      (3L, t0 + 19 * day, 1L, "obs", 3.0, "{}"),
+      // user 2: history starts Jan 20 → NULL at the snapshot
+      (4L, t0 + 19 * day, 2L, "obs", 9.0, "{}"),
+      // user 3: same-instant rewrite on Jan 5 — the empty interval is
+      // skipped, the rewrite (higher event_id) is in force
+      (5L, t0 + 4 * day, 3L, "obs", 7.0, "{}"),
+      (6L, t0 + 4 * day, 3L, "obs", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.q38.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_versions") == 3L)
+    assert(got(1L).getAs[Double]("value_at") == 2.0)
+    assert(got(1L).getAs[Int]("version_at") == 2)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("value_at")))
+    assert(got(3L).getAs[Double]("value_at") == 8.0)
+    assert(got(3L).getAs[Int]("version_at") == 2)
+    // corpus: reconstruction is unique — one row per user
+    val rows = Relational.q38.fn(spark, sf)
+    assert(rows.count() == rows.select("user_id").distinct().count())
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)
