@@ -1087,7 +1087,70 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d15: SNAPSHOT diff — the dataset-release audit (what changed
+    * between corpus version N and N+1, the DVC-diff / dataset-card
+    * delta every training-data release publishes): two deterministic
+    * snapshot views of the corpus (old = doc_id % 5 ≠ 4, new =
+    * doc_id % 7 ≠ 6 with doc_id % 9 = 0 docs edited — the t15
+    * synthetic-snapshot convention), diffed by a FULL OUTER join on
+    * doc_id into added / removed / changed / unchanged classes, where
+    * "changed" compares CONTENT hashes, not bytes shipped (the diff
+    * never moves text, only md5s). Per source: class counts + net doc
+    * delta.
+    *
+    * Plan: content hashed map-side in each snapshot scan, ONE
+    * doc_id-keyed full outer join (co-partitioned, AQE), class
+    * assignment map-side, source-sized final agg. */
+  val d15 = QueryDef(
+    "d15_snapshot_diff",
+    """WITH old AS (SELECT doc_id, source, MD5(text) AS h FROM documents
+      |  WHERE doc_id % 5 <> 4),
+      |new AS (SELECT doc_id, source,
+      |    MD5(CASE WHEN doc_id % 9 = 0 THEN text || ' edited' ELSE text END)
+      |      AS h
+      |  FROM documents WHERE doc_id % 7 <> 6),
+      |d AS (SELECT COALESCE(o.source, n.source) AS source,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN o.h <> n.h THEN 'changed'
+      |         ELSE 'unchanged' END AS class
+      |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+      |SELECT source,
+      |  CAST(COUNT(*) FILTER (WHERE class = 'added') AS BIGINT) AS n_added,
+      |  CAST(COUNT(*) FILTER (WHERE class = 'removed') AS BIGINT) AS n_removed,
+      |  CAST(COUNT(*) FILTER (WHERE class = 'changed') AS BIGINT) AS n_changed,
+      |  CAST(COUNT(*) FILTER (WHERE class = 'unchanged') AS BIGINT)
+      |    AS n_unchanged,
+      |  CAST(COUNT(*) FILTER (WHERE class = 'added') -
+      |       COUNT(*) FILTER (WHERE class = 'removed') AS BIGINT) AS net_docs
+      |FROM d GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val old = docs.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val nw = docs.filter(col("doc_id") % 7 =!= 6)
+      .select(col("doc_id"), col("source"),
+        md5(when(col("doc_id") % 9 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text"))).as("h"))
+    val d = old.toDF("o_id", "o_source", "o_h")
+      .join(nw.toDF("n_id", "n_source", "n_h"),
+        col("o_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("o_source"), col("n_source")).as("source"),
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("o_h") =!= col("n_h"), "changed")
+          .otherwise("unchanged").as("class"))
+    d.groupBy(col("source"))
+      .agg(count(when(col("class") === "added", 1)).as("n_added"),
+        count(when(col("class") === "removed", 1)).as("n_removed"),
+        count(when(col("class") === "changed", 1)).as("n_changed"),
+        count(when(col("class") === "unchanged", 1)).as("n_unchanged"))
+      .select(col("source"), col("n_added"), col("n_removed"),
+        col("n_changed"), col("n_unchanged"),
+        (col("n_added") - col("n_removed")).as("net_docs"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08, d09, d10,
-      d11, d12, d13, d14)
+      d11, d12, d13, d14, d15)
 }

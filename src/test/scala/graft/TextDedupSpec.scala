@@ -154,6 +154,36 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("d15 snapshot diff: classes partition the union, crafted ids land right") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_d15").toString
+    // ids chosen to hit each class: 4 (old-excluded → added), 6
+    // (new-excluded → removed), 18 (in both, edited → changed),
+    // 1 (unchanged)
+    Seq(1L, 4L, 6L, 18L).map(i => (i, s"text $i", "en", "A", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val r = Dedup.d15.fn(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_added") == 1L)     // doc 4
+    assert(r(0).getAs[Long]("n_removed") == 1L)   // doc 6
+    assert(r(0).getAs[Long]("n_changed") == 1L)   // doc 18
+    assert(r(0).getAs[Long]("n_unchanged") == 1L) // doc 1
+    assert(r(0).getAs[Long]("net_docs") == 0L)
+    // corpus: classes partition |old ∪ new|
+    val rows = Dedup.d15.fn(spark, sf).collect()
+    val docs = Tables(spark, sf).documents
+    val union = docs.filter(col("doc_id") % 5 =!= 4)
+      .select("doc_id")
+      .union(docs.filter(col("doc_id") % 7 =!= 6).select("doc_id"))
+      .distinct().count()
+    val classed = rows.map(r2 => r2.getAs[Long]("n_added") +
+      r2.getAs[Long]("n_removed") + r2.getAs[Long]("n_changed") +
+      r2.getAs[Long]("n_unchanged")).sum
+    assert(classed == union, s"$classed != $union")
+  }
+
   test("bucket cap: identical-doc flood stays bounded, real near-dups survive") {
     import spark.implicits._
     // adversarial corpus: thousands of byte-identical boilerplate docs
