@@ -849,6 +849,58 @@ object TrainingPipeline {
       .orderBy(col("iter"))
   }
 
+  /** p13: DATASET CARD — the per-source release-stats bundle every
+    * corpus publication ships (HF dataset cards / data statements):
+    * doc/token/char totals, English share and INTRA-source duplicate
+    * ratio in floor-division ppm (exact), and mean t02 quality on the
+    * t24 DECIMAL-grid discipline. The capstone composition: one corpus
+    * scan computes every per-doc signal map-side, one source-keyed
+    * agg (exact distinct-hash count rides Spark's two-phase distinct
+    * aggregation) — the whole card in a single pass. */
+  val p13 = QueryDef(
+    "p13_dataset_card",
+    """WITH t AS (SELECT doc_id, source, lang, MD5(text) AS h,
+      |    LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+      |    LENGTH(text) AS n_chars,
+      |    ROUND(LEAST(LEN(STRING_SPLIT(text, ' ')) / 200.0, 1.0) * 0.4 +
+      |      (1.0 - CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+      |        x -> x IN ('a', 'the'))) AS DOUBLE)
+      |        / LEN(STRING_SPLIT(text, ' '))) * 0.6 + 1e-9, 4) AS q
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(COUNT(*) FILTER (WHERE lang = 'en') * 1000000 // COUNT(*)
+      |    AS BIGINT) AS en_ppm,
+      |  CAST((COUNT(*) - COUNT(DISTINCT h)) * 1000000 // COUNT(*)
+      |    AS BIGINT) AS dup_ppm,
+      |  ROUND(CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |    + 1e-9, 4) AS mean_quality
+      |FROM t GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val toks = Text.tokens(col("text"))
+    val nToks = size(toks)
+    val stopRatio = Text.countIn(toks, Seq("a", "the")).cast("double") / nToks
+    val q = graft.QueryDef.roundBiased(
+      least(nToks / 200.0, lit(1.0)) * 0.4 + (lit(1.0) - stopRatio) * 0.6, 4)
+    val t = Tables(spark, dir).documents
+      .select(col("source"), col("lang"), md5(col("text")).as("h"),
+        nToks.as("n_tok"), length(col("text")).as("n_chars"), q.as("q"))
+    t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        count(when(col("lang") === "en", 1)).as("n_en"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum(col("q").cast("decimal(18,4)")).as("q_sum"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("CAST((n_en * 1000000) div n_docs AS BIGINT)").as("en_ppm"),
+        expr("CAST(((n_docs - n_distinct) * 1000000) div n_docs AS BIGINT)")
+          .as("dup_ppm"),
+        graft.QueryDef.roundBiased(
+          col("q_sum").cast("double") / col("n_docs"), 4).as("mean_quality"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09,
-    p10, p11, p12)
+    p10, p11, p12, p13)
 }

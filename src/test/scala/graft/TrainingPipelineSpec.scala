@@ -331,6 +331,33 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("p13 dataset card: totals, shares, and dup ratio exact on a crafted source") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_p13").toString
+    // source A: 4 docs — two identical (one dup), three English
+    val txt = "the quick brown fox jumps"
+    Seq((1L, txt, "en", "A", 0L), (2L, txt, "en", "A", 0L),
+      (3L, "a b c d", "en", "A", 0L), (4L, "x y z", "de", "A", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val r = TrainingPipeline.p13.fn(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 5L + 5L + 4L + 3L)
+    assert(r.getAs[Long]("en_ppm") == 750000L)
+    assert(r.getAs[Long]("dup_ppm") == 250000L)
+    val mq = r.getAs[Double]("mean_quality")
+    assert(mq > 0.0 && mq <= 1.0, s"mean quality $mq")
+    // corpus: every source carded once, ratios in range
+    val rows = TrainingPipeline.p13.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { c =>
+      assert(c.getAs[Long]("en_ppm") <= 1000000L)
+      assert(c.getAs[Long]("dup_ppm") < 1000000L)
+      assert(c.getAs[Double]("mean_quality") <= 1.0)
+    }
+  }
+
   test("p12 logreg: first-step gradient exact, separable corpus learned by step 2") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
