@@ -551,5 +551,104 @@ object Multimodal {
     }.toDF().orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07)
+  /** One content-defined chunk row (intermediate). */
+  final case class Chunk(doc_id: Long, len: Int, chash: String)
+
+  /** m08: CONTENT-DEFINED chunking — the FastCDC/rolling-hash storage
+    * dedup verb (backup systems, artifact stores, LAION-style payload
+    * dedup): a chunk boundary falls wherever the 16-byte window hash
+    * (m02's polynomial fold) satisfies `h % 16 == 0`, so an insertion
+    * only reshapes the chunks it touches — unlike fixed-size framing
+    * (m02), where one shifted byte re-frames the whole payload. Per
+    * doc: chunk count, min/max chunk size, and how many of its chunks
+    * also appear in ANOTHER doc (the cross-doc dedup-able mass).
+    * A real build widens the window/mask for ~64 KiB chunks; the
+    * 16-byte/16-mask stub keeps the same plumbing testable.
+    *
+    * Window hashes are position-INDEPENDENT (each a fresh 16-byte
+    * fold), so the oracle replays them with LIST_REDUCE per position —
+    * no sequential state; the Spark side recomputes the same fold per
+    * position inside the mapPartitions batch loop (16 mults/byte,
+    * deliberately identical to the oracle's arithmetic rather than a
+    * cleverer rolling update). Chunk identity = md5 of the chunk's
+    * bytes (ASCII gate as m01). Plan: decode + chunk map-side; the
+    * chunk-hash table shuffles once for the shared-count agg and
+    * joins back; doc rollup reuses the doc clustering. */
+  val m08 = QueryDef(
+    "m08_cdc_chunks",
+    """WITH f AS (
+      |  SELECT doc_id, text, CAST(LENGTH(text) AS INTEGER) AS n
+      |  FROM documents
+      |  WHERE doc_id % 25 = 0 AND LENGTH(text) >= 16
+      |    AND LENGTH(text) = OCTET_LENGTH(ENCODE(text))),
+      |pos AS (SELECT doc_id, text, n, CAST(UNNEST(RANGE(15, n - 1))
+      |    AS INTEGER) AS i FROM f),
+      |wh AS (SELECT doc_id, i FROM pos WHERE
+      |    LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+      |      LIST_TRANSFORM(RANGE(i - 15, i + 1),
+      |        j -> CAST(ASCII(SUBSTR(text, CAST(j AS INTEGER) + 1, 1))
+      |          AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000000000037) % 16 = 0),
+      |ends AS (SELECT doc_id, i AS e FROM wh
+      |  UNION ALL SELECT doc_id, n - 1 FROM f),
+      |chunks AS (SELECT doc_id, e,
+      |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), -1) + 1 AS s
+      |  FROM ends),
+      |ch AS (SELECT c.doc_id, c.e - c.s + 1 AS len,
+      |    MD5(SUBSTR(f.text, c.s + 1, c.e - c.s + 1)) AS chash
+      |  FROM chunks c JOIN f USING (doc_id)),
+      |shared AS (SELECT chash FROM ch GROUP BY chash
+      |  HAVING COUNT(DISTINCT doc_id) > 1)
+      |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(MIN(len) AS BIGINT) AS min_chunk,
+      |  CAST(MAX(len) AS BIGINT) AS max_chunk,
+      |  CAST(COUNT(*) FILTER (WHERE c.chash IN (SELECT chash FROM shared))
+      |    AS BIGINT) AS n_shared
+      |FROM ch c GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val blobs = Tables(spark, dir).documents
+      .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 16 &&
+        length(col("text")) === octet_length(col("text")))
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .as[Blob]
+    val ch = blobs.mapPartitions { iter =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      iter.flatMap { b =>
+        val n = b.payload.length
+        var start = 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+        def emit(endIncl: Int): Unit = {
+          val len = endIncl - start + 1
+          md.reset()
+          md.update(b.payload, start, len)
+          val hex = md.digest().map("%02x".format(_)).mkString
+          out += Chunk(b.doc_id, len, hex)
+          start = endIncl + 1
+        }
+        var i = 15
+        while (i < n - 1) {
+          var h = 0L
+          var j = i - 15
+          while (j <= i) { h = (h * 31 + (b.payload(j) & 0xff)) % Mod; j += 1 }
+          if (h % 16 == 0) emit(i)
+          i += 1
+        }
+        emit(n - 1)
+        out.iterator
+      }
+    }.toDF().persist()
+    val shared = ch.groupBy(col("chash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("chash"), lit(1).as("is_shared"))
+    ch.join(shared, Seq("chash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        min(col("len")).cast("long").as("min_chunk"),
+        max(col("len")).cast("long").as("max_chunk"),
+        count(col("is_shared")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 }

@@ -184,6 +184,39 @@ class TextDedupSpec extends SparkSpec {
     assert(classed == union, s"$classed != $union")
   }
 
+  test("m08 CDC chunks: boundary walk exact, identical docs fully shared") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_m08").toString
+    // docs 0 and 25 are byte-identical (13 chunks each by independent
+    // ground truth: min 2, max 42 — every chunk shared); doc 50 is a
+    // degenerate constant payload whose window hash never fires →
+    // ONE chunk, unshared
+    val txt = ("the quick brown fox jumps over the lazy dog " * 6).take(256)
+    Seq((0L, txt, "en", "A", 256L), (25L, txt, "en", "B", 256L),
+      (50L, "Z" * 40, "en", "A", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = Multimodal.m08.fn(spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 25L)) {
+      assert(got(id).getAs[Long]("n_chunks") == 13L, s"$id: ${got(id)}")
+      assert(got(id).getAs[Long]("min_chunk") == 2L)
+      assert(got(id).getAs[Long]("max_chunk") == 42L)
+      assert(got(id).getAs[Long]("n_shared") == 13L)
+    }
+    assert(got(50L).getAs[Long]("n_chunks") == 1L)
+    assert(got(50L).getAs[Long]("max_chunk") == 40L)
+    assert(got(50L).getAs[Long]("n_shared") == 0L)
+    // corpus: chunk lens tile the payload (min ≥ 1), determinism
+    val r1 = Multimodal.m08.fn(spark, sf).collect()
+    val r2 = Multimodal.m08.fn(spark, sf).collect()
+    assert(r1.nonEmpty && r1.sameElements(r2))
+    r1.foreach { c =>
+      assert(c.getAs[Long]("min_chunk") >= 1L)
+      assert(c.getAs[Long]("n_shared") <= c.getAs[Long]("n_chunks"))
+    }
+  }
+
   test("bucket cap: identical-doc flood stays bounded, real near-dups survive") {
     import spark.implicits._
     // adversarial corpus: thousands of byte-identical boilerplate docs
