@@ -2503,9 +2503,60 @@ object Ingest {
       .orderBy(col("station"))
   }
 
+  /** i53: forecast VERIFICATION — persistence skill over i37's tercile
+    * outlooks (the WMO verification step every seasonal-outlook
+    * service publishes): forecast for year y = year y−1's observed
+    * tercile (the persistence baseline any real model must beat),
+    * scored per cell as hit count, hit rate (floor ppm) and the
+    * HEIDKE skill score vs the 1/3 climatology chance rate —
+    * HSS = (3H − N)/(2N), evaluated as one identical IEEE double
+    * expression then 4-dec biased (it can be negative, so integer
+    * floor division would diverge between engines' div semantics).
+    *
+    * One (cell, yr) partial agg, tercile + lag in ONE cell-keyed
+    * window pass (shared sort), cell-sized verification agg. */
+  val i53 = QueryDef(
+    "i53_forecast_skill",
+    """WITH yearly AS (
+      |  SELECT l_returnflag AS cell,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+      |    ROUND(SUM(l_quantity), 2) AS v
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (SELECT cell, yr,
+      |    NTILE(3) OVER (PARTITION BY cell ORDER BY v, yr) AS tc
+      |  FROM yearly),
+      |p AS (SELECT cell, yr, tc,
+      |    LAG(tc) OVER (PARTITION BY cell ORDER BY yr) AS f FROM t),
+      |ver AS (SELECT cell, COUNT(*) AS n,
+      |    COUNT(*) FILTER (WHERE tc = f) AS h
+      |  FROM p WHERE f IS NOT NULL GROUP BY cell)
+      |SELECT cell, CAST(n AS BIGINT) AS n_years, CAST(h AS BIGINT) AS n_hits,
+      |  CAST(h * 1000000 // n AS BIGINT) AS hit_ppm,
+      |  ROUND((3.0 * h - n) / (2.0 * n) + 1e-9, 4) AS heidke
+      |FROM ver ORDER BY cell""".stripMargin) { (spark, dir) =>
+    val yearly = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag").as("cell"), year(col("l_shipdate")).as("yr"))
+      .agg(round(sum(col("l_quantity")), 2).as("v"))
+    val wv = Window.partitionBy(col("cell")).orderBy(col("v"), col("yr"))
+    val wy = Window.partitionBy(col("cell")).orderBy(col("yr"))
+    val p = yearly
+      .withColumn("tc", ntile(3).over(wv))
+      .withColumn("f", lag(col("tc"), 1).over(wy))
+      .filter(col("f").isNotNull)
+    p.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_years"),
+        count(when(col("tc") === col("f"), 1)).as("n_hits"))
+      .select(col("cell"), col("n_years"), col("n_hits"),
+        expr("CAST((n_hits * 1000000) div n_years AS BIGINT)").as("hit_ppm"),
+        graft.QueryDef.roundBiased(
+          (lit(3.0) * col("n_hits") - col("n_years")) /
+            (lit(2.0) * col("n_years")), 4).as("heidke"))
+      .orderBy(col("cell"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
-    i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52)
+    i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53)
 }

@@ -823,4 +823,26 @@ class IngestSpec extends SparkSpec {
     // clamped humidity: T=85, R=100 → Rothfusz fires with R=100
     assert(got(2L).getAs[Double]("max_hi") > 100.0)
   }
+
+  test("i53 forecast skill: persistence hits and Heidke exact on a crafted series") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i53").toString
+    // cell A: six years of strictly increasing totals → terciles
+    // 1,1,2,2,3,3; persistence scores 3 hits in 5 pairs → HSS 0.4
+    (0 until 6).map(i => ("A", java.sql.Date.valueOf(s"${2000 + i}-06-01"),
+        10.0 * (i + 1)))
+      .toDF("l_returnflag", "l_shipdate", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Ingest.i53.fn(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_years") == 5L)
+    assert(r.getAs[Long]("n_hits") == 3L)
+    assert(r.getAs[Long]("hit_ppm") == 600000L)
+    assert(r.getAs[Double]("heidke") == 0.4)
+    // corpus: hit rate within [0, 1e6]; Heidke within [-0.5, 1]
+    Ingest.i53.fn(spark, sf).collect().foreach { c =>
+      assert(c.getAs[Long]("hit_ppm") <= 1000000L)
+      val hss = c.getAs[Double]("heidke")
+      assert(hss >= -0.5 && hss <= 1.0, s"hss $hss")
+    }
+  }
 }
