@@ -7,6 +7,32 @@ import org.apache.spark.sql.functions._
 /** Edge semantics the sf-scale data doesn't exercise. */
 class EdgeCaseSpec extends SparkSpec {
 
+  test("Tables normalizes both driver timestamp generations to TIMESTAMP") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    val t0 = 1704067200L // 2024-01-01T00:00:00Z
+    // generation 1: INT64 nanos read as long under nanosAsLong
+    val dirA = java.nio.file.Files.createTempDirectory("graft_tsA").toString
+    Seq((1L, t0 * 1000000000L, 1L, "obs", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dirA/events.parquet")
+    // generation 2: TIMESTAMP_NTZ (no timezone metadata in the file)
+    val dirB = java.nio.file.Files.createTempDirectory("graft_tsB").toString
+    Seq((1L, 1L, "obs", 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(lit(t0 * 1000000L))
+        .cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dirB/events.parquet")
+    for (dir <- Seq(dirA, dirB)) {
+      val df = Tables(spark, dir).events
+      assert(df.schema("ts").dataType == TimestampType, s"$dir: ${df.schema}")
+      val got = df.select(unix_micros(col("ts"))).collect()(0).getLong(0)
+      // UTC session zone: the wall-clock instant survives both paths
+      assert(got == t0 * 1000000L, s"$dir: $got")
+    }
+  }
+
   test("driver contract: query names unique, oracle keys subset of queries") {
     val names = SparkEntry.defs.map(_.name)
     // a duplicate name would silently drop an entry from the Map the
