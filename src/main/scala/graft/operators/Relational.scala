@@ -1234,8 +1234,57 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q39: period-over-period GROWTH — the month-over-month /
+    * year-to-date report every BI layer materializes: monthly revenue
+    * per return flag with the MoM delta, MoM percent change (4-dec
+    * grid; NULL on a first month and on a zero base), and the YTD
+    * running total. Revenue lands on integer CENTS at the monthly agg
+    * (i46's discipline) so deltas and cumsums are exact integers and
+    * only the percent touches doubles — one mirrored IEEE division,
+    * biased-rounded.
+    *
+    * One (flag, month) partial agg, then lag + cumsum share a single
+    * flag-keyed window sort (partition = a flag's month count,
+    * calendar-bounded). */
+  val q39 = QueryDef(
+    "q39_period_growth",
+    """WITH m AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+      |    CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS mon,
+      |    CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS rev_cents
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |g AS (SELECT rf, yr, mon, rev_cents,
+      |    LAG(rev_cents) OVER w AS prev_cents,
+      |    SUM(rev_cents) OVER (PARTITION BY rf, yr ORDER BY mon) AS ytd_cents
+      |  FROM m WINDOW w AS (PARTITION BY rf ORDER BY yr, mon))
+      |SELECT rf, yr, mon, rev_cents,
+      |  CAST(rev_cents - prev_cents AS BIGINT) AS mom_delta_cents,
+      |  CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0 THEN
+      |    ROUND((rev_cents - prev_cents) * 1.0 / prev_cents + 1e-9, 4)
+      |  END AS mom_pct,
+      |  CAST(ytd_cents AS BIGINT) AS ytd_cents
+      |FROM g ORDER BY rf, yr, mon""".stripMargin) { (spark, dir) =>
+    val m = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag").as("rf"),
+        year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mon"))
+      .agg(round(sum(col("l_extendedprice")) * 100).cast("long").as("rev_cents"))
+    val w = Window.partitionBy(col("rf")).orderBy(col("yr"), col("mon"))
+    val wy = Window.partitionBy(col("rf"), col("yr")).orderBy(col("mon"))
+    m.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("ytd_cents", sum(col("rev_cents")).over(wy))
+      .select(col("rf"), col("yr"), col("mon"), col("rev_cents"),
+        (col("rev_cents") - col("prev_cents")).as("mom_delta_cents"),
+        when(col("prev_cents").isNotNull && col("prev_cents") =!= 0L,
+          graft.QueryDef.roundBiased(
+            (col("rev_cents") - col("prev_cents")) * lit(1.0) /
+              col("prev_cents"), 4)).as("mom_pct"),
+        col("ytd_cents"))
+      .orderBy(col("rf"), col("yr"), col("mon"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
       q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }

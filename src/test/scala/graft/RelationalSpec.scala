@@ -617,6 +617,40 @@ class RelationalSpec extends SparkSpec {
     assert(rows.count() == rows.select("user_id").distinct().count())
   }
 
+  test("q39 period growth: MoM across the year boundary, YTD resets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q39").toString
+    Seq(("A", "2023-11-05", 10.0), ("A", "2023-12-05", 20.0),
+      ("A", "2024-01-05", 10.0), ("A", "2024-02-05", 15.0),
+      ("A", "2024-03-05", 12.0))
+      .toDF("l_returnflag", "d", "l_extendedprice")
+      .select(col("l_returnflag"), to_date(col("d")).as("l_shipdate"),
+        col("l_extendedprice"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = Relational.q39.fn(spark, dir).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r).toMap
+    // Dec: +100% over Nov; YTD Dec = Nov+Dec (same year)
+    assert(rows((2023, 12)).getAs[Long]("mom_delta_cents") == 1000L)
+    assert(rows((2023, 12)).getAs[Double]("mom_pct") == 1.0)
+    assert(rows((2023, 12)).getAs[Long]("ytd_cents") == 3000L)
+    // Jan crosses the year: MoM vs Dec, YTD resets
+    assert(rows((2024, 1)).getAs[Long]("mom_delta_cents") == -1000L)
+    assert(rows((2024, 1)).getAs[Double]("mom_pct") == -0.5)
+    assert(rows((2024, 1)).getAs[Long]("ytd_cents") == 1000L)
+    assert(rows((2024, 2)).getAs[Double]("mom_pct") == 0.5)
+    assert(rows((2024, 3)).getAs[Double]("mom_pct") == -0.2)
+    assert(rows((2024, 3)).getAs[Long]("ytd_cents") == 3700L)
+    // first month has no baseline
+    assert(rows((2023, 11)).isNullAt(rows((2023, 11)).fieldIndex("mom_pct")))
+    // corpus: YTD is monotone within each (rf, yr)
+    val corpus = Relational.q39.fn(spark, sf).collect()
+    corpus.groupBy(r => (r.getString(0), r.getInt(1))).foreach { case (_, rs) =>
+      val ytd = rs.sortBy(_.getInt(2)).map(_.getAs[Long]("ytd_cents"))
+      assert(ytd.zip(ytd.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)
