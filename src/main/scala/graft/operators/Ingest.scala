@@ -2554,9 +2554,78 @@ object Ingest {
       .orderBy(col("cell"))
   }
 
+  /** i54: NEAREST-station geodesic distances — the station-network
+    * analysis behind WMO network-density audits and i38's
+    * interpolation quality (a cell is only as good as its nearest
+    * observing station): synthetic station coordinates derive from the
+    * per-station mean readings (lat/lon clamped to ±60/±90, 4-dec
+    * grid BEFORE any trig), the HAVERSINE great-circle distance runs
+    * over station pairs, and each station reports its nearest
+    * neighbor + distance (argmin via a (rounded km, id) struct-min —
+    * the id tiebreak makes the pick deterministic on the grid).
+    *
+    * Stations are DIMENSION-sized by nature (thousands, not events) —
+    * the pair space is a broadcast self-join, never touching the event
+    * table twice; one station agg + one station-sized argmin agg.
+    * sin/cos/asin parity rides the t08 libm convention under the
+    * 4-dec output grid. */
+  val i54 = QueryDef(
+    "i54_nearest_station",
+    """WITH st AS (
+      |  SELECT user_id AS station,
+      |    ROUND(LEAST(GREATEST(
+      |      AVG(value) FILTER (WHERE event_type = 'click') - 50.0,
+      |      -60.0), 60.0) + 1e-9, 4) AS lat,
+      |    ROUND(LEAST(GREATEST(
+      |      AVG(value) FILTER (WHERE event_type = 'view') - 50.0,
+      |      -90.0), 90.0) + 1e-9, 4) AS lon
+      |  FROM events GROUP BY user_id
+      |  HAVING lat IS NOT NULL AND lon IS NOT NULL),
+      |d AS (SELECT a.station, b.station AS other,
+      |    ROUND(2.0 * 6371.0 * ASIN(SQRT(
+      |      SIN(RADIANS((b.lat - a.lat) / 2.0)) *
+      |        SIN(RADIANS((b.lat - a.lat) / 2.0)) +
+      |      COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) *
+      |        SIN(RADIANS((b.lon - a.lon) / 2.0)) *
+      |        SIN(RADIANS((b.lon - a.lon) / 2.0)))) + 1e-9, 4) AS km
+      |  FROM st a JOIN st b ON a.station <> b.station)
+      |SELECT station,
+      |  MIN(struct_pack(km := km, other := other)).km AS nearest_km,
+      |  CAST(MIN(struct_pack(km := km, other := other)).other AS BIGINT)
+      |    AS nearest_station
+      |FROM d GROUP BY station ORDER BY station""".stripMargin) { (spark, dir) =>
+    val st = Tables(spark, dir).events
+      .groupBy(col("user_id").as("station"))
+      .agg(
+        graft.QueryDef.roundBiased(least(greatest(
+          avg(when(col("event_type") === "click", col("value"))) - 50.0,
+          lit(-60.0)), lit(60.0)), 4).as("lat"),
+        graft.QueryDef.roundBiased(least(greatest(
+          avg(when(col("event_type") === "view", col("value"))) - 50.0,
+          lit(-90.0)), lit(90.0)), 4).as("lon"))
+      .filter(col("lat").isNotNull && col("lon").isNotNull)
+    val a = st.toDF("station", "lat", "lon")
+    val b = st.toDF("other", "blat", "blon")
+    def sin2(x: org.apache.spark.sql.Column) =
+      sin(radians(x / 2.0)) * sin(radians(x / 2.0))
+    val km = graft.QueryDef.roundBiased(
+      lit(2.0) * 6371.0 * asin(sqrt(
+        sin2(col("blat") - col("lat")) +
+          cos(radians(col("lat"))) * cos(radians(col("blat"))) *
+            sin2(col("blon") - col("lon")))), 4)
+    a.join(broadcast(b), col("station") =!= col("other"))
+      .select(col("station"), col("other"), km.as("km"))
+      .groupBy(col("station"))
+      .agg(min(struct(col("km"), col("other"))).as("m"))
+      .select(col("station"), col("m.km").as("nearest_km"),
+        col("m.other").as("nearest_station"))
+      .orderBy(col("station"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
-    i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53)
+    i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
+    i54)
 }

@@ -845,4 +845,29 @@ class IngestSpec extends SparkSpec {
       assert(hss >= -0.5 && hss <= 1.0, s"hss $hss")
     }
   }
+
+  test("i54 nearest station: known geodesics, symmetry of the nearest pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i54").toString
+    val t0 = 1704067200L * 1000000000L
+    // station coords via (click−50, view−50): A=(0,0), B=(1,0), C=(0,10).
+    // 1° of latitude ≈ 111.1949 km; C sits ~10× further out.
+    def pair(st: Long, lat: Double, lon: Double) = Seq(
+      (st * 10, t0, st, "click", lat + 50.0, "{}"),
+      (st * 10 + 1, t0, st, "view", lon + 50.0, "{}"))
+    val events = pair(1L, 0.0, 0.0) ++ pair(2L, 1.0, 0.0) ++ pair(3L, 0.0, 10.0)
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.i54.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got(1L)._2 == 2L && got(2L)._2 == 1L, s"$got")
+    assert(math.abs(got(1L)._1 - 111.1949) < 0.01, s"${got(1L)}")
+    assert(got(1L)._1 == got(2L)._1) // symmetric pair, identical rounded km
+    assert(got(3L)._2 == 1L) // C's nearest is the origin
+    assert(got(3L)._1 > 1000.0)
+    // corpus: nearest distance positive, neighbor differs from self
+    Ingest.i54.fn(spark, sf).collect().foreach { c =>
+      assert(c.getDouble(1) > 0.0 && c.getLong(2) != c.getLong(0))
+    }
+  }
 }
