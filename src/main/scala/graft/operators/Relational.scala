@@ -1283,8 +1283,82 @@ object Relational {
       .orderBy(col("rf"), col("yr"), col("mon"))
   }
 
+  /** q40: PSI feature DRIFT — the Population Stability Index, the
+    * model-monitoring standard (scorecards, feature stores: PSI < 0.1
+    * stable, > 0.25 retrain): the EXPECTED snapshot (even order keys)
+    * defines 10 equi-depth bins via q34's grid-bounded construction,
+    * the ACTUAL snapshot (odd keys) assigns each grid value to the
+    * largest bin whose lower edge is ≤ v (out-of-range clamps to the
+    * edge bins), and each bin contributes (p−q)·ln(p/q) under
+    * Laplace smoothing (+1/bin — a bin the actual side never hits
+    * still contributes finitely, both engines identically). Terms ride
+    * the 8-dec DECIMAL grid (t24), ln parity the t08 convention;
+    * t15 is the categorical twin (token TV), this the NUMERIC one.
+    *
+    * Plan: two value-grid histograms with map-side combine; bin
+    * construction + assignment on the grid-bounded tables (edges are
+    * 10 rows, broadcast); the bin space is constant-sized. */
+  val q40 = QueryDef(
+    "q40_psi_drift",
+    """WITH ha AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+      |hb AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+      |cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
+      |    SUM(c) OVER () AS total FROM ha),
+      |bk AS (SELECT v, c,
+      |    CAST(((cum - c) * 10) // total AS INTEGER) AS bucket FROM cum),
+      |edges AS (SELECT bucket, MIN(v) AS lo FROM bk GROUP BY bucket),
+      |abuck AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_a
+      |  FROM bk GROUP BY bucket),
+      |bassign AS (SELECT h.v, h.c,
+      |    COALESCE((SELECT MAX(e.bucket) FROM edges e WHERE e.lo <= h.v), 0)
+      |      AS bucket
+      |  FROM hb h),
+      |bbuck AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_b
+      |  FROM bassign GROUP BY bucket),
+      |tot AS (SELECT (SELECT SUM(c) FROM ha) AS na,
+      |    (SELECT SUM(c) FROM hb) AS nb)
+      |SELECT a.bucket, a.n_a, COALESCE(b.n_b, 0) AS n_b,
+      |  ROUND(((a.n_a + 1.0) / (tot.na + 10.0)
+      |      - (COALESCE(b.n_b, 0) + 1.0) / (tot.nb + 10.0)) *
+      |    LN(((a.n_a + 1.0) / (tot.na + 10.0))
+      |      / ((COALESCE(b.n_b, 0) + 1.0) / (tot.nb + 10.0))) + 1e-9, 8)
+      |    AS psi_term
+      |FROM abuck a LEFT JOIN bbuck b ON a.bucket = b.bucket, tot
+      |ORDER BY a.bucket""".stripMargin) { (spark, dir) =>
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val ha = li.filter(col("l_orderkey") % 2 === 0)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val hb = li.filter(col("l_orderkey") % 2 === 1)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val bk = ha.select(col("v"), col("c"),
+        sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
+        sum(col("c")).over(Window.partitionBy()).as("total"))
+      .withColumn("bucket", expr("CAST(((cum - c) * 10) div total AS INT)"))
+    val edges = bk.groupBy(col("bucket")).agg(min(col("v")).as("lo"))
+    val abuck = bk.groupBy(col("bucket")).agg(sum(col("c")).as("n_a"))
+    val bassign = hb.join(broadcast(edges), col("lo") <= col("v"), "left")
+      .groupBy(col("v"), col("c"))
+      .agg(coalesce(max(col("bucket")), lit(0)).as("bucket"))
+    val bbuck = bassign.groupBy(col("bucket")).agg(sum(col("c")).as("n_b"))
+    val na = ha.agg(sum(col("c"))).collect()(0).getLong(0).toDouble
+    val nb = hb.agg(sum(col("c"))).collect()(0).getLong(0).toDouble
+    val p = (col("n_a") + 1.0) / (lit(na) + 10.0)
+    val q = (coalesce(col("n_b"), lit(0L)) + 1.0) / (lit(nb) + 10.0)
+    abuck.join(bbuck, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        graft.QueryDef.roundBiased((p - q) * log(p / q), 8).as("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
       q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
 }

@@ -651,6 +651,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q40 PSI drift: identical halves score zero, a shifted half alarms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // identical distributions: p = q in every bin ⇒ every term exactly 0
+    val dirA = java.nio.file.Files.createTempDirectory("graft_q40a").toString
+    ((1 to 20).map(i => (2L * i, i.toDouble)) ++
+      (1 to 20).map(i => (2L * i + 1, i.toDouble)))
+      .toDF("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dirA/lineitem.parquet")
+    val same = Relational.q40.fn(spark, dirA).collect()
+    assert(same.nonEmpty)
+    same.foreach(r => assert(r.getAs[Double]("psi_term") == 0.0, s"$r"))
+    // shifted actual: all mass lands in the top bin ⇒ PSI well above 0.25
+    val dirB = java.nio.file.Files.createTempDirectory("graft_q40b").toString
+    ((1 to 20).map(i => (2L * i, i.toDouble)) ++
+      (1 to 20).map(i => (2L * i + 1, 100.0 + i)))
+      .toDF("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dirB/lineitem.parquet")
+    val shifted = Relational.q40.fn(spark, dirB).collect()
+    val psi = shifted.map(_.getAs[Double]("psi_term")).sum
+    assert(psi > 0.25, s"shifted PSI $psi")
+    // every term is nonnegative by construction: sign(p−q) = sign(ln(p/q))
+    val corpus = Relational.q40.fn(spark, sf).collect()
+    assert(corpus.length == 10)
+    corpus.foreach(r => assert(r.getAs[Double]("psi_term") >= 0.0))
+    // TPC-H halves are statistically identical — the corpus PSI is stable
+    assert(corpus.map(_.getAs[Double]("psi_term")).sum < 0.1)
+  }
+
   test("q26 incremental state merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Relational.q26.fn(spark, sf)
