@@ -2622,10 +2622,84 @@ object Ingest {
       .orderBy(col("station"))
   }
 
+  /** i55: IDW CROSS-VALIDATION — leave-one-out verification of i38's
+    * interpolation (the standard geostatistical QC: hide each station,
+    * predict it from its neighbors, score the error — the number a
+    * gridding service publishes next to every blended product): per
+    * station, the inverse-square-distance prediction from OTHER
+    * stations within the cutoff radius, the observed value, and the
+    * absolute error. Numerator/denominator sums ride the 8-dec
+    * DECIMAL grid separately (order-free), the division rounds at
+    * 4-dec, near-coincident stations (d² < 0.01) are excluded from
+    * each other's neighborhoods (the 1/d² weight would explode), and
+    * stations with no in-radius neighbor drop (inner-join semantics —
+    * nothing to validate against).
+    *
+    * Stations are dimension-sized: the pair space is a broadcast
+    * self-join (i54's stance), the events table is scanned once. */
+  val i55 = QueryDef(
+    "i55_idw_crossval",
+    """WITH st AS (
+      |  SELECT user_id AS station,
+      |    ROUND(AVG(value) FILTER (WHERE event_type = 'click') + 1e-9, 2)
+      |      AS x,
+      |    ROUND(AVG(value) FILTER (WHERE event_type = 'view') + 1e-9, 2)
+      |      AS y,
+      |    ROUND(AVG(value) + 1e-9, 2) AS v
+      |  FROM events GROUP BY user_id
+      |  HAVING x IS NOT NULL AND y IS NOT NULL),
+      |pr AS (SELECT a.station,
+      |    CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+      |    ROUND(CAST(SUM(CAST(ROUND(b.v / ((a.x - b.x) * (a.x - b.x)
+      |        + (a.y - b.y) * (a.y - b.y)) + 1e-9, 8) AS DECIMAL(28,8)))
+      |      AS DOUBLE) /
+      |      CAST(SUM(CAST(ROUND(1.0 / ((a.x - b.x) * (a.x - b.x)
+      |        + (a.y - b.y) * (a.y - b.y)) + 1e-9, 8) AS DECIMAL(28,8)))
+      |      AS DOUBLE) + 1e-9, 4) AS pred
+      |  FROM st a JOIN st b ON a.station <> b.station
+      |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) >= 0.01
+      |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400.0
+      |  GROUP BY a.station)
+      |SELECT p.station, p.n_neighbors, p.pred, s.v AS obs,
+      |  ROUND(ABS(p.pred - s.v) + 1e-9, 4) AS abs_err
+      |FROM pr p JOIN st s ON s.station = p.station
+      |ORDER BY p.station""".stripMargin) { (spark, dir) =>
+    val st = Tables(spark, dir).events
+      .groupBy(col("user_id").as("station"))
+      .agg(
+        graft.QueryDef.roundBiased(
+          avg(when(col("event_type") === "click", col("value"))), 2).as("x"),
+        graft.QueryDef.roundBiased(
+          avg(when(col("event_type") === "view", col("value"))), 2).as("y"),
+        graft.QueryDef.roundBiased(avg(col("value")), 2).as("v"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .persist()
+    val a = st.toDF("station", "x", "y", "v")
+    val b = st.toDF("other", "bx", "by", "bv")
+    val d2 = (col("x") - col("bx")) * (col("x") - col("bx")) +
+      (col("y") - col("by")) * (col("y") - col("by"))
+    val pr = a.join(broadcast(b),
+        col("station") =!= col("other") && d2 >= 0.01 && d2 <= 400.0)
+      .select(col("station"),
+        round(col("bv") / d2 + 1e-9, 8).cast("decimal(28,8)").as("wv"),
+        round(lit(1.0) / d2 + 1e-9, 8).cast("decimal(28,8)").as("w"))
+      .groupBy(col("station"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        graft.QueryDef.roundBiased(
+          sum(col("wv")).cast("double") / sum(col("w")).cast("double"), 4)
+          .as("pred"))
+    pr.join(st.select(col("station"), col("v")), "station")
+      .select(col("station"), col("n_neighbors"), col("pred"),
+        col("v").as("obs"),
+        graft.QueryDef.roundBiased(abs(col("pred") - col("v")), 4)
+          .as("abs_err"))
+      .orderBy(col("station"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
-    i54)
+    i54, i55)
 }

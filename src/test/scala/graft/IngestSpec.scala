@@ -870,4 +870,34 @@ class IngestSpec extends SparkSpec {
       assert(c.getDouble(1) > 0.0 && c.getLong(2) != c.getLong(0))
     }
   }
+
+  test("i55 IDW cross-validation: hand-computed leave-one-out predictions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i55").toString
+    val t0 = 1704067200L * 1000000000L
+    // station coords (x, y) from click/view means; the 'obs' reading is
+    // chosen so the all-event mean v is exact: o = 3v − x − y
+    def station(st: Long, x: Double, y: Double, v: Double) = Seq(
+      (st * 10, t0, st, "click", x, "{}"),
+      (st * 10 + 1, t0, st, "view", y, "{}"),
+      (st * 10 + 2, t0, st, "obs", 3 * v - x - y, "{}"))
+    val events = station(1L, 0.0, 0.0, 10.0) ++
+      station(2L, 3.0, 0.0, 20.0) ++ station(3L, 0.0, 4.0, 30.0)
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.i55.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L).getAs[Long]("n_neighbors") == 2L)
+    // station 1: w = (1/9, 1/16), wv = (20/9, 30/16) → 23.6 exactly on grid
+    assert(got(1L).getAs[Double]("pred") == 23.6, s"${got(1L)}")
+    assert(got(1L).getAs[Double]("abs_err") == 13.6)
+    assert(got(2L).getAs[Double]("pred") == 15.2941)
+    assert(got(3L).getAs[Double]("pred") == 13.9024)
+    // corpus: every validated station has neighbors and nonneg error
+    Ingest.i55.fn(spark, sf).collect().foreach { c =>
+      assert(c.getAs[Long]("n_neighbors") >= 1L)
+      assert(c.getAs[Double]("abs_err") >= 0.0)
+    }
+  }
 }
