@@ -2532,7 +2532,7 @@ object Ingest {
       |  FROM p WHERE f IS NOT NULL GROUP BY cell)
       |SELECT cell, CAST(n AS BIGINT) AS n_years, CAST(h AS BIGINT) AS n_hits,
       |  CAST(h * 1000000 // n AS BIGINT) AS hit_ppm,
-      |  ROUND((3.0 * h - n) / (2.0 * n) + 1e-9, 4) AS heidke
+      |  ROUND((3.0 * h - n) / (2.0 * n) + 1e-9, 4) + 0.0 AS heidke
       |FROM ver ORDER BY cell""".stripMargin) { (spark, dir) =>
     val yearly = Tables(spark, dir).lineitem
       .groupBy(col("l_returnflag").as("cell"), year(col("l_shipdate")).as("yr"))

@@ -1261,7 +1261,7 @@ object Relational {
       |SELECT rf, yr, mon, rev_cents,
       |  CAST(rev_cents - prev_cents AS BIGINT) AS mom_delta_cents,
       |  CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0 THEN
-      |    ROUND((rev_cents - prev_cents) * 1.0 / prev_cents + 1e-9, 4)
+      |    ROUND((rev_cents - prev_cents) * 1.0 / prev_cents + 1e-9, 4) + 0.0
       |  END AS mom_pct,
       |  CAST(ytd_cents AS BIGINT) AS ytd_cents
       |FROM g ORDER BY rf, yr, mon""".stripMargin) { (spark, dir) =>

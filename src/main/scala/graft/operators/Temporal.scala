@@ -23,22 +23,36 @@ object Temporal {
     * (ts, side) per key, carry the last right value forward
     * (`last(_, ignoreNulls=true)`), keep left rows. Right rows sort
     * before left rows at equal ts → inclusive (>=) semantics, matching
-    * SQL ASOF JOIN. One shuffle total, O(n log n) per partition. */
+    * SQL ASOF JOIN. One shuffle total, O(n log n) per partition.
+    *
+    * `tieBreak` (right-side column names) pins which right row is
+    * carried when several share one timestamp: the window orders by
+    * (ts, side, tieBreak…), so backward picks the LARGEST tiebreak at
+    * the tied instant ("latest wins") and forward the SMALLEST
+    * ("earliest wins") — deterministic across runs, partitionings and
+    * engines (the oracle mirrors the same ORDER BY). Without it, two
+    * equal-ts right rows with different values make the carried value
+    * run-dependent — and DuckDB's native ASOF picks its own arbitrary
+    * row, so a hash check against it can flake. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, leftTs: String,
-      rightTs: String, carryCols: Seq[String]): DataFrame = {
+      rightTs: String, carryCols: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val lCols = left.columns
     val l = left
       .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
       .select(Seq(col(key), col("__ts"), col("__side")) ++
         lCols.filter(_ != key).map(col) ++
+        tieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(s"__tb_$c")) ++
         carryCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__carry_$c")): _*)
     val r = right
       .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
       .select(Seq(col(key), col("__ts"), col("__side")) ++
         lCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        tieBreak.map(c => col(c).as(s"__tb_$c")) ++
         carryCols.map(c => col(c).as(s"__carry_$c")): _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(Seq(col("__ts"), col("__side")) ++
+        tieBreak.map(c => col(s"__tb_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .select((Seq(col(key)) ++ lCols.filter(_ != key).map(col) ++ Seq(col("__side")) ++
@@ -48,22 +62,31 @@ object Temporal {
   }
 
   /** j01: each purchase event picks up the value of the user's latest
-    * click at-or-before it — oracle is DuckDB's native ASOF LEFT JOIN. */
+    * click at-or-before it. The oracle is the SAME union+window
+    * construction in DuckDB (not native ASOF, whose equal-ts pick is
+    * arbitrary): both engines order (ts, side, click event_id), so a
+    * user with two clicks at one instant resolves identically —
+    * latest-event_id wins — and the hash check can't flake. */
   val j01 = QueryDef(
     "j01_asof_join",
-    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-      |           FROM events WHERE event_type = 'purchase'),
-      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
-      |      FROM events WHERE event_type = 'click')
-      |SELECT l.event_id, l.user_id, r.value AS last_click_value
-      |FROM p l ASOF LEFT JOIN c r ON l.user_id = r.user_id AND l.ts >= r.ts
-      |ORDER BY l.event_id""".stripMargin) { (spark, dir) =>
+    """WITH e AS (SELECT event_id, user_id,
+      |    EPOCH_US(CAST(ts AS TIMESTAMP)) AS tsu,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+      |    CASE WHEN event_type = 'click' THEN value END AS cval
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |w AS (SELECT *, LAST_VALUE(cval IGNORE NULLS) OVER
+      |    (PARTITION BY user_id ORDER BY tsu, side, event_id
+      |     ROWS UNBOUNDED PRECEDING) AS last_click_value
+      |  FROM e)
+      |SELECT event_id, user_id, last_click_value
+      |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin) { (spark, dir) =>
     val ev = Tables(spark, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("value"))
-    asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("value"))
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("value"),
+        tieBreak = Seq("event_id"))
       .select(col("event_id"), col("user_id"), col("value").as("last_click_value"))
       .orderBy(col("event_id"))
   }
@@ -265,22 +288,27 @@ object Temporal {
     * merge_asof direction='forward'). Same single-shuffle union-window
     * shape; at equal ts the left row sorts first and the frame runs
     * CURRENT ROW → UNBOUNDED FOLLOWING, so an exactly-simultaneous
-    * right row matches (inclusive >=). */
+    * right row matches (inclusive >=). `tieBreak` pins equal-ts right
+    * rows (earliest-tiebreak wins here — see asofJoin's note). */
   def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, carryCols: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, carryCols: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val lCols = left.columns
     val l = left
       .withColumn("__ts", col(leftTs)).withColumn("__side", lit(0))
       .select(Seq(col(key), col("__ts"), col("__side")) ++
         lCols.filter(_ != key).map(col) ++
+        tieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(s"__tb_$c")) ++
         carryCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__carry_$c")): _*)
     val r = right
       .withColumn("__ts", col(rightTs)).withColumn("__side", lit(1))
       .select(Seq(col(key), col("__ts"), col("__side")) ++
         lCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        tieBreak.map(c => col(c).as(s"__tb_$c")) ++
         carryCols.map(c => col(c).as(s"__carry_$c")): _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(Seq(col("__ts"), col("__side")) ++
+        tieBreak.map(c => col(s"__tb_$c")): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     l.unionByName(r)
       .select((Seq(col(key)) ++ lCols.filter(_ != key).map(col) ++ Seq(col("__side")) ++
@@ -295,32 +323,39 @@ object Temporal {
     * confirmation, next observation, support response). Matches
     * outside the tolerance null out; the wait is exact integer
     * MICROSECONDS (epoch_us difference — no boundary-crossing
-    * date_diff semantics to disagree on). Oracle = DuckDB's native
-    * forward ASOF (`l.ts <= r.ts`). One key shuffle (the union-window
-    * shape), tolerance map-side. */
+    * date_diff semantics to disagree on). The oracle mirrors the
+    * union-window construction (j01's determinism note: native ASOF's
+    * equal-ts pick is arbitrary; here both engines order
+    * (ts, side, click event_id) so earliest-event_id wins a tied
+    * instant). One key shuffle, tolerance map-side. */
   val j05 = QueryDef(
     "j05_asof_tolerance",
-    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-      |           FROM events WHERE event_type = 'purchase'),
-      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
-      |      FROM events WHERE event_type = 'click'),
-      |j AS (SELECT l.event_id, l.user_id, r.value,
-      |    epoch_us(r.ts) - epoch_us(l.ts) AS wait0
-      |  FROM p l ASOF LEFT JOIN c r
-      |    ON l.user_id = r.user_id AND l.ts <= r.ts)
+    """WITH e AS (SELECT event_id, user_id,
+      |    EPOCH_US(CAST(ts AS TIMESTAMP)) AS tsu,
+      |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side,
+      |    CASE WHEN event_type = 'click'
+      |         THEN EPOCH_US(CAST(ts AS TIMESTAMP)) END AS cts,
+      |    CASE WHEN event_type = 'click' THEN value END AS cval
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |w AS (SELECT *,
+      |    FIRST_VALUE(cts IGNORE NULLS) OVER win_next AS nts,
+      |    FIRST_VALUE(cval IGNORE NULLS) OVER win_next AS nval
+      |  FROM e
+      |  WINDOW win_next AS (PARTITION BY user_id ORDER BY tsu, side, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
       |SELECT event_id, user_id,
-      |  CASE WHEN wait0 <= 86400000000 THEN value END AS next_click_value,
-      |  CASE WHEN wait0 <= 86400000000 THEN CAST(wait0 AS BIGINT) END
+      |  CASE WHEN nts - tsu <= 86400000000 THEN nval END AS next_click_value,
+      |  CASE WHEN nts - tsu <= 86400000000 THEN CAST(nts - tsu AS BIGINT) END
       |    AS wait_us
-      |FROM j ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      |FROM w WHERE side = 0 ORDER BY event_id""".stripMargin) { (spark, dir) =>
     val ev = Tables(spark, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("value"),
-        col("ts").as("click_ts"))
+        col("ts").as("click_ts"), col("event_id"))
     val j = asofJoinForward(purchases, clicks, "user_id", "ts", "ts",
-      Seq("value", "click_ts"))
+      Seq("value", "click_ts"), tieBreak = Seq("event_id"))
     val wait0 = unix_micros(col("click_ts")) - unix_micros(col("ts"))
     j.select(col("event_id"), col("user_id"),
         when(wait0 <= 86400000000L, col("value")).as("next_click_value"),

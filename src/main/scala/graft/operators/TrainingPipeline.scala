@@ -605,7 +605,8 @@ object TrainingPipeline {
       |src AS (SELECT source, COUNT(*) AS n_docs,
       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM tok GROUP BY source),
       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
-      |    SUM(SQRT(n_tokens)) AS sum_w FROM src),
+      |    CAST(SUM(CAST(ROUND(SQRT(n_tokens) + 1e-9, 6)
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS sum_w FROM src),
       |rates AS (SELECT source, n_docs, n_tokens,
       |    ROUND(SQRT(n_tokens) / sum_w + 1e-9, 6) AS weight,
       |    ROUND(LEAST((0.5 * total) * (SQRT(n_tokens) / sum_w)
@@ -630,7 +631,11 @@ object TrainingPipeline {
       .persist()
     src.count()
     val tot = src.agg(sum(col("n_tokens")).as("total"),
-      sum(sqrt(col("n_tokens"))).as("sum_w"))
+      // each sqrt term on the 6-dec grid, summed as DECIMAL — the
+      // t24/q35 order-free discipline (a raw double sum's value
+      // depends on accumulation order, which differs cross-engine)
+      sum(round(sqrt(col("n_tokens")) + 1e-9, 6).cast("decimal(38,6)"))
+        .cast("double").as("sum_w"))
     val rates = src.join(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         graft.QueryDef.roundBiased(sqrt(col("n_tokens")) / col("sum_w"), 6)
@@ -680,7 +685,8 @@ object TrainingPipeline {
       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
       |    CAST(SUM(eff) AS BIGINT) AS eff_micro FROM d GROUP BY source),
       |tot AS (SELECT CAST(SUM(eff_micro) AS BIGINT) AS total_eff,
-      |    SUM(SQRT(eff_micro)) AS sum_w FROM src),
+      |    CAST(SUM(CAST(ROUND(SQRT(eff_micro) + 1e-9, 6)
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS sum_w FROM src),
       |rates AS (SELECT source, n_docs, n_tokens, eff_micro,
       |    ROUND(SQRT(eff_micro) / sum_w + 1e-9, 6) AS weight,
       |    ROUND(LEAST((0.5 * total_eff) * (SQRT(eff_micro) / sum_w)
@@ -716,7 +722,9 @@ object TrainingPipeline {
       .persist()
     src.count()
     val tot = src.agg(sum(col("eff_micro")).as("total_eff"),
-      sum(sqrt(col("eff_micro"))).as("sum_w"))
+      // 6-dec grid per sqrt term, DECIMAL sum (order-free, see p10)
+      sum(round(sqrt(col("eff_micro")) + 1e-9, 6).cast("decimal(38,6)"))
+        .cast("double").as("sum_w"))
     val rates = src.join(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("eff_micro"),
         graft.QueryDef.roundBiased(sqrt(col("eff_micro")) / col("sum_w"), 6)
@@ -792,17 +800,17 @@ object TrainingPipeline {
          |  FROM documents),
          |n AS (SELECT COUNT(*) AS n FROM f),
          |${gradCte("g1", "0.0", "0.0", "0.0", "")},
-         |wt1 AS (SELECT ROUND(0.0 - gx1 + 1e-9, 6) AS w1,
-         |  ROUND(0.0 - gx2 + 1e-9, 6) AS w2,
-         |  ROUND(0.0 - gx0 + 1e-9, 6) AS w0 FROM g1),
+         |wt1 AS (SELECT ROUND(0.0 - gx1 + 1e-9, 6) + 0.0 AS w1,
+         |  ROUND(0.0 - gx2 + 1e-9, 6) + 0.0 AS w2,
+         |  ROUND(0.0 - gx0 + 1e-9, 6) + 0.0 AS w0 FROM g1),
          |${gradCte("g2", "wt1.w1", "wt1.w2", "wt1.w0", "wt1")},
-         |wt2 AS (SELECT ROUND(wt1.w1 - gx1 + 1e-9, 6) AS w1,
-         |  ROUND(wt1.w2 - gx2 + 1e-9, 6) AS w2,
-         |  ROUND(wt1.w0 - gx0 + 1e-9, 6) AS w0 FROM wt1, g2),
+         |wt2 AS (SELECT ROUND(wt1.w1 - gx1 + 1e-9, 6) + 0.0 AS w1,
+         |  ROUND(wt1.w2 - gx2 + 1e-9, 6) + 0.0 AS w2,
+         |  ROUND(wt1.w0 - gx0 + 1e-9, 6) + 0.0 AS w0 FROM wt1, g2),
          |${gradCte("g3", "wt2.w1", "wt2.w2", "wt2.w0", "wt2")},
-         |wt3 AS (SELECT ROUND(wt2.w1 - gx1 + 1e-9, 6) AS w1,
-         |  ROUND(wt2.w2 - gx2 + 1e-9, 6) AS w2,
-         |  ROUND(wt2.w0 - gx0 + 1e-9, 6) AS w0 FROM wt2, g3),
+         |wt3 AS (SELECT ROUND(wt2.w1 - gx1 + 1e-9, 6) + 0.0 AS w1,
+         |  ROUND(wt2.w2 - gx2 + 1e-9, 6) + 0.0 AS w2,
+         |  ROUND(wt2.w0 - gx0 + 1e-9, 6) + 0.0 AS w0 FROM wt2, g3),
          |${accCte("a1", "wt1")},
          |${accCte("a2", "wt2")},
          |${accCte("a3", "wt3")}
