@@ -2565,10 +2565,15 @@ object Ingest {
     * the id tiebreak makes the pick deterministic on the grid).
     *
     * Stations are DIMENSION-sized by nature (thousands, not events) —
-    * the pair space is a broadcast self-join, never touching the event
-    * table twice; one station agg + one station-sized argmin agg.
-    * sin/cos/asin parity rides the t08 libm convention under the
-    * 4-dec output grid. */
+    * below [[SpatialPairs.AllPairsGate]] the pair space is a broadcast
+    * self-join, never touching the event table twice; one station agg
+    * + one station-sized argmin agg. ABOVE the gate (a continental
+    * network) [[SpatialPairs.nearestStation]] switches to the
+    * certified tile-ring search — i38's tile buckets + an exact
+    * distance-bound certificate — so per-station work is bounded by
+    * local density, not n (the quadratic rung stays where it is
+    * faster, exactly like InlineCodebookK). sin/cos/asin parity rides
+    * the t08 libm convention under the 4-dec output grid. */
   val i54 = QueryDef(
     "i54_nearest_station",
     """WITH st AS (
@@ -2604,21 +2609,8 @@ object Ingest {
           avg(when(col("event_type") === "view", col("value"))) - 50.0,
           lit(-90.0)), lit(90.0)), 4).as("lon"))
       .filter(col("lat").isNotNull && col("lon").isNotNull)
-    val a = st.toDF("station", "lat", "lon")
-    val b = st.toDF("other", "blat", "blon")
-    def sin2(x: org.apache.spark.sql.Column) =
-      sin(radians(x / 2.0)) * sin(radians(x / 2.0))
-    val km = graft.QueryDef.roundBiased(
-      lit(2.0) * 6371.0 * asin(sqrt(
-        sin2(col("blat") - col("lat")) +
-          cos(radians(col("lat"))) * cos(radians(col("blat"))) *
-            sin2(col("blon") - col("lon")))), 4)
-    a.join(broadcast(b), col("station") =!= col("other"))
-      .select(col("station"), col("other"), km.as("km"))
-      .groupBy(col("station"))
-      .agg(min(struct(col("km"), col("other"))).as("m"))
-      .select(col("station"), col("m.km").as("nearest_km"),
-        col("m.other").as("nearest_station"))
+      .persist()
+    SpatialPairs.nearestStation(st, st.count())
       .orderBy(col("station"))
   }
 
@@ -2635,8 +2627,15 @@ object Ingest {
     * stations with no in-radius neighbor drop (inner-join semantics —
     * nothing to validate against).
     *
-    * Stations are dimension-sized: the pair space is a broadcast
-    * self-join (i54's stance), the events table is scanned once. */
+    * Stations are dimension-sized: below the gate the pair space is a
+    * broadcast self-join (i54's stance), the events table is scanned
+    * once. Above [[SpatialPairs.AllPairsGate]] the cutoff radius (d² ≤
+    * 400 ⇒ r = 20) makes the tile rung direct: stations explode to the
+    * ≤3×3 tiles the radius touches and pairs meet through the tile
+    * equi-join + residual d² filter — no certification needed because
+    * the neighborhood is radius-bounded by the operator itself. Both
+    * rungs emit the same pair set, and the num/denom sums ride the
+    * DECIMAL grid, so the result is order-free and rung-identical. */
   val i55 = QueryDef(
     "i55_idw_crossval",
     """WITH st AS (
@@ -2678,8 +2677,9 @@ object Ingest {
     val b = st.toDF("other", "bx", "by", "bv")
     val d2 = (col("x") - col("bx")) * (col("x") - col("bx")) +
       (col("y") - col("by")) * (col("y") - col("by"))
-    val pr = a.join(broadcast(b),
-        col("station") =!= col("other") && d2 >= 0.01 && d2 <= 400.0)
+    val pr = SpatialPairs
+      .radiusPairs(a, b, "x", "y", "bx", "by", 400.0, st.count())
+      .filter(col("station") =!= col("other") && d2 >= 0.01)
       .select(col("station"),
         round(col("bv") / d2 + 1e-9, 8).cast("decimal(28,8)").as("wv"),
         round(lit(1.0) / d2 + 1e-9, 8).cast("decimal(28,8)").as("w"))
