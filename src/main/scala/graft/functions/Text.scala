@@ -27,6 +27,20 @@ object Text {
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(toks), n))
   }
 
+  /** Per-doc char stats struct (n_chars, n_distinct, entropy) — the
+    * codegen'd one-pass [[CharEntropyStatsExpr]] (t24's hot path). */
+  def charEntropyStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(CharEntropyStatsExpr(ColumnBridge.expression(text)))
+  }
+
+  /** Per-doc token→count map — the codegen'd one-pass
+    * [[TokenCountsExpr]] (t23's per-row half). */
+  def tokenCounts(toks: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(TokenCountsExpr(ColumnBridge.expression(toks)))
+  }
+
   /** Count of tokens belonging to `set`. */
   def countIn(toks: Column, set: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(set)))

@@ -1202,11 +1202,13 @@ object TextAnalysis {
     * (zeros included — derived from Σx, Σx² and the doc count alone,
     * so absent-doc rows are never materialized).
     *
-    * Plan: token explode → (token, doc) partial-agg shuffle →
-    * vocab-sized token agg (Heaps' law bounds it) with the doc count
-    * broadcast; the VMR arithmetic is map-side on the vocab table.
-    * Both engines evaluate the identical double expression once, then
-    * the biased 4-decimal grid round (t08's ln-parity stance). */
+    * Plan: per-doc token counts come from the codegen'd one-pass
+    * [[graft.functions.TokenCountsExpr]] (no token-stream rows, no
+    * (token, doc) aggregate — each doc emits its DISTINCT tokens
+    * once), then one vocab-keyed agg (Heaps' law bounds it) with the
+    * doc count broadcast; the VMR arithmetic is map-side on the vocab
+    * table. Both engines evaluate the identical double expression
+    * once, then the biased 4-decimal grid round (t08's stance). */
   val t23 = QueryDef(
     "t23_burstiness",
     """WITH tok AS (SELECT doc_id,
@@ -1223,9 +1225,8 @@ object TextAnalysis {
       |FROM st, n WHERE total >= 50 ORDER BY token""".stripMargin) { (spark, dir) =>
     val docs = Tables(spark, dir).documents
     val tc = docs
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-      .groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).as("c"))
+      .select(explode(Text.tokenCounts(Text.tokens(col("text"))))
+        .as(Seq("token", "c")))
     val st = tc.groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
         sum(col("c") * col("c")).as("sumsq"))
@@ -1250,11 +1251,16 @@ object TextAnalysis {
     * summed as DECIMAL(18,8) — exact, associative, order-free (i39b's
     * length-sum discipline; ln parity is the t08 convention).
     *
-    * Plan: char explode → (doc, char) partial agg — the map-side
-    * combiner collapses the per-CHAR stream to ≤alphabet rows per doc
-    * per partition BEFORE the shuffle (t09's gram stance: the explode
-    * never crosses the wire) — then a doc-keyed agg over the
-    * alphabet-bounded count table; ln/p arithmetic map-side. */
+    * Plan: ONE codegen'd per-row expression
+    * ([[graft.functions.CharEntropyStatsExpr]] — t09's
+    * RepetitionStatsExpr discipline): the char stream never exists as
+    * rows, the count table is per-row and alphabet-bounded, and the
+    * query is exchange-free scan→project (was the worst uniform ×10
+    * ratio in r6 — the per-char explode fed a corpus-bytes-
+    * proportional aggregate). The expression replicates the old
+    * plan's Round/Cast/DECIMAL pipeline bit-for-bit, so the DuckDB
+    * oracle is unchanged; empty docs are filtered to mirror UNNEST's
+    * empty-array drop. */
   val t24 = QueryDef(
     "t24_char_entropy",
     """WITH ch AS (SELECT doc_id,
@@ -1270,18 +1276,11 @@ object TextAnalysis {
       |FROM cc JOIN n USING (doc_id)
       |GROUP BY cc.doc_id, n.n_chars, n.n_distinct
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val cc = Tables(spark, dir).documents
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("c"))
-    val n = cc.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_chars"), count(lit(1)).as("n_distinct"))
-    val p = col("c") * lit(1.0) / col("n_chars")
-    cc.join(n, "doc_id")
-      .groupBy(col("doc_id"), col("n_chars"), col("n_distinct"))
-      .agg(round((-sum(round(p * log(p) + 1e-9, 8).cast("decimal(18,8)")))
-          .cast("double") + 1e-9, 4).as("entropy"))
-      .select(col("doc_id"), col("n_chars"), col("n_distinct"), col("entropy"))
+    Tables(spark, dir).documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), Text.charEntropyStats(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_chars").as("n_chars"),
+        col("s.n_distinct").as("n_distinct"), col("s.entropy").as("entropy"))
       .orderBy(col("doc_id"))
   }
 

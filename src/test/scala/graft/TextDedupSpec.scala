@@ -1179,4 +1179,62 @@ class TextDedupSpec extends SparkSpec {
     assert(i34Plan.contains("partial_count"),
       s"range stats must partial-aggregate map-side:\n$i34Plan")
   }
+
+  test("t24 runs as one per-row expression: no explode, only the ORDER BY exchange") {
+    val plan = physicalPlan(TextAnalysis.t24.fn(spark, sf))
+    assert(plan.contains("graft_char_entropy_stats"), plan)
+    assert(!plan.contains("Generate"),
+      s"the char stream must never exist as rows:\n$plan")
+    assert("Exchange".r.findAllMatchIn(plan).size <= 1,
+      s"scan→project→sort only:\n$plan")
+  }
+
+  test("t24 expression is bit-identical to the exploded reference plan") {
+    // the expression replicates Round/Cast/DECIMAL internally; prove it
+    // against the pre-r7 composition on the real corpus, comparing
+    // doubles by BITS (the driver's hash does)
+    val docs = Tables(spark, sf).documents
+    val cc = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val n = cc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"), count(lit(1)).as("n_distinct"))
+    val p = col("c") * lit(1.0) / col("n_chars")
+    val old = cc.join(n, "doc_id")
+      .groupBy(col("doc_id"), col("n_chars"), col("n_distinct"))
+      .agg(round((-sum(round(p * log(p) + 1e-9, 8).cast("decimal(18,8)")))
+        .cast("double") + 1e-9, 4).as("entropy"))
+      .orderBy(col("doc_id")).collect()
+    val neu = TextAnalysis.t24.fn(spark, sf).collect()
+    assert(old.length == neu.length && old.nonEmpty)
+    old.zip(neu).foreach { case (o, r) =>
+      assert(o.getLong(0) == r.getLong(0) && o.getLong(1) == r.getLong(1) &&
+        o.getLong(2) == r.getLong(2))
+      assert(java.lang.Double.doubleToLongBits(o.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        s"doc ${o.getLong(0)}: ${o.getDouble(3)} vs ${r.getDouble(3)}")
+    }
+  }
+
+  test("t23 token-counts expression matches the exploded (token, doc) aggregate") {
+    val docs = Tables(spark, sf).documents
+    val old = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .orderBy(col("token")).collect()
+    val neu = docs
+      .select(explode(Text.tokenCounts(Text.tokens(col("text"))))
+        .as(Seq("token", "c")))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .orderBy(col("token")).collect()
+    assert(old.length == neu.length && old.nonEmpty)
+    assert(old.toSeq == neu.toSeq)
+    val plan = physicalPlan(TextAnalysis.t23.fn(spark, sf))
+    assert(plan.contains("graft_token_counts"), plan)
+  }
 }
