@@ -22,8 +22,25 @@ object Bench {
     * ours, so anything ≤1850 survives with margin. */
   val LineBudget = 1800
 
+  /** Queries whose FIRST run stages a persistent artifact (the stored
+    * dedup index, fingerprint-keyed stream sinks/checkpoints, the
+    * materialized csv/json/orc demo sources): their wall time depends
+    * on whether a prior run already staged — d07 measured 31.7 s
+    * first-touch vs 4.0 s steady at sf1, and a round artifact mixing
+    * the two can hide a regression in the stored-index read path.
+    * Bench times these twice and publishes BOTH columns: `queries` /
+    * `value` keep the first-touch time (comparable with every past
+    * round), `staged` carries `[first_touch, steady]` per query. */
+  val Staged: Set[String] = Set(
+    "d07_incremental_dedup",       // Dedup.stagedCorpusIndex
+    "st08_stream_dedup_corpus",    // same stored index, prefix keys
+    "st03_stream_upsert_sink",     // fp-keyed sink + checkpoint resume
+    "st10_stream_incremental_agg", // fp-keyed staged slices + state_v
+    "i16_multi_source_union")      // per-JVM materialized demo sources
+
   /** Render the one-line driver JSON within [[LineBudget]]. */
-  def renderJson(results: Seq[(String, Double)], failed: Seq[String], sfDir: String): String = {
+  def renderJson(results: Seq[(String, Double)], failed: Seq[String], sfDir: String,
+      staged: Seq[(String, (Double, Double))] = Nil): String = {
     val total = results.map(_._2).sum
     // failed queries are flagged in the JSON and fail the run — a
     // fast-fail timing must never read as a performance win
@@ -31,7 +48,14 @@ object Bench {
       if (failed.size <= 5) failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       else failed.take(5).map("\"" + _ + "\"").mkString("[", ",", s""","+${failed.size - 5} more"]""")
     val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":{"""
-    val suffix = f""","errors":$errs,"sf":"$sfDir"}"""
+    // both columns for the staged queries, fixed small (≤5 entries) —
+    // goes in the measured suffix so the budget math stays exact
+    val stagedJson =
+      if (staged.isEmpty) ""
+      else staged.sortBy(_._1).map { case (k, (ft, st)) =>
+        "\"" + k + f"""\":[$ft%.2f,$st%.2f]""" }
+        .mkString(""","staged":{""", ",", "}")
+    val suffix = f"""$stagedJson,"errors":$errs,"sf":"$sfDir"}"""
     // slowest-first so the entries that matter for grading always fit
     val bySlowest = results.sortBy { case (n, s) => (-s, n) }
     val entries = bySlowest.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
@@ -73,6 +97,7 @@ object Bench {
     Tables.names.foreach(n => t.table(n).count())
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val stagedTimes = scala.collection.mutable.ListBuffer.empty[(String, (Double, Double))]
     val results = SparkEntry.defs.sortBy(_.name)
       .filter(d => names.isEmpty || names.contains(d.name))
       .map { d =>
@@ -89,6 +114,16 @@ object Bench {
       // suite — the 134-query session would otherwise leak every
       // operator's persist() for its lifetime
       spark.catalog.clearCache()
+      // staged queries run a second time against the now-staged
+      // artifact: the steady-state column (regressions in the stored
+      // index/sink READ path show here, not in the staging cost)
+      if (Staged.contains(d.name) && !failed.contains(d.name)) {
+        val t1 = System.nanoTime()
+        try { d.fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val steady = (System.nanoTime() - t1) / 1e9
+        spark.catalog.clearCache()
+        stagedTimes += d.name -> (sec, steady)
+      }
       d.name -> sec
     }
     // full per-query map (unbudgeted) for local inspection
@@ -100,7 +135,7 @@ object Bench {
       java.nio.file.Files.write(out, fullQs.getBytes("UTF-8"))
     } catch { case _: java.io.IOException => () } // diagnostics only
 
-    println(renderJson(results, failed.toList, sfDir))
+    println(renderJson(results, failed.toList, sfDir, stagedTimes.toList))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -37,6 +37,17 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\"omitted\""))
   }
 
+  test("staged queries publish both columns and stay inside the budget") {
+    val staged = Bench.Staged.toSeq.sorted.map(n => n -> (31.71, 4.02))
+    val line = Bench.renderJson(fakeResults(200), Nil, "sfdir", staged)
+    assert(line.length <= Bench.LineBudget, s"line ${line.length} chars")
+    assert(line.contains("\"staged\":{"))
+    // every staged query carries [first_touch, steady]
+    Bench.Staged.foreach(n => assert(line.contains("\"" + n + "\":[31.71,4.02]")))
+    // and the map is absent when nothing staged (old-shape artifact)
+    assert(!Bench.renderJson(fakeResults(10), Nil, "sfdir").contains("staged"))
+  }
+
   test("failure list is capped so errors can't blow the budget") {
     val failed = (1 to 50).map(i => f"q${i}%03d_some_rather_long_operator_name")
     val line = Bench.renderJson(fakeResults(200), failed, "sfdir")
