@@ -88,8 +88,35 @@ object Streaming {
       math.min(spark.sparkContext.defaultParallelism.toLong, bytes >> 20)).toInt
     val isolated = spark.newSession()
     isolated.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // state-store DURABILITY rung: the default HDFSBackedStateStore
+    // keeps state on the JVM heap and snapshots the FULL store at each
+    // maintenance pass — fine at driver SFs, but at 100 TB ingest
+    // rates the per-batch snapshot + heap pressure dominate a stateful
+    // stream. Setting [[StateStoreProviderConf]] on the CALLER session
+    // routes every graft stream in that session through RocksDB
+    // (off-heap, incremental changelog+snapshot) — same results,
+    // spec'd streamed==batch under both providers. The conf applies to
+    // the isolated session only; a durable fp-keyed checkpoint
+    // (st03/st10) must not flip providers within a staged generation —
+    // their state formats differ on disk — so flip only against a
+    // fresh source generation (the spec uses fresh-checkpoint queries).
+    spark.conf.getOption(StateStoreProviderConf).foreach { p =>
+      val cls = p match {
+        case "rocksdb" =>
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        case "hdfs" =>
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        case fqcn => fqcn
+      }
+      isolated.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
     body(isolated)
   }
+
+  /** Session conf selecting the streaming state-store backend for
+    * graft streams: "rocksdb", "hdfs" (the Spark default), or a fully
+    * qualified provider class. Unset ⇒ Spark's session default. */
+  val StateStoreProviderConf = "spark.graft.stream.stateStoreProvider"
 
   /** CONTENT-keyed fingerprint of a source file: md5 over (length, head
     * 64 KiB, tail 64 KiB), O(1) I/O regardless of file size. The tail

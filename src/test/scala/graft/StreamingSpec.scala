@@ -405,4 +405,27 @@ class StreamingSpec extends SparkSpec {
     // B: untouched; the eval doc itself never appears
     assert(got == Map("A" -> ((2L, 1L, 4L)), "B" -> ((1L, 0L, 5L))), s"$got")
   }
+
+  test("stateful streams are provider-agnostic: RocksDB state store equals the default") {
+    // the durability rung (SURVEY §5): HDFSBacked snapshots the full
+    // store per maintenance pass; RocksDB is the 100 TB-rate choice.
+    // Same queries, both providers, identical rows — windowed agg
+    // (st01), within-watermark dedup state (st02), custom
+    // mapGroupsWithState (st04), event-time-evicted funnel (st12).
+    val qs = Seq(Streaming.st01, Streaming.st02, Streaming.st04, Streaming.st12)
+    def run() = qs.map(q => q.fn(spark, sf).collect().toSeq)
+    val defaults = run()
+    spark.conf.set(Streaming.StateStoreProviderConf, "rocksdb")
+    val rocks = try run()
+    finally spark.conf.unset(Streaming.StateStoreProviderConf)
+    qs.zip(defaults.zip(rocks)).foreach { case (q, (d, r)) =>
+      assert(d == r, s"${q.name}: providers diverge (${d.size} vs ${r.size} rows)")
+    }
+  }
+
+  test("state-store conf is actually wired: a bogus provider class fails the stream") {
+    spark.conf.set(Streaming.StateStoreProviderConf, "graft.NoSuchProvider")
+    try intercept[Exception] { Streaming.st02.fn(spark, sf).collect() }
+    finally spark.conf.unset(Streaming.StateStoreProviderConf)
+  }
 }
