@@ -67,6 +67,61 @@ object DedupIndex {
     Publish.writeDatePartitioned(bands.join(ts, "doc_id"), indexDir, "bands", "__ts")
   }
 
+  /** RETENTION on the stored index, tied to the data's partition
+    * drops: without it the index grows monotonically per published
+    * slice — and keeps deduplicating incoming docs against content the
+    * corpus no longer holds (a doc matching only expired content must
+    * land, not drop). Removes the same `date_key=` partitions the
+    * data's [[Publish.dropOldPartitions]] removed, from BOTH index
+    * tables; O(#dropped partitions) metadata work, never a rewrite.
+    * [[Jobs]] calls this in the same cycle step as the data retention,
+    * so `index == build(retained corpus)` stays an invariant. */
+  def dropOldPartitions(spark: SparkSession, indexDir: String,
+      cutoffDateKey: String): Seq[String] =
+    (Publish.dropOldPartitions(spark, indexDir, "hashes", cutoffDateKey) ++
+      Publish.dropOldPartitions(spark, indexDir, "bands", cutoffDateKey))
+      .distinct.sorted
+
+  /** Small-file COMPACTION — [[graft.operators.Scale.compact]]'s
+    * housekeeping applied per FRAGMENTED index partition: a date
+    * republished by retried cycles (or written wide) accretes files,
+    * and at 100 TB an index probe pays per-file open cost. Each
+    * partition holding more than `maxFilesPerPartition` parquet files
+    * is rewritten alone into ~`targetRowsPerFile` chunks — cost ∝
+    * fragmented partitions, never the index. The rewrite stages next
+    * to the partition then swaps (delete + rename); a crash between
+    * the two leaves a missing partition plus its staged copy — the
+    * same repair story as a crashed cycle (republish the slice:
+    * per-date overwrite is idempotent). Returns the rewritten
+    * partition paths. */
+  def compactFragmented(spark: SparkSession, indexDir: String,
+      maxFilesPerPartition: Int = 4,
+      targetRowsPerFile: Long = 1L << 22): Seq[String] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    Seq("hashes", "bands").flatMap { t =>
+      val base = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
+      val fs = base.getFileSystem(hconf)
+      if (!fs.exists(base)) Nil
+      else fs.listStatus(base).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("date_key=")).map(_.getPath)
+        .filter { p =>
+          fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) >
+            maxFilesPerPartition
+        }
+        .map { p =>
+          val df = spark.read.parquet(p.toString)
+          val total = df.count()
+          val numFiles =
+            math.max(1, math.ceil(total.toDouble / targetRowsPerFile).toInt)
+          val stage = new org.apache.hadoop.fs.Path(base, s".compact_${p.getName}")
+          df.repartition(numFiles).write.mode("overwrite").parquet(stage.toString)
+          fs.delete(p, true)
+          fs.rename(stage, p)
+          p.toString
+        }.toSeq
+    }
+  }
+
   def readHashes(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/hashes")
       .select(col("doc_id"), col("h"), col("pk"), col("sv"))

@@ -169,6 +169,14 @@ final class Jobs(spark: SparkSession, statePath: String,
           // vacuum after the reader grace window
           PublishedTable.dropPartitionsOlderThan(s"${cfg.outDir}/${cfg.datasetId}", cutoff)
         else Publish.dropOldPartitions(spark, cfg.outDir, cfg.datasetId, cutoff)
+        // index housekeeping rides the same retention step: drop the
+        // dates the data dropped (the index must never dedup against
+        // expired content) and compact any fragmented partitions —
+        // both bounded, so the stored index stays ∝ the retained corpus
+        cfg.index.foreach { ix =>
+          DedupIndex.dropOldPartitions(spark, ix.indexDir, cutoff)
+          DedupIndex.compactFragmented(spark, ix.indexDir)
+        }
         JobResult(cfg.datasetId, n, skipped = false, Some(payload), dateKeys)
       }
     } finally fresh.unpersist()

@@ -282,4 +282,92 @@ class JobsSpec extends SparkSpec {
     val r = jobs.run(cfg(identity), 2)
     assert(!r.skipped && r.ingested == 1L)
   }
+
+  test("index retention rides the data's: 3 cycles keep the index bounded and corpus-equal") {
+    import graft.sources.{DedupIndex, DedupIndexSpec}
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_jobs_idxret").toString
+    val src = s"$root/docs_src"
+    val out = s"$root/out"
+    val idxDir = s"$root/index"
+    def docRows(rows: Seq[(Long, String, String)]) = rows
+      .map { case (id, day, text) =>
+        (id, text, "s0", java.sql.Timestamp.valueOf(s"$day 12:00:00")) }
+      .toDF("doc_id", "text", "source", "ts")
+    def texts(seed: Int) =
+      s"document number $seed talks about topic $seed with plenty of distinct tokens to shingle"
+    val jobs = new Jobs(spark, s"$root/state")
+      .register(JobConfig("docs", s => s.read.parquet(src), "ts", identity, out,
+        retentionDays = 2, index = Some(DedupIndexSpec(idxDir))))
+    def parts(base: String) = {
+      val d = new java.io.File(base)
+      if (!d.isDirectory) Array.empty[String]
+      else d.listFiles().filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("date_key=")).sorted
+    }
+    // cycle 1: days 1+2 → index {1,2}
+    docRows(Seq((0L, "2024-03-01", texts(1)), (1L, "2024-03-02", texts(2))))
+      .write.mode("overwrite").parquet(src)
+    assert(!jobs.runAll(1).head.skipped)
+    assert(parts(s"$idxDir/hashes").sameElements(
+      Array("date_key=2024-03-01", "date_key=2024-03-02")))
+    // cycle 2: day 4 lands, retention 2 days → cutoff 03-02 drops day 1
+    // from DATA and INDEX alike
+    docRows(Seq((2L, "2024-03-04", texts(3)))).write.mode("append").parquet(src)
+    assert(jobs.runAll(2).head.ingested == 1L)
+    assert(parts(s"$out/docs").sameElements(parts(s"$idxDir/hashes")), "index != data partitions")
+    assert(parts(s"$idxDir/hashes").sameElements(
+      Array("date_key=2024-03-02", "date_key=2024-03-04")))
+    assert(parts(s"$idxDir/bands").sameElements(parts(s"$idxDir/hashes")))
+    // cycle 3: day 6 → cutoff 03-04 → {04, 06}: bounded across cycles,
+    // always exactly the data's surviving dates
+    docRows(Seq((3L, "2024-03-06", texts(4)))).write.mode("append").parquet(src)
+    assert(jobs.runAll(3).head.ingested == 1L)
+    assert(parts(s"$idxDir/hashes").sameElements(
+      Array("date_key=2024-03-04", "date_key=2024-03-06")))
+    assert(parts(s"$out/docs").sameElements(parts(s"$idxDir/hashes")))
+    // and the retained index is value-identical to indexing the
+    // retained corpus inline — the d07/st08 read path can't drift
+    val corpus = spark.read.parquet(s"$out/docs").select(col("doc_id"), col("text"))
+    val (h2, _) = DedupIndex.build(corpus)
+    val stored = DedupIndex.readHashes(spark, idxDir)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val inline = h2.select(col("doc_id"), col("h"), col("pk"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(stored.sameElements(inline))
+  }
+
+  test("fragmented index partitions compact to few files with identical rows") {
+    import graft.sources.DedupIndex
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_idx_compact").toString
+    val idxDir = s"$root/index"
+    // a WIDE index write (explicit 8-way repartition right before the
+    // sink, the shape a big cluster writes) fragments the date partition
+    val slice = (0L until 64L).map(i =>
+      (i, s"document $i about subject $i with enough words to form several shingles cleanly",
+        java.sql.Timestamp.valueOf("2024-03-01 12:00:00")))
+      .toDF("doc_id", "text", "ts")
+    val keyed = slice.select(col("doc_id"), col("text"), col("ts").as("__ts"))
+    val (hashes, bands) = DedupIndex.build(keyed)
+    val ts = keyed.select(col("doc_id"), col("__ts"))
+    graft.sources.Publish.writeDatePartitioned(
+      hashes.join(ts, "doc_id").repartition(8), idxDir, "hashes", "__ts")
+    graft.sources.Publish.writeDatePartitioned(
+      bands.join(ts, "doc_id").repartition(8), idxDir, "bands", "__ts")
+    def files(t: String) = new java.io.File(s"$idxDir/$t/date_key=2024-03-01")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("hashes") > 2, s"fixture not fragmented: ${files("hashes")} files")
+    val before = DedupIndex.readHashes(spark, idxDir).orderBy("doc_id").collect()
+    val rewritten = DedupIndex.compactFragmented(spark, idxDir, maxFilesPerPartition = 2)
+    assert(rewritten.nonEmpty)
+    assert(files("hashes") == 1 && files("bands") == 1,
+      s"${files("hashes")}/${files("bands")} files after compaction")
+    val after = DedupIndex.readHashes(spark, idxDir).orderBy("doc_id").collect()
+    assert(before.toSeq == after.toSeq)
+    // idempotent: nothing left to compact
+    assert(DedupIndex.compactFragmented(spark, idxDir, maxFilesPerPartition = 2).isEmpty)
+  }
 }
