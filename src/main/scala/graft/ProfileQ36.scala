@@ -1,0 +1,22 @@
+package graft
+
+/** Profiling main for q36's delta-gated power iteration: runs the real
+  * operator under conf overrides so partition counts / block sizes /
+  * tolerances can be swept without touching the implementation.
+  * Usage: runMain graft.ProfileQ36 [sfDir] [loopPartitions] [blockRounds]
+  */
+object ProfileQ36 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftConf.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.lift(1).foreach(p => spark.conf.set("graft.q36.loopPartitions", p))
+    args.lift(2).foreach(b => spark.conf.set("graft.q36.blockRounds", b))
+    val t0 = System.nanoTime()
+    val n = graft.operators.Relational.q36.fn(spark, sfDir).count()
+    println(f"rows=$n rounds=${graft.operators.Relational.q36AdoptedRounds} " +
+      f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      f"(parts=${args.lift(1).getOrElse("auto")} block=${args.lift(2).getOrElse("4")})")
+    spark.stop()
+  }
+}

@@ -1075,71 +1075,159 @@ object Relational {
     * transaction networks: nodes are customers (even ids) and
     * suppliers (odd ids) that traded, edges the distinct
     * (customer, supplier) order lines made BIDIRECTIONAL (trade is a
-    * relationship, and symmetry leaves no dangling mass), 3 power
-    * iterations at damping 0.85.
+    * relationship, and symmetry leaves no dangling mass).
     *
-    * Float discipline is p12's: each contribution pr/deg
-    * biased-rounds to the 8-dec grid and sums as DECIMAL(18,8)
-    * (order-free), the damped rank re-rounds to 6 decimals per
-    * round — drift cannot compound across iterations; the oracle
-    * unrolls all three rounds as CTEs and hash-matches.
+    * Power iteration at damping 0.85 on GraphX-style SCALED ranks
+    * (mean 1.0, r0 = 1.0, r' = 0.15 + 0.85·Σ r/deg): scale-free — a
+    * fixed decimal grid stays meaningful at any node count, where raw
+    * 1/nn probabilities would sink below the grid on a billion-node
+    * graph. Iteration is DELTA-GATED under Components' round-cap
+    * discipline: rounds run in blocks of `graft.q36.blockRounds`
+    * (default 4) up to `graft.q36.roundCap` (default 48), stopping
+    * when the block's L1 rank movement — measured in EXACT integer
+    * micro-units on the 6-dec grid, so the adopted round count is a
+    * deterministic function of the data — averages (floor-divided)
+    * below `graft.q36.tolMicrosPerNode` micros per node PER ROUND
+    * (default 1000, i.e. movement under 0.1% of the mean rank;
+    * per-round normalization keeps the gate block-size-independent).
     *
-    * Plan: edge list built once from the orders⋈lineitem join and
-    * persisted; each round is ONE src-keyed join of the rank table to
-    * the edges plus a dst-keyed partial agg — shuffles bounded by the
-    * edge list per round (Components' loop stance), ranks re-derived
-    * never rescanning the fact tables; node count broadcast as a
-    * literal. */
-  val q36 = QueryDef(
+    * Number discipline: the loop is ALL-INTEGER — ranks live as
+    * BIGINT micros (r0 = 1 000 000), contributions round half-up to
+    * the 8-dec grid via integer division ((200·r + deg) div (2·deg)),
+    * sums are exact BIGINTs, and the damped update re-rounds to
+    * micros the same way. The 3-round original biased-rounded DOUBLES
+    * per round; at ~500k roundings per run (nodes × rounds) a
+    * sub-1e-9 boundary collision between Spark's decimal-string
+    * HALF_UP and DuckDB's binary ROUND becomes likely — and one
+    * 1-micro flip was observed at sf0.01. Integer div has no such
+    * boundary. Only the OUTPUT converts to double (micros/1e6 — one
+    * IEEE divide, bit-identical cross-engine). The ORACLE is
+    * generated, unrolled to exactly the ADOPTED round count: the gate
+    * is deterministic, so the count the Spark loop adopts on a
+    * dataset is the count the oracle replays (Verify runs the query
+    * before dumping oracle_sql.json, which is what makes the dynamic
+    * SQL safe).
+    *
+    * Plan: edge list built once from the orders⋈lineitem join,
+    * degree-joined, hash-partitioned by src once, and cached; each
+    * round shuffles ONLY the node-sized rank table into that
+    * partitioning (shuffle_hash — no per-round edge shuffle or sort,
+    * no broadcast build) plus a dst-keyed partial agg. Fact tables
+    * are never rescanned; loop shuffles are sized to the edge count,
+    * not the session default. Blocks compose `blockRounds` lazy
+    * rounds per action, then localCheckpoint truncates lineage (the
+    * measured r4 fix for iterative loops) and one node-sized join
+    * prices the delta. Ranks warm-start at the degree-proportional
+    * stationary approximation, roughly halving rounds-to-tolerance
+    * vs a uniform start. */
+  @volatile private[graft] var q36AdoptedRounds: Int = 48
+
+  // Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
+  // 40+-round chain inlined into one join tree stalls its optimizer
+  // for minutes; materialization makes evaluation linear in rounds
+  // (0.7 s for 44 rounds at sf0.001).
+  private def q36OracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT e.dst AS node,
+         |    150000 + (85 * CAST(SUM((200 * r${i - 1}.pr + d.deg) // (2 * d.deg))
+         |      AS BIGINT) + 5000) // 10000 AS pr
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (SELECT c AS src, s AS dst FROM e0
+       |      UNION ALL SELECT s, c FROM e0),
+       |d AS MATERIALIZED (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+       |  CAST(SUM(deg) AS BIGINT) AS tot FROM d),
+       |r0 AS MATERIALIZED (SELECT src AS node,
+       |  CAST((CAST(1000000 AS HUGEINT) * deg * nn + tot // 2) // tot AS BIGINT)
+       |    AS pr
+       |  FROM d, n),
+       |$rounds
+       |SELECT r$k.node, CAST(r$k.pr AS DOUBLE) / 1000000 AS pr, d.deg
+       |FROM r$k JOIN d ON d.src = r$k.node
+       |ORDER BY node""".stripMargin
+  }
+
+  def q36: QueryDef = QueryDef(
     "q36_pagerank",
-    """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      |e AS (SELECT c AS src, s AS dst FROM e0
-      |      UNION ALL SELECT s, c FROM e0),
-      |d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
-      |n AS (SELECT COUNT(*) AS nn FROM d),
-      |r0 AS (SELECT src AS node, ROUND(1.0 / n.nn + 1e-9, 6) AS pr FROM d, n),
-      |r1 AS (SELECT e.dst AS node,
-      |    ROUND(0.15 / n.nn + 0.85 * CAST(SUM(CAST(ROUND(r0.pr / d.deg + 1e-9,
-      |      8) AS DECIMAL(18,8))) AS DOUBLE) + 1e-9, 6) AS pr
-      |  FROM e JOIN r0 ON e.src = r0.node JOIN d ON d.src = e.src, n
-      |  GROUP BY e.dst, n.nn),
-      |r2 AS (SELECT e.dst AS node,
-      |    ROUND(0.15 / n.nn + 0.85 * CAST(SUM(CAST(ROUND(r1.pr / d.deg + 1e-9,
-      |      8) AS DECIMAL(18,8))) AS DOUBLE) + 1e-9, 6) AS pr
-      |  FROM e JOIN r1 ON e.src = r1.node JOIN d ON d.src = e.src, n
-      |  GROUP BY e.dst, n.nn),
-      |r3 AS (SELECT e.dst AS node,
-      |    ROUND(0.15 / n.nn + 0.85 * CAST(SUM(CAST(ROUND(r2.pr / d.deg + 1e-9,
-      |      8) AS DECIMAL(18,8))) AS DOUBLE) + 1e-9, 6) AS pr
-      |  FROM e JOIN r2 ON e.src = r2.node JOIN d ON d.src = e.src, n
-      |  GROUP BY e.dst, n.nn)
-      |SELECT r3.node, r3.pr, d.deg FROM r3 JOIN d ON d.src = r3.node
-      |ORDER BY node""".stripMargin) { (spark, dir) =>
+    q36OracleSql(q36AdoptedRounds)) { (spark, dir) =>
+    val cap = math.max(1, spark.conf.get("graft.q36.roundCap", "48").toInt)
+    val blockRounds = math.max(1, spark.conf.get("graft.q36.blockRounds", "4").toInt)
+    val tolPerNode = spark.conf.get("graft.q36.tolMicrosPerNode", "1000").toLong
     val t = Tables(spark, dir)
+    // Loop-shuffle sizing (the r3 lesson: size iterative-loop shuffles
+    // to the data, not the session default), estimated from the
+    // metadata-only lineitem row count (parquet footers — no scan).
+    val nPart = math.max(1, math.min(
+      spark.conf.get("graft.q36.loopPartitions",
+        (t.lineitem.count() / 500000 + 1).toString).toInt,
+      spark.sparkContext.defaultParallelism * 4))
     val e0 = t.orders
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
     val e = e0.select(col("c").as("src"), col("s").as("dst"))
       .union(e0.select(col("s").as("src"), col("c").as("dst")))
-      .persist()
-    val d = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
-    val nn = d.count()
-    def round6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x + 1e-9)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    var pr = d.select(col("src").as("node"), lit(round6(1.0 / nn)).as("pr"))
-    for (_ <- 1 to 3) {
-      pr = e.join(pr, col("src") === col("node")).join(d, "src")
-        .groupBy(col("dst"))
-        .agg(round(lit(0.15 / nn) + lit(0.85) *
-            sum(round(col("pr") / col("deg") + 1e-9, 8).cast("decimal(18,8)"))
-              .cast("double") + 1e-9, 6).as("npr"))
-        .select(col("dst").as("node"), col("npr").as("pr"))
+    // The edge list is hash-partitioned by src ONCE and cached; every
+    // round's join then shuffles only the node-sized rank table into
+    // that partitioning (shuffle_hash hint — no per-round sort of the
+    // edge list, no per-round broadcast build, and never a re-shuffle
+    // of the edges; measured 36 s → 19 s for the full sf0.1 run).
+    val eP = e.repartition(nPart, col("src")).persist()
+    // d inherits eP's partitioning (groupBy on the partition key), so
+    // the ed join needs no exchange on either side
+    val d = eP.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    // one tiny action materializes eP and d and prices nn + Σdeg
+    val nt = d.agg(count(lit(1)).as("nn"), sum(col("deg")).as("tot")).first()
+    val (nn, tot) = (nt.getLong(0), nt.getLong(1))
+    // edges carry their source degree so a round is a single join
+    // (at cluster scale, release eP once ed is materialized)
+    val ed = eP.join(d.hint("shuffle_hash"), "src").persist()
+    // ranks as BIGINT micros; half-up integer division (all positive).
+    // Warm start at the degree-proportional stationary approximation
+    // (exact: the undamped random walk's stationary point) instead of
+    // uniform — roughly halves the rounds to the tolerance. HUGEINT/
+    // DECIMAL(38,0) keeps 1e6·deg·nn exact on both engines.
+    var pr = d.select(col("src").as("node"),
+      expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * deg * CAST($nn AS BIGINT)" +
+        s" + CAST(${tot / 2} AS BIGINT)) div CAST($tot AS BIGINT) AS BIGINT)")
+        .as("pr"))
+      .localCheckpoint(true)
+    var roundsDone = 0
+    var converged = false
+    while (!converged && roundsDone < cap) {
+      val prev = pr
+      var cur = pr
+      val n = math.min(blockRounds, cap - roundsDone)
+      for (_ <- 1 to n) {
+        cur = ed.join(cur.hint("shuffle_hash"), col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("(200 * pr + deg) div (2 * deg)")).as("s8"))
+          .select(col("dst").as("node"),
+            (lit(150000L) + expr("(85 * s8 + 5000) div 10000")).as("pr"))
+      }
+      cur = cur.localCheckpoint(true)
+      roundsDone += n
+      val delta = cur.select(col("node"), col("pr").as("p2"))
+        .join(prev.select(col("node"), col("pr").as("p1")).hint("shuffle_hash"),
+          "node")
+        .agg(sum(abs(col("p2") - col("p1"))).as("d"))
+        .first().getLong(0)
+      prev.unpersist()
+      pr = cur
+      // per-node per-round average movement (floor division keeps it
+      // overflow-safe for any tol and block-size-independent)
+      if (delta / (math.max(1L, nn) * n) < tolPerNode) converged = true
     }
+    q36AdoptedRounds = roundsDone
     pr.join(d, col("node") === col("src"))
-      .select(col("node"), col("pr"), col("deg"))
+      .select(col("node"), (col("pr").cast("double") / 1000000).as("pr"),
+        col("deg"))
       .orderBy(col("node"))
   }
 
@@ -1357,7 +1445,10 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
-  val all: Seq[QueryDef] =
+  // def, not val: q36's oracle SQL is generated from the adopted round
+  // count, so the defs must be rebuilt when SparkEntry.oracleSql is read
+  // (after the queries ran — Verify's ordering).
+  def all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
       q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
       q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)

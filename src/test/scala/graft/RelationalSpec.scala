@@ -538,14 +538,43 @@ class RelationalSpec extends SparkSpec {
     // outranks the single-link spokes
     assert(got.forall { case (n, (pr, _)) => n == 2L || pr < got(2L)._1 })
     assert(got(3L)._1 > got(5L)._1 && got(3L)._1 > got(4L)._1)
-    // rank mass conserved up to grid rounding
+    // scaled-rank mass conserved up to grid rounding: mean rank ≈ 1
     val mass = got.values.map(_._1).sum
-    assert(math.abs(mass - 1.0) < 0.01, s"mass $mass")
-    // corpus: every node ranked, mass ≈ 1
+    assert(math.abs(mass / got.size - 1.0) < 0.01, s"mass $mass")
+    // corpus: every node ranked, mean rank ≈ 1, gate adopted ≤ cap
     val rows = Relational.q36.fn(spark, sf).collect()
     assert(rows.nonEmpty)
-    val m = rows.map(_.getDouble(1)).sum
-    assert(math.abs(m - 1.0) < 0.02, s"corpus mass $m")
+    val m = rows.map(_.getDouble(1)).sum / rows.length
+    assert(math.abs(m - 1.0) < 0.02, s"corpus mean rank $m")
+    assert(Relational.q36AdoptedRounds >= 4 &&
+      Relational.q36AdoptedRounds <= 48, s"rounds ${Relational.q36AdoptedRounds}")
+  }
+
+  test("q36 delta gate: cap binds exactly, early stop matches the cap run") {
+    // cap=4 with an unreachable tolerance runs exactly to the cap; a huge
+    // tolerance under a high cap stops after the first 4-round block —
+    // both paths must adopt 4 rounds and produce identical frames, and
+    // the generated oracle must unroll to exactly the adopted count.
+    def run(): Array[org.apache.spark.sql.Row] =
+      Relational.q36.fn(spark, sf).collect()
+    try {
+      spark.conf.set("graft.q36.roundCap", "4")
+      spark.conf.set("graft.q36.tolMicrosPerNode", "0")
+      val atCap = run()
+      assert(Relational.q36AdoptedRounds == 4)
+      spark.conf.set("graft.q36.roundCap", "48")
+      spark.conf.set("graft.q36.tolMicrosPerNode", String.valueOf(Long.MaxValue / (1 << 22)))
+      val early = run()
+      assert(Relational.q36AdoptedRounds == 4,
+        s"early stop adopted ${Relational.q36AdoptedRounds}")
+      assert(atCap.sameElements(early), "cap run != early-stop run at equal rounds")
+      val oracle = graft.SparkEntry.oracleSql("q36_pagerank")
+      assert(oracle.contains("r4 AS") && !oracle.contains("r5 AS"),
+        "oracle not unrolled to the adopted round count")
+    } finally {
+      spark.conf.unset("graft.q36.roundCap")
+      spark.conf.unset("graft.q36.tolMicrosPerNode")
+    }
   }
 
   test("q37 audience overlap: crafted sets exact, corpus bounds hold") {
