@@ -139,14 +139,94 @@ object Multimodal {
   /** One thumbnail row per payload. */
   final case class Thumb(doc_id: Long, n_bytes: Int, thumb_bytes: Int, thumb_checksum: Long)
 
+  /** PNG signature (the 4 magic bytes of the 8-byte header). Payloads
+    * are ASCII-gated upstream in the driver queries, so a text payload
+    * can never start with 0x89 — the magic cleanly routes real images
+    * to the codec and everything else to the stride stub. */
+  private[graft] def isPng(p: Array[Byte]): Boolean =
+    p.length >= 8 && p(0) == 0x89.toByte && p(1) == 'P'.toByte &&
+      p(2) == 'N'.toByte && p(3) == 'G'.toByte
+
+  // in-memory decode only: never let ImageIO spill scratch files on an
+  // executor's local disk for KB-scale payloads
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL codec rung for m03 (the r6-verdict ask: prove the
+    * mapPartitions batch loop carries an actual decoder without plan
+    * changes): decode a PNG via javax.imageio (JDK built-in, public
+    * API), box-filter to an 8×8 grayscale thumbnail in pure integer
+    * arithmetic (per-pixel gray = (r+g+b)/3 floored; per-cell value =
+    * floor mean of its grays; cell bounds by integer division, so any
+    * image size maps deterministically), and checksum the 64 gray
+    * values with the same rolling hash as the stub. None on any
+    * decode failure → the caller falls back to the stride stub, so a
+    * corrupt payload degrades instead of failing the batch. */
+  private[graft] def pngThumb(payload: Array[Byte]): Option[(Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var ck = 0L
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          val y0 = cy * h / 8
+          val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / 8))
+          while (cx < 8) {
+            val x0 = cx * w / 8
+            val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / 8))
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            val gray = sum / ((y1 - y0).toLong * (x1 - x0))
+            ck = (ck * 31 + gray) % Mod
+            cx += 1
+          }
+          cy += 1
+        }
+        Some((64, ck))
+      }
+    } catch { case _: Exception => None }
+
+  /** One payload → thumbnail row: PNG-magic payloads take the real
+    * codec, everything else (and any failed decode) the stride stub.
+    * Shared by m03's mapPartitions batch loop and its codec spec. */
+  private[graft] def thumbRow(docId: Long, payload: Array[Byte]): Thumb = {
+    val real = if (isPng(payload)) pngThumb(payload) else None
+    real match {
+      case Some((tb, ck)) => Thumb(docId, payload.length, tb, ck)
+      case None =>
+        val n = math.min(payload.length, 4096)
+        val m = (n + 15) / 16
+        var h = 0L
+        var i = 0
+        while (i < m) { h = (h * 31 + (payload(i * 16) & 0xff)) % Mod; i += 1 }
+        Thumb(docId, payload.length, m, h)
+    }
+  }
+
   /** m03: resize/downsample plumbing — the third multimodal verb next
     * to m01 (decode/feature-extract) and m02 (frame-sample): reduce
-    * each payload to a fixed-budget "thumbnail" by striding the byte
-    * stream (every 16th byte of the first 4 KiB — a real build swaps
-    * the stride for pixel-aware resampling inside the same
-    * per-partition batch loop). Map-only, one typed row out per blob;
-    * the oracle recomputes the strided sample + checksum via SUBSTR
-    * over the same (ASCII-gated, see m01) bytes. */
+    * each payload to a fixed-budget "thumbnail". Non-image payloads
+    * stride the byte stream (every 16th byte of the first 4 KiB);
+    * PNG-magic payloads take the REAL codec rung ([[pngThumb]]:
+    * javax.imageio decode → integer 8×8 box filter) inside the SAME
+    * per-partition batch loop — the plan is identical either way
+    * (spec-asserted), which is the point: swapping a codec is a
+    * per-row function change, not a pipeline change. Map-only, one
+    * typed row out per blob; the driver corpus is ASCII-gated text,
+    * so the oracle recomputes the strided sample + checksum via
+    * SUBSTR over the same bytes. */
   val m03 = QueryDef(
     "m03_resize_thumb",
     """WITH f AS (
@@ -171,14 +251,7 @@ object Multimodal {
       .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
       .as[Blob]
     blobs.mapPartitions { iter =>
-      iter.map { b =>
-        val n = math.min(b.payload.length, 4096)
-        val m = (n + 15) / 16
-        var h = 0L
-        var i = 0
-        while (i < m) { h = (h * 31 + (b.payload(i * 16) & 0xff)) % Mod; i += 1 }
-        Thumb(b.doc_id, b.payload.length, m, h)
-      }
+      iter.map(b => thumbRow(b.doc_id, b.payload))
     }
       .toDF()
       .orderBy(col("doc_id"))

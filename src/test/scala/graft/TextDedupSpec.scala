@@ -397,6 +397,58 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("m03 real codec rung: PNG decodes in the same batch loop, stub untouched") {
+    import spark.implicits._
+    val Mod = graft.functions.Text.RollMod
+    // synthetic 16×16 PNG with a deterministic gradient (2×2 box cells)
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, (x * 16 << 16) | (y * 16 << 8) | ((x + y) * 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(Multimodal.isPng(png) && !Multimodal.isPng("plain text".getBytes))
+    // expected checksum recomputed independently from the ORIGINAL pixels
+    var ck = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      var sum = 0L
+      for (y <- cy * 2 until cy * 2 + 2; x <- cx * 2 until cx * 2 + 2) {
+        val rgb = img.getRGB(x, y)
+        sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+      }
+      ck = (ck * 31 + sum / 4) % Mod
+    }
+    // mixed batch through the SAME typed pipeline m03 uses
+    val textBytes = ("hello world " * 40).getBytes("UTF-8")
+    val blobs = Seq(Multimodal.Blob(1L, "img", png),
+      Multimodal.Blob(2L, "txt", textBytes)).toDS()
+    val pipe = blobs.mapPartitions(it =>
+      it.map(b => Multimodal.thumbRow(b.doc_id, b.payload)))
+    val out = pipe.collect().sortBy(_.doc_id)
+    assert(out(0) == Multimodal.Thumb(1L, png.length, 64, ck))
+    // the non-PNG row matches the stride stub exactly (byte recompute)
+    val m = (math.min(textBytes.length, 4096) + 15) / 16
+    var h = 0L
+    for (i <- 0 until m) h = (h * 31 + (textBytes(i * 16) & 0xff)) % Mod
+    assert(out(1) == Multimodal.Thumb(2L, textBytes.length, m, h))
+    // corrupt PNG-magic payload degrades to the stub, no exception
+    val cr = Multimodal.thumbRow(3L, png.take(20))
+    assert(cr.thumb_bytes == (20 + 15) / 16 && cr.n_bytes == 20)
+    // odd geometry (5×3 < 8×8 grid) still yields a full 64-cell thumb
+    val small = new java.awt.image.BufferedImage(
+      5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val b2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(small, "png", b2)
+    assert(Multimodal.thumbRow(4L, b2.toByteArray).thumb_bytes == 64)
+    // plan shape: the codec rung rides m03's single object-batch stage —
+    // swapping codecs changes no plan
+    val planReal = physicalPlan(pipe.toDF())
+    val planM03 = physicalPlan(Multimodal.m03.fn(spark, sf))
+    for (p <- Seq(planReal, planM03))
+      assert(p.contains("MapPartitions") && !p.contains("Exchange hashpartitioning"))
+  }
+
   test("m05 audio energy: PCM decode, windowing, and relative silence on crafted bytes") {
     import org.apache.spark.sql.SaveMode
     val dir = java.nio.file.Files.createTempDirectory("graft_m05").toString
