@@ -1,0 +1,36 @@
+package graft
+
+/** Fixture tables for PARTIAL oracles.
+  *
+  * The xxhash64 fast paths (d02 minhash, d03 simhash) compute signature
+  * values DuckDB cannot reproduce — xxhash64 has no DuckDB equivalent —
+  * which long kept them rows-only. The fixture pattern splits the
+  * pipeline at the signature boundary instead: the Spark run WRITES the
+  * signatures it computed as a parquet fixture, continues FROM a
+  * read-back of that fixture, and the generated oracle SQL replays
+  * everything downstream of the fixture (banding, bucket caps, pairing,
+  * estimate + confirm tiers) from the same files.
+  *
+  * What this hash-checks: the entire LSH candidate/confirm pipeline —
+  * the part with real join/agg logic. What it cannot check: the
+  * signature VALUES (each fast path keeps its fully-oracled portable
+  * twin, d02b/d03b, covering that shape with md5). The fixture path is
+  * data-dependent, so the oracle SQL is generated per run — like q36's
+  * adopted-round unrolling, Verify executes the queries (writing the
+  * fixtures and recording their paths) before dumping oracle_sql.json.
+  */
+object Fixtures {
+
+  /** Repo-local root; the driver's DuckDB runs on this machine and can
+    * read_parquet these files directly. */
+  val Root = "/root/repo/target/fixtures"
+
+  /** Write `df` as the named fixture for the given sf dir; returns the
+    * absolute directory whose `*.parquet` glob the oracle reads. */
+  def write(df: org.apache.spark.sql.DataFrame, sfDir: String, name: String): String = {
+    val tag = new java.io.File(sfDir).getName
+    val path = s"$Root/$tag/$name"
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+}

@@ -123,22 +123,61 @@ object Dedup {
       .select(col("id1"), col("id2")).distinct()
   }
 
+  /** Oracle for everything DOWNSTREAM of d02's signature fixture —
+    * see [[graft.Fixtures]] for the partial-oracle contract. */
+  @volatile private[graft] var d02FixturePath: String =
+    graft.Fixtures.Root + "/unset/d02_sigs"
+
+  private def d02OracleSql(path: String): String =
+    s"""WITH f AS (SELECT * FROM read_parquet('$path/*.parquet')),
+       |band AS (SELECT doc_id, CAST(i AS INTEGER) AS band_idx,
+       |         bands[CAST(i AS INTEGER) + 1] AS band_hash
+       |         FROM f, RANGE(8) r(i)),
+       |bandc AS (SELECT doc_id, band_idx, band_hash FROM (
+       |         SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+       |         FROM band) t WHERE bsz <= 64),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM bandc a JOIN bandc b ON a.band_idx = b.band_idx
+       |          AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |est AS (SELECT id1, id2 FROM cand
+       |        JOIN f x ON x.doc_id = id1 JOIN f y ON y.doc_id = id2
+       |        WHERE CAST(LEN(LIST_FILTER(RANGE(1, 65),
+       |          i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 64 >= 0.15),
+       |conf AS (SELECT id1, id2 FROM est
+       |         JOIN f x ON x.doc_id = id1 JOIN f y ON y.doc_id = id2
+       |         WHERE CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS DOUBLE) /
+       |               LEN(LIST_DISTINCT(LIST_CONCAT(x.sh, y.sh))) >= 0.3)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM conf) AS n_confirmed_pairs"""
+      .stripMargin
+
   /** d02: MinHash + LSH banding. 64 hashes, 8 bands × 8 rows —
-    * collision probability curve centered near J≈0.5. Summary output
-    * (pair lists are engine-specific under a rows-only check). */
-  val d02 = QueryDef.rowsOnly("d02_minhash_lsh") { (spark, dir) =>
-    // persist: the shingle/signature subtree feeds the self-join's two
-    // branches plus both confirm-side joins — without it the pipeline
-    // recomputes 4× (measured ~4× wall time at sf0.1). At 100 TB this
-    // is a checkpoint of the signature table.
+    * collision probability curve centered near J≈0.5. Summary output.
+    * PARTIAL-oracled since r7 via the signature fixture
+    * ([[graft.Fixtures]]): banding, capping, pairing, and both confirm
+    * tiers hash-check against DuckDB replaying the written signatures;
+    * only the xxhash64 signature values themselves stay Spark-defined
+    * (d02b is the fully-portable md5 twin). */
+  def d02: QueryDef = QueryDef(
+    "d02_minhash_lsh",
+    d02OracleSql(d02FixturePath)) { (spark, dir) =>
+    // persist: the shingle subtree feeds the signature agg and the
+    // fixture projection. At 100 TB this is a checkpoint of the
+    // signature table — which is exactly what the fixture write is.
     val sh = docShingleHashes(Tables(spark, dir).documents).persist()
-    val sigs = Text.minhashSignatures(sh, "doc_id", col("sh"), 64).persist()
+    val sigs = Text.minhashSignatures(sh, "doc_id", col("sh"), 64)
     val numBands = 8
-    val bands = sigs.select(col("doc_id"), explode(array(
-      (0 until numBands).map(b =>
-        struct(lit(b).as("band_idx"),
-          xxhash64(slice(col("sig"), b * 8 + 1, 8), lit(b)).as("band_hash"))): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band_idx"), col("bs.band_hash"))
+    val fx = sigs.join(sh, "doc_id").select(col("doc_id"), col("sh"), col("sig"),
+      array((0 until numBands).map(b =>
+        xxhash64(slice(col("sig"), b * 8 + 1, 8), lit(b))): _*).as("bands"))
+    d02FixturePath = graft.Fixtures.write(fx, dir, "d02_sigs")
+    // continue FROM the fixture read-back: both engines consume the
+    // exact same bytes, and the read doubles as the self-join
+    // materialization the old persist() provided
+    val f = spark.read.parquet(d02FixturePath).persist()
+    val bands = f.select(col("doc_id"), posexplode(col("bands")))
+      .select(col("doc_id"), col("pos").cast("int").as("band_idx"),
+        col("col").as("band_hash"))
     val cand = bucketPairs(bands)
     // confirm in two tiers: estimate J from FIXED-WIDTH signature
     // agreement first (64 longs/doc shuffled per pair), ship the full
@@ -152,33 +191,67 @@ object Dedup {
     // probabilistic, so this tier does not change the operator's
     // contract.
     val estKept = cand
-      .join(sigs.toDF("id1", "sig1"), "id1")
-      .join(sigs.toDF("id2", "sig2"), "id2")
+      .join(f.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(f.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
       .filter(size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
         x => x)).cast("double") / 64 >= 0.15)
       .select(col("id1"), col("id2"))
     val confirmed = estKept
-      .join(sh.toDF("id1", "sh1"), "id1")
-      .join(sh.toDF("id2", "sh2"), "id2")
+      .join(f.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(f.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
       .filter(jaccard(col("sh1"), col("sh2")) >= 0.3)
     cand.agg(count(lit(1)).as("n_candidate_pairs")).crossJoin(
       confirmed.agg(count(lit(1)).as("n_confirmed_pairs")))
   }
 
+  /** Oracle for everything DOWNSTREAM of d03's fingerprint fixture —
+    * see [[graft.Fixtures]] for the partial-oracle contract. */
+  @volatile private[graft] var d03FixturePath: String =
+    graft.Fixtures.Root + "/unset/d03_bits"
+
+  private def d03OracleSql(path: String): String =
+    s"""WITH f AS (SELECT * FROM read_parquet('$path/*.parquet')),
+       |band AS (SELECT doc_id, CAST(i AS INTEGER) AS band_idx,
+       |         bands[CAST(i AS INTEGER) + 1] AS band_hash
+       |         FROM f, RANGE(4) r(i)),
+       |bandc AS (SELECT doc_id, band_idx, band_hash FROM (
+       |         SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+       |         FROM band) t WHERE bsz <= 64),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM bandc a JOIN bandc b ON a.band_idx = b.band_idx
+       |          AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |conf AS (SELECT id1, id2 FROM cand
+       |         JOIN f x ON x.doc_id = id1 JOIN f y ON y.doc_id = id2
+       |         WHERE LEN(LIST_FILTER(RANGE(1, 65),
+       |           k -> x.bits[k] <> y.bits[k])) <= 8)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM conf) AS n_confirmed_pairs"""
+      .stripMargin
+
   /** d03: SimHash near-dup: 64-bit sign fingerprint, 4×16-bit chunk
-    * banding (Hamming ≤ k pairs must share ≥1 exact chunk for k<4). */
-  val d03 = QueryDef.rowsOnly("d03_simhash") { (spark, dir) =>
+    * banding (Hamming ≤ k pairs must share ≥1 exact chunk for k<4).
+    * PARTIAL-oracled since r7 via the fingerprint fixture
+    * ([[graft.Fixtures]]): chunk banding, capping, pairing, and the
+    * Hamming confirm hash-check against DuckDB replaying the written
+    * bit vectors; only the xxhash64-derived bits stay Spark-defined
+    * (d03b is the fully-portable md5 twin). */
+  def d03: QueryDef = QueryDef(
+    "d03_simhash",
+    d03OracleSql(d03FixturePath)) { (spark, dir) =>
     val docs = Tables(spark, dir).documents
-    val bits = Text.simhashBitsOf(docs, "doc_id", Text.tokens(col("text")), 64).persist()
-    val chunks = bits.select(col("doc_id"), explode(array(
+    val bits = Text.simhashBitsOf(docs, "doc_id", Text.tokens(col("text")), 64)
+    val fx = bits.select(col("doc_id"), col("bits"), array(
       (0 until 4).map(c =>
-        struct(lit(c).as("band_idx"),
-          xxhash64(slice(col("bits"), c * 16 + 1, 16), lit(c)).as("band_hash"))): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band_idx"), col("bs.band_hash"))
+        xxhash64(slice(col("bits"), c * 16 + 1, 16), lit(c))): _*).as("bands"))
+    d03FixturePath = graft.Fixtures.write(fx, dir, "d03_bits")
+    val f = spark.read.parquet(d03FixturePath).persist()
+    val chunks = f.select(col("doc_id"), posexplode(col("bands")))
+      .select(col("doc_id"), col("pos").cast("int").as("band_idx"),
+        col("col").as("band_hash"))
     val cand = bucketPairs(chunks)
     val confirmed = cand
-      .join(bits.toDF("id1", "b1"), "id1")
-      .join(bits.toDF("id2", "b2"), "id2")
+      .join(f.select(col("doc_id").as("id1"), col("bits").as("b1")), "id1")
+      .join(f.select(col("doc_id").as("id2"), col("bits").as("b2")), "id2")
       .filter(Text.hamming(col("b1"), col("b2")) <= 8)
     cand.agg(count(lit(1)).as("n_candidate_pairs")).crossJoin(
       confirmed.agg(count(lit(1)).as("n_confirmed_pairs")))
@@ -208,25 +281,49 @@ object Dedup {
   }
 
   /** d05: embedding-cosine near-dup via hyperplane-LSH buckets —
-    * brute force only within buckets. */
-  val d05 = QueryDef.rowsOnly("d05_embedding_neardup") { (spark, dir) =>
-    val emb = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).persist()
-    val buckets = capBuckets(
-      emb.select(col("vec_id"), Vectors.hyperplaneBucket(col("v"), 8).as("bucket")),
-      Seq("bucket"), BucketCap) // embeddings cluster: a dense bucket goes quadratic
-    val left = buckets.toDF("id1", "bucket")
-    val right = buckets.toDF("id2", "bucket")
-    val cand = left.join(right, Seq("bucket")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct().persist()
-    val scored = cand
-      .join(emb.toDF("id1", "v1"), "id1")
-      .join(emb.toDF("id2", "v2"), "id2")
-      .select(Vectors.cosine(col("v1"), col("v2")).as("sim"))
-    cand.agg(count(lit(1)).as("n_candidate_pairs")).crossJoin(
-      scored.agg(
-        count(when(col("sim") >= 0.9, 1)).as("n_confirmed_pairs"),
-        round(max(col("sim")), 4).as("max_cosine")))
+    * brute force only within buckets. Fully DuckDB-oracled since r7:
+    * the hyperplane signs are deterministic (splitmix ±1) and inline
+    * as SQL array literals, so bucketing, capping, pairing, and the
+    * cosine summary all hash-check (the parity d05b established;
+    * this is the 8-plane summary-output production path). */
+  val d05: QueryDef = {
+    val planeSql = (0 until 8).map { p =>
+      val arr = Vectors.planeSigns(p, 64).mkString("[", ", ", "]")
+      s"CASE WHEN LIST_DOT_PRODUCT(v, $arr) >= 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", "\n   + ", ")")
+    QueryDef(
+      "d05_embedding_neardup",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $planeSql AS bucket FROM e),
+         |bc AS (SELECT vec_id, v, bucket FROM (
+         |       SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b) t
+         |       WHERE bsz <= 64),
+         |p AS (SELECT a.vec_id AS id1, c.vec_id AS id2,
+         |      LIST_COSINE_SIMILARITY(a.v, c.v) AS sim
+         |      FROM bc a JOIN bc c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+         |  CAST(COUNT(CASE WHEN sim >= 0.9 THEN 1 END) AS BIGINT)
+         |    AS n_confirmed_pairs,
+         |  ROUND(MAX(sim) + 1e-9, 4) + 0.0 AS max_cosine
+         |FROM p""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).persist()
+      val buckets = capBuckets(
+        emb.select(col("vec_id"), Vectors.hyperplaneBucket(col("v"), 8).as("bucket")),
+        Seq("bucket"), BucketCap) // embeddings cluster: a dense bucket goes quadratic
+      val left = buckets.toDF("id1", "bucket")
+      val right = buckets.toDF("id2", "bucket")
+      val cand = left.join(right, Seq("bucket")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct().persist()
+      val scored = cand
+        .join(emb.toDF("id1", "v1"), "id1")
+        .join(emb.toDF("id2", "v2"), "id2")
+        .select(Vectors.cosine(col("v1"), col("v2")).as("sim"))
+      cand.agg(count(lit(1)).as("n_candidate_pairs")).crossJoin(
+        scored.agg(
+          count(when(col("sim") >= 0.9, 1)).as("n_confirmed_pairs"),
+          graft.QueryDef.roundBiased(max(col("sim")), 4).as("max_cosine")))
+    }
   }
 
   /** d02b: the SAME MinHash-LSH pipeline, re-expressed with portable
@@ -1150,7 +1247,10 @@ object Dedup {
       .orderBy(col("source"))
   }
 
-  val all: Seq[QueryDef] =
+  // def, not val: d02/d03's oracle SQL embeds the fixture path written
+  // during the run, so defs must be rebuilt when SparkEntry.oracleSql
+  // is read (after the queries ran — Verify's ordering; as q36).
+  def all: Seq[QueryDef] =
     Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15)
 }

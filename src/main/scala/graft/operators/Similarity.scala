@@ -45,20 +45,43 @@ object Similarity {
       .select(col("vec_id"), graft.QueryDef.roundBiased(col("raw_sim"), 4).as("sim"))
   }
 
-  /** s02: LSH-bucketed ANN — score only vectors sharing the query's
-    * hyperplane bucket (4 planes → 16 buckets here; more planes as the
-    * corpus grows). Rows-only: bucket membership is engine-specific. */
-  val s02 = QueryDef.rowsOnly("s02_lsh_ann") { (spark, dir) =>
-    val emb = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), 4))
-    val query = emb.filter(col("vec_id") === 0)
-      .select(col("v").as("qv"), col("bucket").as("qbucket"))
-    emb.join(broadcast(query), col("bucket") === col("qbucket"))
-      .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), round(Vectors.cosine(col("v"), col("qv")), 4).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(5)
+  /** s02: MULTI-PROBE LSH-bucketed ANN — score vectors in the query's
+    * hyperplane bucket AND every Hamming-1 neighbor bucket (the
+    * standard multi-probe recall lever: a near neighbor that lands
+    * one sign-flip away is still found, at 5× the probe cost instead
+    * of 2× the planes). 4 planes → 16 buckets, 5 probed. Fully
+    * DuckDB-oracled since r7: the deterministic splitmix plane signs
+    * inline as SQL literals (the parity s02b established; s02b stays
+    * the single-probe variant). */
+  val s02: QueryDef = {
+    val planeSql = (0 until 4).map { p =>
+      val arr = Vectors.planeSigns(p, 64).mkString("[", ", ", "]")
+      s"CASE WHEN LIST_DOT_PRODUCT(v, $arr) >= 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", "\n   + ", ")")
+    QueryDef(
+      "s02_lsh_ann",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $planeSql AS bucket FROM e),
+         |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  ROUND(LIST_COSINE_SIMILARITY(v, qv) + 1e-9, 4) + 0.0 AS sim
+         |FROM b, q
+         |WHERE XOR(bucket, qb) IN (0, 1, 2, 4, 8) AND vec_id <> 0
+         |ORDER BY LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id
+         |LIMIT 5""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), 4))
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      emb.join(broadcast(query),
+          col("bucket").bitwiseXOR(col("qbucket")).isin(0, 1, 2, 4, 8))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), Vectors.cosine(col("v"), col("qv")).as("raw_sim"))
+        .orderBy(col("raw_sim").desc, col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), graft.QueryDef.roundBiased(col("raw_sim"), 4).as("sim"))
+    }
   }
 
   /** s03: per-vector statistics (L2 norm, min/max/mean component) —

@@ -397,6 +397,20 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("d02/d03 partial oracle: fixtures written, paths land in the generated SQL") {
+    Dedup.d02.fn(spark, sf).collect()
+    Dedup.d03.fn(spark, sf).collect()
+    val tag = new java.io.File(sf).getName
+    for ((name, leaf) <- Seq("d02_minhash_lsh" -> "d02_sigs",
+        "d03_simhash" -> "d03_bits")) {
+      val path = s"${graft.Fixtures.Root}/$tag/$leaf"
+      assert(graft.SparkEntry.oracleSql(name).contains(s"read_parquet('$path/*.parquet')"),
+        s"$name oracle must read the per-sf fixture")
+      assert(new java.io.File(path).listFiles(
+        (_, n) => n.endsWith(".parquet")).nonEmpty, s"$leaf fixture missing")
+    }
+  }
+
   test("m03 real codec rung: PNG decodes in the same batch loop, stub untouched") {
     import spark.implicits._
     val Mod = graft.functions.Text.RollMod
