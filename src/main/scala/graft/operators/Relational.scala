@@ -1184,7 +1184,13 @@ object Relational {
     val d = eP.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     // one tiny action materializes eP and d and prices nn + Σdeg
     val nt = d.agg(count(lit(1)).as("nn"), sum(col("deg")).as("tot")).first()
-    val (nn, tot) = (nt.getLong(0), nt.getLong(1))
+    val nn = nt.getLong(0)
+    // empty graph: no nodes to rank (and the block loop's delta action
+    // would NPE on a null SUM) — yield the empty frame directly
+    if (nn == 0L)
+      d.select(col("src").as("node"), lit(0.0).as("pr"), col("deg"))
+    else {
+    val tot = nt.getLong(1)
     // edges carry their source degree so a round is a single join
     // (at cluster scale, release eP once ed is materialized)
     val ed = eP.join(d.hint("shuffle_hash"), "src").persist()
@@ -1229,6 +1235,7 @@ object Relational {
       .select(col("node"), (col("pr").cast("double") / 1000000).as("pr"),
         col("deg"))
       .orderBy(col("node"))
+    }
   }
 
   /** q37: AUDIENCE overlap — the segment-overlap matrix (ad-tech /

@@ -58,6 +58,18 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r5.getAs[Long]("dup3_occ") == 4 && r5.getAs[Long]("tri_total") == 4)
   }
 
+  test("q36 pagerank on an empty trade graph returns empty, no exception") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q36_empty").toString
+    Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Relational.q36.fn(spark, dir)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("node", "pr", "deg"))
+  }
+
   test("contamination with an empty eval side flags nothing and does not crash") {
     import spark.implicits._
     val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
