@@ -93,4 +93,24 @@ object Text {
   def hamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)),
       lit(0), (acc, d) => acc + d)
+
+  /** SimHash fingerprint PACKED into one 64-bit mask (bit i = sign of
+    * bit i's ±1 vote sum — identical votes to [[simhashBitsOf]], 8
+    * bytes per doc instead of a 64-int array). Hamming distance
+    * becomes `bit_count(a ^ b)` — one codegen'd instruction pair on
+    * both engines instead of a 64-element array walk, and a simhash
+    * index (d03's fixture) shrinks ~10×. */
+  def simhashMaskOf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      toks: Column): org.apache.spark.sql.DataFrame = {
+    val exploded = docs.select(col(idCol), explode(toks).as("t"))
+      .select(col(idCol), xxhash64(col("t")).as("h"))
+    val sums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"c$i")
+    }
+    exploded.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), (0 until 64).map(i =>
+          when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+  }
 }

@@ -222,27 +222,31 @@ object Dedup {
        |          AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
        |conf AS (SELECT id1, id2 FROM cand
        |         JOIN f x ON x.doc_id = id1 JOIN f y ON y.doc_id = id2
-       |         WHERE LEN(LIST_FILTER(RANGE(1, 65),
-       |           k -> x.bits[k] <> y.bits[k])) <= 8)
+       |         WHERE BIT_COUNT(XOR(x.fp, y.fp)) <= 8)
        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM conf) AS n_confirmed_pairs"""
       .stripMargin
 
   /** d03: SimHash near-dup: 64-bit sign fingerprint, 4×16-bit chunk
     * banding (Hamming ≤ k pairs must share ≥1 exact chunk for k<4).
-    * PARTIAL-oracled since r7 via the fingerprint fixture
+    * r7: the fingerprint is PACKED into one BIGINT
+    * ([[Text.simhashMaskOf]]) — bands extract 16-bit chunks by shift/
+    * mask and the confirm is `bit_count(xor)`, one instruction pair
+    * instead of a 64-element array walk, and the fixture is 8 bytes
+    * per doc. PARTIAL-oracled via the fingerprint fixture
     * ([[graft.Fixtures]]): chunk banding, capping, pairing, and the
     * Hamming confirm hash-check against DuckDB replaying the written
-    * bit vectors; only the xxhash64-derived bits stay Spark-defined
-    * (d03b is the fully-portable md5 twin). */
+    * masks; only the xxhash64-derived bits stay Spark-defined (d03b
+    * is the fully-portable md5 twin). */
   def d03: QueryDef = QueryDef(
     "d03_simhash",
     d03OracleSql(d03FixturePath)) { (spark, dir) =>
     val docs = Tables(spark, dir).documents
-    val bits = Text.simhashBitsOf(docs, "doc_id", Text.tokens(col("text")), 64)
-    val fx = bits.select(col("doc_id"), col("bits"), array(
+    val fp = Text.simhashMaskOf(docs, "doc_id", Text.tokens(col("text")))
+    val fx = fp.select(col("doc_id"), col("fp"), array(
       (0 until 4).map(c =>
-        xxhash64(slice(col("bits"), c * 16 + 1, 16), lit(c))): _*).as("bands"))
+        xxhash64(shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)),
+          lit(c))): _*).as("bands"))
     d03FixturePath = graft.Fixtures.write(fx, dir, "d03_bits")
     val f = spark.read.parquet(d03FixturePath).persist()
     val chunks = f.select(col("doc_id"), posexplode(col("bands")))
@@ -250,9 +254,9 @@ object Dedup {
         col("col").as("band_hash"))
     val cand = bucketPairs(chunks)
     val confirmed = cand
-      .join(f.select(col("doc_id").as("id1"), col("bits").as("b1")), "id1")
-      .join(f.select(col("doc_id").as("id2"), col("bits").as("b2")), "id2")
-      .filter(Text.hamming(col("b1"), col("b2")) <= 8)
+      .join(f.select(col("doc_id").as("id1"), col("fp").as("f1")), "id1")
+      .join(f.select(col("doc_id").as("id2"), col("fp").as("f2")), "id2")
+      .filter(expr("bit_count(f1 ^ f2)") <= 8)
     cand.agg(count(lit(1)).as("n_candidate_pairs")).crossJoin(
       confirmed.agg(count(lit(1)).as("n_confirmed_pairs")))
   }

@@ -64,6 +64,12 @@ class TextDedupSpec extends SparkSpec {
     assert(ham(bits(0), bits(1)) < ham(bits(0), bits(2)),
       s"near=${ham(bits(0), bits(1))} far=${ham(bits(0), bits(2))}")
     assert(ham(bits(0), bits(1)) <= 8)
+    // packed-mask variant: bit i of fp == bits[i], for every doc
+    val masks = Text.simhashMaskOf(df, "doc_id", Text.tokens(col("text")))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    for (d <- 0 until 3; i <- 0 until 64)
+      assert(((masks(d) >>> i) & 1L) == bits(d)(i),
+        s"doc $d bit $i: mask disagrees with the array variant")
   }
 
   test("s04 IVF probe returns descending sims from one cell") {
