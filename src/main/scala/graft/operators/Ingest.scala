@@ -2696,10 +2696,105 @@ object Ingest {
       .orderBy(col("station"))
   }
 
+  /** i56: REFERENCE EVAPOTRANSPIRATION (FAO-56 Hargreaves) — the
+    * temperature-only ET₀ estimate (Hargreaves & Samani 1985, as
+    * standardized in FAO Irrigation & Drainage Paper 56 eq. 52) that
+    * agro-met services publish wherever radiation/humidity sensors
+    * don't exist — the drought/irrigation product next to i24's
+    * rainfall anomaly: ET₀ = 0.0023 · (Tmean + 17.8) · √(Tmax − Tmin)
+    * · 0.408·Ra, with extraterrestrial radiation Ra from latitude and
+    * day-of-year alone (FAO-56 eqs. 21–25: inverse relative distance
+    * dr, solar declination δ, sunset hour angle ωs).
+    *
+    * Inputs ride i52's shape: per-(station, day) Tmax/Tmin from the
+    * click readings (2-dec grid), station latitude from i54's
+    * derivation (4-dec grid). One (station, day) partial agg + one
+    * station-dim agg broadcast back + a station-sized final agg — the
+    * events table is scanned twice (daily extremes vs station mean),
+    * never shuffled wide more than once.
+    *
+    * Determinism: every trig input sits on a decimal grid, the
+    * astronomy chain (sin/cos/tan/acos under the t08 libm convention)
+    * is ONE fixed-shape expression on both engines, per-day ET₀
+    * biased-rounds to the 4-dec grid and the station mean sums those
+    * as DECIMAL(18,4) (order-free; i52's discipline). ωs's acos
+    * argument is clamped to [−1, 1] (|φ| ≤ 60° keeps it interior, the
+    * clamp is rigor). ET₀ ≥ 0 by construction (all factors
+    * non-negative here), so no −0.0 normalization is needed. */
+  val i56 = QueryDef(
+    "i56_eto_hargreaves",
+    """WITH st AS (
+      |  SELECT user_id AS station,
+      |    ROUND(LEAST(GREATEST(
+      |      AVG(value) FILTER (WHERE event_type = 'click') - 50.0,
+      |      -60.0), 60.0) + 1e-9, 4) AS lat
+      |  FROM events GROUP BY user_id HAVING lat IS NOT NULL),
+      |daily AS (
+      |  SELECT user_id AS station, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    ROUND(MAX(value) FILTER (WHERE event_type = 'click') + 1e-9, 2) AS tmax,
+      |    ROUND(MIN(value) FILTER (WHERE event_type = 'click') + 1e-9, 2) AS tmin
+      |  FROM events GROUP BY 1, 2 HAVING tmax IS NOT NULL),
+      |geo AS (
+      |  SELECT daily.station, tmax, tmin,
+      |    RADIANS(st.lat) AS phi,
+      |    0.409 * SIN(2 * PI() / 365 * DAYOFYEAR(d) - 1.39) AS sdec,
+      |    1 + 0.033 * COS(2 * PI() / 365 * DAYOFYEAR(d)) AS dr
+      |  FROM daily JOIN st USING (station)),
+      |g2 AS (
+      |  SELECT station, tmax, tmin, phi, sdec, dr,
+      |    ACOS(LEAST(GREATEST(-TAN(phi) * TAN(sdec), -1.0), 1.0)) AS ws
+      |  FROM geo),
+      |et AS (
+      |  SELECT station,
+      |    0.0023 * ((tmax + tmin) / 2 + 17.8) * SQRT(tmax - tmin)
+      |      * (0.408 * (1440 / PI() * 0.082 * dr
+      |        * (ws * SIN(phi) * SIN(sdec)
+      |           + COS(phi) * COS(sdec) * SIN(ws)))) AS et0
+      |  FROM g2)
+      |SELECT station, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  ROUND(CAST(SUM(CAST(ROUND(et0 + 1e-9, 4) AS DECIMAL(18,4)))
+      |    AS DOUBLE) / COUNT(*) + 1e-9, 2) AS mean_et0,
+      |  ROUND(MAX(et0) + 1e-9, 2) AS max_et0
+      |FROM et GROUP BY station ORDER BY station""".stripMargin) { (spark, dir) =>
+    val ev = Tables(spark, dir).events
+    def click(c: Column) = when(col("event_type") === "click", c)
+    val st = ev.groupBy(col("user_id").as("station"))
+      .agg(graft.QueryDef.roundBiased(least(greatest(
+        avg(click(col("value"))) - 50.0, lit(-60.0)), lit(60.0)), 4).as("lat"))
+      .filter(col("lat").isNotNull)
+    val daily = ev
+      .groupBy(col("user_id").as("station"), expr("to_date(ts)").as("d"))
+      .agg(graft.QueryDef.roundBiased(max(click(col("value"))), 2).as("tmax"),
+        graft.QueryDef.roundBiased(min(click(col("value"))), 2).as("tmin"))
+      .filter(col("tmax").isNotNull)
+    val ang = lit(2) * lit(math.Pi) / lit(365) * dayofyear(col("d"))
+    val geo = daily.join(broadcast(st), "station")
+      .select(col("station"), col("tmax"), col("tmin"),
+        radians(col("lat")).as("phi"),
+        (lit(0.409) * sin(ang - lit(1.39))).as("sdec"),
+        (lit(1) + lit(0.033) * cos(ang)).as("dr"))
+      .withColumn("ws",
+        acos(least(greatest(-tan(col("phi")) * tan(col("sdec")), lit(-1.0)),
+          lit(1.0))))
+    val et0 = lit(0.0023) * ((col("tmax") + col("tmin")) / 2 + lit(17.8)) *
+      sqrt(col("tmax") - col("tmin")) *
+      (lit(0.408) * (lit(1440) / lit(math.Pi) * lit(0.082) * col("dr") *
+        (col("ws") * sin(col("phi")) * sin(col("sdec")) +
+          cos(col("phi")) * cos(col("sdec")) * sin(col("ws")))))
+    geo.select(col("station"), et0.as("et0"))
+      .groupBy(col("station"))
+      .agg(count(lit(1)).as("n_days"),
+        graft.QueryDef.roundBiased(
+          sum(round(col("et0") + 1e-9, 4).cast("decimal(18,4)")).cast("double") /
+            count(lit(1)), 2).as("mean_et0"),
+        graft.QueryDef.roundBiased(max(col("et0")), 2).as("max_et0"))
+      .orderBy(col("station"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
-    i54, i55)
+    i54, i55, i56)
 }

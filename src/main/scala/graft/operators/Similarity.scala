@@ -980,7 +980,85 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** s17: HYBRID retrieval via RECIPROCAL-RANK FUSION (Cormack,
+    * Clarke & Büttcher 2009, k = 60) — the standard way production
+    * search stacks combine a dense and a lexical ranker without score
+    * calibration: fetch top-50 by embedding cosine (s01's ranker,
+    * query = vec 0) and top-50 by BM25 (t25's ranker, query =
+    * [[TextAnalysis.Bm25Terms]]; embedding i models document i), then
+    * score each candidate 1/(60+r_dense) + 1/(60+r_lex) over the two
+    * retrieved lists and keep the fused top-10.
+    *
+    * Plan: each ranker is ONE corpus scan ending in a top-50
+    * TakeOrderedAndProject (per-partition top-k, never a global
+    * sort); ranks are then assigned on the retrieved 50-ROW lists, so
+    * the unpartitioned row_number windows are bounded by the list
+    * size, not the corpus. The fusion itself is a full-outer join of
+    * two 50-row frames — driver-trivial at any corpus size; the only
+    * wide work is the rankers' own single scans.
+    *
+    * Determinism: both raw rankings are bit-identical cross-engine
+    * (s01/t25's proofs), so the retrieved sets and integer ranks
+    * match exactly; the RRF score is a fixed two-term double sum of
+    * exact-integer reciprocals, ordered on the RAW value with id
+    * tiebreak and rounded only in the projection. */
+  val s17: QueryDef = QueryDef(
+    "s17_rrf_fusion",
+    s"""WITH ${TextAnalysis.bm25RawSql},
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |dens AS (
+       |  SELECT id, CAST(r AS INTEGER) AS r FROM (
+       |    SELECT vec_id AS id,
+       |      ROW_NUMBER() OVER (
+       |        ORDER BY LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id) AS r
+       |    FROM e, q WHERE vec_id <> 0) t
+       |  WHERE r <= 50),
+       |lex AS (
+       |  SELECT id, CAST(r AS INTEGER) AS r FROM (
+       |    SELECT doc_id AS id,
+       |      ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id) AS r
+       |    FROM sc WHERE doc_id <> 0) t
+       |  WHERE r <= 50),
+       |f AS (SELECT COALESCE(dens.id, lex.id) AS id,
+       |    dens.r AS dense_rank, lex.r AS lex_rank,
+       |    COALESCE(1.0 / (60 + dens.r), 0) + COALESCE(1.0 / (60 + lex.r), 0)
+       |      AS rrf_raw
+       |  FROM dens FULL JOIN lex ON dens.id = lex.id)
+       |SELECT id, dense_rank, lex_rank, ROUND(rrf_raw + 1e-9, 6) AS rrf
+       |FROM f ORDER BY rrf_raw DESC, id LIMIT 10""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val emb = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val query = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    // rank windows run AFTER the top-50 take, so they see ≤50 rows
+    val dens = emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(query))
+      .select(col("vec_id").as("id"), Vectors.cosine(col("v"), col("qv")).as("raw"))
+      .orderBy(col("raw").desc, col("id")).limit(50)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("raw").desc, col("id"))))
+      .select(col("id"), col("r").as("dr"))
+    val lex = TextAnalysis.bm25Raw(t.documents)
+      .filter(col("doc_id") =!= 0)
+      .select(col("doc_id").as("id"), col("raw"))
+      .orderBy(col("raw").desc, col("id")).limit(50)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("raw").desc, col("id"))))
+      .select(col("id"), col("r").as("lr"))
+    val rrfRaw =
+      coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0))
+    dens.join(lex, Seq("id"), "full_outer")
+      .select(col("id"), col("dr").as("dense_rank"), col("lr").as("lex_rank"),
+        rrfRaw.as("rrf_raw"))
+      .orderBy(col("rrf_raw").desc, col("id")).limit(10)
+      .select(col("id"), col("dense_rank"), col("lex_rank"),
+        graft.QueryDef.roundBiased(col("rrf_raw"), 6).as("rrf"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16)
+      s14, s15, s16, s17)
 }

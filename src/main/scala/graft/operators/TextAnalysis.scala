@@ -1284,7 +1284,101 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed 3-term probe query shared by t25 and s17 (terms chosen from
+    * the synthetic vocabulary with non-degenerate tf spread). */
+  val Bm25Terms: Seq[String] = Seq("spark", "hash", "merge")
+
+  /** The d/s/sc CTE chain computing per-doc BM25 raw scores in DuckDB —
+    * shared VERBATIM by the t25 and s17 oracles so the two rankings
+    * can never drift apart. Exposes `sc(doc_id, dl, tf1..3, raw)`. */
+  val bm25RawSql: String = {
+    val tfSql = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = '$t')) AS tf${i + 1}"
+    }.mkString(",\n    ")
+    val dfSql = Bm25Terms.indices.map(i =>
+      s"COUNT(*) FILTER (WHERE tf${i + 1} > 0) AS df${i + 1}").mkString(", ")
+    val scoreSql = Bm25Terms.indices.map { i =>
+      s"""LN(1 + (n - df${i + 1} + 0.5) / (df${i + 1} + 0.5))
+         |      * (tf${i + 1} * 2.2)
+         |      / (tf${i + 1} + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))"""
+        .stripMargin
+    }.mkString("(", "\n    + ", ")")
+    s"""d AS (
+       |  SELECT doc_id,
+       |    LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS dl,
+       |    $tfSql
+       |  FROM documents),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(dl) AS BIGINT) AS sumdl, $dfSql FROM d),
+       |sc AS (SELECT doc_id, dl, tf1, tf2, tf3,
+       |    $scoreSql AS raw FROM d, s)""".stripMargin
+  }
+
+  /** Per-doc BM25 raw-score frame (doc_id, dl, tf1..3, raw) — the
+    * Spark side of [[bm25RawSql]], shared by t25 and s17. The per-doc
+    * tf/dl frame is persisted (both the one-row stats agg and the
+    * scored pass consume it; 5 ints per doc, corpus-scale safe). */
+  def bm25Raw(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val perDoc = docs
+      .select(col("doc_id") +:
+        size(filter(toks, x => x =!= "")).as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === t)).as(s"tf${i + 1}")
+        }: _*)
+      .persist()
+    val statCols = count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
+      Bm25Terms.indices.map(i =>
+        count(when(col(s"tf${i + 1}") > 0, 1)).as(s"df${i + 1}"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sumdl") * lit(1.0) / col("n")
+    val raw = Bm25Terms.indices.map { i =>
+      val tf = col(s"tf${i + 1}"); val df = col(s"df${i + 1}")
+      log(lit(1) + (col("n") - df + lit(0.5)) / (df + lit(0.5))) *
+        (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    }.reduceLeft(_ + _)
+    perDoc.join(broadcast(stats))
+      .select(col("doc_id"), col("dl"), col("tf1"), col("tf2"), col("tf3"),
+        raw.as("raw"))
+  }
+
+  /** t25: BM25 retrieval — Okapi BM25 (Robertson & Spärck Jones;
+    * k1 = 1.2, b = 0.75) top-10 for the fixed [[Bm25Terms]] query: the
+    * lexical ranking half of every hybrid retrieval stack (s17 fuses
+    * it with the dense ranks) and the scoring function behind
+    * quality-targeted corpus selection (query = a quality probe,
+    * scores = soft labels).
+    *
+    * Plan: per-doc term frequencies and doc length come from array
+    * ops on the SPLIT tokens — the token stream never exists as rows
+    * and nothing corpus-sized shuffles. The corpus statistics
+    * (N, Σdl, per-term df) reduce to ONE row (map-side combined),
+    * broadcast back over the per-doc frame; the global top-10 is a
+    * TakeOrderedAndProject (per-partition top-k + driver merge of
+    * k×partitions rows — never a global sort).
+    *
+    * Determinism: every score input (tf, dl, df, N, Σdl) is an exact
+    * integer; the score is ONE fixed-shape double expression — terms
+    * summed in query order, idf = ln(1 + (N − df + ½)/(df + ½)), the
+    * BM25+ form that stays positive when df > N/2 (this vocab is ~30
+    * tokens, so common terms hit df ≈ N) — identical trees on both
+    * engines, ranked on the RAW double (doc_id tiebreak) and rounded
+    * only in the projection (s01's discipline). */
+  val t25: QueryDef = QueryDef(
+    "t25_bm25",
+    s"""WITH $bm25RawSql
+       |SELECT doc_id, dl, tf1, tf2, tf3,
+       |  ROUND(raw + 1e-9, 4) AS score
+       |FROM sc ORDER BY raw DESC, doc_id LIMIT 10""".stripMargin) { (spark, dir) =>
+    bm25Raw(Tables(spark, dir).documents)
+      .orderBy(col("raw").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("dl"), col("tf1"), col("tf2"), col("tf3"),
+        graft.QueryDef.roundBiased(col("raw"), 4).as("score"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
 }

@@ -900,4 +900,31 @@ class IngestSpec extends SparkSpec {
       assert(c.getAs[Double]("abs_err") >= 0.0)
     }
   }
+
+  test("i56 Hargreaves ET0: equator value hand-computed, zero diurnal range is zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i56").toString
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1704067200L * 1000000000L // 2024-01-01 → J = 1
+    // clicks drive BOTH latitude (avg−50) and the daily extremes: station
+    // 1 reads 40/60 on day 1 (Tmax−Tmin = 20) and 50 on day 2 (range 0)
+    // → avg 50 → equator. At φ=0, J=1: ωs = π/2, Ra-term = cos δ, and
+    // ET0(day 1) = 0.0023·(50+17.8)·√20·0.408·(1440/π·0.082·dr·cos δ)
+    //            = 10.17 (2-dec grid); day 2 is exactly 0.
+    val events = Seq(
+      (1L, t0, 1L, "click", 40.0, "{}"),
+      (2L, t0, 1L, "click", 60.0, "{}"),
+      (3L, t0 + day, 1L, "click", 50.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.i56.fn(spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_days") == 2L)
+    assert(got(1L).getAs[Double]("max_et0") == 10.17, s"${got(1L)}")
+    assert(got(1L).getAs[Double]("mean_et0") == 5.09, s"${got(1L)}") // (10.1709+0)/2
+    // corpus: ET0 is non-negative and the max dominates the mean
+    Ingest.i56.fn(spark, sf).collect().foreach { c =>
+      val mean = c.getAs[Double]("mean_et0"); val max = c.getAs[Double]("max_et0")
+      assert(mean >= 0.0 && max + 1e-9 >= mean, s"$c")
+    }
+  }
 }

@@ -1309,4 +1309,69 @@ class TextDedupSpec extends SparkSpec {
     val plan = physicalPlan(TextAnalysis.t23.fn(spark, sf))
     assert(plan.contains("graft_token_counts"), plan)
   }
+
+  test("t25 BM25 matches a hand-computed two-doc corpus; plan is a top-k take") {
+    import spark.implicits._
+    // doc 1: "spark spark hash" (dl 3, tf spark 2, hash 1)
+    // doc 2: "merge x y z"      (dl 4, tf merge 1)
+    // N = 2, sumdl = 7, avgdl = 3.5; df(spark)=1, df(hash)=1, df(merge)=1
+    val docs = Seq((1L, "spark spark hash"), (2L, "merge x y z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Raw(docs).orderBy("doc_id").collect()
+    def idf(df: Int, n: Int) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Int, dl: Int, df: Int) =
+      idf(df, 2) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.5))
+    val exp1 = term(2, 3, 1) + term(1, 3, 1) + term(0, 3, 1)
+    val exp2 = term(0, 4, 1) + term(0, 4, 1) + term(1, 4, 1)
+    assert(math.abs(got(0).getAs[Double]("raw") - exp1) < 1e-12)
+    assert(math.abs(got(1).getAs[Double]("raw") - exp2) < 1e-12)
+    // corpus plan: token stream never explodes; the top-10 is a
+    // per-partition take, not a global sort
+    val plan = physicalPlan(TextAnalysis.t25.fn(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Generate"), plan)
+  }
+
+  test("s17 RRF fuses ranks self-consistently and covers single-list candidates") {
+    val rows = Similarity.s17.fn(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val dr = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val lr = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(dr.nonEmpty || lr.nonEmpty)
+      val exp = dr.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        lr.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      val expRounded = java.math.BigDecimal.valueOf(exp + 1e-9)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(r.getDouble(3) == expRounded, s"row $r expected $expRounded")
+    }
+    // fused scores are emitted in non-increasing order
+    val scores = rows.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("d16 winnowing catches any shared substring of length >= k+w-1") {
+    import spark.implicits._
+    // the winnowing guarantee: k=8, w=4 ⇒ an 11-char shared substring
+    // yields at least one shared fingerprint (both docs select a min
+    // over the same full window of its gram hashes)
+    val shared = "qwertyuiopz" // 11 chars, appears in both docs
+    val docs = Seq(
+      (1L, s"aaaa bbbb $shared cccc dddd"),
+      (2L, s"xxxx $shared yyyy zzzz wwww vvvv")).toDF("doc_id", "text")
+    val hits = Dedup.winnowPairs(docs, minShared = 1, minOverlap = 0.0).collect()
+    assert(hits.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L), hits.toSeq)
+    // degenerate text: one repeated char has a single distinct gram
+    // hash, so every window selects the same value — exactly ONE
+    // fingerprint; a self-pair of two copies then shares it fully
+    val degen = Seq((1L, "aaaaaaaaaaaaaaaa"), (2L, "aaaaaaaaaaaaaaaa"))
+      .toDF("doc_id", "text")
+    val dp = Dedup.winnowPairs(degen, minShared = 1, minOverlap = 0.0).collect()
+    assert(dp.length == 1 && dp(0).getLong(2) == 1L && dp(0).getDouble(3) == 1.0,
+      dp.toSeq)
+    // pair generation never degenerates to a nested-loop join
+    val plan = physicalPlan(Dedup.d16.fn(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
