@@ -161,14 +161,17 @@ object Multimodal {
     * values with the same rolling hash as the stub. None on any
     * decode failure → the caller falls back to the stride stub, so a
     * corrupt payload degrades instead of failing the batch. */
-  private[graft] def pngThumb(payload: Array[Byte]): Option[(Int, Long)] =
+  /** PNG → the 64 grays of the integer 8×8 box filter (row-major), or
+    * None on any decode failure. The shared decode core of m03's
+    * thumbnail checksum and m09's average-hash. */
+  private[graft] def pngGrays(payload: Array[Byte]): Option[Array[Long]] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
         val w = img.getWidth
         val h = img.getHeight
-        var ck = 0L
+        val grays = new Array[Long](64)
         var cy = 0
         while (cy < 8) {
           var cx = 0
@@ -188,15 +191,22 @@ object Multimodal {
               }
               y += 1
             }
-            val gray = sum / ((y1 - y0).toLong * (x1 - x0))
-            ck = (ck * 31 + gray) % Mod
+            grays(cy * 8 + cx) = sum / ((y1 - y0).toLong * (x1 - x0))
             cx += 1
           }
           cy += 1
         }
-        Some((64, ck))
+        Some(grays)
       }
     } catch { case _: Exception => None }
+
+  private[graft] def pngThumb(payload: Array[Byte]): Option[(Int, Long)] =
+    pngGrays(payload).map { grays =>
+      var ck = 0L
+      var i = 0
+      while (i < 64) { ck = (ck * 31 + grays(i)) % Mod; i += 1 }
+      (64, ck)
+    }
 
   /** One payload → thumbnail row: PNG-magic payloads take the real
     * codec, everything else (and any failed decode) the stride stub.
@@ -723,5 +733,123 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
+  /** One payload's perceptual fingerprint row. */
+  final case class AHash(doc_id: Long, n_bytes: Int, ahash: Long)
+
+  /** 64 stub "grays": the payload byte at position ⌊j·n/64⌋ for
+    * j = 0..63 (n ≥ 64 gated upstream) — the non-image analogue of
+    * [[pngGrays]]'s 8×8 box filter, replicable via SUBSTR. */
+  private[graft] def strideGrays(payload: Array[Byte]): Array[Long] = {
+    val n = payload.length
+    Array.tabulate(64)(j => (payload(j * n / 64) & 0xff).toLong)
+  }
+
+  /** AVERAGE-HASH of 64 grays: bit j set iff grays(j) > the floored
+    * integer mean — the classic aHash perceptual fingerprint. */
+  private[graft] def averageHash(grays: Array[Long]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += grays(i); i += 1 }
+    val mu = sum / 64
+    var mask = 0L
+    i = 0
+    while (i < 64) { if (grays(i) > mu) mask |= (1L << i); i += 1 }
+    mask
+  }
+
+  /** m09: PERCEPTUAL near-dup — average-hash (aHash, the classic
+    * pHash-family baseline: 8×8 grayscale, bit = cell > mean) over the
+    * payload column, then d03's Hamming machinery: 4×16-bit chunk
+    * bands, capped bucket join, `bit_count(xor)` ≤ 8 confirm. The
+    * image-dedup stage of a multimodal curation pipeline — re-encoded /
+    * resized copies of one image collapse to the same 64-bit mask
+    * while cryptographic hashes (d01) see distinct bytes. PNG-magic
+    * payloads take the REAL codec rung ([[pngGrays]], m03's decoder);
+    * everything else samples 64 bytes at stride n/64 ([[strideGrays]])
+    * — same mapPartitions batch loop, same downstream plan.
+    *
+    * Scale shape: fingerprinting is map-only (8 bytes out per
+    * payload); banding explodes exactly 4 rows per doc, the bucket
+    * cap ([[Dedup.BucketCap]]) rides the band shuffle, pair work is
+    * ≤ cap²/2 per bucket, and the confirm re-joins the 8-byte masks —
+    * d03's exact discipline on binary payloads.
+    *
+    * Determinism: all-integer. The oracle replays the stride samples
+    * via SUBSTR (ASCII-gated corpus ⇒ stub path everywhere), packs
+    * bands as Σ bit·2^(j−16b) per chunk (sign-safe — the Spark side's
+    * unsigned shift of the packed mask extracts identical values),
+    * and confirms with BIT_COUNT(XOR). */
+  val m09 = QueryDef(
+    "m09_payload_ahash",
+    """WITH f AS (
+      |  SELECT doc_id, text, LENGTH(text) AS n FROM documents
+      |  WHERE LENGTH(text) >= 64
+      |    AND LENGTH(text) = OCTET_LENGTH(ENCODE(text))),
+      |s AS (
+      |  SELECT doc_id,
+      |    LIST_TRANSFORM(RANGE(0, 64),
+      |      j -> CAST(ASCII(SUBSTR(text, CAST(j * n // 64 + 1 AS INTEGER), 1))
+      |        AS BIGINT)) AS sm
+      |  FROM f),
+      |m AS (SELECT doc_id, sm, LIST_SUM(sm) // 64 AS mu FROM s),
+      |band AS (
+      |  SELECT doc_id, CAST(b AS INTEGER) AS band_idx,
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(0, 16),
+      |      k -> CASE WHEN sm[CAST(b * 16 + k + 1 AS INTEGER)] > mu
+      |                THEN 1 << CAST(k AS INTEGER) ELSE 0 END)) AS band_val
+      |  FROM m, RANGE(4) r(b)),
+      |bandc AS (SELECT doc_id, band_idx, band_val FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+      |    FROM band) t WHERE bsz <= 64),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bandc a JOIN bandc b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |      AND a.doc_id < b.doc_id),
+      |mask AS (
+      |  SELECT doc_id,
+      |    CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 63),
+      |      j -> CASE WHEN sm[CAST(j + 1 AS INTEGER)] > mu
+      |                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+      |                ELSE 0 END)) AS BIGINT)
+      |    + CASE WHEN sm[64] > mu THEN -9223372036854775808 ELSE 0 END AS ahash
+      |  FROM m)
+      |SELECT doc_a, doc_b,
+      |  CAST(BIT_COUNT(XOR(x.ahash, y.ahash)) AS INTEGER) AS hamming
+      |FROM cand JOIN mask x ON x.doc_id = doc_a JOIN mask y ON y.doc_id = doc_b
+      |WHERE BIT_COUNT(XOR(x.ahash, y.ahash)) <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val blobs = Tables(spark, dir).documents
+      .filter(length(col("text")) >= 64 &&
+        length(col("text")) === octet_length(col("text")))
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .as[Blob]
+    val masks = blobs.mapPartitions { iter =>
+      iter.map { b =>
+        val grays = if (isPng(b.payload)) pngGrays(b.payload).getOrElse(strideGrays(b.payload))
+          else strideGrays(b.payload)
+        AHash(b.doc_id, b.payload.length, averageHash(grays))
+      }
+    }.toDF().persist()
+    val bands = masks.select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL))
+            .as("band_val"))): _*)).as("bv"))
+      .select(col("doc_id"), col("bv.band_idx").as("band_idx"),
+        col("bv.band_val").as("band_val"))
+    val capped = Dedup.capBuckets(bands, Seq("band_idx", "band_val"), Dedup.BucketCap)
+    val cand = capped.toDF("doc_a", "band_idx", "band_val")
+      .join(capped.toDF("doc_b", "band_idx", "band_val"), Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(masks.select(col("doc_id").as("doc_a"), col("ahash").as("ha")), "doc_a")
+      .join(masks.select(col("doc_id").as("doc_b"), col("ahash").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+      .filter(col("hamming") <= 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }

@@ -1374,4 +1374,50 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("m09 average-hash: hand-packed mask, resize-invariant PNG rung, dup pairing") {
+    import spark.implicits._
+    // grays 0..63: mean floor 31 → bits 32..63 set = 0xFFFFFFFF00000000
+    val ramp = Array.tabulate(64)(_.toLong)
+    assert(Multimodal.averageHash(ramp) == 0xFFFFFFFF00000000L)
+    // flat grays: nothing exceeds the mean, mask 0
+    assert(Multimodal.averageHash(Array.fill(64)(7L)) == 0L)
+    // REAL codec rung is RESIZE-invariant: a 2× pixel-replicated copy
+    // of a gradient PNG box-filters to identical grays → hamming 0,
+    // while the payload BYTES differ (the point vs d01's exact hash)
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, (x * 16 << 16) | (y * 16 << 8) | ((x + y) * 8))
+    val big = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) big.setRGB(x, y, img.getRGB(x / 2, y / 2))
+    def pngBytes(i: java.awt.image.BufferedImage) = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", b); b.toByteArray
+    }
+    val (p1, p2) = (pngBytes(img), pngBytes(big))
+    assert(!java.util.Arrays.equals(p1, p2))
+    val g1 = Multimodal.pngGrays(p1).get
+    val g2 = Multimodal.pngGrays(p2).get
+    assert(g1.toSeq == g2.toSeq)
+    assert(Multimodal.averageHash(g1) == Multimodal.averageHash(g2))
+    // stub path through the full query: two identical 64+-char payloads
+    // pair at hamming 0; an unrelated doc stays unpaired
+    val dir = java.nio.file.Files.createTempDirectory("graft_m09").toString
+    val txt = "the quick brown fox jumps over the lazy dog again and again ok"
+    Seq((1L, txt + " padded to pass the length gate", "src0"),
+      (2L, txt + " padded to pass the length gate", "src0"),
+      (3L, ("z9" * 40) + "completely different payload bytes", "src1"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.m09.fn(spark, dir).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 1L && got(0).getLong(1) == 2L
+      && got(0).getInt(2) == 0, got.toSeq)
+    // fingerprinting is one object batch; pairing never a nested loop
+    val plan = physicalPlan(Multimodal.m09.fn(spark, sf))
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
