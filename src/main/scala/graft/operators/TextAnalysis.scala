@@ -763,9 +763,12 @@ object TextAnalysis {
           .otherwise(col("tok")).as("tok"))
   }
 
-  val t17: QueryDef = {
-    val iters = 3
-    val iterCtes = (1 to iters).map { k =>
+  /** The t17/t26 shared oracle CTE chain: `iters` textbook BPE rounds
+    * (count pairs → adopt top by (count desc, lex) → greedy-left
+    * rewrite) over the `s1(doc_id, pos, tok)` stream, leaving the
+    * rewritten stream as `s{iters+1}` and per-round stats as `st{k}`. */
+  private def bpeIterCtes(iters: Int): String =
+    (1 to iters).map { k =>
       s"""w$k AS (SELECT doc_id, pos, tok,
          |  LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM s$k),
          |best$k AS (SELECT tok AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS c
@@ -790,6 +793,10 @@ object TextAnalysis {
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s${k + 1}) AS tokens_after
          |  FROM best$k)""".stripMargin
     }.mkString(",\n")
+
+  val t17: QueryDef = {
+    val iters = 3
+    val iterCtes = bpeIterCtes(iters)
     val unions = (1 to iters).map(k => s"SELECT * FROM st$k").mkString(" UNION ALL ")
     QueryDef(
       "t17_bpe_merges",
@@ -1378,7 +1385,73 @@ object TextAnalysis {
         graft.QueryDef.roundBiased(col("raw"), 4).as("score"))
   }
 
+  /** t26: BPE ENCODING — the apply half of the tokenizer loop t17
+    * trains (Sennrich 2016 §2: for each learned merge in adoption
+    * order, rewrite the stream greedy-left): per document, token count
+    * before and after the learned merges, merges applied, and the
+    * post-encode token share as integer ppm — the FERTILITY /
+    * compression numbers a tokenizer rollout is judged by (and the
+    * per-doc input to p07-style token budgeting under a real
+    * tokenizer).
+    *
+    * One greedy-left pass per merge is COMPLETE: merging (a,b) never
+    * creates a new (a,b) adjacency — the merged token is "a+b", not
+    * "a" or "b" — so the single [[bpeMergeRound]] rewrite per merge
+    * IS textbook sequential encoding. Training state (the merge list)
+    * is re-derived in-query (one collected row per round, t17's
+    * driver-held-model stance) so the oracle can replay everything
+    * from the corpus alone — the s1→s4 CTE chain is SHARED verbatim
+    * with t17 ([[bpeIterCtes]]), the encode adds only the two per-doc
+    * counts.
+    *
+    * Scale: each round is one doc-keyed window rewrite (linear,
+    * skew = longest doc) + one pair-count partial agg; counts are one
+    * more doc-keyed agg pair. All-integer output (ppm by FLOOR
+    * division — i53's convention), no float anywhere. */
+  val t26: QueryDef = {
+    val iters = 3
+    QueryDef(
+      "t26_bpe_encode",
+      s"""WITH s1 AS (
+         |  SELECT doc_id, UNNEST(RANGE(LEN(STRING_SPLIT(text, ' ')))) AS pos,
+         |         UNNEST(STRING_SPLIT(text, ' ')) AS tok
+         |  FROM documents),
+         |${bpeIterCtes(iters)},
+         |nb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_before
+         |  FROM s1 GROUP BY 1),
+         |na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after
+         |  FROM s${iters + 1} GROUP BY 1)
+         |SELECT doc_id, n_before, n_after,
+         |  n_before - n_after AS n_merged,
+         |  CAST(n_after * 1000000 // n_before AS BIGINT) AS tokens_ppm
+         |FROM nb JOIN na USING (doc_id) ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      var s = Tables(spark, dir).documents
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+        .localCheckpoint()
+      val before = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_before"))
+      (1 to iters).foreach { _ =>
+        val w = s.withColumn("nxt", lead(col("tok"), 1).over(dw))
+        val top = w.filter(col("nxt").isNotNull)
+          .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok"), col("nxt"))
+          .limit(1).collect()
+        if (top.nonEmpty)
+          s = bpeMergeRound(w, top(0).getString(0), top(0).getString(1))
+            .localCheckpoint()
+      }
+      val after = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_after"))
+      before.join(after, "doc_id")
+        .select(col("doc_id"), col("n_before"), col("n_after"),
+          (col("n_before") - col("n_after")).as("n_merged"),
+          expr("CAST((n_after * 1000000) div n_before AS BIGINT)").as("tokens_ppm"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
 }

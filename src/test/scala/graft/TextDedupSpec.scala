@@ -1375,6 +1375,31 @@ class TextDedupSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("t26 BPE encode: greedy chain hand-traced, corpus totals re-aggregate t17") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t26").toString
+    // round 1 adopts (a,a) c=4: "a a a a a" keeps even run offsets →
+    // [a+a, a+a, a]; round 2's count-1 tie resolves lexicographically
+    // to (a+a, a) → [a+a, a+a+a]; round 3 to (a+a, a+a+a) → one token.
+    // doc 2 never merges: (b,b) loses every tie.
+    Seq((1L, "a a a a a"), (2L, "b b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t26.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_before") == 5L &&
+      got(1L).getAs[Long]("n_after") == 1L &&
+      got(1L).getAs[Long]("tokens_ppm") == 200000L, s"${got(1L)}")
+    assert(got(2L).getAs[Long]("n_before") == 2L &&
+      got(2L).getAs[Long]("n_after") == 2L &&
+      got(2L).getAs[Long]("tokens_ppm") == 1000000L, s"${got(2L)}")
+    // corpus: per-doc n_after re-aggregates to t17's round-3 stream size
+    val t17After = TextAnalysis.t17.fn(spark, sf).collect()
+      .filter(_.getInt(0) == 3).map(_.getAs[Long]("tokens_after")).head
+    val t26Sum = TextAnalysis.t26.fn(spark, sf)
+      .agg(sum(col("n_after"))).collect()(0).getLong(0)
+    assert(t17After == t26Sum, s"t17 $t17After vs t26 $t26Sum")
+  }
+
   test("m09 average-hash: hand-packed mask, resize-invariant PNG rung, dup pairing") {
     import spark.implicits._
     // grays 0..63: mean floor 31 → bits 32..63 set = 0xFFFFFFFF00000000
