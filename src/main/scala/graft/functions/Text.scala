@@ -41,6 +41,13 @@ object Text {
     ColumnBridge.column(TokenCountsExpr(ColumnBridge.expression(toks)))
   }
 
+  /** Per-doc winnowing fingerprint array — the codegen'd one-pass
+    * [[WinnowFingerprintsExpr]] (d16's per-row half). */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(WinnowFingerprintsExpr(ColumnBridge.expression(text), k, w))
+  }
+
   /** Count of tokens belonging to `set`. */
   def countIn(toks: Column, set: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(set)))

@@ -1267,10 +1267,12 @@ object Dedup {
     * (filtered on the RAW ratio — see [[winnowPairs]] for why 0.5
     * clears this corpus's coincidental-share background).
     *
-    * Scale shape: gram hashing + window minima are per-row array ops
-    * (no explode until the fingerprint set, already ÷(w+1)/2 the gram
-    * count); then exactly the d02 banding discipline — one fp-keyed
-    * shuffle, hot fingerprints (boilerplate) dropped by
+    * Scale shape: gram hashing + window minima run in ONE codegen'd
+    * per-row kernel ([[graft.functions.WinnowFingerprintsExpr]] —
+    * spec-proven bit-identical to the built-in array-op composition it
+    * replaced; no explode until the fingerprint set, already ÷(w+1)/2
+    * the gram count); then exactly the d02 banding discipline — one
+    * fp-keyed shuffle, hot fingerprints (boilerplate) dropped by
     * [[Dedup.BucketCap]] BEFORE pairing (the cap window rides the
     * same shuffle), pair work ≤ cap²/2 per bucket regardless of skew.
     * Fingerprint counts are taken AFTER the cap so the overlap
@@ -1323,10 +1325,13 @@ object Dedup {
     * dense ~0.1-overlap background of coincidental 8-char gram shares,
     * and 0.5 sits far above it (true near-dups measure ≥ 0.5, the
     * noise ceiling is ≈ 0.3). */
-  private[graft] def winnowPairs(docs: DataFrame, cap: Int = BucketCap,
-      minShared: Int = 3, minOverlap: Double = 0.5): DataFrame = {
+  /** d16's fingerprint set as built-in array ops (transform/aggregate/
+    * slice lambdas) — the reference formulation the codegen'd
+    * [[graft.functions.WinnowFingerprintsExpr]] is spec-proven
+    * bit-identical to (it replaced this in the hot path: three nested
+    * interpreted lambdas and a split array per GRAM, ~4× the wall). */
+  private[graft] def winnowFpsReference(docs: DataFrame): DataFrame = {
     val Mod = Text.RollMod
-    // per-row: k-gram polynomial hashes, then each w-window's min
     val hs = transform(
       sequence(lit(1), length(col("text")) - 8 + 2 - 1),
       i => aggregate(
@@ -1336,10 +1341,17 @@ object Dedup {
     val fpArr = array_distinct(
       transform(sequence(lit(1), size(col("hs")) - 3),
         j => array_min(slice(col("hs"), j, lit(4)))))
+    docs.filter(length(col("text")) >= 11)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), fpArr.as("fps"))
+  }
+
+  private[graft] def winnowPairs(docs: DataFrame, cap: Int = BucketCap,
+      minShared: Int = 3, minOverlap: Double = 0.5): DataFrame = {
     val fps = docs
       .filter(length(col("text")) >= 11)
-      .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), explode(fpArr).as("fp"))
+      .select(col("doc_id"),
+        explode(Text.winnowFingerprints(col("text"))).as("fp"))
     val capped = capBuckets(fps, Seq("fp"), cap)
     val nf = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val pairs = capped.toDF("doc_a", "fp")

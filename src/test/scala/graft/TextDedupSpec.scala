@@ -1375,6 +1375,27 @@ class TextDedupSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("d16 winnow expression is bit-identical to the built-in array composition") {
+    val docs = Tables(spark, sf).documents
+    val ref = Dedup.winnowFpsReference(docs).orderBy("doc_id").collect()
+    val neu = docs.filter(length(col("text")) >= 11)
+      .select(col("doc_id"), Text.winnowFingerprints(col("text")).as("fps"))
+      .orderBy("doc_id").collect()
+    assert(ref.length == neu.length && ref.nonEmpty)
+    ref.zip(neu).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getSeq[Long](1) == b.getSeq[Long](1), s"doc ${a.getLong(0)}")
+    }
+    // short strings (< k+w-1) yield an empty set on both paths
+    import spark.implicits._
+    val short = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 < 11
+    assert(short.select(Text.winnowFingerprints(col("text"))).collect()(0)
+      .getSeq[Long](0).isEmpty)
+    // the d16 plan carries the expression, not a lambda chain
+    val plan = physicalPlan(Dedup.d16.fn(spark, sf))
+    assert(plan.contains("graft_winnow_fps"), plan)
+  }
+
   test("t26 BPE encode: greedy chain hand-traced, corpus totals re-aggregate t17") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_t26").toString
