@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimExpr, DotExpr, HyperplaneBucketExpr, Md5SeededExpr, NormExpr, RollingFingerprintExpr, TopKAggregate, WordShinglesExpr, XxShinglesExpr}
+import graft.functions.{CharEntropyStatsExpr, CosineSimExpr, DotExpr, HyperplaneBucketExpr, Md5SeededExpr, NormExpr, RepetitionStatsExpr, RollingFingerprintExpr, TokenCountsExpr, TopKAggregate, WinnowFingerprintsExpr, WordShinglesExpr, XxShinglesExpr}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.SparkSessionExtensions
@@ -59,5 +59,23 @@ object GraftExtensions {
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAggregate].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKAggregate(
-        Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), intArg(exprs(2)))))
+        Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), intArg(exprs(2)))),
+    (FunctionIdentifier("graft_char_entropy_stats"),
+      new ExpressionInfo(classOf[CharEntropyStatsExpr].getName,
+        "graft_char_entropy_stats"),
+      (exprs: Seq[Expression]) => CharEntropyStatsExpr(exprs.head)),
+    (FunctionIdentifier("graft_token_counts"),
+      new ExpressionInfo(classOf[TokenCountsExpr].getName, "graft_token_counts"),
+      (exprs: Seq[Expression]) => TokenCountsExpr(exprs.head)),
+    (FunctionIdentifier("graft_repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName,
+        "graft_repetition_stats"),
+      (exprs: Seq[Expression]) => RepetitionStatsExpr(exprs.head)),
+    (FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprintsExpr].getName,
+        "graft_winnow_fps"),
+      (exprs: Seq[Expression]) =>
+        if (exprs.length >= 3)
+          WinnowFingerprintsExpr(exprs(0), intArg(exprs(1)), intArg(exprs(2)))
+        else WinnowFingerprintsExpr(exprs.head)))
 }

@@ -23,7 +23,11 @@ class ExtensionsSpec extends SparkSpec {
       "graft_word_shingles" -> Seq(toks, Literal(2)),
       "graft_xx_shingles" -> Seq(toks, Literal(2)),
       "graft_md5_seeded" -> Seq(Literal("ab"), Literal(4)),
-      "graft_topk" -> Seq(Literal(1.0), Literal(2L), Literal(3)))
+      "graft_topk" -> Seq(Literal(1.0), Literal(2L), Literal(3)),
+      "graft_char_entropy_stats" -> Seq(Literal("ab")),
+      "graft_token_counts" -> Seq(toks),
+      "graft_repetition_stats" -> Seq(toks),
+      "graft_winnow_fps" -> Seq(Literal("abcdefghijklm")))
     GraftExtensions.functions.foreach { case (ident, _, builder) =>
       val e = builder(argsFor(ident.funcName))
       assert(e.dataType != null, s"${ident.funcName} built no expression")
