@@ -1045,7 +1045,90 @@ object Streaming {
     Iterator.single(AlertOut(station, alertDays, episodes, longest, version))
   }
 
+  /** st16: streaming NEAR-dup gate — st08's corpus-dedup shape raised
+    * from exact content keys to MinHash band membership (the live
+    * intake filter of a curation pipeline: a lightly-edited copy of
+    * published content must be caught at ingest, not by the next batch
+    * d07 run): each incoming document computes its 16-hash md5 MinHash
+    * signature and 4 band hashes ENTIRELY map-side (per-row array
+    * expressions — the stream never shuffles for its own signature,
+    * unlike the batch index build which can afford the explode+agg),
+    * probes the STORED corpus band index ([[graft.sources.DedupIndex]]
+    * `bands` table, the same artifact d07 joins) through four
+    * stream-static left joins on distinct per-band key sets (distinct
+    * ⇒ joins can never multiply stream rows), and a doc sharing ANY
+    * band with the corpus counts as near-dup. One stateful agg per
+    * source: landed / near-dup / landed chars — the hit detection
+    * itself is stateless, so the chained-stateful-aggregation
+    * restriction is never touched.
+    *
+    * Determinism: the per-row signature (array_min over seeded md5)
+    * is element-identical to the index's explode+agg MIN (same set,
+    * same lexicographic min; d02b's proven parity), so band hashes
+    * match the stored index byte-for-byte and the oracle replays the
+    * whole gate as batch SQL. Shingle-less docs land on both engines
+    * (absent from the oracle's band CTE; on the stream side their
+    * all-null signature collapses to md5('') bands, which can never
+    * equal a corpus band hash — md5 of nonempty joined digests). */
+  val st16 = QueryDef(
+    "st16_stream_neardup_gate",
+    """WITH toks AS (SELECT doc_id, source, n_chars,
+      |    STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, source, n_chars, LIST_DISTINCT(LIST_TRANSFORM(
+      |  RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks),
+      |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
+      |sig AS (SELECT doc_id, j, MIN(MD5(s || '#' || j)) AS m
+      |        FROM ex, RANGE(16) r(j) GROUP BY doc_id, j),
+      |band AS (SELECT doc_id, j // 4 AS band_idx,
+      |         MD5(STRING_AGG(m, '|' ORDER BY j)) AS band_hash
+      |         FROM sig GROUP BY doc_id, j // 4),
+      |corpus AS (SELECT DISTINCT band_idx, band_hash FROM band
+      |           WHERE doc_id % 2 = 0),
+      |hits AS (SELECT DISTINCT b.doc_id FROM band b
+      |         JOIN corpus USING (band_idx, band_hash)
+      |         WHERE b.doc_id % 2 = 1),
+      |sel AS (SELECT sh.source, sh.n_chars,
+      |    (hits.doc_id IS NOT NULL) AS dup
+      |  FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id
+      |  WHERE sh.doc_id % 2 = 1)
+      |SELECT source,
+      |  CAST(COUNT(*) FILTER (WHERE NOT dup) AS BIGINT) AS n_landed,
+      |  CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS n_neardup,
+      |  CAST(SUM(n_chars) FILTER (WHERE NOT dup) AS BIGINT) AS chars_landed
+      |FROM sel GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import graft.functions.Text
+    val idx = graft.operators.Dedup.stagedCorpusIndex(spark, dir)
+    withStreamParallelism(spark, dir) { s =>
+      val corpusBands = graft.sources.DedupIndex.readBands(s, idx)
+      def keysFor(b: Int) = corpusBands.filter(col("band_idx") === b)
+        .select(col("band_hash").as(s"bh$b")).distinct()
+        .withColumn(s"hit$b", lit(1))
+      val sv = transform(sequence(lit(0), lit(15)),
+        j => array_min(transform(col("shg"),
+          sx => md5(concat(sx, lit("#"), j.cast("string"))))))
+      val withBands = (0 until 4).foldLeft(
+        docStream(s, dir)
+          .filter(col("doc_id") % 2 === 1)
+          .withColumn("shg",
+            array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
+          .withColumn("sv", sv)) { (df, b) =>
+        df.withColumn(s"bh$b",
+          md5(concat_ws("|", slice(col("sv"), b * 4 + 1, 4))))
+      }
+      val joined = (0 until 4).foldLeft(withBands) { (df, b) =>
+        df.join(keysFor(b), Seq(s"bh$b"), "left_outer")
+      }
+      val miss = (0 until 4).map(b => col(s"hit$b").isNull).reduce(_ && _)
+      val agged = joined.groupBy(col("source")).agg(
+        count(when(miss, 1)).as("n_landed"),
+        count(when(!miss, 1)).as("n_neardup"),
+        sum(when(miss, col("n_chars"))).as("chars_landed"))
+      runToCompletion(agged, "st16_out")
+    }.orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11, st12,
-      st13, st14, st15)
+      st13, st14, st15, st16)
 }

@@ -428,4 +428,57 @@ class StreamingSpec extends SparkSpec {
     try intercept[Exception] { Streaming.st02.fn(spark, sf).collect() }
     finally spark.conf.unset(Streaming.StateStoreProviderConf)
   }
+
+  test("st16 streamed near-dup gate equals the batch band probe; verbatim copy drops") {
+    import graft.operators.Dedup
+    // corpus equivalence: recompute the gate in batch from the same
+    // band machinery the stored index uses
+    val streamed = Streaming.st16.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_landed"), r.getAs[Long]("n_neardup")))).toMap
+    val docs = Tables(spark, sf).documents
+    val sh = docs.select(col("doc_id"),
+      array_distinct(graft.functions.Text.shingles(
+        graft.functions.Text.tokens(col("text")), 3)).as("sh"))
+    val bands = Dedup.md5MinhashBands(sh, "doc_id", "sh")
+    val corpus = bands.filter(col("doc_id") % 2 === 0)
+      .select(col("band_idx"), col("band_hash")).distinct()
+    val hits = bands.filter(col("doc_id") % 2 === 1)
+      .join(corpus, Seq("band_idx", "band_hash"))
+      .select(col("doc_id")).distinct().withColumn("dup", lit(true))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .join(hits, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(when(col("dup").isNull, 1)).as("n_landed"),
+        count(col("dup")).as("n_neardup"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_landed"), r.getAs[Long]("n_neardup")))).toMap
+    assert(streamed == batch)
+    assert(streamed.values.map(_._2).sum > 0, "gate caught no near-dups at sf0.001")
+    // crafted scenario: a verbatim copy of published content is caught,
+    // unrelated and shingle-less docs land
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st16").toString
+    val t = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"alt$i").mkString(" ")
+    // the content fingerprint (and the driver layout) want ONE parquet
+    // FILE named documents.parquet — stage the write, move the part
+    val stage = s"$dir/__stage"
+    Seq((0L, t, "en", "s", t.length.toLong),
+      (1L, t, "en", "s", t.length.toLong),
+      (3L, other, "en", "s", other.length.toLong),
+      (5L, "x y", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val got = Streaming.st16.fn(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_landed") == 2L && r.getAs[Long]("n_neardup") == 1L &&
+      r.getAs[Long]("chars_landed") == other.length + 3L, r.toString)
+  }
 }
