@@ -36,6 +36,7 @@ object Bench {
     "st08_stream_dedup_corpus",    // same stored index, prefix keys
     "st03_stream_upsert_sink",     // fp-keyed sink + checkpoint resume
     "st10_stream_incremental_agg", // fp-keyed staged slices + state_v
+    "st16_stream_neardup_gate",    // stored index, band probes
     "i16_multi_source_union")      // per-JVM materialized demo sources
 
   /** Render the one-line driver JSON within [[LineBudget]]. */

@@ -363,5 +363,79 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(j01, j02, j03, j04, j05)
+  /** j06: OHLC / TWAP bar downsampling — the canonical time-series
+    * reduction (financial candlesticks, sensor-telemetry rollups): per
+    * (user, day) bar, event count, OPEN/CLOSE (first/last observation
+    * by (ts, event_id) — deterministic under equal timestamps, the j05
+    * tiebreak discipline), HIGH/LOW, and the TIME-WEIGHTED average
+    * price — each observation holds until the next one in the bar, the
+    * last holds to the bar's end, so irregular sampling doesn't bias
+    * the mean the way a plain AVG does (the reason TWAP exists).
+    *
+    * Determinism: timestamps are exact integer microseconds
+    * (unix_micros ↔ EPOCH_US), values ride the integer-cents grid for
+    * the weighted sum (q34's CAST(ROUND(v·100)) convention) —
+    * Σ cents·µs is an exact BIGINT (≤ ~1e5 cents · 8.64e10 µs/day ·
+    * events/bar; a production tick stream would bucket to ms before
+    * this sum), the bar span telescopes to barEnd − first ts, and the
+    * single double division rounds 4-dec biased. OPEN/HIGH/LOW/CLOSE
+    * pass the STORED doubles through untouched (j01's stance — no
+    * arithmetic, hash-exact by construction); first/last resolve via
+    * (ts, event_id, value) struct extrema (i54's struct-min pattern).
+    *
+    * Plan: ONE (user, day)-keyed shuffle shared by the lead window and
+    * the bar aggregation (same key, same sort); skew = one entity's
+    * single-day event count. */
+  val j06 = QueryDef(
+    "j06_ohlc_twap",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+      |      AS INTEGER) AS day,
+      |    EPOCH_US(CAST(ts AS TIMESTAMP)) AS tsu,
+      |    event_id, value,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (SELECT *, LEAD(tsu) OVER (PARTITION BY user_id, day
+      |    ORDER BY tsu, event_id) AS nxt FROM e),
+      |g AS (SELECT user_id, day, tsu, event_id, value, cents,
+      |    COALESCE(nxt, (day + 1) * 86400000000) - tsu AS dur FROM d)
+      |SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(struct_pack(tsu := tsu, eid := event_id, v := value)).v AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(struct_pack(tsu := tsu, eid := event_id, v := value)).v AS close,
+      |  ROUND(CAST(SUM(cents * dur) AS DOUBLE)
+      |    / (100.0 * ((day + 1) * 86400000000 - MIN(tsu))) + 1e-9, 4) AS twap
+      |FROM g GROUP BY user_id, day
+      |ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+    val e = Tables(spark, dir).events
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), date'1970-01-01')").cast("int").as("day"),
+        unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("value"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("tsu"), col("event_id"))
+    val barEnd = (col("day") + 1).cast("long") * 86400000000L
+    val g = e
+      .withColumn("nxt", lead(col("tsu"), 1).over(w))
+      .withColumn("dur", coalesce(col("nxt"), barEnd) - col("tsu"))
+    val obs = struct(col("tsu"), col("event_id"), col("value").as("v"))
+    g.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        min(obs).getField("v").as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(obs).getField("v").as("close"),
+        sum(col("cents") * col("dur")).as("wsum"),
+        min(col("tsu")).as("first_tsu"))
+      .select(col("user_id"), col("day"), col("n_events"),
+        col("open"), col("high"), col("low"), col("close"),
+        graft.QueryDef.roundBiased(
+          col("wsum").cast("double") /
+            (lit(100.0) * ((col("day") + 1).cast("long") * 86400000000L -
+              col("first_tsu"))), 4).as("twap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val all: Seq[QueryDef] = Seq(j01, j02, j03, j04, j05, j06)
 }

@@ -719,4 +719,39 @@ class RelationalSpec extends SparkSpec {
         graft.QueryDef.roundBiased(col("total_qty") / col("n_rows"), 4).as("avg_qty"))
     assert(merged.exceptAll(full).count() == 0 && full.exceptAll(merged).count() == 0)
   }
+
+  test("j06 OHLC/TWAP: hand-computed bars, hold-to-bar-end, equal-ts tiebreak") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_j06").toString
+    val halfDay = 43200L * 1000000000L // ns
+    // user 1 day 0: v=10 at 00:00 and v=20 at 12:00 → each holds half
+    // the day: twap 15; OHLC 10/20/10/20. user 2: a SINGLE midday
+    // observation holds to bar end → twap equals it exactly. user 3:
+    // two events at the SAME instant → open/close resolve by event_id.
+    val events = Seq(
+      (1L, 0L, 1L, "obs", 10.0, "{}"),
+      (2L, halfDay, 1L, "obs", 20.0, "{}"),
+      (3L, halfDay, 2L, "obs", 30.0, "{}"),
+      (4L, halfDay, 3L, "obs", 40.0, "{}"),
+      (5L, halfDay, 3L, "obs", 50.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Temporal.j06.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("open") == 10.0 &&
+      got(1L).getAs[Double]("close") == 20.0 &&
+      got(1L).getAs[Double]("high") == 20.0 &&
+      got(1L).getAs[Double]("low") == 10.0 &&
+      got(1L).getAs[Double]("twap") == 15.0, s"${got(1L)}")
+    assert(got(2L).getAs[Double]("twap") == 30.0, s"${got(2L)}")
+    assert(got(3L).getAs[Double]("open") == 40.0 &&
+      got(3L).getAs[Double]("close") == 50.0, s"${got(3L)}")
+    // corpus invariants: low <= open/close/twap <= high per bar
+    graft.operators.Temporal.j06.fn(spark, sf).collect().foreach { r =>
+      val (lo, hi, tw) = (r.getAs[Double]("low"), r.getAs[Double]("high"),
+        r.getAs[Double]("twap"))
+      assert(lo <= hi && tw >= lo - 1e-4 && tw <= hi + 1e-4, r.toString)
+      assert(r.getAs[Double]("open") >= lo && r.getAs[Double]("open") <= hi)
+    }
+  }
 }
