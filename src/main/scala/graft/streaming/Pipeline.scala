@@ -34,12 +34,20 @@ object Streaming {
     StructField("n_chars", LongType)))
 
   /** File-source stream over the documents parquet — the continuous
-    * document-ingestion side of the curation pipelines. */
+    * document-ingestion side of the curation pipelines. The driver
+    * testdata ships one FILE named documents.parquet (streamed via a
+    * leaf-name glob on the SF dir); Spark-written corpora (Sf1Data /
+    * SkewData / user tables) are DIRECTORIES of part files, which the
+    * leaf glob would silently match to ZERO files — stream the
+    * directory itself in that layout. */
   private def docStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+      spark.readStream.schema(docsSchema).parquet(s"$dir/documents.parquet")
+    else
+      spark.readStream
+        .schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
 
   /** File-source stream over the events parquet. Driver data
     * generations encode `ts` differently (INT64 TIMESTAMP(NANOS) read
@@ -51,11 +59,18 @@ object Streaming {
     val physical = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // the file source wants a directory: stream the SF dir, filtered to
     // the events file
-    val raw = spark.readStream
-      .schema(StructType(eventsSchema.map(f =>
-        if (f.name == "ts") f.copy(dataType = physical) else f)))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val schema = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = physical) else f))
+    // docStream's layout split: a single driver FILE streams via the
+    // leaf-name glob; a Spark-written DIRECTORY streams directly (the
+    // glob would match zero part files)
+    val raw =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
     physical match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
@@ -131,24 +146,39 @@ object Streaming {
   private[graft] def contentFingerprint(f: java.io.File): String = {
     // a missing source is a configuration error, not a stale-cache case:
     // fail with a clear message instead of the raw FileNotFoundException
-    // the RandomAccessFile below would throw mid-hash
-    require(f.isFile,
-      s"source file missing or unreadable: $f — cannot derive a content fingerprint")
+    // the RandomAccessFile below would throw mid-hash. A Spark-written
+    // table is a DIRECTORY of part files — fingerprint the parts in
+    // name order, content only (no names: identical content must key
+    // identically wherever it lives — the convergence contract below).
     val md = java.security.MessageDigest.getInstance("MD5")
-    val len = f.length()
-    md.update(java.nio.ByteBuffer.allocate(8).putLong(len).array())
-    val in = new java.io.RandomAccessFile(f, "r")
-    try {
-      val head = new Array[Byte](math.min(65536L, len).toInt)
-      in.readFully(head)
-      md.update(head)
-      if (len > 65536L) {
-        in.seek(len - 65536L)
-        val tail = new Array[Byte](65536)
-        in.readFully(tail)
-        md.update(tail)
-      }
-    } finally in.close()
+    def hashOne(p: java.io.File): Unit = {
+      val len = p.length()
+      md.update(java.nio.ByteBuffer.allocate(8).putLong(len).array())
+      val in = new java.io.RandomAccessFile(p, "r")
+      try {
+        val head = new Array[Byte](math.min(65536L, len).toInt)
+        in.readFully(head)
+        md.update(head)
+        if (len > 65536L) {
+          in.seek(len - 65536L)
+          val tail = new Array[Byte](65536)
+          in.readFully(tail)
+          md.update(tail)
+        }
+      } finally in.close()
+    }
+    if (f.isFile) hashOne(f)
+    else {
+      val parts =
+        if (f.isDirectory)
+          f.listFiles().filter(p => p.isFile && p.getName.endsWith(".parquet"))
+            .sortBy(_.getName)
+        else Array.empty[java.io.File]
+      require(parts.nonEmpty,
+        s"source file missing or unreadable: $f — cannot derive a content fingerprint")
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(parts.length).array())
+      parts.foreach(hashOne)
+    }
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 

@@ -25,6 +25,28 @@ class StreamingSpec extends SparkSpec {
     val big1 = write("d", Array.fill[Byte](200000)(7), t0)
     val big2 = write("e", Array.fill[Byte](200000)(7).updated(199999, 8: Byte), t0)
     assert(Streaming.contentFingerprint(big1) != Streaming.contentFingerprint(big2))
+    // DIRECTORY layout (a Spark-written table of part files): content
+    // keys the digest, a one-byte part edit re-keys, and identical
+    // content fingerprints identically across directories
+    def mkdir(name: String, parts: (String, Array[Byte])*): java.io.File = {
+      val d = new java.io.File(dir, name); d.mkdirs()
+      parts.foreach { case (n, bytes) =>
+        java.nio.file.Files.write(new java.io.File(d, n).toPath, bytes)
+      }
+      d
+    }
+    val p1 = Array.fill[Byte](500)(3); val p2 = Array.fill[Byte](500)(4)
+    val d1 = mkdir("t1", "part-00000.parquet" -> p1, "part-00001.parquet" -> p2)
+    val d2 = mkdir("t2", "part-00000.parquet" -> p1, "part-00001.parquet" -> p2)
+    val d3 = mkdir("t3", "part-00000.parquet" -> p1,
+      "part-00001.parquet" -> p2.updated(499, 5: Byte))
+    assert(Streaming.contentFingerprint(d1) == Streaming.contentFingerprint(d2))
+    assert(Streaming.contentFingerprint(d1) != Streaming.contentFingerprint(d3))
+    // empty dir / missing path both fail with the configuration error
+    val e1 = intercept[IllegalArgumentException] {
+      Streaming.contentFingerprint(mkdir("t4"))
+    }
+    assert(e1.getMessage.contains("cannot derive a content fingerprint"))
   }
 
   test("st11 top-k state folds across micro-batches, bounded at k rows per key") {
