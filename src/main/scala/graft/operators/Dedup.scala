@@ -1352,7 +1352,10 @@ object Dedup {
       .filter(length(col("text")) >= 11)
       .select(col("doc_id"),
         explode(Text.winnowFingerprints(col("text"))).as("fp"))
-    val capped = capBuckets(fps, Seq("fp"), cap)
+    // persisted: the capped fingerprint stream feeds three consumers
+    // (the per-doc counts and both pair-join sides) — without it the
+    // corpus re-scans and re-fingerprints per consumer (d02's stance)
+    val capped = capBuckets(fps, Seq("fp"), cap).persist()
     val nf = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val pairs = capped.toDF("doc_a", "fp")
       .join(capped.toDF("doc_b", "fp"), Seq("fp"))
