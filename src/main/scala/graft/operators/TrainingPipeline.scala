@@ -769,48 +769,100 @@ object TrainingPipeline {
     * collect-and-inline), so no join, no shuffle beyond the 1-row
     * aggs. 100 TB story: each GD step is one pass of pure codegen'd
     * arithmetic — exactly how full-batch distributed GD should look. */
+  /** SQL sigmoid over the p12 feature columns. Shared by p12/p14. */
+  private def logregSigmoidSql(w1: String, w2: String, w0: String) =
+    s"1.0 / (1.0 + EXP(-($w1 * x1 + $w2 * x2 + $w0)))"
+
+  /** The p12 gradient-descent CTE chain — features `f`, corpus count
+    * `n`, three grid-pinned GD rounds ending in weights `wt3`. Shared
+    * VERBATIM by the p12 (training trajectory) and p14 (calibration)
+    * oracles so the model they evaluate can never drift apart. */
+  private val logregChainSql: String = {
+    def p = logregSigmoidSql _
+    def gradCte(name: String, w1: String, w2: String, w0: String,
+        prevTable: String) =
+      s"""$name AS (SELECT
+         |    ROUND(CAST(SUM(CAST(ROUND((${p(w1, w2, w0)} - y) * x1 + 1e-9, 8)
+         |      AS DECIMAL(18,8))) AS DOUBLE) / n.n + 1e-9, 6) AS gx1,
+         |    ROUND(CAST(SUM(CAST(ROUND((${p(w1, w2, w0)} - y) * x2 + 1e-9, 8)
+         |      AS DECIMAL(18,8))) AS DOUBLE) / n.n + 1e-9, 6) AS gx2,
+         |    ROUND(CAST(SUM(CAST(ROUND((${p(w1, w2, w0)} - y) + 1e-9, 8)
+         |      AS DECIMAL(18,8))) AS DOUBLE) / n.n + 1e-9, 6) AS gx0
+         |  FROM f, n${if (prevTable.isEmpty) "" else ", " + prevTable}
+         |  GROUP BY n.n)""".stripMargin
+    // (prevTable threads the prior iteration's weight CTE into each
+    // gradient's FROM clause)
+    s"""f AS (SELECT
+       |    ROUND(LEAST(LEN(STRING_SPLIT(text, ' ')), 500) / 500.0 + 1e-9, 4)
+       |      AS x1,
+       |    ROUND(LEAST(LENGTH(text), 2000) / 2000.0 + 1e-9, 4) AS x2,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM f),
+       |${gradCte("g1", "0.0", "0.0", "0.0", "")},
+       |wt1 AS (SELECT ROUND(0.0 - gx1 + 1e-9, 6) + 0.0 AS w1,
+       |  ROUND(0.0 - gx2 + 1e-9, 6) + 0.0 AS w2,
+       |  ROUND(0.0 - gx0 + 1e-9, 6) + 0.0 AS w0 FROM g1),
+       |${gradCte("g2", "wt1.w1", "wt1.w2", "wt1.w0", "wt1")},
+       |wt2 AS (SELECT ROUND(wt1.w1 - gx1 + 1e-9, 6) + 0.0 AS w1,
+       |  ROUND(wt1.w2 - gx2 + 1e-9, 6) + 0.0 AS w2,
+       |  ROUND(wt1.w0 - gx0 + 1e-9, 6) + 0.0 AS w0 FROM wt1, g2),
+       |${gradCte("g3", "wt2.w1", "wt2.w2", "wt2.w0", "wt2")},
+       |wt3 AS (SELECT ROUND(wt2.w1 - gx1 + 1e-9, 6) + 0.0 AS w1,
+       |  ROUND(wt2.w2 - gx2 + 1e-9, 6) + 0.0 AS w2,
+       |  ROUND(wt2.w0 - gx0 + 1e-9, 6) + 0.0 AS w0 FROM wt2, g3)""".stripMargin
+  }
+
+  /** The p12 feature frame (x1, x2, y) over a documents table. */
+  private def logregFeatures(docs: DataFrame): DataFrame =
+    docs.select(
+      graft.QueryDef.roundBiased(
+        least(size(graft.functions.Text.tokens(col("text"))), lit(500))
+          .cast("double") / 500.0, 4).as("x1"),
+      graft.QueryDef.roundBiased(
+        least(length(col("text")), lit(2000)).cast("double") / 2000.0, 4)
+        .as("x2"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+
+  private def logregRound6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x + 1e-9)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Sigmoid Column for driver-held weights (s05's collect-and-inline
+    * trainer-state discipline). */
+  private def logregProb(w: (Double, Double, Double)) =
+    lit(1.0) / (lit(1.0) +
+      exp(-(lit(w._1) * col("x1") + lit(w._2) * col("x2") + lit(w._3))))
+
+  /** Run the 3-round grid-pinned GD over a PERSISTED feature frame;
+    * returns the weight trajectory. Each round is one map-side-combined
+    * 1-row gradient agg; weights travel back as literals. */
+  private def logregTrain(f: DataFrame, n: Long,
+      iters: Int = 3): Seq[(Int, (Double, Double, Double))] = {
+    var w = (0.0, 0.0, 0.0)
+    (1 to iters).map { it =>
+      val pc = logregProb(w)
+      def term(xc: org.apache.spark.sql.Column) =
+        sum(round((pc - col("y")) * xc + 1e-9, 8).cast("decimal(18,8)"))
+      val g = f.agg(term(col("x1")).as("s1"), term(col("x2")).as("s2"),
+          term(lit(1.0)).as("s0")).collect()(0)
+      def grad(i: Int) = logregRound6(g.getDecimal(i).doubleValue() / n)
+      w = (logregRound6(w._1 - grad(0)), logregRound6(w._2 - grad(1)),
+        logregRound6(w._3 - grad(2)))
+      (it, w)
+    }
+  }
+
   val p12 = QueryDef(
     "p12_quality_logreg",
     {
-      def p(w1: String, w2: String, w0: String) =
-        s"1.0 / (1.0 + EXP(-($w1 * x1 + $w2 * x2 + $w0)))"
-      def gradCte(name: String, w1: String, w2: String, w0: String,
-          prevTable: String) =
-        s"""$name AS (SELECT
-           |    ROUND(CAST(SUM(CAST(ROUND((${p(w1, w2, w0)} - y) * x1 + 1e-9, 8)
-           |      AS DECIMAL(18,8))) AS DOUBLE) / n.n + 1e-9, 6) AS gx1,
-           |    ROUND(CAST(SUM(CAST(ROUND((${p(w1, w2, w0)} - y) * x2 + 1e-9, 8)
-           |      AS DECIMAL(18,8))) AS DOUBLE) / n.n + 1e-9, 6) AS gx2,
-           |    ROUND(CAST(SUM(CAST(ROUND((${p(w1, w2, w0)} - y) + 1e-9, 8)
-           |      AS DECIMAL(18,8))) AS DOUBLE) / n.n + 1e-9, 6) AS gx0
-           |  FROM f, n${if (prevTable.isEmpty) "" else ", " + prevTable}
-           |  GROUP BY n.n)""".stripMargin
+      def p = logregSigmoidSql _
       def accCte(name: String, wt: String) =
         s"""$name AS (SELECT CAST(COUNT(*) FILTER (WHERE
            |    (CASE WHEN ROUND(${p(s"$wt.w1", s"$wt.w2", s"$wt.w0")} + 1e-9, 6)
            |       >= 0.5 THEN 1.0 ELSE 0.0 END) = y) AS BIGINT) AS n_correct
            |  FROM f, $wt)""".stripMargin
-      // (prevTable threads the prior iteration's weight CTE into each
-      // gradient's FROM clause)
-      s"""WITH f AS (SELECT
-         |    ROUND(LEAST(LEN(STRING_SPLIT(text, ' ')), 500) / 500.0 + 1e-9, 4)
-         |      AS x1,
-         |    ROUND(LEAST(LENGTH(text), 2000) / 2000.0 + 1e-9, 4) AS x2,
-         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-         |  FROM documents),
-         |n AS (SELECT COUNT(*) AS n FROM f),
-         |${gradCte("g1", "0.0", "0.0", "0.0", "")},
-         |wt1 AS (SELECT ROUND(0.0 - gx1 + 1e-9, 6) + 0.0 AS w1,
-         |  ROUND(0.0 - gx2 + 1e-9, 6) + 0.0 AS w2,
-         |  ROUND(0.0 - gx0 + 1e-9, 6) + 0.0 AS w0 FROM g1),
-         |${gradCte("g2", "wt1.w1", "wt1.w2", "wt1.w0", "wt1")},
-         |wt2 AS (SELECT ROUND(wt1.w1 - gx1 + 1e-9, 6) + 0.0 AS w1,
-         |  ROUND(wt1.w2 - gx2 + 1e-9, 6) + 0.0 AS w2,
-         |  ROUND(wt1.w0 - gx0 + 1e-9, 6) + 0.0 AS w0 FROM wt1, g2),
-         |${gradCte("g3", "wt2.w1", "wt2.w2", "wt2.w0", "wt2")},
-         |wt3 AS (SELECT ROUND(wt2.w1 - gx1 + 1e-9, 6) + 0.0 AS w1,
-         |  ROUND(wt2.w2 - gx2 + 1e-9, 6) + 0.0 AS w2,
-         |  ROUND(wt2.w0 - gx0 + 1e-9, 6) + 0.0 AS w0 FROM wt2, g3),
+      s"""WITH $logregChainSql,
          |${accCte("a1", "wt1")},
          |${accCte("a2", "wt2")},
          |${accCte("a3", "wt3")}
@@ -821,40 +873,86 @@ object TrainingPipeline {
          |ORDER BY iter""".stripMargin
     }) { (spark, dir) =>
     import spark.implicits._
-    val f = Tables(spark, dir).documents
-      .select(
-        graft.QueryDef.roundBiased(
-          least(size(graft.functions.Text.tokens(col("text"))), lit(500))
-            .cast("double") / 500.0, 4).as("x1"),
-        graft.QueryDef.roundBiased(
-          least(length(col("text")), lit(2000)).cast("double") / 2000.0, 4)
-          .as("x2"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      .persist()
+    val f = logregFeatures(Tables(spark, dir).documents).persist()
     val n = f.count()
-    def round6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x + 1e-9)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    def prob(w: (Double, Double, Double)) =
-      lit(1.0) / (lit(1.0) +
-        exp(-(lit(w._1) * col("x1") + lit(w._2) * col("x2") + lit(w._3))))
-    var w = (0.0, 0.0, 0.0)
-    val rows = (1 to 3).map { it =>
-      val pc = prob(w)
-      def term(xc: org.apache.spark.sql.Column) =
-        sum(round((pc - col("y")) * xc + 1e-9, 8).cast("decimal(18,8)"))
-      val g = f.agg(term(col("x1")).as("s1"), term(col("x2")).as("s2"),
-          term(lit(1.0)).as("s0")).collect()(0)
-      def grad(i: Int) = round6(g.getDecimal(i).doubleValue() / n)
-      w = (round6(w._1 - grad(0)), round6(w._2 - grad(1)), round6(w._3 - grad(2)))
+    val rows = logregTrain(f, n).map { case (it, w) =>
       val nCorrect = f.filter(
-        when(graft.QueryDef.roundBiased(prob(w), 6) >= 0.5, 1.0).otherwise(0.0)
-          === col("y")).count()
+        when(graft.QueryDef.roundBiased(logregProb(w), 6) >= 0.5, 1.0)
+          .otherwise(0.0) === col("y")).count()
       (it, w._1, w._2, w._3, nCorrect)
     }
     f.unpersist()
     rows.toDF("iter", "w1", "w2", "w0", "n_correct")
       .orderBy(col("iter"))
+  }
+
+  /** p14: CALIBRATION of p12's trained classifier — the reliability
+    * diagram + per-bin gap behind Expected Calibration Error (the
+    * standard eval before a quality score gates real data: a model
+    * predicting 0.9 must be right ~90% of the time, or its threshold
+    * means nothing): score every doc with the round-3 weights, bin the
+    * 6-dec-grid probability into 10 equal bins over the model's
+    * OBSERVED score range (a weakly-trained model concentrates — this
+    * one spans ~0.002 around 0.46, so absolute deciles collapse to one
+    * row; range-normalized bins resolve the operating band while
+    * staying a MAP-SIDE floor against one broadcast (lo, hi) row —
+    * never the global NTILE sort q34's design note forbids), and
+    * report each bin's count, mean predicted probability, empirical
+    * positive rate, and their gap. ECE is the n-weighted sum of the
+    * gap column.
+    *
+    * The oracle re-derives the FULL training chain ([[logregChainSql]],
+    * shared verbatim with p12) then replays scoring and binning — the
+    * evaluated model is the proven-identical one, not a re-fit.
+    *
+    * Determinism: phat sits on the 6-dec grid (the accCte convention)
+    * before the decile floor, bin mean sums DECIMAL(18,6) grid terms
+    * (order-free), y-sums are exact 0/1 doubles, gap =
+    * |mean_pred − frac_pos| of two already-4-dec-rounded values
+    * (exact). Plan: ONE corpus feature scan persisted (3 gradient
+    * 1-row aggs + the scoring pass), then a 10-group agg. */
+  val p14 = QueryDef(
+    "p14_calibration",
+    {
+      val p = logregSigmoidSql("wt3.w1", "wt3.w2", "wt3.w0")
+      s"""WITH $logregChainSql,
+         |scored AS (SELECT ROUND($p + 1e-9, 6) AS phat, y FROM f, wt3),
+         |r AS (SELECT MIN(phat) AS lo, MAX(phat) AS hi FROM scored),
+         |b AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+         |      LEAST(CAST(FLOOR((phat - lo) / (hi - lo) * 10) AS INTEGER), 9)
+         |    END AS bin, phat, y FROM scored, r)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  ROUND(CAST(SUM(CAST(ROUND(phat + 1e-9, 6) AS DECIMAL(18,6)))
+         |    AS DOUBLE) / COUNT(*) + 1e-9, 4) AS mean_pred,
+         |  ROUND(SUM(y) / COUNT(*) + 1e-9, 4) AS frac_pos,
+         |  ABS(ROUND(CAST(SUM(CAST(ROUND(phat + 1e-9, 6) AS DECIMAL(18,6)))
+         |      AS DOUBLE) / COUNT(*) + 1e-9, 4)
+         |    - ROUND(SUM(y) / COUNT(*) + 1e-9, 4)) AS gap
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+    }) { (spark, dir) =>
+    val f = logregFeatures(Tables(spark, dir).documents).persist()
+    val n = f.count()
+    val w3 = logregTrain(f, n).last._2
+    val scored = f.select(
+      graft.QueryDef.roundBiased(logregProb(w3), 6).as("phat"), col("y"))
+    val meanPred = graft.QueryDef.roundBiased(
+      sum(round(col("phat") + 1e-9, 6).cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 4)
+    val fracPos = graft.QueryDef.roundBiased(sum(col("y")) / count(lit(1)), 4)
+    val range = scored.agg(min(col("phat")).as("lo"), max(col("phat")).as("hi"))
+    val out = scored
+      .join(broadcast(range))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), 0).otherwise(
+          least(floor((col("phat") - col("lo")) / (col("hi") - col("lo")) * 10)
+            .cast("int"), lit(9))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), meanPred.as("mean_pred"),
+        fracPos.as("frac_pos"), abs(meanPred - fracPos).as("gap"))
+      .orderBy(col("bin"))
+    // no eager unpersist: `out` is lazy and scores f twice (range row +
+    // binning pass) — the harness owns the between-queries cache sweep
+    out
   }
 
   /** p13: DATASET CARD — the per-source release-stats bundle every
@@ -910,5 +1008,5 @@ object TrainingPipeline {
   }
 
   val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09,
-    p10, p11, p12, p13)
+    p10, p11, p12, p13, p14)
 }

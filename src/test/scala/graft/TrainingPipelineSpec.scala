@@ -390,4 +390,28 @@ class TrainingPipelineSpec extends SparkSpec {
       assert(!r.getAs[Double]("w1").isNaN && !r.getAs[Double]("w1").isInfinite)
     }
   }
+
+  test("p14 calibration bins partition the corpus, ordered and self-consistent") {
+    val rows = TrainingPipeline.p14.fn(spark, sf).collect()
+    val n = Tables(spark, sf).documents.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n, "bins must partition")
+    assert(rows.map(_.getAs[Int]("bin")).forall(b => b >= 0 && b <= 9))
+    // range-normalized equal-width bins ⇒ mean predictions non-decreasing
+    val means = rows.sortBy(_.getAs[Int]("bin")).map(_.getAs[Double]("mean_pred"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b }, means.toSeq)
+    rows.foreach { r =>
+      val gap = math.abs(r.getAs[Double]("mean_pred") - r.getAs[Double]("frac_pos"))
+      assert(math.abs(gap - r.getAs[Double]("gap")) < 1e-12, r.toString)
+      assert(r.getAs[Double]("frac_pos") >= 0.0 && r.getAs[Double]("frac_pos") <= 1.0)
+    }
+    // degenerate range (identical docs): one bin 0 carrying everything
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_p14").toString
+    Seq.tabulate(8)(i => (i.toLong, "same text for every doc here ok", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val degen = TrainingPipeline.p14.fn(spark, dir).collect()
+    assert(degen.length == 1 && degen(0).getAs[Int]("bin") == 0 &&
+      degen(0).getAs[Long]("n_docs") == 8L, degen.toSeq)
+  }
 }
