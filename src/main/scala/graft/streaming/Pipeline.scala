@@ -1158,7 +1158,108 @@ object Streaming {
     }.orderBy(col("source"))
   }
 
+  /** Constant-size mergeable OHLC/TWAP partial for one (user, day)
+    * bar: first/last observation (with event_id tiebreaks), extremes,
+    * the INTERNAL weighted sum Σ cents·(next_ts − ts) over closed
+    * holds, and the count. Finalization extends the last hold to the
+    * bar end — exactly j06's batch semantics. */
+  final case class BarPartial(firstTsu: Long, firstEid: Long, firstV: Double,
+      lastTsu: Long, lastEid: Long, lastCents: Long, lastV: Double,
+      high: Double, low: Double, wsum: Long, n: Long)
+  final case class BarsState(days: Map[Int, BarPartial], version: Long)
+  final case class BarOut(user_id: Long, day: Int, version: Long,
+      n_events: Long, open: Double, high: Double, low: Double, close: Double,
+      twap: Double)
+
+  /** st17: j06's OHLC/TWAP bars maintained LIVE — the streaming form
+    * of the canonical candlestick/telemetry rollup (every ticker and
+    * sensor pipeline runs exactly this): per (user, day), state is ONE
+    * constant-size [[BarPartial]] — first/last observation, extremes,
+    * and the closed-hold weighted sum — so state is bounded by the
+    * series SPAN (days per user), never the event count (st15's
+    * boundedness, but with O(1) per day instead of per-day partial
+    * maps... each day IS one fixed-width struct here). Each batch
+    * sorts its per-user rows by (ts, event_id) and folds: a new
+    * observation closes the previous hold (wsum += last_cents·Δts) and
+    * becomes the new last — the associative merge of time-ordered
+    * partials. Emission finalizes WITHOUT mutating state (last hold
+    * extended to bar end, the biased 4-dec division replicated via
+    * BigDecimal HALF_UP), versioned snapshots per batch, final read
+    * keeps the max version (st15's multi-batch-safe read).
+    *
+    * Assumes per-key APPEND-ORDERED arrival across batches (each
+    * micro-batch's events follow the previous batch's, the standard
+    * log-ingestion contract; within a batch order is free — the fold
+    * sorts). Oracle: j06's batch SQL verbatim — streamed must equal
+    * the batch bars exactly. */
+  val st17 = QueryDef(
+    "st17_stream_ohlc",
+    graft.operators.Temporal.j06.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    withStreamParallelism(spark, dir) { s =>
+      import s.implicits._
+      val updates = eventStream(s, dir)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'1970-01-01')").cast("int").as("day"),
+          unix_micros(col("ts")).as("tsu"), col("event_id"), col("value"))
+        .as[(Long, Int, Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(barFold)
+      val q = updates.toDF().writeStream
+        .outputMode("update").format("memory").queryName("st17_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("st17_out")
+    }
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(struct(col("version"), col("n_events"), col("open"),
+        col("high"), col("low"), col("close"), col("twap"))).as("snap"))
+      .select(col("user_id"), col("day"), col("snap.n_events").as("n_events"),
+        col("snap.open").as("open"), col("snap.high").as("high"),
+        col("snap.low").as("low"), col("snap.close").as("close"),
+        col("snap.twap").as("twap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Fold one batch's (user) rows into the per-day bar partials and
+    * emit finalized versioned snapshots of every bar the user holds. */
+  private[graft] def barFold(
+      user: Long, rows: Iterator[(Long, Int, Long, Long, Double)],
+      state: org.apache.spark.sql.streaming.GroupState[BarsState]): Iterator[BarOut] = {
+    val prev = state.getOption.getOrElse(BarsState(Map.empty, 0L))
+    // q34's cents convention: CAST(ROUND(value * 100) AS BIGINT)
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._3, r._4)) // (day, tsu, eid)
+    val days = sorted.foldLeft(prev.days) { case (m, (_, day, tsu, eid, v)) =>
+      val c = cents(v)
+      m.get(day) match {
+        case None =>
+          m.updated(day, BarPartial(tsu, eid, v, tsu, eid, c, v, v, v, 0L, 1L))
+        case Some(p) =>
+          // append-ordered: the new observation closes the last hold
+          m.updated(day, p.copy(
+            lastTsu = tsu, lastEid = eid, lastCents = c, lastV = v,
+            high = math.max(p.high, v), low = math.min(p.low, v),
+            wsum = p.wsum + p.lastCents * (tsu - p.lastTsu), n = p.n + 1))
+      }
+    }
+    val version = prev.version + 1
+    state.update(BarsState(days, version))
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x + 1e-9)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    days.iterator.map { case (day, p) =>
+      val barEnd = (day + 1L) * 86400000000L
+      val wsum = p.wsum + p.lastCents * (barEnd - p.lastTsu)
+      val twap = round4(wsum.toDouble / (100.0 * (barEnd - p.firstTsu)))
+      BarOut(user, day, version, p.n, p.firstV, p.high, p.low, p.lastV, twap)
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11, st12,
-      st13, st14, st15, st16)
+      st13, st14, st15, st16, st17)
 }

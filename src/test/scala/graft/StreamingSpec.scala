@@ -451,6 +451,58 @@ class StreamingSpec extends SparkSpec {
     finally spark.conf.unset(Streaming.StateStoreProviderConf)
   }
 
+  test("st17 streamed OHLC/TWAP equals batch j06; cross-batch hold merges exactly") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    import spark.implicits._
+    // corpus equality: the live bars must BE j06's bars
+    val streamed = Streaming.st17.fn(spark, sf).collect().map(_.toSeq).toSet
+    val batch = graft.operators.Temporal.j06.fn(spark, sf).collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"${streamed.diff(batch).take(3)}")
+    // two time-split slices → the 12:00 observation of slice 2 must
+    // close slice 1's hold ACROSS the batch boundary: v=10 holds
+    // [00:00, 12:00), v=20 holds [12:00, 24:00) → twap 15 exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_st17").toString
+    val half = 43200000000L // µs
+    Seq((1L, 0, 0L, 1L, 10.0), (2L, 0, half / 2, 2L, 30.0))
+      .toDF("user_id", "day", "tsu", "event_id", "value")
+      .coalesce(1).write.parquet(s"$dir/s1")
+    Seq((1L, 0, half, 3L, 20.0))
+      .toDF("user_id", "day", "tsu", "event_id", "value")
+      .coalesce(1).write.parquet(s"$dir/s2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("tsu",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val updates = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .as[(Long, Int, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(Streaming.barFold)
+    val q = updates.toDF().writeStream
+      .outputMode("update").format("memory").queryName("st17_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val latest = spark.table("st17_spec")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("version"), col("n_events"), col("open"),
+        col("close"), col("twap"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val u1 = latest(1L)
+    assert(u1.getAs[Long]("n_events") == 2L && u1.getAs[Double]("open") == 10.0 &&
+      u1.getAs[Double]("close") == 20.0 && u1.getAs[Double]("twap") == 15.0, u1)
+    // the single-observation bar held to bar end in BOTH epochs
+    assert(latest(2L).getAs[Double]("twap") == 30.0, latest(2L))
+  }
+
   test("st16 streamed near-dup gate equals the batch band probe; verbatim copy drops") {
     import graft.operators.Dedup
     // corpus equivalence: recompute the gate in batch from the same
