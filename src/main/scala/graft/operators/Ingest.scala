@@ -2791,10 +2791,122 @@ object Ingest {
       .orderBy(col("station"))
   }
 
+  /** i57: MANN–KENDALL trend test + SEN'S SLOPE per station — the
+    * WMO-recommended nonparametric trend detection for climate series
+    * (Mann 1945; Kendall 1975; Sen 1968; the exact procedure WMO-No.
+    * 1203 prescribes for trend statements): over each station's
+    * DAILY totals, S = Σ_{i<j} sign(v_j − v_i), the tie-corrected
+    * variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, the
+    * continuity-corrected Z, and Sen's slope = median of the pairwise
+    * daily slopes (v_j − v_i)/(j − i) — the robust trend magnitude a
+    * homogenized series is annotated with (i45 finds the breakpoint;
+    * i57 quantifies the trend).
+    *
+    * 100 TB shape: the raw scan partial-aggs to (station, day)
+    * totals — CALENDAR-bounded, so the pairwise self-join's work per
+    * station is O(days²) ≤ ~10³ regardless of row count (unlike
+    * i54's station×station space, this pair space cannot grow with
+    * the network; no gate needed). One station-keyed shuffle serves
+    * the pair join, the rank window, and every aggregate.
+    *
+    * Determinism: monthly totals land on the integer-cents grid
+    * (i45's convention); slopes are exact integer micro-cents/day
+    * via a pmod-floor division (identical floor semantics on both
+    * engines — Spark `div` truncates, so the remainder is
+    * pre-subtracted); the median is the LOWER median (rank
+    * (c+1)/2-th smallest), a value pick that ties cannot perturb;
+    * Z is the one rounded double, −0.0-normalized. */
+  val i57 = QueryDef(
+    "i57_mann_kendall",
+    """WITH m AS (SELECT user_id AS station,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(ROUND(ROUND(SUM(value), 2) * 100) AS BIGINT) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (SELECT station, vc,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY station ORDER BY day)
+      |      AS BIGINT) AS k
+      |  FROM m),
+      |pr AS (SELECT a.station AS station,
+      |    b.vc - a.vc AS dv, b.k - a.k AS dk
+      |  FROM idx a JOIN idx b ON a.station = b.station AND b.k > a.k),
+      |sl AS (SELECT station, dv, dk,
+      |    (dv * 1000000 - ((dv * 1000000 % dk) + dk) % dk) / dk AS sm
+      |  FROM pr),
+      |st AS (SELECT station,
+      |    CAST(SUM(CASE WHEN dv > 0 THEN 1 WHEN dv < 0 THEN -1 ELSE 0 END)
+      |      AS BIGINT) AS s
+      |  FROM pr GROUP BY 1),
+      |n AS (SELECT station, CAST(COUNT(*) AS BIGINT) AS n FROM idx GROUP BY 1),
+      |tie AS (SELECT station,
+      |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tadj
+      |  FROM (SELECT station, vc, CAST(COUNT(*) AS BIGINT) AS t
+      |        FROM idx GROUP BY 1, 2) g GROUP BY 1),
+      |med AS (SELECT station, sm,
+      |    ROW_NUMBER() OVER (PARTITION BY station ORDER BY sm, dv, dk) AS r,
+      |    COUNT(*) OVER (PARTITION BY station) AS c
+      |  FROM sl),
+      |sen AS (SELECT station, CAST(sm AS BIGINT) AS sen_micro
+      |  FROM med WHERE r = (c + 1) // 2)
+      |SELECT st.station AS station, n.n AS n_days, st.s AS s_stat,
+      |  ROUND(CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - tie.tadj > 0 THEN
+      |      CASE WHEN st.s > 0 THEN (st.s - 1)
+      |          / SQRT((n.n * (n.n - 1) * (2 * n.n + 5) - tie.tadj) / 18.0)
+      |        WHEN st.s < 0 THEN (st.s + 1)
+      |          / SQRT((n.n * (n.n - 1) * (2 * n.n + 5) - tie.tadj) / 18.0)
+      |        ELSE 0.0 END END + 1e-9, 4) + 0.0 AS z,
+      |  sen.sen_micro AS sen_micro
+      |FROM st JOIN n USING (station) JOIN tie USING (station)
+      |     JOIN sen USING (station)
+      |ORDER BY station""".stripMargin) { (spark, dir) =>
+    val wOrd = Window.partitionBy(col("station")).orderBy(col("day"))
+    val m = Tables(spark, dir).events
+      .groupBy(col("user_id").as("station"),
+        to_date(col("ts")).as("day"))
+      .agg(round(round(sum(col("value")), 2) * 100).cast("long").as("vc"))
+    val idx = m
+      .select(col("station"), col("vc"),
+        row_number().over(wOrd).cast("long").as("k"))
+      .persist() // feeds the pair join (twice), n, and the tie table
+    val pr = idx.as("a").join(idx.as("b"),
+        col("a.station") === col("b.station") && col("b.k") > col("a.k"))
+      .select(col("a.station").as("station"),
+        (col("b.vc") - col("a.vc")).as("dv"),
+        (col("b.k") - col("a.k")).as("dk"))
+    // exact floor division in integers: pre-subtract the pmod remainder
+    // so Spark's truncating `div` agrees with a true floor for dv < 0
+    val sl = pr.withColumn("sm",
+      expr("(dv * 1000000 - ((dv * 1000000 % dk) + dk) % dk) div dk"))
+    val st = pr.groupBy(col("station"))
+      .agg(sum(when(col("dv") > 0, 1).when(col("dv") < 0, -1).otherwise(0))
+        .cast("long").as("s"))
+    val n = idx.groupBy(col("station")).agg(count(lit(1)).as("n"))
+    val tie = idx.groupBy(col("station"), col("vc"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("station"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tadj"))
+    val wMed = Window.partitionBy(col("station"))
+      .orderBy(col("sm"), col("dv"), col("dk"))
+    val sen = sl
+      .withColumn("r", row_number().over(wMed))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("station"))))
+      .filter(col("r") === expr("(c + 1) div 2"))
+      .select(col("station"), col("sm").cast("long").as("sen_micro"))
+    val varNum = col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tadj")
+    st.join(n, "station").join(tie, "station").join(sen, "station")
+      .select(col("station"), col("n").as("n_days"), col("s").as("s_stat"),
+        graft.QueryDef.roundBiased(
+          when(varNum > 0,
+            when(col("s") > 0, (col("s") - 1) / sqrt(varNum / 18.0))
+              .when(col("s") < 0, (col("s") + 1) / sqrt(varNum / 18.0))
+              .otherwise(0.0)), 4).as("z"),
+        col("sen_micro"))
+      .orderBy(col("station"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
-    i54, i55, i56)
+    i54, i55, i56, i57)
 }

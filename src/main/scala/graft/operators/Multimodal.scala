@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -370,24 +371,11 @@ object Multimodal {
   /** One energy window (intermediate, emitted per partition batch). */
   final case class AudioWin(doc_id: Long, win_idx: Int, energy: Long)
 
-  /** m05: audio ENERGY segmentation — the audio verb beside m01–m03:
-    * each payload decodes as 16-bit little-endian PCM (stub: byte
-    * pairs as signed samples — a real build swaps in the codec inside
-    * the same per-partition loop), non-overlapping 32-sample windows
-    * reduce to INTEGER energy Σs², and the per-doc summary carries
-    * the segmentation signals a speech pipeline gates on: window
-    * count, total/peak energy, the peak window index, and how many
-    * windows are RELATIVE silence (energy × 4 < peak — the adaptive
-    * threshold, since absolute scales vary per recording).
-    *
-    * All-integer arithmetic end to end, so the oracle replays byte
-    * pairs exactly (ASCII gate as m01). Scale: the window fold is the
-    * mapPartitions batch loop (one pass, nothing materialized beyond
-    * a window), the summary one doc-keyed agg + a broadcast-sized
-    * rejoin for the relative-silence count. */
-  val m05 = QueryDef(
-    "m05_audio_energy",
-    """WITH f AS (
+  /** The f/w/e oracle CTE chain decoding payloads to per-window PCM
+    * energies — shared VERBATIM by the m05 and m10 oracles (the SQL
+    * twin of [[pcmWindows]]). Exposes `e(doc_id, win_idx, energy)`. */
+  private val pcmEnergySql: String =
+    """f AS (
       |  SELECT doc_id, text, LENGTH(text) // 2 AS n_samp FROM documents
       |  WHERE doc_id % 50 = 0 AND LENGTH(text) >= 2
       |    AND LENGTH(text) = OCTET_LENGTH(ENCODE(text))),
@@ -408,27 +396,21 @@ object Multimodal {
       |             ELSE ASCII(SUBSTR(text, 2 * CAST(i AS INTEGER) + 1, 1))
       |               + 256 * ASCII(SUBSTR(text, 2 * CAST(i AS INTEGER) + 2, 1))
       |        END, 2) AS BIGINT))) AS energy
-      |  FROM w),
-      |pk AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_windows,
-      |    CAST(SUM(energy) AS BIGINT) AS total_energy,
-      |    CAST(MAX(energy) AS BIGINT) AS peak_energy
-      |  FROM e GROUP BY doc_id)
-      |SELECT e.doc_id, pk.n_windows, pk.total_energy,
-      |  CAST(MIN(CASE WHEN e.energy = pk.peak_energy THEN e.win_idx END)
-      |    AS INTEGER) AS peak_win,
-      |  pk.peak_energy,
-      |  CAST(COUNT(*) FILTER (WHERE e.energy * 4 < pk.peak_energy) AS BIGINT)
-      |    AS n_silent
-      |FROM e JOIN pk USING (doc_id)
-      |GROUP BY e.doc_id, pk.n_windows, pk.total_energy, pk.peak_energy
-      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      |  FROM w)""".stripMargin
+
+  /** Shared PCM decode → 32-sample window-energy stage (m05's batch
+    * loop, reused verbatim by m10 so the two audio verbs can't drift):
+    * payloads gate on the m05 predicate, decode as 16-bit LE PCM, and
+    * each non-overlapping 32-sample window reduces to integer Σs². */
+  private def pcmWindows(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     val blobs = Tables(spark, dir).documents
       .filter(col("doc_id") % 50 === 0 && length(col("text")) >= 2 &&
         length(col("text")) === octet_length(col("text")))
       .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
       .as[Blob]
-    val wins = blobs.mapPartitions { iter =>
+    blobs.mapPartitions { iter =>
       iter.flatMap { b =>
         val nSamp = b.payload.length / 2
         (0 until ((nSamp - 1) / 32 + 1)).iterator.map { w =>
@@ -447,6 +429,40 @@ object Multimodal {
         }
       }
     }.toDF()
+  }
+
+  /** m05: audio ENERGY segmentation — the audio verb beside m01–m03:
+    * each payload decodes as 16-bit little-endian PCM (stub: byte
+    * pairs as signed samples — a real build swaps in the codec inside
+    * the same per-partition loop), non-overlapping 32-sample windows
+    * reduce to INTEGER energy Σs², and the per-doc summary carries
+    * the segmentation signals a speech pipeline gates on: window
+    * count, total/peak energy, the peak window index, and how many
+    * windows are RELATIVE silence (energy × 4 < peak — the adaptive
+    * threshold, since absolute scales vary per recording).
+    *
+    * All-integer arithmetic end to end, so the oracle replays byte
+    * pairs exactly (ASCII gate as m01). Scale: the window fold is the
+    * mapPartitions batch loop (one pass, nothing materialized beyond
+    * a window), the summary one doc-keyed agg + a broadcast-sized
+    * rejoin for the relative-silence count. */
+  val m05 = QueryDef(
+    "m05_audio_energy",
+    s"""WITH $pcmEnergySql,
+      |pk AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_windows,
+      |    CAST(SUM(energy) AS BIGINT) AS total_energy,
+      |    CAST(MAX(energy) AS BIGINT) AS peak_energy
+      |  FROM e GROUP BY doc_id)
+      |SELECT e.doc_id, pk.n_windows, pk.total_energy,
+      |  CAST(MIN(CASE WHEN e.energy = pk.peak_energy THEN e.win_idx END)
+      |    AS INTEGER) AS peak_win,
+      |  pk.peak_energy,
+      |  CAST(COUNT(*) FILTER (WHERE e.energy * 4 < pk.peak_energy) AS BIGINT)
+      |    AS n_silent
+      |FROM e JOIN pk USING (doc_id)
+      |GROUP BY e.doc_id, pk.n_windows, pk.total_energy, pk.peak_energy
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val wins = pcmWindows(spark, dir)
     val pk = wins.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_windows"),
         sum(col("energy")).as("total_energy"),
@@ -851,5 +867,69 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val all: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
+  /** m10: SILENCE TRIM — the companion verb to m05's energy
+    * segmentation (the first edit every speech/audio ingest applies:
+    * drop leading/trailing silence before storage and featurization):
+    * per payload, the count of leading and trailing windows whose
+    * energy sits below the adaptive threshold (energy × 4 < peak —
+    * m05's relative-silence stance), the kept span, and the kept
+    * span's total energy — the offsets a trimming writer would slice
+    * the payload with.
+    *
+    * Decode shares [[pcmWindows]] / [[pcmEnergySql]] VERBATIM with
+    * m05 (one batch loop, two verbs). The trim frame is three
+    * doc-keyed aggregates over the window stream (peak, first/last
+    * non-silent, kept-span energy) — one shuffle key serves all of
+    * them; windows per doc are payload-bounded so no partition grows
+    * with the corpus. All-integer end to end (the peak window always
+    * satisfies peak×4 ≥ peak, so a first/last non-silent index always
+    * exists — no null legs). */
+  val m10 = QueryDef(
+    "m10_silence_trim",
+    s"""WITH $pcmEnergySql,
+      |pk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |    CAST(MAX(energy) AS BIGINT) AS peak FROM e GROUP BY doc_id),
+      |ns AS (SELECT e.doc_id AS doc_id, pk.n_windows, pk.peak,
+      |    CAST(MIN(CASE WHEN e.energy * 4 >= pk.peak THEN e.win_idx END)
+      |      AS BIGINT) AS first_ns,
+      |    CAST(MAX(CASE WHEN e.energy * 4 >= pk.peak THEN e.win_idx END)
+      |      AS BIGINT) AS last_ns
+      |  FROM e JOIN pk USING (doc_id)
+      |  GROUP BY e.doc_id, pk.n_windows, pk.peak),
+      |ke AS (SELECT e.doc_id AS doc_id,
+      |    CAST(SUM(e.energy) FILTER (WHERE e.win_idx BETWEEN ns.first_ns
+      |      AND ns.last_ns) AS BIGINT) AS kept_energy
+      |  FROM e JOIN ns USING (doc_id) GROUP BY e.doc_id)
+      |SELECT ns.doc_id AS doc_id, ns.n_windows,
+      |  ns.first_ns AS lead_sil,
+      |  ns.n_windows - 1 - ns.last_ns AS trail_sil,
+      |  ns.last_ns - ns.first_ns + 1 AS kept_windows,
+      |  ke.kept_energy
+      |FROM ns JOIN ke USING (doc_id) ORDER BY doc_id""".stripMargin) {
+    (spark, dir) =>
+    val wins = pcmWindows(spark, dir).persist() // feeds pk, ns, AND ke
+    val pk = wins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), max(col("energy")).as("peak"))
+    val ns = wins.join(pk, "doc_id")
+      .groupBy(col("doc_id"), col("n_windows"), col("peak"))
+      .agg(min(when(col("energy") * 4 >= col("peak"), col("win_idx")))
+          .cast("long").as("first_ns"),
+        max(when(col("energy") * 4 >= col("peak"), col("win_idx")))
+          .cast("long").as("last_ns"))
+    val ke = wins.join(ns.select(col("doc_id"), col("first_ns"), col("last_ns")),
+        "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("win_idx").between(col("first_ns"), col("last_ns")),
+        col("energy"))).as("kept_energy"))
+    ns.join(ke, "doc_id")
+      .select(col("doc_id"), col("n_windows"),
+        col("first_ns").as("lead_sil"),
+        (col("n_windows") - 1 - col("last_ns")).as("trail_sil"),
+        (col("last_ns") - col("first_ns") + 1).as("kept_windows"),
+        col("kept_energy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 }

@@ -1452,11 +1452,87 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** q41: DECILE LIFT / gains table — the standard evaluation frame
+    * for any propensity or quality score (direct-marketing lift
+    * charts; the same table data curation teams read for "does the
+    * quality score actually rank converting users/documents first"):
+    * users ranked by engagement score into NTILE(10) deciles, then
+    * per-decile conversion rate and CUMULATIVE lift over the base
+    * rate. Reads beside q29/q30/q31 as the scoring-evaluation member
+    * of the product-analytics family.
+    *
+    * 100 TB shape: the raw event scan partial-aggs to ONE row per
+    * user; the global NTILE then runs on the score-ranked USER frame
+    * — orders of magnitude smaller than the event log but still a
+    * single-partition window stage, the documented trade (q34's
+    * histogram-CDF bucket assignment is the in-repo alternative once
+    * the scored population itself is corpus-sized; NTILE's exact
+    * split-ties-by-rank semantics is what the lift table convention
+    * specifies, so q41 keeps it at user-dimension scale). Decile
+    * aggregates, cumulative sums, and the base rate all run on the
+    * 10-row table.
+    *
+    * Determinism: scores land on the integer-cents grid (i45's
+    * convention) and the NTILE order is fully tie-broken
+    * (score DESC, user_id); counts are exact integers and the two
+    * ratios round under the biased grid (both non-negative — no −0.0
+    * exposure). */
+  val q41 = QueryDef(
+    "q41_decile_lift",
+    """WITH u AS (SELECT user_id,
+      |    CAST(COALESCE(ROUND(ROUND(SUM(value) FILTER (WHERE event_type = 'view'),
+      |      2) * 100), 0) AS BIGINT) AS score_c,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS converted
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY score_c DESC, user_id)
+      |    AS INTEGER) AS decile FROM u),
+      |a AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(converted) AS BIGINT) AS n_conv FROM d GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tu,
+      |    CAST(SUM(n_conv) AS BIGINT) AS tc FROM a),
+      |c AS (SELECT decile, n_users, n_conv,
+      |    CAST(SUM(n_users) OVER (ORDER BY decile) AS BIGINT) AS cum_users,
+      |    CAST(SUM(n_conv) OVER (ORDER BY decile) AS BIGINT) AS cum_conv
+      |  FROM a)
+      |SELECT decile, n_users, n_conv,
+      |  ROUND(n_conv * 1.0 / n_users + 1e-9, 4) AS conv_rate,
+      |  ROUND((cum_conv * 1.0 / cum_users) / (tc * 1.0 / tu) + 1e-9, 4)
+      |    AS cum_lift
+      |FROM c, t ORDER BY decile""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(coalesce(round(round(sum(when(col("event_type") === "view",
+          col("value"))), 2) * 100), lit(0)).cast("long").as("score_c"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast("long").as("converted"))
+    val d = u.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("score_c").desc, col("user_id")))
+        .cast("int"))
+    val a = d.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      .persist() // 10 rows — feeds the totals, the cum window, the output
+    val t = a.agg(sum(col("n_users")).as("tu"), sum(col("n_conv")).as("tc"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.withColumn("cum_users", sum(col("n_users")).over(wCum))
+      .withColumn("cum_conv", sum(col("n_conv")).over(wCum))
+      .crossJoin(broadcast(t))
+      .select(col("decile"), col("n_users"), col("n_conv"),
+        graft.QueryDef.roundBiased(
+          col("n_conv") * 1.0 / col("n_users"), 4).as("conv_rate"),
+        graft.QueryDef.roundBiased(
+          (col("cum_conv") * 1.0 / col("cum_users")) /
+            (col("tc") * 1.0 / col("tu")), 4).as("cum_lift"))
+      .orderBy(col("decile"))
+  }
+
   // def, not val: q36's oracle SQL is generated from the adopted round
   // count, so the defs must be rebuilt when SparkEntry.oracleSql is read
   // (after the queries ran — Verify's ordering).
   def all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
       q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }

@@ -1058,7 +1058,86 @@ object Similarity {
         graft.QueryDef.roundBiased(col("rrf_raw"), 6).as("rrf"))
   }
 
+  /** s18: k-NN LABEL PREDICTION — nearest-neighbor classification
+    * over the embedding space (Fix & Hodges 1951; the label-propagation
+    * verb a curation pipeline runs to extend a small set of
+    * human-labeled quality/domain tags to the full corpus): every
+    * probe vector (vec_id ≡ 0 mod 50 — held out of the corpus side)
+    * takes its 5 nearest corpus neighbors by cosine and adopts the
+    * majority label (ties → smaller label id); the output row carries
+    * true vs predicted so the frame doubles as the holdout accuracy
+    * table.
+    *
+    * 100 TB shape: probes broadcast (labeled seed sets are
+    * dimension-sized); the corpus is scanned ONCE and scored
+    * map-side; per-probe neighbors come from the bounded
+    * [[graft.functions.TopKAggregate]] (map-side partial top-k — no
+    * corpus-sized window, no global sort; q19's machinery keyed by
+    * probe). Only k×|probes| rows survive to the label join and the
+    * vote count, both broadcast-sized.
+    *
+    * Determinism: sims are the s01 expression (index-ordered fold ==
+    * DuckDB's sequential loop, bit-identical), the top-k comparator
+    * is exactly ROW_NUMBER's (sim DESC, vec_id ASC), and votes are
+    * integers with the (count DESC, label ASC) tiebreak pinned on
+    * both engines. */
+  val s18 = QueryDef(
+    "s18_knn_label",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e
+      |  WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id, v, label FROM e WHERE vec_id % 50 <> 0),
+      |sc AS (SELECT qid, qlabel, c.vec_id AS vec_id, c.label AS label,
+      |    LIST_COSINE_SIMILARITY(c.v, qv) AS sim FROM q, c),
+      |nn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      |    ORDER BY sim DESC, vec_id) AS r FROM sc),
+      |votes AS (SELECT qid, qlabel, label, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM nn WHERE r <= 5 GROUP BY 1, 2, 3),
+      |pred AS (SELECT qid, qlabel, label, c,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, label) AS pr
+      |  FROM votes)
+      |SELECT qid AS query_id, CAST(qlabel AS INTEGER) AS true_label,
+      |  CAST(label AS INTEGER) AS pred_label, c AS votes,
+      |  CAST(CASE WHEN label = qlabel THEN 1 ELSE 0 END AS INTEGER) AS correct
+      |FROM pred WHERE pr = 1 ORDER BY query_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TopKAggregate.register(spark)
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("label").as("qlabel"), Vectors.norm(col("v")).as("qnorm"))
+    val corp = e.filter(col("vec_id") % 50 =!= 0)
+    val denom = Vectors.norm(col("v")) * col("qnorm")
+    val top = corp.join(broadcast(q))
+      .select(col("qid"), col("qlabel"), col("vec_id"),
+        when(denom === 0.0, lit(Double.NaN))
+          .otherwise(Vectors.dot(col("v"), col("qv")) / denom).as("sim"))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(expr("graft_topk(sim, vec_id, 5)").as("top"))
+      .select(col("qid"), col("qlabel"),
+        explode(col("top")).as("entry"))
+      .select(col("qid"), col("qlabel"), col("entry.key").as("vec_id"))
+    val votes = top
+      .join(corp.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("qid"), col("qlabel"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    votes
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("c").desc, col("label"))))
+      .filter(col("pr") === 1)
+      .select(col("qid").as("query_id"),
+        col("qlabel").cast("int").as("true_label"),
+        col("label").cast("int").as("pred_label"),
+        col("c").as("votes"),
+        when(col("label") === col("qlabel"), 1).otherwise(0)
+          .cast("int").as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17)
+      s14, s15, s16, s17, s18)
 }

@@ -1451,7 +1451,152 @@ object TextAnalysis {
     }
   }
 
+  /** t27: GOPHER-style quality rules (Rae et al. 2021, Appendix A —
+    * the rule-based pre-filter every web-scale corpus passes through
+    * before model-based scoring): per document, word count, mean word
+    * length, stopword hits, and the 1-char-token share, plus the
+    * combined pass flag under the classic bounds (word count in
+    * range, mean word length in [3,10], ≥2 stopword hits, ≤10%
+    * 1-char tokens). t02 scores quality on a continuous scale; t27
+    * is the HARD gate with named, auditable rules — pipelines log
+    * which rule rejected a document, so each input stat is a column.
+    *
+    * 100 TB shape: pure per-row array arithmetic on the split token
+    * stream (no explode, no shuffle beyond the final presentation
+    * sort) — the stats come from size/filter/aggregate over the token
+    * array inside whole-stage codegen. All rule inputs are exact
+    * integers; the two ratios are single divisions rounded under the
+    * biased grid, and the BETWEEN bounds compare the raw quotient on
+    * both engines (identical one-division trees, so the flag can't
+    * straddle a rounding boundary cross-engine). */
+  val t27 = QueryDef(
+    "t27_gopher_rules",
+    """WITH s AS (SELECT doc_id,
+      |    LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |st AS (SELECT doc_id,
+      |    CAST(LEN(tk) AS BIGINT) AS n_words,
+      |    CAST(LIST_SUM(LIST_TRANSFORM(tk, x -> LEN(x))) AS BIGINT) AS sum_len,
+      |    CAST(LEN(LIST_FILTER(tk,
+      |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT)
+      |      AS stop_hits,
+      |    CAST(LEN(LIST_FILTER(tk, x -> LEN(x) <= 1)) AS BIGINT) AS short_hits
+      |  FROM s)
+      |SELECT doc_id, n_words,
+      |  ROUND(sum_len * 1.0 / n_words + 1e-9, 4) AS mean_word_len,
+      |  stop_hits,
+      |  ROUND(short_hits * 1.0 / n_words + 1e-9, 4) AS short_frac,
+      |  CAST(CASE WHEN n_words BETWEEN 20 AND 100000
+      |        AND sum_len * 1.0 / n_words BETWEEN 3 AND 10
+      |        AND stop_hits >= 2
+      |        AND short_hits * 10 <= n_words THEN 1 ELSE 0 END AS INTEGER)
+      |    AS passes
+      |FROM st ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val meanWl = col("sum_len") * 1.0 / col("n_words")
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        filter(Text.tokens(col("text")), t => t =!= "").as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        aggregate(col("tk"), lit(0L),
+          (acc, x) => acc + length(x).cast("long")).as("sum_len"),
+        size(filter(col("tk"), t => t.isInCollection(stops)))
+          .cast("long").as("stop_hits"),
+        size(filter(col("tk"), t => length(t) <= 1))
+          .cast("long").as("short_hits"))
+      .select(col("doc_id"), col("n_words"),
+        graft.QueryDef.roundBiased(meanWl, 4).as("mean_word_len"),
+        col("stop_hits"),
+        graft.QueryDef.roundBiased(
+          col("short_hits") * 1.0 / col("n_words"), 4).as("short_frac"),
+        when(col("n_words").between(20, 100000) &&
+            meanWl.between(3, 10) &&
+            col("stop_hits") >= 2 &&
+            col("short_hits") * 10 <= col("n_words"), 1)
+          .otherwise(0).cast("int").as("passes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t28: interpolated KNESER–NEY bigram LM scoring — the
+    * absolute-discount smoothing (Kneser & Ney 1995; Chen & Goodman
+    * 1999 eq. 4.26) behind the KenLM-style perplexity filters CCNet
+    * popularized for corpus curation: t14's add-one bigram model
+    * over-penalizes unseen-context mass, KN backs off to the
+    * CONTINUATION unigram (how many distinct contexts a word follows,
+    * not how often it occurs) — the standard production LM filter.
+    * Per document: bigram count, mean KN log-prob, perplexity.
+    *
+    * P(w2|w1) = (max(c(w1w2) − D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1),
+    * Pcont(w2) = N1+(·w2)/N1+(··), D = 0.75.
+    *
+    * 100 TB shape: ONE corpus scan to the bigram stream (persisted —
+    * it feeds the count table and the scoring join); every model
+    * table (bigram counts, context totals+fanouts, continuation
+    * counts, the 1-row bigram-type total) derives from the
+    * VOCAB²-bounded count table and broadcasts back — the t14
+    * discipline, with N1+ fanouts replacing the add-one vocabulary.
+    * Determinism: all model inputs are exact integers; each log-prob
+    * is one fixed-shape double expression rounded to the 1e-6 grid
+    * and summed as DECIMAL, so per-doc accumulation order can't move
+    * the hash (the t14/t24 discipline). */
+  val t28 = QueryDef(
+    "t28_kneser_ney",
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      |       FROM toks, UNNEST(RANGE(1, GREATEST(LEN(tk), 1))) r(i)),
+      |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |       FROM bg GROUP BY 1, 2),
+      |cw1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+      |        CAST(COUNT(*) AS BIGINT) AS n1f FROM bc GROUP BY 1),
+      |cw2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bc GROUP BY 1),
+      |nbg AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bc),
+      |lp AS (SELECT doc_id,
+      |    CAST(ROUND(LN((GREATEST(c12 - 0.75, 0.0)
+      |        + 0.75 * n1f * (n1b * 1.0 / nb)) / c1) + 1e-9, 6)
+      |      AS DECIMAL(12,6)) AS lp
+      |  FROM bg JOIN bc USING (w1, w2) JOIN cw1 USING (w1)
+      |       JOIN cw2 USING (w2) CROSS JOIN nbg)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*) + 1e-9, 4) + 0.0 AS avg_logprob,
+      |  ROUND(EXP(-(ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*) + 1e-9, 4))) + 1e-9, 4)
+      |    AS ppl
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val bg = Tables(spark, dir).documents
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(Text.shingles(col("tk"), 2)).as("b"))
+      .select(col("doc_id"),
+        substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2"))
+      .persist() // feeds the count table AND the scoring join
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // every model table derives FROM the bigram-type table — vocab²-
+    // bounded input, never a second corpus scan
+    val cw1 = bc.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cw2 = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val nbg = bc.agg(count(lit(1)).as("nb"))
+    val meanLp = col("slp").cast("double") / col("n_bigrams")
+    bg.join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(cw1), "w1")
+      .join(broadcast(cw2), "w2")
+      .crossJoin(broadcast(nbg))
+      .select(col("doc_id"),
+        graft.QueryDef.roundBiased(
+          log((greatest(col("c12") - 0.75, lit(0.0)) +
+            lit(0.75) * col("n1f") * (col("n1b") * 1.0 / col("nb"))) /
+            col("c1")), 6)
+          .cast("decimal(12,6)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (graft.QueryDef.roundBiased(meanLp, 4) + 0.0).as("avg_logprob"),
+        graft.QueryDef.roundBiased(
+          exp(-graft.QueryDef.roundBiased(meanLp, 4)), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28)
 }

@@ -927,4 +927,43 @@ class IngestSpec extends SparkSpec {
       assert(mean >= 0.0 && max + 1e-9 >= mean, s"$c")
     }
   }
+
+  test("i57 Mann-Kendall: monotone, constant, tied, and declining stations exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i57").toString
+    val day = 86400L * 1000000000L // ns
+    def ev(id: Long, st: Long, d: Int, v: Double) =
+      (id, d * day, st, "obs", v, "{}")
+    val events =
+      (0 until 5).map(d => ev(10 + d, 1L, d, (d + 1) * 1.0)) ++   // rising
+      (0 until 5).map(d => ev(20 + d, 2L, d, 2.0)) ++             // constant
+      (0 until 3).map(d => ev(30 + d, 3L, d, (3 - d) * 1.0)) ++   // falling
+      Seq(ev(40, 4L, 0, 1.0), ev(41, 4L, 1, 1.0), ev(42, 4L, 2, 2.0)) // tie
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.i57.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("s_stat") == 10L && r1.getAs[Long]("n_days") == 5L)
+    assert(math.abs(r1.getAs[Double]("z") - 9.0 / math.sqrt(300.0 / 18)) < 1e-3)
+    assert(r1.getAs[Long]("sen_micro") == 100000000L, r1.toString)
+    val r2 = got(2L) // all ties: Var(S) degenerates to 0 -> z undefined
+    assert(r2.getAs[Long]("s_stat") == 0L && r2.isNullAt(r2.fieldIndex("z")) &&
+      r2.getAs[Long]("sen_micro") == 0L, r2.toString)
+    val r3 = got(3L) // decline: continuity correction from the other side
+    assert(r3.getAs[Long]("s_stat") == -3L &&
+      math.abs(r3.getAs[Double]("z") - (-2.0 / math.sqrt(66.0 / 18))) < 1e-3 &&
+      r3.getAs[Long]("sen_micro") == -100000000L, r3.toString)
+    val r4 = got(4L) // one tie group t=2: tadj = 18; lower-median slope
+    assert(r4.getAs[Long]("s_stat") == 2L &&
+      math.abs(r4.getAs[Double]("z") - 1.0 / math.sqrt(48.0 / 18)) < 1e-3 &&
+      r4.getAs[Long]("sen_micro") == 50000000L, r4.toString)
+    // corpus sanity: |S| <= n(n-1)/2 and z sign follows S
+    Ingest.i57.fn(spark, sf).collect().foreach { r =>
+      val n = r.getAs[Long]("n_days"); val s = r.getAs[Long]("s_stat")
+      assert(math.abs(s) <= n * (n - 1) / 2, r.toString)
+      if (!r.isNullAt(r.fieldIndex("z")) && math.abs(s) > 1)
+        assert(r.getAs[Double]("z") * s >= 0, r.toString)
+    }
+  }
 }

@@ -754,4 +754,31 @@ class RelationalSpec extends SparkSpec {
       assert(r.getAs[Double]("open") >= lo && r.getAs[Double]("open") <= hi)
     }
   }
+
+  test("q41 decile lift: top-loaded conversions, cumulative lift ends at 1.0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q41").toString
+    // 20 users, score 21-u; users 1..5 convert -> deciles of 2 users
+    val events =
+      (1 to 20).map(u => (100L + u, u * 1000000000L, u.toLong, "view",
+        (21 - u) * 1.0, "{}")) ++
+      (1 to 5).map(u => (200L + u, u * 1000000000L, u.toLong, "purchase",
+        1.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Relational.q41.fn(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got.size == 10)
+    assert(got(1).getAs[Long]("n_users") == 2L &&
+      got(1).getAs[Long]("n_conv") == 2L &&
+      got(1).getAs[Double]("conv_rate") == 1.0 &&
+      got(1).getAs[Double]("cum_lift") == 4.0, s"${got(1)}")
+    assert(got(3).getAs[Double]("conv_rate") == 0.5 &&
+      math.abs(got(3).getAs[Double]("cum_lift") - (5.0 / 6) / 0.25) < 1e-3)
+    assert(got(10).getAs[Double]("cum_lift") == 1.0, s"${got(10)}")
+    // corpus: the base-rate decile closes the table at lift exactly 1.0
+    val rows = graft.operators.Relational.q41.fn(spark, sf).collect()
+    val lifts = rows.sortBy(_.getInt(0)).map(_.getAs[Double]("cum_lift"))
+    assert(lifts.last == 1.0, lifts.mkString(","))
+  }
 }

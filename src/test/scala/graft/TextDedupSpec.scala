@@ -1466,4 +1466,113 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("t27 gopher rules: each rule rejects its crafted violator, stats exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t27").toString
+    val long30 = (1 to 30).map(i => "word").mkString(" ")       // passes all
+    val short = "the a word"                                    // n_words < 20
+    val noStop = (1 to 30).map(_ => "word").mkString(" ")       // 0 stop hits
+    val shortToks = ("the a " + (1 to 28).map(_ => "x").mkString(" ")) // >10% 1-char
+    Seq((1L, "the a " + long30), (2L, short), (3L, noStop), (4L, shortToks))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t27.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Int]("passes") == 1, s"${got(1L)}")
+    assert(got(1L).getAs[Long]("n_words") == 32L)
+    assert(got(1L).getAs[Long]("stop_hits") == 2L)
+    assert(got(2L).getAs[Int]("passes") == 0, s"${got(2L)}")
+    assert(got(3L).getAs[Int]("passes") == 0 &&
+      got(3L).getAs[Long]("stop_hits") == 0L, s"${got(3L)}")
+    assert(got(4L).getAs[Int]("passes") == 0, s"${got(4L)}")
+    // doc 1 mean word length: (3 + 1 + 30*4) / 32 = 3.875
+    assert(math.abs(got(1L).getAs[Double]("mean_word_len") - 3.875) < 1e-6)
+    // corpus: the flag re-derives from the emitted stat columns
+    TextAnalysis.t27.fn(spark, sf).collect().foreach { r =>
+      val nw = r.getAs[Long]("n_words")
+      val expect = if (nw >= 20 && nw <= 100000 &&
+        r.getAs[Double]("mean_word_len") >= 3 && r.getAs[Double]("mean_word_len") <= 10 &&
+        r.getAs[Long]("stop_hits") >= 2 &&
+        r.getAs[Double]("short_frac") <= 0.1 + 1e-9) 1 else 0
+      assert(r.getAs[Int]("passes") == expect, r.toString)
+    }
+  }
+
+  test("t28 Kneser-Ney: hand-computed two-doc model, stream width matches t14") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t28").toString
+    // bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> c(a)=3 n1+(a.)=2, c(b)=1
+    // n1+(b.)=1; n1+(.b)=1, n1+(.a)=1, n1+(.c)=1; bigram types nb=3
+    Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t28.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val pBgivenA = (2 - 0.75 + 0.75 * 2 * (1.0 / 3)) / 3  // 0.58333
+    val pAgivenB = (1 - 0.75 + 0.75 * 1 * (1.0 / 3)) / 1  // 0.5
+    val pCgivenA = (1 - 0.75 + 0.75 * 2 * (1.0 / 3)) / 3  // 0.25
+    val avg1 = (2 * math.log(pBgivenA) + math.log(pAgivenB)) / 3
+    assert(got(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(math.abs(got(1L).getAs[Double]("avg_logprob") - avg1) < 1e-3, s"${got(1L)}")
+    assert(math.abs(got(2L).getAs[Double]("avg_logprob") - math.log(pCgivenA)) < 1e-3)
+    // ppl is exp(-avg) of the ROUNDED avg, exactly
+    val r1 = got(1L)
+    assert(math.abs(r1.getAs[Double]("ppl") -
+      math.exp(-r1.getAs[Double]("avg_logprob"))) < 1e-3)
+    // corpus: the KN and add-one models walk the SAME bigram stream
+    val kn = TextAnalysis.t28.fn(spark, sf).select("doc_id", "n_bigrams")
+    val t14 = TextAnalysis.t14.fn(spark, sf).select("doc_id", "n_bigrams")
+    assert(kn.except(t14).count() == 0 && t14.except(kn).count() == 0)
+  }
+
+  test("s18 kNN label: majority adopted, vote ties resolve to the smaller label") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s18").toString
+    // query 0 at [1,0]; sims order a>b>c>d>e; votes 7:2, 3:2, 5:1 ->
+    // count tie between 7 and 3 resolves to label 3
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val rows = Seq(
+      (0L, v(1, 0), 7),
+      (1L, v(0.99, 0.01), 7), (2L, v(0.97, 0.03), 7),
+      (3L, v(0.9, 0.1), 3), (4L, v(0.8, 0.2), 3),
+      (5L, v(0.7, 0.3), 5), (6L, v(-1, 0), 9))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.s18.fn(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Int]("pred_label") == 3 &&
+      got(0).getAs[Int]("true_label") == 7 &&
+      got(0).getAs[Int]("correct") == 0, got(0).toString)
+    // corpus: every probe row carries a majority-vote count within k
+    Similarity.s18.fn(spark, sf).collect().foreach { r =>
+      val c = r.getAs[Long]("votes")
+      assert(c >= 1 && c <= 5, r.toString)
+      assert((r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")) ==
+        (r.getAs[Int]("correct") == 1))
+    }
+  }
+
+  test("m10 silence trim: crafted quiet-loud-quiet payload trims both ends") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_m10").toString
+    val quiet = "\u0001\u0000" * 32   // 32 samples of amplitude 1
+    val loud = "A\u0000" * 32          // 32 samples of amplitude 65
+    Seq((0L, quiet + loud + quiet, "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.m10.fn(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_windows") == 3L && r.getAs[Long]("lead_sil") == 1L &&
+      r.getAs[Long]("trail_sil") == 1L && r.getAs[Long]("kept_windows") == 1L &&
+      r.getAs[Long]("kept_energy") == 65L * 65L * 32L, r.toString)
+    // corpus: spans re-assemble and kept energy never exceeds m05's total
+    val m05 = Multimodal.m05.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("total_energy")).toMap
+    Multimodal.m10.fn(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("lead_sil") + r.getAs[Long]("trail_sil") +
+        r.getAs[Long]("kept_windows") == r.getAs[Long]("n_windows"), r.toString)
+      assert(r.getAs[Long]("kept_energy") <= m05(r.getLong(0)), r.toString)
+    }
+  }
 }
