@@ -1373,9 +1373,90 @@ object Dedup {
   }
 
   // def, not val: d02/d03's oracle SQL embeds the fixture path written
+  /** d17: FUZZY token pairing via SYMSPELL deletion-neighborhood
+    * blocking (Garbe's SymSpell scheme, public domain; the
+    * spell-normalization stage of corpus cleanup — OCR/typo variants
+    * like "tabel"→"table" collapse before counting): every distinct
+    * corpus token emits all strings reachable by ≤2 character
+    * deletions; two tokens within Levenshtein distance 2 ALWAYS share
+    * a deletion variant (delete the misaligned positions from each),
+    * so an equi-join on the variant is a complete candidate generator
+    * — no all-pairs edit-distance scan. Candidates confirm with the
+    * exact levenshtein ≤ 2 and carry both corpus counts (the merge
+    * direction: rare variant folds into the common form).
+    *
+    * 100 TB shape: the corpus scan reduces to the VOCAB-sized
+    * distinct-token count table; variants explode ≤ (L²+L+2)/2 rows
+    * per token (L = token length, bounded); the variant join is the
+    * d02 banding shape — capped buckets ([[BucketCap]]) bound the
+    * pair space under adversarial vocab density, mirrored in the
+    * oracle. Everything after the first agg is vocab-, not corpus-,
+    * proportional. All-integer; Spark and DuckDB both implement unit-
+    * cost Levenshtein, so the confirm is exact cross-engine. */
+  val d17 = QueryDef(
+    "d17_symspell_fuzzy",
+    """WITH v AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM
+      |    (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents) u
+      |  GROUP BY 1),
+      |e1 AS (SELECT t, UNNEST(RANGE(LEN(t))) AS i FROM v),
+      |d1 AS (SELECT t, SUBSTR(t, 1, CAST(i AS INTEGER))
+      |      || SUBSTR(t, CAST(i + 2 AS INTEGER)) AS var
+      |  FROM e1),
+      |e2 AS (SELECT t, i, UNNEST(RANGE(LEN(t))) AS j FROM e1),
+      |d2 AS (SELECT t, SUBSTR(t, 1, CAST(i AS INTEGER))
+      |      || SUBSTR(t, CAST(i + 2 AS INTEGER), CAST(j - i - 1 AS INTEGER))
+      |      || SUBSTR(t, CAST(j + 2 AS INTEGER)) AS var
+      |  FROM e2 WHERE j > i),
+      |alld AS (SELECT DISTINCT t, var FROM (
+      |    SELECT t, t AS var FROM v
+      |    UNION ALL SELECT t, var FROM d1
+      |    UNION ALL SELECT t, var FROM d2) z),
+      |cap AS (SELECT t, var FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY var) AS bsz FROM alld) w
+      |  WHERE bsz <= 64),
+      |cand AS (SELECT DISTINCT a.t AS t1, b.t AS t2
+      |  FROM cap a JOIN cap b ON a.var = b.var AND a.t < b.t)
+      |SELECT t1, t2,
+      |  CAST(LEVENSHTEIN(t1, t2) AS INTEGER) AS dist,
+      |  v1.c AS c1, v2.c AS c2
+      |FROM cand JOIN v v1 ON v1.t = t1 JOIN v v2 ON v2.t = t2
+      |WHERE LEVENSHTEIN(t1, t2) <= 2
+      |ORDER BY t1, t2""".stripMargin) { (spark, dir) =>
+    val v = Tables(spark, dir).documents
+      .select(explode(Text.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .persist() // vocab-sized: feeds variants AND both count rejoins
+    val d1 = v.select(col("t"), explode(sequence(lit(0), length(col("t")) - 1)).as("i"))
+      .select(col("t"),
+        expr("concat(substring(t, 1, i), substring(t, i + 2))").as("var"))
+    val d2 = v
+      .select(col("t"), explode(sequence(lit(0), length(col("t")) - 1)).as("i"))
+      .select(col("t"), col("i"),
+        explode(sequence(lit(0), length(col("t")) - 1)).as("j"))
+      .filter(col("j") > col("i"))
+      .select(col("t"),
+        expr("concat(substring(t, 1, i), substring(t, i + 2, j - i - 1), " +
+          "substring(t, j + 2))").as("var"))
+    val alld = v.select(col("t"), col("t").as("var"))
+      .unionByName(d1).unionByName(d2).distinct()
+    val capped = capBuckets(alld, Seq("var"), BucketCap)
+    val cand = capped.toDF("t1", "var")
+      .join(capped.toDF("t2", "var"), "var")
+      .filter(col("t1") < col("t2"))
+      .select(col("t1"), col("t2")).distinct()
+    cand
+      .filter(levenshtein(col("t1"), col("t2")) <= 2)
+      .join(broadcast(v.toDF("t1", "c1")), "t1")
+      .join(broadcast(v.toDF("t2", "c2")), "t2")
+      .select(col("t1"), col("t2"),
+        levenshtein(col("t1"), col("t2")).cast("int").as("dist"),
+        col("c1"), col("c2"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
   // during the run, so defs must be rebuilt when SparkEntry.oracleSql
   // is read (after the queries ran — Verify's ordering; as q36).
   def all: Seq[QueryDef] =
     Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08, d09, d10,
-      d11, d12, d13, d14, d15, d16)
+      d11, d12, d13, d14, d15, d16, d17)
 }

@@ -2903,10 +2903,59 @@ object Ingest {
       .orderBy(col("station"))
   }
 
+  /** i58: RX5DAY — the ETCCDI extreme-precipitation index (highest
+    * consecutive 5-day precipitation total; WMO/CCl ETCCDI core set,
+    * Karl et al. 1999) every national climate service reports
+    * annually: per station, the maximum rolling 5-observation total
+    * of the daily amounts and the day the maximum window ENDS
+    * (earliest such day when tied — a deterministic pick). i47's
+    * spells count threshold runs; i58 is the magnitude extreme, the
+    * flood-risk number.
+    *
+    * 100 TB shape: raw scan partial-aggs to (station, day) cents
+    * (i45's grid); the rolling sum is ONE station-keyed window whose
+    * partition is calendar-bounded; the max + earliest-end reduce on
+    * the same keyed frame (the window's shuffle partitioning serves
+    * the final agg). Only complete 5-obs windows count (nwin = 5 —
+    * a ROWS frame over observed days, the i17 batch-window stance on
+    * gaps). All-integer. */
+  val i58 = QueryDef(
+    "i58_rx5day",
+    """WITH d AS (SELECT user_id AS station,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(ROUND(ROUND(SUM(value), 2) * 100) AS BIGINT) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT station, day,
+      |    CAST(SUM(vc) OVER w AS BIGINT) AS r5,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS nwin
+      |  FROM d WINDOW w AS (PARTITION BY station ORDER BY day
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+      |f AS (SELECT * FROM r WHERE nwin = 5),
+      |mx AS (SELECT station, CAST(MAX(r5) AS BIGINT) AS rx FROM f GROUP BY 1)
+      |SELECT f.station AS station, mx.rx AS rx5day_cents,
+      |  CAST(MIN(f.day) AS TIMESTAMP) AS end_day
+      |FROM f JOIN mx ON f.station = mx.station AND f.r5 = mx.rx
+      |GROUP BY 1, 2 ORDER BY station""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("station")).orderBy(col("day"))
+      .rowsBetween(-4, Window.currentRow)
+    val d = Tables(spark, dir).events
+      .groupBy(col("user_id").as("station"), to_date(col("ts")).as("day"))
+      .agg(round(round(sum(col("value")), 2) * 100).cast("long").as("vc"))
+    val f = d
+      .withColumn("r5", sum(col("vc")).over(w))
+      .withColumn("nwin", count(lit(1)).over(w))
+      .filter(col("nwin") === 5)
+    val mx = f.groupBy(col("station").as("mstation")).agg(max(col("r5")).as("rx"))
+    f.join(mx, col("station") === col("mstation") && col("r5") === col("rx"))
+      .groupBy(col("station"), col("rx").as("rx5day_cents"))
+      .agg(min(col("day")).cast("timestamp").as("end_day"))
+      .orderBy(col("station"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
-    i54, i55, i56, i57)
+    i54, i55, i56, i57, i58)
 }

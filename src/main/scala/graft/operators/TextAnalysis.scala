@@ -1596,7 +1596,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t29: LEXICAL DIVERSITY — the vocabulary-richness panel (TTR,
+    * hapax count, Yule's K; Yule 1944) that separates template/
+    * boilerplate text (few types recycled — low TTR, K high) from
+    * natural prose, the per-document complement to t18's corpus-level
+    * Zipf fit and a standard input to quality classifiers like t19's:
+    * per doc, token count N, type count V, type-token ratio V/N,
+    * hapax legomena V1, and Yule's characteristic
+    * K = 10⁴·(Σ_m m²V(m) − N)/N² (repeat-rate; length-robust where
+    * raw TTR is not).
+    *
+    * 100 TB shape: ZERO shuffle — all four statistics are per-row
+    * array arithmetic over the [[Text.tokenCounts]] map (the
+    * codegen'd one-pass kernel t23 uses): N/V/V1/Σm² fold over
+    * map_values inside whole-stage codegen, nothing exists as rows
+    * but the output (the oracle groups an exploded stream instead —
+    * same integers, different plan by design). Integer stats; the two
+    * ratios are fixed-shape rounded doubles (both ≥ 0: Σm² ≥ N
+    * always). */
+  val t29 = QueryDef(
+    "t29_lexical_diversity",
+    """WITH tc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      |        FROM documents) u
+      |  GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax,
+      |  ROUND(COUNT(*) * 1.0 / CAST(SUM(c) AS BIGINT) + 1e-9, 4) AS ttr,
+      |  ROUND(10000.0 * (CAST(SUM(c * c) AS BIGINT) - CAST(SUM(c) AS BIGINT))
+      |      / (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) + 1e-9, 4)
+      |    AS yule_k
+      |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val vals = map_values(Text.tokenCounts(Text.tokens(col("text"))))
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        aggregate(vals, lit(0L), (a, v) => a + v).as("n_tokens"),
+        size(vals).cast("long").as("n_types"),
+        size(filter(vals, v => v === 1L)).cast("long").as("hapax"),
+        aggregate(vals, lit(0L), (a, v) => a + v * v).as("sumc2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("hapax"),
+        graft.QueryDef.roundBiased(
+          col("n_types") * 1.0 / col("n_tokens"), 4).as("ttr"),
+        graft.QueryDef.roundBiased(
+          lit(10000.0) * (col("sumc2") - col("n_tokens")) /
+            (col("n_tokens") * col("n_tokens")), 4).as("yule_k"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
+      t29)
 }

@@ -966,4 +966,41 @@ class IngestSpec extends SparkSpec {
         assert(r.getAs[Double]("z") * s >= 0, r.toString)
     }
   }
+
+  test("i58 Rx5day: crafted peak window found, earliest end day on ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i58").toString
+    val day = 86400L * 1000000000L
+    // station 1: days 0..6 amounts 1,1,5,1,1,1,1 -> best 5-window ends
+    // day 4 (sum 9), tie with window ending day 5? 5+1+1+1+1=9 too ->
+    // earliest end day 4 wins. station 2: only 3 days -> dropped.
+    val amounts = Seq(1.0, 1.0, 5.0, 1.0, 1.0, 1.0, 1.0)
+    val events =
+      amounts.zipWithIndex.map { case (v, d) =>
+        (10L + d, d * day, 1L, "obs", v, "{}") } ++
+      (0 until 3).map(d => (30L + d, d * day, 2L, "obs", 1.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.i58.fn(spark, dir).collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getAs[Long]("rx5day_cents") == 900L,
+      r.toString)
+    assert(r.getAs[java.sql.Timestamp]("end_day").toInstant ==
+      java.time.Instant.parse("1970-01-05T00:00:00Z"), r.toString)
+    // corpus: independent driver-side recompute of every station's max
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(round(round(sum(col("value")), 2) * 100).cast("long").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    val expect2 = daily.flatMap { case (st, rows) =>
+      val vs = rows.sortBy(_._2).map(_._3)
+      if (vs.length < 5) None
+      else Some(st -> vs.sliding(5).map(_.sum).max)
+    }
+    val got2 = Ingest.i58.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("rx5day_cents")).toMap
+    assert(got2 == expect2, s"diff: ${(got2.toSet -- expect2.toSet).take(3)}")
+  }
 }

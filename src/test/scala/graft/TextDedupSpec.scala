@@ -1575,4 +1575,67 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getAs[Long]("kept_energy") <= m05(r.getLong(0)), r.toString)
     }
   }
+
+  test("t29 lexical diversity: hand-computed Yule's K, boilerplate scores high") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t29").toString
+    // doc 1: "a a a b" -> N=4 V=2 V1=1; sum m^2 = 9+1 = 10;
+    // K = 1e4*(10-4)/16 = 3750. doc 2 all-distinct -> K = 0, TTR = 1.
+    Seq((1L, "a a a b"), (2L, "x y z")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t29.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_tokens") == 4L &&
+      got(1L).getAs[Long]("n_types") == 2L &&
+      got(1L).getAs[Long]("hapax") == 1L &&
+      got(1L).getAs[Double]("ttr") == 0.5 &&
+      got(1L).getAs[Double]("yule_k") == 3750.0, s"${got(1L)}")
+    assert(got(2L).getAs[Double]("ttr") == 1.0 &&
+      got(2L).getAs[Double]("yule_k") == 0.0 &&
+      got(2L).getAs[Long]("hapax") == 3L, s"${got(2L)}")
+    // corpus invariants + plan: per-row map kernel, no shuffle before sort
+    TextAnalysis.t29.fn(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("hapax") <= r.getAs[Long]("n_types"))
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Double]("yule_k") >= 0.0)
+    }
+    val plan = physicalPlan(TextAnalysis.t29.fn(spark, sf))
+    assert(!plan.contains("HashAggregate"), plan) // stats never leave the row
+  }
+
+  test("d17 symspell: ed<=2 neighbors found via shared deletions, none missed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d17").toString
+    // tabel~table: transposition = 2 edits; cat~cart: 1 insertion;
+    // dog is isolated (every pair distance > 2 except none)
+    Seq((1L, "table tabel cat cart dog"), (2L, "table cat dog zebra"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.d17.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Int]("dist")).toMap
+    assert(got.contains(("tabel", "table")) && got(("tabel", "table")) == 2)
+    assert(got.contains(("cart", "cat")) && got(("cart", "cat")) == 1)
+    assert(!got.keys.exists { case (a, b) => a == "dog" || b == "dog" }, got.toString)
+    // completeness oracle: brute-force all-pairs levenshtein on the vocab
+    val vocab = Seq("table", "tabel", "cat", "cart", "dog", "zebra")
+    val expect = (for {
+      a <- vocab; b <- vocab if a < b
+      d = com(a, b) if d <= 2
+    } yield (a, b)).toSet
+    assert(got.keySet == expect, s"got ${got.keySet} expect $expect")
+    // corpus: every emitted pair within the declared radius
+    Dedup.d17.fn(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Int]("dist") >= 1 && r.getAs[Int]("dist") <= 2, r.toString)
+    }
+  }
+
+  /** Reference Levenshtein (textbook DP) for the d17 completeness check. */
+  private def com(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
 }
