@@ -2952,10 +2952,60 @@ object Ingest {
       .orderBy(col("station"))
   }
 
+  /** i59: SAVITZKY–GOLAY smoothing (Savitzky & Golay 1964; 5-point
+    * quadratic kernel [−3, 12, 17, 12, −3]/35) over each station's
+    * daily series — the polynomial filter satellite-product pipelines
+    * (NDVI dekads, the reference's domain) run before thresholding,
+    * because it preserves peak height where a moving average (q25)
+    * flattens it: per interior day, the smoothed value plus the raw
+    * one, complete 5-point windows only (the i58 stance on edges).
+    *
+    * 100 TB shape: raw scan partial-aggs to calendar-bounded
+    * (station, day) cents; the kernel is ONE station-keyed window
+    * (lag2..lead2 share a single sort/shuffle). Determinism: the
+    * kernel is applied in INTEGER cents ×35 (exact BIGINT — no float
+    * until the single presentation division, which can be negative →
+    * −0.0-normalized). */
+  val i59 = QueryDef(
+    "i59_savgol_smooth",
+    """WITH d AS (SELECT user_id AS station,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(ROUND(ROUND(SUM(value), 2) * 100) AS BIGINT) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |k AS (SELECT station, day, vc,
+      |    LAG(vc, 2) OVER w AS a, LAG(vc, 1) OVER w AS b,
+      |    LEAD(vc, 1) OVER w AS p, LEAD(vc, 2) OVER w AS q
+      |  FROM d WINDOW w AS (PARTITION BY station ORDER BY day))
+      |SELECT station, CAST(day AS TIMESTAMP) AS day, vc,
+      |  CAST(-3 * a + 12 * b + 17 * vc + 12 * p - 3 * q AS BIGINT) AS sm35,
+      |  ROUND((-3 * a + 12 * b + 17 * vc + 12 * p - 3 * q) / 35.0 / 100.0
+      |    + 1e-9, 2) + 0.0 AS smoothed
+      |FROM k WHERE a IS NOT NULL AND b IS NOT NULL
+      |  AND p IS NOT NULL AND q IS NOT NULL
+      |ORDER BY station, day""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("station")).orderBy(col("day"))
+    val d = Tables(spark, dir).events
+      .groupBy(col("user_id").as("station"), to_date(col("ts")).as("day"))
+      .agg(round(round(sum(col("value")), 2) * 100).cast("long").as("vc"))
+    val k = d
+      .withColumn("a", lag(col("vc"), 2).over(w))
+      .withColumn("b", lag(col("vc"), 1).over(w))
+      .withColumn("p", lead(col("vc"), 1).over(w))
+      .withColumn("q", lead(col("vc"), 2).over(w))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("p").isNotNull && col("q").isNotNull)
+    val sm35 = lit(-3) * col("a") + lit(12) * col("b") + lit(17) * col("vc") +
+      lit(12) * col("p") + lit(-3) * col("q")
+    k.select(col("station"), col("day").cast("timestamp").as("day"), col("vc"),
+        sm35.cast("long").as("sm35"),
+        graft.QueryDef.roundBiased(sm35 / 35.0 / 100.0, 2).as("smoothed"))
+      .orderBy(col("station"), col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
-    i54, i55, i56, i57, i58)
+    i54, i55, i56, i57, i58, i59)
 }

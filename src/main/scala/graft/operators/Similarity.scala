@@ -1137,7 +1137,72 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** s19: NEAREST-CENTROID classifier (Rocchio) — the one-pass
+    * alternative to s18's k-NN for label propagation (train = one
+    * mean per label, classify = K cosine comparisons per row instead
+    * of a corpus top-k): per-label centroids from the train side
+    * (vec_id % 50 ≠ 0), each probe adopts the label of its most
+    * cosine-similar centroid. k-NN adapts to local structure; the
+    * centroid model is what production uses when the corpus side is
+    * 100 TB and per-row work must be O(K·dims) — the exact trade this
+    * pair of operators documents.
+    *
+    * 100 TB shape: training is s05's centroid-update stage — ONE
+    * explode + partially-aggregated shuffle with labels×64 groups
+    * out; the 10 centroids collect as driver-held model state and
+    * classification is the broadcast-gated
+    * [[Vectors.codebookArgmaxCid]] fused argmax (zero shuffle,
+    * nothing corpus-sized moves; the probe side here, the whole
+    * corpus in a deployment).
+    *
+    * Determinism: per-dim means rounded to the 6-dec grid on BOTH
+    * sides before any cosine (s05's discipline — summation order
+    * can't flip an assignment), argmax ties break to the smallest
+    * label on both engines. */
+  val s19 = QueryDef(
+    "s19_centroid_classifier",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      |  FROM embeddings),
+      |tr AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+      |m AS (SELECT label AS cid, i, ROUND(AVG(v[i]) + 1e-9, 6) AS cx
+      |      FROM tr CROSS JOIN generate_series(1, 64) g(i) GROUP BY 1, 2),
+      |c AS (SELECT cid, LIST(cx ORDER BY i) AS cv FROM m GROUP BY cid),
+      |q AS (SELECT vec_id AS qid, v, label AS qlabel FROM e
+      |  WHERE vec_id % 50 = 0),
+      |a AS (SELECT qid, qlabel, cid FROM (
+      |  SELECT q.qid, q.qlabel, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY q.qid
+      |      ORDER BY LIST_COSINE_SIMILARITY(q.v, c.cv) DESC, c.cid) AS rn
+      |  FROM q CROSS JOIN c) t WHERE rn = 1)
+      |SELECT qid AS query_id, CAST(qlabel AS INTEGER) AS true_label,
+      |  CAST(cid AS INTEGER) AS pred_label,
+      |  CAST(CASE WHEN cid = qlabel THEN 1 ELSE 0 END AS INTEGER) AS correct
+      |FROM a ORDER BY query_id""".stripMargin) { (spark, dir) =>
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    // training: one explode + partial-agg shuffle, labels×64 groups out
+    // (s05's dimMeans shape), means pinned to the 6-dec grid
+    val centroids = e.filter(col("vec_id") % 50 =!= 0)
+      .select(col("label").as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(graft.QueryDef.roundBiased(avg(col("x")), 6).as("cx"))
+      .orderBy(col("cid"), col("pos")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray) }
+    e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("label").cast("int").as("true_label"),
+        Vectors.codebookArgmaxCid(col("v"), centroids, spark)
+          .cast("int").as("pred_label"))
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        when(col("pred_label") === col("true_label"), 1).otherwise(0)
+          .cast("int").as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18)
+      s14, s15, s16, s17, s18, s19)
 }

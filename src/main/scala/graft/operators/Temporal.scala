@@ -437,5 +437,70 @@ object Temporal {
       .orderBy(col("user_id"), col("day"))
   }
 
-  val all: Seq[QueryDef] = Seq(j01, j02, j03, j04, j05, j06)
+  /** j07: LOCF GRID RESAMPLE — align an irregular event series to a
+    * regular 6-hour grid by carrying the last observation forward
+    * (the time-series alignment primitive that precedes any
+    * multi-series join or model-feature window; j06 aggregates into
+    * bars, j07 preserves point-in-time values at grid instants): per
+    * user, grid points span midnight of the first event through the
+    * last event; each point carries the latest click value at-or-
+    * before it plus the STALENESS (whole seconds since that
+    * observation — the data-quality column a forecast consumer gates
+    * on). Grid points before the first observation keep NULL value
+    * and staleness (LOCF is undefined there — emitted, not dropped,
+    * so gaps are visible).
+    *
+    * Implementation = [[asofJoin]] verbatim (union + ONE user-keyed
+    * window, never a range cross-join; equal-ts ties pinned by
+    * event_id — j01's discipline, mirrored in the oracle's window).
+    * The grid explode is calendar-bounded (4 rows/user-day). The
+    * carried value is the STORED double untouched; staleness is an
+    * exact integer micros difference floor-divided to seconds
+    * (non-negative, so truncation ≡ floor on both engines). */
+  val j07 = QueryDef(
+    "j07_locf_resample",
+    """WITH span AS (SELECT user_id,
+      |    DATE_TRUNC('day', MIN(CAST(ts AS TIMESTAMP))) AS t0,
+      |    MAX(CAST(ts AS TIMESTAMP)) AS t1
+      |  FROM events GROUP BY 1),
+      |grid AS (SELECT user_id,
+      |    UNNEST(generate_series(t0, t1, INTERVAL 6 HOUR)) AS gts FROM span),
+      |obs AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+      |  FROM events WHERE event_type = 'click'),
+      |u AS (
+      |  SELECT user_id, EPOCH_US(gts) AS tsu, 1 AS side, gts,
+      |    CAST(NULL AS DOUBLE) AS cval, CAST(NULL AS BIGINT) AS cts,
+      |    CAST(NULL AS BIGINT) AS ceid
+      |  FROM grid
+      |  UNION ALL
+      |  SELECT user_id, EPOCH_US(ts), 0, NULL, value, EPOCH_US(ts), event_id
+      |  FROM obs),
+      |w AS (SELECT *,
+      |    LAST_VALUE(cval IGNORE NULLS) OVER wd AS v,
+      |    LAST_VALUE(cts IGNORE NULLS) OVER wd AS ots
+      |  FROM u WINDOW wd AS (PARTITION BY user_id ORDER BY tsu, side, ceid
+      |    ROWS UNBOUNDED PRECEDING))
+      |SELECT user_id, gts AS grid_ts, v AS value,
+      |  CAST((tsu - ots) // 1000000 AS BIGINT) AS staleness_sec
+      |FROM w WHERE side = 1 ORDER BY user_id, grid_ts""".stripMargin) {
+    (spark, dir) =>
+    val ev = Tables(spark, dir).events
+    val span = ev.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("t0"), col("t1"), expr("interval 6 hours")))
+        .as("grid_ts"))
+    val obs = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    asofJoin(grid, obs, "user_id", "grid_ts", "ts", Seq("value", "ts"),
+        tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("grid_ts"), col("value"),
+        ((unix_micros(col("grid_ts")) - unix_micros(col("ts"))))
+          .as("__dmicros"))
+      .select(col("user_id"), col("grid_ts"), col("value"),
+        expr("CAST(__dmicros div 1000000 AS BIGINT)").as("staleness_sec"))
+      .orderBy(col("user_id"), col("grid_ts"))
+  }
+
+  val all: Seq[QueryDef] = Seq(j01, j02, j03, j04, j05, j06, j07)
 }

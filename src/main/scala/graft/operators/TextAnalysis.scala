@@ -1645,8 +1645,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t30: OOV RATE under a fixed vocabulary budget — the tokenizer-
+    * rollout metric paired with t26's fertility (how much of each
+    * document falls outside the top-K vocabulary, i.e. would map to
+    * UNK): vocab = top-20 corpus tokens by (count DESC, token) — the
+    * deterministic t06 ranking — and per doc the token count, OOV
+    * count, and OOV share as integer ppm (floor division, i53's
+    * convention). High-OOV documents are exactly the ones a
+    * byte-fallback tokenizer inflates (t26's n_after) — curation
+    * pipelines gate or re-route them.
+    *
+    * 100 TB shape: ONE corpus scan partial-aggs to the vocab-sized
+    * count table; the top-K is a TakeOrderedAndProject collected as
+    * DRIVER-HELD MODEL STATE (K strings — the s05 codebook
+    * discipline) and inlined as a literal set, so the scoring pass is
+    * pure per-row array arithmetic (size/filter inside codegen, zero
+    * shuffle, no join). All-integer output. */
+  val t30 = QueryDef(
+    "t30_oov_rate",
+    """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      |  FROM documents),
+      |vc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+      |top AS (SELECT t FROM vc ORDER BY c DESC, t LIMIT 20)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) FILTER (WHERE top.t IS NULL) AS BIGINT) AS n_oov,
+      |  CAST(COUNT(*) FILTER (WHERE top.t IS NULL) * 1000000 // COUNT(*)
+      |    AS BIGINT) AS oov_ppm
+      |FROM tok LEFT JOIN top ON tok.t = top.t
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    // driver-held vocab (20 strings, the collect-and-inline trainer-
+    // state discipline): rank fully tie-broken so the budget boundary
+    // is pinned on both engines
+    val vocab = docs.select(explode(Text.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(20)
+      .collect().map(_.getString(0)).toSeq
+    val toks = Text.tokens(col("text"))
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => !t.isInCollection(vocab)))
+          .cast("long").as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("CAST((n_oov * 1000000) div n_tokens AS BIGINT)").as("oov_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29)
+      t29, t30)
 }

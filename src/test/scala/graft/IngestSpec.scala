@@ -1003,4 +1003,37 @@ class IngestSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Long]("rx5day_cents")).toMap
     assert(got2 == expect2, s"diff: ${(got2.toSet -- expect2.toSet).take(3)}")
   }
+
+  test("i59 Savitzky-Golay: spike preserved vs moving average, constants fixed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i59").toString
+    val day = 86400L * 1000000000L
+    val spike = Seq(1.0, 1.0, 1.0, 8.0, 1.0, 1.0, 1.0)
+    val events =
+      spike.zipWithIndex.map { case (v, d) =>
+        (10L + d, d * day, 1L, "obs", v, "{}") } ++
+      (0 until 5).map(d => (30L + d, d * day, 2L, "obs", 1.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Ingest.i59.fn(spark, dir).collect()
+    val st1 = got.filter(_.getLong(0) == 1L)
+    assert(st1.length == 3, got.mkString(";")) // interior days 2..4 of 7
+    val center = st1(1)
+    // kernel at the peak: (-3+12)*100 + 17*800 + (12-3)*100 = 15400
+    assert(center.getAs[Long]("sm35") == 15400L &&
+      center.getAs[Double]("smoothed") == 4.4, center.toString)
+    // SG preserves the peak (4.40) where the 5-point mean flattens to 2.40
+    assert(center.getAs[Double]("smoothed") > 2.4 * 1.5)
+    // the kernel sums to 35: a constant series is a fixed point
+    got.filter(_.getLong(0) == 2L).foreach { r =>
+      assert(r.getAs[Long]("sm35") == 3500L &&
+        r.getAs[Double]("smoothed") == 1.0, r.toString)
+    }
+    // corpus: row count = sum over stations of max(n_days - 4, 0)
+    val nDays = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d")).count()
+      .groupBy(col("user_id")).count()
+      .collect().map(r => math.max(r.getLong(1) - 4, 0L)).sum
+    assert(graft.operators.Ingest.i59.fn(spark, sf).count() == nDays)
+  }
 }

@@ -781,4 +781,33 @@ class RelationalSpec extends SparkSpec {
     val lifts = rows.sortBy(_.getInt(0)).map(_.getAs[Double]("cum_lift"))
     assert(lifts.last == 1.0, lifts.mkString(","))
   }
+
+  test("j07 LOCF resample: carries last obs, tie pinned, null before first obs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_j07").toString
+    val h = 3600L * 1000000000L
+    // two clicks at the SAME instant (3h) -> event_id 2 wins (j01's
+    // tiebreak); a 26h click extends the span but never leaks backward
+    val events = Seq(
+      (1L, 3 * h, 1L, "click", 10.0, "{}"),
+      (2L, 3 * h, 1L, "click", 20.0, "{}"),
+      (3L, 26 * h, 1L, "click", 30.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Temporal.j07.fn(spark, dir).collect()
+    assert(got.length == 5, got.mkString(";")) // 0,6,12,18,24h
+    val byH = got.map(r => r.getAs[java.sql.Timestamp]("grid_ts").toInstant
+      .getEpochSecond / 3600 -> r).toMap
+    assert(byH(0L).isNullAt(byH(0L).fieldIndex("value")) &&
+      byH(0L).isNullAt(byH(0L).fieldIndex("staleness_sec")), s"${byH(0L)}")
+    assert(byH(6L).getAs[Double]("value") == 20.0 &&
+      byH(6L).getAs[Long]("staleness_sec") == 3 * 3600L, s"${byH(6L)}")
+    assert(byH(24L).getAs[Double]("value") == 20.0 &&
+      byH(24L).getAs[Long]("staleness_sec") == 21 * 3600L, s"${byH(24L)}")
+    // corpus: staleness non-negative wherever a value is carried
+    graft.operators.Temporal.j07.fn(spark, sf).collect().foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("value")))
+        assert(r.getAs[Long]("staleness_sec") >= 0L, r.toString)
+    }
+  }
 }

@@ -1638,4 +1638,55 @@ class TextDedupSpec extends SparkSpec {
         dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     dp(a.length)(b.length)
   }
+
+  test("t30 OOV rate: budget boundary pinned by the tie-broken rank") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t30").toString
+    // 21 tokens, all count 1 -> the (count DESC, token) rank keeps the
+    // 20 alphabetically-first; "u" alone falls outside the budget
+    val alpha = ('a' to 't').map(_.toString).mkString(" ")
+    Seq((1L, alpha), (2L, "a u")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t30.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_oov") == 0L &&
+      got(1L).getAs[Long]("oov_ppm") == 0L, s"${got(1L)}")
+    assert(got(2L).getAs[Long]("n_tokens") == 2L &&
+      got(2L).getAs[Long]("n_oov") == 1L &&
+      got(2L).getAs[Long]("oov_ppm") == 500000L, s"${got(2L)}")
+    // corpus: ppm is exactly the floor ratio of the emitted integers
+    TextAnalysis.t30.fn(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("oov_ppm") ==
+        r.getAs[Long]("n_oov") * 1000000L / r.getAs[Long]("n_tokens"), r.toString)
+    }
+  }
+
+  test("s19 nearest centroid: crafted separable labels, probes held out of training") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s19").toString
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // training: label 0 clusters at [1,0], label 1 at [0,1]. probe 0
+    // sits NEAR label 0's centroid but carries label 1 (a mislabeled
+    // probe -> pred 0, correct 0); probe 50 is clean label 1.
+    val rows = Seq(
+      (0L, v(0.9, 0.1), 1), (50L, v(0.05, 1.0), 1),
+      (1L, v(1, 0), 0), (2L, v(0.95, 0.05), 0),
+      (3L, v(0, 1), 1), (4L, v(0.05, 0.95), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.s19.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Int]("pred_label") == 0 &&
+      got(0L).getAs[Int]("correct") == 0, s"${got(0L)}")
+    assert(got(50L).getAs[Int]("pred_label") == 1 &&
+      got(50L).getAs[Int]("correct") == 1, s"${got(50L)}")
+    // corpus: predictions stay in the label domain; correct consistent
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    Similarity.s19.fn(spark, sf).collect().foreach { r =>
+      assert(labels.contains(r.getAs[Int]("pred_label")), r.toString)
+      assert((r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")) ==
+        (r.getAs[Int]("correct") == 1))
+    }
+  }
 }
