@@ -3002,10 +3002,63 @@ object Ingest {
       .orderBy(col("station"), col("day"))
   }
 
+  /** i60: PHENOLOGY CALENDAR from cumulative degree days — the
+    * agro-met product one step downstream of i46's GDD total (FAO
+    * crop-stage guidance: fixed GDD thresholds mark emergence /
+    * flowering / maturity): per station, the first day the cumulative
+    * GDD (i46's capped definition, shared grid) crosses each of the
+    * 50/100/200 degree-day stages, plus the two inter-stage spans —
+    * the planting-advice numbers an extension service publishes.
+    *
+    * 100 TB shape: i46's chain verbatim — (station, day) partial agg,
+    * ONE station-keyed cumulative window, a station-sized conditional
+    * min. Stations that never reach a stage carry NULLs (visible, not
+    * dropped; the span columns go NULL with them). All-integer. */
+  val i60 = QueryDef(
+    "i60_phenology_dates",
+    """WITH daily AS (
+      |  SELECT user_id AS station,
+      |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+      |      AS INTEGER) AS day,
+      |    CAST(ROUND(ROUND(AVG(value) + 1e-9, 2) * 100) AS BIGINT) AS tc
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT station, day,
+      |    GREATEST(LEAST(tc, 3000) - 1000, 0) AS gdd FROM daily),
+      |c AS (SELECT station, day, gdd,
+      |    SUM(gdd) OVER (PARTITION BY station ORDER BY day) AS cum FROM g)
+      |SELECT station,
+      |  CAST(MIN(CASE WHEN cum >= 5000 THEN day END) AS INTEGER) AS emerge_day,
+      |  CAST(MIN(CASE WHEN cum >= 10000 THEN day END) AS INTEGER) AS flower_day,
+      |  CAST(MIN(CASE WHEN cum >= 20000 THEN day END) AS INTEGER) AS mature_day,
+      |  CAST(MIN(CASE WHEN cum >= 10000 THEN day END)
+      |    - MIN(CASE WHEN cum >= 5000 THEN day END) AS INTEGER) AS emerge_to_flower,
+      |  CAST(MIN(CASE WHEN cum >= 20000 THEN day END)
+      |    - MIN(CASE WHEN cum >= 10000 THEN day END) AS INTEGER) AS flower_to_mature
+      |FROM c GROUP BY station ORDER BY station""".stripMargin) { (spark, dir) =>
+    val daily = Tables(spark, dir).events
+      .select(col("user_id").as("station"),
+        expr("datediff(to_date(ts), date'1970-01-01')").cast("int").as("day"),
+        col("value"))
+      .groupBy(col("station"), col("day"))
+      .agg(round(round(avg(col("value")) + 1e-9, 2) * 100).cast("long").as("tc"))
+    val g = daily.select(col("station"), col("day"),
+      greatest(least(col("tc"), lit(3000L)) - 1000L, lit(0L)).as("gdd"))
+    val w = Window.partitionBy(col("station")).orderBy(col("day"))
+    def stage(thr: Long) = min(when(col("cum") >= thr, col("day")))
+    g.withColumn("cum", sum(col("gdd")).over(w))
+      .groupBy(col("station"))
+      .agg(stage(5000L).cast("int").as("emerge_day"),
+        stage(10000L).cast("int").as("flower_day"),
+        stage(20000L).cast("int").as("mature_day"),
+        (stage(10000L) - stage(5000L)).cast("int").as("emerge_to_flower"),
+        (stage(20000L) - stage(10000L)).cast("int").as("flower_to_mature"))
+      .orderBy(col("station"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
-    i54, i55, i56, i57, i58, i59)
+    i54, i55, i56, i57, i58, i59, i60)
 }

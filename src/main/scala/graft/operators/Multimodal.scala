@@ -481,6 +481,49 @@ object Multimodal {
   /** One decoded frame brightness row (intermediate). */
   final case class ShotFrame(doc_id: Long, fi: Int, luma: Long)
 
+  /** The f/fr/lu oracle CTE chain decoding payloads to per-frame
+    * integer luma — shared VERBATIM by the m06 and m11 oracles (the
+    * SQL twin of [[lumaFrames]]). Exposes `lu(doc_id, fi, luma)`. */
+  private val lumaSql: String =
+    """f AS (
+      |  SELECT doc_id, text, LENGTH(text) AS n FROM documents
+      |  WHERE doc_id % 50 = 0 AND LENGTH(text) > 0
+      |    AND LENGTH(text) = OCTET_LENGTH(ENCODE(text))),
+      |fr AS (SELECT doc_id, text, n,
+      |    UNNEST(RANGE(0, (n - 1) // 64 + 1)) AS fi FROM f),
+      |lu AS (
+      |  SELECT doc_id, CAST(fi AS INTEGER) AS fi,
+      |    CAST(LIST_SUM(LIST_TRANSFORM(
+      |      RANGE(CAST(fi * 64 AS INTEGER),
+      |            CAST(LEAST((fi + 1) * 64, n) AS INTEGER)),
+      |      i -> CAST(ASCII(SUBSTR(text, CAST(i AS INTEGER) + 1, 1))
+      |        AS BIGINT))) AS BIGINT) AS luma
+      |  FROM fr)""".stripMargin
+
+  /** Shared frame decode → integer-luma stage (m06's batch loop,
+    * reused verbatim by m11): 64-byte frames, unsigned byte sum. */
+  private def lumaFrames(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables(spark, dir).documents
+      .filter(col("doc_id") % 50 === 0 && length(col("text")) > 0 &&
+        length(col("text")) === octet_length(col("text")))
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .as[Blob]
+    blobs.mapPartitions { iter =>
+      iter.flatMap { b =>
+        val n = b.payload.length
+        (0 until ((n - 1) / 64 + 1)).iterator.map { fi =>
+          var s = 0L
+          var i = fi * 64
+          val end = math.min((fi + 1) * 64, n)
+          while (i < end) { s += (b.payload(i) & 0xff); i += 1 }
+          ShotFrame(b.doc_id, fi, s)
+        }
+      }
+    }.toDF()
+  }
+
   /** m06: SHOT-BOUNDARY detection — the video segmentation verb that
     * completes the m02 frame path (sample → decode → segment): each
     * payload is read as consecutive 64-byte frames (stride 1 — every
@@ -500,20 +543,7 @@ object Multimodal {
     * doc_id so the window's shuffle partitioning serves all of them. */
   val m06 = QueryDef(
     "m06_shot_boundaries",
-    """WITH f AS (
-      |  SELECT doc_id, text, LENGTH(text) AS n FROM documents
-      |  WHERE doc_id % 50 = 0 AND LENGTH(text) > 0
-      |    AND LENGTH(text) = OCTET_LENGTH(ENCODE(text))),
-      |fr AS (SELECT doc_id, text, n,
-      |    UNNEST(RANGE(0, (n - 1) // 64 + 1)) AS fi FROM f),
-      |lu AS (
-      |  SELECT doc_id, CAST(fi AS INTEGER) AS fi,
-      |    CAST(LIST_SUM(LIST_TRANSFORM(
-      |      RANGE(CAST(fi * 64 AS INTEGER),
-      |            CAST(LEAST((fi + 1) * 64, n) AS INTEGER)),
-      |      i -> CAST(ASCII(SUBSTR(text, CAST(i AS INTEGER) + 1, 1))
-      |        AS BIGINT))) AS BIGINT) AS luma
-      |  FROM fr),
+    s"""WITH $lumaSql,
       |d AS (SELECT doc_id, fi,
       |    ABS(luma - LAG(luma) OVER (PARTITION BY doc_id ORDER BY fi))
       |      AS diff FROM lu),
@@ -536,28 +566,10 @@ object Multimodal {
       |  CAST(COALESCE(ct.n_cuts, 0) AS BIGINT) AS n_cuts
       |FROM nf LEFT JOIN pk USING (doc_id) LEFT JOIN ct USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    import spark.implicits._
-    val blobs = Tables(spark, dir).documents
-      .filter(col("doc_id") % 50 === 0 && length(col("text")) > 0 &&
-        length(col("text")) === octet_length(col("text")))
-      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
-      .as[Blob]
-    val lu = blobs.mapPartitions { iter =>
-      iter.flatMap { b =>
-        val n = b.payload.length
-        (0 until ((n - 1) / 64 + 1)).iterator.map { fi =>
-          var s = 0L
-          var i = fi * 64
-          val end = math.min((fi + 1) * 64, n)
-          while (i < end) { s += (b.payload(i) & 0xff); i += 1 }
-          ShotFrame(b.doc_id, fi, s)
-        }
-      }
-    }.toDF()
-      // the luma table feeds three consumers (diff window, frame count,
-      // peak/cut aggs); persist so the byte decode runs once, not 3×
-      // (harness clears cache per query)
-      .persist()
+    // the luma table feeds three consumers (diff window, frame count,
+    // peak/cut aggs); persist so the byte decode runs once, not 3×
+    // (harness clears cache per query)
+    val lu = lumaFrames(spark, dir).persist()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
     val d = lu
       .withColumn("diff", abs(col("luma") - lag(col("luma"), 1).over(w)))
@@ -930,6 +942,74 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** m11: KEYFRAME SELECTION — the verb downstream of m06's cuts that
+    * completes the video path (sample m02 → segment m06 → represent
+    * m11): frames split into SHOTS at m06's cut rule (|Δluma|×2 >
+    * the payload's peak |Δ| — the same adaptive threshold, shared so
+    * the two operators can't disagree about where shots start), and
+    * each shot elects its brightest frame as the keyframe (ties → the
+    * earliest frame) — the representative a thumbnail/index pipeline
+    * stores per scene.
+    *
+    * Decode shares [[lumaFrames]] / [[lumaSql]] VERBATIM with m06.
+    * Shot ids are the running cut count (cut frame STARTS its shot);
+    * all windows and aggs key on doc_id (frame counts payload-
+    * bounded), the keyframe pick is a two-level agg on the same key
+    * (max luma, then earliest frame at that luma). All-integer. */
+  val m11 = QueryDef(
+    "m11_keyframe_select",
+    s"""WITH $lumaSql,
+      |d AS (SELECT doc_id, fi, luma,
+      |    ABS(luma - LAG(luma) OVER (PARTITION BY doc_id ORDER BY fi))
+      |      AS diff FROM lu),
+      |pk AS (SELECT doc_id, CAST(MAX(diff) AS BIGINT) AS peak_diff
+      |  FROM d WHERE diff IS NOT NULL GROUP BY doc_id),
+      |sh AS (SELECT d.doc_id AS doc_id, d.fi, d.luma,
+      |    CAST(SUM(CASE WHEN d.diff IS NOT NULL
+      |        AND d.diff * 2 > pk.peak_diff THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY d.doc_id ORDER BY d.fi
+      |            ROWS UNBOUNDED PRECEDING) AS INTEGER) AS shot
+      |  FROM d LEFT JOIN pk USING (doc_id)),
+      |agg AS (SELECT doc_id, shot,
+      |    CAST(MIN(fi) AS INTEGER) AS start_frame,
+      |    CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |    CAST(MAX(luma) AS BIGINT) AS key_luma
+      |  FROM sh GROUP BY 1, 2)
+      |SELECT a.doc_id AS doc_id, a.shot AS shot, a.start_frame, a.n_frames,
+      |  CAST(MIN(s.fi) AS INTEGER) AS key_frame, a.key_luma
+      |FROM agg a JOIN sh s ON s.doc_id = a.doc_id AND s.shot = a.shot
+      |  AND s.luma = a.key_luma
+      |GROUP BY 1, 2, 3, 4, 6 ORDER BY a.doc_id, a.shot""".stripMargin) {
+    (spark, dir) =>
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lu = lumaFrames(spark, dir)
+    val d = lu.withColumn("diff", abs(col("luma") - lag(col("luma"), 1).over(wOrd)))
+    val pk = d.filter(col("diff").isNotNull)
+      .groupBy(col("doc_id")).agg(max(col("diff")).as("peak_diff"))
+    val sh = d.join(pk, Seq("doc_id"), "left")
+      .withColumn("shot",
+        sum(when(col("diff").isNotNull && col("diff") * 2 > col("peak_diff"), 1)
+          .otherwise(0)).over(wCum).cast("int"))
+      .select(col("doc_id"), col("fi"), col("luma"), col("shot"))
+      .persist() // feeds the shot agg AND the keyframe rejoin
+    val agg = sh.groupBy(col("doc_id"), col("shot"))
+      .agg(min(col("fi")).cast("int").as("start_frame"),
+        count(lit(1)).as("n_frames"),
+        max(col("luma")).as("key_luma"))
+    agg.as("a")
+      .join(sh.as("s"),
+        col("s.doc_id") === col("a.doc_id") && col("s.shot") === col("a.shot") &&
+          col("s.luma") === col("a.key_luma"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.shot").as("shot"),
+        col("a.start_frame").as("start_frame"),
+        col("a.n_frames").as("n_frames"), col("a.key_luma").as("key_luma"))
+      .agg(min(col("s.fi")).cast("int").as("key_frame"))
+      .select(col("doc_id"), col("shot"), col("start_frame"), col("n_frames"),
+        col("key_frame"), col("key_luma"))
+      .orderBy(col("doc_id"), col("shot"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
 }

@@ -1202,7 +1202,45 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** s20: CONFUSION MATRIX over the s19 centroid classifier — the
+    * evaluation frame that closes the classifier chain (q41 ranks by
+    * lift, p14 calibrates probabilities, s20 shows WHERE a label
+    * model errs — which pairs of labels the embedding space
+    * confuses): non-zero (true, predicted) cells with counts, each
+    * row's share of its true-label total (the per-class recall
+    * diagonal), built ON TOP of s19's prediction frame — the Spark
+    * side calls s19's definition and the oracle embeds s19's SQL
+    * verbatim as a CTE, so the two operators can never disagree
+    * about a prediction.
+    *
+    * Scale rides s19's (zero-shuffle classify); the matrix agg is
+    * labels²-bounded. All-integer counts, one rounded non-negative
+    * share. */
+  val s20 = QueryDef(
+    "s20_confusion_matrix",
+    s"""WITH p AS (
+       |${s19.oracle.get}
+       |),
+       |rt AS (SELECT true_label, CAST(COUNT(*) AS BIGINT) AS row_total
+       |  FROM p GROUP BY 1)
+       |SELECT p.true_label AS true_label, p.pred_label AS pred_label,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  ROUND(COUNT(*) * 1.0 / rt.row_total + 1e-9, 4) AS row_share
+       |FROM p JOIN rt USING (true_label)
+       |GROUP BY 1, 2, rt.row_total
+       |ORDER BY true_label, pred_label""".stripMargin) { (spark, dir) =>
+    val p = s19.fn(spark, dir)
+    val rt = p.groupBy(col("true_label")).agg(count(lit(1)).as("row_total"))
+    p.join(broadcast(rt), "true_label")
+      .groupBy(col("true_label"), col("pred_label"), col("row_total"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("true_label"), col("pred_label"), col("n"),
+        graft.QueryDef.roundBiased(
+          col("n") * 1.0 / col("row_total"), 4).as("row_share"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19)
+      s14, s15, s16, s17, s18, s19, s20)
 }

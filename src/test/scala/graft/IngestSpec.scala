@@ -1036,4 +1036,40 @@ class IngestSpec extends SparkSpec {
       .collect().map(r => math.max(r.getLong(1) - 4, 0L)).sum
     assert(graft.operators.Ingest.i59.fn(spark, sf).count() == nDays)
   }
+
+  test("i60 phenology: stage days at exact GDD crossings, cold station all NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i60").toString
+    val day = 86400L * 1000000000L
+    // station 1: 2000 gdd-cents/day -> stages at cum 6000 (d2), 10000
+    // (d4), 20000 (d9); station 2 never exceeds the 10.00 base
+    val events =
+      (0 until 12).map(d => (10L + d, d * day, 1L, "obs", 30.0, "{}")) ++
+      (0 until 12).map(d => (40L + d, d * day, 2L, "obs", 5.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Ingest.i60.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Int]("emerge_day") == 2 && r1.getAs[Int]("flower_day") == 4 &&
+      r1.getAs[Int]("mature_day") == 9 &&
+      r1.getAs[Int]("emerge_to_flower") == 2 &&
+      r1.getAs[Int]("flower_to_mature") == 5, r1.toString)
+    val r2 = got(2L)
+    assert(r2.isNullAt(r2.fieldIndex("emerge_day")) &&
+      r2.isNullAt(r2.fieldIndex("flower_to_mature")), r2.toString)
+    // corpus: stage order monotone wherever defined; i46 agreement at 200dd
+    val i46cross = graft.operators.Ingest.i46.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.get(r.fieldIndex("cross_day"))).toMap
+    graft.operators.Ingest.i60.fn(spark, sf).collect().foreach { r =>
+      val e = r.get(r.fieldIndex("emerge_day"))
+      val f = r.get(r.fieldIndex("flower_day"))
+      val m = r.get(r.fieldIndex("mature_day"))
+      if (e != null && f != null)
+        assert(e.asInstanceOf[Int] <= f.asInstanceOf[Int], r.toString)
+      if (f != null && m != null)
+        assert(f.asInstanceOf[Int] <= m.asInstanceOf[Int], r.toString)
+      assert(m == i46cross(r.getLong(0)), s"i46/i60 disagree: $r")
+    }
+  }
 }

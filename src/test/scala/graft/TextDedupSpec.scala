@@ -1689,4 +1689,67 @@ class TextDedupSpec extends SparkSpec {
         (r.getAs[Int]("correct") == 1))
     }
   }
+
+  test("r7c plan shapes: d17 hash-joined, s18 bounded top-k, t29/t30 join-free") {
+    val d17p = physicalPlan(Dedup.d17.fn(spark, sf))
+    assert(!d17p.contains("BroadcastNestedLoopJoin") &&
+      !d17p.contains("CartesianProduct"), d17p) // variant join stays equi
+    val s18p = physicalPlan(Similarity.s18.fn(spark, sf))
+    assert(s18p.contains("graft_topk"), s18p) // bounded agg, no corpus window
+    val t30p = physicalPlan(TextAnalysis.t30.fn(spark, sf))
+    assert(!t30p.contains("Join"), t30p) // vocab inlined as a literal set
+    val t29p = physicalPlan(TextAnalysis.t29.fn(spark, sf))
+    assert(!t29p.contains("Join") && !t29p.contains("Generate"), t29p)
+  }
+
+  test("m11 keyframes: shots split at the adaptive cut, brightest-earliest wins") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_m11").toString
+    // frames: quiet, quiet, loud, loud -> one cut at frame 2; shot 0
+    // elects frame 0 (luma tie -> earliest), shot 1 elects frame 2
+    val quiet = "\u0001" * 64
+    val loud = "z" * 64
+    Seq((0L, quiet + quiet + loud + loud, "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.m11.fn(spark, dir).collect()
+    assert(got.length == 2, got.mkString(";"))
+    val s0 = got(0); val s1 = got(1)
+    assert(s0.getAs[Int]("shot") == 0 && s0.getAs[Int]("start_frame") == 0 &&
+      s0.getAs[Long]("n_frames") == 2L && s0.getAs[Int]("key_frame") == 0 &&
+      s0.getAs[Long]("key_luma") == 64L, s0.toString)
+    assert(s1.getAs[Int]("shot") == 1 && s1.getAs[Int]("start_frame") == 2 &&
+      s1.getAs[Int]("key_frame") == 2 &&
+      s1.getAs[Long]("key_luma") == 122L * 64, s1.toString)
+    // corpus: shots re-assemble m06's frame counts; keyframe inside shot
+    val m06n = Multimodal.m06.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("n_frames").toLong).toMap
+    val byDoc = Multimodal.m11.fn(spark, sf).collect().groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, shots) =>
+      assert(shots.map(_.getAs[Long]("n_frames")).sum == m06n(doc))
+      shots.foreach { r =>
+        val kf = r.getAs[Int]("key_frame")
+        assert(kf >= r.getAs[Int]("start_frame") &&
+          kf < r.getAs[Int]("start_frame") + r.getAs[Long]("n_frames"), r.toString)
+      }
+    }
+  }
+
+  test("s20 confusion matrix: cells tie out to s19's predictions, rows sum to 1") {
+    val preds = Similarity.s19.fn(spark, sf).collect()
+    val cells = Similarity.s20.fn(spark, sf).collect()
+    assert(cells.map(_.getAs[Long]("n")).sum == preds.length)
+    // diagonal counts == s19's correct flags per label
+    val correctByLabel = preds.filter(_.getAs[Int]("correct") == 1)
+      .groupBy(_.getAs[Int]("true_label")).view.mapValues(_.length.toLong).toMap
+    cells.filter(r => r.getAs[Int]("true_label") == r.getAs[Int]("pred_label"))
+      .foreach { r =>
+        assert(r.getAs[Long]("n") == correctByLabel(r.getAs[Int]("true_label")))
+      }
+    // each true-label row's shares sum to ~1 (per-cell rounding only)
+    cells.groupBy(_.getAs[Int]("true_label")).foreach { case (_, rs) =>
+      val s = rs.map(_.getAs[Double]("row_share")).sum
+      assert(math.abs(s - 1.0) < 1e-3 * rs.length, rs.mkString(";"))
+    }
+  }
 }
