@@ -1159,6 +1159,26 @@ object Similarity {
     * sides before any cosine (s05's discipline — summation order
     * can't flip an assignment), argmax ties break to the smallest
     * label on both engines. */
+  /** s19's trained model: one per-label centroid from the train side
+    * (vec_id % 50 ≠ 0) — ONE explode + partial-agg shuffle with
+    * labels×64 groups out (s05's dimMeans shape), means pinned to the
+    * 6-dec grid, collected as driver-held model state. Shared with the
+    * streaming classifier (st18) so batch and stream score against
+    * the IDENTICAL model. */
+  private[graft] def labelCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Int, Array[Double])] =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+      .filter(col("vec_id") % 50 =!= 0)
+      .select(col("label").as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(graft.QueryDef.roundBiased(avg(col("x")), 6).as("cx"))
+      .orderBy(col("cid"), col("pos")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray) }
+
   val s19 = QueryDef(
     "s19_centroid_classifier",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
@@ -1181,16 +1201,7 @@ object Similarity {
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
-    // training: one explode + partial-agg shuffle, labels×64 groups out
-    // (s05's dimMeans shape), means pinned to the 6-dec grid
-    val centroids = e.filter(col("vec_id") % 50 =!= 0)
-      .select(col("label").as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cid"), col("pos"))
-      .agg(graft.QueryDef.roundBiased(avg(col("x")), 6).as("cx"))
-      .orderBy(col("cid"), col("pos")).collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map { case (cid, rows) =>
-        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray) }
+    val centroids = labelCentroids(spark, dir)
     e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"),
         col("label").cast("int").as("true_label"),

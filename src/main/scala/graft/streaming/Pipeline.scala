@@ -1259,7 +1259,60 @@ object Streaming {
     }
   }
 
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-source stream over the embeddings parquet (docStream's
+    * directory/leaf-glob layout split). */
+  private def embStream(spark: SparkSession, dir: String): DataFrame =
+    if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
+      spark.readStream.schema(embSchema).parquet(s"$dir/embeddings.parquet")
+    else
+      spark.readStream
+        .schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+
+  /** st18: MODEL SCORING IN-FLIGHT — s19's nearest-centroid
+    * classifier applied to the embedding STREAM (the deployment shape
+    * of label propagation: train once batch-side, score every
+    * arriving vector before it lands): centroids come from
+    * [[graft.operators.Similarity.labelCentroids]] — the SAME
+    * driver-held model the batch classifier uses — inlined into the
+    * stream as the broadcast-gated codebookArgmaxCid fused argmax, so
+    * the streaming plan is STATELESS map-only (no state store, no
+    * watermark; scoring cost is O(K·dims) per arriving row — the s19
+    * scale trade carried into the stream). st09 gates on static
+    * rules; st18 gates on a TRAINED model. Oracle: s19's batch SQL
+    * verbatim — streamed predictions must equal the batch
+    * classifier's exactly. */
+  val st18 = QueryDef(
+    "st18_stream_classify",
+    graft.operators.Similarity.s19.oracle.get) { (spark, dir) =>
+    val centroids = graft.operators.Similarity.labelCentroids(spark, dir)
+    withStreamParallelism(spark, dir) { s =>
+      val scored = embStream(s, dir)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("label").cast("int").as("true_label"),
+          graft.functions.Vectors.codebookArgmaxCid(
+            col("embedding").cast("array<double>"), centroids, s)
+            .cast("int").as("pred_label"))
+      val q = scored.writeStream
+        .outputMode("append").format("memory").queryName("st18_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("st18_out")
+    }
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        when(col("pred_label") === col("true_label"), 1).otherwise(0)
+          .cast("int").as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11, st12,
-      st13, st14, st15, st16, st17)
+      st13, st14, st15, st16, st17, st18)
 }

@@ -555,4 +555,16 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_landed") == 2L && r.getAs[Long]("n_neardup") == 1L &&
       r.getAs[Long]("chars_landed") == other.length + 3L, r.toString)
   }
+
+  test("st18 streamed classify equals batch s19 row-for-row; plan is stateless") {
+    val batch = graft.operators.Similarity.s19.fn(spark, sf).collect()
+    val streamed = graft.streaming.Streaming.st18.fn(spark, sf).collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      s"streamed ${streamed.mkString(";")} vs batch ${batch.mkString(";")}")
+    // the scoring stream holds no state: every probe is decided map-side
+    streamed.foreach { r =>
+      assert((r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")) ==
+        (r.getAs[Int]("correct") == 1))
+    }
+  }
 }
