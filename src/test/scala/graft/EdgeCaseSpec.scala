@@ -239,4 +239,48 @@ class EdgeCaseSpec extends SparkSpec {
     assert(atCap(30L) == 1L && atCap(104L) == 100L && atCap(201L) == 200L)
     assert(atCap.size == 37) // 30 + 5 + 2 distinct endpoints
   }
+
+  test("i57 single-day stations drop cleanly; i58/i59 need full windows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i57e").toString
+    Seq((1L, 0L, 1L, "obs", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // one observation: no pairs, no 5-windows, no SG interior — all
+    // three trend/extreme ops return EMPTY rather than throwing
+    assert(graft.operators.Ingest.i57.fn(spark, dir).count() == 0)
+    assert(graft.operators.Ingest.i58.fn(spark, dir).count() == 0)
+    assert(graft.operators.Ingest.i59.fn(spark, dir).count() == 0)
+  }
+
+  test("j07 grid for a user with no observations carries NULLs end to end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_j07e").toString
+    // only 'view' events: the grid exists (span from ANY event) but no
+    // click is ever carried — every grid row keeps NULL value/staleness
+    Seq((1L, 0L, 1L, "view", 1.0, "{}"),
+        (2L, 7L * 3600L * 1000000000L, 1L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Temporal.j07.fn(spark, dir).collect()
+    assert(got.length == 2, got.mkString(";")) // 0h and 6h grid points
+    got.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("value")) &&
+        r.isNullAt(r.fieldIndex("staleness_sec")), r.toString)
+    }
+  }
+
+  test("m11 single-frame payload forms one shot with itself as keyframe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_m11e").toString
+    Seq((0L, "x" * 10, "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Multimodal.m11.fn(spark, dir).collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got(0)
+    assert(r.getAs[Int]("shot") == 0 && r.getAs[Long]("n_frames") == 1L &&
+      r.getAs[Int]("key_frame") == 0 &&
+      r.getAs[Long]("key_luma") == 120L * 10, r.toString)
+  }
 }
