@@ -167,11 +167,18 @@ object TextAnalysis {
       |  FROM tok WHERE tk <> '' GROUP BY tk)
       |SELECT tk, tf, df FROM f
       |ORDER BY tf DESC, tk LIMIT 100""".stripMargin) { (spark, dir) =>
+    // r7: the token stream never exists as rows — the per-row
+    // TokenCountsExpr map explodes to DISTINCT (token, count) pairs per
+    // doc (t23's shape), so tf = Σ count and df = COUNT(*) come from
+    // ONE vocab-keyed partial agg; the old explode shuffled the full
+    // occurrence stream and paid countDistinct's two-phase expand on
+    // top (the exact per-token feeder the t24 scale note flags)
     Tables(spark, dir).documents
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))
-      .filter(col("tk") =!= "")
+      .select(explode(Text.tokenCounts(
+          filter(split(lower(col("text")), " "), t => t =!= "")))
+        .as(Seq("tk", "cnt")))
       .groupBy(col("tk"))
-      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .agg(sum(col("cnt")).as("tf"), count(lit(1)).as("df"))
       .orderBy(col("tf").desc, col("tk"))
       .limit(100)
   }
