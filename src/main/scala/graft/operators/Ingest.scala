@@ -3055,10 +3055,68 @@ object Ingest {
       .orderBy(col("station"))
   }
 
+  /** i61: WIND CHILL index — the cold-side twin of i52's heat index
+    * (the JAG/TI formula adopted by the US NWS and Environment Canada
+    * in 2001; the number behind every winter warning bulletin):
+    * WCT = 13.12 + 0.6215·T − 11.37·v^0.16 + 0.3965·T·v^0.16 with T
+    * in °C and wind v in km/h, defined for cold days (T ≤ 10) with
+    * the wind floored at the formula's 4.8 km/h validity bound. Per
+    * station: cold-day count, the season's minimum WCT (the warning
+    * trigger), and the mean.
+    *
+    * Inputs ride i52's shape: per-(station, day) temperature = click
+    * mean − 50 and wind = view mean, both on the 2-dec grid before
+    * any float math; v^0.16 is ONE POW call (t08's libm convention,
+    * argument ≥ 4.8 > 0) inside a single fixed-shape expression. Per-
+    * day WCT biased-rounds to the 4-dec grid; the station mean sums
+    * those as DECIMAL(18,4) (order-free, i52/i56's discipline); min
+    * and mean can be negative → −0.0-normalized. One (station, day)
+    * partial agg + one station rollup. */
+  val i61 = QueryDef(
+    "i61_wind_chill",
+    """WITH daily AS (
+      |  SELECT user_id AS station, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    ROUND(AVG(value) FILTER (WHERE event_type = 'click') - 50.0
+      |      + 1e-9, 2) AS t,
+      |    GREATEST(ROUND(AVG(value) FILTER (WHERE event_type = 'view')
+      |      + 1e-9, 2), 4.8) AS v
+      |  FROM events GROUP BY 1, 2
+      |  HAVING t IS NOT NULL AND t <= 10.0
+      |     AND AVG(value) FILTER (WHERE event_type = 'view') IS NOT NULL),
+      |w AS (SELECT station,
+      |    13.12 + 0.6215 * t - 11.37 * POW(v, 0.16)
+      |      + 0.3965 * t * POW(v, 0.16) AS wct
+      |  FROM daily)
+      |SELECT station, CAST(COUNT(*) AS BIGINT) AS n_cold_days,
+      |  ROUND(MIN(wct) + 1e-9, 2) + 0.0 AS min_wct,
+      |  ROUND(CAST(SUM(CAST(ROUND(wct + 1e-9, 4) AS DECIMAL(18,4)))
+      |    AS DOUBLE) / COUNT(*) + 1e-9, 2) + 0.0 AS mean_wct
+      |FROM w GROUP BY station ORDER BY station""".stripMargin) { (spark, dir) =>
+    def typed(t: String) = when(col("event_type") === t, col("value"))
+    val daily = Tables(spark, dir).events
+      .groupBy(col("user_id").as("station"), to_date(col("ts")).as("d"))
+      .agg(graft.QueryDef.roundBiased(avg(typed("click")) - 50.0, 2).as("t"),
+        greatest(graft.QueryDef.roundBiased(avg(typed("view")), 2), lit(4.8))
+          .as("v"),
+        avg(typed("view")).as("vraw"))
+      .filter(col("t").isNotNull && col("t") <= 10.0 && col("vraw").isNotNull)
+    val vp = pow(col("v"), 0.16)
+    val wct = lit(13.12) + lit(0.6215) * col("t") - lit(11.37) * vp +
+      lit(0.3965) * col("t") * vp
+    daily.select(col("station"), wct.as("wct"))
+      .groupBy(col("station"))
+      .agg(count(lit(1)).as("n_cold_days"),
+        graft.QueryDef.roundBiased(min(col("wct")), 2).as("min_wct"),
+        graft.QueryDef.roundBiased(
+          sum(round(col("wct") + 1e-9, 4).cast("decimal(18,4)")).cast("double") /
+            count(lit(1)), 2).as("mean_wct"))
+      .orderBy(col("station"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
-    i54, i55, i56, i57, i58, i59, i60)
+    i54, i55, i56, i57, i58, i59, i60, i61)
 }

@@ -1698,8 +1698,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t31: PHRASE SEARCH — exact adjacent-bigram matching for a fixed
+    * probe phrase ("spark hash"): the retrieval verb t21's inverted
+    * index exists to serve (a positional index evaluates phrases by
+    * intersecting postings; t31 is the scan-side ground truth such an
+    * index is validated against, and the shape of a contamination
+    * check for a KNOWN string): per matching doc, the hit count and
+    * the first match position (1-based — the snippet offset a
+    * highlighter uses).
+    *
+    * 100 TB shape: ZERO shuffle — the position scan is a per-row
+    * filter over the token index range inside codegen (the token
+    * stream never exists as rows; the guard keeps Spark's descending
+    * `sequence` corner out of sub-2-token docs); only matching docs
+    * survive to the presentation sort. All-integer. */
+  val t31 = QueryDef(
+    "t31_phrase_hits",
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |hits AS (SELECT doc_id,
+      |    LIST_FILTER(RANGE(1, LEN(tk)),
+      |      i -> tk[i] = 'spark' AND tk[i+1] = 'hash') AS pos
+      |  FROM toks)
+      |SELECT doc_id, CAST(LEN(pos) AS BIGINT) AS n_hits,
+      |  CAST(pos[1] AS BIGINT) AS first_pos
+      |FROM hits WHERE LEN(pos) >= 1 ORDER BY doc_id""".stripMargin) {
+    (spark, dir) =>
+    val tk = Text.tokens(col("text"))
+    val pos = when(size(tk) >= 2,
+        filter(sequence(lit(1), size(tk) - 1),
+          i => element_at(tk, i) === "spark" && element_at(tk, i + 1) === "hash"))
+      .otherwise(array().cast("array<int>"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), pos.as("pos"))
+      .filter(size(col("pos")) >= 1)
+      .select(col("doc_id"), size(col("pos")).cast("long").as("n_hits"),
+        element_at(col("pos"), 1).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30)
+      t29, t30, t31)
 }

@@ -1007,6 +1007,53 @@ object TrainingPipeline {
       .orderBy(col("source"))
   }
 
+  /** p15: CONTAMINATION CARD — d08's decontamination scan rolled up
+    * to the per-source audit table every dataset release ships (the
+    * "benchmark overlap" section of a dataset card, p13's sibling):
+    * per source, train-side doc count, how many documents d08 flags
+    * (≥2 distinct eval 3-grams shared), the flagged rate as integer
+    * ppm, and the worst document's overlap width. The oracle embeds
+    * d08's SQL VERBATIM as a CTE and the Spark side aggregates d08's
+    * definition — card and scan cannot disagree (the s20/p14 sharing
+    * discipline).
+    *
+    * Scale rides d08's (gram equi-join, never all-pairs); the card
+    * adds one doc-keyed join to recover sources and two source-sized
+    * aggs. Sources with zero flags stay visible (LEFT join,
+    * zero-filled). All-integer + floor-division ppm. */
+  val p15 = QueryDef(
+    "p15_contamination_card",
+    s"""WITH fl AS (
+       |${graft.operators.Dedup.d08.oracle.get}
+       |),
+       |src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents WHERE doc_id % 97 <> 0 GROUP BY 1),
+       |fs AS (SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS n_flagged,
+       |    CAST(MAX(fl.n_overlap) AS BIGINT) AS max_overlap
+       |  FROM fl JOIN documents d ON d.doc_id = fl.doc_id GROUP BY 1)
+       |SELECT src.source AS source, src.n_docs,
+       |  CAST(COALESCE(fs.n_flagged, 0) AS BIGINT) AS n_flagged,
+       |  CAST(COALESCE(fs.n_flagged, 0) * 1000000 // src.n_docs AS BIGINT)
+       |    AS flagged_ppm,
+       |  CAST(COALESCE(fs.max_overlap, 0) AS BIGINT) AS max_overlap
+       |FROM src LEFT JOIN fs USING (source)
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val docs = Tables(spark, dir).documents
+    val fl = graft.operators.Dedup.d08.fn(spark, dir)
+    val src = docs.filter(col("doc_id") % 97 =!= 0)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val fs = fl.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_flagged"), max(col("n_overlap")).as("max_overlap"))
+    src.join(fs, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        expr("CAST((coalesce(n_flagged, 0) * 1000000) div n_docs AS BIGINT)")
+          .as("flagged_ppm"),
+        coalesce(col("max_overlap"), lit(0L)).as("max_overlap"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09,
-    p10, p11, p12, p13, p14)
+    p10, p11, p12, p13, p14, p15)
 }

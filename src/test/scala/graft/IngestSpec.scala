@@ -1072,4 +1072,31 @@ class IngestSpec extends SparkSpec {
       assert(m == i46cross(r.getLong(0)), s"i46/i60 disagree: $r")
     }
   }
+
+  test("i61 wind chill: formula exact, warm days excluded, calm wind floored") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i61").toString
+    val day = 86400L * 1000000000L
+    // station 1: T=-40, v=20; station 2: T=30 (warm -> excluded);
+    // station 3: T=0, view 2 km/h -> floored to the 4.8 validity bound
+    val events = Seq(
+      (1L, 0L, 1L, "click", 10.0, "{}"), (2L, 0L, 1L, "view", 20.0, "{}"),
+      (3L, day, 2L, "click", 80.0, "{}"), (4L, day, 2L, "view", 20.0, "{}"),
+      (5L, day, 3L, "click", 50.0, "{}"), (6L, day, 3L, "view", 2.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def wct(t: Double, v: Double) =
+      13.12 + 0.6215 * t - 11.37 * math.pow(v, 0.16) +
+        0.3965 * t * math.pow(v, 0.16)
+    val got = graft.operators.Ingest.i61.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 3L), got.toString)
+    assert(math.abs(got(1L).getAs[Double]("min_wct") - wct(-40, 20)) < 1e-2)
+    assert(math.abs(got(3L).getAs[Double]("min_wct") - wct(0, 4.8)) < 1e-2)
+    // corpus: min <= mean, and cold-day counts bounded by the series
+    graft.operators.Ingest.i61.fn(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("min_wct") <= r.getAs[Double]("mean_wct") + 1e-9,
+        r.toString)
+    }
+  }
 }

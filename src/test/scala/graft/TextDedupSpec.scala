@@ -1752,4 +1752,31 @@ class TextDedupSpec extends SparkSpec {
       assert(math.abs(s - 1.0) < 1e-3 * rs.length, rs.mkString(";"))
     }
   }
+
+  test("t31 phrase hits: positions exact, sub-2-token docs safe, corpus re-derived") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t31").toString
+    Seq((1L, "spark hash spark hash"), (2L, "hash spark"), (3L, "spark"),
+        (4L, "a spark hash b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t31.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 4L), got.toString)
+    assert(got(1L).getAs[Long]("n_hits") == 2L &&
+      got(1L).getAs[Long]("first_pos") == 1L, s"${got(1L)}")
+    assert(got(4L).getAs[Long]("n_hits") == 1L &&
+      got(4L).getAs[Long]("first_pos") == 2L, s"${got(4L)}")
+    // corpus: driver-side re-derive of every doc's hit count
+    val expect = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val tk = r.getString(1).split(" ", -1)
+        r.getLong(0) -> tk.indices.dropRight(1)
+          .count(i => tk(i) == "spark" && tk(i + 1) == "hash").toLong }
+      .filter(_._2 >= 1).toMap
+    val got2 = TextAnalysis.t31.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_hits")).toMap
+    assert(got2 == expect, s"diff ${(got2.toSet diff expect.toSet).take(3)}")
+  }
 }

@@ -414,4 +414,20 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(degen.length == 1 && degen(0).getAs[Int]("bin") == 0 &&
       degen(0).getAs[Long]("n_docs") == 8L, degen.toSeq)
   }
+
+  test("p15 contamination card ties out to d08 and keeps zero-flag sources") {
+    import org.apache.spark.sql.functions._
+    val card = graft.operators.TrainingPipeline.p15.fn(spark, sf).collect()
+    val d08rows = graft.operators.Dedup.d08.fn(spark, sf).count()
+    assert(card.map(_.getAs[Long]("n_flagged")).sum == d08rows)
+    // all 20 sources present even when nothing is flagged; ppm = floor
+    assert(card.length == spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count().toInt)
+    card.foreach { r =>
+      assert(r.getAs[Long]("flagged_ppm") ==
+        r.getAs[Long]("n_flagged") * 1000000L / r.getAs[Long]("n_docs"), r.toString)
+      if (r.getAs[Long]("n_flagged") == 0L)
+        assert(r.getAs[Long]("max_overlap") == 0L, r.toString)
+    }
+  }
 }
