@@ -1251,7 +1251,79 @@ object Similarity {
       .orderBy(col("true_label"), col("pred_label"))
   }
 
+  /** s21: RECALL@k CURVE — s08 reports the single recall@10 scalar;
+    * tuning an ANN index needs the CURVE (recall@1/@5/@10 behave
+    * differently: a bucket that holds the single nearest neighbor but
+    * loses the tail shows 1.0/0.6/0.4 — exactly the signal that picks
+    * nprobe): both rankings truncate at each k and the intersection
+    * is counted per k. Same single-probe hyperplane bucket as s08, so
+    * the two operators' @10 rows must agree (spec-locked).
+    *
+    * 100 TB shape: each ranking is ONE corpus scan ending in a
+    * top-10 TakeOrderedAndProject; ranks are row_numbers over the
+    * RETRIEVED 10-row frames (windows bounded by k, not the corpus —
+    * s17's discipline); the per-k counts run on the ≤10-row joined
+    * pair set against a 3-row k table. Determinism: both rankings
+    * are the bit-identical s01 cosine with vec_id tiebreak. */
+  val s21: QueryDef = {
+    val planeSql = (0 until 4).map { p =>
+      val arr = Vectors.planeSigns(p, 64).mkString("[", ", ", "]")
+      s"CASE WHEN LIST_DOT_PRODUCT(v, $arr) >= 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", "\n   + ", ")")
+    QueryDef(
+      "s21_recall_curve",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $planeSql AS bucket FROM e),
+         |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+         |exact AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+         |      LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id) AS re
+         |  FROM (SELECT vec_id, v FROM e, q WHERE vec_id <> 0
+         |        ORDER BY LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id LIMIT 10) t, q),
+         |ann AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+         |      LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id) AS ra
+         |  FROM (SELECT vec_id, v FROM b, q WHERE bucket = qb AND vec_id <> 0
+         |        ORDER BY LIST_COSINE_SIMILARITY(v, qv) DESC, vec_id LIMIT 10) t, q),
+         |j AS (SELECT GREATEST(e.re, a.ra) AS m
+         |  FROM exact e JOIN ann a USING (vec_id)),
+         |ks AS (SELECT UNNEST([1, 5, 10]) AS k)
+         |SELECT k, CAST(COUNT(*) FILTER (WHERE m <= k) AS BIGINT) AS n_hits,
+         |  ROUND(COUNT(*) FILTER (WHERE m <= k) * 1.0 / k + 1e-9, 4) AS recall
+         |FROM ks LEFT JOIN j ON true GROUP BY k ORDER BY k""".stripMargin) {
+      (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), 4))
+        .persist()
+      emb.count() // eager fill — both rankings read emb (s08's race note)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      // rank = row_number over the RETRIEVED 10-row frame, never corpus
+      def rank(df: DataFrame, rc: String) = df
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), Vectors.cosine(col("v"), col("qv")).as("raw"))
+        .orderBy(col("raw").desc, col("vec_id")).limit(10)
+        .withColumn(rc,
+          row_number().over(Window.orderBy(col("raw").desc, col("vec_id"))))
+        .select(col("vec_id"), col(rc))
+      val exact = rank(emb.join(broadcast(query)), "re")
+      val ann = rank(
+        emb.join(broadcast(query), col("bucket") === col("qbucket")), "ra")
+      val j = exact.join(ann, "vec_id")
+        .select(greatest(col("re"), col("ra")).as("m"))
+      import spark.implicits._
+      val ks = Seq(1, 5, 10).toDF("k")
+      ks.join(j, lit(true), "left")
+        .groupBy(col("k"))
+        .agg(count(when(col("m") <= col("k"), 1)).as("n_hits"))
+        .select(col("k"), col("n_hits"),
+          graft.QueryDef.roundBiased(col("n_hits") * 1.0 / col("k"), 4)
+            .as("recall"))
+        .orderBy(col("k"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(s01, s02, s02b, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19, s20)
+      s14, s15, s16, s17, s18, s19, s20, s21)
 }

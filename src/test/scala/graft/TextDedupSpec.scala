@@ -1779,4 +1779,20 @@ class TextDedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Long]("n_hits")).toMap
     assert(got2 == expect, s"diff ${(got2.toSet diff expect.toSet).take(3)}")
   }
+
+  test("s21 recall curve: @10 row agrees with s08, curve monotone in hits") {
+    val s08row = Similarity.s08.fn(spark, sf).collect()(0)
+    val curve = Similarity.s21.fn(spark, sf).collect()
+      .map(r => r.getAs[Int]("k") -> r).toMap
+    assert(curve.keySet == Set(1, 5, 10))
+    assert(curve(10).getAs[Long]("n_hits") == s08row.getAs[Long]("n_hits"),
+      s"s21 ${curve(10)} vs s08 $s08row")
+    // hits can only grow with k; recall stays a valid fraction
+    assert(curve(1).getAs[Long]("n_hits") <= curve(5).getAs[Long]("n_hits"))
+    assert(curve(5).getAs[Long]("n_hits") <= curve(10).getAs[Long]("n_hits"))
+    curve.values.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0, r.toString)
+    }
+  }
 }
