@@ -502,5 +502,65 @@ object Temporal {
       .orderBy(col("user_id"), col("grid_ts"))
   }
 
-  val all: Seq[QueryDef] = Seq(j01, j02, j03, j04, j05, j06, j07)
+  /** j08: INTERVAL UNION (coalesce overlapping usage intervals) — the
+    * coverage primitive j03 weights and j02 sessionizes around:
+    * each event spans [ts, ts + value minutes] (j03's interval
+    * convention, FLOOR micros), per user the overlapping/touching
+    * spans merge into islands (gaps-and-islands: a span whose start
+    * exceeds the running max end opens a new island; equality
+    * touches and merges — half-open semantics), and the rollup
+    * carries the numbers a billing/uptime consumer wants: island
+    * count, raw interval count, total covered time, longest island.
+    * Unlike j02's fixed-gap sessions, islands merge by ACTUAL span
+    * overlap — an event's duration, not a gap constant, decides.
+    *
+    * 100 TB shape: ONE user-keyed shuffle serves the running-max
+    * window, the island cumsum, the island group (key superset —
+    * exchange-free), and the user rollup. All-integer micros. */
+  val j08 = QueryDef(
+    "j08_interval_union",
+    """WITH e AS (SELECT user_id, event_id,
+      |    EPOCH_US(CAST(ts AS TIMESTAMP)) AS sm,
+      |    EPOCH_US(CAST(ts AS TIMESTAMP))
+      |      + CAST(FLOOR(value * 60000000) AS BIGINT) AS em
+      |  FROM events),
+      |o AS (SELECT *, MAX(em) OVER (PARTITION BY user_id
+      |    ORDER BY sm, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM e),
+      |i AS (SELECT *, CAST(SUM(CASE WHEN prev_max IS NULL OR sm > prev_max
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |    ORDER BY sm, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      |  FROM o),
+      |g AS (SELECT user_id, island, MIN(sm) AS s, MAX(em) AS e2,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |  CAST(SUM(n) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(e2 - s) AS BIGINT) AS covered_us,
+      |  CAST(MAX(e2 - s) AS BIGINT) AS longest_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("sm"), col("event_id"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("sm"),
+        (unix_micros(col("ts")) + floor(col("value") * 60000000d).cast("long"))
+          .as("em"))
+      .withColumn("prev_max", max(col("em")).over(wPrev))
+      .withColumn("island",
+        sum(when(col("prev_max").isNull || col("sm") > col("prev_max"), 1)
+          .otherwise(0)).over(wCum))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("sm")).as("s"), max(col("em")).as("e2"),
+        count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("n")).as("n_intervals"),
+        sum(col("e2") - col("s")).as("covered_us"),
+        max(col("e2") - col("s")).as("longest_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(j01, j02, j03, j04, j05, j06, j07, j08)
 }

@@ -810,4 +810,40 @@ class RelationalSpec extends SparkSpec {
         assert(r.getAs[Long]("staleness_sec") >= 0L, r.toString)
     }
   }
+
+  test("j08 interval union: overlap merges, touch merges, gap splits, exact micros") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_j08").toString
+    val m = 60L * 1000000L // one minute in micros
+    val mNs = 60L * 1000000000L
+    // user 1: [0,10) overlaps [5,15) -> island A [0,15); [15,20) TOUCHES
+    // and merges into A -> [0,20); [30,35) is disjoint -> island B.
+    val events = Seq(
+      (1L, 0L, 1L, "obs", 10.0, "{}"),
+      (2L, 5L * mNs, 1L, "obs", 10.0, "{}"),
+      (3L, 15L * mNs, 1L, "obs", 5.0, "{}"),
+      (4L, 30L * mNs, 1L, "obs", 5.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Temporal.j08.fn(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_islands") == 2L && r.getAs[Long]("n_intervals") == 4L,
+      r.toString)
+    assert(r.getAs[Long]("covered_us") == 25L * m, r.toString) // 20 + 5 min
+    assert(r.getAs[Long]("longest_us") == 20L * m, r.toString)
+    // corpus: covered time never exceeds the sum of interval lengths,
+    // and never undercuts the longest single interval
+    import org.apache.spark.sql.functions.{col, expr, max, sum}
+    val sums = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(FLOOR(value * 60000000) AS BIGINT)")).as("tot"),
+        max(expr("CAST(FLOOR(value * 60000000) AS BIGINT)")).as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.operators.Temporal.j08.fn(spark, sf).collect().foreach { r =>
+      val (tot, mx) = sums(r.getLong(0))
+      assert(r.getAs[Long]("covered_us") <= tot, r.toString)
+      assert(r.getAs[Long]("longest_us") >= mx, r.toString)
+    }
+  }
 }
