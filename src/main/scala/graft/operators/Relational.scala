@@ -1528,11 +1528,65 @@ object Relational {
       .orderBy(col("decile"))
   }
 
+  /** q42: GINI CONCENTRATION — the inequality coefficient over
+    * per-user spend within each event type (the concentration metric
+    * behind "is this segment carried by whales": q22 profiles key
+    * skew for the EXECUTION plan, q42 measures the BUSINESS
+    * concentration; in a data pipeline the same statistic flags a
+    * source whose token mass concentrates in few documents): the
+    * rank-sum identity G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over spend
+    * sorted ascending, per event type.
+    *
+    * 100 TB shape: the event scan partial-aggs to one row per
+    * (type, user) — user-dimension-sized (q41's argument); ONE
+    * type-keyed window exchange serves the rank and both totals, and
+    * the final agg groups on its key superset. Determinism: spend on
+    * the integer-cents grid; rank ties (equal spend) cannot move
+    * Σ i·xᵢ — permuting ranks within an equal-value run permutes i
+    * over identical xᵢ; the Gini is ONE fixed-shape double from
+    * exact integers, −0.0-normalized. */
+  val q42 = QueryDef(
+    "q42_gini_concentration",
+    """WITH u AS (SELECT event_type, user_id,
+      |    CAST(ROUND(ROUND(SUM(value), 2) * 100) AS BIGINT) AS spend
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY spend, user_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(SUM(spend) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      |  FROM u)
+      |SELECT event_type, n AS n_users, tot AS total_cents,
+      |  ROUND(2.0 * CAST(SUM(rk * spend) AS BIGINT) / (n * tot)
+      |    - (n + 1.0) / n + 1e-9, 4) + 0.0 AS gini
+      |FROM r WHERE tot > 0 GROUP BY event_type, n, tot
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("spend"), col("user_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    Tables(spark, dir).events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(round(round(sum(col("value")), 2) * 100).cast("long").as("spend"))
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("spend")).over(wAll))
+      .filter(col("tot") > 0)
+      .groupBy(col("event_type"), col("n"), col("tot"))
+      .agg(sum(col("rk") * col("spend")).as("s"))
+      .select(col("event_type"), col("n").as("n_users"),
+        col("tot").as("total_cents"),
+        graft.QueryDef.roundBiased(
+          lit(2.0) * col("s") / (col("n") * col("tot")) -
+            (col("n") + 1.0) / col("n"), 4).as("gini"))
+      .orderBy(col("event_type"))
+  }
+
   // def, not val: q36's oracle SQL is generated from the adopted round
   // count, so the defs must be rebuilt when SparkEntry.oracleSql is read
   // (after the queries ran — Verify's ordering).
   def all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q13,
       q14, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+      q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }

@@ -1738,8 +1738,60 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t32: SOURCE SIMILARITY matrix — pairwise cosine between the
+    * sources' token-count vectors (the corpus-composition map a
+    * mixture designer reads before setting p03/p10 weights: two
+    * near-identical feeds should not both get full weight, and a
+    * source whose distribution sits far from every other is either
+    * gold or garbage): per unordered source pair, the integer count
+    * dot product and the cosine over the full shared vocabulary.
+    * t15 compares two snapshots of ONE source over time; t32 compares
+    * sources to EACH OTHER.
+    *
+    * 100 TB shape: one corpus scan partial-aggs to the (source,
+    * token) count table — vocab×sources-bounded; the pair dot product
+    * is a token-keyed self-join ON that bounded table (never the
+    * corpus), norms² a source-sized agg broadcast back. Integer dot
+    * and norms² are exact; cosine is ONE fixed-shape double
+    * (non-negative — counts are) rounded on the biased grid. */
+  val t32 = QueryDef(
+    "t32_source_similarity",
+    """WITH tc AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      |        FROM documents) u GROUP BY 1, 2),
+      |nrm AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2
+      |  FROM tc GROUP BY 1),
+      |dot AS (SELECT a.source AS s1, b.source AS s2,
+      |    CAST(SUM(a.c * b.c) AS BIGINT) AS dp
+      |  FROM tc a JOIN tc b ON a.t = b.t AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s1, s2, dp,
+      |  ROUND(dp / SQRT(CAST(n1.n2 AS DOUBLE) * CAST(n2t.n2 AS DOUBLE))
+      |    + 1e-9, 4) AS cosine
+      |FROM dot JOIN nrm n1 ON n1.source = s1 JOIN nrm n2t ON n2t.source = s2
+      |ORDER BY s1, s2""".stripMargin) { (spark, dir) =>
+    val tc = Tables(spark, dir).documents
+      .select(col("source"), explode(Text.tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .persist() // vocab×sources-bounded: feeds norms AND the pair join
+    val nrm = tc.groupBy(col("source")).agg(sum(col("c") * col("c")).as("n2"))
+    val dot = tc.toDF("s1", "t", "c1")
+      .join(tc.toDF("s2", "t", "c2"), "t")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("c1") * col("c2")).as("dp"))
+    dot
+      .join(broadcast(nrm.toDF("s1", "n2a")), "s1")
+      .join(broadcast(nrm.toDF("s2", "n2b")), "s2")
+      .select(col("s1"), col("s2"), col("dp"),
+        graft.QueryDef.roundBiased(
+          col("dp") / sqrt(col("n2a").cast("double") * col("n2b").cast("double")),
+          4).as("cosine"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31)
+      t29, t30, t31, t32)
 }

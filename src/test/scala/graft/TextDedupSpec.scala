@@ -1795,4 +1795,46 @@ class TextDedupSpec extends SparkSpec {
       assert(rec >= 0.0 && rec <= 1.0, r.toString)
     }
   }
+
+  test("t32 source similarity: identical sources score 1, disjoint score 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t32").toString
+    Seq((1L, "a b c", "sA"), (2L, "a b c", "sB"), (3L, "x y z", "sC"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t32.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got(("sA", "sB")).getAs[Double]("cosine") == 1.0)
+    assert(!got.contains(("sA", "sC"))) // zero shared tokens -> no pair row
+    // corpus: all pairs bounded, symmetric-complete over the 20 sources
+    val rows = TextAnalysis.t32.fn(spark, sf).collect()
+    assert(rows.length == 20 * 19 / 2, rows.length.toString)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.0 && c <= 1.0 + 1e-9, r.toString)
+      assert(r.getString(0) < r.getString(1), r.toString)
+    }
+  }
+
+  test("q42 gini: equal spends score 0, one-whale segment near 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q42").toString
+    // type 'eq': 4 users x 25 -> G = 0; type 'wh': one user holds all
+    // the mass among 4 users -> G = (n-1)/n = 0.75
+    val events =
+      (1 to 4).map(u => (10L + u, u * 1000000000L, u.toLong, "eq", 25.0, "{}")) ++
+      Seq((20L, 1000000000L, 1L, "wh", 100.0, "{}")) ++
+      (2 to 4).map(u => (20L + u, u * 1000000000L, u.toLong, "wh", 0.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Relational.q42.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("eq").getAs[Double]("gini") == 0.0, s"${got("eq")}")
+    assert(got("wh").getAs[Double]("gini") == 0.75, s"${got("wh")}")
+    // corpus: gini strictly inside [0, 1)
+    graft.operators.Relational.q42.fn(spark, sf).collect().foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, r.toString)
+    }
+  }
 }
