@@ -1312,7 +1312,94 @@ object Streaming {
       .orderBy(col("query_id"))
   }
 
+  /** Per-user coverage state: completed-island aggregates + the ONE
+    * open island — constant size regardless of event count. */
+  final case class CovState(nIntervals: Long, nClosed: Long,
+      closedCovered: Long, closedLongest: Long,
+      curStart: Long, curEnd: Long, version: Long)
+  final case class CovOut(user_id: Long, version: Long, n_islands: Long,
+      n_intervals: Long, covered_us: Long, longest_us: Long)
+
+  /** st19: j08's interval-union coverage maintained LIVE — the
+    * uptime/billing counter kept current as usage events arrive: per
+    * user, state is [[CovState]] — the completed-island aggregates
+    * (count, covered, longest) plus the ONE open island — CONSTANT
+    * size however many intervals stream in (st17's boundedness taken
+    * further: O(1) per USER, not per day). Each batch sorts its
+    * per-user spans by (start, event_id) and folds j08's
+    * gaps-and-islands rule: a span past the open island's end closes
+    * it into the aggregates and opens a new one; an overlapping or
+    * touching span extends the end. Emission finalizes WITHOUT
+    * mutating state (the open island counted as one more);
+    * versioned snapshots per batch, final read keeps the max version
+    * (st15/st17's multi-batch-safe read). Assumes per-key
+    * append-ordered arrival across batches (st17's log-ingestion
+    * contract; within a batch the fold sorts). Oracle: j08's batch
+    * SQL verbatim — streamed coverage must equal the batch islands
+    * exactly. */
+  val st19 = QueryDef(
+    "st19_stream_coverage",
+    graft.operators.Temporal.j08.oracle.get) { (spark, dir) =>
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    withStreamParallelism(spark, dir) { s =>
+      import s.implicits._
+      val updates = eventStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("sm"),
+          (unix_micros(col("ts")) + floor(col("value") * 60000000d).cast("long"))
+            .as("em"),
+          col("event_id"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(coverageFold)
+      val q = updates.toDF().writeStream
+        .outputMode("update").format("memory").queryName("st19_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("st19_out")
+    }
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("version"), col("n_islands"), col("n_intervals"),
+        col("covered_us"), col("longest_us"))).as("snap"))
+      .select(col("user_id"), col("snap.n_islands").as("n_islands"),
+        col("snap.n_intervals").as("n_intervals"),
+        col("snap.covered_us").as("covered_us"),
+        col("snap.longest_us").as("longest_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Fold one batch's (user) spans into the constant-size coverage
+    * state and emit one finalized versioned snapshot. */
+  private[graft] def coverageFold(
+      user: Long, rows: Iterator[(Long, Long, Long, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[CovState]): Iterator[CovOut] = {
+    val prev = state.getOption.getOrElse(CovState(0L, 0L, 0L, 0L, -1L, -1L, 0L))
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._4)) // (sm, event_id)
+    val st = sorted.foldLeft(prev) { case (c, (_, sm, em, _)) =>
+      if (c.curStart < 0)
+        c.copy(nIntervals = c.nIntervals + 1, curStart = sm, curEnd = em)
+      else if (sm > c.curEnd) {
+        val len = c.curEnd - c.curStart
+        c.copy(nIntervals = c.nIntervals + 1, nClosed = c.nClosed + 1,
+          closedCovered = c.closedCovered + len,
+          closedLongest = math.max(c.closedLongest, len),
+          curStart = sm, curEnd = em)
+      } else
+        c.copy(nIntervals = c.nIntervals + 1,
+          curEnd = math.max(c.curEnd, em))
+    }
+    val version = prev.version + 1
+    state.update(st.copy(version = version))
+    if (st.curStart < 0) Iterator.empty
+    else {
+      val curLen = st.curEnd - st.curStart
+      Iterator.single(CovOut(user, version,
+        st.nClosed + 1, st.nIntervals,
+        st.closedCovered + curLen, math.max(st.closedLongest, curLen)))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11, st12,
-      st13, st14, st15, st16, st17, st18)
+      st13, st14, st15, st16, st17, st18, st19)
 }

@@ -567,4 +567,52 @@ class StreamingSpec extends SparkSpec {
         (r.getAs[Int]("correct") == 1))
     }
   }
+
+  test("st19 streamed coverage equals batch j08; islands merge across batches") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    import spark.implicits._
+    // corpus equality: the live counters must BE j08's islands
+    val streamed = Streaming.st19.fn(spark, sf).collect().map(_.toSeq).toSet
+    val batch = graft.operators.Temporal.j08.fn(spark, sf).collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"${streamed.diff(batch).take(3)}")
+    // two slices: slice 2's span OVERLAPS the island still open at the
+    // batch boundary -> one island spanning both epochs; a later
+    // disjoint span then opens island 2
+    val m = 60L * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_st19").toString
+    Seq((1L, 0L * m, 10L * m, 1L))
+      .toDF("user_id", "sm", "em", "event_id").coalesce(1).write.parquet(s"$dir/s1")
+    Seq((1L, 5L * m, 15L * m, 2L), (1L, 30L * m, 35L * m, 3L))
+      .toDF("user_id", "sm", "em", "event_id").coalesce(1).write.parquet(s"$dir/s2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sm",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("em",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType)))
+    val updates = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(Streaming.coverageFold)
+    val q = updates.toDF().writeStream
+      .outputMode("update").format("memory").queryName("st19_spec")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val latest = spark.table("st19_spec")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("version"), col("n_islands"), col("n_intervals"),
+        col("covered_us"), col("longest_us"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val u1 = latest(1L)
+    assert(u1.getAs[Long]("n_islands") == 2L &&
+      u1.getAs[Long]("n_intervals") == 3L &&
+      u1.getAs[Long]("covered_us") == 20L * m &&
+      u1.getAs[Long]("longest_us") == 15L * m, u1)
+  }
 }
