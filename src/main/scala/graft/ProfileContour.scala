@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Scratch profiler for the contour pipeline (dev tool): segment
   * emission over the full event grid, then polyline assembly on the
-  * bounded i39b region. */
+  * bounded i39b region, with per-stage timing to localize wall-clock
+  * (the r7 verdict flagged i39b at 8.3 s when the driver union-find
+  * gate should make the component solve one collect). */
 object ProfileContour {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,10 +20,27 @@ object ProfileContour {
       val t0 = System.nanoTime(); val r = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val full = graft.operators.Ingest.i39.fn(spark, sfDir)
-    println(s"segments: ${time("segments")(full.count())}")
-    val region = graft.operators.Ingest.i39b.fn(spark, sfDir)
-    println(s"polylines: ${time("polylines")(region.count())}")
+    // warm the tables like Bench does
+    val t = Tables(spark, sfDir)
+    Tables.names.foreach(n => t.table(n).count())
+
+    time("i39b cold total")(graft.operators.Ingest.i39b.fn(spark, sfDir).count())
+    spark.catalog.clearCache()
+
+    // stage-by-stage
+    val pts = time("eventCells+filter") {
+      val p = graft.operators.Ingest.i39bPoints(spark, sfDir).persist()
+      p.count(); p
+    }
+    val segs = time("contourSegments") {
+      val s = graft.operators.Ingest.contourSegments(pts, 25.0).persist()
+      s.count(); s
+    }
+    time("contourPolylines") {
+      graft.operators.Ingest.contourPolylines(segs, 25.0).count()
+    }
+    spark.catalog.clearCache()
+    time("i39b warm total")(graft.operators.Ingest.i39b.fn(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -107,9 +107,24 @@ object TopKAggregate {
     val keys = new Array[Long](k)
     var size: Int = 0
 
+    /** NaN-aware score compare: NaN ranks GREATEST and equal to
+      * itself — the ordering both Spark's sort and DuckDB's ORDER BY
+      * DESC apply — and −0.0 == 0.0 (Spark sort semantics). Plain
+      * `>`/`==` would make a NaN entry unorderable: never better,
+      * never worse, so an unfilled buffer could trap it and results
+      * became insertion-order dependent (r7 ADVICE on s18). */
+    @inline private def cmpScore(s1: Double, s2: Double): Int = {
+      val n1 = java.lang.Double.isNaN(s1)
+      val n2 = java.lang.Double.isNaN(s2)
+      if (n1 && n2) 0 else if (n1) 1 else if (n2) -1
+      else if (s1 == s2) 0 else if (s1 > s2) 1 else -1
+    }
+
     /** true if (s1,k1) ranks better than (s2,k2). */
-    @inline private def better(s1: Double, k1: Long, s2: Double, k2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && k1 < k2)
+    @inline private def better(s1: Double, k1: Long, s2: Double, k2: Long): Boolean = {
+      val c = cmpScore(s1, s2)
+      c > 0 || (c == 0 && k1 < k2)
+    }
 
     def insert(s: Double, kk: Long): Unit = {
       if (size < k) {
@@ -128,9 +143,11 @@ object TopKAggregate {
       }
     }
 
+    // same total order as better() — a divergent comparator here could
+    // throw TimSort contract violations on NaN entries
     def sortedEntries: Array[(Double, Long)] =
       (0 until size).map(i => (scores(i), keys(i))).toArray
-        .sortWith { case ((s1, k1), (s2, k2)) => s1 > s2 || (s1 == s2 && k1 < k2) }
+        .sortWith { case ((s1, k1), (s2, k2)) => better(s1, k1, s2, k2) }
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

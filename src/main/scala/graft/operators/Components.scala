@@ -76,6 +76,47 @@ object Components {
       driverCap: Long = DriverSolveEdgeCap): DataFrame = {
     val spark = pairs.sparkSession
     val Seq(c1, c2) = pairs.columns.take(2).toSeq
+    // bounded-size gate: solve tiny graphs in one collect + union-find
+    // (always unioning the larger root under the smaller makes each
+    // root the component MINIMUM — the contract of the distributed
+    // path), skipping O(log²) rounds of per-job scheduling overhead.
+    // The probe is ONE truncated job on the RAW pair projection —
+    // limit(cap+1) stops scanning once the cap is disproved, and
+    // union-find is indifferent to duplicate pairs and orientation, so
+    // the dedup shuffle + materializing checkpoint + count that the
+    // distributed path needs are never paid here (the r7 bench showed
+    // that prelude dominating grid-bounded solves at 8.3 s). Raw pairs
+    // can exceed the cap while the DISTINCT edge set is under it; the
+    // gate then routes to the distributed path — conservative, never
+    // wrong. Self-loop pairs are skipped (not registered), matching the
+    // distributed path's `a =!= b` filter.
+    if (driverCap > 0 && driverCap < Int.MaxValue - 1) {
+      val probe = pairs
+        .select(col(c1).cast("long").as("a"), col(c2).cast("long").as("b"))
+        .limit(driverCap.toInt + 1).collect()
+      if (probe.length <= driverCap) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        probe.foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          if (a != b) {
+            parent.getOrElseUpdate(a, a)
+            parent.getOrElseUpdate(b, b)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+        }
+        import spark.implicits._
+        return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+          .toDF("id", "comp")
+      }
+    }
     // canonical callers (pair lists already distinct, first < second,
     // typically persisted) skip both the dedup shuffle and the
     // materializing checkpoint
@@ -86,31 +127,6 @@ object Components {
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint(true)
     val nEdges = canon.count() * 2
-    // bounded-size gate: solve tiny graphs in one collect + union-find
-    // (always unioning the larger root under the smaller makes each
-    // root the component MINIMUM — the contract of the distributed
-    // path), skipping O(log²) rounds of per-job scheduling overhead
-    if (nEdges / 2 <= driverCap) {
-      val es = canon.select(col("a"), col("b")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      import spark.implicits._
-      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
-        .toDF("id", "comp")
-    }
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nEdges / 100000L)).toInt
     def fresh(df: DataFrame, key: String): DataFrame = {

@@ -499,7 +499,10 @@ object Dedup {
     * fast on shallow boilerplate families but costs one round PER HOP
     * of diameter, which a transitive paraphrase CHAIN (each doc a
     * small edit of the previous) turns into a melting loop at corpus
-    * scale. Nothing is ever collected to the driver. */
+    * scale. Pair graphs under the bounded driver gate
+    * ([[Components.DriverSolveEdgeCap]] — the broadcast-join size
+    * argument) solve in one collect; past it nothing data-sized ever
+    * reaches the driver. */
   private[graft] def dupClusters(pairs: DataFrame): DataFrame = {
     // eager materialization: the component core references the pair
     // list repeatedly, and a lazily-filled cache would let branches
@@ -1426,10 +1429,17 @@ object Dedup {
       .select(explode(Text.tokens(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
       .persist() // vocab-sized: feeds variants AND both count rejoins
-    val d1 = v.select(col("t"), explode(sequence(lit(0), length(col("t")) - 1)).as("i"))
+    // guard the variant generators against zero-length tokens: Spark's
+    // sequence(0, -1) auto-steps DESCENDING to [0, -1] where DuckDB's
+    // RANGE(0) is empty, so an empty token would emit junk variants
+    // that only cancel under distinct() by luck (r7 ADVICE) — match
+    // the oracle's RANGE semantics structurally instead
+    val vNonEmpty = v.filter(length(col("t")) >= 1)
+    val d1 = vNonEmpty
+      .select(col("t"), explode(sequence(lit(0), length(col("t")) - 1)).as("i"))
       .select(col("t"),
         expr("concat(substring(t, 1, i), substring(t, i + 2))").as("var"))
-    val d2 = v
+    val d2 = vNonEmpty
       .select(col("t"), explode(sequence(lit(0), length(col("t")) - 1)).as("i"))
       .select(col("t"), col("i"),
         explode(sequence(lit(0), length(col("t")) - 1)).as("j"))

@@ -1191,8 +1191,10 @@ object Relational {
       d.select(col("src").as("node"), lit(0.0).as("pr"), col("deg"))
     else {
     val tot = nt.getLong(1)
-    // edges carry their source degree so a round is a single join
-    // (at cluster scale, release eP once ed is materialized)
+    // edges carry their source degree so a round is a single join;
+    // eP is released after the first block action materializes ed —
+    // at cluster scale the raw edge cache would otherwise double the
+    // loop's memory footprint for zero reads
     val ed = eP.join(d.hint("shuffle_hash"), "src").persist()
     // ranks as BIGINT micros; half-up integer division (all positive).
     // Warm start at the degree-proportional stationary approximation
@@ -1217,15 +1219,23 @@ object Relational {
           .select(col("dst").as("node"),
             (lit(150000L) + expr("(85 * s8 + 5000) div 10000")).as("pr"))
       }
-      cur = cur.localCheckpoint(true)
-      roundsDone += n
-      val delta = cur.select(col("node"), col("pr").as("p2"))
+      // The block-start ranks are FOLDED into the block's one
+      // materializing action (the r7 verdict's trim): the p1 join runs
+      // inside the same job as the rounds, so the post-checkpoint delta
+      // probe below is a join-free scan of node-sized cached blocks
+      // instead of a separate shuffle-join job per block.
+      cur = cur
         .join(prev.select(col("node"), col("pr").as("p1")).hint("shuffle_hash"),
           "node")
-        .agg(sum(abs(col("p2") - col("p1"))).as("d"))
+        .localCheckpoint(true)
+      roundsDone += n
+      // first block's action is also what materializes ed: release the
+      // raw edge cache, nothing reads it again
+      if (roundsDone == n) eP.unpersist()
+      val delta = cur.agg(sum(abs(col("pr") - col("p1"))).as("d"))
         .first().getLong(0)
       prev.unpersist()
-      pr = cur
+      pr = cur.select(col("node"), col("pr"))
       // per-node per-round average movement (floor division keeps it
       // overflow-safe for any tol and block-size-independent)
       if (delta / (math.max(1L, nn) * n) < tolPerNode) converged = true

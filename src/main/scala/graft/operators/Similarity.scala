@@ -1089,7 +1089,10 @@ object Similarity {
       |  WHERE vec_id % 50 = 0),
       |c AS (SELECT vec_id, v, label FROM e WHERE vec_id % 50 <> 0),
       |sc AS (SELECT qid, qlabel, c.vec_id AS vec_id, c.label AS label,
-      |    LIST_COSINE_SIMILARITY(c.v, qv) AS sim FROM q, c),
+      |    CASE WHEN LIST_DOT_PRODUCT(c.v, c.v) = 0
+      |           OR LIST_DOT_PRODUCT(qv, qv) = 0
+      |         THEN CAST('-infinity' AS DOUBLE)
+      |         ELSE LIST_COSINE_SIMILARITY(c.v, qv) END AS sim FROM q, c),
       |nn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
       |    ORDER BY sim DESC, vec_id) AS r FROM sc),
       |votes AS (SELECT qid, qlabel, label, CAST(COUNT(*) AS BIGINT) AS c
@@ -1111,9 +1114,13 @@ object Similarity {
         col("label").as("qlabel"), Vectors.norm(col("v")).as("qnorm"))
     val corp = e.filter(col("vec_id") % 50 =!= 0)
     val denom = Vectors.norm(col("v")) * col("qnorm")
+    // zero-norm vectors rank LAST deterministically: −∞, not NaN — a
+    // NaN score is never ordered by graft_topk's plain comparisons and
+    // would make the buffer insertion-order dependent (r7 ADVICE); the
+    // oracle's CASE mirrors the same sentinel
     val top = corp.join(broadcast(q))
       .select(col("qid"), col("qlabel"), col("vec_id"),
-        when(denom === 0.0, lit(Double.NaN))
+        when(denom === 0.0, lit(Double.NegativeInfinity))
           .otherwise(Vectors.dot(col("v"), col("qv")) / denom).as("sim"))
       .groupBy(col("qid"), col("qlabel"))
       .agg(expr("graft_topk(sim, vec_id, 5)").as("top"))

@@ -225,11 +225,14 @@ class EdgeCaseSpec extends SparkSpec {
       Seq((100L, 101L), (101L, 100L), (100L, 102L), (100L, 103L), (100L, 104L)) ++
       Seq((200L, 201L), (200L, 200L))
     val df = edges.toDF("x", "y")
-    val E = 34L
-    // cap = E → the driver union-find takes it; cap = E−1 → one edge
-    // over the gate, the distributed star-contraction path runs (the
-    // 30-chain outlasts the PhaseRounds neighbor-min cap, so the slow
-    // path is genuinely exercised at the boundary)
+    // the gate probes RAW pair rows (limit(cap+1) — one truncated job,
+    // no dedup shuffle): 29 chain + 5 star (incl. the duplicate
+    // orientation) + 2 = 36 raw rows here, vs 34 canonical edges
+    val E = 36L
+    // cap = E → the driver union-find takes it; cap = E−1 → one raw
+    // pair over the gate, the distributed star-contraction path runs
+    // (the 30-chain outlasts the PhaseRounds neighbor-min cap, so the
+    // slow path is genuinely exercised at the boundary)
     val atCap = operators.Components.minLabel(df, driverCap = E).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val overCap = operators.Components.minLabel(df, driverCap = E - 1).collect()
@@ -238,6 +241,73 @@ class EdgeCaseSpec extends SparkSpec {
       s"boundary paths diverge: ${atCap.toSeq.diff(overCap.toSeq)}")
     assert(atCap(30L) == 1L && atCap(104L) == 100L && atCap(201L) == 200L)
     assert(atCap.size == 37) // 30 + 5 + 2 distinct endpoints
+  }
+
+  test("graft_topk orders NaN as greatest and −∞ as least, deterministically") {
+    functions.TopKAggregate.register(spark)
+    import spark.implicits._
+    // NaN entries must be orderable (NaN ranks GREATEST, the shared
+    // Spark/DuckDB sort semantics) — with plain > / == a NaN trapped in
+    // an unfilled buffer was never evictable and results depended on
+    // insertion order (r7 ADVICE on s18)
+    val rows = Seq(
+      (Double.NaN, 1L), (1.0, 2L), (2.0, 3L),
+      (Double.NegativeInfinity, 4L), (Double.NaN, 5L), (0.5, 6L))
+    // both insertion orders give the identical buffer
+    for (perm <- Seq(rows, rows.reverse)) {
+      val got = perm.toDF("s", "k").repartition(1)
+        .selectExpr("graft_topk(s, k, 3) AS t")
+        .selectExpr("transform(t, e -> e.key) AS ks").collect()(0)
+        .getSeq[Long](0)
+      assert(got == Seq(1L, 5L, 3L), s"$perm -> $got")
+    }
+    // −∞ is orderable too: kept only while the buffer has room
+    val tail = Seq((1.0, 10L), (Double.NegativeInfinity, 11L), (2.0, 12L))
+      .toDF("s", "k").repartition(1)
+      .selectExpr("graft_topk(s, k, 2) AS t")
+      .selectExpr("transform(t, e -> e.key) AS ks").collect()(0).getSeq[Long](0)
+    assert(tail == Seq(12L, 10L), tail.toString)
+  }
+
+  test("s18 zero-norm embeddings rank last, never poison the top-k") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s18z").toString
+    // query vec_id 0 (vec_id % 50 == 0); corpus: one zero-norm vector
+    // (cosine denominator 0 → −∞ sentinel, NOT NaN) + 6 real ones, so
+    // k=5 must select exactly the real vectors nearest the query
+    def v(xs: Double*) = xs.toArray
+    val rows = Seq(
+      (0L, v(1, 0, 0, 0), 1),
+      (1L, v(0, 0, 0, 0), 9), // zero-norm: must come LAST, never top-5
+      (2L, v(1, 0.1, 0, 0), 1), (3L, v(1, 0.2, 0, 0), 1),
+      (4L, v(1, 0.3, 0, 0), 2), (5L, v(1, 0.4, 0, 0), 2),
+      (6L, v(1, 0.5, 0, 0), 2), (7L, v(-1, 0, 0, 0), 3))
+    rows.map { case (id, a, l) => (id, a.map(_.toFloat), l) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = operators.Similarity.s18.fn(spark, dir).collect()
+    assert(got.length == 1, got.mkString(";"))
+    // top-5 of {2,3,4,5,6,7} by cosine: 2,3,4,5,6 → labels 1,1,2,2,2
+    // → majority label 2 (the zero-norm row 1, label 9, is excluded)
+    assert(got(0).getAs[Int]("pred_label") == 2 &&
+      got(0).getAs[Long]("votes") == 3L, got(0).toString)
+  }
+
+  test("d17 empty tokens produce no deletion variants (oracle RANGE parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d17e").toString
+    // the double space splits into an EMPTY token; Spark's
+    // sequence(0, -1) would auto-step descending and emit junk
+    // variants with negative substring indices where the oracle's
+    // RANGE(0) is empty — the guard must drop them structurally
+    Seq((0L, "cat  cab bat", "en", "s0", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Dedup.d17.fn(spark, dir).collect()
+    val pairs = got.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pairs.exists(p => p._1.isEmpty || p._2.isEmpty), pairs.toString)
+    assert(pairs.contains(("cab", "cat")), pairs.toString)
+    got.foreach(r => assert(r.getAs[Int]("dist") <= 2, r.toString))
   }
 
   test("i57 single-day stations drop cleanly; i58/i59 need full windows") {
