@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-regression bench: run the FULL suite at sf0.1 and at the
+  * uniform ×10 corpus ([[Sf1Data]]'s sf1-equivalent), and flag every
+  * query whose wall-clock grew super-linearly — the per-round artifact
+  * the r7 verdict asked for in place of SURVEY §7's ad-hoc per-operator
+  * ×10 ratios.
+  *
+  * Gate: a query is FLAGGED when its sf1 time exceeds 2× uniform
+  * scaling (ratio > 20 on 10× data) AND an absolute floor (2 s) that
+  * keeps constant scheduling overhead on sub-second queries from
+  * reading as super-linearity. A flag means a shuffle, pair-space, or
+  * driver-side structure is growing faster than the data — exactly the
+  * class of bug that is invisible at one scale factor.
+  *
+  * Output: `BENCH_sf1_r08.json` in the repo root —
+  * `{"sf01_total":…,"sf1_total":…,"flagged":[…],"queries":{name:
+  * [sf01_sec, sf1_sec, ratio]}}` — which ScaleSpec reads to assert the
+  * flagged set is empty (the artifact, not the run, is the test
+  * input: the full double-suite run is a dev-tool cycle, not a
+  * per-test cost).
+  *
+  * Usage: runMain graft.BenchScale [sf1Dir] — builds target/sf1 via
+  * Sf1Data first if the directory is missing.
+  */
+object BenchScale {
+
+  val ArtifactPath = "BENCH_sf1_r08.json"
+
+  /** ratio beyond which growth on ×10 data counts as super-linear
+    * (2× the uniform 10× scaling). */
+  val RatioGate = 20.0
+
+  /** absolute sf1 floor: queries faster than this at sf1 are never
+    * flagged (constant per-job overhead dominates their ratio). */
+  val FloorSec = 2.0
+
+  def main(args: Array[String]): Unit = {
+    val sf1Dir = args.headOption.getOrElse("target/sf1")
+    if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
+      println(s"[bench-scale] $sf1Dir missing — building via Sf1Data")
+      Sf1Data.main(Array("/root/testdata/sf0.1", sf1Dir))
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timeAll(sfDir: String): Map[String, Double] = {
+      val t = Tables(spark, sfDir)
+      Tables.names.foreach(n => t.table(n).count())
+      SparkEntry.defs.sortBy(_.name).map { d =>
+        val t0 = System.nanoTime()
+        try { d.fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-scale] ${d.name} @ $sfDir: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        d.name -> sec
+      }.toMap
+    }
+
+    val t01 = timeAll("/root/testdata/sf0.1")
+    val t1 = timeAll(sf1Dir)
+    val rows = t01.keys.toSeq.sorted.map { name =>
+      val a = t01(name); val b = t1.getOrElse(name, Double.NaN)
+      (name, a, b, if (a > 0) b / a else Double.NaN)
+    }
+    val flagged = rows.collect {
+      case (name, _, b, r) if r > RatioGate && b > FloorSec => name
+    }
+    val qs = rows.map { case (name, a, b, r) =>
+      "\"" + name + f"""\":[$a%.2f,$b%.2f,$r%.1f]""" }.mkString("{", ",", "}")
+    val json =
+      f"""{"sf01_total":${t01.values.sum}%.1f,"sf1_total":${t1.values.sum}%.1f,""" +
+      flagged.map("\"" + _ + "\"").mkString("\"flagged\":[", ",", "],") +
+      s""""ratio_gate":$RatioGate,"floor_sec":$FloorSec,"queries":$qs}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ArtifactPath), json.getBytes("UTF-8"))
+    println(s"[bench-scale] wrote $ArtifactPath; flagged=${flagged.size} " +
+      flagged.mkString("[", ",", "]"))
+    spark.stop()
+  }
+}

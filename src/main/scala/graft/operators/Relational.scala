@@ -240,15 +240,70 @@ object Relational {
         countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
+  /** Oracle for q10b DOWNSTREAM of the estimate fixture — the HLL++
+    * register state is engine-specific (DuckDB cannot read a Spark
+    * sketch), so the fixture pins the ESTIMATES and the oracle
+    * recomputes the EXACT side and the error gate cross-engine
+    * ([[graft.Fixtures]] contract; Verify runs queries before dumping
+    * oracle_sql.json, which is what makes the dynamic path safe). */
+  @volatile private[graft] var q10bFixturePath: String =
+    graft.Fixtures.Root + "/unset/q10_approx"
+
+  private def q10bOracleSql(path: String): String =
+    s"""WITH f AS (SELECT * FROM read_parquet('$path/*.parquet')),
+       |ex AS (
+       |  SELECT 'orders' AS metric,
+       |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact FROM lineitem
+       |  UNION ALL SELECT 'parts',
+       |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+       |  UNION ALL SELECT 'supps',
+       |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM lineitem)
+       |SELECT f.metric AS metric, f.approx AS approx, ex.n_exact AS n_exact,
+       |  ABS(f.approx - ex.n_exact) * 100 <= 5 * ex.n_exact AS within_5pct
+       |FROM f JOIN ex USING (metric) ORDER BY metric""".stripMargin
+
   /** q10b: HLL sketch distinct — the 100 TB path where exact distinct
     * would shuffle every key; the sketch is mergeable and fixed-size.
-    * Rows-only (sketch estimates are engine-specific). */
-  val q10b = QueryDef.rowsOnly("q10_approx_distinct") { (spark, dir) =>
-    Tables(spark, dir).lineitem
+    * PARTIAL-oracled since r8 via the estimate fixture (the d02
+    * pattern): the estimates are written as a parquet fixture both
+    * engines read back, DuckDB recomputes the exact counts and the
+    * ±5% gate independently, and only the HLL++ register math itself
+    * stays Spark-defined (q10 is the fully-exact twin). */
+  def q10b: QueryDef = QueryDef(
+    "q10_approx_distinct",
+    q10bOracleSql(q10bFixturePath)) { (spark, dir) =>
+    val li = Tables(spark, dir).lineitem
+    // TWO separate scans on purpose: folding the exact side into the
+    // sketch agg was measured 2x SLOWER (9.6 s vs 4.3 s at sf0.1) —
+    // multi-column countDistinct plans as a 4-branch Expand, and the
+    // per-row sketch updates then ride the 4x-multiplied row stream.
+    // rsd 0.02 (stderr 2%) sits 2.5 sigma inside the oracle's ±5%
+    // gate and is measured 5x cheaper per row than rsd 0.01 (1.0 s vs
+    // 5.8 s for the 3-column agg — the HLL++ register array crosses a
+    // size cliff below rsd ~0.015).
+    val approx = li
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("supps"))
+      .select(explode(map(
+        lit("orders"), col("orders"), lit("parts"), col("parts"),
+        lit("supps"), col("supps"))).as(Seq("metric", "approx")))
+    q10bFixturePath = graft.Fixtures.write(approx, dir, "q10_approx")
+    val exact = li
+      .agg(
+        countDistinct(col("l_orderkey")).as("orders"),
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_suppkey")).as("supps"))
+      .select(explode(map(
+        lit("orders"), col("orders"), lit("parts"), col("parts"),
+        lit("supps"), col("supps"))).as(Seq("metric", "n_exact")))
+    spark.read.parquet(q10bFixturePath)
+      .join(exact, "metric")
+      .select(col("metric"), col("approx"), col("n_exact"),
+        (abs(col("approx") - col("n_exact")) * 100 <= col("n_exact") * 5)
+          .as("within_5pct"))
+      .orderBy(col("metric"))
   }
 
   /** q11: the same engine surface via SQL text over registered views —
@@ -413,32 +468,65 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  /** Oracle for q20 DOWNSTREAM of the estimate fixture — the
+    * DataSketches HLL binary is engine-specific (DuckDB cannot union
+    * Spark sketches), so the fixture pins the per-month AND merged
+    * estimates and the oracle recomputes the exact twins and the ±5%
+    * gate cross-engine ([[graft.Fixtures]] contract). */
+  @volatile private[graft] var q20FixturePath: String =
+    graft.Fixtures.Root + "/unset/q20_est"
+
+  private def q20OracleSql(path: String): String =
+    s"""WITH f AS (SELECT * FROM read_parquet('$path/*.parquet')),
+       |ex AS (SELECT CAST(MONTH(o_orderdate) AS INTEGER) AS mon,
+       |         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+       |       FROM orders GROUP BY 1
+       |       UNION ALL
+       |       SELECT 0, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+       |SELECT f.mon AS mon, f.est AS est, ex.n_exact AS n_exact,
+       |  ABS(f.est - ex.n_exact) * 100 <= 5 * ex.n_exact AS within_5pct
+       |FROM f JOIN ex USING (mon) ORDER BY mon""".stripMargin
+
   /** q20: MERGEABLE sketch state — the capability that makes
     * incremental 100 TB distinct-counting possible: build an HLL
     * (DataSketches) sketch per month partition, then RE-AGGREGATE the
     * stored sketches to the yearly total WITHOUT rescanning the data —
     * exactly how an incremental ingest (the reference's per-slice
     * cycle) maintains global distincts: union the new slice's sketch
-    * into the running one. Rows-only (sketch estimates are
-    * engine-specific); every row carries its exact twin, and a spec
-    * bounds the relative error. mon=0 is the merged-total row. */
-  val q20 = QueryDef.rowsOnly("q20_sketch_merge") { (spark, dir) =>
+    * into the running one. PARTIAL-oracled since r8 via the estimate
+    * fixture (the d02 pattern): per-month and merged estimates are
+    * written as a parquet fixture both engines read back, DuckDB
+    * recomputes every exact twin and the ±5% gate independently, and
+    * only the sketch register math stays Spark-defined (a spec also
+    * bounds the relative error). mon=0 is the merged-total row. */
+  def q20: QueryDef = QueryDef(
+    "q20_sketch_merge",
+    q20OracleSql(q20FixturePath)) { (spark, dir) =>
     val orders = Tables(spark, dir).orders
     val monthly = orders
       .groupBy(month(col("o_orderdate")).as("mon"))
       .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
-        countDistinct(col("o_custkey")).as("exact"))
+        countDistinct(col("o_custkey")).as("n_exact"))
       .persist()
     // eager: the union below references the cache from two branches —
     // lazily-filled caches race and double-compute the sketch scan
     monthly.count()
     val perMonth = monthly.select(col("mon"),
-      hll_sketch_estimate(col("sk")).as("est"), col("exact"))
+      hll_sketch_estimate(col("sk")).as("est"))
     val total = monthly
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      .crossJoin(orders.agg(countDistinct(col("o_custkey")).as("exact")))
-      .select(lit(0).as("mon"), col("est"), col("exact"))
-    perMonth.unionByName(total).orderBy(col("mon"))
+      .select(lit(0).as("mon"), col("est"))
+    q20FixturePath =
+      graft.Fixtures.write(perMonth.unionByName(total), dir, "q20_est")
+    val exact = monthly.select(col("mon"), col("n_exact"))
+      .unionByName(orders.agg(countDistinct(col("o_custkey")).as("n_exact"))
+        .select(lit(0).as("mon"), col("n_exact")))
+    spark.read.parquet(q20FixturePath)
+      .join(exact, "mon")
+      .select(col("mon"), col("est"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) * 100 <= col("n_exact") * 5)
+          .as("within_5pct"))
+      .orderBy(col("mon"))
   }
 
   /** q21: deterministic hash-based stratified sampling — each stratum

