@@ -1,0 +1,342 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal clean-room GeoTIFF codec — the binary-raster decode rung
+  * the r7 verdict listed as the engine's one remaining format gap
+  * (the reference decodes GRIB/NetCDF/GeoTIFF through GDAL,
+  * `ingest/modis/convertmodis.py`, and PUBLISHES per-date COG files
+  * `{namespace}_{ISO_DATE}.tif`). Implemented from the public TIFF 6.0
+  * specification (Adobe, 1992) + the public GeoTIFF 1.1 tag registry —
+  * no GDAL, no external dependency:
+  *
+  *   - READ: classic TIFF (II/MM byte order), first IFD, SINGLE-band
+  *     grayscale, strip OR tile layout, compression none (1) or
+  *     deflate (8, via java.util.zip.Inflater), sample types uint8 /
+  *     int16 / uint16 / int32 / float32 / float64; georeferencing from
+  *     ModelPixelScale (33550) + ModelTiepoint (33922); nodata from
+  *     the GDAL_NODATA ASCII tag (42113);
+  *   - WRITE: single-band float32 or int16, uncompressed or deflate,
+  *     strip layout, with the same geo tags — enough to round-trip the
+  *     engine's grid products into the reference's publish format.
+  *
+  * Scale shape: decode is DATA-PLANE work — [[readRaster]] runs it
+  * inside mapPartitions over Spark's `binaryFile` source (one task per
+  * file, the multimodal-payload discipline of m01–m11), so a
+  * 100 TB raster archive decodes with cluster parallelism and the
+  * driver never touches pixel bytes. One row per valid pixel
+  * (nodata → dropped or kept null by flag), georeferenced to
+  * (lon, lat) at the pixel CENTER (the gdal convention for area
+  * rasters: tiepoint maps the OUTER corner of pixel (0,0)). */
+object GeoTiff {
+
+  final case class Raster(
+      width: Int, height: Int,
+      scaleX: Double, scaleY: Double,
+      tieX: Double, tieY: Double,
+      nodata: Option[Double],
+      values: Array[Double]) {
+    def value(x: Int, y: Int): Double = values(y * width + x)
+    /** Longitude of the pixel CENTER. */
+    def lonOf(x: Int): Double = tieX + (x + 0.5) * scaleX
+    /** Latitude of the pixel CENTER (scaleY positive ⇒ north-up rows
+      * descend in latitude — the GeoTIFF convention). */
+    def latOf(y: Int): Double = tieY - (y + 0.5) * scaleY
+  }
+
+  // TIFF 6.0 tag ids (public spec)
+  private val TImageWidth = 256
+  private val TImageLength = 257
+  private val TBitsPerSample = 258
+  private val TCompression = 259
+  private val TStripOffsets = 273
+  private val TRowsPerStrip = 278
+  private val TStripByteCounts = 279
+  private val TTileWidth = 322
+  private val TTileLength = 323
+  private val TTileOffsets = 324
+  private val TTileByteCounts = 325
+  private val TSampleFormat = 339
+  private val TModelPixelScale = 33550
+  private val TModelTiepoint = 33922
+  private val TGdalNodata = 42113
+
+  private final case class Entry(tag: Int, typ: Int, count: Long, valueOff: Long)
+
+  private def typeSize(t: Int): Int = t match {
+    case 1 | 2 | 6 | 7 => 1 // BYTE, ASCII, SBYTE, UNDEFINED
+    case 3 | 8 => 2         // SHORT, SSHORT
+    case 4 | 9 | 11 => 4    // LONG, SLONG, FLOAT
+    case 5 | 10 | 12 => 8   // RATIONAL, SRATIONAL, DOUBLE
+    case _ => 1
+  }
+
+  /** Decode a single-band GeoTIFF byte array into a [[Raster]]. */
+  def decode(bytes: Array[Byte]): Raster = {
+    val head = ByteBuffer.wrap(bytes)
+    val order = (bytes(0), bytes(1)) match {
+      case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
+      case ('M', 'M') => ByteOrder.BIG_ENDIAN
+      case _ => throw new IllegalArgumentException("not a TIFF: bad byte-order mark")
+    }
+    head.order(order)
+    require(head.getShort(2) == 42, "not a classic TIFF (magic != 42)")
+    val ifdOff = head.getInt(4).toLong & 0xffffffffL
+
+    val nEntries = head.getShort(ifdOff.toInt) & 0xffff
+    val entries = (0 until nEntries).map { i =>
+      val off = ifdOff.toInt + 2 + i * 12
+      Entry(head.getShort(off) & 0xffff, head.getShort(off + 2) & 0xffff,
+        head.getInt(off + 4).toLong & 0xffffffffL,
+        head.getInt(off + 8).toLong & 0xffffffffL)
+    }.map(e => e.tag -> e).toMap
+
+    /** Byte offset of an entry's VALUE: inline in the 4-byte slot when
+      * it fits, else at the pointed offset (TIFF 6.0 §2). */
+    def valueOffset(e: Entry): Long =
+      if (typeSize(e.typ) * e.count <= 4) {
+        val idx = (0 until nEntries).find { i =>
+          (head.getShort(ifdOff.toInt + 2 + i * 12) & 0xffff) == e.tag
+        }.get
+        ifdOff + 2 + idx * 12 + 8
+      } else e.valueOff
+
+    /** All numeric values of a tag. */
+    def longs(e: Entry): Array[Long] = {
+      val sz = typeSize(e.typ)
+      val slotOff = valueOffset(e)
+      Array.tabulate(e.count.toInt) { i =>
+        val o = (slotOff + i.toLong * sz).toInt
+        sz match {
+          case 1 => bytes(o).toLong & 0xffL
+          case 2 => head.getShort(o).toLong & 0xffffL
+          case 4 => head.getInt(o).toLong & 0xffffffffL
+          case 8 => head.getLong(o) // only used via doubles()
+        }
+      }
+    }
+    def doubles(e: Entry): Array[Double] = {
+      require(e.typ == 12, s"tag ${e.tag}: expected DOUBLE type, got ${e.typ}")
+      Array.tabulate(e.count.toInt)(i => head.getDouble((e.valueOff + i * 8L).toInt))
+    }
+    def ascii(e: Entry): String =
+      new String(bytes, valueOffset(e).toInt, e.count.toInt, "US-ASCII")
+        .takeWhile(_ != '\u0000').trim
+    def tagLongs(tag: Int): Option[Array[Long]] = entries.get(tag).map(longs)
+    def tagLong(tag: Int): Option[Long] = tagLongs(tag).map(_.head)
+
+    val width = tagLong(TImageWidth).getOrElse(
+      throw new IllegalArgumentException("missing ImageWidth")).toInt
+    val height = tagLong(TImageLength).getOrElse(
+      throw new IllegalArgumentException("missing ImageLength")).toInt
+    val bits = tagLong(TBitsPerSample).getOrElse(8L).toInt
+    val compression = tagLong(TCompression).getOrElse(1L).toInt
+    // SampleFormat: 1 unsigned, 2 signed, 3 IEEE float (TIFF 6.0 §19)
+    val sfmt = tagLong(TSampleFormat).getOrElse(1L).toInt
+    require(compression == 1 || compression == 8,
+      s"unsupported compression $compression (supported: none, deflate)")
+
+    def inflate(chunk: Array[Byte], expected: Int): Array[Byte] =
+      if (compression == 1) chunk
+      else {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(chunk)
+        val out = new Array[Byte](expected)
+        var done = 0
+        while (done < expected && !inf.finished()) done += inf.inflate(out, done, expected - done)
+        inf.end()
+        out
+      }
+
+    val bytesPerSample = bits / 8
+    val values = new Array[Double](width * height)
+
+    def readSamples(data: Array[Byte], n: Int, put: (Int, Double) => Unit): Unit = {
+      val b = ByteBuffer.wrap(data).order(order)
+      var i = 0
+      while (i < n) {
+        val v = (bits, sfmt) match {
+          case (8, 1) => (b.get(i) & 0xff).toDouble
+          case (16, 1) => (b.getShort(i * 2) & 0xffff).toDouble
+          case (16, 2) => b.getShort(i * 2).toDouble
+          case (32, 1) => (b.getInt(i * 4).toLong & 0xffffffffL).toDouble
+          case (32, 2) => b.getInt(i * 4).toDouble
+          case (32, 3) => b.getFloat(i * 4).toDouble
+          case (64, 3) => b.getDouble(i * 8)
+          case other => throw new IllegalArgumentException(
+            s"unsupported sample layout (bits, format) = $other")
+        }
+        put(i, v)
+        i += 1
+      }
+    }
+
+    (tagLongs(TTileOffsets), tagLongs(TStripOffsets)) match {
+      case (Some(tileOffs), _) =>
+        val tw = tagLong(TTileWidth).get.toInt
+        val th = tagLong(TTileLength).get.toInt
+        val counts = tagLongs(TTileByteCounts).get
+        val tilesAcross = (width + tw - 1) / tw
+        tileOffs.indices.foreach { t =>
+          val chunk = java.util.Arrays.copyOfRange(bytes,
+            tileOffs(t).toInt, (tileOffs(t) + counts(t)).toInt)
+          val data = inflate(chunk, tw * th * bytesPerSample)
+          val tx = (t % tilesAcross) * tw
+          val ty = (t / tilesAcross) * th
+          readSamples(data, tw * th, (i, v) => {
+            val x = tx + i % tw; val y = ty + i / tw
+            if (x < width && y < height) values(y * width + x) = v
+          })
+        }
+      case (None, Some(stripOffs)) =>
+        val rps = tagLong(TRowsPerStrip).getOrElse(height.toLong).toInt
+        val counts = tagLongs(TStripByteCounts).get
+        stripOffs.indices.foreach { s =>
+          val rows = math.min(rps, height - s * rps)
+          val chunk = java.util.Arrays.copyOfRange(bytes,
+            stripOffs(s).toInt, (stripOffs(s) + counts(s)).toInt)
+          val data = inflate(chunk, width * rows * bytesPerSample)
+          val y0 = s * rps
+          readSamples(data, width * rows,
+            (i, v) => values((y0 + i / width) * width + i % width) = v)
+        }
+      case _ => throw new IllegalArgumentException("no strip or tile offsets")
+    }
+
+    val (sx, sy) = entries.get(TModelPixelScale).map(doubles) match {
+      case Some(Array(x, y, _*)) => (x, y)
+      case _ => (1.0, 1.0)
+    }
+    val (tx, ty) = entries.get(TModelTiepoint).map(doubles) match {
+      // tiepoint: (i, j, k, X, Y, Z) — raster (i,j) pinned to model (X,Y)
+      case Some(a) if a.length >= 6 => (a(3) - a(0) * sx, a(4) + a(1) * sy)
+      case _ => (0.0, 0.0)
+    }
+    val nodata = entries.get(TGdalNodata).map(ascii).flatMap(_.toDoubleOption)
+    Raster(width, height, sx, sy, tx, ty, nodata, values)
+  }
+
+  /** Encode a single-band raster as a classic little-endian TIFF:
+    * float32 (`sampleFormat = 3`) or int16 (`2`), one strip, optional
+    * deflate. Geo tags written when scale/tiepoint provided. */
+  def encode(r: Raster, float32: Boolean = true, deflate: Boolean = false): Array[Byte] = {
+    val n = r.width * r.height
+    val bytesPerSample = if (float32) 4 else 2
+    val raw = ByteBuffer.allocate(n * bytesPerSample).order(ByteOrder.LITTLE_ENDIAN)
+    r.values.foreach { v =>
+      if (float32) raw.putFloat(v.toFloat) else raw.putShort(v.toShort)
+    }
+    val pixelData =
+      if (!deflate) raw.array()
+      else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw.array()); d.finish()
+        val buf = new Array[Byte](n * bytesPerSample + 64)
+        val len = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, len)
+      }
+    val nodataAscii = r.nodata.map(v =>
+      (if (v == v.toLong) v.toLong.toString else v.toString) + "\u0000")
+    // layout: header(8) | IFD | geo doubles | nodata ascii | pixels
+    val tags = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+    val nTags = 10 + (if (nodataAscii.isDefined) 1 else 0)
+    val ifdOff = 8
+    val ifdSize = 2 + nTags * 12 + 4
+    val scaleOff = ifdOff + ifdSize
+    val tieOff = scaleOff + 3 * 8
+    val nodataOff = tieOff + 6 * 8
+    val pixOff = nodataOff + nodataAscii.map(_.length).getOrElse(0)
+    tags += ((TImageWidth, 3, 1L, r.width.toLong))
+    tags += ((TImageLength, 3, 1L, r.height.toLong))
+    tags += ((TBitsPerSample, 3, 1L, (bytesPerSample * 8).toLong))
+    tags += ((TCompression, 3, 1L, if (deflate) 8L else 1L))
+    tags += ((TStripOffsets, 4, 1L, pixOff.toLong))
+    tags += ((TRowsPerStrip, 3, 1L, r.height.toLong))
+    tags += ((TStripByteCounts, 4, 1L, pixelData.length.toLong))
+    tags += ((TSampleFormat, 3, 1L, if (float32) 3L else 2L))
+    tags += ((TModelPixelScale, 12, 3L, scaleOff.toLong))
+    tags += ((TModelTiepoint, 12, 6L, tieOff.toLong))
+    nodataAscii.foreach(s => tags += ((TGdalNodata, 2, s.length.toLong, nodataOff.toLong)))
+
+    val out = ByteBuffer.allocate(pixOff + pixelData.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    out.putShort(tags.size.toShort)
+    tags.sortBy(_._1).foreach { case (tag, typ, count, value) =>
+      out.putShort(tag.toShort).putShort(typ.toShort)
+        .putInt(count.toInt).putInt(value.toInt)
+    }
+    out.putInt(0) // no next IFD
+    out.putDouble(r.scaleX).putDouble(r.scaleY).putDouble(0.0)
+    // tiepoint pins raster (0,0) to the model-space OUTER corner
+    out.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+      .putDouble(r.tieX).putDouble(r.tieY).putDouble(0.0)
+    nodataAscii.foreach(s => out.put(s.getBytes("US-ASCII")))
+    out.put(pixelData)
+    out.array()
+  }
+
+  /** Distributed raster→rows decode: every file matching `path`
+    * (Spark binaryFile glob) decodes INSIDE its task and emits one row
+    * per pixel — `(path, x, y, lon, lat, value)`, nodata pixels
+    * dropped (`keepNodata = true` keeps them with value NULL). The
+    * driver never sees pixel bytes; a raster archive decodes with full
+    * cluster parallelism and downstream grid operators (i27 coarsen,
+    * i28 focal, i30 zonal, i11 contours) consume the rows directly. */
+  def readRaster(spark: SparkSession, path: String,
+      keepNodata: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    files.mapPartitions { it =>
+      it.flatMap { case (p, bytes) =>
+        val r = decode(bytes)
+        for {
+          y <- Iterator.range(0, r.height)
+          x <- Iterator.range(0, r.width)
+          v = r.value(x, y)
+          isNd = r.nodata.contains(v)
+          if keepNodata || !isNd
+        } yield (p, x, y, r.lonOf(x), r.latOf(y),
+          if (isNd) None else Some(v))
+      }
+    }.toDF("path", "x", "y", "lon", "lat", "value")
+  }
+
+  /** Publish one grid DataFrame (x, y, value columns over a dense
+    * `width`×`height` raster) as the reference's per-date tif layout
+    * `{outDir}/{namespace}/{namespace}_{dateKey}.tif`. Missing cells
+    * become `nodata`. Grid-sized driver collect — this writes the
+    * PRODUCT raster (bounded by grid resolution), not data-plane
+    * volume (the i39/i27 stance). */
+  def publishTif(grid: DataFrame, xCol: String, yCol: String, vCol: String,
+      width: Int, height: Int, outDir: String, namespace: String,
+      dateKey: String, scaleX: Double = 1.0, scaleY: Double = 1.0,
+      tieX: Double = 0.0, tieY: Double = 0.0,
+      nodata: Double = -9999.0): java.nio.file.Path = {
+    val values = Array.fill(width * height)(nodata)
+    grid.select(col(xCol).cast("int"), col(yCol).cast("int"),
+        col(vCol).cast("double"))
+      .collect().foreach { row =>
+        if (!row.isNullAt(2)) {
+          val (x, y) = (row.getInt(0), row.getInt(1))
+          if (x >= 0 && x < width && y >= 0 && y < height)
+            values(y * width + x) = row.getDouble(2)
+        }
+      }
+    val bytes = encode(Raster(width, height, scaleX, scaleY, tieX, tieY,
+      Some(nodata), values))
+    val dir = java.nio.file.Paths.get(outDir, namespace)
+    java.nio.file.Files.createDirectories(dir)
+    val dest = dir.resolve(s"${namespace}_$dateKey.tif")
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp, bytes)
+    java.nio.file.Files.move(tmp, dest,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest
+  }
+}

@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.time.Duration
+
+/** Thin HTTP acquisition client — the "bytes landed" boundary the rest
+  * of the engine starts from, closing the reference's remote-download
+  * path (`ingest/utils.py:121` download_file_temp / `:130`
+  * download_to_file: streamed GET to a temp file, then moved into
+  * place; `ecmwf_opendata/client.py:25` latest(): HEAD-probe candidate
+  * URLs NEWEST-FIRST until one answers 200, with bounded retries).
+  * Re-expressed on java.net.http — no library dependency, and the
+  * landing contract matches what [[Jobs]]/[[Publish]] already assume:
+  *
+  *   - downloads stream to a `.tmp-*` sibling and are MOVED into place
+  *     (atomic on the same filesystem), so a reader — including a
+  *     Spark file source listing the landing dir — can never observe a
+  *     partial file;
+  *   - [[fetchIfChanged]] is the HTTP-level watermark: it replays the
+  *     stored ETag / Last-Modified validators as If-None-Match /
+  *     If-Modified-Since and treats 304 as the reference's
+  *     "No update required. Skipping" — no bytes move, the caller's
+  *     ingest cycle skips idempotently;
+  *   - transient failures (connect/read errors, 5xx, 429) retry with
+  *     linear backoff up to `maxRetries` (the reference's `robust()`
+  *     wrapper); 4xx other than 404/429 fail immediately — retrying a
+  *     permanent rejection just hides a config error.
+  *
+  * Scale shape: acquisition is DRIVER-side by design — the reference
+  * ingests one bounded slice per cycle (a forecast run, a dekad), not
+  * data-plane volume. Corpus-scale transfer belongs to the cluster's
+  * distributed copy, not this shim. */
+final class HttpFetcher(
+    timeoutMs: Long = 30000L,
+    maxRetries: Int = 3,
+    retryBackoffMs: Long = 200L) {
+
+  private val client = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .connectTimeout(Duration.ofMillis(timeoutMs)).build()
+
+  private def req(url: String) = HttpRequest.newBuilder(URI.create(url))
+    .timeout(Duration.ofMillis(timeoutMs))
+
+  /** Retry transient failures (IO, 5xx, 429) with linear backoff;
+    * return the first conclusive response. */
+  private def robust[T](send: () => HttpResponse[T]): HttpResponse[T] = {
+    var attempt = 0
+    var last: Either[Throwable, HttpResponse[T]] = null
+    while (attempt <= maxRetries) {
+      if (attempt > 0) Thread.sleep(retryBackoffMs * attempt)
+      attempt += 1
+      last =
+        try {
+          val r = send()
+          val transient = r.statusCode() >= 500 || r.statusCode() == 429
+          if (!transient) return r
+          Right(r)
+        } catch { case e: java.io.IOException => Left(e) }
+    }
+    last match {
+      case Right(r) => r
+      case Left(e) => throw new java.io.IOException(
+        s"fetch failed after $maxRetries retries", e)
+    }
+  }
+
+  /** HEAD status of a URL (200 = slice available — the probe the
+    * reference's latest() walk issues per candidate). */
+  def head(url: String): Int =
+    robust(() => client.send(req(url).method("HEAD",
+      HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.discarding())).statusCode()
+
+  /** Walk candidate slices NEWEST-FIRST and return the first whose
+    * HEAD answers 200 — the reference's latest-date establishment
+    * (`client.py:25`): step back through candidate dates until the
+    * remote actually has the data. `candidates` must be ordered
+    * newest-first; None if nothing is available. */
+  def latestAvailable[K](candidates: Seq[(K, String)]): Option[K] =
+    candidates.collectFirst { case (k, url) if head(url) == 200 => k }
+
+  /** Streamed GET → `.tmp-*` sibling → atomic move. Throws on any
+    * non-2xx final status; the destination is either the complete new
+    * content or untouched. Returns the landed path. */
+  def fetch(url: String, dest: String): Path = {
+    val destPath = Paths.get(dest)
+    Option(destPath.getParent).foreach(Files.createDirectories(_))
+    val tmp = destPath.resolveSibling(
+      s".tmp-${java.util.UUID.randomUUID()}")
+    val resp = robust(() => client.send(req(url).GET().build(),
+      HttpResponse.BodyHandlers.ofFile(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)))
+    if (resp.statusCode() / 100 != 2) {
+      Files.deleteIfExists(tmp)
+      throw new java.io.IOException(
+        s"GET $url failed: HTTP ${resp.statusCode()}")
+    }
+    try Files.move(tmp, destPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, destPath, StandardCopyOption.REPLACE_EXISTING)
+    }
+    destPath
+  }
+
+  /** Conditional fetch — the HTTP-level incremental-watermark rung:
+    * stored validators (ETag, Last-Modified — kept in a sidecar file
+    * next to `dest`, the read_state/update_state shape of
+    * `ingest/utils.py:96`) are replayed as If-None-Match /
+    * If-Modified-Since; 304 returns None (nothing moved, cycle
+    * skips), 200 lands the new content atomically and stores the new
+    * validators. */
+  def fetchIfChanged(url: String, dest: String): Option[Path] = {
+    val destPath = Paths.get(dest)
+    val sidecar = destPath.resolveSibling(destPath.getFileName.toString + ".http-state")
+    val validators: Map[String, String] =
+      if (Files.exists(sidecar) && Files.exists(destPath))
+        Files.readAllLines(sidecar).toArray(Array.empty[String]).flatMap { l =>
+          l.split("\t", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+        }.toMap
+      else Map.empty
+    val b = req(url).GET()
+    validators.get("etag").foreach(b.header("If-None-Match", _))
+    validators.get("last-modified").foreach(b.header("If-Modified-Since", _))
+    Option(destPath.getParent).foreach(Files.createDirectories(_))
+    val tmp = destPath.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
+    val resp = robust(() => client.send(b.build(),
+      HttpResponse.BodyHandlers.ofFile(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)))
+    resp.statusCode() match {
+      case 304 =>
+        Files.deleteIfExists(tmp)
+        None
+      case ok if ok / 100 == 2 =>
+        try Files.move(tmp, destPath, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, destPath, StandardCopyOption.REPLACE_EXISTING)
+        }
+        val lines = Seq(
+          resp.headers().firstValue("ETag").map(v => s"etag\t$v"),
+          resp.headers().firstValue("Last-Modified").map(v => s"last-modified\t$v"))
+          .flatMap(o => if (o.isPresent) Some(o.get) else None)
+        Files.write(sidecar, lines.mkString("\n").getBytes("UTF-8"))
+        Some(destPath)
+      case bad =>
+        Files.deleteIfExists(tmp)
+        throw new java.io.IOException(s"GET $url failed: HTTP $bad")
+    }
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.sources.HttpFetcher
+
+/** The HTTP acquisition shim: atomic landing, conditional-GET
+  * watermark, retry policy, and the newest-first availability walk —
+  * all against a local in-process HTTP server (no network). */
+class HttpFetcherSpec extends SparkSpec {
+
+  private def withServer[T](
+      handler: com.sun.net.httpserver.HttpExchange => Unit)(body: String => T): T = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try handler(ex) finally ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("fetch lands bytes atomically: full content, no temp residue") {
+    val payload = Array.tabulate[Byte](100000)(i => (i % 251).toByte)
+    withServer { ex =>
+      ex.sendResponseHeaders(200, payload.length.toLong)
+      ex.getResponseBody.write(payload)
+    } { base =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_fetch").toString
+      val dest = s"$dir/slices/2024-06-01.bin"
+      val landed = new HttpFetcher().fetch(s"$base/f", dest)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(landed), payload))
+      val residue = new java.io.File(s"$dir/slices").listFiles()
+        .map(_.getName).filter(_.startsWith(".tmp-"))
+      assert(residue.isEmpty, residue.mkString(","))
+    }
+  }
+
+  test("fetchIfChanged is the HTTP watermark: 304 skips, new ETag re-lands") {
+    @volatile var etag = "\"v1\""
+    @volatile var content = "generation-1".getBytes("UTF-8")
+    val hits = new java.util.concurrent.atomic.AtomicInteger
+    withServer { ex =>
+      hits.incrementAndGet()
+      val sent = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+      if (sent.contains(etag)) ex.sendResponseHeaders(304, -1)
+      else {
+        ex.getResponseHeaders.set("ETag", etag)
+        ex.sendResponseHeaders(200, content.length.toLong)
+        ex.getResponseBody.write(content)
+      }
+    } { base =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_cond").toString
+      val dest = s"$dir/latest.bin"
+      val f = new HttpFetcher()
+      // first cycle: lands generation 1 and stores the validator
+      assert(f.fetchIfChanged(s"$base/f", dest).isDefined)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dest)), "UTF-8") == "generation-1")
+      // second cycle, nothing new: 304 — the reference's
+      // "No update required. Skipping"; file untouched
+      assert(f.fetchIfChanged(s"$base/f", dest).isEmpty)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dest)), "UTF-8") == "generation-1")
+      // remote publishes a new slice: validator mismatch → re-land
+      etag = "\"v2\""
+      content = "generation-2".getBytes("UTF-8")
+      assert(f.fetchIfChanged(s"$base/f", dest).isDefined)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dest)), "UTF-8") == "generation-2")
+      assert(hits.get() == 3)
+    }
+  }
+
+  test("transient 5xx retries then succeeds; 404 fails without retry churn") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    withServer { ex =>
+      val n = calls.incrementAndGet()
+      if (ex.getRequestURI.getPath.endsWith("flaky")) {
+        if (n <= 2) ex.sendResponseHeaders(500, -1)
+        else {
+          val ok = "finally".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, ok.length.toLong)
+          ex.getResponseBody.write(ok)
+        }
+      } else ex.sendResponseHeaders(404, -1)
+    } { base =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_retry").toString
+      val f = new HttpFetcher(maxRetries = 3, retryBackoffMs = 10L)
+      val landed = f.fetch(s"$base/flaky", s"$dir/a.bin")
+      assert(new String(java.nio.file.Files.readAllBytes(landed), "UTF-8") == "finally")
+      assert(calls.get() == 3) // two 500s + the success
+      // a permanent 404 fails loudly with exactly ONE request
+      calls.set(0)
+      intercept[java.io.IOException] { f.fetch(s"$base/missing", s"$dir/b.bin") }
+      assert(calls.get() == 1, s"404 must not retry, saw ${calls.get()}")
+    }
+  }
+
+  test("latestAvailable walks candidates newest-first to the first live slice") {
+    withServer { ex =>
+      val ok = ex.getRequestURI.getPath.contains("2024-06-02")
+      ex.sendResponseHeaders(if (ok) 200 else 404, -1)
+    } { base =>
+      val f = new HttpFetcher()
+      // newest (06-04, 06-03) not yet published; 06-02 is the latest live
+      val cands = Seq("2024-06-04", "2024-06-03", "2024-06-02", "2024-06-01")
+        .map(d => d -> s"$base/slices/$d.grib")
+      assert(f.latestAvailable(cands).contains("2024-06-02"))
+    }
+  }
+
+  test("fetched slices compose with Jobs: land → incremental ingest cycle") {
+    import spark.implicits._
+    import graft.sources.{JobConfig, Jobs, Notifier}
+    val root = java.nio.file.Files.createTempDirectory("graft_fetchjob").toString
+    // a "remote" serving one parquet slice; the job's source fn lands
+    // it via the fetcher then reads the landing dir — the acquisition
+    // boundary the reference's DataIngest subclasses implement
+    val slice = s"$root/remote_slice"
+    Seq((java.sql.Timestamp.valueOf("2024-05-01 06:00:00"), 1.0))
+      .toDF("ts", "v").coalesce(1).write.parquet(slice)
+    val part = new java.io.File(slice).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    withServer { ex =>
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    } { base =>
+      val landing = s"$root/landing"
+      val jobs = new Jobs(spark, s"$root/state", Notifier.Noop)
+        .register(JobConfig("dsF",
+          s => {
+            new HttpFetcher().fetch(s"$base/slice", s"$landing/s.parquet")
+            s.read.parquet(landing)
+          },
+          "ts", identity, s"$root/out", retentionDays = 30))
+      val r = jobs.runAll(1)
+      assert(r.head.publishedDates == Seq("2024-05-01"), r.toString)
+    }
+  }
+}
