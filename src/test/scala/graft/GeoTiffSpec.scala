@@ -130,6 +130,39 @@ class GeoTiffSpec extends SparkSpec {
     assert(withNd.count() == 4 && withNd.filter(col("value").isNull).count() == 1)
   }
 
+  test("TiffGridSource: DSv2 table over a tif directory, one partition per file, pruned reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tifdsv2").toString
+    val a = Raster(2, 2, 1, 1, 100, 50, Some(-9999.0), Array(1.0, -9999.0, 3.0, 4.0))
+    val b = Raster(2, 1, 1, 1, 0, 0, None, Array(7.0, 8.0))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.tif"), GeoTiff.encode(a))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.tif"), GeoTiff.encode(b))
+    val df = spark.read.format("graft.sources.TiffGridSource")
+      .option("path", dir).load()
+    // one InputPartition per file — the per-COG task fan-out
+    assert(df.rdd.getNumPartitions == 2, s"${df.rdd.getNumPartitions}")
+    val rows = df.collect().map(r => (r.getString(0).split('/').last,
+      r.getInt(1), r.getInt(2), r.getDouble(5))).toSet
+    assert(rows == Set(("a.tif", 0, 0, 1.0), ("a.tif", 0, 1, 3.0),
+      ("a.tif", 1, 1, 4.0), ("b.tif", 0, 0, 7.0), ("b.tif", 1, 0, 8.0)),
+      rows.toString)
+    // pruning reaches the source: a value-only projection plans a
+    // value-only ReadSchema (no per-pixel georeferencing computed)
+    val pruned = df.select("value")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.matches(".*BatchScan[^\\[]*\\[value#\\d+\\].*"), scanLine)
+    assert(pruned.agg(round(sum("value"), 2)).collect()(0).getDouble(0) == 23.0)
+    // keepNodata surfaces the hole as a NULL-value row
+    val withNd = spark.read.format("graft.sources.TiffGridSource")
+      .option("path", s"$dir/a.tif").option("keepNodata", "true").load()
+    assert(withNd.count() == 4 && withNd.filter(col("value").isNull).count() == 1)
+    // matches the functional reader row-for-row
+    val fnRows = GeoTiff.readRaster(spark, s"$dir/*.tif")
+      .select(col("x"), col("y"), col("value")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(fnRows == rows.map(t => (t._2, t._3, t._4)))
+  }
+
   test("publishTif writes the reference's per-date layout; missing cells = nodata") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_pub_tif").toString
