@@ -12,6 +12,9 @@ object ProfileQ36 {
     spark.sparkContext.setLogLevel("ERROR")
     args.lift(1).foreach(p => spark.conf.set("graft.q36.loopPartitions", p))
     args.lift(2).foreach(b => spark.conf.set("graft.q36.blockRounds", b))
+    // 4th arg "noaqe": measure the loop without per-stage re-planning
+    if (args.lift(3).contains("noaqe"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     val t0 = System.nanoTime()
     val n = graft.operators.Relational.q36.fn(spark, sfDir).count()
     println(f"rows=$n rounds=${graft.operators.Relational.q36AdoptedRounds} " +

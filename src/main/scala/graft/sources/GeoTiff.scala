@@ -145,7 +145,17 @@ object GeoTiff {
         inf.setInput(chunk)
         val out = new Array[Byte](expected)
         var done = 0
-        while (done < expected && !inf.finished()) done += inf.inflate(out, done, expected - done)
+        while (done < expected && !inf.finished()) {
+          val n = inf.inflate(out, done, expected - done)
+          // a TRUNCATED deflate stream makes inflate() return 0 and ask
+          // for more input forever — fail loudly instead of spinning
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+            inf.end()
+            throw new IllegalArgumentException(
+              s"corrupt deflate chunk: ${done} of $expected bytes recovered")
+          }
+          done += n
+        }
         inf.end()
         out
       }
@@ -180,6 +190,8 @@ object GeoTiff {
         val counts = tagLongs(TTileByteCounts).get
         val tilesAcross = (width + tw - 1) / tw
         tileOffs.indices.foreach { t =>
+          require(tileOffs(t) + counts(t) <= bytes.length,
+            s"truncated TIFF: tile $t ends past the buffer")
           val chunk = java.util.Arrays.copyOfRange(bytes,
             tileOffs(t).toInt, (tileOffs(t) + counts(t)).toInt)
           val data = inflate(chunk, tw * th * bytesPerSample)
@@ -195,6 +207,8 @@ object GeoTiff {
         val counts = tagLongs(TStripByteCounts).get
         stripOffs.indices.foreach { s =>
           val rows = math.min(rps, height - s * rps)
+          require(stripOffs(s) + counts(s) <= bytes.length,
+            s"truncated TIFF: strip $s ends past the buffer")
           val chunk = java.util.Arrays.copyOfRange(bytes,
             stripOffs(s).toInt, (stripOffs(s) + counts(s)).toInt)
           val data = inflate(chunk, width * rows * bytesPerSample)

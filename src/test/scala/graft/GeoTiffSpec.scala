@@ -130,6 +130,26 @@ class GeoTiffSpec extends SparkSpec {
     assert(withNd.count() == 4 && withNd.filter(col("value").isNull).count() == 1)
   }
 
+  test("corrupt inputs fail loudly: bad magic, truncated bytes, truncated deflate") {
+    intercept[IllegalArgumentException] {
+      GeoTiff.decode("PKjunk".getBytes("US-ASCII"))
+    }
+    val good = GeoTiff.encode(Raster(4, 4, 1, 1, 0, 0, None,
+      grid(4, 4)((x, y) => (x + y).toDouble)))
+    // truncation anywhere must raise, never hang or return silent junk
+    for (cut <- Seq(3, 10, good.length / 2, good.length - 5))
+      intercept[Exception] {
+        GeoTiff.decode(java.util.Arrays.copyOf(good, cut))
+      }
+    // truncated DEFLATE chunk: the inflater asks for more input — the
+    // decoder must throw (a naive loop spins forever here)
+    val defl = GeoTiff.encode(Raster(16, 16, 1, 1, 0, 0, None,
+      grid(16, 16)((x, y) => (x * y).toDouble)), deflate = true)
+    val cutDefl = java.util.Arrays.copyOf(defl, defl.length - 40)
+    val e = intercept[Exception] { GeoTiff.decode(cutDefl) }
+    assert(e.getMessage != null, e.toString)
+  }
+
   test("TiffGridSource: DSv2 table over a tif directory, one partition per file, pruned reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tifdsv2").toString
     val a = Raster(2, 2, 1, 1, 100, 50, Some(-9999.0), Array(1.0, -9999.0, 3.0, 4.0))
