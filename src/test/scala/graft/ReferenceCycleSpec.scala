@@ -1,0 +1,91 @@
+package graft
+
+import graft.sources.{GeoTiff, HttpFetcher, Notifier, Publish}
+import graft.sources.GeoTiff.Raster
+import org.apache.spark.sql.functions._
+
+/** The reference's WHOLE ingestion cycle end-to-end with REAL formats
+  * and REAL transport — the "a user of the reference could switch"
+  * demonstration: a remote server publishes a GeoTIFF slice; the
+  * engine fetches it (conditional GET), decodes it task-side,
+  * computes the anomaly-vs-climatology product (nodata-masked, the
+  * chirps_rainfall semantics), publishes the per-date tif product,
+  * and POSTs the webhook notification; the next cycle hits 304 and
+  * skips idempotently. Every stage is a library component already
+  * spec'd in isolation — this locks their composition. */
+class ReferenceCycleSpec extends SparkSpec {
+
+  test("fetch → decode → anomaly → publish tif → notify; second cycle skips on 304") {
+    // ---- the "remote": serves one 3×2 rainfall slice with an ETag,
+    // and records webhook notifications
+    val notifications = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fetches = new java.util.concurrent.atomic.AtomicInteger
+    val slice = Raster(3, 2, 0.5, 0.5, -10.0, 10.0, Some(-9999.0),
+      Array(12.0, 20.0, -9999.0, 8.0, 16.0, 24.0))
+    val sliceBytes = GeoTiff.encode(slice)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data/rain.tif", (ex: com.sun.net.httpserver.HttpExchange) => {
+      fetches.incrementAndGet()
+      if (Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("\"g1\""))
+        ex.sendResponseHeaders(304, -1)
+      else {
+        ex.getResponseHeaders.set("ETag", "\"g1\"")
+        ex.sendResponseHeaders(200, sliceBytes.length.toLong)
+        ex.getResponseBody.write(sliceBytes)
+      }
+      ex.close()
+    })
+    server.createContext("/ingest", (ex: com.sun.net.httpserver.HttpExchange) => {
+      notifications.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = java.nio.file.Files.createTempDirectory("graft_refcycle").toString
+      val fetcher = new HttpFetcher()
+      val notifier = new Notifier.HttpNotifier(s"$base/ingest", Some("s3cret"))
+      val dateKey = "2024-06-01"
+
+      def cycle(): Option[java.nio.file.Path] =
+        fetcher.fetchIfChanged(s"$base/data/rain.tif", s"$root/landing/rain.tif")
+          .map { landed =>
+            // decode task-side, apply the reference's anomaly product:
+            // current − climatology normal, nodata-masked on either side
+            val normal = 10.0
+            val grid = GeoTiff.readRaster(spark, landed.toString)
+              .select(col("x"), col("y"), (col("value") - normal).as("anomaly"))
+            val out = GeoTiff.publishTif(grid, "x", "y", "anomaly",
+              slice.width, slice.height, s"$root/out", "rain_anomaly", dateKey,
+              scaleX = slice.scaleX, scaleY = slice.scaleY,
+              tieX = slice.tieX, tieY = slice.tieY)
+            notifier.notifyIngest("rain_anomaly", dateKey,
+              Publish.IngestPayload("rain_anomaly", out.toString, "geotiff"))
+            out
+          }
+
+      // cycle 1: new data lands, transforms, publishes, notifies
+      val published = cycle()
+      assert(published.isDefined)
+      val back = GeoTiff.decode(java.nio.file.Files.readAllBytes(published.get))
+      // anomalies: 2, 10, NODATA (masked through), -2, 6, 14
+      assert(back.value(0, 0) == 2.0 && back.value(1, 0) == 10.0, back.values.mkString(","))
+      assert(back.value(2, 0) == -9999.0, "nodata must mask through the transform")
+      assert(back.value(0, 1) == -2.0 && back.value(2, 1) == 14.0)
+      assert(back.tieX == slice.tieX && back.scaleX == slice.scaleX)
+      import scala.jdk.CollectionConverters._
+      val n1 = notifications.asScala.toSeq
+      assert(n1.size == 1 && n1.head.contains("namespace=rain_anomaly") &&
+        n1.head.contains("date_key=2024-06-01") &&
+        n1.head.contains("datatype=geotiff"), n1.toString)
+
+      // cycle 2: remote unchanged → 304 → the reference's
+      // "No update required. Skipping" — nothing published or notified
+      assert(cycle().isEmpty)
+      assert(notifications.size() == 1, "a skipped cycle must not notify")
+      assert(fetches.get() == 2)
+    } finally server.stop(0)
+  }
+}
