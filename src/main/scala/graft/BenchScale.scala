@@ -54,6 +54,7 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeAll(sfDir: String): Map[String, Double] = {
       val t = Tables(spark, sfDir)
       Tables.names.foreach(n => t.table(n).count())
@@ -61,6 +62,11 @@ object BenchScale {
         val t0 = System.nanoTime()
         try { d.fn(spark, sfDir).count() }
         catch { case e: Throwable =>
+          // an errored query MUST surface in the artifact — a crash on
+          // the ×10 corpus is the worst scale regression there is, and
+          // its short time-to-failure would otherwise read as "scales
+          // fine" (review finding r8)
+          errors += d.name
           System.err.println(s"[bench-scale] ${d.name} @ $sfDir: ${e.getMessage}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
@@ -75,14 +81,15 @@ object BenchScale {
       val a = t01(name); val b = t1.getOrElse(name, Double.NaN)
       (name, a, b, if (a > 0) b / a else Double.NaN)
     }
-    val flagged = rows.collect {
+    val flagged = (rows.collect {
       case (name, _, b, r) if r > RatioGate && b > FloorSec => name
-    }
+    } ++ errors).distinct
     val qs = rows.map { case (name, a, b, r) =>
       "\"" + name + f"""\":[$a%.2f,$b%.2f,$r%.1f]""" }.mkString("{", ",", "}")
     val json =
       f"""{"sf01_total":${t01.values.sum}%.1f,"sf1_total":${t1.values.sum}%.1f,""" +
       flagged.map("\"" + _ + "\"").mkString("\"flagged\":[", ",", "],") +
+      errors.map("\"" + _ + "\"").mkString("\"errors\":[", ",", "],") +
       s""""ratio_gate":$RatioGate,"floor_sec":$FloorSec,"queries":$qs}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(ArtifactPath), json.getBytes("UTF-8"))

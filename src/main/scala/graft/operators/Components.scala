@@ -104,12 +104,17 @@ object Components {
           r
         }
         probe.foreach { row =>
-          val (a, b) = (row.getLong(0), row.getLong(1))
-          if (a != b) {
-            parent.getOrElseUpdate(a, a)
-            parent.getOrElseUpdate(b, b)
-            val (ra, rb) = (find(a), find(b))
-            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          // null ids are dropped, matching the distributed path where
+          // `a =!= b` filters them (null never satisfies =!=) — the
+          // driver path must not NPE on data the other path tolerates
+          if (!row.isNullAt(0) && !row.isNullAt(1)) {
+            val (a, b) = (row.getLong(0), row.getLong(1))
+            if (a != b) {
+              parent.getOrElseUpdate(a, a)
+              parent.getOrElseUpdate(b, b)
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+            }
           }
         }
         import spark.implicits._

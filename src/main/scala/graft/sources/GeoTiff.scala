@@ -39,6 +39,11 @@ object GeoTiff {
       nodata: Option[Double],
       values: Array[Double]) {
     def value(x: Int, y: Int): Double = values(y * width + x)
+    /** NaN-aware nodata test: GDAL commonly writes GDAL_NODATA as
+      * "nan" for float rasters, and `Option.contains` via `==` would
+      * never match it (NaN != NaN — review finding r8). */
+    def isNodata(v: Double): Boolean =
+      nodata.exists(nd => nd == v || (nd.isNaN && v.isNaN))
     /** Longitude of the pixel CENTER. */
     def lonOf(x: Int): Double = tieX + (x + 0.5) * scaleX
     /** Latitude of the pixel CENTER (scaleY positive ⇒ north-up rows
@@ -137,6 +142,14 @@ object GeoTiff {
     val sfmt = tagLong(TSampleFormat).getOrElse(1L).toInt
     require(compression == 1 || compression == 8,
       s"unsupported compression $compression (supported: none, deflate)")
+    // fail LOUDLY on layouts we would otherwise decode to silently
+    // wrong values (review finding r8): multi-band interleaving and
+    // deflate predictors reinterpret the sample bytes entirely
+    val spp = tagLong(277).getOrElse(1L).toInt // SamplesPerPixel
+    require(spp == 1, s"unsupported SamplesPerPixel $spp (single-band only)")
+    val predictor = tagLong(317).getOrElse(1L).toInt // Predictor
+    require(predictor == 1,
+      s"unsupported Predictor $predictor (no differencing support)")
 
     def inflate(chunk: Array[Byte], expected: Int): Array[Byte] =
       if (compression == 1) chunk
@@ -228,7 +241,11 @@ object GeoTiff {
       case Some(a) if a.length >= 6 => (a(3) - a(0) * sx, a(4) + a(1) * sy)
       case _ => (0.0, 0.0)
     }
-    val nodata = entries.get(TGdalNodata).map(ascii).flatMap(_.toDoubleOption)
+    // GDAL writes float nodata as lowercase "nan", which
+    // Double.parseDouble rejects (it accepts only "NaN")
+    val nodata = entries.get(TGdalNodata).map(ascii).flatMap(s =>
+      s.toDoubleOption.orElse(
+        if (s.equalsIgnoreCase("nan")) Some(Double.NaN) else None))
     Raster(width, height, sx, sy, tx, ty, nodata, values)
   }
 
@@ -245,14 +262,26 @@ object GeoTiff {
     val pixelData =
       if (!deflate) raw.array()
       else {
+        // loop until finished(): deflate can EXPAND incompressible
+        // data (~5 B per 64 KB block + stream overhead), and a single
+        // deflate() call into a fixed buffer would silently truncate
+        // the stream past that point (review finding r8)
         val d = new java.util.zip.Deflater()
         d.setInput(raw.array()); d.finish()
-        val buf = new Array[Byte](n * bytesPerSample + 64)
-        val len = d.deflate(buf); d.end()
-        java.util.Arrays.copyOf(buf, len)
+        val out = new java.io.ByteArrayOutputStream(n * bytesPerSample / 2 + 64)
+        val buf = new Array[Byte](64 * 1024)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        out.toByteArray
       }
-    val nodataAscii = r.nodata.map(v =>
-      (if (v == v.toLong) v.toLong.toString else v.toString) + "\u0000")
+    val nodataAscii = r.nodata.map { v =>
+      val s = (if (!v.isNaN && v == v.toLong) v.toLong.toString
+               else v.toString) + "\u0000"
+      // pad to >=5 bytes: a <=4-byte ASCII value would live INLINE in
+      // the IFD slot per TIFF 6.0, but this writer always points the
+      // tag at the out-of-line block - force the out-of-line layout
+      s + "\u0000" * math.max(0, 5 - s.length)
+    }
     // layout: header(8) | IFD | geo doubles | nodata ascii | pixels
     val tags = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
     val nTags = 10 + (if (nodataAscii.isDefined) 1 else 0)
@@ -312,7 +341,7 @@ object GeoTiff {
           y <- Iterator.range(0, r.height)
           x <- Iterator.range(0, r.width)
           v = r.value(x, y)
-          isNd = r.nodata.contains(v)
+          isNd = r.isNodata(v)
           if keepNodata || !isNd
         } yield (p, x, y, r.lonOf(x), r.latOf(y),
           if (isNd) None else Some(v))
@@ -335,7 +364,9 @@ object GeoTiff {
     grid.select(col(xCol).cast("int"), col(yCol).cast("int"),
         col(vCol).cast("double"))
       .collect().foreach { row =>
-        if (!row.isNullAt(2)) {
+        // null coordinates (outer-join artifacts) skip like null
+        // values — the publish must mask, not NPE (review finding r8)
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)) {
           val (x, y) = (row.getInt(0), row.getInt(1))
           if (x >= 0 && x < width && y >= 0 && y < height)
             values(y * width + x) = row.getDouble(2)

@@ -90,11 +90,17 @@ final class HttpFetcher(
     Option(destPath.getParent).foreach(Files.createDirectories(_))
     val tmp = destPath.resolveSibling(
       s".tmp-${java.util.UUID.randomUUID()}")
-    val resp = robust(() => client.send(req(url).GET().build(),
-      HttpResponse.BodyHandlers.ofFile(tmp,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)))
+    // retries exhausted ⇒ robust() throws from inside the send — the
+    // partially-written temp must not accumulate in the landing dir
+    // (review finding r8: the atomic-landing contract includes the
+    // FAILURE path)
+    val resp =
+      try robust(() => client.send(req(url).GET().build(),
+        HttpResponse.BodyHandlers.ofFile(tmp,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)))
+      catch { case e: Throwable => Files.deleteIfExists(tmp); throw e }
     if (resp.statusCode() / 100 != 2) {
       Files.deleteIfExists(tmp)
       throw new java.io.IOException(
@@ -129,11 +135,13 @@ final class HttpFetcher(
     validators.get("last-modified").foreach(b.header("If-Modified-Since", _))
     Option(destPath.getParent).foreach(Files.createDirectories(_))
     val tmp = destPath.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
-    val resp = robust(() => client.send(b.build(),
-      HttpResponse.BodyHandlers.ofFile(tmp,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)))
+    val resp =
+      try robust(() => client.send(b.build(),
+        HttpResponse.BodyHandlers.ofFile(tmp,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)))
+      catch { case e: Throwable => Files.deleteIfExists(tmp); throw e }
     resp.statusCode() match {
       case 304 =>
         Files.deleteIfExists(tmp)

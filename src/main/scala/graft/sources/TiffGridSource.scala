@@ -98,6 +98,20 @@ final case class TiffPartition(file: String) extends InputPartition
 
 final class TiffReaderFactory(fields: Array[String], keepNodata: Boolean)
     extends PartitionReaderFactory {
+  // field names resolved to int codes ONCE per reader — the per-pixel
+  // loop must not do string comparisons (review finding r8)
+  private val FPath = 0; private val FX = 1; private val FY = 2
+  private val FLon = 3; private val FLat = 4; private val FValue = 5
+  private val codes: Array[Int] = fields.map {
+    case "path" => FPath
+    case "x" => FX
+    case "y" => FY
+    case "lon" => FLon
+    case "lat" => FLat
+    case "value" => FValue
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[TiffPartition].file
     new PartitionReader[InternalRow] {
@@ -119,20 +133,20 @@ final class TiffReaderFactory(fields: Array[String], keepNodata: Boolean)
           if (x == r.width) { x = 0; y += 1 }
           if (y >= r.height) return false
           val v = r.value(x, y)
-          val isNd = r.nodata.contains(v)
+          val isNd = r.isNodata(v)
           if (!isNd || keepNodata) {
             // build ONLY the pruned columns — a value-only projection
             // never computes per-pixel georeferencing
-            val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields.length)
+            val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(codes.length)
             var i = 0
-            while (i < fields.length) {
-              fields(i) match {
-                case "path" => row.update(i, pathUtf)
-                case "x" => row.setInt(i, x)
-                case "y" => row.setInt(i, y)
-                case "lon" => row.setDouble(i, r.lonOf(x))
-                case "lat" => row.setDouble(i, r.latOf(y))
-                case "value" =>
+            while (i < codes.length) {
+              codes(i) match {
+                case FPath => row.update(i, pathUtf)
+                case FX => row.setInt(i, x)
+                case FY => row.setInt(i, y)
+                case FLon => row.setDouble(i, r.lonOf(x))
+                case FLat => row.setDouble(i, r.latOf(y))
+                case FValue =>
                   if (isNd) row.setNullAt(i) else row.setDouble(i, v)
               }
               i += 1

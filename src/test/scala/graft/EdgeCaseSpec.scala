@@ -243,6 +243,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(atCap.size == 37) // 30 + 5 + 2 distinct endpoints
   }
 
+  test("components: null ids drop on BOTH solve paths, no NPE under the gate") {
+    import spark.implicits._
+    // the distributed path's `a =!= b` filter silently drops nulls;
+    // the driver-gate probe must match (a raw getLong would NPE), so
+    // behavior cannot depend on which side of the cap the data lands
+    val df = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None),
+      (Some(2L), Some(5L))).toDF("x", "y")
+    val driver = operators.Components.minLabel(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = operators.Components.minLabel(df, driverCap = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == Map(1L -> 1L, 2L -> 1L, 5L -> 1L), driver.toString)
+    assert(driver == dist, s"paths diverge: $driver vs $dist")
+  }
+
   test("graft_topk orders NaN as greatest and −∞ as least, deterministically") {
     functions.TopKAggregate.register(spark)
     import spark.implicits._

@@ -130,6 +130,70 @@ class GeoTiffSpec extends SparkSpec {
     assert(withNd.count() == 4 && withNd.filter(col("value").isNull).count() == 1)
   }
 
+  test("NaN nodata (GDAL's float convention) masks pixels, incl. lowercase 'nan'") {
+    val r = Raster(2, 2, 1, 1, 0, 0, Some(Double.NaN),
+      Array(1.0, Double.NaN, 3.0, 4.0))
+    val enc = GeoTiff.encode(r) // writes GDAL_NODATA "NaN"
+    val back = GeoTiff.decode(enc)
+    assert(back.nodata.exists(_.isNaN), back.nodata.toString)
+    assert(back.isNodata(Double.NaN) && !back.isNodata(1.0))
+    // GDAL itself writes lowercase "nan" — patch the tag in place
+    // (same byte length) and re-decode
+    val idx = enc.indexOfSlice("NaN".getBytes("US-ASCII"))
+    assert(idx > 0)
+    val lower = enc.clone()
+    "nan".getBytes("US-ASCII").copyToArray(lower, idx)
+    assert(GeoTiff.decode(lower).nodata.exists(_.isNaN))
+    // the distributed reader drops the NaN pixel, not just -9999s
+    val dir = java.nio.file.Files.createTempDirectory("graft_nan").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/n.tif"), lower)
+    val rows = GeoTiff.readRaster(spark, s"$dir/n.tif").collect()
+    assert(rows.length == 3 && rows.forall(!_.getDouble(5).isNaN),
+      rows.mkString(";"))
+  }
+
+  test("encode survives incompressible data under deflate (stream never truncates)") {
+    // pseudo-random floats do not compress; the deflate stream EXPANDS
+    // slightly and a single-buffer deflate call would truncate it
+    val rnd = new scala.util.Random(7)
+    val big = Raster(512, 512, 1, 1, 0, 0, None,
+      Array.fill(512 * 512)(rnd.nextDouble()))
+    val back = GeoTiff.decode(GeoTiff.encode(big, deflate = true))
+    assert(back.values.map(_.toFloat).sameElements(big.values.map(_.toFloat)))
+  }
+
+  test("multi-band and predictor layouts are rejected, never silently misread") {
+    // patch a single-band file's IFD to claim SamplesPerPixel=3 /
+    // Predictor=2 — decode must refuse (it would misinterpret bytes)
+    def patchTag(bytes: Array[Byte], tag: Int, value: Short): Array[Byte] = {
+      val b = java.nio.ByteBuffer.wrap(bytes.clone())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifd = b.getInt(4)
+      val n = b.getShort(ifd) & 0xffff
+      // grow the IFD is complex; instead overwrite an existing tag id
+      // we do not rely on (RowsPerStrip 278) with the claimed layout
+      val out = b.array()
+      (0 until n).foreach { i =>
+        val off = ifd + 2 + i * 12
+        if ((b.getShort(off) & 0xffff) == 278) {
+          b.putShort(off, tag.toShort)
+          b.putShort(off + 2, 3.toShort) // SHORT
+          b.putInt(off + 4, 1)
+          b.putInt(off + 8, value.toInt)
+        }
+      }
+      out
+    }
+    val base = GeoTiff.encode(Raster(2, 2, 1, 1, 0, 0, None,
+      Array(1.0, 2.0, 3.0, 4.0)))
+    intercept[IllegalArgumentException] {
+      GeoTiff.decode(patchTag(base, 277, 3)) // SamplesPerPixel = 3
+    }
+    intercept[IllegalArgumentException] {
+      GeoTiff.decode(patchTag(base, 317, 2)) // Predictor = 2
+    }
+  }
+
   test("corrupt inputs fail loudly: bad magic, truncated bytes, truncated deflate") {
     intercept[IllegalArgumentException] {
       GeoTiff.decode("PKjunk".getBytes("US-ASCII"))

@@ -97,6 +97,17 @@ class HttpFetcherSpec extends SparkSpec {
     }
   }
 
+  test("exhausted retries leave no temp residue — atomic landing includes failure") {
+    withServer { ex => ex.sendResponseHeaders(500, -1) } { base =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_fail").toString
+      val f = new HttpFetcher(maxRetries = 2, retryBackoffMs = 5L)
+      intercept[java.io.IOException] { f.fetch(s"$base/down", s"$dir/a.bin") }
+      intercept[java.io.IOException] { f.fetchIfChanged(s"$base/down", s"$dir/b.bin") }
+      val residue = new java.io.File(dir).listFiles().map(_.getName)
+      assert(residue.isEmpty, residue.mkString(","))
+    }
+  }
+
   test("latestAvailable walks candidates newest-first to the first live slice") {
     withServer { ex =>
       val ok = ex.getRequestURI.getPath.contains("2024-06-02")
