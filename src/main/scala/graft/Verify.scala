@@ -16,15 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val ran = scala.collection.mutable.Set.empty[String]
+    val attempted = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        ran += name
-      }
+      attempted += name
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -46,12 +44,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // dump oracle SQL only for queries that actually RAN this
-    // invocation: fixture-backed oracles (d02/d03/q10b/q20) embed
-    // per-run paths, and a skipped or failed query would otherwise
-    // dump a dangling '/unset/' read_parquet reference
+    // dump oracle SQL only for queries ATTEMPTED this invocation: a
+    // dev-filtered subset must not emit dangling fixture paths for
+    // queries that never ran (fixture-backed oracles — d02/d03/q10b/
+    // q20 — embed per-run paths). A query that ran and FAILED keeps
+    // its oracle entry: its missing result dir / dangling path
+    // surfaces as a visible per-query error in the driver compare,
+    // never a silent omission from the correctness artifact.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => ran.contains(k) }
+      .filter { case (k, _) => attempted.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
