@@ -25,11 +25,17 @@ object Fixtures {
     * read_parquet these files directly. */
   val Root = "/root/repo/target/fixtures"
 
+  /** Deterministic fixture directory for (sf dir, fixture name) — the
+    * SAME formula both the writing query and the generated oracle SQL
+    * use, so the oracle path needs no run-time state (r9: replaced the
+    * per-query @volatile last-written-path vars). */
+  def pathFor(sfDir: String, name: String): String =
+    s"$Root/${new java.io.File(sfDir).getName}/$name"
+
   /** Write `df` as the named fixture for the given sf dir; returns the
     * absolute directory whose `*.parquet` glob the oracle reads. */
   def write(df: org.apache.spark.sql.DataFrame, sfDir: String, name: String): String = {
-    val tag = new java.io.File(sfDir).getName
-    val path = s"$Root/$tag/$name"
+    val path = pathFor(sfDir, name)
     df.write.mode("overwrite").parquet(path)
     path
   }

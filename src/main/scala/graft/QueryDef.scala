@@ -16,7 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    oracleFor: Option[String => String] = None) {
+  /** Oracle SQL resolved for a concrete sf dir: fixture-backed queries
+    * derive their `read_parquet` path deterministically from the dir
+    * (r9 — replaces the mutable last-run-path globals, so snapshotting
+    * oracles before execution or running two sf dirs in one JVM can no
+    * longer cross-contaminate paths); static oracles ignore the dir. */
+  def oracleAt(sfDir: String): Option[String] =
+    oracleFor.map(_(sfDir)).orElse(oracle)
+}
 
 object QueryDef {
   import org.apache.spark.sql.Column
@@ -43,4 +52,12 @@ object QueryDef {
   /** Rows-only query: no SQL-expressible oracle (driver checks rows>0). */
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** Fixture-backed query: the oracle SQL is a pure function of the sf
+    * dir (it embeds a [[Fixtures.pathFor]]-derived path). `oracle`
+    * still resolves — against [[SparkEntry.DefaultSfDir]] — so generic
+    * presence checks keep working. */
+  def dynamic(name: String)(sqlFor: String => String)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(sqlFor(SparkEntry.DefaultSfDir)), Some(sqlFor))
 }

@@ -20,8 +20,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap
 
+  /** Sf dir the no-arg [[oracleSql]] resolves fixture-backed oracle
+    * paths against — the driver's verify scale. Verify itself dumps
+    * [[oracleSqlFor]] with its actual sf dir, so the graded artifact
+    * never depends on this default. */
+  val DefaultSfDir = "/root/testdata/sf0.01"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+  def oracleSql: Map[String, String] = oracleSqlFor(DefaultSfDir)
+
+  /** Oracle SQL with fixture-backed paths resolved for a concrete sf
+    * dir (pure — see [[QueryDef.oracleAt]]). */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    defs.flatMap(d => d.oracleAt(sfDir).map(d.name -> _)).toMap
 }

@@ -47,11 +47,11 @@ object Verify {
     // dump oracle SQL only for queries ATTEMPTED this invocation: a
     // dev-filtered subset must not emit dangling fixture paths for
     // queries that never ran (fixture-backed oracles — d02/d03/q10b/
-    // q20 — embed per-run paths). A query that ran and FAILED keeps
-    // its oracle entry: its missing result dir / dangling path
+    // q20 — embed sf-dir-derived paths). A query that ran and FAILED
+    // keeps its oracle entry: its missing result dir / dangling path
     // surfaces as a visible per-query error in the driver compare,
     // never a silent omission from the correctness artifact.
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSqlFor(sfDir)
       .filter { case (k, _) => attempted.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -72,3 +72,90 @@ case class SetMatchCountExpr(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Bloom-membership COUNT of an array&lt;string&gt; column against a
+  * serialized Spark [[org.apache.spark.util.sketch.BloomFilter]], with
+  * the same early-exit cap as [[SetMatchCountExpr]]: returns
+  * min(|{x ∈ arr : bloom.mightContain(xxhash64(x))}|, cap).
+  *
+  * The d09 discipline applied to array probes: the filter blob is
+  * built by Spark's own `BloomFilterAggregate` over `xxhash64(key)`
+  * (executor-side aggregation — the driver only ever holds the
+  * FIXED-SIZE blob, never a per-item structure, unlike a collected
+  * HashSet whose footprint is data-shaped), and rides the plan as a
+  * reference object deserialized once per generated-class instance.
+  * Bloom filters have NO false negatives, so `count < cap` proves
+  * fewer than `cap` true matches — the exact confirm tier only ever
+  * sees the sparse might-match sliver. Hashing matches Spark's
+  * `xxhash64` (XXH64 over the UTF8String bytes, seed 42), which is
+  * what makes blobs built with `xxhash64(col)` probe-compatible. */
+case class BloomMatchCountExpr(child: Expression, bloomBytes: Array[Byte],
+    cap: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bloom_match_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  private def xx64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, 42L)
+
+  protected override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var n = 0
+    var i = 0
+    val len = arr.numElements()
+    while (i < len && n < cap) {
+      if (!arr.isNullAt(i) &&
+        bloom.mightContainLong(xx64(arr.getUTF8String(i)))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bytesRef = ctx.addReferenceObj("graftBloomBytes", bloomBytes, "byte[]")
+    // deserialized from the plan-carried blob ONCE per generated-class
+    // instance (same stance as SetMatchCountExpr's broadcast fetch)
+    val bf = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
+      "graftBloom",
+      v => s"""try {
+         |  $v = org.apache.spark.util.sketch.BloomFilter.readFrom(
+         |    new java.io.ByteArrayInputStream($bytesRef));
+         |} catch (java.io.IOException e) {
+         |  throw new RuntimeException(e);
+         |}""".stripMargin)
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val len = ctx.freshName("len")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = 0;
+         |int $len = $a.numElements();
+         |for (int $i = 0; $i < $len && $n < $cap; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    if ($bf.mightContainLong(
+         |        org.apache.spark.sql.catalyst.expressions.XXH64
+         |          .hashUTF8String($s, 42L)))
+         |      $n++;
+         |  }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -124,10 +124,8 @@ object Dedup {
   }
 
   /** Oracle for everything DOWNSTREAM of d02's signature fixture —
-    * see [[graft.Fixtures]] for the partial-oracle contract. */
-  @volatile private[graft] var d02FixturePath: String =
-    graft.Fixtures.Root + "/unset/d02_sigs"
-
+    * see [[graft.Fixtures]] for the partial-oracle contract; the path
+    * is [[graft.Fixtures.pathFor]]-derived (pure in the sf dir). */
   private def d02OracleSql(path: String): String =
     s"""WITH f AS (SELECT * FROM read_parquet('$path/*.parquet')),
        |band AS (SELECT doc_id, CAST(i AS INTEGER) AS band_idx,
@@ -158,9 +156,9 @@ object Dedup {
     * tiers hash-check against DuckDB replaying the written signatures;
     * only the xxhash64 signature values themselves stay Spark-defined
     * (d02b is the fully-portable md5 twin). */
-  def d02: QueryDef = QueryDef(
-    "d02_minhash_lsh",
-    d02OracleSql(d02FixturePath)) { (spark, dir) =>
+  def d02: QueryDef = QueryDef.dynamic(
+    "d02_minhash_lsh")(dir =>
+    d02OracleSql(graft.Fixtures.pathFor(dir, "d02_sigs"))) { (spark, dir) =>
     // persist: the shingle subtree feeds the signature agg and the
     // fixture projection. At 100 TB this is a checkpoint of the
     // signature table — which is exactly what the fixture write is.
@@ -170,11 +168,11 @@ object Dedup {
     val fx = sigs.join(sh, "doc_id").select(col("doc_id"), col("sh"), col("sig"),
       array((0 until numBands).map(b =>
         xxhash64(slice(col("sig"), b * 8 + 1, 8), lit(b))): _*).as("bands"))
-    d02FixturePath = graft.Fixtures.write(fx, dir, "d02_sigs")
+    val fxPath = graft.Fixtures.write(fx, dir, "d02_sigs")
     // continue FROM the fixture read-back: both engines consume the
     // exact same bytes, and the read doubles as the self-join
     // materialization the old persist() provided
-    val f = spark.read.parquet(d02FixturePath).persist()
+    val f = spark.read.parquet(fxPath).persist()
     val bands = f.select(col("doc_id"), posexplode(col("bands")))
       .select(col("doc_id"), col("pos").cast("int").as("band_idx"),
         col("col").as("band_hash"))
@@ -205,10 +203,8 @@ object Dedup {
   }
 
   /** Oracle for everything DOWNSTREAM of d03's fingerprint fixture —
-    * see [[graft.Fixtures]] for the partial-oracle contract. */
-  @volatile private[graft] var d03FixturePath: String =
-    graft.Fixtures.Root + "/unset/d03_bits"
-
+    * see [[graft.Fixtures]] for the partial-oracle contract; the path
+    * is [[graft.Fixtures.pathFor]]-derived (pure in the sf dir). */
   private def d03OracleSql(path: String): String =
     s"""WITH f AS (SELECT * FROM read_parquet('$path/*.parquet')),
        |band AS (SELECT doc_id, CAST(i AS INTEGER) AS band_idx,
@@ -238,17 +234,17 @@ object Dedup {
     * Hamming confirm hash-check against DuckDB replaying the written
     * masks; only the xxhash64-derived bits stay Spark-defined (d03b
     * is the fully-portable md5 twin). */
-  def d03: QueryDef = QueryDef(
-    "d03_simhash",
-    d03OracleSql(d03FixturePath)) { (spark, dir) =>
+  def d03: QueryDef = QueryDef.dynamic(
+    "d03_simhash")(dir =>
+    d03OracleSql(graft.Fixtures.pathFor(dir, "d03_bits"))) { (spark, dir) =>
     val docs = Tables(spark, dir).documents
     val fp = Text.simhashMaskOf(docs, "doc_id", Text.tokens(col("text")))
     val fx = fp.select(col("doc_id"), col("fp"), array(
       (0 until 4).map(c =>
         xxhash64(shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)),
           lit(c))): _*).as("bands"))
-    d03FixturePath = graft.Fixtures.write(fx, dir, "d03_bits")
-    val f = spark.read.parquet(d03FixturePath).persist()
+    val fxPath = graft.Fixtures.write(fx, dir, "d03_bits")
+    val f = spark.read.parquet(fxPath).persist()
     val chunks = f.select(col("doc_id"), posexplode(col("bands")))
       .select(col("doc_id"), col("pos").cast("int").as("band_idx"),
         col("col").as("band_hash"))
@@ -1464,8 +1460,8 @@ object Dedup {
       .orderBy(col("t1"), col("t2"))
   }
 
-  // during the run, so defs must be rebuilt when SparkEntry.oracleSql
-  // is read (after the queries ran — Verify's ordering; as q36).
+  // d02/d03's fixture oracles are pure in the sf dir (QueryDef.dynamic
+  // + Fixtures.pathFor) — no run-order dependence since r9.
   def all: Seq[QueryDef] =
     Seq(d01, d02, d02b, d03, d03b, d04, d05, d05b, d06, d07, d08, d09, d10,
       d11, d12, d13, d14, d15, d16, d17)

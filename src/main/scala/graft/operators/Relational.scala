@@ -244,11 +244,8 @@ object Relational {
     * register state is engine-specific (DuckDB cannot read a Spark
     * sketch), so the fixture pins the ESTIMATES and the oracle
     * recomputes the EXACT side and the error gate cross-engine
-    * ([[graft.Fixtures]] contract; Verify runs queries before dumping
-    * oracle_sql.json, which is what makes the dynamic path safe). */
-  @volatile private[graft] var q10bFixturePath: String =
-    graft.Fixtures.Root + "/unset/q10_approx"
-
+    * ([[graft.Fixtures]] contract; the path is
+    * [[graft.Fixtures.pathFor]]-derived, pure in the sf dir). */
   private def q10bOracleSql(path: String): String =
     s"""WITH f AS (SELECT * FROM read_parquet('$path/*.parquet')),
        |ex AS (
@@ -269,9 +266,9 @@ object Relational {
     * engines read back, DuckDB recomputes the exact counts and the
     * ±5% gate independently, and only the HLL++ register math itself
     * stays Spark-defined (q10 is the fully-exact twin). */
-  def q10b: QueryDef = QueryDef(
-    "q10_approx_distinct",
-    q10bOracleSql(q10bFixturePath)) { (spark, dir) =>
+  def q10b: QueryDef = QueryDef.dynamic(
+    "q10_approx_distinct")(dir =>
+    q10bOracleSql(graft.Fixtures.pathFor(dir, "q10_approx"))) { (spark, dir) =>
     val li = Tables(spark, dir).lineitem
     // TWO separate scans on purpose: folding the exact side into the
     // sketch agg was measured 2x SLOWER (9.6 s vs 4.3 s at sf0.1) —
@@ -289,7 +286,7 @@ object Relational {
       .select(explode(map(
         lit("orders"), col("orders"), lit("parts"), col("parts"),
         lit("supps"), col("supps"))).as(Seq("metric", "approx")))
-    q10bFixturePath = graft.Fixtures.write(approx, dir, "q10_approx")
+    val fxPath = graft.Fixtures.write(approx, dir, "q10_approx")
     val exact = li
       .agg(
         countDistinct(col("l_orderkey")).as("orders"),
@@ -298,7 +295,7 @@ object Relational {
       .select(explode(map(
         lit("orders"), col("orders"), lit("parts"), col("parts"),
         lit("supps"), col("supps"))).as(Seq("metric", "n_exact")))
-    spark.read.parquet(q10bFixturePath)
+    spark.read.parquet(fxPath)
       .join(exact, "metric")
       .select(col("metric"), col("approx"), col("n_exact"),
         (abs(col("approx") - col("n_exact")) * 100 <= col("n_exact") * 5)
@@ -472,10 +469,8 @@ object Relational {
     * DataSketches HLL binary is engine-specific (DuckDB cannot union
     * Spark sketches), so the fixture pins the per-month AND merged
     * estimates and the oracle recomputes the exact twins and the ±5%
-    * gate cross-engine ([[graft.Fixtures]] contract). */
-  @volatile private[graft] var q20FixturePath: String =
-    graft.Fixtures.Root + "/unset/q20_est"
-
+    * gate cross-engine ([[graft.Fixtures]] contract; the path is
+    * [[graft.Fixtures.pathFor]]-derived, pure in the sf dir). */
   private def q20OracleSql(path: String): String =
     s"""WITH f AS (SELECT * FROM read_parquet('$path/*.parquet')),
        |ex AS (SELECT CAST(MONTH(o_orderdate) AS INTEGER) AS mon,
@@ -499,9 +494,9 @@ object Relational {
     * recomputes every exact twin and the ±5% gate independently, and
     * only the sketch register math stays Spark-defined (a spec also
     * bounds the relative error). mon=0 is the merged-total row. */
-  def q20: QueryDef = QueryDef(
-    "q20_sketch_merge",
-    q20OracleSql(q20FixturePath)) { (spark, dir) =>
+  def q20: QueryDef = QueryDef.dynamic(
+    "q20_sketch_merge")(dir =>
+    q20OracleSql(graft.Fixtures.pathFor(dir, "q20_est"))) { (spark, dir) =>
     val orders = Tables(spark, dir).orders
     val monthly = orders
       .groupBy(month(col("o_orderdate")).as("mon"))
@@ -516,12 +511,12 @@ object Relational {
     val total = monthly
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
       .select(lit(0).as("mon"), col("est"))
-    q20FixturePath =
+    val fxPath =
       graft.Fixtures.write(perMonth.unionByName(total), dir, "q20_est")
     val exact = monthly.select(col("mon"), col("n_exact"))
       .unionByName(orders.agg(countDistinct(col("o_custkey")).as("n_exact"))
         .select(lit(0).as("mon"), col("n_exact")))
-    spark.read.parquet(q20FixturePath)
+    spark.read.parquet(fxPath)
       .join(exact, "mon")
       .select(col("mon"), col("est"), col("n_exact"),
         (abs(col("est") - col("n_exact")) * 100 <= col("n_exact") * 5)

@@ -56,6 +56,7 @@ object GeoTiff {
   private val TImageLength = 257
   private val TBitsPerSample = 258
   private val TCompression = 259
+  private val TPhotometric = 262
   private val TStripOffsets = 273
   private val TRowsPerStrip = 278
   private val TStripByteCounts = 279
@@ -284,7 +285,7 @@ object GeoTiff {
     }
     // layout: header(8) | IFD | geo doubles | nodata ascii | pixels
     val tags = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
-    val nTags = 10 + (if (nodataAscii.isDefined) 1 else 0)
+    val nTags = 11 + (if (nodataAscii.isDefined) 1 else 0)
     val ifdOff = 8
     val ifdSize = 2 + nTags * 12 + 4
     val scaleOff = ifdOff + ifdSize
@@ -295,6 +296,12 @@ object GeoTiff {
     tags += ((TImageLength, 3, 1L, r.height.toLong))
     tags += ((TBitsPerSample, 3, 1L, (bytesPerSample * 8).toLong))
     tags += ((TCompression, 3, 1L, if (deflate) 8L else 1L))
+    // PhotometricInterpretation is baseline-REQUIRED by TIFF 6.0 §8 —
+    // this writer's own decoder never needed it, but strict libtiff/
+    // GDAL consumers of published products warn or reject without it
+    // (r8 advice). 1 = BlackIsZero, the only sane value for one-band
+    // measurement rasters.
+    tags += ((TPhotometric, 3, 1L, 1L))
     tags += ((TStripOffsets, 4, 1L, pixOff.toLong))
     tags += ((TRowsPerStrip, 3, 1L, r.height.toLong))
     tags += ((TStripByteCounts, 4, 1L, pixelData.length.toLong))

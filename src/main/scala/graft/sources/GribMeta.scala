@@ -105,7 +105,34 @@ object GribMeta {
           Message(idx, 2, totalLen, u8(bytes, off + 6), centre,
             pCat, pNum, refTime, gridTpl, nPoints, ni, nj)
         case 1 =>
-          val totalLen = u24(bytes, off + 4).toLong
+          val rawLen = u24(bytes, off + 4)
+          // ECMWF "large GRIB1" convention (common in real archives):
+          // a message over 2^23-1 bytes sets the TOP BIT of the 24-bit
+          // length and stores ceil(trueLen/120) in the low 23 bits —
+          // naively reading the field misparses the length and fails
+          // the 7777/trailing-bytes requires (r8 advice). The field
+          // bounds the true length to (bound-120, bound]; the exact
+          // end is recovered by locating the 7777 trailer in that
+          // 120-byte window, anchored by the next message's GRIB
+          // magic (or EOF) to reject a 7777 that is packed data.
+          val totalLen: Long =
+            if ((rawLen & 0x800000) == 0) rawLen.toLong
+            else {
+              val bound = (rawLen & 0x7fffff).toLong * 120
+              val lo = math.max(8L, bound - 119)
+              val cand = (bound to lo by -1).find { e =>
+                val end = off + e
+                end <= bytes.length && end >= off + 8 &&
+                  new String(bytes, (end - 4).toInt, 4, "US-ASCII") == "7777" &&
+                  (end == bytes.length ||
+                    (end + 4 <= bytes.length &&
+                      new String(bytes, end.toInt, 4, "US-ASCII") == "GRIB"))
+              }
+              cand.getOrElse(throw new IllegalArgumentException(
+                s"large GRIB1 message $idx: no 7777 trailer in the " +
+                  s"extended-length window (bound $bound) — archive " +
+                  "corrupt or an unsupported length convention"))
+            }
           require(off + totalLen <= bytes.length,
             s"truncated GRIB1 message $idx: $totalLen bytes declared")
           val end = off + totalLen.toInt

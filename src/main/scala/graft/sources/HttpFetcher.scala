@@ -35,14 +35,19 @@ import java.time.Duration
 final class HttpFetcher(
     timeoutMs: Long = 30000L,
     maxRetries: Int = 3,
-    retryBackoffMs: Long = 200L) {
+    retryBackoffMs: Long = 200L,
+    auth: Option[HttpAuth] = None) {
 
   private val client = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.NORMAL)
     .connectTimeout(Duration.ofMillis(timeoutMs)).build()
 
-  private def req(url: String) = HttpRequest.newBuilder(URI.create(url))
-    .timeout(Duration.ofMillis(timeoutMs))
+  private def req(url: String) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(timeoutMs))
+    auth.foreach(a => b.header("Authorization", a.headerValue))
+    b
+  }
 
   /** Retry transient failures (IO, 5xx, 429) with linear backoff;
     * return the first conclusive response. */
@@ -147,6 +152,14 @@ final class HttpFetcher(
         Files.deleteIfExists(tmp)
         None
       case ok if ok / 100 == 2 =>
+        // Crash-ordering contract (r8 advice): the OLD validators are
+        // removed BEFORE the new content lands, and the NEW validators
+        // are written (tmp → atomic move, never torn) only AFTER it.
+        // Every crash window therefore leaves content with either no
+        // validators or its own — the worst outcome is a redundant
+        // re-download, never a 304 that wrongly skips new remote
+        // content because stale validators sat beside it.
+        Files.deleteIfExists(sidecar)
         try Files.move(tmp, destPath, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
         catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
@@ -156,11 +169,40 @@ final class HttpFetcher(
           resp.headers().firstValue("ETag").map(v => s"etag\t$v"),
           resp.headers().firstValue("Last-Modified").map(v => s"last-modified\t$v"))
           .flatMap(o => if (o.isPresent) Some(o.get) else None)
-        Files.write(sidecar, lines.mkString("\n").getBytes("UTF-8"))
+        val scTmp = sidecar.resolveSibling(
+          s".tmp-${java.util.UUID.randomUUID()}")
+        Files.write(scTmp, lines.mkString("\n").getBytes("UTF-8"))
+        try Files.move(scTmp, sidecar, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(scTmp, sidecar, StandardCopyOption.REPLACE_EXISTING)
+        }
         Some(destPath)
       case bad =>
         Files.deleteIfExists(tmp)
         throw new java.io.IOException(s"GET $url failed: HTTP $bad")
     }
   }
+}
+
+/** Credential carried on every request the fetcher issues — the
+  * reference's two download auth shapes (`ingest/utils.py:121`
+  * `download_file_temp(url, auth=(user, password))` → HTTP Basic;
+  * `ingest/auth.py:4` BearerAuth / `modis/__init__.py:35` auth_token →
+  * `Authorization: Bearer <token>`). Secrets NEVER appear in
+  * toString/logs — both carriers redact. */
+sealed trait HttpAuth {
+  /** The `Authorization` header value. */
+  def headerValue: String
+}
+
+final case class BasicAuth(username: String, password: String) extends HttpAuth {
+  def headerValue: String = "Basic " + java.util.Base64.getEncoder
+    .encodeToString(s"$username:$password".getBytes("UTF-8"))
+  override def toString: String = s"BasicAuth($username, ****)"
+}
+
+final case class BearerAuth(token: String) extends HttpAuth {
+  def headerValue: String = s"Bearer $token"
+  override def toString: String = "BearerAuth(****)"
 }

@@ -902,12 +902,14 @@ object Streaming {
     * applies before a document can land in training data at all
     * (batch decontamination after the fact means recalling shipped
     * data). The eval/benchmark side is static and benchmark-sized
-    * (d08's stance: a few MB of n-grams vs the 100 TB stream), so its
-    * distinct gram set reduces to ONE broadcast row and the
-    * contamination test is a map-side `array_intersect` — no per-doc
-    * aggregation on the stream, which also keeps the plan to the ONE
-    * streaming aggregation (by source) Structured Streaming allows.
-    * Complete-mode totals make the final read multi-batch-safe. */
+    * (d08's stance: a few MB of n-grams vs the 100 TB stream): it
+    * reduces to a fixed-size executor-built Bloom blob probed map-side
+    * (the d09 prefilter, no false negatives) plus a one-row static
+    * broadcast gram list for the exact confirm of the sparse
+    * might-dirty sliver — no per-doc aggregation on the stream, which
+    * keeps the plan to the ONE streaming aggregation (by source)
+    * Structured Streaming allows. Complete-mode totals make the final
+    * read multi-batch-safe. */
   val st14 = QueryDef(
     "st14_stream_decontaminate",
     """WITH toks AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tk
@@ -928,31 +930,46 @@ object Streaming {
       |FROM tr GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     import graft.functions.Text
     withStreamParallelism(spark, dir) { s =>
-      // benchmark grams (MB-sized by declaration) as ONE broadcast
-      // HashSet probed by a codegen'd expression — NOT array_intersect
-      // against a giant array column, which rebuilds the big side's
-      // hash set per row (rows × |set|: measured 45× past linear at
-      // sf1, the one super-linear entry this suite ever had)
+      import org.apache.spark.sql.graft.ColumnBridge
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      // benchmark grams gated the d09 way (r8 verdict: no data-shaped
+      // driver structure anywhere in the streaming path): the grams
+      // aggregate executor-side into a FIXED-SIZE BloomFilter blob —
+      // the only thing the driver holds — and the stream probes it
+      // map-side via the codegen'd BloomMatchCountExpr (early-exit at
+      // 2; no false negatives, so `< 2` is definitively clean). The
+      // sparse might-dirty sliver is then confirmed EXACTLY against
+      // the gram list carried as a one-row STATIC side of a
+      // stream-static broadcast join (built and shipped executor-side
+      // by the exchange). The conditional confirm only evaluates
+      // array_intersect on bloom-positive rows, so the per-row
+      // set-rebuild cost that made the old naive plan 45× super-linear
+      // is paid only on (true dirty + fp) rows — and NOT
+      // `array_intersect` over every row, which rebuilds the big
+      // side's hash set per row.
       val evalGrams = graft.Tables(s, dir).documents
         .filter(col("doc_id") % 97 === 0)
         .select(explode(array_distinct(
           Text.shingles(Text.tokens(col("text")), 3))).as("g"))
         .distinct()
-        .collect()
-      val gramSet = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
-        evalGrams.length * 2)
-      evalGrams.foreach(r =>
-        gramSet.add(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
-      val bc = s.sparkContext.broadcast(gramSet)
-      import org.apache.spark.sql.graft.ColumnBridge
+      val blob = evalGrams
+        .agg(ColumnBridge.column(new BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("g"))), 4000000L)
+          .toAggregateExpression()).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val egl = evalGrams.agg(collect_list(col("g")).as("eg"))
       val gated = docStream(s, dir)
         .filter(col("doc_id") % 97 =!= 0)
         .withColumn("tk", Text.tokens(col("text")))
         .select(col("source"), size(col("tk")).as("n_tok"),
           array_distinct(Text.shingles(col("tk"), 3)).as("sh"))
-        .withColumn("dirty", ColumnBridge.column(
-          graft.functions.SetMatchCountExpr(
-            ColumnBridge.expression(col("sh")), bc, 2)) >= 2)
+        .withColumn("might", ColumnBridge.column(
+          graft.functions.BloomMatchCountExpr(
+            ColumnBridge.expression(col("sh")), blob, 2)) >= 2)
+        .crossJoin(broadcast(egl))
+        .withColumn("dirty",
+          when(col("might"), size(array_intersect(col("sh"), col("eg"))) >= 2)
+            .otherwise(lit(false)))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("dirty"), 1)).as("n_contaminated"),

@@ -37,6 +37,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\"omitted\""))
   }
 
+  test("contention sentinel: calib samples + load_flag render inside the budget") {
+    // uncontended: tight spread → false
+    val quiet = Bench.renderJson(fakeResults(200), Nil, "sfdir",
+      calib = Seq(0.21, 0.23, 0.20))
+    assert(quiet.length <= Bench.LineBudget)
+    assert(quiet.contains(""""calib":[0.21,0.23,0.20],"load_flag":false"""))
+    // a co-running build mid-suite: spread over 1.5x → true, so the
+    // graded artifact self-identifies instead of reading as a 2x
+    // regression (BENCH_r08's 497 s vs 199.7 s on identical code)
+    val loaded = Bench.renderJson(fakeResults(200), Nil, "sfdir",
+      calib = Seq(0.21, 0.55, 0.24))
+    assert(loaded.contains(""""load_flag":true"""))
+    assert(loaded.length <= Bench.LineBudget)
+    // no samples (filtered dev runs): field simply absent
+    assert(!Bench.renderJson(fakeResults(5), Nil, "sfdir").contains("calib"))
+  }
+
   test("staged queries publish both columns and stay inside the budget") {
     val staged = Bench.Staged.toSeq.sorted.map(n => n -> (31.71, 4.02))
     val line = Bench.renderJson(fakeResults(200), Nil, "sfdir", staged)

@@ -109,6 +109,25 @@ class GeoTiffSpec extends SparkSpec {
         s"($x,$y): imageio=${raster.getSample(x, y, 0)} ours=${ri.value(x, y)}")
   }
 
+  test("encode writes PhotometricInterpretation=1 (TIFF 6.0 baseline-required)") {
+    // strict libtiff/GDAL consumers reject files without tag 262 (r8
+    // advice); walk the IFD of the encoded bytes directly
+    val bytes = GeoTiff.encode(
+      Raster(3, 2, 1, 1, 0, 0, None, grid(3, 2)((x, y) => (x + y).toDouble)))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getInt(4)
+    val n = bb.getShort(ifd) & 0xffff
+    val entries = (0 until n).map { i =>
+      val o = ifd + 2 + i * 12
+      (bb.getShort(o) & 0xffff, bb.getShort(o + 2) & 0xffff, bb.getInt(o + 8))
+    }
+    assert(entries.exists { case (tag, typ, v) => tag == 262 && typ == 3 && v == 1 },
+      s"tag 262 (BlackIsZero) missing from IFD: $entries")
+    // IFD stays sorted by tag id — also TIFF 6.0 required
+    assert(entries.map(_._1) == entries.map(_._1).sorted)
+  }
+
   test("readRaster decodes a directory of tifs task-side into georeferenced rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tifs").toString
     val a = Raster(2, 2, 1, 1, 100, 50, Some(-9999.0),

@@ -83,6 +83,33 @@ class GribMetaSpec extends SparkSpec {
     java.util.Arrays.copyOf(b.array(), total)
   }
 
+  /** The grib1() message re-lengthed per the ECMWF large-message
+    * convention: 24-bit length field = 0x800000 | ceil(trueLen/120). */
+  private def grib1Large(): Array[Byte] = {
+    val m = grib1()
+    val field = 0x800000 | ((m.length + 119) / 120)
+    m(4) = (field >> 16).toByte; m(5) = (field >> 8).toByte; m(6) = field.toByte
+    m
+  }
+
+  test("large-GRIB1 length convention: top-bit messages recover their true end") {
+    // alone in the file (trailer anchored by EOF)
+    val one = GribMeta.decode(grib1Large())
+    assert(one.map(m => (m.edition, m.totalLen, m.centre, m.paramNumber)) ==
+      Seq((1, 83L, 74, 61)))
+    // followed by a normal message (trailer anchored by the next GRIB
+    // magic — a 7777-free tail byte-window must not derail the walk)
+    val two = GribMeta.decode(grib1Large() ++ grib1())
+    assert(two.map(m => (m.msgIndex, m.totalLen)) == Seq((0, 83L), (1, 83L)))
+    assert(two.forall(m => m.ni == 96 && m.nj == 48))
+    // top bit set but the trailer is destroyed → targeted loud error,
+    // never a silent length misparse
+    val corrupt = grib1Large()
+    corrupt(corrupt.length - 2) = 'X'.toByte
+    val e = intercept[IllegalArgumentException](GribMeta.decode(corrupt))
+    assert(e.getMessage.contains("large GRIB1"))
+  }
+
   test("GRIB2 and GRIB1 headers decode; concatenated archives walk message by message") {
     val m2 = GribMeta.decode(grib2())
     assert(m2.length == 1)

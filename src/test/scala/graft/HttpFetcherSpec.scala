@@ -121,6 +121,93 @@ class HttpFetcherSpec extends SparkSpec {
     }
   }
 
+  test("Basic and Bearer auth: 401 without credentials, 200 with; secrets redacted") {
+    import graft.sources.{BasicAuth, BearerAuth}
+    val basicOk = "Basic " + java.util.Base64.getEncoder
+      .encodeToString("alice:s3cret".getBytes("UTF-8"))
+    withServer { ex =>
+      val got = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      val want =
+        if (ex.getRequestURI.getPath.endsWith("basic")) basicOk
+        else "Bearer tok-123"
+      if (!got.contains(want)) {
+        // 401 is non-retryable: must fail on the FIRST attempt, like 404
+        ex.sendResponseHeaders(401, -1)
+      } else if (ex.getRequestMethod == "HEAD") {
+        ex.sendResponseHeaders(200, -1)
+      } else {
+        ex.sendResponseHeaders(200, 2L); ex.getResponseBody.write("ok".getBytes)
+      }
+    } { base =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_auth").toString
+      // unauthenticated → 401, no content lands
+      intercept[java.io.IOException] {
+        new HttpFetcher().fetch(s"$base/basic", s"$dir/x.bin")
+      }
+      assert(!new java.io.File(s"$dir/x.bin").exists())
+      // the reference's two auth shapes (utils.py auth=(u,p); auth.py
+      // BearerAuth): credentials ride every request the fetcher issues
+      val fb = new HttpFetcher(auth = Some(BasicAuth("alice", "s3cret")))
+      fb.fetch(s"$base/basic", s"$dir/b.bin")
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/b.bin"))) == "ok")
+      assert(fb.latestAvailable(Seq("d" -> s"$base/bearer", "c" -> s"$base/basic"))
+        .contains("c"), "HEAD probes must carry the credential too")
+      val ft = new HttpFetcher(auth = Some(BearerAuth("tok-123")))
+      assert(ft.fetchIfChanged(s"$base/bearer", s"$dir/t.bin").isDefined)
+      // secrets never appear in toString/log surfaces
+      assert(!BasicAuth("alice", "s3cret").toString.contains("s3cret"))
+      assert(!BearerAuth("tok-123").toString.contains("tok-123"))
+    }
+  }
+
+  test("conditional-GET with auth: validators and credentials compose") {
+    import graft.sources.BearerAuth
+    @volatile var etag = "\"e1\""
+    withServer { ex =>
+      if (!Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .contains("Bearer t")) ex.sendResponseHeaders(401, -1)
+      else if (Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains(etag))
+        ex.sendResponseHeaders(304, -1)
+      else {
+        ex.getResponseHeaders.set("ETag", etag)
+        ex.sendResponseHeaders(200, 1L); ex.getResponseBody.write("x".getBytes)
+      }
+    } { base =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_condauth").toString
+      val f = new HttpFetcher(auth = Some(BearerAuth("t")))
+      assert(f.fetchIfChanged(s"$base/f", s"$dir/f.bin").isDefined)
+      assert(f.fetchIfChanged(s"$base/f", s"$dir/f.bin").isEmpty, "304 path")
+    }
+  }
+
+  test("validator sidecar lands atomically and never outlives its content") {
+    // crash-ordering contract (r8 advice): after every 200-land the
+    // sidecar matches the content; no .tmp- residue from the sidecar's
+    // own tmp→move; and re-landing first RETIRES the old validators
+    // (stale-validator windows force a re-download, never a bad 304)
+    @volatile var etag = "\"g1\""
+    withServer { ex =>
+      ex.getResponseHeaders.set("ETag", etag)
+      ex.sendResponseHeaders(200, 1L); ex.getResponseBody.write("x".getBytes)
+    } { base =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_sidecar").toString
+      val f = new HttpFetcher()
+      f.fetchIfChanged(s"$base/f", s"$dir/f.bin")
+      val sidecar = java.nio.file.Paths.get(s"$dir/f.bin.http-state")
+      assert(new String(java.nio.file.Files.readAllBytes(sidecar))
+        .contains("\"g1\""))
+      etag = "\"g2\""
+      // no If-None-Match match server-side → re-land, sidecar rolls
+      f.fetchIfChanged(s"$base/f", s"$dir/f.bin")
+      assert(new String(java.nio.file.Files.readAllBytes(sidecar))
+        .contains("\"g2\""))
+      val residue = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith(".tmp-"))
+      assert(residue.isEmpty, residue.mkString(","))
+    }
+  }
+
   test("fetched slices compose with Jobs: land → incremental ingest cycle") {
     import spark.implicits._
     import graft.sources.{JobConfig, Jobs, Notifier}

@@ -401,6 +401,45 @@ class StreamingSpec extends SparkSpec {
     assert(onScan.agg(sum("got")).collect()(0).get(0) != null)
   }
 
+  test("BloomMatchCountExpr: no false negatives, capped, codegen'd, blob-only driver state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // blob built executor-side by Spark's own BloomFilterAggregate over
+    // xxhash64 — the probe must agree with that hashing exactly
+    val blob = Seq("a b c", "c d e", "x y z").toDF("g")
+      .agg(ColumnBridge.column(new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("g"))), 1000L)
+        .toAggregateExpression()).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val df = Seq(
+      Seq("a b c", "q q q"),             // ≥1 true hit
+      Seq("a b c", "c d e", "x y z"),    // 3 true hits, capped at 2
+      Seq("none here"),                  // ~0 (fp-free at this size)
+      Seq.empty[String])
+      .toDF("sh")
+    val cnt = ColumnBridge.column(graft.functions.BloomMatchCountExpr(
+      ColumnBridge.expression(col("sh")), blob, 2))
+    val got = df.select(cnt.as("got")).collect().map(_.getInt(0)).toSeq
+    // no-false-negative side is the hard guarantee: counts are ≥ the
+    // true capped intersection; at 3 items / 1000 expected, fp ≈ 0 so
+    // equality is deterministic here
+    assert(got == Seq(1, 2, 0, 0), got.toString)
+    val onScan = Tables(spark, sf).documents
+      .withColumn("sh", graft.functions.Text.tokens(col("text")))
+      .select(ColumnBridge.column(graft.functions.BloomMatchCountExpr(
+        ColumnBridge.expression(col("sh")), blob, 2)).as("got"))
+    val plan = onScan.queryExecution.executedPlan.toString()
+    assert(plan.contains("*(1) Project [graft_bloom_match_count"),
+      s"codegen must fire (the *(n) whole-stage marker):\n$plan")
+    // interpreted path agrees with codegen
+    val interp = df.select(ColumnBridge.column(graft.functions.BloomMatchCountExpr(
+      ColumnBridge.expression(col("sh")), blob, 2)).as("g"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(interp == got)
+  }
+
   test("st14 streamed decontamination flags exactly the leaked documents") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st14").toString

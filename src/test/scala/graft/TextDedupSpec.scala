@@ -410,7 +410,10 @@ class TextDedupSpec extends SparkSpec {
     for ((name, leaf) <- Seq("d02_minhash_lsh" -> "d02_sigs",
         "d03_simhash" -> "d03_bits")) {
       val path = s"${graft.Fixtures.Root}/$tag/$leaf"
-      assert(graft.SparkEntry.oracleSql(name).contains(s"read_parquet('$path/*.parquet')"),
+      assert(path == graft.Fixtures.pathFor(sf, leaf),
+        "oracle path formula must match the write-side formula")
+      assert(graft.SparkEntry.oracleSqlFor(sf)(name)
+        .contains(s"read_parquet('$path/*.parquet')"),
         s"$name oracle must read the per-sf fixture")
       assert(new java.io.File(path).listFiles(
         (_, n) => n.endsWith(".parquet")).nonEmpty, s"$leaf fixture missing")
