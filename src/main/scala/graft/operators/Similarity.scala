@@ -1081,6 +1081,38 @@ object Similarity {
     * is exactly ROW_NUMBER's (sim DESC, vec_id ASC), and votes are
     * integers with the (count DESC, label ASC) tiebreak pinned on
     * both engines. */
+  /** s18's structural cost gate (the i54/SpatialPairs discipline
+    * applied to the probe×corpus space): brute-force scoring costs
+    * |probes|·|corpus| vector comparisons — the suite's one remaining
+    * documentation-only quadratic until r9. Above this budget s18
+    * AUTO-ROUTES to the IVF-pruned path (64 coarse cells from the
+    * first corpus vectors, probes score only their 8 nearest cells —
+    * ~8× less work, the s04/s19 scale stance) and logs the route;
+    * below it the exact brute force is both the fastest plan and the
+    * DuckDB-oracled one. sf≤0.1 sits ~13× under the default, so every
+    * correctness surface runs exact; the ×10 scale artifact routes.
+    * `graft.s18.pairBudget` overrides the bound;
+    * `graft.s18.route=brute|ivf` pins a side (specs force both). */
+  val KnnPairBudget = 1000000L
+
+  private def knnRouteIsBrute(spark: org.apache.spark.sql.SparkSession,
+      nq: Long, nc: Long): Boolean =
+    spark.conf.get("graft.s18.route", "auto") match {
+      case "brute" => true
+      case "ivf"   => false
+      case _ =>
+        val budget = spark.conf.get("graft.s18.pairBudget",
+          KnnPairBudget.toString).toLong
+        val brute = nq * nc <= budget
+        // the route is never silent: the trap the r8 verdict flagged
+        // was walking into the quadratic at 100x without a trace
+        if (!brute) System.err.println(
+          s"[graft] s18: probe x corpus = $nq x $nc exceeds pairBudget " +
+            s"$budget - routing to the IVF-pruned path (set " +
+            "graft.s18.route=brute to force exact brute force)")
+        brute
+    }
+
   val s18 = QueryDef(
     "s18_knn_label",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
@@ -1118,10 +1150,45 @@ object Similarity {
     // NaN score is never ordered by graft_topk's plain comparisons and
     // would make the buffer insertion-order dependent (r7 ADVICE); the
     // oracle's CASE mirrors the same sentinel
-    val top = corp.join(broadcast(q))
-      .select(col("qid"), col("qlabel"), col("vec_id"),
-        when(denom === 0.0, lit(Double.NegativeInfinity))
-          .otherwise(Vectors.dot(col("v"), col("qv")) / denom).as("sim"))
+    val sim = when(denom === 0.0, lit(Double.NegativeInfinity))
+      .otherwise(Vectors.dot(col("v"), col("qv")) / denom)
+    // structural gate (r8 verdict): both counts are cheap — probes are
+    // dimension-sized by contract, the corpus count is a metadata scan
+    val scored =
+      if (knnRouteIsBrute(spark, q.count(), corp.count()))
+        corp.join(broadcast(q))
+          .select(col("qid"), col("qlabel"), col("vec_id"), sim.as("sim"))
+      else {
+        // IVF route: coarse cells from the first 64 corpus vectors
+        // (s04's deterministic seeding), corpus assigned MAP-SIDE via
+        // the codebook argmax, each probe scoring only its 8 nearest
+        // cells — per-probe work drops from |corpus| to ~|corpus|/8
+        // while the probe-side cell ranking is |probes|x64, broadcast-
+        // sized. Approximate by design (a true neighbor outside the
+        // probed cells is missed) — the documented trade the brute
+        // budget protects, same as s19's centroid shortcut.
+        val cents = corp.orderBy(col("vec_id")).limit(64)
+          .select(col("vec_id"), col("v")).collect()
+          .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+          .toSeq
+        val corpCells = corp.withColumn("cell",
+          Vectors.codebookArgmaxCid(col("v"), cents, spark))
+        val centDf = spark.createDataFrame(
+          cents.map { case (cid, cv) => (cid, cv.toSeq) })
+          .toDF("cell", "cv")
+        val cellSim = Vectors.dot(col("qv"), col("cv")) /
+          (Vectors.norm(col("qv")) * Vectors.norm(col("cv")))
+        val qCells = q.crossJoin(broadcast(centDf))
+          .withColumn("cr", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+              .orderBy(coalesce(cellSim, lit(Double.NegativeInfinity)).desc,
+                col("cell"))))
+          .filter(col("cr") <= 8)
+          .select(col("qid"), col("qlabel"), col("qv"), col("qnorm"), col("cell"))
+        corpCells.join(broadcast(qCells), "cell")
+          .select(col("qid"), col("qlabel"), col("vec_id"), sim.as("sim"))
+      }
+    val top = scored
       .groupBy(col("qid"), col("qlabel"))
       .agg(expr("graft_topk(sim, vec_id, 5)").as("top"))
       .select(col("qid"), col("qlabel"),

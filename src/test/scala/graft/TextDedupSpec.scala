@@ -1555,6 +1555,46 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("s18 pair-budget gate: brute below, IVF route above, identical surface") {
+    // default budget: sf pair space is far below -> brute (the oracled
+    // exact path; this is what every correctness surface runs)
+    val brute = Similarity.s18.fn(spark, sf).collect()
+    assert(brute.nonEmpty)
+    try {
+      // force the scale route on the same data: schema identical, one
+      // prediction per query, votes within k — the surface a caller
+      // sees does not change, only the candidate pruning
+      spark.conf.set("graft.s18.route", "ivf")
+      val ivf = Similarity.s18.fn(spark, sf).collect()
+      assert(ivf.map(_.schema.fieldNames.toSeq).distinct.toSeq ==
+        brute.map(_.schema.fieldNames.toSeq).distinct.toSeq)
+      assert(ivf.map(_.getAs[Long]("query_id")).toSeq ==
+        brute.map(_.getAs[Long]("query_id")).toSeq,
+        "every probe must still get exactly one prediction")
+      ivf.foreach(r => assert(r.getAs[Long]("votes") >= 1 &&
+        r.getAs[Long]("votes") <= 5, r.toString))
+      // pruned candidates: IVF agreement with brute is high but not
+      // required to be total — cells that miss a true neighbor are the
+      // documented trade; on this data the 64-cell codebook over ~490
+      // corpus vectors keeps most neighborhoods intact
+      val bruteBy = brute.map(r =>
+        r.getAs[Long]("query_id") -> r.getAs[Int]("pred_label")).toMap
+      val agree = ivf.count(r =>
+        bruteBy(r.getAs[Long]("query_id")) == r.getAs[Int]("pred_label"))
+      assert(agree * 2 >= ivf.length,
+        s"IVF route lost the plot: $agree/${ivf.length} agree with brute")
+      // the auto gate itself: a tiny budget must pick the IVF route
+      spark.conf.set("graft.s18.route", "auto")
+      spark.conf.set("graft.s18.pairBudget", "1")
+      val routed = Similarity.s18.fn(spark, sf).collect()
+      assert(routed.map(_.getAs[Long]("query_id")).toSeq ==
+        ivf.map(_.getAs[Long]("query_id")).toSeq)
+    } finally {
+      spark.conf.unset("graft.s18.route")
+      spark.conf.unset("graft.s18.pairBudget")
+    }
+  }
+
   test("m10 silence trim: crafted quiet-loud-quiet payload trims both ends") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_m10").toString
