@@ -3126,10 +3126,81 @@ object Ingest {
       .orderBy(col("station"))
   }
 
+  /** i62: the ACQUIRE→DECODE transport rung inside the correctness
+    * gate — a deterministic lineitem aggregate is laid out as a CF
+    * grid, written through the clean-room [[graft.sources.NetCdf]]
+    * encoder as a real `.nc` cube (record time dim, coordinate vars,
+    * `_FillValue`, CF time units), read BACK through the
+    * [[graft.sources.NcGridSource]] DSv2 scan (per-(file×step) splits),
+    * and emitted with its decoded georeferencing and timestamps. The
+    * DuckDB oracle recomputes the grid DIRECTLY from lineitem — any
+    * codec bit-slip (layout, record stride, CF unpack, time base)
+    * breaks the hash. The reference's `.nc`→slice→product path
+    * (`cams_forecast/__init__.py:63`, `tamsat_rainfall/__init__.py:184`)
+    * as ONE oracled operator.
+    *
+    * Scale shape: the grid is FIXED-size (2×8×12 — model-state-sized,
+    * like s04's codebook), so the driver-side encode is bounded by the
+    * grid, never the data; the aggregation feeding it is one
+    * partial-agg shuffle with 192 groups out, and the read-back fans
+    * out per (file × time step). Empty cells land as fill and are
+    * dropped by the source — absent from both engines. */
+  def i62: QueryDef = QueryDef(
+    "i62_nc_grid_cycle",
+    """WITH g AS (
+      |  SELECT CAST(l_linenumber % 2 AS INTEGER) AS t,
+      |    CAST(l_suppkey % 8 AS INTEGER) AS y,
+      |    CAST(l_partkey % 12 AS INTEGER) AS x,
+      |    CAST(SUM(l_quantity) AS DOUBLE) AS v
+      |  FROM lineitem GROUP BY 1, 2, 3)
+      |SELECT t, STRFTIME(DATE '1995-01-01' + t, '%Y-%m-%d') AS time_day,
+      |  x, y, -10.0 + x * 0.5 AS lon, 10.0 - y * 0.5 AS lat,
+      |  ROUND(v, 2) AS value
+      |FROM g ORDER BY t, y, x""".stripMargin) { (spark, dir) =>
+    import graft.sources.NetCdf
+    import graft.sources.NetCdf.{Att, Dim, VarSpec}
+    val (nt, ny, nx) = (2, 8, 12)
+    val cells = Tables(spark, dir).lineitem
+      .groupBy((col("l_linenumber") % 2).cast("int").as("t"),
+        (col("l_suppkey") % 8).cast("int").as("y"),
+        (col("l_partkey") % 12).cast("int").as("x"))
+      .agg(sum(col("l_quantity")).cast("double").as("v"))
+      .collect() // bounded by the fixed grid (≤192 cells), not the data
+    val values = Array.fill(nt * ny * nx)(-9999.0)
+    cells.foreach(r =>
+      values(r.getInt(0) * ny * nx + r.getInt(1) * nx + r.getInt(2)) =
+        r.getDouble(3))
+    val nc = NetCdf.encode(
+      Seq(Dim("time", 0), Dim("lat", ny), Dim("lon", nx)), Nil,
+      Seq(
+        VarSpec("time", Seq("time"), NetCdf.NcDouble,
+          atts = Seq(Att("units", Some("days since 1995-01-01"), Array.empty)),
+          values = Array.tabulate(nt)(_.toDouble)),
+        VarSpec("lat", Seq("lat"), NetCdf.NcDouble,
+          values = Array.tabulate(ny)(10.0 - _ * 0.5)),
+        VarSpec("lon", Seq("lon"), NetCdf.NcDouble,
+          values = Array.tabulate(nx)(-10.0 + _ * 0.5)),
+        VarSpec("qty", Seq("time", "lat", "lon"), NetCdf.NcDouble,
+          atts = Seq(Att("_FillValue", None, Array(-9999.0))),
+          values = values)),
+      numRecs = nt)
+    val ncDir = java.nio.file.Paths.get(
+      graft.Fixtures.pathFor(dir, "i62_nc"))
+    java.nio.file.Files.createDirectories(ncDir)
+    java.nio.file.Files.write(ncDir.resolve("grid.nc"), nc)
+    spark.read.format("graft.sources.NcGridSource")
+      .option("path", ncDir.toString).option("var", "qty").load()
+      .select(col("t"),
+        date_format(col("time"), "yyyy-MM-dd").as("time_day"),
+        col("x"), col("y"), col("lon"), col("lat"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("t"), col("y"), col("x"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
-    i54, i55, i56, i57, i58, i59, i60, i61)
+    i54, i55, i56, i57, i58, i59, i60, i61, i62)
 }

@@ -1,0 +1,533 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Clean-room NetCDF-3 codec (classic CDF-1 and 64-bit-offset CDF-2),
+  * written from the PUBLIC classic-format specification (the NetCDF
+  * User Guide's file-format appendix — `magic numrecs dim_list
+  * gatt_list var_list` header, big-endian, 4-byte alignment), closing
+  * the reference's single most-used transport format: CAMS downloads
+  * `.nc` and opens with xarray
+  * (`/root/reference/ingest/cams_forecast/__init__.py:63`), TAMSAT
+  * reads `.nc` rasters via rioxarray
+  * (`tamsat_rainfall/__init__.py:11,184`), and the dust forecast
+  * downloads `.nc` behind auth (`dustforecast/__init__.py:76`) — in
+  * every case slicing `ds[var].isel(time=i)` into per-date 2-D grids.
+  *
+  * Same rungs as the [[GeoTiff]] codec:
+  *   - decode is TASK-side (see [[NcGridSource]] / [[readGrid]]) —
+  *     the driver never touches payload bytes;
+  *   - unsupported layouts fail LOUDLY (CDF-5, char data variables,
+  *     more than one non-singleton extra dimension) — the codec-gate
+  *     discipline: never silently misread;
+  *   - `encode` writes the same subset it reads, giving byte-level
+  *     round-trip specs plus hand-crafted independent fixtures.
+  *
+  * CF conventions honored on the grid path: `scale_factor` /
+  * `add_offset` unpacking, `_FillValue` / `missing_value` matched on
+  * the RAW (packed) value, coordinate variables named like their
+  * dimension, and `<unit> since <epoch>` time decoding.
+  */
+object NetCdf {
+
+  // classic nc_type codes (public spec §"The Format in Detail")
+  val NcByte = 1; val NcChar = 2; val NcShort = 3
+  val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+
+  private def widthOf(t: Int): Int = t match {
+    case NcByte | NcChar => 1
+    case NcShort => 2
+    case NcInt | NcFloat => 4
+    case NcDouble => 8
+    case other => throw new IllegalArgumentException(s"unknown nc_type $other")
+  }
+
+  /** length == 0 marks the record (unlimited) dimension. */
+  final case class Dim(name: String, length: Int) {
+    def isRecord: Boolean = length == 0
+  }
+
+  /** Attribute: text (NC_CHAR) or numeric values widened to double
+    * (classic NetCDF has no 64-bit integers, so double is lossless). */
+  final case class Att(name: String, text: Option[String], nums: Array[Double]) {
+    def num: Option[Double] = nums.headOption
+  }
+
+  final case class Variable(
+      name: String, dimIds: Seq[Int], atts: Seq[Att],
+      ncType: Int, begin: Long) {
+    def att(n: String): Option[Att] = atts.find(_.name == n)
+  }
+
+  final case class NcFile(
+      version: Int, numRecs: Int, dims: Seq[Dim], gatts: Seq[Att],
+      vars: Seq[Variable], bytes: Array[Byte]) {
+
+    def variable(name: String): Variable = vars.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no variable '$name' (have: ${vars.map(_.name).mkString(", ")})"))
+
+    def isRecordVar(v: Variable): Boolean =
+      v.dimIds.headOption.exists(dims(_).isRecord)
+
+    /** Shape with the record dimension resolved to numrecs. */
+    def shapeOf(v: Variable): Array[Int] =
+      v.dimIds.map(i => if (dims(i).isRecord) numRecs else dims(i).length).toArray
+
+    private def perRecordSize(v: Variable): Long = {
+      val fixed = v.dimIds.drop(1).map(dims(_).length.toLong).product
+      fixed * widthOf(v.ncType)
+    }
+
+    private lazy val recordVars = vars.filter(isRecordVar)
+
+    /** Byte stride of one record slab: each record variable's
+      * per-record block padded to 4 — except the special case of
+      * exactly ONE record variable, which the spec leaves unpadded. */
+    lazy val recordStride: Long =
+      if (recordVars.size == 1) perRecordSize(recordVars.head)
+      else recordVars.map(v => pad4(perRecordSize(v))).sum
+
+    /** All values of a numeric variable, row-major (record dim
+      * outermost), widened to double. */
+    def read(name: String): Array[Double] = {
+      val v = variable(name)
+      require(v.ncType != NcChar,
+        s"variable '$name' is NC_CHAR text, not numeric grid data")
+      val w = widthOf(v.ncType)
+      val shape = shapeOf(v)
+      val total = shape.foldLeft(1L)(_ * _)
+      require(total <= Int.MaxValue, s"variable '$name' too large: $total")
+      val out = new Array[Double](total.toInt)
+      if (isRecordVar(v)) {
+        val perRec = (total / math.max(1, numRecs)).toInt
+        var r = 0
+        while (r < numRecs) {
+          readSlab(v.begin + r * recordStride, w, v.ncType, out, r * perRec, perRec)
+          r += 1
+        }
+      } else readSlab(v.begin, w, v.ncType, out, 0, total.toInt)
+      out
+    }
+
+    private def readSlab(at: Long, w: Int, t: Int, out: Array[Double],
+        outOff: Int, n: Int): Unit = {
+      require(at >= 0 && at + n.toLong * w <= bytes.length,
+        s"data slab [$at, ${at + n.toLong * w}) outside file (${bytes.length} bytes)")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      var i = 0
+      var o = at.toInt
+      while (i < n) {
+        out(outOff + i) = t match {
+          case NcByte => bb.get(o).toDouble
+          case NcShort => bb.getShort(o).toDouble
+          case NcInt => bb.getInt(o).toDouble
+          case NcFloat => bb.getFloat(o).toDouble
+          case NcDouble => bb.getDouble(o)
+        }
+        o += w
+        i += 1
+      }
+    }
+  }
+
+  private def pad4(n: Long): Long = (n + 3) & ~3L
+
+  // ---- header decode ----------------------------------------------------
+
+  private final class Reader(bytes: Array[Byte]) {
+    val bb: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var pos = 0
+    def i4(): Int = { val v = bb.getInt(pos); pos += 4; v }
+    def i8(): Long = { val v = bb.getLong(pos); pos += 8; v }
+    def name(): String = {
+      val n = i4()
+      require(n >= 0 && pos + n <= bytes.length, s"bad name length $n at $pos")
+      val s = new String(bytes, pos, n, "UTF-8")
+      pos += pad4(n).toInt
+      s
+    }
+  }
+
+  /** Parse the header; payload access stays lazy via [[NcFile.read]]. */
+  def decode(bytes: Array[Byte]): NcFile = {
+    require(bytes.length >= 8, "too short for a NetCDF header")
+    require(bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
+      "missing CDF magic — not a classic NetCDF file")
+    val version = bytes(3).toInt
+    require(version == 1 || version == 2,
+      s"unsupported CDF version $version (classic=1, 64-bit offset=2; " +
+        "CDF-5 and NetCDF-4/HDF5 are out of scope)")
+    val r = new Reader(bytes)
+    r.pos = 4
+    val numRecs = r.i4() // STREAMING (-1) not supported: landed files only
+    require(numRecs >= 0, "STREAMING record count not supported")
+
+    def attList(): Seq[Att] = {
+      val tag = r.i4(); val n = r.i4()
+      require((tag == 0x0C && n >= 0) || (tag == 0 && n == 0),
+        s"bad attribute list tag $tag")
+      (0 until n).map { _ =>
+        val nm = r.name()
+        val t = r.i4()
+        val count = r.i4()
+        require(count >= 0, s"bad attribute count for $nm")
+        val w = widthOf(t)
+        val end = r.pos + pad4(count.toLong * w).toInt
+        require(end <= bytes.length, s"attribute $nm overruns file")
+        val att =
+          if (t == NcChar)
+            Att(nm, Some(new String(bytes, r.pos, count, "UTF-8")), Array.empty)
+          else {
+            val vals = new Array[Double](count)
+            var i = 0
+            while (i < count) {
+              vals(i) = t match {
+                case NcByte => r.bb.get(r.pos + i * w).toDouble
+                case NcShort => r.bb.getShort(r.pos + i * w).toDouble
+                case NcInt => r.bb.getInt(r.pos + i * w).toDouble
+                case NcFloat => r.bb.getFloat(r.pos + i * w).toDouble
+                case NcDouble => r.bb.getDouble(r.pos + i * w)
+              }
+              i += 1
+            }
+            Att(nm, None, vals)
+          }
+        r.pos = end
+        att
+      }
+    }
+
+    val dimTag = r.i4(); val nDims = r.i4()
+    require((dimTag == 0x0A && nDims >= 0) || (dimTag == 0 && nDims == 0),
+      s"bad dimension list tag $dimTag")
+    val dims = (0 until nDims).map(_ => Dim(r.name(), r.i4()))
+    require(dims.count(_.isRecord) <= 1, "more than one record dimension")
+    val gatts = attList()
+    val varTag = r.i4(); val nVars = r.i4()
+    require((varTag == 0x0B && nVars >= 0) || (varTag == 0 && nVars == 0),
+      s"bad variable list tag $varTag")
+    val vars = (0 until nVars).map { _ =>
+      val nm = r.name()
+      val nd = r.i4()
+      require(nd >= 0 && nd <= dims.size, s"variable $nm: bad rank $nd")
+      val dimIds = (0 until nd).map { _ =>
+        val id = r.i4()
+        require(id >= 0 && id < dims.size, s"variable $nm: bad dim id $id")
+        id
+      }
+      // the record dim may only appear first (spec: record dims are
+      // outermost); misplaced means a corrupt or exotic file
+      dimIds.drop(1).foreach(id => require(!dims(id).isRecord,
+        s"variable $nm: record dimension not outermost"))
+      val atts = attList()
+      val t = r.i4()
+      widthOf(t) // validates the type code
+      r.i4() // vsize: redundant (recomputed from dims) and overflow-prone
+      val begin = if (version == 2) r.i8() else r.i4().toLong
+      require(begin >= 0 && begin <= bytes.length,
+        s"variable $nm: begin $begin outside file")
+      Variable(nm, dimIds, atts, t, begin)
+    }
+    NcFile(version, numRecs, dims, gatts, vars, bytes)
+  }
+
+  // ---- encode -----------------------------------------------------------
+
+  /** Variable payload handed to [[encode]]: values row-major with the
+    * record dimension (if any) outermost, widened to double; written
+    * back at `ncType` precision. */
+  final case class VarSpec(name: String, dimNames: Seq[String], ncType: Int,
+      atts: Seq[Att] = Nil, values: Array[Double] = Array.empty)
+
+  /** Write a classic (CDF-1) or 64-bit-offset (CDF-2) file. `dims`
+    * with length 0 is the record dimension; `numRecs` gives its
+    * materialized length. */
+  def encode(dims: Seq[Dim], gatts: Seq[Att], vars: Seq[VarSpec],
+      numRecs: Int = 0, version: Int = 1): Array[Byte] = {
+    require(version == 1 || version == 2, s"bad version $version")
+    val dimIdx = dims.map(_.name).zipWithIndex.toMap
+    def isRec(v: VarSpec) =
+      v.dimNames.headOption.exists(n => dims(dimIdx(n)).isRecord)
+
+    def nameBytes(s: String): Array[Byte] = {
+      val b = s.getBytes("UTF-8")
+      ByteBuffer.allocate(4 + pad4(b.length).toInt).putInt(b.length).put(b).array()
+    }
+    def attBytes(a: Att): Array[Byte] = a.text match {
+      case Some(t) =>
+        val tb = t.getBytes("UTF-8")
+        val bb = ByteBuffer.allocate(
+          nameBytes(a.name).length + 8 + pad4(tb.length).toInt)
+        bb.put(nameBytes(a.name)).putInt(NcChar).putInt(tb.length).put(tb)
+        bb.array()
+      case None =>
+        val bb = ByteBuffer.allocate(nameBytes(a.name).length + 8 + a.nums.length * 8)
+        bb.put(nameBytes(a.name)).putInt(NcDouble).putInt(a.nums.length)
+        a.nums.foreach(bb.putDouble)
+        bb.array()
+    }
+    def listBytes(tag: Int, items: Seq[Array[Byte]]): Array[Byte] = {
+      if (items.isEmpty) Array.fill[Byte](8)(0)
+      else {
+        val bb = ByteBuffer.allocate(8 + items.map(_.length).sum)
+        bb.putInt(tag).putInt(items.size)
+        items.foreach(bb.put)
+        bb.array()
+      }
+    }
+    val dimsB = listBytes(0x0A,
+      dims.map(d => nameBytes(d.name) ++ ByteBuffer.allocate(4).putInt(d.length).array()))
+    val gattsB = listBytes(0x0C, gatts.map(attBytes))
+
+    def varSize(v: VarSpec): Long = {
+      val fixed = v.dimNames.filterNot(n => dims(dimIdx(n)).isRecord)
+        .map(n => dims(dimIdx(n)).length.toLong).product
+      fixed * widthOf(v.ncType)
+    }
+    val beginWidth = if (version == 2) 8 else 4
+    def varHeaderLen(v: VarSpec): Int =
+      nameBytes(v.name).length + 4 + v.dimNames.size * 4 +
+        listBytes(0x0C, v.atts.map(attBytes)).length + 4 + 4 + beginWidth
+
+    val headerLen = 8 + dimsB.length + gattsB.length +
+      (if (vars.isEmpty) 8 else 8 + vars.map(varHeaderLen).sum)
+    // layout: fixed vars (padded to 4) then the record section
+    val fixedVars = vars.filterNot(isRec)
+    val recVars = vars.filter(isRec)
+    val begins = scala.collection.mutable.Map.empty[String, Long]
+    var off = pad4(headerLen)
+    fixedVars.foreach { v => begins(v.name) = off; off = pad4(off + varSize(v)) }
+    val recStride =
+      if (recVars.size == 1) varSize(recVars.head)
+      else recVars.map(v => pad4(varSize(v))).sum
+    var recOff = off
+    recVars.foreach { v =>
+      begins(v.name) = recOff
+      recOff += (if (recVars.size == 1) varSize(v) else pad4(varSize(v)))
+    }
+    val total = off + recStride * numRecs
+    require(version == 2 || total <= Int.MaxValue, "file too large for CDF-1")
+
+    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.BIG_ENDIAN)
+    out.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(version.toByte)
+    out.putInt(numRecs)
+    out.put(dimsB).put(gattsB)
+    if (vars.isEmpty) out.putInt(0).putInt(0)
+    else {
+      out.putInt(0x0B).putInt(vars.size)
+      vars.foreach { v =>
+        out.put(nameBytes(v.name))
+        out.putInt(v.dimNames.size)
+        v.dimNames.foreach(n => out.putInt(dimIdx(n)))
+        out.put(listBytes(0x0C, v.atts.map(attBytes)))
+        out.putInt(v.ncType)
+        out.putInt(math.min(pad4(varSize(v)), Int.MaxValue.toLong).toInt)
+        if (version == 2) out.putLong(begins(v.name)) else out.putInt(begins(v.name).toInt)
+      }
+    }
+    def putVal(at: Int, t: Int, d: Double): Unit = t match {
+      case NcByte => out.put(at, d.toByte)
+      case NcShort => out.putShort(at, d.toShort)
+      case NcInt => out.putInt(at, d.toInt)
+      case NcFloat => out.putFloat(at, d.toFloat)
+      case NcDouble => out.putDouble(at, d)
+      case NcChar => throw new IllegalArgumentException(
+        "NC_CHAR data variables not supported by this writer")
+    }
+    fixedVars.foreach { v =>
+      val w = widthOf(v.ncType)
+      val n = (varSize(v) / w).toInt
+      require(v.values.length == n,
+        s"${v.name}: ${v.values.length} values for $n cells")
+      var i = 0
+      while (i < n) { putVal((begins(v.name) + i.toLong * w).toInt, v.ncType, v.values(i)); i += 1 }
+    }
+    recVars.foreach { v =>
+      val w = widthOf(v.ncType)
+      val perRec = (varSize(v) / w).toInt
+      require(v.values.length == perRec * numRecs,
+        s"${v.name}: ${v.values.length} values for $perRec x $numRecs cells")
+      var r = 0
+      while (r < numRecs) {
+        var i = 0
+        while (i < perRec) {
+          putVal((begins(v.name) + r * recStride + i.toLong * w).toInt,
+            v.ncType, v.values(r * perRec + i))
+          i += 1
+        }
+        r += 1
+      }
+    }
+    out.array()
+  }
+
+  // ---- grid mapping (the xarray `ds[var].isel(time=i)` shape) ----------
+
+  /** One decoded grid cell row: `(t, timeMicros, x, y, lon, lat,
+    * value)`; `value` NaN = fill. */
+  final case class GridCell(t: Int, timeMicros: Option[Long], x: Int, y: Int,
+      lon: Double, lat: Double, value: Double)
+
+  private val LonNames = Set("lon", "longitude", "x")
+  private val LatNames = Set("lat", "latitude", "y")
+  private val TimeNames = Set("time", "t")
+
+  /** CF `"<unit> since <epoch>"` → micros-per-step and epoch micros.
+    * Returns None when the units string isn't a recognizable CF time. */
+  private[graft] def cfTimeBase(units: String): Option[(Long, Long)] = {
+    val m = "(?i)^\\s*(seconds?|minutes?|hours?|days?)\\s+since\\s+(.+?)\\s*$"
+      .r.findFirstMatchIn(units)
+    m.flatMap { g =>
+      val step = g.group(1).toLowerCase match {
+        case s if s.startsWith("second") => 1000000L
+        case s if s.startsWith("minute") => 60L * 1000000
+        case s if s.startsWith("hour") => 3600L * 1000000
+        case _ => 86400L * 1000000
+      }
+      // epoch forms seen in the wild: "1970-01-01", "1900-01-01 00:00:00.0",
+      // "2000-01-01T00:00:00Z"
+      val e = "^(\\d{4})-(\\d{1,2})-(\\d{1,2})([T ](\\d{1,2}):(\\d{2})(:(\\d{2}))?)?"
+        .r.findFirstMatchIn(g.group(2))
+      e.map { d =>
+        val ld = java.time.LocalDateTime.of(d.group(1).toInt, d.group(2).toInt,
+          d.group(3).toInt,
+          Option(d.group(5)).map(_.toInt).getOrElse(0),
+          Option(d.group(6)).map(_.toInt).getOrElse(0),
+          Option(d.group(8)).map(_.toInt).getOrElse(0))
+        (step, ld.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+      }
+    }
+  }
+
+  /** Decode one variable of one file into grid cells — the exact slice
+    * walk the reference does per `.nc`: for each time index, the 2-D
+    * (y, x) grid with CF unpacking. Axes resolve by dimension NAME
+    * (lon/longitude/x, lat/latitude/y, time/t — case-insensitive) with
+    * the trailing two dims as the (y, x) fallback; singleton extra
+    * dims (e.g. level=1) are squeezed; >1 non-singleton extra dim is
+    * refused loudly.
+    *
+    * `onlyT` restricts to ONE time index and reads only that slice's
+    * bytes (random-access into the fixed/record layout) — what lets
+    * [[NcGridSource]] split a multi-step cube per (file × step)
+    * without each task paying the whole cube's decode. */
+  def gridCells(f: NcFile, varName: String,
+      onlyT: Option[Int] = None): Iterator[GridCell] = {
+    val v = f.variable(varName)
+    val shape = f.shapeOf(v)
+    val dimNames = v.dimIds.map(f.dims(_).name)
+    val lower = dimNames.map(_.toLowerCase)
+    def findAxis(names: Set[String], fallback: Int): Int =
+      lower.indexWhere(names.contains) match {
+        case -1 => fallback
+        case i => i
+      }
+    require(v.dimIds.size >= 2, s"$varName: need at least 2 dims for a grid")
+    val xAxis = findAxis(LonNames, dimNames.size - 1)
+    val yAxis = findAxis(LatNames, dimNames.size - 2)
+    require(xAxis != yAxis, s"$varName: could not resolve distinct x/y axes")
+    val tAxis = lower.indexWhere(TimeNames.contains)
+    val extra = dimNames.indices
+      .filterNot(i => i == xAxis || i == yAxis || i == tAxis)
+    extra.foreach(i => require(shape(i) == 1,
+      s"$varName: non-singleton extra dimension '${dimNames(i)}' " +
+        s"(${shape(i)}) — slice it upstream"))
+
+    // coordinate variables: 1-D, named like the dimension
+    def coords(axis: Int): Option[Array[Double]] =
+      f.vars.find(cv => cv.name == dimNames(axis) && cv.dimIds == Seq(v.dimIds(axis)))
+        .map(cv => f.read(cv.name))
+    val lons = coords(xAxis)
+    val lats = coords(yAxis)
+    val times: Option[Array[Long]] =
+      if (tAxis < 0) None
+      else f.vars.find(cv => cv.name == dimNames(tAxis) &&
+          cv.dimIds == Seq(v.dimIds(tAxis)))
+        .flatMap { cv =>
+          cv.att("units").flatMap(_.text).flatMap(cfTimeBase).map {
+            case (step, epoch) =>
+              f.read(cv.name).map(t => epoch + (t * step).toLong)
+          }
+        }
+
+    // CF unpacking; fill matched on the RAW packed value
+    val scale = v.att("scale_factor").flatMap(_.num).getOrElse(1.0)
+    val offset = v.att("add_offset").flatMap(_.num).getOrElse(0.0)
+    val fill = v.att("_FillValue").orElse(v.att("missing_value")).flatMap(_.num)
+
+    val nt = if (tAxis >= 0) shape(tAxis) else 1
+    val ny = shape(yAxis); val nx = shape(xAxis)
+    // row-major strides over the full shape
+    val strides = new Array[Long](shape.length)
+    var acc = 1L
+    for (i <- shape.indices.reverse) { strides(i) = acc; acc *= shape(i) }
+
+    // random-access raw reads: a single t-slice touches only its own
+    // bytes (record slabs resolved through recordStride)
+    val w = widthOf(v.ncType)
+    require(v.ncType != NcChar,
+      s"variable '$varName' is NC_CHAR text, not numeric grid data")
+    val bb = ByteBuffer.wrap(f.bytes).order(ByteOrder.BIG_ENDIAN)
+    val isRec = f.isRecordVar(v)
+    val perRec = if (isRec) shape.drop(1).map(_.toLong).product else 0L
+    def rawAt(idx: Long): Double = {
+      val off =
+        if (isRec) v.begin + (idx / perRec) * f.recordStride + (idx % perRec) * w
+        else v.begin + idx * w
+      require(off >= 0 && off + w <= f.bytes.length,
+        s"$varName: cell $idx at byte $off outside file")
+      v.ncType match {
+        case NcByte => bb.get(off.toInt).toDouble
+        case NcShort => bb.getShort(off.toInt).toDouble
+        case NcInt => bb.getInt(off.toInt).toDouble
+        case NcFloat => bb.getFloat(off.toInt).toDouble
+        case NcDouble => bb.getDouble(off.toInt)
+      }
+    }
+
+    onlyT.foreach(t => require(t >= 0 && t < nt,
+      s"$varName: time index $t outside [0, $nt)"))
+    val tIter = onlyT match {
+      case Some(t) => Iterator.single(t)
+      case None => Iterator.range(0, nt)
+    }
+    for {
+      t <- tIter
+      y <- Iterator.range(0, ny)
+      x <- Iterator.range(0, nx)
+    } yield {
+      var idx = y * strides(yAxis) + x * strides(xAxis)
+      if (tAxis >= 0) idx += t * strides(tAxis)
+      val raw = rawAt(idx)
+      val isFill = fill.exists(fv => raw == fv || (raw.isNaN && fv.isNaN)) ||
+        (fill.isEmpty && raw.isNaN)
+      GridCell(t, times.map(_(t)), x, y,
+        lons.map(_(x)).getOrElse(x.toDouble),
+        lats.map(_(y)).getOrElse(y.toDouble),
+        if (isFill) Double.NaN else raw * scale + offset)
+    }
+  }
+
+  /** Distributed `.nc`→rows decode over a binaryFile glob — the
+    * [[GeoTiff.readRaster]] twin: one task per file, rows
+    * `(path, var, t, time, x, y, lon, lat, value)`, fill cells dropped
+    * unless `keepFill`. */
+  def readGrid(spark: org.apache.spark.sql.SparkSession, path: String,
+      varName: String, keepFill: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, bytes) =>
+        gridCells(decode(bytes), varName)
+          .filter(c => keepFill || !c.value.isNaN)
+          .map(c => (p, varName, c.t,
+            c.timeMicros.map(m => new java.sql.Timestamp(m / 1000)).orNull,
+            c.x, c.y, c.lon, c.lat,
+            if (c.value.isNaN) None else Some(c.value)))
+      })
+      .toDF("path", "var", "t", "time", "x", "y", "lon", "lat", "value")
+  }
+}

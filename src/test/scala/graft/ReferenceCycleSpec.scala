@@ -88,4 +88,68 @@ class ReferenceCycleSpec extends SparkSpec {
       assert(fetches.get() == 2)
     } finally server.stop(0)
   }
+
+  test("nc cycle: authed fetch → NcGridSource slices → per-date tif products") {
+    // the CAMS/dust shape end-to-end on the r9 pieces: a `.nc` cube
+    // (2 lead times) served behind Bearer auth; the engine lands it,
+    // reads it through the DSv2 source, and publishes one per-date tif
+    // per time step — `ds[var].isel(time=i)` → COG, clean-room
+    import graft.sources.{BearerAuth, NetCdf}
+    import graft.sources.NetCdf.{Att, Dim, VarSpec}
+    val ncBytes = NetCdf.encode(
+      Seq(Dim("time", 0), Dim("lat", 2), Dim("lon", 3)), Nil,
+      Seq(
+        VarSpec("time", Seq("time"), NetCdf.NcDouble,
+          atts = Seq(Att("units", Some("hours since 2024-06-01 00:00"),
+            Array.empty)),
+          values = Array(0.0, 24.0)),
+        VarSpec("lat", Seq("lat"), NetCdf.NcDouble, values = Array(10.0, 9.5)),
+        VarSpec("lon", Seq("lon"), NetCdf.NcDouble,
+          values = Array(-10.0, -9.5, -9.0)),
+        VarSpec("pm2p5", Seq("time", "lat", "lon"), NetCdf.NcFloat,
+          atts = Seq(Att("_FillValue", None, Array(-9999.0))),
+          values = Array(12, 20, -9999, 8, 16, 24, // t=0
+            13, 21, -9999, 9, 17, 25).map(_.toDouble))), // t=1
+      numRecs = 2)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/nc", (ex: com.sun.net.httpserver.HttpExchange) => {
+      if (!Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .contains("Bearer cams-token")) ex.sendResponseHeaders(401, -1)
+      else {
+        ex.sendResponseHeaders(200, ncBytes.length.toLong)
+        ex.getResponseBody.write(ncBytes)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val root = java.nio.file.Files.createTempDirectory("graft_nccycle").toString
+      // unauthenticated fetch refused — the dustforecast auth=(u,p) /
+      // BearerAuth path is load-bearing, not decorative
+      intercept[java.io.IOException] {
+        new HttpFetcher().fetch(s"$base/nc", s"$root/landing/x.nc")
+      }
+      new HttpFetcher(auth = Some(BearerAuth("cams-token")))
+        .fetch(s"$base/nc", s"$root/landing/forecast.nc")
+      val df = spark.read.format("graft.sources.NcGridSource")
+        .option("path", s"$root/landing").option("var", "pm2p5").load()
+      // one tif per time step, keyed by the decoded CF date
+      val dates = df.select(col("t"), date_format(col("time"), "yyyy-MM-dd")
+        .as("dk")).distinct().collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(dates == Map(0 -> "2024-06-01", 1 -> "2024-06-02"))
+      val published = dates.toSeq.sortBy(_._1).map { case (t, dk) =>
+        GeoTiff.publishTif(
+          df.filter(col("t") === t).select(col("x"), col("y"), col("value")),
+          "x", "y", "value", 3, 2, s"$root/out", "cams_pm2p5", dk,
+          scaleX = 0.5, scaleY = 0.5, tieX = -10.25, tieY = 10.25)
+      }
+      assert(published.size == 2)
+      val t1 = GeoTiff.decode(java.nio.file.Files.readAllBytes(published(1)))
+      assert(t1.value(0, 0) == 13.0 && t1.value(2, 1) == 25.0)
+      assert(t1.isNodata(t1.value(2, 0)), "fill must land as nodata in the tif")
+    } finally server.stop(0)
+  }
 }
