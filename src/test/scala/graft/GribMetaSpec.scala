@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.GribMeta
+import org.apache.spark.sql.functions._
 
 /** GRIB message-metadata scanner over hand-built messages laid out per
   * the public WMO GRIB1/GRIB2 section structure. */
@@ -81,6 +82,131 @@ class GribMetaSpec extends SparkSpec {
     (4 to 11).foreach(_ => b.put(0.toByte))
     b.put("7777".getBytes("US-ASCII"))
     java.util.Arrays.copyOf(b.array(), total)
+  }
+
+  /** GRIB2 message with a REAL simple-packed payload (templates
+    * 5.0/7.0): n-bit big-endian fields X, value = (R + X·2^E)/10^D;
+    * optional bitmap; lat/lon grid ni×nj, param (cat, num). */
+  private def grib2Simple(refV: Float, e: Int, d: Int, nbits: Int,
+      xs: Seq[Long], bitmap: Option[Seq[Boolean]], ni: Int, nj: Int,
+      cat: Int = 2, num: Int = 2, drTpl: Int = 0): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(1024)
+    def sec(len: Int, n: Int)(body: java.nio.ByteBuffer => Unit): Unit = {
+      val start = b.position()
+      b.putInt(len).put(n.toByte)
+      body(b)
+      while (b.position() < start + len) b.put(0.toByte)
+    }
+    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v // sign-and-magnitude
+    val nTotal = bitmap.map(_.size).getOrElse(xs.size)
+    b.put("GRIB".getBytes("US-ASCII"))
+    b.putShort(0).put(0.toByte).put(2.toByte)
+    val lenAt = b.position(); b.putLong(0L)
+    sec(21, 1) { s =>
+      s.putShort(98).putShort(0)
+      s.put(2.toByte).put(1.toByte).put(1.toByte)
+      s.putShort(2024).put(6.toByte).put(1.toByte)
+      s.put(0.toByte).put(0.toByte).put(0.toByte)
+    }
+    sec(72, 3) { s =>
+      s.put(0.toByte); s.putInt(nTotal); s.put(0.toByte).put(0.toByte)
+      s.putShort(0)
+      (15 to 30).foreach(_ => s.put(0.toByte))
+      s.putInt(ni).putInt(nj)
+    }
+    sec(34, 4) { s =>
+      s.putShort(0); s.putShort(0)
+      s.put(cat.toByte).put(num.toByte)
+    }
+    sec(21, 5) { s =>
+      s.putInt(xs.size)            // octets 6-9: packed point count
+      s.putShort(drTpl.toShort)    // octets 10-11: template
+      s.putInt(java.lang.Float.floatToIntBits(refV)) // 12-15: R
+      s.putShort(sm16(e).toShort); s.putShort(sm16(d).toShort)       // 16-17, 18-19
+      s.put(nbits.toByte)          // octet 20
+    }
+    bitmap match {
+      case Some(mask) =>
+        val mbytes = (mask.size + 7) / 8
+        sec(6 + mbytes, 6) { s =>
+          s.put(0.toByte) // indicator 0: bitmap present
+          var acc = 0; var nb = 0
+          mask.zipWithIndex.foreach { case (m, i) =>
+            acc = (acc << 1) | (if (m) 1 else 0); nb += 1
+            if (nb == 8 || i == mask.size - 1) {
+              s.put((acc << (8 - nb)).toByte); acc = 0; nb = 0
+            }
+          }
+        }
+      case None => sec(6, 6) { s => s.put(255.toByte) }
+    }
+    val dataBytes = (xs.size * nbits + 7) / 8
+    sec(5 + dataBytes, 7) { s =>
+      var acc = 0L; var nb = 0
+      xs.foreach { x =>
+        acc = (acc << nbits) | (x & ((1L << nbits) - 1)); nb += nbits
+        while (nb >= 8) { s.put((acc >> (nb - 8)).toByte); nb -= 8 }
+      }
+      if (nb > 0) s.put((acc << (8 - nb)).toByte)
+    }
+    b.put("7777".getBytes("US-ASCII"))
+    val total = b.position()
+    b.putLong(lenAt, total.toLong)
+    java.util.Arrays.copyOf(b.array(), total)
+  }
+
+  test("simple packing decodes: (R + X*2^E)/10^D, bitmap NaNs, constant fields") {
+    // R=100, E=-1 (x0.5), D=1 (/10), 10-bit fields incl. the max code
+    val m = grib2Simple(100f, -1, 1, 10, Seq(0L, 1L, 5L, 1023L), None, 4, 1)
+    val Seq((msg, vs)) = GribMeta.values(m)
+    assert(msg.paramCategory == 2 && msg.ni == 4)
+    assert(vs.length == 4)
+    val want = Seq(10.0, 10.05, 10.25, (100 + 1023 * 0.5) / 10)
+    vs.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9, s"$g != $w") }
+    // bitmapped grid: 6 points, 4 packed — missing points surface NaN
+    val bm = grib2Simple(0f, 0, 0, 8, Seq(11L, 22L, 33L, 44L),
+      Some(Seq(true, false, true, true, false, true)), 3, 2)
+    val Seq((m2, vs2)) = GribMeta.values(bm)
+    assert(m2.nPoints == 6 && vs2.length == 6)
+    assert(vs2(1).isNaN && vs2(4).isNaN)
+    assert(Seq(vs2(0), vs2(2), vs2(3), vs2(5)) == Seq(11.0, 22.0, 33.0, 44.0))
+    // nbits=0: constant field R/10^D everywhere
+    val const = grib2Simple(42f, 3, 1, 0, Seq(0L, 0L, 0L), None, 3, 1)
+    assert(GribMeta.values(const).head._2.toSeq == Seq(4.2, 4.2, 4.2))
+    // negative X is impossible (codes are non-negative); negative E/D
+    // round-trip through sign-and-magnitude — E=-1 above proved it
+  }
+
+  test("non-simple packing and GRIB1 payloads refuse loudly") {
+    val jp2 = grib2Simple(0f, 0, 0, 8, Seq(1L), None, 1, 1, drTpl = 40)
+    val e = intercept[IllegalArgumentException] { GribMeta.values(jp2) }
+    assert(e.getMessage.contains("5.40"), e.getMessage)
+    val e1 = intercept[IllegalArgumentException] { GribMeta.values(grib1()) }
+    assert(e1.getMessage.contains("GRIB2 only"), e1.getMessage)
+    // inventory scan still handles both fine
+    assert(GribMeta.decode(jp2 ++ grib1()).map(_.edition) == Seq(2, 1))
+  }
+
+  test("composition: GRIB u/v slices -> grid rows -> i02 windspeed") {
+    // the ecmwf_opendata shape: one message per component, decoded to
+    // rows and composed into the derived product (i02: sqrt(u^2+v^2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gribwind").toString
+    val u = grib2Simple(0f, 0, 1, 8, Seq(30L, 40L, 0L, 120L), None, 2, 2,
+      cat = 2, num = 2)
+    val v = grib2Simple(0f, 0, 1, 8, Seq(40L, 30L, 50L, 50L), None, 2, 2,
+      cat = 2, num = 3)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/fc.grib2"), u ++ v)
+    val rows = GribMeta.readValues(spark, s"$dir/*.grib2")
+    val wind = rows.filter(col("param_number") === 2)
+      .select(col("x"), col("y"), col("value").as("u"))
+      .join(rows.filter(col("param_number") === 3)
+        .select(col("x"), col("y"), col("value").as("v")), Seq("x", "y"))
+      .select(col("x"), col("y"),
+        round(sqrt(col("u") * col("u") + col("v") * col("v")), 2).as("ws"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(wind == Map((0, 0) -> 5.0, (1, 0) -> 5.0, (0, 1) -> 5.0,
+      (1, 1) -> 13.0), wind.toString)
   }
 
   /** The grib1() message re-lengthed per the ECMWF large-message
