@@ -39,4 +39,28 @@ object Fixtures {
     df.write.mode("overwrite").parquet(path)
     path
   }
+
+  /** GC for stale fixture tags (r8 advice #8): drop Root subdirs whose
+    * sf tag is NOT in `keepTags` and whose last write is older than
+    * `minAgeMs` — the age guard means a concurrent verify over another
+    * sf dir (actively rewriting its fixtures) is never clobbered,
+    * while tags from long-dead rounds stop accumulating. Verify calls
+    * this with its own tag on startup. Returns the deleted tags. */
+  def vacuum(keepTags: Set[String],
+      minAgeMs: Long = 6L * 3600 * 1000): Seq[String] = {
+    val root = new java.io.File(Root)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def newestMtime(f: java.io.File): Long =
+      if (f.isFile) f.lastModified()
+      else (f.lastModified() +:
+        Option(f.listFiles()).toSeq.flatten.map(newestMtime)).max
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete()
+    }
+    Option(root.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && !keepTags.contains(d.getName) &&
+        newestMtime(d) < cutoff)
+      .map { d => rm(d); d.getName }.sorted
+  }
 }

@@ -16,6 +16,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // stale fixture tags from old rounds are GC'd (age-guarded, so a
+    // concurrent verify over another sf dir is never touched)
+    Fixtures.vacuum(keepTags = Set(new java.io.File(sfDir).getName))
     val attempted = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }

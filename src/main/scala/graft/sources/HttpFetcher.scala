@@ -119,6 +119,42 @@ final class HttpFetcher(
     destPath
   }
 
+  /** Land a SET of slices with bounded concurrency — the reference's
+    * per-cycle multi-file walk (`ecmwf_opendata/client.py` downloads
+    * one file per forecast step; a date's file set lands together).
+    * Each download keeps the atomic tmp→move contract; results return
+    * in input order. ALL downloads are attempted even when one fails
+    * (a partial forecast is retried idempotently next cycle), then the
+    * first failure is rethrown with the failed count — a silent
+    * partial landing is exactly what the atomic contract exists to
+    * prevent. */
+  def fetchAll(urlsToDests: Seq[(String, String)],
+      parallelism: Int = 4): Seq[Path] = {
+    require(parallelism >= 1, s"bad parallelism $parallelism")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, math.max(1, urlsToDests.size)))
+    try {
+      val futures = urlsToDests.map { case (url, dest) =>
+        pool.submit(new java.util.concurrent.Callable[Path] {
+          override def call(): Path = fetch(url, dest)
+        })
+      }
+      val results = futures.map { f =>
+        try Right(f.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Left(Option(e.getCause).getOrElse(e))
+        }
+      }
+      val failures = results.collect { case Left(e) => e }
+      if (failures.nonEmpty)
+        throw new java.io.IOException(
+          s"${failures.size}/${urlsToDests.size} downloads failed; first: " +
+            failures.head.getMessage, failures.head)
+      results.collect { case Right(p) => p }
+    } finally pool.shutdown()
+  }
+
   /** Conditional fetch — the HTTP-level incremental-watermark rung:
     * stored validators (ETag, Last-Modified — kept in a sidecar file
     * next to `dest`, the read_state/update_state shape of

@@ -208,6 +208,50 @@ class HttpFetcherSpec extends SparkSpec {
     }
   }
 
+  test("fetchAll lands a file set with bounded concurrency; partial failure is loud") {
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger
+    val peak = new java.util.concurrent.atomic.AtomicInteger
+    withServer { ex =>
+      val n = inFlight.incrementAndGet()
+      peak.getAndUpdate(p => math.max(p, n))
+      try {
+        if (ex.getRequestURI.getPath.endsWith("bad")) ex.sendResponseHeaders(404, -1)
+        else {
+          Thread.sleep(30)
+          val body = ex.getRequestURI.getPath.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          ex.getResponseBody.write(body)
+        }
+      } finally inFlight.decrementAndGet()
+    } { base =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_fetchall").toString
+      val f = new HttpFetcher(maxRetries = 0)
+      // the happy path: 8 slices, parallelism 3 — all land, in order,
+      // and the server never sees more than 3 concurrent requests
+      val landed = f.fetchAll(
+        (1 to 8).map(i => s"$base/step$i" -> s"$dir/step$i.bin"), parallelism = 3)
+      assert(landed.map(_.getFileName.toString) == (1 to 8).map(i => s"step$i.bin"))
+      assert(peak.get() <= 3, s"peak concurrency ${peak.get()}")
+      (1 to 8).foreach(i => assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/step$i.bin"))) == s"/step$i"))
+      // one failing slice: every other download still lands (idempotent
+      // retry next cycle), the failure is rethrown with the count
+      val e = intercept[java.io.IOException] {
+        f.fetchAll(Seq(
+          s"$base/ok1" -> s"$dir/ok1.bin",
+          s"$base/bad" -> s"$dir/bad.bin",
+          s"$base/ok2" -> s"$dir/ok2.bin"))
+      }
+      assert(e.getMessage.startsWith("1/3"), e.getMessage)
+      assert(new java.io.File(s"$dir/ok1.bin").exists())
+      assert(new java.io.File(s"$dir/ok2.bin").exists())
+      assert(!new java.io.File(s"$dir/bad.bin").exists())
+      val residue = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith(".tmp-"))
+      assert(residue.isEmpty, residue.mkString(","))
+    }
+  }
+
   test("fetched slices compose with Jobs: land → incremental ingest cycle") {
     import spark.implicits._
     import graft.sources.{JobConfig, Jobs, Notifier}
