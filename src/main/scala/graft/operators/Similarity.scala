@@ -1095,14 +1095,17 @@ object Similarity {
     * `graft.s18.route=brute|ivf` pins a side (specs force both). */
   val KnnPairBudget = 1000000L
 
+  /** Counts are BY-NAME: a pinned route (specs, the documented scale
+    * override) never pays the counting job at all (r9 review). */
   private def knnRouteIsBrute(spark: org.apache.spark.sql.SparkSession,
-      nq: Long, nc: Long): Boolean =
+      counts: => (Long, Long)): Boolean =
     spark.conf.get("graft.s18.route", "auto") match {
       case "brute" => true
       case "ivf"   => false
       case _ =>
         val budget = spark.conf.get("graft.s18.pairBudget",
           KnnPairBudget.toString).toLong
+        val (nq, nc) = counts
         val brute = nq * nc <= budget
         // the route is never silent: the trap the r8 verdict flagged
         // was walking into the quadratic at 100x without a trace
@@ -1152,10 +1155,15 @@ object Similarity {
     // oracle's CASE mirrors the same sentinel
     val sim = when(denom === 0.0, lit(Double.NegativeInfinity))
       .otherwise(Vectors.dot(col("v"), col("qv")) / denom)
-    // structural gate (r8 verdict): both counts are cheap — probes are
-    // dimension-sized by contract, the corpus count is a metadata scan
+    // structural gate (r8 verdict): ONE counting pass over the table,
+    // and only when the route is actually auto (by-name)
     val scored =
-      if (knnRouteIsBrute(spark, q.count(), corp.count()))
+      if (knnRouteIsBrute(spark, {
+        val r = e.agg(
+          count(when(col("vec_id") % 50 === 0, 1)),
+          count(when(col("vec_id") % 50 =!= 0, 1))).first()
+        (r.getLong(0), r.getLong(1))
+      }))
         corp.join(broadcast(q))
           .select(col("qid"), col("qlabel"), col("vec_id"), sim.as("sim"))
       else {
@@ -1176,13 +1184,17 @@ object Similarity {
         val centDf = spark.createDataFrame(
           cents.map { case (cid, cv) => (cid, cv.toSeq) })
           .toDF("cell", "cv")
-        val cellSim = Vectors.dot(col("qv"), col("cv")) /
-          (Vectors.norm(col("qv")) * Vectors.norm(col("cv")))
+        // zero-norm probe OR centroid → 0/0 = NaN, and Spark sorts NaN
+        // ABOVE +Inf under desc — the −∞ sentinel (s18's own brute-path
+        // discipline) keeps a zero centroid from eating a probed cell
+        // on every query (r9 review)
+        val cellDenom = Vectors.norm(col("qv")) * Vectors.norm(col("cv"))
+        val cellSim = when(cellDenom === 0.0, lit(Double.NegativeInfinity))
+          .otherwise(Vectors.dot(col("qv"), col("cv")) / cellDenom)
         val qCells = q.crossJoin(broadcast(centDf))
           .withColumn("cr", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-              .orderBy(coalesce(cellSim, lit(Double.NegativeInfinity)).desc,
-                col("cell"))))
+              .orderBy(cellSim.desc, col("cell"))))
           .filter(col("cr") <= 8)
           .select(col("qid"), col("qlabel"), col("qv"), col("qnorm"), col("cell"))
         corpCells.join(broadcast(qCells), "cell")

@@ -67,7 +67,7 @@ object GribMeta {
   private final case class Pack(
       template: Int, nPacked: Long, refValue: Float, binScale: Int,
       decScale: Int, nBits: Int, bitmapIndicator: Int, bitmapOff: Int,
-      dataOff: Int, dataEnd: Int)
+      bitmapEnd: Int, dataOff: Int, dataEnd: Int)
 
   /** All messages in a (possibly multi-message) GRIB byte array. */
   def decode(bytes: Array[Byte]): Seq[Message] = parse(bytes).map(_._1)
@@ -91,7 +91,8 @@ object GribMeta {
           // section 5/6/7 capture for the simple-packing pixel decode
           var drTpl = -1; var nPacked = -1L; var refVal = 0.0f
           var binE = 0; var decD = 0; var nBits = -1
-          var bmpInd = 255; var bmpOff = -1; var dataOff = -1; var dataEnd = -1
+          var bmpInd = 255; var bmpOff = -1; var bmpEnd = -1
+          var dataOff = -1; var dataEnd = -1
           var so = off + 16 // first section after the 16-byte indicator
           val end = off + totalLen.toInt
           while (so < end - 4) { // the 4-byte "7777" trailer
@@ -131,6 +132,7 @@ object GribMeta {
                         // 0 = present from octet 7)
                 bmpInd = u8(bytes, so + 5)
                 bmpOff = so + 6
+                bmpEnd = so + len
               case 7 => // data: packed stream from octet 6
                 dataOff = so + 5
                 dataEnd = so + len
@@ -143,7 +145,7 @@ object GribMeta {
           val pack =
             if (dataOff < 0) None
             else Some(Pack(drTpl, nPacked, refVal, binE, decD, nBits,
-              bmpInd, bmpOff, dataOff, dataEnd))
+              bmpInd, bmpOff, bmpEnd, dataOff, dataEnd))
           (Message(idx, 2, totalLen, u8(bytes, off + 6), centre,
             pCat, pNum, refTime, gridTpl, nPoints, ni, nj), pack)
         case 1 =>
@@ -240,8 +242,19 @@ object GribMeta {
       require(p.bitmapIndicator == 255 || p.bitmapIndicator == 0,
         s"message ${m.msgIndex}: bitmap indicator ${p.bitmapIndicator} " +
           "unsupported (255 = none, 0 = inline)")
+      // a truncated/corrupt section 5 (template 0 but shorter than the
+      // 20-octet template) leaves nBits at its -1 sentinel — refusing
+      // here is what keeps the walk from silently decoding the whole
+      // grid as the zero reference value (r9 review)
+      require(p.nBits >= 0,
+        s"message ${m.msgIndex}: corrupt section 5 — template 5.0 " +
+          "declared but the template fields are truncated")
       val nTotal =
         if (m.nPoints > 0) m.nPoints.toInt else p.nPacked.toInt
+      if (p.bitmapIndicator == 0)
+        require(p.bitmapOff + ((nTotal + 7) >> 3) <= p.bitmapEnd,
+          s"message ${m.msgIndex}: bitmap section holds fewer than " +
+            s"$nTotal mask bits")
       val present: Int => Boolean =
         if (p.bitmapIndicator == 255) _ => true
         else { i =>

@@ -38,15 +38,50 @@ final class HttpFetcher(
     retryBackoffMs: Long = 200L,
     auth: Option[HttpAuth] = None) {
 
+  // redirects are followed MANUALLY (Redirect.NEVER): the JDK client
+  // re-issues caller-set headers on redirect, which would forward the
+  // Authorization credential to whatever origin a 302 points at — a
+  // compromised mirror would harvest tokens (r9 review). sendFollowing
+  // re-attaches auth only when the hop stays on the ORIGINAL origin
+  // (curl's credential-scoping rule).
   private val client = HttpClient.newBuilder()
-    .followRedirects(HttpClient.Redirect.NORMAL)
+    .followRedirects(HttpClient.Redirect.NEVER)
     .connectTimeout(Duration.ofMillis(timeoutMs)).build()
 
-  private def req(url: String) = {
-    val b = HttpRequest.newBuilder(URI.create(url))
-      .timeout(Duration.ofMillis(timeoutMs))
-    auth.foreach(a => b.header("Authorization", a.headerValue))
-    b
+  private val MaxRedirects = 5
+
+  private def sameOrigin(a: URI, b: URI): Boolean =
+    a.getScheme == b.getScheme && a.getHost == b.getHost &&
+      a.getPort == b.getPort
+
+  /** Send with manual redirect-following: `build` applies the method
+    * and request headers to each hop's builder; auth rides only
+    * same-origin hops. GET/HEAD is preserved across 301/302/303/307/
+    * 308 (the only methods this client issues). */
+  private def sendFollowing[T](url: String,
+      build: HttpRequest.Builder => HttpRequest.Builder,
+      handler: HttpResponse.BodyHandler[T]): HttpResponse[T] = {
+    val original = URI.create(url)
+    var current = original
+    var hops = 0
+    while (true) {
+      val b = HttpRequest.newBuilder(current)
+        .timeout(Duration.ofMillis(timeoutMs))
+      if (sameOrigin(current, original))
+        auth.foreach(a => b.header("Authorization", a.headerValue))
+      val resp = client.send(build(b).build(), handler)
+      resp.statusCode() match {
+        case 301 | 302 | 303 | 307 | 308 =>
+          hops += 1
+          if (hops > MaxRedirects) throw new HttpFetcher.RedirectLoop(
+            s"$url: more than $MaxRedirects redirects")
+          val loc = resp.headers().firstValue("Location")
+          if (!loc.isPresent) return resp // malformed: surface as-is
+          current = current.resolve(loc.get)
+        case _ => return resp
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Retry transient failures (IO, 5xx, 429) with linear backoff;
@@ -63,7 +98,12 @@ final class HttpFetcher(
           val transient = r.statusCode() >= 500 || r.statusCode() == 429
           if (!transient) return r
           Right(r)
-        } catch { case e: java.io.IOException => Left(e) }
+        } catch {
+          // a redirect loop is a permanent server misconfiguration,
+          // not a transient failure — retrying just replays the loop
+          case e: HttpFetcher.RedirectLoop => throw e
+          case e: java.io.IOException => Left(e)
+        }
     }
     last match {
       case Right(r) => r
@@ -75,8 +115,8 @@ final class HttpFetcher(
   /** HEAD status of a URL (200 = slice available — the probe the
     * reference's latest() walk issues per candidate). */
   def head(url: String): Int =
-    robust(() => client.send(req(url).method("HEAD",
-      HttpRequest.BodyPublishers.noBody()).build(),
+    robust(() => sendFollowing(url,
+      _.method("HEAD", HttpRequest.BodyPublishers.noBody()),
       HttpResponse.BodyHandlers.discarding())).statusCode()
 
   /** Walk candidate slices NEWEST-FIRST and return the first whose
@@ -100,7 +140,7 @@ final class HttpFetcher(
     // (review finding r8: the atomic-landing contract includes the
     // FAILURE path)
     val resp =
-      try robust(() => client.send(req(url).GET().build(),
+      try robust(() => sendFollowing(url, _.GET(),
         HttpResponse.BodyHandlers.ofFile(tmp,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.WRITE,
@@ -171,13 +211,14 @@ final class HttpFetcher(
           l.split("\t", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
         }.toMap
       else Map.empty
-    val b = req(url).GET()
-    validators.get("etag").foreach(b.header("If-None-Match", _))
-    validators.get("last-modified").foreach(b.header("If-Modified-Since", _))
     Option(destPath.getParent).foreach(Files.createDirectories(_))
     val tmp = destPath.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
     val resp =
-      try robust(() => client.send(b.build(),
+      try robust(() => sendFollowing(url, b => {
+        validators.get("etag").foreach(b.header("If-None-Match", _))
+        validators.get("last-modified").foreach(b.header("If-Modified-Since", _))
+        b.GET()
+      },
         HttpResponse.BodyHandlers.ofFile(tmp,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.WRITE,
@@ -219,6 +260,12 @@ final class HttpFetcher(
         throw new java.io.IOException(s"GET $url failed: HTTP $bad")
     }
   }
+}
+
+object HttpFetcher {
+  /** Non-retryable: a redirect chain exceeding the hop cap. */
+  private[sources] final class RedirectLoop(msg: String)
+    extends java.io.IOException(msg)
 }
 
 /** Credential carried on every request the fetcher issues — the

@@ -22,15 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * }}}
   *
   * Scale shape (same disciplines as TiffGridSource):
-  *   - one InputPartition per (file × time step): a 120-lead-hour CAMS
-  *     forecast file fans out across 121 tasks, matching the
-  *     reference's per-time-slice processing — not one task stuck
-  *     decoding a whole multi-day cube;
+  *   - one InputPartition per (file × time-step RANGE, `stepsPerSplit`
+  *     default 8): a 121-lead-hour CAMS cube fans out across 16 tasks
+  *     instead of one task decoding the whole cube, while each task
+  *     reads its file ONCE and decodes only its own slices — per-step
+  *     splits would multiply the file read by the step count;
+  *   - the PLANNER reads only a bounded header prefix per file (1 MB,
+  *     whole-file fallback) — whole cubes never flow through the
+  *     driver;
   *   - SupportsPushDownRequiredColumns: a `value`-only projection
   *     skips per-cell georeferencing and timestamp boxing;
   *   - fill cells are dropped at the source (`keepFill=true` keeps
-  *     them as NULL value rows); decode is task-side, the driver only
-  *     lists files and reads HEADERS to learn each file's time count.
+  *     them as NULL value rows); an empty record dim (numrecs=0) plans
+  *     zero splits, matching readGrid's zero rows.
   */
 class NcGridSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -42,8 +46,12 @@ class NcGridSource extends TableProvider {
     require(path != null, "NcGridSource requires option(\"path\", ...)")
     val varName = properties.get("var")
     require(varName != null, "NcGridSource requires option(\"var\", ...)")
+    val stepsPerSplit = Integer.parseInt(
+      properties.getOrDefault("stepsPerSplit", "8"))
+    require(stepsPerSplit >= 1, s"bad stepsPerSplit $stepsPerSplit")
     new NcGridTable(path, varName,
-      "true".equalsIgnoreCase(properties.getOrDefault("keepFill", "false")))
+      "true".equalsIgnoreCase(properties.getOrDefault("keepFill", "false")),
+      stepsPerSplit)
   }
 }
 
@@ -61,72 +69,79 @@ object NcGridSource {
 
   /** Expand a path/glob to concrete file paths (a bare directory lists
     * its *.nc leaves). */
-  def listFiles(pathOrGlob: String): Seq[String] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val p = new org.apache.hadoop.fs.Path(pathOrGlob)
-    val fs = p.getFileSystem(conf)
-    val expanded =
-      if (fs.isDirectory(p)) fs.globStatus(new org.apache.hadoop.fs.Path(p, "*.nc"))
-      else fs.globStatus(p)
-    Option(expanded).toSeq.flatten.filter(_.isFile)
-      .map(_.getPath.toString).sorted
-  }
+  def listFiles(pathOrGlob: String): Seq[String] =
+    GridFiles.list(pathOrGlob, "nc")
 
-  private[sources] def readBytes(file: String): Array[Byte] = {
-    val hp = new org.apache.hadoop.fs.Path(file)
-    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val in = fs.open(hp)
-    try in.readAllBytes() finally in.close()
-  }
+  /** Planner prefix size: classic headers are dims+attrs+var metadata —
+    * KBs in practice; 1 MB covers even thousand-variable files. */
+  private[graft] val HeaderPrefixBytes = 1 << 20
 
-  /** Time-step count of `varName` in a file — header-only work: the
-    * variable's shape along its time axis (1 when it has none). */
-  private[sources] def timeSteps(bytes: Array[Byte], varName: String): Int = {
-    val f = NetCdf.decode(bytes)
+  /** Time-step count of `varName` — header-only: the variable's shape
+    * along its time axis; 1 when it has no time axis, and genuinely 0
+    * for an empty record dim (an empty forecast placeholder must plan
+    * ZERO splits, not one failing one — r9 review). */
+  private[graft] def timeSteps(f: NetCdf.NcFile, varName: String): Int = {
     val v = f.variable(varName)
     val tAxis = v.dimIds.map(f.dims(_).name.toLowerCase)
       .indexWhere(Set("time", "t").contains)
-    if (tAxis < 0) 1 else math.max(1, f.shapeOf(v)(tAxis))
+    if (tAxis < 0) 1 else f.shapeOf(v)(tAxis)
+  }
+
+  /** Header for planning: bounded prefix read first (the driver must
+    * never buffer whole cubes — r9 review), whole-file fallback only
+    * when the header genuinely outruns the prefix. */
+  private[graft] def planningHeader(file: String): NetCdf.NcFile = {
+    val (prefix, len) = GridFiles.readPrefix(file, HeaderPrefixBytes)
+    try NetCdf.decodeHeader(prefix, len)
+    catch { case _: Exception if len > prefix.length =>
+      NetCdf.decode(GridFiles.readBytes(file))
+    }
   }
 }
 
-final class NcGridTable(path: String, varName: String, keepFill: Boolean)
-    extends Table with SupportsRead {
+final class NcGridTable(path: String, varName: String, keepFill: Boolean,
+    stepsPerSplit: Int) extends Table with SupportsRead {
   override def name(): String = s"graft_nc($path, $varName)"
   override def schema(): StructType = NcGridSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NcScanBuilder(path, varName, keepFill)
+    new NcScanBuilder(path, varName, keepFill, stepsPerSplit)
 }
 
-final class NcScanBuilder(path: String, varName: String, keepFill: Boolean)
+final class NcScanBuilder(path: String, varName: String, keepFill: Boolean,
+    stepsPerSplit: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = NcGridSource.fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new NcScan(path, varName, required, keepFill)
+  override def build(): Scan =
+    new NcScan(path, varName, required, keepFill, stepsPerSplit)
 }
 
 final class NcScan(path: String, varName: String, required: StructType,
-    keepFill: Boolean) extends Scan with Batch {
+    keepFill: Boolean, stepsPerSplit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    // per-(file, time-step) split: the header read here is bounded
-    // driver work (bytes are fetched once per file to size the split;
-    // payload decode still happens in the tasks)
+    // split = (file × step RANGE): a 121-step cube fans out across
+    // ceil(121/stepsPerSplit) tasks, each reading the file ONCE and
+    // decoding only its slices — per-step splits would multiply the
+    // file read by the step count, and the planner itself reads only
+    // a bounded header prefix, never whole cubes (r9 review)
     NcGridSource.listFiles(path).flatMap { f =>
       val steps =
-        try NcGridSource.timeSteps(NcGridSource.readBytes(f), varName)
+        try NcGridSource.timeSteps(NcGridSource.planningHeader(f), varName)
         catch { case _: Exception => 1 } // defer the loud error to the task
-      (0 until steps).map(NcPartition(f, _): InputPartition)
+      (0 until steps by stepsPerSplit).map(t0 =>
+        NcPartition(f, t0, math.min(t0 + stepsPerSplit, steps)): InputPartition)
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new NcReaderFactory(required.fieldNames, varName, keepFill)
 }
 
-final case class NcPartition(file: String, timeIndex: Int) extends InputPartition
+final case class NcPartition(file: String, tStart: Int, tEnd: Int)
+    extends InputPartition
 
 final class NcReaderFactory(fields: Array[String], varName: String,
     keepFill: Boolean) extends PartitionReaderFactory {
@@ -151,11 +166,11 @@ final class NcReaderFactory(fields: Array[String], varName: String,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[NcPartition]
     new PartitionReader[InternalRow] {
-      // only this split's time slice is read — the decode cost per
-      // task is one 2-D slab, not the whole cube
-      private val cells = NetCdf
-        .gridCells(NetCdf.decode(NcGridSource.readBytes(p.file)), varName,
-          onlyT = Some(p.timeIndex))
+      // the file is read ONCE per task; only this split's time slices
+      // decode (random-access slabs), not the whole cube
+      private val nc = NetCdf.decode(GridFiles.readBytes(p.file))
+      private val cells = Iterator.range(p.tStart, p.tEnd)
+        .flatMap(t => NetCdf.gridCells(nc, varName, onlyT = Some(t)))
         .filter(c => keepFill || !c.value.isNaN)
       private val pathUtf = UTF8String.fromString(p.file)
       private val varUtf = UTF8String.fromString(varName)

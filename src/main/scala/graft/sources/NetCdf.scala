@@ -150,7 +150,19 @@ object NetCdf {
   }
 
   /** Parse the header; payload access stays lazy via [[NcFile.read]]. */
-  def decode(bytes: Array[Byte]): NcFile = {
+  def decode(bytes: Array[Byte]): NcFile = decodeImpl(bytes, bytes.length)
+
+  /** Header-only parse from a bounded PREFIX of the file: variable
+    * `begin` offsets validate against the real `fileLen` instead of
+    * the prefix — what lets a planner learn shapes/dims without
+    * pulling whole cubes through the driver ([[NcGridSource]]'s split
+    * sizing). Throws if the header itself outruns the prefix; data
+    * reads on the returned file will bound-check against the prefix
+    * and fail loudly, by design. */
+  def decodeHeader(prefix: Array[Byte], fileLen: Long): NcFile =
+    decodeImpl(prefix, fileLen)
+
+  private def decodeImpl(bytes: Array[Byte], fileLen: Long): NcFile = {
     require(bytes.length >= 8, "too short for a NetCDF header")
     require(bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
       "missing CDF magic — not a classic NetCDF file")
@@ -225,7 +237,7 @@ object NetCdf {
       widthOf(t) // validates the type code
       r.i4() // vsize: redundant (recomputed from dims) and overflow-prone
       val begin = if (version == 2) r.i8() else r.i4().toLong
-      require(begin >= 0 && begin <= bytes.length,
+      require(begin >= 0 && begin <= fileLen,
         s"variable $nm: begin $begin outside file")
       Variable(nm, dimIds, atts, t, begin)
     }

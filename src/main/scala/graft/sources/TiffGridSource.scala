@@ -54,16 +54,8 @@ object TiffGridSource {
 
   /** Expand a path/glob to concrete file paths (Hadoop FS semantics;
     * a bare directory lists its *.tif leaves). */
-  def listFiles(pathOrGlob: String): Seq[String] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val p = new org.apache.hadoop.fs.Path(pathOrGlob)
-    val fs = p.getFileSystem(conf)
-    val expanded =
-      if (fs.isDirectory(p)) fs.globStatus(new org.apache.hadoop.fs.Path(p, "*.tif"))
-      else fs.globStatus(p)
-    Option(expanded).toSeq.flatten.filter(_.isFile)
-      .map(_.getPath.toString).sorted
-  }
+  def listFiles(pathOrGlob: String): Seq[String] =
+    GridFiles.list(pathOrGlob, "tif")
 }
 
 final class TiffGridTable(path: String, keepNodata: Boolean)
@@ -115,13 +107,7 @@ final class TiffReaderFactory(fields: Array[String], keepNodata: Boolean)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[TiffPartition].file
     new PartitionReader[InternalRow] {
-      private val hp = new org.apache.hadoop.fs.Path(file)
-      private val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      private val bytes = {
-        val in = fs.open(hp)
-        try in.readAllBytes() finally in.close()
-      }
-      private val r = GeoTiff.decode(bytes)
+      private val r = GeoTiff.decode(GridFiles.readBytes(file))
       private val pathUtf = UTF8String.fromString(file)
       private var x = -1
       private var y = 0

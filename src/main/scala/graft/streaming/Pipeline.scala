@@ -947,25 +947,36 @@ object Streaming {
       // is paid only on (true dirty + fp) rows — and NOT
       // `array_intersect` over every row, which rebuilds the big
       // side's hash set per row.
+      // persisted: the gram set feeds the blob AND the confirm list,
+      // and a stream-STATIC side is re-planned every micro-batch — an
+      // unpersisted egl would re-scan documents + re-shuffle distinct
+      // shingles per trigger (r9 review)
       val evalGrams = graft.Tables(s, dir).documents
         .filter(col("doc_id") % 97 === 0)
         .select(explode(array_distinct(
           Text.shingles(Text.tokens(col("text")), 3))).as("g"))
         .distinct()
+        .persist()
       val blob = evalGrams
         .agg(ColumnBridge.column(new BloomFilterAggregate(
           ColumnBridge.expression(xxhash64(col("g"))), 4000000L)
           .toAggregateExpression()).as("bf"))
         .collect()(0).getAs[Array[Byte]](0)
-      val egl = evalGrams.agg(collect_list(col("g")).as("eg"))
+      val egl = evalGrams.agg(collect_list(col("g")).as("eg")).persist()
+      egl.count() // materialize the 1-row static side once, pre-stream
+      // ZERO eval grams (no eval docs, or all shorter than a shingle):
+      // BloomFilterAggregate yields NULL for empty input — nothing can
+      // be dirty, and the bloom expr must not see a null blob
+      val might =
+        if (blob == null) lit(false)
+        else ColumnBridge.column(graft.functions.BloomMatchCountExpr(
+          ColumnBridge.expression(col("sh")), blob, 2)) >= 2
       val gated = docStream(s, dir)
         .filter(col("doc_id") % 97 =!= 0)
         .withColumn("tk", Text.tokens(col("text")))
         .select(col("source"), size(col("tk")).as("n_tok"),
           array_distinct(Text.shingles(col("tk"), 3)).as("sh"))
-        .withColumn("might", ColumnBridge.column(
-          graft.functions.BloomMatchCountExpr(
-            ColumnBridge.expression(col("sh")), blob, 2)) >= 2)
+        .withColumn("might", might)
         .crossJoin(broadcast(egl))
         .withColumn("dirty",
           when(col("might"), size(array_intersect(col("sh"), col("eg"))) >= 2)
@@ -975,7 +986,8 @@ object Streaming {
           count(when(col("dirty"), 1)).as("n_contaminated"),
           coalesce(sum(when(!col("dirty"), col("n_tok"))), lit(0L))
             .as("tokens_clean"))
-      runToCompletion(gated, "st14_out")
+      try runToCompletion(gated, "st14_out")
+      finally { egl.unpersist(); evalGrams.unpersist() }
     }.orderBy(col("source"))
   }
 

@@ -208,6 +208,66 @@ class HttpFetcherSpec extends SparkSpec {
     }
   }
 
+  test("redirects: auth stays on the original origin, never forwarded cross-origin") {
+    import graft.sources.BearerAuth
+    // two local servers = two origins (different ports)
+    val seenAtB = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val serverB = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    serverB.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      seenAtB.add(Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .getOrElse("<none>"))
+      val body = "mirror".getBytes
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    serverB.start()
+    try {
+      val baseB = s"http://127.0.0.1:${serverB.getAddress.getPort}"
+      withServer { ex =>
+        val p = ex.getRequestURI.getPath
+        if (p.endsWith("cross")) {
+          ex.getResponseHeaders.set("Location", s"$baseB/data.bin")
+          ex.sendResponseHeaders(302, -1)
+        } else if (p.endsWith("hop")) {
+          ex.getResponseHeaders.set("Location", "/final")
+          ex.sendResponseHeaders(302, -1)
+        } else if (p.endsWith("final")) {
+          // same-origin hop KEEPS the credential
+          if (!Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .contains("Bearer t1")) ex.sendResponseHeaders(401, -1)
+          else {
+            val body = "home".getBytes
+            ex.sendResponseHeaders(200, body.length.toLong)
+            ex.getResponseBody.write(body)
+          }
+        } else if (p.endsWith("loop")) {
+          ex.getResponseHeaders.set("Location", "/loop")
+          ex.sendResponseHeaders(302, -1)
+        } else ex.sendResponseHeaders(404, -1)
+      } { base =>
+        val dir = java.nio.file.Files.createTempDirectory("graft_redir").toString
+        val f = new HttpFetcher(auth = Some(BearerAuth("t1")), maxRetries = 0)
+        // cross-origin redirect: content lands, credential does NOT travel
+        f.fetch(s"$base/cross", s"$dir/c.bin")
+        assert(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/c.bin"))) == "mirror")
+        assert(seenAtB.size() == 1 && seenAtB.peek() == "<none>",
+          s"credential leaked cross-origin: $seenAtB")
+        // same-origin redirect chain: credential re-attached each hop
+        f.fetch(s"$base/hop", s"$dir/h.bin")
+        assert(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/h.bin"))) == "home")
+        // redirect loops terminate loudly
+        val e = intercept[java.io.IOException] {
+          f.fetch(s"$base/loop", s"$dir/l.bin")
+        }
+        assert(e.getMessage.contains("redirects"), e.getMessage)
+      }
+    } finally serverB.stop(0)
+  }
+
   test("fetchAll lands a file set with bounded concurrency; partial failure is loud") {
     val inFlight = new java.util.concurrent.atomic.AtomicInteger
     val peak = new java.util.concurrent.atomic.AtomicInteger

@@ -225,10 +225,16 @@ class NetCdfSpec extends SparkSpec {
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.nc"), ncFile(1))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.nc"), ncFile(2))
     val df = spark.read.format("graft.sources.NcGridSource")
-      .option("path", dir).option("var", "rfe").load()
-    // 2 files x 2 time steps — the per-slice task fan-out the
-    // reference's per-date processing implies
+      .option("path", dir).option("var", "rfe")
+      .option("stepsPerSplit", "1").load()
+    // stepsPerSplit=1: 2 files x 2 time steps = 4 splits — the
+    // per-slice task fan-out the reference's per-date processing
+    // implies; the default (8) groups steps so each task reads its
+    // file once for several slices
     assert(df.rdd.getNumPartitions == 4, s"${df.rdd.getNumPartitions}")
+    assert(spark.read.format("graft.sources.NcGridSource")
+      .option("path", dir).option("var", "rfe").load()
+      .rdd.getNumPartitions == 2, "default range-split: one per file here")
     val rows = df.collect()
     // a.nc t=0 drops its one fill cell (raw -1 * tag 1)
     assert(rows.length == 7 + 8)
@@ -253,6 +259,21 @@ class NetCdfSpec extends SparkSpec {
       .option("keepFill", "true").load()
     assert(withFill.count() == 8 &&
       withFill.filter(col("value").isNull).count() == 1)
+    // an EMPTY record dim (numrecs=0, an empty forecast placeholder)
+    // plans zero splits and yields zero rows — never a failing task
+    val emptyNc = NetCdf.encode(
+      Seq(Dim("time", 0), Dim("lat", 2), Dim("lon", 2)), Nil,
+      Seq(VarSpec("rfe", Seq("time", "lat", "lon"), NetCdf.NcFloat,
+        values = Array.empty)),
+      numRecs = 0)
+    val edir = java.nio.file.Files.createTempDirectory("graft_ncempty").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$edir/e.nc"), emptyNc)
+    assert(spark.read.format("graft.sources.NcGridSource")
+      .option("path", edir).option("var", "rfe").load().count() == 0)
+    // the planner learns steps from a bounded header prefix, never the
+    // whole file
+    val hdr = graft.sources.NcGridSource.planningHeader(s"$dir/a.nc")
+    assert(graft.sources.NcGridSource.timeSteps(hdr, "rfe") == 2)
     // matches the functional reader row-for-row
     val fnRows = NetCdf.readGrid(spark, s"$dir/*.nc", "rfe")
       .select(col("path"), col("t"), col("x"), col("y"), col("value")).collect()
