@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * driver-side structure is growing faster than the data — exactly the
   * class of bug that is invisible at one scale factor.
   *
-  * Output: `BENCH_sf1_r08.json` in the repo root —
+  * Output: `BENCH_sf1_r09.json` in the repo root —
   * `{"sf01_total":…,"sf1_total":…,"flagged":[…],"queries":{name:
   * [sf01_sec, sf1_sec, ratio]}}` — which ScaleSpec reads to assert the
   * flagged set is empty (the artifact, not the run, is the test
@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchScale {
 
-  val ArtifactPath = "BENCH_sf1_r08.json"
+  val ArtifactPath = "BENCH_sf1_r09.json"
 
   /** ratio beyond which growth on ×10 data counts as super-linear
     * (2× the uniform 10× scaling). */

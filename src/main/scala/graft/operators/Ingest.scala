@@ -3197,10 +3197,64 @@ object Ingest {
       .orderBy(col("t"), col("y"), col("x"))
   }
 
+  /** i63: the GRIB TRANSPORT CYCLE inside the correctness gate — the
+    * i62 pattern for the engine's other acquisition format: the same
+    * deterministic lineitem grid is packed as TWO real GRIB2 messages
+    * (template 3.0 lat/lon grid, 5.0 simple packing with a BITMAP for
+    * empty cells and a 2^-2 binary scale, param number = slice index)
+    * through [[graft.sources.GribMeta.encodeSimple]], landed as one
+    * concatenated archive, decoded back task-side by
+    * [[graft.sources.GribMeta.readValues]], and hash-checked against
+    * DuckDB recomputing the grid directly — bit-slips anywhere in the
+    * section walk, bitmap masking, or (R + X·2^E) unpacking break the
+    * hash (2^-2 and the integer codes are exact in binary, so no
+    * rounding is needed on either side).
+    *
+    * Scale shape: identical to i62 — fixed 2×(8×12) grid, one
+    * 192-group partial-agg shuffle, model-state-bounded driver encode,
+    * per-archive-file task fan-out on the read. */
+  def i63: QueryDef = QueryDef(
+    "i63_grib_cycle",
+    """WITH g AS (
+      |  SELECT CAST(l_linenumber % 2 AS INTEGER) AS t,
+      |    CAST(l_suppkey % 8 AS INTEGER) AS y,
+      |    CAST(l_partkey % 12 AS INTEGER) AS x,
+      |    CAST(SUM(l_quantity) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2, 3)
+      |SELECT t, x, y, 2048.0 + CAST(q AS DOUBLE) / 4 AS value
+      |FROM g ORDER BY t, y, x""".stripMargin) { (spark, dir) =>
+    import graft.sources.GribMeta
+    val (nt, ny, nx) = (2, 8, 12)
+    val cells = Tables(spark, dir).lineitem
+      .groupBy((col("l_linenumber") % 2).cast("int").as("t"),
+        (col("l_suppkey") % 8).cast("int").as("y"),
+        (col("l_partkey") % 12).cast("int").as("x"))
+      .agg(sum(col("l_quantity")).cast("long").as("q"))
+      .collect() // bounded by the fixed grid (≤192 cells), not the data
+    val grids = Array.fill(nt)(Array.fill[Long](ny * nx)(-1L)) // -1 = missing
+    cells.foreach(r =>
+      grids(r.getInt(0))(r.getInt(1) * nx + r.getInt(2)) = r.getLong(3))
+    val msgs = grids.zipWithIndex.map { case (g, t) =>
+      val mask = g.map(_ >= 0L)
+      GribMeta.encodeSimple(nx, ny, paramCategory = 1, paramNumber = t,
+        refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
+        xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,
+        refTime = (1995, 1, 1 + t, 0, 0))
+    }
+    val gribDir = java.nio.file.Paths.get(
+      graft.Fixtures.pathFor(dir, "i63_grib"))
+    java.nio.file.Files.createDirectories(gribDir)
+    java.nio.file.Files.write(gribDir.resolve("slices.grib2"),
+      msgs.reduce(_ ++ _))
+    GribMeta.readValues(spark, gribDir.resolve("slices.grib2").toString)
+      .select(col("msg_index").as("t"), col("x"), col("y"), col("value"))
+      .orderBy(col("t"), col("y"), col("x"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
-    i54, i55, i56, i57, i58, i59, i60, i61, i62)
+    i54, i55, i56, i57, i58, i59, i60, i61, i62, i63)
 }

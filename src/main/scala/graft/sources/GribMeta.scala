@@ -216,6 +216,92 @@ object GribMeta {
     out.toSeq
   }
 
+  /** GRIB2 WRITER for the simple-packing common case — one message,
+    * lat/lon template 3.0, data representation 5.0, optional bitmap:
+    * the publish-side twin of [[values]] (and what [[graft.operators.Ingest]]'s
+    * i63 cycle lands through the correctness gate). `xs` are the
+    * packed non-missing codes in grid order; `bitmap`, when given,
+    * must have ni×nj entries with exactly `xs.length` set. */
+  def encodeSimple(ni: Int, nj: Int, paramCategory: Int, paramNumber: Int,
+      refValue: Float, binScale: Int, decScale: Int, nBits: Int,
+      xs: Array[Long], bitmap: Option[Array[Boolean]] = None,
+      centre: Int = 0, discipline: Int = 0,
+      refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0)): Array[Byte] = {
+    require(nBits >= 0 && nBits <= 32, s"bad nBits $nBits")
+    require(xs.forall(x => x >= 0 && (nBits == 32 || x < (1L << nBits))),
+      s"packed code out of the $nBits-bit range")
+    bitmap.foreach { m =>
+      require(m.length == ni * nj, s"bitmap ${m.length} for ${ni * nj} points")
+      require(m.count(identity) == xs.length,
+        s"${xs.length} codes for ${m.count(identity)} present points")
+    }
+    require(bitmap.isDefined || xs.length == ni * nj,
+      s"${xs.length} codes for ${ni * nj} points without a bitmap")
+    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
+    val dataBytes = (xs.length * nBits + 7) / 8
+    val bmpBytes = bitmap.map(m => (m.length + 7) / 8).getOrElse(0)
+    val b = java.nio.ByteBuffer.allocate(
+      16 + 21 + 72 + 34 + 21 + 6 + bmpBytes + 5 + dataBytes + 4)
+    def sec(len: Int, n: Int)(body: java.nio.ByteBuffer => Unit): Unit = {
+      val start = b.position()
+      b.putInt(len).put(n.toByte)
+      body(b)
+      while (b.position() < start + len) b.put(0.toByte)
+    }
+    b.put("GRIB".getBytes("US-ASCII"))
+    b.putShort(0).put(discipline.toByte).put(2.toByte)
+    val lenAt = b.position(); b.putLong(0L)
+    sec(21, 1) { s =>
+      s.putShort(centre.toShort).putShort(0)
+      s.put(2.toByte).put(1.toByte).put(1.toByte)
+      s.putShort(refTime._1.toShort).put(refTime._2.toByte).put(refTime._3.toByte)
+      s.put(refTime._4.toByte).put(refTime._5.toByte).put(0.toByte)
+    }
+    sec(72, 3) { s =>
+      s.put(0.toByte); s.putInt(ni * nj); s.put(0.toByte).put(0.toByte)
+      s.putShort(0) // grid template 3.0 (lat/lon)
+      (15 to 30).foreach(_ => s.put(0.toByte))
+      s.putInt(ni).putInt(nj)
+    }
+    sec(34, 4) { s =>
+      s.putShort(0); s.putShort(0)
+      s.put(paramCategory.toByte).put(paramNumber.toByte)
+    }
+    sec(21, 5) { s =>
+      s.putInt(xs.length)
+      s.putShort(0) // template 5.0
+      s.putInt(java.lang.Float.floatToIntBits(refValue))
+      s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
+      s.put(nBits.toByte)
+    }
+    bitmap match {
+      case Some(mask) =>
+        sec(6 + bmpBytes, 6) { s =>
+          s.put(0.toByte)
+          var acc = 0; var nb = 0
+          mask.zipWithIndex.foreach { case (m, i) =>
+            acc = (acc << 1) | (if (m) 1 else 0); nb += 1
+            if (nb == 8 || i == mask.length - 1) {
+              s.put((acc << (8 - nb)).toByte); acc = 0; nb = 0
+            }
+          }
+        }
+      case None => sec(6, 6) { s => s.put(255.toByte) }
+    }
+    sec(5 + dataBytes, 7) { s =>
+      var acc = 0L; var nb = 0
+      xs.foreach { x =>
+        acc = (acc << nBits) | x; nb += nBits
+        while (nb >= 8) { s.put((acc >> (nb - 8)).toByte); nb -= 8 }
+      }
+      if (nb > 0) s.put((acc << (8 - nb)).toByte)
+    }
+    b.put("7777".getBytes("US-ASCII"))
+    val total = b.position()
+    b.putLong(lenAt, total.toLong)
+    java.util.Arrays.copyOf(b.array(), total)
+  }
+
   /** GRIB2 SIMPLE-PACKING pixel decode (templates 5.0/7.0) — the
     * clean-room rung that makes the ECMWF open-data path
     * decode-complete for the common case

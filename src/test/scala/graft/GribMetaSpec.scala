@@ -177,6 +177,31 @@ class GribMetaSpec extends SparkSpec {
     // round-trip through sign-and-magnitude — E=-1 above proved it
   }
 
+  test("encodeSimple round-trips through the decoder and the independent fixture agrees") {
+    // writer output decodes to the exact inputs (bitmap + binary scale)
+    val xs = Array(0L, 7L, 123456L, (1L << 24) - 1)
+    val mask = Array(true, false, true, true, false, true)
+    val enc = GribMeta.encodeSimple(3, 2, paramCategory = 1, paramNumber = 5,
+      refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
+      xs = xs, bitmap = Some(mask), centre = 98, refTime = (1995, 1, 2, 6, 30))
+    val Seq((m, vs)) = GribMeta.values(enc)
+    assert(m.centre == 98 && m.paramNumber == 5 && m.refTime == "1995-01-02T06:30")
+    assert(m.ni == 3 && m.nj == 2 && m.nPoints == 6)
+    assert(vs(1).isNaN && vs(4).isNaN)
+    assert(Seq(vs(0), vs(2), vs(3), vs(5)) == xs.map(2048.0 + _ * 0.25).toSeq)
+    // the writer's bytes also parse under the spec's INDEPENDENT
+    // hand-built section layout assumptions (same walk the grib2()
+    // fixture pins): inventory fields line up
+    assert(GribMeta.decode(enc ++ grib2()).map(_.msgIndex) == Seq(0, 1))
+    // writer refuses impossible layouts loudly
+    intercept[IllegalArgumentException] {
+      GribMeta.encodeSimple(2, 2, 0, 0, 0f, 0, 0, 8, Array(256L)) // 9 bits
+    }
+    intercept[IllegalArgumentException] {
+      GribMeta.encodeSimple(2, 2, 0, 0, 0f, 0, 0, 8, Array(1L, 2L)) // 2 codes, 4 pts
+    }
+  }
+
   test("non-simple packing and GRIB1 payloads refuse loudly") {
     val jp2 = grib2Simple(0f, 0, 0, 8, Seq(1L), None, 1, 1, drTpl = 40)
     val e = intercept[IllegalArgumentException] { GribMeta.values(jp2) }
