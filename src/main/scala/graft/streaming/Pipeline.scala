@@ -904,12 +904,12 @@ object Streaming {
     * data). The eval/benchmark side is static and benchmark-sized
     * (d08's stance: a few MB of n-grams vs the 100 TB stream): it
     * reduces to a fixed-size executor-built Bloom blob probed map-side
-    * (the d09 prefilter, no false negatives) plus a one-row static
-    * broadcast gram list for the exact confirm of the sparse
-    * might-dirty sliver — no per-doc aggregation on the stream, which
-    * keeps the plan to the ONE streaming aggregation (by source)
-    * Structured Streaming allows. Complete-mode totals make the final
-    * read multi-batch-safe. */
+    * (the d09 prefilter, no false negatives) plus a SORTED broadcast
+    * gram array for the exact binary-search confirm (the codebook
+    * model-state discipline) — both tiers map-side, no per-doc
+    * aggregation on the stream, which keeps the plan to the ONE
+    * streaming aggregation (by source) Structured Streaming allows.
+    * Complete-mode totals make the final read multi-batch-safe. */
   val st14 = QueryDef(
     "st14_stream_decontaminate",
     """WITH toks AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS tk
@@ -947,10 +947,8 @@ object Streaming {
       // is paid only on (true dirty + fp) rows — and NOT
       // `array_intersect` over every row, which rebuilds the big
       // side's hash set per row.
-      // persisted: the gram set feeds the blob AND the confirm list,
-      // and a stream-STATIC side is re-planned every micro-batch — an
-      // unpersisted egl would re-scan documents + re-shuffle distinct
-      // shingles per trigger (r9 review)
+      // persisted: the gram set feeds the bloom blob AND the sorted
+      // confirm array from one computation (r9 review)
       val evalGrams = graft.Tables(s, dir).documents
         .filter(col("doc_id") % 97 === 0)
         .select(explode(array_distinct(
@@ -962,32 +960,44 @@ object Streaming {
           ColumnBridge.expression(xxhash64(col("g"))), 4000000L)
           .toAggregateExpression()).as("bf"))
         .collect()(0).getAs[Array[Byte]](0)
-      val egl = evalGrams.agg(collect_list(col("g")).as("eg")).persist()
-      egl.count() // materialize the 1-row static side once, pre-stream
+      // exact tier: the gram set as a SORTED immutable UTF8String
+      // array, torrent-broadcast — the s04/s19 codebook model-state
+      // discipline, NOT a mutable driver HashSet. Join-based confirms
+      // both priced super-linearly on a dirty-dominant stream
+      // (array_intersect rebuilds the big side's set PER ROW; a
+      // nested-loop join copies the MB-sized array into every row —
+      // 56× past linear at ×10, BENCH_sf1 r9 first cut); the sorted
+      // probe is |sh|·log n compares with no per-row build.
+      val sortedGrams = {
+        val arr = evalGrams.agg(collect_set(col("g")).as("gs"))
+          .first().getSeq[String](0)
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+        java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+        arr
+      }
+      evalGrams.unpersist()
+      val bcGrams = s.sparkContext.broadcast(sortedGrams)
       // ZERO eval grams (no eval docs, or all shorter than a shingle):
       // BloomFilterAggregate yields NULL for empty input — nothing can
       // be dirty, and the bloom expr must not see a null blob
-      val might =
+      val dirty =
         if (blob == null) lit(false)
-        else ColumnBridge.column(graft.functions.BloomMatchCountExpr(
-          ColumnBridge.expression(col("sh")), blob, 2)) >= 2
+        else (ColumnBridge.column(graft.functions.BloomMatchCountExpr(
+          ColumnBridge.expression(col("sh")), blob, 2)) >= 2) &&
+          (ColumnBridge.column(graft.functions.SortedMatchCountExpr(
+            ColumnBridge.expression(col("sh")), bcGrams, 2)) >= 2)
       val gated = docStream(s, dir)
         .filter(col("doc_id") % 97 =!= 0)
         .withColumn("tk", Text.tokens(col("text")))
         .select(col("source"), size(col("tk")).as("n_tok"),
           array_distinct(Text.shingles(col("tk"), 3)).as("sh"))
-        .withColumn("might", might)
-        .crossJoin(broadcast(egl))
-        .withColumn("dirty",
-          when(col("might"), size(array_intersect(col("sh"), col("eg"))) >= 2)
-            .otherwise(lit(false)))
+        .withColumn("dirty", dirty)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("dirty"), 1)).as("n_contaminated"),
           coalesce(sum(when(!col("dirty"), col("n_tok"))), lit(0L))
             .as("tokens_clean"))
-      try runToCompletion(gated, "st14_out")
-      finally { egl.unpersist(); evalGrams.unpersist() }
+      runToCompletion(gated, "st14_out")
     }.orderBy(col("source"))
   }
 

@@ -440,6 +440,34 @@ class StreamingSpec extends SparkSpec {
     assert(interp == got)
   }
 
+  test("SortedMatchCountExpr equals capped array_intersect, interpreted and codegen'd") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = Seq("a b c", "c d e", "x y z").map(UTF8String.fromString).toArray
+    java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+    val bc = spark.sparkContext.broadcast(arr)
+    val df = Seq(
+      Seq("a b c", "q q q"),             // 1 hit
+      Seq("a b c", "c d e", "x y z"),    // 3 hits, capped at 2
+      Seq("none here"),                  // 0 hits
+      Seq.empty[String])
+      .toDF("sh")
+    val cnt = ColumnBridge.column(
+      graft.functions.SortedMatchCountExpr(ColumnBridge.expression(col("sh")), bc, 2))
+    val got = df.select(cnt.as("got")).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2, 0, 0), got.toString)
+    // codegen fires on a real scan (the st14 hot path)
+    val onScan = Tables(spark, sf).documents
+      .withColumn("sh", graft.functions.Text.tokens(col("text")))
+      .select(ColumnBridge.column(graft.functions.SortedMatchCountExpr(
+        ColumnBridge.expression(col("sh")), bc, 2)).as("got"))
+    val plan = onScan.queryExecution.executedPlan.toString()
+    assert(plan.contains("*(1) Project [graft_sorted_match_count"),
+      s"codegen must fire (the *(n) whole-stage marker):\n$plan")
+  }
+
   test("st14 streamed decontamination flags exactly the leaked documents") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st14").toString
