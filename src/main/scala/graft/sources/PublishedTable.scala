@@ -155,19 +155,44 @@ object PublishedTable {
     val out = f.create(tmp, false)
     try out.write(bytes) finally out.close()
     val dst = new Path(dir, s"v$version")
-    val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
-      dst.toUri, f.getConf)
-    try ctx.rename(tmp, dst) // no Rename.OVERWRITE: fails if v{N} exists
-    catch { case e: Exception =>
-      throw new IllegalStateException(
-        s"manifest commit lost the race on $root v$version — " +
-          "another writer committed this version first; retry against " +
-          s"the new latest version (staged temp left at $tmp)", e)
+    def lostRace(cause: Throwable): Nothing = throw new IllegalStateException(
+      s"manifest commit lost the race on $root v$version — " +
+        "another writer committed this version first; retry against " +
+        s"the new latest version (staged temp left at $tmp)", cause)
+    if (Option(dst.toUri.getScheme).forall(_ == "file")) {
+      // LOCAL scheme: FileContext's no-overwrite rename is
+      // check-then-act — two concurrent writers can BOTH pass the
+      // existence check and the POSIX rename then silently replaces,
+      // leaving one writer's data under the other's checksum sidecar
+      // (r9: surfaced as a 0-winner 8-thread race with every reader
+      // dying on ChecksumException). A HARDLINK is the kernel-atomic
+      // no-clobber commit: link(tmp, dst) fails with EEXIST for every
+      // writer but exactly one.
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
+      try java.nio.file.Files.createLink(dstNio, tmpNio)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException => lostRace(e)
+        case e: java.io.IOException => lostRace(e)
+      }
+      f.delete(tmp, false) // drops the staged name + its crc sidecar
+    } else {
+      // HDFS-class stores: rename-without-OVERWRITE is atomic at the
+      // namenode — the CAS the r7 verdict asked for
+      val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, f.getConf)
+      try ctx.rename(tmp, dst) // no Rename.OVERWRITE: fails if v{N} exists
+      catch { case e: Exception => lostRace(e) }
     }
     // belt-and-braces read-back: a non-atomic rename implementation
-    // losing the race must fail HERE, in the losing writer
-    val in = f.open(dst)
-    val got = try in.readAllBytes() finally in.close()
+    // losing the race must fail HERE, in the losing writer — and an
+    // IO/checksum error reading the just-committed slot IS a lost
+    // race, never an uncaught crash
+    val got =
+      try {
+        val in = f.open(dst)
+        try in.readAllBytes() finally in.close()
+      } catch { case e: java.io.IOException => lostRace(e) }
     if (!java.util.Arrays.equals(got, bytes))
       throw new IllegalStateException(
         s"manifest commit race detected on $root v$version — committed " +

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.GribMeta
+import graft.sources.{GribGridSource, GribMeta}
 import org.apache.spark.sql.functions._
 
 /** GRIB message-metadata scanner over hand-built messages laid out per
@@ -210,6 +210,51 @@ class GribMetaSpec extends SparkSpec {
     assert(e1.getMessage.contains("GRIB2 only"), e1.getMessage)
     // inventory scan still handles both fine
     assert(GribMeta.decode(jp2 ++ grib1()).map(_.edition) == Seq(2, 1))
+  }
+
+  test("GribGridSource: DSv2 table, one partition per message, pruned positioned reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gribdsv2").toString
+    // file a: two messages (params 2 and 3); file b: one with a bitmap
+    val a = grib2Simple(0f, 0, 0, 8, Seq(1L, 2L, 3L, 4L), None, 2, 2,
+      cat = 2, num = 2) ++
+      grib2Simple(10f, 0, 0, 8, Seq(5L, 6L, 7L, 8L), None, 2, 2,
+        cat = 2, num = 3)
+    val b = grib2Simple(0f, 0, 0, 8, Seq(9L, 11L),
+      Some(Seq(true, false, false, true)), 2, 2, cat = 1, num = 8)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.grib2"), a)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.grib2"), b)
+    val df = spark.read.format("graft.sources.GribGridSource")
+      .option("path", dir).load()
+    // one split per message, planned via positioned indicator hops
+    assert(df.rdd.getNumPartitions == 3, s"${df.rdd.getNumPartitions}")
+    val rows = df.collect().map(r => (r.getString(0).split('/').last,
+      r.getInt(1), r.getInt(3), r.getInt(5), r.getInt(6), r.getDouble(7))).toSet
+    assert(rows == Set(
+      ("a.grib2", 0, 2, 0, 0, 1.0), ("a.grib2", 0, 2, 1, 0, 2.0),
+      ("a.grib2", 0, 2, 0, 1, 3.0), ("a.grib2", 0, 2, 1, 1, 4.0),
+      ("a.grib2", 1, 3, 0, 0, 15.0), ("a.grib2", 1, 3, 1, 0, 16.0),
+      ("a.grib2", 1, 3, 0, 1, 17.0), ("a.grib2", 1, 3, 1, 1, 18.0),
+      ("b.grib2", 0, 8, 0, 0, 9.0), ("b.grib2", 0, 8, 1, 1, 11.0)), rows.toString)
+    // pruning reaches the source
+    val pruned = df.select("value")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.matches(".*BatchScan[^\\[]*\\[value#\\d+\\].*"), scanLine)
+    // keepMissing surfaces bitmapped holes as NULL rows
+    val withMissing = spark.read.format("graft.sources.GribGridSource")
+      .option("path", s"$dir/b.grib2").option("keepMissing", "true").load()
+    assert(withMissing.count() == 4 &&
+      withMissing.filter(org.apache.spark.sql.functions.col("value").isNull)
+        .count() == 2)
+    // planner ranges line up with the walk, and GRIB1 archives refuse
+    // on the planner path (they go through scan/values task-side)
+    assert(GribGridSource.messageRanges(s"$dir/a.grib2")
+      .map(_._2).sum == a.length)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.grib2"), grib1())
+    val e = intercept[IllegalArgumentException] {
+      GribGridSource.messageRanges(s"$dir/c.grib2")
+    }
+    assert(e.getMessage.contains("GRIB1"), e.getMessage)
   }
 
   test("composition: GRIB u/v slices -> grid rows -> i02 windspeed") {
