@@ -65,9 +65,20 @@ object GribMeta {
     * it into pixels; anything but simple packing stays None and
     * [[values]] refuses loudly. */
   private final case class Pack(
-      template: Int, nPacked: Long, refValue: Float, binScale: Int,
+      template: Int, nPacked: Long, refValue: Double, binScale: Int,
       decScale: Int, nBits: Int, bitmapIndicator: Int, bitmapOff: Int,
       bitmapEnd: Int, dataOff: Int, dataEnd: Int)
+
+  /** IBM System/360 32-bit float (GRIB1 reference values, regulation
+    * 92.6.4): sign · 16^(A−64) · M/2^24 — decoded exactly via a
+    * power-of-two pow (4(A−64)−24 is always in double range). */
+  private def ibm32(bits: Long): Double = {
+    if ((bits & 0x7fffffffL) == 0) return 0.0
+    val sign = if (((bits >> 31) & 1) == 1) -1.0 else 1.0
+    val a = ((bits >> 24) & 0x7f).toInt
+    val m = (bits & 0xffffff).toDouble
+    sign * m * math.pow(2.0, 4 * (a - 64) - 24)
+  }
 
   /** All messages in a (possibly multi-message) GRIB byte array. */
   def decode(bytes: Array[Byte]): Seq[Message] = parse(bytes).map(_._1)
@@ -89,7 +100,7 @@ object GribMeta {
           var gridTpl = -1; var nPoints = -1L; var ni = -1; var nj = -1
           var pCat = -1; var pNum = -1
           // section 5/6/7 capture for the simple-packing pixel decode
-          var drTpl = -1; var nPacked = -1L; var refVal = 0.0f
+          var drTpl = -1; var nPacked = -1L; var refVal = 0.0
           var binE = 0; var decD = 0; var nBits = -1
           var bmpInd = 255; var bmpOff = -1; var bmpEnd = -1
           var dataOff = -1; var dataEnd = -1
@@ -123,7 +134,8 @@ object GribMeta {
                 nPacked = u32(bytes, so + 5)
                 drTpl = u16(bytes, so + 9)
                 if (drTpl == 0 && len >= 20) {
-                  refVal = java.lang.Float.intBitsToFloat(u32(bytes, so + 11).toInt)
+                  refVal = java.lang.Float
+                    .intBitsToFloat(u32(bytes, so + 11).toInt).toDouble
                   binE = s16(u16(bytes, so + 15))
                   decD = s16(u16(bytes, so + 17))
                   nBits = u8(bytes, so + 19)
@@ -191,19 +203,49 @@ object GribMeta {
           val refTime = ts(year, u8(bytes, pds + 13), u8(bytes, pds + 14),
             u8(bytes, pds + 15), u8(bytes, pds + 16))
           var gridTpl = -1; var ni = -1; var nj = -1
+          var cur = pds + pdsLen
           if (gdsPresent) {
-            val gds = pds + pdsLen
+            val gds = cur
             gridTpl = u8(bytes, gds + 5) // data representation type
             if (gridTpl == 0) { // lat/lon: Ni octets 7-8, Nj 9-10
               ni = u16(bytes, gds + 6)
               nj = u16(bytes, gds + 8)
             }
+            cur += u24(bytes, gds)
           }
+          // decimal scale factor: PDS octets 27-28 (sign-and-magnitude)
+          val decD1 = if (pdsLen >= 28) s16(u16(bytes, pds + 26)) else 0
+          // BMS when PDS octet 8 bit 0x40 flags it
+          val bmsPresent = (u8(bytes, pds + 7) & 0x40) != 0
+          var bmpOff1 = -1; var bmpEnd1 = -1
+          if (bmsPresent) {
+            val bms = cur
+            val bmsLen = u24(bytes, bms)
+            require(u16(bytes, bms + 4) == 0,
+              s"GRIB1 message $idx: predefined bitmap (table ref " +
+                s"${u16(bytes, bms + 4)}) unsupported")
+            bmpOff1 = bms + 6 // bitmap bits from octet 7
+            bmpEnd1 = bms + bmsLen
+            cur += bmsLen
+          }
+          // BDS: flags octet 4 (grid/spherical, simple/complex), E
+          // octets 5-6, R octets 7-10 (IBM float), bits octet 11
+          val bds = cur
+          val bdsLen = u24(bytes, bds)
+          val flags = u8(bytes, bds + 3)
+          // template code: 0 = grid-point simple packing (decodable);
+          // spherical-harmonic or complex payloads surface as their
+          // flag bits so values() refuses with the exact reason
+          val tpl1 = (flags >> 6) & 0x3
+          val pack1 = Pack(tpl1, -1L, ibm32(u32(bytes, bds + 6)),
+            s16(u16(bytes, bds + 4)), decD1, u8(bytes, bds + 10),
+            if (bmsPresent) 0 else 255, bmpOff1, bmpEnd1,
+            bds + 11, bds + bdsLen)
           require(new String(bytes, end - 4, 4, "US-ASCII") == "7777",
             s"GRIB1 message $idx: missing 7777 end marker")
           (Message(idx, 1, totalLen, -1, centre, -1, param, refTime,
             gridTpl, if (ni > 0 && nj > 0) ni.toLong * nj else -1L, ni, nj),
-            None)
+            Some(pack1))
         case e => throw new IllegalArgumentException(
           s"message $idx: unsupported GRIB edition $e")
       }
@@ -302,29 +344,39 @@ object GribMeta {
     java.util.Arrays.copyOf(b.array(), total)
   }
 
-  /** GRIB2 SIMPLE-PACKING pixel decode (templates 5.0/7.0) — the
-    * clean-room rung that makes the ECMWF open-data path
-    * decode-complete for the common case
-    * (`ecmwf_opendata/__init__.py:300` slices GRIB by
+  /** SIMPLE-PACKING pixel decode for BOTH editions — the clean-room
+    * rung that makes the ECMWF open-data path decode-complete for the
+    * common case (`ecmwf_opendata/__init__.py:300` slices GRIB by
     * variable/time/level; open-data GRIB2 is simple-packed): each
     * value is an `nBits`-wide big-endian field X with
-    * Y = (R + X·2^E) / 10^D (regulation 92.9.4). Bitmapped grids
-    * surface missing points as NaN. Any OTHER packing template
-    * (complex, JPEG2000, PNG) refuses loudly — the codec-gate
+    * Y = (R + X·2^E) / 10^D (regulation 92.9.4). GRIB2 reads
+    * templates 5.0/7.0; GRIB1 (r9) reads the BDS — IBM 32-bit
+    * reference value (regulation 92.6.4), PDS decimal scale, BMS
+    * bitmap — for grid-point simple packing. Bitmapped grids surface
+    * missing points as NaN. Any OTHER packing (complex, JPEG2000,
+    * PNG, spherical harmonics) refuses loudly — the codec-gate
     * discipline; this decoder never guesses at bytes it does not
     * understand. Returns one value array per message, grid-ordered as
-    * transmitted (row-major for template 3.0). */
+    * transmitted (row-major for lat/lon grids). */
   def values(bytes: Array[Byte]): Seq[(Message, Array[Double])] =
     parse(bytes).map { case (m, packOpt) =>
-      require(m.edition == 2,
-        s"message ${m.msgIndex}: pixel decode supports GRIB2 only " +
-          "(GRIB1 payloads stay inventory-only)")
       val p = packOpt.getOrElse(throw new IllegalArgumentException(
         s"message ${m.msgIndex}: no data section"))
-      require(p.template == 0, s"message ${m.msgIndex}: data " +
-        s"representation template 5.${p.template} unsupported — only " +
-        "5.0 (simple packing) decodes; complex/JPEG2000/PNG packing " +
-        "needs an external decoder")
+      if (m.edition == 2)
+        require(p.template == 0, s"message ${m.msgIndex}: data " +
+          s"representation template 5.${p.template} unsupported — only " +
+          "5.0 (simple packing) decodes; complex/JPEG2000/PNG packing " +
+          "needs an external decoder")
+      else {
+        // GRIB1 BDS flag bits: 10 = spherical harmonics, 01 = complex
+        require(p.template == 0, s"message ${m.msgIndex}: GRIB1 " +
+          s"${if ((p.template & 2) != 0) "spherical-harmonic"
+             else "complex-packed"} payload unsupported — only " +
+          "grid-point simple packing decodes")
+        require(m.nPoints > 0,
+          s"message ${m.msgIndex}: GRIB1 pixel decode needs a lat/lon " +
+            "GDS (grid size unknown without one)")
+      }
       require(p.bitmapIndicator == 255 || p.bitmapIndicator == 0,
         s"message ${m.msgIndex}: bitmap indicator ${p.bitmapIndicator} " +
           "unsupported (255 = none, 0 = inline)")

@@ -155,6 +155,103 @@ class GribMetaSpec extends SparkSpec {
     java.util.Arrays.copyOf(b.array(), total)
   }
 
+  /** GRIB1 message with a REAL simple-packed BDS: PDS(28, GDS+opt BMS
+    * flags, decimal scale octets 27-28) + GDS(32, lat/lon ni×nj) +
+    * optional BMS + BDS(flags, E sign-mag, R as raw IBM fields,
+    * nbits, packed data). IBM fields passed raw so the fixture stays
+    * independent of the decoder's own float math. */
+  private def grib1Simple(ibmSign: Int, ibmA: Int, ibmM: Int, e: Int, d: Int,
+      nbits: Int, xs: Seq[Long], bitmap: Option[Seq[Boolean]],
+      ni: Int, nj: Int, bdsFlags: Int = 0): Array[Byte] = {
+    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
+    val bmsBytes = bitmap.map(m => 6 + (m.size + 7) / 8).getOrElse(0)
+    val dataBytes = (xs.size * nbits + 7) / 8
+    val bdsLen = 11 + dataBytes
+    val total = 8 + 28 + 32 + bmsBytes + bdsLen + 4
+    val b = java.nio.ByteBuffer.allocate(total)
+    b.put("GRIB".getBytes("US-ASCII"))
+    b.put((total >> 16).toByte).put((total >> 8).toByte).put(total.toByte)
+    b.put(1.toByte)
+    // PDS
+    b.put(0.toByte).put(0.toByte).put(28.toByte)
+    b.put(128.toByte).put(74.toByte).put(1.toByte).put(255.toByte)
+    b.put((0x80 | bitmap.map(_ => 0x40).getOrElse(0)).toByte) // GDS (+BMS)
+    b.put(61.toByte)
+    b.put(1.toByte).putShort(0)
+    b.put(24.toByte).put(6.toByte).put(1.toByte)
+    b.put(12.toByte).put(0.toByte)
+    (18 to 24).foreach(_ => b.put(0.toByte))
+    b.put(21.toByte)              // century octet 25
+    b.put(0.toByte)               // octet 26
+    b.putShort(sm16(d).toShort)   // octets 27-28: decimal scale
+    // GDS
+    b.put(0.toByte).put(0.toByte).put(32.toByte)
+    b.put(0.toByte).put(255.toByte)
+    b.put(0.toByte)
+    b.putShort(ni.toShort).putShort(nj.toShort)
+    (11 to 32).foreach(_ => b.put(0.toByte))
+    // BMS
+    bitmap.foreach { mask =>
+      val len = 6 + (mask.size + 7) / 8
+      b.put((len >> 16).toByte).put((len >> 8).toByte).put(len.toByte)
+      b.put(((8 - mask.size % 8) % 8).toByte) // unused trailing bits
+      b.putShort(0) // table ref 0: bitmap follows
+      var acc = 0; var nb = 0
+      mask.zipWithIndex.foreach { case (m, i) =>
+        acc = (acc << 1) | (if (m) 1 else 0); nb += 1
+        if (nb == 8 || i == mask.size - 1) {
+          b.put((acc << (8 - nb)).toByte); acc = 0; nb = 0
+        }
+      }
+    }
+    // BDS
+    b.put((bdsLen >> 16).toByte).put((bdsLen >> 8).toByte).put(bdsLen.toByte)
+    b.put(bdsFlags.toByte)
+    b.putShort(sm16(e).toShort)
+    b.putInt((ibmSign << 31) | (ibmA << 24) | ibmM)
+    b.put(nbits.toByte)
+    var acc = 0L; var nb = 0
+    xs.foreach { x =>
+      acc = (acc << nbits) | (x & ((1L << math.max(nbits, 1)) - 1)); nb += nbits
+      while (nb >= 8) { b.put((acc >> (nb - 8)).toByte); nb -= 8 }
+    }
+    if (nb > 0) b.put((acc << (8 - nb)).toByte)
+    b.put("7777".getBytes("US-ASCII"))
+    java.util.Arrays.copyOf(b.array(), total)
+  }
+
+  test("GRIB1 simple packing decodes: IBM reference value, PDS decimal scale, BMS") {
+    // plain integers: R=0, E=0, D=0, 8-bit codes
+    val plain = grib1Simple(0, 0, 0, 0, 0, 8, Seq(5L, 10L, 255L), None, 3, 1)
+    val Seq((m0, v0)) = GribMeta.values(plain)
+    assert(m0.edition == 1 && m0.ni == 3)
+    assert(v0.toSeq == Seq(5.0, 10.0, 255.0))
+    // IBM float R = -2.5 (sign 1, A=65, M=2621440: 16^1 * M/2^24),
+    // E=1 (x2), D=1 (/10): Y = (-2.5 + X*2)/10
+    val ibm = grib1Simple(1, 65, 2621440, 1, 1, 8, Seq(0L, 3L), None, 2, 1)
+    val Seq((_, v1)) = GribMeta.values(ibm)
+    assert(math.abs(v1(0) - -0.25) < 1e-12 && math.abs(v1(1) - 0.35) < 1e-12,
+      v1.toSeq.toString)
+    // BMS bitmap: missing points surface NaN in grid order
+    val bm = grib1Simple(0, 0, 0, 0, 0, 8, Seq(7L, 9L),
+      Some(Seq(true, false, false, true)), 2, 2)
+    val Seq((_, v2)) = GribMeta.values(bm)
+    assert(v2(0) == 7.0 && v2(1).isNaN && v2(2).isNaN && v2(3) == 9.0)
+    // spherical-harmonic and complex flags refuse with the exact reason
+    val sph = grib1Simple(0, 0, 0, 0, 0, 8, Seq(1L), None, 1, 1, bdsFlags = 0x80)
+    assert(intercept[IllegalArgumentException] { GribMeta.values(sph) }
+      .getMessage.contains("spherical"))
+    val cpx = grib1Simple(0, 0, 0, 0, 0, 8, Seq(1L), None, 1, 1, bdsFlags = 0x40)
+    assert(intercept[IllegalArgumentException] { GribMeta.values(cpx) }
+      .getMessage.contains("complex"))
+    // readValues fans GRIB1 out too (category -1, param from the PDS)
+    val dir = java.nio.file.Files.createTempDirectory("graft_g1vals").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.grib"), bm)
+    val rows = GribMeta.readValues(spark, s"$dir/a.grib")
+      .collect().map(r => (r.getInt(5), r.getInt(6), r.getDouble(7))).toSet
+    assert(rows == Set((0, 0, 7.0), (1, 1, 9.0)), rows.toString)
+  }
+
   test("simple packing decodes: (R + X*2^E)/10^D, bitmap NaNs, constant fields") {
     // R=100, E=-1 (x0.5), D=1 (/10), 10-bit fields incl. the max code
     val m = grib2Simple(100f, -1, 1, 10, Seq(0L, 1L, 5L, 1023L), None, 4, 1)
@@ -202,13 +299,15 @@ class GribMetaSpec extends SparkSpec {
     }
   }
 
-  test("non-simple packing and GRIB1 payloads refuse loudly") {
+  test("non-simple packing refuses loudly; zero-BDS GRIB1 is a constant field") {
     val jp2 = grib2Simple(0f, 0, 0, 8, Seq(1L), None, 1, 1, drTpl = 40)
     val e = intercept[IllegalArgumentException] { GribMeta.values(jp2) }
     assert(e.getMessage.contains("5.40"), e.getMessage)
-    val e1 = intercept[IllegalArgumentException] { GribMeta.values(grib1()) }
-    assert(e1.getMessage.contains("GRIB2 only"), e1.getMessage)
-    // inventory scan still handles both fine
+    // grib1()'s zeroed BDS = grid-point simple packing, nbits 0, R 0:
+    // a legitimate constant-0 field over the full 96x48 GDS grid
+    val Seq((m1, v1)) = GribMeta.values(grib1())
+    assert(m1.edition == 1 && v1.length == 96 * 48 && v1.forall(_ == 0.0))
+    // inventory scan handles mixed-edition archives
     assert(GribMeta.decode(jp2 ++ grib1()).map(_.edition) == Seq(2, 1))
   }
 
