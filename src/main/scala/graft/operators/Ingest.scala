@@ -3251,10 +3251,61 @@ object Ingest {
       .orderBy(col("t"), col("y"), col("x"))
   }
 
+  /** i64: the GEOTIFF transport cycle inside the correctness gate —
+    * completing the i62/i63 trio for the engine's PUBLISH format (the
+    * reference's own per-date `{ns}_{date}.tif` layout): the same
+    * deterministic lineitem grid is published as one float32 GeoTIFF
+    * per date key through [[graft.sources.GeoTiff.publishTif]]
+    * (missing cells land as −9999 nodata) and read BACK through the
+    * [[graft.sources.TiffGridSource]] DSv2 scan, date keys recovered
+    * from the layout's file names. DuckDB recomputes the grid
+    * directly — a bit-slip in the TIFF encode, strip decode, nodata
+    * masking, or the per-file task fan-out breaks the hash. Values
+    * 2048 + q/4 are exact in float32 while 4·value < 2^24 (q below
+    * ~16.7M — orders of magnitude above any tested scale), so no
+    * rounding is needed on either side.
+    *
+    * Scale shape: i62's — fixed per-date 12×8 grids, one 192-group
+    * partial-agg shuffle, grid-bounded publish, per-FILE read
+    * fan-out. */
+  def i64: QueryDef = QueryDef(
+    "i64_tif_cycle",
+    """WITH g AS (
+      |  SELECT CAST(l_linenumber % 2 AS INTEGER) AS t,
+      |    CAST(l_suppkey % 8 AS INTEGER) AS y,
+      |    CAST(l_partkey % 12 AS INTEGER) AS x,
+      |    CAST(SUM(l_quantity) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2, 3)
+      |SELECT STRFTIME(DATE '1995-01-01' + t, '%Y-%m-%d') AS time_day,
+      |  x, y, 2048.0 + CAST(q AS DOUBLE) / 4 AS value
+      |FROM g ORDER BY time_day, y, x""".stripMargin) { (spark, dir) =>
+    import graft.sources.GeoTiff
+    val (ny, nx) = (8, 12)
+    val grid = Tables(spark, dir).lineitem
+      .groupBy((col("l_linenumber") % 2).cast("int").as("t"),
+        (col("l_suppkey") % 8).cast("int").as("y"),
+        (col("l_partkey") % 12).cast("int").as("x"))
+      .agg((lit(2048.0) + sum(col("l_quantity")) / 4).as("v"))
+      .persist()
+    val outDir = graft.Fixtures.pathFor(dir, "i64_tif")
+    Seq(0, 1).foreach { t =>
+      GeoTiff.publishTif(grid.filter(col("t") === t), "x", "y", "v",
+        nx, ny, outDir, "qty", f"1995-01-${t + 1}%02d")
+    }
+    grid.unpersist()
+    spark.read.format("graft.sources.TiffGridSource")
+      .option("path", s"$outDir/qty").load()
+      .select(
+        regexp_extract(col("path"), "_(\\d{4}-\\d{2}-\\d{2})\\.tif$", 1)
+          .as("time_day"),
+        col("x"), col("y"), col("value"))
+      .orderBy(col("time_day"), col("y"), col("x"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
-    i54, i55, i56, i57, i58, i59, i60, i61, i62, i63)
+    i54, i55, i56, i57, i58, i59, i60, i61, i62, i63, i64)
 }
