@@ -215,23 +215,35 @@ object GribMeta {
           }
           // decimal scale factor: PDS octets 27-28 (sign-and-magnitude)
           val decD1 = if (pdsLen >= 28) s16(u16(bytes, pds + 26)) else 0
-          // BMS when PDS octet 8 bit 0x40 flags it
+          // BMS when PDS octet 8 bit 0x40 flags it. A PREDEFINED
+          // bitmap (table ref != 0) records its ref as the indicator
+          // so values() refuses it — the inventory walk itself must
+          // keep cataloging such archives (r9 review: refusals belong
+          // on the pixel path, not the shared metadata walk)
           val bmsPresent = (u8(bytes, pds + 7) & 0x40) != 0
-          var bmpOff1 = -1; var bmpEnd1 = -1
+          var bmpInd1 = 255; var bmpOff1 = -1; var bmpEnd1 = -1
           if (bmsPresent) {
             val bms = cur
             val bmsLen = u24(bytes, bms)
-            require(u16(bytes, bms + 4) == 0,
-              s"GRIB1 message $idx: predefined bitmap (table ref " +
-                s"${u16(bytes, bms + 4)}) unsupported")
+            require(bms + 6 <= end - 4 && bms + bmsLen <= end - 4,
+              s"GRIB1 message $idx: BMS overruns the message")
+            bmpInd1 = u16(bytes, bms + 4) // 0 = bitmap follows
             bmpOff1 = bms + 6 // bitmap bits from octet 7
             bmpEnd1 = bms + bmsLen
             cur += bmsLen
           }
           // BDS: flags octet 4 (grid/spherical, simple/complex), E
-          // octets 5-6, R octets 7-10 (IBM float), bits octet 11
+          // octets 5-6, R octets 7-10 (IBM float), bits octet 11.
+          // Lengths bound-checked against the message end — a corrupt
+          // 24-bit length must never let the unpack loop read the
+          // trailer or the next message as packed data (r9 review;
+          // the GRIB2 walk already enforces this per section)
           val bds = cur
+          require(bds + 11 <= end - 4,
+            s"GRIB1 message $idx: BDS overruns the message")
           val bdsLen = u24(bytes, bds)
+          require(bdsLen >= 11 && bds + bdsLen <= end - 4,
+            s"GRIB1 message $idx: BDS length $bdsLen overruns the message")
           val flags = u8(bytes, bds + 3)
           // template code: 0 = grid-point simple packing (decodable);
           // spherical-harmonic or complex payloads surface as their
@@ -239,7 +251,7 @@ object GribMeta {
           val tpl1 = (flags >> 6) & 0x3
           val pack1 = Pack(tpl1, -1L, ibm32(u32(bytes, bds + 6)),
             s16(u16(bytes, bds + 4)), decD1, u8(bytes, bds + 10),
-            if (bmsPresent) 0 else 255, bmpOff1, bmpEnd1,
+            bmpInd1, bmpOff1, bmpEnd1,
             bds + 11, bds + bdsLen)
           require(new String(bytes, end - 4, 4, "US-ASCII") == "7777",
             s"GRIB1 message $idx: missing 7777 end marker")
@@ -270,7 +282,10 @@ object GribMeta {
       centre: Int = 0, discipline: Int = 0,
       refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0)): Array[Byte] = {
     require(nBits >= 0 && nBits <= 32, s"bad nBits $nBits")
-    require(xs.forall(x => x >= 0 && (nBits == 32 || x < (1L << nBits))),
+    // Scala's Long shift uses 6 shift bits, so 1L << 32 is the true
+    // 2^32 — no escape hatch needed (an escape would let 2^32
+    // silently truncate to 0 in the packed stream, r9 review)
+    require(xs.forall(x => x >= 0 && x < (1L << nBits)),
       s"packed code out of the $nBits-bit range")
     bitmap.foreach { m =>
       require(m.length == ni * nj, s"bitmap ${m.length} for ${ni * nj} points")

@@ -159,7 +159,11 @@ object PublishedTable {
       s"manifest commit lost the race on $root v$version — " +
         "another writer committed this version first; retry against " +
         s"the new latest version (staged temp left at $tmp)", cause)
-    if (Option(dst.toUri.getScheme).forall(_ == "file")) {
+    // scheme of the RESOLVED filesystem, not the raw path: a
+    // scheme-less path on an HDFS-default deployment must take the
+    // rename branch (r9 review — the raw-URI check misrouted it to a
+    // local hardlink that can never succeed)
+    if (f.getUri.getScheme == "file") {
       // LOCAL scheme: FileContext's no-overwrite rename is
       // check-then-act — two concurrent writers can BOTH pass the
       // existence check and the POSIX rename then silently replaces,

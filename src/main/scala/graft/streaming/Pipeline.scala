@@ -932,50 +932,45 @@ object Streaming {
     withStreamParallelism(spark, dir) { s =>
       import org.apache.spark.sql.graft.ColumnBridge
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-      // benchmark grams gated the d09 way (r8 verdict: no data-shaped
-      // driver structure anywhere in the streaming path): the grams
-      // aggregate executor-side into a FIXED-SIZE BloomFilter blob —
-      // the only thing the driver holds — and the stream probes it
-      // map-side via the codegen'd BloomMatchCountExpr (early-exit at
-      // 2; no false negatives, so `< 2` is definitively clean). The
-      // sparse might-dirty sliver is then confirmed EXACTLY against
-      // the gram list carried as a one-row STATIC side of a
-      // stream-static broadcast join (built and shipped executor-side
-      // by the exchange). The conditional confirm only evaluates
-      // array_intersect on bloom-positive rows, so the per-row
-      // set-rebuild cost that made the old naive plan 45× super-linear
-      // is paid only on (true dirty + fp) rows — and NOT
-      // `array_intersect` over every row, which rebuilds the big
-      // side's hash set per row.
-      // persisted: the gram set feeds the bloom blob AND the sorted
-      // confirm array from one computation (r9 review)
+      // benchmark grams gated in two MAP-SIDE tiers, both probed by
+      // codegen'd expressions — no join anywhere on the stream:
+      //   1. a FIXED-SIZE BloomFilter blob built executor-side (d09's
+      //      aggregate; the r8 verdict's ask) probed with early-exit
+      //      at 2 — no false negatives, so `< 2` is definitively
+      //      clean;
+      //   2. an EXACT binary-search confirm against the gram set
+      //      shipped as a SORTED immutable UTF8String array — the
+      //      s04/s19 codebook model-state broadcast discipline, not a
+      //      mutable driver HashSet. Join-based confirms both priced
+      //      super-linearly on a dirty-dominant stream
+      //      (array_intersect rebuilds the big side's set PER ROW; a
+      //      nested-loop join copies the MB-sized array into every
+      //      row — 56× past linear at ×10, BENCH_sf1 r9 first cut);
+      //      the sorted probe is |sh|·log n compares per row with no
+      //      per-row build.
+      // The gram set is persisted so blob + array come from ONE
+      // computation, and released in a finally with the broadcast
+      // destroyed after the stream — repeated suite runs must not
+      // accumulate MB-scale broadcasts (r9 review).
       val evalGrams = graft.Tables(s, dir).documents
         .filter(col("doc_id") % 97 === 0)
         .select(explode(array_distinct(
           Text.shingles(Text.tokens(col("text")), 3))).as("g"))
         .distinct()
         .persist()
-      val blob = evalGrams
-        .agg(ColumnBridge.column(new BloomFilterAggregate(
-          ColumnBridge.expression(xxhash64(col("g"))), 4000000L)
-          .toAggregateExpression()).as("bf"))
-        .collect()(0).getAs[Array[Byte]](0)
-      // exact tier: the gram set as a SORTED immutable UTF8String
-      // array, torrent-broadcast — the s04/s19 codebook model-state
-      // discipline, NOT a mutable driver HashSet. Join-based confirms
-      // both priced super-linearly on a dirty-dominant stream
-      // (array_intersect rebuilds the big side's set PER ROW; a
-      // nested-loop join copies the MB-sized array into every row —
-      // 56× past linear at ×10, BENCH_sf1 r9 first cut); the sorted
-      // probe is |sh|·log n compares with no per-row build.
-      val sortedGrams = {
-        val arr = evalGrams.agg(collect_set(col("g")).as("gs"))
-          .first().getSeq[String](0)
-          .map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
-        java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
-        arr
-      }
-      evalGrams.unpersist()
+      val (blob, sortedGrams) =
+        try {
+          val b = evalGrams
+            .agg(ColumnBridge.column(new BloomFilterAggregate(
+              ColumnBridge.expression(xxhash64(col("g"))), 4000000L)
+              .toAggregateExpression()).as("bf"))
+            .collect()(0).getAs[Array[Byte]](0)
+          val arr = evalGrams.agg(collect_set(col("g")).as("gs"))
+            .first().getSeq[String](0)
+            .map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+          java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+          (b, arr)
+        } finally evalGrams.unpersist()
       val bcGrams = s.sparkContext.broadcast(sortedGrams)
       // ZERO eval grams (no eval docs, or all shorter than a shingle):
       // BloomFilterAggregate yields NULL for empty input — nothing can
@@ -997,7 +992,8 @@ object Streaming {
           count(when(col("dirty"), 1)).as("n_contaminated"),
           coalesce(sum(when(!col("dirty"), col("n_tok"))), lit(0L))
             .as("tokens_clean"))
-      runToCompletion(gated, "st14_out")
+      try runToCompletion(gated, "st14_out")
+      finally bcGrams.destroy()
     }.orderBy(col("source"))
   }
 

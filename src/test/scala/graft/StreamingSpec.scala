@@ -368,14 +368,14 @@ class StreamingSpec extends SparkSpec {
       got(0).getLong(3) == 2L, s"${got(0)}")
   }
 
-  test("SetMatchCountExpr equals capped array_intersect, interpreted and codegen'd") {
+  test("SortedMatchCountExpr equals capped array_intersect, interpreted and codegen'd") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.unsafe.types.UTF8String
-    val set = new java.util.HashSet[UTF8String]()
-    Seq("a b c", "c d e", "x y z").foreach(g => set.add(UTF8String.fromString(g)))
-    val bc = spark.sparkContext.broadcast(set)
+    val arr = Seq("a b c", "c d e", "x y z").map(UTF8String.fromString).toArray
+    java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+    val bc = spark.sparkContext.broadcast(arr)
     val df = Seq(
       Seq("a b c", "q q q"),             // 1 hit
       Seq("a b c", "c d e", "x y z"),    // 3 hits, capped at 2
@@ -383,7 +383,7 @@ class StreamingSpec extends SparkSpec {
       Seq.empty[String])
       .toDF("sh")
     val cnt = ColumnBridge.column(
-      graft.functions.SetMatchCountExpr(ColumnBridge.expression(col("sh")), bc, 2))
+      graft.functions.SortedMatchCountExpr(ColumnBridge.expression(col("sh")), bc, 2))
     val ref = least(size(array_intersect(col("sh"),
       typedlit(Seq("a b c", "c d e", "x y z")))), lit(2))
     val rows = df.select(cnt.as("got"), ref.as("want")).collect()
@@ -393,10 +393,10 @@ class StreamingSpec extends SparkSpec {
     // fallback) — asserted over a parquet scan, not a local relation
     val onScan = Tables(spark, sf).documents
       .withColumn("sh", graft.functions.Text.tokens(col("text")))
-      .select(ColumnBridge.column(graft.functions.SetMatchCountExpr(
+      .select(ColumnBridge.column(graft.functions.SortedMatchCountExpr(
         ColumnBridge.expression(col("sh")), bc, 2)).as("got"))
     val plan = onScan.queryExecution.executedPlan.toString()
-    assert(plan.contains("*(1) Project [graft_set_match_count"),
+    assert(plan.contains("*(1) Project [graft_sorted_match_count"),
       s"codegen must fire (the *(n) whole-stage marker):\n$plan")
     assert(onScan.agg(sum("got")).collect()(0).get(0) != null)
   }
@@ -440,33 +440,6 @@ class StreamingSpec extends SparkSpec {
     assert(interp == got)
   }
 
-  test("SortedMatchCountExpr equals capped array_intersect, interpreted and codegen'd") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.graft.ColumnBridge
-    import org.apache.spark.unsafe.types.UTF8String
-    val arr = Seq("a b c", "c d e", "x y z").map(UTF8String.fromString).toArray
-    java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
-    val bc = spark.sparkContext.broadcast(arr)
-    val df = Seq(
-      Seq("a b c", "q q q"),             // 1 hit
-      Seq("a b c", "c d e", "x y z"),    // 3 hits, capped at 2
-      Seq("none here"),                  // 0 hits
-      Seq.empty[String])
-      .toDF("sh")
-    val cnt = ColumnBridge.column(
-      graft.functions.SortedMatchCountExpr(ColumnBridge.expression(col("sh")), bc, 2))
-    val got = df.select(cnt.as("got")).collect().map(_.getInt(0)).toSeq
-    assert(got == Seq(1, 2, 0, 0), got.toString)
-    // codegen fires on a real scan (the st14 hot path)
-    val onScan = Tables(spark, sf).documents
-      .withColumn("sh", graft.functions.Text.tokens(col("text")))
-      .select(ColumnBridge.column(graft.functions.SortedMatchCountExpr(
-        ColumnBridge.expression(col("sh")), bc, 2)).as("got"))
-    val plan = onScan.queryExecution.executedPlan.toString()
-    assert(plan.contains("*(1) Project [graft_sorted_match_count"),
-      s"codegen must fire (the *(n) whole-stage marker):\n$plan")
-  }
 
   test("st14 streamed decontamination flags exactly the leaked documents") {
     import spark.implicits._
