@@ -207,6 +207,27 @@ class NetCdfSpec extends SparkSpec {
     }.getMessage.contains("rfe"))
   }
 
+  test("composition: nc grid rows feed the downstream grid operators (i27 coarsen)") {
+    // the claim the connectors exist for: decoded rows drop straight
+    // into the grid pipeline — here a 4x4 slice coarsens 2x with the
+    // i27 mechanics (cell-mean overview pyramid)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nccomp").toString
+    val nc = NetCdf.encode(
+      Seq(Dim("lat", 4), Dim("lon", 4)), Nil,
+      Seq(VarSpec("v", Seq("lat", "lon"), NetCdf.NcDouble,
+        values = Array.tabulate(16)(_.toDouble))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/g.nc"), nc)
+    val coarse = spark.read.format("graft.sources.NcGridSource")
+      .option("path", dir).option("var", "v").load()
+      .groupBy((col("x") / 2).cast("int").as("cx"),
+        (col("y") / 2).cast("int").as("cy"))
+      .agg(avg(col("value")).as("m"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // cell (0,0) = mean(0,1,4,5) = 2.5; (1,1) = mean(10,11,14,15) = 12.5
+    assert(coarse == Map((0, 0) -> 2.5, (1, 0) -> 4.5, (0, 1) -> 10.5,
+      (1, 1) -> 12.5), coarse.toString)
+  }
+
   test("NcGridSource: DSv2 table, one partition per (file x time step), pruned reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ncdsv2").toString
     def ncFile(tag: Int): Array[Byte] = NetCdf.encode(
