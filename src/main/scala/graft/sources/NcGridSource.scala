@@ -111,16 +111,62 @@ final class NcGridTable(path: String, varName: String, keepFill: Boolean,
 
 final class NcScanBuilder(path: String, varName: String, keepFill: Boolean,
     stepsPerSplit: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = NcGridSource.fullSchema
+  private var tBounds: (Int, Int) = (0, Int.MaxValue)
+  private var pathPreds: Seq[String => Boolean] = Nil
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** SPLIT pruning, not row filtering: bounds on `t` and decidable
+    * `path` predicates skip whole (file × step-range) splits at
+    * planning — a one-date query over a year archive plans one slice,
+    * not 365 tasks that each filter everything out. Every filter is
+    * reported UNPUSHED (returned verbatim, [[pushedFilters]] empty),
+    * so Spark still evaluates them post-scan and pruning can only
+    * ever remove splits that cannot produce a matching row. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    filters.foreach {
+      case EqualTo("t", v: Int) =>
+        tBounds = (math.max(tBounds._1, v), math.min(tBounds._2, v))
+      case GreaterThan("t", v: Int) =>
+        tBounds = (math.max(tBounds._1, v + 1), tBounds._2)
+      case GreaterThanOrEqual("t", v: Int) =>
+        tBounds = (math.max(tBounds._1, v), tBounds._2)
+      case LessThan("t", v: Int) =>
+        tBounds = (tBounds._1, math.min(tBounds._2, v - 1))
+      case LessThanOrEqual("t", v: Int) =>
+        tBounds = (tBounds._1, math.min(tBounds._2, v))
+      case In("t", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Int]) =>
+        val ts = vs.map(_.asInstanceOf[Int])
+        tBounds = (math.max(tBounds._1, ts.min), math.min(tBounds._2, ts.max))
+      case EqualTo("path", v: String) => pathPreds :+= ((p: String) => p == v)
+      case StringContains("path", v: String) =>
+        pathPreds :+= ((p: String) => p.contains(v))
+      case StringEndsWith("path", v: String) =>
+        pathPreds :+= ((p: String) => p.endsWith(v))
+      case StringStartsWith("path", v: String) =>
+        pathPreds :+= ((p: String) => p.startsWith(v))
+      case _ => () // not prunable; evaluated post-scan like the rest
+    }
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
   override def build(): Scan =
-    new NcScan(path, varName, required, keepFill, stepsPerSplit)
+    new NcScan(path, varName, required, keepFill, stepsPerSplit,
+      tBounds, pathPreds)
 }
 
 final class NcScan(path: String, varName: String, required: StructType,
-    keepFill: Boolean, stepsPerSplit: Int) extends Scan with Batch {
+    keepFill: Boolean, stepsPerSplit: Int,
+    tBounds: (Int, Int) = (0, Int.MaxValue),
+    pathPreds: Seq[String => Boolean] = Nil) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
@@ -128,14 +174,23 @@ final class NcScan(path: String, varName: String, required: StructType,
     // ceil(121/stepsPerSplit) tasks, each reading the file ONCE and
     // decoding only its slices — per-step splits would multiply the
     // file read by the step count, and the planner itself reads only
-    // a bounded header prefix, never whole cubes (r9 review)
-    NcGridSource.listFiles(path).flatMap { f =>
-      val steps =
-        try NcGridSource.timeSteps(NcGridSource.planningHeader(f), varName)
-        catch { case _: Exception => 1 } // defer the loud error to the task
-      (0 until steps by stepsPerSplit).map(t0 =>
-        NcPartition(f, t0, math.min(t0 + stepsPerSplit, steps)): InputPartition)
-    }.toArray
+    // a bounded header prefix, never whole cubes (r9 review). Splits
+    // outside the pushed t bounds / path predicates never plan.
+    NcGridSource.listFiles(path)
+      .filter(f => pathPreds.forall(_(f)))
+      .flatMap { f =>
+        val steps =
+          try NcGridSource.timeSteps(NcGridSource.planningHeader(f), varName)
+          catch { case _: Exception => 1 } // defer the loud error to the task
+        val lo = math.max(0, tBounds._1)
+        val hi = math.min(steps - 1, tBounds._2)
+        (0 until steps by stepsPerSplit)
+          .map(t0 => (t0, math.min(t0 + stepsPerSplit, steps)))
+          .filter { case (t0, t1) => t0 <= hi && t1 - 1 >= lo }
+          .map { case (t0, t1) =>
+            NcPartition(f, math.max(t0, lo), math.min(t1, hi + 1)): InputPartition
+          }
+      }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new NcReaderFactory(required.fieldNames, varName, keepFill)
 }

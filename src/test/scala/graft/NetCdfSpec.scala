@@ -280,6 +280,20 @@ class NetCdfSpec extends SparkSpec {
       .option("keepFill", "true").load()
     assert(withFill.count() == 8 &&
       withFill.filter(col("value").isNull).count() == 1)
+    // SPLIT pruning: t/path predicates skip whole splits at planning —
+    // a one-date query over an archive plans one slice per matching
+    // file, and results stay identical because every filter is still
+    // evaluated post-scan (reported unpushed)
+    val t1Only = df.filter(col("t") === 1)
+    assert(t1Only.rdd.getNumPartitions == 2, // one split per file
+      s"${t1Only.rdd.getNumPartitions}")
+    assert(t1Only.count() == 8)
+    val aOnly = df.filter(col("path").endsWith("a.nc") && col("t") === 1)
+    assert(aOnly.rdd.getNumPartitions == 1, s"${aOnly.rdd.getNumPartitions}")
+    assert(aOnly.select(round(sum("value"), 2)).collect()(0).getDouble(0) ==
+      5.0 + 6 + 7 + 8)
+    // contradictory bounds plan zero splits, zero rows, no failure
+    assert(df.filter(col("t") === 1 && col("t") === 0).count() == 0)
     // an EMPTY record dim (numrecs=0, an empty forecast placeholder)
     // plans zero splits and yields zero rows — never a failing task
     val emptyNc = NetCdf.encode(
