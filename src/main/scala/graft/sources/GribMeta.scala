@@ -245,10 +245,15 @@ object GribMeta {
           require(bdsLen >= 11 && bds + bdsLen <= end - 4,
             s"GRIB1 message $idx: BDS length $bdsLen overruns the message")
           val flags = u8(bytes, bds + 3)
-          // template code: 0 = grid-point simple packing (decodable);
-          // spherical-harmonic or complex payloads surface as their
-          // flag bits so values() refuses with the exact reason
-          val tpl1 = (flags >> 6) & 0x3
+          // template code: the full BDS flag nibble (bits 4-7), so 0 =
+          // grid-point, simple, float, NO octet-14 extension — the only
+          // shape this decoder understands. Spherical-harmonic,
+          // complex, integer-valued, and extended-flags payloads all
+          // surface as their flag bits so values() refuses with the
+          // exact reason (r9 advice: the old 2-bit capture let an
+          // extension-flagged message decode as plain simple packing —
+          // a silent misdecode, since octet 14 can redefine the layout)
+          val tpl1 = (flags >> 4) & 0xF
           val pack1 = Pack(tpl1, -1L, ibm32(u32(bytes, bds + 6)),
             s16(u16(bytes, bds + 4)), decD1, u8(bytes, bds + 10),
             bmpInd1, bmpOff1, bmpEnd1,
@@ -383,11 +388,18 @@ object GribMeta {
           "5.0 (simple packing) decodes; complex/JPEG2000/PNG packing " +
           "needs an external decoder")
       else {
-        // GRIB1 BDS flag bits: 10 = spherical harmonics, 01 = complex
+        // GRIB1 BDS flag nibble (template here = flags bits 4-7):
+        // 8 = spherical harmonics, 4 = complex packing, 2 = integer
+        // values, 1 = additional flags at octet 14 (the octet-14
+        // extension can redefine the payload layout, so decoding it as
+        // simple packing would be silently wrong — r9 advice)
         require(p.template == 0, s"message ${m.msgIndex}: GRIB1 " +
-          s"${if ((p.template & 2) != 0) "spherical-harmonic"
-             else "complex-packed"} payload unsupported — only " +
-          "grid-point simple packing decodes")
+          s"${if ((p.template & 8) != 0) "spherical-harmonic"
+             else if ((p.template & 4) != 0) "complex-packed"
+             else if ((p.template & 1) != 0) "octet-14-extended-flags"
+             else "integer-valued"} payload unsupported — only " +
+          "grid-point simple float packing without the octet-14 " +
+          "extension decodes")
         require(m.nPoints > 0,
           s"message ${m.msgIndex}: GRIB1 pixel decode needs a lat/lon " +
             "GDS (grid size unknown without one)")

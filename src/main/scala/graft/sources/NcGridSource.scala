@@ -179,17 +179,32 @@ final class NcScan(path: String, varName: String, required: StructType,
     NcGridSource.listFiles(path)
       .filter(f => pathPreds.forall(_(f)))
       .flatMap { f =>
-        val steps =
-          try NcGridSource.timeSteps(NcGridSource.planningHeader(f), varName)
-          catch { case _: Exception => 1 } // defer the loud error to the task
-        val lo = math.max(0, tBounds._1)
-        val hi = math.min(steps - 1, tBounds._2)
-        (0 until steps by stepsPerSplit)
-          .map(t0 => (t0, math.min(t0 + stepsPerSplit, steps)))
-          .filter { case (t0, t1) => t0 <= hi && t1 - 1 >= lo }
-          .map { case (t0, t1) =>
-            NcPartition(f, math.max(t0, lo), math.min(t1, hi + 1)): InputPartition
-          }
+        val stepsKnown =
+          try Some(NcGridSource.timeSteps(NcGridSource.planningHeader(f), varName))
+          catch { case _: Exception => None }
+        stepsKnown match {
+          case None =>
+            // Planning-side read/parse failure: steps are UNKNOWN, so
+            // plan one whole-file split that no pushed t bound can
+            // prune (tEnd sentinel, clamped by the reader). The task
+            // then either fails loudly on a genuinely corrupt file or
+            // scans every step of a healthy one — the old steps=1
+            // fallback silently dropped later steps on a transient
+            // planner failure, and a pushed t bound could prune the
+            // lone split away so the deferred error never fired
+            // (r9 advice). Pushed filters still apply post-scan
+            // (pushedFilters() is empty), so results stay correct.
+            Seq(NcPartition(f, 0, Int.MaxValue): InputPartition)
+          case Some(steps) =>
+            val lo = math.max(0, tBounds._1)
+            val hi = math.min(steps - 1, tBounds._2)
+            (0 until steps by stepsPerSplit)
+              .map(t0 => (t0, math.min(t0 + stepsPerSplit, steps)))
+              .filter { case (t0, t1) => t0 <= hi && t1 - 1 >= lo }
+              .map { case (t0, t1) =>
+                NcPartition(f, math.max(t0, lo), math.min(t1, hi + 1)): InputPartition
+              }
+        }
       }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new NcReaderFactory(required.fieldNames, varName, keepFill)
@@ -224,7 +239,10 @@ final class NcReaderFactory(fields: Array[String], varName: String,
       // the file is read ONCE per task; only this split's time slices
       // decode (random-access slabs), not the whole cube
       private val nc = NetCdf.decode(GridFiles.readBytes(p.file))
-      private val cells = Iterator.range(p.tStart, p.tEnd)
+      // clamp the unknown-steps sentinel split (planner fallback) to
+      // the file's true step count; normal splits are already in range
+      private val tEnd = math.min(p.tEnd, NcGridSource.timeSteps(nc, varName))
+      private val cells = Iterator.range(p.tStart, tEnd)
         .flatMap(t => NetCdf.gridCells(nc, varName, onlyT = Some(t)))
         .filter(c => keepFill || !c.value.isNaN)
       private val pathUtf = UTF8String.fromString(p.file)

@@ -320,6 +320,14 @@ object NetCdf {
     }
     val total = off + recStride * numRecs
     require(version == 2 || total <= Int.MaxValue, "file too large for CDF-1")
+    // CDF-2 the FORMAT allows >2 GiB, but this in-memory writer builds
+    // the whole file in one ByteBuffer — exempting CDF-2 here let a
+    // large total truncate in allocate(total.toInt) and fail with a
+    // confusing BufferOverflow far from the cause (r9 advice)
+    require(total <= Int.MaxValue,
+      s"encoded file would be $total bytes — the CDF-2 format supports " +
+        ">2 GiB files but this in-memory writer does not; write per-date " +
+        "slices instead")
 
     val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.BIG_ENDIAN)
     out.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(version.toByte)

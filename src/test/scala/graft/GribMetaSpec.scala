@@ -244,6 +244,17 @@ class GribMetaSpec extends SparkSpec {
     val cpx = grib1Simple(0, 0, 0, 0, 0, 8, Seq(1L), None, 1, 1, bdsFlags = 0x40)
     assert(intercept[IllegalArgumentException] { GribMeta.values(cpx) }
       .getMessage.contains("complex"))
+    // octet-14 extension (0x10) and integer-values (0x20) flags refuse
+    // too — the extension can redefine the payload layout, so decoding
+    // it as plain simple packing would be silently wrong (r9 advice)
+    val ext = grib1Simple(0, 0, 0, 0, 0, 8, Seq(1L), None, 1, 1, bdsFlags = 0x10)
+    assert(intercept[IllegalArgumentException] { GribMeta.values(ext) }
+      .getMessage.contains("octet-14"))
+    val int1 = grib1Simple(0, 0, 0, 0, 0, 8, Seq(1L), None, 1, 1, bdsFlags = 0x20)
+    assert(intercept[IllegalArgumentException] { GribMeta.values(int1) }
+      .getMessage.contains("integer"))
+    // but the INVENTORY walk still catalogs what it cannot decode
+    assert(GribMeta.decode(ext).map(_.edition) == Seq(1))
     // readValues fans GRIB1 out too (category -1, param from the PDS)
     val dir = java.nio.file.Files.createTempDirectory("graft_g1vals").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.grib"), bm)

@@ -207,6 +207,46 @@ class NetCdfSpec extends SparkSpec {
     }.getMessage.contains("rfe"))
   }
 
+  test("encode refuses >2 GiB totals unconditionally (in-memory writer bound)") {
+    // CDF-2 the FORMAT allows huge files; this writer does not — the
+    // guard must fire BEFORE ByteBuffer.allocate truncates the size
+    // (r9 advice). 40000x40000 doubles = 12.8 GB declared.
+    val e = intercept[IllegalArgumentException] {
+      NetCdf.encode(Seq(Dim("y", 40000), Dim("x", 40000)), Nil,
+        Seq(VarSpec("v", Seq("y", "x"), NetCdf.NcDouble)), version = 2)
+    }
+    assert(e.getMessage.contains("in-memory writer"), e.getMessage)
+  }
+
+  test("planner failure plans an unprunable whole-file split that fails loudly") {
+    // a corrupt .nc file: the planner cannot learn its step count, so
+    // it must plan ONE split no pushed t bound can prune — the old
+    // steps=1 fallback let `t === 3` prune the file away entirely and
+    // the deferred task error never fired (r9 advice)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ncbad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.nc"),
+      "not a netcdf file at all".getBytes("US-ASCII"))
+    val df = spark.read.format("graft.sources.NcGridSource")
+      .option("path", dir).option("var", "rfe").load()
+      .filter(col("t") === 3)
+    assert(df.rdd.getNumPartitions == 1, "corrupt file must still plan a split")
+    val e = intercept[Exception] { df.count() }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(e).exists(_.getMessage != null), e.toString)
+    // a HEALTHY file alongside it still yields its rows when the scan
+    // is restricted to it by path (split pruning drops the corrupt one)
+    val good = NetCdf.encode(
+      Seq(Dim("lat", 1), Dim("lon", 2)), Nil,
+      Seq(VarSpec("rfe", Seq("lat", "lon"), NetCdf.NcFloat,
+        values = Array(1.0, 2.0))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/good.nc"), good)
+    val onlyGood = spark.read.format("graft.sources.NcGridSource")
+      .option("path", dir).option("var", "rfe").load()
+      .filter(col("path").endsWith("good.nc"))
+    assert(onlyGood.count() == 2)
+  }
+
   test("composition: nc grid rows feed the downstream grid operators (i27 coarsen)") {
     // the claim the connectors exist for: decoded rows drop straight
     // into the grid pipeline — here a 4x4 slice coarsens 2x with the
