@@ -17,7 +17,7 @@ object ProfileQ36 {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
     val t0 = System.nanoTime()
     val n = graft.operators.Relational.q36.fn(spark, sfDir).count()
-    println(f"rows=$n rounds=${graft.operators.Relational.q36AdoptedRounds} " +
+    println(f"rows=$n rounds=${graft.operators.Relational.q36RoundsFor(sfDir)} " +
       f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s " +
       f"(parts=${args.lift(1).getOrElse("auto")} block=${args.lift(2).getOrElse("4")})")
     spark.stop()

@@ -1203,7 +1203,18 @@ object Relational {
     * prices the delta. Ranks warm-start at the degree-proportional
     * stationary approximation, roughly halving rounds-to-tolerance
     * vs a uniform start. */
-  @volatile private[graft] var q36AdoptedRounds: Int = 48
+  // Adopted round count PER DATASET DIR (the convergence gate is
+  // deterministic per dataset, so the count the Spark loop adopts on a
+  // dir is the count that dir's oracle replays). A keyed map, not a
+  // mutable global: two Verifies over different sf dirs in one JVM
+  // cannot cross-contaminate each other's oracle SQL, and a consumer
+  // snapshotting oracles before execution gets the 48-round cap
+  // default for dirs not yet run (r9 verdict — the same fix that
+  // retired the q10b/q20 last-written-path globals).
+  private[graft] val q36AdoptedRounds =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  private[graft] def q36RoundsFor(dir: String): Int =
+    q36AdoptedRounds.getOrDefault(dir, 48)
 
   // Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
   // 40+-round chain inlined into one join tree stalls its optimizer
@@ -1236,9 +1247,9 @@ object Relational {
        |ORDER BY node""".stripMargin
   }
 
-  def q36: QueryDef = QueryDef(
-    "q36_pagerank",
-    q36OracleSql(q36AdoptedRounds)) { (spark, dir) =>
+  def q36: QueryDef = QueryDef.dynamic(
+    "q36_pagerank")(d =>
+    q36OracleSql(q36RoundsFor(d))) { (spark, dir) =>
     val cap = math.max(1, spark.conf.get("graft.q36.roundCap", "48").toInt)
     val blockRounds = math.max(1, spark.conf.get("graft.q36.blockRounds", "4").toInt)
     val tolPerNode = spark.conf.get("graft.q36.tolMicrosPerNode", "1000").toLong
@@ -1323,7 +1334,7 @@ object Relational {
       // overflow-safe for any tol and block-size-independent)
       if (delta / (math.max(1L, nn) * n) < tolPerNode) converged = true
     }
-    q36AdoptedRounds = roundsDone
+    q36AdoptedRounds.put(dir, roundsDone)
     pr.join(d, col("node") === col("src"))
       .select(col("node"), (col("pr").cast("double") / 1000000).as("pr"),
         col("deg"))

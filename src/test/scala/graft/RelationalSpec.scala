@@ -587,8 +587,8 @@ class RelationalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     val m = rows.map(_.getDouble(1)).sum / rows.length
     assert(math.abs(m - 1.0) < 0.02, s"corpus mean rank $m")
-    assert(Relational.q36AdoptedRounds >= 4 &&
-      Relational.q36AdoptedRounds <= 48, s"rounds ${Relational.q36AdoptedRounds}")
+    assert(Relational.q36RoundsFor(sf) >= 4 &&
+      Relational.q36RoundsFor(sf) <= 48, s"rounds ${Relational.q36RoundsFor(sf)}")
   }
 
   test("q36 delta gate: cap binds exactly, early stop matches the cap run") {
@@ -602,19 +602,51 @@ class RelationalSpec extends SparkSpec {
       spark.conf.set("graft.q36.roundCap", "4")
       spark.conf.set("graft.q36.tolMicrosPerNode", "0")
       val atCap = run()
-      assert(Relational.q36AdoptedRounds == 4)
+      assert(Relational.q36RoundsFor(sf) == 4)
       spark.conf.set("graft.q36.roundCap", "48")
       spark.conf.set("graft.q36.tolMicrosPerNode", String.valueOf(Long.MaxValue / (1 << 22)))
       val early = run()
-      assert(Relational.q36AdoptedRounds == 4,
-        s"early stop adopted ${Relational.q36AdoptedRounds}")
+      assert(Relational.q36RoundsFor(sf) == 4,
+        s"early stop adopted ${Relational.q36RoundsFor(sf)}")
       assert(atCap.sameElements(early), "cap run != early-stop run at equal rounds")
-      val oracle = graft.SparkEntry.oracleSql("q36_pagerank")
+      val oracle = graft.SparkEntry.oracleSqlFor(sf)("q36_pagerank")
       assert(oracle.contains("r4 AS") && !oracle.contains("r5 AS"),
         "oracle not unrolled to the adopted round count")
     } finally {
       spark.conf.unset("graft.q36.roundCap")
       spark.conf.unset("graft.q36.tolMicrosPerNode")
+    }
+  }
+
+  test("q36 adopted rounds are keyed by dataset dir — no cross-dir contamination") {
+    import spark.implicits._
+    // two Verifies over different dirs in one JVM: each dir's oracle
+    // must unroll to ITS adopted count — the r9 @volatile global
+    // replayed whatever the LAST run adopted for every dir
+    val dirA = java.nio.file.Files.createTempDirectory("graft_q36a").toString
+    Seq((10L, 1L), (11L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dirA/orders.parquet")
+    Seq((10L, 1L), (11L, 2L)).toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dirA/lineitem.parquet")
+    try {
+      spark.conf.set("graft.q36.tolMicrosPerNode", "0") // cap always binds
+      spark.conf.set("graft.q36.roundCap", "3")
+      Relational.q36.fn(spark, dirA).collect()
+      spark.conf.set("graft.q36.roundCap", "5")
+      Relational.q36.fn(spark, sf).collect()
+      assert(Relational.q36RoundsFor(dirA) == 3 && Relational.q36RoundsFor(sf) == 5)
+      val oA = graft.SparkEntry.oracleSqlFor(dirA)("q36_pagerank")
+      val oB = graft.SparkEntry.oracleSqlFor(sf)("q36_pagerank")
+      assert(oA.contains("r3 AS") && !oA.contains("r4 AS"), "dirA oracle wrong")
+      assert(oB.contains("r5 AS") && !oB.contains("r6 AS"), "dirB oracle wrong")
+      // a dir never run in this JVM resolves to the 48-round cap default
+      assert(graft.SparkEntry.oracleSqlFor("/nonexistent")("q36_pagerank")
+        .contains("r48 AS"))
+    } finally {
+      spark.conf.unset("graft.q36.roundCap")
+      spark.conf.unset("graft.q36.tolMicrosPerNode")
+      Relational.q36AdoptedRounds.remove(sf) // don't leak cap-5 into later tests
+      Relational.q36AdoptedRounds.remove(dirA)
     }
   }
 
