@@ -129,4 +129,30 @@ object DedupIndex {
   def readBands(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/bands")
       .select(col("doc_id"), col("band_idx"), col("band_hash"))
+
+  /** The per-band DISTINCT key sets of a stored index, persisted and
+    * materialized before any stream starts — the stream-static join
+    * sides st16 probes. A stream-static side is re-planned and
+    * RE-EXECUTED every micro-batch, so an unpersisted side re-scans
+    * and re-shuffles the bands table once per band per batch (the
+    * suite's worst ×10 ratio in r9's scale artifact; the same lesson
+    * st14 learned for its gram set). Each returned frame is
+    * `(bh<b>, hit<b>)`, cached and counted here so micro-batches only
+    * ever probe memory. Callers unpersist after the stream completes.
+    * At 100 TB the distinct band-hash set is corpus-sized — these
+    * cached sets shard across executors (MEMORY_AND_DISK), which is
+    * exactly what a shuffled stream-static join needs; nothing is
+    * collected to the driver. */
+  def bandKeySets(spark: SparkSession, indexDir: String,
+      nBands: Int = 4): IndexedSeq[DataFrame] = {
+    val bands = readBands(spark, indexDir)
+    val sets = (0 until nBands).map { b =>
+      bands.filter(col("band_idx") === b)
+        .select(col("band_hash").as(s"bh$b")).distinct()
+        .withColumn(s"hit$b", lit(1))
+        .persist()
+    }
+    sets.foreach(_.count()) // materialize once, pre-stream
+    sets
+  }
 }

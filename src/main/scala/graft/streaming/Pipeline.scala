@@ -1165,10 +1165,11 @@ object Streaming {
     import graft.functions.Text
     val idx = graft.operators.Dedup.stagedCorpusIndex(spark, dir)
     withStreamParallelism(spark, dir) { s =>
-      val corpusBands = graft.sources.DedupIndex.readBands(s, idx)
-      def keysFor(b: Int) = corpusBands.filter(col("band_idx") === b)
-        .select(col("band_hash").as(s"bh$b")).distinct()
-        .withColumn(s"hit$b", lit(1))
+      // the four distinct band-key sets are STATIC: built, persisted
+      // and counted ONCE before the stream (DedupIndex.bandKeySets) —
+      // the unpersisted sides re-scanned and re-shuffled the bands
+      // table four times per micro-batch (r9's worst ×10 slot)
+      val bandKeys = graft.sources.DedupIndex.bandKeySets(s, idx)
       val sv = transform(sequence(lit(0), lit(15)),
         j => array_min(transform(col("shg"),
           sx => md5(concat(sx, lit("#"), j.cast("string"))))))
@@ -1182,14 +1183,15 @@ object Streaming {
           md5(concat_ws("|", slice(col("sv"), b * 4 + 1, 4))))
       }
       val joined = (0 until 4).foldLeft(withBands) { (df, b) =>
-        df.join(keysFor(b), Seq(s"bh$b"), "left_outer")
+        df.join(bandKeys(b), Seq(s"bh$b"), "left_outer")
       }
       val miss = (0 until 4).map(b => col(s"hit$b").isNull).reduce(_ && _)
       val agged = joined.groupBy(col("source")).agg(
         count(when(miss, 1)).as("n_landed"),
         count(when(!miss, 1)).as("n_neardup"),
         sum(when(miss, col("n_chars"))).as("chars_landed"))
-      runToCompletion(agged, "st16_out")
+      try runToCompletion(agged, "st16_out")
+      finally bandKeys.foreach(_.unpersist())
     }.orderBy(col("source"))
   }
 

@@ -396,6 +396,52 @@ class JobsSpec extends SparkSpec {
     assert(stored.sameElements(inline))
   }
 
+  test("bandKeySets are fully materialized pre-stream — no bands-table re-scan") {
+    // st16's static join sides: a stream-static side re-executes every
+    // micro-batch, so the key sets must come from cache, never the
+    // parquet. Proven behaviorally: after bandKeySets returns, the
+    // bands files are DELETED — any later batch that re-scanned the
+    // table would fail; the cached sets must keep answering.
+    import graft.sources.DedupIndex
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_keys").toString
+    val idxDir = s"$root/index"
+    val docs = (0L until 40L).map(i =>
+      (i, s"doc $i body with plenty of words to shingle ${i % 5}",
+        java.sql.Timestamp.valueOf("2024-03-01 12:00:00")))
+      .toDF("doc_id", "text", "ts")
+      .select(col("doc_id"), col("text"), col("ts").as("__ts"))
+    val (hashes, bands) = DedupIndex.build(docs)
+    val ts = docs.select(col("doc_id"), col("__ts"))
+    graft.sources.Publish.writeDatePartitioned(
+      hashes.join(ts, "doc_id"), idxDir, "hashes", "__ts")
+    graft.sources.Publish.writeDatePartitioned(
+      bands.join(ts, "doc_id"), idxDir, "bands", "__ts")
+    val expected = (0 until 4).map(b =>
+      DedupIndex.readBands(spark, idxDir)
+        .filter(col("band_idx") === b).select("band_hash").distinct().count())
+    val sets = DedupIndex.bandKeySets(spark, idxDir)
+    try {
+      assert(sets.forall(_.storageLevel.useMemory), "sets must be persisted")
+      // delete the backing table: only the cache can answer now
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(s"$idxDir/bands"))
+      sets.zipWithIndex.foreach { case (s, b) =>
+        assert(s.count() == expected(b), s"band $b key count")
+        assert(s.columns.toSeq == Seq(s"bh$b", s"hit$b"))
+        // the probe shape st16 runs per micro-batch still works
+        val probe = s.limit(1).collect().headOption.map(_.getString(0))
+        probe.foreach { bh =>
+          assert(Seq(bh).toDF(s"bh$b").join(s, Seq(s"bh$b"), "left_outer")
+            .filter(col(s"hit$b").isNotNull).count() == 1)
+        }
+      }
+      intercept[Exception] { DedupIndex.readBands(spark, idxDir).count() }
+    } finally sets.foreach(_.unpersist())
+  }
+
   test("fragmented index partitions compact to few files with identical rows") {
     import graft.sources.DedupIndex
     import spark.implicits._
