@@ -3302,10 +3302,91 @@ object Ingest {
       .orderBy(col("time_day"), col("y"), col("x"))
   }
 
+  /** i65: the MODIS HDF4 MOSAIC transport cycle inside the correctness
+    * gate — the last reference dataset's acquisition path made
+    * executable (`ingest/modis/pymodis.py:159` downloads per-tile
+    * `.hdf`; `convertmodis.py:343-373` mosaics the chosen SDS across
+    * tiles with fill-respecting overwrite): the deterministic lineitem
+    * grid becomes TWO adjacent MODLAND-style tiles (h00/h01, int16
+    * NDVI-scaled codes, fill −3000 — one deflate-compressed, one
+    * HDF-RLE) plus a REPROCESSED h00 overlay tile whose non-fill
+    * pixels must win (the reference's later-tile-overwrites
+    * `raster_copy_with_nodata`), written through [[graft.sources.Hdf.encode]],
+    * read back through the [[graft.sources.HdfGridSource]] DSv2 scan
+    * (per-(tile × SDS) splits), mosaicked into the union grid
+    * (gx = h·12 + x, last-file-wins per pixel), and unit-converted
+    * raw/10000 exactly like the reference's MYD13Q1 config
+    * (`modis/__init__.py:23-26` divide by 10000). DuckDB recomputes
+    * grid + overlay directly — a bit-slip in the DD walk, SDD dims,
+    * RLE/deflate decode, fill masking, or the mosaic dedup breaks the
+    * hash (raw codes are integers ≤ 10000; the ndvi division is the
+    * same one IEEE op on both engines).
+    *
+    * Scale shape: i62's — fixed 2×(8×12) tile grids, one 192-group
+    * partial-agg shuffle, grid-bounded driver encode, per-(file × SDS)
+    * read fan-out; the mosaic dedup shuffles union-grid-sized rows
+    * once. */
+  def i65: QueryDef = QueryDef(
+    "i65_hdf_mosaic_cycle",
+    """WITH g AS (
+      |  SELECT CAST(l_linenumber % 2 AS INTEGER) AS h,
+      |    CAST(l_suppkey % 8 AS INTEGER) AS y,
+      |    CAST(l_partkey % 12 AS INTEGER) AS x,
+      |    CAST(SUM(l_quantity) AS BIGINT) % 10001 AS raw
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |ov AS (SELECT 0 AS h, 0 AS y, CAST(x AS INTEGER) AS x,
+      |       CAST(2000 + x AS BIGINT) AS raw FROM RANGE(12) r(x)),
+      |m AS (
+      |  SELECT COALESCE(ov.h, g.h) AS h, COALESCE(ov.y, g.y) AS y,
+      |    COALESCE(ov.x, g.x) AS x, COALESCE(ov.raw, g.raw) AS raw
+      |  FROM g FULL OUTER JOIN ov
+      |    ON g.h = ov.h AND g.y = ov.y AND g.x = ov.x)
+      |SELECT h * 12 + x AS gx, y, raw,
+      |  CAST(raw AS DOUBLE) / 10000.0 AS ndvi
+      |FROM m ORDER BY gx, y""".stripMargin) { (spark, dir) =>
+    import graft.sources.Hdf
+    val (ny, nx) = (8, 12)
+    val cells = Tables(spark, dir).lineitem
+      .groupBy((col("l_linenumber") % 2).cast("int").as("h"),
+        (col("l_suppkey") % 8).cast("int").as("y"),
+        (col("l_partkey") % 12).cast("int").as("x"))
+      .agg((sum(col("l_quantity")).cast("long") % 10001).as("raw"))
+      .collect() // bounded by the fixed grid (≤192 cells), not the data
+    val tiles = Array.fill(2)(Array.fill(ny * nx)(-3000.0))
+    cells.foreach(r =>
+      tiles(r.getInt(0))(r.getInt(1) * nx + r.getInt(2)) =
+        r.getLong(3).toDouble)
+    // the reprocessed overlay: row y=0 carries fresh codes, the rest
+    // stays fill — only its non-fill pixels may win the mosaic
+    val overlay = Array.fill(ny * nx)(-3000.0)
+    (0 until nx).foreach(x => overlay(x) = 2000.0 + x)
+    val hdfDir = java.nio.file.Paths.get(
+      graft.Fixtures.pathFor(dir, "i65_hdf"))
+    java.nio.file.Files.createDirectories(hdfDir)
+    val sdsName = "250m 16 days NDVI" // the reference's MYD13Q1 subset name
+    def sds(vs: Array[Double], comp: String) = Hdf.SdsSpec(
+      sdsName, Seq(ny, nx), Hdf.Int16, vs, fill = Some(-3000.0), comp = comp)
+    java.nio.file.Files.write(hdfDir.resolve("MYX.A1995001.h00v00.a.hdf"),
+      Hdf.encode(Seq(sds(tiles(0), "deflate"))))
+    java.nio.file.Files.write(hdfDir.resolve("MYX.A1995001.h01v00.a.hdf"),
+      Hdf.encode(Seq(sds(tiles(1), "rle"))))
+    java.nio.file.Files.write(hdfDir.resolve("MYX.A1995001.h00v00.b.hdf"),
+      Hdf.encode(Seq(sds(overlay, "none"))))
+    spark.read.format("graft.sources.HdfGridSource")
+      .option("path", hdfDir.toString).option("sds", sdsName).load()
+      .withColumn("h",
+        regexp_extract(col("path"), "\\.h(\\d{2})v", 1).cast("int"))
+      .groupBy((col("h") * nx + col("x")).as("gx"), col("y"))
+      .agg(max_by(col("value"), col("path")).as("v"))
+      .select(col("gx"), col("y"), col("v").cast("long").as("raw"),
+        (col("v") / 10000.0).as("ndvi"))
+      .orderBy(col("gx"), col("y"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
-    i54, i55, i56, i57, i58, i59, i60, i61, i62, i63, i64)
+    i54, i55, i56, i57, i58, i59, i60, i61, i62, i63, i64, i65)
 }
