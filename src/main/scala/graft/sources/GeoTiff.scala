@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *     ModelPixelScale (33550) + ModelTiepoint (33922); nodata from
   *     the GDAL_NODATA ASCII tag (42113);
   *   - WRITE: single-band float32 or int16, uncompressed or deflate,
-  *     strip layout, with the same geo tags — enough to round-trip the
-  *     engine's grid products into the reference's publish format.
+  *     strip layout ([[encode]]) or the reference's actual product
+  *     contract — COG layout ([[encodeCog]]: tiles, chained
+  *     reduced-resolution overview IFDs, header-first byte order) —
+  *     with the same geo tags; driver-bounded [[publishTif]] or
+  *     task-side [[publishTifTasks]] for grids past the driver budget.
   *
   * Scale shape: decode is DATA-PLANE work — [[readRaster]] runs it
   * inside mapPartitions over Spark's `binaryFile` source (one task per
@@ -79,8 +82,25 @@ object GeoTiff {
     case _ => 1
   }
 
-  /** Decode a single-band GeoTIFF byte array into a [[Raster]]. */
-  def decode(bytes: Array[Byte]): Raster = {
+  /** Number of IFDs chained in a classic TIFF (1 for the plain writer,
+    * 1 + overview count for [[encodeCog]] output). */
+  def ifdCount(bytes: Array[Byte]): Int = {
+    val head = ByteBuffer.wrap(bytes)
+    head.order(if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    var off = head.getInt(4).toLong & 0xffffffffL
+    var n = 0
+    while (off != 0) {
+      n += 1
+      val entries = head.getShort(off.toInt) & 0xffff
+      off = head.getInt((off + 2 + entries * 12).toInt).toLong & 0xffffffffL
+    }
+    n
+  }
+
+  /** Decode a single-band GeoTIFF byte array into a [[Raster]].
+    * `ifdIndex` selects along the next-IFD chain — 0 is the full-res
+    * image, 1.. are [[encodeCog]] overview levels. */
+  def decode(bytes: Array[Byte], ifdIndex: Int = 0): Raster = {
     val head = ByteBuffer.wrap(bytes)
     val order = (bytes(0), bytes(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
@@ -89,7 +109,14 @@ object GeoTiff {
     }
     head.order(order)
     require(head.getShort(2) == 42, "not a classic TIFF (magic != 42)")
-    val ifdOff = head.getInt(4).toLong & 0xffffffffL
+    var ifdOff = head.getInt(4).toLong & 0xffffffffL
+    var hop = 0
+    while (hop < ifdIndex) {
+      val n = head.getShort(ifdOff.toInt) & 0xffff
+      ifdOff = head.getInt((ifdOff + 2 + n * 12).toInt).toLong & 0xffffffffL
+      require(ifdOff != 0, s"IFD chain ends before index $ifdIndex")
+      hop += 1
+    }
 
     val nEntries = head.getShort(ifdOff.toInt) & 0xffff
     val entries = (0 until nEntries).map { i =>
@@ -250,6 +277,192 @@ object GeoTiff {
     Raster(width, height, sx, sy, tx, ty, nodata, values)
   }
 
+  /** Full-stream deflate with an expansion-safe drain loop: deflate
+    * can EXPAND incompressible data (~5 B per 64 KB block + stream
+    * overhead), and a single deflate() call into a fixed buffer would
+    * silently truncate the stream past that point (review finding r8). */
+  private def deflateBytes(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](64 * 1024)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** GDAL_NODATA ASCII payload, NUL-terminated and padded to >=5
+    * bytes: a <=4-byte ASCII value would live INLINE in the IFD slot
+    * per TIFF 6.0, but this writer always points the tag at the
+    * out-of-line block — force the out-of-line layout. */
+  private def nodataString(v: Double): String = {
+    val s = (if (!v.isNaN && v == v.toLong) v.toLong.toString
+             else v.toString) + "\u0000"
+    s + "\u0000" * math.max(0, 5 - s.length)
+  }
+
+  /** One overview level: each coarse cell is the mean of its valid
+    * (non-nodata) 2×2 fine pixels — i27's (sum, count) coarsen math
+    * ([[graft.operators.Ingest.i27]]); all-nodata blocks stay nodata.
+    * Pixel scale doubles, the tiepoint (outer corner of pixel (0,0))
+    * is unchanged, so overview georeferencing stays exact. */
+  def coarsen2x(r: Raster): Raster = {
+    val w2 = (r.width + 1) / 2
+    val h2 = (r.height + 1) / 2
+    val out = new Array[Double](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        var sum = 0.0; var cnt = 0
+        var dy = 0
+        while (dy < 2) {
+          val yy = y * 2 + dy
+          if (yy < r.height) {
+            var dx = 0
+            while (dx < 2) {
+              val xx = x * 2 + dx
+              if (xx < r.width) {
+                val v = r.values(yy * r.width + xx)
+                if (!r.isNodata(v) && !v.isNaN) { sum += v; cnt += 1 }
+              }
+              dx += 1
+            }
+          }
+          dy += 1
+        }
+        out(y * w2 + x) =
+          if (cnt == 0) r.nodata.getOrElse(Double.NaN) else sum / cnt
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w2, h2, r.scaleX * 2, r.scaleY * 2, r.tieX, r.tieY, r.nodata, out)
+  }
+
+  /** Encode a raster as a Cloud-Optimized-GeoTIFF-layout TIFF — the
+    * reference's actual product contract (`ingest/utils.py:72` writes
+    * every published raster with `driver="COG"`): TILED layout (tags
+    * 322/323/324/325, tile dims a multiple of 16 per TIFF 6.0 §15),
+    * an internal overview pyramid as chained IFDs flagged
+    * NewSubfileType=1 (reduced-resolution, TIFF 6.0 §8), each level
+    * 2×-coarsened by [[coarsen2x]] until it fits `minOverviewDim`,
+    * and ALL IFD structures packed at the FRONT of the file before any
+    * tile bytes — the COG property that lets a remote reader fetch one
+    * bounded header range and then only the tile ranges it needs.
+    * Every IFD carries its own geo tags (scale doubled per level) and
+    * nodata, so each level decodes self-contained via
+    * `decode(bytes, ifdIndex)`. Edge tiles pad with nodata; pad pixels
+    * sit past width/height and are ignored by the tile decoder. */
+  def encodeCog(r: Raster, tileSize: Int = 256, float32: Boolean = true,
+      deflate: Boolean = false, minOverviewDim: Int = 64): Array[Byte] = {
+    require(tileSize % 16 == 0 && tileSize > 0,
+      s"TIFF 6.0 §15: tile dims must be positive multiples of 16, got $tileSize")
+    val levels = scala.collection.mutable.ArrayBuffer(r)
+    while (math.max(levels.last.width, levels.last.height) > minOverviewDim)
+      levels += coarsen2x(levels.last)
+    val bps = if (float32) 4 else 2
+    val pad = r.nodata.getOrElse(0.0)
+
+    // per level: padded (and optionally deflated) tile byte chunks
+    final case class Lvl(rr: Raster, tiles: Array[Array[Byte]])
+    val lvls = levels.toArray.map { rr =>
+      val across = (rr.width + tileSize - 1) / tileSize
+      val down = (rr.height + tileSize - 1) / tileSize
+      val tiles = Array.tabulate(across * down) { t =>
+        val tx = (t % across) * tileSize
+        val ty = (t / across) * tileSize
+        val buf = ByteBuffer.allocate(tileSize * tileSize * bps)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < tileSize * tileSize) {
+          val x = tx + i % tileSize; val y = ty + i / tileSize
+          val v = if (x < rr.width && y < rr.height) rr.values(y * rr.width + x)
+                  else pad
+          if (float32) buf.putFloat(v.toFloat) else buf.putShort(v.toShort)
+          i += 1
+        }
+        if (deflate) deflateBytes(buf.array()) else buf.array()
+      }
+      Lvl(rr, tiles)
+    }
+
+    val ndAscii = r.nodata.map(nodataString)
+    def nTags(i: Int): Int =
+      12 + (if (i > 0) 1 else 0) + (if (ndAscii.isDefined) 1 else 0)
+    // IFD region = entry block + its out-of-line data (tile offset /
+    // bytecount arrays when >1 tile, geo doubles, nodata ascii)
+    def regionSize(i: Int): Int = {
+      val n = lvls(i).tiles.length
+      2 + nTags(i) * 12 + 4 +
+        (if (n > 1) 8 * n else 0) + 24 + 48 +
+        ndAscii.map(_.length).getOrElse(0)
+    }
+    val regionOffs = lvls.indices.scanLeft(8)((acc, i) => acc + regionSize(i))
+    val dataStart = regionOffs.last
+    var cursor = dataStart.toLong
+    val tileOffs = lvls.map(_.tiles.map { t =>
+      val o = cursor; cursor += t.length; o
+    })
+    require(cursor <= Int.MaxValue,
+      s"COG too large for the in-memory classic-TIFF writer ($cursor bytes)")
+
+    val out = ByteBuffer.allocate(cursor.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    lvls.zipWithIndex.foreach { case (l, i) =>
+      val rr = l.rr
+      val n = l.tiles.length
+      out.position(regionOffs(i))
+      out.putShort(nTags(i).toShort)
+      var aux = regionOffs(i) + 2 + nTags(i) * 12 + 4
+      def outOfLine(bytes: Array[Byte]): Long = {
+        val o = aux
+        val p = out.position()
+        out.position(aux); out.put(bytes); aux = out.position()
+        out.position(p)
+        o.toLong
+      }
+      def leLongs(vs: Array[Long]): Array[Byte] = {
+        val b = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(v => b.putInt(v.toInt))
+        b.array()
+      }
+      def leDoubles(vs: Array[Double]): Array[Byte] = {
+        val b = ByteBuffer.allocate(8 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(b.putDouble)
+        b.array()
+      }
+      def putEntry(tag: Int, typ: Int, count: Int, value: Long): Unit =
+        out.putShort(tag.toShort).putShort(typ.toShort)
+          .putInt(count).putInt(value.toInt)
+      // entries MUST be in ascending tag order (TIFF 6.0 §2)
+      if (i > 0) putEntry(254, 4, 1, 1L) // NewSubfileType: reduced-resolution
+      putEntry(TImageWidth, 4, 1, rr.width.toLong)
+      putEntry(TImageLength, 4, 1, rr.height.toLong)
+      putEntry(TBitsPerSample, 3, 1, (bps * 8).toLong)
+      putEntry(TCompression, 3, 1, if (deflate) 8L else 1L)
+      putEntry(TPhotometric, 3, 1, 1L)
+      putEntry(TTileWidth, 3, 1, tileSize.toLong)
+      putEntry(TTileLength, 3, 1, tileSize.toLong)
+      putEntry(TTileOffsets, 4, n,
+        if (n == 1) tileOffs(i)(0) else outOfLine(leLongs(tileOffs(i))))
+      putEntry(TTileByteCounts, 4, n,
+        if (n == 1) l.tiles(0).length.toLong
+        else outOfLine(leLongs(l.tiles.map(_.length.toLong))))
+      putEntry(TSampleFormat, 3, 1, if (float32) 3L else 2L)
+      putEntry(TModelPixelScale, 12, 3,
+        outOfLine(leDoubles(Array(rr.scaleX, rr.scaleY, 0.0))))
+      putEntry(TModelTiepoint, 12, 6,
+        outOfLine(leDoubles(Array(0.0, 0.0, 0.0, rr.tieX, rr.tieY, 0.0))))
+      ndAscii.foreach(s =>
+        putEntry(TGdalNodata, 2, s.length, outOfLine(s.getBytes("US-ASCII"))))
+      out.putInt(if (i < lvls.length - 1) regionOffs(i + 1) else 0)
+    }
+    out.position(dataStart)
+    lvls.foreach(_.tiles.foreach(out.put))
+    out.array()
+  }
+
   /** Encode a single-band raster as a classic little-endian TIFF:
     * float32 (`sampleFormat = 3`) or int16 (`2`), one strip, optional
     * deflate. Geo tags written when scale/tiepoint provided. */
@@ -260,29 +473,8 @@ object GeoTiff {
     r.values.foreach { v =>
       if (float32) raw.putFloat(v.toFloat) else raw.putShort(v.toShort)
     }
-    val pixelData =
-      if (!deflate) raw.array()
-      else {
-        // loop until finished(): deflate can EXPAND incompressible
-        // data (~5 B per 64 KB block + stream overhead), and a single
-        // deflate() call into a fixed buffer would silently truncate
-        // the stream past that point (review finding r8)
-        val d = new java.util.zip.Deflater()
-        d.setInput(raw.array()); d.finish()
-        val out = new java.io.ByteArrayOutputStream(n * bytesPerSample / 2 + 64)
-        val buf = new Array[Byte](64 * 1024)
-        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-        d.end()
-        out.toByteArray
-      }
-    val nodataAscii = r.nodata.map { v =>
-      val s = (if (!v.isNaN && v == v.toLong) v.toLong.toString
-               else v.toString) + "\u0000"
-      // pad to >=5 bytes: a <=4-byte ASCII value would live INLINE in
-      // the IFD slot per TIFF 6.0, but this writer always points the
-      // tag at the out-of-line block - force the out-of-line layout
-      s + "\u0000" * math.max(0, 5 - s.length)
-    }
+    val pixelData = if (!deflate) raw.array() else deflateBytes(raw.array())
+    val nodataAscii = r.nodata.map(nodataString)
     // layout: header(8) | IFD | geo doubles | nodata ascii | pixels
     val tags = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
     val nTags = 11 + (if (nodataAscii.isDefined) 1 else 0)
@@ -366,7 +558,12 @@ object GeoTiff {
       width: Int, height: Int, outDir: String, namespace: String,
       dateKey: String, scaleX: Double = 1.0, scaleY: Double = 1.0,
       tieX: Double = 0.0, tieY: Double = 0.0,
-      nodata: Double = -9999.0): java.nio.file.Path = {
+      nodata: Double = -9999.0, cog: Boolean = false,
+      maxDriverCells: Long = DriverPublishMaxCells): java.nio.file.Path = {
+    require(width.toLong * height <= maxDriverCells,
+      s"grid ${width}x$height exceeds the driver-collect publish budget " +
+        s"($maxDriverCells cells) — use publishTifTasks, which " +
+        "encodes each date inside an executor task")
     val values = Array.fill(width * height)(nodata)
     grid.select(col(xCol).cast("int"), col(yCol).cast("int"),
         col(vCol).cast("double"))
@@ -379,16 +576,79 @@ object GeoTiff {
             values(y * width + x) = row.getDouble(2)
         }
       }
-    val bytes = encode(Raster(width, height, scaleX, scaleY, tieX, tieY,
-      Some(nodata), values))
-    val dir = java.nio.file.Paths.get(outDir, namespace)
+    val r = Raster(width, height, scaleX, scaleY, tieX, tieY,
+      Some(nodata), values)
+    val bytes = if (cog) encodeCog(r) else encode(r)
+    writeAtomic(java.nio.file.Paths.get(outDir, namespace),
+      s"${namespace}_$dateKey.tif", bytes)
+  }
+
+  /** Driver-collect ceiling for [[publishTif]] (cells). A 4096×4096
+    * float64 values array is ~128 MB of driver heap; anything bigger
+    * must go through the task-side path. */
+  val DriverPublishMaxCells: Long = 4096L * 4096L
+
+  private def writeAtomic(dir: java.nio.file.Path, name: String,
+      bytes: Array[Byte]): java.nio.file.Path = {
     java.nio.file.Files.createDirectories(dir)
-    val dest = dir.resolve(s"${namespace}_$dateKey.tif")
+    val dest = dir.resolve(name)
     val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.write(tmp, bytes)
     java.nio.file.Files.move(tmp, dest,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     dest
+  }
+
+  /** Task-side per-date publish for grids past the driver budget: the
+    * grid shuffles ONCE keyed by `tCol`, each date's rows stream into
+    * ONE executor task that materializes only ITS date's raster array,
+    * encodes with the same [[encode]]/[[encodeCog]] bytes as the
+    * driver path (spec-asserted byte-identical), writes a task-temp
+    * file and atomically renames it into the layout — so a year of
+    * high-res products encodes with cluster parallelism while the
+    * driver only collects the (date, path) manifest (one tiny row per
+    * date) and commits it. Requires `outDir` on a task-visible shared
+    * filesystem (local-mode tests share the local fs; a cluster uses
+    * the shared product volume the reference's publish dir implies).
+    * Memory per task = one raster array (width×height doubles), bounded
+    * by product RESOLUTION, never by input data volume. */
+  def publishTifTasks(grid: DataFrame, tCol: String, xCol: String,
+      yCol: String, vCol: String, width: Int, height: Int, outDir: String,
+      namespace: String, scaleX: Double = 1.0, scaleY: Double = 1.0,
+      tieX: Double = 0.0, tieY: Double = 0.0, nodata: Double = -9999.0,
+      cog: Boolean = false): Seq[(String, String)] = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val manifest = grid
+      .filter(col(tCol).isNotNull) // a null date keys no product file
+      .select(col(tCol).cast("string"), col(xCol).cast("int"),
+        col(yCol).cast("int"), col(vCol).cast("double"))
+      .as[(String, Option[Int], Option[Int], Option[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (dateKey, rows) =>
+        val values = Array.fill(width * height)(nodata)
+        rows.foreach {
+          case (_, Some(x), Some(y), Some(v)) =>
+            if (x >= 0 && x < width && y >= 0 && y < height)
+              values(y * width + x) = v
+          case _ => () // null artifacts mask, like the driver path
+        }
+        val r = Raster(width, height, scaleX, scaleY, tieX, tieY,
+          Some(nodata), values)
+        val bytes = if (cog) encodeCog(r) else encode(r)
+        val dest = writeAtomic(java.nio.file.Paths.get(outDir, namespace),
+          s"${namespace}_$dateKey.tif", bytes)
+        (dateKey, dest.toString)
+      }
+      .collect().toSeq.sortBy(_._1)
+    // the driver's only write: the layout manifest, committed last so
+    // a partial job never looks complete
+    val manifestBytes = manifest
+      .map { case (d, p) => s"$d\t${new java.io.File(p).getName}" }
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+    writeAtomic(java.nio.file.Paths.get(outDir, namespace),
+      "manifest.tsv", manifestBytes)
+    manifest
   }
 }

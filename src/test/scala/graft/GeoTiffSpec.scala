@@ -266,6 +266,145 @@ class GeoTiffSpec extends SparkSpec {
     assert(fnRows == rows.map(t => (t._2, t._3, t._4)))
   }
 
+  test("encodeCog: tiled pyramid round-trips; overview IFDs carry i27-coarsened means") {
+    // 100×75 with nodata holes, 32px tiles, overviews to ≤30px:
+    // levels 100×75 → 50×38 → 25×19, so 3 chained IFDs
+    val r = Raster(100, 75, 0.25, 0.25, -10.0, 40.0, Some(-9999.0),
+      grid(100, 75)((x, y) =>
+        if ((x * 31 + y * 17) % 11 == 0) -9999.0 else x + y * 0.5))
+    val bytes = GeoTiff.encodeCog(r, tileSize = 32, minOverviewDim = 30)
+    assert(GeoTiff.ifdCount(bytes) == 3, GeoTiff.ifdCount(bytes).toString)
+    val full = GeoTiff.decode(bytes) // IFD 0 = full resolution
+    assert(full.width == 100 && full.height == 75)
+    assert(full.values.map(_.toFloat).sameElements(r.values.map(_.toFloat)))
+    assert(full.nodata.contains(-9999.0))
+    assert(full.scaleX == 0.25 && full.tieX == -10.0 && full.tieY == 40.0)
+    // each overview decodes SELF-CONTAINED: doubled pixel scale, same
+    // tiepoint, and exactly the double-precision coarsen pyramid
+    val ov1 = GeoTiff.decode(bytes, ifdIndex = 1)
+    val exp1 = GeoTiff.coarsen2x(r)
+    assert(ov1.width == 50 && ov1.height == 38)
+    assert(ov1.scaleX == 0.5 && ov1.scaleY == 0.5 && ov1.tieX == -10.0)
+    assert(ov1.nodata.contains(-9999.0))
+    assert(ov1.values.map(_.toFloat).sameElements(exp1.values.map(_.toFloat)))
+    val ov2 = GeoTiff.decode(bytes, ifdIndex = 2)
+    assert(ov2.width == 25 && ov2.height == 19)
+    assert(ov2.values.map(_.toFloat).sameElements(
+      GeoTiff.coarsen2x(exp1).values.map(_.toFloat)))
+    // an all-nodata 2×2 block must stay nodata in the overview, not
+    // average into junk
+    val hole = Raster(4, 4, 1, 1, 0, 0, Some(-9999.0),
+      grid(4, 4)((x, y) => if (x < 2 && y < 2) -9999.0 else 5.0))
+    val ovHole = GeoTiff.decode(
+      GeoTiff.encodeCog(hole, tileSize = 16, minOverviewDim = 2), ifdIndex = 1)
+    assert(ovHole.value(0, 0) == -9999.0 && ovHole.value(1, 1) == 5.0)
+    // deflate variant round-trips too (per-tile streams)
+    val defl = GeoTiff.encodeCog(r, tileSize = 32, minOverviewDim = 30,
+      deflate = true)
+    assert(GeoTiff.decode(defl).values.map(_.toFloat)
+      .sameElements(r.values.map(_.toFloat)))
+    assert(defl.length < bytes.length, "deflate COG should compress this grid")
+  }
+
+  test("encodeCog is header-first (the COG byte-order contract); overviews flagged reduced-res") {
+    val r = Raster(100, 75, 1, 1, 0, 0, Some(-9999.0),
+      grid(100, 75)((x, y) => (x * y % 97).toDouble))
+    val bytes = GeoTiff.encodeCog(r, tileSize = 32, minOverviewDim = 30)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = bb.getInt(4)
+    var idx = 0
+    var maxIfdEnd = 0L
+    var minTile = Long.MaxValue
+    while (off != 0) {
+      val n = bb.getShort(off) & 0xffff
+      var sawReducedRes = false
+      (0 until n).foreach { i =>
+        val o = off + 2 + i * 12
+        val tag = bb.getShort(o) & 0xffff
+        if (tag == 254) {
+          sawReducedRes = true
+          assert(bb.getInt(o + 8) == 1, "NewSubfileType must be 1")
+        }
+        if (tag == 324) { // TileOffsets
+          val cnt = bb.getInt(o + 4)
+          val voff = bb.getInt(o + 8).toLong & 0xffffffffL
+          val offs =
+            if (cnt == 1) Array(voff)
+            else Array.tabulate(cnt)(j =>
+              bb.getInt((voff + 4L * j).toInt).toLong & 0xffffffffL)
+          minTile = math.min(minTile, offs.min)
+        }
+      }
+      assert((idx > 0) == sawReducedRes,
+        s"IFD $idx reduced-resolution flag wrong")
+      maxIfdEnd = math.max(maxIfdEnd, off + 2L + n * 12 + 4)
+      off = bb.getInt(off + 2 + n * 12)
+      idx += 1
+    }
+    assert(idx == 3)
+    // every IFD structure sits BEFORE any tile byte — a remote reader
+    // gets the whole directory tree from one bounded header fetch
+    assert(minTile >= maxIfdEnd, s"tile at $minTile before IFD end $maxIfdEnd")
+    // tile dims must be multiples of 16 (TIFF 6.0 §15) — reject others
+    intercept[IllegalArgumentException] {
+      GeoTiff.encodeCog(r, tileSize = 100)
+    }
+  }
+
+  test("TiffGridSource reads its own COGs; full-res rows match the plain encode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cog_dsv2").toString
+    val r = Raster(40, 30, 1, 1, 5.0, 60.0, Some(-9999.0),
+      grid(40, 30)((x, y) => if ((x + y) % 7 == 0) -9999.0 else x * 2.0 + y))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.tif"),
+      GeoTiff.encodeCog(r, tileSize = 16, minOverviewDim = 16))
+    val rows = spark.read.format("graft.sources.TiffGridSource")
+      .option("path", dir).load()
+      .select("x", "y", "value").collect()
+      .map(q => (q.getInt(0), q.getInt(1), q.getDouble(2))).toSet
+    val expect = (for {
+      y <- 0 until 30; x <- 0 until 40
+      v = r.value(x, y) if v != -9999.0
+    } yield (x, y, v.toFloat.toDouble)).toSet
+    assert(rows == expect)
+  }
+
+  test("publishTifTasks: executor-side encode byte-identical to the driver path; manifest committed") {
+    import spark.implicits._
+    val grid3 = Seq( // two dates, (1,1) missing on d1
+      ("2024-06-01", 0, 0, 1.5), ("2024-06-01", 1, 0, 2.5),
+      ("2024-06-01", 0, 1, 3.5),
+      ("2024-06-02", 0, 0, 9.0), ("2024-06-02", 1, 1, -4.25))
+      .toDF("d", "x", "y", "v")
+    val outDriver = java.nio.file.Files.createTempDirectory("graft_pub_drv").toString
+    val outTasks = java.nio.file.Files.createTempDirectory("graft_pub_tsk").toString
+    Seq("2024-06-01", "2024-06-02").foreach(dk =>
+      GeoTiff.publishTif(grid3.filter(col("d") === dk), "x", "y", "v",
+        2, 2, outDriver, "prod", dk, tieX = -20.0, tieY = 40.0, cog = true))
+    val manifest = GeoTiff.publishTifTasks(grid3, "d", "x", "y", "v",
+      2, 2, outTasks, "prod", tieX = -20.0, tieY = 40.0, cog = true)
+    assert(manifest.map(_._1) == Seq("2024-06-01", "2024-06-02"))
+    Seq("2024-06-01", "2024-06-02").foreach { dk =>
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(outDriver, "prod", s"prod_$dk.tif"))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(outTasks, "prod", s"prod_$dk.tif"))
+      assert(java.util.Arrays.equals(a, b), s"$dk bytes diverge")
+    }
+    // the manifest is the driver's only write, committed after the tifs
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outTasks, "prod", "manifest.tsv")), "UTF-8")
+    assert(mf == "2024-06-01\tprod_2024-06-01.tif\n" +
+      "2024-06-02\tprod_2024-06-02.tif\n", mf)
+    // and the driver path REFUSES grids past its collect budget,
+    // pointing at this task path
+    val e = intercept[IllegalArgumentException] {
+      GeoTiff.publishTif(grid3, "x", "y", "v", 2, 2, outDriver, "prod",
+        "2024-06-03", maxDriverCells = 3L)
+    }
+    assert(e.getMessage.contains("publishTifTasks"), e.getMessage)
+  }
+
   test("publishTif writes the reference's per-date layout; missing cells = nodata") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_pub_tif").toString

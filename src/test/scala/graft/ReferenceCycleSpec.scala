@@ -60,7 +60,8 @@ class ReferenceCycleSpec extends SparkSpec {
             val out = GeoTiff.publishTif(grid, "x", "y", "anomaly",
               slice.width, slice.height, s"$root/out", "rain_anomaly", dateKey,
               scaleX = slice.scaleX, scaleY = slice.scaleY,
-              tieX = slice.tieX, tieY = slice.tieY)
+              tieX = slice.tieX, tieY = slice.tieY,
+              cog = true) // the reference's utils.py:72 driver="COG" contract
             notifier.notifyIngest("rain_anomaly", dateKey,
               Publish.IngestPayload("rain_anomaly", out.toString, "geotiff"))
             out
@@ -75,6 +76,15 @@ class ReferenceCycleSpec extends SparkSpec {
       assert(back.value(2, 0) == -9999.0, "nodata must mask through the transform")
       assert(back.value(0, 1) == -2.0 && back.value(2, 1) == 14.0)
       assert(back.tieX == slice.tieX && back.scaleX == slice.scaleX)
+      // the product is COG-layout: tiled (tag 322 present in IFD 0)
+      val pubBytes = java.nio.file.Files.readAllBytes(published.get)
+      val pb = java.nio.ByteBuffer.wrap(pubBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifd0 = pb.getInt(4)
+      val nTags = pb.getShort(ifd0) & 0xffff
+      assert((0 until nTags).exists(i =>
+        (pb.getShort(ifd0 + 2 + i * 12) & 0xffff) == 322),
+        "published tif must be tiled (COG layout)")
       import scala.jdk.CollectionConverters._
       val n1 = notifications.asScala.toSeq
       assert(n1.size == 1 && n1.head.contains("namespace=rain_anomaly") &&
