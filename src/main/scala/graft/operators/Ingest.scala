@@ -3200,15 +3200,20 @@ object Ingest {
   /** i63: the GRIB TRANSPORT CYCLE inside the correctness gate — the
     * i62 pattern for the engine's other acquisition format: the same
     * deterministic lineitem grid is packed as TWO real GRIB2 messages
-    * (template 3.0 lat/lon grid, 5.0 simple packing with a BITMAP for
-    * empty cells and a 2^-2 binary scale, param number = slice index)
-    * through [[graft.sources.GribMeta.encodeSimple]], landed as one
+    * (template 3.0 lat/lon grid, BITMAP for empty cells, 2^-2 binary
+    * scale, param number = slice index) — slice 0 as 5.0 SIMPLE
+    * packing through [[graft.sources.GribMeta.encodeSimple]], slice 1
+    * as 5.3 COMPLEX packing with second-order spatial differencing
+    * through [[graft.sources.GribMeta.encodeComplex]] (r10: the ECMWF
+    * archive common case, group-split refs/widths/lengths + difference
+    * integration, now inside the hash gate too) — landed as one
     * concatenated archive, decoded back task-side by
     * [[graft.sources.GribMeta.readValues]], and hash-checked against
     * DuckDB recomputing the grid directly — bit-slips anywhere in the
-    * section walk, bitmap masking, or (R + X·2^E) unpacking break the
-    * hash (2^-2 and the integer codes are exact in binary, so no
-    * rounding is needed on either side).
+    * section walk, bitmap masking, (R + X·2^E) unpacking, or the
+    * group/differencing reconstruction break the hash (2^-2 and the
+    * integer codes are exact in binary, so no rounding is needed on
+    * either side).
     *
     * Scale shape: identical to i62 — fixed 2×(8×12) grid, one
     * 192-group partial-agg shuffle, model-state-bounded driver encode,
@@ -3236,10 +3241,16 @@ object Ingest {
       grids(r.getInt(0))(r.getInt(1) * nx + r.getInt(2)) = r.getLong(3))
     val msgs = grids.zipWithIndex.map { case (g, t) =>
       val mask = g.map(_ >= 0L)
-      GribMeta.encodeSimple(nx, ny, paramCategory = 1, paramNumber = t,
-        refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
-        xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,
-        refTime = (1995, 1, 1 + t, 0, 0))
+      if (t == 0)
+        GribMeta.encodeSimple(nx, ny, paramCategory = 1, paramNumber = t,
+          refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
+          xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,
+          refTime = (1995, 1, 1 + t, 0, 0))
+      else // the same contract through the 5.3 complex-packing writer
+        GribMeta.encodeComplex(nx, ny, paramCategory = 1, paramNumber = t,
+          refValue = 2048f, binScale = -2, decScale = 0,
+          xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,
+          refTime = (1995, 1, 1 + t, 0, 0), groupLen = 16, spatialOrder = 2)
     }
     val gribDir = java.nio.file.Paths.get(
       graft.Fixtures.pathFor(dir, "i63_grib"))

@@ -67,7 +67,8 @@ object GribMeta {
   private final case class Pack(
       template: Int, nPacked: Long, refValue: Double, binScale: Int,
       decScale: Int, nBits: Int, bitmapIndicator: Int, bitmapOff: Int,
-      bitmapEnd: Int, dataOff: Int, dataEnd: Int)
+      bitmapEnd: Int, dataOff: Int, dataEnd: Int,
+      sec5Off: Int = -1, sec5Len: Int = -1) // complex templates re-read §5
 
   /** IBM System/360 32-bit float (GRIB1 reference values, regulation
     * 92.6.4): sign · 16^(A−64) · M/2^24 — decoded exactly via a
@@ -104,6 +105,7 @@ object GribMeta {
           var binE = 0; var decD = 0; var nBits = -1
           var bmpInd = 255; var bmpOff = -1; var bmpEnd = -1
           var dataOff = -1; var dataEnd = -1
+          var sec5Off = -1; var sec5Len = -1
           var so = off + 16 // first section after the 16-byte indicator
           val end = off + totalLen.toInt
           while (so < end - 4) { // the 4-byte "7777" trailer
@@ -128,18 +130,19 @@ object GribMeta {
                   pCat = u8(bytes, so + 9)
                   pNum = u8(bytes, so + 10)
                 }
-              case 5 => // data representation: template 5.0 octets
-                        // 12-15 R (IEEE float), 16-17 E, 18-19 D
-                        // (sign-and-magnitude), 20 bits/value
+              case 5 => // data representation: templates 5.0/5.2/5.3
+                        // share octets 12-15 R (IEEE float), 16-17 E,
+                        // 18-19 D (sign-and-magnitude), 20 bits/value
                 nPacked = u32(bytes, so + 5)
                 drTpl = u16(bytes, so + 9)
-                if (drTpl == 0 && len >= 20) {
+                if ((drTpl == 0 || drTpl == 2 || drTpl == 3) && len >= 20) {
                   refVal = java.lang.Float
                     .intBitsToFloat(u32(bytes, so + 11).toInt).toDouble
                   binE = s16(u16(bytes, so + 15))
                   decD = s16(u16(bytes, so + 17))
                   nBits = u8(bytes, so + 19)
                 }
+                sec5Off = so; sec5Len = len
               case 6 => // bitmap: octet 6 indicator (255 = none,
                         // 0 = present from octet 7)
                 bmpInd = u8(bytes, so + 5)
@@ -157,7 +160,7 @@ object GribMeta {
           val pack =
             if (dataOff < 0) None
             else Some(Pack(drTpl, nPacked, refVal, binE, decD, nBits,
-              bmpInd, bmpOff, bmpEnd, dataOff, dataEnd))
+              bmpInd, bmpOff, bmpEnd, dataOff, dataEnd, sec5Off, sec5Len))
           (Message(idx, 2, totalLen, u8(bytes, off + 6), centre,
             pCat, pNum, refTime, gridTpl, nPoints, ni, nj), pack)
         case 1 =>
@@ -364,6 +367,179 @@ object GribMeta {
     java.util.Arrays.copyOf(b.array(), total)
   }
 
+  /** GRIB2 WRITER for COMPLEX packing (data representation template
+    * 5.2, or 5.3 with first/second-order spatial differencing when
+    * `spatialOrder` is 1 or 2) — the ECMWF-archive common case beyond
+    * open-data, and the adversarial fixture source for [[values]]'
+    * complex decode path. Grouping strategy: fixed `groupLen`-point
+    * groups (last group ragged), per-group minimum as the reference,
+    * per-group width = bits of (max − min), widths stored raw in 8-bit
+    * fields, group lengths implied by `lengthRef = groupLen` with a
+    * 0-bit scaled-length array (the spec's degenerate-but-legal layout
+    * for uniform groups) and the true last-group length in §5 octets
+    * 43-46. For 5.3 the codes are differenced first (initial values +
+    * overall minimum land in the §7 extra descriptors, 4-byte
+    * sign-and-magnitude). `xs`/`bitmap` contract matches
+    * [[encodeSimple]]. */
+  def encodeComplex(ni: Int, nj: Int, paramCategory: Int, paramNumber: Int,
+      refValue: Float, binScale: Int, decScale: Int,
+      xs: Array[Long], bitmap: Option[Array[Boolean]] = None,
+      centre: Int = 0, discipline: Int = 0,
+      refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0),
+      groupLen: Int = 32, spatialOrder: Int = 0): Array[Byte] = {
+    require(spatialOrder >= 0 && spatialOrder <= 2,
+      s"spatial differencing order $spatialOrder (0 = plain 5.2, 1-2 = 5.3)")
+    require(groupLen >= 1, s"bad groupLen $groupLen")
+    require(xs.forall(_ >= 0), "packed codes must be non-negative")
+    bitmap.foreach { m =>
+      require(m.length == ni * nj, s"bitmap ${m.length} for ${ni * nj} points")
+      require(m.count(identity) == xs.length,
+        s"${xs.length} codes for ${m.count(identity)} present points")
+    }
+    require(bitmap.isDefined || xs.length == ni * nj,
+      s"${xs.length} codes for ${ni * nj} points without a bitmap")
+    val tpl = if (spatialOrder == 0) 2 else 3
+    require(tpl == 2 || xs.length > spatialOrder,
+      s"spatial differencing order $spatialOrder needs more than " +
+        s"$spatialOrder values")
+
+    // 5.3: difference, bias by the overall minimum
+    val (codes, extras) =
+      if (tpl == 2) (xs, Array.empty[Long])
+      else {
+        val d = new Array[Long](xs.length)
+        var i = spatialOrder
+        while (i < xs.length) {
+          d(i) =
+            if (spatialOrder == 1) xs(i) - xs(i - 1)
+            else xs(i) - 2 * xs(i - 1) + xs(i - 2)
+          i += 1
+        }
+        val gmin = if (xs.length > spatialOrder)
+          d.drop(spatialOrder).min else 0L
+        val biased = new Array[Long](xs.length)
+        i = spatialOrder
+        while (i < xs.length) { biased(i) = d(i) - gmin; i += 1 }
+        (biased, (xs.take(spatialOrder) :+ gmin).toArray)
+      }
+    require(extras.forall(e => math.abs(e) < (1L << 31)),
+      "spatial-differencing descriptors exceed the 4-byte field")
+
+    def bitsFor(v: Long): Int = if (v <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+    val ng = math.max(1, (codes.length + groupLen - 1) / groupLen)
+    val groups = (0 until ng).map { g =>
+      val from = g * groupLen
+      val until = math.min(from + groupLen, codes.length)
+      val slice = if (until > from) codes.slice(from, until) else Array(0L)
+      val ref = slice.min
+      val width = bitsFor(slice.map(_ - ref).max)
+      (ref, width, until - math.min(from, until))
+    }
+    val nBitsRefs = math.max(groups.map(g => bitsFor(g._1)).max, 0)
+    require(groups.forall(_._2 <= 255), "group width exceeds 8-bit field")
+
+    val extraOctets = 4
+    val refsBytes = (ng * nBitsRefs + 7) / 8
+    val widthBytes = ng // 8 bits each
+    val valueBits = groups.map(g => g._2.toLong * g._3).sum
+    val valueBytes = ((valueBits + 7) / 8).toInt
+    val sec5Len = if (tpl == 3) 49 else 47
+    val sec7Len = 5 + extras.length * extraOctets + refsBytes +
+      widthBytes + valueBytes
+    val bmpBytes = bitmap.map(m => (m.length + 7) / 8).getOrElse(0)
+    val b = java.nio.ByteBuffer.allocate(
+      16 + 21 + 72 + 34 + sec5Len + 6 + bmpBytes + sec7Len + 4)
+    def sec(len: Int, n: Int)(body: java.nio.ByteBuffer => Unit): Unit = {
+      val start = b.position()
+      b.putInt(len).put(n.toByte)
+      body(b)
+      while (b.position() < start + len) b.put(0.toByte)
+    }
+    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
+    b.put("GRIB".getBytes("US-ASCII"))
+    b.putShort(0).put(discipline.toByte).put(2.toByte)
+    val lenAt = b.position(); b.putLong(0L)
+    sec(21, 1) { s =>
+      s.putShort(centre.toShort).putShort(0)
+      s.put(2.toByte).put(1.toByte).put(1.toByte)
+      s.putShort(refTime._1.toShort).put(refTime._2.toByte).put(refTime._3.toByte)
+      s.put(refTime._4.toByte).put(refTime._5.toByte).put(0.toByte)
+    }
+    sec(72, 3) { s =>
+      s.put(0.toByte); s.putInt(ni * nj); s.put(0.toByte).put(0.toByte)
+      s.putShort(0) // grid template 3.0 (lat/lon)
+      (15 to 30).foreach(_ => s.put(0.toByte))
+      s.putInt(ni).putInt(nj)
+    }
+    sec(34, 4) { s =>
+      s.putShort(0); s.putShort(0)
+      s.put(paramCategory.toByte).put(paramNumber.toByte)
+    }
+    sec(sec5Len, 5) { s =>
+      s.putInt(xs.length)
+      s.putShort(tpl.toShort)
+      s.putInt(java.lang.Float.floatToIntBits(refValue))
+      s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
+      s.put(nBitsRefs.toByte)
+      s.put(0.toByte)           // octet 21: original field type (float)
+      s.put(1.toByte)           // octet 22: general group splitting
+      s.put(0.toByte)           // octet 23: no missing-value management
+      s.putInt(0); s.putInt(0)  // octets 24-31: missing substitutes
+      s.putInt(ng)              // octets 32-35: number of groups
+      s.put(0.toByte)           // octet 36: group-width reference
+      s.put(8.toByte)           // octet 37: bits per group width
+      s.putInt(groupLen)        // octets 38-41: group-length reference
+      s.put(1.toByte)           // octet 42: length increment
+      s.putInt(groups.last._3)  // octets 43-46: true last-group length
+      s.put(0.toByte)           // octet 47: bits per scaled length
+      if (tpl == 3) {
+        s.put(spatialOrder.toByte)     // octet 48
+        s.put(extraOctets.toByte)      // octet 49
+      }
+    }
+    bitmap match {
+      case Some(mask) =>
+        sec(6 + bmpBytes, 6) { s =>
+          s.put(0.toByte)
+          var acc = 0; var nb = 0
+          mask.zipWithIndex.foreach { case (m, i) =>
+            acc = (acc << 1) | (if (m) 1 else 0); nb += 1
+            if (nb == 8 || i == mask.length - 1) {
+              s.put((acc << (8 - nb)).toByte); acc = 0; nb = 0
+            }
+          }
+        }
+      case None => sec(6, 6) { s => s.put(255.toByte) }
+    }
+    sec(sec7Len, 7) { s =>
+      extras.foreach { e =>
+        val mag = math.abs(e)
+        val v = if (e < 0) mag | (1L << (extraOctets * 8 - 1)) else mag
+        (extraOctets - 1 to 0 by -1).foreach(sh =>
+          s.put(((v >> (sh * 8)) & 0xff).toByte))
+      }
+      var acc = 0L; var nb = 0
+      def putBits(x: Long, n: Int): Unit = {
+        acc = (acc << n) | x; nb += n
+        while (nb >= 8) { s.put((acc >> (nb - 8)).toByte); nb -= 8 }
+      }
+      def pad(): Unit =
+        if (nb > 0) { s.put((acc << (8 - nb)).toByte); acc = 0; nb = 0 }
+      groups.foreach(g => putBits(g._1, nBitsRefs)); pad()
+      groups.foreach(g => putBits(g._2.toLong, 8)); pad()
+      // 0-bit scaled lengths: nothing on the wire
+      var k = 0
+      groups.foreach { case (ref, width, len) =>
+        (0 until len).foreach { _ => putBits(codes(k) - ref, width); k += 1 }
+      }
+      pad()
+    }
+    b.put("7777".getBytes("US-ASCII"))
+    val total = b.position()
+    b.putLong(lenAt, total.toLong)
+    java.util.Arrays.copyOf(b.array(), total)
+  }
+
   /** SIMPLE-PACKING pixel decode for BOTH editions — the clean-room
     * rung that makes the ECMWF open-data path decode-complete for the
     * common case (`ecmwf_opendata/__init__.py:300` slices GRIB by
@@ -383,10 +559,12 @@ object GribMeta {
       val p = packOpt.getOrElse(throw new IllegalArgumentException(
         s"message ${m.msgIndex}: no data section"))
       if (m.edition == 2)
-        require(p.template == 0, s"message ${m.msgIndex}: data " +
+        require(p.template == 0 || p.template == 2 || p.template == 3,
+          s"message ${m.msgIndex}: data " +
           s"representation template 5.${p.template} unsupported — only " +
-          "5.0 (simple packing) decodes; complex/JPEG2000/PNG packing " +
-          "needs an external decoder")
+          "5.0 (simple), 5.2 (complex) and 5.3 (complex + spatial " +
+          "differencing) decode; JPEG2000/PNG packing needs an " +
+          "external decoder")
       else {
         // GRIB1 BDS flag nibble (template here = flags bits 4-7):
         // 8 = spherical harmonics, 4 = complex packing, 2 = integer
@@ -428,30 +606,187 @@ object GribMeta {
       val scale = math.pow(2.0, p.binScale) * math.pow(10.0, -p.decScale)
       val base = p.refValue * math.pow(10.0, -p.decScale)
       val out = new Array[Double](nTotal)
-      var bitPos = 0L
-      val dataBits = (p.dataEnd - p.dataOff).toLong * 8
-      var i = 0
-      while (i < nTotal) {
-        if (!present(i)) out(i) = Double.NaN
-        else if (p.nBits == 0) out(i) = base // constant field
-        else {
-          require(bitPos + p.nBits <= dataBits,
-            s"message ${m.msgIndex}: packed stream exhausted at point $i")
-          var x = 0L
-          var b = 0
-          while (b < p.nBits) {
-            val bit = bitPos + b
-            val byte = bytes(p.dataOff + (bit >> 3).toInt)
-            x = (x << 1) | ((byte >> (7 - (bit & 7))) & 1)
-            b += 1
+      if (m.edition == 2 && (p.template == 2 || p.template == 3)) {
+        // complex packing: unpack the scaled codes of the PRESENT
+        // points in one pass, then fan them across the bitmap
+        val xs = unpackComplex(bytes, m.msgIndex, p)
+        var i = 0
+        var k = 0
+        while (i < nTotal) {
+          if (!present(i)) out(i) = Double.NaN
+          else {
+            require(k < xs.length,
+              s"message ${m.msgIndex}: ${xs.length} complex-packed " +
+                s"values for more present points")
+            out(i) = base + xs(k) * scale
+            k += 1
           }
-          bitPos += p.nBits
-          out(i) = base + x * scale
+          i += 1
         }
-        i += 1
+        require(k == xs.length, s"message ${m.msgIndex}: " +
+          s"${xs.length} complex-packed values but only $k present points")
+      } else {
+        var bitPos = 0L
+        val dataBits = (p.dataEnd - p.dataOff).toLong * 8
+        var i = 0
+        while (i < nTotal) {
+          if (!present(i)) out(i) = Double.NaN
+          else if (p.nBits == 0) out(i) = base // constant field
+          else {
+            require(bitPos + p.nBits <= dataBits,
+              s"message ${m.msgIndex}: packed stream exhausted at point $i")
+            var x = 0L
+            var b = 0
+            while (b < p.nBits) {
+              val bit = bitPos + b
+              val byte = bytes(p.dataOff + (bit >> 3).toInt)
+              x = (x << 1) | ((byte >> (7 - (bit & 7))) & 1)
+              b += 1
+            }
+            bitPos += p.nBits
+            out(i) = base + x * scale
+          }
+          i += 1
+        }
       }
       (m, out)
     }
+
+  /** Template 7.2/7.3 group-packed payload → the scaled codes X of the
+    * packed (bitmap-present) points, in transmission order. Clean-room
+    * from the public GRIB2 data representation templates 5.2/5.3 and
+    * data templates 7.2/7.3 (WMO FM 92, general group splitting):
+    *
+    *   §5 octets 32-35 NG groups; per group an `nBits`-wide reference,
+    *   a (widthRef + w)-bit width with w in octet-37 bits, and a
+    *   (lengthRef + l·lengthIncr)-point length with l in octet-47 bits
+    *   (last group's true length in octets 43-46); §7 packs the three
+    *   arrays each padded to an octet boundary, then the per-group
+    *   value streams; template x.3 prepends `order`+1 extra
+    *   descriptors (the first `order` original values and the overall
+    *   minimum of the differences, sign-and-magnitude in octet-49-sized
+    *   fields) and the codes integrate back through first- or
+    *   second-order differencing.
+    *
+    * Refuses loudly: group splitting method != 1 (row-by-row splitting
+    * is a different §7 layout), missing-value management != 0 (embedded
+    * missing substitutes change the in-group encoding — bitmapped
+    * missing, the ECMWF shape, is fully supported), spatial-differencing
+    * order outside 1..2, and any group/length arithmetic that
+    * disagrees with the declared packed-point count. */
+  private def unpackComplex(bytes: Array[Byte], msgIndex: Int,
+      p: Pack): Array[Long] = {
+    val so = p.sec5Off
+    require(so >= 0 && p.sec5Len >= (if (p.template == 3) 49 else 47),
+      s"message $msgIndex: section 5 too short for template 5.${p.template}")
+    val splitting = u8(bytes, so + 21)
+    require(splitting == 1, s"message $msgIndex: group splitting " +
+      s"method $splitting unsupported (only 1, general group splitting)")
+    val missingMgmt = u8(bytes, so + 22)
+    require(missingMgmt == 0, s"message $msgIndex: missing-value " +
+      s"management $missingMgmt unsupported (only 0 — bitmapped " +
+      "missing is the supported shape)")
+    val ng = u32(bytes, so + 31).toInt
+    val widthRef = u8(bytes, so + 35)
+    val bitsWidths = u8(bytes, so + 36)
+    val lengthRef = u32(bytes, so + 37)
+    val lengthIncr = u8(bytes, so + 41)
+    val trueLast = u32(bytes, so + 42)
+    val bitsLengths = u8(bytes, so + 46)
+    val (order, extraOctets) =
+      if (p.template == 3) (u8(bytes, so + 47), u8(bytes, so + 48))
+      else (0, 0)
+    if (p.template == 3) {
+      require(order == 1 || order == 2, s"message $msgIndex: spatial " +
+        s"differencing order $order unsupported (1 or 2)")
+      require(extraOctets >= 1 && extraOctets <= 8,
+        s"message $msgIndex: bad extra-descriptor size $extraOctets")
+    }
+    val nPacked = p.nPacked.toInt
+    require(ng >= 0 && nPacked >= 0,
+      s"message $msgIndex: corrupt complex-packing counts")
+
+    var pos = p.dataOff
+    // x.3 extra descriptors: `order` initial values + overall minimum,
+    // sign-and-magnitude in extraOctets-wide fields
+    val extras = new Array[Long](if (p.template == 3) order + 1 else 0)
+    if (p.template == 3) {
+      require(pos + extras.length * extraOctets <= p.dataEnd,
+        s"message $msgIndex: section 7 too short for the spatial-" +
+          "differencing descriptors")
+      var e = 0
+      while (e < extras.length) {
+        var v = 0L
+        var i = 0
+        while (i < extraOctets) { v = (v << 8) | u8(bytes, pos + i); i += 1 }
+        val signBit = 1L << (extraOctets * 8 - 1)
+        extras(e) = if ((v & signBit) != 0) -(v & (signBit - 1)) else v
+        pos += extraOctets
+        e += 1
+      }
+    }
+
+    // a bounded big-endian bit reader over [pos, dataEnd)
+    var bitPos = 0L
+    val dataBits = (p.dataEnd - pos).toLong * 8
+    val dataStart = pos
+    def readBits(n: Int): Long = {
+      if (n == 0) return 0L
+      require(bitPos + n <= dataBits,
+        s"message $msgIndex: complex-packed stream exhausted")
+      var x = 0L
+      var b = 0
+      while (b < n) {
+        val bit = bitPos + b
+        x = (x << 1) | ((bytes(dataStart + (bit >> 3).toInt) >> (7 - (bit & 7))) & 1)
+        b += 1
+      }
+      bitPos += n
+      x
+    }
+    def padToOctet(): Unit = bitPos = (bitPos + 7) & ~7L
+
+    val refs = Array.fill(ng)(readBits(p.nBits)); padToOctet()
+    val widths = Array.fill(ng)(widthRef + readBits(bitsWidths).toInt)
+    padToOctet()
+    val lens = Array.tabulate(ng) { g =>
+      if (g == ng - 1) trueLast
+      else lengthRef + readBits(bitsLengths) * lengthIncr
+    }
+    padToOctet()
+    require(lens.sum == nPacked, s"message $msgIndex: group lengths " +
+      s"sum to ${lens.sum}, expected $nPacked packed points")
+
+    val xs = new Array[Long](nPacked)
+    var k = 0
+    var g = 0
+    while (g < ng) {
+      var j = 0L
+      while (j < lens(g)) {
+        xs(k) = refs(g) + readBits(widths(g))
+        k += 1
+        j += 1
+      }
+      g += 1
+    }
+
+    if (p.template == 3) {
+      // integrate the differences back: the first `order` codes are
+      // carried in the descriptors; every later code is a difference
+      // biased by the overall minimum
+      val gmin = extras(order)
+      var i = 0
+      while (i < math.min(order, nPacked)) { xs(i) = extras(i); i += 1 }
+      while (i < nPacked) {
+        val d = xs(i) + gmin
+        xs(i) =
+          if (order == 1) d + xs(i - 1)
+          else d + 2 * xs(i - 1) - xs(i - 2)
+        i += 1
+      }
+    }
+    xs
+  }
 
   /** Distributed GRIB2→rows decode over a binaryFile glob (the
     * [[GeoTiff.readRaster]] / [[NetCdf.readGrid]] twin): one task per

@@ -322,6 +322,93 @@ class GribMetaSpec extends SparkSpec {
     assert(GribMeta.decode(jp2 ++ grib1()).map(_.edition) == Seq(2, 1))
   }
 
+  test("complex packing (5.2) round-trips: groups, ragged last group, bitmap") {
+    // 70 codes over 3 32-point groups (last ragged at 6) with very
+    // different per-group ranges — each group gets its own ref/width
+    val xs = Array.tabulate(70)(i =>
+      if (i < 32) (i * 3).toLong else if (i < 64) 100000L + i else 7L)
+    val enc = GribMeta.encodeComplex(70, 1, paramCategory = 1,
+      paramNumber = 2, refValue = 50f, binScale = -1, decScale = 1,
+      xs = xs, centre = 98, refTime = (2024, 6, 1, 0, 0))
+    val Seq((m, vs)) = GribMeta.values(enc)
+    assert(m.centre == 98 && m.ni == 70 && m.nPoints == 70)
+    val want = xs.map(x => (50.0 + x * 0.5) / 10.0)
+    vs.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-9, s"$g != $w") }
+    // bitmapped: 8 points, 5 packed, missing → NaN, group len 2
+    val mask = Array(true, false, true, true, false, true, true, false)
+    val bm = GribMeta.encodeComplex(8, 1, 0, 0, 0f, 0, 0,
+      xs = Array(10L, 20L, 30L, 40L, 50L), bitmap = Some(mask),
+      groupLen = 2)
+    val Seq((m2, vs2)) = GribMeta.values(bm)
+    assert(vs2.length == 8 && vs2(1).isNaN && vs2(4).isNaN && vs2(7).isNaN)
+    assert(Seq(vs2(0), vs2(2), vs2(3), vs2(5), vs2(6)) ==
+      Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+    // constant grid: every group width 0, refs carry everything
+    val const = GribMeta.encodeComplex(6, 1, 0, 0, 0f, 0, 0,
+      xs = Array.fill(6)(77L), groupLen = 4)
+    assert(GribMeta.values(const).head._2.toSeq == Seq.fill(6)(77.0))
+  }
+
+  test("complex packing + spatial differencing (5.3) round-trips, orders 1 and 2") {
+    // a ramp + noise: first-order diffs go NEGATIVE, so the overall-
+    // minimum bias and sign-and-magnitude descriptors are exercised
+    val xs = Array(1000L, 1010L, 990L, 1020L, 1015L, 1040L, 900L, 905L)
+    for (order <- Seq(1, 2)) {
+      val enc = GribMeta.encodeComplex(8, 1, 0, 0, 0f, 0, 0,
+        xs = xs, groupLen = 3, spatialOrder = order)
+      val Seq((_, vs)) = GribMeta.values(enc)
+      assert(vs.toSeq == xs.map(_.toDouble).toSeq, s"order $order: ${vs.toSeq}")
+    }
+    // differencing composes with a bitmap (diffs run over the PACKED
+    // sequence) and with real scaling
+    val mask = Array(true, true, false, true, true, false, true, true)
+    val enc = GribMeta.encodeComplex(8, 1, 0, 0, refValue = 2048f,
+      binScale = -2, decScale = 0, xs = Array(8L, 16L, 4L, 64L, 32L, 12L),
+      bitmap = Some(mask), groupLen = 4, spatialOrder = 2)
+    val Seq((_, vs)) = GribMeta.values(enc)
+    assert(vs(2).isNaN && vs(5).isNaN)
+    assert(Seq(vs(0), vs(1), vs(3), vs(4), vs(6), vs(7)) ==
+      Seq(8L, 16L, 4L, 64L, 32L, 12L).map(x => 2048.0 + x * 0.25))
+  }
+
+  test("complex packing refuses the layouts it cannot decode, loudly") {
+    val enc = GribMeta.encodeComplex(6, 1, 0, 0, 0f, 0, 0,
+      xs = Array(1L, 2L, 3L, 4L, 5L, 6L), groupLen = 4)
+    // locate section 5 (indicator 16 + sec1 21 + sec3 72 + sec4 34)
+    val s5 = 16 + 21 + 72 + 34
+    assert((enc(s5 + 4) & 0xff) == 5, "section walk drifted")
+    // missing-value management != 0: the in-group encoding changes
+    val mvm = enc.clone(); mvm(s5 + 22) = 1
+    val e1 = intercept[IllegalArgumentException] { GribMeta.values(mvm) }
+    assert(e1.getMessage.contains("missing-value management"), e1.getMessage)
+    // group splitting method != 1
+    val split = enc.clone(); split(s5 + 21) = 0
+    val e2 = intercept[IllegalArgumentException] { GribMeta.values(split) }
+    assert(e2.getMessage.contains("splitting"), e2.getMessage)
+    // corrupt group arithmetic: patch the true-last-group length so
+    // the lengths no longer sum to the packed count
+    val bad = enc.clone()
+    bad(s5 + 45) = 9 // true last len 2 → 9 (octets 43-46 big-endian)
+    val e3 = intercept[IllegalArgumentException] { GribMeta.values(bad) }
+    assert(e3.getMessage.contains("group lengths"), e3.getMessage)
+    // the inventory walk still catalogs all of them (refusals live on
+    // the pixel path only)
+    Seq(mvm, split, bad).foreach(b =>
+      assert(GribMeta.decode(b).head.edition == 2))
+    // spatial-differencing order 3 refuses at encode AND a patched
+    // order-3 message refuses at decode
+    intercept[IllegalArgumentException] {
+      GribMeta.encodeComplex(4, 1, 0, 0, 0f, 0, 0,
+        xs = Array(1L, 2L, 3L, 4L), spatialOrder = 3)
+    }
+    val enc3 = GribMeta.encodeComplex(4, 1, 0, 0, 0f, 0, 0,
+      xs = Array(1L, 2L, 3L, 4L), groupLen = 4, spatialOrder = 1)
+    val ord3 = enc3.clone(); ord3(s5 + 47) = 3
+    val e4 = intercept[IllegalArgumentException] { GribMeta.values(ord3) }
+    assert(e4.getMessage.contains("order"), e4.getMessage)
+  }
+
   test("GribGridSource: DSv2 table, one partition per message, pruned positioned reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gribdsv2").toString
     // file a: two messages (params 2 and 3); file b: one with a bitmap
