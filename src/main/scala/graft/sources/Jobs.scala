@@ -18,6 +18,17 @@ final case class DedupIndexSpec(
     idCol: String = "doc_id",
     textCol: String = "text")
 
+/** Optional JDBC vector-table leg (`raster_vector.py`'s Postgres
+  * products): the transformed slice also upserts into `table` keyed by
+  * the `yyyy-MM-dd` date of `tsCol` (column `dateCol`), one
+  * delete+insert transaction per date, with retention riding the same
+  * cutoff as the file layout. The table's columns must be the
+  * transform's output plus `dateCol`. */
+final case class JdbcSinkSpec(
+    url: String,
+    table: String,
+    dateCol: String = "date_key")
+
 final case class JobConfig(
     datasetId: String,
     source: SparkSession => DataFrame,
@@ -26,7 +37,8 @@ final case class JobConfig(
     outDir: String,
     retentionDays: Int,
     index: Option[DedupIndexSpec] = None,
-    transactional: Boolean = false)
+    transactional: Boolean = false,
+    jdbc: Option[JdbcSinkSpec] = None)
 
 /** Outcome of one job cycle: the reference either logs
   * "No update required. Skipping", publishes + notifies, or (isolated
@@ -201,6 +213,13 @@ final class Jobs(spark: SparkSession, statePath: String,
           // time — both per-date overwrites, so the retry is idempotent
           cfg.index.foreach(ix => DedupIndex.publishSlice(
             transformed, ix.indexDir, cfg.tsCol, ix.idCol, ix.textCol))
+          // the JDBC vector leg rides the same commit window: per-date
+          // delete+insert transactions, so a crashed cycle's retry
+          // replays the same dates to the same end state
+          cfg.jdbc.foreach(j => JdbcUpsert.upsertByDate(
+            transformed.withColumn(j.dateCol,
+              date_format(col(cfg.tsCol), "yyyy-MM-dd")),
+            j.url, j.table, j.dateCol))
           (p, keys)
         } finally transformed.unpersist()
         // notify per published date AFTER the partition committed,
@@ -218,6 +237,9 @@ final class Jobs(spark: SparkSession, statePath: String,
           // vacuum after the reader grace window
           PublishedTable.dropPartitionsOlderThan(s"${cfg.outDir}/${cfg.datasetId}", cutoff)
         else Publish.dropOldPartitions(spark, cfg.outDir, cfg.datasetId, cutoff)
+        // the vector table retains over the SAME cutoff (the
+        // reference's `date < latest` delete, raster_vector.py:164)
+        cfg.jdbc.foreach(j => JdbcUpsert.dropBefore(j.url, j.table, j.dateCol, cutoff))
         // index housekeeping rides the same retention step: drop the
         // dates the data dropped (the index must never dedup against
         // expired content) and compact any fragmented partitions —
