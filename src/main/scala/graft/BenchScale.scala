@@ -27,15 +27,52 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchScale {
 
-  val ArtifactPath = "BENCH_sf1_r09.json"
+  val ArtifactPath = "BENCH_sf1_r10.json"
+
+  /** The previous round's graded artifact — the per-query baseline the
+    * IN-ROUND tripwire diffs against (the r9 verdict's item 8: the
+    * judge ran this diff by hand each round; now the run itself flags
+    * per-query slips and ScaleSpec gates on them). */
+  val PrevArtifactPath = "BENCH_sf1_r09.json"
 
   /** ratio beyond which growth on ×10 data counts as super-linear
     * (2× the uniform 10× scaling). */
   val RatioGate = 20.0
 
+  /** per-query wall-clock ratio vs the PREVIOUS round, at the same
+    * scale, beyond which a query counts as slipped in-round. */
+  val SlipGate = 2.0
+
   /** absolute sf1 floor: queries faster than this at sf1 are never
     * flagged (constant per-job overhead dominates their ratio). */
   val FloorSec = 2.0
+
+  /** Parse an artifact's `"queries":{name:[sf01,sf1,ratio]}` map into
+    * name → (sf01Sec, sf1Sec). Tolerates NaN columns (a query that
+    * errored at one scale in the old round simply has no usable
+    * baseline there). */
+  def parseQueries(json: String): Map[String, (Double, Double)] =
+    "\"([A-Za-z0-9_]+)\":\\[([^,\\]]+),([^,\\]]+),([^\\]]+)\\]".r
+      .findAllMatchIn(json).map { m =>
+        def d(s: String) = s.toDoubleOption.getOrElse(Double.NaN)
+        m.group(1) -> (d(m.group(2)), d(m.group(3)))
+      }.toMap
+
+  /** The tripwire: queries whose wall-clock grew past `gate`× the
+    * previous round's time at EITHER scale, above the absolute
+    * `floor` (so constant scheduling overhead on sub-second queries
+    * never reads as a slip). Queries new this round have no baseline
+    * and never slip. */
+  def slips(cur: Map[String, (Double, Double)],
+      prev: Map[String, (Double, Double)],
+      gate: Double = SlipGate, floor: Double = FloorSec): Seq[String] =
+    cur.keys.toSeq.sorted.filter { k =>
+      prev.get(k).exists { case (pa, pb) =>
+        val (ca, cb) = cur(k)
+        (pa > 0 && ca > floor && ca / pa > gate) ||
+          (pb > 0 && cb > floor && cb / pb > gate)
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val sf1Dir = args.headOption.getOrElse("target/sf1")
@@ -84,17 +121,28 @@ object BenchScale {
     val flagged = (rows.collect {
       case (name, _, b, r) if r > RatioGate && b > FloorSec => name
     } ++ errors).distinct
+    // in-round per-query tripwire vs the previous round's artifact
+    val prev = {
+      val f = java.nio.file.Paths.get(PrevArtifactPath)
+      if (java.nio.file.Files.exists(f))
+        parseQueries(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+      else Map.empty[String, (Double, Double)]
+    }
+    val slipped = slips(rows.map(r => r._1 -> (r._2, r._3)).toMap, prev)
     val qs = rows.map { case (name, a, b, r) =>
       "\"" + name + f"""\":[$a%.2f,$b%.2f,$r%.1f]""" }.mkString("{", ",", "}")
     val json =
       f"""{"sf01_total":${t01.values.sum}%.1f,"sf1_total":${t1.values.sum}%.1f,""" +
       flagged.map("\"" + _ + "\"").mkString("\"flagged\":[", ",", "],") +
       errors.map("\"" + _ + "\"").mkString("\"errors\":[", ",", "],") +
+      slipped.map("\"" + _ + "\"").mkString("\"slipped\":[", ",", "],") +
+      s""""slip_gate":$SlipGate,"prev":"$PrevArtifactPath",""" +
       s""""ratio_gate":$RatioGate,"floor_sec":$FloorSec,"queries":$qs}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(ArtifactPath), json.getBytes("UTF-8"))
     println(s"[bench-scale] wrote $ArtifactPath; flagged=${flagged.size} " +
-      flagged.mkString("[", ",", "]"))
+      flagged.mkString("[", ",", "]") + s"; slipped=${slipped.size} " +
+      slipped.mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -18,6 +18,36 @@ class ScaleSpec extends SparkSpec {
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse("MISSING")
     assert(flagged == "",
       s"super-linear growth on the ×10 corpus (ratio > ${BenchScale.RatioGate}): $flagged")
+    // and the in-round tripwire: no query slipped >2× vs the previous
+    // round's artifact at either scale
+    val slipped = "\"slipped\":\\[(.*?)\\]".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("MISSING")
+    assert(slipped == "",
+      s"per-query slip vs ${BenchScale.PrevArtifactPath} " +
+        s"(> ${BenchScale.SlipGate}x): $slipped")
+  }
+
+  test("bench tripwire: slips() flags >2x per-query growth vs the previous artifact") {
+    // parseQueries reads the artifact's per-query triples, NaN-tolerant
+    val prevJson = """{"sf01_total":9.9,"flagged":[],"queries":{
+      |"q_fast":[0.40,0.90,2.2],"q_big":[4.00,8.00,2.0],
+      |"q_err":[1.00,NaN,NaN]}}""".stripMargin.replace("\n", "")
+    val prev = BenchScale.parseQueries(prevJson)
+    assert(prev == Map("q_fast" -> (0.40, 0.90), "q_big" -> (4.00, 8.00),
+      "q_err" -> (1.00, Double.NaN)) ||
+      (prev("q_err")._1 == 1.00 && prev("q_err")._2.isNaN && prev.size == 3))
+    // a genuine 3x slip at sf0.1 flags; sub-floor noise and new
+    // queries never do; a NaN baseline column is ignored
+    val cur = Map(
+      "q_big" -> (12.0, 9.0),   // 3x at sf0.1 → slipped
+      "q_fast" -> (1.5, 1.8),   // grew but below the 2s floor at both
+      "q_new" -> (50.0, 99.0),  // no baseline → never slips
+      "q_err" -> (1.1, 500.0))  // only the NaN column grew → ignored
+    assert(BenchScale.slips(cur, prev) == Seq("q_big"))
+    // growth at the x10 scale alone also trips
+    assert(BenchScale.slips(Map("q_big" -> (4.0, 17.0)), prev) == Seq("q_big"))
+    // at or under the gate: quiet
+    assert(BenchScale.slips(Map("q_big" -> (7.9, 15.9)), prev).isEmpty)
   }
 
   test("salted join equals the plain join") {
