@@ -3394,10 +3394,64 @@ object Ingest {
       .orderBy(col("gx"), col("y"))
   }
 
+  /** i66: the HDF5/NetCDF-4 transport cycle inside the correctness
+    * gate — the r10 stretch rung made executable end to end: the
+    * deterministic lineitem grid becomes TWO int16 datasets in ONE
+    * real HDF5 file (superblock v2, compact links, contiguous layout,
+    * v3 fill message, CF `scale_factor`/`add_offset` attributes)
+    * through [[graft.sources.Hdf5.encode]], read back task-side by
+    * [[graft.sources.Hdf5.readGrid]] with netCDF CF semantics (fill →
+    * dropped, raw·0.25 + 2048 applied — both binary-exact), DuckDB
+    * recomputing grid + transform directly — a bit-slip in the
+    * superblock walk, OHDR message parse, link traversal, attribute
+    * decode, or contiguous read breaks the hash.
+    *
+    * Scale shape: i62's — fixed 2×(8×12) grids, one 192-group
+    * partial-agg shuffle, grid-bounded driver encode, per-file task
+    * fan-out on the read. */
+  def i66: QueryDef = QueryDef(
+    "i66_h5_grid_cycle",
+    """WITH g AS (
+      |  SELECT CAST(l_linenumber % 2 AS INTEGER) AS t,
+      |    CAST(l_suppkey % 8 AS INTEGER) AS y,
+      |    CAST(l_partkey % 12 AS INTEGER) AS x,
+      |    CAST(SUM(l_quantity) AS BIGINT) % 10001 AS raw
+      |  FROM lineitem GROUP BY 1, 2, 3)
+      |SELECT t, x, y, CAST(raw AS DOUBLE) / 4 + 2048.0 AS value
+      |FROM g ORDER BY t, y, x""".stripMargin) { (spark, dir) =>
+    import graft.sources.Hdf5
+    val (ny, nx) = (8, 12)
+    val cells = Tables(spark, dir).lineitem
+      .groupBy((col("l_linenumber") % 2).cast("int").as("t"),
+        (col("l_suppkey") % 8).cast("int").as("y"),
+        (col("l_partkey") % 12).cast("int").as("x"))
+      .agg((sum(col("l_quantity")).cast("long") % 10001).as("raw"))
+      .collect() // bounded by the fixed grid (≤192 cells), not the data
+    val grids = Array.fill(2)(Array.fill(ny * nx)(-3000.0))
+    cells.foreach(r =>
+      grids(r.getInt(0))(r.getInt(1) * nx + r.getInt(2)) =
+        r.getLong(3).toDouble)
+    val h5Dir = java.nio.file.Paths.get(
+      graft.Fixtures.pathFor(dir, "i66_h5"))
+    java.nio.file.Files.createDirectories(h5Dir)
+    val dt16 = Hdf5.Dtype(0, 2, littleEndian = true, signed = true)
+    java.nio.file.Files.write(h5Dir.resolve("grid.h5"), Hdf5.encode(
+      grids.zipWithIndex.map { case (g, t) =>
+        Hdf5.DsSpec(s"q$t", Seq(ny.toLong, nx.toLong), dt16, g,
+          fill = Some(-3000.0),
+          attrs = Seq("scale_factor" -> 0.25, "add_offset" -> 2048.0))
+      }.toSeq))
+    Seq(0, 1).map { t =>
+      Hdf5.readGrid(spark, h5Dir.resolve("grid.h5").toString, s"/q$t")
+        .select(lit(t).as("t"), col("x"), col("y"), col("value"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("t"), col("y"), col("x"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
-    i54, i55, i56, i57, i58, i59, i60, i61, i62, i63, i64, i65)
+    i54, i55, i56, i57, i58, i59, i60, i61, i62, i63, i64, i65, i66)
 }

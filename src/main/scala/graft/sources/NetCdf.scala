@@ -169,7 +169,8 @@ object NetCdf {
     val version = bytes(3).toInt
     require(version == 1 || version == 2,
       s"unsupported CDF version $version (classic=1, 64-bit offset=2; " +
-        "CDF-5 and NetCDF-4/HDF5 are out of scope)")
+        "CDF-5 is out of scope; NetCDF-4/HDF5 files decode through " +
+        "graft.sources.Hdf5)")
     val r = new Reader(bytes)
     r.pos = 4
     val numRecs = r.i4() // STREAMING (-1) not supported: landed files only

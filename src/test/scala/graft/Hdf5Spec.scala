@@ -1,0 +1,356 @@
+package graft
+
+import graft.sources.Hdf5
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** The clean-room HDF5 contiguous-subset reader against INDEPENDENT
+  * hand-built fixtures (the NetCdfSpec discipline — every structure
+  * assembled per the public HDF5 File Format Specification with
+  * explicit offsets, no HDF5 library anywhere): a superblock-v2 file
+  * with v2 object headers, compact links, a v3 fill message, v3
+  * attributes and an OCHK continuation; a superblock-v0 file with the
+  * v1 symbol-table machinery (TREE/SNOD/HEAP) and v1 messages; CF
+  * semantics on the grid path; and the loud refusals. */
+class Hdf5Spec extends SparkSpec {
+
+  private val Undef = -1L
+
+  private def sig(bb: ByteBuffer): Unit =
+    bb.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+
+  // ---- message bodies (little-endian, per spec section IV) -------------
+
+  private def le(build: ByteBuffer => Unit, cap: Int = 256): Array[Byte] = {
+    val b = ByteBuffer.allocate(cap).order(ByteOrder.LITTLE_ENDIAN)
+    build(b)
+    java.util.Arrays.copyOf(b.array(), b.position())
+  }
+
+  private def dtInt16: Array[Byte] = le { b =>
+    b.put(0x10.toByte) // version 1, class 0 (fixed-point)
+    b.put(0x08.toByte).put(0.toByte).put(0.toByte) // LE, signed
+    b.putInt(2) // size
+    b.putShort(0).putShort(16) // bit offset, precision
+  }
+
+  private def dtF32: Array[Byte] = le { b =>
+    b.put(0x11.toByte) // version 1, class 1 (float)
+    b.put(0x20.toByte).put(31.toByte).put(0.toByte) // LE, norm, sign loc
+    b.putInt(4)
+    b.putShort(0).putShort(32)
+    b.put(23.toByte).put(8.toByte).put(0.toByte).put(23.toByte)
+    b.putInt(127)
+  }
+
+  private def dtF64: Array[Byte] = le { b =>
+    b.put(0x11.toByte)
+    b.put(0x20.toByte).put(63.toByte).put(0.toByte)
+    b.putInt(8)
+    b.putShort(0).putShort(64)
+    b.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+    b.putInt(1023)
+  }
+
+  private def dtString(n: Int): Array[Byte] = le { b =>
+    b.put(0x13.toByte) // version 1, class 3 (string)
+    b.put(0.toByte).put(0.toByte).put(0.toByte) // null-terminated
+    b.putInt(n)
+  }
+
+  private def dsScalarV2: Array[Byte] = Array(2, 0, 0, 0) // ver, rank, flags, scalar
+
+  private def dsRank2V2(ny: Long, nx: Long): Array[Byte] = le { b =>
+    b.put(2.toByte).put(2.toByte).put(0.toByte).put(1.toByte) // simple
+    b.putLong(ny).putLong(nx)
+  }
+
+  /** v3 attribute message body: charset variant with name/datatype/
+    * dataspace UNPADDED (spec: versions 2+ drop the v1 8-byte padding). */
+  private def attrV3(name: String, dt: Array[Byte], ds: Array[Byte],
+      data: Array[Byte]): Array[Byte] = le { b =>
+    val nameZ = name.getBytes("US-ASCII") :+ 0.toByte
+    b.put(3.toByte).put(0.toByte)
+    b.putShort(nameZ.length.toShort)
+    b.putShort(dt.length.toShort)
+    b.putShort(ds.length.toShort)
+    b.put(0.toByte) // charset: ASCII
+    b.put(nameZ).put(dt).put(ds).put(data)
+  }
+
+  /** One v2 object-header message: type(1) size(2) flags(1) body. */
+  private def msgV2(typ: Int, body: Array[Byte]): Array[Byte] = le ({ b =>
+    b.put(typ.toByte).putShort(body.length.toShort).put(0.toByte).put(body)
+  }, body.length + 8)
+
+  // ---- fixture A: superblock v2, OHDR headers, compact links, OCHK ----
+
+  /** Offsets chosen with room to spare; `softLink`/`denseLinks` build
+    * the refusal variants. Returns (bytes, layoutClassByteOffset). */
+  private def fixtureV2(softLink: Boolean = false,
+      denseLinks: Boolean = false): (Array[Byte], Int) = {
+    val dsHdrAt = 128L
+    val ochkAt = 384L
+    val dataAt = 448L
+    val total = 464
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+
+    // superblock v2 (48 bytes)
+    sig(out)
+    out.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    out.putLong(0L).putLong(Undef).putLong(total.toLong).putLong(48L)
+    out.putInt(0) // checksum (not verified by the reader)
+
+    // root OHDR at 48: one link message (or the refusal variants)
+    val rootMsgs: Array[Byte] =
+      if (denseLinks)
+        msgV2(0x02, le { b => // link info with a LIVE fractal heap addr
+          b.put(0.toByte).put(0.toByte).putLong(48L).putLong(Undef)
+        })
+      else if (softLink)
+        msgV2(0x06, le { b =>
+          b.put(1.toByte).put(0x08.toByte) // flags: explicit link type
+          b.put(1.toByte) // soft
+          b.put(4.toByte).put("temp".getBytes("US-ASCII"))
+          b.putShort(2).put("/x".getBytes("US-ASCII"))
+        })
+      else
+        msgV2(0x06, le { b =>
+          b.put(1.toByte).put(0.toByte) // hard link, 1-byte name length
+          b.put(4.toByte).put("temp".getBytes("US-ASCII"))
+          b.putLong(dsHdrAt)
+        })
+    out.position(48)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    out.put(rootMsgs.length.toByte) // chunk-0 size (1-byte width)
+    out.put(rootMsgs)
+    out.putInt(0) // checksum
+
+    // dataset OHDR at 128: dataspace, datatype, fill v3, three v3
+    // attributes, and the LAYOUT message exiled to an OCHK
+    // continuation block (exercising the v2 continuation walk)
+    val contBody = le(b => { b.putLong(ochkAt); b.putLong(30L) })
+    val dsMsgs = Array(
+      msgV2(0x01, dsRank2V2(2, 3)),
+      msgV2(0x03, dtInt16),
+      msgV2(0x05, le { b => // fill v3: defined, -3000
+        b.put(3.toByte).put(0x20.toByte).putInt(2).putShort(-3000)
+      }),
+      msgV2(0x0C, attrV3("scale_factor", dtF64, dsScalarV2,
+        le(_.putDouble(0.5)))),
+      msgV2(0x0C, attrV3("add_offset", dtF64, dsScalarV2,
+        le(_.putDouble(2.0)))),
+      msgV2(0x0C, attrV3("units", dtString(5), dsScalarV2,
+        "degC".getBytes("US-ASCII") :+ 0.toByte)),
+      msgV2(0x10, contBody)).flatten
+    out.position(dsHdrAt.toInt)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(1.toByte)
+    out.putShort(dsMsgs.length.toShort) // chunk-0 size (2-byte width)
+    out.put(dsMsgs)
+    out.putInt(0)
+
+    // OCHK continuation: the layout message (contiguous at dataAt)
+    val layoutMsg = msgV2(0x08, le { b =>
+      b.put(3.toByte).put(1.toByte).putLong(dataAt).putLong(12L)
+    })
+    require(4 + layoutMsg.length + 4 == 30, s"OCHK len ${layoutMsg.length}")
+    out.position(ochkAt.toInt)
+    out.put("OCHK".getBytes("US-ASCII")).put(layoutMsg).putInt(0)
+    val layoutClassByteAt = ochkAt.toInt + 4 + 4 + 1
+
+    // data: 2x3 int16 LE, (0,1) is the fill hole
+    out.position(dataAt.toInt)
+    Seq(100, -3000, 300, 400, 500, 600).foreach(v => out.putShort(v.toShort))
+    (out.array(), layoutClassByteAt)
+  }
+
+  // ---- fixture B: superblock v0, v1 headers, TREE/SNOD/HEAP groups ----
+
+  private def fixtureV0: Array[Byte] = {
+    val rootHdrAt = 96; val heapAt = 136; val heapDataAt = 168
+    val treeAt = 192; val snodAt = 240; val dsHdrAt = 288; val dataAt = 480
+    val total = 496
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+
+    sig(out)
+    out.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // versions
+    out.put(0.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    out.putShort(4).putShort(16).putInt(0) // leaf k, internal k, flags
+    out.putLong(0L).putLong(Undef).putLong(total.toLong).putLong(Undef)
+    // root symbol-table entry (40 bytes)
+    out.putLong(0L).putLong(rootHdrAt.toLong).putInt(0).putInt(0)
+    out.putLong(0L).putLong(0L)
+    require(out.position() == 96, s"superblock ended at ${out.position()}")
+
+    // root v1 object header: one symbol-table message
+    out.position(rootHdrAt)
+    out.put(1.toByte).put(0.toByte).putShort(1).putInt(1).putInt(24)
+    out.putInt(0) // pad to the 16-byte prefix
+    out.putShort(0x11).putShort(16).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    out.putLong(treeAt.toLong).putLong(heapAt.toLong)
+    require(out.position() == heapAt, s"root header ended at ${out.position()}")
+
+    // local heap; names live in the data segment
+    out.put("HEAP".getBytes("US-ASCII")).put(0.toByte)
+    out.put(0.toByte).put(0.toByte).put(0.toByte)
+    out.putLong(16L).putLong(Undef).putLong(heapDataAt.toLong)
+    out.position(heapDataAt + 8)
+    out.put("rain".getBytes("US-ASCII")).put(0.toByte)
+
+    // group B-tree, one leaf entry -> SNOD
+    out.position(treeAt)
+    out.put("TREE".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    out.putShort(1).putLong(Undef).putLong(Undef)
+    out.putLong(0L).putLong(snodAt.toLong).putLong(0L)
+
+    // symbol node with the dataset entry (name at heap offset 8)
+    out.position(snodAt)
+    out.put("SNOD".getBytes("US-ASCII")).put(1.toByte).put(0.toByte)
+    out.putShort(1)
+    out.putLong(8L).putLong(dsHdrAt.toLong).putInt(0).putInt(0)
+    out.putLong(0L).putLong(0L)
+    require(out.position() == dsHdrAt, s"SNOD ended at ${out.position()}")
+
+    // dataset v1 object header: dataspace, datatype, layout, attr
+    out.position(dsHdrAt)
+    out.put(1.toByte).put(0.toByte).putShort(4).putInt(1).putInt(168)
+    out.putInt(0)
+    // dataspace v1, rank 2 (2x2)
+    out.putShort(0x01).putShort(24).putInt(0)
+    out.put(1.toByte).put(2.toByte)
+    (0 until 6).foreach(_ => out.put(0.toByte))
+    out.putLong(2L).putLong(2L)
+    // datatype float32 (20 bytes + 4 pad)
+    out.putShort(0x03).putShort(24).putInt(0)
+    out.put(dtF32).putInt(0)
+    // layout v3 contiguous (18 bytes + 6 pad)
+    out.putShort(0x08).putShort(24).putInt(0)
+    out.put(3.toByte).put(1.toByte).putLong(dataAt.toLong).putLong(16L)
+    (0 until 6).foreach(_ => out.put(0.toByte))
+    // attribute v1 `_FillValue` float32 -9999 (60 bytes + 4 pad):
+    // name/datatype/dataspace each padded to 8 in THIS version
+    out.putShort(0x0C).putShort(64).putInt(0)
+    out.put(1.toByte).put(0.toByte).putShort(11).putShort(20).putShort(8)
+    out.put("_FillValue".getBytes("US-ASCII")).put(0.toByte)
+    (0 until 5).foreach(_ => out.put(0.toByte)) // name 11 -> 16
+    out.put(dtF32).putInt(0) // 20 -> 24
+    out.put(1.toByte).put(0.toByte) // dataspace v1 rank 0
+    (0 until 6).foreach(_ => out.put(0.toByte))
+    out.putFloat(-9999.0f)
+    out.putInt(0) // body 60 -> 64
+    require(out.position() == dsHdrAt + 16 + 168,
+      s"dataset header ended at ${out.position()}")
+
+    out.position(dataAt)
+    Seq(1.5f, -9999.0f, 3.25f, 4.0f).foreach(out.putFloat)
+    out.array()
+  }
+
+  // ---- specs -----------------------------------------------------------
+
+  test("superblock v2 + OHDR: links, OCHK continuation, v3 fill/attrs, CF grid") {
+    val (bytes, _) = fixtureV2()
+    val f = Hdf5.decode(bytes)
+    assert(f.superVersion == 2 && f.groups == Seq("/"))
+    val d = f.datasetAt("/temp")
+    assert(d.dims == Seq(2L, 3L))
+    assert(d.dtype == Hdf5.Dtype(0, 2, littleEndian = true, signed = true))
+    assert(d.fillMsg.contains(-3000.0) && d.fill.contains(-3000.0))
+    assert(d.numAttr("scale_factor").contains(0.5))
+    assert(d.numAttr("add_offset").contains(2.0))
+    assert(d.attrs.get("units").contains("degC"))
+    // raw read: no masking, no scaling
+    assert(Hdf5.read(bytes, f, "/temp").toSeq ==
+      Seq(100.0, -3000.0, 300.0, 400.0, 500.0, 600.0))
+    // CF grid: fill -> NaN, survivors scaled raw*0.5 + 2.0
+    val cells = Hdf5.gridCells(bytes, f, "/temp").toSeq
+    assert(cells.count(_.value.isNaN) == 1)
+    assert(cells.find(c => c.x == 1 && c.y == 0).get.value.isNaN)
+    assert(cells.find(c => c.x == 0 && c.y == 0).get.value == 52.0)
+    assert(cells.find(c => c.x == 2 && c.y == 1).get.value == 302.0)
+  }
+
+  test("superblock v0 + v1 headers: TREE/SNOD/HEAP traversal, v1 attr, fill from attribute") {
+    val bytes = fixtureV0
+    val f = Hdf5.decode(bytes)
+    assert(f.superVersion == 0 && f.groups == Seq("/"))
+    val d = f.datasetAt("/rain")
+    assert(d.dims == Seq(2L, 2L))
+    assert(d.dtype == Hdf5.Dtype(1, 4, littleEndian = true, signed = true))
+    // fill comes from the `_FillValue` ATTRIBUTE (no fill message)
+    assert(d.fillMsg.isEmpty && d.fill.contains(-9999.0))
+    assert(Hdf5.read(bytes, f, "/rain").toSeq ==
+      Seq(1.5, -9999.0, 3.25, 4.0))
+    val cells = Hdf5.gridCells(bytes, f, "/rain").toSeq
+    assert(cells.find(c => c.x == 1 && c.y == 0).get.value.isNaN)
+    assert(cells.find(c => c.x == 1 && c.y == 1).get.value == 4.0)
+  }
+
+  test("refusals: chunked layout, soft links, dense link storage, junk, truncation") {
+    val (bytes, layoutClassAt) = fixtureV2()
+    val chunked = bytes.clone()
+    chunked(layoutClassAt) = 2
+    val e1 = intercept[IllegalArgumentException] { Hdf5.decode(chunked) }
+    assert(e1.getMessage.contains("CHUNKED"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Hdf5.decode(fixtureV2(softLink = true)._1)
+    }
+    assert(e2.getMessage.contains("hard links"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Hdf5.decode(fixtureV2(denseLinks = true)._1)
+    }
+    assert(e3.getMessage.contains("fractal"), e3.getMessage)
+    intercept[IllegalArgumentException] {
+      Hdf5.decode("PK not hdf5 at all, and no superblock".getBytes("US-ASCII"))
+    }
+    for (cut <- Seq(4, 60, 200))
+      intercept[Exception] {
+        Hdf5.decode(java.util.Arrays.copyOf(bytes, cut))
+      }
+    // HDF4 bytes are a different format: refused, pointed elsewhere
+    intercept[IllegalArgumentException] {
+      Hdf5.decode(graft.sources.Hdf.encode(Seq(graft.sources.Hdf.SdsSpec(
+        "x", Seq(1, 1), graft.sources.Hdf.Int16, Array(1.0)))))
+    }
+  }
+
+  test("encode round-trips through the decoder built on the independent fixtures") {
+    // the decoder's correctness is pinned by the HAND-BUILT fixtures
+    // above; this closes the loop on the writer
+    val dt16 = Hdf5.Dtype(0, 2, littleEndian = true, signed = true)
+    val bytes = Hdf5.encode(Seq(
+      Hdf5.DsSpec("alpha", Seq(2L, 3L),
+        dt16, Array(10, -3000, 30, 40, 50, 60).map(_.toDouble),
+        fill = Some(-3000.0),
+        attrs = Seq("scale_factor" -> 0.25, "add_offset" -> 100.0)),
+      Hdf5.DsSpec("beta", Seq(4L),
+        Hdf5.Dtype(1, 8, littleEndian = true, signed = true),
+        Array(1.5, 2.25, -4.0, 1e9))))
+    val f = Hdf5.decode(bytes)
+    assert(f.datasets.map(_.path).toSet == Set("/alpha", "/beta"))
+    val a = f.datasetAt("/alpha")
+    assert(a.dims == Seq(2L, 3L) && a.dtype == dt16)
+    assert(a.fill.contains(-3000.0))
+    assert(a.numAttr("scale_factor").contains(0.25))
+    assert(Hdf5.read(bytes, f, "/beta").toSeq == Seq(1.5, 2.25, -4.0, 1e9))
+    val cells = Hdf5.gridCells(bytes, f, "/alpha").toSeq
+    assert(cells.find(c => c.x == 1 && c.y == 0).get.value.isNaN)
+    assert(cells.find(c => c.x == 0 && c.y == 0).get.value == 102.5)
+  }
+
+  test("scan and readGrid run task-side over a directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_h5").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.h5"),
+      fixtureV2()._1)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.h5"),
+      fixtureV0)
+    val inv = Hdf5.scan(spark, s"$dir/*.h5").collect()
+      .map(r => (r.getString(0).split('/').last, r.getString(1),
+        r.getString(3), r.getString(4))).toSet
+    assert(inv == Set(("a.h5", "/temp", "2x3", "int16"),
+      ("b.h5", "/rain", "2x2", "float32")), inv.toString)
+    val rows = Hdf5.readGrid(spark, s"$dir/a.h5", "/temp").collect()
+    assert(rows.length == 5) // the fill hole dropped
+    assert(rows.map(_.getDouble(4)).sum == 52.0 + 152 + 202 + 252 + 302)
+  }
+}
