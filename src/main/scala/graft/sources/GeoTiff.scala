@@ -277,19 +277,8 @@ object GeoTiff {
     Raster(width, height, sx, sy, tx, ty, nodata, values)
   }
 
-  /** Full-stream deflate with an expansion-safe drain loop: deflate
-    * can EXPAND incompressible data (~5 B per 64 KB block + stream
-    * overhead), and a single deflate() call into a fixed buffer would
-    * silently truncate the stream past that point (review finding r8). */
-  private def deflateBytes(data: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater()
-    d.setInput(data); d.finish()
-    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-    val buf = new Array[Byte](64 * 1024)
-    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end()
-    out.toByteArray
-  }
+  /** See [[Deflate]] — the shared expansion-safe drain loop. */
+  private def deflateBytes(data: Array[Byte]): Array[Byte] = Deflate(data)
 
   /** GDAL_NODATA ASCII payload, NUL-terminated and padded to >=5
     * bytes: a <=4-byte ASCII value would live INLINE in the IFD slot
@@ -298,7 +287,11 @@ object GeoTiff {
   private def nodataString(v: Double): String = {
     val s = (if (!v.isNaN && v == v.toLong) v.toLong.toString
              else v.toString) + "\u0000"
-    s + "\u0000" * math.max(0, 5 - s.length)
+    val p = s + "\u0000" * math.max(0, 5 - s.length)
+    // TIFF 6.0 word alignment: this is the only odd-sized component
+    // the writers pack, and every offset computed after it inherits
+    // its parity -- keep it even
+    if (p.length % 2 == 0) p else p + "\u0000"
   }
 
   /** One overview level: each coarse cell is the mean of its valid

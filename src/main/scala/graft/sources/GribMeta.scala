@@ -441,11 +441,16 @@ object GribMeta {
     val extraOctets = 4
     val refsBytes = (ng * nBitsRefs + 7) / 8
     val widthBytes = ng // 8 bits each
+    // the wire carries NG scaled lengths (the last is a placeholder the
+    // reader overrides with section 5's true-last-length) — write them
+    // for real, like external encoders, so round-trips cover that path
+    val bitsLens = math.max(1, bitsFor(groups.map(_._3.toLong).max))
+    val lenBytes = (ng * bitsLens + 7) / 8
     val valueBits = groups.map(g => g._2.toLong * g._3).sum
     val valueBytes = ((valueBits + 7) / 8).toInt
     val sec5Len = if (tpl == 3) 49 else 47
     val sec7Len = 5 + extras.length * extraOctets + refsBytes +
-      widthBytes + valueBytes
+      widthBytes + lenBytes + valueBytes
     val bmpBytes = bitmap.map(m => (m.length + 7) / 8).getOrElse(0)
     val b = java.nio.ByteBuffer.allocate(
       16 + 21 + 72 + 34 + sec5Len + 6 + bmpBytes + sec7Len + 4)
@@ -488,10 +493,10 @@ object GribMeta {
       s.putInt(ng)              // octets 32-35: number of groups
       s.put(0.toByte)           // octet 36: group-width reference
       s.put(8.toByte)           // octet 37: bits per group width
-      s.putInt(groupLen)        // octets 38-41: group-length reference
+      s.putInt(0)               // octets 38-41: group-length reference
       s.put(1.toByte)           // octet 42: length increment
       s.putInt(groups.last._3)  // octets 43-46: true last-group length
-      s.put(0.toByte)           // octet 47: bits per scaled length
+      s.put(bitsLens.toByte)    // octet 47: bits per scaled length
       if (tpl == 3) {
         s.put(spatialOrder.toByte)     // octet 48
         s.put(extraOctets.toByte)      // octet 49
@@ -527,7 +532,7 @@ object GribMeta {
         if (nb > 0) { s.put((acc << (8 - nb)).toByte); acc = 0; nb = 0 }
       groups.foreach(g => putBits(g._1, nBitsRefs)); pad()
       groups.foreach(g => putBits(g._2.toLong, 8)); pad()
-      // 0-bit scaled lengths: nothing on the wire
+      groups.foreach(g => putBits(g._3.toLong, bitsLens)); pad()
       var k = 0
       groups.foreach { case (ref, width, len) =>
         (0 until len).foreach { _ => putBits(codes(k) - ref, width); k += 1 }
@@ -749,9 +754,13 @@ object GribMeta {
     val refs = Array.fill(ng)(readBits(p.nBits)); padToOctet()
     val widths = Array.fill(ng)(widthRef + readBits(bitsWidths).toInt)
     padToOctet()
+    // The stream carries NG scaled lengths (the last one is present but
+    // meaningless); regulation 92.6.2 overrides the last group's length
+    // with the true value from section 5 octets 43-46. Reading only NG-1
+    // would leave the bit cursor short and shift the packed-value stream.
     val lens = Array.tabulate(ng) { g =>
-      if (g == ng - 1) trueLast
-      else lengthRef + readBits(bitsLengths) * lengthIncr
+      val scaled = lengthRef + readBits(bitsLengths) * lengthIncr
+      if (g == ng - 1) trueLast else scaled
     }
     padToOctet()
     require(lens.sum == nPacked, s"message $msgIndex: group lengths " +

@@ -481,15 +481,7 @@ object Hdf {
         case "rle" | "deflate" =>
           val packed =
             if (s.comp == "rle") rleEncode(raw.array())
-            else {
-              val d = new java.util.zip.Deflater()
-              d.setInput(raw.array()); d.finish()
-              val buf = new java.io.ByteArrayOutputStream(raw.array().length / 2 + 64)
-              val tmp = new Array[Byte](8192)
-              while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
-              d.end()
-              buf.toByteArray
-            }
+            else Deflate(raw.array())
           val compRef = ref()
           els += El(TagCompressed, compRef, packed)
           val hdr = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)

@@ -110,7 +110,6 @@ object Hdf5 {
   /** Parse the file's full metadata tree (superblock → groups →
     * datasets + attributes). Data payloads are located, not copied. */
   def decode(bytes: Array[Byte]): Hdf5File = {
-    val r = new Reader(bytes)
     // the superblock sits at offset 0 or a power-of-two user-block
     // boundary (spec §II); scan the doublings
     var base = 0L
@@ -123,6 +122,18 @@ object Hdf5 {
         found = true
       else base = if (base == 0) 512 else base * 2
     }
+    if (base > 0) {
+      // spec §II: every stored file address is RELATIVE to the base
+      // address (the superblock offset). Decode the tail as a base-0
+      // file, then shift the escaping data offsets back so they index
+      // the caller's original array (only dataOff leaves this walk;
+      // compact payloads are copied).
+      val tail = java.util.Arrays.copyOfRange(bytes, base.toInt, bytes.length)
+      val f = decode(tail)
+      return f.copy(datasets = f.datasets.map(d =>
+        if (d.dataOff == Undef) d else d.copy(dataOff = d.dataOff + base)))
+    }
+    val r = new Reader(bytes)
     val sv = r.u8(base + 8)
     require(sv <= 3, s"superblock version $sv unsupported (0-3)")
 

@@ -352,6 +352,39 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("encodeCog keeps IFD and value offsets word-aligned (TIFF 6.0), " +
+      "even for odd nodata strings") {
+    // nodata 0 → GDAL_NODATA ascii "0\0" pads to 5 bytes: before the
+    // parity fix this odd region made every later IFD/value offset odd,
+    // which strict TIFF validators reject
+    for (nd <- Seq(Some(0.0), Some(-1.0), None)) {
+      val r = Raster(70, 40, 1, 1, 0, 0, nd,
+        grid(70, 40)((x, y) => (x + y).toDouble))
+      val bytes = GeoTiff.encodeCog(r, tileSize = 32, minOverviewDim = 30)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = bb.getInt(4)
+      while (off != 0) {
+        assert(off % 2 == 0, s"odd IFD offset $off (nodata=$nd)")
+        val n = bb.getShort(off) & 0xffff
+        (0 until n).foreach { i =>
+          val o = off + 2 + i * 12
+          val typ = bb.getShort(o + 2) & 0xffff
+          val cnt = bb.getInt(o + 4)
+          val tlen = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 12 -> 8)(typ)
+          if (tlen.toLong * cnt > 4) {
+            val voff = bb.getInt(o + 8).toLong & 0xffffffffL
+            assert(voff % 2 == 0,
+              s"odd value offset $voff for tag ${bb.getShort(o) & 0xffff}")
+          }
+        }
+        off = bb.getInt(off + 2 + n * 12)
+      }
+      // the decoder still reads it
+      assert(GeoTiff.decode(bytes).width == 70)
+    }
+  }
+
   test("TiffGridSource reads its own COGs; full-res rows match the plain encode") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cog_dsv2").toString
     val r = Raster(40, 30, 1, 1, 5.0, 60.0, Some(-9999.0),

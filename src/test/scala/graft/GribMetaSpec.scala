@@ -372,6 +372,31 @@ class GribMetaSpec extends SparkSpec {
       Seq(8L, 16L, 4L, 64L, 32L, 12L).map(x => 2048.0 + x * 0.25))
   }
 
+  test("the streamed last scaled length is a placeholder: section 5's " +
+      "true-last-length wins when they disagree") {
+    // 6 codes, groupLen 4 → 2 groups, lens [4, 2]. The wire carries NG
+    // scaled lengths; external encoders put garbage in the last slot and
+    // regulation 92.6.2 overrides it from section 5 octets 43-46. Patch
+    // the streamed last entry to a wrong value and the decode must still
+    // come back exact (an NG-1 reader would instead shift the stream).
+    val xs = Array(1L, 2L, 3L, 4L, 5L, 6L)
+    val enc = GribMeta.encodeComplex(6, 1, 0, 0, 0f, 0, 0,
+      xs = xs, groupLen = 4)
+    val s5 = 16 + 21 + 72 + 34
+    assert((enc(s5 + 4) & 0xff) == 5, "section walk drifted")
+    assert((enc(s5 + 46) & 0xff) == 3, "expected 3-bit scaled lengths")
+    // section 7 layout: 5-byte header, refs 1 byte (2×3 bits), widths
+    // 2 bytes, then the scaled lengths byte: 100 010 00 (4, 2, pad)
+    val s7 = s5 + 47 + 6
+    assert((enc(s7 + 4) & 0xff) == 7, "section walk drifted at 7")
+    val lensAt = s7 + 5 + 1 + 2
+    assert((enc(lensAt) & 0xff) == 0x88, "scaled-lengths byte moved")
+    val patched = enc.clone()
+    patched(lensAt) = 0x9c.toByte // streamed lens now (4, 7) — garbage last
+    val Seq((_, vs)) = GribMeta.values(patched)
+    assert(vs.toSeq == xs.map(_.toDouble).toSeq, vs.toSeq.toString)
+  }
+
   test("complex packing refuses the layouts it cannot decode, loudly") {
     val enc = GribMeta.encodeComplex(6, 1, 0, 0, 0f, 0, 0,
       xs = Array(1L, 2L, 3L, 4L, 5L, 6L), groupLen = 4)

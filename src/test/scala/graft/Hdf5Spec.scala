@@ -338,6 +338,32 @@ class Hdf5Spec extends SparkSpec {
     assert(cells.find(c => c.x == 0 && c.y == 0).get.value == 102.5)
   }
 
+  test("user block: a superblock at 512 decodes, addresses base-relative") {
+    // spec §II: the superblock may sit at any power-of-two user-block
+    // offset, and every stored file address is relative to that base.
+    // Prepending bytes to a valid file (the h5jam operation) must
+    // change nothing about the decode — including the positioned
+    // contiguous reads, which index the ORIGINAL array.
+    val dt16 = Hdf5.Dtype(0, 2, littleEndian = true, signed = true)
+    val plain = Hdf5.encode(Seq(
+      Hdf5.DsSpec("alpha", Seq(2L, 3L),
+        dt16, Array(10, -3000, 30, 40, 50, 60).map(_.toDouble),
+        fill = Some(-3000.0),
+        attrs = Seq("scale_factor" -> 0.25, "add_offset" -> 100.0))))
+    val jammed = new Array[Byte](512 + plain.length)
+    // non-zero junk in the user block so an absolute-address walk
+    // cannot accidentally succeed
+    java.util.Arrays.fill(jammed, 0, 512, 0x5a.toByte)
+    System.arraycopy(plain, 0, jammed, 512, plain.length)
+    val f = Hdf5.decode(jammed)
+    val a = f.datasetAt("/alpha")
+    assert(a.dims == Seq(2L, 3L) && a.fill.contains(-3000.0))
+    assert(a.numAttr("scale_factor").contains(0.25))
+    val cells = Hdf5.gridCells(jammed, f, "/alpha").toSeq
+    assert(cells.find(c => c.x == 1 && c.y == 0).get.value.isNaN)
+    assert(cells.find(c => c.x == 0 && c.y == 0).get.value == 102.5)
+  }
+
   test("scan and readGrid run task-side over a directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_h5").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.h5"),
