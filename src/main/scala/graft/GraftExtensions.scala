@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharEntropyStatsExpr, CosineSimExpr, DotExpr, HyperplaneBucketExpr, Md5SeededExpr, NormExpr, RepetitionStatsExpr, RollingFingerprintExpr, TokenCountsExpr, TopKAggregate, WinnowFingerprintsExpr, WordShinglesExpr, XxShinglesExpr}
+import graft.functions.{CharEntropyStatsExpr, CosineSimExpr, DotExpr, HyperplaneBucketExpr, Md5SeededExpr, MinHashSigExpr, NormExpr, RepetitionStatsExpr, RollingFingerprintExpr, TokenCountsExpr, TopKAggregate, WinnowFingerprintsExpr, WordShinglesExpr, XxShinglesExpr}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.SparkSessionExtensions
@@ -56,6 +56,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_md5_seeded"),
       new ExpressionInfo(classOf[Md5SeededExpr].getName, "graft_md5_seeded"),
       (exprs: Seq[Expression]) => Md5SeededExpr(exprs(0), intArg(exprs(1)))),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSigExpr(exprs(0), intArg(exprs(1)))),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAggregate].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKAggregate(

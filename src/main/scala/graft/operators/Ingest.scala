@@ -3448,10 +3448,60 @@ object Ingest {
       .orderBy(col("t"), col("y"), col("x"))
   }
 
+  /** i67: the netCDF-4 COMPRESSED-variable shape inside the
+    * correctness gate — the r10 chunked-HDF5 rung end to end: the
+    * deterministic lineitem grid written as ONE int16 dataset in
+    * CHUNKED layout (5×5 chunks over 8×12 — ragged edges on BOTH
+    * axes) through the full netCDF-4 filter pipeline
+    * shuffle→deflate→fletcher32 (`nc_def_var_deflate`'s exact
+    * emission, checksums REAL) via [[graft.sources.Hdf5.encode]],
+    * indexed by a type-1 chunk B-tree, read back task-side by
+    * [[graft.sources.Hdf5.readGrid]] undoing the pipeline in reverse
+    * per chunk with CF semantics applied (fill dropped,
+    * raw·0.5 − 500); DuckDB recomputes grid + transform directly — a
+    * bit-slip in the B-tree walk, chunk scatter, shuffle transpose,
+    * inflate, or fletcher32 verify breaks the hash.
+    *
+    * Scale shape: i66's — fixed 8×12 grid, one 96-group partial-agg
+    * shuffle, grid-bounded driver encode, per-file task fan-out. */
+  def i67: QueryDef = QueryDef(
+    "i67_h5_chunked_cycle",
+    """WITH g AS (
+      |  SELECT CAST(l_suppkey % 8 AS INTEGER) AS y,
+      |    CAST(l_partkey % 12 AS INTEGER) AS x,
+      |    CAST(SUM(l_quantity) AS BIGINT) % 10001 AS raw
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT x, y, CAST(raw AS DOUBLE) / 2 - 500.0 AS value
+      |FROM g ORDER BY y, x""".stripMargin) { (spark, dir) =>
+    import graft.sources.Hdf5
+    val (ny, nx) = (8, 12)
+    val cells = Tables(spark, dir).lineitem
+      .groupBy((col("l_suppkey") % 8).cast("int").as("y"),
+        (col("l_partkey") % 12).cast("int").as("x"))
+      .agg((sum(col("l_quantity")).cast("long") % 10001).as("raw"))
+      .collect() // bounded by the fixed grid (≤96 cells), not the data
+    val grid = Array.fill(ny * nx)(-3000.0)
+    cells.foreach(r => grid(r.getInt(0) * nx + r.getInt(1)) =
+      r.getLong(2).toDouble)
+    val h5Dir = java.nio.file.Paths.get(
+      graft.Fixtures.pathFor(dir, "i67_h5c"))
+    java.nio.file.Files.createDirectories(h5Dir)
+    val dt16 = Hdf5.Dtype(0, 2, littleEndian = true, signed = true)
+    java.nio.file.Files.write(h5Dir.resolve("chunked.h5"), Hdf5.encode(Seq(
+      Hdf5.DsSpec("q", Seq(ny.toLong, nx.toLong), dt16, grid,
+        fill = Some(-3000.0),
+        attrs = Seq("scale_factor" -> 0.5, "add_offset" -> -500.0),
+        chunk = Some(Seq(5, 5)),
+        filters = Seq("shuffle", "deflate", "fletcher32")))))
+    Hdf5.readGrid(spark, h5Dir.resolve("chunked.h5").toString, "/q")
+      .select(col("x"), col("y"), col("value"))
+      .orderBy(col("y"), col("x"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13,
     i14, i15, i15b, i15c, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
     i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36, i37, i38,
     i39, i39b, i41, i42, i43, i45, i46, i47, i48, i49, i50, i51, i52, i53,
-    i54, i55, i56, i57, i58, i59, i60, i61, i62, i63, i64, i65, i66)
+    i54, i55, i56, i57, i58, i59, i60, i61, i62, i63, i64, i65, i66, i67)
 }

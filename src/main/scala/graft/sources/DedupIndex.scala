@@ -155,4 +155,21 @@ object DedupIndex {
     sets.foreach(_.count()) // materialize once, pre-stream
     sets
   }
+
+  /** The join-side view of [[bandKeySets]]' frames, the s18
+    * pair-budget routing pattern: an SMJ stream-static join
+    * re-EXCHANGES AND RE-SORTS the (cached) static side every
+    * micro-batch — persisting only fixes the re-scan. Below the key
+    * budget, hint broadcast so micro-batches probe an executor-local
+    * hash map and the stream side never shuffles; past it (the 100 TB
+    * corpus-sized index), the shuffle join IS the scale path. The
+    * UNHINTED persisted frames stay the unpersist handles (an
+    * unpersist through the hint wrapper misses the cache entry). */
+  def bandJoinSides(spark: SparkSession,
+      sets: IndexedSeq[DataFrame]): IndexedSeq[DataFrame] = {
+    val budget = spark.conf.getOption("graft.st16.broadcastKeyBudget")
+      .map(_.toLong).getOrElse(4000000L)
+    val total = sets.map(_.count()).sum // cached: a cheap cache read
+    if (total <= budget) sets.map(broadcast(_)) else sets
+  }
 }

@@ -26,19 +26,26 @@ import org.apache.spark.sql.functions._
   *     (v1/v2/v3 — the netCDF `_FillValue`/`scale_factor`/
   *     `add_offset`/`units` carriers), Link, Link Info, Symbol Table,
   *     Continuation, NIL;
-  *   - data read: contiguous (positioned slice) or compact (inline),
+  *   - data read: contiguous (positioned slice), compact (inline), or
+  *     CHUNKED v3 — type-1 B-tree chunk index (any level), filter
+  *     pipeline v1/v2 with deflate (1), shuffle (2) and fletcher32 (3,
+  *     checksum verified) undone in reverse per-chunk honoring the
+  *     skip mask, full-size edge chunks clipped, unallocated chunks
+  *     reading as fill — the netCDF-4 compressed-variable default
+  *     (`nc_def_var_deflate` emits exactly chunked+shuffle+deflate);
   *     widened to double; [[gridCells]] applies netCDF CF semantics —
   *     `_FillValue` (attribute, else the HDF5 fill-value message)
   *     masks to NaN, `scale_factor`/`add_offset` apply — matching the
   *     [[NetCdf]] grid path bit for bit.
   *
   * Refused LOUDLY (codec-gate discipline — this reader never guesses):
-  * CHUNKED layout (the netCDF-4 compressed-variable default — such
-  * archives need the chunk B-tree + filter pipeline; re-export
-  * uncompressed/contiguous or go through the NetCDF-3 path), dense
-  * (fractal-heap) link storage, soft/external links, layout message
-  * versions before 3, non-IEEE float layouts, shared messages, and
-  * metadata offset/length sizes other than 8.
+  * layout v4 chunk indexes (the 1.10+ "new format" B-tree v2/EARRAY —
+  * re-export with the earliest-format/v1-B-tree layout), filters
+  * beyond deflate/shuffle/fletcher32 (szip, n-bit, scale-offset,
+  * registered LZF/blosc/zstd), dense (fractal-heap) link storage,
+  * soft/external links, layout message versions before 3, non-IEEE
+  * float layouts, shared messages, and metadata offset/length sizes
+  * other than 8.
   *
   * Scale shape: [[scan]] and [[readGrid]] run task-side over
   * binaryFile — one task per file, the driver never touches payload
@@ -59,13 +66,32 @@ object Hdf5 {
     }
   }
 
+  /** One filter-pipeline entry: `id` per the spec registry (1 deflate,
+    * 2 shuffle, 3 fletcher32), `flags` bit 0 = optional, `client` the
+    * 4-byte client-data values (deflate level, shuffle element size). */
+  final case class Filter(id: Int, flags: Int, client: Seq[Int])
+
+  /** One raw-data chunk from the type-1 B-tree: element `offsets` per
+    * dimension (incl. the trailing 0 of the element-size dim), stored
+    * `size` in bytes, the per-chunk `filterMask` (bit i set = pipeline
+    * filter i was SKIPPED for this chunk), absolute file `addr`. */
+  final case class ChunkRef(offsets: Seq[Long], size: Long,
+      filterMask: Int, addr: Long)
+
+  /** Chunked-layout storage resolved at decode time: `chunkDims` in
+    * elements (rank entries, element-size dim dropped), the filter
+    * pipeline in application order, and every allocated chunk. */
+  final case class Chunked(chunkDims: Seq[Int], filters: Seq[Filter],
+      chunks: Seq[ChunkRef])
+
   /** One HDF5 dataset: absolute `path` ("/group/var"), row-major
-    * `dims`, contiguous data at `dataOff` (or `compact` payload),
-    * `fillMsg` from the fill-value header message, and the object's
-    * scalar attributes (Double or String values). */
+    * `dims`, contiguous data at `dataOff` (or `compact` payload, or
+    * `chunked` storage), `fillMsg` from the fill-value header message,
+    * and the object's scalar attributes (Double or String values). */
   final case class Dataset(path: String, dims: Seq[Long], dtype: Dtype,
       dataOff: Long, dataLen: Long, compact: Option[Array[Byte]],
-      fillMsg: Option[Double], attrs: Map[String, Any]) {
+      fillMsg: Option[Double], attrs: Map[String, Any],
+      chunked: Option[Chunked] = None) {
     def n: Long = if (dims.isEmpty) 1L else dims.product
     def numAttr(name: String): Option[Double] = attrs.get(name).collect {
       case d: Double => d
@@ -130,8 +156,15 @@ object Hdf5 {
       // compact payloads are copied).
       val tail = java.util.Arrays.copyOfRange(bytes, base.toInt, bytes.length)
       val f = decode(tail)
-      return f.copy(datasets = f.datasets.map(d =>
-        if (d.dataOff == Undef) d else d.copy(dataOff = d.dataOff + base)))
+      return f.copy(datasets = f.datasets.map { d0 =>
+        val d = if (d0.dataOff == Undef) d0
+                else d0.copy(dataOff = d0.dataOff + base)
+        d.chunked match {
+          case None => d
+          case Some(c) => d.copy(chunked = Some(c.copy(chunks =
+            c.chunks.map(ch => ch.copy(addr = ch.addr + base)))))
+        }
+      })
     }
     val r = new Reader(bytes)
     val sv = r.u8(base + 8)
@@ -170,7 +203,8 @@ object Hdf5 {
       var space: Option[Seq[Long]] = None
       var dtype: Option[Dtype] = None
       var fillRaw: Option[Array[Byte]] = None
-      var layout: Option[(Int, Long, Long, Option[Array[Byte]])] = None
+      var layout: Option[Layout] = None
+      var filters: Seq[Filter] = Nil
       val attrs = Map.newBuilder[String, Any]
 
       msgs.foreach { m =>
@@ -186,6 +220,7 @@ object Hdf5 {
           case 0x0005 => fillRaw = parseFillValue(r, m.bodyOff)
           case 0x0006 => links += parseLink(r, m.bodyOff, path)
           case 0x0008 => layout = Some(parseLayout(r, m.bodyOff, path))
+          case 0x000B => filters = parseFilters(r, m.bodyOff, path)
           case 0x000C =>
             parseAttribute(r, m.bodyOff, m.size).foreach(attrs += _)
           case 0x0011 => // v1 symbol table: B-tree + local heap
@@ -197,11 +232,27 @@ object Hdf5 {
       }
 
       (space, dtype, layout) match {
-        case (Some(dims), Some(dt), Some((cls, off, len, compact))) =>
+        case (Some(dims), Some(dt), Some(lay)) =>
           val fillV = fillRaw.filter(_.length == dt.size)
             .map(fb => scalarOf(fb, dt))
-          datasets += Dataset(path, dims, dt, off, len, compact,
-            fillV, attrs.result())
+          val at = attrs.result()
+          lay match {
+            case LayCompact(data) =>
+              datasets += Dataset(path, dims, dt, -1L, data.length.toLong,
+                Some(data), fillV, at)
+            case LayContiguous(off, len) =>
+              datasets += Dataset(path, dims, dt, off, len, None, fillV, at)
+            case LayChunked(btree, cdims) =>
+              require(cdims.size == dims.size + 1 &&
+                cdims.last == dt.size,
+                s"dataset '$path': chunk dims $cdims inconsistent with " +
+                  s"rank ${dims.size} × ${dt.size}-byte elements")
+              val chunks =
+                if (btree == Undef) Nil // never written: all-fill
+                else walkChunkTree(r, btree, cdims.size, path)
+              datasets += Dataset(path, dims, dt, -1L, -1L, None, fillV,
+                at, Some(Chunked(cdims.init, filters, chunks)))
+          }
         case (None, None, None) =>
           groups += (if (path.isEmpty) "/" else path)
           links.result().foreach { case (name, a) =>
@@ -375,28 +426,94 @@ object Hdf5 {
     }
   }
 
-  /** Returns (layoutClass, dataOff, dataLen, compactBytes). */
-  private def parseLayout(r: Reader, o: Long,
-      path: String): (Int, Long, Long, Option[Array[Byte]]) = {
+  private sealed trait Layout
+  private final case class LayCompact(data: Array[Byte]) extends Layout
+  private final case class LayContiguous(off: Long, len: Long) extends Layout
+  /** v3 chunked: B-tree address + dimensionality sizes (rank entries
+    * in elements, then the element size in bytes). */
+  private final case class LayChunked(btree: Long, dims: Seq[Int])
+    extends Layout
+
+  private def parseLayout(r: Reader, o: Long, path: String): Layout = {
     val ver = r.u8(o)
-    require(ver == 3 || ver == 4,
-      s"dataset '$path': data-layout message version $ver unsupported (3+)")
     val clazz = r.u8(o + 1)
+    require(ver == 3 || (ver == 4 && clazz != 2),
+      s"dataset '$path': data-layout message version $ver unsupported " +
+        "for this class (v4 chunked uses the new index types — " +
+        "re-export with the v1-B-tree/earliest-format layout)")
     clazz match {
       case 0 => // compact: size(2) + data inline
         val size = r.u16(o + 2)
-        (0, -1L, size.toLong,
-          Some(java.util.Arrays.copyOfRange(r.bytes, (o + 4).toInt,
-            (o + 4 + size).toInt)))
+        LayCompact(java.util.Arrays.copyOfRange(r.bytes, (o + 4).toInt,
+          (o + 4 + size).toInt))
       case 1 => // contiguous: address(8) + size(8)
-        (1, r.i64(o + 2), r.i64(o + 10), None)
-      case 2 => throw new IllegalArgumentException(
-        s"dataset '$path': CHUNKED layout unsupported — the chunk " +
-          "B-tree + filter pipeline (deflate et al) is this reader's " +
-          "documented boundary; re-export contiguous/uncompressed")
+        LayContiguous(r.i64(o + 2), r.i64(o + 10))
+      case 2 => // v3 chunked: dimensionality(1) + btree addr(8) + dims(4 ea)
+        val ndims = r.u8(o + 2)
+        require(ndims >= 2 && ndims <= 33,
+          s"dataset '$path': bad chunk dimensionality $ndims")
+        val btree = r.i64(o + 3)
+        LayChunked(btree,
+          (0 until ndims).map(i => r.u32(o + 11 + 4L * i).toInt))
       case c => throw new IllegalArgumentException(
         s"dataset '$path': layout class $c unsupported")
     }
+  }
+
+  /** Filter-pipeline message (0x000B), versions 1 and 2. The pipeline
+    * is WHAT WAS APPLIED in order at write time; [[read]] undoes it in
+    * reverse. Unknown filter ids refuse at READ time (not here — the
+    * inventory walk must still catalog such files). */
+  private def parseFilters(r: Reader, o: Long, path: String): Seq[Filter] = {
+    val ver = r.u8(o)
+    require(ver == 1 || ver == 2,
+      s"dataset '$path': filter-pipeline message version $ver unsupported")
+    val n = r.u8(o + 1)
+    var p = if (ver == 1) o + 8 else o + 2
+    (0 until n).map { _ =>
+      val id = r.u16(p); p += 2
+      val nameLen =
+        if (ver == 1 || id >= 256) { val v = r.u16(p); p += 2; v } else 0
+      val flags = r.u16(p); p += 2
+      val ncd = r.u16(p); p += 2
+      p += (if (ver == 1) (nameLen + 7) & ~7 else nameLen)
+      val client = (0 until ncd).map(i => r.u32(p + 4L * i).toInt)
+      p += 4L * ncd
+      if (ver == 1 && ncd % 2 == 1) p += 4 // v1 pads client data to 8
+      Filter(id, flags, client)
+    }
+  }
+
+  /** Type-1 (raw-data chunk) B-tree walk: keys carry (chunk byte size,
+    * filter mask, element offsets per dimension); level-0 children are
+    * chunk addresses, higher levels recurse. Key/child layout per spec
+    * §III.A.1: key_0, child_0, key_1, …, child_{used-1}, key_used. */
+  private def walkChunkTree(r: Reader, addr: Long, ndims: Int,
+      path: String): Seq[ChunkRef] = {
+    val keySize = 8 + 8 * ndims
+    val out = Seq.newBuilder[ChunkRef]
+    def walk(a: Long): Unit = {
+      r.in(a, 24)
+      require(r.sig4(a) == "TREE",
+        s"dataset '$path': chunk B-tree node at $a missing TREE signature")
+      require(r.u8(a + 4) == 1,
+        s"dataset '$path': B-tree node type ${r.u8(a + 4)} != raw-data (1)")
+      val level = r.u8(a + 5)
+      val used = r.u16(a + 6)
+      r.in(a + 24, (used + 1).toLong * keySize + used.toLong * 8)
+      var p = a + 24
+      (0 until used).foreach { _ =>
+        val size = r.u32(p)
+        val mask = r.u32(p + 4).toInt
+        val offs = (0 until ndims).map(d => r.i64(p + 8 + 8L * d))
+        val child = r.i64(p + keySize)
+        if (level == 0) out += ChunkRef(offs, size, mask, child)
+        else walk(child)
+        p += keySize + 8
+      }
+    }
+    walk(addr)
+    out.result()
   }
 
   /** (name, objectHeaderAddr) of a hard Link message. */
@@ -519,36 +636,189 @@ object Hdf5 {
     val d = f.datasetAt(path)
     val n = d.n
     require(n <= Int.MaxValue / 8, s"dataset '$path' too large for one read")
-    val payload: Array[Byte] = d.compact.getOrElse {
-      require(d.dataOff != Undef,
-        s"dataset '$path': no data allocated (never written)")
-      require(d.dataOff + d.dataLen <= bytes.length,
-        s"dataset '$path': contiguous data overruns the file")
-      java.util.Arrays.copyOfRange(bytes, d.dataOff.toInt,
-        (d.dataOff + d.dataLen).toInt)
+    d.chunked match {
+      case Some(c) => readChunked(bytes, d, c, path)
+      case None =>
+        val payload: Array[Byte] = d.compact.getOrElse {
+          require(d.dataOff != Undef,
+            s"dataset '$path': no data allocated (never written)")
+          require(d.dataOff + d.dataLen <= bytes.length,
+            s"dataset '$path': contiguous data overruns the file")
+          java.util.Arrays.copyOfRange(bytes, d.dataOff.toInt,
+            (d.dataOff + d.dataLen).toInt)
+        }
+        require(payload.length >= n * d.dtype.size,
+          s"dataset '$path': ${payload.length} payload bytes < " +
+            s"${n * d.dtype.size} declared by dims")
+        val b = ByteBuffer.wrap(payload).order(
+          if (d.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN
+          else ByteOrder.BIG_ENDIAN)
+        Array.tabulate(n.toInt)(i => elemOf(b, d.dtype, i, path))
     }
-    require(payload.length >= n * d.dtype.size,
-      s"dataset '$path': ${payload.length} payload bytes < " +
-        s"${n * d.dtype.size} declared by dims")
-    val b = ByteBuffer.wrap(payload).order(
-      if (d.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN
-      else ByteOrder.BIG_ENDIAN)
-    val w = d.dtype.size
-    Array.tabulate(n.toInt) { i =>
-      (d.dtype.clazz, w, d.dtype.signed) match {
-        case (0, 1, true) => b.get(i).toDouble
-        case (0, 1, false) => (b.get(i) & 0xff).toDouble
-        case (0, 2, true) => b.getShort(i * 2).toDouble
-        case (0, 2, false) => (b.getShort(i * 2) & 0xffff).toDouble
-        case (0, 4, true) => b.getInt(i * 4).toDouble
-        case (0, 4, false) => (b.getInt(i * 4).toLong & 0xffffffffL).toDouble
-        case (0, 8, _) => b.getLong(i * 8).toDouble
-        case (1, 4, _) => b.getFloat(i * 4).toDouble
-        case (1, 8, _) => b.getDouble(i * 8)
-        case other => throw new IllegalArgumentException(
-          s"dataset '$path': unsupported element layout $other")
+  }
+
+  private def elemOf(b: ByteBuffer, dt: Dtype, i: Int,
+      path: String): Double =
+    (dt.clazz, dt.size, dt.signed) match {
+      case (0, 1, true) => b.get(i).toDouble
+      case (0, 1, false) => (b.get(i) & 0xff).toDouble
+      case (0, 2, true) => b.getShort(i * 2).toDouble
+      case (0, 2, false) => (b.getShort(i * 2) & 0xffff).toDouble
+      case (0, 4, true) => b.getInt(i * 4).toDouble
+      case (0, 4, false) => (b.getInt(i * 4).toLong & 0xffffffffL).toDouble
+      case (0, 8, _) => b.getLong(i * 8).toDouble
+      case (1, 4, _) => b.getFloat(i * 4).toDouble
+      case (1, 8, _) => b.getDouble(i * 8)
+      case other => throw new IllegalArgumentException(
+        s"dataset '$path': unsupported element layout $other")
+    }
+
+  /** Assemble a chunked dataset: every allocated chunk is defiltered
+    * (pipeline undone in REVERSE order, honoring the per-chunk skip
+    * mask) and scattered through the row-major output; cells no chunk
+    * covers read as the fill value — the library contract for
+    * never-written chunks. Chunks are always FULL-size; edge-chunk
+    * cells outside the dataspace are discarded. */
+  private def readChunked(bytes: Array[Byte], d: Dataset, c: Chunked,
+      path: String): Array[Double] = {
+    val es = d.dtype.size
+    val rank = d.dims.size
+    val dims = d.dims.map(_.toInt).toArray
+    val cdims = c.chunkDims.toArray
+    require(cdims.forall(_ > 0), s"dataset '$path': zero chunk dim")
+    val n = d.n.toInt
+    val out = Array.fill(n)(d.fill.getOrElse(0.0))
+    val chunkElems = cdims.product
+    val strides = new Array[Long](rank)
+    var s = 1L
+    var dm = rank - 1
+    while (dm >= 0) { strides(dm) = s; s *= dims(dm); dm -= 1 }
+    c.chunks.foreach { ch =>
+      require(ch.addr >= 0 && ch.addr + ch.size <= bytes.length,
+        s"dataset '$path': chunk at ${ch.addr} (+${ch.size}) overruns " +
+          s"the ${bytes.length}-byte file")
+      var payload = java.util.Arrays.copyOfRange(bytes, ch.addr.toInt,
+        (ch.addr + ch.size).toInt)
+      var i = c.filters.length - 1
+      while (i >= 0) {
+        if ((ch.filterMask & (1 << i)) == 0)
+          payload = unfilter(c.filters(i), payload, es, path)
+        i -= 1
+      }
+      require(payload.length >= chunkElems.toLong * es,
+        s"dataset '$path': defiltered chunk has ${payload.length} bytes " +
+          s"< $chunkElems × $es expected")
+      val bb = ByteBuffer.wrap(payload).order(
+        if (d.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN
+        else ByteOrder.BIG_ENDIAN)
+      var k = 0
+      while (k < chunkElems) {
+        var rem = k
+        var gidx = 0L
+        var ok = true
+        var dd = rank - 1
+        while (dd >= 0) {
+          val loc = rem % cdims(dd); rem /= cdims(dd)
+          val g = ch.offsets(dd) + loc
+          if (g >= dims(dd)) ok = false
+          gidx += g * strides(dd)
+          dd -= 1
+        }
+        if (ok) out(gidx.toInt) = elemOf(bb, d.dtype, k, path)
+        k += 1
       }
     }
+    out
+  }
+
+  /** Undo ONE pipeline filter. Deflate (1), shuffle (2) and
+    * fletcher32 (3, checksum VERIFIED then stripped) decode; anything
+    * else — szip (4), n-bit (5), scale-offset (6), registered ids like
+    * LZF/blosc — refuses loudly (codec-gate discipline). */
+  private def unfilter(flt: Filter, data: Array[Byte], elemSize: Int,
+      path: String): Array[Byte] = flt.id match {
+    case 1 =>
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 3 + 64)
+      val buf = new Array[Byte](64 * 1024)
+      try {
+        while (!inf.finished()) {
+          val m = inf.inflate(buf)
+          require(m > 0 || inf.finished(),
+            s"dataset '$path': truncated deflate chunk")
+          out.write(buf, 0, m)
+        }
+      } finally inf.end()
+      out.toByteArray
+    case 2 =>
+      val sz = flt.client.headOption.getOrElse(elemSize)
+      if (sz <= 1) data
+      else {
+        require(data.length % sz == 0,
+          s"dataset '$path': shuffle payload ${data.length} not a " +
+            s"multiple of element size $sz")
+        val nEl = data.length / sz
+        val o = new Array[Byte](data.length)
+        var j = 0
+        while (j < sz) {
+          var i = 0
+          while (i < nEl) { o(i * sz + j) = data(j * nEl + i); i += 1 }
+          j += 1
+        }
+        o
+      }
+    case 3 =>
+      require(data.length >= 4,
+        s"dataset '$path': fletcher32 chunk shorter than its checksum")
+      val bodyLen = data.length - 4
+      val stored = (data(bodyLen) & 0xffL) |
+        ((data(bodyLen + 1) & 0xffL) << 8) |
+        ((data(bodyLen + 2) & 0xffL) << 16) |
+        ((data(bodyLen + 3) & 0xffL) << 24)
+      val calc = fletcher32(data, bodyLen)
+      require(calc == stored,
+        s"dataset '$path': fletcher32 mismatch (stored $stored, " +
+          s"computed $calc) — corrupt chunk")
+      java.util.Arrays.copyOfRange(data, 0, bodyLen)
+    case other => throw new IllegalArgumentException(
+      s"dataset '$path': filter id $other unsupported — deflate (1), " +
+        "shuffle (2) and fletcher32 (3) decode; szip/n-bit/scale-offset/" +
+        "registered filters refuse rather than guess")
+  }
+
+  /** HDF5's Fletcher-32: 16-bit BIG-endian words, sums folded every
+    * 360 words, odd trailing byte high-shifted (public algorithm as
+    * specified for the fletcher32 filter; checksum stored
+    * little-endian after the chunk body). */
+  private def fletcher32(data: Array[Byte], len: Int): Long = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var i = 0
+    val words = len / 2
+    var remaining = words
+    while (remaining > 0) {
+      val t = math.min(remaining, 360)
+      remaining -= t
+      var j = 0
+      while (j < t) {
+        sum1 += ((data(i) & 0xffL) << 8) | (data(i + 1) & 0xffL)
+        sum2 += sum1
+        i += 2
+        j += 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (data(len - 1) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    (sum2 << 16) | sum1
   }
 
   final case class GridCell(x: Int, y: Int, value: Double)
@@ -579,17 +849,23 @@ object Hdf5 {
 
   /** One dataset to write: row-major `values` narrowed to `dtype`
     * (int16/int32/float32/float64), optional fill (written as a v3
-    * fill-value message) and numeric v3 attributes. */
+    * fill-value message) and numeric v3 attributes. `chunk` (dims in
+    * elements) switches the dataset to CHUNKED layout with a type-1
+    * B-tree index; `filters` is the pipeline in application order —
+    * "shuffle", "deflate", "fletcher32" (the netCDF-4 defaults). */
   final case class DsSpec(name: String, dims: Seq[Long], dtype: Dtype,
       values: Array[Double], fill: Option[Double] = None,
-      attrs: Seq[(String, Double)] = Nil)
+      attrs: Seq[(String, Double)] = Nil,
+      chunk: Option[Seq[Int]] = None, filters: Seq[String] = Nil)
 
   /** Minimal HDF5 WRITER — superblock v2, v2 object headers, compact
-    * hard links, contiguous layout: exactly the subset [[decode]]
-    * reads, so the i66 transport cycle (and any engine-published
-    * `.h5` product) lands through real HDF5 bytes. Checksums are
-    * written as zero (the reader does not verify them; a library
-    * consumer repairs them on rewrite). */
+    * hard links, contiguous OR chunked (type-1 B-tree index +
+    * shuffle/deflate/fletcher32 pipeline — the netCDF-4 shape) layout:
+    * exactly the subset [[decode]] reads, so the i66/i67 transport
+    * cycles (and any engine-published `.h5` product) land through real
+    * HDF5 bytes. Metadata checksums are written as zero (the reader
+    * does not verify them; a library consumer repairs them on
+    * rewrite); chunk fletcher32 checksums are REAL. */
   def encode(specs: Seq[DsSpec]): Array[Byte] = {
     require(specs.nonEmpty, "nothing to encode")
     def le(cap: Int)(f: ByteBuffer => Unit): Array[Byte] = {
@@ -636,9 +912,13 @@ object Hdf5 {
     val f64 = Dtype(1, 8, littleEndian = true, signed = true)
 
     // per-dataset header messages, with the layout address patched in
-    // once the data offsets are known
+    // once the data offsets are known. `addrFromEnd` locates the
+    // 8-byte address field (B-tree or contiguous data) from the end of
+    // the message block; `chunks` carries (elementOffsets, payload)
+    // per chunk for chunked specs (the payloads already filtered).
     final case class Pending(headerLess: Array[Byte], dataLen: Int,
-        spec: DsSpec)
+        spec: DsSpec, addrFromEnd: Int,
+        chunks: Option[Seq[(Seq[Long], Array[Byte])]])
     val pendings = specs.map { s =>
       val n = s.dims.product
       require(s.values.length == n,
@@ -668,15 +948,122 @@ object Hdf5 {
           b.putDouble(v)
         })
       }
-      // layout message LAST so its 8-byte address lands at a fixed
-      // distance from the header end (patched below)
-      val layoutMsg = msg(0x08, le(18) { b =>
-        b.put(3.toByte).put(1.toByte).putLong(0L)
-        b.putLong(n * s.dtype.size)
-      })
-      val msgs = (Seq(msg(0x01, dsBody), msg(0x03, dtBytes(s.dtype))) ++
-        fillMsgs ++ attrMsgs :+ layoutMsg).flatten.toArray
-      Pending(msgs, (n * s.dtype.size).toInt, s)
+      val es = s.dtype.size
+      s.chunk match {
+        case None =>
+          // layout message LAST so its 8-byte address lands at a fixed
+          // distance from the header end (patched below)
+          val layoutMsg = msg(0x08, le(18) { b =>
+            b.put(3.toByte).put(1.toByte).putLong(0L)
+            b.putLong(n * es)
+          })
+          val msgs = (Seq(msg(0x01, dsBody), msg(0x03, dtBytes(s.dtype))) ++
+            fillMsgs ++ attrMsgs :+ layoutMsg).flatten.toArray
+          Pending(msgs, (n * es).toInt, s, 16, None)
+        case Some(cdims) =>
+          val rank = s.dims.size
+          require(cdims.size == rank && cdims.forall(_ > 0),
+            s"dataset '${s.name}': chunk dims $cdims for rank $rank")
+          val dims = s.dims.map(_.toInt)
+          val fillD = s.fill.getOrElse(0.0)
+          val chunkElems = cdims.product
+          val counts = dims.zip(cdims).map { case (d, c) => (d + c - 1) / c }
+          val nChunks = counts.product
+          // row-major iteration over the chunk grid
+          val chunkIdx = (0 until nChunks).map { ci =>
+            var rem = ci
+            val idx = new Array[Int](rank)
+            var dm = rank - 1
+            while (dm >= 0) { idx(dm) = rem % counts(dm); rem /= counts(dm); dm -= 1 }
+            idx.toSeq
+          }
+          val strides = {
+            val st = new Array[Long](rank)
+            var acc = 1L
+            var dm = rank - 1
+            while (dm >= 0) { st(dm) = acc; acc *= dims(dm); dm -= 1 }
+            st
+          }
+          val chunkPayloads = chunkIdx.map { idx =>
+            val raw = ByteBuffer.allocate(chunkElems * es)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            (0 until chunkElems).foreach { k =>
+              var rem = k
+              var gidx = 0L
+              var ok = true
+              var dm = rank - 1
+              while (dm >= 0) {
+                val loc = rem % cdims(dm); rem /= cdims(dm)
+                val g = idx(dm).toLong * cdims(dm) + loc
+                if (g >= dims(dm)) ok = false
+                gidx += g * strides(dm)
+                dm -= 1
+              }
+              putVal(raw, s.dtype, if (ok) s.values(gidx.toInt) else fillD)
+            }
+            val filtered = s.filters.foldLeft(raw.array()) { (data, f) =>
+              f match {
+                case "deflate" => Deflate(data)
+                case "shuffle" =>
+                  if (es <= 1) data
+                  else {
+                    val nEl = data.length / es
+                    val o = new Array[Byte](data.length)
+                    var j = 0
+                    while (j < es) {
+                      var i = 0
+                      while (i < nEl) { o(j * nEl + i) = data(i * es + j); i += 1 }
+                      j += 1
+                    }
+                    o
+                  }
+                case "fletcher32" =>
+                  val ck = fletcher32(data, data.length)
+                  val o = java.util.Arrays.copyOf(data, data.length + 4)
+                  o(data.length) = (ck & 0xff).toByte
+                  o(data.length + 1) = ((ck >> 8) & 0xff).toByte
+                  o(data.length + 2) = ((ck >> 16) & 0xff).toByte
+                  o(data.length + 3) = ((ck >> 24) & 0xff).toByte
+                  o
+                case other => throw new IllegalArgumentException(
+                  s"dataset '${s.name}': unknown filter '$other' " +
+                    "(shuffle, deflate, fletcher32)")
+              }
+            }
+            val offs = idx.zip(cdims).map { case (i2, c) => i2.toLong * c } :+ 0L
+            (offs.toSeq, filtered)
+          }
+          val filterIds = s.filters.map {
+            case "deflate" => Filter(1, 1, Seq(6))
+            case "shuffle" => Filter(2, 1, Seq(es))
+            case "fletcher32" => Filter(3, 0, Nil)
+          }
+          val filterMsgs =
+            if (filterIds.isEmpty) Nil
+            else Seq(msg(0x0B, le(2 + filterIds.map(8 + 4 * _.client.size).sum) { b =>
+              b.put(2.toByte).put(filterIds.size.toByte)
+              filterIds.foreach { flt =>
+                b.putShort(flt.id.toShort).putShort(flt.flags.toShort)
+                b.putShort(flt.client.size.toShort)
+                flt.client.foreach(b.putInt)
+              }
+            }))
+          // layout v3 class 2: dimensionality(1) + btree addr(8, patched)
+          // + chunk dims incl element size (4 each)
+          val layoutBodyLen = 11 + 4 * (rank + 1)
+          val layoutMsg = msg(0x08, le(layoutBodyLen) { b =>
+            b.put(3.toByte).put(2.toByte).put((rank + 1).toByte)
+            b.putLong(0L)
+            cdims.foreach(b.putInt)
+            b.putInt(es)
+          })
+          val msgs = (Seq(msg(0x01, dsBody), msg(0x03, dtBytes(s.dtype))) ++
+            filterMsgs ++ fillMsgs ++ attrMsgs :+ layoutMsg).flatten.toArray
+          val keySize = 8 + 8 * (rank + 1)
+          val treeSize = 24 + (nChunks + 1) * keySize + nChunks * 8
+          Pending(msgs, treeSize + chunkPayloads.map(_._2.length).sum, s,
+            layoutBodyLen - 3, Some(chunkPayloads))
+      }
     }
 
     def ohdr(chunk: Array[Byte]): Array[Byte] = le(chunk.length + 16) { b =>
@@ -727,17 +1114,45 @@ object Hdf5 {
     }
     out.put(ohdr(patchedLinks.toArray.flatten))
     // dataset headers with the layout address patched (the layout
-    // message is last: its address field sits 12 bytes from the end)
+    // message is last: its address field sits addrFromEnd bytes from
+    // the end — contiguous data address or chunk B-tree address)
     pendings.zipWithIndex.foreach { case (p, i) =>
       val c = p.headerLess.clone()
       ByteBuffer.wrap(c).order(ByteOrder.LITTLE_ENDIAN)
-        .putLong(c.length - 16, dataOffs(i))
+        .putLong(c.length - p.addrFromEnd, dataOffs(i))
       out.put(ohdr(c))
     }
     pendings.zipWithIndex.foreach { case (p, i) =>
-      val b = ByteBuffer.allocate(p.dataLen).order(ByteOrder.LITTLE_ENDIAN)
-      p.spec.values.foreach(putVal(b, p.spec.dtype, _))
-      out.put(b.array())
+      p.chunks match {
+        case None =>
+          val b = ByteBuffer.allocate(p.dataLen).order(ByteOrder.LITTLE_ENDIAN)
+          p.spec.values.foreach(putVal(b, p.spec.dtype, _))
+          out.put(b.array())
+        case Some(chunks) =>
+          // level-0 type-1 B-tree node, then the chunk payloads
+          val rank = p.spec.dims.size
+          val keySize = 8 + 8 * (rank + 1)
+          val nc = chunks.size
+          val treeSize = 24 + (nc + 1) * keySize + nc * 8
+          val treeOff = dataOffs(i)
+          var chunkAddr = treeOff + treeSize
+          val b = ByteBuffer.allocate(p.dataLen).order(ByteOrder.LITTLE_ENDIAN)
+          b.put("TREE".getBytes("US-ASCII"))
+          b.put(1.toByte).put(0.toByte).putShort(nc.toShort)
+          b.putLong(Undef).putLong(Undef)
+          chunks.foreach { case (offs, payload) =>
+            b.putInt(payload.length).putInt(0)
+            offs.foreach(b.putLong)
+            b.putLong(chunkAddr)
+            chunkAddr += payload.length
+          }
+          // the final key bounds the tree from above: the dataspace dims
+          b.putInt(0).putInt(0)
+          p.spec.dims.foreach(b.putLong)
+          b.putLong(0L)
+          chunks.foreach { case (_, payload) => b.put(payload) }
+          out.put(b.array())
+      }
     }
     out.array()
   }

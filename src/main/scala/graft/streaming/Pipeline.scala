@@ -1170,9 +1170,14 @@ object Streaming {
       // the unpersisted sides re-scanned and re-shuffled the bands
       // table four times per micro-batch (r9's worst ×10 slot)
       val bandKeys = graft.sources.DedupIndex.bandKeySets(s, idx)
-      val sv = transform(sequence(lit(0), lit(15)),
-        j => array_min(transform(col("shg"),
-          sx => md5(concat(sx, lit("#"), j.cast("string"))))))
+      // one codegen'd pass over the shingle array for the whole
+      // 16-lane signature — byte-identical to the interpreted
+      // array_min(transform(md5...)) composition it replaced (the
+      // oracle's MIN(MD5(s || '#' || j)) is unchanged), which walked
+      // the array 16× per row outside codegen (r10's worst ×10 slot)
+      import org.apache.spark.sql.graft.ColumnBridge
+      val sv = ColumnBridge.column(graft.functions.MinHashSigExpr(
+        ColumnBridge.expression(col("shg")), 16))
       val withBands = (0 until 4).foldLeft(
         docStream(s, dir)
           .filter(col("doc_id") % 2 === 1)
@@ -1182,8 +1187,9 @@ object Streaming {
         df.withColumn(s"bh$b",
           md5(concat_ws("|", slice(col("sv"), b * 4 + 1, 4))))
       }
+      val joinSides = graft.sources.DedupIndex.bandJoinSides(s, bandKeys)
       val joined = (0 until 4).foldLeft(withBands) { (df, b) =>
-        df.join(bandKeys(b), Seq(s"bh$b"), "left_outer")
+        df.join(joinSides(b), Seq(s"bh$b"), "left_outer")
       }
       val miss = (0 until 4).map(b => col(s"hit$b").isNull).reduce(_ && _)
       val agged = joined.groupBy(col("source")).agg(

@@ -439,6 +439,25 @@ class JobsSpec extends SparkSpec {
         }
       }
       intercept[Exception] { DedupIndex.readBands(spark, idxDir).count() }
+
+      // route decision: under the key budget the join sides broadcast
+      // (micro-batches probe an executor-local map — no per-batch
+      // exchange+sort of the static side); past it, the shuffle join
+      // is the scale path and the frames come back unhinted
+      import spark.implicits._
+      val probeDf = Seq("x").toDF("bh0")
+      val small = DedupIndex.bandJoinSides(spark, sets)
+      val bPlan = probeDf.join(small(0), Seq("bh0"), "left_outer")
+        .queryExecution.executedPlan.toString
+      assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+      spark.conf.set("graft.st16.broadcastKeyBudget", "0")
+      try {
+        // past the budget the UNHINTED originals come back — the
+        // shuffle-join scale path, and still valid unpersist handles
+        // (auto-broadcast may of course still kick in for small sets;
+        // the route only controls the explicit hint)
+        assert(DedupIndex.bandJoinSides(spark, sets) eq sets)
+      } finally spark.conf.unset("graft.st16.broadcastKeyBudget")
     } finally sets.foreach(_.unpersist())
   }
 

@@ -1399,6 +1399,37 @@ class TextDedupSpec extends SparkSpec {
     assert(plan.contains("graft_winnow_fps"), plan)
   }
 
+  test("minhash-sig expression is byte-identical to the HOF md5 composition") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = Tables(spark, sf).documents
+      .withColumn("shg",
+        array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
+    def sigExpr = ColumnBridge.column(
+      graft.functions.MinHashSigExpr(ColumnBridge.expression(col("shg")), 16))
+    val composed = transform(sequence(lit(0), lit(15)),
+      j => array_min(transform(col("shg"),
+        sx => md5(concat(sx, lit("#"), j.cast("string"))))))
+    val rows = docs.select(col("doc_id"), sigExpr.as("a"), composed.as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}")
+    }
+    // empty shingle arrays: both paths yield 16 NULL lanes
+    import spark.implicits._
+    val empty = Seq((1L, Seq.empty[String])).toDF("doc_id", "shg")
+    val e = empty.select(sigExpr.as("a"), composed.as("b")).collect()(0)
+    assert(e.getSeq[String](0) == Seq.fill(16)(null) &&
+      e.getSeq[String](1) == Seq.fill(16)(null))
+    // null elements are skipped, exactly like array_min over md5(NULL)
+    val withNull = Seq((1L, Seq("alpha beta gamma", null, "beta gamma delta")))
+      .toDF("doc_id", "shg")
+    val w = withNull.select(sigExpr.as("a"), composed.as("b")).collect()(0)
+    assert(w.getSeq[String](0) == w.getSeq[String](1))
+    assert(w.getSeq[String](0).forall(_ != null))
+  }
+
   test("t26 BPE encode: greedy chain hand-traced, corpus totals re-aggregate t17") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_t26").toString
