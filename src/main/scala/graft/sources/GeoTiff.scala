@@ -89,7 +89,9 @@ object GeoTiff {
     head.order(if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     var off = head.getInt(4).toLong & 0xffffffffL
     var n = 0
+    val visited = scala.collection.mutable.Set.empty[Long]
     while (off != 0) {
+      require(visited.add(off), s"cyclic next-IFD pointer back to $off")
       n += 1
       val entries = head.getShort(off.toInt) & 0xffff
       off = head.getInt((off + 2 + entries * 12).toInt).toLong & 0xffffffffL
@@ -395,7 +397,11 @@ object GeoTiff {
     val dataStart = regionOffs.last
     var cursor = dataStart.toLong
     val tileOffs = lvls.map(_.tiles.map { t =>
-      val o = cursor; cursor += t.length; o
+      // TIFF 6.0 word-alignment: values live on even offsets, so pad
+      // odd-length (deflate) payloads in PLACEMENT only — the byte
+      // counts written to TileByteCounts stay the real compressed size
+      val o = if (cursor % 2 == 1) cursor + 1 else cursor
+      cursor = o + t.length; o
     })
     require(cursor <= Int.MaxValue,
       s"COG too large for the in-memory classic-TIFF writer ($cursor bytes)")
@@ -451,8 +457,11 @@ object GeoTiff {
         putEntry(TGdalNodata, 2, s.length, outOfLine(s.getBytes("US-ASCII"))))
       out.putInt(if (i < lvls.length - 1) regionOffs(i + 1) else 0)
     }
-    out.position(dataStart)
-    lvls.foreach(_.tiles.foreach(out.put))
+    lvls.zip(tileOffs).foreach { case (l, offs) =>
+      l.tiles.zip(offs).foreach { case (t, o) =>
+        out.position(o.toInt); out.put(t)
+      }
+    }
     out.array()
   }
 

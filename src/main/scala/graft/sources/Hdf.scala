@@ -367,8 +367,12 @@ object Hdf {
     var o = 0
     while (o < outLen && !inf.finished()) {
       val n = inf.inflate(out, o, outLen - o)
-      require(n > 0 || !inf.needsInput(),
-        s"deflate stream exhausted at $o/$outLen output bytes")
+      // n == 0 with neither needsInput nor needsDictionary set never
+      // progresses; a preset-dictionary stream must fail loudly
+      require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
+        s"deflate stream exhausted at $o/$outLen output bytes" +
+          (if (inf.needsDictionary()) " (preset dictionary unsupported)"
+           else ""))
       o += n
     }
     inf.end()

@@ -309,6 +309,10 @@ object Hdf5 {
           // so anything that parses a header must fit its body
           require(body + size <= end,
             s"v2 header message at $cur overruns its block")
+          // flag bit 1 = body is a shared-message pointer, not the
+          // message itself — parsing it as the message yields garbage
+          require((r.u8(cur + 3) & 0x02) == 0,
+            s"v2 header message at $cur: shared messages unsupported")
           if (typ == 0x10) {
             // v2 continuation block: OCHK + messages + checksum
             val cAddr = r.i64(body)
@@ -342,6 +346,8 @@ object Hdf5 {
           val body = cur + 8
           require(body + size <= end,
             s"v1 header message at $cur overruns its block")
+          require((r.u8(cur + 4) & 0x02) == 0,
+            s"v1 header message at $cur: shared messages unsupported")
           remaining -= 1
           if (typ == 0x10) {
             val cAddr = r.i64(body)

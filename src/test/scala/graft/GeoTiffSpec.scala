@@ -383,6 +383,40 @@ class GeoTiffSpec extends SparkSpec {
       // the decoder still reads it
       assert(GeoTiff.decode(bytes).width == 70)
     }
+    // deflate tiles compress to odd lengths: placement must pad each
+    // payload to an even offset while TileByteCounts keep the real size
+    val rd = Raster(70, 40, 1, 1, 0, 0, Some(-1.0),
+      grid(70, 40)((x, y) => math.sin(x * 0.7 + y * 1.3) * 97))
+    val cog = GeoTiff.encodeCog(rd, tileSize = 32, deflate = true,
+      minOverviewDim = 30)
+    val bb = java.nio.ByteBuffer.wrap(cog)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = bb.getInt(4)
+    var sawOddCount = false
+    while (off != 0) {
+      val n = bb.getShort(off) & 0xffff
+      var tileOffs: Array[Long] = Array.empty
+      var tileCnts: Array[Long] = Array.empty
+      def longsAt(o: Int, cnt: Int): Array[Long] =
+        if (cnt == 1) Array(bb.getInt(o + 8).toLong & 0xffffffffL)
+        else { val v = bb.getInt(o + 8); (0 until cnt).map(i =>
+          bb.getInt(v + 4 * i).toLong & 0xffffffffL).toArray }
+      (0 until n).foreach { i =>
+        val o = off + 2 + i * 12
+        val tag = bb.getShort(o) & 0xffff
+        val cnt = bb.getInt(o + 4)
+        if (tag == 324) tileOffs = longsAt(o, cnt)
+        if (tag == 325) tileCnts = longsAt(o, cnt)
+      }
+      tileOffs.foreach(o => assert(o % 2 == 0, s"odd tile offset $o"))
+      if (tileCnts.exists(_ % 2 == 1)) sawOddCount = true
+      off = bb.getInt(off + 2 + n * 12)
+    }
+    assert(sawOddCount, "fixture never produced an odd deflate tile — " +
+      "alignment path unexercised")
+    val back = GeoTiff.decode(cog)
+    assert(back.width == 70 &&
+      back.values(3) == rd.values(3).toFloat.toDouble)
   }
 
   test("TiffGridSource reads its own COGs; full-res rows match the plain encode") {

@@ -286,12 +286,22 @@ class Hdf5Spec extends SparkSpec {
     assert(cells.find(c => c.x == 1 && c.y == 1).get.value == 4.0)
   }
 
-  test("refusals: chunked layout, soft links, dense link storage, junk, truncation") {
+  test("refusals: garbage chunked layout, v4 chunked, soft links, dense link storage, junk, truncation") {
     val (bytes, layoutClassAt) = fixtureV2()
+    // flipping the class byte to 2 makes the contiguous body parse as
+    // chunked — the garbage dimensionality (low byte of the data addr)
+    // must refuse loudly, not yield silent garbage
     val chunked = bytes.clone()
     chunked(layoutClassAt) = 2
     val e1 = intercept[IllegalArgumentException] { Hdf5.decode(chunked) }
-    assert(e1.getMessage.contains("CHUNKED"), e1.getMessage)
+    assert(e1.getMessage.contains("bad chunk dimensionality"), e1.getMessage)
+    // layout message v4 with a chunked class = the 1.10+ "new format"
+    // chunk indexes (B-tree v2 / EARRAY / fixed array): refused by name
+    val v4 = bytes.clone()
+    v4(layoutClassAt - 1) = 4
+    v4(layoutClassAt) = 2
+    val e1b = intercept[IllegalArgumentException] { Hdf5.decode(v4) }
+    assert(e1b.getMessage.contains("version 4"), e1b.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       Hdf5.decode(fixtureV2(softLink = true)._1)
     }
