@@ -286,6 +286,159 @@ class Hdf5Spec extends SparkSpec {
     assert(cells.find(c => c.x == 1 && c.y == 1).get.value == 4.0)
   }
 
+  // ---- fixture C: chunked v3 layout + type-1 B-tree, built WITHOUT
+  // Hdf5.encode — an independent read of the public file format spec
+  // (encode/decode self-consistency cannot hide a mirrored misreading
+  // here). Filters are applied forward by THIS spec's own code. ----
+
+  /** H5_checksum_fletcher32 as the spec describes it: big-endian
+    * 16-bit words, sums folded every 360 words, odd trailing byte
+    * high-shifted, two final folds; stored little-endian. */
+  private def fletcherSpec(data: Array[Byte]): Long = {
+    var s1 = 0L; var s2 = 0L
+    var i = 0; var rem = data.length / 2
+    while (rem > 0) {
+      val t = math.min(rem, 360); rem -= t
+      var j = 0
+      while (j < t) {
+        s1 += ((data(i) & 0xffL) << 8) | (data(i + 1) & 0xffL)
+        s2 += s1; i += 2; j += 1
+      }
+      s1 = (s1 & 0xffff) + (s1 >> 16); s2 = (s2 & 0xffff) + (s2 >> 16)
+    }
+    if (data.length % 2 == 1) {
+      s1 += (data(data.length - 1) & 0xffL) << 8; s2 += s1
+      s1 = (s1 & 0xffff) + (s1 >> 16); s2 = (s2 & 0xffff) + (s2 >> 16)
+    }
+    s1 = (s1 & 0xffff) + (s1 >> 16); s2 = (s2 & 0xffff) + (s2 >> 16)
+    (s2 << 16) | s1
+  }
+
+  /** Forward pipeline for one int16 chunk: shuffle (lane-major bytes)
+    * → deflate → fletcher32 appended LE — the netCDF-4 write order. */
+  private def filterChunk(raw: Array[Byte]): Array[Byte] = {
+    val n = raw.length / 2
+    val sh = new Array[Byte](raw.length)
+    var i = 0
+    while (i < n) { sh(i) = raw(2 * i); sh(n + i) = raw(2 * i + 1); i += 1 }
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(sh); d.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    val z = bos.toByteArray
+    val ck = fletcherSpec(z)
+    val out = java.util.Arrays.copyOf(z, z.length + 4)
+    out(z.length) = (ck & 0xff).toByte
+    out(z.length + 1) = ((ck >> 8) & 0xff).toByte
+    out(z.length + 2) = ((ck >> 16) & 0xff).toByte
+    out(z.length + 3) = ((ck >> 24) & 0xff).toByte
+    out
+  }
+
+  /** 3×5 int16 `/temp`, fill −7, chunks 2×3: (0,0) full, (0,3)
+    * col-clipped, (2,0) row-clipped, (2,3) never allocated. Returns
+    * (bytes, first chunk's data address) so corruption tests can
+    * target a filtered payload byte. */
+  private def fixtureChunked: (Array[Byte], Int) = {
+    val dsHdrAt = 128; val treeAt = 384
+    def i16s(vs: Int*): Array[Byte] =
+      le(b => vs.foreach(v => b.putShort(v.toShort)), 64)
+    // 999 sentinels in clipped positions: a clipping bug surfaces
+    val chunkA = filterChunk(i16s(10, 11, 12, 20, 21, 22))
+    val chunkB = filterChunk(i16s(13, 14, 999, 23, 24, 999))
+    val chunkC = filterChunk(i16s(30, 31, 32, 999, 999, 999))
+    val addrA = treeAt + 176 // node: 24 hdr + 3×(32 key + 8 child) + 32
+    val addrB = addrA + chunkA.length
+    val addrC = addrB + chunkB.length
+    val total = addrC + chunkC.length
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    sig(out)
+    out.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    out.putLong(0L).putLong(Undef).putLong(total.toLong).putLong(48L)
+    out.putInt(0)
+    val rootMsgs = msgV2(0x06, le { b =>
+      b.put(1.toByte).put(0.toByte)
+      b.put(4.toByte).put("temp".getBytes("US-ASCII"))
+      b.putLong(dsHdrAt.toLong)
+    })
+    out.position(48)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    out.put(rootMsgs.length.toByte)
+    out.put(rootMsgs)
+    out.putInt(0)
+    val dsMsgs = Array(
+      msgV2(0x01, dsRank2V2(3, 5)),
+      msgV2(0x03, dtInt16),
+      msgV2(0x05, le { b =>
+        b.put(3.toByte).put(0x20.toByte).putInt(2).putShort(-7)
+      }),
+      msgV2(0x0B, le { b => // pipeline v2, application order
+        b.put(2.toByte).put(3.toByte)
+        b.putShort(2).putShort(1).putShort(1).putInt(2) // shuffle, es 2
+        b.putShort(1).putShort(1).putShort(1).putInt(6) // deflate, lvl 6
+        b.putShort(3).putShort(0).putShort(0)           // fletcher32
+      }),
+      msgV2(0x08, le { b => // layout v3 class 2 (chunked)
+        b.put(3.toByte).put(2.toByte).put(3.toByte) // ndims = rank + 1
+        b.putLong(treeAt.toLong)
+        b.putInt(2).putInt(3).putInt(2) // 2×3 chunks of 2-byte elems
+      })).flatten
+    out.position(dsHdrAt)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(1.toByte)
+    out.putShort(dsMsgs.length.toShort)
+    out.put(dsMsgs)
+    out.putInt(0)
+    // type-1 B-tree, level 0: key_0 child_0 … key_2 child_2 key_3
+    out.position(treeAt)
+    out.put("TREE".getBytes("US-ASCII")).put(1.toByte).put(0.toByte)
+    out.putShort(3)
+    out.putLong(Undef).putLong(Undef)
+    def key(size: Int, r: Long, c: Long): Unit = {
+      out.putInt(size).putInt(0) // byte size, filter mask
+      out.putLong(r).putLong(c).putLong(0L) // offsets incl. elem dim
+    }
+    key(chunkA.length, 0, 0); out.putLong(addrA.toLong)
+    key(chunkB.length, 0, 3); out.putLong(addrB.toLong)
+    key(chunkC.length, 2, 0); out.putLong(addrC.toLong)
+    key(0, 4, 0) // the final +1 key
+    out.position(addrA); out.put(chunkA)
+    out.position(addrB); out.put(chunkB)
+    out.position(addrC); out.put(chunkC)
+    (out.array(), addrA)
+  }
+
+  test("independent chunked fixture: type-1 B-tree, shuffle+deflate+" +
+      "fletcher32 pipeline, edge clipping, unallocated-chunk fill") {
+    val (bytes, chunkDataAt) = fixtureChunked
+    val f = Hdf5.decode(bytes)
+    val d = f.datasetAt("/temp")
+    assert(d.dims == Seq(3L, 5L))
+    val c = d.chunked.getOrElse(fail("not chunked"))
+    assert(c.chunkDims == Seq(2, 3))
+    assert(c.filters.map(_.id) == Seq(2, 1, 3))
+    assert(c.chunks.size == 3)
+    assert(Hdf5.read(bytes, f, "/temp").toSeq == Seq(
+      10.0, 11.0, 12.0, 13.0, 14.0,
+      20.0, 21.0, 22.0, 23.0, 24.0,
+      30.0, 31.0, 32.0, -7.0, -7.0))
+    // CF grid: the unallocated chunk's cells are fill → NaN
+    val cells = Hdf5.gridCells(bytes, f, "/temp").toSeq
+    assert(cells.count(_.value.isNaN) == 2)
+    assert(cells.find(c2 => c2.x == 3 && c2.y == 2).get.value.isNaN)
+    assert(cells.find(c2 => c2.x == 0 && c2.y == 0).get.value == 10.0)
+    // flip one byte inside the first filtered payload: the REAL
+    // fletcher32 verify must refuse, never yield silent garbage
+    val bad = bytes.clone()
+    bad(chunkDataAt + 2) = (bad(chunkDataAt + 2) ^ 0x5a).toByte
+    val e = intercept[Exception] {
+      Hdf5.read(bad, Hdf5.decode(bad), "/temp")
+    }
+    assert(e.getMessage.contains("fletcher32") ||
+      e.getMessage.contains("deflate"), e.getMessage)
+  }
+
   test("refusals: garbage chunked layout, v4 chunked, soft links, dense link storage, junk, truncation") {
     val (bytes, layoutClassAt) = fixtureV2()
     // flipping the class byte to 2 makes the contiguous body parse as
