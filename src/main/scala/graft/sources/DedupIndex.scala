@@ -145,14 +145,22 @@ object DedupIndex {
     * collected to the driver. */
   def bandKeySets(spark: SparkSession, indexDir: String,
       nBands: Int = 4): IndexedSeq[DataFrame] = {
-    val bands = readBands(spark, indexDir)
+    // ONE scan + ONE distinct over (band_idx, band_hash); the per-band
+    // sets then materialize from that cache, never the parquet again.
+    // The previous per-band scan+distinct rounds cost 4 table scans
+    // and 4 shuffles — measured 6.9 s vs 0.7 s at the ×10 corpus
+    // (ProfileSt16, r11). Same distinct keys: distinct pairs filtered
+    // to one band ≡ distinct hashes within that band.
+    val merged = readBands(spark, indexDir)
+      .select(col("band_idx"), col("band_hash")).distinct().persist()
     val sets = (0 until nBands).map { b =>
-      bands.filter(col("band_idx") === b)
-        .select(col("band_hash").as(s"bh$b")).distinct()
+      merged.filter(col("band_idx") === b)
+        .select(col("band_hash").as(s"bh$b"))
         .withColumn(s"hit$b", lit(1))
         .persist()
     }
     sets.foreach(_.count()) // materialize once, pre-stream
+    merged.unpersist() // children hold the rows now; same handles as ever
     sets
   }
 

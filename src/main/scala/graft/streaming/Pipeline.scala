@@ -1178,9 +1178,19 @@ object Streaming {
       import org.apache.spark.sql.graft.ColumnBridge
       val sv = ColumnBridge.column(graft.functions.MinHashSigExpr(
         ColumnBridge.expression(col("shg")), 16))
+      // repartition BEFORE the md5-heavy signature projection: a
+      // single-row-group source file scans as ONE partition, which
+      // serializes the whole 16-lane md5 pass onto one core (measured:
+      // the signature pass, not the joins, is the per-batch cost —
+      // ProfileSt16, r11). One round-robin exchange of the batch's
+      // text bytes buys full-width CPU; sized by the session's
+      // stream-volume shuffle partitions, so at cluster scale it
+      // follows the executor count.
+      val fanout = s.conf.get("spark.sql.shuffle.partitions").toInt
       val withBands = (0 until 4).foldLeft(
         docStream(s, dir)
           .filter(col("doc_id") % 2 === 1)
+          .repartition(fanout)
           .withColumn("shg",
             array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
           .withColumn("sv", sv)) { (df, b) =>
