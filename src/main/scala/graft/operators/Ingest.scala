@@ -3375,14 +3375,20 @@ object Ingest {
       graft.Fixtures.pathFor(dir, "i65_hdf"))
     java.nio.file.Files.createDirectories(hdfDir)
     val sdsName = "250m 16 days NDVI" // the reference's MYD13Q1 subset name
-    def sds(vs: Array[Double], comp: String) = Hdf.SdsSpec(
-      sdsName, Seq(ny, nx), Hdf.Int16, vs, fill = Some(-3000.0), comp = comp)
+    def sds(vs: Array[Double], comp: String,
+        chunks: Option[Seq[Int]] = None) = Hdf.SdsSpec(
+      sdsName, Seq(ny, nx), Hdf.Int16, vs, fill = Some(-3000.0), comp = comp,
+      chunkDims = chunks)
     java.nio.file.Files.write(hdfDir.resolve("MYX.A1995001.h00v00.a.hdf"),
       Hdf.encode(Seq(sds(tiles(0), "deflate"))))
+    // h01 ships CHUNKED+deflate with clipped edge chunks and the
+    // overlay CHUNKED+rle row strips (r11): the chunk-table Vdata walk
+    // — the storage LAADS/LP DAAC archives actually use — is inside
+    // the same DuckDB hash gate as the contiguous coders
     java.nio.file.Files.write(hdfDir.resolve("MYX.A1995001.h01v00.a.hdf"),
-      Hdf.encode(Seq(sds(tiles(1), "rle"))))
+      Hdf.encode(Seq(sds(tiles(1), "deflate", Some(Seq(3, 5))))))
     java.nio.file.Files.write(hdfDir.resolve("MYX.A1995001.h00v00.b.hdf"),
-      Hdf.encode(Seq(sds(overlay, "none"))))
+      Hdf.encode(Seq(sds(overlay, "rle", Some(Seq(2, nx))))))
     spark.read.format("graft.sources.HdfGridSource")
       .option("path", hdfDir.toString).option("sds", sdsName).load()
       .withColumn("h",

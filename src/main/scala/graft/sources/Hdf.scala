@@ -29,15 +29,20 @@ import org.apache.spark.sql.functions._
   *   - SPECIAL (extended-tag) data elements with the COMP special
   *     code: coder NONE, RLE (HDF byte-run: literal runs ≤128,
   *     repeat runs 3..130) and DEFLATE (zlib), the codings MODIS-era
-  *     SDS archives actually use.
+  *     SDS archives actually use;
+  *   - CHUNKED storage (SPECIAL_CHUNKED, r11): the chunked
+  *     description record, the chunk-table Vdata (DFTAG_VH header +
+  *     DFTAG_VS packed records), and per-chunk data elements
+  *     (DFTAG_CHUNK, plain or COMP-compressed) — the layout
+  *     LAADS/LP DAAC MODIS archives actually ship
+  *     (see [[chunkedPayload]]).
   *
   * Refused LOUDLY (the codec-gate discipline — never guess at bytes):
-  * chunked storage (SPECIAL_CHUNKED needs the Vdata chunk-table walk —
-  * the documented boundary of this rung), linked-block / external
-  * elements, N-bit / Skipping-Huffman / SZIP / JPEG coders, and CHAR
-  * data on the numeric path. The DD WALK still inventories such files
-  * (refusals live on the pixel path, not the metadata walk — r9
-  * discipline).
+  * linked-block / external elements, N-bit / Skipping-Huffman / SZIP /
+  * JPEG coders, CHAR data on the numeric path, and any chunk table
+  * off the standard `{origin[ndims], chk_tag, chk_ref}` record shape.
+  * The DD WALK still inventories such files (refusals live on the
+  * pixel path, not the metadata walk — r9 discipline).
   *
   * Everything here is bounded by the GRID, not the archive: decode
   * runs task-side over binaryFile splits ([[readGrid]]), the DSv2
@@ -50,6 +55,9 @@ object Hdf {
   val TagNull = 1
   val TagVersion = 30
   val TagCompressed = 40 // compressed payload bytes of a SPECIAL_COMP element
+  val TagChunk = 61 // one chunk's data element (plain or special COMP)
+  val TagVH = 1962 // Vdata description (the chunk TABLE's header)
+  val TagVS = 1963 // Vdata records (the chunk TABLE's packed rows)
   val TagNT = 106 // number type
   val TagSDD = 701 // scientific data dimension record
   val TagSD = 702 // scientific data
@@ -255,43 +263,8 @@ object Hdf {
       require(d.len >= 2, s"SDS '${sds.name}': truncated special header")
       val special = b.getShort(0) & 0xffff
       special match {
-        case SpecialComp =>
-          require(d.len >= 14, s"SDS '${sds.name}': truncated COMP header")
-          // header: version, uncompressed length, payload ref, model, coder
-          val uncompLen = b.getInt(4)
-          val dataRef = b.getShort(8) & 0xffff
-          val coder = b.getShort(12) & 0xffff
-          // refuse unsupported coders BEFORE resolving the payload —
-          // the refusal must name the real reason, not a side effect
-          coder match {
-            case CompNone | CompRle | CompDeflate => ()
-            case CompNBit => throw new IllegalArgumentException(
-              s"SDS '${sds.name}': N-bit coder unsupported — only " +
-                "NONE/RLE/DEFLATE decode")
-            case CompSkpHuff => throw new IllegalArgumentException(
-              s"SDS '${sds.name}': skipping-Huffman coder unsupported — " +
-                "only NONE/RLE/DEFLATE decode")
-            case other => throw new IllegalArgumentException(
-              s"SDS '${sds.name}': coder $other unsupported (SZIP/JPEG need " +
-                "external codecs) — only NONE/RLE/DEFLATE decode")
-          }
-          val comp = f.dds.find(x => x.tag == TagCompressed && x.ref == dataRef)
-            .getOrElse(throw new IllegalArgumentException(
-              s"SDS '${sds.name}': COMP header references missing " +
-                s"DFTAG_COMPRESSED ref=$dataRef"))
-          require(comp.off + comp.len <= f.bytes.length,
-            s"SDS '${sds.name}': compressed payload past the decoded bytes")
-          val raw = java.util.Arrays.copyOfRange(
-            f.bytes, comp.off.toInt, (comp.off + comp.len).toInt)
-          coder match {
-            case CompNone => raw
-            case CompRle => rleDecode(raw, uncompLen)
-            case CompDeflate => inflate(raw, uncompLen)
-          }
-        case SpecialChunked => throw new IllegalArgumentException(
-          s"SDS '${sds.name}': CHUNKED storage unsupported — the chunk-table " +
-            "Vdata walk is this codec's documented boundary; re-export " +
-            "unchunked or compressed-contiguous")
+        case SpecialComp => compPayload(f, sds.name, d, b)
+        case SpecialChunked => chunkedPayload(f, sds, d, b)
         case SpecialLinked | SpecialVLinked => throw new IllegalArgumentException(
           s"SDS '${sds.name}': linked-block storage unsupported")
         case SpecialExt => throw new IllegalArgumentException(
@@ -301,6 +274,225 @@ object Hdf {
           s"SDS '${sds.name}': unknown special storage code $other")
       }
     }
+  }
+
+  /** Decode one SPECIAL_COMP element: header is
+    * `sp_tag_desc(2) version(2) uncomp_len(4) payload_ref(2) model(2)
+    * coder(2) [coder info]`; the payload lives in the
+    * DFTAG_COMPRESSED element with `payload_ref`. `b` is the
+    * big-endian slice of the special header; `owner` names refusals. */
+  private def compPayload(f: HdfFile, owner: String, d: DD,
+      b: ByteBuffer): Array[Byte] = {
+    require(d.len >= 14, s"SDS '$owner': truncated COMP header")
+    val uncompLen = b.getInt(4)
+    val dataRef = b.getShort(8) & 0xffff
+    val coder = b.getShort(12) & 0xffff
+    // refuse unsupported coders BEFORE resolving the payload —
+    // the refusal must name the real reason, not a side effect
+    coder match {
+      case CompNone | CompRle | CompDeflate => ()
+      case CompNBit => throw new IllegalArgumentException(
+        s"SDS '$owner': N-bit coder unsupported — only " +
+          "NONE/RLE/DEFLATE decode")
+      case CompSkpHuff => throw new IllegalArgumentException(
+        s"SDS '$owner': skipping-Huffman coder unsupported — " +
+          "only NONE/RLE/DEFLATE decode")
+      case other => throw new IllegalArgumentException(
+        s"SDS '$owner': coder $other unsupported (SZIP/JPEG need " +
+          "external codecs) — only NONE/RLE/DEFLATE decode")
+    }
+    val comp = f.dds.find(x => x.tag == TagCompressed && x.ref == dataRef)
+      .getOrElse(throw new IllegalArgumentException(
+        s"SDS '$owner': COMP header references missing " +
+          s"DFTAG_COMPRESSED ref=$dataRef"))
+    require(comp.off + comp.len <= f.bytes.length,
+      s"SDS '$owner': compressed payload past the decoded bytes")
+    val raw = java.util.Arrays.copyOfRange(
+      f.bytes, comp.off.toInt, (comp.off + comp.len).toInt)
+    coder match {
+      case CompNone => raw
+      case CompRle => rleDecode(raw, uncompLen)
+      case CompDeflate => inflate(raw, uncompLen)
+    }
+  }
+
+  /** CHUNKED storage (special code 6) — the layout LAADS/LP DAAC MODIS
+    * archives actually ship. Implemented from the public HDF
+    * Specification and Developer's Guide's chunked-element section:
+    *
+    *   - the chunked DESCRIPTION RECORD after the special code:
+    *     `head_len(4) version(1) flag(4) elm_tot_length(4)
+    *     chunk_size(4) nt_size(4) chk_tbl_tag(2) chk_tbl_ref(2)
+    *     sp_tag(2) sp_ref(2) ndims(4)` then per dim
+    *     `{flag(4) dim_length(4) chunk_length(4)}`, then
+    *     `fill_val_num_bytes(4)` + fill bytes (a comp-info block
+    *     follows when flag bit 0 is set — not needed here: each
+    *     compressed chunk resolves through its OWN special element);
+    *   - the CHUNK TABLE, a Vdata: header DFTAG_VH (1962) gives
+    *     `interlace(2) nvert(4) ivsize(2)`; records live packed in
+    *     DFTAG_VS (1963) as `{origin int32 × ndims, chk_tag u16,
+    *     chk_ref u16}` with origins in CHUNK units;
+    *   - each chunk's data element (DFTAG_CHUNK = 61, plain or
+    *     extended): plain bytes, or a SPECIAL_COMP element reusing the
+    *     NONE/RLE/DEFLATE coders.
+    *
+    * Chunks are stored FULL-size; edge-chunk cells outside the grid
+    * are discarded; chunks absent from the table read as the record's
+    * fill pattern (falling back to the SDS fill value). Anything off
+    * this shape — a non-VH table tag, interlace ≠ full, a record size
+    * that isn't `4·ndims + 4`, dims disagreeing with the SDD — refuses
+    * loudly rather than guessing. */
+  private def chunkedPayload(f: HdfFile, sds: Sds, d: DD,
+      b: ByteBuffer): Array[Byte] = {
+    val name = sds.name
+    require(d.len >= 39, s"SDS '$name': truncated CHUNKED description record")
+    val ntSize = b.getInt(19)
+    val tblTag = b.getShort(23) & 0xffff
+    val tblRef = b.getShort(25) & 0xffff
+    val ndims = b.getInt(31)
+    require(tblTag == TagVH,
+      s"SDS '$name': chunk table tag $tblTag is not DFTAG_VH ($TagVH)")
+    require(ndims == sds.dims.size && ndims >= 1 && ndims <= 32,
+      s"SDS '$name': chunked rank $ndims disagrees with SDD rank ${sds.dims.size}")
+    require(d.len >= 39 + 12L * ndims + 4,
+      s"SDS '$name': CHUNKED record overruns its element")
+    val w = widthOf(sds.ntype)
+    require(ntSize == w,
+      s"SDS '$name': chunked nt_size $ntSize disagrees with DFNT width $w")
+    val dims = new Array[Int](ndims)
+    val cdims = new Array[Int](ndims)
+    var i = 0
+    while (i < ndims) {
+      dims(i) = b.getInt(35 + 12 * i + 4)
+      cdims(i) = b.getInt(35 + 12 * i + 8)
+      require(dims(i) == sds.dims(i),
+        s"SDS '$name': chunked dim $i = ${dims(i)} disagrees with SDD ${sds.dims(i)}")
+      require(cdims(i) > 0 && cdims(i) <= dims(i).max(1),
+        s"SDS '$name': bad chunk length ${cdims(i)} for dim $i")
+      i += 1
+    }
+    val fillAt = 35 + 12 * ndims
+    val fillLen = b.getInt(fillAt)
+    require(fillLen >= 0 && fillAt + 4 + fillLen <= d.len,
+      s"SDS '$name': chunked fill value overruns the record")
+
+    // output buffer pre-filled with the fill PATTERN (record fill when
+    // it is exactly one element wide, else the SDS fill value, else 0)
+    val total = sds.dims.map(_.toLong).product
+    require(total * w <= Int.MaxValue,
+      s"SDS '$name' too large for one in-memory read")
+    val out = new Array[Byte]((total * w).toInt)
+    val fillBytes: Option[Array[Byte]] =
+      if (fillLen == w) {
+        val fb = new Array[Byte](w)
+        var k = 0
+        while (k < w) { fb(k) = b.get(fillAt + 4 + k); k += 1 }
+        Some(fb)
+      } else sds.fill.map { fv =>
+        val fb = ByteBuffer.allocate(w).order(ByteOrder.BIG_ENDIAN)
+        sds.ntype match {
+          case Int8 | UInt8 => fb.put(fv.toByte)
+          case Int16 | UInt16 => fb.putShort(fv.toInt.toShort)
+          case Int32 | UInt32 => fb.putInt(fv.toLong.toInt)
+          case Float32 => fb.putFloat(fv.toFloat)
+          case Float64 => fb.putDouble(fv)
+        }
+        fb.array()
+      }
+    fillBytes.foreach { fb =>
+      var o = 0
+      while (o < out.length) { System.arraycopy(fb, 0, out, o, w); o += w }
+    }
+
+    // chunk table: VH for the record shape, VS for the packed records
+    def findDD(tag: Int, ref: Int): DD = f.dds
+      .find(x => (x.tag == tag || x.tag == (tag | ExtendedBit)) && x.ref == ref)
+      .getOrElse(throw new IllegalArgumentException(
+        s"SDS '$name': chunk table element tag=$tag ref=$ref missing"))
+    val vh = findDD(TagVH, tblRef)
+    require(vh.off + vh.len <= f.bytes.length && vh.len >= 8,
+      s"SDS '$name': chunk-table header past the decoded bytes")
+    val vhb = ByteBuffer.wrap(f.bytes, vh.off.toInt, vh.len.toInt)
+      .slice().order(ByteOrder.BIG_ENDIAN)
+    val interlace = vhb.getShort(0) & 0xffff
+    val nvert = vhb.getInt(2)
+    val ivsize = vhb.getShort(6) & 0xffff
+    require(interlace == 0,
+      s"SDS '$name': chunk table interlace $interlace unsupported (full only)")
+    val expectIv = 4 * ndims + 4
+    require(ivsize == expectIv,
+      s"SDS '$name': chunk-table record size $ivsize != expected $expectIv " +
+        "(origin[ndims] + chk_tag + chk_ref) — refusing to guess the layout")
+    require(nvert >= 0 && nvert <= (1 << 24),
+      s"SDS '$name': implausible chunk count $nvert")
+    val vs = findDD(TagVS, tblRef)
+    require(vs.off + vs.len <= f.bytes.length,
+      s"SDS '$name': chunk-table records past the decoded bytes")
+    require(vs.len >= nvert.toLong * ivsize,
+      s"SDS '$name': chunk table declares $nvert records but holds ${vs.len} bytes")
+    val vsb = ByteBuffer.wrap(f.bytes, vs.off.toInt, vs.len.toInt)
+      .slice().order(ByteOrder.BIG_ENDIAN)
+
+    // row-major strides over the full grid
+    val strides = new Array[Long](ndims)
+    var s = 1L
+    var dm = ndims - 1
+    while (dm >= 0) { strides(dm) = s; s *= dims(dm); dm -= 1 }
+    val chunkElems = cdims.product
+
+    var r = 0
+    while (r < nvert) {
+      val base = r * ivsize
+      val origin = new Array[Long](ndims)
+      var j = 0
+      while (j < ndims) {
+        origin(j) = vsb.getInt(base + 4 * j).toLong
+        require(origin(j) >= 0 && origin(j) * cdims(j) < dims(j),
+          s"SDS '$name': chunk $r origin ${origin(j)} out of range for dim $j")
+        j += 1
+      }
+      val cTag = vsb.getShort(base + 4 * ndims) & 0xffff
+      val cRef = vsb.getShort(base + 4 * ndims + 2) & 0xffff
+      val cdd = findDD(cTag & ~ExtendedBit, cRef)
+      require(cdd.off + cdd.len <= f.bytes.length,
+        s"SDS '$name': chunk $r data past the decoded bytes")
+      val raw: Array[Byte] =
+        if ((cdd.tag & ExtendedBit) == 0)
+          java.util.Arrays.copyOfRange(f.bytes, cdd.off.toInt,
+            (cdd.off + cdd.len).toInt)
+        else {
+          val cb = ByteBuffer.wrap(f.bytes, cdd.off.toInt, cdd.len.toInt)
+            .slice().order(ByteOrder.BIG_ENDIAN)
+          require(cdd.len >= 2, s"SDS '$name': truncated chunk special header")
+          val code = cb.getShort(0) & 0xffff
+          require(code == SpecialComp,
+            s"SDS '$name': chunk $r special code $code unsupported " +
+              "(only COMP chunks decode; nested chunking refused)")
+          compPayload(f, s"$name[chunk $r]", cdd, cb)
+        }
+      require(raw.length >= chunkElems.toLong * w,
+        s"SDS '$name': chunk $r has ${raw.length} bytes < " +
+          s"$chunkElems × $w expected (chunks are stored full-size)")
+      // scatter with edge clipping
+      var k = 0
+      while (k < chunkElems) {
+        var rem = k
+        var gidx = 0L
+        var ok = true
+        var dd2 = ndims - 1
+        while (dd2 >= 0) {
+          val loc = rem % cdims(dd2); rem /= cdims(dd2)
+          val g = origin(dd2) * cdims(dd2) + loc
+          if (g >= dims(dd2)) ok = false
+          gidx += g * strides(dd2)
+          dd2 -= 1
+        }
+        if (ok) System.arraycopy(raw, k * w, out, (gidx * w).toInt, w)
+        k += 1
+      }
+      r += 1
+    }
+    out
   }
 
   /** HDF byte-run RLE: control < 0x80 → (control+1) literal bytes
@@ -419,7 +611,7 @@ object Hdf {
   final case class SdsSpec(name: String, dims: Seq[Int], ntype: Int,
       values: Array[Double], fill: Option[Double] = None,
       calScale: Option[Double] = None, calOffset: Option[Double] = None,
-      comp: String = "none")
+      comp: String = "none", chunkDims: Option[Seq[Int]] = None)
 
   /** Write a single-DD-block HDF4 file holding `specs` as NDG
     * datasets — the publish/fixture twin of [[decode]] (what lands
@@ -478,28 +670,147 @@ object Hdf {
       // data payload
       val raw = ByteBuffer.allocate((n * w).toInt).order(ByteOrder.BIG_ENDIAN)
       s.values.foreach(putVal(raw, _))
-      val dataMembers: Seq[(Int, Int)] = s.comp match {
-        case "none" =>
-          els += El(TagSD, r, raw.array())
-          Seq((TagSD, r))
-        case "rle" | "deflate" =>
-          val packed =
-            if (s.comp == "rle") rleEncode(raw.array())
-            else Deflate(raw.array())
-          val compRef = ref()
-          els += El(TagCompressed, compRef, packed)
-          val hdr = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
-          hdr.putShort(SpecialComp.toShort)
-          hdr.putShort(0) // header version
-          hdr.putInt(raw.array().length) // uncompressed length
-          hdr.putShort(compRef.toShort) // DFTAG_COMPRESSED payload ref
-          hdr.putShort(0) // model: stdio
-          hdr.putShort((if (s.comp == "rle") CompRle else CompDeflate).toShort)
-          hdr.putShort(0) // coder info (deflate level slot)
+      def compHeader(uncompLen: Int, payloadRef: Int): Array[Byte] = {
+        val hdr = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+        hdr.putShort(SpecialComp.toShort)
+        hdr.putShort(0) // header version
+        hdr.putInt(uncompLen)
+        hdr.putShort(payloadRef.toShort) // DFTAG_COMPRESSED payload ref
+        hdr.putShort(0) // model: stdio
+        hdr.putShort((if (s.comp == "rle") CompRle else CompDeflate).toShort)
+        hdr.putShort(0) // coder info (deflate level slot)
+        hdr.array()
+      }
+      require(Set("none", "rle", "deflate")(s.comp),
+        s"SDS '${s.name}': unknown comp '${s.comp}' (none|rle|deflate)")
+      val dataMembers: Seq[(Int, Int)] = s.chunkDims match {
+        case Some(cd) =>
+          // CHUNKED storage: full-size chunk elements (plain or COMP
+          // per `comp`), the chunk-table Vdata (VH + packed VS rows of
+          // {origin in chunk units, chk_tag, chk_ref}), and the
+          // chunked description record — the same shape
+          // [[chunkedPayload]] decodes
+          require(cd.size == s.dims.size && cd.forall(_ > 0),
+            s"SDS '${s.name}': chunk dims $cd must match rank ${s.dims.size}")
+          val rank2 = cd.size
+          val counts = s.dims.zip(cd).map { case (d0, c0) =>
+            (d0 + c0 - 1) / c0
+          }
+          val chunkElems = cd.product
+          val fillByteBuf = ByteBuffer.allocate(w).order(ByteOrder.BIG_ENDIAN)
+          putVal(fillByteBuf, s.fill.getOrElse(0.0))
+          val fillB = fillByteBuf.array()
+          val strides = new Array[Long](rank2)
+          var st = 1L
+          (rank2 - 1 to 0 by -1).foreach { i2 =>
+            strides(i2) = st; st *= s.dims(i2)
+          }
+          // every chunk coordinate, row-major over the chunk grid
+          val coords = counts.foldLeft(Seq(Seq.empty[Int])) { (acc, c0) =>
+            acc.flatMap(p => (0 until c0).map(p :+ _))
+          }
+          val table = coords.map { origin =>
+            val chunk = new Array[Byte](chunkElems * w)
+            var k = 0
+            while (k < chunkElems) {
+              var rem = k
+              var gidx = 0L
+              var ok = true
+              var dd2 = rank2 - 1
+              while (dd2 >= 0) {
+                val loc = rem % cd(dd2); rem /= cd(dd2)
+                val g = origin(dd2).toLong * cd(dd2) + loc
+                if (g >= s.dims(dd2)) ok = false
+                gidx += g * strides(dd2)
+                dd2 -= 1
+              }
+              if (ok) raw.position((gidx * w).toInt)
+              if (ok) raw.get(chunk, k * w, w)
+              else System.arraycopy(fillB, 0, chunk, k * w, w)
+              k += 1
+            }
+            raw.position(0)
+            val cref = ref()
+            if (s.comp == "none") {
+              els += El(TagChunk, cref, chunk)
+            } else {
+              val packed =
+                if (s.comp == "rle") rleEncode(chunk) else Deflate(chunk)
+              val pref = ref()
+              els += El(TagCompressed, pref, packed)
+              els += El(TagChunk | ExtendedBit, cref, compHeader(chunk.length, pref))
+            }
+            (origin, cref)
+          }
+          // chunk-table Vdata: VH header + packed VS records
+          val tblRef = ref()
+          val ivsize = 4 * rank2 + 4
+          val fields = Seq(("origin", Int32, 4 * rank2, 0, rank2),
+            ("chk_tag", UInt16, 2, 4 * rank2, 1),
+            ("chk_ref", UInt16, 2, 4 * rank2 + 2, 1))
+          val nameB = s"_HDF_CHK_TBL_${s.name}".getBytes("US-ASCII")
+          val classB = "_HDF_CHK_TBL_CLASS".getBytes("US-ASCII")
+          val vhLen = 2 + 4 + 2 + 2 + fields.size * 8 +
+            fields.map(2 + _._1.length).sum + 2 + nameB.length +
+            2 + classB.length + 8
+          val vh = ByteBuffer.allocate(vhLen).order(ByteOrder.BIG_ENDIAN)
+          vh.putShort(0) // FULL_INTERLACE
+          vh.putInt(table.size) // nvert
+          vh.putShort(ivsize.toShort)
+          vh.putShort(fields.size.toShort)
+          fields.foreach(f2 => vh.putShort(f2._2.toShort)) // DFNT types
+          fields.foreach(f2 => vh.putShort(f2._3.toShort)) // isize
+          fields.foreach(f2 => vh.putShort(f2._4.toShort)) // offset
+          fields.foreach(f2 => vh.putShort(f2._5.toShort)) // order
+          fields.foreach { f2 =>
+            vh.putShort(f2._1.length.toShort)
+            vh.put(f2._1.getBytes("US-ASCII"))
+          }
+          vh.putShort(nameB.length.toShort); vh.put(nameB)
+          vh.putShort(classB.length.toShort); vh.put(classB)
+          vh.putShort(0).putShort(0) // extag, exref
+          vh.putShort(3).putShort(0) // version, more
+          els += El(TagVH, tblRef, vh.array())
+          val vs = ByteBuffer.allocate(table.size * ivsize)
+            .order(ByteOrder.BIG_ENDIAN)
+          table.foreach { case (origin, cref) =>
+            origin.foreach(vs.putInt)
+            vs.putShort(TagChunk.toShort).putShort(cref.toShort)
+          }
+          els += El(TagVS, tblRef, vs.array())
+          // chunked description record
+          val hdrLen = 39 + 12 * rank2 + 4 + w
+          val hdr = ByteBuffer.allocate(hdrLen).order(ByteOrder.BIG_ENDIAN)
+          hdr.putShort(SpecialChunked.toShort)
+          hdr.putInt(hdrLen - 6) // head length after this field
+          hdr.put(1.toByte) // version
+          hdr.putInt(if (s.comp == "none") 0 else 1) // flag bit0 = COMP chunks
+          hdr.putInt(raw.array().length) // elm_tot_length
+          hdr.putInt(chunkElems * w) // chunk_size (physical bytes)
+          hdr.putInt(w) // nt_size
+          hdr.putShort(TagVH.toShort).putShort(tblRef.toShort)
+          hdr.putShort(TagNull.toShort).putShort(0) // sp_tag/sp_ref unused
+          hdr.putInt(rank2)
+          s.dims.zip(cd).foreach { case (d0, c0) =>
+            hdr.putInt(0).putInt(d0).putInt(c0)
+          }
+          hdr.putInt(w)
+          hdr.put(fillB)
           els += El(TagSD | ExtendedBit, r, hdr.array())
           Seq((TagSD | ExtendedBit, r))
-        case other => throw new IllegalArgumentException(
-          s"SDS '${s.name}': unknown comp '$other' (none|rle|deflate)")
+        case None => s.comp match {
+          case "none" =>
+            els += El(TagSD, r, raw.array())
+            Seq((TagSD, r))
+          case _ =>
+            val packed =
+              if (s.comp == "rle") rleEncode(raw.array())
+              else Deflate(raw.array())
+            val compRef = ref()
+            els += El(TagCompressed, compRef, packed)
+            els += El(TagSD | ExtendedBit, r, compHeader(raw.array().length, compRef))
+            Seq((TagSD | ExtendedBit, r))
+        }
       }
       // NDG group: (tag, ref) pairs of every member record
       val memberPairs = Seq((TagNT, r), (TagSDD, r), (TagSDL, r)) ++

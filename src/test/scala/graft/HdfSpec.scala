@@ -125,7 +125,7 @@ class HdfSpec extends SparkSpec {
     assert(Hdf.rleEncode(Array.fill[Byte](500)(7)).length == 8)
   }
 
-  test("refusals: chunked, linked, external, unsupported coders, CHAR, bad magic") {
+  test("refusals: truncated chunked record, linked, external, unsupported coders, CHAR, bad magic") {
     intercept[IllegalArgumentException] { Hdf.decode("nothdf bytes".getBytes) }
     // helper: a valid file whose data element is an extended-tag
     // special header with the given leading bytes
@@ -250,6 +250,143 @@ class HdfSpec extends SparkSpec {
       .map(r => (r.getString(0).split('/').last, r.getInt(2), r.getInt(3),
         r.getDouble(4))).toSet
     assert(fn == dsv2)
+  }
+
+  test("chunked storage: encode/decode round-trip across coders and clipped edges") {
+    // 5×7 int16, 2×3 chunks → 3×3 chunk grid, both edges clipped
+    val vals = Array.tabulate(35)(i => ((i % 11) - 3).toDouble)
+    for (comp <- Seq("none", "rle", "deflate")) {
+      val bytes = Hdf.encode(Seq(SdsSpec("ndvi", Seq(5, 7), Hdf.Int16,
+        vals, fill = Some(-99.0), comp = comp, chunkDims = Some(Seq(2, 3)))))
+      val f = Hdf.decode(bytes)
+      assert(Hdf.read(f, "ndvi").toSeq == vals.toSeq, s"comp=$comp")
+    }
+    // float32, chunk dims equal to the grid (single chunk)
+    val fv = Array.tabulate(6)(_ * 1.5)
+    val one = Hdf.encode(Seq(SdsSpec("t", Seq(2, 3), Hdf.Float32, fv,
+      comp = "deflate", chunkDims = Some(Seq(2, 3)))))
+    assert(Hdf.read(Hdf.decode(one), "t").toSeq == fv.toSeq)
+  }
+
+  /** Chunked fixture laid out BY HAND from the public spec (the
+    * Hdf5Spec discipline): 3×5 int16 `/ndvi`, fill −7, 2×3 chunks —
+    * chunk (0,0) plain, (0,1 in chunk units) DEFLATE-compressed with
+    * 999 sentinels in its clipped column, (1,0) plain with sentinels
+    * in its clipped row, (1,1) ABSENT from the table → fill. The
+    * forward deflate is done by this spec, not the codec. */
+  private def handBuiltChunked(): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(1024)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def i16s(vs: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(vs.size * 2)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      vs.foreach(v => b.putShort(v.toShort)); b.array()
+    }
+    def deflate(in: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(in); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    bb.putInt(0x0e031301)
+    val nDD = 12
+    bb.putShort(nDD.toShort).putInt(0)
+    val ddAt = bb.position()
+    (0 until nDD).foreach(_ => { bb.putShort(0).putShort(0); bb.putInt(0); bb.putInt(0) })
+    var slot = 0
+    def dd(tag: Int, ref: Int, off: Int, len: Int): Unit = {
+      bb.putShort(ddAt + slot * 12, tag.toShort)
+      bb.putShort(ddAt + slot * 12 + 2, ref.toShort)
+      bb.putInt(ddAt + slot * 12 + 4, off)
+      bb.putInt(ddAt + slot * 12 + 8, len)
+      slot += 1
+    }
+    def el(tag: Int, ref: Int, bytes: Array[Byte]): Unit = {
+      dd(tag, ref, bb.position(), bytes.length); bb.put(bytes)
+    }
+    el(106, 1, Array[Byte](1, 22, 16, 0)) // NT int16
+    // SDD: rank 2, dims 3×5, NT pairs (data + 2 scales)
+    val sdd = java.nio.ByteBuffer.allocate(2 + 8 + 12)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    sdd.putShort(2).putInt(3).putInt(5)
+    (0 until 3).foreach(_ => { sdd.putShort(106); sdd.putShort(1) })
+    el(701, 1, sdd.array())
+    el(704, 1, "ndvi".getBytes("US-ASCII") :+ 0.toByte) // SDL
+    el(732, 1, i16s(-7)) // FV
+    // chunk data elements
+    el(61, 10, i16s(10, 11, 12, 20, 21, 22)) // (0,0) plain
+    val zb = deflate(i16s(13, 14, 999, 23, 24, 999))
+    el(40, 12, zb) // compressed payload of chunk (0,1)
+    val ch = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    ch.putShort(3).putShort(0).putInt(12).putShort(12)
+    ch.putShort(0).putShort(4).putShort(0) // model, coder DEFLATE, info
+    el(61 | 0x4000, 11, ch.array()) // (0,1) special COMP chunk
+    el(61, 13, i16s(30, 31, 32, 999, 999, 999)) // (1,0) plain
+    // chunk-table Vdata: VH (minimal decoder contract) + VS records
+    val vh = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    vh.putShort(0).putInt(3).putShort(12)
+    el(1962, 9, vh.array())
+    val vs = java.nio.ByteBuffer.allocate(3 * 12)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    vs.putInt(0).putInt(0).putShort(61).putShort(10)
+    vs.putInt(0).putInt(1).putShort(61).putShort(11)
+    vs.putInt(1).putInt(0).putShort(61).putShort(13)
+    el(1963, 9, vs.array())
+    // chunked description record (SD extended)
+    val hdr = java.nio.ByteBuffer.allocate(39 + 24 + 4 + 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    hdr.putShort(6).putInt(39 + 24 + 4 + 2 - 6)
+    hdr.put(1.toByte).putInt(1).putInt(30).putInt(12).putInt(2)
+    hdr.putShort(1962).putShort(9).putShort(1).putShort(0)
+    hdr.putInt(2)
+    hdr.putInt(0).putInt(3).putInt(2) // dim 0: len 3, chunk 2
+    hdr.putInt(0).putInt(5).putInt(3) // dim 1: len 5, chunk 3
+    hdr.putInt(2).putShort(-7)
+    el(702 | 0x4000, 1, hdr.array())
+    // NDG group
+    val g = java.nio.ByteBuffer.allocate(5 * 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    Seq(106, 701, 704, 732, 702 | 0x4000).foreach { t =>
+      g.putShort(t.toShort); g.putShort(1)
+    }
+    el(720, 1, g.array())
+    assert(slot == nDD, s"fixture wrote $slot DDs, declared $nDD")
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  test("chunked storage: independent hand-built fixture — Vdata walk, " +
+      "mixed plain/COMP chunks, absent-chunk fill, loud table refusals") {
+    val bytes = handBuiltChunked()
+    val f = Hdf.decode(bytes)
+    val s = f.sdsNamed("ndvi")
+    assert(s.dims == Seq(3, 5) && s.fill.contains(-7.0))
+    assert(Hdf.read(f, "ndvi").toSeq == Seq(
+      10.0, 11.0, 12.0, 13.0, 14.0,
+      20.0, 21.0, 22.0, 23.0, 24.0,
+      30.0, 31.0, 32.0, -7.0, -7.0))
+    // grid cells mask the absent chunk's fill as NaN
+    val cells = Hdf.gridCells(f, "ndvi").toSeq
+    assert(cells.count(_.value.isNaN) == 2)
+    // refusals: interlace ≠ full, record size off the standard shape
+    val vhOff = f.dds.find(d => d.tag == 1962 && d.ref == 9).get.off.toInt
+    val badIl = bytes.clone(); badIl(vhOff + 1) = 1
+    val e1 = intercept[IllegalArgumentException] {
+      Hdf.read(Hdf.decode(badIl), "ndvi")
+    }
+    assert(e1.getMessage.contains("interlace"), e1.getMessage)
+    val badIv = bytes.clone(); badIv(vhOff + 7) = 16
+    val e2 = intercept[IllegalArgumentException] {
+      Hdf.read(Hdf.decode(badIv), "ndvi")
+    }
+    assert(e2.getMessage.contains("record size"), e2.getMessage)
+    // corrupt compressed chunk payload: inflate must fail loudly
+    val zOff = f.dds.find(d => d.tag == 40 && d.ref == 12).get.off.toInt
+    val badZ = bytes.clone(); badZ(zOff + 3) = (badZ(zOff + 3) ^ 0x7f).toByte
+    intercept[Exception] { Hdf.read(Hdf.decode(badZ), "ndvi") }
   }
 
   test("composition: MODLAND-style tiles mosaic into one grid (i65 mechanics)") {
