@@ -33,14 +33,19 @@ import org.apache.spark.sql.functions._
   *     skip mask, full-size edge chunks clipped, unallocated chunks
   *     reading as fill — the netCDF-4 compressed-variable default
   *     (`nc_def_var_deflate` emits exactly chunked+shuffle+deflate);
-  *     widened to double; [[gridCells]] applies netCDF CF semantics —
-  *     `_FillValue` (attribute, else the HDF5 fill-value message)
-  *     masks to NaN, `scale_factor`/`add_offset` apply — matching the
-  *     [[NetCdf]] grid path bit for bit.
+  *     or CHUNKED v4 (the 1.10+ "new format", r11) with the
+  *     SINGLE-CHUNK, IMPLICIT and FIXED-ARRAY (FAHD/FADB, non-paged)
+  *     chunk indexes — the fixed-shape-dataset defaults of
+  *     `libver=latest` writers — sharing the same filter pipeline and
+  *     assembly; widened to double; [[gridCells]] applies netCDF CF
+  *     semantics — `_FillValue` (attribute, else the HDF5 fill-value
+  *     message) masks to NaN, `scale_factor`/`add_offset` apply —
+  *     matching the [[NetCdf]] grid path bit for bit.
   *
   * Refused LOUDLY (codec-gate discipline — this reader never guesses):
-  * layout v4 chunk indexes (the 1.10+ "new format" B-tree v2/EARRAY —
-  * re-export with the earliest-format/v1-B-tree layout), filters
+  * v4 extensible-array and B-tree-v2 chunk indexes (the
+  * unlimited-dims paths — re-export with fixed dims or the
+  * earliest-format layout) and PAGED fixed-array data blocks, filters
   * beyond deflate/shuffle/fletcher32 (szip, n-bit, scale-offset,
   * registered LZF/blosc/zstd), dense (fractal-heap) link storage,
   * soft/external links, layout message versions before 3, non-IEEE
@@ -252,6 +257,14 @@ object Hdf5 {
                 else walkChunkTree(r, btree, cdims.size, path)
               datasets += Dataset(path, dims, dt, -1L, -1L, None, fillV,
                 at, Some(Chunked(cdims.init, filters, chunks)))
+            case l4: LayChunkedV4 =>
+              require(l4.cdims.size == dims.size,
+                s"dataset '$path': v4 chunk dims ${l4.cdims} inconsistent " +
+                  s"with rank ${dims.size}")
+              val chunks = chunksV4(r, l4, dims, dt.size,
+                filters.nonEmpty, path)
+              datasets += Dataset(path, dims, dt, -1L, -1L, None, fillV,
+                at, Some(Chunked(l4.cdims, filters, chunks)))
           }
         case (None, None, None) =>
           groups += (if (path.isEmpty) "/" else path)
@@ -439,14 +452,22 @@ object Hdf5 {
     * in elements, then the element size in bytes). */
   private final case class LayChunked(btree: Long, dims: Seq[Int])
     extends Layout
+  /** v4 chunked (the 1.10+ "new format"): `cdims` are RANK-sized (no
+    * trailing element dim), `indexType` per the spec registry
+    * (1 single chunk, 2 implicit, 3 fixed array, 4 extensible array,
+    * 5 B-tree v2), `addr` the index (or single chunk) address;
+    * `singleFiltered` carries the (size, mask) the single-chunk index
+    * stores inline when a pipeline is present. */
+  private final case class LayChunkedV4(indexType: Int, addr: Long,
+      cdims: Seq[Int], pageBits: Int,
+      singleFiltered: Option[(Long, Int)]) extends Layout
 
   private def parseLayout(r: Reader, o: Long, path: String): Layout = {
     val ver = r.u8(o)
     val clazz = r.u8(o + 1)
-    require(ver == 3 || (ver == 4 && clazz != 2),
-      s"dataset '$path': data-layout message version $ver unsupported " +
-        "for this class (v4 chunked uses the new index types — " +
-        "re-export with the v1-B-tree/earliest-format layout)")
+    require(ver == 3 || ver == 4,
+      s"dataset '$path': data-layout message version $ver unsupported")
+    if (ver == 4 && clazz == 2) return parseLayoutV4Chunked(r, o, path)
     clazz match {
       case 0 => // compact: size(2) + data inline
         val size = r.u16(o + 2)
@@ -463,6 +484,160 @@ object Hdf5 {
           (0 until ndims).map(i => r.u32(o + 11 + 4L * i).toInt))
       case c => throw new IllegalArgumentException(
         s"dataset '$path': layout class $c unsupported")
+    }
+  }
+
+  /** v4 chunked layout body (spec IV.A.2.i, version 4 / class 2):
+    * `flags(1) dimensionality(1) dimSizeEncLen(1) dims(rank × encLen)
+    * indexType(1) [index params] address(8)`. Single-chunk (1),
+    * implicit (2) and fixed-array (3) indexes decode; extensible-array
+    * (4) and B-tree-v2 (5) — the unlimited-dims indexes — refuse by
+    * name. Flag bit 1 marks a filtered single chunk whose (size, mask)
+    * ride inline. */
+  private def parseLayoutV4Chunked(r: Reader, o: Long,
+      path: String): Layout = {
+    val flags = r.u8(o + 2)
+    val ndims = r.u8(o + 3)
+    val encLen = r.u8(o + 4)
+    require(Set(1, 2, 4, 8)(encLen),
+      s"dataset '$path': v4 chunked dim-size width $encLen invalid")
+    require(ndims >= 1 && ndims <= 32,
+      s"dataset '$path': v4 chunked rank $ndims implausible")
+    def dimAt(p: Long): Long = encLen match {
+      case 1 => r.u8(p).toLong
+      case 2 => r.u16(p).toLong
+      case 4 => r.u32(p)
+      case 8 => r.i64(p)
+    }
+    val cdims = (0 until ndims).map(i => dimAt(o + 5 + encLen.toLong * i))
+    require(cdims.forall(d => d > 0 && d <= Int.MaxValue),
+      s"dataset '$path': v4 chunk dims $cdims implausible")
+    var p = o + 5 + encLen.toLong * ndims
+    val idxType = r.u8(p); p += 1
+    idxType match {
+      case 1 =>
+        val sf =
+          if ((flags & 0x2) != 0) { // filtered single chunk
+            val sz = r.i64(p); val mask = r.u32(p + 8).toInt
+            p += 12
+            Some((sz, mask))
+          } else None
+        LayChunkedV4(1, r.i64(p), cdims.map(_.toInt), 0, sf)
+      case 2 =>
+        LayChunkedV4(2, r.i64(p), cdims.map(_.toInt), 0, None)
+      case 3 =>
+        val pageBits = r.u8(p); p += 1
+        LayChunkedV4(3, r.i64(p), cdims.map(_.toInt), pageBits, None)
+      case 4 => throw new IllegalArgumentException(
+        s"dataset '$path': v4 chunk index type 4 (extensible array — " +
+          "unlimited dims) unsupported; re-export with fixed dims or " +
+          "the earliest-format layout")
+      case 5 => throw new IllegalArgumentException(
+        s"dataset '$path': v4 chunk index type 5 (B-tree v2) " +
+          "unsupported; re-export with the earliest-format layout")
+      case t => throw new IllegalArgumentException(
+        s"dataset '$path': unknown v4 chunk index type $t")
+    }
+  }
+
+  /** Resolve a v4 layout's chunk list. The chunk grid is row-major
+    * over ceil(dim/chunk); fixed-array entries land in exactly that
+    * order (spec III.G). Unallocated entries (undefined address) are
+    * skipped — the fill shows through, the v1-B-tree contract. */
+  private def chunksV4(r: Reader, l: LayChunkedV4, dims: Seq[Long],
+      eltSize: Int, filtered: Boolean, path: String): Seq[ChunkRef] = {
+    val rank = l.cdims.size
+    val counts = dims.zip(l.cdims).map { case (d, c) =>
+      ((d + c - 1) / c).toInt
+    }
+    val nChunks = counts.map(_.toLong).product
+    require(nChunks <= (1L << 24),
+      s"dataset '$path': implausible v4 chunk count $nChunks")
+    val chunkBytes = l.cdims.map(_.toLong).product * eltSize
+    def originOf(i: Long): Seq[Long] = {
+      var rem = i
+      val o = new Array[Long](rank)
+      var d = rank - 1
+      while (d >= 0) { o(d) = (rem % counts(d)) * l.cdims(d); rem /= counts(d); d -= 1 }
+      o.toSeq
+    }
+    l.indexType match {
+      case 1 =>
+        require(nChunks == 1,
+          s"dataset '$path': single-chunk index with $nChunks chunks")
+        if (l.addr == Undef) Nil
+        else {
+          val (sz, mask) = l.singleFiltered.getOrElse((chunkBytes, 0))
+          Seq(ChunkRef(Seq.fill(rank)(0L), sz, mask, l.addr))
+        }
+      case 2 =>
+        require(!filtered,
+          s"dataset '$path': implicit chunk index cannot carry filters")
+        if (l.addr == Undef) Nil
+        else (0L until nChunks).map(i =>
+          ChunkRef(originOf(i), chunkBytes, 0, l.addr + i * chunkBytes))
+      case 3 =>
+        if (l.addr == Undef) Nil
+        else walkFixedArray(r, l.addr, nChunks, chunkBytes, filtered,
+          originOf, path)
+      case t => throw new IllegalArgumentException(
+        s"dataset '$path': v4 chunk index type $t unsupported")
+    }
+  }
+
+  /** Fixed-array chunk index (spec III.G): FAHD header → FADB data
+    * block; elements are chunk addresses (client 0) or
+    * `{address, size, filter mask}` records (client 1, filtered).
+    * PAGED data blocks (entries past 2^pageBits) refuse loudly. */
+  private def walkFixedArray(r: Reader, addr: Long, nChunks: Long,
+      chunkBytes: Long, filtered: Boolean, originOf: Long => Seq[Long],
+      path: String): Seq[ChunkRef] = {
+    r.in(addr, 30)
+    require(r.sig4(addr) == "FAHD",
+      s"dataset '$path': fixed-array header at $addr missing FAHD signature")
+    require(r.u8(addr + 4) == 0,
+      s"dataset '$path': fixed-array version ${r.u8(addr + 4)} unsupported")
+    val clientId = r.u8(addr + 5)
+    require(clientId == (if (filtered) 1 else 0),
+      s"dataset '$path': fixed-array client $clientId disagrees with " +
+        s"the ${if (filtered) "filtered" else "unfiltered"} pipeline")
+    val entrySize = r.u8(addr + 6)
+    val pageBits = r.u8(addr + 7)
+    val maxEntries = r.i64(addr + 8)
+    val dbAddr = r.i64(addr + 16)
+    require(maxEntries >= nChunks,
+      s"dataset '$path': fixed array holds $maxEntries entries < $nChunks chunks")
+    require(maxEntries <= (1L << pageBits),
+      s"dataset '$path': PAGED fixed-array data block " +
+        s"($maxEntries entries > 2^$pageBits page) unsupported — " +
+        "refusing to guess the page layout")
+    if (dbAddr == Undef) return Nil
+    val szChunkField = entrySize - 12 // filtered entry: addr(8)+size+mask(4)
+    require(if (filtered) szChunkField >= 1 && szChunkField <= 8
+            else entrySize == 8,
+      s"dataset '$path': fixed-array entry size $entrySize off-shape")
+    val headLen = 6 + 8 // sig+ver+client + header addr
+    r.in(dbAddr, headLen + nChunks * entrySize)
+    require(r.sig4(dbAddr) == "FADB",
+      s"dataset '$path': fixed-array data block missing FADB signature")
+    require(r.i64(dbAddr + 6) == addr,
+      s"dataset '$path': FADB header back-pointer mismatch")
+    val elems = dbAddr + headLen
+    (0L until nChunks).flatMap { i =>
+      val p = elems + i * entrySize
+      val a = r.i64(p)
+      if (a == Undef) None
+      else if (!filtered) Some(ChunkRef(originOf(i), chunkBytes, 0, a))
+      else {
+        var sz = 0L
+        var k = 0
+        while (k < szChunkField) { // little-endian, variable width
+          sz |= (r.u8(p + 8 + k).toLong & 0xff) << (8 * k)
+          k += 1
+        }
+        val mask = r.u32(p + 8 + szChunkField).toInt
+        Some(ChunkRef(originOf(i), sz, mask, a))
+      }
     }
   }
 

@@ -409,6 +409,145 @@ class Hdf5Spec extends SparkSpec {
     (out.array(), addrA)
   }
 
+  // ---- fixture D: layout-message v4 chunked (the 1.10+ "new format")
+  // with single-chunk / implicit / fixed-array indexes — hand-built
+  // like fixture C, never via Hdf5.encode. ----
+
+  /** 3×5 int16 `/temp`, fill −7, 2×3 chunks. `index`: 1 = single chunk
+    * (dims shrink to 2×3 so one chunk covers all), 2 = implicit (all 4
+    * chunks back-to-back), 3 = fixed array (chunk (1,1) unallocated;
+    * `filtered` adds the shuffle+deflate+fletcher32 pipeline with
+    * client-1 entries), 5 = B-tree v2 (must refuse). */
+  private def fixtureV4(index: Int, filtered: Boolean = false): Array[Byte] = {
+    val dsHdrAt = 128; val fahdAt = 384; val fadbAt = 416
+    val single = index == 1
+    val dims = if (single) (2L, 3L) else (3L, 5L)
+    def i16s(vs: Int*): Array[Byte] =
+      le(b => vs.foreach(v => b.putShort(v.toShort)), 64)
+    val rawChunks: Seq[Array[Byte]] =
+      if (single) Seq(i16s(10, 11, 12, 20, 21, 22))
+      else Seq(
+        i16s(10, 11, 12, 20, 21, 22),       // (0,0)
+        i16s(13, 14, 999, 23, 24, 999),     // (0,1) col-clipped
+        i16s(30, 31, 32, 999, 999, 999),    // (1,0) row-clipped
+        i16s(33, 34, 999, 999, 999, 999))   // (1,1) both-clipped
+    val chunks = rawChunks.map(c => if (filtered) filterChunk(c) else c)
+    // fixed array leaves chunk (1,1) unallocated → fill
+    val nStored = if (index == 3 && !single) 3 else chunks.size
+    val entrySize = if (filtered) 16 else 8 // addr / addr+size4+mask4
+    val elemsLen = chunks.size * entrySize
+    val dataAt = fadbAt + 14 + elemsLen + 4 + 16 // FADB + slack
+    val offs = chunks.indices.scanLeft(dataAt.toLong) { (a, i) =>
+      a + chunks(i).length
+    }
+    val total = offs.last.toInt
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    sig(out)
+    out.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    out.putLong(0L).putLong(Undef).putLong(total.toLong).putLong(48L)
+    out.putInt(0)
+    val rootMsgs = msgV2(0x06, le { b =>
+      b.put(1.toByte).put(0.toByte)
+      b.put(4.toByte).put("temp".getBytes("US-ASCII"))
+      b.putLong(dsHdrAt.toLong)
+    })
+    out.position(48)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    out.put(rootMsgs.length.toByte)
+    out.put(rootMsgs)
+    out.putInt(0)
+    val layoutBody = le { b =>
+      b.put(4.toByte).put(2.toByte)
+      b.put(if (filtered && index == 1) 0x2.toByte else 0.toByte)
+      b.put(2.toByte).put(1.toByte) // rank 2, 1-byte dim sizes
+      b.put(2.toByte).put(3.toByte) // chunk dims (NO trailing elem dim)
+      b.put(index.toByte)
+      index match {
+        case 1 =>
+          if (filtered) { b.putLong(chunks(0).length.toLong); b.putInt(0) }
+          b.putLong(dataAt.toLong)
+        case 2 => b.putLong(dataAt.toLong)
+        case 3 => b.put(10.toByte).putLong(fahdAt.toLong) // page bits, FAHD
+        case 5 =>
+          b.putInt(2048).put(85.toByte).put(40.toByte) // node, split, merge
+          b.putLong(fahdAt.toLong)
+      }
+    }
+    val dsMsgs = (Array(
+      msgV2(0x01, dsRank2V2(dims._1, dims._2)),
+      msgV2(0x03, dtInt16),
+      msgV2(0x05, le { b =>
+        b.put(3.toByte).put(0x20.toByte).putInt(2).putShort(-7)
+      })) ++
+      (if (filtered) Array(msgV2(0x0B, le { b =>
+        b.put(2.toByte).put(3.toByte)
+        b.putShort(2).putShort(1).putShort(1).putInt(2)
+        b.putShort(1).putShort(1).putShort(1).putInt(6)
+        b.putShort(3).putShort(0).putShort(0)
+      })) else Array.empty[Array[Byte]]) ++
+      Array(msgV2(0x08, layoutBody))).flatten
+    out.position(dsHdrAt)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(1.toByte)
+    out.putShort(dsMsgs.length.toShort)
+    out.put(dsMsgs)
+    out.putInt(0)
+    if (index == 3) {
+      out.position(fahdAt)
+      out.put("FAHD".getBytes("US-ASCII")).put(0.toByte)
+      out.put((if (filtered) 1 else 0).toByte)
+      out.put(entrySize.toByte).put(10.toByte)
+      out.putLong(chunks.size.toLong).putLong(fadbAt.toLong)
+      out.putInt(0) // checksum (not verified)
+      out.position(fadbAt)
+      out.put("FADB".getBytes("US-ASCII")).put(0.toByte)
+      out.put((if (filtered) 1 else 0).toByte)
+      out.putLong(fahdAt.toLong)
+      chunks.indices.foreach { i =>
+        if (i >= nStored) out.putLong(Undef)
+        else out.putLong(offs(i))
+        if (filtered) { out.putInt(chunks(i).length); out.putInt(0) }
+      }
+      out.putInt(0) // checksum
+    }
+    chunks.indices.foreach { i =>
+      // implicit layout needs back-to-back chunks from dataAt; the
+      // offs sequence IS back-to-back, so all indexes share it
+      out.position(offs(i).toInt)
+      out.put(chunks(i))
+    }
+    out.array()
+  }
+
+  test("v4 chunked layouts: single-chunk, implicit, and fixed-array " +
+      "indexes decode; filtered fixed array; B-tree v2 refuses") {
+    // single chunk, unfiltered and filtered
+    for (f <- Seq(false, true)) {
+      val bytes = fixtureV4(1, filtered = f)
+      val h = Hdf5.decode(bytes)
+      assert(Hdf5.read(bytes, h, "/temp").toSeq ==
+        Seq(10.0, 11.0, 12.0, 20.0, 21.0, 22.0), s"single filtered=$f")
+    }
+    // implicit: all four chunks, row-major back-to-back
+    val imp = fixtureV4(2)
+    assert(Hdf5.read(imp, Hdf5.decode(imp), "/temp").toSeq == Seq(
+      10.0, 11.0, 12.0, 13.0, 14.0,
+      20.0, 21.0, 22.0, 23.0, 24.0,
+      30.0, 31.0, 32.0, 33.0, 34.0))
+    // fixed array: chunk (1,1) unallocated → fill; plain and filtered
+    for (f <- Seq(false, true)) {
+      val fa = fixtureV4(3, filtered = f)
+      assert(Hdf5.read(fa, Hdf5.decode(fa), "/temp").toSeq == Seq(
+        10.0, 11.0, 12.0, 13.0, 14.0,
+        20.0, 21.0, 22.0, 23.0, 24.0,
+        30.0, 31.0, 32.0, -7.0, -7.0), s"fixed-array filtered=$f")
+    }
+    // B-tree v2 index refuses by name
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.decode(fixtureV4(5))
+    }
+    assert(e.getMessage.contains("B-tree v2"), e.getMessage)
+  }
+
   test("independent chunked fixture: type-1 B-tree, shuffle+deflate+" +
       "fletcher32 pipeline, edge clipping, unallocated-chunk fill") {
     val (bytes, chunkDataAt) = fixtureChunked
@@ -448,13 +587,14 @@ class Hdf5Spec extends SparkSpec {
     chunked(layoutClassAt) = 2
     val e1 = intercept[IllegalArgumentException] { Hdf5.decode(chunked) }
     assert(e1.getMessage.contains("bad chunk dimensionality"), e1.getMessage)
-    // layout message v4 with a chunked class = the 1.10+ "new format"
-    // chunk indexes (B-tree v2 / EARRAY / fixed array): refused by name
+    // flipping version to 4 + class to 2 makes the contiguous body
+    // parse as a v4 chunked layout — its garbage fields (dim-size
+    // width 0) must refuse loudly
     val v4 = bytes.clone()
     v4(layoutClassAt - 1) = 4
     v4(layoutClassAt) = 2
     val e1b = intercept[IllegalArgumentException] { Hdf5.decode(v4) }
-    assert(e1b.getMessage.contains("version 4"), e1b.getMessage)
+    assert(e1b.getMessage.contains("v4"), e1b.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       Hdf5.decode(fixtureV2(softLink = true)._1)
     }
