@@ -255,9 +255,45 @@ object NetCdf {
 
   /** Write a classic (CDF-1) or 64-bit-offset (CDF-2) file. `dims`
     * with length 0 is the record dimension; `numRecs` gives its
-    * materialized length. */
+    * materialized length. In-memory — bounded at 2 GiB; bigger
+    * publishes go through [[encodeRecords]]. */
   def encode(dims: Seq[Dim], gatts: Seq[Att], vars: Seq[VarSpec],
       numRecs: Int = 0, version: Int = 1): Array[Byte] = {
+    val byName = vars.map(v => v.name -> v).toMap
+    val bos = new java.io.ByteArrayOutputStream()
+    writeNc(dims, gatts, vars, numRecs, version, bos,
+      // record slices come straight out of the in-memory arrays
+      (name, r) => {
+        val v = byName(name)
+        val perRec = (v.values.length.toLong / math.max(numRecs, 1)).toInt
+        java.util.Arrays.copyOfRange(v.values, r * perRec, (r + 1) * perRec)
+      },
+      maxTotal = Int.MaxValue,
+      tooBig = total => s"encoded file would be $total bytes — the CDF-2 " +
+        "format supports >2 GiB files but this in-memory writer does not; " +
+        "use encodeRecords (streaming) or write per-date slices",
+      checkRecLens = true)
+    bos.toByteArray
+  }
+
+  /** Record-at-a-time streaming writer — the >2 GiB publish path the
+    * in-memory [[encode]] refuses (r10 verdict item 9). Emits the SAME
+    * bytes [[encode]] builds (spec'd byte-identical), but sequentially
+    * to `os`: header, fixed vars (which still carry their values
+    * inline), then per record r each record variable's slice from
+    * `recordOf(name, r)` — so peak memory is one record, never the
+    * file. CDF-2 (`version = 2`) totals may exceed 2 GiB; CDF-1 past
+    * 2 GiB still refuses (format limit, not a writer limit). */
+  def encodeRecords(dims: Seq[Dim], gatts: Seq[Att], vars: Seq[VarSpec],
+      numRecs: Int, os: java.io.OutputStream,
+      recordOf: (String, Int) => Array[Double], version: Int = 2): Unit =
+    writeNc(dims, gatts, vars, numRecs, version, os, recordOf,
+      maxTotal = Long.MaxValue, tooBig = _ => "", checkRecLens = false)
+
+  private def writeNc(dims: Seq[Dim], gatts: Seq[Att], vars: Seq[VarSpec],
+      numRecs: Int, version: Int, os: java.io.OutputStream,
+      recordOf: (String, Int) => Array[Double], maxTotal: Long,
+      tooBig: Long => String, checkRecLens: Boolean): Unit = {
     require(version == 1 || version == 2, s"bad version $version")
     val dimIdx = dims.map(_.name).zipWithIndex.toMap
     def isRec(v: VarSpec) =
@@ -321,66 +357,81 @@ object NetCdf {
     }
     val total = off + recStride * numRecs
     require(version == 2 || total <= Int.MaxValue, "file too large for CDF-1")
-    // CDF-2 the FORMAT allows >2 GiB, but this in-memory writer builds
-    // the whole file in one ByteBuffer — exempting CDF-2 here let a
-    // large total truncate in allocate(total.toInt) and fail with a
-    // confusing BufferOverflow far from the cause (r9 advice)
-    require(total <= Int.MaxValue,
-      s"encoded file would be $total bytes — the CDF-2 format supports " +
-        ">2 GiB files but this in-memory writer does not; write per-date " +
-        "slices instead")
+    // the in-memory encode path caps maxTotal at 2 GiB (a bigger total
+    // would truncate in allocate(total.toInt) and fail with a
+    // confusing BufferOverflow far from the cause — r9 advice); the
+    // streaming path passes Long.MaxValue and CDF-2 totals flow
+    require(total <= maxTotal, tooBig(total))
 
-    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.BIG_ENDIAN)
-    out.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(version.toByte)
-    out.putInt(numRecs)
-    out.put(dimsB).put(gattsB)
-    if (vars.isEmpty) out.putInt(0).putInt(0)
+    val dos = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(os, 1 << 16))
+    // the header region is always small (names + fixed-width rows);
+    // build it in one buffer, stream everything after it
+    val hdr = ByteBuffer.allocate(pad4(headerLen).toInt)
+      .order(ByteOrder.BIG_ENDIAN)
+    hdr.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(version.toByte)
+    hdr.putInt(numRecs)
+    hdr.put(dimsB).put(gattsB)
+    if (vars.isEmpty) hdr.putInt(0).putInt(0)
     else {
-      out.putInt(0x0B).putInt(vars.size)
+      hdr.putInt(0x0B).putInt(vars.size)
       vars.foreach { v =>
-        out.put(nameBytes(v.name))
-        out.putInt(v.dimNames.size)
-        v.dimNames.foreach(n => out.putInt(dimIdx(n)))
-        out.put(listBytes(0x0C, v.atts.map(attBytes)))
-        out.putInt(v.ncType)
-        out.putInt(math.min(pad4(varSize(v)), Int.MaxValue.toLong).toInt)
-        if (version == 2) out.putLong(begins(v.name)) else out.putInt(begins(v.name).toInt)
+        hdr.put(nameBytes(v.name))
+        hdr.putInt(v.dimNames.size)
+        v.dimNames.foreach(n => hdr.putInt(dimIdx(n)))
+        hdr.put(listBytes(0x0C, v.atts.map(attBytes)))
+        hdr.putInt(v.ncType)
+        hdr.putInt(math.min(pad4(varSize(v)), Int.MaxValue.toLong).toInt)
+        if (version == 2) hdr.putLong(begins(v.name))
+        else hdr.putInt(begins(v.name).toInt)
       }
     }
-    def putVal(at: Int, t: Int, d: Double): Unit = t match {
-      case NcByte => out.put(at, d.toByte)
-      case NcShort => out.putShort(at, d.toShort)
-      case NcInt => out.putInt(at, d.toInt)
-      case NcFloat => out.putFloat(at, d.toFloat)
-      case NcDouble => out.putDouble(at, d)
+    dos.write(hdr.array())
+    def writeVal(t: Int, d: Double): Unit = t match {
+      case NcByte => dos.writeByte(d.toByte)
+      case NcShort => dos.writeShort(d.toShort)
+      case NcInt => dos.writeInt(d.toInt)
+      case NcFloat => dos.writeFloat(d.toFloat)
+      case NcDouble => dos.writeDouble(d)
       case NcChar => throw new IllegalArgumentException(
         "NC_CHAR data variables not supported by this writer")
     }
+    var written: Long = pad4(headerLen)
+    def padTo(target: Long): Unit =
+      while (written < target) { dos.writeByte(0); written += 1 }
     fixedVars.foreach { v =>
       val w = widthOf(v.ncType)
       val n = (varSize(v) / w).toInt
       require(v.values.length == n,
         s"${v.name}: ${v.values.length} values for $n cells")
       var i = 0
-      while (i < n) { putVal((begins(v.name) + i.toLong * w).toInt, v.ncType, v.values(i)); i += 1 }
+      while (i < n) { writeVal(v.ncType, v.values(i)); i += 1 }
+      written += varSize(v)
+      padTo(pad4(written))
     }
-    recVars.foreach { v =>
-      val w = widthOf(v.ncType)
-      val perRec = (varSize(v) / w).toInt
-      require(v.values.length == perRec * numRecs,
+    if (checkRecLens) recVars.foreach { v =>
+      val perRec = (varSize(v) / widthOf(v.ncType)).toInt
+      require(v.values.length == perRec.toLong * numRecs,
         s"${v.name}: ${v.values.length} values for $perRec x $numRecs cells")
-      var r = 0
-      while (r < numRecs) {
-        var i = 0
-        while (i < perRec) {
-          putVal((begins(v.name) + r * recStride + i.toLong * w).toInt,
-            v.ncType, v.values(r * perRec + i))
-          i += 1
-        }
-        r += 1
-      }
     }
-    out.array()
+    var r = 0
+    while (r < numRecs) {
+      recVars.foreach { v =>
+        val w = widthOf(v.ncType)
+        val perRec = (varSize(v) / w).toInt
+        val vals = recordOf(v.name, r)
+        require(vals.length == perRec,
+          s"${v.name} record $r: ${vals.length} values for $perRec cells")
+        var i = 0
+        while (i < perRec) { writeVal(v.ncType, vals(i)); i += 1 }
+        written += varSize(v)
+        // the classic special case: a SINGLE record variable packs
+        // records unpadded; several are each padded to 4
+        if (recVars.size > 1) padTo(pad4(written))
+      }
+      r += 1
+    }
+    dos.flush()
   }
 
   // ---- grid mapping (the xarray `ds[var].isel(time=i)` shape) ----------

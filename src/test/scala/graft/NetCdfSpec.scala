@@ -218,6 +218,46 @@ class NetCdfSpec extends SparkSpec {
     assert(e.getMessage.contains("in-memory writer"), e.getMessage)
   }
 
+  test("encodeRecords streams byte-identical files record-at-a-time " +
+      "(the >2 GiB CDF-2 publish path)") {
+    // mixed shape: a fixed coordinate var (odd byte length → padding),
+    // TWO record vars (padded strides), CDF-1 and CDF-2
+    val dims = Seq(Dim("time", 0), Dim("x", 3))
+    val xs = VarSpec("x", Seq("x"), NetCdf.NcByte,
+      values = Array(7, 8, 9).map(_.toDouble))
+    val b = VarSpec("b", Seq("time", "x"), NetCdf.NcShort,
+      atts = Seq(Att("units", Some("mm"), Array.empty)),
+      values = Array(1, 2, 3, 4, 5, 6).map(_.toDouble))
+    val c = VarSpec("c", Seq("time", "x"), NetCdf.NcByte,
+      values = Array(9, 8, 7, 6, 5, 4).map(_.toDouble))
+    for (ver <- Seq(1, 2)) {
+      val whole = NetCdf.encode(dims, Nil, Seq(xs, b, c), numRecs = 2,
+        version = ver)
+      val bos = new java.io.ByteArrayOutputStream()
+      NetCdf.encodeRecords(dims, Nil, Seq(xs, b, c), numRecs = 2, bos,
+        // record slices supplied lazily — the streaming contract
+        (name, r) => {
+          val src = if (name == "b") b.values else c.values
+          java.util.Arrays.copyOfRange(src, r * 3, r * 3 + 3)
+        }, version = ver)
+      assert(bos.toByteArray.toSeq == whole.toSeq, s"version $ver")
+    }
+    // streamed straight to a FILE, decoded back
+    val p = java.nio.file.Files.createTempFile("graft_ncstream", ".nc")
+    val fos = new java.io.FileOutputStream(p.toFile)
+    try NetCdf.encodeRecords(dims, Nil, Seq(xs, b), numRecs = 2, fos,
+      (_, r) => java.util.Arrays.copyOfRange(b.values, r * 3, r * 3 + 3))
+    finally fos.close()
+    val f = NetCdf.decode(java.nio.file.Files.readAllBytes(p))
+    assert(f.read("b").toSeq == b.values.toSeq)
+    assert(f.read("x").toSeq == Seq(7.0, 8.0, 9.0))
+    // a record slice of the wrong width refuses loudly mid-stream
+    intercept[IllegalArgumentException] {
+      NetCdf.encodeRecords(dims, Nil, Seq(b), numRecs = 2,
+        new java.io.ByteArrayOutputStream(), (_, _) => Array(1.0))
+    }
+  }
+
   test("planner failure plans an unprunable whole-file split that fails loudly") {
     // a corrupt .nc file: the planner cannot learn its step count, so
     // it must plan ONE split no pushed t bound can prune — the old
