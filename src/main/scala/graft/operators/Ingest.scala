@@ -3199,29 +3199,30 @@ object Ingest {
 
   /** i63: the GRIB TRANSPORT CYCLE inside the correctness gate — the
     * i62 pattern for the engine's other acquisition format: the same
-    * deterministic lineitem grid is packed as TWO real GRIB2 messages
-    * (template 3.0 lat/lon grid, BITMAP for empty cells, 2^-2 binary
-    * scale, param number = slice index) — slice 0 as 5.0 SIMPLE
+    * deterministic lineitem grid is packed as THREE real GRIB2
+    * messages (template 3.0 lat/lon grid, BITMAP for empty cells, 2^-2
+    * binary scale, param number = slice index) — slice 0 as 5.0 SIMPLE
     * packing through [[graft.sources.GribMeta.encodeSimple]], slice 1
     * as 5.3 COMPLEX packing with second-order spatial differencing
     * through [[graft.sources.GribMeta.encodeComplex]] (r10: the ECMWF
     * archive common case, group-split refs/widths/lengths + difference
-    * integration, now inside the hash gate too) — landed as one
-    * concatenated archive, decoded back task-side by
-    * [[graft.sources.GribMeta.readValues]], and hash-checked against
-    * DuckDB recomputing the grid directly — bit-slips anywhere in the
-    * section walk, bitmap masking, (R + X·2^E) unpacking, or the
-    * group/differencing reconstruction break the hash (2^-2 and the
-    * integer codes are exact in binary, so no rounding is needed on
-    * either side).
+    * integration), slice 2 as 5.41 PNG packing through
+    * [[graft.sources.GribMeta.encodePng]] (r11: the NCEP disseminated
+    * shape, 24-bit RGB carrier) — landed as one concatenated archive,
+    * decoded back task-side by [[graft.sources.GribMeta.readValues]],
+    * and hash-checked against DuckDB recomputing the grid directly —
+    * bit-slips anywhere in the section walk, bitmap masking,
+    * (R + X·2^E) unpacking, group/differencing reconstruction, or the
+    * PNG pixel walk break the hash (2^-2 and the integer codes are
+    * exact in binary, so no rounding is needed on either side).
     *
-    * Scale shape: identical to i62 — fixed 2×(8×12) grid, one
-    * 192-group partial-agg shuffle, model-state-bounded driver encode,
+    * Scale shape: identical to i62 — fixed 3×(8×12) grid, one
+    * 288-group partial-agg shuffle, model-state-bounded driver encode,
     * per-archive-file task fan-out on the read. */
   def i63: QueryDef = QueryDef(
     "i63_grib_cycle",
     """WITH g AS (
-      |  SELECT CAST(l_linenumber % 2 AS INTEGER) AS t,
+      |  SELECT CAST(l_linenumber % 3 AS INTEGER) AS t,
       |    CAST(l_suppkey % 8 AS INTEGER) AS y,
       |    CAST(l_partkey % 12 AS INTEGER) AS x,
       |    CAST(SUM(l_quantity) AS BIGINT) AS q
@@ -3229,16 +3230,18 @@ object Ingest {
       |SELECT t, x, y, 2048.0 + CAST(q AS DOUBLE) / 4 AS value
       |FROM g ORDER BY t, y, x""".stripMargin) { (spark, dir) =>
     import graft.sources.GribMeta
-    val (nt, ny, nx) = (2, 8, 12)
+    val (nt, ny, nx) = (3, 8, 12)
     val cells = Tables(spark, dir).lineitem
-      .groupBy((col("l_linenumber") % 2).cast("int").as("t"),
+      .groupBy((col("l_linenumber") % 3).cast("int").as("t"),
         (col("l_suppkey") % 8).cast("int").as("y"),
         (col("l_partkey") % 12).cast("int").as("x"))
       .agg(sum(col("l_quantity")).cast("long").as("q"))
-      .collect() // bounded by the fixed grid (≤192 cells), not the data
+      .collect() // bounded by the fixed grid (≤288 cells), not the data
     val grids = Array.fill(nt)(Array.fill[Long](ny * nx)(-1L)) // -1 = missing
     cells.foreach(r =>
       grids(r.getInt(0))(r.getInt(1) * nx + r.getInt(2)) = r.getLong(3))
+    // one slice per packing family — simple 5.0, complex+spatial 5.3,
+    // PNG 5.41 (r11) — all under the same DuckDB hash
     val msgs = grids.zipWithIndex.map { case (g, t) =>
       val mask = g.map(_ >= 0L)
       if (t == 0)
@@ -3246,11 +3249,16 @@ object Ingest {
           refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
           xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,
           refTime = (1995, 1, 1 + t, 0, 0))
-      else // the same contract through the 5.3 complex-packing writer
+      else if (t == 1) // the same contract through the 5.3 complex writer
         GribMeta.encodeComplex(nx, ny, paramCategory = 1, paramNumber = t,
           refValue = 2048f, binScale = -2, decScale = 0,
           xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,
           refTime = (1995, 1, 1 + t, 0, 0), groupLen = 16, spatialOrder = 2)
+      else // …and through the 5.41 PNG writer (RGB 24-bit carrier)
+        GribMeta.encodePng(nx, ny, paramCategory = 1, paramNumber = t,
+          refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
+          xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,
+          refTime = (1995, 1, 1 + t, 0, 0))
     }
     val gribDir = java.nio.file.Paths.get(
       graft.Fixtures.pathFor(dir, "i63_grib"))

