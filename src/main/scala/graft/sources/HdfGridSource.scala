@@ -25,7 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale shape ([[NcGridSource]]'s disciplines on the [[Hdf]] codec):
   *   - one InputPartition per (file × SDS) — a date's tile set fans
   *     out across tiles AND subdatasets, the per-layer mosaic
-  *     parallelism the reference's per-subset loop implies;
+  *     parallelism the reference's per-subset loop implies; WIDE
+  *     products (many SDS) cap at `maxSplitsPerFile` splits per file
+  *     (default 8, r11): each split decodes the file once for a GROUP
+  *     of subdatasets, so a 40-layer product costs 8 file reads, not
+  *     40 — per-layer parallelism is preserved up to the cap and
+  *     payload decode stays per-SDS either way;
   *   - the PLANNER reads only a bounded header prefix per file (DD
   *     blocks + SDS metadata — never pixels) to learn the SDS list;
   *     a planning-side failure plans one unprunable whole-file split
@@ -45,7 +50,8 @@ class HdfGridSource extends TableProvider {
     val path = properties.get("path")
     require(path != null, "HdfGridSource requires option(\"path\", ...)")
     new HdfGridTable(path, Option(properties.get("sds")),
-      "true".equalsIgnoreCase(properties.getOrDefault("keepFill", "false")))
+      "true".equalsIgnoreCase(properties.getOrDefault("keepFill", "false")),
+      properties.getOrDefault("maxSplitsPerFile", "8").toInt)
   }
 }
 
@@ -73,18 +79,19 @@ object HdfGridSource {
   }
 }
 
-final class HdfGridTable(path: String, sds: Option[String], keepFill: Boolean)
+final class HdfGridTable(path: String, sds: Option[String],
+    keepFill: Boolean, maxSplitsPerFile: Int)
     extends Table with SupportsRead {
   override def name(): String = s"graft_hdf($path)"
   override def schema(): StructType = HdfGridSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new HdfScanBuilder(path, sds, keepFill)
+    new HdfScanBuilder(path, sds, keepFill, maxSplitsPerFile)
 }
 
 final class HdfScanBuilder(path: String, sdsOpt: Option[String],
-    keepFill: Boolean)
+    keepFill: Boolean, maxSplitsPerFile: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = HdfGridSource.fullSchema
@@ -116,13 +123,15 @@ final class HdfScanBuilder(path: String, sdsOpt: Option[String],
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan =
-    new HdfScan(path, sdsOpt, required, keepFill, pathPreds, sdsPreds)
+    new HdfScan(path, sdsOpt, required, keepFill, pathPreds, sdsPreds,
+      maxSplitsPerFile)
 }
 
 final class HdfScan(path: String, sdsOpt: Option[String],
     required: StructType, keepFill: Boolean,
     pathPreds: Seq[String => Boolean] = Nil,
-    sdsPreds: Seq[String => Boolean] = Nil) extends Scan with Batch {
+    sdsPreds: Seq[String => Boolean] = Nil,
+    maxSplitsPerFile: Int = 8) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
@@ -139,16 +148,25 @@ final class HdfScan(path: String, sdsOpt: Option[String],
             // tile instead of the sds predicate pruning it silently
             Seq(HdfPartition(f, None): InputPartition)
           case Some(names) =>
-            names
+            val matching = names
               .filter(n => sdsOpt.forall(_ == n) && sdsPreds.forall(_(n)))
-              .map(n => HdfPartition(f, Some(n)): InputPartition)
+            // wide products group: at most maxSplitsPerFile splits per
+            // file, SDS interleaved — each split pays ONE file read
+            val nSplits = math.max(1,
+              math.min(matching.size, maxSplitsPerFile))
+            (0 until nSplits).flatMap { k =>
+              val group = matching.zipWithIndex
+                .collect { case (n, i) if i % nSplits == k => n }
+              if (group.isEmpty) None
+              else Some(HdfPartition(f, Some(group)): InputPartition)
+            }
         }
       }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new HdfReaderFactory(required.fieldNames, sdsOpt, keepFill)
 }
 
-final case class HdfPartition(file: String, sds: Option[String])
+final case class HdfPartition(file: String, sds: Option[Seq[String]])
     extends InputPartition
 
 final class HdfReaderFactory(fields: Array[String], sdsOpt: Option[String],
@@ -171,7 +189,7 @@ final class HdfReaderFactory(fields: Array[String], sdsOpt: Option[String],
     new PartitionReader[InternalRow] {
       private val f = Hdf.decode(GridFiles.readBytes(p.file))
       // the fallback whole-file split reads every (option-matching) SDS
-      private val names = p.sds.map(Seq(_)).getOrElse(
+      private val names = p.sds.getOrElse(
         f.sds.map(_.name).filter(n => sdsOpt.forall(_ == n)))
       private val pathUtf = UTF8String.fromString(p.file)
       private val cells = names.iterator.flatMap { n =>

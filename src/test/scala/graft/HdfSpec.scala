@@ -252,6 +252,35 @@ class HdfSpec extends SparkSpec {
     assert(fn == dsv2)
   }
 
+  test("HdfGridSource: wide products group SDS into maxSplitsPerFile splits, one file read each") {
+    // a 10-layer product: default cap 8 → 8 splits; cap 3 → 3 splits;
+    // rows identical either way (the WATCH item from the r10 verdict —
+    // per-SDS splits re-read the whole file once per layer)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hdfwide").toString
+    val wide = Hdf.encode((0 until 10).map(i =>
+      SdsSpec(s"layer$i", Seq(2, 2), Hdf.Int16,
+        Array(1, 2, 3, 4).map(v => (v + i * 10).toDouble))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/w.hdf"), wide)
+    def load(cap: Option[Int]) = {
+      val r = spark.read.format("graft.sources.HdfGridSource")
+        .option("path", dir)
+      cap.fold(r)(c => r.option("maxSplitsPerFile", c.toString)).load()
+    }
+    val byDefault = load(None)
+    assert(byDefault.rdd.getNumPartitions == 8,
+      s"${byDefault.rdd.getNumPartitions}")
+    val capped = load(Some(3))
+    assert(capped.rdd.getNumPartitions == 3)
+    val all = capped.collect().map(r =>
+      (r.getString(1), r.getInt(2), r.getInt(3), r.getDouble(4))).toSet
+    assert(all.size == 40)
+    assert(all.contains(("layer7", 1, 1, 74.0)))
+    assert(load(Some(3)).count() == load(None).count())
+    // sds predicates still prune below the cap
+    val one = load(Some(3)).filter(col("sds") === "layer4")
+    assert(one.rdd.getNumPartitions == 1 && one.count() == 4)
+  }
+
   test("chunked storage: encode/decode round-trip across coders and clipped edges") {
     // 5×7 int16, 2×3 chunks → 3×3 chunk grid, both edges clipped
     val vals = Array.tabulate(35)(i => ((i % 11) - 3).toDouble)
