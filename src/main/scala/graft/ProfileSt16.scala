@@ -80,11 +80,7 @@ object ProfileSt16 {
           .agg(count(when(col("hit0").isNull, 1))).collect()
       }
       t(s"batch sig+merged 1-join (r$round)") {
-        val probes = withBands.select(col("source"), col("n_chars"),
-          posexplode(array((0 until 4).map(b => col(s"bh$b")): _*))
-            .as(Seq("band_idx", "band_hash")))
-        // per-doc any-hit via groupBy over an exploded monotonic id —
-        // needs a doc key; use doc_id
+        // per-doc any-hit via groupBy over the exploded band rows
         val probes2 = withBands.select(col("doc_id"), col("source"),
           col("n_chars"),
           posexplode(array((0 until 4).map(b => col(s"bh$b")): _*))
@@ -98,7 +94,6 @@ object ProfileSt16 {
             count(when(col("hit").isNotNull, 1)).as("n_neardup"),
             sum(when(col("hit").isNull, col("n_chars"))).as("chars_landed"))
           .collect()
-        probes.inputFiles // silence unused
       }
     }
     // phase C: the full streamed query as shipped

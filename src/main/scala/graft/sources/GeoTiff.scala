@@ -391,7 +391,10 @@ object GeoTiff {
       val n = lvls(i).tiles.length
       2 + nTags(i) * 12 + 4 +
         (if (n > 1) 8 * n else 0) + 24 + 48 +
-        ndAscii.map(_.length).getOrElse(0)
+        // region envelope pads an odd nodata ascii to even, so the
+        // NEXT region's IFD starts word-aligned (the ascii is the
+        // region's last out-of-line value; its tag count stays real)
+        ndAscii.map(a => (a.length + 1) & ~1).getOrElse(0)
     }
     val regionOffs = lvls.indices.scanLeft(8)((acc, i) => acc + regionSize(i))
     val dataStart = regionOffs.last

@@ -684,6 +684,11 @@ object GribMeta {
     require(bands == 1 || bands == 3 || bands == 4,
       s"message $msgIdx: PNG with $bands bands off the 5.41 contract " +
         "(gray / RGB / RGBA)")
+    // an indexed-color PNG also reads as 1 band, but getSample yields
+    // PALETTE INDICES — silent wrong values; refuse by name
+    require(!img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel],
+      s"message $msgIdx: indexed-color (palette) PNG off the 5.41 " +
+        "contract — codes must be gray or RGB(A) samples")
     val out = new Array[Long](w * h)
     var i = 0
     var y = 0
@@ -721,6 +726,9 @@ object GribMeta {
       centre: Int = 0, discipline: Int = 0,
       refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0)): Array[Byte] = {
     require(nBits >= 1 && nBits <= 32, s"bad nBits $nBits")
+    require(xs.nonEmpty,
+      "PNG packing cannot carry zero present points (a 0-wide image " +
+        "is not encodable) — use simple packing for all-missing slices")
     require(xs.forall(x => x >= 0 && x < (1L << nBits)),
       s"packed code out of the $nBits-bit range")
     bitmap.foreach { m =>

@@ -354,7 +354,10 @@ object Hdf {
       s"SDS '$name': chunk table tag $tblTag is not DFTAG_VH ($TagVH)")
     require(ndims == sds.dims.size && ndims >= 1 && ndims <= 32,
       s"SDS '$name': chunked rank $ndims disagrees with SDD rank ${sds.dims.size}")
-    require(d.len >= 39 + 12L * ndims + 4,
+    // fixed fields through ndims = 35 bytes, then 12 per dim, then the
+    // 4-byte fill length (fill bytes themselves re-checked below) —
+    // demanding more refused spec-minimal records with short fills
+    require(d.len >= 35 + 12L * ndims + 4,
       s"SDS '$name': CHUNKED record overruns its element")
     val w = widthOf(sds.ntype)
     require(ntSize == w,
@@ -692,6 +695,11 @@ object Hdf {
           // [[chunkedPayload]] decodes
           require(cd.size == s.dims.size && cd.forall(_ > 0),
             s"SDS '${s.name}': chunk dims $cd must match rank ${s.dims.size}")
+          // validate at WRITE time what the reader refuses at read time
+          cd.zip(s.dims).foreach { case (c0, d0) =>
+            require(c0 <= d0,
+              s"SDS '${s.name}': chunk dims $cd exceed dims ${s.dims}")
+          }
           val rank2 = cd.size
           val counts = s.dims.zip(cd).map { case (d0, c0) =>
             (d0 + c0 - 1) / c0
@@ -779,7 +787,7 @@ object Hdf {
           }
           els += El(TagVS, tblRef, vs.array())
           // chunked description record
-          val hdrLen = 39 + 12 * rank2 + 4 + w
+          val hdrLen = 39 + 12 * rank2 + w
           val hdr = ByteBuffer.allocate(hdrLen).order(ByteOrder.BIG_ENDIAN)
           hdr.putShort(SpecialChunked.toShort)
           hdr.putInt(hdrLen - 6) // head length after this field

@@ -459,7 +459,7 @@ object Hdf5 {
     * `singleFiltered` carries the (size, mask) the single-chunk index
     * stores inline when a pipeline is present. */
   private final case class LayChunkedV4(indexType: Int, addr: Long,
-      cdims: Seq[Int], pageBits: Int,
+      cdims: Seq[Int], flags: Int,
       singleFiltered: Option[(Long, Int)]) extends Layout
 
   private def parseLayout(r: Reader, o: Long, path: String): Layout = {
@@ -522,12 +522,12 @@ object Hdf5 {
             p += 12
             Some((sz, mask))
           } else None
-        LayChunkedV4(1, r.i64(p), cdims.map(_.toInt), 0, sf)
+        LayChunkedV4(1, r.i64(p), cdims.map(_.toInt), flags, sf)
       case 2 =>
-        LayChunkedV4(2, r.i64(p), cdims.map(_.toInt), 0, None)
+        LayChunkedV4(2, r.i64(p), cdims.map(_.toInt), flags, None)
       case 3 =>
-        val pageBits = r.u8(p); p += 1
-        LayChunkedV4(3, r.i64(p), cdims.map(_.toInt), pageBits, None)
+        p += 1 // page bits: re-read from the FAHD header, authoritative
+        LayChunkedV4(3, r.i64(p), cdims.map(_.toInt), flags, None)
       case 4 => throw new IllegalArgumentException(
         s"dataset '$path': v4 chunk index type 4 (extensible array — " +
           "unlimited dims) unsupported; re-export with fixed dims or " +
@@ -546,6 +546,13 @@ object Hdf5 {
     * skipped — the fill shows through, the v1-B-tree contract. */
   private def chunksV4(r: Reader, l: LayChunkedV4, dims: Seq[Long],
       eltSize: Int, filtered: Boolean, path: String): Seq[ChunkRef] = {
+    // flag bit 0 = partial edge chunks stored UNfiltered: pushing them
+    // through the pipeline anyway would scatter silent garbage (or die
+    // with a misleading inflate/checksum error) — refuse by name
+    require(!(filtered && (l.flags & 0x1) != 0),
+      s"dataset '$path': v4 chunked flag DONT_FILTER_PARTIAL_BOUND_CHUNKS " +
+        "with a filter pipeline unsupported — edge chunks are stored " +
+        "unfiltered; re-export without the chunk option")
     val rank = l.cdims.size
     val counts = dims.zip(l.cdims).map { case (d, c) =>
       ((d + c - 1) / c).toInt

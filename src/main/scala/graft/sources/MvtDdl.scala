@@ -53,11 +53,15 @@ object MvtDdl {
   /** The `(z, x, y, date) → bytea` dynamic-layer tile function — the
     * reference's `create_or_replace_mvt_function`, returning one MVT
     * blob per tile request with the dataset's data columns as feature
-    * properties in the `default` layer. */
+    * properties in the `default` layer. `srid` must match the table's
+    * geometry SRID (the reference hardcodes 4326 while letting the
+    * table take any SRID — a mixed-SRID runtime error for every other
+    * choice; here the bounds transform is parameterized). */
   def createTileFunctionSql(schemaName: String, tableName: String,
-      dataColumns: Seq[String]): String = {
+      dataColumns: Seq[String], srid: Int = 4326): String = {
     checkIdent("schema", schemaName); checkIdent("table", tableName)
     dataColumns.foreach(checkIdent("data column", _))
+    require(srid > 0 && srid <= 998999, s"implausible SRID $srid")
     val extra = dataColumns.map(c => s", t.$c").mkString
     s"""CREATE OR REPLACE FUNCTION $schemaName.$tableName(
        |    z integer, x integer, y integer, data_date timestamp)
@@ -71,7 +75,7 @@ object MvtDdl {
        |    SELECT ST_AsMVTGeom(ST_Transform(t.geom, 3857), bounds.geom) AS geom,
        |      t.date$extra
        |    FROM $schemaName.$tableName t, bounds
-       |    WHERE ST_Intersects(t.geom, ST_Transform(bounds.geom, 4326))
+       |    WHERE ST_Intersects(t.geom, ST_Transform(bounds.geom, $srid))
        |      AND t.date = data_date
        |  )
        |  SELECT ST_AsMVT(mvtgeom, 'default') FROM mvtgeom;

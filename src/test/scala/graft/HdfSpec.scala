@@ -365,10 +365,14 @@ class HdfSpec extends SparkSpec {
     vs.putInt(0).putInt(1).putShort(61).putShort(11)
     vs.putInt(1).putInt(0).putShort(61).putShort(13)
     el(1963, 9, vs.array())
-    // chunked description record (SD extended)
-    val hdr = java.nio.ByteBuffer.allocate(39 + 24 + 4 + 2)
+    // chunked description record (SD extended) — spec-MINIMAL size:
+    // 35 fixed + 12·ndims + 4 fill-length + 2 fill bytes, nothing
+    // after (the HDF4 C library writes exactly this for uncompressed-
+    // chunk files; an over-strict length require refused it, r11
+    // self-review)
+    val hdr = java.nio.ByteBuffer.allocate(39 + 24 + 2)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
-    hdr.putShort(6).putInt(39 + 24 + 4 + 2 - 6)
+    hdr.putShort(6).putInt(39 + 24 + 2 - 6)
     hdr.put(1.toByte).putInt(1).putInt(30).putInt(12).putInt(2)
     hdr.putShort(1962).putShort(9).putShort(1).putShort(0)
     hdr.putInt(2)
