@@ -2,10 +2,13 @@ package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Clean-room NetCDF-3 codec (classic CDF-1 and 64-bit-offset CDF-2),
-  * written from the PUBLIC classic-format specification (the NetCDF
-  * User Guide's file-format appendix — `magic numrecs dim_list
-  * gatt_list var_list` header, big-endian, 4-byte alignment), closing
+/** Clean-room NetCDF-3 codec (classic CDF-1, 64-bit-offset CDF-2,
+  * and — r11 — 64-bit-data CDF-5: every NON_NEG count widened to 8
+  * bytes and the five unsigned/64-bit nc_types, per the public CDF-5
+  * format specification), written from the PUBLIC classic-format
+  * specification (the NetCDF User Guide's file-format appendix —
+  * `magic numrecs dim_list gatt_list var_list` header, big-endian,
+  * 4-byte alignment), closing
   * the reference's single most-used transport format: CAMS downloads
   * `.nc` and opens with xarray
   * (`/root/reference/ingest/cams_forecast/__init__.py:63`), TAMSAT
@@ -17,9 +20,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * Same rungs as the [[GeoTiff]] codec:
   *   - decode is TASK-side (see [[NcGridSource]] / [[readGrid]]) —
   *     the driver never touches payload bytes;
-  *   - unsupported layouts fail LOUDLY (CDF-5, char data variables,
-  *     more than one non-singleton extra dimension) — the codec-gate
-  *     discipline: never silently misread;
+  *   - unsupported layouts fail LOUDLY (char data variables, CDF-5
+  *     type codes smuggled into classic files, more than one
+  *     non-singleton extra dimension) — the codec-gate discipline:
+  *     never silently misread;
   *   - `encode` writes the same subset it reads, giving byte-level
   *     round-trip specs plus hand-crafted independent fixtures.
   *
@@ -30,17 +34,25 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object NetCdf {
 
-  // classic nc_type codes (public spec §"The Format in Detail")
+  // classic nc_type codes (public spec §"The Format in Detail");
+  // 7-11 are the CDF-5 additions (64-bit data format spec)
   val NcByte = 1; val NcChar = 2; val NcShort = 3
   val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+  val NcUByte = 7; val NcUShort = 8; val NcUInt = 9
+  val NcInt64 = 10; val NcUInt64 = 11
 
   private def widthOf(t: Int): Int = t match {
-    case NcByte | NcChar => 1
-    case NcShort => 2
-    case NcInt | NcFloat => 4
-    case NcDouble => 8
+    case NcByte | NcChar | NcUByte => 1
+    case NcShort | NcUShort => 2
+    case NcInt | NcFloat | NcUInt => 4
+    case NcDouble | NcInt64 | NcUInt64 => 8
     case other => throw new IllegalArgumentException(s"unknown nc_type $other")
   }
+
+  /** Unsigned 64-bit → double (2^64 wrap); values past 2^53 round to
+    * the nearest representable double — the xarray convention. */
+  private def u64ToDouble(v: Long): Double =
+    if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552E19
 
   /** length == 0 marks the record (unlimited) dimension. */
   final case class Dim(name: String, length: Int) {
@@ -120,10 +132,15 @@ object NetCdf {
       while (i < n) {
         out(outOff + i) = t match {
           case NcByte => bb.get(o).toDouble
+          case NcUByte => (bb.get(o) & 0xff).toDouble
           case NcShort => bb.getShort(o).toDouble
+          case NcUShort => (bb.getShort(o) & 0xffff).toDouble
           case NcInt => bb.getInt(o).toDouble
+          case NcUInt => (bb.getInt(o).toLong & 0xffffffffL).toDouble
           case NcFloat => bb.getFloat(o).toDouble
           case NcDouble => bb.getDouble(o)
+          case NcInt64 => bb.getLong(o).toDouble
+          case NcUInt64 => u64ToDouble(bb.getLong(o))
         }
         o += w
         i += 1
@@ -135,13 +152,22 @@ object NetCdf {
 
   // ---- header decode ----------------------------------------------------
 
-  private final class Reader(bytes: Array[Byte]) {
+  private final class Reader(bytes: Array[Byte], val wide: Boolean = false) {
     val bb: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     var pos = 0
     def i4(): Int = { val v = bb.getInt(pos); pos += 4; v }
     def i8(): Long = { val v = bb.getLong(pos); pos += 8; v }
+    /** A NON_NEG count: 4 bytes classic, 8 bytes CDF-5 — bounded to
+      * Int here because every in-memory structure it sizes is. */
+    def count(): Int =
+      if (!wide) i4()
+      else {
+        val v = i8()
+        require(v >= 0 && v <= Int.MaxValue, s"CDF-5 count $v out of range")
+        v.toInt
+      }
     def name(): String = {
-      val n = i4()
+      val n = count()
       require(n >= 0 && pos + n <= bytes.length, s"bad name length $n at $pos")
       val s = new String(bytes, pos, n, "UTF-8")
       pos += pad4(n).toInt
@@ -167,23 +193,29 @@ object NetCdf {
     require(bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
       "missing CDF magic — not a classic NetCDF file")
     val version = bytes(3).toInt
-    require(version == 1 || version == 2,
-      s"unsupported CDF version $version (classic=1, 64-bit offset=2; " +
-        "CDF-5 is out of scope; NetCDF-4/HDF5 files decode through " +
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported CDF version $version (classic=1, 64-bit offset=2, " +
+        "64-bit data=5; NetCDF-4/HDF5 files decode through " +
         "graft.sources.Hdf5)")
-    val r = new Reader(bytes)
+    // CDF-5 (the 64-bit data format): every NON_NEG count — numrecs,
+    // name lengths, dim lengths, list/attribute nelems, dim ids,
+    // vsize, begin — widens to 8 bytes, and nc_type gains the five
+    // unsigned/64-bit codes
+    val r = new Reader(bytes, wide = version == 5)
     r.pos = 4
-    val numRecs = r.i4() // STREAMING (-1) not supported: landed files only
+    val numRecs = r.count() // STREAMING (-1) not supported: landed files only
     require(numRecs >= 0, "STREAMING record count not supported")
 
     def attList(): Seq[Att] = {
-      val tag = r.i4(); val n = r.i4()
+      val tag = r.i4(); val n = r.count()
       require((tag == 0x0C && n >= 0) || (tag == 0 && n == 0),
         s"bad attribute list tag $tag")
       (0 until n).map { _ =>
         val nm = r.name()
         val t = r.i4()
-        val count = r.i4()
+        require(r.wide || t <= NcDouble,
+          s"attribute $nm: nc_type $t is CDF-5-only in a classic file")
+        val count = r.count()
         require(count >= 0, s"bad attribute count for $nm")
         val w = widthOf(t)
         val end = r.pos + pad4(count.toLong * w).toInt
@@ -197,10 +229,15 @@ object NetCdf {
             while (i < count) {
               vals(i) = t match {
                 case NcByte => r.bb.get(r.pos + i * w).toDouble
+                case NcUByte => (r.bb.get(r.pos + i * w) & 0xff).toDouble
                 case NcShort => r.bb.getShort(r.pos + i * w).toDouble
+                case NcUShort => (r.bb.getShort(r.pos + i * w) & 0xffff).toDouble
                 case NcInt => r.bb.getInt(r.pos + i * w).toDouble
+                case NcUInt => (r.bb.getInt(r.pos + i * w).toLong & 0xffffffffL).toDouble
                 case NcFloat => r.bb.getFloat(r.pos + i * w).toDouble
                 case NcDouble => r.bb.getDouble(r.pos + i * w)
+                case NcInt64 => r.bb.getLong(r.pos + i * w).toDouble
+                case NcUInt64 => u64ToDouble(r.bb.getLong(r.pos + i * w))
               }
               i += 1
             }
@@ -211,21 +248,21 @@ object NetCdf {
       }
     }
 
-    val dimTag = r.i4(); val nDims = r.i4()
+    val dimTag = r.i4(); val nDims = r.count()
     require((dimTag == 0x0A && nDims >= 0) || (dimTag == 0 && nDims == 0),
       s"bad dimension list tag $dimTag")
-    val dims = (0 until nDims).map(_ => Dim(r.name(), r.i4()))
+    val dims = (0 until nDims).map(_ => Dim(r.name(), r.count()))
     require(dims.count(_.isRecord) <= 1, "more than one record dimension")
     val gatts = attList()
-    val varTag = r.i4(); val nVars = r.i4()
+    val varTag = r.i4(); val nVars = r.count()
     require((varTag == 0x0B && nVars >= 0) || (varTag == 0 && nVars == 0),
       s"bad variable list tag $varTag")
     val vars = (0 until nVars).map { _ =>
       val nm = r.name()
-      val nd = r.i4()
+      val nd = r.count()
       require(nd >= 0 && nd <= dims.size, s"variable $nm: bad rank $nd")
       val dimIds = (0 until nd).map { _ =>
-        val id = r.i4()
+        val id = r.count() // dim ids are NON_NEG too (8 bytes in CDF-5)
         require(id >= 0 && id < dims.size, s"variable $nm: bad dim id $id")
         id
       }
@@ -236,8 +273,11 @@ object NetCdf {
       val atts = attList()
       val t = r.i4()
       widthOf(t) // validates the type code
-      r.i4() // vsize: redundant (recomputed from dims) and overflow-prone
-      val begin = if (version == 2) r.i8() else r.i4().toLong
+      require(r.wide || t <= NcDouble,
+        s"variable $nm: nc_type $t is CDF-5-only in a classic file")
+      // vsize: redundant (recomputed from dims) and overflow-prone
+      if (version == 5) r.i8() else r.i4()
+      val begin = if (version >= 2) r.i8() else r.i4().toLong
       require(begin >= 0 && begin <= fileLen,
         s"variable $nm: begin $begin outside file")
       Variable(nm, dimIds, atts, t, begin)
@@ -294,39 +334,46 @@ object NetCdf {
       numRecs: Int, version: Int, os: java.io.OutputStream,
       recordOf: (String, Int) => Array[Double], maxTotal: Long,
       tooBig: Long => String, checkRecLens: Boolean): Unit = {
-    require(version == 1 || version == 2, s"bad version $version")
+    require(version == 1 || version == 2 || version == 5,
+      s"bad version $version")
+    val wide = version == 5 // CDF-5: every NON_NEG count is 8 bytes
+    val cw = if (wide) 8 else 4
     val dimIdx = dims.map(_.name).zipWithIndex.toMap
     def isRec(v: VarSpec) =
       v.dimNames.headOption.exists(n => dims(dimIdx(n)).isRecord)
 
+    def cnt(bb: ByteBuffer, v: Long): ByteBuffer =
+      if (wide) bb.putLong(v) else bb.putInt(v.toInt)
     def nameBytes(s: String): Array[Byte] = {
       val b = s.getBytes("UTF-8")
-      ByteBuffer.allocate(4 + pad4(b.length).toInt).putInt(b.length).put(b).array()
+      val bb = ByteBuffer.allocate(cw + pad4(b.length).toInt)
+      cnt(bb, b.length).put(b).array()
     }
     def attBytes(a: Att): Array[Byte] = a.text match {
       case Some(t) =>
         val tb = t.getBytes("UTF-8")
         val bb = ByteBuffer.allocate(
-          nameBytes(a.name).length + 8 + pad4(tb.length).toInt)
-        bb.put(nameBytes(a.name)).putInt(NcChar).putInt(tb.length).put(tb)
+          nameBytes(a.name).length + 4 + cw + pad4(tb.length).toInt)
+        cnt(bb.put(nameBytes(a.name)).putInt(NcChar), tb.length).put(tb)
         bb.array()
       case None =>
-        val bb = ByteBuffer.allocate(nameBytes(a.name).length + 8 + a.nums.length * 8)
-        bb.put(nameBytes(a.name)).putInt(NcDouble).putInt(a.nums.length)
+        val bb = ByteBuffer.allocate(
+          nameBytes(a.name).length + 4 + cw + a.nums.length * 8)
+        cnt(bb.put(nameBytes(a.name)).putInt(NcDouble), a.nums.length)
         a.nums.foreach(bb.putDouble)
         bb.array()
     }
     def listBytes(tag: Int, items: Seq[Array[Byte]]): Array[Byte] = {
-      if (items.isEmpty) Array.fill[Byte](8)(0)
+      if (items.isEmpty) Array.fill[Byte](4 + cw)(0)
       else {
-        val bb = ByteBuffer.allocate(8 + items.map(_.length).sum)
-        bb.putInt(tag).putInt(items.size)
+        val bb = ByteBuffer.allocate(4 + cw + items.map(_.length).sum)
+        cnt(bb.putInt(tag), items.size)
         items.foreach(bb.put)
         bb.array()
       }
     }
-    val dimsB = listBytes(0x0A,
-      dims.map(d => nameBytes(d.name) ++ ByteBuffer.allocate(4).putInt(d.length).array()))
+    val dimsB = listBytes(0x0A, dims.map(d => nameBytes(d.name) ++
+      cnt(ByteBuffer.allocate(cw), d.length).array()))
     val gattsB = listBytes(0x0C, gatts.map(attBytes))
 
     def varSize(v: VarSpec): Long = {
@@ -334,13 +381,14 @@ object NetCdf {
         .map(n => dims(dimIdx(n)).length.toLong).product
       fixed * widthOf(v.ncType)
     }
-    val beginWidth = if (version == 2) 8 else 4
+    val beginWidth = if (version >= 2) 8 else 4
     def varHeaderLen(v: VarSpec): Int =
-      nameBytes(v.name).length + 4 + v.dimNames.size * 4 +
-        listBytes(0x0C, v.atts.map(attBytes)).length + 4 + 4 + beginWidth
+      nameBytes(v.name).length + cw + v.dimNames.size * cw +
+        listBytes(0x0C, v.atts.map(attBytes)).length + 4 +
+        (if (wide) 8 else 4) + beginWidth
 
-    val headerLen = 8 + dimsB.length + gattsB.length +
-      (if (vars.isEmpty) 8 else 8 + vars.map(varHeaderLen).sum)
+    val headerLen = 4 + cw + dimsB.length + gattsB.length +
+      (if (vars.isEmpty) 4 + cw else 4 + cw + vars.map(varHeaderLen).sum)
     // layout: fixed vars (padded to 4) then the record section
     val fixedVars = vars.filterNot(isRec)
     val recVars = vars.filter(isRec)
@@ -355,8 +403,10 @@ object NetCdf {
       begins(v.name) = recOff
       recOff += (if (recVars.size == 1) varSize(v) else pad4(varSize(v)))
     }
+    vars.foreach(v => require(wide || v.ncType <= NcDouble,
+      s"${v.name}: nc_type ${v.ncType} is CDF-5-only (write version = 5)"))
     val total = off + recStride * numRecs
-    require(version == 2 || total <= Int.MaxValue, "file too large for CDF-1")
+    require(version >= 2 || total <= Int.MaxValue, "file too large for CDF-1")
     // the in-memory encode path caps maxTotal at 2 GiB (a bigger total
     // would truncate in allocate(total.toInt) and fail with a
     // confusing BufferOverflow far from the cause — r9 advice); the
@@ -370,29 +420,37 @@ object NetCdf {
     val hdr = ByteBuffer.allocate(pad4(headerLen).toInt)
       .order(ByteOrder.BIG_ENDIAN)
     hdr.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(version.toByte)
-    hdr.putInt(numRecs)
+    cnt(hdr, numRecs)
     hdr.put(dimsB).put(gattsB)
-    if (vars.isEmpty) hdr.putInt(0).putInt(0)
+    if (vars.isEmpty) cnt(hdr.putInt(0), 0)
     else {
-      hdr.putInt(0x0B).putInt(vars.size)
+      cnt(hdr.putInt(0x0B), vars.size)
       vars.foreach { v =>
         hdr.put(nameBytes(v.name))
-        hdr.putInt(v.dimNames.size)
-        v.dimNames.foreach(n => hdr.putInt(dimIdx(n)))
+        cnt(hdr, v.dimNames.size)
+        v.dimNames.foreach(n => cnt(hdr, dimIdx(n)))
         hdr.put(listBytes(0x0C, v.atts.map(attBytes)))
         hdr.putInt(v.ncType)
-        hdr.putInt(math.min(pad4(varSize(v)), Int.MaxValue.toLong).toInt)
-        if (version == 2) hdr.putLong(begins(v.name))
+        if (wide) hdr.putLong(pad4(varSize(v)))
+        else hdr.putInt(math.min(pad4(varSize(v)), Int.MaxValue.toLong).toInt)
+        if (version >= 2) hdr.putLong(begins(v.name))
         else hdr.putInt(begins(v.name).toInt)
       }
     }
     dos.write(hdr.array())
     def writeVal(t: Int, d: Double): Unit = t match {
       case NcByte => dos.writeByte(d.toByte)
+      case NcUByte => dos.writeByte((d.toLong & 0xff).toInt)
       case NcShort => dos.writeShort(d.toShort)
+      case NcUShort => dos.writeShort((d.toLong & 0xffff).toInt)
       case NcInt => dos.writeInt(d.toInt)
+      case NcUInt => dos.writeInt((d.toLong & 0xffffffffL).toInt)
       case NcFloat => dos.writeFloat(d.toFloat)
       case NcDouble => dos.writeDouble(d)
+      case NcInt64 => dos.writeLong(d.toLong)
+      case NcUInt64 => dos.writeLong(
+        if (d >= 9.223372036854776E18) (d - 1.8446744073709552E19).toLong
+        else d.toLong)
       case NcChar => throw new IllegalArgumentException(
         "NC_CHAR data variables not supported by this writer")
     }

@@ -175,9 +175,13 @@ class NetCdfSpec extends SparkSpec {
 
   test("corrupt inputs fail loudly, never silent junk") {
     intercept[IllegalArgumentException] { NetCdf.decode("HDF5junk".getBytes) }
-    // CDF-5 (version 5) and NetCDF-4 are out of scope — targeted error
+    // a classic file RELABELED CDF-5 parses its 4-byte counts as
+    // 8-byte garbage — must refuse loudly, never decode junk
     val v5 = handBuilt(); v5(3) = 5
-    assert(intercept[IllegalArgumentException] { NetCdf.decode(v5) }
+    intercept[Exception] { NetCdf.decode(v5) }
+    // unknown versions (e.g. 3) refuse by name
+    val v3 = handBuilt(); v3(3) = 3
+    assert(intercept[IllegalArgumentException] { NetCdf.decode(v3) }
       .getMessage.contains("version"))
     val good = handBuilt()
     for (cut <- Seq(5, 20, good.length / 2, good.length - 3))
@@ -205,6 +209,70 @@ class NetCdfSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       NetCdf.decode(handBuilt()).read("nope")
     }.getMessage.contains("rfe"))
+  }
+
+  test("CDF-5 (64-bit data): wide counts, new types round-trip; classic " +
+      "files refuse smuggled CDF-5 types; hand-built fixture decodes") {
+    // all five CDF-5 types + a classic one, record + fixed vars
+    val dims = Seq(Dim("time", 0), Dim("x", 3))
+    val specs = Seq(
+      VarSpec("ub", Seq("x"), NetCdf.NcUByte,
+        values = Array(0.0, 128.0, 255.0)),
+      VarSpec("us", Seq("x"), NetCdf.NcUShort,
+        values = Array(0.0, 40000.0, 65535.0)),
+      VarSpec("ui", Seq("x"), NetCdf.NcUInt,
+        values = Array(0.0, 3e9, 4294967295.0)),
+      VarSpec("i64", Seq("x"), NetCdf.NcInt64,
+        values = Array(-9e15, 0.0, 9e15)),
+      VarSpec("u64", Seq("x"), NetCdf.NcUInt64,
+        values = Array(0.0, 9.007199254740992E15, 1.844674407370955E19)),
+      VarSpec("f", Seq("time", "x"), NetCdf.NcFloat,
+        atts = Seq(Att("units", Some("K"), Array.empty)),
+        values = Array(1.5, 2.5, 3.5, 4.5, 5.5, 6.5)))
+    val enc = NetCdf.encode(dims, Seq(Att("title", Some("t5"), Array.empty)),
+      specs, numRecs = 2, version = 5)
+    assert(enc(3) == 5.toByte)
+    val f = NetCdf.decode(enc)
+    assert(f.version == 5 && f.numRecs == 2)
+    specs.foreach(v => assert(f.read(v.name).toSeq == v.values.toSeq, v.name))
+    assert(f.variable("f").att("units").flatMap(_.text).contains("K"))
+    // streaming writer emits identical CDF-5 bytes
+    val bos = new java.io.ByteArrayOutputStream()
+    NetCdf.encodeRecords(dims, Seq(Att("title", Some("t5"), Array.empty)),
+      specs, numRecs = 2, bos, (_, r) =>
+        java.util.Arrays.copyOfRange(specs.last.values, r * 3, r * 3 + 3),
+      version = 5)
+    assert(bos.toByteArray.toSeq == enc.toSeq)
+    // classic files cannot carry CDF-5 types — write AND read side
+    intercept[IllegalArgumentException] {
+      NetCdf.encode(Seq(Dim("x", 2)), Nil,
+        Seq(VarSpec("v", Seq("x"), NetCdf.NcUInt, values = Array(1.0, 2.0))))
+    }
+    val smuggled = enc.clone(); smuggled(3) = 2 // relabel CDF-5 as CDF-2
+    intercept[Exception] { NetCdf.decode(smuggled) }
+    // hand-built minimal CDF-5 fixture, independent of the encoder:
+    // one dim x=2, no gatts, one NC_INT64 var "v" with values (7, -8)
+    val bb = java.nio.ByteBuffer.allocate(200)
+    bb.put("CDF".getBytes("US-ASCII")).put(5.toByte)
+    bb.putLong(0L)              // numrecs
+    bb.putInt(0x0A).putLong(1L) // dim_list
+    bb.putLong(1L).put('x'.toByte).put(Array[Byte](0, 0, 0)) // name + pad
+    bb.putLong(2L)              // dim length
+    bb.putInt(0).putLong(0L)    // gatt_list ABSENT
+    bb.putInt(0x0B).putLong(1L) // var_list
+    bb.putLong(1L).put('v'.toByte).put(Array[Byte](0, 0, 0))
+    bb.putLong(1L)              // rank
+    bb.putLong(0L)              // dim id (NON_NEG: 8 bytes in CDF-5)
+    bb.putInt(0).putLong(0L)    // vatt_list ABSENT
+    bb.putInt(NetCdf.NcInt64)
+    bb.putLong(16L)             // vsize
+    val beginAt = bb.position(); bb.putLong(0L) // begin patched below
+    val dataAt = bb.position()
+    bb.putLong(beginAt, dataAt.toLong)
+    bb.putLong(7L).putLong(-8L)
+    val fx = NetCdf.decode(java.util.Arrays.copyOf(bb.array(), bb.position()))
+    assert(fx.dims == Seq(Dim("x", 2)))
+    assert(fx.read("v").toSeq == Seq(7.0, -8.0))
   }
 
   test("encode refuses >2 GiB totals unconditionally (in-memory writer bound)") {
