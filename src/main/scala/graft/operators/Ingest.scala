@@ -3413,12 +3413,14 @@ object Ingest {
     * deterministic lineitem grid becomes TWO int16 datasets in ONE
     * real HDF5 file (superblock v2, compact links, contiguous layout,
     * v3 fill message, CF `scale_factor`/`add_offset` attributes)
-    * through [[graft.sources.Hdf5.encode]], read back task-side by
-    * [[graft.sources.Hdf5.readGrid]] with netCDF CF semantics (fill →
-    * dropped, raw·0.25 + 2048 applied — both binary-exact), DuckDB
-    * recomputing grid + transform directly — a bit-slip in the
-    * superblock walk, OHDR message parse, link traversal, attribute
-    * decode, or contiguous read breaks the hash.
+    * through [[graft.sources.Hdf5.encode]], read back task-side
+    * through the [[graft.sources.H5GridSource]] DSv2 connector (r11:
+    * per-(file × dataset) splits, the t key recovered from the
+    * dataset name) with netCDF CF semantics (fill → dropped,
+    * raw·0.25 + 2048 applied — both binary-exact), DuckDB recomputing
+    * grid + transform directly — a bit-slip in the superblock walk,
+    * OHDR message parse, link traversal, attribute decode, contiguous
+    * read, or DSv2 split planning breaks the hash.
     *
     * Scale shape: i62's — fixed 2×(8×12) grids, one 192-group
     * partial-agg shuffle, grid-bounded driver encode, per-file task
@@ -3455,10 +3457,14 @@ object Ingest {
           fill = Some(-3000.0),
           attrs = Seq("scale_factor" -> 0.25, "add_offset" -> 2048.0))
       }.toSeq))
-    Seq(0, 1).map { t =>
-      Hdf5.readGrid(spark, h5Dir.resolve("grid.h5").toString, s"/q$t")
-        .select(lit(t).as("t"), col("x"), col("y"), col("value"))
-    }.reduce(_ unionAll _)
+    // read back through the H5GridSource DSv2 connector (r11): one
+    // scan plans per-(file × dataset) splits and the t key recovers
+    // from the dataset name — the same cells readGrid yields, but
+    // through the pruned, column-projected scale path
+    spark.read.format("graft.sources.H5GridSource")
+      .option("path", h5Dir.toString).load()
+      .select(regexp_extract(col("dataset"), "q(\\d+)", 1).cast("int").as("t"),
+        col("x"), col("y"), col("value"))
       .orderBy(col("t"), col("y"), col("x"))
   }
 

@@ -8,16 +8,17 @@ object GridFiles {
 
   /** Expand a path/glob to concrete file paths; a bare directory lists
     * its `*.$ext` leaves. */
-  def list(pathOrGlob: String, ext: String): Seq[String] = {
+  def list(pathOrGlob: String, exts: String*): Seq[String] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val p = new org.apache.hadoop.fs.Path(pathOrGlob)
     val fs = p.getFileSystem(conf)
     val expanded =
       if (fs.isDirectory(p))
-        fs.globStatus(new org.apache.hadoop.fs.Path(p, s"*.$ext"))
-      else fs.globStatus(p)
-    Option(expanded).toSeq.flatten.filter(_.isFile)
-      .map(_.getPath.toString).sorted
+        exts.flatMap(ext => Option(
+          fs.globStatus(new org.apache.hadoop.fs.Path(p, s"*.$ext")))
+          .toSeq.flatten)
+      else Option(fs.globStatus(p)).toSeq.flatten
+    expanded.filter(_.isFile).map(_.getPath.toString).distinct.sorted
   }
 
   /** Whole-file bytes (codec decode is in-memory by design — grid

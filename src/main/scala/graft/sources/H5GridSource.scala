@@ -1,0 +1,226 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, StringContains, StringEndsWith, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector over a DIRECTORY of HDF5/netCDF-4 files —
+  * the FIFTH grid connector (Tiff/Nc/Grib/Hdf/H5), completing the
+  * family for the acquisition format modern meteorological archives
+  * re-export into (netCDF-4 IS HDF5 on disk):
+  *
+  * {{{
+  *   spark.read.format("graft.sources.H5GridSource")
+  *     .option("path", "/data/nc4")       // dir, or a .h5 or .nc glob
+  *     .option("dataset", "/temp")        // omit → every dataset
+  *     .load()   // → (path, dataset, x, y, value)
+  * }}}
+  *
+  * Scale shape ([[HdfGridSource]]'s disciplines on the [[Hdf5]]
+  * codec):
+  *   - one InputPartition per (file × dataset), WIDE files capped at
+  *     `maxSplitsPerFile` grouped splits (default 8) so a
+  *     many-variable product pays bounded file reads;
+  *   - the PLANNER first tries a bounded header-prefix decode
+  *     (HDF5 metadata usually leads the file for earliest-format
+  *     writers); a prefix miss falls back to one full driver read,
+  *     and a corrupt file plans ONE unprunable whole-file split that
+  *     fails loudly task-side;
+  *   - `path` and `dataset` predicates prune SPLITS at planning
+  *     (reported unpushed — Spark re-checks post-scan, so results
+  *     never change, whole files/layers just never plan);
+  *   - fill cells drop at the source (`keepFill=true` keeps them as
+  *     NULL value rows); CF `_FillValue`/`scale_factor`/`add_offset`
+  *     semantics ride [[Hdf5.gridCells]]. */
+class H5GridSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    H5GridSource.fullSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null, "H5GridSource requires option(\"path\", ...)")
+    new H5GridTable(path, Option(properties.get("dataset")),
+      "true".equalsIgnoreCase(properties.getOrDefault("keepFill", "false")),
+      properties.getOrDefault("maxSplitsPerFile", "8").toInt)
+  }
+}
+
+object H5GridSource {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("dataset", StringType, nullable = false),
+    StructField("x", IntegerType, nullable = false),
+    StructField("y", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = true)))
+
+  def listFiles(pathOrGlob: String): Seq[String] =
+    GridFiles.list(pathOrGlob, "h5", "nc", "hdf5", "nc4")
+
+  /** Planner prefix: superblock + object headers lead the file for
+    * earliest-format writers; 1 MB covers wide products. Chunk
+    * B-trees can live past it — the catch-all full read handles
+    * those files (bounded: once per file, at PLAN time only). */
+  private[graft] val HeaderPrefixBytes = 1 << 20
+
+  private[graft] def planningNames(file: String): Seq[String] = {
+    val (prefix, len) = GridFiles.readPrefix(file, HeaderPrefixBytes)
+    try Hdf5.decode(prefix).datasets.map(_.path)
+    catch {
+      case _: Exception if len > prefix.length =>
+        Hdf5.decode(GridFiles.readBytes(file)).datasets.map(_.path)
+    }
+  }
+}
+
+final class H5GridTable(path: String, dataset: Option[String],
+    keepFill: Boolean, maxSplitsPerFile: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_h5($path)"
+  override def schema(): StructType = H5GridSource.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new H5ScanBuilder(path, dataset, keepFill, maxSplitsPerFile)
+}
+
+final class H5ScanBuilder(path: String, dsOpt: Option[String],
+    keepFill: Boolean, maxSplitsPerFile: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = H5GridSource.fullSchema
+  private var pathPreds: Seq[String => Boolean] = Nil
+  private var dsPreds: Seq[String => Boolean] = Nil
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // split-pruning only: every filter is reported unpushed (Spark
+  // re-evaluates post-scan), the planner just skips non-matching
+  // (file × dataset) splits entirely
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case EqualTo("path", v: String) => pathPreds :+= ((p: String) => p == v)
+      case StringContains("path", v: String) =>
+        pathPreds :+= ((p: String) => p.contains(v))
+      case StringEndsWith("path", v: String) =>
+        pathPreds :+= ((p: String) => p.endsWith(v))
+      case StringStartsWith("path", v: String) =>
+        pathPreds :+= ((p: String) => p.startsWith(v))
+      case EqualTo("dataset", v: String) => dsPreds :+= ((s: String) => s == v)
+      case StringContains("dataset", v: String) =>
+        dsPreds :+= ((s: String) => s.contains(v))
+      case _ => ()
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan =
+    new H5Scan(path, dsOpt, required, keepFill, pathPreds, dsPreds,
+      maxSplitsPerFile)
+}
+
+final class H5Scan(path: String, dsOpt: Option[String],
+    required: StructType, keepFill: Boolean,
+    pathPreds: Seq[String => Boolean] = Nil,
+    dsPreds: Seq[String => Boolean] = Nil,
+    maxSplitsPerFile: Int = 8) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    H5GridSource.listFiles(path)
+      .filter(f => pathPreds.forall(_(f)))
+      .flatMap { f =>
+        val namesKnown =
+          try Some(H5GridSource.planningNames(f))
+          catch { case _: Exception => None }
+        namesKnown match {
+          case None =>
+            // names unknown: ONE unprunable whole-file split — the
+            // task fails loudly on a corrupt file instead of the
+            // dataset predicate pruning it silently
+            Seq(H5Partition(f, None): InputPartition)
+          case Some(names) =>
+            val matching = names
+              .filter(n => dsOpt.forall(_ == n) && dsPreds.forall(_(n)))
+            val nSplits = math.max(1,
+              math.min(matching.size, maxSplitsPerFile))
+            (0 until nSplits).flatMap { k =>
+              val group = matching.zipWithIndex
+                .collect { case (n, i) if i % nSplits == k => n }
+              if (group.isEmpty) None
+              else Some(H5Partition(f, Some(group)): InputPartition)
+            }
+        }
+      }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new H5ReaderFactory(required.fieldNames, dsOpt, keepFill)
+}
+
+final case class H5Partition(file: String, datasets: Option[Seq[String]])
+    extends InputPartition
+
+final class H5ReaderFactory(fields: Array[String], dsOpt: Option[String],
+    keepFill: Boolean) extends PartitionReaderFactory {
+  // field names resolved to int codes ONCE per reader (r8 discipline:
+  // no string comparisons in the per-cell loop)
+  private val FPath = 0; private val FDs = 1; private val FX = 2
+  private val FY = 3; private val FValue = 4
+  private val codes: Array[Int] = fields.map {
+    case "path" => FPath
+    case "dataset" => FDs
+    case "x" => FX
+    case "y" => FY
+    case "value" => FValue
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[H5Partition]
+    new PartitionReader[InternalRow] {
+      private val bytes = GridFiles.readBytes(p.file)
+      private val f = Hdf5.decode(bytes)
+      // the fallback whole-file split reads every (option-matching)
+      // rank-2 dataset
+      private val names = p.datasets.getOrElse(
+        f.datasets.map(_.path).filter(n => dsOpt.forall(_ == n)))
+      private val pathUtf = UTF8String.fromString(p.file)
+      private val cells = names.iterator.flatMap { n =>
+        val nUtf = UTF8String.fromString(n)
+        Hdf5.gridCells(bytes, f, n)
+          .filter(c => keepFill || !c.value.isNaN)
+          .map(c => (nUtf, c))
+      }
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        if (!cells.hasNext) return false
+        val (nUtf, c) = cells.next()
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(codes.length)
+        var i = 0
+        while (i < codes.length) {
+          codes(i) match {
+            case FPath => row.update(i, pathUtf)
+            case FDs => row.update(i, nUtf)
+            case FX => row.setInt(i, c.x)
+            case FY => row.setInt(i, c.y)
+            case FValue =>
+              if (c.value.isNaN) row.setNullAt(i) else row.setDouble(i, c.value)
+          }
+          i += 1
+        }
+        current = row
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -682,4 +682,80 @@ class Hdf5Spec extends SparkSpec {
     assert(rows.length == 5) // the fill hole dropped
     assert(rows.map(_.getDouble(4)).sum == 52.0 + 152 + 202 + 252 + 302)
   }
+
+  test("H5GridSource: per-(file x dataset) splits, pruning, grouped wide " +
+      "files, keepFill, loud corrupt") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_h5dsv2").toString
+    def file(tag: Int): Array[Byte] = Hdf5.encode(Seq(
+      Hdf5.DsSpec("t2m", Seq(2, 3), Hdf5.Dtype(0, 2, littleEndian = true,
+        signed = true),
+        Array(1, 2, -99, 4, 5, 6).map(v =>
+          if (v == -99) -99.0 else v * tag.toDouble),
+        fill = Some(-99.0),
+        chunk = if (tag == 2) Some(Seq(2, 2)) else None,
+        filters = if (tag == 2) Seq("shuffle", "deflate", "fletcher32")
+                  else Nil),
+      Hdf5.DsSpec("qa", Seq(2, 3), Hdf5.Dtype(0, 2, littleEndian = true,
+        signed = true), Array(0, 1, 2, 3, 4, 5).map(_.toDouble))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.h5"), file(1))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.h5"), file(2))
+    val df = spark.read.format("graft.sources.H5GridSource")
+      .option("path", dir).load()
+    // 2 files × 2 datasets = 4 splits
+    assert(df.rdd.getNumPartitions == 4, s"${df.rdd.getNumPartitions}")
+    // dataset option narrows the planned splits; the chunked b.h5
+    // rides the same scan
+    val t2m = spark.read.format("graft.sources.H5GridSource")
+      .option("path", dir).option("dataset", "/t2m").load()
+    assert(t2m.rdd.getNumPartitions == 2)
+    assert(t2m.count() == 10) // 5 non-fill cells per file
+    // predicates prune splits at planning, results stay exact
+    val pruned = df.filter(col("dataset") === "/t2m" &&
+      col("path").endsWith("b.h5"))
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.select(sum("value")).first().getDouble(0) ==
+      2.0 * (1 + 2 + 4 + 5 + 6))
+    // column pruning reaches the source
+    val scanLine = df.select("value").queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.matches(".*BatchScan[^\\[]*\\[value#\\d+\\].*"), scanLine)
+    // keepFill surfaces fills as NULL rows
+    val withFill = spark.read.format("graft.sources.H5GridSource")
+      .option("path", s"$dir/a.h5").option("dataset", "/t2m")
+      .option("keepFill", "true").load()
+    assert(withFill.count() == 6 &&
+      withFill.filter(col("value").isNull).count() == 1)
+    // wide file: 10 datasets group under maxSplitsPerFile
+    val wideDir = java.nio.file.Files.createTempDirectory("graft_h5wide").toString
+    val wide = Hdf5.encode((0 until 10).map(i =>
+      Hdf5.DsSpec(s"layer$i", Seq(2, 2), Hdf5.Dtype(0, 2,
+        littleEndian = true, signed = true),
+        Array(1, 2, 3, 4).map(v => (v + i * 10).toDouble))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$wideDir/w.h5"), wide)
+    val capped = spark.read.format("graft.sources.H5GridSource")
+      .option("path", wideDir).option("maxSplitsPerFile", "3").load()
+    assert(capped.rdd.getNumPartitions == 3)
+    assert(capped.count() == 40)
+    assert(capped.filter(col("dataset") === "/layer7")
+      .select(sum("value")).first().getDouble(0) == 74.0 + 73 + 72 + 71)
+    // corrupt file: one unprunable split, loud task failure even
+    // under a dataset predicate that matches nothing
+    val bad = java.nio.file.Files.createTempDirectory("graft_h5bad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$bad/bad.h5"),
+      "junk, not hdf5".getBytes)
+    val badDf = spark.read.format("graft.sources.H5GridSource")
+      .option("path", bad).load().filter(col("dataset") === "nothing")
+    assert(badDf.rdd.getNumPartitions == 1)
+    intercept[Exception] { badDf.count() }
+    // DSv2 rows match readGrid
+    val fn = Hdf5.readGrid(spark, s"$dir/*.h5", "/t2m")
+      .select("path", "x", "y", "value").collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    val dsv2 = t2m.select("path", "x", "y", "value").collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(fn == dsv2)
+  }
 }
