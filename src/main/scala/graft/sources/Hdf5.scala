@@ -47,10 +47,14 @@ import org.apache.spark.sql.functions._
   * unlimited-dims paths — re-export with fixed dims or the
   * earliest-format layout) and PAGED fixed-array data blocks, filters
   * beyond deflate/shuffle/fletcher32 (szip, n-bit, scale-offset,
-  * registered LZF/blosc/zstd), dense (fractal-heap) link storage,
-  * soft/external links, layout message versions before 3, non-IEEE
-  * float layouts, shared messages, and metadata offset/length sizes
-  * other than 8.
+  * registered LZF/blosc/zstd), soft/external links, layout message
+  * versions before 3, non-IEEE float layouts, shared messages, and
+  * metadata offset/length sizes other than 8. DENSE (fractal-heap)
+  * link storage DECODES (r11) — the new-format group shape netCDF-4
+  * forces past 8 links: depth-0 v2 link-name B-trees over managed
+  * heap IDs, direct or one-level-indirect heap roots (see
+  * [[denseLinks]]); deeper trees, filtered heaps, nested indirection
+  * and huge/tiny IDs refuse by name.
   *
   * Scale shape: [[scan]] and [[readGrid]] run task-side over
   * binaryFile — one task per file, the driver never touches payload
@@ -215,12 +219,12 @@ object Hdf5 {
       msgs.foreach { m =>
         m.typ match {
           case 0x0001 => space = Some(parseDataspace(r, m.bodyOff))
-          case 0x0002 => // link info: dense storage refuses
+          case 0x0002 => // link info: dense storage walks heap + B-tree
             val flags = r.u8(m.bodyOff + 1)
             val fh = m.bodyOff + 2 + (if ((flags & 1) != 0) 8 else 0)
-            require(r.i64(fh) == Undef,
-              s"object '$path': dense (fractal-heap) link storage " +
-                "unsupported — compact links and v1 symbol tables decode")
+            val fheap = r.i64(fh)
+            if (fheap != Undef)
+              links ++= denseLinks(r, fheap, r.i64(fh + 8), path)
           case 0x0003 => dtype = Some(parseDatatype(r, m.bodyOff))
           case 0x0005 => fillRaw = parseFillValue(r, m.bodyOff)
           case 0x0006 => links += parseLink(r, m.bodyOff, path)
@@ -702,6 +706,155 @@ object Hdf5 {
     }
     walk(addr)
     out.result()
+  }
+
+  /** DENSE link storage (the "new format" group shape netCDF-4 files
+    * use past 8 links, since creation-order tracking forces it): the
+    * Link Info message points at a FRACTAL HEAP holding serialized
+    * link-message bodies and a v2 B-TREE (type 5, link-name index)
+    * whose records carry `{name hash (4), managed heap ID}`. This
+    * reader walks the subset those files actually are:
+    *
+    *   - BTHD with depth 0 (root node IS the BTLF leaf — holds ~180
+    *     links at the default 2048-byte node); deeper trees refuse;
+    *   - FRHP with no I/O filters; root block DIRECT, or one level of
+    *     INDIRECT with direct children (doubling row sizes per spec
+    *     §III.F) — nested indirect blocks refuse;
+    *   - MANAGED heap IDs only (type 0: flag byte, heap offset at
+    *     ceil(maxHeapSizeBits/8) bytes LE, length in the remaining ID
+    *     bytes); huge/tiny IDs refuse.
+    *
+    * Heap offsets address the heap's linear space INCLUDING block
+    * headers, so file position = blockAddr + (offset − blockOffset).
+    * Each managed object is exactly one link-message BODY —
+    * [[parseLink]] applies unchanged (hard links only). */
+  private def denseLinks(r: Reader, fheapAddr: Long, btreeAddr: Long,
+      path: String): Seq[(String, Long)] = {
+    require(btreeAddr != Undef,
+      s"group '$path': dense links without a name-index B-tree")
+    // ---- fractal heap header ----
+    r.in(fheapAddr, 146)
+    require(r.sig4(fheapAddr) == "FRHP",
+      s"group '$path': fractal heap at $fheapAddr missing FRHP signature")
+    require(r.u8(fheapAddr + 4) == 0,
+      s"group '$path': fractal heap version ${r.u8(fheapAddr + 4)} unsupported")
+    val heapIdLen = r.u16(fheapAddr + 5)
+    val filterLen = r.u16(fheapAddr + 7)
+    require(filterLen == 0,
+      s"group '$path': filtered fractal heap unsupported for link storage")
+    val flags = r.u8(fheapAddr + 9)
+    val tableWidth = r.u16(fheapAddr + 110)
+    val startBlockSize = r.i64(fheapAddr + 112)
+    val maxDirectSize = r.i64(fheapAddr + 120)
+    val maxHeapBits = r.u16(fheapAddr + 128)
+    val rootAddr = r.i64(fheapAddr + 132)
+    val curRows = r.u16(fheapAddr + 140)
+    require(tableWidth > 0 && startBlockSize > 0 &&
+      maxDirectSize >= startBlockSize && maxHeapBits > 0 && maxHeapBits <= 64,
+      s"group '$path': implausible fractal-heap geometry")
+    val offSize = (maxHeapBits + 7) / 8
+    val checksummed = (flags & 0x2) != 0
+    val dbHeader = 4 + 1 + 8 + offSize + (if (checksummed) 4 else 0)
+
+    // (heapOffset, size, fileAddr) extents of every DIRECT block
+    val blocks: Seq[(Long, Long, Long)] =
+      if (rootAddr == Undef) Nil
+      else if (curRows == 0) Seq((0L, maxDirectSize, rootAddr))
+      else {
+        // one level of indirection: direct children with the spec's
+        // doubling row sizes (rows 0,1 at startBlockSize, row k ≥ 2 at
+        // startBlockSize·2^(k−1)); a child past maxDirectSize would be
+        // an INDIRECT block — refuse
+        r.in(rootAddr, 13)
+        require(r.sig4(rootAddr) == "FHIB",
+          s"group '$path': fractal-heap root at $rootAddr missing FHIB")
+        val maxDirectRows =
+          (63 - java.lang.Long.numberOfLeadingZeros(
+            maxDirectSize / startBlockSize)) + 2
+        require(curRows <= maxDirectRows,
+          s"group '$path': fractal heap with nested indirect blocks " +
+            s"($curRows rows > $maxDirectRows direct) unsupported")
+        val childBase = rootAddr + 4 + 1 + 8 + offSize
+        r.in(childBase, curRows.toLong * tableWidth * 8)
+        var heapOff = 0L
+        (0 until curRows).flatMap { row =>
+          val size =
+            if (row < 2) startBlockSize
+            else startBlockSize << (row - 1)
+          (0 until tableWidth).map { c =>
+            val a = r.i64(childBase + (row.toLong * tableWidth + c) * 8)
+            val ext = (heapOff, size, a)
+            heapOff += size
+            ext
+          }
+        }.filter(_._3 != Undef)
+      }
+    blocks.foreach { case (off, size, a) =>
+      r.in(a, dbHeader)
+      require(r.sig4(a) == "FHDB",
+        s"group '$path': fractal-heap block at $a missing FHDB signature")
+      require(r.i64(a + 5) == fheapAddr,
+        s"group '$path': fractal-heap block back-pointer mismatch")
+      val _ = (off, size)
+    }
+    def filePosOf(heapOff: Long, len: Long): Long = {
+      val b = blocks.find(b2 => heapOff >= b2._1 && heapOff + len <= b2._1 + b2._2)
+        .getOrElse(throw new IllegalArgumentException(
+          s"group '$path': heap offset $heapOff (+$len) outside every " +
+            "direct block"))
+      b._3 + (heapOff - b._1)
+    }
+
+    // ---- v2 B-tree (link-name index), depth 0 ----
+    r.in(btreeAddr, 34)
+    require(r.sig4(btreeAddr) == "BTHD",
+      s"group '$path': link index at $btreeAddr missing BTHD signature")
+    require(r.u8(btreeAddr + 4) == 0,
+      s"group '$path': v2 B-tree version ${r.u8(btreeAddr + 4)} unsupported")
+    require(r.u8(btreeAddr + 5) == 5,
+      s"group '$path': v2 B-tree type ${r.u8(btreeAddr + 5)} is not the " +
+        "link-name index (5)")
+    val recordSize = r.u16(btreeAddr + 10)
+    val depth = r.u16(btreeAddr + 12)
+    require(depth == 0,
+      s"group '$path': link-name B-tree depth $depth unsupported (the " +
+        "depth-0 root leaf holds hundreds of links; re-export flatter " +
+        "groups)")
+    val rootNode = r.i64(btreeAddr + 16)
+    val nRec = r.u16(btreeAddr + 24)
+    require(recordSize == 4 + heapIdLen,
+      s"group '$path': link-name record size $recordSize != 4 + heap ID " +
+        s"length $heapIdLen — refusing to guess")
+    if (rootNode == Undef || nRec == 0) return Nil
+    r.in(rootNode, 6 + nRec.toLong * recordSize)
+    require(r.sig4(rootNode) == "BTLF",
+      s"group '$path': link-name leaf at $rootNode missing BTLF signature")
+    (0 until nRec).map { i =>
+      val rec = rootNode + 6 + i.toLong * recordSize
+      val id = rec + 4 // past the name hash
+      val idFlags = r.u8(id)
+      require((idFlags & 0x30) == 0,
+        s"group '$path': heap ID type ${(idFlags >> 4) & 3} unsupported " +
+          "(managed objects only — huge/tiny links refuse)")
+      var heapOff = 0L
+      var k = 0
+      while (k < offSize) {
+        heapOff |= (r.u8(id + 1 + k).toLong & 0xff) << (8 * k)
+        k += 1
+      }
+      val lenSize = heapIdLen - 1 - offSize
+      require(lenSize >= 1 && lenSize <= 8,
+        s"group '$path': heap ID length field $lenSize bytes off-shape")
+      var objLen = 0L
+      k = 0
+      while (k < lenSize) {
+        objLen |= (r.u8(id + 1 + offSize + k).toLong & 0xff) << (8 * k)
+        k += 1
+      }
+      val pos = filePosOf(heapOff, objLen)
+      r.in(pos, objLen)
+      parseLink(r, pos, path)
+    }
   }
 
   /** (name, objectHeaderAddr) of a hard Link message. */

@@ -599,10 +599,12 @@ class Hdf5Spec extends SparkSpec {
       Hdf5.decode(fixtureV2(softLink = true)._1)
     }
     assert(e2.getMessage.contains("hard links"), e2.getMessage)
+    // dense storage now DECODES (fixture E); this variant's live heap
+    // address with an UNDEF name index is corrupt — still loud
     val e3 = intercept[IllegalArgumentException] {
       Hdf5.decode(fixtureV2(denseLinks = true)._1)
     }
-    assert(e3.getMessage.contains("fractal"), e3.getMessage)
+    assert(e3.getMessage.contains("name-index B-tree"), e3.getMessage)
     intercept[IllegalArgumentException] {
       Hdf5.decode("PK not hdf5 at all, and no superblock".getBytes("US-ASCII"))
     }
@@ -681,6 +683,163 @@ class Hdf5Spec extends SparkSpec {
     val rows = Hdf5.readGrid(spark, s"$dir/a.h5", "/temp").collect()
     assert(rows.length == 5) // the fill hole dropped
     assert(rows.map(_.getDouble(4)).sum == 52.0 + 152 + 202 + 252 + 302)
+  }
+
+  // ---- fixture E: DENSE link storage (fractal heap + v2 B-tree) —
+  // the "new format" group shape netCDF-4 forces past 8 links. Hand-
+  // built per spec §III.F/§III.B; `indirect` roots the heap in an
+  // FHIB with two direct children. Returns (bytes, bthdAt, frhpAt). ----
+
+  private def fixtureDense(indirect: Boolean = false): (Array[Byte], Int, Int) = {
+    val ds1At = 128; val ds2At = 256; val frhpAt = 384
+    val blockAt = 560; val block2At = 600 // indirect children: 600, 680
+    val bthdAt = 760; val btlfAt = 810
+    val data1At = 880; val data2At = 896
+    val total = 912
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    sig(out)
+    out.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    out.putLong(0L).putLong(Undef).putLong(total.toLong).putLong(48L)
+    out.putInt(0)
+    // root OHDR: ONE Link Info message — dense storage, no compact links
+    val rootMsgs = msgV2(0x02, le { b =>
+      b.put(0.toByte).put(0.toByte) // version, flags (no creation order)
+      b.putLong(frhpAt.toLong).putLong(bthdAt.toLong)
+    })
+    out.position(48)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    out.put(rootMsgs.length.toByte)
+    out.put(rootMsgs)
+    out.putInt(0)
+    // two contiguous int16 datasets
+    def dataset(at: Int, dataAt: Int, v0: Int): Unit = {
+      val msgs = Array(
+        msgV2(0x01, dsRank2V2(2, 2)),
+        msgV2(0x03, dtInt16),
+        msgV2(0x05, le { b =>
+          b.put(3.toByte).put(0x20.toByte).putInt(2).putShort(-7)
+        }),
+        msgV2(0x08, le { b =>
+          b.put(3.toByte).put(1.toByte).putLong(dataAt.toLong).putLong(8L)
+        })).flatten
+      out.position(at)
+      out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(1.toByte)
+      out.putShort(msgs.length.toShort)
+      out.put(msgs)
+      out.putInt(0)
+      out.position(dataAt)
+      (0 until 4).foreach(i => out.putShort((v0 + i).toShort))
+    }
+    dataset(ds1At, data1At, 10)
+    dataset(ds2At, data2At, 50)
+    // serialized link-message BODIES (the heap's managed objects)
+    def linkBody(name: String, addr: Long): Array[Byte] = le { b =>
+      b.put(1.toByte).put(0.toByte) // version, flags: 1-byte name len
+      b.put(name.length.toByte).put(name.getBytes("US-ASCII"))
+      b.putLong(addr)
+    }
+    val l1 = linkBody("temp", ds1At.toLong)
+    val l2 = linkBody("rain", ds2At.toLong)
+    // fractal heap geometry: maxHeapBits 32 → 4-byte offsets; heap ID
+    // length 7 → 2-byte object lengths; no checksums (flags 0)
+    val offSize = 4
+    val dbHeader = 4 + 1 + 8 + offSize // 17
+    val (startBlock, width, curRows) =
+      if (indirect) (64L, 2, 1) else (512L, 4, 0)
+    // heap offsets: objects live after each block's header
+    val off1 = dbHeader.toLong
+    val off2 = if (indirect) startBlock + dbHeader else off1 + l1.length
+    out.position(frhpAt)
+    out.put("FRHP".getBytes("US-ASCII")).put(0.toByte)
+    out.putShort(7) // heap ID length
+    out.putShort(0) // no I/O filters
+    out.put(0.toByte) // flags: direct blocks NOT checksummed
+    out.putInt(100) // max managed object size
+    // the 12 huge/tiny/free-space stat fields the reader ignores
+    (0 until 12).foreach(_ => out.putLong(0L))
+    out.putShort(width.toShort)
+    out.putLong(startBlock)
+    out.putLong(1024L) // max direct block size
+    out.putShort(32) // max heap size (bits)
+    out.putShort(1)  // starting rows in root indirect
+    out.putLong(blockAt.toLong) // direct FHDB or indirect FHIB root
+    out.putShort(curRows.toShort)
+    out.putInt(0) // checksum (unverified)
+    if (indirect) {
+      // FHIB at 560: 1 row × 2 children of 64 bytes each
+      out.position(blockAt)
+      out.put("FHIB".getBytes("US-ASCII")).put(0.toByte)
+      out.putLong(frhpAt.toLong)
+      out.putInt(0) // block offset (4 bytes)
+      out.putLong(block2At.toLong)        // child 0 at heap offset 0
+      out.putLong(block2At.toLong + 80)   // child 1 at heap offset 64
+      out.putInt(0)
+      // two FHDBs, one link each
+      for ((at, heapOff, body) <- Seq((block2At, 0L, l1),
+          (block2At + 80, startBlock, l2))) {
+        out.position(at)
+        out.put("FHDB".getBytes("US-ASCII")).put(0.toByte)
+        out.putLong(frhpAt.toLong)
+        out.putInt(heapOff.toInt)
+        out.put(body)
+      }
+    } else {
+      out.position(blockAt)
+      out.put("FHDB".getBytes("US-ASCII")).put(0.toByte)
+      out.putLong(frhpAt.toLong)
+      out.putInt(0) // block offset
+      out.put(l1).put(l2)
+    }
+    // v2 B-tree: BTHD + depth-0 BTLF with two type-5 records
+    out.position(bthdAt)
+    out.put("BTHD".getBytes("US-ASCII")).put(0.toByte).put(5.toByte)
+    out.putInt(2048).putShort(11).putShort(0) // node size, rec size, depth
+    out.put(85.toByte).put(40.toByte)
+    out.putLong(btlfAt.toLong).putShort(2).putLong(2L)
+    out.putInt(0)
+    out.position(btlfAt)
+    out.put("BTLF".getBytes("US-ASCII")).put(0.toByte).put(5.toByte)
+    def rec(hash: Int, heapOff: Long, len: Int): Unit = {
+      out.putInt(hash)
+      out.put(0.toByte) // managed heap ID
+      out.putInt(heapOff.toInt) // 4-byte heap offset
+      out.putShort(len.toShort) // 2-byte length
+    }
+    rec(0x1111, off1, l1.length)
+    rec(0x2222, off2, l2.length)
+    out.putInt(0)
+    (out.array(), bthdAt, frhpAt)
+  }
+
+  test("dense link storage: fractal heap + v2 B-tree, direct and " +
+      "indirect roots; off-subset shapes refuse") {
+    for (ind <- Seq(false, true)) {
+      val (bytes, _, _) = fixtureDense(indirect = ind)
+      val f = Hdf5.decode(bytes)
+      assert(f.datasets.map(_.path).sorted == Seq("/rain", "/temp"),
+        s"indirect=$ind: ${f.datasets.map(_.path)}")
+      assert(Hdf5.read(bytes, f, "/temp").toSeq == Seq(10.0, 11.0, 12.0, 13.0))
+      assert(Hdf5.read(bytes, f, "/rain").toSeq == Seq(50.0, 51.0, 52.0, 53.0))
+    }
+    val (bytes, bthdAt, frhpAt) = fixtureDense()
+    // deep B-tree refuses by name
+    val deep = bytes.clone(); deep(bthdAt + 12) = 1
+    val e1 = intercept[IllegalArgumentException] { Hdf5.decode(deep) }
+    assert(e1.getMessage.contains("depth"), e1.getMessage)
+    // filtered heap refuses
+    val filt = bytes.clone(); filt(frhpAt + 7) = 8
+    val e2 = intercept[IllegalArgumentException] { Hdf5.decode(filt) }
+    assert(e2.getMessage.contains("filtered fractal heap"), e2.getMessage)
+    // huge/tiny heap IDs refuse (flip a record's ID flag byte)
+    val huge = bytes.clone()
+    val btlfAt = 810
+    huge(btlfAt + 6 + 4) = 0x10
+    val e3 = intercept[IllegalArgumentException] { Hdf5.decode(huge) }
+    assert(e3.getMessage.contains("heap ID type"), e3.getMessage)
+    // wrong B-tree type refuses
+    val wrongT = bytes.clone(); wrongT(bthdAt + 5) = 6
+    val e4 = intercept[IllegalArgumentException] { Hdf5.decode(wrongT) }
+    assert(e4.getMessage.contains("link-name index"), e4.getMessage)
   }
 
   test("H5GridSource: per-(file x dataset) splits, pruning, grouped wide " +
