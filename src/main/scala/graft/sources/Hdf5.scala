@@ -236,6 +236,13 @@ object Hdf5 {
             val btree = r.i64(m.bodyOff)
             val heap = r.i64(m.bodyOff + 8)
             links ++= walkSymbolTable(r, btree, heap)
+          case 0x0015 => // attribute info: dense attributes walk too —
+            // ignoring them would silently drop _FillValue/scale/offset
+            val flags = r.u8(m.bodyOff + 1)
+            val fh = m.bodyOff + 2 + (if ((flags & 1) != 0) 2 else 0)
+            val fheap = r.i64(fh)
+            if (fheap != Undef)
+              denseAttrs(r, fheap, r.i64(fh + 8), path).foreach(attrs += _)
           case _ => () // NIL, mod-times, etc. — metadata we don't need
         }
       }
@@ -729,9 +736,22 @@ object Hdf5 {
     * Each managed object is exactly one link-message BODY —
     * [[parseLink]] applies unchanged (hard links only). */
   private def denseLinks(r: Reader, fheapAddr: Long, btreeAddr: Long,
-      path: String): Seq[(String, Long)] = {
+      path: String): Seq[(String, Long)] =
+    denseObjects(r, fheapAddr, btreeAddr, 5, path)
+      .map { case (pos, _) => parseLink(r, pos, path) }
+
+  /** Dense attribute storage (message 0x0015) — same heap + B-tree
+    * machinery with the type-8 attribute-name index; each managed
+    * object is one serialized attribute message. */
+  private def denseAttrs(r: Reader, fheapAddr: Long, btreeAddr: Long,
+      path: String): Seq[(String, Any)] =
+    denseObjects(r, fheapAddr, btreeAddr, 8, path)
+      .flatMap { case (pos, len) => parseAttribute(r, pos, len.toInt) }
+
+  private def denseObjects(r: Reader, fheapAddr: Long, btreeAddr: Long,
+      btreeType: Int, path: String): Seq[(Long, Long)] = {
     require(btreeAddr != Undef,
-      s"group '$path': dense links without a name-index B-tree")
+      s"group '$path': dense storage without a name-index B-tree")
     // ---- fractal heap header ----
     r.in(fheapAddr, 146)
     require(r.sig4(fheapAddr) == "FRHP",
@@ -811,27 +831,34 @@ object Hdf5 {
       s"group '$path': link index at $btreeAddr missing BTHD signature")
     require(r.u8(btreeAddr + 4) == 0,
       s"group '$path': v2 B-tree version ${r.u8(btreeAddr + 4)} unsupported")
-    require(r.u8(btreeAddr + 5) == 5,
+    require(r.u8(btreeAddr + 5) == btreeType,
       s"group '$path': v2 B-tree type ${r.u8(btreeAddr + 5)} is not the " +
-        "link-name index (5)")
+        s"expected name index ($btreeType)")
     val recordSize = r.u16(btreeAddr + 10)
     val depth = r.u16(btreeAddr + 12)
     require(depth == 0,
-      s"group '$path': link-name B-tree depth $depth unsupported (the " +
-        "depth-0 root leaf holds hundreds of links; re-export flatter " +
-        "groups)")
+      s"group '$path': name-index B-tree depth $depth unsupported (the " +
+        "depth-0 root leaf holds hundreds of entries)")
     val rootNode = r.i64(btreeAddr + 16)
     val nRec = r.u16(btreeAddr + 24)
-    require(recordSize == 4 + heapIdLen,
-      s"group '$path': link-name record size $recordSize != 4 + heap ID " +
-        s"length $heapIdLen — refusing to guess")
+    // type-5 (link) records are {hash(4), heap ID}; type-8 (attribute)
+    // records are {heap ID, message flags(1), creation order(4),
+    // hash(4)} — ID first
+    val idAt: Long => Long =
+      if (btreeType == 5) rec => rec + 4 else rec => rec
+    val expectRec =
+      if (btreeType == 5) 4 + heapIdLen else heapIdLen + 9
+    require(recordSize == expectRec,
+      s"group '$path': name-index record size $recordSize != $expectRec " +
+        s"for type $btreeType with heap ID length $heapIdLen — " +
+        "refusing to guess")
     if (rootNode == Undef || nRec == 0) return Nil
     r.in(rootNode, 6 + nRec.toLong * recordSize)
     require(r.sig4(rootNode) == "BTLF",
-      s"group '$path': link-name leaf at $rootNode missing BTLF signature")
+      s"group '$path': name-index leaf at $rootNode missing BTLF signature")
     (0 until nRec).map { i =>
       val rec = rootNode + 6 + i.toLong * recordSize
-      val id = rec + 4 // past the name hash
+      val id = idAt(rec)
       val idFlags = r.u8(id)
       require((idFlags & 0x30) == 0,
         s"group '$path': heap ID type ${(idFlags >> 4) & 3} unsupported " +
@@ -853,7 +880,7 @@ object Hdf5 {
       }
       val pos = filePosOf(heapOff, objLen)
       r.in(pos, objLen)
-      parseLink(r, pos, path)
+      (pos, objLen)
     }
   }
 

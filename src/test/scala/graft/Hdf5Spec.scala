@@ -839,7 +839,89 @@ class Hdf5Spec extends SparkSpec {
     // wrong B-tree type refuses
     val wrongT = bytes.clone(); wrongT(bthdAt + 5) = 6
     val e4 = intercept[IllegalArgumentException] { Hdf5.decode(wrongT) }
-    assert(e4.getMessage.contains("link-name index"), e4.getMessage)
+    assert(e4.getMessage.contains("expected name index"), e4.getMessage)
+  }
+
+  test("dense ATTRIBUTE storage: type-8 index + heap-held attribute " +
+      "messages feed CF semantics (silently dropping them would " +
+      "corrupt values)") {
+    val dsHdrAt = 128; val frhpAt = 256; val fhdbAt = 440
+    val bthdAt = 620; val btlfAt = 680; val dataAt = 760
+    val total = 780
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    sig(out)
+    out.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    out.putLong(0L).putLong(Undef).putLong(total.toLong).putLong(48L)
+    out.putInt(0)
+    val rootMsgs = msgV2(0x06, le { b =>
+      b.put(1.toByte).put(0.toByte)
+      b.put(4.toByte).put("temp".getBytes("US-ASCII"))
+      b.putLong(dsHdrAt.toLong)
+    })
+    out.position(48)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    out.put(rootMsgs.length.toByte).put(rootMsgs).putInt(0)
+    // dataset: dataspace/dtype/fill/layout + ATTRIBUTE INFO (0x15)
+    val dsMsgs = Array(
+      msgV2(0x01, dsRank2V2(2, 2)),
+      msgV2(0x03, dtInt16),
+      msgV2(0x05, le { b =>
+        b.put(3.toByte).put(0x20.toByte).putInt(2).putShort(-7)
+      }),
+      msgV2(0x08, le { b =>
+        b.put(3.toByte).put(1.toByte).putLong(dataAt.toLong).putLong(8L)
+      }),
+      msgV2(0x15, le { b =>
+        b.put(0.toByte).put(0.toByte) // version, flags
+        b.putLong(frhpAt.toLong).putLong(bthdAt.toLong)
+      })).flatten
+    out.position(dsHdrAt)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(1.toByte)
+    out.putShort(dsMsgs.length.toShort).put(dsMsgs).putInt(0)
+    // the two attribute-message bodies live in the heap
+    val a1 = attrV3("scale_factor", dtF64, dsScalarV2, le(_.putDouble(0.5)))
+    val a2 = attrV3("add_offset", dtF64, dsScalarV2, le(_.putDouble(2.0)))
+    val dbHeader = 4 + 1 + 8 + 4
+    out.position(frhpAt)
+    out.put("FRHP".getBytes("US-ASCII")).put(0.toByte)
+    out.putShort(7).putShort(0).put(0.toByte)
+    out.putInt(200)
+    (0 until 12).foreach(_ => out.putLong(0L))
+    out.putShort(4).putLong(512L).putLong(512L)
+    out.putShort(32).putShort(1)
+    out.putLong(fhdbAt.toLong).putShort(0).putInt(0)
+    out.position(fhdbAt)
+    out.put("FHDB".getBytes("US-ASCII")).put(0.toByte)
+    out.putLong(frhpAt.toLong).putInt(0)
+    out.put(a1).put(a2)
+    // type-8 B-tree: records are {heap ID(7), flags(1), order(4), hash(4)}
+    out.position(bthdAt)
+    out.put("BTHD".getBytes("US-ASCII")).put(0.toByte).put(8.toByte)
+    out.putInt(2048).putShort(16).putShort(0)
+    out.put(85.toByte).put(40.toByte)
+    out.putLong(btlfAt.toLong).putShort(2).putLong(2L).putInt(0)
+    out.position(btlfAt)
+    out.put("BTLF".getBytes("US-ASCII")).put(0.toByte).put(8.toByte)
+    def rec(heapOff: Long, len: Int, hash: Int): Unit = {
+      out.put(0.toByte).putInt(heapOff.toInt).putShort(len.toShort)
+      out.put(0.toByte).putInt(0).putInt(hash)
+    }
+    rec(dbHeader.toLong, a1.length, 0xAAAA)
+    rec(dbHeader.toLong + a1.length, a2.length, 0xBBBB)
+    out.putInt(0)
+    out.position(dataAt)
+    Seq(100, -7, 300, 400).foreach(v => out.putShort(v.toShort))
+    val bytes = java.util.Arrays.copyOf(out.array(), total)
+
+    val f = Hdf5.decode(bytes)
+    val d = f.datasetAt("/temp")
+    assert(d.numAttr("scale_factor").contains(0.5), d.attrs.toString)
+    assert(d.numAttr("add_offset").contains(2.0))
+    // CF grid applies the DENSE-stored scale/offset: raw·0.5 + 2.0
+    val cells = Hdf5.gridCells(bytes, f, "/temp").toSeq
+    assert(cells.find(c => c.x == 0 && c.y == 0).get.value == 52.0)
+    assert(cells.find(c => c.x == 1 && c.y == 0).get.value.isNaN) // fill
+    assert(cells.find(c => c.x == 1 && c.y == 1).get.value == 202.0)
   }
 
   test("H5GridSource: per-(file x dataset) splits, pruning, grouped wide " +
