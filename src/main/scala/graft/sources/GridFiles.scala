@@ -42,4 +42,31 @@ object GridFiles {
     try in.readFully(0L, buf) finally in.close()
     (buf, len)
   }
+
+  /** Shared (file × layer) split planning for the layer-grouped grid
+    * connectors ([[HdfGridSource]]/[[H5GridSource]]): path-pruned
+    * files; per-file layer names from `namesOf` (a throw ⇒ ONE
+    * unprunable whole-file split, `None` layers, so corrupt files
+    * fail loudly task-side); layer predicates prune at planning; and
+    * interleaved grouping caps a wide file at `maxSplitsPerFile`
+    * splits so each split pays one file read. */
+  def layerSplits(files: Seq[String], pathPred: String => Boolean,
+      namesOf: String => Seq[String], layerPred: String => Boolean,
+      maxSplitsPerFile: Int): Seq[(String, Option[Seq[String]])] =
+    files.filter(pathPred).flatMap { f =>
+      val namesKnown =
+        try Some(namesOf(f))
+        catch { case _: Exception => None }
+      namesKnown match {
+        case None => Seq((f, None))
+        case Some(names) =>
+          val matching = names.filter(layerPred)
+          val nSplits = math.max(1, math.min(matching.size, maxSplitsPerFile))
+          (0 until nSplits).flatMap { k =>
+            val group = matching.zipWithIndex
+              .collect { case (n, i) if i % nSplits == k => n }
+            if (group.isEmpty) None else Some((f, Some(group)))
+          }
+      }
+    }
 }

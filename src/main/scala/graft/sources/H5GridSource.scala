@@ -69,12 +69,17 @@ object H5GridSource {
     * those files (bounded: once per file, at PLAN time only). */
   private[graft] val HeaderPrefixBytes = 1 << 20
 
+  /** Rank-2 dataset names only: real netCDF-4 files carry 1-D
+    * dimension-scale datasets (lat/lon/time) the grid path cannot
+    * read — planning them would crash the default every-dataset scan. */
   private[graft] def planningNames(file: String): Seq[String] = {
+    def names(f: Hdf5.Hdf5File) =
+      f.datasets.filter(_.dims.size == 2).map(_.path)
     val (prefix, len) = GridFiles.readPrefix(file, HeaderPrefixBytes)
-    try Hdf5.decode(prefix).datasets.map(_.path)
+    try names(Hdf5.decode(prefix))
     catch {
       case _: Exception if len > prefix.length =>
-        Hdf5.decode(GridFiles.readBytes(file)).datasets.map(_.path)
+        names(Hdf5.decode(GridFiles.readBytes(file)))
     }
   }
 }
@@ -116,6 +121,10 @@ final class H5ScanBuilder(path: String, dsOpt: Option[String],
       case EqualTo("dataset", v: String) => dsPreds :+= ((s: String) => s == v)
       case StringContains("dataset", v: String) =>
         dsPreds :+= ((s: String) => s.contains(v))
+      case StringStartsWith("dataset", v: String) =>
+        dsPreds :+= ((s: String) => s.startsWith(v))
+      case StringEndsWith("dataset", v: String) =>
+        dsPreds :+= ((s: String) => s.endsWith(v))
       case _ => ()
     }
     filters
@@ -135,31 +144,11 @@ final class H5Scan(path: String, dsOpt: Option[String],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    H5GridSource.listFiles(path)
-      .filter(f => pathPreds.forall(_(f)))
-      .flatMap { f =>
-        val namesKnown =
-          try Some(H5GridSource.planningNames(f))
-          catch { case _: Exception => None }
-        namesKnown match {
-          case None =>
-            // names unknown: ONE unprunable whole-file split — the
-            // task fails loudly on a corrupt file instead of the
-            // dataset predicate pruning it silently
-            Seq(H5Partition(f, None): InputPartition)
-          case Some(names) =>
-            val matching = names
-              .filter(n => dsOpt.forall(_ == n) && dsPreds.forall(_(n)))
-            val nSplits = math.max(1,
-              math.min(matching.size, maxSplitsPerFile))
-            (0 until nSplits).flatMap { k =>
-              val group = matching.zipWithIndex
-                .collect { case (n, i) if i % nSplits == k => n }
-              if (group.isEmpty) None
-              else Some(H5Partition(f, Some(group)): InputPartition)
-            }
-        }
-      }.toArray
+    GridFiles.layerSplits(H5GridSource.listFiles(path),
+      f => pathPreds.forall(_(f)), H5GridSource.planningNames,
+      n => dsOpt.forall(_ == n) && dsPreds.forall(_(n)), maxSplitsPerFile)
+      .map { case (f, group) => H5Partition(f, group): InputPartition }
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new H5ReaderFactory(required.fieldNames, dsOpt, keepFill)
 }
@@ -190,7 +179,8 @@ final class H5ReaderFactory(fields: Array[String], dsOpt: Option[String],
       // the fallback whole-file split reads every (option-matching)
       // rank-2 dataset
       private val names = p.datasets.getOrElse(
-        f.datasets.map(_.path).filter(n => dsOpt.forall(_ == n)))
+        f.datasets.filter(_.dims.size == 2).map(_.path)
+          .filter(n => dsOpt.forall(_ == n)))
       private val pathUtf = UTF8String.fromString(p.file)
       private val cells = names.iterator.flatMap { n =>
         val nUtf = UTF8String.fromString(n)

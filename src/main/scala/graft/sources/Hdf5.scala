@@ -220,6 +220,9 @@ object Hdf5 {
         m.typ match {
           case 0x0001 => space = Some(parseDataspace(r, m.bodyOff))
           case 0x0002 => // link info: dense storage walks heap + B-tree
+            require(r.u8(m.bodyOff) == 0,
+              s"object '$path': link-info message version " +
+                s"${r.u8(m.bodyOff)} unsupported")
             val flags = r.u8(m.bodyOff + 1)
             val fh = m.bodyOff + 2 + (if ((flags & 1) != 0) 8 else 0)
             val fheap = r.i64(fh)
@@ -238,6 +241,9 @@ object Hdf5 {
             links ++= walkSymbolTable(r, btree, heap)
           case 0x0015 => // attribute info: dense attributes walk too —
             // ignoring them would silently drop _FillValue/scale/offset
+            require(r.u8(m.bodyOff) == 0,
+              s"object '$path': attribute-info message version " +
+                s"${r.u8(m.bodyOff)} unsupported")
             val flags = r.u8(m.bodyOff + 1)
             val fh = m.bodyOff + 2 + (if ((flags & 1) != 0) 2 else 0)
             val fheap = r.i64(fh)
@@ -777,9 +783,16 @@ object Hdf5 {
     val dbHeader = 4 + 1 + 8 + offSize + (if (checksummed) 4 else 0)
 
     // (heapOffset, size, fileAddr) extents of every DIRECT block
+    // root-direct extent: the true block size is the heap's managed
+    // space (offset 46; the root direct block grows by doubling before
+    // converting to indirect) — maxDirectSize would let corrupt heap
+    // IDs past the real block read unrelated bytes as links
+    val managedSpace = r.i64(fheapAddr + 46)
     val blocks: Seq[(Long, Long, Long)] =
       if (rootAddr == Undef) Nil
-      else if (curRows == 0) Seq((0L, maxDirectSize, rootAddr))
+      else if (curRows == 0)
+        Seq((0L, if (managedSpace > 0) managedSpace else startBlockSize,
+          rootAddr))
       else {
         // one level of indirection: direct children with the spec's
         // doubling row sizes (rows 0,1 at startBlockSize, row k ≥ 2 at

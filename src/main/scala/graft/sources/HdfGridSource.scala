@@ -116,6 +116,10 @@ final class HdfScanBuilder(path: String, sdsOpt: Option[String],
       case EqualTo("sds", v: String) => sdsPreds :+= ((s: String) => s == v)
       case StringContains("sds", v: String) =>
         sdsPreds :+= ((s: String) => s.contains(v))
+      case StringStartsWith("sds", v: String) =>
+        sdsPreds :+= ((s: String) => s.startsWith(v))
+      case StringEndsWith("sds", v: String) =>
+        sdsPreds :+= ((s: String) => s.endsWith(v))
       case _ => ()
     }
     filters
@@ -135,33 +139,12 @@ final class HdfScan(path: String, sdsOpt: Option[String],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    HdfGridSource.listFiles(path)
-      .filter(f => pathPreds.forall(_(f)))
-      .flatMap { f =>
-        val namesKnown =
-          try Some(HdfGridSource.planningHeader(f).sds.map(_.name))
-          catch { case _: Exception => None }
-        namesKnown match {
-          case None =>
-            // steps unknown: ONE unprunable whole-file split (sds
-            // sentinel None) — the task fails loudly on a corrupt
-            // tile instead of the sds predicate pruning it silently
-            Seq(HdfPartition(f, None): InputPartition)
-          case Some(names) =>
-            val matching = names
-              .filter(n => sdsOpt.forall(_ == n) && sdsPreds.forall(_(n)))
-            // wide products group: at most maxSplitsPerFile splits per
-            // file, SDS interleaved — each split pays ONE file read
-            val nSplits = math.max(1,
-              math.min(matching.size, maxSplitsPerFile))
-            (0 until nSplits).flatMap { k =>
-              val group = matching.zipWithIndex
-                .collect { case (n, i) if i % nSplits == k => n }
-              if (group.isEmpty) None
-              else Some(HdfPartition(f, Some(group)): InputPartition)
-            }
-        }
-      }.toArray
+    GridFiles.layerSplits(HdfGridSource.listFiles(path),
+      f => pathPreds.forall(_(f)),
+      f => HdfGridSource.planningHeader(f).sds.map(_.name),
+      n => sdsOpt.forall(_ == n) && sdsPreds.forall(_(n)), maxSplitsPerFile)
+      .map { case (f, group) => HdfPartition(f, group): InputPartition }
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new HdfReaderFactory(required.fieldNames, sdsOpt, keepFill)
 }

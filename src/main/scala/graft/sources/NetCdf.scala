@@ -609,10 +609,17 @@ object NetCdf {
         s"$varName: cell $idx at byte $off outside file")
       v.ncType match {
         case NcByte => bb.get(off.toInt).toDouble
+        case NcUByte => (bb.get(off.toInt) & 0xff).toDouble
         case NcShort => bb.getShort(off.toInt).toDouble
+        case NcUShort => (bb.getShort(off.toInt) & 0xffff).toDouble
         case NcInt => bb.getInt(off.toInt).toDouble
+        case NcUInt => (bb.getInt(off.toInt).toLong & 0xffffffffL).toDouble
         case NcFloat => bb.getFloat(off.toInt).toDouble
         case NcDouble => bb.getDouble(off.toInt)
+        case NcInt64 => bb.getLong(off.toInt).toDouble
+        case NcUInt64 => u64ToDouble(bb.getLong(off.toInt))
+        case t => throw new IllegalArgumentException(
+          s"$varName: nc_type $t unsupported on the grid path")
       }
     }
 

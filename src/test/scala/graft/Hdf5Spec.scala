@@ -938,7 +938,11 @@ class Hdf5Spec extends SparkSpec {
         filters = if (tag == 2) Seq("shuffle", "deflate", "fletcher32")
                   else Nil),
       Hdf5.DsSpec("qa", Seq(2, 3), Hdf5.Dtype(0, 2, littleEndian = true,
-        signed = true), Array(0, 1, 2, 3, 4, 5).map(_.toDouble))))
+        signed = true), Array(0, 1, 2, 3, 4, 5).map(_.toDouble)),
+      // a 1-D coordinate dataset (every real netCDF-4 file has them):
+      // the planner must SKIP it, not crash the default scan
+      Hdf5.DsSpec("lon", Seq(3), Hdf5.Dtype(0, 2, littleEndian = true,
+        signed = true), Array(10, 20, 30).map(_.toDouble))))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.h5"), file(1))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.h5"), file(2))
     val df = spark.read.format("graft.sources.H5GridSource")

@@ -273,6 +273,15 @@ class NetCdfSpec extends SparkSpec {
     val fx = NetCdf.decode(java.util.Arrays.copyOf(bb.array(), bb.position()))
     assert(fx.dims == Seq(Dim("x", 2)))
     assert(fx.read("v").toSeq == Seq(7.0, -8.0))
+    // the GRID path reads the new types too (rawAt was a third value-
+    // decode site — r11 second review)
+    val g5 = NetCdf.encode(Seq(Dim("lat", 1), Dim("lon", 3)), Nil,
+      Seq(VarSpec("q", Seq("lat", "lon"), NetCdf.NcUInt,
+        atts = Seq(Att("_FillValue", None, Array(4294967295.0))),
+        values = Array(3e9, 4294967295.0, 7.0))), version = 5)
+    val cells = NetCdf.gridCells(NetCdf.decode(g5), "q").toSeq
+    assert(cells(0).value == 3e9 && cells(1).value.isNaN &&
+      cells(2).value == 7.0)
   }
 
   test("encode refuses >2 GiB totals unconditionally (in-memory writer bound)") {
