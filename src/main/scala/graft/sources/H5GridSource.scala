@@ -76,10 +76,13 @@ object H5GridSource {
     def names(f: Hdf5.Hdf5File) =
       f.datasets.filter(_.dims.size == 2).map(_.path)
     val (prefix, len) = GridFiles.readPrefix(file, HeaderPrefixBytes)
-    try names(Hdf5.decode(prefix))
+    // metaOnly: chunk indexes (which live past the prefix in real
+    // files, interleaved with data) stay unresolved — the planner
+    // only needs names and dims, and tasks re-decode fully
+    try names(Hdf5.decode(prefix, metaOnly = true))
     catch {
       case _: Exception if len > prefix.length =>
-        names(Hdf5.decode(GridFiles.readBytes(file)))
+        names(Hdf5.decode(GridFiles.readBytes(file), metaOnly = true))
     }
   }
 }

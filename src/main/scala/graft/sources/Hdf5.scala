@@ -91,7 +91,7 @@ object Hdf5 {
     * elements (rank entries, element-size dim dropped), the filter
     * pipeline in application order, and every allocated chunk. */
   final case class Chunked(chunkDims: Seq[Int], filters: Seq[Filter],
-      chunks: Seq[ChunkRef])
+      chunks: Seq[ChunkRef], deferred: Boolean = false)
 
   /** One HDF5 dataset: absolute `path` ("/group/var"), row-major
     * `dims`, contiguous data at `dataOff` (or `compact` payload, or
@@ -144,7 +144,14 @@ object Hdf5 {
 
   /** Parse the file's full metadata tree (superblock → groups →
     * datasets + attributes). Data payloads are located, not copied. */
-  def decode(bytes: Array[Byte]): Hdf5File = {
+  def decode(bytes: Array[Byte]): Hdf5File = decode(bytes, metaOnly = false)
+
+  /** `metaOnly = true` skips resolving CHUNK INDEXES (v1 B-trees /
+    * fixed arrays live interleaved with data in real files, usually
+    * PAST a bounded header prefix) — dataset names, dims, types and
+    * attributes still decode, which is all a DSv2 planner needs.
+    * Reading data from a metaOnly file refuses loudly. */
+  def decode(bytes: Array[Byte], metaOnly: Boolean): Hdf5File = {
     // the superblock sits at offset 0 or a power-of-two user-block
     // boundary (spec §II); scan the doublings
     var base = 0L
@@ -270,18 +277,21 @@ object Hdf5 {
                 s"dataset '$path': chunk dims $cdims inconsistent with " +
                   s"rank ${dims.size} × ${dt.size}-byte elements")
               val chunks =
-                if (btree == Undef) Nil // never written: all-fill
+                if (btree == Undef || metaOnly) Nil // all-fill / deferred
                 else walkChunkTree(r, btree, cdims.size, path)
               datasets += Dataset(path, dims, dt, -1L, -1L, None, fillV,
-                at, Some(Chunked(cdims.init, filters, chunks)))
+                at, Some(Chunked(cdims.init, filters, chunks,
+                  deferred = metaOnly && btree != Undef)))
             case l4: LayChunkedV4 =>
               require(l4.cdims.size == dims.size,
                 s"dataset '$path': v4 chunk dims ${l4.cdims} inconsistent " +
                   s"with rank ${dims.size}")
-              val chunks = chunksV4(r, l4, dims, dt.size,
-                filters.nonEmpty, path)
+              val chunks =
+                if (metaOnly) Nil
+                else chunksV4(r, l4, dims, dt.size, filters.nonEmpty, path)
               datasets += Dataset(path, dims, dt, -1L, -1L, None, fillV,
-                at, Some(Chunked(l4.cdims, filters, chunks)))
+                at, Some(Chunked(l4.cdims, filters, chunks,
+                  deferred = metaOnly && l4.addr != Undef)))
           }
         case (None, None, None) =>
           groups += (if (path.isEmpty) "/" else path)
@@ -1062,6 +1072,9 @@ object Hdf5 {
     * cells outside the dataspace are discarded. */
   private def readChunked(bytes: Array[Byte], d: Dataset, c: Chunked,
       path: String): Array[Double] = {
+    require(!c.deferred,
+      s"dataset '$path': chunk index not resolved (metaOnly decode) — " +
+        "re-decode the full file bytes before reading data")
     val es = d.dtype.size
     val rank = d.dims.size
     val dims = d.dims.map(_.toInt).toArray

@@ -578,6 +578,24 @@ class Hdf5Spec extends SparkSpec {
       e.getMessage.contains("deflate"), e.getMessage)
   }
 
+  test("metaOnly decode: names/dims resolve from a header PREFIX that " +
+      "cuts off the chunk B-tree; data reads refuse until a full decode") {
+    val (bytes, _) = fixtureChunked
+    // a planner-style prefix: everything before the B-tree node
+    val prefix = java.util.Arrays.copyOf(bytes, 384)
+    val meta = Hdf5.decode(prefix, metaOnly = true)
+    val d = meta.datasetAt("/temp")
+    assert(d.dims == Seq(3L, 5L))
+    assert(d.chunked.exists(_.deferred))
+    // reading from the deferred handle refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.read(prefix, meta, "/temp")
+    }
+    assert(e.getMessage.contains("metaOnly"), e.getMessage)
+    // the FULL decode still reads everything
+    assert(Hdf5.read(bytes, Hdf5.decode(bytes), "/temp").length == 15)
+  }
+
   test("refusals: garbage chunked layout, v4 chunked, soft links, dense link storage, junk, truncation") {
     val (bytes, layoutClassAt) = fixtureV2()
     // flipping the class byte to 2 makes the contiguous body parse as
