@@ -858,10 +858,11 @@ object Hdf5 {
       s"group '$path': v2 B-tree type ${r.u8(btreeAddr + 5)} is not the " +
         s"expected name index ($btreeType)")
     val recordSize = r.u16(btreeAddr + 10)
+    val nodeSize = r.u32(btreeAddr + 6)
     val depth = r.u16(btreeAddr + 12)
-    require(depth == 0,
-      s"group '$path': name-index B-tree depth $depth unsupported (the " +
-        "depth-0 root leaf holds hundreds of entries)")
+    require(depth <= 1,
+      s"group '$path': name-index B-tree depth $depth unsupported (a " +
+        "depth-1 tree already holds tens of thousands of entries)")
     val rootNode = r.i64(btreeAddr + 16)
     val nRec = r.u16(btreeAddr + 24)
     // type-5 (link) records are {hash(4), heap ID}; type-8 (attribute)
@@ -876,16 +877,13 @@ object Hdf5 {
         s"for type $btreeType with heap ID length $heapIdLen — " +
         "refusing to guess")
     if (rootNode == Undef || nRec == 0) return Nil
-    r.in(rootNode, 6 + nRec.toLong * recordSize)
-    require(r.sig4(rootNode) == "BTLF",
-      s"group '$path': name-index leaf at $rootNode missing BTLF signature")
-    (0 until nRec).map { i =>
-      val rec = rootNode + 6 + i.toLong * recordSize
+
+    def resolve(rec: Long): (Long, Long) = {
       val id = idAt(rec)
       val idFlags = r.u8(id)
       require((idFlags & 0x30) == 0,
         s"group '$path': heap ID type ${(idFlags >> 4) & 3} unsupported " +
-          "(managed objects only — huge/tiny links refuse)")
+          "(managed objects only — huge/tiny entries refuse)")
       var heapOff = 0L
       var k = 0
       while (k < offSize) {
@@ -904,6 +902,50 @@ object Hdf5 {
       val pos = filePosOf(heapOff, objLen)
       r.in(pos, objLen)
       (pos, objLen)
+    }
+    def leafRecords(addr: Long, n: Int): Seq[(Long, Long)] = {
+      r.in(addr, 6 + n.toLong * recordSize)
+      require(r.sig4(addr) == "BTLF",
+        s"group '$path': name-index leaf at $addr missing BTLF signature")
+      (0 until n).map(i => resolve(addr + 6 + i.toLong * recordSize))
+    }
+    if (depth == 0) leafRecords(rootNode, nRec)
+    else {
+      // depth-1 root is a BTIN internal node: its own nRec records,
+      // then nRec+1 child pointers {addr(8), child nrec(m bytes LE)}
+      // where m = bytes holding the max records a LEAF can carry
+      // ((nodeSize − 10)/recordSize — 4 sig + 1 ver + 1 type +
+      // 4 checksum of overhead). Records in internal nodes are part
+      // of the record set; enumeration order is irrelevant here.
+      r.in(rootNode, 6)
+      require(r.sig4(rootNode) == "BTIN",
+        s"group '$path': name-index internal node at $rootNode missing " +
+          "BTIN signature")
+      require(r.u8(rootNode + 5) == btreeType,
+        s"group '$path': internal node type ${r.u8(rootNode + 5)} != " +
+          s"$btreeType")
+      val maxLeafRecs = (nodeSize - 10) / recordSize
+      require(maxLeafRecs > 0,
+        s"group '$path': implausible node/record sizes $nodeSize/$recordSize")
+      val m = (64 - java.lang.Long.numberOfLeadingZeros(
+        maxLeafRecs.toLong) + 7) / 8
+      val recsAt = rootNode + 6
+      val childrenAt = recsAt + nRec.toLong * recordSize
+      r.in(recsAt, nRec.toLong * recordSize +
+        (nRec + 1).toLong * (8 + m))
+      val own = (0 until nRec).map(i =>
+        resolve(recsAt + i.toLong * recordSize))
+      val kids = (0 to nRec).flatMap { c =>
+        val p = childrenAt + c.toLong * (8 + m)
+        val addr = r.i64(p)
+        var cn = 0L
+        var k = 0
+        while (k < m) { cn |= (r.u8(p + 8 + k).toLong & 0xff) << (8 * k); k += 1 }
+        require(cn >= 0 && cn <= maxLeafRecs,
+          s"group '$path': child leaf claims $cn records > max $maxLeafRecs")
+        leafRecords(addr, cn.toInt)
+      }
+      own ++ kids
     }
   }
 

@@ -840,10 +840,14 @@ class Hdf5Spec extends SparkSpec {
       assert(Hdf5.read(bytes, f, "/rain").toSeq == Seq(50.0, 51.0, 52.0, 53.0))
     }
     val (bytes, bthdAt, frhpAt) = fixtureDense()
-    // deep B-tree refuses by name
-    val deep = bytes.clone(); deep(bthdAt + 12) = 1
+    // depth ≥ 2 refuses by name (depth 1 decodes — next test); a
+    // depth field of 1 over a LEAF root refuses on the signature
+    val deep = bytes.clone(); deep(bthdAt + 12) = 2
     val e1 = intercept[IllegalArgumentException] { Hdf5.decode(deep) }
     assert(e1.getMessage.contains("depth"), e1.getMessage)
+    val lied = bytes.clone(); lied(bthdAt + 12) = 1
+    val e1b = intercept[IllegalArgumentException] { Hdf5.decode(lied) }
+    assert(e1b.getMessage.contains("BTIN"), e1b.getMessage)
     // filtered heap refuses
     val filt = bytes.clone(); filt(frhpAt + 7) = 8
     val e2 = intercept[IllegalArgumentException] { Hdf5.decode(filt) }
@@ -858,6 +862,102 @@ class Hdf5Spec extends SparkSpec {
     val wrongT = bytes.clone(); wrongT(bthdAt + 5) = 6
     val e4 = intercept[IllegalArgumentException] { Hdf5.decode(wrongT) }
     assert(e4.getMessage.contains("expected name index"), e4.getMessage)
+  }
+
+  /** Depth-1 dense-link fixture: BTIN root (one record) over two
+    * BTLF leaves; three datasets, three heap-held link bodies. */
+  private def fixtureDenseDeep(): Array[Byte] = {
+    val ds = Seq(128, 200, 272); val frhpAt = 384 // header ends at 530
+    val fhdbAt = 536 // 17-byte header + 3×15 bodies → ends 598
+    val bthdAt = 600; val btinAt = 650; val leaves = Seq(690, 720)
+    val dataAt = Seq(780, 796, 812); val total = 828
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    sig(out)
+    out.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    out.putLong(0L).putLong(Undef).putLong(total.toLong).putLong(48L)
+    out.putInt(0)
+    val rootMsgs = msgV2(0x02, le { b =>
+      b.put(0.toByte).put(0.toByte)
+      b.putLong(frhpAt.toLong).putLong(bthdAt.toLong)
+    })
+    out.position(48)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    out.put(rootMsgs.length.toByte).put(rootMsgs).putInt(0)
+    val names = Seq("temp", "rain", "wind")
+    ds.zip(dataAt).zipWithIndex.foreach { case ((at, dAt), i) =>
+      val msgs = Array(
+        msgV2(0x01, dsRank2V2(2, 2)),
+        msgV2(0x03, dtInt16),
+        msgV2(0x08, le { b =>
+          b.put(3.toByte).put(1.toByte).putLong(dAt.toLong).putLong(8L)
+        })).flatten
+      out.position(at)
+      out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(1.toByte)
+      out.putShort(msgs.length.toShort).put(msgs).putInt(0)
+      out.position(dAt)
+      (0 until 4).foreach(k => out.putShort((10 * (i + 1) + k).toShort))
+    }
+    val bodies = names.zip(ds).map { case (n, a) =>
+      le { b =>
+        b.put(1.toByte).put(0.toByte)
+        b.put(n.length.toByte).put(n.getBytes("US-ASCII"))
+        b.putLong(a.toLong)
+      }
+    }
+    val dbHeader = 17
+    val offs = bodies.scanLeft(dbHeader.toLong)(_ + _.length)
+    out.position(frhpAt)
+    out.put("FRHP".getBytes("US-ASCII")).put(0.toByte)
+    out.putShort(7).putShort(0).put(0.toByte).putInt(200)
+    (0 until 12).foreach(_ => out.putLong(0L))
+    out.putShort(4).putLong(512L).putLong(512L)
+    out.putShort(32).putShort(1)
+    out.putLong(fhdbAt.toLong).putShort(0).putInt(0)
+    out.position(fhdbAt)
+    out.put("FHDB".getBytes("US-ASCII")).put(0.toByte)
+    out.putLong(frhpAt.toLong).putInt(0)
+    bodies.foreach(out.put)
+    // BTHD: depth 1, root = BTIN with ONE own record, total 3
+    out.position(bthdAt)
+    out.put("BTHD".getBytes("US-ASCII")).put(0.toByte).put(5.toByte)
+    out.putInt(2048).putShort(11).putShort(1)
+    out.put(85.toByte).put(40.toByte)
+    out.putLong(btinAt.toLong).putShort(1).putLong(3L).putInt(0)
+    def rec(heapOff: Long, len: Int, hash: Int): Unit = {
+      out.putInt(hash)
+      out.put(0.toByte).putInt(heapOff.toInt).putShort(len.toShort)
+    }
+    // BTIN: record for "rain", children carrying "temp" / "wind"
+    out.position(btinAt)
+    out.put("BTIN".getBytes("US-ASCII")).put(0.toByte).put(5.toByte)
+    rec(offs(1), bodies(1).length, 0x2222)
+    out.putLong(leaves(0).toLong).put(1.toByte) // child 0: 1 record
+    out.putLong(leaves(1).toLong).put(1.toByte) // child 1: 1 record
+    out.putInt(0)
+    Seq((leaves(0), 0), (leaves(1), 2)).foreach { case (at, i) =>
+      out.position(at)
+      out.put("BTLF".getBytes("US-ASCII")).put(0.toByte).put(5.toByte)
+      rec(offs(i), bodies(i).length, 0x1111 * (i + 1))
+      out.putInt(0)
+    }
+    out.array()
+  }
+
+  test("dense links, depth-1 index: BTIN root records + leaf children " +
+      "all resolve") {
+    val bytes = fixtureDenseDeep()
+    val f = Hdf5.decode(bytes)
+    assert(f.datasets.map(_.path).sorted == Seq("/rain", "/temp", "/wind"),
+      f.datasets.map(_.path).toString)
+    assert(Hdf5.read(bytes, f, "/temp").toSeq == Seq(10.0, 11.0, 12.0, 13.0))
+    assert(Hdf5.read(bytes, f, "/rain").toSeq == Seq(20.0, 21.0, 22.0, 23.0))
+    assert(Hdf5.read(bytes, f, "/wind").toSeq == Seq(30.0, 31.0, 32.0, 33.0))
+    // a child claiming more records than a leaf can hold refuses
+    val btinAt = 650
+    val bad = bytes.clone()
+    bad(btinAt + 6 + 11 + 8) = 0xFF.toByte // child 0 nrec = 255 > 185
+    val e = intercept[IllegalArgumentException] { Hdf5.decode(bad) }
+    assert(e.getMessage.contains("max"), e.getMessage)
   }
 
   test("dense ATTRIBUTE storage: type-8 index + heap-held attribute " +
