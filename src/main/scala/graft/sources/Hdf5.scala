@@ -51,8 +51,8 @@ import org.apache.spark.sql.functions._
   * versions before 3, non-IEEE float layouts, shared messages, and
   * metadata offset/length sizes other than 8. DENSE (fractal-heap)
   * link storage DECODES (r11) — the new-format group shape netCDF-4
-  * forces past 8 links: depth-0 v2 link-name B-trees over managed
-  * heap IDs, direct or one-level-indirect heap roots (see
+  * forces past 8 links: v2 name-index B-trees (depth 0 and 1) over
+  * managed heap IDs, direct or one-level-indirect heap roots (see
   * [[denseLinks]]); deeper trees, filtered heaps, nested indirection
   * and huge/tiny IDs refuse by name.
   *
@@ -126,6 +126,14 @@ object Hdf5 {
     def u16(o: Long): Int = bb.getShort(o.toInt) & 0xffff
     def u32(o: Long): Long = bb.getInt(o.toInt).toLong & 0xffffffffL
     def i64(o: Long): Long = bb.getLong(o.toInt)
+    /** Little-endian variable-width unsigned integer (heap IDs,
+      * B-tree child counts — the spec's minimum-bytes fields). */
+    def leVar(o: Long, n: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < n) { v |= (u8(o + k).toLong & 0xff) << (8 * k); k += 1 }
+      v
+    }
     def ascii(o: Long, n: Int): String = new String(bytes, o.toInt, n, "US-ASCII")
     def cstr(o: Long): String = {
       var e = o.toInt
@@ -171,7 +179,7 @@ object Hdf5 {
       // the caller's original array (only dataOff leaves this walk;
       // compact payloads are copied).
       val tail = java.util.Arrays.copyOfRange(bytes, base.toInt, bytes.length)
-      val f = decode(tail)
+      val f = decode(tail, metaOnly) // keep the planner contract intact
       return f.copy(datasets = f.datasets.map { d0 =>
         val d = if (d0.dataOff == Undef) d0
                 else d0.copy(dataOff = d0.dataOff + base)
@@ -663,12 +671,7 @@ object Hdf5 {
       if (a == Undef) None
       else if (!filtered) Some(ChunkRef(originOf(i), chunkBytes, 0, a))
       else {
-        var sz = 0L
-        var k = 0
-        while (k < szChunkField) { // little-endian, variable width
-          sz |= (r.u8(p + 8 + k).toLong & 0xff) << (8 * k)
-          k += 1
-        }
+        val sz = r.leVar(p + 8, szChunkField) // little-endian, var width
         val mask = r.u32(p + 8 + szChunkField).toInt
         Some(ChunkRef(originOf(i), sz, mask, a))
       }
@@ -738,8 +741,10 @@ object Hdf5 {
     * whose records carry `{name hash (4), managed heap ID}`. This
     * reader walks the subset those files actually are:
     *
-    *   - BTHD with depth 0 (root node IS the BTLF leaf — holds ~180
-    *     links at the default 2048-byte node); deeper trees refuse;
+    *   - BTHD at depth 0 (root node IS the BTLF leaf — ~180 links at
+    *     the default 2048-byte node) or depth 1 (a BTIN internal root
+    *     whose own records join the set, over leaf children — tens of
+    *     thousands of links); depth ≥ 2 refuses;
     *   - FRHP with no I/O filters; root block DIRECT, or one level of
     *     INDIRECT with direct children (doubling row sizes per spec
     *     §III.F) — nested indirect blocks refuse;
@@ -848,7 +853,7 @@ object Hdf5 {
       b._3 + (heapOff - b._1)
     }
 
-    // ---- v2 B-tree (link-name index), depth 0 ----
+    // ---- v2 B-tree (name index), depth 0 or 1 ----
     r.in(btreeAddr, 34)
     require(r.sig4(btreeAddr) == "BTHD",
       s"group '$path': link index at $btreeAddr missing BTHD signature")
@@ -876,7 +881,12 @@ object Hdf5 {
       s"group '$path': name-index record size $recordSize != $expectRec " +
         s"for type $btreeType with heap ID length $heapIdLen — " +
         "refusing to guess")
-    if (rootNode == Undef || nRec == 0) return Nil
+    // an EMPTY tree is only valid at depth 0 — a depth-1 root must
+    // hold at least one record; returning Nil there would silently
+    // drop every link/attribute of the group
+    if (depth == 0 && (rootNode == Undef || nRec == 0)) return Nil
+    require(rootNode != Undef && (nRec > 0 || depth == 0),
+      s"group '$path': depth-$depth name index with an empty root — corrupt")
 
     def resolve(rec: Long): (Long, Long) = {
       val id = idAt(rec)
@@ -884,21 +894,11 @@ object Hdf5 {
       require((idFlags & 0x30) == 0,
         s"group '$path': heap ID type ${(idFlags >> 4) & 3} unsupported " +
           "(managed objects only — huge/tiny entries refuse)")
-      var heapOff = 0L
-      var k = 0
-      while (k < offSize) {
-        heapOff |= (r.u8(id + 1 + k).toLong & 0xff) << (8 * k)
-        k += 1
-      }
+      val heapOff = r.leVar(id + 1, offSize)
       val lenSize = heapIdLen - 1 - offSize
       require(lenSize >= 1 && lenSize <= 8,
         s"group '$path': heap ID length field $lenSize bytes off-shape")
-      var objLen = 0L
-      k = 0
-      while (k < lenSize) {
-        objLen |= (r.u8(id + 1 + offSize + k).toLong & 0xff) << (8 * k)
-        k += 1
-      }
+      val objLen = r.leVar(id + 1 + offSize, lenSize)
       val pos = filePosOf(heapOff, objLen)
       r.in(pos, objLen)
       (pos, objLen)
@@ -907,6 +907,9 @@ object Hdf5 {
       r.in(addr, 6 + n.toLong * recordSize)
       require(r.sig4(addr) == "BTLF",
         s"group '$path': name-index leaf at $addr missing BTLF signature")
+      require(r.u8(addr + 4) == 0 && r.u8(addr + 5) == btreeType,
+        s"group '$path': leaf version/type " +
+          s"${r.u8(addr + 4)}/${r.u8(addr + 5)} unsupported")
       (0 until n).map(i => resolve(addr + 6 + i.toLong * recordSize))
     }
     if (depth == 0) leafRecords(rootNode, nRec)
@@ -921,6 +924,9 @@ object Hdf5 {
       require(r.sig4(rootNode) == "BTIN",
         s"group '$path': name-index internal node at $rootNode missing " +
           "BTIN signature")
+      require(r.u8(rootNode + 4) == 0,
+        s"group '$path': internal node version ${r.u8(rootNode + 4)} " +
+          "unsupported")
       require(r.u8(rootNode + 5) == btreeType,
         s"group '$path': internal node type ${r.u8(rootNode + 5)} != " +
           s"$btreeType")
@@ -938,9 +944,7 @@ object Hdf5 {
       val kids = (0 to nRec).flatMap { c =>
         val p = childrenAt + c.toLong * (8 + m)
         val addr = r.i64(p)
-        var cn = 0L
-        var k = 0
-        while (k < m) { cn |= (r.u8(p + 8 + k).toLong & 0xff) << (8 * k); k += 1 }
+        val cn = r.leVar(p + 8, m)
         require(cn >= 0 && cn <= maxLeafRecs,
           s"group '$path': child leaf claims $cn records > max $maxLeafRecs")
         leafRecords(addr, cn.toInt)
