@@ -689,6 +689,12 @@ object GribMeta {
     require(!img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel],
       s"message $msgIdx: indexed-color (palette) PNG off the 5.41 " +
         "contract — codes must be gray or RGB(A) samples")
+    // the image must carry exactly the §5-declared packed points: a
+    // surplus or shortfall is a malformed message, refuse by name
+    // here rather than fail obliquely in the bitmap fan-out
+    require(w.toLong * h == p.nPacked,
+      s"message $msgIdx: PNG carries ${w.toLong * h} pixels for " +
+        s"${p.nPacked} packed points")
     val out = new Array[Long](w * h)
     var i = 0
     var y = 0

@@ -290,10 +290,15 @@ object Hdf5 {
               datasets += Dataset(path, dims, dt, -1L, -1L, None, fillV,
                 at, Some(Chunked(cdims.init, filters, chunks,
                   deferred = metaOnly && btree != Undef)))
-            case l4: LayChunkedV4 =>
-              require(l4.cdims.size == dims.size,
-                s"dataset '$path': v4 chunk dims ${l4.cdims} inconsistent " +
-                  s"with rank ${dims.size}")
+            case raw4: LayChunkedV4 =>
+              // v4 encodes rank+1 dims with a trailing element-size
+              // entry, exactly like v3 — validate and strip it
+              require(raw4.cdims.size == dims.size + 1 &&
+                raw4.cdims.last == dt.size,
+                s"dataset '$path': v4 chunk dims ${raw4.cdims} " +
+                  s"inconsistent with rank ${dims.size} × " +
+                  s"${dt.size}-byte elements")
+              val l4 = raw4.copy(cdims = raw4.cdims.init)
               val chunks =
                 if (metaOnly) Nil
                 else chunksV4(r, l4, dims, dt.size, filters.nonEmpty, path)
@@ -487,12 +492,16 @@ object Hdf5 {
     * in elements, then the element size in bytes). */
   private final case class LayChunked(btree: Long, dims: Seq[Int])
     extends Layout
-  /** v4 chunked (the 1.10+ "new format"): `cdims` are RANK-sized (no
-    * trailing element dim), `indexType` per the spec registry
-    * (1 single chunk, 2 implicit, 3 fixed array, 4 extensible array,
-    * 5 B-tree v2), `addr` the index (or single chunk) address;
-    * `singleFiltered` carries the (size, mask) the single-chunk index
-    * stores inline when a pipeline is present. */
+  /** v4 chunked (the 1.10+ "new format"): `cdims` are the RAW encoded
+    * dims — rank+1 entries whose LAST is the element size in bytes,
+    * exactly like the v3 message (the HDF5 library encodes its
+    * internal ndims = rank+1 for both versions); callers validate the
+    * trailing entry against the datatype and strip it. `indexType`
+    * per the spec registry (1 single chunk, 2 implicit, 3 fixed
+    * array, 4 extensible array, 5 B-tree v2), `addr` the index (or
+    * single chunk) address; `singleFiltered` carries the (size, mask)
+    * the single-chunk index stores inline when a pipeline is
+    * present. */
   private final case class LayChunkedV4(indexType: Int, addr: Long,
       cdims: Seq[Int], flags: Int,
       singleFiltered: Option[(Long, Int)]) extends Layout
@@ -523,8 +532,10 @@ object Hdf5 {
   }
 
   /** v4 chunked layout body (spec IV.A.2.i, version 4 / class 2):
-    * `flags(1) dimensionality(1) dimSizeEncLen(1) dims(rank × encLen)
-    * indexType(1) [index params] address(8)`. Single-chunk (1),
+    * `flags(1) dimensionality(1) dimSizeEncLen(1)
+    * dims((rank+1) × encLen) indexType(1) [index params] address(8)`
+    * — the library writes rank+1 dims with a trailing element-size
+    * entry, same as the v3 message. Single-chunk (1),
     * implicit (2) and fixed-array (3) indexes decode; extensible-array
     * (4) and B-tree-v2 (5) — the unlimited-dims indexes — refuse by
     * name. Flag bit 1 marks a filtered single chunk whose (size, mask)
@@ -536,8 +547,10 @@ object Hdf5 {
     val encLen = r.u8(o + 4)
     require(Set(1, 2, 4, 8)(encLen),
       s"dataset '$path': v4 chunked dim-size width $encLen invalid")
-    require(ndims >= 1 && ndims <= 32,
-      s"dataset '$path': v4 chunked rank $ndims implausible")
+    // dimensionality counts the TRAILING element-size entry too
+    // (rank+1, like v3), so a scalar chunk still encodes >= 2 entries
+    require(ndims >= 2 && ndims <= 33,
+      s"dataset '$path': v4 chunked dimensionality $ndims implausible")
     def dimAt(p: Long): Long = encLen match {
       case 1 => r.u8(p).toLong
       case 2 => r.u16(p).toLong
@@ -889,6 +902,15 @@ object Hdf5 {
       s"group '$path': depth-$depth name index with an empty root — corrupt")
 
     def resolve(rec: Long): (Long, Long) = {
+      // type-8 records carry the attribute message's flags byte right
+      // after the heap ID; the shared bit means the heap holds a
+      // shared-message POINTER, not the attribute itself — parsing it
+      // inline would yield a confusing version error or wrong values,
+      // so refuse by name like the v1/v2 header-message loops do
+      if (btreeType == 8)
+        require((r.u8(rec + heapIdLen) & 0x02) == 0,
+          s"group '$path': dense attribute record at $rec is a shared " +
+            "message — shared messages unsupported")
       val id = idAt(rec)
       val idFlags = r.u8(id)
       require((idFlags & 0x30) == 0,

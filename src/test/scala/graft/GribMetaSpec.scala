@@ -384,17 +384,21 @@ class GribMetaSpec extends SparkSpec {
     val bad = good.clone(); bad(at) = 'X'
     val e = intercept[IllegalArgumentException] { GribMeta.values(bad) }
     assert(e.getMessage.contains("PNG"), e.getMessage)
-    // a PNG with the wrong pixel count fails the fan-out counts
+    // a pixel count off the §5-declared packed count refuses BY NAME
+    // at the PNG gate (not obliquely in the bitmap fan-out): patch the
+    // declared count down by one — the 12-pixel image is now surplus
     val wrong = GribMeta.encodePng(4, 3, 0, 0, 0f, 0, 0, nBits = 8,
       xs = Array.tabulate(12)(_.toLong))
-    // splice section 7 of a 6-pixel message into the 12-point one:
-    // simpler — decode must reject when image pixels < present points
-    val small = GribMeta.encodePng(3, 2, 0, 0, 0f, 0, 0, nBits = 8,
-      xs = Array.tabulate(6)(_.toLong))
-    // (the library validates counts internally; just assert both
-    // well-formed messages still decode after the corrupt one)
-    assert(GribMeta.values(wrong).head._2.length == 12)
-    assert(GribMeta.values(small).head._2.length == 6)
+    def u32be(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    var so = 16 // first section after the 16-octet indicator
+    while (wrong(so + 4) != 5) so += u32be(wrong, so).toInt
+    assert(u32be(wrong, so + 5) == 12L) // declared packed points
+    wrong(so + 8) = 11
+    val e2 = intercept[IllegalArgumentException] { GribMeta.values(wrong) }
+    assert(e2.getMessage.contains("12 pixels for 11 packed points"),
+      e2.getMessage)
   }
 
   test("complex packing + spatial differencing (5.3) round-trips, orders 1 and 2") {

@@ -459,8 +459,10 @@ class Hdf5Spec extends SparkSpec {
     val layoutBody = le { b =>
       b.put(4.toByte).put(2.toByte)
       b.put(if (filtered && index == 1) 0x2.toByte else 0.toByte)
-      b.put(2.toByte).put(1.toByte) // rank 2, 1-byte dim sizes
-      b.put(2.toByte).put(3.toByte) // chunk dims (NO trailing elem dim)
+      b.put(3.toByte).put(1.toByte) // dimensionality rank+1, 1-byte sizes
+      // chunk dims + trailing element size (the library writes
+      // rank+1 entries, last = element bytes — same as the v3 message)
+      b.put(2.toByte).put(3.toByte).put(2.toByte)
       b.put(index.toByte)
       index match {
         case 1 =>
@@ -1040,6 +1042,14 @@ class Hdf5Spec extends SparkSpec {
     assert(cells.find(c => c.x == 0 && c.y == 0).get.value == 52.0)
     assert(cells.find(c => c.x == 1 && c.y == 0).get.value.isNaN) // fill
     assert(cells.find(c => c.x == 1 && c.y == 1).get.value == 202.0)
+    // a record whose message-flags byte carries the SHARED bit points
+    // at a shared-message table entry, not an inline attribute —
+    // parsing the heap bytes as an attribute would misread, so the
+    // walk must refuse by name (record 0 flags = btlfAt+6 + heapId 7)
+    val shared = bytes.clone()
+    shared(btlfAt + 6 + 7) = 0x02
+    val e = intercept[IllegalArgumentException] { Hdf5.decode(shared) }
+    assert(e.getMessage.contains("shared"), e.getMessage)
   }
 
   test("H5GridSource: per-(file x dataset) splits, pruning, grouped wide " +
