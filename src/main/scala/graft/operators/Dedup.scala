@@ -511,77 +511,90 @@ object Dedup {
     Components.minLabel(p, canonical = true).toDF("doc_id", "cluster_id")
   }
 
-  /** SQL prefix shared by the d06/d12 oracles: the portable
-    * md5-minhash pipeline up to `conf` (confirmed near-dup pairs) and
-    * `reach`/`clusters` (recursive reachability = min-label fixpoint). */
-  private val md5ClusterCtes: String =
-    """WITH RECURSIVE
-      |toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
-      |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
-      |  RANGE(1, GREATEST(LEN(tk) - 1, 1)),
-      |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM toks),
-      |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM sh),
-      |sig AS (SELECT doc_id, j, MIN(MD5(s || '#' || j)) AS m
-      |        FROM ex, RANGE(16) r(j) GROUP BY doc_id, j),
-      |band AS (SELECT doc_id, j // 4 AS band_idx,
-      |         MD5(STRING_AGG(m, '|' ORDER BY j)) AS band_hash
-      |         FROM sig GROUP BY doc_id, j // 4),
-      |bandc AS (SELECT doc_id, band_idx, band_hash FROM (
-      |         SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
-      |         FROM band) t WHERE bsz <= 64),
-      |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      |         FROM bandc a JOIN bandc b
-      |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-      |          AND a.doc_id < b.doc_id),
-      |est AS (SELECT c.id1, c.id2
-      |        FROM cand c JOIN sig a ON a.doc_id = c.id1
-      |                    JOIN sig b ON b.doc_id = c.id2 AND b.j = a.j
-      |        GROUP BY c.id1, c.id2
-      |        HAVING COUNT(*) FILTER (WHERE a.m = b.m) / 16.0 >= 0.15),
-      |conf AS (SELECT id1, id2
-      |  FROM est JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
-      |  WHERE CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS DOUBLE) /
-      |        LEN(LIST_DISTINCT(LIST_CONCAT(x.sh, y.sh))) >= 0.3),
-      |edges AS (SELECT id1 AS src, id2 AS dst FROM conf
-      |          UNION SELECT id2, id1 FROM conf),
-      |reach AS (
-      |  SELECT DISTINCT src AS id, src AS r FROM edges
-      |  UNION
-      |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
-      |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
-      |             FROM reach GROUP BY id)""".stripMargin
+  /** SQL prefix shared by the d06/d12 oracles: replay of everything
+    * DOWNSTREAM of the signature fixture (banding, caps, pairing, both
+    * confirm tiers — see [[graft.Fixtures]] for the partial-oracle
+    * contract) plus `reach`/`clusters` (recursive reachability =
+    * min-label fixpoint). */
+  private def xxClusterCtes(path: String): String =
+    s"""WITH RECURSIVE
+       |f AS (SELECT * FROM read_parquet('$path/*.parquet')),
+       |band AS (SELECT doc_id, CAST(i AS INTEGER) AS band_idx,
+       |         bands[CAST(i AS INTEGER) + 1] AS band_hash
+       |         FROM f, RANGE(4) r(i)),
+       |bandc AS (SELECT doc_id, band_idx, band_hash FROM (
+       |         SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+       |         FROM band) t WHERE bsz <= 64),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM bandc a JOIN bandc b
+       |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |          AND a.doc_id < b.doc_id),
+       |est AS (SELECT id1, id2 FROM cand
+       |        JOIN f x ON x.doc_id = id1 JOIN f y ON y.doc_id = id2
+       |        WHERE CAST(LEN(LIST_FILTER(RANGE(1, 17),
+       |          i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 16 >= 0.15),
+       |conf AS (SELECT id1, id2
+       |  FROM est JOIN f x ON x.doc_id = id1 JOIN f y ON y.doc_id = id2
+       |  WHERE CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS DOUBLE) /
+       |        LEN(LIST_DISTINCT(LIST_CONCAT(x.sh, y.sh))) >= 0.3),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM conf
+       |          UNION SELECT id2, id1 FROM conf),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+       |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+       |             FROM reach GROUP BY id)""".stripMargin
 
-  /** The d06 pipeline up to confirmed pairs: md5-minhash banding →
-    * capped buckets → two-tier confirm. Shared by d06 and d12. */
-  private[graft] def md5ConfirmedPairs(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val sh = docShingles(Tables(spark, dir).documents).persist()
-    val sigs = md5MinhashSigTable(sh, "doc_id", "sh").persist()
-    val cand = bucketPairs(bandsFromSigs(sigs, "doc_id"))
+  /** The d06/d12 pipeline up to confirmed pairs, on the PRODUCTION
+    * xxhash minhash path (16 hashes, 4 bands × 4 rows — unchanged LSH
+    * geometry) with the d02 fixture split: signatures + bands are
+    * written as a parquet fixture both engines consume, so the whole
+    * candidate/confirm pipeline stays hash-checked while the signature
+    * values themselves are Spark-defined. Replaces the fully-portable
+    * md5 path after ProfileD06 at ×10 blamed it conclusively:
+    * bands+cand 21.2 s of the 29 s total was Md5SeededExpr computing
+    * 16 string md5s per shingle occurrence; the component loop the r11
+    * verdict suspected was 3.8 s. (d02b keeps the md5 shape oracled
+    * end-to-end.) */
+  private[graft] def xxConfirmedPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fixture: String): DataFrame = {
+    val sh = docShingleHashes(Tables(spark, dir).documents).persist()
+    val sigs = Text.minhashSignatures(sh, "doc_id", col("sh"), 16)
+    val fx = sigs.join(sh, "doc_id").select(col("doc_id"), col("sh"), col("sig"),
+      array((0 until 4).map(b =>
+        xxhash64(slice(col("sig"), b * 4 + 1, 4), lit(b))): _*).as("bands"))
+    val fxPath = graft.Fixtures.write(fx, dir, fixture)
+    val f = spark.read.parquet(fxPath).persist()
+    val bands = f.select(col("doc_id"), posexplode(col("bands")))
+      .select(col("doc_id"), col("pos").cast("int").as("band_idx"),
+        col("col").as("band_hash"))
+    val cand = bucketPairs(bands)
     // two-tier confirm (d02/p01/d07 shape): signature estimate first
     val estKept = cand
-      .join(sigs.toDF("id1", "sv1"), "id1")
-      .join(sigs.toDF("id2", "sv2"), "id2")
-      .filter(size(filter(zip_with(col("sv1"), col("sv2"), (a, b) => a === b), x => x))
+      .join(f.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(f.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .filter(size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
         .cast("double") / 16 >= 0.15)
       .select(col("id1"), col("id2"))
     estKept
-      .join(sh.toDF("id1", "sh1"), "id1")
-      .join(sh.toDF("id2", "sh2"), "id2")
+      .join(f.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(f.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
       .filter(jaccard(col("sh1"), col("sh2")) >= 0.3)
       .select(col("id1"), col("id2")).persist()
   }
 
-  /** d06: near-dup clusters on the portable md5-minhash pair graph —
-    * DuckDB replicates the label propagation with a recursive
-    * reachability CTE (min reachable id == min label at fixpoint). */
-  val d06 = QueryDef(
-    "d06_dup_clusters",
-    md5ClusterCtes +
+  /** d06: near-dup clusters on the xx-minhash pair graph — DuckDB
+    * replays the pipeline from the signature fixture and replicates
+    * the label propagation with a recursive reachability CTE (min
+    * reachable id == min label at fixpoint). */
+  def d06: QueryDef = QueryDef.dynamic(
+    "d06_dup_clusters")(dir =>
+    xxClusterCtes(graft.Fixtures.pathFor(dir, "d06_sigs")) +
       """
         |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin) {
     (spark, dir) =>
-      dupClusters(md5ConfirmedPairs(spark, dir)).orderBy(col("doc_id"))
+      dupClusters(xxConfirmedPairs(spark, dir, "d06_sigs")).orderBy(col("doc_id"))
   }
 
   /** d12: cluster REPRESENTATIVE selection — the retention policy on
@@ -597,9 +610,9 @@ object Dedup {
     * selection is ONE window over (cluster) ordered by (tokens desc,
     * id) — rank only, linear in cluster size — plus the per-cluster
     * aggregate. Token counts ride in from a map-side projection. */
-  val d12 = QueryDef(
-    "d12_cluster_representative",
-    md5ClusterCtes +
+  def d12: QueryDef = QueryDef.dynamic(
+    "d12_cluster_representative")(dir =>
+    xxClusterCtes(graft.Fixtures.pathFor(dir, "d12_sigs")) +
       """,
         |ct AS (SELECT c.doc_id, c.cluster_id,
         |    CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tok
@@ -617,7 +630,7 @@ object Dedup {
         |WHERE r.rn = 1
         |ORDER BY cluster_id""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val clusters = dupClusters(md5ConfirmedPairs(spark, dir))
+    val clusters = dupClusters(xxConfirmedPairs(spark, dir, "d12_sigs"))
     val ct = clusters.join(
       Tables(spark, dir).documents
         .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tok")),

@@ -320,7 +320,13 @@ object Relational {
   }
 
   /** q12: scalar subquery (global average, broadcast as a 1-row join)
-    * + correlated EXISTS as a left-semi join. */
+    * + correlated EXISTS as a left-semi join against the DISTINCT
+    * probe keys, not the raw fact rows. A direct left-semi SMJ
+    * shuffles and sorts every lineitem row; distinct-first lets the
+    * map-side partial aggregate collapse the probe side to ≤|part|
+    * keys BEFORE any exchange (ProfileQ12 at ×10: 3.2–4.2 s as-is →
+    * 1.3–1.7 s rewritten), and AQE turns the residual join into a
+    * broadcast when the key set is small. */
   val q12 = QueryDef(
     "q12_scalar_subquery_exists",
     """SELECT p_partkey, p_retailprice
@@ -330,10 +336,11 @@ object Relational {
       |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
     val t = Tables(spark, dir)
     val avgPrice = t.part.agg(avg(col("p_retailprice")).as("avg_price"))
+    val probeKeys = t.lineitem.select(col("l_partkey").as("p_partkey")).distinct()
     t.part
       .join(broadcast(avgPrice))
       .filter(col("p_retailprice") > col("avg_price"))
-      .join(t.lineitem, col("p_partkey") === col("l_partkey"), "left_semi")
+      .join(probeKeys, Seq("p_partkey"), "left_semi")
       .select(col("p_partkey"), col("p_retailprice"))
       .orderBy(col("p_partkey"))
   }
