@@ -130,13 +130,14 @@ object GribMeta {
                   pCat = u8(bytes, so + 9)
                   pNum = u8(bytes, so + 10)
                 }
-              case 5 => // data representation: templates 5.0/5.2/5.3/5.41
-                        // share octets 12-15 R (IEEE float), 16-17 E,
-                        // 18-19 D (sign-and-magnitude), 20 bits/value
+              case 5 => // data representation: templates 5.0/5.2/5.3/
+                        // 5.40/5.41 share octets 12-15 R (IEEE float),
+                        // 16-17 E, 18-19 D (sign-and-magnitude),
+                        // 20 bits/value
                 nPacked = u32(bytes, so + 5)
                 drTpl = u16(bytes, so + 9)
                 if ((drTpl == 0 || drTpl == 2 || drTpl == 3 ||
-                    drTpl == 41) && len >= 20) {
+                    drTpl == 40 || drTpl == 41) && len >= 20) {
                   refVal = java.lang.Float
                     .intBitsToFloat(u32(bytes, so + 11).toInt).toDouble
                   binE = s16(u16(bytes, so + 15))
@@ -566,12 +567,12 @@ object GribMeta {
         s"message ${m.msgIndex}: no data section"))
       if (m.edition == 2)
         require(p.template == 0 || p.template == 2 || p.template == 3 ||
-          p.template == 41,
+          p.template == 40 || p.template == 41,
           s"message ${m.msgIndex}: data " +
           s"representation template 5.${p.template} unsupported — only " +
           "5.0 (simple), 5.2 (complex), 5.3 (complex + spatial " +
-          "differencing) and 5.41 (PNG) decode; JPEG2000/CCSDS packing " +
-          "needs external codecs")
+          "differencing), 5.40 (lossless JPEG2000) and 5.41 (PNG) " +
+          "decode; CCSDS (5.42) packing stays a refusal")
       else {
         // GRIB1 BDS flag nibble (template here = flags bits 4-7):
         // 8 = spherical harmonics, 4 = complex packing, 2 = integer
@@ -614,11 +615,12 @@ object GribMeta {
       val base = p.refValue * math.pow(10.0, -p.decScale)
       val out = new Array[Double](nTotal)
       if (m.edition == 2 && (p.template == 2 || p.template == 3 ||
-          p.template == 41)) {
-        // complex/PNG packing: unpack the scaled codes of the PRESENT
-        // points in one pass, then fan them across the bitmap
+          p.template == 40 || p.template == 41)) {
+        // complex/JPEG2000/PNG packing: unpack the scaled codes of the
+        // PRESENT points in one pass, then fan them across the bitmap
         val xs =
           if (p.template == 41) pngCodes(bytes, m.msgIndex, p)
+          else if (p.template == 40) j2kCodes(bytes, m.msgIndex, p)
           else unpackComplex(bytes, m.msgIndex, p)
         var i = 0
         var k = 0
@@ -719,6 +721,118 @@ object GribMeta {
       y += 1
     }
     out
+  }
+
+  /** Template 7.40 (JPEG2000-packed) payload → the scaled codes X of
+    * the packed points (WMO FM 92 template 5.40 / NCEP-Jasper and
+    * ECMWF-openjpeg convention): the §7 bytes after the 5-octet header
+    * are ONE Part-1 codestream whose grayscale samples carry the
+    * unsigned codes — NCEP packs width = nPacked, height = 1; a
+    * grid-shaped image is equally legal, so only the PIXEL COUNT is
+    * gated, like the 5.41 PNG path. §5 octet 22 is the compression
+    * type: 0 (lossless) decodes through the clean-room [[Jpeg2k]]
+    * codec; 1 (lossy, 9/7 wavelet) refuses by name — a lossy unpack
+    * would silently change the archived values. */
+  private def j2kCodes(bytes: Array[Byte], msgIdx: Int,
+      p: Pack): Array[Long] = {
+    require(p.sec5Len >= 23,
+      s"message $msgIdx: template 5.40 declared but section 5 is " +
+        s"${p.sec5Len} octets (< 23)")
+    val ctype = u8(bytes, p.sec5Off + 21)
+    require(ctype == 0,
+      s"message $msgIdx: JPEG2000 compression type $ctype unsupported " +
+        "(only 0 = lossless decodes; lossy would alter archived values)")
+    val dec = Jpeg2k.decode(java.util.Arrays.copyOfRange(
+      bytes, p.dataOff, p.dataEnd))
+    require(dec.width.toLong * dec.height == p.nPacked,
+      s"message $msgIdx: JPEG2000 carries ${dec.width.toLong * dec.height} " +
+        s"pixels for ${p.nPacked} packed points")
+    dec.samples
+  }
+
+  /** GRIB2 WRITER for JPEG2000 packing (template 5.40) —
+    * [[encodePng]]'s shape with the §7 payload a lossless [[Jpeg2k]]
+    * codestream: grid-shaped (ni × nj) without a bitmap, a 1-row
+    * strip of the present points with one (the NCEP jpcpack layout). */
+  def encodeJpeg2000(ni: Int, nj: Int, paramCategory: Int, paramNumber: Int,
+      refValue: Float, binScale: Int, decScale: Int, nBits: Int,
+      xs: Array[Long], bitmap: Option[Array[Boolean]] = None,
+      centre: Int = 0, discipline: Int = 0,
+      refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0)): Array[Byte] = {
+    require(nBits >= 1 && nBits <= 25, s"bad nBits $nBits (1..25)")
+    require(xs.nonEmpty,
+      "JPEG2000 packing cannot carry zero present points — use simple " +
+        "packing for all-missing slices")
+    require(xs.forall(x => x >= 0 && x < (1L << nBits)),
+      s"packed code out of the $nBits-bit range")
+    bitmap.foreach { m =>
+      require(m.length == ni * nj, s"bitmap ${m.length} for ${ni * nj} points")
+      require(m.count(identity) == xs.length,
+        s"${xs.length} codes for ${m.count(identity)} present points")
+    }
+    require(bitmap.isDefined || xs.length == ni * nj,
+      s"${xs.length} codes for ${ni * nj} points without a bitmap")
+    val (w, h) = if (bitmap.isEmpty) (ni, nj) else (xs.length, 1)
+    val j2k = Jpeg2k.encode(w, h, nBits, xs)
+
+    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
+    val bmpBytes = bitmap.map(m => (m.length + 7) / 8).getOrElse(0)
+    val b = java.nio.ByteBuffer.allocate(
+      16 + 21 + 72 + 34 + 23 + 6 + bmpBytes + 5 + j2k.length + 4)
+    def sec(len: Int, n: Int)(body: java.nio.ByteBuffer => Unit): Unit = {
+      val start = b.position()
+      b.putInt(len).put(n.toByte)
+      body(b)
+      while (b.position() < start + len) b.put(0.toByte)
+    }
+    b.put("GRIB".getBytes("US-ASCII"))
+    b.putShort(0).put(discipline.toByte).put(2.toByte)
+    val lenAt = b.position(); b.putLong(0L)
+    sec(21, 1) { s =>
+      s.putShort(centre.toShort).putShort(0)
+      s.put(2.toByte).put(1.toByte).put(1.toByte)
+      s.putShort(refTime._1.toShort).put(refTime._2.toByte).put(refTime._3.toByte)
+      s.put(refTime._4.toByte).put(refTime._5.toByte).put(0.toByte)
+    }
+    sec(72, 3) { s =>
+      s.put(0.toByte); s.putInt(ni * nj); s.put(0.toByte).put(0.toByte)
+      s.putShort(0) // grid template 3.0 (lat/lon)
+      (15 to 30).foreach(_ => s.put(0.toByte))
+      s.putInt(ni).putInt(nj)
+    }
+    sec(34, 4) { s =>
+      s.putShort(0); s.putShort(0)
+      s.put(paramCategory.toByte).put(paramNumber.toByte)
+    }
+    sec(23, 5) { s =>
+      s.putInt(xs.length)
+      s.putShort(40) // template 5.40 (JPEG2000)
+      s.putInt(java.lang.Float.floatToIntBits(refValue))
+      s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
+      s.put(nBits.toByte)
+      s.put(0.toByte)   // original field type 0 (float)
+      s.put(0.toByte)   // compression type 0 = LOSSLESS
+      s.put(255.toByte) // target ratio: missing (lossless)
+    }
+    bitmap match {
+      case Some(mask) =>
+        sec(6 + bmpBytes, 6) { s =>
+          s.put(0.toByte)
+          var acc = 0; var nb = 0
+          mask.zipWithIndex.foreach { case (m, j) =>
+            acc = (acc << 1) | (if (m) 1 else 0); nb += 1
+            if (nb == 8 || j == mask.length - 1) {
+              s.put((acc << (8 - nb)).toByte); acc = 0; nb = 0
+            }
+          }
+        }
+      case None => sec(6, 6) { s => s.put(255.toByte) }
+    }
+    sec(5 + j2k.length, 7)(_.put(j2k))
+    b.put("7777".getBytes("US-ASCII"))
+    val total = b.position()
+    b.putLong(lenAt, total.toLong)
+    java.util.Arrays.copyOf(b.array(), total)
   }
 
   /** GRIB2 WRITER for PNG packing (template 5.41) — [[encodeSimple]]'s

@@ -401,6 +401,55 @@ class GribMetaSpec extends SparkSpec {
       e2.getMessage)
   }
 
+  test("JPEG2000 packing (5.40) round-trips across depths; bitmap strip; " +
+      "lossy compression type refuses by name; pixel-count gate") {
+    for ((nBits, top) <- Seq((7, 100L), (13, 8000L), (22, 4000000L),
+        (25, 33000000L))) {
+      val xs = Array.tabulate(12)(i => i.toLong * top / 11)
+      val enc = GribMeta.encodeJpeg2000(4, 3, paramCategory = 1,
+        paramNumber = 2, refValue = 10f, binScale = -1, decScale = 1,
+        nBits = nBits, xs = xs, centre = 98, refTime = (2024, 6, 1, 0, 0))
+      val Seq((m, vs)) = GribMeta.values(enc)
+      assert(m.centre == 98 && m.ni == 4 && m.nj == 3)
+      val want = xs.map(x => (10.0 + x * 0.5) / 10.0)
+      vs.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) <= 1e-12 * math.max(math.abs(w), 1.0),
+          s"nBits=$nBits: $g != $w") }
+    }
+    // bitmapped: the codestream is a 1-row strip of the present points
+    val mask = Array(true, false, true, true, false, true)
+    val bm = GribMeta.encodeJpeg2000(3, 2, 0, 0, 0f, 0, 0, nBits = 12,
+      xs = Array(10L, 20L, 30L, 40L), bitmap = Some(mask))
+    val Seq((_, vs2)) = GribMeta.values(bm)
+    assert(vs2.length == 6 && vs2(1).isNaN && vs2(4).isNaN)
+    assert(Seq(vs2(0), vs2(2), vs2(3), vs2(5)) ==
+      Seq(10.0, 20.0, 30.0, 40.0))
+    // §5 octet 22 = 1 (lossy) must refuse by name, never unpack
+    val good = GribMeta.encodeJpeg2000(4, 3, 0, 0, 0f, 0, 0, nBits = 8,
+      xs = Array.tabulate(12)(_.toLong))
+    def u32be(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    var so = 16
+    while (good(so + 4) != 5) so += u32be(good, so).toInt
+    val lossy = good.clone(); lossy(so + 21) = 1
+    val e1 = intercept[IllegalArgumentException] { GribMeta.values(lossy) }
+    assert(e1.getMessage.contains("lossy"), e1.getMessage)
+    // pixel count off the declared packed count refuses by name
+    assert(u32be(good, so + 5) == 12L)
+    val short = good.clone(); short(so + 8) = 11
+    val e2 = intercept[IllegalArgumentException] { GribMeta.values(short) }
+    assert(e2.getMessage.contains("12 pixels for 11 packed points"),
+      e2.getMessage)
+    // a junk codestream refuses loudly (SOC gate)
+    val junk = good.clone()
+    var dOff = 16
+    while (junk(dOff + 4) != 7) dOff += u32be(junk, dOff).toInt
+    junk(dOff + 5) = 0x12; junk(dOff + 6) = 0x34
+    val e3 = intercept[IllegalArgumentException] { GribMeta.values(junk) }
+    assert(e3.getMessage.contains("SOC"), e3.getMessage)
+  }
+
   test("complex packing + spatial differencing (5.3) round-trips, orders 1 and 2") {
     // a ramp + noise: first-order diffs go NEGATIVE, so the overall-
     // minimum bias and sign-and-magnitude descriptors are exercised
