@@ -504,7 +504,10 @@ object Hdf5 {
     * present. */
   private final case class LayChunkedV4(indexType: Int, addr: Long,
       cdims: Seq[Int], flags: Int,
-      singleFiltered: Option[(Long, Int)]) extends Layout
+      singleFiltered: Option[(Long, Int)],
+      // EARRAY creation params from the layout message: (maxNelmtsBits,
+      // idxBlkElmts, supBlkMinDataPtrs, dataBlkMinElmts, maxDblkPageBits)
+      eaParams: Option[(Int, Int, Int, Int, Int)] = None) extends Layout
 
   private def parseLayout(r: Reader, o: Long, path: String): Layout = {
     val ver = r.u8(o)
@@ -576,10 +579,14 @@ object Hdf5 {
       case 3 =>
         p += 1 // page bits: re-read from the FAHD header, authoritative
         LayChunkedV4(3, r.i64(p), cdims.map(_.toInt), flags, None)
-      case 4 => throw new IllegalArgumentException(
-        s"dataset '$path': v4 chunk index type 4 (extensible array — " +
-          "unlimited dims) unsupported; re-export with fixed dims or " +
-          "the earliest-format layout")
+      case 4 =>
+        // extensible array (the UNLIMITED-dims index netCDF-4 emits
+        // under libver=latest): params then the EAHD address
+        val maxBits = r.u8(p); val idxElmts = r.u8(p + 1)
+        val minPtrs = r.u8(p + 2); val minElmts = r.u8(p + 3)
+        val pageBits = r.u8(p + 4)
+        LayChunkedV4(4, r.i64(p + 5), cdims.map(_.toInt), flags, None,
+          Some((maxBits, idxElmts, minPtrs, minElmts, pageBits)))
       case 5 => throw new IllegalArgumentException(
         s"dataset '$path': v4 chunk index type 5 (B-tree v2) " +
           "unsupported; re-export with the earliest-format layout")
@@ -635,6 +642,10 @@ object Hdf5 {
         if (l.addr == Undef) Nil
         else walkFixedArray(r, l.addr, nChunks, chunkBytes, filtered,
           originOf, path)
+      case 4 =>
+        if (l.addr == Undef) Nil
+        else walkExtensibleArray(r, l.addr, l.eaParams.get, nChunks,
+          chunkBytes, filtered, originOf, path)
       case t => throw new IllegalArgumentException(
         s"dataset '$path': v4 chunk index type $t unsupported")
     }
@@ -687,6 +698,165 @@ object Hdf5 {
         val sz = r.leVar(p + 8, szChunkField) // little-endian, var width
         val mask = r.u32(p + 8 + szChunkField).toInt
         Some(ChunkRef(originOf(i), sz, mask, a))
+      }
+    }
+  }
+
+  /** Extensible-array chunk index (spec III.H) — the index the HDF5
+    * library picks for one UNLIMITED dimension under the 1.10+ format,
+    * i.e. exactly netCDF-4's record-time cubes. Geometry (matching the
+    * library's H5EA init): element `i < idxBlkElmts` lives inline in
+    * the index block; beyond that, data blocks grow geometrically in
+    * super-block generations — generation u holds 2^⌊u/2⌋ data blocks
+    * of minElmts·2^⌊(u+1)/2⌋ elements — with the first
+    * 2·log2(minPtrs) generations' data blocks addressed straight from
+    * the index block and later generations through EASB super blocks.
+    * PAGED data blocks (nelmts > 2^pageBits) refuse by name. Element
+    * shape matches the fixed array's: addr(8) unfiltered;
+    * addr(8)+size(var)+mask(4) filtered. */
+  private def walkExtensibleArray(r: Reader, addr: Long,
+      params: (Int, Int, Int, Int, Int), nChunks: Long, chunkBytes: Long,
+      filtered: Boolean, originOf: Long => Seq[Long],
+      path: String): Seq[ChunkRef] = {
+    val (maxBits, idxElmts, minPtrs, minElmts, pageBits) = params
+    r.in(addr, 72)
+    require(r.sig4(addr) == "EAHD",
+      s"dataset '$path': extensible-array header at $addr missing EAHD")
+    require(r.u8(addr + 4) == 0,
+      s"dataset '$path': extensible-array version ${r.u8(addr + 4)} unsupported")
+    val clientId = r.u8(addr + 5)
+    require(clientId == (if (filtered) 1 else 0),
+      s"dataset '$path': extensible-array client $clientId disagrees with " +
+        s"the ${if (filtered) "filtered" else "unfiltered"} pipeline")
+    val entrySize = r.u8(addr + 6)
+    // the header repeats the layout params — require agreement rather
+    // than trusting either copy alone
+    require(r.u8(addr + 7) == maxBits && r.u8(addr + 8) == idxElmts &&
+      r.u8(addr + 9) == minElmts && r.u8(addr + 10) == minPtrs &&
+      r.u8(addr + 11) == pageBits,
+      s"dataset '$path': extensible-array header params " +
+        s"(${r.u8(addr + 7)},${r.u8(addr + 8)},${r.u8(addr + 9)}," +
+        s"${r.u8(addr + 10)},${r.u8(addr + 11)}) disagree with the layout " +
+        s"message ($maxBits,$idxElmts,$minElmts,$minPtrs,$pageBits)")
+    val szChunkField = entrySize - 12
+    require(if (filtered) szChunkField >= 1 && szChunkField <= 8
+            else entrySize == 8,
+      s"dataset '$path': extensible-array entry size $entrySize off-shape")
+    require(minElmts > 0 && (minElmts & (minElmts - 1)) == 0 &&
+      minPtrs > 0 && (minPtrs & (minPtrs - 1)) == 0,
+      s"dataset '$path': extensible-array params minElmts=$minElmts " +
+        s"minPtrs=$minPtrs must be powers of two")
+    // stats at +12 (6×8 bytes) are informative; index block addr at +60
+    val iblkAddr = r.i64(addr + 60)
+    if (iblkAddr == Undef || nChunks == 0) return Nil
+    val arrOffSize = (maxBits + 7) / 8
+
+    // super-block generation table (H5EA geometry)
+    val log2MinElmts = 31 - Integer.numberOfLeadingZeros(minElmts)
+    val nGens = 1 + (maxBits - log2MinElmts) / 2
+    case class Gen(startIdx: Long, startDblk: Long, ndblks: Long, dblkElmts: Long)
+    val gens = new Array[Gen](nGens)
+    var si = 0L; var sd = 0L
+    var u = 0
+    while (u < nGens) {
+      val nd = 1L << (u / 2)
+      val ne = minElmts.toLong << ((u + 1) / 2)
+      gens(u) = Gen(si, sd, nd, ne)
+      si += nd * ne; sd += nd
+      u += 1
+    }
+    val gensInIdx = 2 * (31 - Integer.numberOfLeadingZeros(minPtrs))
+    val ndblkAddrsInIdx =
+      gens.take(math.min(gensInIdx, nGens)).map(_.ndblks).sum
+
+    // index block
+    val iblkLen = 14 + idxElmts.toLong * entrySize + ndblkAddrsInIdx * 8 +
+      math.max(0, nGens - gensInIdx) * 8 + 4
+    r.in(iblkAddr, iblkLen)
+    require(r.sig4(iblkAddr) == "EAIB",
+      s"dataset '$path': extensible-array index block missing EAIB")
+    require(r.u8(iblkAddr + 4) == 0 && r.u8(iblkAddr + 5) == clientId,
+      s"dataset '$path': EAIB version/client off-shape")
+    require(r.i64(iblkAddr + 6) == addr,
+      s"dataset '$path': EAIB header back-pointer mismatch")
+    val iblkElemsAt = iblkAddr + 14
+    val iblkDblksAt = iblkElemsAt + idxElmts.toLong * entrySize
+    val iblkSblksAt = iblkDblksAt + ndblkAddrsInIdx * 8
+
+    def refOf(i: Long, p: Long): Option[ChunkRef] = {
+      val a = r.i64(p)
+      if (a == Undef) None
+      else if (!filtered) Some(ChunkRef(originOf(i), chunkBytes, 0, a))
+      else {
+        val sz = r.leVar(p + 8, szChunkField)
+        val mask = r.u32(p + 8 + szChunkField).toInt
+        Some(ChunkRef(originOf(i), sz, mask, a))
+      }
+    }
+    // data-block element base: cached per data block address
+    val dblkBase = scala.collection.mutable.HashMap.empty[Long, Long]
+    def dblkElemsAt(dbAddr: Long, nelmts: Long): Long =
+      dblkBase.getOrElseUpdate(dbAddr, {
+        require(nelmts <= (1L << pageBits),
+          s"dataset '$path': PAGED extensible-array data block " +
+            s"($nelmts elements > 2^$pageBits page) unsupported — " +
+            "refusing to guess the page layout")
+        val headLen = 14 + arrOffSize
+        r.in(dbAddr, headLen + nelmts * entrySize + 4)
+        require(r.sig4(dbAddr) == "EADB",
+          s"dataset '$path': extensible-array data block at $dbAddr " +
+            "missing EADB signature")
+        require(r.u8(dbAddr + 4) == 0 && r.u8(dbAddr + 5) == clientId,
+          s"dataset '$path': EADB version/client off-shape")
+        require(r.i64(dbAddr + 6) == addr,
+          s"dataset '$path': EADB header back-pointer mismatch")
+        dbAddr + headLen
+      })
+    // super-block data-block address table: cached per generation
+    val sblkTables = scala.collection.mutable.HashMap.empty[Int, Long]
+    def sblkDblkAddrsAt(gen: Int): Long =
+      sblkTables.getOrElseUpdate(gen, {
+        // paged data blocks put a page-init bitmap BEFORE the super
+        // block's address table — reading the table at the unpaged
+        // offset would be silently wrong, so refuse before the read
+        require(gens(gen).dblkElmts <= (1L << pageBits),
+          s"dataset '$path': PAGED extensible-array data blocks " +
+            s"(${gens(gen).dblkElmts} elements > 2^$pageBits page) " +
+            "unsupported — refusing to guess the page layout")
+        val sbAddr = r.i64(iblkSblksAt + (gen - gensInIdx).toLong * 8)
+        require(sbAddr != Undef,
+          s"dataset '$path': extensible-array super block $gen unallocated " +
+            "but an element inside it is addressed — corrupt index")
+        val headLen = 14 + arrOffSize
+        r.in(sbAddr, headLen + gens(gen).ndblks * 8 + 4)
+        require(r.sig4(sbAddr) == "EASB",
+          s"dataset '$path': extensible-array super block at $sbAddr " +
+            "missing EASB signature")
+        require(r.u8(sbAddr + 4) == 0 && r.u8(sbAddr + 5) == clientId,
+          s"dataset '$path': EASB version/client off-shape")
+        require(r.i64(sbAddr + 6) == addr,
+          s"dataset '$path': EASB header back-pointer mismatch")
+        sbAddr + headLen
+      })
+
+    (0L until nChunks).flatMap { i =>
+      if (i < idxElmts) refOf(i, iblkElemsAt + i * entrySize)
+      else {
+        val idx = i - idxElmts
+        var g = 0
+        while (g + 1 < nGens && idx >= gens(g + 1).startIdx) g += 1
+        val gen = gens(g)
+        require(idx < gen.startIdx + gen.ndblks * gen.dblkElmts,
+          s"dataset '$path': chunk $i beyond the extensible array's " +
+            s"$maxBits-bit capacity")
+        val dblkIdx = gen.startDblk + (idx - gen.startIdx) / gen.dblkElmts
+        val within = (idx - gen.startIdx) % gen.dblkElmts
+        val dbAddrAt =
+          if (g < gensInIdx) iblkDblksAt + dblkIdx * 8
+          else sblkDblkAddrsAt(g) + (dblkIdx - gen.startDblk) * 8
+        val dbAddr = r.i64(dbAddrAt)
+        if (dbAddr == Undef) None // whole block unallocated → fill
+        else refOf(i, dblkElemsAt(dbAddr, gen.dblkElmts) + within * entrySize)
       }
     }
   }
