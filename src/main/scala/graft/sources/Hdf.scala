@@ -80,6 +80,7 @@ object Hdf {
   val CompNBit = 2
   val CompSkpHuff = 3
   val CompDeflate = 4
+  val CompSzip = 5
 
   // DFNT number types (numeric subset)
   val Float32 = 5
@@ -291,15 +292,18 @@ object Hdf {
     // the refusal must name the real reason, not a side effect
     coder match {
       case CompNone | CompRle | CompDeflate => ()
+      case CompSzip => require(d.len >= 34,
+        s"SDS '$owner': truncated SZIP coder info " +
+          s"(${d.len}-byte header, need 34)")
       case CompNBit => throw new IllegalArgumentException(
         s"SDS '$owner': N-bit coder unsupported — only " +
-          "NONE/RLE/DEFLATE decode")
+          "NONE/RLE/DEFLATE/SZIP decode")
       case CompSkpHuff => throw new IllegalArgumentException(
         s"SDS '$owner': skipping-Huffman coder unsupported — " +
-          "only NONE/RLE/DEFLATE decode")
+          "only NONE/RLE/DEFLATE/SZIP decode")
       case other => throw new IllegalArgumentException(
-        s"SDS '$owner': coder $other unsupported (SZIP/JPEG need " +
-          "external codecs) — only NONE/RLE/DEFLATE decode")
+        s"SDS '$owner': coder $other unsupported (JPEG needs " +
+          "external codecs) — only NONE/RLE/DEFLATE/SZIP decode")
     }
     val comp = f.dds.find(x => x.tag == TagCompressed && x.ref == dataRef)
       .getOrElse(throw new IllegalArgumentException(
@@ -313,6 +317,25 @@ object Hdf {
       case CompNone => raw
       case CompRle => rleDecode(raw, uncompLen)
       case CompDeflate => inflate(raw, uncompLen)
+      case CompSzip =>
+        // coder info (big-endian, HCPquery_encode_header order):
+        // pixels(4) pixels_per_scanline(4) options_mask(4)
+        // bits_per_pixel(4) pixels_per_block(4)
+        require(d.len >= 34, s"SDS '$owner': truncated SZIP coder info")
+        val pixels = b.getInt(14)
+        val pps = b.getInt(18)
+        val opts = b.getInt(22)
+        val bpp = b.getInt(26)
+        val ppb = b.getInt(30)
+        val bytesPerSample = if (bpp <= 8) 1 else if (bpp <= 16) 2 else 4
+        require(pixels > 0 && pixels.toLong * bytesPerSample == uncompLen,
+          s"SDS '$owner': SZIP header says $pixels pixels × " +
+            s"$bytesPerSample bytes but the element holds $uncompLen")
+        val out = Szip.decompress(raw, opts, bpp, ppb, pps, pixels)
+        require(out.length == uncompLen,
+          s"SDS '$owner': SZIP decode yielded ${out.length} bytes, " +
+            s"expected $uncompLen")
+        out
     }
   }
 

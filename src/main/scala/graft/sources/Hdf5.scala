@@ -1413,10 +1413,29 @@ object Hdf5 {
         s"dataset '$path': fletcher32 mismatch (stored $stored, " +
           s"computed $calc) — corrupt chunk")
       java.util.Arrays.copyOfRange(data, 0, bodyLen)
+    case 4 =>
+      // szip: client data = (options, bpp, pixels/block, pixels/scanline)
+      // per H5Pset_szip + set_local; payload leads with the original
+      // byte count (4 bytes LE), then the CCSDS 121 stream
+      require(flt.client.size >= 4,
+        s"dataset '$path': szip filter carries ${flt.client.size} client " +
+          "values (expected 4)")
+      val Seq(opts, bpp, ppb, pps) = flt.client.take(4).toSeq
+      require(data.length >= 4,
+        s"dataset '$path': szip chunk shorter than its length prefix")
+      val origLen = (data(0) & 0xffL) | ((data(1) & 0xffL) << 8) |
+        ((data(2) & 0xffL) << 16) | ((data(3) & 0xffL) << 24)
+      val bytesPerSample = if (bpp <= 8) 1 else if (bpp <= 16) 2 else 4
+      require(origLen > 0 && origLen % bytesPerSample == 0 &&
+        origLen <= (1L << 31),
+        s"dataset '$path': szip original length $origLen off-shape for " +
+          s"$bpp-bit samples")
+      Szip.decompress(java.util.Arrays.copyOfRange(data, 4, data.length),
+        opts, bpp, ppb, pps, (origLen / bytesPerSample).toInt)
     case other => throw new IllegalArgumentException(
       s"dataset '$path': filter id $other unsupported — deflate (1), " +
-        "shuffle (2) and fletcher32 (3) decode; szip/n-bit/scale-offset/" +
-        "registered filters refuse rather than guess")
+        "shuffle (2), fletcher32 (3) and szip (4) decode; n-bit/" +
+        "scale-offset/registered filters refuse rather than guess")
   }
 
   /** HDF5's Fletcher-32: 16-bit BIG-endian words, sums folded every

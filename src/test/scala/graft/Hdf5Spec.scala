@@ -417,8 +417,10 @@ class Hdf5Spec extends SparkSpec {
     * (dims shrink to 2×3 so one chunk covers all), 2 = implicit (all 4
     * chunks back-to-back), 3 = fixed array (chunk (1,1) unallocated;
     * `filtered` adds the shuffle+deflate+fletcher32 pipeline with
-    * client-1 entries), 5 = B-tree v2 (must refuse). */
-  private def fixtureV4(index: Int, filtered: Boolean = false): Array[Byte] = {
+    * client-1 entries — or the SZIP filter when `szip` is also set),
+    * 5 = B-tree v2 (must refuse). */
+  private def fixtureV4(index: Int, filtered: Boolean = false,
+      szip: Boolean = false): Array[Byte] = {
     val dsHdrAt = 128; val fahdAt = 384; val fadbAt = 416
     val single = index == 1
     val dims = if (single) (2L, 3L) else (3L, 5L)
@@ -431,7 +433,15 @@ class Hdf5Spec extends SparkSpec {
         i16s(13, 14, 999, 23, 24, 999),     // (0,1) col-clipped
         i16s(30, 31, 32, 999, 999, 999),    // (1,0) row-clipped
         i16s(33, 34, 999, 999, 999, 999))   // (1,1) both-clipped
-    val chunks = rawChunks.map(c => if (filtered) filterChunk(c) else c)
+    // szip payload = 4-byte LE original length + the CCSDS 121 stream
+    // (H5Z szip convention); int16 LE data → LSB sample order
+    def szipWrap(c: Array[Byte]): Array[Byte] = le({ b =>
+      b.putInt(c.length)
+      b.put(graft.sources.Szip.compress(c,
+        graft.sources.Szip.Nn | graft.sources.Szip.Lsb, 16, 8, 8))
+    }, c.length * 2 + 16)
+    val chunks = rawChunks.map(c =>
+      if (szip) szipWrap(c) else if (filtered) filterChunk(c) else c)
     // fixed array leaves chunk (1,1) unallocated → fill
     val nStored = if (index == 3 && !single) 3 else chunks.size
     val entrySize = if (filtered) 16 else 8 // addr / addr+size4+mask4
@@ -481,7 +491,12 @@ class Hdf5Spec extends SparkSpec {
       msgV2(0x05, le { b =>
         b.put(3.toByte).put(0x20.toByte).putInt(2).putShort(-7)
       })) ++
-      (if (filtered) Array(msgV2(0x0B, le { b =>
+      (if (szip) Array(msgV2(0x0B, le { b =>
+        b.put(2.toByte).put(1.toByte)
+        b.putShort(4).putShort(1).putShort(4) // szip, 4 client values
+        b.putInt(graft.sources.Szip.Nn | graft.sources.Szip.Lsb)
+        b.putInt(16).putInt(8).putInt(8) // bpp, pixels/block, pixels/scanline
+      })) else if (filtered) Array(msgV2(0x0B, le { b =>
         b.put(2.toByte).put(3.toByte)
         b.putShort(2).putShort(1).putShort(1).putInt(2)
         b.putShort(1).putShort(1).putShort(1).putInt(6)
@@ -548,6 +563,21 @@ class Hdf5Spec extends SparkSpec {
       Hdf5.decode(fixtureV4(5))
     }
     assert(e.getMessage.contains("B-tree v2"), e.getMessage)
+  }
+
+  test("szip-filtered chunk decodes through the clean-room CCSDS 121 " +
+      "codec (filter id 4, LSB int16 samples, length-prefixed payload)") {
+    for (index <- Seq(1, 3)) {
+      val bytes = fixtureV4(index, filtered = true, szip = true)
+      val h = Hdf5.decode(bytes)
+      val got = Hdf5.read(bytes, h, "/temp").toSeq
+      val want =
+        if (index == 1) Seq(10.0, 11.0, 12.0, 20.0, 21.0, 22.0)
+        else Seq(10.0, 11.0, 12.0, 13.0, 14.0,
+          20.0, 21.0, 22.0, 23.0, 24.0,
+          30.0, 31.0, 32.0, -7.0, -7.0)
+      assert(got == want, s"index=$index: $got")
+    }
   }
 
   // ---- fixture F: v4 chunked layout with an EXTENSIBLE-ARRAY index

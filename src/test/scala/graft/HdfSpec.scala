@@ -176,7 +176,9 @@ class HdfSpec extends SparkSpec {
     def compHdr(coder: Int) = special(hdr16(3, 0, 0, 2, 1, 0, coder))
     refuse(compHdr(Hdf.CompNBit), "n-bit")
     refuse(compHdr(Hdf.CompSkpHuff), "huffman")
-    refuse(compHdr(5), "coder 5")
+    refuse(compHdr(7), "coder 7") // JPEG stays a refusal
+    // szip with a header too short for its coder info refuses by name
+    refuse(compHdr(Hdf.CompSzip), "truncated szip coder info")
     // CHAR data type on the numeric path
     val chars = handBuilt()
     // patch the NT record's type byte (offset of NT = first element
@@ -193,6 +195,63 @@ class HdfSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Hdf.read(Hdf.decode(handBuilt()), "nope")
     }.getMessage.contains("ndvi"))
+  }
+
+  test("SZIP-compressed SDS decodes through the clean-room CCSDS 121 " +
+      "codec (coder 5, big-endian coder info, DFTAG_COMPRESSED payload)") {
+    // hand-built per the HDF spec's SPECIAL_COMP layout: header
+    // `code(2)=3 version(2) uncomp_len(4) ref(2) model(2) coder(2)=5`
+    // + szip info `pixels(4) pps(4) options(4) bpp(4) ppb(4)`; the
+    // payload (forward-compressed BY THIS SPEC via Szip.compress, the
+    // deflate-fixture discipline) lives in DFTAG_COMPRESSED ref.
+    val vals = Seq(1200, 1210, 1190, 1250, 1230, 1240)
+    val raw = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    vals.foreach(v => raw.putShort(v.toShort))
+    val opts = graft.sources.Szip.Nn | graft.sources.Szip.Msb
+    val comp = graft.sources.Szip.compress(raw.array(), opts, 16, 8, 8)
+    val bb = java.nio.ByteBuffer.allocate(512)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(0x0e031301)
+    bb.putShort(5).putInt(0)
+    val ddAt = bb.position()
+    (0 until 5).foreach(_ => { bb.putShort(0).putShort(0); bb.putInt(0); bb.putInt(0) })
+    def dd(slot: Int, tag: Int, off: Int, len: Int): Unit = {
+      bb.putShort(ddAt + slot * 12, tag.toShort)
+      bb.putShort(ddAt + slot * 12 + 2, 1.toShort)
+      bb.putInt(ddAt + slot * 12 + 4, off)
+      bb.putInt(ddAt + slot * 12 + 8, len)
+    }
+    val ntOff = bb.position(); bb.put(Array[Byte](1, 22, 16, 0)) // int16
+    dd(0, 106, ntOff, 4)
+    val sddOff = bb.position()
+    bb.putShort(2).putInt(2).putInt(3) // rank 2, 2×3
+    bb.putShort(106).putShort(1); bb.putShort(106).putShort(1)
+    bb.putShort(106).putShort(1)
+    dd(1, 701, sddOff, bb.position() - sddOff)
+    val spOff = bb.position()
+    bb.putShort(3).putShort(0) // SPECIAL_COMP, version
+    bb.putInt(12) // uncompressed length
+    bb.putShort(1).putShort(0).putShort(Hdf.CompSzip.toShort) // ref, model, coder
+    bb.putInt(6).putInt(8).putInt(opts).putInt(16).putInt(8) // szip info
+    dd(2, 702 | 0x4000, spOff, bb.position() - spOff)
+    val payOff = bb.position(); bb.put(comp)
+    dd(3, Hdf.TagCompressed, payOff, comp.length)
+    val ndgOff = bb.position()
+    Seq(106, 701, 702 | 0x4000).foreach { t =>
+      bb.putShort(t.toShort); bb.putShort(1)
+    }
+    dd(4, 720, ndgOff, 12)
+    val bytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val f = Hdf.decode(bytes)
+    assert(Hdf.read(f, f.sds.head.name).toSeq == vals.map(_.toDouble))
+    // coder info disagreeing with the element length refuses loudly
+    val bad = bytes.clone()
+    bad(spOff + 14 + 3) = 9 // pixels = 9 ≠ uncompLen/2
+    val e = intercept[IllegalArgumentException] {
+      Hdf.read(Hdf.decode(bad), f.sds.head.name)
+    }
+    assert(e.getMessage.contains("pixels"), e.getMessage)
   }
 
   test("HdfGridSource: per-(file x sds) splits, pruning, keepFill, loud corrupt") {
