@@ -9,9 +9,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSource V2 connector over GRIB2 archives — the third grid
-  * connector ([[TiffGridSource]], [[NcGridSource]]), completing the
-  * reference's acquisition formats as first-class Spark tables:
+/** DataSource V2 connector over GRIB archives (GRIB2 and GRIB1,
+  * including the ECMWF large-GRIB1 length convention) — the third
+  * grid connector ([[TiffGridSource]], [[NcGridSource]]), completing
+  * the reference's acquisition formats as first-class Spark tables:
   *
   * {{{
   *   spark.read.format("graft.sources.GribGridSource")
@@ -60,13 +61,17 @@ object GribGridSource {
     StructField("value", DoubleType, nullable = true)))
 
   def listFiles(pathOrGlob: String): Seq[String] =
-    GridFiles.list(pathOrGlob, "grib2")
+    GridFiles.list(pathOrGlob, "grib2", "grib", "grb")
 
   /** Message (offset, length) pairs of a GRIB archive by hopping the
     * fixed-size indicators with positioned reads — O(messages) driver
-    * work, no payload bytes. GRIB2 only on this planner path (GRIB1's
-    * extended-length convention needs trailer search; those archives
-    * go through [[GribMeta.scan]]/[[GribMeta.values]] task-side). */
+    * work, no payload bytes. GRIB2 carries its total length at octet
+    * 9; GRIB1 at octets 5-7, with the ECMWF large-GRIB1 convention
+    * (top bit set → ceil(len/120) stored) resolved by ONE bounded
+    * positioned read of the ≤124-byte trailer window, searching for
+    * the 7777 end anchored by the next message's magic or EOF — the
+    * same recovery [[GribMeta.decode]] applies in-memory. Planning
+    * stays O(messages), never O(bytes). */
   def messageRanges(file: String): Seq[(Long, Long)] = {
     val hp = new org.apache.hadoop.fs.Path(file)
     val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -81,10 +86,44 @@ object GribGridSource {
         require(head(0) == 'G' && head(1) == 'R' && head(2) == 'I' && head(3) == 'B',
           s"$file: missing GRIB magic at offset $off")
         val edition = head(7) & 0xff
-        require(edition == 2,
-          s"$file: GRIB$edition at offset $off — the DSv2 planner " +
-            "supports GRIB2; use GribMeta.scan/values for GRIB1 archives")
-        val len = java.nio.ByteBuffer.wrap(head, 8, 8).getLong
+        val len: Long = edition match {
+          case 2 => java.nio.ByteBuffer.wrap(head, 8, 8).getLong
+          case 1 =>
+            val rawLen = ((head(4) & 0xff) << 16) | ((head(5) & 0xff) << 8) |
+              (head(6) & 0xff)
+            if ((rawLen & 0x800000) == 0) rawLen.toLong
+            else {
+              // large GRIB1: the field bounds the true length to
+              // (bound-120, bound]; find the 7777 trailer in that
+              // window, anchored by the next GRIB magic (or EOF)
+              val bound = (rawLen & 0x7fffff).toLong * 120
+              val lo = math.max(8L, bound - 119)
+              val winStart = off + lo - 4
+              val winEnd = math.min(off + bound + 4, fileLen)
+              require(winStart >= off + 4 && winStart < winEnd,
+                s"$file: large-GRIB1 length window at $off is empty " +
+                  s"(bound $bound, file $fileLen)")
+              val win = new Array[Byte]((winEnd - winStart).toInt)
+              in.readFully(winStart, win)
+              def at(pos: Long, s: String): Boolean = {
+                val i = (pos - winStart).toInt
+                i >= 0 && i + 4 <= win.length &&
+                  new String(win, i, 4, "US-ASCII") == s
+              }
+              val cand = (bound to lo by -1).find { e =>
+                val end = off + e
+                end <= fileLen && at(end - 4, "7777") &&
+                  (end == fileLen || at(end, "GRIB"))
+              }
+              cand.getOrElse(throw new IllegalArgumentException(
+                s"$file: large GRIB1 message at $off has no 7777 " +
+                  s"trailer in the extended-length window (bound " +
+                  s"$bound) — archive corrupt or an unsupported " +
+                  "length convention"))
+            }
+          case e => throw new IllegalArgumentException(
+            s"$file: GRIB edition $e at offset $off unsupported (1 or 2)")
+        }
         require(len >= 16 && off + len <= fileLen,
           s"$file: message at $off declares $len bytes past EOF")
         out += ((off, len))

@@ -568,15 +568,30 @@ class GribMetaSpec extends SparkSpec {
     assert(withMissing.count() == 4 &&
       withMissing.filter(org.apache.spark.sql.functions.col("value").isNull)
         .count() == 2)
-    // planner ranges line up with the walk, and GRIB1 archives refuse
-    // on the planner path (they go through scan/values task-side)
+    // planner ranges line up with the walk — GRIB2, GRIB1 and the
+    // large-GRIB1 extended-length convention all plan per-message
+    // splits from bounded positioned reads
     assert(GribGridSource.messageRanges(s"$dir/a.grib2")
       .map(_._2).sum == a.length)
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.grib2"), grib1())
+    val mixed = grib1Large() ++ grib1() ++ grib2Simple(0f, 0, 0, 8,
+      Seq(5L, 6L, 7L, 8L), None, 2, 2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.grib2"), mixed)
+    val ranges = GribGridSource.messageRanges(s"$dir/c.grib2")
+    assert(ranges.map(_._2).sum == mixed.length &&
+      ranges.size == 3 && ranges.head._2 == 83L, ranges.toString)
+    // and the DSv2 scan reads the GRIB1 messages task-side (zeroed
+    // BDS = constant-0 field over the declared 96×48 grid)
+    val g1df = spark.read.format("graft.sources.GribGridSource")
+      .option("path", s"$dir/c.grib2").load()
+    assert(g1df.rdd.getNumPartitions == 3)
+    assert(g1df.count() == 96L * 48 * 2 + 4)
+    // a truly unknown edition still refuses at planning
+    val junk = grib1(); junk(7) = 3
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.grib2"), junk)
     val e = intercept[IllegalArgumentException] {
-      GribGridSource.messageRanges(s"$dir/c.grib2")
+      GribGridSource.messageRanges(s"$dir/d.grib2")
     }
-    assert(e.getMessage.contains("GRIB1"), e.getMessage)
+    assert(e.getMessage.contains("edition 3"), e.getMessage)
   }
 
   test("composition: GRIB u/v slices -> grid rows -> i02 windspeed") {
