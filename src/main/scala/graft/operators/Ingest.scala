@@ -3199,7 +3199,7 @@ object Ingest {
 
   /** i63: the GRIB TRANSPORT CYCLE inside the correctness gate — the
     * i62 pattern for the engine's other acquisition format: the same
-    * deterministic lineitem grid is packed as FOUR real GRIB2
+    * deterministic lineitem grid is packed as FIVE real GRIB2
     * messages (template 3.0 lat/lon grid, BITMAP for empty cells, 2^-2
     * binary scale, param number = slice index) — slice 0 as 5.0 SIMPLE
     * packing through [[graft.sources.GribMeta.encodeSimple]], slice 1
@@ -3211,22 +3211,25 @@ object Ingest {
     * slice 3 as 5.40 lossless JPEG2000 through
     * [[graft.sources.GribMeta.encodeJpeg2000]] (r12: the DOMINANT
     * NCEP/ECMWF dissemination packing, clean-room [[graft.sources.Jpeg2k]]
-    * codestream) — landed as one concatenated archive, decoded back
-    * task-side by [[graft.sources.GribMeta.readValues]], and
-    * hash-checked against DuckDB recomputing the grid directly —
-    * bit-slips anywhere in the section walk, bitmap masking,
-    * (R + X·2^E) unpacking, group/differencing reconstruction, PNG
-    * pixel walk, or the EBCOT/DWT pipeline break the hash (2^-2 and
-    * the integer codes are exact in binary, so no rounding is needed
-    * on either side).
+    * codestream), slice 4 as 5.42 CCSDS/AEC Rice packing through
+    * [[graft.sources.GribMeta.encodeCcsds]] (r12: the clean-room
+    * [[graft.sources.Szip]] coder) — landed as one concatenated
+    * archive, decoded back task-side by
+    * [[graft.sources.GribMeta.readValues]], and hash-checked against
+    * DuckDB recomputing the grid directly — bit-slips anywhere in the
+    * section walk, bitmap masking, (R + X·2^E) unpacking,
+    * group/differencing reconstruction, PNG pixel walk, the EBCOT/DWT
+    * pipeline, or the Rice coder break the hash (2^-2 and the integer
+    * codes are exact in binary, so no rounding is needed on either
+    * side).
     *
-    * Scale shape: identical to i62 — fixed 4×(8×12) grid, one
-    * 384-group partial-agg shuffle, model-state-bounded driver encode,
+    * Scale shape: identical to i62 — fixed 5×(8×12) grid, one
+    * 480-group partial-agg shuffle, model-state-bounded driver encode,
     * per-archive-file task fan-out on the read. */
   def i63: QueryDef = QueryDef(
     "i63_grib_cycle",
     """WITH g AS (
-      |  SELECT CAST(l_linenumber % 4 AS INTEGER) AS t,
+      |  SELECT CAST(l_linenumber % 5 AS INTEGER) AS t,
       |    CAST(l_suppkey % 8 AS INTEGER) AS y,
       |    CAST(l_partkey % 12 AS INTEGER) AS x,
       |    CAST(SUM(l_quantity) AS BIGINT) AS q
@@ -3234,19 +3237,19 @@ object Ingest {
       |SELECT t, x, y, 2048.0 + CAST(q AS DOUBLE) / 4 AS value
       |FROM g ORDER BY t, y, x""".stripMargin) { (spark, dir) =>
     import graft.sources.GribMeta
-    val (nt, ny, nx) = (4, 8, 12)
+    val (nt, ny, nx) = (5, 8, 12)
     val cells = Tables(spark, dir).lineitem
-      .groupBy((col("l_linenumber") % 4).cast("int").as("t"),
+      .groupBy((col("l_linenumber") % 5).cast("int").as("t"),
         (col("l_suppkey") % 8).cast("int").as("y"),
         (col("l_partkey") % 12).cast("int").as("x"))
       .agg(sum(col("l_quantity")).cast("long").as("q"))
-      .collect() // bounded by the fixed grid (≤384 cells), not the data
+      .collect() // bounded by the fixed grid (≤480 cells), not the data
     val grids = Array.fill(nt)(Array.fill[Long](ny * nx)(-1L)) // -1 = missing
     cells.foreach(r =>
       grids(r.getInt(0))(r.getInt(1) * nx + r.getInt(2)) = r.getLong(3))
     // one slice per packing family — simple 5.0, complex+spatial 5.3,
-    // PNG 5.41 (r11), lossless JPEG2000 5.40 (r12) — all under the
-    // same DuckDB hash
+    // PNG 5.41 (r11), lossless JPEG2000 5.40 and CCSDS 5.42 (r12) —
+    // all under the same DuckDB hash
     val msgs = grids.zipWithIndex.map { case (g, t) =>
       val mask = g.map(_ >= 0L)
       if (t == 0)
@@ -3264,8 +3267,13 @@ object Ingest {
           refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
           xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,
           refTime = (1995, 1, 1 + t, 0, 0))
-      else // …and through the clean-room lossless JPEG2000 (5.40) writer
+      else if (t == 3) // …through the clean-room lossless JPEG2000 (5.40)
         GribMeta.encodeJpeg2000(nx, ny, paramCategory = 1, paramNumber = t,
+          refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
+          xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,
+          refTime = (1995, 1, 1 + t, 0, 0))
+      else // …and through the CCSDS/AEC (5.42) Rice writer
+        GribMeta.encodeCcsds(nx, ny, paramCategory = 1, paramNumber = t,
           refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
           xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,
           refTime = (1995, 1, 1 + t, 0, 0))

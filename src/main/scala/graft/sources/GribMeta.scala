@@ -137,7 +137,7 @@ object GribMeta {
                 nPacked = u32(bytes, so + 5)
                 drTpl = u16(bytes, so + 9)
                 if ((drTpl == 0 || drTpl == 2 || drTpl == 3 ||
-                    drTpl == 40 || drTpl == 41) && len >= 20) {
+                    drTpl == 40 || drTpl == 41 || drTpl == 42) && len >= 20) {
                   refVal = java.lang.Float
                     .intBitsToFloat(u32(bytes, so + 11).toInt).toDouble
                   binE = s16(u16(bytes, so + 15))
@@ -567,12 +567,12 @@ object GribMeta {
         s"message ${m.msgIndex}: no data section"))
       if (m.edition == 2)
         require(p.template == 0 || p.template == 2 || p.template == 3 ||
-          p.template == 40 || p.template == 41,
+          p.template == 40 || p.template == 41 || p.template == 42,
           s"message ${m.msgIndex}: data " +
           s"representation template 5.${p.template} unsupported — only " +
           "5.0 (simple), 5.2 (complex), 5.3 (complex + spatial " +
-          "differencing), 5.40 (lossless JPEG2000) and 5.41 (PNG) " +
-          "decode; CCSDS (5.42) packing stays a refusal")
+          "differencing), 5.40 (lossless JPEG2000), 5.41 (PNG) and " +
+          "5.42 (CCSDS/AEC) decode")
       else {
         // GRIB1 BDS flag nibble (template here = flags bits 4-7):
         // 8 = spherical harmonics, 4 = complex packing, 2 = integer
@@ -615,12 +615,13 @@ object GribMeta {
       val base = p.refValue * math.pow(10.0, -p.decScale)
       val out = new Array[Double](nTotal)
       if (m.edition == 2 && (p.template == 2 || p.template == 3 ||
-          p.template == 40 || p.template == 41)) {
-        // complex/JPEG2000/PNG packing: unpack the scaled codes of the
-        // PRESENT points in one pass, then fan them across the bitmap
+          p.template == 40 || p.template == 41 || p.template == 42)) {
+        // complex/JPEG2000/PNG/CCSDS packing: unpack the scaled codes
+        // of the PRESENT points in one pass, then fan across the bitmap
         val xs =
           if (p.template == 41) pngCodes(bytes, m.msgIndex, p)
           else if (p.template == 40) j2kCodes(bytes, m.msgIndex, p)
+          else if (p.template == 42) ccsdsCodes(bytes, m.msgIndex, p)
           else unpackComplex(bytes, m.msgIndex, p)
         var i = 0
         var k = 0
@@ -748,6 +749,129 @@ object GribMeta {
       s"message $msgIdx: JPEG2000 carries ${dec.width.toLong * dec.height} " +
         s"pixels for ${p.nPacked} packed points")
     dec.samples
+  }
+
+  /** Template 7.42 (CCSDS-packed) payload → the scaled codes X of the
+    * packed points (WMO FM 92 template 5.42, the libaec packing NCEP
+    * adopted alongside 5.40): §5 octet 22 carries the CCSDS
+    * compression-options flags, octet 23 the block size, octets 24-25
+    * the reference sample interval in blocks; §7 is one CCSDS 121.0
+    * Rice stream decoded by the clean-room [[Szip]] codec. Flags off
+    * this engine's profile — SIGNED (GRIB codes are unsigned), 3BYTE
+    * sample packing, RESTRICTED coding, PAD-RSI alignment — refuse by
+    * name; MSB/LSB sample order and preprocessing-on/off decode. */
+  private def ccsdsCodes(bytes: Array[Byte], msgIdx: Int,
+      p: Pack): Array[Long] = {
+    require(p.sec5Len >= 25,
+      s"message $msgIdx: template 5.42 declared but section 5 is " +
+        s"${p.sec5Len} octets (< 25)")
+    val flags = u8(bytes, p.sec5Off + 21)
+    val block = u8(bytes, p.sec5Off + 22)
+    val rsi = u16(bytes, p.sec5Off + 23)
+    require((flags & 0x1) == 0,
+      s"message $msgIdx: CCSDS SIGNED-data flag unsupported (GRIB " +
+        "codes are unsigned)")
+    require((flags & 0x2) == 0,
+      s"message $msgIdx: CCSDS 3-byte sample packing unsupported")
+    require((flags & 0x10) == 0,
+      s"message $msgIdx: CCSDS RESTRICTED coding unsupported")
+    require((flags & 0x20) == 0,
+      s"message $msgIdx: CCSDS PAD-RSI alignment unsupported")
+    require(rsi >= 1, s"message $msgIdx: CCSDS reference interval $rsi")
+    val opts = (if ((flags & 0x4) != 0) Szip.Msb else Szip.Lsb) |
+      (if ((flags & 0x8) != 0) Szip.Nn else Szip.Ec)
+    val raw = Szip.decompress(java.util.Arrays.copyOfRange(
+      bytes, p.dataOff, p.dataEnd), opts, p.nBits, block,
+      rsi * block, p.nPacked.toInt)
+    Szip.samples(raw, p.nBits, (flags & 0x4) == 0)
+  }
+
+  /** GRIB2 WRITER for CCSDS packing (template 5.42) —
+    * [[encodeJpeg2000]]'s shape with the §7 payload a [[Szip]] CCSDS
+    * 121 stream (MSB order, preprocessing on, block 16, reference
+    * interval 8 blocks). */
+  def encodeCcsds(ni: Int, nj: Int, paramCategory: Int, paramNumber: Int,
+      refValue: Float, binScale: Int, decScale: Int, nBits: Int,
+      xs: Array[Long], bitmap: Option[Array[Boolean]] = None,
+      centre: Int = 0, discipline: Int = 0,
+      refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0)): Array[Byte] = {
+    require(nBits >= 1 && nBits <= 32, s"bad nBits $nBits")
+    require(xs.nonEmpty,
+      "CCSDS packing cannot carry zero present points — use simple " +
+        "packing for all-missing slices")
+    require(xs.forall(x => x >= 0 && x < (1L << nBits)),
+      s"packed code out of the $nBits-bit range")
+    bitmap.foreach { m =>
+      require(m.length == ni * nj, s"bitmap ${m.length} for ${ni * nj} points")
+      require(m.count(identity) == xs.length,
+        s"${xs.length} codes for ${m.count(identity)} present points")
+    }
+    require(bitmap.isDefined || xs.length == ni * nj,
+      s"${xs.length} codes for ${ni * nj} points without a bitmap")
+    val (block, rsi) = (16, 8)
+    val flags = 0x4 | 0x8 // MSB order, preprocessing on
+    val stream = Szip.compress(Szip.sampleBytes(xs, nBits, lsbOrder = false),
+      Szip.Msb | Szip.Nn, nBits, block, rsi * block)
+
+    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
+    val bmpBytes = bitmap.map(m => (m.length + 7) / 8).getOrElse(0)
+    val b = java.nio.ByteBuffer.allocate(
+      16 + 21 + 72 + 34 + 25 + 6 + bmpBytes + 5 + stream.length + 4)
+    def sec(len: Int, n: Int)(body: java.nio.ByteBuffer => Unit): Unit = {
+      val start = b.position()
+      b.putInt(len).put(n.toByte)
+      body(b)
+      while (b.position() < start + len) b.put(0.toByte)
+    }
+    b.put("GRIB".getBytes("US-ASCII"))
+    b.putShort(0).put(discipline.toByte).put(2.toByte)
+    val lenAt = b.position(); b.putLong(0L)
+    sec(21, 1) { s =>
+      s.putShort(centre.toShort).putShort(0)
+      s.put(2.toByte).put(1.toByte).put(1.toByte)
+      s.putShort(refTime._1.toShort).put(refTime._2.toByte).put(refTime._3.toByte)
+      s.put(refTime._4.toByte).put(refTime._5.toByte).put(0.toByte)
+    }
+    sec(72, 3) { s =>
+      s.put(0.toByte); s.putInt(ni * nj); s.put(0.toByte).put(0.toByte)
+      s.putShort(0) // grid template 3.0 (lat/lon)
+      (15 to 30).foreach(_ => s.put(0.toByte))
+      s.putInt(ni).putInt(nj)
+    }
+    sec(34, 4) { s =>
+      s.putShort(0); s.putShort(0)
+      s.put(paramCategory.toByte).put(paramNumber.toByte)
+    }
+    sec(25, 5) { s =>
+      s.putInt(xs.length)
+      s.putShort(42) // template 5.42 (CCSDS)
+      s.putInt(java.lang.Float.floatToIntBits(refValue))
+      s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
+      s.put(nBits.toByte)
+      s.put(0.toByte)          // original field type 0 (float)
+      s.put(flags.toByte)      // CCSDS compression options
+      s.put(block.toByte)      // block size
+      s.putShort(rsi.toShort)  // reference sample interval
+    }
+    bitmap match {
+      case Some(mask) =>
+        sec(6 + bmpBytes, 6) { s =>
+          s.put(0.toByte)
+          var acc = 0; var nb = 0
+          mask.zipWithIndex.foreach { case (m, j) =>
+            acc = (acc << 1) | (if (m) 1 else 0); nb += 1
+            if (nb == 8 || j == mask.length - 1) {
+              s.put((acc << (8 - nb)).toByte); acc = 0; nb = 0
+            }
+          }
+        }
+      case None => sec(6, 6) { s => s.put(255.toByte) }
+    }
+    sec(5 + stream.length, 7)(_.put(stream))
+    b.put("7777".getBytes("US-ASCII"))
+    val total = b.position()
+    b.putLong(lenAt, total.toLong)
+    java.util.Arrays.copyOf(b.array(), total)
   }
 
   /** GRIB2 WRITER for JPEG2000 packing (template 5.40) —

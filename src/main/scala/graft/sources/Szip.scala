@@ -96,9 +96,13 @@ object Szip {
   private def validate(optionsMask: Int, bpp: Int, ppb: Int,
       pps: Int): Unit = {
     require(bpp >= 1 && bpp <= 32, s"szip bits-per-pixel $bpp off-range")
-    require(ppb == 8 || ppb == 16 || ppb == 32,
-      s"szip pixels-per-block $ppb unsupported (8/16/32)")
-    require(pps >= ppb && pps % ppb == 0 && pps <= 128 * ppb,
+    // 8/16/32 are szlib's legal blocks; 64 appears in CCSDS 121 GRIB
+    // streams (libaec) — the bitstream shape is identical
+    require(ppb == 8 || ppb == 16 || ppb == 32 || ppb == 64,
+      s"szip pixels-per-block $ppb unsupported (8/16/32/64)")
+    // szlib caps scanlines at 128 blocks; CCSDS reference intervals
+    // reach 4096 blocks — same structure, wider cap
+    require(pps >= ppb && pps % ppb == 0 && pps <= 4096 * ppb,
       s"szip pixels-per-scanline $pps off-shape for block $ppb")
     require((optionsMask & Chip) == 0,
       "szip CHIP option unsupported (hardware-specific layout)")
@@ -162,6 +166,16 @@ object Szip {
       else -(m - theta)                 // upper bound closer → negative
     pred + d
   }
+
+  /** Sample values of a raw byte buffer in the given width/order —
+    * the GRIB 5.42 caller turns decompressed bytes into codes. */
+  def samples(raw: Array[Byte], bpp: Int, lsbOrder: Boolean): Array[Long] =
+    readSamples(raw, bpp, lsbOrder)
+
+  /** Raw bytes of sample values in the given width/order — the GRIB
+    * 5.42 writer's inverse of [[samples]]. */
+  def sampleBytes(xs: Array[Long], bpp: Int, lsbOrder: Boolean): Array[Byte] =
+    writeSamples(xs, bpp, lsbOrder)
 
   /** Decompress `data` into exactly `nPixels` samples, returned in the
     * stream's byte order (1/2/4 bytes per sample). */

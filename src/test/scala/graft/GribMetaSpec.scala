@@ -450,6 +450,45 @@ class GribMetaSpec extends SparkSpec {
     assert(e3.getMessage.contains("SOC"), e3.getMessage)
   }
 
+  test("CCSDS packing (5.42) round-trips across depths; bitmap strip; " +
+      "off-profile flags refuse by name") {
+    for ((nBits, top) <- Seq((8, 255L), (13, 8000L), (16, 65535L),
+        (24, 16000000L))) {
+      val xs = Array.tabulate(40)(i => i.toLong * top / 39)
+      val enc = GribMeta.encodeCcsds(8, 5, paramCategory = 1,
+        paramNumber = 2, refValue = 10f, binScale = -1, decScale = 1,
+        nBits = nBits, xs = xs, centre = 98, refTime = (2024, 6, 1, 0, 0))
+      val Seq((m, vs)) = GribMeta.values(enc)
+      assert(m.centre == 98 && m.ni == 8 && m.nj == 5)
+      val want = xs.map(x => (10.0 + x * 0.5) / 10.0)
+      vs.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) <= 1e-12 * math.max(math.abs(w), 1.0),
+          s"nBits=$nBits: $g != $w") }
+    }
+    // bitmapped: the stream is a strip of the present points
+    val mask = Array(true, false, true, true, false, true)
+    val bm = GribMeta.encodeCcsds(3, 2, 0, 0, 0f, 0, 0, nBits = 12,
+      xs = Array(10L, 20L, 30L, 40L), bitmap = Some(mask))
+    val Seq((_, vs2)) = GribMeta.values(bm)
+    assert(vs2.length == 6 && vs2(1).isNaN && vs2(4).isNaN)
+    assert(Seq(vs2(0), vs2(2), vs2(3), vs2(5)) ==
+      Seq(10.0, 20.0, 30.0, 40.0))
+    // off-profile CCSDS flags refuse by name (patch §5 octet 22)
+    val good = GribMeta.encodeCcsds(4, 3, 0, 0, 0f, 0, 0, nBits = 8,
+      xs = Array.tabulate(12)(_.toLong))
+    def u32be(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    var so = 16
+    while (good(so + 4) != 5) so += u32be(good, so).toInt
+    for ((bit, name) <- Seq(0x1 -> "SIGNED", 0x2 -> "3-byte",
+        0x10 -> "RESTRICTED", 0x20 -> "PAD-RSI")) {
+      val bad = good.clone(); bad(so + 21) = (bad(so + 21) | bit).toByte
+      val e = intercept[IllegalArgumentException] { GribMeta.values(bad) }
+      assert(e.getMessage.contains(name), s"$name: ${e.getMessage}")
+    }
+  }
+
   test("complex packing + spatial differencing (5.3) round-trips, orders 1 and 2") {
     // a ramp + noise: first-order diffs go NEGATIVE, so the overall-
     // minimum bias and sign-and-magnitude descriptors are exercised
