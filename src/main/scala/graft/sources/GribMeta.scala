@@ -286,17 +286,12 @@ object GribMeta {
     * i63 cycle lands through the correctness gate). `xs` are the
     * packed non-missing codes in grid order; `bitmap`, when given,
     * must have ni×nj entries with exactly `xs.length` set. */
-  def encodeSimple(ni: Int, nj: Int, paramCategory: Int, paramNumber: Int,
-      refValue: Float, binScale: Int, decScale: Int, nBits: Int,
-      xs: Array[Long], bitmap: Option[Array[Boolean]] = None,
-      centre: Int = 0, discipline: Int = 0,
-      refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0)): Array[Byte] = {
-    require(nBits >= 0 && nBits <= 32, s"bad nBits $nBits")
-    // Scala's Long shift uses 6 shift bits, so 1L << 32 is the true
-    // 2^32 — no escape hatch needed (an escape would let 2^32
-    // silently truncate to 0 in the packed stream, r9 review)
-    require(xs.forall(x => x >= 0 && x < (1L << nBits)),
-      s"packed code out of the $nBits-bit range")
+  /** Sign-and-magnitude 16-bit field (section-5 scale factors). */
+  private def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
+
+  /** Grid/bitmap shape checks shared by every GRIB2 writer. */
+  private def validateGrid(ni: Int, nj: Int, xs: Array[Long],
+      bitmap: Option[Array[Boolean]]): Unit = {
     bitmap.foreach { m =>
       require(m.length == ni * nj, s"bitmap ${m.length} for ${ni * nj} points")
       require(m.count(identity) == xs.length,
@@ -304,11 +299,23 @@ object GribMeta {
     }
     require(bitmap.isDefined || xs.length == ni * nj,
       s"${xs.length} codes for ${ni * nj} points without a bitmap")
-    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
-    val dataBytes = (xs.length * nBits + 7) / 8
+  }
+
+  /** The GRIB2 message frame shared by every writer: indicator,
+    * section 1 (identification), 3 (lat/lon grid template 3.0),
+    * 4 (product), the given section-5 body, 6 (packed bitmap or
+    * none), 7 (the given payload body), 7777 trailer, total length
+    * backpatched into the indicator. The section bodies write
+    * everything AFTER the 5-octet section header; short bodies are
+    * zero-padded to the declared length. */
+  private def buildMessage(ni: Int, nj: Int, paramCategory: Int,
+      paramNumber: Int, centre: Int, discipline: Int,
+      refTime: (Int, Int, Int, Int, Int), bitmap: Option[Array[Boolean]],
+      sec5Len: Int, sec5Body: java.nio.ByteBuffer => Unit,
+      sec7Len: Int, sec7Body: java.nio.ByteBuffer => Unit): Array[Byte] = {
     val bmpBytes = bitmap.map(m => (m.length + 7) / 8).getOrElse(0)
     val b = java.nio.ByteBuffer.allocate(
-      16 + 21 + 72 + 34 + 21 + 6 + bmpBytes + 5 + dataBytes + 4)
+      16 + 21 + 72 + 34 + sec5Len + 6 + bmpBytes + sec7Len + 4)
     def sec(len: Int, n: Int)(body: java.nio.ByteBuffer => Unit): Unit = {
       val start = b.position()
       b.putInt(len).put(n.toByte)
@@ -334,13 +341,7 @@ object GribMeta {
       s.putShort(0); s.putShort(0)
       s.put(paramCategory.toByte).put(paramNumber.toByte)
     }
-    sec(21, 5) { s =>
-      s.putInt(xs.length)
-      s.putShort(0) // template 5.0
-      s.putInt(java.lang.Float.floatToIntBits(refValue))
-      s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
-      s.put(nBits.toByte)
-    }
+    sec(sec5Len, 5)(sec5Body)
     bitmap match {
       case Some(mask) =>
         sec(6 + bmpBytes, 6) { s =>
@@ -355,18 +356,43 @@ object GribMeta {
         }
       case None => sec(6, 6) { s => s.put(255.toByte) }
     }
-    sec(5 + dataBytes, 7) { s =>
-      var acc = 0L; var nb = 0
-      xs.foreach { x =>
-        acc = (acc << nBits) | x; nb += nBits
-        while (nb >= 8) { s.put((acc >> (nb - 8)).toByte); nb -= 8 }
-      }
-      if (nb > 0) s.put((acc << (8 - nb)).toByte)
-    }
+    sec(sec7Len, 7)(sec7Body)
     b.put("7777".getBytes("US-ASCII"))
     val total = b.position()
     b.putLong(lenAt, total.toLong)
     java.util.Arrays.copyOf(b.array(), total)
+  }
+
+  def encodeSimple(ni: Int, nj: Int, paramCategory: Int, paramNumber: Int,
+      refValue: Float, binScale: Int, decScale: Int, nBits: Int,
+      xs: Array[Long], bitmap: Option[Array[Boolean]] = None,
+      centre: Int = 0, discipline: Int = 0,
+      refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0)): Array[Byte] = {
+    require(nBits >= 0 && nBits <= 32, s"bad nBits $nBits")
+    // Scala's Long shift uses 6 shift bits, so 1L << 32 is the true
+    // 2^32 — no escape hatch needed (an escape would let 2^32
+    // silently truncate to 0 in the packed stream, r9 review)
+    require(xs.forall(x => x >= 0 && x < (1L << nBits)),
+      s"packed code out of the $nBits-bit range")
+    validateGrid(ni, nj, xs, bitmap)
+    val dataBytes = (xs.length * nBits + 7) / 8
+    buildMessage(ni, nj, paramCategory, paramNumber, centre, discipline,
+      refTime, bitmap,
+      21, { s =>
+        s.putInt(xs.length)
+        s.putShort(0) // template 5.0
+        s.putInt(java.lang.Float.floatToIntBits(refValue))
+        s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
+        s.put(nBits.toByte)
+      },
+      5 + dataBytes, { s =>
+        var acc = 0L; var nb = 0
+        xs.foreach { x =>
+          acc = (acc << nBits) | x; nb += nBits
+          while (nb >= 8) { s.put((acc >> (nb - 8)).toByte); nb -= 8 }
+        }
+        if (nb > 0) s.put((acc << (8 - nb)).toByte)
+      })
   }
 
   /** GRIB2 WRITER for COMPLEX packing (data representation template
@@ -619,7 +645,15 @@ object GribMeta {
         // complex/JPEG2000/PNG/CCSDS packing: unpack the scaled codes
         // of the PRESENT points in one pass, then fan across the bitmap
         val xs =
-          if (p.template == 41) pngCodes(bytes, m.msgIndex, p)
+          if (p.template >= 40 && p.nBits == 0) {
+            // nBits 0 = CONSTANT field: real writers (g2clib jpcpack/
+            // pngpack/aecpack) emit an EMPTY section 7 — every present
+            // point is the reference value, no image/stream to decode
+            var n = 0; var i = 0
+            while (i < nTotal) { if (present(i)) n += 1; i += 1 }
+            new Array[Long](n)
+          }
+          else if (p.template == 41) pngCodes(bytes, m.msgIndex, p)
           else if (p.template == 40) j2kCodes(bytes, m.msgIndex, p)
           else if (p.template == 42) ccsdsCodes(bytes, m.msgIndex, p)
           else unpackComplex(bytes, m.msgIndex, p)
@@ -801,77 +835,25 @@ object GribMeta {
         "packing for all-missing slices")
     require(xs.forall(x => x >= 0 && x < (1L << nBits)),
       s"packed code out of the $nBits-bit range")
-    bitmap.foreach { m =>
-      require(m.length == ni * nj, s"bitmap ${m.length} for ${ni * nj} points")
-      require(m.count(identity) == xs.length,
-        s"${xs.length} codes for ${m.count(identity)} present points")
-    }
-    require(bitmap.isDefined || xs.length == ni * nj,
-      s"${xs.length} codes for ${ni * nj} points without a bitmap")
+    validateGrid(ni, nj, xs, bitmap)
     val (block, rsi) = (16, 8)
     val flags = 0x4 | 0x8 // MSB order, preprocessing on
     val stream = Szip.compress(Szip.sampleBytes(xs, nBits, lsbOrder = false),
       Szip.Msb | Szip.Nn, nBits, block, rsi * block)
-
-    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
-    val bmpBytes = bitmap.map(m => (m.length + 7) / 8).getOrElse(0)
-    val b = java.nio.ByteBuffer.allocate(
-      16 + 21 + 72 + 34 + 25 + 6 + bmpBytes + 5 + stream.length + 4)
-    def sec(len: Int, n: Int)(body: java.nio.ByteBuffer => Unit): Unit = {
-      val start = b.position()
-      b.putInt(len).put(n.toByte)
-      body(b)
-      while (b.position() < start + len) b.put(0.toByte)
-    }
-    b.put("GRIB".getBytes("US-ASCII"))
-    b.putShort(0).put(discipline.toByte).put(2.toByte)
-    val lenAt = b.position(); b.putLong(0L)
-    sec(21, 1) { s =>
-      s.putShort(centre.toShort).putShort(0)
-      s.put(2.toByte).put(1.toByte).put(1.toByte)
-      s.putShort(refTime._1.toShort).put(refTime._2.toByte).put(refTime._3.toByte)
-      s.put(refTime._4.toByte).put(refTime._5.toByte).put(0.toByte)
-    }
-    sec(72, 3) { s =>
-      s.put(0.toByte); s.putInt(ni * nj); s.put(0.toByte).put(0.toByte)
-      s.putShort(0) // grid template 3.0 (lat/lon)
-      (15 to 30).foreach(_ => s.put(0.toByte))
-      s.putInt(ni).putInt(nj)
-    }
-    sec(34, 4) { s =>
-      s.putShort(0); s.putShort(0)
-      s.put(paramCategory.toByte).put(paramNumber.toByte)
-    }
-    sec(25, 5) { s =>
-      s.putInt(xs.length)
-      s.putShort(42) // template 5.42 (CCSDS)
-      s.putInt(java.lang.Float.floatToIntBits(refValue))
-      s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
-      s.put(nBits.toByte)
-      s.put(0.toByte)          // original field type 0 (float)
-      s.put(flags.toByte)      // CCSDS compression options
-      s.put(block.toByte)      // block size
-      s.putShort(rsi.toShort)  // reference sample interval
-    }
-    bitmap match {
-      case Some(mask) =>
-        sec(6 + bmpBytes, 6) { s =>
-          s.put(0.toByte)
-          var acc = 0; var nb = 0
-          mask.zipWithIndex.foreach { case (m, j) =>
-            acc = (acc << 1) | (if (m) 1 else 0); nb += 1
-            if (nb == 8 || j == mask.length - 1) {
-              s.put((acc << (8 - nb)).toByte); acc = 0; nb = 0
-            }
-          }
-        }
-      case None => sec(6, 6) { s => s.put(255.toByte) }
-    }
-    sec(5 + stream.length, 7)(_.put(stream))
-    b.put("7777".getBytes("US-ASCII"))
-    val total = b.position()
-    b.putLong(lenAt, total.toLong)
-    java.util.Arrays.copyOf(b.array(), total)
+    buildMessage(ni, nj, paramCategory, paramNumber, centre, discipline,
+      refTime, bitmap,
+      25, { s =>
+        s.putInt(xs.length)
+        s.putShort(42) // template 5.42 (CCSDS)
+        s.putInt(java.lang.Float.floatToIntBits(refValue))
+        s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
+        s.put(nBits.toByte)
+        s.put(0.toByte)          // original field type 0 (float)
+        s.put(flags.toByte)      // CCSDS compression options
+        s.put(block.toByte)      // block size
+        s.putShort(rsi.toShort)  // reference sample interval
+      },
+      5 + stream.length, _.put(stream))
   }
 
   /** GRIB2 WRITER for JPEG2000 packing (template 5.40) —
@@ -889,74 +871,22 @@ object GribMeta {
         "packing for all-missing slices")
     require(xs.forall(x => x >= 0 && x < (1L << nBits)),
       s"packed code out of the $nBits-bit range")
-    bitmap.foreach { m =>
-      require(m.length == ni * nj, s"bitmap ${m.length} for ${ni * nj} points")
-      require(m.count(identity) == xs.length,
-        s"${xs.length} codes for ${m.count(identity)} present points")
-    }
-    require(bitmap.isDefined || xs.length == ni * nj,
-      s"${xs.length} codes for ${ni * nj} points without a bitmap")
+    validateGrid(ni, nj, xs, bitmap)
     val (w, h) = if (bitmap.isEmpty) (ni, nj) else (xs.length, 1)
     val j2k = Jpeg2k.encode(w, h, nBits, xs)
-
-    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
-    val bmpBytes = bitmap.map(m => (m.length + 7) / 8).getOrElse(0)
-    val b = java.nio.ByteBuffer.allocate(
-      16 + 21 + 72 + 34 + 23 + 6 + bmpBytes + 5 + j2k.length + 4)
-    def sec(len: Int, n: Int)(body: java.nio.ByteBuffer => Unit): Unit = {
-      val start = b.position()
-      b.putInt(len).put(n.toByte)
-      body(b)
-      while (b.position() < start + len) b.put(0.toByte)
-    }
-    b.put("GRIB".getBytes("US-ASCII"))
-    b.putShort(0).put(discipline.toByte).put(2.toByte)
-    val lenAt = b.position(); b.putLong(0L)
-    sec(21, 1) { s =>
-      s.putShort(centre.toShort).putShort(0)
-      s.put(2.toByte).put(1.toByte).put(1.toByte)
-      s.putShort(refTime._1.toShort).put(refTime._2.toByte).put(refTime._3.toByte)
-      s.put(refTime._4.toByte).put(refTime._5.toByte).put(0.toByte)
-    }
-    sec(72, 3) { s =>
-      s.put(0.toByte); s.putInt(ni * nj); s.put(0.toByte).put(0.toByte)
-      s.putShort(0) // grid template 3.0 (lat/lon)
-      (15 to 30).foreach(_ => s.put(0.toByte))
-      s.putInt(ni).putInt(nj)
-    }
-    sec(34, 4) { s =>
-      s.putShort(0); s.putShort(0)
-      s.put(paramCategory.toByte).put(paramNumber.toByte)
-    }
-    sec(23, 5) { s =>
-      s.putInt(xs.length)
-      s.putShort(40) // template 5.40 (JPEG2000)
-      s.putInt(java.lang.Float.floatToIntBits(refValue))
-      s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
-      s.put(nBits.toByte)
-      s.put(0.toByte)   // original field type 0 (float)
-      s.put(0.toByte)   // compression type 0 = LOSSLESS
-      s.put(255.toByte) // target ratio: missing (lossless)
-    }
-    bitmap match {
-      case Some(mask) =>
-        sec(6 + bmpBytes, 6) { s =>
-          s.put(0.toByte)
-          var acc = 0; var nb = 0
-          mask.zipWithIndex.foreach { case (m, j) =>
-            acc = (acc << 1) | (if (m) 1 else 0); nb += 1
-            if (nb == 8 || j == mask.length - 1) {
-              s.put((acc << (8 - nb)).toByte); acc = 0; nb = 0
-            }
-          }
-        }
-      case None => sec(6, 6) { s => s.put(255.toByte) }
-    }
-    sec(5 + j2k.length, 7)(_.put(j2k))
-    b.put("7777".getBytes("US-ASCII"))
-    val total = b.position()
-    b.putLong(lenAt, total.toLong)
-    java.util.Arrays.copyOf(b.array(), total)
+    buildMessage(ni, nj, paramCategory, paramNumber, centre, discipline,
+      refTime, bitmap,
+      23, { s =>
+        s.putInt(xs.length)
+        s.putShort(40) // template 5.40 (JPEG2000)
+        s.putInt(java.lang.Float.floatToIntBits(refValue))
+        s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
+        s.put(nBits.toByte)
+        s.put(0.toByte)   // original field type 0 (float)
+        s.put(0.toByte)   // compression type 0 = LOSSLESS
+        s.put(255.toByte) // target ratio: missing (lossless)
+      },
+      5 + j2k.length, _.put(j2k))
   }
 
   /** GRIB2 WRITER for PNG packing (template 5.41) — [[encodeSimple]]'s
@@ -1010,62 +940,17 @@ object GribMeta {
       "no PNG ImageIO writer available")
     val png = pngOut.toByteArray
 
-    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
-    val bmpBytes = bitmap.map(m => (m.length + 7) / 8).getOrElse(0)
-    val b = java.nio.ByteBuffer.allocate(
-      16 + 21 + 72 + 34 + 21 + 6 + bmpBytes + 5 + png.length + 4)
-    def sec(len: Int, n: Int)(body: java.nio.ByteBuffer => Unit): Unit = {
-      val start = b.position()
-      b.putInt(len).put(n.toByte)
-      body(b)
-      while (b.position() < start + len) b.put(0.toByte)
-    }
-    b.put("GRIB".getBytes("US-ASCII"))
-    b.putShort(0).put(discipline.toByte).put(2.toByte)
-    val lenAt = b.position(); b.putLong(0L)
-    sec(21, 1) { s =>
-      s.putShort(centre.toShort).putShort(0)
-      s.put(2.toByte).put(1.toByte).put(1.toByte)
-      s.putShort(refTime._1.toShort).put(refTime._2.toByte).put(refTime._3.toByte)
-      s.put(refTime._4.toByte).put(refTime._5.toByte).put(0.toByte)
-    }
-    sec(72, 3) { s =>
-      s.put(0.toByte); s.putInt(ni * nj); s.put(0.toByte).put(0.toByte)
-      s.putShort(0) // grid template 3.0 (lat/lon)
-      (15 to 30).foreach(_ => s.put(0.toByte))
-      s.putInt(ni).putInt(nj)
-    }
-    sec(34, 4) { s =>
-      s.putShort(0); s.putShort(0)
-      s.put(paramCategory.toByte).put(paramNumber.toByte)
-    }
-    sec(21, 5) { s =>
-      s.putInt(xs.length)
-      s.putShort(41) // template 5.41 (PNG)
-      s.putInt(java.lang.Float.floatToIntBits(refValue))
-      s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
-      s.put(depth.toByte)
-      // trailing pad byte = octet 21, original field type 0 (float)
-    }
-    bitmap match {
-      case Some(mask) =>
-        sec(6 + bmpBytes, 6) { s =>
-          s.put(0.toByte)
-          var acc = 0; var nb = 0
-          mask.zipWithIndex.foreach { case (m, j) =>
-            acc = (acc << 1) | (if (m) 1 else 0); nb += 1
-            if (nb == 8 || j == mask.length - 1) {
-              s.put((acc << (8 - nb)).toByte); acc = 0; nb = 0
-            }
-          }
-        }
-      case None => sec(6, 6) { s => s.put(255.toByte) }
-    }
-    sec(5 + png.length, 7)(_.put(png))
-    b.put("7777".getBytes("US-ASCII"))
-    val total = b.position()
-    b.putLong(lenAt, total.toLong)
-    java.util.Arrays.copyOf(b.array(), total)
+    buildMessage(ni, nj, paramCategory, paramNumber, centre, discipline,
+      refTime, bitmap,
+      21, { s =>
+        s.putInt(xs.length)
+        s.putShort(41) // template 5.41 (PNG)
+        s.putInt(java.lang.Float.floatToIntBits(refValue))
+        s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
+        s.put(depth.toByte)
+        // trailing pad byte = octet 21, original field type 0 (float)
+      },
+      5 + png.length, _.put(png))
   }
 
   /** Template 7.2/7.3 group-packed payload → the scaled codes X of the

@@ -751,9 +751,11 @@ object Hdf5 {
     if (iblkAddr == Undef || nChunks == 0) return Nil
     val arrOffSize = (maxBits + 7) / 8
 
-    // super-block generation table (H5EA geometry)
+    // super-block generation table (H5EA geometry). Generation u holds
+    // minElmts · 2^u elements, so reaching the 2^maxBits capacity the
+    // header promises needs maxBits − log2(minElmts) + 1 generations
     val log2MinElmts = 31 - Integer.numberOfLeadingZeros(minElmts)
-    val nGens = 1 + (maxBits - log2MinElmts) / 2
+    val nGens = 1 + (maxBits - log2MinElmts)
     case class Gen(startIdx: Long, startDblk: Long, ndblks: Long, dblkElmts: Long)
     val gens = new Array[Gen](nGens)
     var si = 0L; var sd = 0L
@@ -1427,7 +1429,7 @@ object Hdf5 {
         ((data(2) & 0xffL) << 16) | ((data(3) & 0xffL) << 24)
       val bytesPerSample = if (bpp <= 8) 1 else if (bpp <= 16) 2 else 4
       require(origLen > 0 && origLen % bytesPerSample == 0 &&
-        origLen <= (1L << 31),
+        origLen < Int.MaxValue,
         s"dataset '$path': szip original length $origLen off-shape for " +
           s"$bpp-bit samples")
       Szip.decompress(java.util.Arrays.copyOfRange(data, 4, data.length),

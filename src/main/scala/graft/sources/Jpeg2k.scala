@@ -17,9 +17,9 @@ package graft.sources
   *   - precinct partitions supported (maximal by default; NCEP's
   *     width = nPacked, height = 1 layout crosses the 2^15 default
   *     precinct on big grids);
-  *   - any layer count; every Part-1 progression order (one
-  *     component + one tile reduces them all to layer-major LRCP or
-  *     resolution-major iteration);
+  *   - any layer count; LRCP/RLCP/RPCL progression orders (PCRL/CPRL
+  *     decode when every resolution has one precinct — their
+  *     position-interleaved multi-precinct order refuses by name);
   *   - COC/QCC/POC/RGN/PPM/PPT refuse by name; TLM/PLM/PLT/CRG/COM
   *     skip (pointer/comment markers).
   *
@@ -1052,8 +1052,13 @@ object Jpeg2k {
       }
     }
     q += 2 // past SOD
-    val tileEnd = if (psot == 0) cs.length - 2 else sotAt + psot.toInt
-    require(tileEnd + 2 <= cs.length && u16(cs, tileEnd) == 0xffd9,
+    // Psot arithmetic stays in Long: a crafted 2^31-range value must
+    // refuse, never wrap into a negative index
+    val tileEndL = if (psot == 0) cs.length.toLong - 2 else sotAt.toLong + psot
+    require(tileEndL >= q && tileEndL + 2 <= cs.length,
+      s"Psot $psot puts the tile end at $tileEndL — outside the stream")
+    val tileEnd = tileEndL.toInt
+    require(u16(cs, tileEnd) == 0xffd9,
       "EOC missing where Psot says the tile ends")
 
     // --- geometry + per-block state ---
@@ -1073,12 +1078,10 @@ object Jpeg2k {
     val zbpTrees = scala.collection.mutable.HashMap.empty[(Int, Int, Int), TagTree]
 
     var cursor = q
-    def decodePacket(r: Int, layer: Int): Unit = {
-      val (bands, npx, npy) = resolutions(r)
+    def decodePacket(r: Int, layer: Int, pi: Int): Unit = {
+      val (bands, npx, _) = resolutions(r)
       val (cbw, cbh) = cbDims(r)
-      var pi = 0
-      val np = npx * npy
-      while (pi < np) {
+      locally {
         val px = pi % npx; val py = pi / npx
         if (sop) {
           // SOP is OPTIONAL per packet even when flagged
@@ -1150,16 +1153,33 @@ object Jpeg2k {
           c.cb.passes += c.passes
           cursor += c.len
         }
-        pi += 1
       }
     }
 
-    // packet iteration: layer-major for LRCP, resolution-major for the
-    // other four Part-1 orders (single component + single tile)
-    if (progression == 0)
-      for (l <- 0 until layers; r <- 0 to nl) decodePacket(r, l)
-    else
-      for (r <- 0 to nl; l <- 0 until layers) decodePacket(r, l)
+    // packet iteration per Part-1 progression (one component, one
+    // tile): LRCP = layer, resolution, precinct; RLCP = resolution,
+    // layer, precinct; RPCL = resolution, precinct, layer. PCRL/CPRL
+    // iterate spatial position OUTERMOST across resolutions — with one
+    // precinct everywhere they collapse to RPCL's order, and the
+    // genuinely position-interleaved multi-precinct shape refuses by
+    // name rather than decoding packets against the wrong tag trees.
+    def nPrec(r: Int) = resolutions(r)._2 * resolutions(r)._3
+    progression match {
+      case 0 =>
+        for (l <- 0 until layers; r <- 0 to nl; p <- 0 until nPrec(r))
+          decodePacket(r, l, p)
+      case 1 =>
+        for (r <- 0 to nl; l <- 0 until layers; p <- 0 until nPrec(r))
+          decodePacket(r, l, p)
+      case 2 =>
+        for (r <- 0 to nl; p <- 0 until nPrec(r); l <- 0 until layers)
+          decodePacket(r, l, p)
+      case _ =>
+        require((0 to nl).forall(nPrec(_) == 1),
+          s"progression order $progression (PCRL/CPRL) with multiple " +
+            "precincts unsupported — position-interleaved packet order")
+        for (r <- 0 to nl; l <- 0 until layers) decodePacket(r, l, 0)
+    }
     require(cursor == tileEnd,
       s"tile-part has ${tileEnd - cursor} undecoded trailing bytes")
 

@@ -448,6 +448,16 @@ class GribMetaSpec extends SparkSpec {
     junk(dOff + 5) = 0x12; junk(dOff + 6) = 0x34
     val e3 = intercept[IllegalArgumentException] { GribMeta.values(junk) }
     assert(e3.getMessage.contains("SOC"), e3.getMessage)
+    // nBits 0 = CONSTANT field for the image/stream packings: real
+    // writers emit an empty section 7; every point is the reference
+    // value and no codestream decode is attempted (§5 octet 20 → 0)
+    val const = GribMeta.encodeJpeg2000(4, 3, 0, 0, refValue = 7f,
+      binScale = 0, decScale = 0, nBits = 8, xs = Array.fill(12)(1L))
+    var so2 = 16
+    while (const(so2 + 4) != 5) so2 += u32be(const, so2).toInt
+    const(so2 + 19) = 0
+    val Seq((_, cv)) = GribMeta.values(const)
+    assert(cv.length == 12 && cv.forall(_ == 7.0), cv.toSeq.toString)
   }
 
   test("CCSDS packing (5.42) round-trips across depths; bitmap strip; " +

@@ -594,7 +594,10 @@ class Hdf5Spec extends SparkSpec {
     val dsHdrAt = 128; val eahdAt = 384
     val entry = if (filtered) 16 else 8
     val eaibAt = eahdAt + 72
-    val eaibLen = 14 + entry + 6 * 8 + 13 * 8 + 4
+    // 33 generations for maxBits 32 / minElmts 1 (capacity minElmts ·
+    // (2^33 − 1) covers the promised 2^32 elements); the first 4 are
+    // addressed from the index block → 29 super-block address slots
+    val eaibLen = 14 + entry + 6 * 8 + 29 * 8 + 4
     val easbAt = eaibAt + eaibLen
     val easbLen = 14 + 4 + 4 * 8 + 4
     // data blocks: element counts per generation geometry
@@ -679,7 +682,7 @@ class Hdf5Spec extends SparkSpec {
     (0 until 6).foreach(d =>
       out.putLong(if (d == 5) Undef else dblkAt(d).toLong))
     out.putLong(easbAt.toLong)
-    (1 until 13).foreach(_ => out.putLong(Undef))
+    (1 until 29).foreach(_ => out.putLong(Undef))
     out.putInt(0)
     // EASB (generation 4): 4 data-block addrs, slot 0 = dblk6
     out.position(easbAt)
