@@ -419,13 +419,7 @@ object GribMeta {
       s"spatial differencing order $spatialOrder (0 = plain 5.2, 1-2 = 5.3)")
     require(groupLen >= 1, s"bad groupLen $groupLen")
     require(xs.forall(_ >= 0), "packed codes must be non-negative")
-    bitmap.foreach { m =>
-      require(m.length == ni * nj, s"bitmap ${m.length} for ${ni * nj} points")
-      require(m.count(identity) == xs.length,
-        s"${xs.length} codes for ${m.count(identity)} present points")
-    }
-    require(bitmap.isDefined || xs.length == ni * nj,
-      s"${xs.length} codes for ${ni * nj} points without a bitmap")
+    validateGrid(ni, nj, xs, bitmap)
     val tpl = if (spatialOrder == 0) 2 else 3
     require(tpl == 2 || xs.length > spatialOrder,
       s"spatial differencing order $spatialOrder needs more than " +
@@ -479,36 +473,9 @@ object GribMeta {
     val sec5Len = if (tpl == 3) 49 else 47
     val sec7Len = 5 + extras.length * extraOctets + refsBytes +
       widthBytes + lenBytes + valueBytes
-    val bmpBytes = bitmap.map(m => (m.length + 7) / 8).getOrElse(0)
-    val b = java.nio.ByteBuffer.allocate(
-      16 + 21 + 72 + 34 + sec5Len + 6 + bmpBytes + sec7Len + 4)
-    def sec(len: Int, n: Int)(body: java.nio.ByteBuffer => Unit): Unit = {
-      val start = b.position()
-      b.putInt(len).put(n.toByte)
-      body(b)
-      while (b.position() < start + len) b.put(0.toByte)
-    }
-    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
-    b.put("GRIB".getBytes("US-ASCII"))
-    b.putShort(0).put(discipline.toByte).put(2.toByte)
-    val lenAt = b.position(); b.putLong(0L)
-    sec(21, 1) { s =>
-      s.putShort(centre.toShort).putShort(0)
-      s.put(2.toByte).put(1.toByte).put(1.toByte)
-      s.putShort(refTime._1.toShort).put(refTime._2.toByte).put(refTime._3.toByte)
-      s.put(refTime._4.toByte).put(refTime._5.toByte).put(0.toByte)
-    }
-    sec(72, 3) { s =>
-      s.put(0.toByte); s.putInt(ni * nj); s.put(0.toByte).put(0.toByte)
-      s.putShort(0) // grid template 3.0 (lat/lon)
-      (15 to 30).foreach(_ => s.put(0.toByte))
-      s.putInt(ni).putInt(nj)
-    }
-    sec(34, 4) { s =>
-      s.putShort(0); s.putShort(0)
-      s.put(paramCategory.toByte).put(paramNumber.toByte)
-    }
-    sec(sec5Len, 5) { s =>
+    buildMessage(ni, nj, paramCategory, paramNumber, centre, discipline,
+      refTime, bitmap,
+      sec5Len, { s =>
       s.putInt(xs.length)
       s.putShort(tpl.toShort)
       s.putInt(java.lang.Float.floatToIntBits(refValue))
@@ -529,22 +496,8 @@ object GribMeta {
         s.put(spatialOrder.toByte)     // octet 48
         s.put(extraOctets.toByte)      // octet 49
       }
-    }
-    bitmap match {
-      case Some(mask) =>
-        sec(6 + bmpBytes, 6) { s =>
-          s.put(0.toByte)
-          var acc = 0; var nb = 0
-          mask.zipWithIndex.foreach { case (m, i) =>
-            acc = (acc << 1) | (if (m) 1 else 0); nb += 1
-            if (nb == 8 || i == mask.length - 1) {
-              s.put((acc << (8 - nb)).toByte); acc = 0; nb = 0
-            }
-          }
-        }
-      case None => sec(6, 6) { s => s.put(255.toByte) }
-    }
-    sec(sec7Len, 7) { s =>
+    },
+      sec7Len, { s =>
       extras.foreach { e =>
         val mag = math.abs(e)
         val v = if (e < 0) mag | (1L << (extraOctets * 8 - 1)) else mag
@@ -566,11 +519,7 @@ object GribMeta {
         (0 until len).foreach { _ => putBits(codes(k) - ref, width); k += 1 }
       }
       pad()
-    }
-    b.put("7777".getBytes("US-ASCII"))
-    val total = b.position()
-    b.putLong(lenAt, total.toLong)
-    java.util.Arrays.copyOf(b.array(), total)
+    })
   }
 
   /** SIMPLE-PACKING pixel decode for BOTH editions — the clean-room
@@ -802,6 +751,12 @@ object GribMeta {
     val flags = u8(bytes, p.sec5Off + 21)
     val block = u8(bytes, p.sec5Off + 22)
     val rsi = u16(bytes, p.sec5Off + 23)
+    // reserved/unknown flag bits could change the bitstream layout —
+    // the codec gate refuses them rather than decoding under this
+    // profile's assumptions
+    require((flags & ~0x3f) == 0,
+      s"message $msgIdx: unknown CCSDS compression-option bits " +
+        f"0x$flags%02x — refusing to guess the stream layout")
     require((flags & 0x1) == 0,
       s"message $msgIdx: CCSDS SIGNED-data flag unsupported (GRIB " +
         "codes are unsigned)")
@@ -905,13 +860,7 @@ object GribMeta {
         "is not encodable) — use simple packing for all-missing slices")
     require(xs.forall(x => x >= 0 && x < (1L << nBits)),
       s"packed code out of the $nBits-bit range")
-    bitmap.foreach { m =>
-      require(m.length == ni * nj, s"bitmap ${m.length} for ${ni * nj} points")
-      require(m.count(identity) == xs.length,
-        s"${xs.length} codes for ${m.count(identity)} present points")
-    }
-    require(bitmap.isDefined || xs.length == ni * nj,
-      s"${xs.length} codes for ${ni * nj} points without a bitmap")
+    validateGrid(ni, nj, xs, bitmap)
     val (w, h) = if (bitmap.isEmpty) (ni, nj) else (xs.length, 1)
     import java.awt.image.BufferedImage
     val depth = if (nBits <= 8) 8 else if (nBits <= 16) 16

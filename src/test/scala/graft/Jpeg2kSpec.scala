@@ -187,6 +187,36 @@ class Jpeg2kSpec extends AnyFunSuite {
     assert(e5.getMessage.nonEmpty)
   }
 
+  test("progression orders: single-layer RLCP/RPCL/PCRL/CPRL decode a " +
+      "re-tagged LRCP stream identically; multi-precinct PCRL refuses") {
+    // with ONE layer, LRCP (l,r,p), RLCP (r,l,p) and RPCL (r,p,l) all
+    // reduce to (r,p) — so patching the COD progression byte onto an
+    // LRCP-written stream must decode byte-identically through each
+    // branch (this exercises the branch wiring; multi-layer orders
+    // have no writer here and stay covered by the spec's math)
+    val xs = Array.tabulate(48 * 24)(i => (i * 13 % 4096).toLong)
+    val enc = Jpeg2k.encode(48, 24, 12, xs, 3)
+    var cod = 2
+    while (!((enc(cod) & 0xff) == 0xff && (enc(cod + 1) & 0xff) == 0x52))
+      cod += 2 + (((enc(cod + 2) & 0xff) << 8) | (enc(cod + 3) & 0xff))
+    for (prog <- 1 to 4) {
+      val p = enc.clone(); p(cod + 5) = prog.toByte
+      assert(Jpeg2k.decode(p).samples.toSeq == xs.toSeq, s"progression $prog")
+    }
+    // the wide multi-precinct shape refuses PCRL/CPRL by name
+    val wide = Jpeg2k.encode(40000, 1, 8,
+      Array.tabulate(40000)(i => (i % 251).toLong), 2)
+    var cod2 = 2
+    while (!((wide(cod2) & 0xff) == 0xff && (wide(cod2 + 1) & 0xff) == 0x52))
+      cod2 += 2 + (((wide(cod2 + 2) & 0xff) << 8) | (wide(cod2 + 3) & 0xff))
+    val pw = wide.clone(); pw(cod2 + 5) = 3
+    val e = intercept[IllegalArgumentException] { Jpeg2k.decode(pw) }
+    assert(e.getMessage.contains("PCRL"), e.getMessage)
+    // ...while RPCL on the same multi-precinct stream still decodes
+    val pr = wide.clone(); pr(cod2 + 5) = 2
+    assert(Jpeg2k.decode(pr).samples.length == 40000)
+  }
+
   test("every byte of the codestream matters: truncations never decode " +
       "to silently wrong sizes") {
     val xs = Array.tabulate(32 * 16)(i => (i * 37 % 1024).toLong)
