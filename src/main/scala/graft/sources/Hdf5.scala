@@ -538,11 +538,12 @@ object Hdf5 {
     * `flags(1) dimensionality(1) dimSizeEncLen(1)
     * dims((rank+1) × encLen) indexType(1) [index params] address(8)`
     * — the library writes rank+1 dims with a trailing element-size
-    * entry, same as the v3 message. Single-chunk (1),
-    * implicit (2) and fixed-array (3) indexes decode; extensible-array
-    * (4) and B-tree-v2 (5) — the unlimited-dims indexes — refuse by
-    * name. Flag bit 1 marks a filtered single chunk whose (size, mask)
-    * ride inline. */
+    * entry, same as the v3 message. All five index types decode:
+    * single-chunk (1), implicit (2), fixed-array (3), extensible-array
+    * (4, one unlimited dim) and B-tree v2 (5, several unlimited dims);
+    * only their PAGED/deep variants refuse by name in the walks. Flag
+    * bit 1 marks a filtered single chunk whose (size, mask) ride
+    * inline. */
   private def parseLayoutV4Chunked(r: Reader, o: Long,
       path: String): Layout = {
     val flags = r.u8(o + 2)
@@ -587,9 +588,11 @@ object Hdf5 {
         val pageBits = r.u8(p + 4)
         LayChunkedV4(4, r.i64(p + 5), cdims.map(_.toInt), flags, None,
           Some((maxBits, idxElmts, minPtrs, minElmts, pageBits)))
-      case 5 => throw new IllegalArgumentException(
-        s"dataset '$path': v4 chunk index type 5 (B-tree v2) " +
-          "unsupported; re-export with the earliest-format layout")
+      case 5 =>
+        // B-tree v2 index: node size(4) + split/merge percents(1+1)
+        // ride in the layout but the BTHD header re-states what the
+        // walk needs — skip to the address
+        LayChunkedV4(5, r.i64(p + 6), cdims.map(_.toInt), flags, None)
       case t => throw new IllegalArgumentException(
         s"dataset '$path': unknown v4 chunk index type $t")
     }
@@ -646,9 +649,117 @@ object Hdf5 {
         if (l.addr == Undef) Nil
         else walkExtensibleArray(r, l.addr, l.eaParams.get, nChunks,
           chunkBytes, filtered, originOf, path)
+      case 5 =>
+        if (l.addr == Undef) Nil
+        else walkBtree2Chunks(r, l.addr, l.cdims, nChunks, chunkBytes,
+          filtered, path)
       case t => throw new IllegalArgumentException(
         s"dataset '$path': v4 chunk index type $t unsupported")
     }
+  }
+
+  /** B-tree v2 chunk index (v4 index type 5 — the index the library
+    * picks for MORE THAN ONE unlimited dimension): the same
+    * BTHD/BTLF/BTIN node structure as the dense-storage name indexes,
+    * with chunk records instead of heap IDs — type 10 (unfiltered:
+    * address + rank scaled offsets in chunk units) or type 11
+    * (filtered: + variable-width chunk size + filter mask). Absent
+    * chunks simply have no record — the fill shows through, the shared
+    * contract. Depth ≤ 1 (a depth-1 tree already indexes thousands of
+    * chunks); deeper trees refuse loudly. */
+  private def walkBtree2Chunks(r: Reader, addr: Long, cdims: Seq[Int],
+      nChunks: Long, chunkBytes: Long, filtered: Boolean,
+      path: String): Seq[ChunkRef] = {
+    val rank = cdims.size
+    r.in(addr, 34)
+    require(r.sig4(addr) == "BTHD",
+      s"dataset '$path': chunk index at $addr missing BTHD signature")
+    require(r.u8(addr + 4) == 0,
+      s"dataset '$path': v2 B-tree version ${r.u8(addr + 4)} unsupported")
+    val bt = r.u8(addr + 5)
+    require(bt == (if (filtered) 11 else 10),
+      s"dataset '$path': v2 B-tree record type $bt disagrees with the " +
+        s"${if (filtered) "filtered" else "unfiltered"} pipeline " +
+        "(expected " + (if (filtered) 11 else 10) + ")")
+    val nodeSize = r.u32(addr + 6)
+    val recordSize = r.u16(addr + 10)
+    val depth = r.u16(addr + 12)
+    require(depth <= 1,
+      s"dataset '$path': chunk B-tree depth $depth unsupported (a " +
+        "depth-1 tree already indexes thousands of chunks)")
+    val rootNode = r.i64(addr + 16)
+    val nRec = r.u16(addr + 24)
+    val szLen = recordSize - 12 - 8 * rank // filtered record's size field
+    require(if (filtered) szLen >= 1 && szLen <= 8
+            else recordSize == 8 + 8 * rank,
+      s"dataset '$path': chunk record size $recordSize off-shape for " +
+        s"rank $rank ${if (filtered) "filtered" else "unfiltered"} records")
+    if (depth == 0 && (rootNode == Undef || nRec == 0)) return Nil
+    require(rootNode != Undef && (nRec > 0 || depth == 0),
+      s"dataset '$path': depth-$depth chunk index with an empty root")
+
+    def recAt(p: Long): ChunkRef = {
+      val a = r.i64(p)
+      require(a != Undef,
+        s"dataset '$path': chunk record with an undefined address — " +
+          "corrupt index (absent chunks carry no record at all)")
+      val (sz, mask, offBase) =
+        if (filtered) (r.leVar(p + 8, szLen), r.u32(p + 8 + szLen).toInt,
+          p + 12 + szLen)
+        else (chunkBytes, 0, p + 8)
+      val origin = (0 until rank).map { d =>
+        val scaled = r.i64(offBase + d * 8)
+        require(scaled >= 0 && scaled <= (1L << 40),
+          s"dataset '$path': implausible scaled chunk offset $scaled")
+        scaled * cdims(d)
+      }
+      ChunkRef(origin, sz, mask, a)
+    }
+    def leafRecords(a: Long, n: Int): Seq[ChunkRef] = {
+      r.in(a, 6 + n.toLong * recordSize)
+      require(r.sig4(a) == "BTLF",
+        s"dataset '$path': chunk-index leaf at $a missing BTLF signature")
+      require(r.u8(a + 4) == 0 && r.u8(a + 5) == bt,
+        s"dataset '$path': leaf version/type ${r.u8(a + 4)}/${r.u8(a + 5)} " +
+          "unsupported")
+      (0 until n).map(i => recAt(a + 6 + i.toLong * recordSize))
+    }
+    val refs =
+      if (depth == 0) leafRecords(rootNode, nRec)
+      else {
+        // depth-1 root = BTIN: own records then nRec+1 child pointers
+        // {addr(8), child nrec(m bytes LE)}, m sized by the max leaf
+        // record count — the dense-index walk's exact convention
+        r.in(rootNode, 6)
+        require(r.sig4(rootNode) == "BTIN",
+          s"dataset '$path': chunk-index internal node at $rootNode " +
+            "missing BTIN signature")
+        require(r.u8(rootNode + 4) == 0 && r.u8(rootNode + 5) == bt,
+          s"dataset '$path': internal node version/type off-shape")
+        val maxLeafRecs = ((nodeSize - 10) / recordSize).toInt
+        require(maxLeafRecs > 0,
+          s"dataset '$path': implausible node/record sizes " +
+            s"$nodeSize/$recordSize")
+        val m = (64 - java.lang.Long.numberOfLeadingZeros(
+          maxLeafRecs.toLong) + 7) / 8
+        val recsAt = rootNode + 6
+        val childrenAt = recsAt + nRec.toLong * recordSize
+        r.in(recsAt, nRec.toLong * recordSize + (nRec + 1).toLong * (8 + m))
+        val own = (0 until nRec).map(i => recAt(recsAt + i.toLong * recordSize))
+        val kids = (0 to nRec).flatMap { c =>
+          val p = childrenAt + c.toLong * (8 + m)
+          val cAddr = r.i64(p)
+          val cn = r.leVar(p + 8, m)
+          require(cn >= 0 && cn <= maxLeafRecs,
+            s"dataset '$path': child leaf claims $cn records > max $maxLeafRecs")
+          leafRecords(cAddr, cn.toInt)
+        }
+        own ++ kids
+      }
+    require(refs.size <= nChunks,
+      s"dataset '$path': chunk index holds ${refs.size} records for " +
+        s"$nChunks grid chunks")
+    refs
   }
 
   /** Fixed-array chunk index (spec III.G): FAHD header → FADB data

@@ -418,7 +418,7 @@ class Hdf5Spec extends SparkSpec {
     * chunks back-to-back), 3 = fixed array (chunk (1,1) unallocated;
     * `filtered` adds the shuffle+deflate+fletcher32 pipeline with
     * client-1 entries — or the SZIP filter when `szip` is also set),
-    * 5 = B-tree v2 (must refuse). */
+    * 5 = B-tree v2 (chunk (1,1) absent from the tree → fill). */
   private def fixtureV4(index: Int, filtered: Boolean = false,
       szip: Boolean = false): Array[Byte] = {
     val dsHdrAt = 128; val fahdAt = 384; val fadbAt = 416
@@ -442,11 +442,14 @@ class Hdf5Spec extends SparkSpec {
     }, c.length * 2 + 16)
     val chunks = rawChunks.map(c =>
       if (szip) szipWrap(c) else if (filtered) filterChunk(c) else c)
-    // fixed array leaves chunk (1,1) unallocated → fill
-    val nStored = if (index == 3 && !single) 3 else chunks.size
+    // fixed array and B-tree v2 leave chunk (1,1) out → fill
+    val nStored = if ((index == 3 || index == 5) && !single) 3 else chunks.size
     val entrySize = if (filtered) 16 else 8 // addr / addr+size4+mask4
     val elemsLen = chunks.size * entrySize
-    val dataAt = fadbAt + 14 + elemsLen + 4 + 16 // FADB + slack
+    // B-tree records (addr + [size4+mask4] + 2×8 scaled offsets) are
+    // wider than fixed-array entries — give the leaf more room
+    val dataAt =
+      if (index == 5) 600 else fadbAt + 14 + elemsLen + 4 + 16 // + slack
     val offs = chunks.indices.scanLeft(dataAt.toLong) { (a, i) =>
       a + chunks(i).length
     }
@@ -526,6 +529,28 @@ class Hdf5Spec extends SparkSpec {
       }
       out.putInt(0) // checksum
     }
+    if (index == 5) {
+      // BTHD (type 10/11 chunk records) + one depth-0 BTLF holding the
+      // three stored chunks; (1,1) has no record → fill
+      val recSize = if (filtered) 8 + 4 + 4 + 16 else 8 + 16
+      out.position(fahdAt)
+      out.put("BTHD".getBytes("US-ASCII")).put(0.toByte)
+      out.put((if (filtered) 11 else 10).toByte)
+      out.putInt(2048).putShort(recSize.toShort).putShort(0) // node, rec, depth
+      out.put(85.toByte).put(40.toByte)
+      out.putLong(fadbAt.toLong).putShort(nStored.toShort)
+      out.putLong(nStored.toLong)
+      out.putInt(0) // checksum (unverified)
+      out.position(fadbAt)
+      out.put("BTLF".getBytes("US-ASCII")).put(0.toByte)
+      out.put((if (filtered) 11 else 10).toByte)
+      (0 until nStored).foreach { i =>
+        out.putLong(offs(i))
+        if (filtered) { out.putInt(chunks(i).length); out.putInt(0) }
+        out.putLong(i / 2L).putLong(i % 2L) // scaled offsets (row, col)
+      }
+      out.putInt(0) // checksum
+    }
     chunks.indices.foreach { i =>
       // implicit layout needs back-to-back chunks from dataAt; the
       // offs sequence IS back-to-back, so all indexes share it
@@ -535,8 +560,8 @@ class Hdf5Spec extends SparkSpec {
     out.array()
   }
 
-  test("v4 chunked layouts: single-chunk, implicit, and fixed-array " +
-      "indexes decode; filtered fixed array; B-tree v2 refuses") {
+  test("v4 chunked layouts: single-chunk, implicit, fixed-array and " +
+      "B-tree-v2 indexes decode, plain and filtered; deep trees refuse") {
     // single chunk, unfiltered and filtered
     for (f <- Seq(false, true)) {
       val bytes = fixtureV4(1, filtered = f)
@@ -550,19 +575,29 @@ class Hdf5Spec extends SparkSpec {
       10.0, 11.0, 12.0, 13.0, 14.0,
       20.0, 21.0, 22.0, 23.0, 24.0,
       30.0, 31.0, 32.0, 33.0, 34.0))
-    // fixed array: chunk (1,1) unallocated → fill; plain and filtered
-    for (f <- Seq(false, true)) {
-      val fa = fixtureV4(3, filtered = f)
+    // fixed array / B-tree v2: chunk (1,1) absent → fill; plain and
+    // filtered (type-10 vs type-11 records)
+    for (idx <- Seq(3, 5); f <- Seq(false, true)) {
+      val fa = fixtureV4(idx, filtered = f)
       assert(Hdf5.read(fa, Hdf5.decode(fa), "/temp").toSeq == Seq(
         10.0, 11.0, 12.0, 13.0, 14.0,
         20.0, 21.0, 22.0, 23.0, 24.0,
-        30.0, 31.0, 32.0, -7.0, -7.0), s"fixed-array filtered=$f")
+        30.0, 31.0, 32.0, -7.0, -7.0), s"index=$idx filtered=$f")
     }
-    // B-tree v2 index refuses by name
+    // a chunk B-tree deeper than 1 refuses by name (depth at BTHD+12)
+    val bt = fixtureV4(5)
+    val bthdAt = bt.indexOfSlice("BTHD".getBytes("US-ASCII"))
+    val deep = bt.clone(); deep(bthdAt + 12) = 2
     val e = intercept[IllegalArgumentException] {
-      Hdf5.decode(fixtureV4(5))
+      Hdf5.read(deep, Hdf5.decode(deep), "/temp")
     }
-    assert(e.getMessage.contains("B-tree v2"), e.getMessage)
+    assert(e.getMessage.contains("depth"), e.getMessage)
+    // a record type disagreeing with the pipeline refuses by name
+    val wrongT = bt.clone(); wrongT(bthdAt + 5) = 11
+    val e2 = intercept[IllegalArgumentException] {
+      Hdf5.read(wrongT, Hdf5.decode(wrongT), "/temp")
+    }
+    assert(e2.getMessage.contains("record type"), e2.getMessage)
   }
 
   test("szip-filtered chunk decodes through the clean-room CCSDS 121 " +

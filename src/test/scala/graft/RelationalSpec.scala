@@ -33,6 +33,22 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
   }
 
+  test("q12 probes the DISTINCT key set, never a row-wide semi join: " +
+      "the plan aggregates l_partkey BEFORE any join (map-side partial " +
+      "collapse — the r12 rewrite's load-bearing shape)") {
+    val plan = physicalPlan(Relational.q12.fn(spark, sf))
+    // the probe side must be an aggregate (distinct) over l_partkey;
+    // a HashAggregate appearing below the join is the partial-collapse
+    // signature — a plain left-semi SMJ over raw lineitem rows has none
+    assert(plan.contains("HashAggregate"), s"no distinct aggregate in:\n$plan")
+    val joinAt = plan.indexOf("Join")
+    val aggAt = plan.lastIndexOf("HashAggregate")
+    assert(joinAt >= 0 && aggAt > joinAt,
+      s"distinct must sit BELOW the semi join (probe-side collapse):\n$plan")
+    // lineitem scan reads ONLY the join key
+    assert(!plan.contains("l_quantity"), s"lineitem scan not pruned:\n$plan")
+  }
+
   test("q05 semi+anti counts partition the customer table") {
     val rows = Relational.q05.fn(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n")).sum
