@@ -55,6 +55,7 @@ object Hdf {
   val TagNull = 1
   val TagVersion = 30
   val TagCompressed = 40 // compressed payload bytes of a SPECIAL_COMP element
+  val TagLinked = 20 // linked-block table / data element (SPECIAL_LINKED)
   val TagChunk = 61 // one chunk's data element (plain or special COMP)
   val TagVH = 1962 // Vdata description (the chunk TABLE's header)
   val TagVS = 1963 // Vdata records (the chunk TABLE's packed rows)
@@ -266,8 +267,10 @@ object Hdf {
       special match {
         case SpecialComp => compPayload(f, sds.name, d, b)
         case SpecialChunked => chunkedPayload(f, sds, d, b)
-        case SpecialLinked | SpecialVLinked => throw new IllegalArgumentException(
-          s"SDS '${sds.name}': linked-block storage unsupported")
+        case SpecialLinked => linkedPayload(f, sds.name, d, b)
+        case SpecialVLinked => throw new IllegalArgumentException(
+          s"SDS '${sds.name}': variable-length linked-block storage " +
+            "unsupported (appendable Vdata shape, not an SDS layout)")
         case SpecialExt => throw new IllegalArgumentException(
           s"SDS '${sds.name}': external-file element unsupported (data lives " +
             "outside this file)")
@@ -275,6 +278,73 @@ object Hdf {
           s"SDS '${sds.name}': unknown special storage code $other")
       }
     }
+  }
+
+  /** Decode one SPECIAL_LINKED element (the appendable-data layout
+    * older HDF4 writers emit): header after the 2-byte code is
+    * `length(4) first_len(4) blk_len(4) num_blk(4) link_ref(2)`; the
+    * block TABLE is a DFTAG_LINKED element holding `next_ref(2)` (0 =
+    * last table) + num_blk DATA-block refs (0 = unallocated slot);
+    * data blocks are DFTAG_LINKED elements — the first carries
+    * first_len bytes, the rest blk_len each, concatenated until
+    * `length` bytes are assembled. */
+  private def linkedPayload(f: HdfFile, owner: String, d: DD,
+      b: ByteBuffer): Array[Byte] = {
+    require(d.len >= 20, s"SDS '$owner': truncated LINKED header")
+    val totalLen = b.getInt(2)
+    val firstLen = b.getInt(6)
+    val blkLen = b.getInt(10)
+    val numBlk = b.getInt(14)
+    var tableRef = b.getShort(18) & 0xffff
+    require(totalLen > 0 && totalLen <= f.bytes.length,
+      s"SDS '$owner': LINKED element length $totalLen off-shape")
+    require(firstLen >= 1 && blkLen >= 1 && numBlk >= 1 && numBlk <= 65535,
+      s"SDS '$owner': LINKED geometry first=$firstLen blk=$blkLen " +
+        s"perTable=$numBlk off-shape")
+    def linkedDD(ref: Int, what: String): DD =
+      f.dds.find(x => x.tag == TagLinked && x.ref == ref)
+        .getOrElse(throw new IllegalArgumentException(
+          s"SDS '$owner': LINKED $what references missing " +
+            s"DFTAG_LINKED ref=$ref"))
+    val out = new Array[Byte](totalLen)
+    var filled = 0
+    var blockIdx = 0
+    var tables = 0
+    while (filled < totalLen) {
+      require(tableRef != 0,
+        s"SDS '$owner': LINKED table chain ends at $filled of " +
+          s"$totalLen bytes — element truncated")
+      tables += 1
+      require(tables <= 65536, s"SDS '$owner': runaway LINKED table chain")
+      val t = linkedDD(tableRef, "table")
+      require(t.len >= 2 + 2L * numBlk &&
+        t.off + t.len <= f.bytes.length,
+        s"SDS '$owner': LINKED table ref=$tableRef holds ${t.len} bytes " +
+          s"for $numBlk refs")
+      val tb = ByteBuffer.wrap(f.bytes, t.off.toInt, t.len.toInt)
+        .slice().order(ByteOrder.BIG_ENDIAN)
+      tableRef = tb.getShort(0) & 0xffff
+      var i = 0
+      while (i < numBlk && filled < totalLen) {
+        val ref = tb.getShort(2 + 2 * i) & 0xffff
+        require(ref != 0,
+          s"SDS '$owner': LINKED block $blockIdx unallocated with " +
+            s"${totalLen - filled} bytes still missing")
+        val blk = linkedDD(ref, s"block $blockIdx")
+        require(blk.off + blk.len <= f.bytes.length,
+          s"SDS '$owner': LINKED block ref=$ref past the decoded bytes")
+        val want = math.min(
+          if (blockIdx == 0) firstLen else blkLen, totalLen - filled)
+        require(blk.len >= want,
+          s"SDS '$owner': LINKED block $blockIdx holds ${blk.len} bytes, " +
+            s"needs $want")
+        System.arraycopy(f.bytes, blk.off.toInt, out, filled, want)
+        filled += want
+        blockIdx += 1
+        i += 1
+      }
+    }
+    out
   }
 
   /** Decode one SPECIAL_COMP element: header is

@@ -254,6 +254,74 @@ class HdfSpec extends SparkSpec {
     assert(e.getMessage.contains("pixels"), e.getMessage)
   }
 
+  test("LINKED-block SDS reassembles across chained block tables " +
+      "(first/rest block lengths, short last block, unallocated-slot " +
+      "and truncated-chain refusals)") {
+    // 2×3 int16 (12 bytes) as first_len 4 + two 4-byte blocks, block
+    // tables holding 2 refs each → the chain spans TWO tables
+    val vals = Seq(310, 320, 330, 410, 420, 430)
+    val bb = java.nio.ByteBuffer.allocate(512)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(0x0e031301)
+    bb.putShort(9).putInt(0)
+    val ddAt = bb.position()
+    (0 until 9).foreach(_ => { bb.putShort(0).putShort(0); bb.putInt(0); bb.putInt(0) })
+    def dd(slot: Int, tag: Int, ref: Int, off: Int, len: Int): Unit = {
+      bb.putShort(ddAt + slot * 12, tag.toShort)
+      bb.putShort(ddAt + slot * 12 + 2, ref.toShort)
+      bb.putInt(ddAt + slot * 12 + 4, off)
+      bb.putInt(ddAt + slot * 12 + 8, len)
+    }
+    val ntOff = bb.position(); bb.put(Array[Byte](1, 22, 16, 0))
+    dd(0, 106, 1, ntOff, 4)
+    val sddOff = bb.position()
+    bb.putShort(2).putInt(2).putInt(3)
+    bb.putShort(106).putShort(1); bb.putShort(106).putShort(1)
+    bb.putShort(106).putShort(1)
+    dd(1, 701, 1, sddOff, bb.position() - sddOff)
+    val spOff = bb.position()
+    bb.putShort(Hdf.SpecialLinked.toShort)
+    bb.putInt(12).putInt(4).putInt(4).putInt(2) // length, first, blk, per-table
+    bb.putShort(10) // first table ref
+    dd(2, 702 | 0x4000, 1, spOff, bb.position() - spOff)
+    // data blocks (refs 20,21,22) then tables (refs 10,11)
+    val blkOffs = vals.grouped(2).zipWithIndex.map { case (pair, i) =>
+      val off = bb.position()
+      pair.foreach(v => bb.putShort(v.toShort))
+      dd(3 + i, Hdf.TagLinked, 20 + i, off, 4)
+      off
+    }.toSeq
+    val t1Off = bb.position()
+    bb.putShort(11).putShort(20).putShort(21) // next=table 11, blocks 0-1
+    dd(6, Hdf.TagLinked, 10, t1Off, 6)
+    val t2Off = bb.position()
+    bb.putShort(0).putShort(22).putShort(0) // last table, block 2 + empty slot
+    dd(7, Hdf.TagLinked, 11, t2Off, 6)
+    val ndgOff = bb.position()
+    Seq(106, 701, 702 | 0x4000).foreach { t =>
+      bb.putShort(t.toShort); bb.putShort(1)
+    }
+    dd(8, 720, 1, ndgOff, 12)
+    val bytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val _ = blkOffs
+    val f = Hdf.decode(bytes)
+    assert(Hdf.read(f, f.sds.head.name).toSeq == vals.map(_.toDouble))
+    // an unallocated slot BEFORE the data runs out refuses by name
+    val holed = bytes.clone()
+    holed(t1Off + 4) = 0; holed(t1Off + 5) = 0 // table 1 slot 2 → ref 0
+    val e1 = intercept[IllegalArgumentException] {
+      Hdf.read(Hdf.decode(holed), f.sds.head.name)
+    }
+    assert(e1.getMessage.contains("unallocated"), e1.getMessage)
+    // a chain that ends early refuses by name
+    val cut = bytes.clone()
+    cut(t1Off) = 0; cut(t1Off + 1) = 0 // table 1 says "last table"
+    val e2 = intercept[IllegalArgumentException] {
+      Hdf.read(Hdf.decode(cut), f.sds.head.name)
+    }
+    assert(e2.getMessage.contains("chain ends"), e2.getMessage)
+  }
+
   test("HdfGridSource: per-(file x sds) splits, pruning, keepFill, loud corrupt") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hdfdsv2").toString
     def tile(tag: Int): Array[Byte] = Hdf.encode(Seq(
