@@ -671,34 +671,19 @@ object Hdf5 {
       nChunks: Long, chunkBytes: Long, filtered: Boolean,
       path: String): Seq[ChunkRef] = {
     val rank = cdims.size
-    r.in(addr, 34)
-    require(r.sig4(addr) == "BTHD",
-      s"dataset '$path': chunk index at $addr missing BTHD signature")
-    require(r.u8(addr + 4) == 0,
-      s"dataset '$path': v2 B-tree version ${r.u8(addr + 4)} unsupported")
-    val bt = r.u8(addr + 5)
-    require(bt == (if (filtered) 11 else 10),
-      s"dataset '$path': v2 B-tree record type $bt disagrees with the " +
-        s"${if (filtered) "filtered" else "unfiltered"} pipeline " +
-        "(expected " + (if (filtered) 11 else 10) + ")")
-    val nodeSize = r.u32(addr + 6)
-    val recordSize = r.u16(addr + 10)
-    val depth = r.u16(addr + 12)
-    require(depth <= 1,
-      s"dataset '$path': chunk B-tree depth $depth unsupported (a " +
-        "depth-1 tree already indexes thousands of chunks)")
-    val rootNode = r.i64(addr + 16)
-    val nRec = r.u16(addr + 24)
-    val szLen = recordSize - 12 - 8 * rank // filtered record's size field
-    require(if (filtered) szLen >= 1 && szLen <= 8
-            else recordSize == 8 + 8 * rank,
-      s"dataset '$path': chunk record size $recordSize off-shape for " +
-        s"rank $rank ${if (filtered) "filtered" else "unfiltered"} records")
-    if (depth == 0 && (rootNode == Undef || nRec == 0)) return Nil
-    require(rootNode != Undef && (nRec > 0 || depth == 0),
-      s"dataset '$path': depth-$depth chunk index with an empty root")
-
-    def recAt(p: Long): ChunkRef = {
+    val bt = if (filtered) 11 else 10
+    var szLen = 0 // filtered record's chunk-size field width
+    val positions = btreeV2Positions(r, addr, bt,
+      rs => {
+        szLen = rs - 12 - 8 * rank
+        require(if (filtered) szLen >= 1 && szLen <= 8
+                else rs == 8 + 8 * rank,
+          s"dataset '$path': chunk record size $rs off-shape for " +
+            s"rank $rank ${if (filtered) "filtered" else "unfiltered"} " +
+            "records")
+      },
+      "chunk index", s"dataset '$path'")
+    val refs = positions.map { p =>
       val a = r.i64(p)
       require(a != Undef,
         s"dataset '$path': chunk record with an undefined address — " +
@@ -715,47 +700,6 @@ object Hdf5 {
       }
       ChunkRef(origin, sz, mask, a)
     }
-    def leafRecords(a: Long, n: Int): Seq[ChunkRef] = {
-      r.in(a, 6 + n.toLong * recordSize)
-      require(r.sig4(a) == "BTLF",
-        s"dataset '$path': chunk-index leaf at $a missing BTLF signature")
-      require(r.u8(a + 4) == 0 && r.u8(a + 5) == bt,
-        s"dataset '$path': leaf version/type ${r.u8(a + 4)}/${r.u8(a + 5)} " +
-          "unsupported")
-      (0 until n).map(i => recAt(a + 6 + i.toLong * recordSize))
-    }
-    val refs =
-      if (depth == 0) leafRecords(rootNode, nRec)
-      else {
-        // depth-1 root = BTIN: own records then nRec+1 child pointers
-        // {addr(8), child nrec(m bytes LE)}, m sized by the max leaf
-        // record count — the dense-index walk's exact convention
-        r.in(rootNode, 6)
-        require(r.sig4(rootNode) == "BTIN",
-          s"dataset '$path': chunk-index internal node at $rootNode " +
-            "missing BTIN signature")
-        require(r.u8(rootNode + 4) == 0 && r.u8(rootNode + 5) == bt,
-          s"dataset '$path': internal node version/type off-shape")
-        val maxLeafRecs = ((nodeSize - 10) / recordSize).toInt
-        require(maxLeafRecs > 0,
-          s"dataset '$path': implausible node/record sizes " +
-            s"$nodeSize/$recordSize")
-        val m = (64 - java.lang.Long.numberOfLeadingZeros(
-          maxLeafRecs.toLong) + 7) / 8
-        val recsAt = rootNode + 6
-        val childrenAt = recsAt + nRec.toLong * recordSize
-        r.in(recsAt, nRec.toLong * recordSize + (nRec + 1).toLong * (8 + m))
-        val own = (0 until nRec).map(i => recAt(recsAt + i.toLong * recordSize))
-        val kids = (0 to nRec).flatMap { c =>
-          val p = childrenAt + c.toLong * (8 + m)
-          val cAddr = r.i64(p)
-          val cn = r.leVar(p + 8, m)
-          require(cn >= 0 && cn <= maxLeafRecs,
-            s"dataset '$path': child leaf claims $cn records > max $maxLeafRecs")
-          leafRecords(cAddr, cn.toInt)
-        }
-        own ++ kids
-      }
     require(refs.size <= nChunks,
       s"dataset '$path': chunk index holds ${refs.size} records for " +
         s"$nChunks grid chunks")
@@ -1150,22 +1094,6 @@ object Hdf5 {
     }
 
     // ---- v2 B-tree (name index), depth 0 or 1 ----
-    r.in(btreeAddr, 34)
-    require(r.sig4(btreeAddr) == "BTHD",
-      s"group '$path': link index at $btreeAddr missing BTHD signature")
-    require(r.u8(btreeAddr + 4) == 0,
-      s"group '$path': v2 B-tree version ${r.u8(btreeAddr + 4)} unsupported")
-    require(r.u8(btreeAddr + 5) == btreeType,
-      s"group '$path': v2 B-tree type ${r.u8(btreeAddr + 5)} is not the " +
-        s"expected name index ($btreeType)")
-    val recordSize = r.u16(btreeAddr + 10)
-    val nodeSize = r.u32(btreeAddr + 6)
-    val depth = r.u16(btreeAddr + 12)
-    require(depth <= 1,
-      s"group '$path': name-index B-tree depth $depth unsupported (a " +
-        "depth-1 tree already holds tens of thousands of entries)")
-    val rootNode = r.i64(btreeAddr + 16)
-    val nRec = r.u16(btreeAddr + 24)
     // type-5 (link) records are {hash(4), heap ID}; type-8 (attribute)
     // records are {heap ID, message flags(1), creation order(4),
     // hash(4)} — ID first
@@ -1173,16 +1101,12 @@ object Hdf5 {
       if (btreeType == 5) rec => rec + 4 else rec => rec
     val expectRec =
       if (btreeType == 5) 4 + heapIdLen else heapIdLen + 9
-    require(recordSize == expectRec,
-      s"group '$path': name-index record size $recordSize != $expectRec " +
-        s"for type $btreeType with heap ID length $heapIdLen — " +
-        "refusing to guess")
-    // an EMPTY tree is only valid at depth 0 — a depth-1 root must
-    // hold at least one record; returning Nil there would silently
-    // drop every link/attribute of the group
-    if (depth == 0 && (rootNode == Undef || nRec == 0)) return Nil
-    require(rootNode != Undef && (nRec > 0 || depth == 0),
-      s"group '$path': depth-$depth name index with an empty root — corrupt")
+    val recPositions = btreeV2Positions(r, btreeAddr, btreeType,
+      rs => require(rs == expectRec,
+        s"group '$path': name-index record size $rs != $expectRec " +
+          s"for type $btreeType with heap ID length $heapIdLen — " +
+          "refusing to guess"),
+      "name index", s"group '$path'")
 
     def resolve(rec: Long): (Long, Long) = {
       // type-8 records carry the attribute message's flags byte right
@@ -1208,51 +1132,77 @@ object Hdf5 {
       r.in(pos, objLen)
       (pos, objLen)
     }
-    def leafRecords(addr: Long, n: Int): Seq[(Long, Long)] = {
-      r.in(addr, 6 + n.toLong * recordSize)
-      require(r.sig4(addr) == "BTLF",
-        s"group '$path': name-index leaf at $addr missing BTLF signature")
-      require(r.u8(addr + 4) == 0 && r.u8(addr + 5) == btreeType,
-        s"group '$path': leaf version/type " +
-          s"${r.u8(addr + 4)}/${r.u8(addr + 5)} unsupported")
-      (0 until n).map(i => resolve(addr + 6 + i.toLong * recordSize))
+    recPositions.map(resolve)
+  }
+
+  /** Shared v2 B-tree traversal (BTHD header + depth ≤ 1 BTLF/BTIN
+    * walk — the structure behind the dense name indexes AND the
+    * chunk index): validates signature/version/type and the caller's
+    * record-size expectation, returns every record's file position.
+    * Depth-1 roots are BTIN internal nodes carrying their own records
+    * plus nRec+1 child pointers {addr(8), child nrec(m bytes LE)}
+    * where m = bytes holding the max records a LEAF can carry
+    * ((nodeSize − 10)/recordSize — 4 sig + 1 ver + 1 type + 4
+    * checksum of overhead); record enumeration order is irrelevant to
+    * every caller. Deeper trees refuse loudly. */
+  private def btreeV2Positions(r: Reader, addr: Long, btreeType: Int,
+      expectRec: Int => Unit, what: String, owner: String): Seq[Long] = {
+    r.in(addr, 34)
+    require(r.sig4(addr) == "BTHD",
+      s"$owner: $what at $addr missing BTHD signature")
+    require(r.u8(addr + 4) == 0,
+      s"$owner: v2 B-tree version ${r.u8(addr + 4)} unsupported")
+    require(r.u8(addr + 5) == btreeType,
+      s"$owner: v2 B-tree type ${r.u8(addr + 5)} is not the " +
+        s"expected $what ($btreeType)")
+    val nodeSize = r.u32(addr + 6)
+    val recordSize = r.u16(addr + 10)
+    expectRec(recordSize)
+    val depth = r.u16(addr + 12)
+    require(depth <= 1,
+      s"$owner: $what B-tree depth $depth unsupported (a depth-1 " +
+        "tree already holds thousands of records)")
+    val rootNode = r.i64(addr + 16)
+    val nRec = r.u16(addr + 24)
+    // an EMPTY tree is only valid at depth 0 — a depth-1 root must
+    // hold at least one record; returning Nil there would silently
+    // drop every record
+    if (depth == 0 && (rootNode == Undef || nRec == 0)) return Nil
+    require(rootNode != Undef && (nRec > 0 || depth == 0),
+      s"$owner: depth-$depth $what with an empty root — corrupt")
+    def leafRecords(a: Long, n: Int): Seq[Long] = {
+      r.in(a, 6 + n.toLong * recordSize)
+      require(r.sig4(a) == "BTLF",
+        s"$owner: $what leaf at $a missing BTLF signature")
+      require(r.u8(a + 4) == 0 && r.u8(a + 5) == btreeType,
+        s"$owner: leaf version/type " +
+          s"${r.u8(a + 4)}/${r.u8(a + 5)} unsupported")
+      (0 until n).map(i => a + 6 + i.toLong * recordSize)
     }
     if (depth == 0) leafRecords(rootNode, nRec)
     else {
-      // depth-1 root is a BTIN internal node: its own nRec records,
-      // then nRec+1 child pointers {addr(8), child nrec(m bytes LE)}
-      // where m = bytes holding the max records a LEAF can carry
-      // ((nodeSize − 10)/recordSize — 4 sig + 1 ver + 1 type +
-      // 4 checksum of overhead). Records in internal nodes are part
-      // of the record set; enumeration order is irrelevant here.
       r.in(rootNode, 6)
       require(r.sig4(rootNode) == "BTIN",
-        s"group '$path': name-index internal node at $rootNode missing " +
-          "BTIN signature")
+        s"$owner: $what internal node at $rootNode missing BTIN signature")
       require(r.u8(rootNode + 4) == 0,
-        s"group '$path': internal node version ${r.u8(rootNode + 4)} " +
-          "unsupported")
+        s"$owner: internal node version ${r.u8(rootNode + 4)} unsupported")
       require(r.u8(rootNode + 5) == btreeType,
-        s"group '$path': internal node type ${r.u8(rootNode + 5)} != " +
-          s"$btreeType")
+        s"$owner: internal node type ${r.u8(rootNode + 5)} != $btreeType")
       val maxLeafRecs = (nodeSize - 10) / recordSize
       require(maxLeafRecs > 0,
-        s"group '$path': implausible node/record sizes $nodeSize/$recordSize")
-      val m = (64 - java.lang.Long.numberOfLeadingZeros(
-        maxLeafRecs.toLong) + 7) / 8
+        s"$owner: implausible node/record sizes $nodeSize/$recordSize")
+      val m = (64 - java.lang.Long.numberOfLeadingZeros(maxLeafRecs) + 7) / 8
       val recsAt = rootNode + 6
       val childrenAt = recsAt + nRec.toLong * recordSize
-      r.in(recsAt, nRec.toLong * recordSize +
-        (nRec + 1).toLong * (8 + m))
-      val own = (0 until nRec).map(i =>
-        resolve(recsAt + i.toLong * recordSize))
+      r.in(recsAt, nRec.toLong * recordSize + (nRec + 1).toLong * (8 + m))
+      val own = (0 until nRec).map(i => recsAt + i.toLong * recordSize)
       val kids = (0 to nRec).flatMap { c =>
         val p = childrenAt + c.toLong * (8 + m)
-        val addr = r.i64(p)
+        val cAddr = r.i64(p)
         val cn = r.leVar(p + 8, m)
         require(cn >= 0 && cn <= maxLeafRecs,
-          s"group '$path': child leaf claims $cn records > max $maxLeafRecs")
-        leafRecords(addr, cn.toInt)
+          s"$owner: child leaf claims $cn records > max $maxLeafRecs")
+        leafRecords(cAddr, cn.toInt)
       }
       own ++ kids
     }

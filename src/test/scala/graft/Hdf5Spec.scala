@@ -531,17 +531,19 @@ class Hdf5Spec extends SparkSpec {
     }
     if (index == 5) {
       // BTHD (type 10/11 chunk records) + one depth-0 BTLF holding the
-      // three stored chunks; (1,1) has no record → fill
+      // three stored chunks; (1,1) has no record → fill. The 38-byte
+      // BTHD ends at 422, so the leaf sits clear of it at 424.
+      val btlfAt = 424
       val recSize = if (filtered) 8 + 4 + 4 + 16 else 8 + 16
       out.position(fahdAt)
       out.put("BTHD".getBytes("US-ASCII")).put(0.toByte)
       out.put((if (filtered) 11 else 10).toByte)
       out.putInt(2048).putShort(recSize.toShort).putShort(0) // node, rec, depth
       out.put(85.toByte).put(40.toByte)
-      out.putLong(fadbAt.toLong).putShort(nStored.toShort)
+      out.putLong(btlfAt.toLong).putShort(nStored.toShort)
       out.putLong(nStored.toLong)
       out.putInt(0) // checksum (unverified)
-      out.position(fadbAt)
+      out.position(btlfAt)
       out.put("BTLF".getBytes("US-ASCII")).put(0.toByte)
       out.put((if (filtered) 11 else 10).toByte)
       (0 until nStored).foreach { i =>
@@ -597,7 +599,8 @@ class Hdf5Spec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       Hdf5.read(wrongT, Hdf5.decode(wrongT), "/temp")
     }
-    assert(e2.getMessage.contains("record type"), e2.getMessage)
+    assert(e2.getMessage.contains("not the expected chunk index"),
+      e2.getMessage)
   }
 
   test("szip-filtered chunk decodes through the clean-room CCSDS 121 " +

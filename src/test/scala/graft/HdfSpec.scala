@@ -285,12 +285,11 @@ class HdfSpec extends SparkSpec {
     bb.putShort(10) // first table ref
     dd(2, 702 | 0x4000, 1, spOff, bb.position() - spOff)
     // data blocks (refs 20,21,22) then tables (refs 10,11)
-    val blkOffs = vals.grouped(2).zipWithIndex.map { case (pair, i) =>
+    vals.grouped(2).zipWithIndex.foreach { case (pair, i) =>
       val off = bb.position()
       pair.foreach(v => bb.putShort(v.toShort))
       dd(3 + i, Hdf.TagLinked, 20 + i, off, 4)
-      off
-    }.toSeq
+    }
     val t1Off = bb.position()
     bb.putShort(11).putShort(20).putShort(21) // next=table 11, blocks 0-1
     dd(6, Hdf.TagLinked, 10, t1Off, 6)
@@ -303,7 +302,6 @@ class HdfSpec extends SparkSpec {
     }
     dd(8, 720, 1, ndgOff, 12)
     val bytes = java.util.Arrays.copyOf(bb.array(), bb.position())
-    val _ = blkOffs
     val f = Hdf.decode(bytes)
     assert(Hdf.read(f, f.sds.head.name).toSeq == vals.map(_.toDouble))
     // an unallocated slot BEFORE the data runs out refuses by name
