@@ -43,13 +43,14 @@ import org.apache.spark.sql.functions._
   *     matching the [[NetCdf]] grid path bit for bit.
   *
   * Refused LOUDLY (codec-gate discipline — this reader never guesses):
-  * v4 extensible-array and B-tree-v2 chunk indexes (the
-  * unlimited-dims paths — re-export with fixed dims or the
-  * earliest-format layout) and PAGED fixed-array data blocks, filters
-  * beyond deflate/shuffle/fletcher32 (szip, n-bit, scale-offset,
-  * registered LZF/blosc/zstd), soft/external links, layout message
-  * versions before 3, non-IEEE float layouts, shared messages, and
-  * metadata offset/length sizes other than 8. DENSE (fractal-heap)
+  * PAGED fixed/extensible-array data blocks and chunk B-trees past
+  * depth 1 (all five v4 chunk index TYPES decode as of r12), filters
+  * beyond deflate/shuffle/fletcher32/szip (n-bit, scale-offset,
+  * registered LZF/blosc/zstd), external links (soft links RESOLVE to
+  * dataset aliases as of r12; group targets, cycles and dot
+  * components refuse), layout message versions before 3, non-IEEE
+  * float layouts, shared messages, and metadata offset/length sizes
+  * other than 8. DENSE (fractal-heap)
   * link storage DECODES (r11) — the new-format group shape netCDF-4
   * forces past 8 links: v2 name-index B-trees (depth 0 and 1) over
   * managed heap IDs, direct or one-level-indirect heap roots (see
@@ -218,12 +219,14 @@ object Hdf5 {
 
     val datasets = Seq.newBuilder[Dataset]
     val groups = Seq.newBuilder[String]
+    // soft links collected during the walk: (group path, name, target)
+    val softLinks = Seq.newBuilder[(String, String, String)]
     val seen = scala.collection.mutable.Set.empty[Long] // cycle guard
 
     def walkObject(addr: Long, path: String): Unit = {
       if (!seen.add(addr)) return
       val msgs = readMessages(r, addr)
-      val links = Seq.newBuilder[(String, Long)]
+      val links = Seq.newBuilder[(String, LinkTarget)]
       var space: Option[Seq[Long]] = None
       var dtype: Option[Dtype] = None
       var fillRaw: Option[Array[Byte]] = None
@@ -254,6 +257,7 @@ object Hdf5 {
             val btree = r.i64(m.bodyOff)
             val heap = r.i64(m.bodyOff + 8)
             links ++= walkSymbolTable(r, btree, heap)
+              .map { case (n, a) => (n, HardTo(a)) }
           case 0x0015 => // attribute info: dense attributes walk too —
             // ignoring them would silently drop _FillValue/scale/offset
             require(r.u8(m.bodyOff) == 0,
@@ -308,8 +312,9 @@ object Hdf5 {
           }
         case (None, None, None) =>
           groups += (if (path.isEmpty) "/" else path)
-          links.result().foreach { case (name, a) =>
-            walkObject(a, s"$path/$name")
+          links.result().foreach {
+            case (name, HardTo(a)) => walkObject(a, s"$path/$name")
+            case (name, SoftTo(t)) => softLinks += ((path, name, t))
           }
         case _ =>
           // a dataset missing one of the three is corrupt, not a group
@@ -321,7 +326,43 @@ object Hdf5 {
     }
 
     walkObject(rootAddr, "")
-    Hdf5File(sv, datasets.result(), groups.result())
+    // resolve soft links: dataset targets become ALIASES of the target
+    // dataset; group targets refuse (aliasing a whole subtree needs
+    // group-relative re-walks); dangling targets alias nothing and are
+    // skipped — the HDF library's own tolerance. Chains follow other
+    // soft links up to a bounded hop count (cycles refuse loudly).
+    val ds = datasets.result()
+    val grps = groups.result()
+    val soft = softLinks.result()
+    val softByPath = soft.map { case (gp, n, t) => (s"$gp/$n", (gp, t)) }.toMap
+    val aliases = soft.flatMap { case (gp, name, target0) =>
+      val linkPath = s"$gp/$name"
+      def absolve(from: String, t: String): String = {
+        require(!t.split('/').exists(c => c == "." || c == ".."),
+          s"soft link '$linkPath': relative path components ('.'/'..') " +
+            s"in target '$t' unsupported")
+        if (t.startsWith("/")) t else s"$from/$t"
+      }
+      var cur = absolve(gp, target0)
+      var hops = 0
+      while (softByPath.contains(cur) && hops < 16) {
+        val (g2, t2) = softByPath(cur)
+        cur = absolve(g2, t2)
+        hops += 1
+      }
+      require(hops < 16,
+        s"soft link '$linkPath': target chain exceeds 16 hops — cycle")
+      ds.find(_.path == cur) match {
+        case Some(d) => Some(d.copy(path = linkPath))
+        case None =>
+          require(!grps.contains(cur) && cur != "/",
+            s"soft link '$linkPath': target '$cur' is a GROUP — group " +
+              "aliases unsupported (re-walking a subtree under a new " +
+              "name); link datasets directly")
+          None // dangling: aliases nothing, the library's own tolerance
+      }
+    }
+    Hdf5File(sv, ds ++ aliases, grps)
   }
 
   /** All header messages of the object at `addr`, across continuation
@@ -484,6 +525,10 @@ object Hdf5 {
         s"fill-value message version $v unsupported")
     }
   }
+
+  private sealed trait LinkTarget
+  private final case class HardTo(addr: Long) extends LinkTarget
+  private final case class SoftTo(target: String) extends LinkTarget
 
   private sealed trait Layout
   private final case class LayCompact(data: Array[Byte]) extends Layout
@@ -995,9 +1040,9 @@ object Hdf5 {
     * Heap offsets address the heap's linear space INCLUDING block
     * headers, so file position = blockAddr + (offset − blockOffset).
     * Each managed object is exactly one link-message BODY —
-    * [[parseLink]] applies unchanged (hard links only). */
+    * [[parseLink]] applies unchanged (hard and soft links alike). */
   private def denseLinks(r: Reader, fheapAddr: Long, btreeAddr: Long,
-      path: String): Seq[(String, Long)] =
+      path: String): Seq[(String, LinkTarget)] =
     denseObjects(r, fheapAddr, btreeAddr, 5, path)
       .map { case (pos, _) => parseLink(r, pos, path) }
 
@@ -1209,7 +1254,7 @@ object Hdf5 {
   }
 
   /** (name, objectHeaderAddr) of a hard Link message. */
-  private def parseLink(r: Reader, o: Long, path: String): (String, Long) = {
+  private def parseLink(r: Reader, o: Long, path: String): (String, LinkTarget) = {
     val ver = r.u8(o)
     require(ver == 1, s"link message version $ver unsupported")
     val flags = r.u8(o + 1)
@@ -1226,11 +1271,16 @@ object Hdf5 {
     }
     val name = r.ascii(p, nameLen.toInt)
     p += nameLen
-    require(linkType == 0,
-      s"group '$path': link '$name' is ${if (linkType == 1) "soft"
-        else "external/custom"} — only hard links decode (a link this " +
-        "reader followed silently could alias or escape the file)")
-    (name, r.i64(p))
+    linkType match {
+      case 0 => (name, HardTo(r.i64(p)))
+      case 1 => // soft: length(2) + target path bytes (not terminated)
+        val tlen = r.u16(p)
+        (name, SoftTo(r.ascii(p + 2, tlen)))
+      case t => throw new IllegalArgumentException(
+        s"group '$path': link '$name' is ${if (t == 64) "external"
+          else s"custom (class $t)"} — a link this reader followed " +
+          "silently could escape the file")
+    }
   }
 
   /** Scalar numeric/string attributes: (name, Double | String). */

@@ -107,12 +107,25 @@ class Hdf5Spec extends SparkSpec {
           b.put(0.toByte).put(0.toByte).putLong(48L).putLong(Undef)
         })
       else if (softLink)
-        msgV2(0x06, le { b =>
-          b.put(1.toByte).put(0x08.toByte) // flags: explicit link type
-          b.put(1.toByte) // soft
+        // hard "temp" + soft aliases: sa → /temp (absolute),
+        // sb → sa (relative, chains through sa), sd → /nope (dangling)
+        (msgV2(0x06, le { b =>
+          b.put(1.toByte).put(0.toByte)
           b.put(4.toByte).put("temp".getBytes("US-ASCII"))
-          b.putShort(2).put("/x".getBytes("US-ASCII"))
-        })
+          b.putLong(dsHdrAt)
+        }) ++ msgV2(0x06, le { b =>
+          b.put(1.toByte).put(0x08.toByte).put(1.toByte) // soft
+          b.put(2.toByte).put("sa".getBytes("US-ASCII"))
+          b.putShort(5).put("/temp".getBytes("US-ASCII"))
+        }) ++ msgV2(0x06, le { b =>
+          b.put(1.toByte).put(0x08.toByte).put(1.toByte)
+          b.put(2.toByte).put("sb".getBytes("US-ASCII"))
+          b.putShort(2).put("sa".getBytes("US-ASCII"))
+        }) ++ msgV2(0x06, le { b =>
+          b.put(1.toByte).put(0x08.toByte).put(1.toByte)
+          b.put(2.toByte).put("sd".getBytes("US-ASCII"))
+          b.putShort(5).put("/nope".getBytes("US-ASCII"))
+        })).toArray
       else
         msgV2(0x06, le { b =>
           b.put(1.toByte).put(0.toByte) // hard link, 1-byte name length
@@ -851,10 +864,15 @@ class Hdf5Spec extends SparkSpec {
     v4(layoutClassAt) = 2
     val e1b = intercept[IllegalArgumentException] { Hdf5.decode(v4) }
     assert(e1b.getMessage.contains("v4"), e1b.getMessage)
+    // soft links now RESOLVE (next test); an EXTERNAL link (type 64)
+    // still refuses by name — the target lives outside this file
+    val ext = fixtureV2(softLink = true)._1
+    val saName = ext.indexOfSlice("sa".getBytes("US-ASCII"))
+    val extPatched = ext.clone(); extPatched(saName - 2) = 64
     val e2 = intercept[IllegalArgumentException] {
-      Hdf5.decode(fixtureV2(softLink = true)._1)
+      Hdf5.decode(extPatched)
     }
-    assert(e2.getMessage.contains("hard links"), e2.getMessage)
+    assert(e2.getMessage.contains("external"), e2.getMessage)
     // dense storage now DECODES (fixture E); this variant's live heap
     // address with an UNDEF name index is corrupt — still loud
     val e3 = intercept[IllegalArgumentException] {
@@ -873,6 +891,38 @@ class Hdf5Spec extends SparkSpec {
       Hdf5.decode(graft.sources.Hdf.encode(Seq(graft.sources.Hdf.SdsSpec(
         "x", Seq(1, 1), graft.sources.Hdf.Int16, Array(1.0)))))
     }
+  }
+
+  test("soft links resolve: absolute and chained-relative targets alias " +
+      "the dataset, dangling targets alias nothing; cycles, group " +
+      "targets and dot components refuse") {
+    val bytes = fixtureV2(softLink = true)._1
+    val f = Hdf5.decode(bytes)
+    assert(f.datasets.map(_.path).sorted == Seq("/sa", "/sb", "/temp"),
+      f.datasets.map(_.path).toString) // /sd dangles → aliases nothing
+    val direct = Hdf5.read(bytes, f, "/temp").toSeq
+    assert(Hdf5.read(bytes, f, "/sa").toSeq == direct)
+    assert(Hdf5.read(bytes, f, "/sb").toSeq == direct)
+    // the alias carries the target's CF attributes too
+    assert(f.datasetAt("/sa").numAttr("scale_factor") ==
+      f.datasetAt("/temp").numAttr("scale_factor"))
+    val saName = bytes.indexOfSlice("sa".getBytes("US-ASCII"))
+    val saLenAt = saName + 2 // 2-byte LE target length after the name
+    // cycle: shorten sa's target to "sb" → sa → sb → sa
+    val cyc = bytes.clone()
+    cyc(saLenAt) = 2; cyc(saLenAt + 2) = 's'; cyc(saLenAt + 3) = 'b'
+    val e1 = intercept[IllegalArgumentException] { Hdf5.decode(cyc) }
+    assert(e1.getMessage.contains("cycle"), e1.getMessage)
+    // group target: sa → "/" (the root group)
+    val grp = bytes.clone()
+    grp(saLenAt) = 1; grp(saLenAt + 2) = '/'
+    val e2 = intercept[IllegalArgumentException] { Hdf5.decode(grp) }
+    assert(e2.getMessage.contains("GROUP"), e2.getMessage)
+    // dot components refuse by name
+    val dots = bytes.clone()
+    dots(saLenAt + 2) = '.'; dots(saLenAt + 3) = '.'; dots(saLenAt + 4) = '/'
+    val e3 = intercept[IllegalArgumentException] { Hdf5.decode(dots) }
+    assert(e3.getMessage.contains(".."), e3.getMessage)
   }
 
   test("encode round-trips through the decoder built on the independent fixtures") {
