@@ -74,7 +74,8 @@ object H5GridSource {
     * read — planning them would crash the default every-dataset scan. */
   private[graft] def planningNames(file: String): Seq[String] = {
     def names(f: Hdf5.Hdf5File) =
-      f.datasets.filter(_.dims.size == 2).map(_.path)
+      f.datasets.filter(d => d.dims.size == 2 && d.aliasOf.isEmpty)
+        .map(_.path)
     val (prefix, len) = GridFiles.readPrefix(file, HeaderPrefixBytes)
     // metaOnly: chunk indexes (which live past the prefix in real
     // files, interleaved with data) stay unresolved — the planner
@@ -182,7 +183,8 @@ final class H5ReaderFactory(fields: Array[String], dsOpt: Option[String],
       // the fallback whole-file split reads every (option-matching)
       // rank-2 dataset
       private val names = p.datasets.getOrElse(
-        f.datasets.filter(_.dims.size == 2).map(_.path)
+        f.datasets.filter(d => d.dims.size == 2 && d.aliasOf.isEmpty)
+        .map(_.path)
           .filter(n => dsOpt.forall(_ == n)))
       private val pathUtf = UTF8String.fromString(p.file)
       private val cells = names.iterator.flatMap { n =>

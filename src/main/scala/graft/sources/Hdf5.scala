@@ -101,7 +101,11 @@ object Hdf5 {
   final case class Dataset(path: String, dims: Seq[Long], dtype: Dtype,
       dataOff: Long, dataLen: Long, compact: Option[Array[Byte]],
       fillMsg: Option[Double], attrs: Map[String, Any],
-      chunked: Option[Chunked] = None) {
+      chunked: Option[Chunked] = None,
+      // soft-link alias of this dataset path, if any: by-name reads
+      // resolve it, whole-file enumerations (DSv2 planning, scan)
+      // skip aliases so a linked dataset is never read twice
+      aliasOf: Option[String] = None) {
     def n: Long = if (dims.isEmpty) 1L else dims.product
     def numAttr(name: String): Option[Double] = attrs.get(name).collect {
       case d: Double => d
@@ -353,7 +357,7 @@ object Hdf5 {
       require(hops < 16,
         s"soft link '$linkPath': target chain exceeds 16 hops — cycle")
       ds.find(_.path == cur) match {
-        case Some(d) => Some(d.copy(path = linkPath))
+        case Some(d) => Some(d.copy(path = linkPath, aliasOf = Some(cur)))
         case None =>
           require(!grps.contains(cur) && cur != "/",
             s"soft link '$linkPath': target '$cur' is a GROUP — group " +

@@ -906,6 +906,11 @@ class Hdf5Spec extends SparkSpec {
     // the alias carries the target's CF attributes too
     assert(f.datasetAt("/sa").numAttr("scale_factor") ==
       f.datasetAt("/temp").numAttr("scale_factor"))
+    // ...and is MARKED as an alias so whole-file enumerations (DSv2
+    // planning) never read the linked dataset twice
+    assert(f.datasetAt("/sa").aliasOf.contains("/temp"))
+    assert(f.datasetAt("/sb").aliasOf.contains("/temp")) // chain collapses
+    assert(f.datasetAt("/temp").aliasOf.isEmpty)
     val saName = bytes.indexOfSlice("sa".getBytes("US-ASCII"))
     val saLenAt = saName + 2 // 2-byte LE target length after the name
     // cycle: shorten sa's target to "sb" → sa → sb → sa
