@@ -69,21 +69,34 @@ object H5GridSource {
     * those files (bounded: once per file, at PLAN time only). */
   private[graft] val HeaderPrefixBytes = 1 << 20
 
-  /** Rank-2 dataset names only: real netCDF-4 files carry 1-D
-    * dimension-scale datasets (lat/lon/time) the grid path cannot
-    * read — planning them would crash the default every-dataset scan. */
-  private[graft] def planningNames(file: String): Seq[String] = {
-    def names(f: Hdf5.Hdf5File) =
-      f.datasets.filter(d => d.dims.size == 2 && d.aliasOf.isEmpty)
-        .map(_.path)
+  /** Grid-readable dataset names under a selection: rank-2 only (real
+    * netCDF-4 files carry 1-D dimension-scale datasets the grid path
+    * cannot read — planning them would crash the default scan), and
+    * soft-link ALIASES only when `explicit` selection names them —
+    * the unfiltered scan reads each dataset once, while an explicit
+    * dataset option/filter may address a link name (rows labeled with
+    * the requested name). Shared by the planner and the whole-file
+    * fallback reader so they always agree. */
+  private[graft] def gridNames(f: Hdf5.Hdf5File, want: String => Boolean,
+      explicit: Boolean): Seq[String] =
+    f.datasets
+      .filter(d => d.dims.size == 2 &&
+        (d.aliasOf.isEmpty || (explicit && want(d.path))))
+      .map(_.path).filter(want)
+
+  /** [[gridNames]] from a file's bounded header prefix (full-read
+    * fallback once per file at PLAN time only). */
+  private[graft] def planningNames(file: String, want: String => Boolean,
+      explicit: Boolean): Seq[String] = {
     val (prefix, len) = GridFiles.readPrefix(file, HeaderPrefixBytes)
     // metaOnly: chunk indexes (which live past the prefix in real
     // files, interleaved with data) stay unresolved — the planner
     // only needs names and dims, and tasks re-decode fully
-    try names(Hdf5.decode(prefix, metaOnly = true))
+    try gridNames(Hdf5.decode(prefix, metaOnly = true), want, explicit)
     catch {
       case _: Exception if len > prefix.length =>
-        names(Hdf5.decode(GridFiles.readBytes(file), metaOnly = true))
+        gridNames(Hdf5.decode(GridFiles.readBytes(file), metaOnly = true),
+          want, explicit)
     }
   }
 }
@@ -147,12 +160,17 @@ final class H5Scan(path: String, dsOpt: Option[String],
     maxSplitsPerFile: Int = 8) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val want: String => Boolean =
+      n => dsOpt.forall(_ == n) && dsPreds.forall(_(n))
+    val explicit = dsOpt.nonEmpty || dsPreds.nonEmpty
     GridFiles.layerSplits(H5GridSource.listFiles(path),
-      f => pathPreds.forall(_(f)), H5GridSource.planningNames,
-      n => dsOpt.forall(_ == n) && dsPreds.forall(_(n)), maxSplitsPerFile)
+      f => pathPreds.forall(_(f)),
+      f => H5GridSource.planningNames(f, want, explicit),
+      _ => true, maxSplitsPerFile)
       .map { case (f, group) => H5Partition(f, group): InputPartition }
       .toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new H5ReaderFactory(required.fieldNames, dsOpt, keepFill)
 }
@@ -181,11 +199,9 @@ final class H5ReaderFactory(fields: Array[String], dsOpt: Option[String],
       private val bytes = GridFiles.readBytes(p.file)
       private val f = Hdf5.decode(bytes)
       // the fallback whole-file split reads every (option-matching)
-      // rank-2 dataset
+      // rank-2 dataset, with the planner's exact alias semantics
       private val names = p.datasets.getOrElse(
-        f.datasets.filter(d => d.dims.size == 2 && d.aliasOf.isEmpty)
-        .map(_.path)
-          .filter(n => dsOpt.forall(_ == n)))
+        H5GridSource.gridNames(f, n => dsOpt.forall(_ == n), dsOpt.nonEmpty))
       private val pathUtf = UTF8String.fromString(p.file)
       private val cells = names.iterator.flatMap { n =>
         val nUtf = UTF8String.fromString(n)

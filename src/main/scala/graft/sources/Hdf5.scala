@@ -261,7 +261,6 @@ object Hdf5 {
             val btree = r.i64(m.bodyOff)
             val heap = r.i64(m.bodyOff + 8)
             links ++= walkSymbolTable(r, btree, heap)
-              .map { case (n, a) => (n, HardTo(a)) }
           case 0x0015 => // attribute info: dense attributes walk too —
             // ignoring them would silently drop _FillValue/scale/offset
             require(r.u8(m.bodyOff) == 0,
@@ -342,19 +341,25 @@ object Hdf5 {
     val aliases = soft.flatMap { case (gp, name, target0) =>
       val linkPath = s"$gp/$name"
       def absolve(from: String, t: String): String = {
-        require(!t.split('/').exists(c => c == "." || c == ".."),
+        // normalize like the library: repeated/trailing separators
+        // collapse; '.'/'..' components refuse by name
+        val comps = t.split('/').filter(_.nonEmpty)
+        require(!comps.exists(c => c == "." || c == ".."),
           s"soft link '$linkPath': relative path components ('.'/'..') " +
             s"in target '$t' unsupported")
-        if (t.startsWith("/")) t else s"$from/$t"
+        val base = if (t.startsWith("/")) "" else from
+        if (comps.isEmpty) "/" else s"$base/${comps.mkString("/")}"
       }
       var cur = absolve(gp, target0)
       var hops = 0
-      while (softByPath.contains(cur) && hops < 16) {
+      while (softByPath.contains(cur) && hops <= 16) {
         val (g2, t2) = softByPath(cur)
         cur = absolve(g2, t2)
         hops += 1
       }
-      require(hops < 16,
+      // refuse only a chain that never terminates (a cycle); a long
+      // but resolved chain is fine
+      require(!softByPath.contains(cur),
         s"soft link '$linkPath': target chain exceeds 16 hops — cycle")
       ds.find(_.path == cur) match {
         case Some(d) => Some(d.copy(path = linkPath, aliasOf = Some(cur)))
@@ -1257,7 +1262,9 @@ object Hdf5 {
     }
   }
 
-  /** (name, objectHeaderAddr) of a hard Link message. */
+  /** (name, target) of a Link message — hard (object header address)
+    * or soft (length-prefixed target path); external/custom link
+    * classes refuse by name. */
   private def parseLink(r: Reader, o: Long, path: String): (String, LinkTarget) = {
     val ver = r.u8(o)
     require(ver == 1, s"link message version $ver unsupported")
@@ -1321,11 +1328,11 @@ object Hdf5 {
   /** v1 group: B-tree (TREE, node type 0) → SNOD symbol nodes, names
     * through the local heap. */
   private def walkSymbolTable(r: Reader, btreeAddr: Long,
-      heapAddr: Long): Seq[(String, Long)] = {
+      heapAddr: Long): Seq[(String, LinkTarget)] = {
     r.in(heapAddr, 32)
     require(r.sig4(heapAddr) == "HEAP", "local heap missing HEAP signature")
     val heapData = r.i64(heapAddr + 24)
-    val out = Seq.newBuilder[(String, Long)]
+    val out = Seq.newBuilder[(String, LinkTarget)]
     def walkNode(addr: Long): Unit = {
       r.in(addr, 24)
       r.sig4(addr) match {
@@ -1345,7 +1352,22 @@ object Hdf5 {
             val e = addr + 8 + 40L * i
             val nameOff = r.i64(e)
             val objAddr = r.i64(e + 8)
-            out += ((r.cstr(heapData + nameOff), objAddr))
+            val name = r.cstr(heapData + nameOff)
+            // cache type 2 = SYMBOLIC LINK: the header address is
+            // undefined and the scratch space holds the heap offset of
+            // the target path — walking the undefined address would
+            // die with a cryptic overrun instead of resolving
+            r.u32(e + 16) match {
+              case 2 =>
+                out += ((name, SoftTo(r.cstr(heapData + r.u32(e + 24)))))
+              case 0 | 1 =>
+                require(objAddr != Undef,
+                  s"symbol-table entry '$name' has an undefined object " +
+                    "header address — corrupt group")
+                out += ((name, HardTo(objAddr)))
+              case t => throw new IllegalArgumentException(
+                s"symbol-table entry '$name': cache type $t unsupported")
+            }
           }
         case s => throw new IllegalArgumentException(
           s"symbol-table walk hit unknown signature '$s' at $addr")
@@ -1937,7 +1959,8 @@ object Hdf5 {
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (p, bytes) =>
         val f = decode(bytes)
-        f.datasets.map(d => (p, d.path, d.dims.size,
+        f.datasets.filter(_.aliasOf.isEmpty)
+          .map(d => (p, d.path, d.dims.size,
           d.dims.mkString("x"), d.dtype.name, d.n, d.fill))
       })
       .toDF("path", "dataset", "rank", "dims", "dtype", "n", "fill")

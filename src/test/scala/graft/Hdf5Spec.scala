@@ -893,6 +893,40 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("v1 symbol-table SYMBOLIC entries (cache type 2) decode as soft " +
+      "links instead of walking the undefined header address; unknown " +
+      "cache types refuse; DSv2 name selection honors aliases") {
+    // fixtureV0's single SNOD entry sits at snodAt(240)+8: cache type
+    // at +16 (abs 264), scratch at +24 (abs 272). Retyping the only
+    // hard link as a symbolic link to its own name leaves "/rain"
+    // dangling — the decode must survive (empty inventory), never die
+    // in r.in(-1, …)
+    val sym = fixtureV0.clone()
+    sym(264) = 2
+    // a fresh target string "x" in the heap's padding (heapData=168,
+    // "rain\0" at +8..12, "x\0" lands at +13) — pointing at "rain"
+    // itself would be a self-cycle and refuse as one
+    sym(181) = 'x'; sym(182) = 0
+    sym(272) = 13 // scratch: heap offset of the target string
+    sym(240 + 8 + 8) = 0xff.toByte // header addr → garbage (ignored)
+    val f = Hdf5.decode(sym)
+    assert(f.datasets.isEmpty, f.datasets.map(_.path).toString)
+    // unknown cache type refuses by name
+    val bad = fixtureV0.clone(); bad(264) = 3
+    val e = intercept[IllegalArgumentException] { Hdf5.decode(bad) }
+    assert(e.getMessage.contains("cache type 3"), e.getMessage)
+    // DSv2 name selection: the unfiltered enumeration reads each
+    // dataset ONCE (aliases skipped); an explicit selection may
+    // address the alias name
+    val linked = Hdf5.decode(fixtureV2(softLink = true)._1)
+    assert(graft.sources.H5GridSource.gridNames(linked, _ => true,
+      explicit = false) == Seq("/temp"))
+    assert(graft.sources.H5GridSource.gridNames(linked, _ == "/sa",
+      explicit = true) == Seq("/sa"))
+    assert(graft.sources.H5GridSource.gridNames(linked, _ == "/nope",
+      explicit = true).isEmpty)
+  }
+
   test("soft links resolve: absolute and chained-relative targets alias " +
       "the dataset, dangling targets alias nothing; cycles, group " +
       "targets and dot components refuse") {
