@@ -232,6 +232,7 @@ object Hdf5 {
       val msgs = readMessages(r, addr)
       val links = Seq.newBuilder[(String, LinkTarget)]
       var space: Option[Seq[Long]] = None
+      var maxDims: Option[Seq[Long]] = None
       var dtype: Option[Dtype] = None
       var fillRaw: Option[Array[Byte]] = None
       var layout: Option[Layout] = None
@@ -240,7 +241,9 @@ object Hdf5 {
 
       msgs.foreach { m =>
         m.typ match {
-          case 0x0001 => space = Some(parseDataspace(r, m.bodyOff))
+          case 0x0001 =>
+            val (d, md) = parseDataspaceFull(r, m.bodyOff)
+            space = Some(d); maxDims = Some(md)
           case 0x0002 => // link info: dense storage walks heap + B-tree
             require(r.u8(m.bodyOff) == 0,
               s"object '$path': link-info message version " +
@@ -306,6 +309,29 @@ object Hdf5 {
                   s"inconsistent with rank ${dims.size} × " +
                   s"${dt.size}-byte elements")
               val l4 = raw4.copy(cdims = raw4.cdims.init)
+              // implicit / fixed-array / extensible-array indexes order
+              // chunks by a linear index the library computes over the
+              // MAX-dims chunk grid (swizzling the unlimited dimension
+              // to the slowest position for the extensible array). Our
+              // row-major walk over CURRENT dims matches that only when
+              // every dimension after the slowest is non-extendible
+              // (max == current) and, for the extensible array, the one
+              // unlimited dimension is dim 0 — the netCDF-4 record-cube
+              // shape. Anything else would decode with silently
+              // misplaced chunks, so refuse by name. (B-tree-v2 records
+              // carry explicit per-chunk offsets — no gate needed.)
+              if (Set(2, 3, 4)(l4.indexType)) {
+                val md = maxDims.getOrElse(dims)
+                require(md.drop(1).zip(dims.drop(1)).forall {
+                  case (m, d) => m == d },
+                  s"dataset '$path': extendible (or unlimited) " +
+                    s"non-slowest dimension (max dims $md vs dims " +
+                    s"$dims) with a linear-indexed chunk index (type " +
+                    s"${l4.indexType}) unsupported — the library's " +
+                    "element index runs over the max-dims grid, " +
+                    "swizzling the unlimited dimension slowest; " +
+                    "re-export with the unlimited dimension first")
+              }
               val chunks =
                 if (metaOnly) Nil
                 else chunksV4(r, l4, dims, dt.size, filters.nonEmpty, path)
@@ -357,10 +383,12 @@ object Hdf5 {
         cur = absolve(g2, t2)
         hops += 1
       }
-      // refuse only a chain that never terminates (a cycle); a long
-      // but resolved chain is fine
+      // refuse a chain still unresolved after the hop budget — either
+      // a cycle or a legitimately deeper chain than we follow; the
+      // message must not claim to know which
       require(!softByPath.contains(cur),
-        s"soft link '$linkPath': target chain exceeds 16 hops — cycle")
+        s"soft link '$linkPath': target chain still unresolved after " +
+          "16 hops — chain too long or cyclic")
       ds.find(_.path == cur) match {
         case Some(d) => Some(d.copy(path = linkPath, aliasOf = Some(cur)))
         case None =>
@@ -464,13 +492,27 @@ object Hdf5 {
     out.result()
   }
 
-  private def parseDataspace(r: Reader, o: Long): Seq[Long] = {
+  private def parseDataspace(r: Reader, o: Long): Seq[Long] =
+    parseDataspaceFull(r, o)._1
+
+  /** Dataspace dims plus max dims (equal to dims when the message
+    * stores none). H5S_UNLIMITED max entries come back as [[Undef]]
+    * (the all-ones encoding) — the chunk-index gates key off that. */
+  private def parseDataspaceFull(r: Reader, o: Long): (Seq[Long], Seq[Long]) = {
     val ver = r.u8(o)
     val rank = r.u8(o + 1)
     require(ver == 1 || ver == 2, s"dataspace version $ver unsupported")
     require(rank <= 32, s"implausible dataspace rank $rank")
+    val flags = r.u8(o + 2)
     val dimsAt = if (ver == 1) o + 8 else o + 4
-    (0 until rank).map(i => r.i64(dimsAt + 8L * i))
+    val dims = (0 until rank).map(i => r.i64(dimsAt + 8L * i))
+    val maxDims =
+      if ((flags & 0x1) == 0) dims
+      else {
+        val maxAt = dimsAt + 8L * rank
+        (0 until rank).map(i => r.i64(maxAt + 8L * i))
+      }
+    (dims, maxDims)
   }
 
   private def parseDatatype(r: Reader, o: Long): Dtype = {
@@ -864,6 +906,10 @@ object Hdf5 {
     // minElmts · 2^u elements, so reaching the 2^maxBits capacity the
     // header promises needs maxBits − log2(minElmts) + 1 generations
     val log2MinElmts = 31 - Integer.numberOfLeadingZeros(minElmts)
+    require(maxBits >= log2MinElmts,
+      s"dataset '$path': extensible-array maxBits=$maxBits below " +
+        s"log2(minElmts=$minElmts) — header-consistent but corrupt " +
+        "index parameters")
     val nGens = 1 + (maxBits - log2MinElmts)
     case class Gen(startIdx: Long, startDblk: Long, ndblks: Long, dblkElmts: Long)
     val gens = new Array[Gen](nGens)

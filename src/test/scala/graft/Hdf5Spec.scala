@@ -641,7 +641,8 @@ class Hdf5Spec extends SparkSpec {
   // records 16..17 through the super block. Chunk 5 is an Undef
   // ELEMENT inside a live block; chunks 12..15 sit in an Undef whole
   // BLOCK — both must fill. ----
-  private def fixtureEArray(filtered: Boolean): Array[Byte] = {
+  private def fixtureEArray(filtered: Boolean,
+      maxDims: Option[(Long, Long)] = None): Array[Byte] = {
     val dsHdrAt = 128; val eahdAt = 384
     val entry = if (filtered) 16 else 8
     val eaibAt = eahdAt + 72
@@ -689,8 +690,15 @@ class Hdf5Spec extends SparkSpec {
       b.put(32.toByte).put(1.toByte).put(4.toByte).put(1.toByte).put(10.toByte)
       b.putLong(eahdAt.toLong)
     }
+    val spaceMsg = maxDims match {
+      case None => dsRank2V2(3, 6)
+      case Some((my, mx)) => le { b => // flags bit 0: max dims present
+        b.put(2.toByte).put(2.toByte).put(1.toByte).put(1.toByte)
+        b.putLong(3L).putLong(6L).putLong(my).putLong(mx)
+      }
+    }
     val dsMsgs = (Array(
-      msgV2(0x01, dsRank2V2(3, 6)),
+      msgV2(0x01, spaceMsg),
       msgV2(0x03, dtInt16),
       msgV2(0x05, le { b =>
         b.put(3.toByte).put(0x20.toByte).putInt(2).putShort(-7)
@@ -797,6 +805,42 @@ class Hdf5Spec extends SparkSpec {
     paged(layAt + 13) = 1 // page-bits param in the layout message
     val e = intercept[Exception] { Hdf5.read(paged, Hdf5.decode(paged), "/temp") }
     assert(e.getMessage.contains("PAGED"), e.getMessage)
+  }
+
+  test("extensible-array index: unlimited dim 0 decodes; an unlimited " +
+      "or extendible non-slowest dimension refuses by name (the library " +
+      "swizzles the unlimited dim slowest when computing element " +
+      "indexes — a row-major walk would misplace chunks)") {
+    val Unlim = -1L // H5S_UNLIMITED: the all-ones max-dim encoding
+    // the netCDF-4 record-cube shape: unlim dim 0, others fixed-equal
+    val ok = fixtureEArray(filtered = false, maxDims = Some((Unlim, 6L)))
+    val got = Hdf5.read(ok, Hdf5.decode(ok), "/temp").toSeq
+    assert(got.take(6) == Seq(10.0, 11.0, 12.0, 13.0, 14.0, -7.0)) // 5 = hole
+    // unlimited dim 1: the EA element index no longer matches row-major
+    val bad = fixtureEArray(filtered = false, maxDims = Some((3L, Unlim)))
+    val e1 = intercept[IllegalArgumentException] { Hdf5.decode(bad) }
+    assert(e1.getMessage.contains("non-slowest"), e1.getMessage)
+    // finite but extendible dim 1 (max 8 > cur 6): max-dims chunk grid
+    // differs from the current grid — same misplacement, same refusal
+    val ext = fixtureEArray(filtered = false, maxDims = Some((3L, 8L)))
+    val e2 = intercept[IllegalArgumentException] { Hdf5.decode(ext) }
+    assert(e2.getMessage.contains("non-slowest"), e2.getMessage)
+    // header-consistent but corrupt params (maxBits < log2(minElmts))
+    // refuse by name instead of a NegativeArraySizeException
+    val cor = fixtureEArray(filtered = false)
+    val eaAt = cor.indexOfSlice("EAHD".getBytes("US-ASCII"))
+    val layAt = {
+      var p = 128
+      while (!(cor(p) == 4 && cor(p + 1) == 2 && cor(p + 3) == 3 &&
+        cor(p + 9) == 32)) p += 1
+      p
+    }
+    cor(layAt + 9) = 1; cor(layAt + 12) = 4 // maxBits=1, minElmts=4
+    cor(eaAt + 7) = 1; cor(eaAt + 9) = 4    // the EAHD's agreeing copy
+    val e3 = intercept[IllegalArgumentException] {
+      Hdf5.read(cor, Hdf5.decode(cor), "/temp")
+    }
+    assert(e3.getMessage.contains("corrupt index parameters"), e3.getMessage)
   }
 
   test("independent chunked fixture: type-1 B-tree, shuffle+deflate+" +
@@ -951,7 +995,7 @@ class Hdf5Spec extends SparkSpec {
     val cyc = bytes.clone()
     cyc(saLenAt) = 2; cyc(saLenAt + 2) = 's'; cyc(saLenAt + 3) = 'b'
     val e1 = intercept[IllegalArgumentException] { Hdf5.decode(cyc) }
-    assert(e1.getMessage.contains("cycle"), e1.getMessage)
+    assert(e1.getMessage.contains("chain too long or cyclic"), e1.getMessage)
     // group target: sa → "/" (the root group)
     val grp = bytes.clone()
     grp(saLenAt) = 1; grp(saLenAt + 2) = '/'

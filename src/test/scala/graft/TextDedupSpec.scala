@@ -21,6 +21,54 @@ class TextDedupSpec extends SparkSpec {
     assert(got.sameElements(Array(3, 0, 0)))
   }
 
+  test("xx minhash signatures: static input matches an independent " +
+      "XXH64 recomputation and pinned literals (the d06/d12 fixture " +
+      "path's signatures are not purely self-referential)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val text = "the quick brown fox jumps over the lazy dog the quick brown fox"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    // the production d06/d12 shape: XxShinglesExpr → distinct →
+    // minhashSignatures(16) → 4 band hashes over signature quarters
+    val sh = df.select(col("doc_id"), array_distinct(ColumnBridge.column(
+      graft.functions.XxShinglesExpr(
+        ColumnBridge.expression(Text.tokens(col("text"))), 3))).as("sh"))
+    val sigs = Text.minhashSignatures(sh, "doc_id", col("sh"), 16)
+    val row = sigs.select(col("sig"), array((0 until 4).map(b =>
+      xxhash64(slice(col("sig"), b * 4 + 1, 4), lit(b))): _*).as("bands"))
+      .collect()(0)
+    val got = row.getSeq[Long](0)
+    val gotBands = row.getSeq[Long](1)
+    // independent recomputation straight from the hash primitives:
+    // shingle = chained hashUTF8String over the 3 words (seed 42),
+    // sig_j = min over distinct shingles of hashInt(j, hashLong(h, 42)),
+    // band_b = hashInt(b, fold(hashLong) over the 4-element quarter)
+    val toks = text.split(" ")
+    val shingles = toks.sliding(3).map(_.foldLeft(42L)((s, t) =>
+      XXH64.hashUTF8String(UTF8String.fromString(t), s))).toSeq.distinct
+    assert(shingles.size == toks.length - 2 - 2) // 2 repeated trigrams drop
+    // minhashSignatures re-hashes each element once (xxhash64(s) — the
+    // hash-each-shingle-ONCE step) before the 16 cheap per-j re-hashes
+    val want = (0 until 16).map(j =>
+      shingles.map(s => XXH64.hashInt(j,
+        XXH64.hashLong(XXH64.hashLong(s, 42L), 42L))).min)
+    assert(got == want, s"sigs $got != $want")
+    val wantBands = (0 until 4).map(b =>
+      XXH64.hashInt(b, want.slice(b * 4, b * 4 + 4).foldLeft(42L)(
+        (s, h) => XXH64.hashLong(h, s))))
+    assert(gotBands == wantBands, s"bands $gotBands != $wantBands")
+    // pinned literals (computed once, 2026-08): a change in EITHER the
+    // Spark xxhash64 builtin or XXH64 itself must fail loudly here —
+    // the d06/d12 DuckDB oracle replays from a Spark-written fixture,
+    // so this pin is its only engine-independent anchor
+    assert(got.head == -8906026034915526732L, s"sig0 drifted: ${got.head}")
+    assert(got(15) == -9096901514476364173L, s"sig15 drifted: ${got(15)}")
+    assert(gotBands.head == -8434133567922164351L,
+      s"band0 drifted: ${gotBands.head}")
+  }
+
   test("rolling fingerprint matches hand-computed value") {
     import spark.implicits._
     // "ab" -> (0*31+97)*31+98 = 3105 (cross-checked against DuckDB)
