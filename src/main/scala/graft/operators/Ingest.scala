@@ -3199,10 +3199,10 @@ object Ingest {
 
   /** i63: the GRIB TRANSPORT CYCLE inside the correctness gate — the
     * i62 pattern for the engine's other acquisition format: the same
-    * deterministic lineitem grid is packed as FIVE real GRIB2
-    * messages (template 3.0 lat/lon grid, BITMAP for empty cells, 2^-2
-    * binary scale, param number = slice index) — slice 0 as 5.0 SIMPLE
-    * packing through [[graft.sources.GribMeta.encodeSimple]], slice 1
+    * deterministic lineitem grid is packed as SIX real GRIB messages
+    * (lat/lon grid, BITMAP for empty cells, 2^-2 binary scale, param
+    * number = slice index) — slice 0 as 5.0 SIMPLE packing through
+    * [[graft.sources.GribMeta.encodeSimple]], slice 1
     * as 5.3 COMPLEX packing with second-order spatial differencing
     * through [[graft.sources.GribMeta.encodeComplex]] (r10: the ECMWF
     * archive common case, group-split refs/widths/lengths + difference
@@ -3213,23 +3213,27 @@ object Ingest {
     * NCEP/ECMWF dissemination packing, clean-room [[graft.sources.Jpeg2k]]
     * codestream), slice 4 as 5.42 CCSDS/AEC Rice packing through
     * [[graft.sources.GribMeta.encodeCcsds]] (r12: the clean-room
-    * [[graft.sources.Szip]] coder) — landed as one concatenated
-    * archive, decoded back task-side by
+    * [[graft.sources.Szip]] coder), slice 5 as a GRIB EDITION-1
+    * SECOND-ORDER message through
+    * [[graft.sources.GribMeta.encodeG1SecondOrder]] (r13: the
+    * ECMWF-era pre-GRIB2 archive packing — secondary-bitmap groups,
+    * IBM-32 reference, per-group widths) — landed as one concatenated
+    * MIXED-EDITION archive, decoded back task-side by
     * [[graft.sources.GribMeta.readValues]], and hash-checked against
     * DuckDB recomputing the grid directly — bit-slips anywhere in the
     * section walk, bitmap masking, (R + X·2^E) unpacking,
     * group/differencing reconstruction, PNG pixel walk, the EBCOT/DWT
-    * pipeline, or the Rice coder break the hash (2^-2 and the integer
-    * codes are exact in binary, so no rounding is needed on either
-    * side).
+    * pipeline, the Rice coder, or the edition-1 BDS walk break the
+    * hash (2^-2 and the integer codes are exact in binary, so no
+    * rounding is needed on either side).
     *
-    * Scale shape: identical to i62 — fixed 5×(8×12) grid, one
-    * 480-group partial-agg shuffle, model-state-bounded driver encode,
+    * Scale shape: identical to i62 — fixed 6×(8×12) grid, one
+    * 576-group partial-agg shuffle, model-state-bounded driver encode,
     * per-archive-file task fan-out on the read. */
   def i63: QueryDef = QueryDef(
     "i63_grib_cycle",
     """WITH g AS (
-      |  SELECT CAST(l_linenumber % 5 AS INTEGER) AS t,
+      |  SELECT CAST(l_linenumber % 6 AS INTEGER) AS t,
       |    CAST(l_suppkey % 8 AS INTEGER) AS y,
       |    CAST(l_partkey % 12 AS INTEGER) AS x,
       |    CAST(SUM(l_quantity) AS BIGINT) AS q
@@ -3237,19 +3241,19 @@ object Ingest {
       |SELECT t, x, y, 2048.0 + CAST(q AS DOUBLE) / 4 AS value
       |FROM g ORDER BY t, y, x""".stripMargin) { (spark, dir) =>
     import graft.sources.GribMeta
-    val (nt, ny, nx) = (5, 8, 12)
+    val (nt, ny, nx) = (6, 8, 12)
     val cells = Tables(spark, dir).lineitem
-      .groupBy((col("l_linenumber") % 5).cast("int").as("t"),
+      .groupBy((col("l_linenumber") % 6).cast("int").as("t"),
         (col("l_suppkey") % 8).cast("int").as("y"),
         (col("l_partkey") % 12).cast("int").as("x"))
       .agg(sum(col("l_quantity")).cast("long").as("q"))
-      .collect() // bounded by the fixed grid (≤480 cells), not the data
+      .collect() // bounded by the fixed grid (≤576 cells), not the data
     val grids = Array.fill(nt)(Array.fill[Long](ny * nx)(-1L)) // -1 = missing
     cells.foreach(r =>
       grids(r.getInt(0))(r.getInt(1) * nx + r.getInt(2)) = r.getLong(3))
     // one slice per packing family — simple 5.0, complex+spatial 5.3,
-    // PNG 5.41 (r11), lossless JPEG2000 5.40 and CCSDS 5.42 (r12) —
-    // all under the same DuckDB hash
+    // PNG 5.41 (r11), lossless JPEG2000 5.40 and CCSDS 5.42 (r12),
+    // GRIB1 second-order (r13) — all under the same DuckDB hash
     val msgs = grids.zipWithIndex.map { case (g, t) =>
       val mask = g.map(_ >= 0L)
       if (t == 0)
@@ -3272,11 +3276,16 @@ object Ingest {
           refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
           xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,
           refTime = (1995, 1, 1 + t, 0, 0))
-      else // …and through the CCSDS/AEC (5.42) Rice writer
+      else if (t == 4) // …through the CCSDS/AEC (5.42) Rice writer
         GribMeta.encodeCcsds(nx, ny, paramCategory = 1, paramNumber = t,
           refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
           xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,
           refTime = (1995, 1, 1 + t, 0, 0))
+      else // …and as a GRIB EDITION-1 second-order message (r13)
+        GribMeta.encodeG1SecondOrder(nx, ny, paramNumber = t,
+          refValue = 2048.0, binScale = -2, decScale = 0,
+          xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,
+          refTime = (1995, 1, 1 + t, 0, 0), groupLen = 16)
     }
     val gribDir = java.nio.file.Paths.get(
       graft.Fixtures.pathFor(dir, "i63_grib"))

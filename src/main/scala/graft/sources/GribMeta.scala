@@ -81,6 +81,25 @@ object GribMeta {
     sign * m * math.pow(2.0, 4 * (a - 64) - 24)
   }
 
+  /** IBM 32-bit encode (the [[ibm32]] inverse, for GRIB1 writer
+    * reference values): sign · 16^(A−64) · M/2^24 with the mantissa
+    * normalized into [2^20, 2^24). Refuses values the 24-bit mantissa
+    * cannot hold EXACTLY — a writer must never silently move the
+    * reference value (every decoded point would shift with it). */
+  private def ibm32bits(v: Double): Long = {
+    if (v == 0.0) return 0L
+    val sign = if (v < 0) 1L else 0L
+    var x = math.abs(v)
+    var a = 64
+    while (x >= 1.0 && a < 127) { x /= 16.0; a += 1 }
+    while (x < 1.0 / 16 && a > 0) { x *= 16.0; a -= 1 }
+    val m = x * (1 << 24)
+    val mi = math.round(m)
+    require(mi.toDouble == m && mi >= (1 << 20) && mi < (1 << 24),
+      s"reference value $v is not exactly IBM-32 representable")
+    (sign << 31) | (a.toLong << 24) | mi
+  }
+
   /** All messages in a (possibly multi-message) GRIB byte array. */
   def decode(bytes: Array[Byte]): Seq[Message] = parse(bytes).map(_._1)
 
@@ -259,10 +278,14 @@ object GribMeta {
           // extension-flagged message decode as plain simple packing —
           // a silent misdecode, since octet 14 can redefine the layout)
           val tpl1 = (flags >> 4) & 0xF
+          // sec5Off/Len carry the BDS frame for edition 1 — the
+          // second-order path re-reads octets 12-21 from it, exactly
+          // as the GRIB2 complex path re-reads section 5
           val pack1 = Pack(tpl1, -1L, ibm32(u32(bytes, bds + 6)),
             s16(u16(bytes, bds + 4)), decD1, u8(bytes, bds + 10),
             bmpInd1, bmpOff1, bmpEnd1,
-            bds + 11, bds + bdsLen)
+            bds + 11, bds + bdsLen,
+            sec5Off = bds, sec5Len = bdsLen)
           require(new String(bytes, end - 4, 4, "US-ASCII") == "7777",
             s"GRIB1 message $idx: missing 7777 end marker")
           (Message(idx, 1, totalLen, -1, centre, -1, param, refTime,
@@ -522,6 +545,140 @@ object GribMeta {
     })
   }
 
+  /** The GRIB EDITION-1 message frame shared by the edition-1 writers:
+    * indicator (24-bit total length, edition 1), PDS (28 octets —
+    * centre, parameter, reference time with the century octet, decimal
+    * scale in octets 27-28), lat/lon GDS (rep type 0, Ni×Nj), optional
+    * BMS, the given BDS bytes, 7777 trailer. */
+  private def buildG1Message(ni: Int, nj: Int, paramNumber: Int,
+      centre: Int, refTime: (Int, Int, Int, Int, Int), decScale: Int,
+      bitmap: Option[Array[Boolean]], bds: Array[Byte]): Array[Byte] = {
+    val bmsBytes = bitmap.map(m => 6 + (m.length + 7) / 8).getOrElse(0)
+    val total = 8 + 28 + 32 + bmsBytes + bds.length + 4
+    require(total < (1 << 24), s"GRIB1 message length $total exceeds the " +
+      "24-bit indicator (use the large-message convention writer-side " +
+      "or split the field)")
+    val b = java.nio.ByteBuffer.allocate(total)
+    def u24put(v: Int): Unit =
+      b.put((v >> 16).toByte).put((v >> 8).toByte).put(v.toByte)
+    b.put("GRIB".getBytes("US-ASCII")); u24put(total); b.put(1.toByte)
+    // PDS: table 128, level type 1, time unit 1 (hour)
+    val (yy, mm, dd, hh, mi) = refTime
+    val century = (yy - 1) / 100 + 1
+    u24put(28)
+    b.put(128.toByte).put(centre.toByte).put(1.toByte).put(255.toByte)
+    b.put((0x80 | bitmap.map(_ => 0x40).getOrElse(0)).toByte)
+    b.put(paramNumber.toByte)
+    b.put(1.toByte).putShort(0)
+    b.put((yy - (century - 1) * 100).toByte).put(mm.toByte).put(dd.toByte)
+    b.put(hh.toByte).put(mi.toByte)
+    b.put(1.toByte)                     // octet 18: time unit
+    (19 to 24).foreach(_ => b.put(0.toByte))
+    b.put(century.toByte)               // octet 25
+    b.put(0.toByte)                     // octet 26: subcentre
+    b.putShort(sm16(decScale).toShort)  // octets 27-28
+    // GDS: lat/lon, Ni/Nj; geometry octets zeroed (the reader keys on
+    // rep type + Ni/Nj, as the inventory does)
+    u24put(32)
+    b.put(0.toByte).put(255.toByte).put(0.toByte)
+    b.putShort(ni.toShort).putShort(nj.toShort)
+    (11 to 32).foreach(_ => b.put(0.toByte))
+    bitmap.foreach { mask =>
+      u24put(bmsBytes)
+      b.put(((8 - mask.length % 8) % 8).toByte)
+      b.putShort(0) // table ref 0: bitmap follows
+      var acc = 0; var nb = 0
+      mask.zipWithIndex.foreach { case (m, i) =>
+        acc = (acc << 1) | (if (m) 1 else 0); nb += 1
+        if (nb == 8 || i == mask.length - 1) {
+          b.put((acc << (8 - nb)).toByte); acc = 0; nb = 0
+        }
+      }
+    }
+    b.put(bds)
+    b.put("7777".getBytes("US-ASCII"))
+    b.array()
+  }
+
+  /** GRIB1 WRITER for SECOND-ORDER packing — the edition-1 twin of
+    * [[encodeComplex]] and the adversarial fixture source for the
+    * [[values]] GRIB1 second-order path (see [[unpackG1SecondOrder]]
+    * for the octet layout). Grouping strategy mirrors the GRIB2
+    * complex writer: fixed `groupLen`-point groups over the packed
+    * points (last group ragged), per-group minimum as the first-order
+    * value, per-group residual width in one octet each (the
+    * different-widths flag), group starts marked in a SECONDARY
+    * BITMAP — the WMO shape, not the GRIBEX general-extended one. The
+    * BDS is padded to even length with the unused-bit count in octet
+    * 4's low nibble, regulation 92.6.1. `xs`/`bitmap` contract matches
+    * [[encodeSimple]]; `refValue` must be exactly IBM-32
+    * representable. */
+  def encodeG1SecondOrder(ni: Int, nj: Int, paramNumber: Int,
+      refValue: Double, binScale: Int, decScale: Int,
+      xs: Array[Long], bitmap: Option[Array[Boolean]] = None,
+      centre: Int = 0,
+      refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0),
+      groupLen: Int = 16): Array[Byte] = {
+    require(groupLen >= 1, s"bad groupLen $groupLen")
+    require(xs.forall(_ >= 0), "packed codes must be non-negative")
+    validateGrid(ni, nj, xs, bitmap)
+    def bitsFor(v: Long): Int =
+      if (v <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+    val ng = math.max(1, (xs.length + groupLen - 1) / groupLen)
+    val groups = (0 until ng).map { g =>
+      val from = g * groupLen
+      val until = math.min(from + groupLen, xs.length)
+      val slice = if (until > from) xs.slice(from, until) else Array(0L)
+      val ref = slice.min
+      (ref, bitsFor(slice.map(_ - ref).max), math.max(until - from, 0))
+    }
+    val width1 = math.max(groups.map(g => bitsFor(g._1)).max, 0)
+    require(width1 <= 255 && groups.forall(_._2 <= 255),
+      "group width exceeds the 8-bit field")
+    require(ng <= 0xFFFF && xs.length <= 0xFFFF,
+      s"P1=$ng / P2=${xs.length} exceed the 16-bit second-order fields")
+    val sbBytes = (xs.length + 7) / 8
+    val foBytes = (ng * width1 + 7) / 8
+    val soBits = groups.map(g => g._2.toLong * g._3).sum
+    val soBytes = ((soBits + 7) / 8).toInt
+    val n1 = 22 + ng + sbBytes           // 1-based BDS octet numbers
+    val n2 = n1 + foBytes
+    val rawLen = 21 + ng + sbBytes + foBytes + soBytes
+    val bdsLen = rawLen + (rawLen & 1)   // regulation 92.6.1: even length
+    val unusedBits = (8 - (soBits % 8).toInt) % 8 + 8 * (bdsLen - rawLen)
+    val b = java.nio.ByteBuffer.allocate(bdsLen)
+    b.put((bdsLen >> 16).toByte).put((bdsLen >> 8).toByte).put(bdsLen.toByte)
+    b.put((0x50 | unusedBits).toByte)    // complex + octet-14; unused low
+    b.putShort(sm16(binScale).toShort)
+    b.putInt(ibm32bits(refValue).toInt)
+    b.put(width1.toByte)                 // octet 11: first-order width
+    b.putShort(n1.toShort)               // octets 12-13
+    b.put(0x30.toByte)                   // octet 14: 2ndary bitmap + widths
+    b.putShort(n2.toShort)               // octets 15-16
+    b.putShort(ng.toShort)               // octets 17-18: P1
+    b.putShort(xs.length.toShort)        // octets 19-20: P2
+    b.put(0.toByte)                      // octet 21: reserved
+    groups.foreach(g => b.put(g._2.toByte))
+    // secondary bitmap: a set bit starts each group
+    var acc = 0L; var nb = 0
+    def putBits(x: Long, n: Int): Unit = {
+      acc = (acc << n) | x; nb += n
+      while (nb >= 8) { b.put((acc >> (nb - 8)).toByte); nb -= 8 }
+    }
+    def pad(): Unit =
+      if (nb > 0) { b.put((acc << (8 - nb)).toByte); acc = 0; nb = 0 }
+    (0 until xs.length).foreach(i => putBits(if (i % groupLen == 0) 1 else 0, 1))
+    pad()
+    groups.foreach(g => putBits(g._1, width1)); pad()
+    var k = 0
+    groups.foreach { case (ref, width, len) =>
+      (0 until len).foreach { _ => putBits(xs(k) - ref, width); k += 1 }
+    }
+    pad()
+    buildG1Message(ni, nj, paramNumber, centre, refTime, decScale, bitmap,
+      b.array())
+  }
+
   /** SIMPLE-PACKING pixel decode for BOTH editions — the clean-room
     * rung that makes the ECMWF open-data path decode-complete for the
     * common case (`ecmwf_opendata/__init__.py:300` slices GRIB by
@@ -551,16 +708,19 @@ object GribMeta {
       else {
         // GRIB1 BDS flag nibble (template here = flags bits 4-7):
         // 8 = spherical harmonics, 4 = complex packing, 2 = integer
-        // values, 1 = additional flags at octet 14 (the octet-14
-        // extension can redefine the payload layout, so decoding it as
-        // simple packing would be silently wrong — r9 advice)
-        require(p.template == 0, s"message ${m.msgIndex}: GRIB1 " +
+        // values, 1 = additional flags at octet 14. Nibble 0 (plain
+        // simple) and nibble 5 (complex + extended flags — the WMO
+        // SECOND-ORDER shape, r13) decode; everything else refuses
+        // with the exact flag (an octet-14 extension can redefine the
+        // payload layout, so guessing would be silently wrong)
+        require(p.template == 0 || p.template == 5,
+          s"message ${m.msgIndex}: GRIB1 " +
           s"${if ((p.template & 8) != 0) "spherical-harmonic"
-             else if ((p.template & 4) != 0) "complex-packed"
-             else if ((p.template & 1) != 0) "octet-14-extended-flags"
-             else "integer-valued"} payload unsupported — only " +
-          "grid-point simple float packing without the octet-14 " +
-          "extension decodes")
+             else if ((p.template & 2) != 0) "integer-valued"
+             else if ((p.template & 4) != 0) "complex-packed-without-extended-flags"
+             else "octet-14-extended-flags"} payload unsupported — " +
+          "grid-point simple float packing and second-order packing " +
+          "(complex + octet-14 extended flags) decode")
         require(m.nPoints > 0,
           s"message ${m.msgIndex}: GRIB1 pixel decode needs a lat/lon " +
             "GDS (grid size unknown without one)")
@@ -589,12 +749,20 @@ object GribMeta {
       val scale = math.pow(2.0, p.binScale) * math.pow(10.0, -p.decScale)
       val base = p.refValue * math.pow(10.0, -p.decScale)
       val out = new Array[Double](nTotal)
-      if (m.edition == 2 && (p.template == 2 || p.template == 3 ||
-          p.template == 40 || p.template == 41 || p.template == 42)) {
-        // complex/JPEG2000/PNG/CCSDS packing: unpack the scaled codes
-        // of the PRESENT points in one pass, then fan across the bitmap
+      if ((m.edition == 2 && (p.template == 2 || p.template == 3 ||
+          p.template == 40 || p.template == 41 || p.template == 42)) ||
+          (m.edition == 1 && p.template == 5)) {
+        // complex/JPEG2000/PNG/CCSDS/second-order packing: unpack the
+        // scaled codes of the PRESENT points in one pass, then fan
+        // across the bitmap
         val xs =
-          if (p.template >= 40 && p.nBits == 0) {
+          if (m.edition == 1) {
+            var n = 0; var i = 0
+            while (i < nTotal) { if (present(i)) n += 1; i += 1 }
+            unpackG1SecondOrder(bytes, m.msgIndex, p, n, m.ni, m.nj,
+              hasPrimaryBitmap = p.bitmapIndicator == 0)
+          }
+          else if (p.template >= 40 && p.nBits == 0) {
             // nBits 0 = CONSTANT field: real writers (g2clib jpcpack/
             // pngpack/aecpack) emit an EMPTY section 7 — every present
             // point is the reference value, no image/stream to decode
@@ -1038,6 +1206,156 @@ object GribMeta {
           else d + 2 * xs(i - 1) - xs(i - 2)
         i += 1
       }
+    }
+    xs
+  }
+
+  /** GRIB1 SECOND-ORDER (complex) packed BDS → the scaled codes X of
+    * the packed (primary-bitmap-present) points, in transmission
+    * order. Clean-room from the WMO Manual on Codes GRIB1 Section 4
+    * octet table for second-order packing:
+    *
+    *   octets 12-13 N1 (1-based BDS octet where first-order data
+    *   begin), octet 14 extended flags (Code table 11), octets 15-16
+    *   N2 (where second-order data begin), octets 17-18 P1
+    *   (first-order values = groups), octets 19-20 P2 (second-order
+    *   values = packed points), octet 21 reserved, octets 22..
+    *   second-order width octets (P1 of them when the different-widths
+    *   flag is set, else ONE applying to every group), then the
+    *   secondary bitmap (P2 bits, padded to an octet) when flagged.
+    *   First-order values are octet-11-wide fields from N1;
+    *   second-order values are per-group-width fields from N2. A
+    *   point's code is X = X1(group) + X2(point), the group advancing
+    *   wherever the secondary bitmap is set; WITHOUT a secondary
+    *   bitmap the groups are the grid rows (row-by-row packing,
+    *   P1 = Nj).
+    *
+    * Refuses loudly by the exact octet-14 sub-flag: matrix of values,
+    * GRIBEX "general extended" second-order packing (the SPD
+    * group-descriptor layout is an ECMWF library convention with no
+    * ground-truth encoder available to validate against — the same
+    * boundary the 9/7 JPEG2000 path documents), boustrophedonic
+    * ordering, spatial differencing, the reserved bit; row-by-row
+    * combined with a primary bitmap (the per-row grouping of missing
+    * points is convention-dependent); and any count arithmetic that
+    * disagrees with P1/P2. */
+  private def unpackG1SecondOrder(bytes: Array[Byte], msgIndex: Int,
+      p: Pack, nPresent: Int, ni: Int, nj: Int,
+      hasPrimaryBitmap: Boolean): Array[Long] = {
+    val bds = p.sec5Off
+    val bdsEnd = bds + p.sec5Len
+    require(p.sec5Len >= 22,
+      s"message $msgIndex: second-order BDS ${p.sec5Len} octets (< 22)")
+    val ext = u8(bytes, bds + 13)
+    def flagRefuse(mask: Int, name: String): Unit =
+      require((ext & mask) == 0,
+        s"message $msgIndex: GRIB1 second-order $name (octet-14 flag " +
+          s"0x${mask.toHexString}) unsupported")
+    flagRefuse(0x80, "reserved-bit layout")
+    flagRefuse(0x40, "matrix-of-values")
+    flagRefuse(0x08, "general-extended packing (GRIBEX SPD convention)")
+    flagRefuse(0x04, "boustrophedonic ordering")
+    require((ext & 0x03) == 0,
+      s"message $msgIndex: GRIB1 second-order spatial differencing " +
+        s"order ${ext & 0x03} unsupported")
+    val secondaryBitmap = (ext & 0x20) != 0
+    val diffWidths = (ext & 0x10) != 0
+    val n1 = u16(bytes, bds + 11)
+    val n2 = u16(bytes, bds + 14)
+    val p1 = u16(bytes, bds + 16)
+    val p2 = u16(bytes, bds + 18)
+    require(p2 == nPresent,
+      s"message $msgIndex: P2=$p2 second-order values for $nPresent " +
+        "packed points")
+    require(p1 >= 1 || nPresent == 0,
+      s"message $msgIndex: P1=$p1 first-order values for $nPresent points")
+    val foAt = bds + n1 - 1
+    val soAt = bds + n2 - 1
+    val widthsAt = bds + 21
+    val nWidthOctets = if (diffWidths) p1 else 1
+    require(n1 >= 22 + nWidthOctets && n2 >= n1 && soAt <= bdsEnd,
+      s"message $msgIndex: second-order frame N1=$n1 N2=$n2 off-shape " +
+        s"for $nWidthOctets width octets and BDS length ${p.sec5Len}")
+    val widths =
+      if (diffWidths) Array.tabulate(p1)(g => u8(bytes, widthsAt + g))
+      else Array.fill(math.max(p1, 1))(u8(bytes, widthsAt))
+    // group-start flags, one per packed point
+    val starts = new Array[Boolean](nPresent)
+    if (secondaryBitmap) {
+      val sbAt = widthsAt + nWidthOctets
+      require(sbAt + ((nPresent + 7) >> 3) <= foAt,
+        s"message $msgIndex: secondary bitmap holds fewer than " +
+          s"$nPresent bits before N1")
+      var i = 0
+      while (i < nPresent) {
+        starts(i) = (bytes(sbAt + (i >> 3)) & (0x80 >> (i & 7))) != 0
+        i += 1
+      }
+      require(nPresent == 0 || starts(0),
+        s"message $msgIndex: secondary bitmap does not mark the first " +
+          "point as a group start")
+      val ngSeen = starts.count(identity)
+      require(ngSeen == p1,
+        s"message $msgIndex: secondary bitmap marks $ngSeen groups, " +
+          s"P1=$p1 first-order values")
+    } else {
+      require(!hasPrimaryBitmap,
+        s"message $msgIndex: GRIB1 row-by-row second-order packing " +
+          "(no secondary bitmap) with a primary bitmap unsupported — " +
+          "the per-row grouping of missing points is convention-" +
+          "dependent; re-encode with a secondary bitmap")
+      require(ni > 0 && nj > 0,
+        s"message $msgIndex: row-by-row second-order packing needs a " +
+          "lat/lon GDS (rows unknown without one)")
+      require(p1 == nj,
+        s"message $msgIndex: P1=$p1 first-order values for $nj rows")
+      require(nPresent == ni * nj,
+        s"message $msgIndex: $nPresent points for a ${ni}x$nj grid")
+      var i = 0
+      while (i < nPresent) { starts(i) = i % ni == 0; i += 1 }
+    }
+    // first-order values: p1 fields of octet-11 width from N1
+    val firstOrder = new Array[Long](p1)
+    var bitPos = 0L
+    val foBits = (soAt - foAt).toLong * 8
+    var g = 0
+    while (g < p1) {
+      require(bitPos + p.nBits <= foBits,
+        s"message $msgIndex: first-order stream exhausted at group $g")
+      var x = 0L
+      var b = 0
+      while (b < p.nBits) {
+        val bit = bitPos + b
+        x = (x << 1) | ((bytes(foAt + (bit >> 3).toInt) >> (7 - (bit & 7))) & 1)
+        b += 1
+      }
+      firstOrder(g) = x
+      bitPos += p.nBits
+      g += 1
+    }
+    // second-order values: per-group width fields from N2
+    val xs = new Array[Long](nPresent)
+    val soBits = (bdsEnd - soAt).toLong * 8
+    bitPos = 0L
+    var gi = -1
+    var i = 0
+    while (i < nPresent) {
+      if (starts(i)) gi += 1
+      val w = widths(gi)
+      var x2 = 0L
+      if (w > 0) {
+        require(bitPos + w <= soBits,
+          s"message $msgIndex: second-order stream exhausted at point $i")
+        var b = 0
+        while (b < w) {
+          val bit = bitPos + b
+          x2 = (x2 << 1) | ((bytes(soAt + (bit >> 3).toInt) >> (7 - (bit & 7))) & 1)
+          b += 1
+        }
+        bitPos += w
+      }
+      xs(i) = firstOrder(gi) + x2
+      i += 1
     }
     xs
   }

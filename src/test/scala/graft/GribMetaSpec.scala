@@ -263,6 +263,181 @@ class GribMetaSpec extends SparkSpec {
     assert(rows == Set((0, 0, 7.0), (1, 1, 9.0)), rows.toString)
   }
 
+  /** GRIB1 message around a HAND-ASSEMBLED BDS: grib1Simple's PDS/GDS/
+    * BMS frame with the given BDS bytes appended verbatim — the
+    * encoder-independent carrier for the second-order fixtures. */
+  private def grib1WithBds(bds: Array[Byte], bitmap: Option[Seq[Boolean]],
+      ni: Int, nj: Int, d: Int = 0): Array[Byte] = {
+    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
+    val bmsBytes = bitmap.map(m => 6 + (m.size + 7) / 8).getOrElse(0)
+    val total = 8 + 28 + 32 + bmsBytes + bds.length + 4
+    val b = java.nio.ByteBuffer.allocate(total)
+    b.put("GRIB".getBytes("US-ASCII"))
+    b.put((total >> 16).toByte).put((total >> 8).toByte).put(total.toByte)
+    b.put(1.toByte)
+    b.put(0.toByte).put(0.toByte).put(28.toByte)
+    b.put(128.toByte).put(74.toByte).put(1.toByte).put(255.toByte)
+    b.put((0x80 | bitmap.map(_ => 0x40).getOrElse(0)).toByte)
+    b.put(61.toByte)
+    b.put(1.toByte).putShort(0)
+    b.put(24.toByte).put(6.toByte).put(1.toByte)
+    b.put(12.toByte).put(0.toByte)
+    (18 to 24).foreach(_ => b.put(0.toByte))
+    b.put(21.toByte).put(0.toByte)
+    b.putShort(sm16(d).toShort)
+    b.put(0.toByte).put(0.toByte).put(32.toByte)
+    b.put(0.toByte).put(255.toByte)
+    b.put(0.toByte)
+    b.putShort(ni.toShort).putShort(nj.toShort)
+    (11 to 32).foreach(_ => b.put(0.toByte))
+    bitmap.foreach { mask =>
+      val len = 6 + (mask.size + 7) / 8
+      b.put((len >> 16).toByte).put((len >> 8).toByte).put(len.toByte)
+      b.put(((8 - mask.size % 8) % 8).toByte)
+      b.putShort(0)
+      var acc = 0; var nb = 0
+      mask.zipWithIndex.foreach { case (m, i) =>
+        acc = (acc << 1) | (if (m) 1 else 0); nb += 1
+        if (nb == 8 || i == mask.size - 1) {
+          b.put((acc << (8 - nb)).toByte); acc = 0; nb = 0
+        }
+      }
+    }
+    b.put(bds)
+    b.put("7777".getBytes("US-ASCII"))
+    b.array()
+  }
+
+  test("GRIB1 second-order packing decodes the hand-built WMO-table " +
+      "fixtures: secondary-bitmap groups (constant width) and " +
+      "row-by-row (different widths)") {
+    // --- secondary-bitmap form, CONSTANT width, 2x2 grid, 2 groups ---
+    // first-order [10, 20] (5-bit), shared width 2, second-order
+    // [0,3,1,2], group starts 1,0,1,0 -> X = [10,13,21,22]; R=E=D=0.
+    // Octets (1-based): N1=24 (22 + 1 width octet + 1 bitmap octet),
+    // N2=26, P1=2, P2=4, len 26 (even), all streams fill their octets
+    val sbBds = Array[Int](
+      0, 0, 26,        // length
+      0x50,            // flags: complex + octet-14; 0 unused bits
+      0, 0,            // E = 0
+      0, 0, 0, 0,      // R = 0 (IBM zero)
+      5,               // octet 11: first-order width
+      0, 24,           // N1
+      0x20,            // octet 14: secondary bitmap, constant width
+      0, 26,           // N2
+      0, 2,            // P1
+      0, 4,            // P2
+      0,               // reserved
+      2,               // the ONE width octet
+      0xA0,            // secondary bitmap 1010
+      0x55, 0x00,      // first-order: 01010 10100 padded
+      0x36             // second-order: 00 11 01 10
+    ).map(_.toByte)
+    val sb = grib1WithBds(sbBds, None, 2, 2)
+    val Seq((m1, v1)) = GribMeta.values(sb)
+    assert(m1.edition == 1 && v1.toSeq == Seq(10.0, 13.0, 21.0, 22.0), v1.toSeq)
+    // with a PRIMARY bitmap too: 6-point grid, points 1 and 4 missing
+    val pb = grib1WithBds(sbBds, Some(Seq(true, false, true, true, false, true)), 3, 2)
+    val Seq((_, v2)) = GribMeta.values(pb)
+    assert(v2(1).isNaN && v2(4).isNaN)
+    assert(Seq(v2(0), v2(2), v2(3), v2(5)) == Seq(10.0, 13.0, 21.0, 22.0))
+    // --- row-by-row form, DIFFERENT widths, 3x2 grid ---
+    // rows are the groups: first-order [5, 9] (4-bit), widths [1, 0],
+    // second-order row0 [0,1,1] -> X = [5,6,6, 9,9,9]; rawLen 25 pads
+    // to 26 with 5+8 unused bits
+    val rrBds = Array[Int](
+      0, 0, 26,
+      0x50 | 13,       // 13 unused bits (5 tail + 8 pad)
+      0, 0,
+      0, 0, 0, 0,
+      4,               // first-order width
+      0, 24,           // N1 = 22 + 2 width octets
+      0x10,            // octet 14: no secondary bitmap, different widths
+      0, 25,           // N2
+      0, 2,            // P1 = Nj rows
+      0, 6,            // P2
+      0,
+      1, 0,            // per-row widths
+      0x59,            // first-order: 0101 1001
+      0x60,            // second-order: 011 padded
+      0                // even-length pad octet
+    ).map(_.toByte)
+    val rr = grib1WithBds(rrBds, None, 3, 2)
+    val Seq((_, v3)) = GribMeta.values(rr)
+    assert(v3.toSeq == Seq(5.0, 6.0, 6.0, 9.0, 9.0, 9.0), v3.toSeq)
+    // scale factors ride the same regulation 92.9.4 math: E=1 doubles,
+    // D=1 divides by ten (patch E; D comes from the PDS)
+    val scaled = grib1WithBds(
+      { val c = sbBds.clone(); c(5) = 1; c }, None, 2, 2, d = 1)
+    assert(GribMeta.values(scaled).head._2.toSeq == Seq(2.0, 2.6, 4.2, 4.4))
+  }
+
+  test("GRIB1 second-order refusals: every octet-14 sub-flag by name, " +
+      "count mismatches, row-by-row with a primary bitmap") {
+    def sbBds(patch: (Int, Int)*): Array[Byte] = {
+      val base = Array[Int](0, 0, 26, 0x50, 0, 0, 0, 0, 0, 0, 5, 0, 24,
+        0x20, 0, 26, 0, 2, 0, 4, 0, 2, 0xA0, 0x55, 0x00, 0x36)
+      patch.foreach { case (i, v) => base(i) = v }
+      base.map(_.toByte)
+    }
+    def msgOf(bds: Array[Byte]) = grib1WithBds(bds, None, 2, 2)
+    def refuses(bds: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        GribMeta.values(msgOf(bds))
+      }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    // octet 14 is BDS index 13
+    refuses(sbBds(13 -> 0xA0), "reserved-bit")
+    refuses(sbBds(13 -> 0x60), "matrix-of-values")
+    refuses(sbBds(13 -> 0x28), "general-extended")
+    refuses(sbBds(13 -> 0x24), "boustrophedonic")
+    refuses(sbBds(13 -> 0x21), "spatial differencing")
+    // P2 disagreeing with the present-point count
+    refuses(sbBds(19 -> 5), "packed points")
+    // secondary bitmap marking fewer groups than P1
+    refuses(sbBds(22 -> 0x80), "marks 1 groups")
+    // first point not starting a group
+    refuses(sbBds(22 -> 0x20), "first point")
+    // row-by-row + primary bitmap refuses by name
+    val rowBmp = grib1WithBds(sbBds(13 -> 0x10, 12 -> 25, 15 -> 27),
+      Some(Seq(true, true, true, true, false, false)), 3, 2)
+    assert(intercept[IllegalArgumentException] { GribMeta.values(rowBmp) }
+      .getMessage.contains("row-by-row"))
+    // the INVENTORY walk still catalogs second-order messages
+    assert(GribMeta.decode(msgOf(sbBds())).map(_.edition) == Seq(1))
+  }
+
+  test("encodeG1SecondOrder round-trips through the decoder: bitmap, " +
+      "ragged groups, exact IBM reference; refuses bad inputs") {
+    val xs = Array(0L, 7L, 123456L, 40L, 9L, 1L, 77L)
+    val mask = Array(true, false, true, true, false, true, true, true, true, false)
+    val enc = GribMeta.encodeG1SecondOrder(5, 2, paramNumber = 61,
+      refValue = 2048.0, binScale = -2, decScale = 0,
+      xs = xs, bitmap = Some(mask), centre = 98,
+      refTime = (1995, 1, 2, 6, 30), groupLen = 3)
+    val Seq((m, vs)) = GribMeta.values(enc)
+    assert(m.edition == 1 && m.centre == 98 && m.paramNumber == 61)
+    assert(m.refTime == "1995-01-02T06:30" && m.ni == 5 && m.nj == 2)
+    val got = vs.toSeq.filterNot(_.isNaN)
+    assert(got == xs.map(2048.0 + _ * 0.25).toSeq, got)
+    assert(vs(1).isNaN && vs(4).isNaN && vs(9).isNaN)
+    // no bitmap + decimal scale; single ragged group
+    val enc2 = GribMeta.encodeG1SecondOrder(2, 2, paramNumber = 1,
+      refValue = 0.0, binScale = 0, decScale = 1,
+      xs = Array(10L, 13L, 21L, 22L), groupLen = 64)
+    assert(GribMeta.values(enc2).head._2.toSeq == Seq(1.0, 1.3, 2.1, 2.2))
+    // a non-IBM-representable reference refuses rather than shifting
+    intercept[IllegalArgumentException] {
+      GribMeta.encodeG1SecondOrder(2, 1, 0, refValue = 0.1, 0, 0,
+        Array(1L, 2L))
+    }
+    intercept[IllegalArgumentException] { // 2 codes for 4 points
+      GribMeta.encodeG1SecondOrder(2, 2, 0, refValue = 0.0, 0, 0,
+        Array(1L, 2L))
+    }
+  }
+
   test("simple packing decodes: (R + X*2^E)/10^D, bitmap NaNs, constant fields") {
     // R=100, E=-1 (x0.5), D=1 (/10), 10-bit fields incl. the max code
     val m = grib2Simple(100f, -1, 1, 10, Seq(0L, 1L, 5L, 1023L), None, 4, 1)
