@@ -528,9 +528,19 @@ object GribMeta {
           s.put(((v >> (sh * 8)) & 0xff).toByte))
       }
       var acc = 0L; var nb = 0
+      // chunked accumulate — a single-shift putBits silently drops
+      // pending bits for widths >= 57 (review r13, as in the GRIB1
+      // second-order writer)
       def putBits(x: Long, n: Int): Unit = {
-        acc = (acc << n) | x; nb += n
-        while (nb >= 8) { s.put((acc >> (nb - 8)).toByte); nb -= 8 }
+        require(n <= 64, s"putBits width $n")
+        var rem = n
+        while (rem > 0) {
+          val take = math.min(rem, 56 - nb)
+          acc = (acc << take) |
+            ((x >>> (rem - take)) & ((1L << take) - 1))
+          nb += take; rem -= take
+          while (nb >= 8) { s.put((acc >> (nb - 8)).toByte); nb -= 8 }
+        }
       }
       def pad(): Unit =
         if (nb > 0) { s.put((acc << (8 - nb)).toByte); acc = 0; nb = 0 }
@@ -624,15 +634,18 @@ object GribMeta {
     validateGrid(ni, nj, xs, bitmap)
     def bitsFor(v: Long): Int =
       if (v <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
-    val ng = math.max(1, (xs.length + groupLen - 1) / groupLen)
+    // an all-missing field writes P1 = 0 — the decoder's degenerate
+    // path; a phantom group would leave the secondary bitmap with
+    // fewer set bits than P1 and refuse on read-back
+    val ng = (xs.length + groupLen - 1) / groupLen
     val groups = (0 until ng).map { g =>
       val from = g * groupLen
       val until = math.min(from + groupLen, xs.length)
-      val slice = if (until > from) xs.slice(from, until) else Array(0L)
+      val slice = xs.slice(from, until)
       val ref = slice.min
-      (ref, bitsFor(slice.map(_ - ref).max), math.max(until - from, 0))
+      (ref, bitsFor(slice.map(_ - ref).max), until - from)
     }
-    val width1 = math.max(groups.map(g => bitsFor(g._1)).max, 0)
+    val width1 = (0 +: groups.map(g => bitsFor(g._1))).max
     require(width1 <= 255 && groups.forall(_._2 <= 255),
       "group width exceeds the 8-bit field")
     require(ng <= 0xFFFF && xs.length <= 0xFFFF,
@@ -643,6 +656,9 @@ object GribMeta {
     val soBytes = ((soBits + 7) / 8).toInt
     val n1 = 22 + ng + sbBytes           // 1-based BDS octet numbers
     val n2 = n1 + foBytes
+    require(n2 <= 0xFFFF,
+      s"second-order frame N1=$n1/N2=$n2 exceeds the 16-bit BDS octet " +
+        "pointers — split the field or raise groupLen")
     val rawLen = 21 + ng + sbBytes + foBytes + soBytes
     val bdsLen = rawLen + (rawLen & 1)   // regulation 92.6.1: even length
     val unusedBits = (8 - (soBits % 8).toInt) % 8 + 8 * (bdsLen - rawLen)
@@ -661,9 +677,20 @@ object GribMeta {
     groups.foreach(g => b.put(g._2.toByte))
     // secondary bitmap: a set bit starts each group
     var acc = 0L; var nb = 0
+    // chunked accumulate: a single (acc << n) with ~7 bits pending
+    // would shift them off the top of the Long for n >= 57 —
+    // silently corrupting the stream, the one failure class a
+    // gate-fixture writer must never produce (review r13)
     def putBits(x: Long, n: Int): Unit = {
-      acc = (acc << n) | x; nb += n
-      while (nb >= 8) { b.put((acc >> (nb - 8)).toByte); nb -= 8 }
+      require(n <= 64, s"putBits width $n")
+      var rem = n
+      while (rem > 0) {
+        val take = math.min(rem, 56 - nb)
+        acc = (acc << take) |
+          ((x >>> (rem - take)) & ((1L << take) - 1))
+        nb += take; rem -= take
+        while (nb >= 8) { b.put((acc >> (nb - 8)).toByte); nb -= 8 }
+      }
     }
     def pad(): Unit =
       if (nb > 0) { b.put((acc << (8 - nb)).toByte); acc = 0; nb = 0 }

@@ -309,32 +309,11 @@ object Hdf5 {
                   s"inconsistent with rank ${dims.size} × " +
                   s"${dt.size}-byte elements")
               val l4 = raw4.copy(cdims = raw4.cdims.init)
-              // implicit / fixed-array / extensible-array indexes order
-              // chunks by a linear index the library computes over the
-              // MAX-dims chunk grid (swizzling the unlimited dimension
-              // to the slowest position for the extensible array). Our
-              // row-major walk over CURRENT dims matches that only when
-              // every dimension after the slowest is non-extendible
-              // (max == current) and, for the extensible array, the one
-              // unlimited dimension is dim 0 — the netCDF-4 record-cube
-              // shape. Anything else would decode with silently
-              // misplaced chunks, so refuse by name. (B-tree-v2 records
-              // carry explicit per-chunk offsets — no gate needed.)
-              if (Set(2, 3, 4)(l4.indexType)) {
-                val md = maxDims.getOrElse(dims)
-                require(md.drop(1).zip(dims.drop(1)).forall {
-                  case (m, d) => m == d },
-                  s"dataset '$path': extendible (or unlimited) " +
-                    s"non-slowest dimension (max dims $md vs dims " +
-                    s"$dims) with a linear-indexed chunk index (type " +
-                    s"${l4.indexType}) unsupported — the library's " +
-                    "element index runs over the max-dims grid, " +
-                    "swizzling the unlimited dimension slowest; " +
-                    "re-export with the unlimited dimension first")
-              }
               val chunks =
-                if (metaOnly) Nil
-                else chunksV4(r, l4, dims, dt.size, filters.nonEmpty, path)
+                if (metaOnly) Nil // refusals live on the chunk walk —
+                  // the inventory must keep cataloging (r9 discipline)
+                else chunksV4(r, l4, dims, maxDims.getOrElse(dims),
+                  dt.size, filters.nonEmpty, path)
               datasets += Dataset(path, dims, dt, -1L, -1L, None, fillV,
                 at, Some(Chunked(l4.cdims, filters, chunks,
                   deferred = metaOnly && l4.addr != Undef)))
@@ -699,7 +678,8 @@ object Hdf5 {
     * order (spec III.G). Unallocated entries (undefined address) are
     * skipped — the fill shows through, the v1-B-tree contract. */
   private def chunksV4(r: Reader, l: LayChunkedV4, dims: Seq[Long],
-      eltSize: Int, filtered: Boolean, path: String): Seq[ChunkRef] = {
+      maxDims: Seq[Long], eltSize: Int, filtered: Boolean,
+      path: String): Seq[ChunkRef] = {
     // flag bit 0 = partial edge chunks stored UNfiltered: pushing them
     // through the pipeline anyway would scatter silent garbage (or die
     // with a misleading inflate/checksum error) — refuse by name
@@ -707,6 +687,26 @@ object Hdf5 {
       s"dataset '$path': v4 chunked flag DONT_FILTER_PARTIAL_BOUND_CHUNKS " +
         "with a filter pipeline unsupported — edge chunks are stored " +
         "unfiltered; re-export without the chunk option")
+    // implicit / fixed-array / extensible-array indexes order chunks by
+    // a linear index the library computes over the MAX-dims chunk grid
+    // (swizzling the unlimited dimension to the slowest position for
+    // the extensible array). Our row-major walk over CURRENT dims
+    // matches that only when every dimension after the slowest is
+    // non-extendible (max == current) — for the extensible array that
+    // also forces the one unlimited dimension to dim 0, the netCDF-4
+    // record-cube shape. Anything else would decode with silently
+    // misplaced chunks, so refuse by name — here on the chunk walk,
+    // not the metadata walk, so metaOnly inventories keep cataloging.
+    // (B-tree-v2 records carry explicit per-chunk offsets — no gate.)
+    if (Set(2, 3, 4)(l.indexType))
+      require(maxDims.drop(1).zip(dims.drop(1)).forall {
+        case (m, d) => m == d },
+        s"dataset '$path': extendible (or unlimited) non-slowest " +
+          s"dimension (max dims $maxDims vs dims $dims) with a " +
+          s"linear-indexed chunk index (type ${l.indexType}) " +
+          "unsupported — the library's element index runs over the " +
+          "max-dims grid, swizzling the unlimited dimension slowest; " +
+          "re-export with the unlimited dimension first")
     val rank = l.cdims.size
     val counts = dims.zip(l.cdims).map { case (d, c) =>
       ((d + c - 1) / c).toInt

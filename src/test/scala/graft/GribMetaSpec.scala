@@ -436,6 +436,26 @@ class GribMetaSpec extends SparkSpec {
       GribMeta.encodeG1SecondOrder(2, 2, 0, refValue = 0.0, 0, 0,
         Array(1L, 2L))
     }
+    // 61-bit first-order refs exercise the chunked putBits — a single
+    // (acc << n) with pending bits would corrupt the stream SILENTLY
+    val wide = Array(1L << 60, (1L << 60) + 5, (1L << 59) + 3, (1L << 59) + 9)
+    val encW = GribMeta.encodeG1SecondOrder(4, 1, 0, refValue = 0.0,
+      binScale = 0, decScale = 0, xs = wide, groupLen = 2)
+    assert(GribMeta.values(encW).head._2.toSeq == wide.map(_.toDouble).toSeq)
+    // ...and the GRIB2 complex writer shares the fix
+    val encW2 = GribMeta.encodeComplex(4, 1, 0, 0, refValue = 0f,
+      binScale = 0, decScale = 0, xs = wide, groupLen = 2)
+    assert(GribMeta.values(encW2).head._2.toSeq == wide.map(_.toDouble).toSeq)
+    // all-missing field: P1 = 0 on the wire, decodes to all-NaN
+    val encE = GribMeta.encodeG1SecondOrder(2, 2, 0, refValue = 0.0,
+      binScale = 0, decScale = 0, xs = Array.empty[Long],
+      bitmap = Some(Array.fill(4)(false)))
+    assert(GribMeta.values(encE).head._2.forall(_.isNaN))
+    // frame pointers past the 16-bit BDS octet fields refuse loudly
+    intercept[IllegalArgumentException] {
+      GribMeta.encodeG1SecondOrder(65000, 1, 0, refValue = 0.0, 0, 0,
+        Array.fill(65000)(1L), groupLen = 1)
+    }
   }
 
   test("simple packing decodes: (R + X*2^E)/10^D, bitmap NaNs, constant fields") {

@@ -820,6 +820,10 @@ class Hdf5Spec extends SparkSpec {
     val bad = fixtureEArray(filtered = false, maxDims = Some((3L, Unlim)))
     val e1 = intercept[IllegalArgumentException] { Hdf5.decode(bad) }
     assert(e1.getMessage.contains("non-slowest"), e1.getMessage)
+    // ...but the refusal lives on the CHUNK walk, not the metadata
+    // walk: a metaOnly (planning) decode still catalogs the dataset
+    assert(Hdf5.decode(bad, metaOnly = true).datasets.map(_.path) ==
+      Seq("/temp"))
     // finite but extendible dim 1 (max 8 > cur 6): max-dims chunk grid
     // differs from the current grid — same misplacement, same refusal
     val ext = fixtureEArray(filtered = false, maxDims = Some((3L, 8L)))
