@@ -99,6 +99,47 @@ object H5GridSource {
           want, explicit)
     }
   }
+
+  /** Bounded-prefix metaOnly decode with the full-read fallback — the
+    * planner's per-file read discipline, shared by [[planningNames]]'
+    * shape and the external-link resolution path. */
+  private def planningDecode(file: String): Hdf5.Hdf5File = {
+    val (prefix, len) = GridFiles.readPrefix(file, HeaderPrefixBytes)
+    try Hdf5.decode(prefix, metaOnly = true)
+    catch {
+      case _: Exception if len > prefix.length =>
+        Hdf5.decode(GridFiles.readBytes(file), metaOnly = true)
+    }
+  }
+
+  /** EXTERNAL-LINK selections of `file`, resolved at PLAN time:
+    * `(link name, target file, target dataset)` for every external
+    * link an EXPLICIT dataset option/filter names — the soft-link
+    * alias discipline extended across files (an unfiltered scan never
+    * follows links, so each dataset is read once; an explicit
+    * selection may address the link name and pays the bounded target
+    * reads). Non-rank-2 targets are filtered exactly like
+    * [[gridNames]] filters regular datasets. Every read here is a
+    * bounded header prefix (full-read fallback), target decodes
+    * memoized per planning call. */
+  private[graft] def planningExternal(file: String,
+      want: String => Boolean): Seq[(String, String, String)] = {
+    // a source file the planner cannot decode contributes no external
+    // partitions — layerSplits already planned its loud whole-file
+    // split; RESOLUTION failures past this point still refuse at plan
+    // time (the user explicitly addressed the link)
+    val src =
+      try planningDecode(file)
+      catch { case _: Exception => return Nil }
+    if (src.externalLinks.isEmpty) return Nil
+    val cache = scala.collection.mutable.HashMap.empty[String, Hdf5.Hdf5File]
+    def decodeFile(f: String) = cache.getOrElseUpdate(f, planningDecode(f))
+    src.externalLinks.filter(l => want(l.path)).flatMap { l =>
+      val (tFile, tDs) = Hdf5.resolveExternalLink(file, l, decodeFile)
+      val d = decodeFile(tFile).datasetAt(tDs)
+      if (d.dims.size == 2) Some((l.path, tFile, tDs)) else None
+    }
+  }
 }
 
 final class H5GridTable(path: String, dataset: Option[String],
@@ -164,12 +205,24 @@ final class H5Scan(path: String, dsOpt: Option[String],
     val want: String => Boolean =
       n => dsOpt.forall(_ == n) && dsPreds.forall(_(n))
     val explicit = dsOpt.nonEmpty || dsPreds.nonEmpty
-    GridFiles.layerSplits(H5GridSource.listFiles(path),
+    val files = H5GridSource.listFiles(path)
+    val splits = GridFiles.layerSplits(files,
       f => pathPreds.forall(_(f)),
       f => H5GridSource.planningNames(f, want, explicit),
       _ => true, maxSplitsPerFile)
       .map { case (f, group) => H5Partition(f, group): InputPartition }
-      .toArray
+    // EXPLICITLY-selected external links plan one partition each
+    // against the TARGET file (bounded prefix reads at plan time);
+    // unfiltered scans never follow links — the alias discipline
+    val ext =
+      if (!explicit) Nil
+      else files.filter(f => pathPreds.forall(_(f))).flatMap { f =>
+        H5GridSource.planningExternal(f, want).map {
+          case (link, tFile, tDs) =>
+            H5ExtPartition(f, link, tFile, tDs): InputPartition
+        }
+      }
+    (splits ++ ext).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new H5ReaderFactory(required.fieldNames, dsOpt, keepFill)
@@ -177,6 +230,13 @@ final class H5Scan(path: String, dsOpt: Option[String],
 
 final case class H5Partition(file: String, datasets: Option[Seq[String]])
     extends InputPartition
+
+/** An explicitly-selected EXTERNAL link: rows read from
+  * `targetFile`:`targetDataset` but labeled with the LINKING file's
+  * path and the LINK name — the names the user's predicates matched
+  * at planning (Spark re-checks filters post-scan). */
+final case class H5ExtPartition(file: String, link: String,
+    targetFile: String, targetDataset: String) extends InputPartition
 
 final class H5ReaderFactory(fields: Array[String], dsOpt: Option[String],
     keepFill: Boolean) extends PartitionReaderFactory {
@@ -194,20 +254,31 @@ final class H5ReaderFactory(fields: Array[String], dsOpt: Option[String],
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[H5Partition]
     new PartitionReader[InternalRow] {
-      private val bytes = GridFiles.readBytes(p.file)
-      private val f = Hdf5.decode(bytes)
-      // the fallback whole-file split reads every (option-matching)
-      // rank-2 dataset, with the planner's exact alias semantics
-      private val names = p.datasets.getOrElse(
-        H5GridSource.gridNames(f, n => dsOpt.forall(_ == n), dsOpt.nonEmpty))
-      private val pathUtf = UTF8String.fromString(p.file)
-      private val cells = names.iterator.flatMap { n =>
-        val nUtf = UTF8String.fromString(n)
-        Hdf5.gridCells(bytes, f, n)
-          .filter(c => keepFill || !c.value.isNaN)
-          .map(c => (nUtf, c))
+      private val (pathUtf, cells) = partition match {
+        case p: H5Partition =>
+          val bytes = GridFiles.readBytes(p.file)
+          val f = Hdf5.decode(bytes)
+          // the fallback whole-file split reads every (option-matching)
+          // rank-2 dataset, with the planner's exact alias semantics
+          val names = p.datasets.getOrElse(
+            H5GridSource.gridNames(f, n => dsOpt.forall(_ == n), dsOpt.nonEmpty))
+          (UTF8String.fromString(p.file), names.iterator.flatMap { n =>
+            val nUtf = UTF8String.fromString(n)
+            Hdf5.gridCells(bytes, f, n)
+              .filter(c => keepFill || !c.value.isNaN)
+              .map(c => (nUtf, c))
+          })
+        case pe: H5ExtPartition =>
+          // external link: data from the TARGET file, rows labeled
+          // with the LINKING file + link name the planner matched
+          val bytes = GridFiles.readBytes(pe.targetFile)
+          val f = Hdf5.decode(bytes)
+          val nUtf = UTF8String.fromString(pe.link)
+          (UTF8String.fromString(pe.file),
+            Hdf5.gridCells(bytes, f, pe.targetDataset)
+              .filter(c => keepFill || !c.value.isNaN)
+              .map(c => (nUtf, c)))
       }
       private var current: InternalRow = _
 

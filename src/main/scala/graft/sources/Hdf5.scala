@@ -46,11 +46,16 @@ import org.apache.spark.sql.functions._
   * PAGED fixed/extensible-array data blocks and chunk B-trees past
   * depth 1 (all five v4 chunk index TYPES decode as of r12), filters
   * beyond deflate/shuffle/fletcher32/szip (n-bit, scale-offset,
-  * registered LZF/blosc/zstd), external links (soft links RESOLVE to
-  * dataset aliases as of r12; group targets, cycles and dot
-  * components refuse), layout message versions before 3, non-IEEE
-  * float layouts, shared messages, and metadata offset/length sizes
-  * other than 8. DENSE (fractal-heap)
+  * registered LZF/blosc/zstd), layout message versions before 3,
+  * non-IEEE float layouts, shared messages, custom link classes, and
+  * metadata offset/length sizes other than 8. SOFT links RESOLVE to
+  * dataset aliases as of r12 (group targets, cycles and dot
+  * components refuse); EXTERNAL links (type 64, the HDF-EOS5 /
+  * multi-granule netCDF-4 stitch, r13) surface as
+  * [[Hdf5File.externalLinks]] metadata and resolve through
+  * [[resolveExternalLink]] at the layer that owns file IO — absolute
+  * or dot-component file names, missing files/datasets, group targets
+  * and cyclic chains refuse by name. DENSE (fractal-heap)
   * link storage DECODES (r11) — the new-format group shape netCDF-4
   * forces past 8 links: v2 name-index B-trees (depth 0 and 1) over
   * managed heap IDs, direct or one-level-indirect heap roots (see
@@ -115,8 +120,15 @@ object Hdf5 {
     def fill: Option[Double] = numAttr("_FillValue").orElse(fillMsg)
   }
 
+  /** An EXTERNAL link (Link message type 64) — `path` names the link
+    * inside ITS OWN file; `file` is the target file name (relative,
+    * the HDF-EOS5 / multi-granule stitch shape) and `target` the
+    * object path inside it. A single-buffer decode cannot follow it;
+    * [[resolveExternalLink]] does, at the layer that owns file IO. */
+  final case class ExternalLink(path: String, file: String, target: String)
+
   final case class Hdf5File(superVersion: Int, datasets: Seq[Dataset],
-      groups: Seq[String]) {
+      groups: Seq[String], externalLinks: Seq[ExternalLink] = Nil) {
     def datasetAt(path: String): Dataset =
       datasets.find(_.path == path).getOrElse(
         throw new IllegalArgumentException(s"no dataset '$path' — file has: " +
@@ -158,6 +170,72 @@ object Hdf5 {
   /** Parse the file's full metadata tree (superblock → groups →
     * datasets + attributes). Data payloads are located, not copied. */
   def decode(bytes: Array[Byte]): Hdf5File = decode(bytes, metaOnly = false)
+
+  /** Resolve an EXTERNAL link of the file at `basePath` to the
+    * (target file path, target dataset path) holding its data —
+    * following chained external links up to 4 hops with cycle
+    * detection. `decodeFile` supplies the per-target decode so the
+    * CALLER chooses the read discipline (a DSv2 planner passes a
+    * bounded-prefix metaOnly decode; tasks pass a full one).
+    *
+    * Refusals, all by name (the library's silent search-path fallback
+    * would be a sandbox escape here): absolute target file names or
+    * '.'/'..' components (targets resolve ONLY as siblings relative
+    * to the linking file's directory — the HDF-EOS5 granule-stitch
+    * shape), a missing target file, a missing target dataset, a GROUP
+    * target, and a chain that is still a link after 4 hops. The
+    * returned dataset path may itself be a soft-link ALIAS inside the
+    * target file — those resolve in the target's own decode. */
+  def resolveExternalLink(basePath: String, link: ExternalLink,
+      decodeFile: String => Hdf5File): (String, String) = {
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    // Hadoop Path string surgery (no IO): handles both plain and
+    // URI-form (file:/, hdfs://) paths the DSv2 listings carry
+    var curDir = new org.apache.hadoop.fs.Path(basePath).getParent
+    var cur = link
+    var hops = 0
+    while (hops <= 4) {
+      val comps = cur.file.split('/')
+      require(!cur.file.startsWith("/") && !cur.file.contains(":") &&
+        !comps.exists(c => c == "." || c == ".."),
+        s"external link '${link.path}': target file '${cur.file}' is " +
+          "absolute or carries '.'/'..' components — only " +
+          "sibling-relative targets resolve")
+      val tFile = new org.apache.hadoop.fs.Path(curDir, cur.file)
+      val fs = tFile.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      require(fs.isFile(tFile),
+        s"external link '${link.path}': target file '${cur.file}' " +
+          s"missing (resolved to $tFile)")
+      val tPath = "/" + cur.target.split('/').filter(_.nonEmpty)
+        .map { c =>
+          require(c != "." && c != "..",
+            s"external link '${link.path}': relative components in " +
+              s"object path '${cur.target}' unsupported")
+          c
+        }.mkString("/")
+      require(seen.add((tFile.toString, tPath)),
+        s"external link '${link.path}': target chain revisits " +
+          s"$tFile:$tPath — cycle")
+      val tf = decodeFile(tFile.toString)
+      if (tf.datasets.exists(_.path == tPath)) return (tFile.toString, tPath)
+      tf.externalLinks.find(_.path == tPath) match {
+        case Some(next) =>
+          curDir = tFile.getParent
+          cur = next; hops += 1
+        case None =>
+          require(!tf.groups.contains(tPath) && tPath != "/",
+            s"external link '${link.path}': target '$tPath' in " +
+              s"'${cur.file}' is a GROUP — group aliases unsupported; " +
+              "link datasets directly")
+          throw new IllegalArgumentException(
+            s"external link '${link.path}': no dataset '$tPath' in " +
+              s"'${cur.file}'")
+      }
+    }
+    throw new IllegalArgumentException(
+      s"external link '${link.path}': target chain still a link after " +
+        "4 hops — chain too long or cyclic")
+  }
 
   /** `metaOnly = true` skips resolving CHUNK INDEXES (v1 B-trees /
     * fixed arrays live interleaved with data in real files, usually
@@ -225,6 +303,9 @@ object Hdf5 {
     val groups = Seq.newBuilder[String]
     // soft links collected during the walk: (group path, name, target)
     val softLinks = Seq.newBuilder[(String, String, String)]
+    // external links surface as METADATA — a single-buffer decode
+    // cannot follow them; resolveExternalLink does, file-side
+    val extLinks = Seq.newBuilder[ExternalLink]
     val seen = scala.collection.mutable.Set.empty[Long] // cycle guard
 
     def walkObject(addr: Long, path: String): Unit = {
@@ -323,6 +404,8 @@ object Hdf5 {
           links.result().foreach {
             case (name, HardTo(a)) => walkObject(a, s"$path/$name")
             case (name, SoftTo(t)) => softLinks += ((path, name, t))
+            case (name, ExtTo(f, t)) =>
+              extLinks += ExternalLink(s"$path/$name", f, t)
           }
         case _ =>
           // a dataset missing one of the three is corrupt, not a group
@@ -378,7 +461,7 @@ object Hdf5 {
           None // dangling: aliases nothing, the library's own tolerance
       }
     }
-    Hdf5File(sv, ds ++ aliases, grps)
+    Hdf5File(sv, ds ++ aliases, grps, extLinks.result())
   }
 
   /** All header messages of the object at `addr`, across continuation
@@ -559,6 +642,8 @@ object Hdf5 {
   private sealed trait LinkTarget
   private final case class HardTo(addr: Long) extends LinkTarget
   private final case class SoftTo(target: String) extends LinkTarget
+  private final case class ExtTo(file: String, target: String)
+    extends LinkTarget
 
   private sealed trait Layout
   private final case class LayCompact(data: Array[Byte]) extends Layout
@@ -1333,10 +1418,25 @@ object Hdf5 {
       case 1 => // soft: length(2) + target path bytes (not terminated)
         val tlen = r.u16(p)
         (name, SoftTo(r.ascii(p + 2, tlen)))
+      case 64 => // external: length(2) + version/flags(1) +
+        // NUL-terminated file name + object path (spec III.K)
+        val tlen = r.u16(p)
+        require(tlen >= 4,
+          s"group '$path': external link '$name' value is $tlen bytes")
+        val vf = r.u8(p + 2)
+        require(vf == 0,
+          s"group '$path': external link '$name' value version/flags " +
+            s"$vf unsupported (only 0)")
+        val raw = r.ascii(p + 3, tlen - 1)
+        val nul = raw.indexOf('\u0000')
+        require(nul > 0 && nul < raw.length - 1,
+          s"group '$path': external link '$name' value missing the " +
+            "file/object-path split")
+        (name, ExtTo(raw.substring(0, nul),
+          raw.substring(nul + 1).takeWhile(_ != '\u0000')))
       case t => throw new IllegalArgumentException(
-        s"group '$path': link '$name' is ${if (t == 64) "external"
-          else s"custom (class $t)"} — a link this reader followed " +
-          "silently could escape the file")
+        s"group '$path': link '$name' is custom (class $t) — a link " +
+          "this reader followed silently could escape the file")
     }
   }
 

@@ -176,6 +176,118 @@ class Hdf5Spec extends SparkSpec {
     (out.array(), layoutClassByteAt)
   }
 
+  /** A file whose root group carries EXTERNAL links (spec III.K: Link
+    * message type 64, value = version/flags byte + NUL-terminated file
+    * name + object path) — and nothing else. */
+  private def fixtureExtLinks(links: Seq[(String, String, String)]): Array[Byte] = {
+    val rootMsgs: Array[Byte] = links.flatMap { case (name, file, target) =>
+      val value = Array[Byte](0) ++
+        file.getBytes("US-ASCII") ++ Array[Byte](0) ++
+        target.getBytes("US-ASCII") ++ Array[Byte](0)
+      msgV2(0x06, le { b =>
+        b.put(1.toByte).put(0x08.toByte).put(64.toByte)
+        b.put(name.length.toByte).put(name.getBytes("US-ASCII"))
+        b.putShort(value.length.toShort).put(value)
+      })
+    }.toArray
+    require(rootMsgs.length <= 255, "fixture: too many links for 1-byte size")
+    val total = 48 + 7 + rootMsgs.length + 4
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    sig(out)
+    out.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    out.putLong(0L).putLong(Undef).putLong(total.toLong).putLong(48L)
+    out.putInt(0)
+    out.position(48)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    out.put(rootMsgs.length.toByte).put(rootMsgs).putInt(0)
+    out.array()
+  }
+
+  test("external links: decode surfaces metadata; resolution follows " +
+      "sibling files and chains; absolute/dotted/missing/group/cyclic " +
+      "targets refuse by name") {
+    import java.nio.file.{Files, Paths}
+    val f = Hdf5.decode(fixtureExtLinks(Seq(("le", "b.h5", "/temp"))))
+    assert(f.datasets.isEmpty && f.externalLinks ==
+      Seq(Hdf5.ExternalLink("/le", "b.h5", "/temp")))
+    // two real files on disk: a.h5 links into b.h5, c.h5 chains a → b
+    val dir = Files.createTempDirectory("graft_h5ext")
+    Files.write(dir.resolve("b.h5"), fixtureV2()._1)
+    Files.write(dir.resolve("c.h5"),
+      fixtureExtLinks(Seq(("lx", "b.h5", "temp")))) // relative obj path
+    Files.write(dir.resolve("a.h5"), fixtureExtLinks(Seq(
+      ("le", "b.h5", "/temp"),
+      ("le2", "c.h5", "/lx"),     // chain: a → c → b
+      ("lc", "a.h5", "/lc"),      // self-cycle
+      ("lm", "nope.h5", "/x"),    // missing file
+      ("ld", "b.h5", "/nope"),    // missing dataset
+      ("lg", "b.h5", "/"),        // group target
+      ("la", "/etc/x.h5", "/x"),  // absolute file name
+      ("lp", "../b.h5", "/temp")  // dotted file name
+    )))
+    val aPath = dir.resolve("a.h5").toString
+    val a = Hdf5.decode(Files.readAllBytes(dir.resolve("a.h5")))
+    def linkOf(n: String) = a.externalLinks.find(_.path == n).get
+    def decodeFile(p: String) = Hdf5.decode(Files.readAllBytes(Paths.get(p)))
+    // direct + chained resolution (the chain normalizes 'temp' → '/temp')
+    assert(Hdf5.resolveExternalLink(aPath, linkOf("/le"), decodeFile) ==
+      ((dir.resolve("b.h5").toString, "/temp")))
+    assert(Hdf5.resolveExternalLink(aPath, linkOf("/le2"), decodeFile) ==
+      ((dir.resolve("b.h5").toString, "/temp")))
+    def refuses(n: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Hdf5.resolveExternalLink(aPath, linkOf(n), decodeFile)
+      }
+      assert(e.getMessage.contains(needle), s"$n: ${e.getMessage}")
+    }
+    refuses("/lc", "cycle")
+    refuses("/lm", "missing")
+    refuses("/ld", "no dataset")
+    refuses("/lg", "GROUP")
+    refuses("/la", "absolute")
+    refuses("/lp", "absolute or carries")
+  }
+
+  test("H5GridSource follows an EXPLICITLY-selected external link to " +
+      "the sibling file (rows labeled with the linking file + link " +
+      "name); unfiltered scans never follow links") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_h5ext_dsv2")
+    Files.write(dir.resolve("b.h5"), fixtureV2()._1)
+    Files.write(dir.resolve("a.h5"),
+      fixtureExtLinks(Seq(("le", "b.h5", "/temp"))))
+    // unfiltered scan: only b.h5's /temp rows — the link reads nothing
+    // (paths come back in the listing's URI form, so match by suffix)
+    val all = spark.read.format("graft.sources.H5GridSource")
+      .option("path", dir.toString).load()
+      .select("path", "dataset").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all.map { case (p, d) => (p.endsWith("b.h5"), d) } ==
+      Set((true, "/temp")), all)
+    // explicit selection of the link name: b's cells under a's label
+    val viaLink = spark.read.format("graft.sources.H5GridSource")
+      .option("path", dir.toString).option("dataset", "/le").load()
+      .collect()
+    assert(viaLink.nonEmpty)
+    viaLink.foreach { r =>
+      assert(r.getString(0).endsWith("a.h5"), r.getString(0))
+      assert(r.getString(1) == "/le")
+    }
+    val direct = spark.read.format("graft.sources.H5GridSource")
+      .option("path", dir.toString).option("dataset", "/temp").load()
+      .select("x", "y", "value").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val linked = viaLink
+      .map(r => (r.getInt(2), r.getInt(3), r.getDouble(4))).toSet
+    assert(linked == direct, s"$linked != $direct")
+    // dataset FILTYER (not option) routes through the same planning
+    val filtered = spark.read.format("graft.sources.H5GridSource")
+      .option("path", dir.toString).load()
+      .where(org.apache.spark.sql.functions.col("dataset") === "/le")
+      .count()
+    assert(filtered == viaLink.length)
+  }
+
   // ---- fixture B: superblock v0, v1 headers, TREE/SNOD/HEAP groups ----
 
   private def fixtureV0: Array[Byte] = {
