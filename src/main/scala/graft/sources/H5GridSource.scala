@@ -84,26 +84,15 @@ object H5GridSource {
         (d.aliasOf.isEmpty || (explicit && want(d.path))))
       .map(_.path).filter(want)
 
-  /** [[gridNames]] from a file's bounded header prefix (full-read
-    * fallback once per file at PLAN time only). */
-  private[graft] def planningNames(file: String, want: String => Boolean,
-      explicit: Boolean): Seq[String] = {
-    val (prefix, len) = GridFiles.readPrefix(file, HeaderPrefixBytes)
-    // metaOnly: chunk indexes (which live past the prefix in real
-    // files, interleaved with data) stay unresolved — the planner
-    // only needs names and dims, and tasks re-decode fully
-    try gridNames(Hdf5.decode(prefix, metaOnly = true), want, explicit)
-    catch {
-      case _: Exception if len > prefix.length =>
-        gridNames(Hdf5.decode(GridFiles.readBytes(file), metaOnly = true),
-          want, explicit)
-    }
-  }
-
   /** Bounded-prefix metaOnly decode with the full-read fallback — the
-    * planner's per-file read discipline, shared by [[planningNames]]'
-    * shape and the external-link resolution path. */
-  private def planningDecode(file: String): Hdf5.Hdf5File = {
+    * planner's ONE per-file read discipline (metaOnly: chunk indexes,
+    * which live past the prefix in real files interleaved with data,
+    * stay unresolved — the planner only needs names and dims, and
+    * tasks re-decode fully). Shared by the names path and the
+    * external-link path; planInputPartitions memoizes it per file so
+    * an explicit scan of cross-linked granules decodes each file
+    * once. */
+  private[graft] def planningDecode(file: String): Hdf5.Hdf5File = {
     val (prefix, len) = GridFiles.readPrefix(file, HeaderPrefixBytes)
     try Hdf5.decode(prefix, metaOnly = true)
     catch {
@@ -112,34 +101,30 @@ object H5GridSource {
     }
   }
 
-  /** EXTERNAL-LINK selections of `file`, resolved at PLAN time:
+  /** [[gridNames]] over [[planningDecode]] (kept for the non-memoized
+    * single-file callers). */
+  private[graft] def planningNames(file: String, want: String => Boolean,
+      explicit: Boolean): Seq[String] =
+    gridNames(planningDecode(file), want, explicit)
+
+  /** EXTERNAL-LINK selections of an already-decoded source file:
     * `(link name, target file, target dataset)` for every external
     * link an EXPLICIT dataset option/filter names — the soft-link
     * alias discipline extended across files (an unfiltered scan never
     * follows links, so each dataset is read once; an explicit
     * selection may address the link name and pays the bounded target
     * reads). Non-rank-2 targets are filtered exactly like
-    * [[gridNames]] filters regular datasets. Every read here is a
-    * bounded header prefix (full-read fallback), target decodes
-    * memoized per planning call. */
-  private[graft] def planningExternal(file: String,
-      want: String => Boolean): Seq[(String, String, String)] = {
-    // a source file the planner cannot decode contributes no external
-    // partitions — layerSplits already planned its loud whole-file
-    // split; RESOLUTION failures past this point still refuse at plan
-    // time (the user explicitly addressed the link)
-    val src =
-      try planningDecode(file)
-      catch { case _: Exception => return Nil }
-    if (src.externalLinks.isEmpty) return Nil
-    val cache = scala.collection.mutable.HashMap.empty[String, Hdf5.Hdf5File]
-    def decodeFile(f: String) = cache.getOrElseUpdate(f, planningDecode(f))
+    * [[gridNames]] filters regular datasets. `decodeFile` is the
+    * caller's MEMOIZED planning decode, so a master file linked by
+    * many granules decodes once per plan. */
+  private[graft] def externalEntries(file: String, src: Hdf5.Hdf5File,
+      want: String => Boolean,
+      decodeFile: String => Hdf5.Hdf5File): Seq[(String, String, String)] =
     src.externalLinks.filter(l => want(l.path)).flatMap { l =>
       val (tFile, tDs) = Hdf5.resolveExternalLink(file, l, decodeFile)
       val d = decodeFile(tFile).datasetAt(tDs)
       if (d.dims.size == 2) Some((l.path, tFile, tDs)) else None
     }
-  }
 }
 
 final class H5GridTable(path: String, dataset: Option[String],
@@ -206,22 +191,46 @@ final class H5Scan(path: String, dsOpt: Option[String],
       n => dsOpt.forall(_ == n) && dsPreds.forall(_(n))
     val explicit = dsOpt.nonEmpty || dsPreds.nonEmpty
     val files = H5GridSource.listFiles(path)
+    // ONE memoized planning decode per file, shared by the names path
+    // and the external-link path (a master file cross-linked by many
+    // granules still decodes once)
+    val decoded =
+      scala.collection.mutable.HashMap.empty[String, util.Optional[Hdf5.Hdf5File]]
+    def dec(f: String): Option[Hdf5.Hdf5File] = {
+      val v = decoded.getOrElseUpdate(f,
+        try util.Optional.of(H5GridSource.planningDecode(f))
+        catch { case _: Exception => util.Optional.empty() })
+      if (v.isPresent) Some(v.get) else None
+    }
     val splits = GridFiles.layerSplits(files,
       f => pathPreds.forall(_(f)),
-      f => H5GridSource.planningNames(f, want, explicit),
+      f => H5GridSource.gridNames(
+        dec(f).getOrElse(throw new IllegalArgumentException(
+          s"planning decode failed for $f")), want, explicit),
       _ => true, maxSplitsPerFile)
       .map { case (f, group) => H5Partition(f, group): InputPartition }
-    // EXPLICITLY-selected external links plan one partition each
-    // against the TARGET file (bounded prefix reads at plan time);
-    // unfiltered scans never follow links — the alias discipline
+    // EXPLICITLY-selected external links, GROUPED BY TARGET FILE so a
+    // stitch file with many links pays ONE task-side read per target;
+    // unfiltered scans never follow links — the alias discipline. A
+    // source the planner cannot decode contributes nothing here (its
+    // loud whole-file split is already planned); resolution failures
+    // past that still refuse at plan time — the user addressed the
+    // link by name.
     val ext =
       if (!explicit) Nil
-      else files.filter(f => pathPreds.forall(_(f))).flatMap { f =>
-        H5GridSource.planningExternal(f, want).map {
-          case (link, tFile, tDs) =>
-            H5ExtPartition(f, link, tFile, tDs): InputPartition
+      else files.filter(f => pathPreds.forall(_(f)))
+        .flatMap { f =>
+          dec(f).toSeq.flatMap { src =>
+            H5GridSource.externalEntries(f, src, want,
+              p => dec(p).getOrElse(throw new IllegalArgumentException(
+                s"external link target $p failed to decode")))
+              .map { case (link, tFile, tDs) => (tFile, (f, link, tDs)) }
+          }
         }
-      }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (tFile, es) =>
+          H5ExtPartition(tFile, es.map(_._2)): InputPartition
+        }
     (splits ++ ext).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -231,12 +240,13 @@ final class H5Scan(path: String, dsOpt: Option[String],
 final case class H5Partition(file: String, datasets: Option[Seq[String]])
     extends InputPartition
 
-/** An explicitly-selected EXTERNAL link: rows read from
-  * `targetFile`:`targetDataset` but labeled with the LINKING file's
-  * path and the LINK name — the names the user's predicates matched
-  * at planning (Spark re-checks filters post-scan). */
-final case class H5ExtPartition(file: String, link: String,
-    targetFile: String, targetDataset: String) extends InputPartition
+/** Explicitly-selected EXTERNAL links into one target file: each
+  * entry is `(linking file, link name, target dataset)` — rows read
+  * from `targetFile` once per partition but labeled with the LINKING
+  * file's path and the LINK name, the names the user's predicates
+  * matched at planning (Spark re-checks filters post-scan). */
+final case class H5ExtPartition(targetFile: String,
+    entries: Seq[(String, String, String)]) extends InputPartition
 
 final class H5ReaderFactory(fields: Array[String], dsOpt: Option[String],
     keepFill: Boolean) extends PartitionReaderFactory {
@@ -255,36 +265,43 @@ final class H5ReaderFactory(fields: Array[String], dsOpt: Option[String],
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
-      private val (pathUtf, cells) = partition match {
-        case p: H5Partition =>
-          val bytes = GridFiles.readBytes(p.file)
-          val f = Hdf5.decode(bytes)
-          // the fallback whole-file split reads every (option-matching)
-          // rank-2 dataset, with the planner's exact alias semantics
-          val names = p.datasets.getOrElse(
-            H5GridSource.gridNames(f, n => dsOpt.forall(_ == n), dsOpt.nonEmpty))
-          (UTF8String.fromString(p.file), names.iterator.flatMap { n =>
-            val nUtf = UTF8String.fromString(n)
-            Hdf5.gridCells(bytes, f, n)
-              .filter(c => keepFill || !c.value.isNaN)
-              .map(c => (nUtf, c))
-          })
-        case pe: H5ExtPartition =>
-          // external link: data from the TARGET file, rows labeled
-          // with the LINKING file + link name the planner matched
-          val bytes = GridFiles.readBytes(pe.targetFile)
-          val f = Hdf5.decode(bytes)
-          val nUtf = UTF8String.fromString(pe.link)
-          (UTF8String.fromString(pe.file),
-            Hdf5.gridCells(bytes, f, pe.targetDataset)
-              .filter(c => keepFill || !c.value.isNaN)
-              .map(c => (nUtf, c)))
-      }
+      // (path label, dataset label, cell) — both partition kinds feed
+      // the same row loop
+      private val cells: Iterator[(UTF8String, UTF8String, Hdf5.GridCell)] =
+        partition match {
+          case p: H5Partition =>
+            val bytes = GridFiles.readBytes(p.file)
+            val f = Hdf5.decode(bytes)
+            // the fallback whole-file split reads every (option-matching)
+            // rank-2 dataset, with the planner's exact alias semantics
+            val names = p.datasets.getOrElse(
+              H5GridSource.gridNames(f, n => dsOpt.forall(_ == n), dsOpt.nonEmpty))
+            val pathUtf = UTF8String.fromString(p.file)
+            names.iterator.flatMap { n =>
+              val nUtf = UTF8String.fromString(n)
+              Hdf5.gridCells(bytes, f, n)
+                .filter(c => keepFill || !c.value.isNaN)
+                .map(c => (pathUtf, nUtf, c))
+            }
+          case pe: H5ExtPartition =>
+            // external links: ONE read+decode of the target file, rows
+            // labeled per entry with the LINKING file + link name the
+            // planner matched
+            val bytes = GridFiles.readBytes(pe.targetFile)
+            val f = Hdf5.decode(bytes)
+            pe.entries.iterator.flatMap { case (src, link, tDs) =>
+              val srcUtf = UTF8String.fromString(src)
+              val nUtf = UTF8String.fromString(link)
+              Hdf5.gridCells(bytes, f, tDs)
+                .filter(c => keepFill || !c.value.isNaN)
+                .map(c => (srcUtf, nUtf, c))
+            }
+        }
       private var current: InternalRow = _
 
       override def next(): Boolean = {
         if (!cells.hasNext) return false
-        val (nUtf, c) = cells.next()
+        val (pathUtf, nUtf, c) = cells.next()
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(codes.length)
         var i = 0
         while (i < codes.length) {

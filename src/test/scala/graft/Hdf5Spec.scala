@@ -280,12 +280,25 @@ class Hdf5Spec extends SparkSpec {
     val linked = viaLink
       .map(r => (r.getInt(2), r.getInt(3), r.getDouble(4))).toSet
     assert(linked == direct, s"$linked != $direct")
-    // dataset FILTYER (not option) routes through the same planning
+    // dataset FILTER (not option) routes through the same planning
     val filtered = spark.read.format("graft.sources.H5GridSource")
       .option("path", dir.toString).load()
       .where(org.apache.spark.sql.functions.col("dataset") === "/le")
       .count()
     assert(filtered == viaLink.length)
+    // two linking files into ONE target plan a single grouped ext
+    // partition — the target file is read once, not once per link
+    Files.write(dir.resolve("a2.h5"),
+      fixtureExtLinks(Seq(("le", "b.h5", "/temp"))))
+    val parts = new graft.sources.H5Scan(dir.toString, Some("/le"),
+      graft.sources.H5GridSource.fullSchema, false, Nil, Nil, 8)
+      .planInputPartitions()
+    val extParts = parts.collect { case e: graft.sources.H5ExtPartition => e }
+    assert(extParts.length == 1 && extParts.head.entries.length == 2,
+      parts.toSeq.toString)
+    val twice = spark.read.format("graft.sources.H5GridSource")
+      .option("path", dir.toString).option("dataset", "/le").load().count()
+    assert(twice == 2L * viaLink.length)
   }
 
   // ---- fixture B: superblock v0, v1 headers, TREE/SNOD/HEAP groups ----
