@@ -890,7 +890,19 @@ object Hdf5 {
   /** Fixed-array chunk index (spec III.G): FAHD header → FADB data
     * block; elements are chunk addresses (client 0) or
     * `{address, size, filter mask}` records (client 1, filtered).
-    * PAGED data blocks (entries past 2^pageBits) refuse loudly. */
+    *
+    * PAGED data blocks (max entries past 2^pageBits) decode as of r13:
+    * the FADB then carries a page-init BITMAP (no inline elements) and
+    * its checksum, with the pages laid out contiguously after it —
+    * each page 2^pageBits elements (last page the remainder) plus a
+    * 4-byte checksum. Uninitialized pages hold no chunks (fill shows
+    * through). Bitmap BYTES are classified conservatively: all-zero =
+    * every covered page uninitialized, popcount == covered pages =
+    * every one initialized; a MIXED byte refuses by name — the
+    * within-byte bit order is a library convention this reader has no
+    * ground-truth file to pin, and guessing it would silently blank
+    * (or garbage) whole pages. Fully-written archive cubes — the
+    * common shape — never hit the refusal. */
   private def walkFixedArray(r: Reader, addr: Long, nChunks: Long,
       chunkBytes: Long, filtered: Boolean, originOf: Long => Seq[Long],
       path: String): Seq[ChunkRef] = {
@@ -909,24 +921,22 @@ object Hdf5 {
     val dbAddr = r.i64(addr + 16)
     require(maxEntries >= nChunks,
       s"dataset '$path': fixed array holds $maxEntries entries < $nChunks chunks")
-    require(maxEntries <= (1L << pageBits),
-      s"dataset '$path': PAGED fixed-array data block " +
-        s"($maxEntries entries > 2^$pageBits page) unsupported — " +
-        "refusing to guess the page layout")
     if (dbAddr == Undef) return Nil
     val szChunkField = entrySize - 12 // filtered entry: addr(8)+size+mask(4)
     require(if (filtered) szChunkField >= 1 && szChunkField <= 8
             else entrySize == 8,
       s"dataset '$path': fixed-array entry size $entrySize off-shape")
     val headLen = 6 + 8 // sig+ver+client + header addr
-    r.in(dbAddr, headLen + nChunks * entrySize)
+    val pageSize = 1L << pageBits
+    val paged = maxEntries > pageSize
+    val nPages = if (paged) (maxEntries + pageSize - 1) / pageSize else 1L
+    val bmBytes = if (paged) ((nPages + 7) / 8).toInt else 0
+    r.in(dbAddr, headLen + (if (paged) bmBytes + 4L else nChunks * entrySize))
     require(r.sig4(dbAddr) == "FADB",
       s"dataset '$path': fixed-array data block missing FADB signature")
     require(r.i64(dbAddr + 6) == addr,
       s"dataset '$path': FADB header back-pointer mismatch")
-    val elems = dbAddr + headLen
-    (0L until nChunks).flatMap { i =>
-      val p = elems + i * entrySize
+    def readElem(i: Long, p: Long): Option[ChunkRef] = {
       val a = r.i64(p)
       if (a == Undef) None
       else if (!filtered) Some(ChunkRef(originOf(i), chunkBytes, 0, a))
@@ -936,6 +946,49 @@ object Hdf5 {
         Some(ChunkRef(originOf(i), sz, mask, a))
       }
     }
+    if (!paged) {
+      val elems = dbAddr + headLen
+      (0L until nChunks).flatMap(i => readElem(i, elems + i * entrySize))
+    } else {
+      val bmAt = dbAddr + headLen
+      val pagesAt = bmAt + bmBytes + 4 // bitmap, FADB checksum, pages
+      // conservative page-init classification, per bitmap BYTE
+      val pageInit: Long => Boolean = pageInitClassifier(r, bmAt, nPages,
+        path, "fixed-array")
+      val verified = scala.collection.mutable.Set.empty[Long]
+      (0L until nChunks).flatMap { i =>
+        val pg = i / pageSize
+        if (!pageInit(pg)) None
+        else {
+          val pAddr = pagesAt + pg * (pageSize * entrySize + 4)
+          if (verified.add(pg)) {
+            val elemsInPage = math.min(pageSize, maxEntries - pg * pageSize)
+            r.in(pAddr, elemsInPage * entrySize + 4)
+          }
+          readElem(i, pAddr + (i % pageSize) * entrySize)
+        }
+      }
+    }
+  }
+
+  /** Page-init bitmap classifier shared by the paged fixed/extensible
+    * array walks: per bitmap byte, all-zero ⇒ every covered page
+    * uninitialized, popcount == covered-page count ⇒ every one
+    * initialized; a MIXED byte refuses by name (the within-byte bit
+    * order is a library convention with no ground truth available
+    * here — guessing would silently blank or garble whole pages). */
+  private def pageInitClassifier(r: Reader, bmAt: Long, nPages: Long,
+      path: String, kind: String): Long => Boolean = { pg =>
+    val byteIdx = pg >> 3
+    val b = r.u8(bmAt + byteIdx)
+    val covered = math.min(8L, nPages - byteIdx * 8).toInt
+    if (b == 0) false
+    else if (Integer.bitCount(b) == covered) true
+    else throw new IllegalArgumentException(
+      s"dataset '$path': $kind page bitmap byte $byteIdx is PARTIALLY " +
+        s"initialized (0x${b.toHexString} for $covered pages) — the " +
+        "within-byte bit order is unverified; sparse paged blocks " +
+        "unsupported")
   }
 
   /** Extensible-array chunk index (spec III.H) — the index the HDF5
@@ -947,8 +1000,15 @@ object Hdf5 {
     * of minElmts·2^⌊(u+1)/2⌋ elements — with the first
     * 2·log2(minPtrs) generations' data blocks addressed straight from
     * the index block and later generations through EASB super blocks.
-    * PAGED data blocks (nelmts > 2^pageBits) refuse by name. Element
-    * shape matches the fixed array's: addr(8) unfiltered;
+    * PAGED super-block data blocks (nelmts > 2^pageBits) decode as of
+    * r13: the super block carries a page-init bitmap (ndblks ×
+    * pagesPerBlock bits) before its address table, paged EADBs hold
+    * no inline elements (header + checksum, pages follow — each
+    * 2^pageBits elements + checksum), uninitialized pages fill, and
+    * MIXED bitmap bytes refuse by name ([[pageInitClassifier]]).
+    * Paged blocks addressed from the INDEX block refuse — the library
+    * pages only super-block data blocks. Element shape matches the
+    * fixed array's: addr(8) unfiltered;
     * addr(8)+size(var)+mask(4) filtered. */
   private def walkExtensibleArray(r: Reader, addr: Long,
       params: (Int, Int, Int, Int, Int), nChunks: Long, chunkBytes: Long,
@@ -1035,16 +1095,22 @@ object Hdf5 {
         Some(ChunkRef(originOf(i), sz, mask, a))
       }
     }
-    // data-block element base: cached per data block address
+    val pageSize = 1L << pageBits
+    // EADB header check + element base, cached per data block address.
+    // `paged` blocks (elements past one page) carry NO inline elements:
+    // header + checksum, then the pages laid out contiguously — each
+    // pageSize elements + a 4-byte checksum (spec III.H; the page-init
+    // bitmap lives in the OWNING SUPER BLOCK, not here).
     val dblkBase = scala.collection.mutable.HashMap.empty[Long, Long]
-    def dblkElemsAt(dbAddr: Long, nelmts: Long): Long =
+    def dblkElemsAt(dbAddr: Long, nelmts: Long, paged: Boolean): Long =
       dblkBase.getOrElseUpdate(dbAddr, {
-        require(nelmts <= (1L << pageBits),
+        require(paged || nelmts <= pageSize,
           s"dataset '$path': PAGED extensible-array data block " +
-            s"($nelmts elements > 2^$pageBits page) unsupported — " +
-            "refusing to guess the page layout")
+            s"($nelmts elements > 2^$pageBits page) addressed from the " +
+            "INDEX block unsupported — the library pages only " +
+            "super-block data blocks")
         val headLen = 14 + arrOffSize
-        r.in(dbAddr, headLen + nelmts * entrySize + 4)
+        r.in(dbAddr, headLen + (if (paged) 4L else nelmts * entrySize + 4))
         require(r.sig4(dbAddr) == "EADB",
           s"dataset '$path': extensible-array data block at $dbAddr " +
             "missing EADB signature")
@@ -1052,25 +1118,26 @@ object Hdf5 {
           s"dataset '$path': EADB version/client off-shape")
         require(r.i64(dbAddr + 6) == addr,
           s"dataset '$path': EADB header back-pointer mismatch")
-        dbAddr + headLen
+        // paged: element base = first page, right after the checksum
+        dbAddr + headLen + (if (paged) 4L else 0L)
       })
-    // super-block data-block address table: cached per generation
-    val sblkTables = scala.collection.mutable.HashMap.empty[Int, Long]
-    def sblkDblkAddrsAt(gen: Int): Long =
+    // super-block geometry: (data-block address table, page-init
+    // classifier), cached per generation. Paged data blocks put the
+    // bitmap (ndblks × pagesPerBlock bits) BEFORE the address table.
+    val sblkTables =
+      scala.collection.mutable.HashMap.empty[Int, (Long, Option[Long => Boolean])]
+    def sblkInfo(gen: Int): (Long, Option[Long => Boolean]) =
       sblkTables.getOrElseUpdate(gen, {
-        // paged data blocks put a page-init bitmap BEFORE the super
-        // block's address table — reading the table at the unpaged
-        // offset would be silently wrong, so refuse before the read
-        require(gens(gen).dblkElmts <= (1L << pageBits),
-          s"dataset '$path': PAGED extensible-array data blocks " +
-            s"(${gens(gen).dblkElmts} elements > 2^$pageBits page) " +
-            "unsupported — refusing to guess the page layout")
+        val paged = gens(gen).dblkElmts > pageSize
+        val pagesPerBlock = if (paged) gens(gen).dblkElmts / pageSize else 0L
+        val nPageBits = gens(gen).ndblks * pagesPerBlock
+        val bmBytes = ((nPageBits + 7) / 8).toInt
         val sbAddr = r.i64(iblkSblksAt + (gen - gensInIdx).toLong * 8)
         require(sbAddr != Undef,
           s"dataset '$path': extensible-array super block $gen unallocated " +
             "but an element inside it is addressed — corrupt index")
         val headLen = 14 + arrOffSize
-        r.in(sbAddr, headLen + gens(gen).ndblks * 8 + 4)
+        r.in(sbAddr, headLen + bmBytes + gens(gen).ndblks * 8 + 4)
         require(r.sig4(sbAddr) == "EASB",
           s"dataset '$path': extensible-array super block at $sbAddr " +
             "missing EASB signature")
@@ -1078,7 +1145,9 @@ object Hdf5 {
           s"dataset '$path': EASB version/client off-shape")
         require(r.i64(sbAddr + 6) == addr,
           s"dataset '$path': EASB header back-pointer mismatch")
-        sbAddr + headLen
+        (sbAddr + headLen + bmBytes,
+          if (paged) Some(pageInitClassifier(r, sbAddr + headLen,
+            nPageBits, path, "extensible-array")) else None)
       })
 
     (0L until nChunks).flatMap { i =>
@@ -1093,12 +1162,32 @@ object Hdf5 {
             s"$maxBits-bit capacity")
         val dblkIdx = gen.startDblk + (idx - gen.startIdx) / gen.dblkElmts
         val within = (idx - gen.startIdx) % gen.dblkElmts
-        val dbAddrAt =
-          if (g < gensInIdx) iblkDblksAt + dblkIdx * 8
-          else sblkDblkAddrsAt(g) + (dblkIdx - gen.startDblk) * 8
-        val dbAddr = r.i64(dbAddrAt)
-        if (dbAddr == Undef) None // whole block unallocated → fill
-        else refOf(i, dblkElemsAt(dbAddr, gen.dblkElmts) + within * entrySize)
+        if (g < gensInIdx) {
+          val dbAddr = r.i64(iblkDblksAt + dblkIdx * 8)
+          if (dbAddr == Undef) None // whole block unallocated → fill
+          else refOf(i, dblkElemsAt(dbAddr, gen.dblkElmts, paged = false) +
+            within * entrySize)
+        } else {
+          val (tableAt, pageInit) = sblkInfo(g)
+          val dblkInSblk = dblkIdx - gen.startDblk
+          val dbAddr = r.i64(tableAt + dblkInSblk * 8)
+          if (dbAddr == Undef) None // whole block unallocated → fill
+          else pageInit match {
+            case None =>
+              refOf(i, dblkElemsAt(dbAddr, gen.dblkElmts, paged = false) +
+                within * entrySize)
+            case Some(init) =>
+              val pagesPerBlock = gen.dblkElmts / pageSize
+              val page = within / pageSize
+              if (!init(dblkInSblk * pagesPerBlock + page)) None // fill
+              else {
+                val base = dblkElemsAt(dbAddr, gen.dblkElmts, paged = true)
+                val pAddr = base + page * (pageSize * entrySize + 4)
+                r.in(pAddr, pageSize * entrySize + 4)
+                refOf(i, pAddr + (within % pageSize) * entrySize)
+              }
+          }
+        }
       }
     }
   }

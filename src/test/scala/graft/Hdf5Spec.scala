@@ -972,6 +972,225 @@ class Hdf5Spec extends SparkSpec {
     assert(e3.getMessage.contains("corrupt index parameters"), e3.getMessage)
   }
 
+  // ---- paged fixed array (spec III.G): FADB carries a page-init
+  // bitmap + checksum, pages follow contiguously, each page =
+  // 2^pageBits elements + its own 4-byte checksum ----
+  private def fixturePagedFA(bm: Seq[Int]): Array[Byte] = {
+    val dsHdrAt = 128; val fahdAt = 384; val fadbAt = 416
+    // 2×5 grid of 1×1 int16 chunks, pageBits 0 → 10 one-element pages
+    val nChunks = 10
+    val pageLen = 8 + 4 // one 8-byte element + page checksum
+    val bmBytes = 2
+    val pagesAt = fadbAt + 14 + bmBytes + 4
+    val dataAt = pagesAt + nChunks * pageLen
+    val total = dataAt + nChunks * 2
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    sig(out)
+    out.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    out.putLong(0L).putLong(Undef).putLong(total.toLong).putLong(48L)
+    out.putInt(0)
+    val rootMsgs = msgV2(0x06, le { b =>
+      b.put(1.toByte).put(0.toByte)
+      b.put(4.toByte).put("temp".getBytes("US-ASCII"))
+      b.putLong(dsHdrAt.toLong)
+    })
+    out.position(48)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    out.put(rootMsgs.length.toByte).put(rootMsgs).putInt(0)
+    val dsMsgs = Array(
+      msgV2(0x01, dsRank2V2(2, 5)),
+      msgV2(0x03, dtInt16),
+      msgV2(0x05, le { b =>
+        b.put(3.toByte).put(0x20.toByte).putInt(2).putShort(-7)
+      }),
+      msgV2(0x08, le { b =>
+        b.put(4.toByte).put(2.toByte).put(0.toByte)
+        b.put(3.toByte).put(1.toByte)
+        b.put(1.toByte).put(1.toByte).put(2.toByte) // 1×1 chunks + elt size
+        b.put(3.toByte)                             // index type 3
+        b.put(0.toByte)                             // page bits (re-read)
+        b.putLong(fahdAt.toLong)
+      })).flatten
+    out.position(dsHdrAt)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(1.toByte)
+    out.putShort(dsMsgs.length.toShort).put(dsMsgs).putInt(0)
+    out.position(fahdAt)
+    out.put("FAHD".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    out.put(8.toByte).put(0.toByte) // entry size 8, page bits 0 → paged
+    out.putLong(nChunks.toLong).putLong(fadbAt.toLong)
+    out.putInt(0)
+    out.position(fadbAt)
+    out.put("FADB".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    out.putLong(fahdAt.toLong)
+    bm.foreach(b => out.put(b.toByte)) // page-init bitmap
+    out.putInt(0)                      // FADB checksum
+    // pages: element (chunk address) + page checksum; uninit pages
+    // left zeroed — reading them would yield a garbage chunk at 0,
+    // which is exactly what the bitmap must prevent
+    (0 until nChunks).foreach { i =>
+      val init = (bm(i >> 3) & 0xFF) != 0
+      out.position(pagesAt + i * pageLen)
+      if (init) out.putLong(dataAt + i * 2L)
+      out.position(pagesAt + i * pageLen + 8)
+      out.putInt(0)
+    }
+    (0 until nChunks).foreach { i =>
+      out.position(dataAt + i * 2)
+      out.putShort((100 + i).toShort)
+    }
+    out.array()
+  }
+
+  test("paged fixed-array chunk index: page-init bitmap honored " +
+      "(uninitialized pages fill), mixed bitmap bytes refuse by name") {
+    // byte 0 = 0xFF (pages 0-7 init), byte 1 = 0x00 (pages 8-9 fill)
+    val bytes = fixturePagedFA(Seq(0xFF, 0x00))
+    val got = Hdf5.read(bytes, Hdf5.decode(bytes), "/temp").toSeq
+    assert(got == (0 until 8).map(100.0 + _) ++ Seq(-7.0, -7.0), got)
+    // a partially-initialized bitmap byte is AMBIGUOUS (within-byte
+    // bit order is a library convention with no ground truth here)
+    val mixed = fixturePagedFA(Seq(0x0F, 0x00))
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.read(mixed, Hdf5.decode(mixed), "/temp")
+    }
+    assert(e.getMessage.contains("PARTIALLY"), e.getMessage)
+    // popcount matching the covered-page count also accepts the tail
+    // byte (pages 8-9 init, trailing bits zero under either order)
+    val tail = fixturePagedFA(Seq(0xFF, 0x03))
+    val got2 = Hdf5.read(tail, Hdf5.decode(tail), "/temp").toSeq
+    assert(got2 == (0 until 10).map(100.0 + _), got2)
+  }
+
+  // ---- paged extensible array (spec III.H): the g3 generation's
+  // data blocks exceed one page, so the OWNING SUPER BLOCK carries the
+  // page-init bitmap before its address table and the paged EADB holds
+  // header + checksum with the pages laid out after it ----
+  private def fixturePagedEA(g3Bitmap: Int): Array[Byte] = {
+    // minElmts=1 minPtrs=2 idxElmts=1 maxBits=8 pageBits=1 (pageSize 2)
+    // gens: g0 1×1, g1 1×2 (index-addressed), g2 2×2 (EASB, unpaged),
+    // g3 2×4 (EASB, PAGED: 2 pages/block). 2×6 grid of 1×1 int16
+    // chunks: chunk 0 inline, 1→g0, 2-3→g1, 4-7→g2, 8-11→g3 dblk4.
+    val dsHdrAt = 128; val eahdAt = 384
+    val eaibAt = eahdAt + 72
+    val eaibLen = 14 + 8 + 2 * 8 + 7 * 8 + 4 // 1 elem, 2 dblks, 7 sblks
+    val sblk2At = eaibAt + eaibLen
+    val sblk2Len = 15 + 2 * 8 + 4            // no bitmap, 2 addrs
+    val sblk3At = sblk2At + sblk2Len
+    val sblk3Len = 15 + 1 + 2 * 8 + 4        // 4-bit bitmap byte, 2 addrs
+    // unpaged EADBs: header 15 + elems×8 + checksum
+    val db0At = sblk3At + sblk3Len; val db0Len = 15 + 8 + 4
+    val db1At = db0At + db0Len; val db1Len = 15 + 16 + 4
+    val db2At = db1At + db1Len; val db2Len = 15 + 16 + 4
+    val db3At = db2At + db2Len; val db3Len = 15 + 16 + 4
+    // paged EADB: header 15 + checksum 4, then 2 pages × (2×8 + 4)
+    val db4At = db3At + db3Len; val db4Len = 15 + 4 + 2 * (16 + 4)
+    val dataAt = db4At + db4Len
+    val total = dataAt + 12 * 2
+    def chunkAddr(i: Int): Long = dataAt + i * 2L
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    sig(out)
+    out.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    out.putLong(0L).putLong(Undef).putLong(total.toLong).putLong(48L)
+    out.putInt(0)
+    val rootMsgs = msgV2(0x06, le { b =>
+      b.put(1.toByte).put(0.toByte)
+      b.put(4.toByte).put("temp".getBytes("US-ASCII"))
+      b.putLong(dsHdrAt.toLong)
+    })
+    out.position(48)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    out.put(rootMsgs.length.toByte).put(rootMsgs).putInt(0)
+    val dsMsgs = Array(
+      msgV2(0x01, dsRank2V2(2, 6)),
+      msgV2(0x03, dtInt16),
+      msgV2(0x05, le { b =>
+        b.put(3.toByte).put(0x20.toByte).putInt(2).putShort(-7)
+      }),
+      msgV2(0x08, le { b =>
+        b.put(4.toByte).put(2.toByte).put(0.toByte)
+        b.put(3.toByte).put(1.toByte)
+        b.put(1.toByte).put(1.toByte).put(2.toByte)
+        b.put(4.toByte) // index type 4 (extensible array)
+        // params: max bits, idx elmts, min ptrs, min elmts, page bits
+        b.put(8.toByte).put(1.toByte).put(2.toByte).put(1.toByte).put(1.toByte)
+        b.putLong(eahdAt.toLong)
+      })).flatten
+    out.position(dsHdrAt)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(1.toByte)
+    out.putShort(dsMsgs.length.toShort).put(dsMsgs).putInt(0)
+    out.position(eahdAt)
+    out.put("EAHD".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    out.put(8.toByte).put(8.toByte).put(1.toByte) // entry, maxBits, idxElmts
+    out.put(1.toByte).put(2.toByte).put(1.toByte) // minElmts, minPtrs, pageBits
+    (0 until 6).foreach(_ => out.putLong(0L))
+    out.putLong(eaibAt.toLong)
+    out.putInt(0)
+    out.position(eaibAt)
+    out.put("EAIB".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    out.putLong(eahdAt.toLong)
+    out.putLong(chunkAddr(0))                 // the one inline element
+    out.putLong(db0At.toLong).putLong(db1At.toLong) // g0, g1 data blocks
+    out.putLong(sblk2At.toLong).putLong(sblk3At.toLong)
+    (2 until 7).foreach(_ => out.putLong(Undef))
+    out.putInt(0)
+    // g2 super block: no bitmap (2-element blocks fit the 2-elem page)
+    out.position(sblk2At)
+    out.put("EASB".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    out.putLong(eahdAt.toLong).put(3.toByte)  // block offset (1 byte)
+    out.putLong(db2At.toLong).putLong(db3At.toLong)
+    out.putInt(0)
+    // g3 super block: PAGED — 4-bit page-init bitmap BEFORE the table
+    out.position(sblk3At)
+    out.put("EASB".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    out.putLong(eahdAt.toLong).put(7.toByte)
+    out.put(g3Bitmap.toByte)
+    out.putLong(db4At.toLong).putLong(Undef)  // dblk5 unallocated
+    out.putInt(0)
+    def eadb(at: Int, offset: Int, elems: Seq[Long]): Unit = {
+      out.position(at)
+      out.put("EADB".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      out.putLong(eahdAt.toLong).put(offset.toByte)
+      elems.foreach(out.putLong)
+      out.putInt(0)
+    }
+    eadb(db0At, 0, Seq(chunkAddr(1)))
+    eadb(db1At, 1, Seq(chunkAddr(2), chunkAddr(3)))
+    eadb(db2At, 3, Seq(chunkAddr(4), chunkAddr(5)))
+    eadb(db3At, 5, Seq(chunkAddr(6), chunkAddr(7)))
+    // paged EADB: header + checksum, then pages (elements + checksum)
+    out.position(db4At)
+    out.put("EADB".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    out.putLong(eahdAt.toLong).put(7.toByte)
+    out.putInt(0) // EADB checksum
+    out.putLong(chunkAddr(8)).putLong(chunkAddr(9)).putInt(0)   // page 0
+    out.putLong(chunkAddr(10)).putLong(chunkAddr(11)).putInt(0) // page 1
+    (0 until 12).foreach { i =>
+      out.position(dataAt + i * 2)
+      out.putShort((100 + i).toShort)
+    }
+    out.array()
+  }
+
+  test("paged extensible-array chunk index: super-block page bitmap + " +
+      "paged EADB pages decode; all-uninit pages fill; mixed bitmap " +
+      "bytes refuse by name") {
+    // bitmap 0x0F: every covered page initialized → all 12 chunks read
+    val full = fixturePagedEA(0x0F)
+    val got = Hdf5.read(full, Hdf5.decode(full), "/temp").toSeq
+    assert(got == (0 until 12).map(100.0 + _), got)
+    // bitmap 0x00: dblk4's pages all uninitialized → chunks 8-11 fill
+    val none = fixturePagedEA(0x00)
+    val got2 = Hdf5.read(none, Hdf5.decode(none), "/temp").toSeq
+    assert(got2 == (0 until 8).map(100.0 + _) ++ Seq.fill(4)(-7.0), got2)
+    // a half-grown bitmap (only dblk4's pages marked) is a MIXED byte:
+    // under the other bit order it would mean dblk5's pages — refuse
+    val mixed = fixturePagedEA(0x03)
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.read(mixed, Hdf5.decode(mixed), "/temp")
+    }
+    assert(e.getMessage.contains("PARTIALLY"), e.getMessage)
+  }
+
   test("independent chunked fixture: type-1 B-tree, shuffle+deflate+" +
       "fletcher32 pipeline, edge clipping, unallocated-chunk fill") {
     val (bytes, chunkDataAt) = fixtureChunked
