@@ -921,6 +921,12 @@ object Hdf5 {
     val dbAddr = r.i64(addr + 16)
     require(maxEntries >= nChunks,
       s"dataset '$path': fixed array holds $maxEntries entries < $nChunks chunks")
+    // corrupt-but-header-consistent params must refuse loudly, never
+    // shift the page/bitmap geometry (1L << 63 goes negative; a huge
+    // maxEntries would Int-truncate the bitmap size) — r13 review
+    require(pageBits <= 32 && maxEntries <= (1L << 32),
+      s"dataset '$path': implausible fixed-array geometry " +
+        s"(pageBits=$pageBits, maxEntries=$maxEntries)")
     if (dbAddr == Undef) return Nil
     val szChunkField = entrySize - 12 // filtered entry: addr(8)+size+mask(4)
     require(if (filtered) szChunkField >= 1 && szChunkField <= 8
@@ -972,23 +978,31 @@ object Hdf5 {
   }
 
   /** Page-init bitmap classifier shared by the paged fixed/extensible
-    * array walks: per bitmap byte, all-zero ⇒ every covered page
-    * uninitialized, popcount == covered-page count ⇒ every one
-    * initialized; a MIXED byte refuses by name (the within-byte bit
-    * order is a library convention with no ground truth available
-    * here — guessing would silently blank or garble whole pages). */
+    * array walks. The within-byte bit order is a library convention
+    * with no ground truth available here, so classification is
+    * bit-order-INDEPENDENT: `relevant` marks the pages that can
+    * legitimately carry a set bit (the extensible array passes
+    * "belongs to an ALLOCATED data block" — a consistent file keeps
+    * unallocated blocks' bits zero under EITHER order, so they never
+    * contribute to the popcount). Per byte: popcount == relevant-page
+    * count ⇒ every relevant page initialized; zero ⇒ none; anything
+    * between is genuinely ambiguous and refuses by name rather than
+    * silently blanking or garbling pages. */
   private def pageInitClassifier(r: Reader, bmAt: Long, nPages: Long,
-      path: String, kind: String): Long => Boolean = { pg =>
+      path: String, kind: String,
+      relevant: Long => Boolean = _ => true): Long => Boolean = { pg =>
     val byteIdx = pg >> 3
     val b = r.u8(bmAt + byteIdx)
-    val covered = math.min(8L, nPages - byteIdx * 8).toInt
+    val first = byteIdx * 8
+    val nRelevant = (first until math.min(first + 8, nPages))
+      .count(relevant)
     if (b == 0) false
-    else if (Integer.bitCount(b) == covered) true
+    else if (Integer.bitCount(b) == nRelevant) relevant(pg)
     else throw new IllegalArgumentException(
       s"dataset '$path': $kind page bitmap byte $byteIdx is PARTIALLY " +
-        s"initialized (0x${b.toHexString} for $covered pages) — the " +
-        "within-byte bit order is unverified; sparse paged blocks " +
-        "unsupported")
+        s"initialized (0x${b.toHexString} for $nRelevant writable " +
+        "pages) — the within-byte bit order is unverified; sparse " +
+        "paged blocks unsupported")
   }
 
   /** Extensible-array chunk index (spec III.H) — the index the HDF5
@@ -1095,6 +1109,10 @@ object Hdf5 {
         Some(ChunkRef(originOf(i), sz, mask, a))
       }
     }
+    // pageBits past 32 would flip pageSize negative (1L << 63) and
+    // silently re-shape every page/bitmap offset — refuse loudly
+    require(pageBits <= 32,
+      s"dataset '$path': implausible extensible-array pageBits=$pageBits")
     val pageSize = 1L << pageBits
     // EADB header check + element base, cached per data block address.
     // `paged` blocks (elements past one page) carry NO inline elements:
@@ -1145,9 +1163,16 @@ object Hdf5 {
           s"dataset '$path': EASB version/client off-shape")
         require(r.i64(sbAddr + 6) == addr,
           s"dataset '$path': EASB header back-pointer mismatch")
-        (sbAddr + headLen + bmBytes,
+        val tableAt = sbAddr + headLen + bmBytes
+        (tableAt,
           if (paged) Some(pageInitClassifier(r, sbAddr + headLen,
-            nPageBits, path, "extensible-array")) else None)
+            nPageBits, path, "extensible-array",
+            // only pages of ALLOCATED data blocks can carry a set bit
+            // — a consistent file keeps unallocated blocks' bits zero
+            // under either bit order, so the half-grown cube (written
+            // blocks + Undef tail) classifies unambiguously
+            pg => r.i64(tableAt + (pg / pagesPerBlock) * 8) != Undef))
+          else None)
       })
 
     (0L until nChunks).flatMap { i =>

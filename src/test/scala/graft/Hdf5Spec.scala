@@ -1172,23 +1172,33 @@ class Hdf5Spec extends SparkSpec {
   }
 
   test("paged extensible-array chunk index: super-block page bitmap + " +
-      "paged EADB pages decode; all-uninit pages fill; mixed bitmap " +
-      "bytes refuse by name") {
-    // bitmap 0x0F: every covered page initialized → all 12 chunks read
-    val full = fixturePagedEA(0x0F)
+      "paged EADB pages decode; all-uninit pages fill; ambiguous " +
+      "bitmap bytes refuse by name") {
+    // bitmap 0x03 — the LIBRARY-REAL half-grown shape: dblk4's two
+    // pages written, dblk5 unallocated (Undef, its bits provably zero
+    // under either bit order) → classification is unambiguous and all
+    // 12 chunks read
+    val full = fixturePagedEA(0x03)
     val got = Hdf5.read(full, Hdf5.decode(full), "/temp").toSeq
     assert(got == (0 until 12).map(100.0 + _), got)
     // bitmap 0x00: dblk4's pages all uninitialized → chunks 8-11 fill
     val none = fixturePagedEA(0x00)
     val got2 = Hdf5.read(none, Hdf5.decode(none), "/temp").toSeq
     assert(got2 == (0 until 8).map(100.0 + _) ++ Seq.fill(4)(-7.0), got2)
-    // a half-grown bitmap (only dblk4's pages marked) is a MIXED byte:
-    // under the other bit order it would mean dblk5's pages — refuse
-    val mixed = fixturePagedEA(0x03)
+    // ONE of dblk4's two pages marked: genuinely ambiguous within the
+    // writable pages — refuse rather than guess the bit order
+    val mixed = fixturePagedEA(0x01)
     val e = intercept[IllegalArgumentException] {
       Hdf5.read(mixed, Hdf5.decode(mixed), "/temp")
     }
     assert(e.getMessage.contains("PARTIALLY"), e.getMessage)
+    // bits set for the UNALLOCATED block's pages: inconsistent file,
+    // same loud refusal
+    val over = fixturePagedEA(0x0F)
+    val e2 = intercept[IllegalArgumentException] {
+      Hdf5.read(over, Hdf5.decode(over), "/temp")
+    }
+    assert(e2.getMessage.contains("PARTIALLY"), e2.getMessage)
   }
 
   test("independent chunked fixture: type-1 B-tree, shuffle+deflate+" +
