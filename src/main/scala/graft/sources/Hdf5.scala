@@ -49,8 +49,9 @@ import org.apache.spark.sql.functions._
   * registered LZF/blosc/zstd), layout message versions before 3,
   * non-IEEE float layouts, shared messages, custom link classes, and
   * metadata offset/length sizes other than 8. SOFT links RESOLVE to
-  * dataset aliases as of r12 (group targets, cycles and dot
-  * components refuse); EXTERNAL links (type 64, the HDF-EOS5 /
+  * dataset aliases as of r12, and GROUP targets alias their subtree's
+  * concrete datasets as of r13 (cycles and dot components refuse);
+  * EXTERNAL links (type 64, the HDF-EOS5 /
   * multi-granule netCDF-4 stitch, r13) surface as
   * [[Hdf5File.externalLinks]] metadata and resolve through
   * [[resolveExternalLink]] at the layer that owns file IO — absolute
@@ -418,10 +419,10 @@ object Hdf5 {
 
     walkObject(rootAddr, "")
     // resolve soft links: dataset targets become ALIASES of the target
-    // dataset; group targets refuse (aliasing a whole subtree needs
-    // group-relative re-walks); dangling targets alias nothing and are
-    // skipped — the HDF library's own tolerance. Chains follow other
-    // soft links up to a bounded hop count (cycles refuse loudly).
+    // dataset; GROUP targets alias the subtree's concrete datasets
+    // (r13); dangling targets alias nothing and are skipped — the HDF
+    // library's own tolerance. Chains follow other soft links up to a
+    // bounded hop count (cycles refuse loudly).
     val ds = datasets.result()
     val grps = groups.result()
     val soft = softLinks.result()
@@ -452,13 +453,22 @@ object Hdf5 {
         s"soft link '$linkPath': target chain still unresolved after " +
           "16 hops — chain too long or cyclic")
       ds.find(_.path == cur) match {
-        case Some(d) => Some(d.copy(path = linkPath, aliasOf = Some(cur)))
+        case Some(d) => Seq(d.copy(path = linkPath, aliasOf = Some(cur)))
+        case None if grps.contains(cur) || cur == "/" =>
+          // GROUP target (r13): alias the subtree — every CONCRETE
+          // dataset under the group surfaces under the link's name,
+          // each marked aliasOf its real path so whole-file
+          // enumerations still read it once. Soft-link aliases inside
+          // the subtree are NOT re-aliased (one bounded expansion —
+          // a chain into a group-aliased name stays dangling, the
+          // documented boundary)
+          val prefix = if (cur == "/") "" else cur
+          ds.filter(_.path.startsWith(prefix + "/")).map { d =>
+            d.copy(path = linkPath + d.path.stripPrefix(prefix),
+              aliasOf = Some(d.path))
+          }
         case None =>
-          require(!grps.contains(cur) && cur != "/",
-            s"soft link '$linkPath': target '$cur' is a GROUP — group " +
-              "aliases unsupported (re-walking a subtree under a new " +
-              "name); link datasets directly")
-          None // dangling: aliases nothing, the library's own tolerance
+          Nil // dangling: aliases nothing, the library's own tolerance
       }
     }
     Hdf5File(sv, ds ++ aliases, grps, extLinks.result())
@@ -846,8 +856,9 @@ object Hdf5 {
     * address + rank scaled offsets in chunk units) or type 11
     * (filtered: + variable-width chunk size + filter mask). Absent
     * chunks simply have no record — the fill shows through, the shared
-    * contract. Depth ≤ 1 (a depth-1 tree already indexes thousands of
-    * chunks); deeper trees refuse loudly. */
+    * contract. ANY depth as of r13 (the shared traversal carries the
+    * spec's cumulative child-pointer cascade — depth 2 already means
+    * millions of chunks, the 100 TB shape). */
   private def walkBtree2Chunks(r: Reader, addr: Long, cdims: Seq[Int],
       nChunks: Long, chunkBytes: Long, filtered: Boolean,
       path: String): Seq[ChunkRef] = {
@@ -1281,9 +1292,10 @@ object Hdf5 {
     * reader walks the subset those files actually are:
     *
     *   - BTHD at depth 0 (root node IS the BTLF leaf — ~180 links at
-    *     the default 2048-byte node) or depth 1 (a BTIN internal root
+    *     the default 2048-byte node), depth 1 (a BTIN internal root
     *     whose own records join the set, over leaf children — tens of
-    *     thousands of links); depth ≥ 2 refuses;
+    *     thousands of links), or deeper (r13: the shared traversal
+    *     walks any depth ≤ 8 via the spec's pointer-size cascade);
     *   - FRHP with no I/O filters; root block DIRECT, or one level of
     *     INDIRECT with direct children (doubling row sizes per spec
     *     §III.F) — nested indirect blocks refuse;
@@ -1434,16 +1446,22 @@ object Hdf5 {
     recPositions.map(resolve)
   }
 
-  /** Shared v2 B-tree traversal (BTHD header + depth ≤ 1 BTLF/BTIN
-    * walk — the structure behind the dense name indexes AND the
-    * chunk index): validates signature/version/type and the caller's
-    * record-size expectation, returns every record's file position.
-    * Depth-1 roots are BTIN internal nodes carrying their own records
-    * plus nRec+1 child pointers {addr(8), child nrec(m bytes LE)}
+  /** Shared v2 B-tree traversal (BTHD header + BTLF/BTIN walk, ANY
+    * depth as of r13 — the structure behind the dense name indexes
+    * AND the chunk index): validates signature/version/type and the
+    * caller's record-size expectation, returns every record's file
+    * position. Internal-node child pointers are
+    * `{addr(8), child nrec(m bytes LE), [child subtree total
+    * (cumSize(d−1) bytes LE) — only when the CHILD is internal]}`
     * where m = bytes holding the max records a LEAF can carry
-    * ((nodeSize − 10)/recordSize — 4 sig + 1 ver + 1 type + 4
-    * checksum of overhead); record enumeration order is irrelevant to
-    * every caller. Deeper trees refuse loudly. */
+    * ((nodeSize − 10)/recordSize — leaves hold the most records of
+    * any node kind, so one field size bounds every node) and the
+    * cumulative sizes follow the spec's cascade: maxInt(d) =
+    * (nodeSize − 10 − ptr(d)) / (recordSize + ptr(d)) with ptr(d) =
+    * 8 + m + cumSize(d−1), cum(d) = (maxInt(d)+1)·cum(d−1) +
+    * maxInt(d). Record enumeration order is irrelevant to every
+    * caller. Depth past 8 refuses (capacity already astronomical —
+    * a corrupt header, not a real tree). */
   private def btreeV2Positions(r: Reader, addr: Long, btreeType: Int,
       expectRec: Int => Unit, what: String, owner: String): Seq[Long] = {
     r.in(addr, 34)
@@ -1458,17 +1476,41 @@ object Hdf5 {
     val recordSize = r.u16(addr + 10)
     expectRec(recordSize)
     val depth = r.u16(addr + 12)
-    require(depth <= 1,
-      s"$owner: $what B-tree depth $depth unsupported (a depth-1 " +
-        "tree already holds thousands of records)")
+    require(depth <= 8,
+      s"$owner: $what B-tree depth $depth implausible (depth 8 already " +
+        "indexes beyond 2^60 records)")
     val rootNode = r.i64(addr + 16)
     val nRec = r.u16(addr + 24)
-    // an EMPTY tree is only valid at depth 0 — a depth-1 root must
+    // an EMPTY tree is only valid at depth 0 — a deeper root must
     // hold at least one record; returning Nil there would silently
     // drop every record
     if (depth == 0 && (rootNode == Undef || nRec == 0)) return Nil
     require(rootNode != Undef && (nRec > 0 || depth == 0),
       s"$owner: depth-$depth $what with an empty root — corrupt")
+    val maxLeafRecs = (nodeSize - 10) / recordSize
+    require(maxLeafRecs > 0,
+      s"$owner: implausible node/record sizes $nodeSize/$recordSize")
+    def bytesFor(v: Long): Int =
+      (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8
+    val m = bytesFor(maxLeafRecs)
+    // per-depth pointer geometry (the spec's cumulative cascade)
+    val ptrSize = new Array[Int](depth + 1)   // child-pointer bytes AT depth d
+    val maxRecs = new Array[Long](depth + 1)  // max records a depth-d node holds
+    val cumSize = new Array[Int](depth + 1)   // bytes for a depth-d subtree total
+    maxRecs(0) = maxLeafRecs
+    cumSize(0) = 0
+    var cum = maxLeafRecs
+    var d = 1
+    while (d <= depth) {
+      ptrSize(d) = 8 + m + cumSize(d - 1)
+      maxRecs(d) = (nodeSize - 10 - ptrSize(d)) / (recordSize + ptrSize(d))
+      require(maxRecs(d) > 0,
+        s"$owner: implausible internal-node geometry at depth $d " +
+          s"(node $nodeSize, record $recordSize)")
+      cum = (maxRecs(d) + 1) * cum + maxRecs(d)
+      cumSize(d) = bytesFor(cum)
+      d += 1
+    }
     def leafRecords(a: Long, n: Int): Seq[Long] = {
       r.in(a, 6 + n.toLong * recordSize)
       require(r.sig4(a) == "BTLF",
@@ -1478,33 +1520,33 @@ object Hdf5 {
           s"${r.u8(a + 4)}/${r.u8(a + 5)} unsupported")
       (0 until n).map(i => a + 6 + i.toLong * recordSize)
     }
-    if (depth == 0) leafRecords(rootNode, nRec)
-    else {
-      r.in(rootNode, 6)
-      require(r.sig4(rootNode) == "BTIN",
-        s"$owner: $what internal node at $rootNode missing BTIN signature")
-      require(r.u8(rootNode + 4) == 0,
-        s"$owner: internal node version ${r.u8(rootNode + 4)} unsupported")
-      require(r.u8(rootNode + 5) == btreeType,
-        s"$owner: internal node type ${r.u8(rootNode + 5)} != $btreeType")
-      val maxLeafRecs = (nodeSize - 10) / recordSize
-      require(maxLeafRecs > 0,
-        s"$owner: implausible node/record sizes $nodeSize/$recordSize")
-      val m = (64 - java.lang.Long.numberOfLeadingZeros(maxLeafRecs) + 7) / 8
-      val recsAt = rootNode + 6
-      val childrenAt = recsAt + nRec.toLong * recordSize
-      r.in(recsAt, nRec.toLong * recordSize + (nRec + 1).toLong * (8 + m))
-      val own = (0 until nRec).map(i => recsAt + i.toLong * recordSize)
-      val kids = (0 to nRec).flatMap { c =>
-        val p = childrenAt + c.toLong * (8 + m)
+    def walk(a: Long, n: Int, lvl: Int): Seq[Long] = {
+      if (lvl == 0) return leafRecords(a, n)
+      r.in(a, 6)
+      require(r.sig4(a) == "BTIN",
+        s"$owner: $what internal node at $a missing BTIN signature")
+      require(r.u8(a + 4) == 0,
+        s"$owner: internal node version ${r.u8(a + 4)} unsupported")
+      require(r.u8(a + 5) == btreeType,
+        s"$owner: internal node type ${r.u8(a + 5)} != $btreeType")
+      val ps = ptrSize(lvl)
+      val recsAt = a + 6
+      val childrenAt = recsAt + n.toLong * recordSize
+      r.in(recsAt, n.toLong * recordSize + (n + 1).toLong * ps)
+      val own = (0 until n).map(i => recsAt + i.toLong * recordSize)
+      val kids = (0 to n).flatMap { c =>
+        val p = childrenAt + c.toLong * ps
         val cAddr = r.i64(p)
         val cn = r.leVar(p + 8, m)
-        require(cn >= 0 && cn <= maxLeafRecs,
-          s"$owner: child leaf claims $cn records > max $maxLeafRecs")
-        leafRecords(cAddr, cn.toInt)
+        val childMax = maxRecs(lvl - 1)
+        require(cn >= 0 && cn <= childMax,
+          s"$owner: child node claims $cn records > max $childMax " +
+            s"at depth ${lvl - 1}")
+        walk(cAddr, cn.toInt, lvl - 1)
       }
       own ++ kids
     }
+    walk(rootNode, nRec, depth)
   }
 
   /** (name, target) of a Link message — hard (object header address)

@@ -727,11 +727,18 @@ class Hdf5Spec extends SparkSpec {
     // a chunk B-tree deeper than 1 refuses by name (depth at BTHD+12)
     val bt = fixtureV4(5)
     val bthdAt = bt.indexOfSlice("BTHD".getBytes("US-ASCII"))
-    val deep = bt.clone(); deep(bthdAt + 12) = 2
+    // depth ≤ 8 walks as of r13; an implausible depth refuses, and a
+    // depth lying about a leaf root fails loudly on the BTIN signature
+    val deep = bt.clone(); deep(bthdAt + 12) = 9
     val e = intercept[IllegalArgumentException] {
       Hdf5.read(deep, Hdf5.decode(deep), "/temp")
     }
     assert(e.getMessage.contains("depth"), e.getMessage)
+    val lied = bt.clone(); lied(bthdAt + 12) = 2
+    val eL = intercept[IllegalArgumentException] {
+      Hdf5.read(lied, Hdf5.decode(lied), "/temp")
+    }
+    assert(eL.getMessage.contains("BTIN"), eL.getMessage)
     // a record type disagreeing with the pipeline refuses by name
     val wrongT = bt.clone(); wrongT(bthdAt + 5) = 11
     val e2 = intercept[IllegalArgumentException] {
@@ -1061,6 +1068,108 @@ class Hdf5Spec extends SparkSpec {
     assert(got2 == (0 until 10).map(100.0 + _), got2)
   }
 
+  // ---- depth-2 v2 B-tree chunk index: root BTIN → 2 depth-1 BTINs →
+  // 4 BTLF leaves; child pointers carry the spec's cumulative sizes
+  // ({addr, nrec(1)} at depth 1; {addr, nrec(1), total(2)} at the
+  // depth-2 root for nodeSize 2048 / record 24) ----
+  private def fixtureBtree2Deep(): Array[Byte] = {
+    val dsHdrAt = 128; val bthdAt = 384
+    val rootInAt = 424; val inAAt = 480; val inBAt = 536
+    val leafAt = Array(592, 632, 672, 712)
+    val dataAt = 752
+    val total = dataAt + 7 * 2
+    // chunk x-positions per node, B-tree order irrelevant to the walk:
+    // leaves hold x {0},{2},{4},{6}; depth-1 records x1 (A), x5 (B);
+    // the root's own record x3
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    sig(out)
+    out.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    out.putLong(0L).putLong(Undef).putLong(total.toLong).putLong(48L)
+    out.putInt(0)
+    val rootMsgs = msgV2(0x06, le { b =>
+      b.put(1.toByte).put(0.toByte)
+      b.put(4.toByte).put("temp".getBytes("US-ASCII"))
+      b.putLong(dsHdrAt.toLong)
+    })
+    out.position(48)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    out.put(rootMsgs.length.toByte).put(rootMsgs).putInt(0)
+    val dsMsgs = Array(
+      msgV2(0x01, dsRank2V2(1, 7)),
+      msgV2(0x03, dtInt16),
+      msgV2(0x05, le { b =>
+        b.put(3.toByte).put(0x20.toByte).putInt(2).putShort(-7)
+      }),
+      msgV2(0x08, le { b =>
+        b.put(4.toByte).put(2.toByte).put(0.toByte)
+        b.put(3.toByte).put(1.toByte)
+        b.put(1.toByte).put(1.toByte).put(2.toByte)
+        b.put(5.toByte) // index type 5 (v2 B-tree)
+        b.putInt(2048).put(85.toByte).put(40.toByte)
+        b.putLong(bthdAt.toLong)
+      })).flatten
+    out.position(dsHdrAt)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(1.toByte)
+    out.putShort(dsMsgs.length.toShort).put(dsMsgs).putInt(0)
+    def chunkAddr(x: Int): Long = dataAt + x * 2L
+    def rec(b: ByteBuffer, x: Int): Unit = {
+      b.putLong(chunkAddr(x)); b.putLong(0L); b.putLong(x.toLong)
+    }
+    // BTHD: depth 2, root = rootInAt with 1 record, 7 total
+    out.position(bthdAt)
+    out.put("BTHD".getBytes("US-ASCII")).put(0.toByte).put(10.toByte)
+    out.putInt(2048).putShort(24).putShort(2)
+    out.put(85.toByte).put(40.toByte)
+    out.putLong(rootInAt.toLong).putShort(1)
+    out.putLong(7L)
+    out.putInt(0)
+    // depth-2 root BTIN: record x3; children {inA: nrec 1, total 3},
+    // {inB: nrec 1, total 3}
+    out.position(rootInAt)
+    out.put("BTIN".getBytes("US-ASCII")).put(0.toByte).put(10.toByte)
+    rec(out, 3)
+    out.putLong(inAAt.toLong).put(1.toByte).putShort(3)
+    out.putLong(inBAt.toLong).put(1.toByte).putShort(3)
+    out.putInt(0)
+    // depth-1 BTINs: one record, two single-record leaves each
+    def depth1(at: Int, recX: Int, leaf0: Int, leaf1: Int): Unit = {
+      out.position(at)
+      out.put("BTIN".getBytes("US-ASCII")).put(0.toByte).put(10.toByte)
+      rec(out, recX)
+      out.putLong(leafAt(leaf0).toLong).put(1.toByte)
+      out.putLong(leafAt(leaf1).toLong).put(1.toByte)
+      out.putInt(0)
+    }
+    depth1(inAAt, 1, 0, 1)
+    depth1(inBAt, 5, 2, 3)
+    Seq(0, 2, 4, 6).zipWithIndex.foreach { case (x, li) =>
+      out.position(leafAt(li))
+      out.put("BTLF".getBytes("US-ASCII")).put(0.toByte).put(10.toByte)
+      rec(out, x)
+      out.putInt(0)
+    }
+    (0 until 7).foreach { x =>
+      out.position(dataAt + x * 2)
+      out.putShort((200 + x).toShort)
+    }
+    out.array()
+  }
+
+  test("v2 B-tree chunk index at depth 2: the shared traversal walks " +
+      "BTIN→BTIN→BTLF with the spec's cumulative child-pointer sizes") {
+    val bytes = fixtureBtree2Deep()
+    val got = Hdf5.read(bytes, Hdf5.decode(bytes), "/temp").toSeq
+    assert(got == (0 until 7).map(200.0 + _), got)
+    // implausible depth still refuses loudly
+    val deep = bytes.clone()
+    val dAt = bytes.indexOfSlice("BTHD".getBytes("US-ASCII")) + 12
+    deep(dAt) = 9
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.read(deep, Hdf5.decode(deep), "/temp")
+    }
+    assert(e.getMessage.contains("implausible"), e.getMessage)
+  }
+
   // ---- paged extensible array (spec III.H): the g3 generation's
   // data blocks exceed one page, so the OWNING SUPER BLOCK carries the
   // page-init bitmap before its address table and the paged EADB holds
@@ -1330,8 +1439,8 @@ class Hdf5Spec extends SparkSpec {
   }
 
   test("soft links resolve: absolute and chained-relative targets alias " +
-      "the dataset, dangling targets alias nothing; cycles, group " +
-      "targets and dot components refuse") {
+      "the dataset, GROUP targets alias their subtree, dangling targets " +
+      "alias nothing; cycles and dot components refuse") {
     val bytes = fixtureV2(softLink = true)._1
     val f = Hdf5.decode(bytes)
     assert(f.datasets.map(_.path).sorted == Seq("/sa", "/sb", "/temp"),
@@ -1354,11 +1463,17 @@ class Hdf5Spec extends SparkSpec {
     cyc(saLenAt) = 2; cyc(saLenAt + 2) = 's'; cyc(saLenAt + 3) = 'b'
     val e1 = intercept[IllegalArgumentException] { Hdf5.decode(cyc) }
     assert(e1.getMessage.contains("chain too long or cyclic"), e1.getMessage)
-    // group target: sa → "/" (the root group)
+    // group target: sa → "/" (the root group) aliases the SUBTREE as
+    // of r13 — every concrete dataset surfaces under the link name,
+    // marked aliasOf its real path (other soft aliases are not
+    // re-aliased: no /sa/sb)
     val grp = bytes.clone()
     grp(saLenAt) = 1; grp(saLenAt + 2) = '/'
-    val e2 = intercept[IllegalArgumentException] { Hdf5.decode(grp) }
-    assert(e2.getMessage.contains("GROUP"), e2.getMessage)
+    val g = Hdf5.decode(grp)
+    assert(g.datasetAt("/sa/temp").aliasOf.contains("/temp"))
+    assert(Hdf5.read(grp, g, "/sa/temp").toSeq ==
+      Hdf5.read(grp, g, "/temp").toSeq)
+    assert(!g.datasets.exists(_.path == "/sa/sb"))
     // dot components refuse by name
     val dots = bytes.clone()
     dots(saLenAt + 2) = '.'; dots(saLenAt + 3) = '.'; dots(saLenAt + 4) = '/'
@@ -1569,11 +1684,14 @@ class Hdf5Spec extends SparkSpec {
       assert(Hdf5.read(bytes, f, "/rain").toSeq == Seq(50.0, 51.0, 52.0, 53.0))
     }
     val (bytes, bthdAt, frhpAt) = fixtureDense()
-    // depth ≥ 2 refuses by name (depth 1 decodes — next test); a
-    // depth field of 1 over a LEAF root refuses on the signature
-    val deep = bytes.clone(); deep(bthdAt + 12) = 2
+    // implausible depth refuses by name (depth ≤ 8 walks as of r13);
+    // a depth field lying over a LEAF root refuses on the signature
+    val deep = bytes.clone(); deep(bthdAt + 12) = 9
     val e1 = intercept[IllegalArgumentException] { Hdf5.decode(deep) }
     assert(e1.getMessage.contains("depth"), e1.getMessage)
+    val lied2 = bytes.clone(); lied2(bthdAt + 12) = 2
+    val e1c = intercept[IllegalArgumentException] { Hdf5.decode(lied2) }
+    assert(e1c.getMessage.contains("BTIN"), e1c.getMessage)
     val lied = bytes.clone(); lied(bthdAt + 12) = 1
     val e1b = intercept[IllegalArgumentException] { Hdf5.decode(lied) }
     assert(e1b.getMessage.contains("BTIN"), e1b.getMessage)
