@@ -43,8 +43,10 @@ import org.apache.spark.sql.functions._
   *     matching the [[NetCdf]] grid path bit for bit.
   *
   * Refused LOUDLY (codec-gate discipline — this reader never guesses):
-  * PAGED fixed/extensible-array data blocks and chunk B-trees past
-  * depth 1 (all five v4 chunk index TYPES decode as of r12), filters
+  * AMBIGUOUS paged-bitmap bytes and EA index-block-addressed paged
+  * blocks (paged fixed/extensible arrays otherwise DECODE as of r13;
+  * all five v4 chunk index TYPES decode as of r12, v2 B-trees to any
+  * depth ≤ 8 as of r13), filters
   * beyond deflate/shuffle/fletcher32/szip (n-bit, scale-offset,
   * registered LZF/blosc/zstd), layout message versions before 3,
   * non-IEEE float layouts, shared messages, custom link classes, and
@@ -58,9 +60,10 @@ import org.apache.spark.sql.functions._
   * or dot-component file names, missing files/datasets, group targets
   * and cyclic chains refuse by name. DENSE (fractal-heap)
   * link storage DECODES (r11) — the new-format group shape netCDF-4
-  * forces past 8 links: v2 name-index B-trees (depth 0 and 1) over
+  * forces past 8 links: v2 name-index B-trees (any depth ≤ 8 as of
+  * r13) over
   * managed heap IDs, direct or one-level-indirect heap roots (see
-  * [[denseLinks]]); deeper trees, filtered heaps, nested indirection
+  * [[denseLinks]]); filtered heaps, nested indirection
   * and huge/tiny IDs refuse by name.
   *
   * Scale shape: [[scan]] and [[readGrid]] run task-side over
@@ -454,20 +457,26 @@ object Hdf5 {
           "16 hops — chain too long or cyclic")
       ds.find(_.path == cur) match {
         case Some(d) => Seq(d.copy(path = linkPath, aliasOf = Some(cur)))
-        case None if grps.contains(cur) || cur == "/" =>
+        case None if grps.contains(cur) => // the root registers as "/"
           // GROUP target (r13): alias the subtree — every CONCRETE
           // dataset under the group surfaces under the link's name,
           // each marked aliasOf its real path so whole-file
           // enumerations still read it once. Soft-link aliases inside
-          // the subtree are NOT re-aliased (one bounded expansion —
-          // a chain into a group-aliased name stays dangling, the
-          // documented boundary)
+          // the subtree are NOT re-aliased (one bounded expansion).
           val prefix = if (cur == "/") "" else cur
           ds.filter(_.path.startsWith(prefix + "/")).map { d =>
             d.copy(path = linkPath + d.path.stripPrefix(prefix),
               aliasOf = Some(d.path))
           }
         case None =>
+          // a target whose ANCESTOR is itself a soft link would
+          // resolve in the library (through the linked namespace) —
+          // silently dropping it would shrink the scan with no error,
+          // so refuse by name instead (r13 review)
+          require(!softByPath.keys.exists(p => cur.startsWith(p + "/")),
+            s"soft link '$linkPath': target '$cur' chains through a " +
+              "linked namespace — resolving paths under another link " +
+              "is unsupported; link the dataset directly")
           Nil // dangling: aliases nothing, the library's own tolerance
       }
     }
@@ -1404,7 +1413,7 @@ object Hdf5 {
       b._3 + (heapOff - b._1)
     }
 
-    // ---- v2 B-tree (name index), depth 0 or 1 ----
+    // ---- v2 B-tree (name index), any depth via the shared walk ----
     // type-5 (link) records are {hash(4), heap ID}; type-8 (attribute)
     // records are {heap ID, message flags(1), creation order(4),
     // hash(4)} — ID first

@@ -1474,6 +1474,16 @@ class Hdf5Spec extends SparkSpec {
     assert(Hdf5.read(grp, g, "/sa/temp").toSeq ==
       Hdf5.read(grp, g, "/temp").toSeq)
     assert(!g.datasets.exists(_.path == "/sa/sb"))
+    // a CHAIN into the group link resolves too: sb → sa → "/"
+    assert(g.datasetAt("/sb/temp").aliasOf.contains("/temp"))
+    // a target path UNDER another link refuses by name — the library
+    // resolves through the linked namespace; silently dropping the
+    // link would shrink the scan with no error (r13 review)
+    val thru = bytes.clone()
+    val sdAt = bytes.indexOfSlice("sd".getBytes("US-ASCII")) + 4
+    "/sa/n".zipWithIndex.foreach { case (c, i) => thru(sdAt + i) = c.toByte }
+    val e4 = intercept[IllegalArgumentException] { Hdf5.decode(thru) }
+    assert(e4.getMessage.contains("linked namespace"), e4.getMessage)
     // dot components refuse by name
     val dots = bytes.clone()
     dots(saLenAt + 2) = '.'; dots(saLenAt + 3) = '.'; dots(saLenAt + 4) = '/'
