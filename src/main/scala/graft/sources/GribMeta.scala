@@ -1303,9 +1303,18 @@ object GribMeta {
     require(n1 >= 22 + nWidthOctets && n2 >= n1 && soAt <= bdsEnd,
       s"message $msgIndex: second-order frame N1=$n1 N2=$n2 off-shape " +
         s"for $nWidthOctets width octets and BDS length ${p.sec5Len}")
+    require(p.nBits <= 64,
+      s"message $msgIndex: first-order width ${p.nBits} exceeds 64 " +
+        "bits — a wider field would silently truncate in the " +
+        "shift-accumulate loop")
     val widths =
       if (diffWidths) Array.tabulate(p1)(g => u8(bytes, widthsAt + g))
       else Array.fill(math.max(p1, 1))(u8(bytes, widthsAt))
+    widths.zipWithIndex.foreach { case (w, g) =>
+      require(w <= 64,
+        s"message $msgIndex: second-order width $w (group $g) exceeds " +
+          "64 bits — refusing rather than truncating silently")
+    }
     // group-start flags, one per packed point
     val starts = new Array[Boolean](nPresent)
     if (secondaryBitmap) {

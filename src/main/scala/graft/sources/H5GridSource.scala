@@ -101,12 +101,6 @@ object H5GridSource {
     }
   }
 
-  /** [[gridNames]] over [[planningDecode]] (kept for the non-memoized
-    * single-file callers). */
-  private[graft] def planningNames(file: String, want: String => Boolean,
-      explicit: Boolean): Seq[String] =
-    gridNames(planningDecode(file), want, explicit)
-
   /** EXTERNAL-LINK selections of an already-decoded source file:
     * `(link name, target file, target dataset)` for every external
     * link an EXPLICIT dataset option/filter names — the soft-link

@@ -978,9 +978,12 @@ object Hdf5 {
     } else {
       val bmAt = dbAddr + headLen
       val pagesAt = bmAt + bmBytes + 4 // bitmap, FADB checksum, pages
-      // conservative page-init classification, per bitmap BYTE
+      // conservative page-init classification, per bitmap BYTE; pages
+      // wholly beyond the CURRENT extent can't carry chunks we read —
+      // treating them as unwritable keeps a fully-written growable
+      // dataset (maxEntries > nChunks) unambiguous at the tail byte
       val pageInit: Long => Boolean = pageInitClassifier(r, bmAt, nPages,
-        path, "fixed-array")
+        path, "fixed-array", relevant = pg => pg * pageSize < nChunks)
       val verified = scala.collection.mutable.Set.empty[Long]
       (0L until nChunks).flatMap { i =>
         val pg = i / pageSize

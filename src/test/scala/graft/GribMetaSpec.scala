@@ -395,12 +395,16 @@ class GribMetaSpec extends SparkSpec {
     refuses(sbBds(13 -> 0x21), "spatial differencing")
     // P2 disagreeing with the present-point count
     refuses(sbBds(19 -> 5), "packed points")
+    // widths past 64 bits would silently truncate the accumulate loop
+    refuses(sbBds(10 -> 200), "first-order width 200")
+    refuses(sbBds(21 -> 200), "second-order width 200")
     // secondary bitmap marking fewer groups than P1
     refuses(sbBds(22 -> 0x80), "marks 1 groups")
     // first point not starting a group
     refuses(sbBds(22 -> 0x20), "first point")
-    // row-by-row + primary bitmap refuses by name
-    val rowBmp = grib1WithBds(sbBds(13 -> 0x10, 12 -> 25, 15 -> 27),
+    // row-by-row + primary bitmap refuses by name (index 22 doubles as
+    // the second width octet under different-widths — keep it ≤ 64)
+    val rowBmp = grib1WithBds(sbBds(13 -> 0x10, 12 -> 25, 15 -> 27, 22 -> 1),
       Some(Seq(true, true, true, true, false, false)), 3, 2)
     assert(intercept[IllegalArgumentException] { GribMeta.values(rowBmp) }
       .getMessage.contains("row-by-row"))

@@ -982,7 +982,7 @@ class Hdf5Spec extends SparkSpec {
   // ---- paged fixed array (spec III.G): FADB carries a page-init
   // bitmap + checksum, pages follow contiguously, each page =
   // 2^pageBits elements + its own 4-byte checksum ----
-  private def fixturePagedFA(bm: Seq[Int]): Array[Byte] = {
+  private def fixturePagedFA(bm: Seq[Int], maxEntries: Int = 10): Array[Byte] = {
     val dsHdrAt = 128; val fahdAt = 384; val fadbAt = 416
     // 2×5 grid of 1×1 int16 chunks, pageBits 0 → 10 one-element pages
     val nChunks = 10
@@ -1024,7 +1024,7 @@ class Hdf5Spec extends SparkSpec {
     out.position(fahdAt)
     out.put("FAHD".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
     out.put(8.toByte).put(0.toByte) // entry size 8, page bits 0 → paged
-    out.putLong(nChunks.toLong).putLong(fadbAt.toLong)
+    out.putLong(maxEntries.toLong).putLong(fadbAt.toLong)
     out.putInt(0)
     out.position(fadbAt)
     out.put("FADB".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
@@ -1066,6 +1066,12 @@ class Hdf5Spec extends SparkSpec {
     val tail = fixturePagedFA(Seq(0xFF, 0x03))
     val got2 = Hdf5.read(tail, Hdf5.decode(tail), "/temp").toSeq
     assert(got2 == (0 until 10).map(100.0 + _), got2)
+    // a GROWABLE dataset (maxEntries 12 > 10 chunks): pages wholly
+    // beyond the current extent are unwritable, so the tail byte
+    // (pages 8-9 init, 10-11 never written) stays unambiguous
+    val grow = fixturePagedFA(Seq(0xFF, 0x03), maxEntries = 12)
+    val got3 = Hdf5.read(grow, Hdf5.decode(grow), "/temp").toSeq
+    assert(got3 == (0 until 10).map(100.0 + _), got3)
   }
 
   // ---- depth-2 v2 B-tree chunk index: root BTIN → 2 depth-1 BTINs →
