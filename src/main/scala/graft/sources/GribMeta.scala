@@ -735,19 +735,21 @@ object GribMeta {
       else {
         // GRIB1 BDS flag nibble (template here = flags bits 4-7):
         // 8 = spherical harmonics, 4 = complex packing, 2 = integer
-        // values, 1 = additional flags at octet 14. Nibble 0 (plain
-        // simple) and nibble 5 (complex + extended flags — the WMO
-        // SECOND-ORDER shape, r13) decode; everything else refuses
-        // with the exact flag (an octet-14 extension can redefine the
-        // payload layout, so guessing would be silently wrong)
-        require(p.template == 0 || p.template == 5,
+        // values, 1 = additional flags at octet 14. Nibbles 0/2
+        // (simple) and 5/7 (complex + extended flags — the WMO
+        // SECOND-ORDER shape, r13) decode; the INTEGER bit (2) is
+        // informational — regulation 92.6.3's unpacking formula is
+        // unchanged, the flag only records that the original field
+        // held integers (r13). Everything else refuses with the exact
+        // flag (an octet-14 extension can redefine the payload
+        // layout, so guessing would be silently wrong)
+        require(Set(0, 2, 5, 7)(p.template),
           s"message ${m.msgIndex}: GRIB1 " +
           s"${if ((p.template & 8) != 0) "spherical-harmonic"
-             else if ((p.template & 2) != 0) "integer-valued"
              else if ((p.template & 4) != 0) "complex-packed-without-extended-flags"
              else "octet-14-extended-flags"} payload unsupported — " +
-          "grid-point simple float packing and second-order packing " +
-          "(complex + octet-14 extended flags) decode")
+          "grid-point simple and second-order packing (complex + " +
+          "octet-14 extended flags) decode, float or integer")
         require(m.nPoints > 0,
           s"message ${m.msgIndex}: GRIB1 pixel decode needs a lat/lon " +
             "GDS (grid size unknown without one)")
@@ -778,7 +780,7 @@ object GribMeta {
       val out = new Array[Double](nTotal)
       if ((m.edition == 2 && (p.template == 2 || p.template == 3 ||
           p.template == 40 || p.template == 41 || p.template == 42)) ||
-          (m.edition == 1 && p.template == 5)) {
+          (m.edition == 1 && (p.template == 5 || p.template == 7))) {
         // complex/JPEG2000/PNG/CCSDS/second-order packing: unpack the
         // scaled codes of the PRESENT points in one pass, then fan
         // across the bitmap

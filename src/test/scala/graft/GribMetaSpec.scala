@@ -244,15 +244,17 @@ class GribMetaSpec extends SparkSpec {
     val cpx = grib1Simple(0, 0, 0, 0, 0, 8, Seq(1L), None, 1, 1, bdsFlags = 0x40)
     assert(intercept[IllegalArgumentException] { GribMeta.values(cpx) }
       .getMessage.contains("complex"))
-    // octet-14 extension (0x10) and integer-values (0x20) flags refuse
-    // too — the extension can redefine the payload layout, so decoding
-    // it as plain simple packing would be silently wrong (r9 advice)
+    // the octet-14 extension flag (0x10) WITHOUT complex refuses — the
+    // extension can redefine the payload layout, so decoding it as
+    // plain simple packing would be silently wrong (r9 advice)
     val ext = grib1Simple(0, 0, 0, 0, 0, 8, Seq(1L), None, 1, 1, bdsFlags = 0x10)
     assert(intercept[IllegalArgumentException] { GribMeta.values(ext) }
       .getMessage.contains("octet-14"))
-    val int1 = grib1Simple(0, 0, 0, 0, 0, 8, Seq(1L), None, 1, 1, bdsFlags = 0x20)
-    assert(intercept[IllegalArgumentException] { GribMeta.values(int1) }
-      .getMessage.contains("integer"))
+    // the INTEGER flag (0x20) is informational — regulation 92.6.3's
+    // unpack formula is unchanged (r13): same values as the float twin
+    val int1 = grib1Simple(0, 0, 0, 0, 0, 8, Seq(5L, 10L, 255L), None, 3, 1,
+      bdsFlags = 0x20)
+    assert(GribMeta.values(int1).head._2.toSeq == Seq(5.0, 10.0, 255.0))
     // but the INVENTORY walk still catalogs what it cannot decode
     assert(GribMeta.decode(ext).map(_.edition) == Seq(1))
     // readValues fans GRIB1 out too (category -1, param from the PDS)
@@ -370,6 +372,11 @@ class GribMetaSpec extends SparkSpec {
     val scaled = grib1WithBds(
       { val c = sbBds.clone(); c(5) = 1; c }, None, 2, 2, d = 1)
     assert(GribMeta.values(scaled).head._2.toSeq == Seq(2.0, 2.6, 4.2, 4.4))
+    // the INTEGER flag on a second-order BDS (nibble 7) decodes with
+    // the identical formula — the flag is informational (r13)
+    val intBds = grib1WithBds(
+      { val c = sbBds.clone(); c(3) = 0x70.toByte; c }, None, 2, 2)
+    assert(GribMeta.values(intBds).head._2.toSeq == Seq(10.0, 13.0, 21.0, 22.0))
   }
 
   test("GRIB1 second-order refusals: every octet-14 sub-flag by name, " +

@@ -299,6 +299,13 @@ class Hdf5Spec extends SparkSpec {
     val twice = spark.read.format("graft.sources.H5GridSource")
       .option("path", dir.toString).option("dataset", "/le").load().count()
     assert(twice == 2L * viaLink.length)
+    // path predicates prune external planning too: excluding every
+    // linking file plans no external partitions
+    val pruned = new graft.sources.H5Scan(dir.toString, Some("/le"),
+      graft.sources.H5GridSource.fullSchema, false,
+      Seq((p: String) => p.endsWith("b.h5")), Nil, 8).planInputPartitions()
+    assert(!pruned.exists(_.isInstanceOf[graft.sources.H5ExtPartition]),
+      pruned.toSeq.toString)
   }
 
   // ---- fixture B: superblock v0, v1 headers, TREE/SNOD/HEAP groups ----
