@@ -269,14 +269,14 @@ object GribMeta {
           require(bdsLen >= 11 && bds + bdsLen <= end - 4,
             s"GRIB1 message $idx: BDS length $bdsLen overruns the message")
           val flags = u8(bytes, bds + 3)
-          // template code: the full BDS flag nibble (bits 4-7), so 0 =
-          // grid-point, simple, float, NO octet-14 extension — the only
-          // shape this decoder understands. Spherical-harmonic,
-          // complex, integer-valued, and extended-flags payloads all
-          // surface as their flag bits so values() refuses with the
-          // exact reason (r9 advice: the old 2-bit capture let an
-          // extension-flagged message decode as plain simple packing —
-          // a silent misdecode, since octet 14 can redefine the layout)
+          // template code: the full BDS flag nibble (bits 4-7) — 0/2
+          // (simple, float/integer) and 5/7 (second-order, r13) decode
+          // in values(); spherical-harmonic, complex-without-extended-
+          // flags and bare-extension payloads surface as their flag
+          // bits so values() refuses with the exact reason (r9 advice:
+          // the old 2-bit capture let an extension-flagged message
+          // decode as plain simple packing — a silent misdecode, since
+          // octet 14 can redefine the layout)
           val tpl1 = (flags >> 4) & 0xF
           // sec5Off/Len carry the BDS frame for edition 1 — the
           // second-order path re-reads octets 12-21 from it, exactly
@@ -610,6 +610,42 @@ object GribMeta {
     b.array()
   }
 
+  /** GRIB1 WRITER for SIMPLE packing — the edition-1 twin of
+    * [[encodeSimple]] over the shared [[buildG1Message]] frame: BDS
+    * flags nibble 0 (grid-point, simple, float, no extension) with
+    * the unused-bit count in the low nibble, sign-and-magnitude E,
+    * exact-only IBM-32 reference, octet-11 width, big-endian packed
+    * codes, even-length pad (regulation 92.6.1). `xs`/`bitmap`
+    * contract matches [[encodeSimple]]. */
+  def encodeG1Simple(ni: Int, nj: Int, paramNumber: Int,
+      refValue: Double, binScale: Int, decScale: Int, nBits: Int,
+      xs: Array[Long], bitmap: Option[Array[Boolean]] = None,
+      centre: Int = 0,
+      refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0)): Array[Byte] = {
+    require(nBits >= 0 && nBits <= 32, s"bad nBits $nBits")
+    require(xs.forall(x => x >= 0 && x < (1L << nBits)),
+      s"packed code out of the $nBits-bit range")
+    validateGrid(ni, nj, xs, bitmap)
+    val dataBits = xs.length.toLong * nBits
+    val rawLen = 11 + ((dataBits + 7) / 8).toInt
+    val bdsLen = rawLen + (rawLen & 1)
+    val unusedBits = ((8 - (dataBits % 8).toInt) % 8) + 8 * (bdsLen - rawLen)
+    val b = java.nio.ByteBuffer.allocate(bdsLen)
+    b.put((bdsLen >> 16).toByte).put((bdsLen >> 8).toByte).put(bdsLen.toByte)
+    b.put(unusedBits.toByte) // flags nibble 0 | unused-bit count
+    b.putShort(sm16(binScale).toShort)
+    b.putInt(ibm32bits(refValue).toInt)
+    b.put(nBits.toByte)
+    var acc = 0L; var nb = 0
+    xs.foreach { x =>
+      acc = (acc << nBits) | x; nb += nBits
+      while (nb >= 8) { b.put((acc >> (nb - 8)).toByte); nb -= 8 }
+    }
+    if (nb > 0) b.put((acc << (8 - nb)).toByte)
+    buildG1Message(ni, nj, paramNumber, centre, refTime, decScale, bitmap,
+      b.array())
+  }
+
   /** GRIB1 WRITER for SECOND-ORDER packing — the edition-1 twin of
     * [[encodeComplex]] and the adversarial fixture source for the
     * [[values]] GRIB1 second-order path (see [[unpackG1SecondOrder]]
@@ -780,7 +816,11 @@ object GribMeta {
       val out = new Array[Double](nTotal)
       if ((m.edition == 2 && (p.template == 2 || p.template == 3 ||
           p.template == 40 || p.template == 41 || p.template == 42)) ||
-          (m.edition == 1 && (p.template == 5 || p.template == 7))) {
+          // edition 1: the gate above admits {0,2,5,7}; the complex
+          // bit alone routes — a single source of truth, so a future
+          // nibble admitted to the gate can't silently land in the
+          // simple bit-unpack loop (r13 review)
+          (m.edition == 1 && (p.template & 4) != 0)) {
         // complex/JPEG2000/PNG/CCSDS/second-order packing: unpack the
         // scaled codes of the PRESENT points in one pass, then fan
         // across the bitmap

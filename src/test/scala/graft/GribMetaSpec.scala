@@ -419,6 +419,28 @@ class GribMetaSpec extends SparkSpec {
     assert(GribMeta.decode(msgOf(sbBds())).map(_.edition) == Seq(1))
   }
 
+  test("encodeG1Simple round-trips: bitmap, scale factors, exact IBM " +
+      "reference, even-length BDS") {
+    val xs = Array(0L, 7L, 4095L, 40L)
+    val mask = Array(true, false, true, true, false, true)
+    val enc = GribMeta.encodeG1Simple(3, 2, paramNumber = 11,
+      refValue = 2048.0, binScale = -2, decScale = 0, nBits = 12,
+      xs = xs, bitmap = Some(mask), centre = 98,
+      refTime = (1995, 1, 2, 6, 30))
+    val Seq((m, vs)) = GribMeta.values(enc)
+    assert(m.edition == 1 && m.paramNumber == 11 && m.ni == 3)
+    assert(m.refTime == "1995-01-02T06:30")
+    assert(vs(1).isNaN && vs(4).isNaN)
+    assert(Seq(vs(0), vs(2), vs(3), vs(5)) == xs.map(2048.0 + _ * 0.25).toSeq)
+    // no bitmap, decimal scale, nBits 0 constant field
+    val const = GribMeta.encodeG1Simple(2, 1, 0, refValue = 42.0,
+      binScale = 0, decScale = 1, nBits = 0, xs = Array(0L, 0L))
+    assert(GribMeta.values(const).head._2.toSeq == Seq(4.2, 4.2))
+    intercept[IllegalArgumentException] { // 9-bit code in an 8-bit field
+      GribMeta.encodeG1Simple(1, 1, 0, 0.0, 0, 0, 8, Array(256L))
+    }
+  }
+
   test("encodeG1SecondOrder round-trips through the decoder: bitmap, " +
       "ragged groups, exact IBM reference; refuses bad inputs") {
     val xs = Array(0L, 7L, 123456L, 40L, 9L, 1L, 77L)
