@@ -309,8 +309,28 @@ object GribMeta {
     * i63 cycle lands through the correctness gate). `xs` are the
     * packed non-missing codes in grid order; `bitmap`, when given,
     * must have ni×nj entries with exactly `xs.length` set. */
+  /** Big-endian fixed-width code packer shared by the simple writers
+    * (the second-order writer's chunk-safe putBits covers the wide
+    * first-order fields; these codes are ≤ 32 bits, so 39 pending
+    * bits never overflow the accumulator). */
+  private def packCodes(b: java.nio.ByteBuffer, xs: Array[Long],
+      nBits: Int): Unit = {
+    var acc = 0L; var nb = 0
+    xs.foreach { x =>
+      acc = (acc << nBits) | x; nb += nBits
+      while (nb >= 8) { b.put((acc >> (nb - 8)).toByte); nb -= 8 }
+    }
+    if (nb > 0) b.put((acc << (8 - nb)).toByte)
+  }
+
   /** Sign-and-magnitude 16-bit field (section-5 scale factors). */
-  private def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
+  private def sm16(v: Int): Int = {
+    // a magnitude into bit 15 would collide with the sign and encode
+    // a DIFFERENT scale factor — refuse across every writer (r13)
+    require(math.abs(v) <= 0x7FFF,
+      s"scale factor $v exceeds the sign-and-magnitude 16-bit field")
+    if (v < 0) 0x8000 | -v else v
+  }
 
   /** Grid/bitmap shape checks shared by every GRIB2 writer. */
   private def validateGrid(ni: Int, nj: Int, xs: Array[Long],
@@ -408,14 +428,7 @@ object GribMeta {
         s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
         s.put(nBits.toByte)
       },
-      5 + dataBytes, { s =>
-        var acc = 0L; var nb = 0
-        xs.foreach { x =>
-          acc = (acc << nBits) | x; nb += nBits
-          while (nb >= 8) { s.put((acc >> (nb - 8)).toByte); nb -= 8 }
-        }
-        if (nb > 0) s.put((acc << (8 - nb)).toByte)
-      })
+      5 + dataBytes, packCodes(_, xs, nBits))
   }
 
   /** GRIB2 WRITER for COMPLEX packing (data representation template
@@ -563,6 +576,13 @@ object GribMeta {
   private def buildG1Message(ni: Int, nj: Int, paramNumber: Int,
       centre: Int, refTime: (Int, Int, Int, Int, Int), decScale: Int,
       bitmap: Option[Array[Boolean]], bds: Array[Byte]): Array[Byte] = {
+    // the frame's field widths are hard limits — silently truncated
+    // Ni/Nj would round-trip to a SMALLER grid with no error (r13)
+    require(ni >= 1 && ni <= 0xFFFF && nj >= 1 && nj <= 0xFFFF,
+      s"GRIB1 grid ${ni}x$nj exceeds the GDS 16-bit Ni/Nj fields")
+    require(centre >= 0 && centre <= 255 &&
+      paramNumber >= 0 && paramNumber <= 255,
+      s"GRIB1 centre=$centre/param=$paramNumber exceed their octets")
     val bmsBytes = bitmap.map(m => 6 + (m.length + 7) / 8).getOrElse(0)
     val total = 8 + 28 + 32 + bmsBytes + bds.length + 4
     require(total < (1 << 24), s"GRIB1 message length $total exceeds the " +
@@ -636,12 +656,7 @@ object GribMeta {
     b.putShort(sm16(binScale).toShort)
     b.putInt(ibm32bits(refValue).toInt)
     b.put(nBits.toByte)
-    var acc = 0L; var nb = 0
-    xs.foreach { x =>
-      acc = (acc << nBits) | x; nb += nBits
-      while (nb >= 8) { b.put((acc >> (nb - 8)).toByte); nb -= 8 }
-    }
-    if (nb > 0) b.put((acc << (8 - nb)).toByte)
+    packCodes(b, xs, nBits)
     buildG1Message(ni, nj, paramNumber, centre, refTime, decScale, bitmap,
       b.array())
   }

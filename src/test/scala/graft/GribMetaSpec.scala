@@ -439,6 +439,13 @@ class GribMetaSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // 9-bit code in an 8-bit field
       GribMeta.encodeG1Simple(1, 1, 0, 0.0, 0, 0, 8, Array(256L))
     }
+    intercept[IllegalArgumentException] { // Ni past the GDS 16-bit field
+      GribMeta.encodeG1Simple(70000, 1, 0, 0.0, 0, 0, 1,
+        Array.fill(70000)(0L))
+    }
+    intercept[IllegalArgumentException] { // scale past sign-magnitude 16
+      GribMeta.encodeG1Simple(1, 1, 0, 0.0, -40000, 0, 1, Array(0L))
+    }
   }
 
   test("encodeG1SecondOrder round-trips through the decoder: bitmap, " +
