@@ -3199,7 +3199,7 @@ object Ingest {
 
   /** i63: the GRIB TRANSPORT CYCLE inside the correctness gate — the
     * i62 pattern for the engine's other acquisition format: the same
-    * deterministic lineitem grid is packed as SIX real GRIB messages
+    * deterministic lineitem grid is packed as SEVEN real GRIB messages
     * (lat/lon grid, BITMAP for empty cells, 2^-2 binary scale, param
     * number = slice index) — slice 0 as 5.0 SIMPLE packing through
     * [[graft.sources.GribMeta.encodeSimple]], slice 1
@@ -3217,46 +3217,77 @@ object Ingest {
     * SECOND-ORDER message through
     * [[graft.sources.GribMeta.encodeG1SecondOrder]] (r13: the
     * ECMWF-era pre-GRIB2 archive packing — secondary-bitmap groups,
-    * IBM-32 reference, per-group widths) — landed as one concatenated
-    * MIXED-EDITION archive, decoded back task-side by
+    * IBM-32 reference, per-group widths), slice 6 as 5.50 SPECTRAL
+    * SIMPLE packing through [[graft.sources.GribMeta.encodeSpectral]]
+    * (r14: the ECMWF model-level archive packing — a T-8 triangular
+    * truncation of 90 coefficients over grid template 3.50, the (0,0)
+    * real part riding §5 unpacked, no bitmap so missing cells carry
+    * code 0) — landed as one concatenated MIXED-EDITION archive,
+    * decoded back task-side by
     * [[graft.sources.GribMeta.readValues]], and hash-checked against
     * DuckDB recomputing the grid directly — bit-slips anywhere in the
     * section walk, bitmap masking, (R + X·2^E) unpacking,
     * group/differencing reconstruction, PNG pixel walk, the EBCOT/DWT
-    * pipeline, the Rice coder, or the edition-1 BDS walk break the
-    * hash (2^-2 and the integer codes are exact in binary, so no
-    * rounding is needed on either side).
+    * pipeline, the Rice coder, the edition-1 BDS walk, or the
+    * §5-riding (0,0) coefficient break the hash (2^-2 and the integer
+    * codes are exact in binary, so no rounding is needed on either
+    * side).
     *
-    * Scale shape: identical to i62 — fixed 6×(8×12) grid, one
-    * 576-group partial-agg shuffle, model-state-bounded driver encode,
+    * Scale shape: identical to i62 — fixed 7×(8×12) grid, one
+    * 672-group partial-agg shuffle, model-state-bounded driver encode,
     * per-archive-file task fan-out on the read. */
   def i63: QueryDef = QueryDef(
     "i63_grib_cycle",
     """WITH g AS (
-      |  SELECT CAST(l_linenumber % 6 AS INTEGER) AS t,
+      |  SELECT CAST(l_linenumber % 7 AS INTEGER) AS t,
       |    CAST(l_suppkey % 8 AS INTEGER) AS y,
       |    CAST(l_partkey % 12 AS INTEGER) AS x,
       |    CAST(SUM(l_quantity) AS BIGINT) AS q
-      |  FROM lineitem GROUP BY 1, 2, 3)
-      |SELECT t, x, y, 2048.0 + CAST(q AS DOUBLE) / 4 AS value
-      |FROM g ORDER BY t, y, x""".stripMargin) { (spark, dir) =>
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |base AS (
+      |  SELECT t, x, y, 2048.0 + CAST(q AS DOUBLE) / 4 AS value
+      |  FROM g WHERE t < 6),
+      |spec6 AS (
+      |  SELECT CAST(6 AS INTEGER) AS t,
+      |    CAST(yy.y * 12 + xx.x AS INTEGER) AS x, CAST(0 AS INTEGER) AS y,
+      |    2048.0 + CAST(COALESCE(g.q, 0) AS DOUBLE) / 4 AS value
+      |  FROM range(8) AS yy(y) CROSS JOIN range(12) AS xx(x)
+      |  LEFT JOIN g ON g.t = 6 AND g.y = yy.y AND g.x = xx.x
+      |  WHERE yy.y * 12 + xx.x < 90)
+      |SELECT t, x, y, value FROM base
+      |UNION ALL SELECT t, x, y, value FROM spec6
+      |ORDER BY t, y, x""".stripMargin) { (spark, dir) =>
     import graft.sources.GribMeta
-    val (nt, ny, nx) = (6, 8, 12)
+    val (nt, ny, nx) = (7, 8, 12)
     val cells = Tables(spark, dir).lineitem
-      .groupBy((col("l_linenumber") % 6).cast("int").as("t"),
+      .groupBy((col("l_linenumber") % 7).cast("int").as("t"),
         (col("l_suppkey") % 8).cast("int").as("y"),
         (col("l_partkey") % 12).cast("int").as("x"))
       .agg(sum(col("l_quantity")).cast("long").as("q"))
-      .collect() // bounded by the fixed grid (≤576 cells), not the data
+      .collect() // bounded by the fixed grid (≤672 cells), not the data
     val grids = Array.fill(nt)(Array.fill[Long](ny * nx)(-1L)) // -1 = missing
     cells.foreach(r =>
       grids(r.getInt(0))(r.getInt(1) * nx + r.getInt(2)) = r.getLong(3))
     // one slice per packing family — simple 5.0, complex+spatial 5.3,
     // PNG 5.41 (r11), lossless JPEG2000 5.40 and CCSDS 5.42 (r12),
-    // GRIB1 second-order (r13) — all under the same DuckDB hash
+    // GRIB1 second-order (r13), spectral 5.50 (r14) — all under the
+    // same DuckDB hash
     val msgs = grids.zipWithIndex.map { case (g, t) =>
       val mask = g.map(_ >= 0L)
-      if (t == 0)
+      if (t == 6) {
+        // spectral carries no bitmap: a T-8 truncation packs exactly
+        // (8+1)(8+2) = 90 coefficients — the first 90 row-major cells,
+        // missing cells as code 0 (the oracle COALESCEs them to 2048),
+        // the first cell riding §5 as the raw-IEEE (0,0) real part
+        val codes = g.take(90).map(q => if (q >= 0L) q else 0L)
+        GribMeta.encodeSpectral(truncation = 8,
+          paramCategory = 1, paramNumber = t,
+          refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
+          real00 = (2048.0 + codes(0).toDouble / 4).toFloat,
+          xs = codes.drop(1), centre = 98,
+          refTime = (1995, 1, 1 + t, 0, 0))
+      }
+      else if (t == 0)
         GribMeta.encodeSimple(nx, ny, paramCategory = 1, paramNumber = t,
           refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
           xs = g.filter(_ >= 0L), bitmap = Some(mask), centre = 98,

@@ -150,13 +150,14 @@ object GribMeta {
                   pNum = u8(bytes, so + 10)
                 }
               case 5 => // data representation: templates 5.0/5.2/5.3/
-                        // 5.40/5.41 share octets 12-15 R (IEEE float),
-                        // 16-17 E, 18-19 D (sign-and-magnitude),
-                        // 20 bits/value
+                        // 5.40/5.41/5.42/5.50 share octets 12-15 R
+                        // (IEEE float), 16-17 E, 18-19 D (sign-and-
+                        // magnitude), 20 bits/value
                 nPacked = u32(bytes, so + 5)
                 drTpl = u16(bytes, so + 9)
                 if ((drTpl == 0 || drTpl == 2 || drTpl == 3 ||
-                    drTpl == 40 || drTpl == 41 || drTpl == 42) && len >= 20) {
+                    drTpl == 40 || drTpl == 41 || drTpl == 42 ||
+                    drTpl == 50) && len >= 20) {
                   refVal = java.lang.Float
                     .intBitsToFloat(u32(bytes, so + 11).toInt).toDouble
                   binE = s16(u16(bytes, so + 15))
@@ -355,10 +356,26 @@ object GribMeta {
       paramNumber: Int, centre: Int, discipline: Int,
       refTime: (Int, Int, Int, Int, Int), bitmap: Option[Array[Boolean]],
       sec5Len: Int, sec5Body: java.nio.ByteBuffer => Unit,
+      sec7Len: Int, sec7Body: java.nio.ByteBuffer => Unit): Array[Byte] =
+    buildFrame(paramCategory, paramNumber, centre, discipline, refTime,
+      bitmap,
+      72, { s => // grid template 3.0 (lat/lon), geometry octets zeroed
+        s.put(0.toByte); s.putInt(ni * nj); s.put(0.toByte).put(0.toByte)
+        s.putShort(0)
+        (15 to 30).foreach(_ => s.put(0.toByte))
+        s.putInt(ni).putInt(nj)
+      },
+      sec5Len, sec5Body, sec7Len, sec7Body)
+
+  private def buildFrame(paramCategory: Int,
+      paramNumber: Int, centre: Int, discipline: Int,
+      refTime: (Int, Int, Int, Int, Int), bitmap: Option[Array[Boolean]],
+      sec3Len: Int, sec3Body: java.nio.ByteBuffer => Unit,
+      sec5Len: Int, sec5Body: java.nio.ByteBuffer => Unit,
       sec7Len: Int, sec7Body: java.nio.ByteBuffer => Unit): Array[Byte] = {
     val bmpBytes = bitmap.map(m => (m.length + 7) / 8).getOrElse(0)
     val b = java.nio.ByteBuffer.allocate(
-      16 + 21 + 72 + 34 + sec5Len + 6 + bmpBytes + sec7Len + 4)
+      16 + 21 + sec3Len + 34 + sec5Len + 6 + bmpBytes + sec7Len + 4)
     def sec(len: Int, n: Int)(body: java.nio.ByteBuffer => Unit): Unit = {
       val start = b.position()
       b.putInt(len).put(n.toByte)
@@ -374,12 +391,7 @@ object GribMeta {
       s.putShort(refTime._1.toShort).put(refTime._2.toByte).put(refTime._3.toByte)
       s.put(refTime._4.toByte).put(refTime._5.toByte).put(0.toByte)
     }
-    sec(72, 3) { s =>
-      s.put(0.toByte); s.putInt(ni * nj); s.put(0.toByte).put(0.toByte)
-      s.putShort(0) // grid template 3.0 (lat/lon)
-      (15 to 30).foreach(_ => s.put(0.toByte))
-      s.putInt(ni).putInt(nj)
-    }
+    sec(sec3Len, 3)(sec3Body)
     sec(34, 4) { s =>
       s.putShort(0); s.putShort(0)
       s.put(paramCategory.toByte).put(paramNumber.toByte)
@@ -427,6 +439,54 @@ object GribMeta {
         s.putInt(java.lang.Float.floatToIntBits(refValue))
         s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
         s.put(nBits.toByte)
+      },
+      5 + dataBytes, packCodes(_, xs, nBits))
+  }
+
+  /** GRIB2 WRITER for SPECTRAL SIMPLE packing (data representation
+    * template 5.50 over the spherical-harmonic grid template 3.50) —
+    * the ECMWF model-level ARCHIVE packing (the reference's ECMWF
+    * path, `ecmwf_opendata/client.py`, serves regular grids only, but
+    * a MARS archive retrieval carries spectral fields) and the
+    * adversarial fixture source for [[values]]' 5.50 decode. A
+    * triangular truncation J = K = M = `truncation` carries
+    * (J+1)(J+2) real coefficient values; the REAL PART OF (0,0) is
+    * not packed — it lands in §5 octets 21-24 as a raw IEEE float
+    * (template 5.50's one extra field) — and `xs` are the scaled
+    * codes of the remaining (J+1)(J+2)−1 coefficients in
+    * transmission order, simple-packed into §7. No bitmap: spectral
+    * coefficients have no missing points. */
+  def encodeSpectral(truncation: Int, paramCategory: Int, paramNumber: Int,
+      refValue: Float, binScale: Int, decScale: Int, nBits: Int,
+      real00: Float, xs: Array[Long],
+      centre: Int = 0, discipline: Int = 0,
+      refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0)): Array[Byte] = {
+    require(truncation >= 0, s"bad truncation $truncation")
+    require(nBits >= 0 && nBits <= 32, s"bad nBits $nBits")
+    require(xs.forall(x => x >= 0 && x < (1L << nBits)),
+      s"packed code out of the $nBits-bit range")
+    val total = (truncation + 1) * (truncation + 2)
+    require(xs.length == total - 1,
+      s"${xs.length} packed codes for a T$truncation field — triangular " +
+        s"truncation carries (J+1)(J+2) = $total real coefficients, the " +
+        "(0,0) real part riding section 5 unpacked")
+    val dataBytes = ((xs.length.toLong * nBits + 7) / 8).toInt
+    buildFrame(paramCategory, paramNumber, centre, discipline, refTime,
+      None,
+      28, { s => // grid template 3.50: spherical harmonic coefficients
+        s.put(0.toByte); s.putInt(total); s.put(0.toByte).put(0.toByte)
+        s.putShort(50)
+        s.putInt(truncation).putInt(truncation).putInt(truncation) // J K M
+        s.put(1.toByte) // octet 27: associated Legendre polynomials
+        s.put(1.toByte) // octet 28: representation mode 1
+      },
+      24, { s =>
+        s.putInt(total)
+        s.putShort(50) // template 5.50
+        s.putInt(java.lang.Float.floatToIntBits(refValue))
+        s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
+        s.put(nBits.toByte)
+        s.putInt(java.lang.Float.floatToIntBits(real00)) // octets 21-24
       },
       5 + dataBytes, packCodes(_, xs, nBits))
   }
@@ -775,14 +835,27 @@ object GribMeta {
     parse(bytes).map { case (m, packOpt) =>
       val p = packOpt.getOrElse(throw new IllegalArgumentException(
         s"message ${m.msgIndex}: no data section"))
-      if (m.edition == 2)
+      if (m.edition == 2) {
+        // 5.51 refuses by ITS OWN name: the Laplacian sub-truncation
+        // split (Ts, packed vs unpacked coefficient partition) is an
+        // ECMWF library convention with no ground-truth encoder in
+        // this environment — the same documented boundary as GRIBEX
+        // SPD; 5.50 (simple spectral) decodes (r14)
+        require(p.template != 51,
+          s"message ${m.msgIndex}: data representation template 5.51 " +
+            "(complex spectral packing with Laplacian sub-truncation) " +
+            "unsupported — the sub-truncation coefficient split is an " +
+            "ECMWF convention; re-encode as 5.50 (spectral simple), " +
+            "which decodes")
         require(p.template == 0 || p.template == 2 || p.template == 3 ||
-          p.template == 40 || p.template == 41 || p.template == 42,
+          p.template == 40 || p.template == 41 || p.template == 42 ||
+          p.template == 50,
           s"message ${m.msgIndex}: data " +
           s"representation template 5.${p.template} unsupported — only " +
           "5.0 (simple), 5.2 (complex), 5.3 (complex + spatial " +
-          "differencing), 5.40 (lossless JPEG2000), 5.41 (PNG) and " +
-          "5.42 (CCSDS/AEC) decode")
+          "differencing), 5.40 (lossless JPEG2000), 5.41 (PNG), " +
+          "5.42 (CCSDS/AEC) and 5.50 (spectral simple) decode")
+      }
       else {
         // GRIB1 BDS flag nibble (template here = flags bits 4-7):
         // 8 = spherical harmonics, 4 = complex packing, 2 = integer
@@ -829,7 +902,45 @@ object GribMeta {
       val scale = math.pow(2.0, p.binScale) * math.pow(10.0, -p.decScale)
       val base = p.refValue * math.pow(10.0, -p.decScale)
       val out = new Array[Double](nTotal)
-      if ((m.edition == 2 && (p.template == 2 || p.template == 3 ||
+      if (m.edition == 2 && p.template == 50) {
+        // spectral simple packing (5.50/7.50): the REAL PART OF (0,0)
+        // is not packed — §5 octets 21-24 carry it as a raw IEEE
+        // float, NOT subject to the E/D scaling (the published NCEP
+        // g2clib unpack: fld[0] = rdieee(idrstmpl[4])); the remaining
+        // nTotal−1 coefficients unpack exactly as simple packing
+        require(p.bitmapIndicator == 255,
+          s"message ${m.msgIndex}: spectral data cannot carry a " +
+            "bitmap — coefficients have no missing points")
+        require(p.sec5Len >= 24,
+          s"message ${m.msgIndex}: template 5.50 declared but section " +
+            s"5 is ${p.sec5Len} octets (< 24)")
+        require(nTotal >= 1,
+          s"message ${m.msgIndex}: spectral field with zero coefficients")
+        out(0) = java.lang.Float
+          .intBitsToFloat(u32(bytes, p.sec5Off + 20).toInt).toDouble
+        var bitPos = 0L
+        val dataBits = (p.dataEnd - p.dataOff).toLong * 8
+        var i = 1
+        while (i < nTotal) {
+          if (p.nBits == 0) out(i) = base // constant coefficients
+          else {
+            require(bitPos + p.nBits <= dataBits,
+              s"message ${m.msgIndex}: spectral packed stream " +
+                s"exhausted at coefficient $i")
+            var x = 0L
+            var b = 0
+            while (b < p.nBits) {
+              val bit = bitPos + b
+              x = (x << 1) |
+                ((bytes(p.dataOff + (bit >> 3).toInt) >> (7 - (bit & 7))) & 1)
+              b += 1
+            }
+            bitPos += p.nBits
+            out(i) = base + x * scale
+          }
+          i += 1
+        }
+      } else if ((m.edition == 2 && (p.template == 2 || p.template == 3 ||
           p.template == 40 || p.template == 41 || p.template == 42)) ||
           // edition 1: the gate above admits {0,2,5,7}; the complex
           // bit alone routes — a single source of truth, so a future

@@ -187,20 +187,22 @@ final class H5Scan(path: String, dsOpt: Option[String],
     val files = H5GridSource.listFiles(path)
     // ONE memoized planning decode per file, shared by the names path
     // and the external-link path (a master file cross-linked by many
-    // granules still decodes once)
+    // granules still decodes once). Failures memoize the CAUSE so the
+    // plan-time rethrow keeps the root diagnostic (r13 advice: a
+    // generic 'planning decode failed' hides why a corrupt file
+    // refused).
     val decoded =
-      scala.collection.mutable.HashMap.empty[String, util.Optional[Hdf5.Hdf5File]]
-    def dec(f: String): Option[Hdf5.Hdf5File] = {
-      val v = decoded.getOrElseUpdate(f,
-        try util.Optional.of(H5GridSource.planningDecode(f))
-        catch { case _: Exception => util.Optional.empty() })
-      if (v.isPresent) Some(v.get) else None
-    }
+      scala.collection.mutable.HashMap.empty[String, Either[Throwable, Hdf5.Hdf5File]]
+    def dec(f: String): Either[Throwable, Hdf5.Hdf5File] =
+      decoded.getOrElseUpdate(f,
+        try Right(H5GridSource.planningDecode(f))
+        catch { case e: Exception => Left(e) })
     val splits = GridFiles.layerSplits(files,
       f => pathPreds.forall(_(f)),
       f => H5GridSource.gridNames(
-        dec(f).getOrElse(throw new IllegalArgumentException(
-          s"planning decode failed for $f")), want, explicit),
+        dec(f).fold(e => throw new IllegalArgumentException(
+          s"planning decode failed for $f: ${e.getMessage}", e),
+          identity), want, explicit),
       _ => true, maxSplitsPerFile)
       .map { case (f, group) => H5Partition(f, group): InputPartition }
     // EXPLICITLY-selected external links, GROUPED BY TARGET FILE so a
@@ -216,8 +218,9 @@ final class H5Scan(path: String, dsOpt: Option[String],
         .flatMap { f =>
           dec(f).toSeq.flatMap { src =>
             H5GridSource.externalEntries(f, src, want,
-              p => dec(p).getOrElse(throw new IllegalArgumentException(
-                s"external link target $p failed to decode")))
+              p => dec(p).fold(e => throw new IllegalArgumentException(
+                s"external link target $p failed to decode: " +
+                  s"${e.getMessage}", e), identity))
               .map { case (link, tFile, tDs) => (tFile, (f, link, tDs)) }
           }
         }

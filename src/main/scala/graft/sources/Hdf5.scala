@@ -200,11 +200,21 @@ object Hdf5 {
     var hops = 0
     while (hops <= 4) {
       val comps = cur.file.split('/')
-      require(!cur.file.startsWith("/") && !cur.file.contains(":") &&
+      require(!cur.file.startsWith("/") &&
         !comps.exists(c => c == "." || c == ".."),
         s"external link '${link.path}': target file '${cur.file}' is " +
           "absolute or carries '.'/'..' components — only " +
           "sibling-relative targets resolve")
+      // ':' blocks URI schemes AND colon-named siblings (e.g. ISO-
+      // timestamp granules): Hadoop Path cannot address a relative
+      // child with a colon at all (it parses as a URI scheme), so the
+      // restriction is the transport layer's, named here rather than
+      // surfacing as a Path URISyntaxException (r13 advice)
+      require(!cur.file.contains(":"),
+        s"external link '${link.path}': target file '${cur.file}' " +
+          "carries ':' — URI-scheme targets are refused and Hadoop " +
+          "Path cannot address colon-named relative siblings; rename " +
+          "the target file colon-free")
       val tFile = new org.apache.hadoop.fs.Path(curDir, cur.file)
       val fs = tFile.getFileSystem(new org.apache.hadoop.conf.Configuration())
       require(fs.isFile(tFile),

@@ -957,6 +957,138 @@ class GribMetaSpec extends SparkSpec {
     intercept[Exception] { GribMeta.decode(g ++ Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)) }
   }
 
+  /** Hand-built GRIB2 SPECTRAL message from the spec's own field
+    * tables (grid template 3.50, data representation 5.50) —
+    * independent of [[GribMeta.encodeSpectral]]'s layout arithmetic:
+    * T-1 triangular truncation (6 coefficients), the (0,0) real part
+    * in §5 octets 21-24, the other 5 codes 8-bit simple-packed. */
+  private def grib2Spectral(refValue: Float, binScale: Int, decScale: Int,
+      nBits: Int, real00: Float, codes: Seq[Long],
+      withBitmap: Boolean = false, sec5Len: Int = 24,
+      drTpl: Int = 50): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(512)
+    def sec(len: Int, num: Int)(body: java.nio.ByteBuffer => Unit): Unit = {
+      val start = b.position()
+      b.putInt(len).put(num.toByte)
+      body(b)
+      while (b.position() < start + len) b.put(0.toByte)
+    }
+    b.put("GRIB".getBytes("US-ASCII"))
+    b.putShort(0).put(0.toByte).put(2.toByte)
+    val lenAt = b.position()
+    b.putLong(0L)
+    sec(21, 1) { s =>
+      s.putShort(98).putShort(0)
+      s.put(2.toByte).put(1.toByte).put(1.toByte)
+      s.putShort(2024).put(6.toByte).put(1.toByte)
+      s.put(12.toByte).put(0.toByte).put(0.toByte)
+    }
+    sec(28, 3) { s => // grid template 3.50: spherical harmonics
+      s.put(0.toByte)
+      s.putInt(codes.length + 1) // total coefficients incl. (0,0)
+      s.put(0.toByte).put(0.toByte)
+      s.putShort(50)
+      s.putInt(1).putInt(1).putInt(1) // J, K, M (octets 15-26)
+      s.put(1.toByte)                 // octet 27: representation type
+      s.put(1.toByte)                 // octet 28: representation mode
+    }
+    sec(34, 4) { s =>
+      s.putShort(0); s.putShort(0)
+      s.put(1.toByte).put(8.toByte)
+    }
+    sec(sec5Len, 5) { s =>
+      s.putInt(codes.length + 1)
+      s.putShort(drTpl.toShort)
+      s.putInt(java.lang.Float.floatToIntBits(refValue))
+      def sm(v: Int): Short = (if (v < 0) 0x8000 | -v else v).toShort
+      s.putShort(sm(binScale)); s.putShort(sm(decScale))
+      s.put(nBits.toByte)
+      if (sec5Len >= 24)
+        s.putInt(java.lang.Float.floatToIntBits(real00)) // octets 21-24
+    }
+    if (withBitmap) sec(7, 6) { s => s.put(0.toByte); s.put(0xF8.toByte) }
+    else sec(6, 6) { s => s.put(255.toByte) }
+    val dataBytes = (codes.length * nBits + 7) / 8
+    sec(5 + dataBytes, 7) { s =>
+      var acc = 0L; var nb = 0
+      codes.foreach { x =>
+        acc = (acc << nBits) | x; nb += nBits
+        while (nb >= 8) { s.put((acc >> (nb - 8)).toByte); nb -= 8 }
+      }
+      if (nb > 0) s.put((acc << (8 - nb)).toByte)
+    }
+    b.put("7777".getBytes("US-ASCII"))
+    val total = b.position()
+    b.putLong(lenAt, total.toLong)
+    java.util.Arrays.copyOf(b.array(), total)
+  }
+
+  test("spectral simple packing (5.50) decodes the hand-built fixture: " +
+      "raw-IEEE (0,0) real part, scaled remaining coefficients") {
+    // D=1 proves the rdieee semantics: out(0) is the RAW §5 float,
+    // NOT divided by 10^D; the packed coefficients are (R + X*2^E)/10^D
+    val m = grib2Spectral(100f, -1, 1, 8, real00 = 3.25f,
+      codes = Seq(0L, 1L, 5L, 200L, 255L))
+    val Seq((msg, vs)) = GribMeta.values(m)
+    assert(msg.gridTemplate == 50 && msg.nPoints == 6 && msg.ni == -1)
+    assert(vs.length == 6)
+    assert(vs(0) == 3.25f.toDouble, s"real00 ${vs(0)} must be the raw IEEE value")
+    val want = Seq(0L, 1L, 5L, 200L, 255L).map(x => (100 + x * 0.5) / 10)
+    vs.drop(1).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-9, s"$g != $w") }
+    // nBits=0: constant coefficients — every packed point is R/10^D,
+    // the (0,0) real part still rides §5 raw
+    val const = grib2Spectral(42f, 3, 1, 0, real00 = -7.5f,
+      codes = Seq(0L, 0L, 0L, 0L, 0L))
+    val Seq((_, cv)) = GribMeta.values(const)
+    assert(cv(0) == -7.5f.toDouble && cv.drop(1).forall(_ == 4.2))
+  }
+
+  test("encodeSpectral round-trips through the decoder; mixed archives walk") {
+    // T-3: (4)(5) = 20 coefficients, 19 packed codes incl. the max
+    val xs = Array.tabulate(19)(i => (i.toLong * ((1L << 24) - 1) / 18))
+    val enc = GribMeta.encodeSpectral(truncation = 3, paramCategory = 1,
+      paramNumber = 5, refValue = 2048f, binScale = -2, decScale = 0,
+      nBits = 24, real00 = -123.5f, xs = xs, centre = 98,
+      refTime = (1995, 1, 2, 6, 30))
+    val Seq((m, vs)) = GribMeta.values(enc)
+    assert(m.centre == 98 && m.paramNumber == 5 && m.refTime == "1995-01-02T06:30")
+    assert(m.gridTemplate == 50 && m.nPoints == 20 && m.ni == -1 && m.nj == -1)
+    assert(vs(0) == -123.5f.toDouble)
+    assert(vs.drop(1).toSeq == xs.map(2048.0 + _ * 0.25).toSeq)
+    // the writer's bytes parse alongside the independent hand-built
+    // layouts in one archive; the inventory keeps cataloging
+    assert(GribMeta.decode(enc ++ grib2() ++ grib2Spectral(0f, 0, 0, 8,
+      0f, Seq(1L, 2L, 3L, 4L, 5L))).map(_.gridTemplate) == Seq(50, 0, 50))
+    // writer refuses a coefficient count off the pentagonal arithmetic
+    intercept[IllegalArgumentException] {
+      GribMeta.encodeSpectral(3, 0, 0, 0f, 0, 0, 8, 0f,
+        Array.fill(12)(1L)) // T-3 needs 19 packed codes, not 12
+    }
+  }
+
+  test("spectral refusals by name: 5.51 Laplacian sub-truncation, " +
+      "bitmapped spectral, truncated section 5") {
+    val e51 = intercept[IllegalArgumentException] {
+      GribMeta.values(grib2Spectral(0f, 0, 0, 8, 0f,
+        Seq(1L, 2L, 3L, 4L, 5L), drTpl = 51))
+    }
+    assert(e51.getMessage.contains("5.51") &&
+      e51.getMessage.contains("Laplacian"), e51.getMessage)
+    val eBm = intercept[IllegalArgumentException] {
+      GribMeta.values(grib2Spectral(0f, 0, 0, 8, 0f,
+        Seq(1L, 2L, 3L, 4L, 5L), withBitmap = true))
+    }
+    assert(eBm.getMessage.contains("bitmap"), eBm.getMessage)
+    // a 5.50 §5 cut to the 5.0 length (20 octets) has no octets 21-24
+    // to carry the (0,0) real part — refuse, never read past the section
+    val eTr = intercept[IllegalArgumentException] {
+      GribMeta.values(grib2Spectral(0f, 0, 0, 8, 0f,
+        Seq(1L, 2L, 3L, 4L, 5L), sec5Len = 20))
+    }
+    assert(eTr.getMessage.contains("< 24"), eTr.getMessage)
+  }
+
   test("scan inventories an archive directory task-side") {
     val dir = java.nio.file.Files.createTempDirectory("graft_grib").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.grib2"),

@@ -223,7 +223,10 @@ class Hdf5Spec extends SparkSpec {
       ("ld", "b.h5", "/nope"),    // missing dataset
       ("lg", "b.h5", "/"),        // group target
       ("la", "/etc/x.h5", "/x"),  // absolute file name
-      ("lp", "../b.h5", "/temp")  // dotted file name
+      ("lp", "../b.h5", "/temp"), // dotted file name
+      ("lq", "g_T00:00.h5", "/x") // colon-named sibling (r14: named
+                                  // refusal — Hadoop Path can't
+                                  // address a relative colon child)
     )))
     val aPath = dir.resolve("a.h5").toString
     val a = Hdf5.decode(Files.readAllBytes(dir.resolve("a.h5")))
@@ -246,6 +249,7 @@ class Hdf5Spec extends SparkSpec {
     refuses("/lg", "GROUP")
     refuses("/la", "absolute")
     refuses("/lp", "absolute or carries")
+    refuses("/lq", "colon-free")
   }
 
   test("H5GridSource follows an EXPLICITLY-selected external link to " +
