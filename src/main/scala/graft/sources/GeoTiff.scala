@@ -84,7 +84,7 @@ object GeoTiff {
 
   /** Number of IFDs chained in a classic TIFF (1 for the plain writer,
     * 1 + overview count for [[encodeCog]] output). */
-  def ifdCount(bytes: Array[Byte]): Int = {
+  def ifdCount(bytes: Array[Byte]): Int = CodecGate.gated("GeoTIFF") {
     val head = ByteBuffer.wrap(bytes)
     head.order(if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     var off = head.getInt(4).toLong & 0xffffffffL
@@ -102,7 +102,10 @@ object GeoTiff {
   /** Decode a single-band GeoTIFF byte array into a [[Raster]].
     * `ifdIndex` selects along the next-IFD chain — 0 is the full-res
     * image, 1.. are [[encodeCog]] overview levels. */
-  def decode(bytes: Array[Byte], ifdIndex: Int = 0): Raster = {
+  def decode(bytes: Array[Byte], ifdIndex: Int = 0): Raster =
+    CodecGate.gated("GeoTIFF")(decodeIfd(bytes, ifdIndex))
+
+  private def decodeIfd(bytes: Array[Byte], ifdIndex: Int): Raster = {
     val head = ByteBuffer.wrap(bytes)
     val order = (bytes(0), bytes(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
@@ -160,7 +163,12 @@ object GeoTiff {
       new String(bytes, valueOffset(e).toInt, e.count.toInt, "US-ASCII")
         .takeWhile(_ != '\u0000').trim
     def tagLongs(tag: Int): Option[Array[Long]] = entries.get(tag).map(longs)
-    def tagLong(tag: Int): Option[Long] = tagLongs(tag).map(_.head)
+    def tagLong(tag: Int): Option[Long] = tagLongs(tag).map { vs =>
+      // a present tag with COUNT 0 carries no value — refuse by name
+      // rather than surface a raw head-of-empty (r14 fuzz battery)
+      require(vs.nonEmpty, s"tag $tag present with count 0")
+      vs.head
+    }
 
     val width = tagLong(TImageWidth).getOrElse(
       throw new IllegalArgumentException("missing ImageWidth")).toInt
@@ -204,6 +212,14 @@ object GeoTiff {
       }
 
     val bytesPerSample = bits / 8
+    // ALLOCATION gate: the raster array is sized off DECLARED tags —
+    // refuse dimensions no single in-memory raster plausibly has
+    // BEFORE allocating (r14 fuzz battery: a flipped ImageWidth octet
+    // must never request a multi-GB array)
+    require(width >= 1 && height >= 1 &&
+      width.toLong * height <= (1L << 27),
+      s"raster ${width}x$height is empty, negative, or past the " +
+        "2^27-pixel single-raster sanity cap")
     val values = new Array[Double](width * height)
 
     def readSamples(data: Array[Byte], n: Int, put: (Int, Double) => Unit): Unit = {
@@ -228,9 +244,17 @@ object GeoTiff {
 
     (tagLongs(TTileOffsets), tagLongs(TStripOffsets)) match {
       case (Some(tileOffs), _) =>
-        val tw = tagLong(TTileWidth).get.toInt
-        val th = tagLong(TTileLength).get.toInt
-        val counts = tagLongs(TTileByteCounts).get
+        // refusals by name — a flipped tag id must not surface as a
+        // raw None.get (r14 fuzz battery)
+        def need[T](tag: Int, name: String, v: Option[T]): T = v.getOrElse(
+          throw new IllegalArgumentException(s"tiled TIFF missing $name"))
+        val tw = need(TTileWidth, "TileWidth", tagLong(TTileWidth)).toInt
+        val th = need(TTileLength, "TileLength", tagLong(TTileLength)).toInt
+        val counts = need(TTileByteCounts, "TileByteCounts",
+          tagLongs(TTileByteCounts))
+        require(tw >= 1 && th >= 1 && tw.toLong * th <= (1L << 27),
+          s"bad tile geometry ${tw}x$th (empty or past the 2^27-pixel " +
+            "sanity cap)")
         val tilesAcross = (width + tw - 1) / tw
         tileOffs.indices.foreach { t =>
           require(tileOffs(t) + counts(t) <= bytes.length,
@@ -247,7 +271,10 @@ object GeoTiff {
         }
       case (None, Some(stripOffs)) =>
         val rps = tagLong(TRowsPerStrip).getOrElse(height.toLong).toInt
-        val counts = tagLongs(TStripByteCounts).get
+        require(rps >= 1, s"bad RowsPerStrip $rps")
+        val counts = tagLongs(TStripByteCounts).getOrElse(
+          throw new IllegalArgumentException(
+            "striped TIFF missing StripByteCounts"))
         stripOffs.indices.foreach { s =>
           val rows = math.min(rps, height - s * rps)
           require(stripOffs(s) + counts(s) <= bytes.length,

@@ -101,7 +101,8 @@ object GribMeta {
   }
 
   /** All messages in a (possibly multi-message) GRIB byte array. */
-  def decode(bytes: Array[Byte]): Seq[Message] = parse(bytes).map(_._1)
+  def decode(bytes: Array[Byte]): Seq[Message] =
+    CodecGate.gated("GRIB")(parse(bytes).map(_._1))
 
   private def parse(bytes: Array[Byte]): Seq[(Message, Option[Pack])] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Message, Option[Pack])]
@@ -113,6 +114,9 @@ object GribMeta {
       val edition = u8(bytes, off + 7)
       val msg = edition match {
         case 2 =>
+          require(off + 16 <= bytes.length,
+            s"message $idx: truncated GRIB2 indicator section " +
+              s"(${bytes.length - off} of 16 bytes)")
           val totalLen = u64(bytes, off + 8)
           require(off + totalLen <= bytes.length,
             s"truncated GRIB2 message $idx: $totalLen bytes declared")
@@ -217,9 +221,16 @@ object GribMeta {
           require(off + totalLen <= bytes.length,
             s"truncated GRIB1 message $idx: $totalLen bytes declared")
           val end = off + totalLen.toInt
-          // PDS directly after the 8-byte indicator
+          // PDS directly after the 8-byte indicator; its declared
+          // length must stay inside the message — every later
+          // section offset derives from it (r14 fuzz battery: a
+          // flipped length octet walked the GDS read off the array)
           val pds = off + 8
+          require(pds + 17 <= end - 4,
+            s"GRIB1 message $idx: message too short for the PDS")
           val pdsLen = u24(bytes, pds)
+          require(pdsLen >= 17 && pds + pdsLen <= end - 4,
+            s"GRIB1 message $idx: PDS length $pdsLen overruns the message")
           val centre = u8(bytes, pds + 4)
           val gdsPresent = (u8(bytes, pds + 7) & 0x80) != 0
           val param = u8(bytes, pds + 8)
@@ -231,12 +242,17 @@ object GribMeta {
           var cur = pds + pdsLen
           if (gdsPresent) {
             val gds = cur
+            require(gds + 10 <= end - 4,
+              s"GRIB1 message $idx: GDS overruns the message")
+            val gdsLen = u24(bytes, gds)
+            require(gdsLen >= 6 && gds + gdsLen <= end - 4,
+              s"GRIB1 message $idx: GDS length $gdsLen overruns the message")
             gridTpl = u8(bytes, gds + 5) // data representation type
-            if (gridTpl == 0) { // lat/lon: Ni octets 7-8, Nj 9-10
+            if (gridTpl == 0 && gdsLen >= 10) { // lat/lon: Ni 7-8, Nj 9-10
               ni = u16(bytes, gds + 6)
               nj = u16(bytes, gds + 8)
             }
-            cur += u24(bytes, gds)
+            cur += gdsLen
           }
           // decimal scale factor: PDS octets 27-28 (sign-and-magnitude)
           val decD1 = if (pdsLen >= 28) s16(u16(bytes, pds + 26)) else 0
@@ -832,7 +848,7 @@ object GribMeta {
     * understand. Returns one value array per message, grid-ordered as
     * transmitted (row-major for lat/lon grids). */
   def values(bytes: Array[Byte]): Seq[(Message, Array[Double])] =
-    parse(bytes).map { case (m, packOpt) =>
+    CodecGate.gated("GRIB")(parse(bytes).map { case (m, packOpt) =>
       val p = packOpt.getOrElse(throw new IllegalArgumentException(
         s"message ${m.msgIndex}: no data section"))
       if (m.edition == 2) {
@@ -888,8 +904,18 @@ object GribMeta {
       require(p.nBits >= 0,
         s"message ${m.msgIndex}: corrupt section 5 — template 5.0 " +
           "declared but the template fields are truncated")
-      val nTotal =
-        if (m.nPoints > 0) m.nPoints.toInt else p.nPacked.toInt
+      val nTotalL = if (m.nPoints > 0) m.nPoints else p.nPacked
+      // ALLOCATION gate: the output array is sized off a DECLARED
+      // count, so refuse counts a single message cannot plausibly
+      // carry BEFORE allocating — a flipped u32 must never request a
+      // multi-GB array (2^27 points is ~20× the largest operational
+      // grids; constant fields with nBits=0 legitimately declare
+      // points with no backing bytes, so a bytes-proportional bound
+      // would false-refuse them) (r14 fuzz battery)
+      require(nTotalL >= 0 && nTotalL <= (1L << 27),
+        s"message ${m.msgIndex}: declared point count $nTotalL is " +
+          "negative or exceeds the 2^27 single-message sanity cap")
+      val nTotal = nTotalL.toInt
       if (p.bitmapIndicator == 0)
         require(p.bitmapOff + ((nTotal + 7) >> 3) <= p.bitmapEnd,
           s"message ${m.msgIndex}: bitmap section holds fewer than " +
@@ -1009,7 +1035,7 @@ object GribMeta {
         }
       }
       (m, out)
-    }
+    })
 
   /** Template 7.41 (PNG-packed) payload → the scaled codes X of the
     * packed points, in image raster order (WMO FM 92 template 5.41 /
@@ -1316,8 +1342,12 @@ object GribMeta {
         s"message $msgIndex: bad extra-descriptor size $extraOctets")
     }
     val nPacked = p.nPacked.toInt
-    require(ng >= 0 && nPacked >= 0,
-      s"message $msgIndex: corrupt complex-packing counts")
+    // the ref/width/length arrays are sized off these DECLARED counts
+    // — cap before allocating (r14 fuzz battery, as in values())
+    require(ng >= 0 && nPacked >= 0 &&
+      ng <= (1 << 27) && nPacked <= (1 << 27),
+      s"message $msgIndex: complex-packing counts NG=$ng/" +
+        s"nPacked=$nPacked negative or past the 2^27 sanity cap")
 
     var pos = p.dataOff
     // x.3 extra descriptors: `order` initial values + overall minimum,

@@ -124,7 +124,8 @@ object Hdf {
   // -- decode -----------------------------------------------------------
 
   /** Full decode: DD walk + SDS assembly over the whole byte array. */
-  def decode(bytes: Array[Byte]): HdfFile = decodeImpl(bytes, bytes.length)
+  def decode(bytes: Array[Byte]): HdfFile =
+    CodecGate.gated("HDF4")(decodeImpl(bytes, bytes.length))
 
   /** Metadata-only decode over a bounded header PREFIX (the DSv2
     * planner's path): succeeds iff the DD chain and every SDS
@@ -132,7 +133,7 @@ object Hdf {
     * offsets may point past it. Throws otherwise; callers fall back
     * to a full read (the [[NcGridSource]] planning pattern). */
   def decodeHeader(prefix: Array[Byte], fullLen: Long): HdfFile =
-    decodeImpl(prefix, fullLen)
+    CodecGate.gated("HDF4")(decodeImpl(prefix, fullLen))
 
   private def decodeImpl(bytes: Array[Byte], fullLen: Long): HdfFile = {
     require(bytes.length >= 10, "truncated HDF4 file (no room for magic + DD block)")
@@ -670,10 +671,17 @@ object Hdf {
 
   /** Raw SDS values, row-major, widened to double (no fill masking —
     * [[gridCells]] applies it; matches [[NetCdf]]'s split). */
-  def read(f: HdfFile, name: String): Array[Double] = {
+  def read(f: HdfFile, name: String): Array[Double] = CodecGate.gated("HDF4") {
     val s = f.sdsNamed(name)
     val w = widthOf(s.ntype)
     val n = s.dims.map(_.toLong).product
+    // ALLOCATION gate first (r14 fuzz battery): dims are DECLARED
+    // fields — refuse negative or implausibly large products before
+    // payload() sizes decompression buffers off them (2^27 elements
+    // is ~10× the largest MODIS tile)
+    require(s.dims.forall(_ >= 0) && n >= 0 && n <= (1L << 27),
+      s"SDS '$name': declared dims ${s.dims.mkString("x")} negative " +
+        "or past the 2^27-element single-read sanity cap")
     require(n <= Int.MaxValue / 8, s"SDS '$name' too large for one in-memory read")
     val p = payload(f, s)
     require(p.length >= n * w,

@@ -256,7 +256,10 @@ object Hdf5 {
     * PAST a bounded header prefix) — dataset names, dims, types and
     * attributes still decode, which is all a DSv2 planner needs.
     * Reading data from a metaOnly file refuses loudly. */
-  def decode(bytes: Array[Byte], metaOnly: Boolean): Hdf5File = {
+  def decode(bytes: Array[Byte], metaOnly: Boolean): Hdf5File =
+    CodecGate.gated("HDF5")(decodeImpl(bytes, metaOnly))
+
+  private def decodeImpl(bytes: Array[Byte], metaOnly: Boolean): Hdf5File = {
     // the superblock sits at offset 0 or a power-of-two user-block
     // boundary (spec §II); scan the doublings
     var base = 0L
@@ -1724,9 +1727,16 @@ object Hdf5 {
   /** Raw dataset values, row-major, widened to double (no fill
     * masking — [[gridCells]] applies CF semantics; the [[Hdf]]/
     * [[NetCdf]] split). */
-  def read(bytes: Array[Byte], f: Hdf5File, path: String): Array[Double] = {
+  def read(bytes: Array[Byte], f: Hdf5File, path: String): Array[Double] =
+      CodecGate.gated("HDF5") {
     val d = f.datasetAt(path)
     val n = d.n
+    // ALLOCATION gate first (r14 fuzz battery): dims are DECLARED
+    // fields — refuse negative or implausibly large element counts
+    // before the output (or a chunk scatter buffer) is sized off them
+    require(n >= 0 && n <= (1L << 27),
+      s"dataset '$path': declared element count $n negative or past " +
+        "the 2^27-element single-read sanity cap")
     require(n <= Int.MaxValue / 8, s"dataset '$path' too large for one read")
     d.chunked match {
       case Some(c) => readChunked(bytes, d, c, path)

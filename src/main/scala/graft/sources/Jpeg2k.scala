@@ -923,7 +923,10 @@ object Jpeg2k {
 
   private final case class Contribution(cb: CbAcc, passes: Int, len: Int)
 
-  def decode(cs: Array[Byte]): Decoded = {
+  def decode(cs: Array[Byte]): Decoded =
+    CodecGate.gated("JPEG2000")(decodeImpl(cs))
+
+  private def decodeImpl(cs: Array[Byte]): Decoded = {
     require(cs.length >= 4 && u16(cs, 0) == 0xff4f,
       "not a JPEG 2000 codestream (missing SOC)")
     var p = 2
@@ -954,8 +957,13 @@ object Jpeg2k {
             "nonzero image/tile origin unsupported")
           require(xt >= xsiz && yt >= ysiz,
             s"multi-tile codestream unsupported (tile ${xt}x$yt < image ${xsiz}x$ysiz)")
-          require(xsiz >= 1 && ysiz >= 1 && xsiz * ysiz <= Int.MaxValue,
-            s"implausible image ${xsiz}x$ysiz")
+          // ALLOCATION gate: subband/sample buffers are sized off
+          // these DECLARED dims — cap before anything allocates
+          // (r14 fuzz battery; 2^26 pixels is far past any GRIB
+          // 5.40 strip or grid this engine carries)
+          require(xsiz >= 1 && ysiz >= 1 && xsiz * ysiz <= (1L << 26),
+            s"implausible image ${xsiz}x$ysiz (empty or past the " +
+              "2^26-pixel sanity cap)")
           val ssiz = cs(p + 40) & 0xff
           require((ssiz & 0x80) == 0,
             "signed samples unsupported (5.40 codes are unsigned)")

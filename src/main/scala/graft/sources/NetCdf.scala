@@ -102,7 +102,7 @@ object NetCdf {
 
     /** All values of a numeric variable, row-major (record dim
       * outermost), widened to double. */
-    def read(name: String): Array[Double] = {
+    def read(name: String): Array[Double] = CodecGate.gated("NetCDF") {
       val v = variable(name)
       require(v.ncType != NcChar,
         s"variable '$name' is NC_CHAR text, not numeric grid data")
@@ -110,6 +110,12 @@ object NetCdf {
       val shape = shapeOf(v)
       val total = shape.foldLeft(1L)(_ * _)
       require(total <= Int.MaxValue, s"variable '$name' too large: $total")
+      // ALLOCATION gate: classic NetCDF stores data uncompressed, so
+      // a variable can never hold more bytes than the file — refuse
+      // corrupt dim/record counts BEFORE allocating (r14 fuzz battery)
+      require(total >= 0 && total * w <= bytes.length,
+        s"variable '$name': declared ${total * w} data bytes in a " +
+          s"${bytes.length}-byte file — corrupt dims or record count")
       val out = new Array[Double](total.toInt)
       if (isRecordVar(v)) {
         val perRec = (total / math.max(1, numRecs)).toInt
@@ -176,7 +182,8 @@ object NetCdf {
   }
 
   /** Parse the header; payload access stays lazy via [[NcFile.read]]. */
-  def decode(bytes: Array[Byte]): NcFile = decodeImpl(bytes, bytes.length)
+  def decode(bytes: Array[Byte]): NcFile =
+    CodecGate.gated("NetCDF")(decodeImpl(bytes, bytes.length))
 
   /** Header-only parse from a bounded PREFIX of the file: variable
     * `begin` offsets validate against the real `fileLen` instead of
@@ -186,7 +193,7 @@ object NetCdf {
     * reads on the returned file will bound-check against the prefix
     * and fail loudly, by design. */
   def decodeHeader(prefix: Array[Byte], fileLen: Long): NcFile =
-    decodeImpl(prefix, fileLen)
+    CodecGate.gated("NetCDF")(decodeImpl(prefix, fileLen))
 
   private def decodeImpl(bytes: Array[Byte], fileLen: Long): NcFile = {
     require(bytes.length >= 8, "too short for a NetCDF header")

@@ -180,7 +180,7 @@ object Szip {
   /** Decompress `data` into exactly `nPixels` samples, returned in the
     * stream's byte order (1/2/4 bytes per sample). */
   def decompress(data: Array[Byte], optionsMask: Int, bpp: Int, ppb: Int,
-      pps: Int, nPixels: Int): Array[Byte] = {
+      pps: Int, nPixels: Int): Array[Byte] = CodecGate.gated("szip") {
     validate(optionsMask, bpp, ppb, pps)
     val lsb = (optionsMask & Lsb) != 0
     if ((optionsMask & Raw) != 0) {

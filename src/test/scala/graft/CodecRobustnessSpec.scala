@@ -1,0 +1,160 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources._
+
+/** Seven-codec TRUNCATION/CORRUPTION battery (r14, the r13 verdict's
+  * item 2): every codec fixture is truncated at EVERY byte boundary
+  * and bit-flipped at EVERY byte (3 bit positions per byte), and each
+  * mutant must either decode (to anything) or refuse BY NAME — an
+  * `IllegalArgumentException` with a message. A raw
+  * NegativeArraySizeException / ArrayIndexOutOfBoundsException /
+  * BufferUnderflowException / OutOfMemoryError means a corrupt length
+  * or count field was trusted before it was bounded — exactly the
+  * defect class the round-by-round ADVICE stream kept finding one
+  * instance at a time (nGens guard, Psot wrap, copyOfRange zero-pad);
+  * this sweep retires it systematically.
+  *
+  * The fixtures come from the repo's own writers — the same bytes the
+  * transport cycles land through the DuckDB hash gate — so the sweep
+  * covers the section walks, length arithmetic, and unpack loops that
+  * real archive corruption would hit. */
+class CodecRobustnessSpec extends AnyFunSuite {
+
+  /** Decode every truncation and bit-flip of `fixture` through `dec`:
+    * success or a messaged IllegalArgumentException pass; anything
+    * else fails with the mutation coordinates so the offending field
+    * is reproducible. */
+  private def sweep(name: String, fixture: Array[Byte],
+      dec: Array[Byte] => Any): Unit = {
+    def attempt(tag: String, bytes: Array[Byte]): Unit =
+      try { dec(bytes); () } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage != null && e.getMessage.nonEmpty,
+            s"$name $tag: refusal without a message")
+        case e: Throwable =>
+          fail(s"$name $tag: raw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    var len = 0
+    while (len < fixture.length) {
+      attempt(s"truncated@$len", java.util.Arrays.copyOf(fixture, len))
+      len += 1
+    }
+    var pos = 0
+    while (pos < fixture.length) {
+      var bi = 0
+      while (bi < 3) {
+        val bit = Seq(0, 3, 7)(bi)
+        val mut = fixture.clone()
+        mut(pos) = (mut(pos) ^ (1 << bit)).toByte
+        attempt(s"bitflip@$pos.$bit", mut)
+        bi += 1
+      }
+      pos += 1
+    }
+  }
+
+  private val gridVals = Array.tabulate(12)(i => (i * 37 % 97).toLong)
+  private val mask6 = Array(true, false, true, true, false, true)
+
+  test("GRIB2 simple + complex 5.3 survive the corruption sweep") {
+    sweep("grib2-simple", GribMeta.encodeSimple(3, 2, 1, 2, 100f, -1, 1,
+      nBits = 10, xs = gridVals.take(4), bitmap = Some(mask6)),
+      GribMeta.values(_))
+    sweep("grib2-complex", GribMeta.encodeComplex(4, 3, 1, 2, 50f, -1, 0,
+      xs = gridVals, groupLen = 5, spatialOrder = 2),
+      GribMeta.values(_))
+  }
+
+  test("GRIB2 PNG 5.41 + JPEG2000 5.40 survive the corruption sweep") {
+    sweep("grib2-png", GribMeta.encodePng(4, 3, 1, 2, 10f, 0, 0,
+      nBits = 12, xs = gridVals), GribMeta.values(_))
+    sweep("grib2-j2k", GribMeta.encodeJpeg2000(4, 3, 1, 2, 10f, 0, 0,
+      nBits = 8, xs = gridVals), GribMeta.values(_))
+  }
+
+  test("GRIB2 CCSDS 5.42 + spectral 5.50 survive the corruption sweep") {
+    sweep("grib2-ccsds", GribMeta.encodeCcsds(4, 3, 1, 2, 10f, 0, 0,
+      nBits = 8, xs = gridVals), GribMeta.values(_))
+    sweep("grib2-spectral", GribMeta.encodeSpectral(2, 1, 2, 10f, -1, 0,
+      nBits = 8, real00 = 3.25f, xs = gridVals.take(11)),
+      GribMeta.values(_))
+  }
+
+  test("GRIB1 simple + second-order survive the corruption sweep") {
+    sweep("grib1-simple", GribMeta.encodeG1Simple(3, 2, 7, 100.0, -1, 1,
+      nBits = 10, xs = gridVals.take(4), bitmap = Some(mask6)),
+      GribMeta.values(_))
+    sweep("grib1-so", GribMeta.encodeG1SecondOrder(4, 3, 7, 64.0, -1, 0,
+      xs = gridVals, groupLen = 5), GribMeta.values(_))
+  }
+
+  test("GeoTiff strip + COG survive the corruption sweep") {
+    val r = GeoTiff.Raster(4, 3, 1.0, -1.0, 0.0, 3.0, Some(-9999.0),
+      Array.tabulate(12)(i => if (i == 5) -9999.0 else i * 1.5))
+    sweep("tif-strip", GeoTiff.encode(r, float32 = true, deflate = true),
+      GeoTiff.decode(_))
+    sweep("tif-cog", GeoTiff.encodeCog(r, tileSize = 16),
+      GeoTiff.decode(_))
+  }
+
+  test("NetCDF classic + record layout survive the corruption sweep") {
+    import NetCdf._
+    val enc = encode(
+      Seq(Dim("time", 0), Dim("lat", 2), Dim("lon", 3)),
+      Seq(Att("title", Some("fuzz"), Array.empty)),
+      Seq(
+        VarSpec("lat", Seq("lat"), 5, values = Array(0.0, 1.0)),
+        VarSpec("rfe", Seq("time", "lat", "lon"), 5,
+          atts = Seq(Att("_FillValue", None, Array(-9.0))),
+          values = Array.tabulate(12)(_.toDouble))),
+      numRecs = 2)
+    sweep("netcdf", enc, bytes => {
+      val f = NetCdf.decode(bytes)
+      f.vars.foreach(v => f.read(v.name))
+    })
+  }
+
+  test("HDF4 (rle + deflate SDS) survives the corruption sweep") {
+    val enc = Hdf.encode(Seq(
+      Hdf.SdsSpec("a", Seq(2, 3), 22, Array.tabulate(6)(_.toDouble),
+        fill = Some(-3000.0), comp = "rle"),
+      Hdf.SdsSpec("b", Seq(2, 3), 5, Array.tabulate(6)(_ * 1.5),
+        comp = "deflate")))
+    sweep("hdf4", enc, bytes => {
+      val f = Hdf.decode(bytes)
+      f.sds.foreach(s => Hdf.read(f, s.name))
+    })
+  }
+
+  test("HDF5 (contiguous + chunked/filtered) survives the corruption sweep") {
+    val enc = Hdf5.encode(Seq(
+      Hdf5.DsSpec("plain", Seq(2L, 3L), Hdf5.Dtype(1, 4, true, true),
+        Array.tabulate(6)(_.toDouble)),
+      Hdf5.DsSpec("packed", Seq(4L, 4L), Hdf5.Dtype(0, 2, true, true),
+        Array.tabulate(16)(_.toDouble), chunk = Some(Seq(2, 2)),
+        filters = Seq("shuffle", "deflate", "fletcher32"))))
+    sweep("hdf5", enc, bytes => {
+      val f = Hdf5.decode(bytes)
+      f.datasets.foreach(d => Hdf5.read(bytes, f, d.path))
+    })
+  }
+
+  test("JPEG2000 codestream survives the corruption sweep") {
+    val samples = Array.tabulate(24)(i => (i * 11 % 256).toLong)
+    sweep("jpeg2k", Jpeg2k.encode(6, 4, 8, samples), Jpeg2k.decode(_))
+  }
+
+  test("Szip/CCSDS Rice stream survives the corruption sweep") {
+    val xs = Array.tabulate(64)(i => ((i * 29) % 251).toLong)
+    val stream = Szip.compress(Szip.sampleBytes(xs, 8, lsbOrder = false),
+      Szip.Msb | Szip.Nn, 8, 16, 128)
+    // the Rice stream has no internal framing to validate — garbage
+    // decode of a flipped stream is legal; the battery asserts the
+    // decoder never reads OUT OF the buffer or allocates off a
+    // corrupt field
+    sweep("szip", stream, bytes =>
+      Szip.decompress(bytes, Szip.Msb | Szip.Nn, 8, 16, 128, xs.length))
+  }
+}
