@@ -37,12 +37,18 @@ import org.apache.spark.sql.functions._
   *     LAADS/LP DAAC MODIS archives actually ship
   *     (see [[chunkedPayload]]).
   *
+  * Also decoded: LINKED-block elements (r12), SZIP/CCSDS coders via
+  * the clean-room [[Szip]] (r12), EXTERNAL elements through a
+  * sibling-relative resolver and the N-BIT coder (r14 — the legacy
+  * MODIS L1 shapes).
+  *
   * Refused LOUDLY (the codec-gate discipline — never guess at bytes):
-  * linked-block / external elements, N-bit / Skipping-Huffman / SZIP /
-  * JPEG coders, CHAR data on the numeric path, and any chunk table
-  * off the standard `{origin[ndims], chk_tag, chk_ref}` record shape.
-  * The DD WALK still inventories such files (refusals live on the
-  * pixel path, not the metadata walk — r9 discipline).
+  * skipping-Huffman / JPEG coders, N-bit float or both-flags layouts,
+  * CHAR data on the numeric path, variable-length linked blocks, and
+  * any chunk table off the standard `{origin[ndims], chk_tag,
+  * chk_ref}` record shape. The DD WALK still inventories such files
+  * (refusals live on the pixel path, not the metadata walk — r9
+  * discipline).
   *
   * Everything here is bounded by the GRID, not the archive: decode
   * runs task-side over binaryFile splits ([[readGrid]]), the DSv2
@@ -249,10 +255,54 @@ object Hdf {
     case other => throw new IllegalArgumentException(s"DFNT type $other unsupported")
   }
 
+  /** Resolves an external element's SIBLING data file to its bytes.
+    * [[NoExternal]] (the byte-level default) refuses by name; the
+    * distributed paths pass [[siblingResolver]]. */
+  type ExtResolver = String => Array[Byte]
+
+  /** The no-filesystem default: an external element refuses by name
+    * rather than silently reading nothing. */
+  val NoExternal: ExtResolver = name =>
+    throw new IllegalArgumentException(
+      s"external element references sibling file '$name' but no " +
+        "resolver was provided — byte-level decode cannot reach other " +
+        "files; use readGrid/HdfGridSource (sibling-relative) or pass " +
+        "an ExtResolver")
+
+  /** Sibling-relative external-file resolver over Hadoop FS — the
+    * same name discipline as [[Hdf5.resolveExternalLink]]: absolute
+    * names, '.'/'..' components and ':' (URI schemes; Hadoop Path
+    * cannot address colon-named relative children) refuse by name.
+    * Reads the WHOLE sibling (external elements are raw uncompressed
+    * SDS bytes — the r12 linked-block sibling, one bounded file per
+    * tile, never an archive). */
+  def siblingResolver(basePath: String): ExtResolver = { name =>
+    val comps = name.split('/')
+    require(!name.startsWith("/") && !name.contains(":") &&
+      !comps.exists(c => c == "." || c == ".."),
+      s"external element file '$name' is absolute or carries ':' or " +
+        "'.'/'..' components — only sibling-relative names resolve")
+    val dir = new org.apache.hadoop.fs.Path(basePath).getParent
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    require(fs.isFile(p),
+      s"external element file '$name' missing (resolved to $p)")
+    val st = fs.getFileStatus(p)
+    require(st.getLen <= Int.MaxValue,
+      s"external element file '$name' too large for one read")
+    val out = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, out) finally in.close()
+    out
+  }
+
   /** Resolve an SDS's PAYLOAD bytes: plain elements slice directly;
-    * SPECIAL_COMP elements decode their coder (NONE/RLE/DEFLATE);
-    * every other special storage refuses with the exact reason. */
-  private def payload(f: HdfFile, sds: Sds): Array[Byte] = {
+    * SPECIAL_COMP elements decode their coder (NONE/RLE/NBIT/DEFLATE/
+    * SZIP); SPECIAL_EXT elements read their sibling file through
+    * `external`; every other special storage refuses with the exact
+    * reason. */
+  private def payload(f: HdfFile, sds: Sds,
+      external: ExtResolver): Array[Byte] = {
     val d = sds.dataDD.getOrElse(throw new IllegalArgumentException(
       s"SDS '${sds.name}': no data element (DFTAG_SD)"))
     require(d.off + d.len <= f.bytes.length,
@@ -269,16 +319,57 @@ object Hdf {
         case SpecialComp => compPayload(f, sds.name, d, b)
         case SpecialChunked => chunkedPayload(f, sds, d, b)
         case SpecialLinked => linkedPayload(f, sds.name, d, b)
+        case SpecialExt =>
+          val expect = sds.dims.map(_.toLong).product * widthOf(sds.ntype)
+          extPayload(sds.name, expect, d, b, external)
         case SpecialVLinked => throw new IllegalArgumentException(
           s"SDS '${sds.name}': variable-length linked-block storage " +
             "unsupported (appendable Vdata shape, not an SDS layout)")
-        case SpecialExt => throw new IllegalArgumentException(
-          s"SDS '${sds.name}': external-file element unsupported (data lives " +
-            "outside this file)")
         case other => throw new IllegalArgumentException(
           s"SDS '${sds.name}': unknown special storage code $other")
       }
     }
+  }
+
+  /** Decode one SPECIAL_EXT element (r14 — the cross-file sibling of
+    * the r12 linked blocks; MODIS-era tools write SDS data into a
+    * raw sibling via SDsetexternalfile): header after the 2-byte code
+    * is `length(4) offset(4) name_len(4) file_name` (the public HDF4
+    * hextelt.c record — 14 fixed bytes + the name, matching the
+    * LINKED convention of length-first). The slice
+    * `[offset, offset+length)` of the sibling is the raw payload.
+    *
+    * The field ORDER is additionally cross-checked against the SDS's
+    * own dims×width (an external SDS element is always the raw
+    * uncompressed data, so its length is fully determined): a length
+    * field that disagrees refuses by name instead of slicing the
+    * sibling at a swapped offset — the r13 "validate conventions
+    * against independent arithmetic" discipline. */
+  private def extPayload(owner: String, expectBytes: Long, d: DD,
+      b: ByteBuffer, external: ExtResolver): Array[Byte] = {
+    require(d.len >= 14, s"SDS '$owner': truncated EXT header")
+    val length = b.getInt(2)
+    val offset = b.getInt(6)
+    val nameLen = b.getInt(10)
+    require(nameLen >= 1 && 14L + nameLen <= d.len,
+      s"SDS '$owner': EXT file-name length $nameLen overruns the " +
+        s"${d.len}-byte special element")
+    require(length.toLong == expectBytes && offset >= 0,
+      s"SDS '$owner': EXT element declares $length bytes at offset " +
+        s"$offset but the SDS dims require $expectBytes — corrupt " +
+        "record or an unexpected field order; refusing to slice the " +
+        "sibling file")
+    val nameBytes = new Array[Byte](nameLen)
+    var i = 0
+    while (i < nameLen) { nameBytes(i) = b.get(14 + i); i += 1 }
+    // writers pad/terminate with NULs; the name is the ASCII prefix
+    val name = new String(nameBytes, "US-ASCII").takeWhile(_.toInt != 0)
+    require(name.nonEmpty, s"SDS '$owner': EXT element with empty file name")
+    val ext = external(name)
+    require(offset.toLong + length <= ext.length,
+      s"SDS '$owner': EXT slice [$offset, ${offset.toLong + length}) " +
+        s"past sibling '$name' (${ext.length} bytes)")
+    java.util.Arrays.copyOfRange(ext, offset, offset + length)
   }
 
   /** Decode one SPECIAL_LINKED element (the appendable-data layout
@@ -366,15 +457,15 @@ object Hdf {
       case CompSzip => require(d.len >= 34,
         s"SDS '$owner': truncated SZIP coder info " +
           s"(${d.len}-byte header, need 34)")
-      case CompNBit => throw new IllegalArgumentException(
-        s"SDS '$owner': N-bit coder unsupported — only " +
-          "NONE/RLE/DEFLATE/SZIP decode")
+      case CompNBit => require(d.len >= 34,
+        s"SDS '$owner': truncated N-bit coder info " +
+          s"(${d.len}-byte header, need 34)")
       case CompSkpHuff => throw new IllegalArgumentException(
         s"SDS '$owner': skipping-Huffman coder unsupported — " +
-          "only NONE/RLE/DEFLATE/SZIP decode")
+          "only NONE/RLE/NBIT/DEFLATE/SZIP decode")
       case other => throw new IllegalArgumentException(
         s"SDS '$owner': coder $other unsupported (JPEG needs " +
-          "external codecs) — only NONE/RLE/DEFLATE/SZIP decode")
+          "external codecs) — only NONE/RLE/NBIT/DEFLATE/SZIP decode")
     }
     val comp = f.dds.find(x => x.tag == TagCompressed && x.ref == dataRef)
       .getOrElse(throw new IllegalArgumentException(
@@ -388,6 +479,7 @@ object Hdf {
       case CompNone => raw
       case CompRle => rleDecode(raw, uncompLen)
       case CompDeflate => inflate(raw, uncompLen)
+      case CompNBit => nbitDecode(owner, raw, uncompLen, d, b)
       case CompSzip =>
         // coder info (big-endian, HCPquery_encode_header order):
         // pixels(4) pixels_per_scanline(4) options_mask(4)
@@ -408,6 +500,77 @@ object Hdf {
             s"expected $uncompLen")
         out
     }
+  }
+
+  /** Decode one N-BIT coded payload (coder 2, r14 — the legacy MODIS
+    * L1 packing the r13 verdict listed): coder info (big-endian,
+    * after the 14-byte COMP header) is `nt(4) sign_ext(4) fill_one(4)
+    * start_bit(4) bit_len(4)` — the public HDF4 spec's N-bit record,
+    * SDsetnbitdataset's parameters in file order. Each element stores
+    * ONLY the field bits `[start_bit .. start_bit−bit_len+1]` (bit 0
+    * = the element's LSB), packed contiguously MSB-first (the Hbitio
+    * bit-IO convention); decode re-expands to full-width big-endian
+    * numbers: `sign_ext` propagates the field's top bit through the
+    * high bits, `fill_one` sets every bit OUTSIDE the field to one.
+    * Refusals by name: float types (the library's N-bit applies to
+    * integer data; a bit-sliced float would be silently meaningless),
+    * both flags together (their interaction on positive values is a
+    * library convention with no ground-truth encoder in this
+    * environment), and field geometry off the element width. */
+  private def nbitDecode(owner: String, raw: Array[Byte], uncompLen: Int,
+      d: DD, b: ByteBuffer): Array[Byte] = {
+    val nt = b.getInt(14)
+    val signExt = b.getInt(18) != 0
+    val fillOne = b.getInt(22) != 0
+    val startBit = b.getInt(26)
+    val bitLen = b.getInt(30)
+    require(nt != Float32 && nt != Float64,
+      s"SDS '$owner': N-bit over DFNT float type $nt unsupported — " +
+        "bit-sliced floats are not meaningful; integer types decode")
+    val w = widthOf(nt)
+    require(uncompLen >= 0 && uncompLen % w == 0,
+      s"SDS '$owner': N-bit element length $uncompLen is not a " +
+        s"multiple of the $w-byte type")
+    require(!(signExt && fillOne),
+      s"SDS '$owner': N-bit with BOTH sign-extension and fill-one " +
+        "set is a library convention with no ground truth in this " +
+        "environment — refusing rather than guessing their interaction")
+    require(bitLen >= 1 && bitLen <= startBit + 1 && startBit < w * 8,
+      s"SDS '$owner': N-bit field start=$startBit len=$bitLen off " +
+        s"the $w-byte element")
+    val n = uncompLen / w
+    require(n.toLong * bitLen <= raw.length.toLong * 8,
+      s"SDS '$owner': N-bit stream holds ${raw.length.toLong * 8} " +
+        s"bits for $n fields of $bitLen")
+    val out = new Array[Byte](uncompLen)
+    val lo = startBit - bitLen + 1
+    val hiBits = w * 8 - 1 - startBit
+    var bitPos = 0L
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var k = 0
+      while (k < bitLen) {
+        val bit = bitPos + k
+        v = (v << 1) | ((raw((bit >> 3).toInt) >> (7 - (bit & 7))) & 1)
+        k += 1
+      }
+      bitPos += bitLen
+      var full = v << lo
+      if (signExt && ((v >> (bitLen - 1)) & 1) == 1 && hiBits > 0)
+        full |= ((1L << hiBits) - 1) << (startBit + 1)
+      else if (fillOne) {
+        val fieldMask = ((1L << bitLen) - 1) << lo
+        full |= ~fieldMask & ((1L << (w * 8)) - 1) // w <= 4: no wrap
+      }
+      var byteI = 0
+      while (byteI < w) {
+        out(i * w + byteI) = ((full >>> ((w - 1 - byteI) * 8)) & 0xff).toByte
+        byteI += 1
+      }
+      i += 1
+    }
+    out
   }
 
   /** CHUNKED storage (special code 6) — the layout LAADS/LP DAAC MODIS
@@ -671,7 +834,9 @@ object Hdf {
 
   /** Raw SDS values, row-major, widened to double (no fill masking —
     * [[gridCells]] applies it; matches [[NetCdf]]'s split). */
-  def read(f: HdfFile, name: String): Array[Double] = CodecGate.gated("HDF4") {
+  def read(f: HdfFile, name: String,
+      external: ExtResolver = NoExternal): Array[Double] =
+      CodecGate.gated("HDF4") {
     val s = f.sdsNamed(name)
     val w = widthOf(s.ntype)
     val n = s.dims.map(_.toLong).product
@@ -683,7 +848,7 @@ object Hdf {
       s"SDS '$name': declared dims ${s.dims.mkString("x")} negative " +
         "or past the 2^27-element single-read sanity cap")
     require(n <= Int.MaxValue / 8, s"SDS '$name' too large for one in-memory read")
-    val p = payload(f, s)
+    val p = payload(f, s, external)
     require(p.length >= n * w,
       s"SDS '$name': payload ${p.length} bytes < ${n * w} declared by dims")
     val b = ByteBuffer.wrap(p).order(ByteOrder.BIG_ENDIAN)
@@ -693,13 +858,14 @@ object Hdf {
   final case class GridCell(x: Int, y: Int, value: Double)
 
   /** Rank-2 (y, x) SDS as cells; fill values surface as NaN. */
-  def gridCells(f: HdfFile, name: String): Iterator[GridCell] = {
+  def gridCells(f: HdfFile, name: String,
+      external: ExtResolver = NoExternal): Iterator[GridCell] = {
     val s = f.sdsNamed(name)
     require(s.dims.size == 2,
       s"SDS '$name' has rank ${s.dims.size}; the grid path reads rank-2 " +
         "(y, x) datasets")
     val Seq(ny, nx) = s.dims
-    val vs = read(f, name)
+    val vs = read(f, name, external)
     val fill = s.fill
     Iterator.range(0, ny * nx).map { i =>
       val v = vs(i)
@@ -964,7 +1130,7 @@ object Hdf {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (p, bytes) =>
-        gridCells(decode(bytes), sdsName)
+        gridCells(decode(bytes), sdsName, siblingResolver(p))
           .filterNot(_.value.isNaN)
           .map(c => (p, sdsName, c.x, c.y, c.value))
       })

@@ -177,7 +177,9 @@ final class HdfReaderFactory(fields: Array[String], sdsOpt: Option[String],
       private val pathUtf = UTF8String.fromString(p.file)
       private val cells = names.iterator.flatMap { n =>
         val nUtf = UTF8String.fromString(n)
-        Hdf.gridCells(f, n)
+        // external elements resolve sibling-relative to THIS tile file
+        // (the Hdf5 external-link discipline — r14)
+        Hdf.gridCells(f, n, Hdf.siblingResolver(p.file))
           .filter(c => keepFill || !c.value.isNaN)
           .map(c => (nUtf, c))
       }

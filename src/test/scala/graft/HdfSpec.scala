@@ -170,7 +170,7 @@ class HdfSpec extends SparkSpec {
     }
     refuse(special(hdr16(6, 0, 0, 0, 0, 0, 0)), "chunked")
     refuse(special(hdr16(1, 0, 0, 0)), "linked")
-    refuse(special(hdr16(2, 0, 0, 0)), "external")
+    refuse(special(hdr16(2, 0, 0, 0)), "truncated ext header")
     // COMP with unsupported coders: header = code, version, len32(2),
     // ref, model, coder
     def compHdr(coder: Int) = special(hdr16(3, 0, 0, 2, 1, 0, coder))
@@ -195,6 +195,139 @@ class HdfSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Hdf.read(Hdf.decode(handBuilt()), "nope")
     }.getMessage.contains("ndvi"))
+  }
+
+  /** Hand-built minimal HDF4 file from the spec's record tables —
+    * independent of [[Hdf.encode]]'s layout arithmetic: magic, one DD
+    * block (NT + SDD + special data element + optional payload + NDG),
+    * Int16 data, rank-2 dims. `payload`, when given, lands under the
+    * given tag with ref 2. */
+  private def handSpecial(dims: (Int, Int), spHdr: Array[Byte],
+      payload: Option[(Int, Array[Byte])] = None): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(512)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val nDD = 4 + payload.size
+    bb.putInt(0x0e031301)
+    bb.putShort(nDD.toShort).putInt(0)
+    val ddAt = bb.position()
+    (0 until nDD).foreach(_ => { bb.putShort(0).putShort(0); bb.putInt(0); bb.putInt(0) })
+    def dd(slot: Int, tag: Int, ref: Int, off: Int, len: Int): Unit = {
+      bb.putShort(ddAt + slot * 12, tag.toShort)
+      bb.putShort(ddAt + slot * 12 + 2, ref.toShort)
+      bb.putInt(ddAt + slot * 12 + 4, off)
+      bb.putInt(ddAt + slot * 12 + 8, len)
+    }
+    val ntOff = bb.position(); bb.put(Array[Byte](1, 22, 16, 0)) // Int16
+    dd(0, 106, 1, ntOff, 4)
+    val sddOff = bb.position()
+    bb.putShort(2).putInt(dims._1).putInt(dims._2)
+    bb.putShort(106).putShort(1); bb.putShort(106).putShort(1)
+    bb.putShort(106).putShort(1)
+    dd(1, 701, 1, sddOff, bb.position() - sddOff)
+    val spOff = bb.position(); bb.put(spHdr)
+    dd(2, 702 | 0x4000, 1, spOff, spHdr.length)
+    payload.foreach { case (tag, bytesP) =>
+      val pOff = bb.position(); bb.put(bytesP)
+      dd(3, tag, 2, pOff, bytesP.length)
+    }
+    val ndgOff = bb.position()
+    Seq(106, 701, 702 | 0x4000).foreach { t =>
+      bb.putShort(t.toShort); bb.putShort(1)
+    }
+    dd(nDD - 1, 720, 1, ndgOff, 12)
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  test("N-bit coder (2) decodes the hand-built spec fixture: field " +
+      "re-expansion, sign extension, fill-one; refusals by name") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // COMP header (14B) + N-bit info `nt sign fill start len` (20B)
+    def nbitHdr(uncompLen: Int, sign: Int, fill: Int, start: Int,
+        len: Int, nt: Int = 22): Array[Byte] = {
+      val h = ByteBuffer.allocate(34).order(ByteOrder.BIG_ENDIAN)
+      h.putShort(3).putShort(0).putInt(uncompLen).putShort(2).putShort(0)
+      h.putShort(Hdf.CompNBit.toShort)
+      h.putInt(nt).putInt(sign).putInt(fill).putInt(start).putInt(len)
+      h.array()
+    }
+    // field bits [10..5] of Int16, 4 values 43,1,63,0 hand-packed
+    // MSB-first: 101011 000001 111111 000000 → 0xAC 0x1F 0xC0;
+    // decoded full values are code<<5
+    val plain = handSpecial((1, 4), nbitHdr(8, 0, 0, 10, 6),
+      Some((Hdf.TagCompressed, Array(0xAC, 0x1F, 0xC0).map(_.toByte))))
+    assert(Hdf.read(Hdf.decode(plain), "sds_1").toSeq ==
+      Seq(1376.0, 32.0, 2016.0, 0.0))
+    // sign extension: code 100000 (top bit set) → bits 11..15 fill →
+    // 0xFC00 = −1024 as Int16; code 000001 → 32. Packed: 0x80 0x10
+    val signed = handSpecial((1, 2), nbitHdr(4, 1, 0, 10, 6),
+      Some((Hdf.TagCompressed, Array(0x80, 0x10).map(_.toByte))))
+    assert(Hdf.read(Hdf.decode(signed), "sds_1").toSeq == Seq(-1024.0, 32.0))
+    // fill-one: code 000001 → 0x0020 | ~0x07E0 = 0xF83F = −1985
+    val filled = handSpecial((1, 1), nbitHdr(2, 0, 1, 10, 6),
+      Some((Hdf.TagCompressed, Array(0x04).map(_.toByte))))
+    assert(Hdf.read(Hdf.decode(filled), "sds_1").toSeq == Seq(-1985.0))
+    // refusals: float type, both flags, geometry off the element
+    def refuseNbit(hdr: Array[Byte], want: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Hdf.read(Hdf.decode(handSpecial((1, 1), hdr,
+          Some((Hdf.TagCompressed, Array[Byte](0))))), "sds_1")
+      }
+      assert(e.getMessage.contains(want), e.getMessage)
+    }
+    refuseNbit(nbitHdr(2, 0, 0, 10, 6, nt = 5), "float")
+    refuseNbit(nbitHdr(2, 1, 1, 10, 6), "BOTH")
+    refuseNbit(nbitHdr(2, 0, 0, 16, 6), "off the 2-byte element")
+    refuseNbit(nbitHdr(2, 0, 0, 3, 6), "off the 2-byte element")
+  }
+
+  test("external elements (special 2) read their sibling file through " +
+      "the resolver; byte-level decode and off-shape records refuse") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.file.{Files, Paths}
+    // EXT header: code(2) length(4) offset(4) name_len(4) name —
+    // Int16 (1,3) grid = 6 data bytes at offset 4 of 'ext.dat'
+    def extHdr(length: Int, offset: Int, name: String): Array[Byte] = {
+      val nb = name.getBytes("US-ASCII")
+      val h = ByteBuffer.allocate(14 + nb.length).order(ByteOrder.BIG_ENDIAN)
+      h.putShort(2).putInt(length).putInt(offset).putInt(nb.length).put(nb)
+      h.array()
+    }
+    val main = handSpecial((1, 3), extHdr(6, 4, "ext.dat"))
+    val dir = Files.createTempDirectory("graft_hdf_ext")
+    val data = ByteBuffer.allocate(10).order(ByteOrder.BIG_ENDIAN)
+    data.putInt(0xDEADBEEF) // 4 junk bytes the offset skips
+    Seq(1200, -7, 31000).foreach(v => data.putShort(v.toShort))
+    Files.write(dir.resolve("ext.dat"), data.array())
+    Files.write(dir.resolve("main.hdf"), main)
+    val mainPath = dir.resolve("main.hdf").toString
+    val f = Hdf.decode(Files.readAllBytes(Paths.get(mainPath)))
+    assert(Hdf.read(f, "sds_1", Hdf.siblingResolver(mainPath)).toSeq ==
+      Seq(1200.0, -7.0, 31000.0))
+    // byte-level decode without a resolver refuses by name
+    val eNo = intercept[IllegalArgumentException] { Hdf.read(f, "sds_1") }
+    assert(eNo.getMessage.contains("no resolver"), eNo.getMessage)
+    // a length field disagreeing with dims×width refuses (field-order
+    // / corruption cross-check)
+    val bad = Hdf.decode(handSpecial((1, 3), extHdr(8, 4, "ext.dat")))
+    val eLen = intercept[IllegalArgumentException] {
+      Hdf.read(bad, "sds_1", Hdf.siblingResolver(mainPath))
+    }
+    assert(eLen.getMessage.contains("field order"), eLen.getMessage)
+    // missing sibling, absolute name, slice past the sibling
+    def refuses(hdr: Array[Byte], want: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Hdf.read(Hdf.decode(handSpecial((1, 3), hdr)), "sds_1",
+          Hdf.siblingResolver(mainPath))
+      }
+      assert(e.getMessage.contains(want), e.getMessage)
+    }
+    refuses(extHdr(6, 4, "nope.dat"), "missing")
+    refuses(extHdr(6, 4, "/etc/x.dat"), "absolute")
+    refuses(extHdr(6, 8, "ext.dat"), "past sibling")
+    // the distributed read path resolves siblings task-side
+    val rows = Hdf.readGrid(spark, mainPath, "sds_1").collect()
+    assert(rows.map(r => (r.getInt(2), r.getInt(3), r.getDouble(4))).sorted
+      .toSeq == Seq((0, 0, 1200.0), (1, 0, -7.0), (2, 0, 31000.0)))
   }
 
   test("SZIP-compressed SDS decodes through the clean-room CCSDS 121 " +
