@@ -81,7 +81,12 @@ object H5GridSource {
       explicit: Boolean): Seq[String] =
     f.datasets
       .filter(d => d.dims.size == 2 &&
-        (d.aliasOf.isEmpty || (explicit && want(d.path))))
+        (d.aliasOf.isEmpty || (explicit && want(d.path))) &&
+        // undecodable-typed datasets (e.g. COMPOUND bounds tables):
+        // unfiltered scans skip them — they are not grid data — but an
+        // EXPLICIT selection includes them so the read refuses by
+        // name, never silently returns an empty scan (r14)
+        (d.dtype.unsupported.isEmpty || (explicit && want(d.path))))
       .map(_.path).filter(want)
 
   /** Bounded-prefix metaOnly decode with the full-read fallback — the

@@ -76,7 +76,14 @@ object Hdf5 {
   private val Undef = -1L // 0xFFFFFFFFFFFFFFFF: the spec's undefined address
 
   final case class Dtype(clazz: Int, size: Int, littleEndian: Boolean,
-      signed: Boolean) {
+      signed: Boolean,
+      // a datatype the DATA path cannot decode carries its refusal
+      // reason here instead of throwing during the metadata walk — a
+      // netCDF-4 file with one COMPOUND coordinate-bounds table must
+      // still inventory, plan, and serve its regular grids (r14; the
+      // r13 max-dims discipline: refusals live on the read, never the
+      // shared walk)
+      unsupported: Option[String] = None) {
     def name: String = clazz match {
       case 0 => s"${if (signed) "int" else "uint"}${size * 8}"
       case 1 => s"float${size * 8}"
@@ -609,6 +616,14 @@ object Hdf5 {
     (dims, maxDims)
   }
 
+  /** Datatype message → [[Dtype]]. NEVER throws: a shape the data
+    * path cannot decode (compound, reference, vlen, non-IEEE float,
+    * bit-sliced fixed-point…) records its refusal in
+    * `Dtype.unsupported` so the METADATA walk keeps cataloging the
+    * file — only reading that dataset (or selecting it explicitly)
+    * surfaces the named refusal. The SIZE field is class-independent
+    * (spec: datatype message octets 5-8), so chunk-geometry
+    * validation stays sound even for deferred types. */
   private def parseDatatype(r: Reader, o: Long): Dtype = {
     val cv = r.u8(o)
     val clazz = cv & 0xF
@@ -616,29 +631,48 @@ object Hdf5 {
     val size = r.u32(o + 4).toInt
     clazz match {
       case 0 => // fixed-point
-        require(Set(1, 2, 4, 8).contains(size),
-          s"fixed-point size $size unsupported")
-        val bitOffset = r.u16(o + 8)
-        val precision = r.u16(o + 10)
-        require(bitOffset == 0 && precision == size * 8,
-          s"non-standard fixed-point layout (offset $bitOffset, " +
-            s"precision $precision) unsupported")
-        Dtype(0, size, littleEndian = (bits0 & 1) == 0, signed = (bits0 & 8) != 0)
+        val bad =
+          if (!Set(1, 2, 4, 8).contains(size))
+            Some(s"fixed-point size $size unsupported")
+          else {
+            val bitOffset = r.u16(o + 8)
+            val precision = r.u16(o + 10)
+            if (bitOffset != 0 || precision != size * 8)
+              Some(s"non-standard fixed-point layout (offset $bitOffset, " +
+                s"precision $precision) unsupported")
+            else None
+          }
+        Dtype(0, size, littleEndian = (bits0 & 1) == 0,
+          signed = (bits0 & 8) != 0, unsupported = bad)
       case 1 => // float: IEEE layouts only
-        require(size == 4 || size == 8, s"float size $size unsupported")
-        val expSize = r.u8(o + 13)
-        val manSize = r.u8(o + 15)
-        val bias = r.u32(o + 16)
-        val ieee = if (size == 4) (8, 23, 127L) else (11, 52, 1023L)
-        require((expSize, manSize, bias) == ieee,
-          s"non-IEEE float layout (exp $expSize, mantissa $manSize, " +
-            s"bias $bias) unsupported")
-        Dtype(1, size, littleEndian = (bits0 & 1) == 0, signed = true)
+        val bad =
+          if (size != 4 && size != 8) Some(s"float size $size unsupported")
+          else {
+            val expSize = r.u8(o + 13)
+            val manSize = r.u8(o + 15)
+            val bias = r.u32(o + 16)
+            val ieee = if (size == 4) (8, 23, 127L) else (11, 52, 1023L)
+            if ((expSize, manSize, bias) != ieee)
+              Some(s"non-IEEE float layout (exp $expSize, mantissa " +
+                s"$manSize, bias $bias) unsupported")
+            else None
+          }
+        Dtype(1, size, littleEndian = (bits0 & 1) == 0, signed = true,
+          unsupported = bad)
       case 3 => // string (attribute values)
         Dtype(3, size, littleEndian = true, signed = false)
-      case c => throw new IllegalArgumentException(
-        s"datatype class $c unsupported — fixed-point, IEEE float and " +
-          "fixed strings decode")
+      case c =>
+        val cname = c match {
+          case 2 => "time"; case 4 => "bitfield"; case 5 => "opaque"
+          case 6 => "COMPOUND"; case 7 => "reference"; case 8 => "enum"
+          case 9 => "variable-length"; case 10 => "array"
+          case _ => "reserved"
+        }
+        Dtype(c, size, littleEndian = true, signed = false,
+          unsupported = Some(s"datatype class $c ($cname) unsupported — " +
+            "fixed-point, IEEE float and fixed strings decode; " +
+            "coordinate-bounds tables and other compound shapes " +
+            "refuse on read"))
     }
   }
 
@@ -1645,6 +1679,10 @@ object Hdf5 {
     val dims = parseDataspace(r, p)
     p += padded(dsSize)
     if (dims.product > 1 && dims.nonEmpty) None
+    // an attribute with an undecodable type is metadata sugar — skip
+    // it (the library consumer's tolerance) rather than refuse the
+    // whole object walk (r14)
+    else if (dt.unsupported.isDefined) None
     else dt.clazz match {
       case 3 => Some(name -> r.ascii(p, dt.size).takeWhile(_ != 0.toChar))
       case _ => Some(name -> scalarOf(java.util.Arrays.copyOfRange(
@@ -1730,6 +1768,10 @@ object Hdf5 {
   def read(bytes: Array[Byte], f: Hdf5File, path: String): Array[Double] =
       CodecGate.gated("HDF5") {
     val d = f.datasetAt(path)
+    // deferred datatype refusal (r14): the walk cataloged this
+    // dataset; READING it is what names the boundary
+    d.dtype.unsupported.foreach(m => throw new IllegalArgumentException(
+      s"dataset '$path': $m"))
     val n = d.n
     // ALLOCATION gate first (r14 fuzz battery): dims are DECLARED
     // fields — refuse negative or implausibly large element counts

@@ -2003,4 +2003,108 @@ class Hdf5Spec extends SparkSpec {
         r.getDouble(3))).toSet
     assert(fn == dsv2)
   }
+
+  /** Hand-built file holding ONE rank-2 dataset '/bnds' of a COMPOUND
+    * datatype (class 6, v1, two int16 members lo/hi — the netCDF-4
+    * coordinate-bounds-table shape), laid out from the spec's
+    * compound member table: NUL-padded name (×8), byte offset(4),
+    * dimensionality(1)+reserved(3)+perm(4)+reserved(4)+dims(16),
+    * member datatype message. */
+  private def fixtureCompound(): Array[Byte] = {
+    val dsHdrAt = 128L
+    val dataAt = 384L
+    val total = 408
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    sig(out)
+    out.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    out.putLong(0L).putLong(Undef).putLong(total.toLong).putLong(48L)
+    out.putInt(0)
+    val rootMsgs = msgV2(0x06, le { b =>
+      b.put(1.toByte).put(0.toByte)
+      b.put(4.toByte).put("bnds".getBytes("US-ASCII"))
+      b.putLong(dsHdrAt)
+    })
+    out.position(48)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(0.toByte)
+    out.put(rootMsgs.length.toByte)
+    out.put(rootMsgs)
+    out.putInt(0)
+    def member(name: String, off: Int): Array[Byte] = le { b =>
+      val nb = name.getBytes("US-ASCII")
+      b.put(nb); (nb.length until 8).foreach(_ => b.put(0.toByte))
+      b.putInt(off)
+      b.put(0.toByte); b.put(new Array[Byte](3)) // dimensionality, rsvd
+      b.putInt(0); b.putInt(0)                    // perm, reserved
+      (0 until 4).foreach(_ => b.putInt(0))       // dim sizes
+      b.put(dtInt16)                              // member datatype
+    }
+    val dtCompound: Array[Byte] = le { b =>
+      b.put(0x16.toByte)                 // version 1, class 6 (compound)
+      b.put(2.toByte).put(0.toByte).put(0.toByte) // 2 members
+      b.putInt(4)                        // total size: two int16
+      b.put(member("lo", 0)); b.put(member("hi", 2))
+    }
+    val dsMsgs = Array(
+      msgV2(0x01, dsRank2V2(2, 3)),
+      msgV2(0x03, dtCompound),
+      msgV2(0x08, le { b =>
+        b.put(3.toByte).put(1.toByte).putLong(dataAt).putLong(24L)
+      })).flatten
+    out.position(dsHdrAt.toInt)
+    out.put("OHDR".getBytes("US-ASCII")).put(2.toByte).put(1.toByte)
+    out.putShort(dsMsgs.length.toShort)
+    out.put(dsMsgs)
+    out.putInt(0)
+    out.position(dataAt.toInt)
+    (0 until 12).foreach(i => out.putShort((i * 100).toShort))
+    out.array()
+  }
+
+  test("COMPOUND datatypes defer their refusal to the read (r14): the " +
+      "walk inventories, explicit reads refuse by name on contiguous " +
+      "AND chunked layouts, unfiltered DSv2 scans skip them") {
+    // contiguous hand-built fixture: decode CATALOGS the dataset
+    val f = Hdf5.decode(fixtureCompound())
+    assert(f.datasets.map(_.path) == Seq("/bnds"))
+    assert(f.datasets.head.dtype.unsupported.exists(_.contains("COMPOUND")))
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.read(fixtureCompound(), f, "/bnds")
+    }
+    assert(e.getMessage.contains("COMPOUND") &&
+      e.getMessage.contains("/bnds"), e.getMessage)
+    // CHUNKED layout: class-nibble-patch an encoder-built chunked
+    // int16 dataset to compound — the chunk walk still catalogs at
+    // decode time and the read refuses by the same name (never a raw
+    // defilter error)
+    val chunked = Hdf5.encode(Seq(Hdf5.DsSpec("packed", Seq(4L, 4L),
+      Hdf5.Dtype(0, 2, littleEndian = true, signed = true),
+      Array.tabulate(16)(_.toDouble), chunk = Some(Seq(2, 2)),
+      filters = Seq("shuffle", "deflate"))))
+    val pat = Array[Byte](0x10, 0x08, 0, 0, 2, 0, 0, 0, 0, 0, 16, 0)
+    val at = chunked.indices.find(i => i + pat.length <= chunked.length &&
+      pat.indices.forall(j => chunked(i + j) == pat(j))).get
+    chunked(at) = 0x16.toByte // class 0 → class 6, same size field
+    val cf = Hdf5.decode(chunked)
+    assert(cf.datasets.head.dtype.unsupported.exists(_.contains("COMPOUND")))
+    val ec = intercept[IllegalArgumentException] {
+      Hdf5.read(chunked, cf, "/packed")
+    }
+    assert(ec.getMessage.contains("COMPOUND"), ec.getMessage)
+    // DSv2: a directory with one GOOD file and the compound file —
+    // the unfiltered scan serves the good grid and SKIPS the
+    // compound dataset; explicitly selecting it refuses by name
+    val dir = java.nio.file.Files.createTempDirectory("graft_h5cmp")
+    java.nio.file.Files.write(dir.resolve("good.h5"), fixtureV2()._1)
+    java.nio.file.Files.write(dir.resolve("bnds.h5"), fixtureCompound())
+    val all = spark.read.format("graft.sources.H5GridSource")
+      .option("path", dir.toString).load()
+      .select("dataset").distinct().collect().map(_.getString(0)).toSet
+    assert(all == Set("/temp"), all.toString)
+    val sel = spark.read.format("graft.sources.H5GridSource")
+      .option("path", dir.toString).option("dataset", "/bnds").load()
+    val eSel = intercept[Exception] { sel.count() }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(eSel).contains("COMPOUND"), chain(eSel))
+  }
 }
