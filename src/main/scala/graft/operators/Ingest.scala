@@ -3280,6 +3280,15 @@ object Ingest {
         // missing cells as code 0 (the oracle COALESCEs them to 2048),
         // the first cell riding §5 as the raw-IEEE (0,0) real part
         val codes = g.take(90).map(q => if (q >= 0L) q else 0L)
+        // the (0,0) coefficient rides §5 as IEEE-32 while the oracle
+        // computes an exact DOUBLE — refuse LOUDLY past the
+        // float-exact range (q >= 2^24 − 8192, far above any tested
+        // scale) instead of letting the hash gate go silently flaky
+        // (r14 review)
+        val v00 = 2048.0 + codes(0).toDouble / 4
+        require(v00.toFloat.toDouble == v00,
+          s"i63 spectral (0,0) value $v00 is not float-exact — cell " +
+            "quantity too large for the IEEE-32 §5 field")
         GribMeta.encodeSpectral(truncation = 8,
           paramCategory = 1, paramNumber = t,
           refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,

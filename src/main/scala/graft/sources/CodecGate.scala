@@ -23,8 +23,13 @@ private[sources] object CodecGate {
       case e: java.nio.BufferUnderflowException => rename(what, e)
       case e: NegativeArraySizeException        => rename(what, e)
       case e: java.util.zip.DataFormatException => rename(what, e)
-      case e: java.io.IOException               => rename(what, e)
       case e: ArithmeticException               => rename(what, e)
+      // IOException deliberately NOT caught: decode paths may perform
+      // live filesystem reads (HDF4 external-element siblings), and a
+      // transient infra failure renamed to "corrupt stream" would
+      // blacklist a healthy file (r14 review). Byte-level sources
+      // that can raise IOExceptions (ImageIO) wrap them at the call
+      // site, where corrupt-input is the only plausible cause.
     }
 
   private def rename(what: String, e: Throwable): Nothing =

@@ -118,7 +118,10 @@ object GribMeta {
             s"message $idx: truncated GRIB2 indicator section " +
               s"(${bytes.length - off} of 16 bytes)")
           val totalLen = u64(bytes, off + 8)
-          require(off + totalLen <= bytes.length,
+          // the lower bound also rejects a flipped TOP BIT (negative
+          // Long would pass the upper-bound require by wrapping) —
+          // r14 review
+          require(totalLen >= 16 && off + totalLen <= bytes.length,
             s"truncated GRIB2 message $idx: $totalLen bytes declared")
           var centre = -1; var refTime = ""
           var gridTpl = -1; var nPoints = -1L; var ni = -1; var nj = -1
@@ -944,28 +947,10 @@ object GribMeta {
           s"message ${m.msgIndex}: spectral field with zero coefficients")
         out(0) = java.lang.Float
           .intBitsToFloat(u32(bytes, p.sec5Off + 20).toInt).toDouble
-        var bitPos = 0L
-        val dataBits = (p.dataEnd - p.dataOff).toLong * 8
+        val xs = readPacked(bytes, p.dataOff, p.dataEnd, nTotal - 1,
+          p.nBits, m.msgIndex, "spectral coefficient")
         var i = 1
-        while (i < nTotal) {
-          if (p.nBits == 0) out(i) = base // constant coefficients
-          else {
-            require(bitPos + p.nBits <= dataBits,
-              s"message ${m.msgIndex}: spectral packed stream " +
-                s"exhausted at coefficient $i")
-            var x = 0L
-            var b = 0
-            while (b < p.nBits) {
-              val bit = bitPos + b
-              x = (x << 1) |
-                ((bytes(p.dataOff + (bit >> 3).toInt) >> (7 - (bit & 7))) & 1)
-              b += 1
-            }
-            bitPos += p.nBits
-            out(i) = base + x * scale
-          }
-          i += 1
-        }
+        while (i < nTotal) { out(i) = base + xs(i - 1) * scale; i += 1 }
       } else if ((m.edition == 2 && (p.template == 2 || p.template == 3 ||
           p.template == 40 || p.template == 41 || p.template == 42)) ||
           // edition 1: the gate above admits {0,2,5,7}; the complex
@@ -1037,6 +1022,35 @@ object GribMeta {
       (m, out)
     })
 
+  /** `count` big-endian `nBits`-wide fields from `[off, end)`, bounds
+    * required BEFORE each read — the shared MSB-first unpack the
+    * spectral path uses (nBits = 0 yields zeros: a constant field has
+    * no backing bytes by design). */
+  private def readPacked(bytes: Array[Byte], off: Int, end: Int,
+      count: Int, nBits: Int, msgIndex: Int, what: String): Array[Long] = {
+    val out = new Array[Long](count)
+    if (nBits == 0) return out
+    val dataBits = (end - off).toLong * 8
+    var bitPos = 0L
+    var i = 0
+    while (i < count) {
+      require(bitPos + nBits <= dataBits,
+        s"message $msgIndex: packed stream exhausted at $what $i")
+      var x = 0L
+      var b = 0
+      while (b < nBits) {
+        val bit = bitPos + b
+        x = (x << 1) |
+          ((bytes(off + (bit >> 3).toInt) >> (7 - (bit & 7))) & 1)
+        b += 1
+      }
+      bitPos += nBits
+      out(i) = x
+      i += 1
+    }
+    out
+  }
+
   /** Template 7.41 (PNG-packed) payload → the scaled codes X of the
     * packed points, in image raster order (WMO FM 92 template 5.41 /
     * NCEP convention): the §7 bytes after the 5-octet header are ONE
@@ -1047,8 +1061,19 @@ object GribMeta {
     * count and band shapes off this contract refuse loudly. */
   private def pngCodes(bytes: Array[Byte], msgIdx: Int,
       p: Pack): Array[Long] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-      java.util.Arrays.copyOfRange(bytes, p.dataOff, p.dataEnd)))
+    // ImageIO raises IOException subclasses on corrupt streams; with
+    // a byte-array source corrupt input is the only plausible cause,
+    // so rename it HERE (CodecGate deliberately lets IOExceptions
+    // through — live-filesystem paths must not mask transient IO as
+    // corruption, r14 review)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        java.util.Arrays.copyOfRange(bytes, p.dataOff, p.dataEnd)))
+      catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"message $msgIdx: template 5.41 declared but section 7 is " +
+            s"not a decodable PNG — ${e.getMessage}", e)
+      }
     require(img != null,
       s"message $msgIdx: template 5.41 declared but section 7 is not a " +
         "decodable PNG")

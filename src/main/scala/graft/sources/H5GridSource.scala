@@ -82,11 +82,13 @@ object H5GridSource {
     f.datasets
       .filter(d => d.dims.size == 2 &&
         (d.aliasOf.isEmpty || (explicit && want(d.path))) &&
-        // undecodable-typed datasets (e.g. COMPOUND bounds tables):
-        // unfiltered scans skip them — they are not grid data — but an
-        // EXPLICIT selection includes them so the read refuses by
-        // name, never silently returns an empty scan (r14)
-        (d.dtype.unsupported.isEmpty || (explicit && want(d.path))))
+        // undecodable-typed datasets (e.g. COMPOUND bounds tables) and
+        // fixed-string datasets (netCDF-4 char variables): unfiltered
+        // scans skip them — they are not grid data — but an EXPLICIT
+        // selection includes them so the read refuses by name, never
+        // silently returns an empty scan (r14)
+        ((d.dtype.unsupported.isEmpty && d.dtype.clazz != 3) ||
+          (explicit && want(d.path))))
       .map(_.path).filter(want)
 
   /** Bounded-prefix metaOnly decode with the full-read fallback — the

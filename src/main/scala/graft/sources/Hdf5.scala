@@ -385,7 +385,13 @@ object Hdf5 {
 
       (space, dtype, layout) match {
         case (Some(dims), Some(dt), Some(lay)) =>
-          val fillV = fillRaw.filter(_.length == dt.size)
+          // a fill value of an UNDECODABLE type must not run through
+          // scalarOf during the walk — that would refuse the whole
+          // file and defeat the deferred-refusal discipline (r14
+          // review); strings have no numeric fill either
+          val fillV = fillRaw.filter(_ =>
+              dt.unsupported.isEmpty && dt.clazz != 3)
+            .filter(_.length == dt.size)
             .map(fb => scalarOf(fb, dt))
           val at = attrs.result()
           lay match {
@@ -1772,6 +1778,12 @@ object Hdf5 {
     // dataset; READING it is what names the boundary
     d.dtype.unsupported.foreach(m => throw new IllegalArgumentException(
       s"dataset '$path': $m"))
+    // strings are SUPPORTED as attribute values but are not numeric
+    // grid data — refuse by name here, never via a raw elemOf match
+    // error (r14 review: netCDF-4 char variables are rank-2 strings)
+    require(d.dtype.clazz != 3,
+      s"dataset '$path': fixed-string data is not numeric grid data — " +
+        "string types decode as attribute values only")
     val n = d.n
     // ALLOCATION gate first (r14 fuzz battery): dims are DECLARED
     // fields — refuse negative or implausibly large element counts

@@ -2047,6 +2047,11 @@ class Hdf5Spec extends SparkSpec {
     val dsMsgs = Array(
       msgV2(0x01, dsRank2V2(2, 3)),
       msgV2(0x03, dtCompound),
+      // a DEFINED 4-byte fill value: the walk must not push it
+      // through scalarOf on an undecodable type (r14 review fix)
+      msgV2(0x05, le { b =>
+        b.put(3.toByte).put(0x20.toByte).putInt(4).putInt(0)
+      }),
       msgV2(0x08, le { b =>
         b.put(3.toByte).put(1.toByte).putLong(dataAt).putLong(24L)
       })).flatten
@@ -2106,5 +2111,18 @@ class Hdf5Spec extends SparkSpec {
     def chain(t: Throwable): String =
       if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
     assert(chain(eSel).contains("COMPOUND"), chain(eSel))
+    // rank-2 FIXED-STRING datasets (netCDF-4 char variables) are the
+    // same class: supported as attribute values, not grid data —
+    // reading refuses by name, the unfiltered scan above already
+    // skipped nothing else (r14 review fix)
+    val strFile = Hdf5.decode(fixtureCompound()) // reuse walk shape
+    val rank2Str = Hdf5.Dtype(3, 2, littleEndian = true, signed = false)
+    assert(rank2Str.unsupported.isEmpty) // strings stay attr-supported
+    val eStr = intercept[IllegalArgumentException] {
+      Hdf5.read(fixtureCompound(),
+        strFile.copy(datasets = strFile.datasets.map(d =>
+          d.copy(dtype = rank2Str))), "/bnds")
+    }
+    assert(eStr.getMessage.contains("string"), eStr.getMessage)
   }
 }
