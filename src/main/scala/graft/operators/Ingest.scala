@@ -3199,7 +3199,7 @@ object Ingest {
 
   /** i63: the GRIB TRANSPORT CYCLE inside the correctness gate — the
     * i62 pattern for the engine's other acquisition format: the same
-    * deterministic lineitem grid is packed as SEVEN real GRIB messages
+    * deterministic lineitem grid is packed as EIGHT real GRIB messages
     * (lat/lon grid, BITMAP for empty cells, 2^-2 binary scale, param
     * number = slice index) — slice 0 as 5.0 SIMPLE packing through
     * [[graft.sources.GribMeta.encodeSimple]], slice 1
@@ -3222,7 +3222,11 @@ object Ingest {
     * (r14: the ECMWF model-level archive packing — a T-8 triangular
     * truncation of 90 coefficients over grid template 3.50, the (0,0)
     * real part riding §5 unpacked, no bitmap so missing cells carry
-    * code 0) — landed as one concatenated MIXED-EDITION archive,
+    * code 0), and slice 7 as a GRIB EDITION-1 SPHERICAL-HARMONIC
+    * message through [[graft.sources.GribMeta.encodeG1Spectral]]
+    * (r14: the pre-GRIB2 spectral archive shape — type-50 triangular
+    * GDS, the (0,0) real part as an exact IBM-32 float in BDS octets
+    * 12-15) — landed as one concatenated MIXED-EDITION archive,
     * decoded back task-side by
     * [[graft.sources.GribMeta.readValues]], and hash-checked against
     * DuckDB recomputing the grid directly — bit-slips anywhere in the
@@ -3233,13 +3237,13 @@ object Ingest {
     * codes are exact in binary, so no rounding is needed on either
     * side).
     *
-    * Scale shape: identical to i62 — fixed 7×(8×12) grid, one
-    * 672-group partial-agg shuffle, model-state-bounded driver encode,
+    * Scale shape: identical to i62 — fixed 8×(8×12) grid, one
+    * 768-group partial-agg shuffle, model-state-bounded driver encode,
     * per-archive-file task fan-out on the read. */
   def i63: QueryDef = QueryDef(
     "i63_grib_cycle",
     """WITH g AS (
-      |  SELECT CAST(l_linenumber % 7 AS INTEGER) AS t,
+      |  SELECT CAST(l_linenumber % 8 AS INTEGER) AS t,
       |    CAST(l_suppkey % 8 AS INTEGER) AS y,
       |    CAST(l_partkey % 12 AS INTEGER) AS x,
       |    CAST(SUM(l_quantity) AS BIGINT) AS q
@@ -3247,24 +3251,25 @@ object Ingest {
       |base AS (
       |  SELECT t, x, y, 2048.0 + CAST(q AS DOUBLE) / 4 AS value
       |  FROM g WHERE t < 6),
-      |spec6 AS (
-      |  SELECT CAST(6 AS INTEGER) AS t,
+      |spec AS (
+      |  SELECT CAST(tt.t AS INTEGER) AS t,
       |    CAST(yy.y * 12 + xx.x AS INTEGER) AS x, CAST(0 AS INTEGER) AS y,
       |    2048.0 + CAST(COALESCE(g.q, 0) AS DOUBLE) / 4 AS value
-      |  FROM range(8) AS yy(y) CROSS JOIN range(12) AS xx(x)
-      |  LEFT JOIN g ON g.t = 6 AND g.y = yy.y AND g.x = xx.x
+      |  FROM (SELECT 6 AS t UNION ALL SELECT 7) AS tt
+      |  CROSS JOIN range(8) AS yy(y) CROSS JOIN range(12) AS xx(x)
+      |  LEFT JOIN g ON g.t = tt.t AND g.y = yy.y AND g.x = xx.x
       |  WHERE yy.y * 12 + xx.x < 90)
       |SELECT t, x, y, value FROM base
-      |UNION ALL SELECT t, x, y, value FROM spec6
+      |UNION ALL SELECT t, x, y, value FROM spec
       |ORDER BY t, y, x""".stripMargin) { (spark, dir) =>
     import graft.sources.GribMeta
-    val (nt, ny, nx) = (7, 8, 12)
+    val (nt, ny, nx) = (8, 8, 12)
     val cells = Tables(spark, dir).lineitem
-      .groupBy((col("l_linenumber") % 7).cast("int").as("t"),
+      .groupBy((col("l_linenumber") % 8).cast("int").as("t"),
         (col("l_suppkey") % 8).cast("int").as("y"),
         (col("l_partkey") % 12).cast("int").as("x"))
       .agg(sum(col("l_quantity")).cast("long").as("q"))
-      .collect() // bounded by the fixed grid (≤672 cells), not the data
+      .collect() // bounded by the fixed grid (≤768 cells), not the data
     val grids = Array.fill(nt)(Array.fill[Long](ny * nx)(-1L)) // -1 = missing
     cells.foreach(r =>
       grids(r.getInt(0))(r.getInt(1) * nx + r.getInt(2)) = r.getLong(3))
@@ -3274,27 +3279,34 @@ object Ingest {
     // same DuckDB hash
     val msgs = grids.zipWithIndex.map { case (g, t) =>
       val mask = g.map(_ >= 0L)
-      if (t == 6) {
+      if (t >= 6) {
         // spectral carries no bitmap: a T-8 truncation packs exactly
         // (8+1)(8+2) = 90 coefficients — the first 90 row-major cells,
         // missing cells as code 0 (the oracle COALESCEs them to 2048),
-        // the first cell riding §5 as the raw-IEEE (0,0) real part
+        // the first cell riding unpacked as the (0,0) real part
+        // (GRIB2 5.50: §5 IEEE-32; GRIB1: BDS octets 12-15 IBM-32)
         val codes = g.take(90).map(q => if (q >= 0L) q else 0L)
-        // the (0,0) coefficient rides §5 as IEEE-32 while the oracle
-        // computes an exact DOUBLE — refuse LOUDLY past the
-        // float-exact range (q >= 2^24 − 8192, far above any tested
-        // scale) instead of letting the hash gate go silently flaky
-        // (r14 review)
+        // the (0,0) coefficient is compared against the oracle's
+        // exact DOUBLE — refuse LOUDLY past the carrier-exact range
+        // (IEEE-32: q >= 2^24 − 8192; IBM-32 refuses non-exact inside
+        // ibm32bits), far above any tested scale, instead of letting
+        // the hash gate go silently flaky (r14 review)
         val v00 = 2048.0 + codes(0).toDouble / 4
         require(v00.toFloat.toDouble == v00,
           s"i63 spectral (0,0) value $v00 is not float-exact — cell " +
             "quantity too large for the IEEE-32 §5 field")
-        GribMeta.encodeSpectral(truncation = 8,
-          paramCategory = 1, paramNumber = t,
-          refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
-          real00 = (2048.0 + codes(0).toDouble / 4).toFloat,
-          xs = codes.drop(1), centre = 98,
-          refTime = (1995, 1, 1 + t, 0, 0))
+        if (t == 6)
+          GribMeta.encodeSpectral(truncation = 8,
+            paramCategory = 1, paramNumber = t,
+            refValue = 2048f, binScale = -2, decScale = 0, nBits = 24,
+            real00 = v00.toFloat,
+            xs = codes.drop(1), centre = 98,
+            refTime = (1995, 1, 1 + t, 0, 0))
+        else // …and as a GRIB EDITION-1 spherical-harmonic message (r14)
+          GribMeta.encodeG1Spectral(truncation = 8, paramNumber = t,
+            refValue = 2048.0, binScale = -2, nBits = 24,
+            real00 = v00, xs = codes.drop(1), centre = 98,
+            refTime = (1995, 1, 1 + t, 0, 0))
       }
       else if (t == 0)
         GribMeta.encodeSimple(nx, ny, paramCategory = 1, paramNumber = t,

@@ -243,6 +243,7 @@ object GribMeta {
             u8(bytes, pds + 15), u8(bytes, pds + 16))
           var gridTpl = -1; var ni = -1; var nj = -1
           var cur = pds + pdsLen
+          var nPointsG1 = -1L
           if (gdsPresent) {
             val gds = cur
             require(gds + 10 <= end - 4,
@@ -254,6 +255,21 @@ object GribMeta {
             if (gridTpl == 0 && gdsLen >= 10) { // lat/lon: Ni 7-8, Nj 9-10
               ni = u16(bytes, gds + 6)
               nj = u16(bytes, gds + 8)
+            }
+            // spherical harmonics (type 50): J/K/M at octets 7-12,
+            // representation type octet 13, mode octet 14 — the
+            // coefficient count is derivable only for the triangular
+            // (J=K=M) associated-Legendre mode-1 shape; anything else
+            // leaves nPoints at -1 and the PIXEL path refuses by name
+            // (the inventory walk keeps cataloging — r9 discipline)
+            if (gridTpl == 50 && gdsLen >= 14) {
+              val j = u16(bytes, gds + 6)
+              val k = u16(bytes, gds + 8)
+              val mm = u16(bytes, gds + 10)
+              val repType = u8(bytes, gds + 12)
+              val repMode = u8(bytes, gds + 13)
+              if (j == k && k == mm && repType == 1 && repMode == 1)
+                nPointsG1 = (j + 1).toLong * (j + 2)
             }
             cur += gdsLen
           }
@@ -309,7 +325,8 @@ object GribMeta {
           require(new String(bytes, end - 4, 4, "US-ASCII") == "7777",
             s"GRIB1 message $idx: missing 7777 end marker")
           (Message(idx, 1, totalLen, -1, centre, -1, param, refTime,
-            gridTpl, if (ni > 0 && nj > 0) ni.toLong * nj else -1L, ni, nj),
+            gridTpl,
+            if (ni > 0 && nj > 0) ni.toLong * nj else nPointsG1, ni, nj),
             Some(pack1))
         case e => throw new IllegalArgumentException(
           s"message $idx: unsupported GRIB edition $e")
@@ -654,11 +671,17 @@ object GribMeta {
     * BMS, the given BDS bytes, 7777 trailer. */
   private def buildG1Message(ni: Int, nj: Int, paramNumber: Int,
       centre: Int, refTime: (Int, Int, Int, Int, Int), decScale: Int,
-      bitmap: Option[Array[Boolean]], bds: Array[Byte]): Array[Byte] = {
+      bitmap: Option[Array[Boolean]], bds: Array[Byte],
+      // Some(J): spherical-harmonic GDS (type 50, triangular J=K=M,
+      // mode 1) instead of lat/lon; ni/nj are ignored
+      spectralJ: Option[Int] = None): Array[Byte] = {
     // the frame's field widths are hard limits — silently truncated
     // Ni/Nj would round-trip to a SMALLER grid with no error (r13)
-    require(ni >= 1 && ni <= 0xFFFF && nj >= 1 && nj <= 0xFFFF,
+    require(spectralJ.isDefined ||
+      (ni >= 1 && ni <= 0xFFFF && nj >= 1 && nj <= 0xFFFF),
       s"GRIB1 grid ${ni}x$nj exceeds the GDS 16-bit Ni/Nj fields")
+    spectralJ.foreach(j => require(j >= 0 && j <= 0xFFFF,
+      s"GRIB1 truncation $j exceeds the GDS 16-bit J/K/M fields"))
     require(centre >= 0 && centre <= 255 &&
       paramNumber >= 0 && paramNumber <= 255,
       s"GRIB1 centre=$centre/param=$paramNumber exceed their octets")
@@ -686,12 +709,21 @@ object GribMeta {
     b.put(century.toByte)               // octet 25
     b.put(0.toByte)                     // octet 26: subcentre
     b.putShort(sm16(decScale).toShort)  // octets 27-28
-    // GDS: lat/lon, Ni/Nj; geometry octets zeroed (the reader keys on
-    // rep type + Ni/Nj, as the inventory does)
+    // GDS: lat/lon Ni/Nj (geometry octets zeroed — the reader keys on
+    // rep type + Ni/Nj, as the inventory does), or spherical-harmonic
+    // J/K/M + representation type 1 / mode 1 (r14)
     u24put(32)
-    b.put(0.toByte).put(255.toByte).put(0.toByte)
-    b.putShort(ni.toShort).putShort(nj.toShort)
-    (11 to 32).foreach(_ => b.put(0.toByte))
+    spectralJ match {
+      case Some(j) =>
+        b.put(0.toByte).put(255.toByte).put(50.toByte)
+        b.putShort(j.toShort).putShort(j.toShort).putShort(j.toShort)
+        b.put(1.toByte).put(1.toByte) // octets 13-14: type, mode
+        (15 to 32).foreach(_ => b.put(0.toByte))
+      case None =>
+        b.put(0.toByte).put(255.toByte).put(0.toByte)
+        b.putShort(ni.toShort).putShort(nj.toShort)
+        (11 to 32).foreach(_ => b.put(0.toByte))
+    }
     bitmap.foreach { mask =>
       u24put(bmsBytes)
       b.put(((8 - mask.length % 8) % 8).toByte)
@@ -738,6 +770,44 @@ object GribMeta {
     packCodes(b, xs, nBits)
     buildG1Message(ni, nj, paramNumber, centre, refTime, decScale, bitmap,
       b.array())
+  }
+
+  /** GRIB1 WRITER for SPHERICAL-HARMONIC SIMPLE packing — the
+    * edition-1 twin of [[encodeSpectral]] and the adversarial fixture
+    * source for [[values]]' GRIB1 spectral path: BDS flags nibble 8
+    * (spherical harmonics, simple, float), the (0,0) real part as an
+    * exact-only IBM-32 float in octets 12-15, the remaining
+    * (J+1)(J+2)−1 coefficient codes simple-packed from octet 16, over
+    * a type-50 triangular mode-1 GDS. Decimal scale is pinned to 0
+    * (the decoder refuses anything else — see [[values]]). */
+  def encodeG1Spectral(truncation: Int, paramNumber: Int,
+      refValue: Double, binScale: Int, nBits: Int,
+      real00: Double, xs: Array[Long],
+      centre: Int = 0,
+      refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0)): Array[Byte] = {
+    require(truncation >= 0, s"bad truncation $truncation")
+    require(nBits >= 0 && nBits <= 32, s"bad nBits $nBits")
+    require(xs.forall(x => x >= 0 && x < (1L << nBits)),
+      s"packed code out of the $nBits-bit range")
+    val total = (truncation + 1) * (truncation + 2)
+    require(xs.length == total - 1,
+      s"${xs.length} packed codes for a T$truncation field — triangular " +
+        s"truncation carries (J+1)(J+2) = $total real coefficients, the " +
+        "(0,0) real part riding BDS octets 12-15 unpacked")
+    val dataBits = xs.length.toLong * nBits
+    val rawLen = 11 + 4 + ((dataBits + 7) / 8).toInt
+    val bdsLen = rawLen + (rawLen & 1)
+    val unusedBits = ((8 - (dataBits % 8).toInt) % 8) + 8 * (bdsLen - rawLen)
+    val b = java.nio.ByteBuffer.allocate(bdsLen)
+    b.put((bdsLen >> 16).toByte).put((bdsLen >> 8).toByte).put(bdsLen.toByte)
+    b.put((0x80 | unusedBits).toByte) // flags nibble 8 | unused low
+    b.putShort(sm16(binScale).toShort)
+    b.putInt(ibm32bits(refValue).toInt)
+    b.put(nBits.toByte)
+    b.putInt(ibm32bits(real00).toInt) // octets 12-15: (0,0) real part
+    packCodes(b, xs, nBits)
+    buildG1Message(-1, -1, paramNumber, centre, refTime, decScale = 0,
+      bitmap = None, b.array(), spectralJ = Some(truncation))
   }
 
   /** GRIB1 WRITER for SECOND-ORDER packing — the edition-1 twin of
@@ -879,23 +949,37 @@ object GribMeta {
         // GRIB1 BDS flag nibble (template here = flags bits 4-7):
         // 8 = spherical harmonics, 4 = complex packing, 2 = integer
         // values, 1 = additional flags at octet 14. Nibbles 0/2
-        // (simple) and 5/7 (complex + extended flags — the WMO
-        // SECOND-ORDER shape, r13) decode; the INTEGER bit (2) is
-        // informational — regulation 92.6.3's unpacking formula is
-        // unchanged, the flag only records that the original field
-        // held integers (r13). Everything else refuses with the exact
-        // flag (an octet-14 extension can redefine the payload
-        // layout, so guessing would be silently wrong)
-        require(Set(0, 2, 5, 7)(p.template),
+        // (simple), 5/7 (complex + extended flags — the WMO
+        // SECOND-ORDER shape, r13) and 8/10 (spherical-harmonic
+        // SIMPLE, r14) decode; the INTEGER bit (2) is informational —
+        // regulation 92.6.3's unpacking formula is unchanged, the
+        // flag only records that the original field held integers
+        // (r13). Everything else refuses with the exact flag (an
+        // octet-14 extension can redefine the payload layout, and the
+        // GRIBEX sub-truncated spectral complex packing is a library
+        // convention — guessing would be silently wrong)
+        require(Set(0, 2, 5, 7, 8, 10)(p.template),
           s"message ${m.msgIndex}: GRIB1 " +
-          s"${if ((p.template & 8) != 0) "spherical-harmonic"
+          s"${if ((p.template & 8) != 0 && (p.template & 4) != 0)
+               "spherical-harmonic complex-packed (GRIBEX sub-truncation convention)"
+             else if ((p.template & 8) != 0)
+               "spherical-harmonic octet-14-extended"
              else if ((p.template & 4) != 0) "complex-packed-without-extended-flags"
              else "octet-14-extended-flags"} payload unsupported — " +
-          "grid-point simple and second-order packing (complex + " +
-          "octet-14 extended flags) decode, float or integer")
-        require(m.nPoints > 0,
-          s"message ${m.msgIndex}: GRIB1 pixel decode needs a lat/lon " +
-            "GDS (grid size unknown without one)")
+          "grid-point simple, second-order (complex + octet-14 " +
+          "extended flags) and spherical-harmonic simple packing " +
+          "decode, float or integer")
+        if ((p.template & 8) != 0)
+          require(m.gridTemplate == 50 && m.nPoints > 0,
+            s"message ${m.msgIndex}: GRIB1 spherical-harmonic decode " +
+              "needs a triangular (J=K=M) mode-1 associated-Legendre " +
+              "spherical-harmonic GDS (representation type 50) — the " +
+              "coefficient count is unknown without one; pentagonal " +
+              "truncations and sub-truncated (mode 2) layouts refuse")
+        else
+          require(m.nPoints > 0,
+            s"message ${m.msgIndex}: GRIB1 pixel decode needs a lat/lon " +
+              "GDS (grid size unknown without one)")
       }
       require(p.bitmapIndicator == 255 || p.bitmapIndicator == 0,
         s"message ${m.msgIndex}: bitmap indicator ${p.bitmapIndicator} " +
@@ -948,6 +1032,32 @@ object GribMeta {
         out(0) = java.lang.Float
           .intBitsToFloat(u32(bytes, p.sec5Off + 20).toInt).toDouble
         val xs = readPacked(bytes, p.dataOff, p.dataEnd, nTotal - 1,
+          p.nBits, m.msgIndex, "spectral coefficient")
+        var i = 1
+        while (i < nTotal) { out(i) = base + xs(i - 1) * scale; i += 1 }
+      } else if (m.edition == 1 && (p.template & 8) != 0) {
+        // GRIB1 SPHERICAL-HARMONIC SIMPLE packing (r14, the edition-1
+        // twin of 5.50; WMO Manual on Codes, GRIB1 Section 4): the
+        // real part of the (0,0) coefficient rides BDS octets 12-15
+        // as an IBM-32 float "coded in the same manner as the
+        // reference value"; the remaining coefficients simple-pack
+        // from octet 16. A NONZERO decimal scale refuses by name:
+        // whether D divides the IBM-coded (0,0) value is a library
+        // convention with no ground-truth encoder in this
+        // environment — ECMWF-era spectral archives carry D = 0.
+        require(p.bitmapIndicator == 255,
+          s"message ${m.msgIndex}: spectral data cannot carry a " +
+            "bitmap — coefficients have no missing points")
+        require(p.decScale == 0,
+          s"message ${m.msgIndex}: GRIB1 spherical-harmonic payload " +
+            s"with decimal scale ${p.decScale} unsupported — the " +
+            "(0,0) coefficient's interaction with D is " +
+            "convention-dependent; archive spectral fields carry D=0")
+        require(p.dataOff + 4 <= p.dataEnd,
+          s"message ${m.msgIndex}: BDS too short for the IBM-32 " +
+            "(0,0) coefficient")
+        out(0) = ibm32(u32(bytes, p.dataOff))
+        val xs = readPacked(bytes, p.dataOff + 4, p.dataEnd, nTotal - 1,
           p.nBits, m.msgIndex, "spectral coefficient")
         var i = 1
         while (i < nTotal) { out(i) = base + xs(i - 1) * scale; i += 1 }

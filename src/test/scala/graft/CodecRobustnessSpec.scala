@@ -82,12 +82,15 @@ class CodecRobustnessSpec extends AnyFunSuite {
       GribMeta.values(_))
   }
 
-  test("GRIB1 simple + second-order survive the corruption sweep") {
+  test("GRIB1 simple + second-order + spectral survive the corruption sweep") {
     sweep("grib1-simple", GribMeta.encodeG1Simple(3, 2, 7, 100.0, -1, 1,
       nBits = 10, xs = gridVals.take(4), bitmap = Some(mask6)),
       GribMeta.values(_))
     sweep("grib1-so", GribMeta.encodeG1SecondOrder(4, 3, 7, 64.0, -1, 0,
       xs = gridVals, groupLen = 5), GribMeta.values(_))
+    sweep("grib1-spectral", GribMeta.encodeG1Spectral(2, 7, 64.0, -1,
+      nBits = 8, real00 = -2.5, xs = gridVals.take(11)),
+      GribMeta.values(_))
   }
 
   test("GeoTiff strip + COG survive the corruption sweep") {

@@ -1089,6 +1089,104 @@ class GribMetaSpec extends SparkSpec {
     assert(eTr.getMessage.contains("< 24"), eTr.getMessage)
   }
 
+  /** Hand-built GRIB1 SPHERICAL-HARMONIC message from the WMO GRIB1
+    * section tables — independent of [[GribMeta.encodeG1Spectral]]:
+    * type-50 GDS (J=K=M, representation type/mode octets 13-14), BDS
+    * flags nibble 8, the (0,0) real part as IBM-32 in octets 12-15,
+    * remaining codes simple-packed from octet 16. */
+  private def grib1Spectral(j: Int, e: Int, rIbm: Long, nBits: Int,
+      real00Ibm: Long, codes: Seq[Long], d: Int = 0, flags: Int = 0x80,
+      mode: Int = 1): Array[Byte] = {
+    def sm16(v: Int): Int = if (v < 0) 0x8000 | -v else v
+    val dataBits = codes.size * nBits
+    val rawLen = 11 + 4 + (dataBits + 7) / 8
+    val bdsLen = rawLen + (rawLen & 1)
+    val unused = (8 - dataBits % 8) % 8 + 8 * (bdsLen - rawLen)
+    val total = 8 + 28 + 32 + bdsLen + 4
+    val b = java.nio.ByteBuffer.allocate(total)
+    b.put("GRIB".getBytes("US-ASCII"))
+    b.put((total >> 16).toByte).put((total >> 8).toByte).put(total.toByte)
+    b.put(1.toByte)
+    // PDS (28): GDS present, no BMS, D in octets 27-28
+    b.put(0.toByte).put(0.toByte).put(28.toByte)
+    b.put(128.toByte).put(98.toByte).put(1.toByte).put(255.toByte)
+    b.put(0x80.toByte).put(61.toByte)
+    b.put(1.toByte).putShort(0)
+    b.put(24.toByte).put(6.toByte).put(1.toByte)
+    b.put(12.toByte).put(0.toByte)
+    (18 to 24).foreach(_ => b.put(0.toByte))
+    b.put(21.toByte).put(0.toByte)
+    b.putShort(sm16(d).toShort)
+    // GDS (32): type 50, J/K/M octets 7-12, type/mode octets 13-14
+    b.put(0.toByte).put(0.toByte).put(32.toByte)
+    b.put(0.toByte).put(255.toByte).put(50.toByte)
+    b.putShort(j.toShort).putShort(j.toShort).putShort(j.toShort)
+    b.put(1.toByte).put(mode.toByte)
+    (15 to 32).foreach(_ => b.put(0.toByte))
+    // BDS: flags nibble | unused, E, R, nBits, real00, packed codes
+    b.put((bdsLen >> 16).toByte).put((bdsLen >> 8).toByte).put(bdsLen.toByte)
+    b.put((flags | unused).toByte)
+    b.putShort(sm16(e).toShort)
+    b.putInt(rIbm.toInt)
+    b.put(nBits.toByte)
+    b.putInt(real00Ibm.toInt)
+    var acc = 0L; var nb = 0
+    codes.foreach { x =>
+      acc = (acc << nBits) | x; nb += nBits
+      while (nb >= 8) { b.put((acc >> (nb - 8)).toByte); nb -= 8 }
+    }
+    if (nb > 0) b.put((acc << (8 - nb)).toByte)
+    while (b.position() < total - 4) b.put(0.toByte)
+    b.put("7777".getBytes("US-ASCII"))
+    b.array()
+  }
+
+  test("GRIB1 spherical-harmonic simple packing decodes the hand-built " +
+      "fixture: IBM-32 (0,0) real part, scaled remaining coefficients") {
+    // T-1 → 6 coefficients; R=0, E=1 (×2); real00 = -2.5 as IBM
+    // (sign 1, A=65, M=2621440 — the grib1Simple test's pinned value)
+    val real00 = (1L << 31) | (65L << 24) | 2621440L
+    val m = grib1Spectral(1, 1, 0L, 8, real00, Seq(0L, 1L, 5L, 200L, 255L))
+    val Seq((msg, vs)) = GribMeta.values(m)
+    assert(msg.edition == 1 && msg.gridTemplate == 50 && msg.nPoints == 6)
+    assert(vs.length == 6 && vs(0) == -2.5)
+    assert(vs.drop(1).toSeq == Seq(0.0, 2.0, 10.0, 400.0, 510.0))
+    // the inventory walk derives the triangular coefficient count
+    assert(GribMeta.decode(m).head.nPoints == 6)
+  }
+
+  test("encodeG1Spectral round-trips; GRIB1 spectral refusals by name: " +
+      "GRIBEX complex, nonzero D, lat/lon GDS, mode 2") {
+    val xs = Array.tabulate(19)(i => (i.toLong * ((1L << 24) - 1) / 18))
+    val enc = GribMeta.encodeG1Spectral(truncation = 3, paramNumber = 5,
+      refValue = 2048.0, binScale = -2, nBits = 24, real00 = -2.5,
+      xs = xs, centre = 98, refTime = (1995, 1, 2, 6, 30))
+    val Seq((m, vs)) = GribMeta.values(enc)
+    assert(m.centre == 98 && m.paramNumber == 5 && m.gridTemplate == 50)
+    assert(m.nPoints == 20 && vs(0) == -2.5)
+    assert(vs.drop(1).toSeq == xs.map(2048.0 + _ * 0.25).toSeq)
+    // mixed-edition archive with both spectral editions walks
+    assert(GribMeta.decode(enc ++ grib2()).map(_.edition) == Seq(1, 2))
+    def refuses(bytes: Array[Byte], want: String): Unit = {
+      val e = intercept[IllegalArgumentException] { GribMeta.values(bytes) }
+      assert(e.getMessage.contains(want), e.getMessage)
+    }
+    val r00 = (1L << 31) | (65L << 24) | 2621440L
+    // complex spectral = GRIBEX sub-truncation, refuse by name
+    refuses(grib1Spectral(1, 0, 0L, 8, r00, Seq(1L, 2L, 3L, 4L, 5L),
+      flags = 0xC0), "GRIBEX")
+    // nonzero decimal scale: the (0,0)/D interaction is convention-
+    // dependent — refuse by name
+    refuses(grib1Spectral(1, 0, 0L, 8, r00, Seq(1L, 2L, 3L, 4L, 5L),
+      d = 1), "decimal scale")
+    // spectral flags over a lat/lon GDS: coefficient count unknowable
+    refuses(grib1Simple(0, 0, 0, 0, 0, 8, Seq(1L), None, 1, 1,
+      bdsFlags = 0x80), "spherical-harmonic GDS")
+    // sub-truncated representation mode 2: nPoints underivable
+    refuses(grib1Spectral(1, 0, 0L, 8, r00, Seq(1L, 2L, 3L, 4L, 5L),
+      mode = 2), "mode 2")
+  }
+
   test("scan inventories an archive directory task-side") {
     val dir = java.nio.file.Files.createTempDirectory("graft_grib").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.grib2"),
