@@ -3287,14 +3287,18 @@ object Ingest {
         // (GRIB2 5.50: §5 IEEE-32; GRIB1: BDS octets 12-15 IBM-32)
         val codes = g.take(90).map(q => if (q >= 0L) q else 0L)
         // the (0,0) coefficient is compared against the oracle's
-        // exact DOUBLE — refuse LOUDLY past the carrier-exact range
-        // (IEEE-32: q >= 2^24 − 8192; IBM-32 refuses non-exact inside
-        // ibm32bits), far above any tested scale, instead of letting
-        // the hash gate go silently flaky (r14 review)
+        // exact DOUBLE — refuse LOUDLY past the carrier-exact range,
+        // far above any tested scale, instead of letting the hash
+        // gate go silently flaky (r14 review). Each slice guards its
+        // OWN carrier: t=6 rides IEEE-32 (exact while q < 2^24−8192);
+        // t=7 rides IBM-32, whose exact-only encoder (ibm32bits,
+        // inside encodeG1Spectral) refuses non-representable values
+        // by name on its own (r14 late-wave review)
         val v00 = 2048.0 + codes(0).toDouble / 4
-        require(v00.toFloat.toDouble == v00,
-          s"i63 spectral (0,0) value $v00 is not float-exact — cell " +
-            "quantity too large for the IEEE-32 §5 field")
+        if (t == 6)
+          require(v00.toFloat.toDouble == v00,
+            s"i63 spectral (0,0) value $v00 is not float-exact — cell " +
+              "quantity too large for the IEEE-32 §5 field")
         if (t == 6)
           GribMeta.encodeSpectral(truncation = 8,
             paramCategory = 1, paramNumber = t,

@@ -501,8 +501,10 @@ object GribMeta {
     require(nBits >= 0 && nBits <= 32, s"bad nBits $nBits")
     require(xs.forall(x => x >= 0 && x < (1L << nBits)),
       s"packed code out of the $nBits-bit range")
-    val total = (truncation + 1) * (truncation + 2)
-    require(xs.length == total - 1,
+    // Long arithmetic: an Int (t+1)*(t+2) wraps for t >= 46341 and
+    // would admit a mismatched code count (r14 late-wave review)
+    val total = (truncation + 1).toLong * (truncation + 2)
+    require(xs.length.toLong == total - 1,
       s"${xs.length} packed codes for a T$truncation field — triangular " +
         s"truncation carries (J+1)(J+2) = $total real coefficients, the " +
         "(0,0) real part riding section 5 unpacked")
@@ -510,14 +512,14 @@ object GribMeta {
     buildFrame(paramCategory, paramNumber, centre, discipline, refTime,
       None,
       28, { s => // grid template 3.50: spherical harmonic coefficients
-        s.put(0.toByte); s.putInt(total); s.put(0.toByte).put(0.toByte)
+        s.put(0.toByte); s.putInt(total.toInt); s.put(0.toByte).put(0.toByte)
         s.putShort(50)
         s.putInt(truncation).putInt(truncation).putInt(truncation) // J K M
         s.put(1.toByte) // octet 27: associated Legendre polynomials
         s.put(1.toByte) // octet 28: representation mode 1
       },
       24, { s =>
-        s.putInt(total)
+        s.putInt(total.toInt)
         s.putShort(50) // template 5.50
         s.putInt(java.lang.Float.floatToIntBits(refValue))
         s.putShort(sm16(binScale).toShort); s.putShort(sm16(decScale).toShort)
@@ -741,6 +743,31 @@ object GribMeta {
     b.array()
   }
 
+  /** Shared GRIB1 simple-packed BDS framing (regulation 92.6.1:
+    * even-length pad, unused-bit count in octet 4's low nibble):
+    * flags nibble, sign-and-magnitude E, exact-only IBM-32 reference,
+    * octet-11 width, `extraLen` header bytes via `extra` (the
+    * spectral (0,0) coefficient), big-endian packed codes — ONE copy
+    * of the frame math r13 hardened (r14 late-wave review). */
+  private def g1SimpleBds(flagsNibble: Int, binScale: Int,
+      refValue: Double, nBits: Int, extraLen: Int,
+      extra: java.nio.ByteBuffer => Unit,
+      xs: Array[Long]): Array[Byte] = {
+    val dataBits = xs.length.toLong * nBits
+    val rawLen = 11 + extraLen + ((dataBits + 7) / 8).toInt
+    val bdsLen = rawLen + (rawLen & 1)
+    val unusedBits = ((8 - (dataBits % 8).toInt) % 8) + 8 * (bdsLen - rawLen)
+    val b = java.nio.ByteBuffer.allocate(bdsLen)
+    b.put((bdsLen >> 16).toByte).put((bdsLen >> 8).toByte).put(bdsLen.toByte)
+    b.put(((flagsNibble << 4) | unusedBits).toByte)
+    b.putShort(sm16(binScale).toShort)
+    b.putInt(ibm32bits(refValue).toInt)
+    b.put(nBits.toByte)
+    extra(b)
+    packCodes(b, xs, nBits)
+    b.array()
+  }
+
   /** GRIB1 WRITER for SIMPLE packing — the edition-1 twin of
     * [[encodeSimple]] over the shared [[buildG1Message]] frame: BDS
     * flags nibble 0 (grid-point, simple, float, no extension) with
@@ -757,19 +784,8 @@ object GribMeta {
     require(xs.forall(x => x >= 0 && x < (1L << nBits)),
       s"packed code out of the $nBits-bit range")
     validateGrid(ni, nj, xs, bitmap)
-    val dataBits = xs.length.toLong * nBits
-    val rawLen = 11 + ((dataBits + 7) / 8).toInt
-    val bdsLen = rawLen + (rawLen & 1)
-    val unusedBits = ((8 - (dataBits % 8).toInt) % 8) + 8 * (bdsLen - rawLen)
-    val b = java.nio.ByteBuffer.allocate(bdsLen)
-    b.put((bdsLen >> 16).toByte).put((bdsLen >> 8).toByte).put(bdsLen.toByte)
-    b.put(unusedBits.toByte) // flags nibble 0 | unused-bit count
-    b.putShort(sm16(binScale).toShort)
-    b.putInt(ibm32bits(refValue).toInt)
-    b.put(nBits.toByte)
-    packCodes(b, xs, nBits)
     buildG1Message(ni, nj, paramNumber, centre, refTime, decScale, bitmap,
-      b.array())
+      g1SimpleBds(0, binScale, refValue, nBits, 0, _ => (), xs))
   }
 
   /** GRIB1 WRITER for SPHERICAL-HARMONIC SIMPLE packing — the
@@ -789,25 +805,16 @@ object GribMeta {
     require(nBits >= 0 && nBits <= 32, s"bad nBits $nBits")
     require(xs.forall(x => x >= 0 && x < (1L << nBits)),
       s"packed code out of the $nBits-bit range")
-    val total = (truncation + 1) * (truncation + 2)
-    require(xs.length == total - 1,
+    val total = (truncation + 1).toLong * (truncation + 2) // no Int wrap
+    require(xs.length.toLong == total - 1,
       s"${xs.length} packed codes for a T$truncation field — triangular " +
         s"truncation carries (J+1)(J+2) = $total real coefficients, the " +
         "(0,0) real part riding BDS octets 12-15 unpacked")
-    val dataBits = xs.length.toLong * nBits
-    val rawLen = 11 + 4 + ((dataBits + 7) / 8).toInt
-    val bdsLen = rawLen + (rawLen & 1)
-    val unusedBits = ((8 - (dataBits % 8).toInt) % 8) + 8 * (bdsLen - rawLen)
-    val b = java.nio.ByteBuffer.allocate(bdsLen)
-    b.put((bdsLen >> 16).toByte).put((bdsLen >> 8).toByte).put(bdsLen.toByte)
-    b.put((0x80 | unusedBits).toByte) // flags nibble 8 | unused low
-    b.putShort(sm16(binScale).toShort)
-    b.putInt(ibm32bits(refValue).toInt)
-    b.put(nBits.toByte)
-    b.putInt(ibm32bits(real00).toInt) // octets 12-15: (0,0) real part
-    packCodes(b, xs, nBits)
     buildG1Message(-1, -1, paramNumber, centre, refTime, decScale = 0,
-      bitmap = None, b.array(), spectralJ = Some(truncation))
+      bitmap = None,
+      g1SimpleBds(8, binScale, refValue, nBits, 4,
+        _.putInt(ibm32bits(real00).toInt), xs), // octets 12-15: (0,0)
+      spectralJ = Some(truncation))
   }
 
   /** GRIB1 WRITER for SECOND-ORDER packing — the edition-1 twin of
@@ -977,9 +984,16 @@ object GribMeta {
               "coefficient count is unknown without one; pentagonal " +
               "truncations and sub-truncated (mode 2) layouts refuse")
         else
-          require(m.nPoints > 0,
-            s"message ${m.msgIndex}: GRIB1 pixel decode needs a lat/lon " +
-              "GDS (grid size unknown without one)")
+          // gridTemplate == 0 keeps GRID-POINT payloads over a
+          // SPECTRAL GDS refusing: nPoints is now derivable from a
+          // type-50 GDS too, and without this the simple-unpack loop
+          // would read a spectral-layout BDS as pixel codes — silent
+          // garbage (r14 late-wave review)
+          require(m.gridTemplate == 0 && m.nPoints > 0,
+            s"message ${m.msgIndex}: GRIB1 grid-point pixel decode " +
+              "needs a lat/lon GDS (grid size unknown without one; a " +
+              "spherical-harmonic GDS under grid-point flags is " +
+              "contradictory)")
       }
       require(p.bitmapIndicator == 255 || p.bitmapIndicator == 0,
         s"message ${m.msgIndex}: bitmap indicator ${p.bitmapIndicator} " +

@@ -1185,6 +1185,12 @@ class GribMetaSpec extends SparkSpec {
     // sub-truncated representation mode 2: nPoints underivable
     refuses(grib1Spectral(1, 0, 0L, 8, r00, Seq(1L, 2L, 3L, 4L, 5L),
       mode = 2), "mode 2")
+    // GRID-POINT flags over a spectral GDS are contradictory — the
+    // simple-unpack loop must never read a spectral-layout BDS as
+    // pixel codes now that a type-50 GDS derives nPoints (r14
+    // late-wave review: this was a silent-garbage regression)
+    refuses(grib1Spectral(1, 0, 0L, 8, r00, Seq(1L, 2L, 3L, 4L, 5L),
+      flags = 0x00), "contradictory")
   }
 
   test("scan inventories an archive directory task-side") {
