@@ -25,35 +25,10 @@ class CodecRobustnessSpec extends AnyFunSuite {
   /** Decode every truncation and bit-flip of `fixture` through `dec`:
     * success or a messaged IllegalArgumentException pass; anything
     * else fails with the mutation coordinates so the offending field
-    * is reproducible. */
+    * is reproducible ([[CodecFuzz.sweep]] — shared with the format
+    * specs' hand-built-fixture sweeps). */
   private def sweep(name: String, fixture: Array[Byte],
-      dec: Array[Byte] => Any): Unit = {
-    def attempt(tag: String, bytes: Array[Byte]): Unit =
-      try { dec(bytes); () } catch {
-        case e: IllegalArgumentException =>
-          assert(e.getMessage != null && e.getMessage.nonEmpty,
-            s"$name $tag: refusal without a message")
-        case e: Throwable =>
-          fail(s"$name $tag: raw ${e.getClass.getName}: ${e.getMessage}")
-      }
-    var len = 0
-    while (len < fixture.length) {
-      attempt(s"truncated@$len", java.util.Arrays.copyOf(fixture, len))
-      len += 1
-    }
-    var pos = 0
-    while (pos < fixture.length) {
-      var bi = 0
-      while (bi < 3) {
-        val bit = Seq(0, 3, 7)(bi)
-        val mut = fixture.clone()
-        mut(pos) = (mut(pos) ^ (1 << bit)).toByte
-        attempt(s"bitflip@$pos.$bit", mut)
-        bi += 1
-      }
-      pos += 1
-    }
-  }
+      dec: Array[Byte] => Any): Unit = CodecFuzz.sweep(name, fixture, dec)
 
   private val gridVals = Array.tabulate(12)(i => (i * 37 % 97).toLong)
   private val mask6 = Array(true, false, true, true, false, true)
@@ -114,6 +89,17 @@ class CodecRobustnessSpec extends AnyFunSuite {
           values = Array.tabulate(12)(_.toDouble))),
       numRecs = 2)
     sweep("netcdf", enc, bytes => {
+      val f = NetCdf.decode(bytes)
+      f.vars.foreach(v => f.read(v.name))
+    })
+    // the 64-bit-offset (CDF-2) header variant walks the same sweep
+    val enc2 = encode(
+      Seq(Dim("lat", 2), Dim("lon", 3)),
+      Nil,
+      Seq(VarSpec("rfe", Seq("lat", "lon"), 5,
+        values = Array.tabulate(6)(_.toDouble))),
+      numRecs = 0, version = 2)
+    sweep("netcdf-cdf2", enc2, bytes => {
       val f = NetCdf.decode(bytes)
       f.vars.foreach(v => f.read(v.name))
     })

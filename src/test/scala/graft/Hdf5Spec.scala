@@ -2125,4 +2125,31 @@ class Hdf5Spec extends SparkSpec {
     }
     assert(eStr.getMessage.contains("string"), eStr.getMessage)
   }
+
+  test("hand-built fixture corruption sweeps (r14): v4 chunk indexes, " +
+      "extensible arrays, paged FA/EA, deep v2 B-trees, dense storage " +
+      "— every truncation/bit-flip decodes or refuses by name") {
+    def readAll(bytes: Array[Byte]): Unit = {
+      val f = Hdf5.decode(bytes)
+      f.datasets.foreach(d => Hdf5.read(bytes, f, d.path))
+    }
+    def sw(name: String, fx: Array[Byte]): Unit =
+      CodecFuzz.sweep(name, fx, b => { readAll(b); () },
+        step = if (fx.length > 1200) 2 else 1)
+    sw("h5-v0", fixtureV0)
+    sw("h5-chunked-v1btree", fixtureChunked._1)
+    sw("h5-v4-single", fixtureV4(1))
+    sw("h5-v4-implicit", fixtureV4(2))
+    sw("h5-v4-fixedarray", fixtureV4(3, filtered = true))
+    sw("h5-v4-btree2", fixtureV4(5, filtered = true))
+    sw("h5-earray", fixtureEArray(filtered = false))
+    sw("h5-earray-filtered", fixtureEArray(filtered = true))
+    sw("h5-paged-fa", fixturePagedFA(Seq(0xFF, 0x03)))
+    sw("h5-btree2-deep", fixtureBtree2Deep())
+    sw("h5-paged-ea", fixturePagedEA(0x03))
+    sw("h5-dense", fixtureDense()._1)
+    sw("h5-dense-indirect", fixtureDense(indirect = true)._1)
+    sw("h5-softlinks", fixtureV2(softLink = true)._1)
+    sw("h5-compound", fixtureCompound())
+  }
 }

@@ -680,6 +680,30 @@ class HdfSpec extends SparkSpec {
     intercept[Exception] { Hdf.read(Hdf.decode(badZ), "ndvi") }
   }
 
+  test("hand-built fixture corruption sweeps (r14): plain, chunked, " +
+      "N-bit — every truncation/bit-flip decodes or refuses by name") {
+    def readAll(bytes: Array[Byte]): Unit = {
+      val f = Hdf.decode(bytes)
+      f.sds.foreach(s => Hdf.read(f, s.name))
+    }
+    def sw(name: String, fx: Array[Byte]): Unit =
+      CodecFuzz.sweep(name, fx, b => { readAll(b); () },
+        step = if (fx.length > 1200) 2 else 1)
+    sw("hdf4-hand", handBuilt())
+    sw("hdf4-hand-chunked", handBuiltChunked())
+    sw("hdf4-enc-chunked", Hdf.encode(Seq(SdsSpec("c", Seq(4, 4),
+      Hdf.Int16, Array.tabulate(16)(_.toDouble), fill = Some(-9.0),
+      comp = "deflate", chunkDims = Some(Seq(2, 2))))))
+    // N-bit: the r14 coder over the hand-special frame
+    val nb = java.nio.ByteBuffer.allocate(34)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    nb.putShort(3).putShort(0).putInt(8).putShort(2).putShort(0)
+    nb.putShort(Hdf.CompNBit.toShort)
+    nb.putInt(22).putInt(0).putInt(0).putInt(10).putInt(6)
+    sw("hdf4-nbit", handSpecial((1, 4), nb.array(),
+      Some((Hdf.TagCompressed, Array(0xAC, 0x1F, 0xC0).map(_.toByte)))))
+  }
+
   test("composition: MODLAND-style tiles mosaic into one grid (i65 mechanics)") {
     // two adjacent sinusoidal tiles (h00, h01) + a reprocessed h00
     // overlay: the union grid takes the LAST file's non-fill value per
