@@ -376,8 +376,17 @@ object GeoTiff {
     * nodata, so each level decodes self-contained via
     * `decode(bytes, ifdIndex)`. Edge tiles pad with nodata; pad pixels
     * sit past width/height and are ignored by the tile decoder. */
+  /** Writer-side mirror of decode's 2^27-pixel cap: the engine must
+    * never publish a raster it then refuses to read (r14 review). */
+  private def validateSize(r: Raster): Unit =
+    require(r.width >= 1 && r.height >= 1 &&
+      r.width.toLong * r.height <= (1L << 27),
+      s"raster ${r.width}x${r.height} is empty or past the 2^27-pixel " +
+        "single-raster cap the decoder enforces")
+
   def encodeCog(r: Raster, tileSize: Int = 256, float32: Boolean = true,
       deflate: Boolean = false, minOverviewDim: Int = 64): Array[Byte] = {
+    validateSize(r)
     require(tileSize % 16 == 0 && tileSize > 0,
       s"TIFF 6.0 §15: tile dims must be positive multiples of 16, got $tileSize")
     val levels = scala.collection.mutable.ArrayBuffer(r)
@@ -499,6 +508,7 @@ object GeoTiff {
     * float32 (`sampleFormat = 3`) or int16 (`2`), one strip, optional
     * deflate. Geo tags written when scale/tiepoint provided. */
   def encode(r: Raster, float32: Boolean = true, deflate: Boolean = false): Array[Byte] = {
+    validateSize(r)
     val n = r.width * r.height
     val bytesPerSample = if (float32) 4 else 2
     val raw = ByteBuffer.allocate(n * bytesPerSample).order(ByteOrder.LITTLE_ENDIAN)

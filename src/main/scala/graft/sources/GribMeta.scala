@@ -372,6 +372,11 @@ object GribMeta {
   /** Grid/bitmap shape checks shared by every GRIB2 writer. */
   private def validateGrid(ni: Int, nj: Int, xs: Array[Long],
       bitmap: Option[Array[Boolean]]): Unit = {
+    // writer-side mirror of values()' 2^27-point cap (r14 review:
+    // never publish a message the decoder then refuses)
+    require(ni >= 1 && nj >= 1 && ni.toLong * nj <= (1L << 27),
+      s"grid ${ni}x$nj is empty or past the 2^27-point cap the " +
+        "decoder enforces")
     bitmap.foreach { m =>
       require(m.length == ni * nj, s"bitmap ${m.length} for ${ni * nj} points")
       require(m.count(identity) == xs.length,
@@ -504,6 +509,9 @@ object GribMeta {
     // Long arithmetic: an Int (t+1)*(t+2) wraps for t >= 46341 and
     // would admit a mismatched code count (r14 late-wave review)
     val total = (truncation + 1).toLong * (truncation + 2)
+    require(total <= (1L << 27),
+      s"T$truncation carries $total coefficients — past the 2^27 cap " +
+        "the decoder enforces")
     require(xs.length.toLong == total - 1,
       s"${xs.length} packed codes for a T$truncation field — triangular " +
         s"truncation carries (J+1)(J+2) = $total real coefficients, the " +
@@ -806,6 +814,9 @@ object GribMeta {
     require(xs.forall(x => x >= 0 && x < (1L << nBits)),
       s"packed code out of the $nBits-bit range")
     val total = (truncation + 1).toLong * (truncation + 2) // no Int wrap
+    require(total <= (1L << 27),
+      s"T$truncation carries $total coefficients — past the 2^27 cap " +
+        "the decoder enforces")
     require(xs.length.toLong == total - 1,
       s"${xs.length} packed codes for a T$truncation field — triangular " +
         s"truncation carries (J+1)(J+2) = $total real coefficients, the " +
@@ -951,6 +962,20 @@ object GribMeta {
           "5.0 (simple), 5.2 (complex), 5.3 (complex + spatial " +
           "differencing), 5.40 (lossless JPEG2000), 5.41 (PNG), " +
           "5.42 (CCSDS/AEC) and 5.50 (spectral simple) decode")
+        // grid/packing consistency, mirroring the GRIB1 gate (r14
+        // review): spectral coefficients fanned as lat/lon pixels —
+        // or pixels decoded from a spherical-harmonic grid — would be
+        // silently misshaped rows, not an error
+        if (p.template == 50)
+          require(m.gridTemplate == 50,
+            s"message ${m.msgIndex}: spectral packing (5.50) over " +
+              s"grid template 3.${m.gridTemplate} is contradictory — " +
+              "spherical-harmonic coefficients need grid template 3.50")
+        else
+          require(m.gridTemplate != 50,
+            s"message ${m.msgIndex}: grid-point packing " +
+              s"(5.${p.template}) over the spherical-harmonic grid " +
+              "template 3.50 is contradictory")
       }
       else {
         // GRIB1 BDS flag nibble (template here = flags bits 4-7):
@@ -1120,6 +1145,9 @@ object GribMeta {
         require(k == xs.length, s"message ${m.msgIndex}: " +
           s"${xs.length} complex-packed values but only $k present points")
       } else {
+        require(p.nBits <= 64,
+          s"message ${m.msgIndex}: packed-field width ${p.nBits} " +
+            "exceeds 64 bits — refusing rather than truncating silently")
         var bitPos = 0L
         val dataBits = (p.dataEnd - p.dataOff).toLong * 8
         var i = 0
@@ -1152,6 +1180,11 @@ object GribMeta {
     * no backing bytes by design). */
   private def readPacked(bytes: Array[Byte], off: Int, end: Int,
       count: Int, nBits: Int, msgIndex: Int, what: String): Array[Long] = {
+    // a u8-field width past 64 would silently shift bits off the Long
+    // accumulator — refuse, never decode garbage (r14 review)
+    require(nBits <= 64,
+      s"message $msgIndex: $what width $nBits exceeds 64 bits — " +
+        "refusing rather than truncating silently")
     val out = new Array[Long](count)
     if (nBits == 0) return out
     val dataBits = (end - off).toLong * 8
@@ -1524,6 +1557,9 @@ object GribMeta {
     val dataStart = pos
     def readBits(n: Int): Long = {
       if (n == 0) return 0L
+      require(n <= 64,
+        s"message $msgIndex: complex-packed field width $n exceeds " +
+          "64 bits — refusing rather than truncating silently")
       require(bitPos + n <= dataBits,
         s"message $msgIndex: complex-packed stream exhausted")
       var x = 0L

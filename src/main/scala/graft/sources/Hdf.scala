@@ -296,6 +296,15 @@ object Hdf {
     out
   }
 
+  /** [[siblingResolver]] with a per-call-site cache: K datasets of one
+    * tile referencing the same external sibling pay ONE read, not K
+    * (r14 review — the H5 planner's memoized-decode discipline). */
+  def memoizedSiblings(basePath: String): ExtResolver = {
+    val cache = scala.collection.mutable.HashMap.empty[String, Array[Byte]]
+    val raw = siblingResolver(basePath)
+    name => cache.getOrElseUpdate(name, raw(name))
+  }
+
   /** Resolve an SDS's PAYLOAD bytes: plain elements slice directly;
     * SPECIAL_COMP elements decode their coder (NONE/RLE/NBIT/DEFLATE/
     * SZIP); SPECIAL_EXT elements read their sibling file through
@@ -316,7 +325,9 @@ object Hdf {
       require(d.len >= 2, s"SDS '${sds.name}': truncated special header")
       val special = b.getShort(0) & 0xffff
       special match {
-        case SpecialComp => compPayload(f, sds.name, d, b)
+        case SpecialComp =>
+          compPayload(f, sds.name, d, b,
+            sds.dims.map(_.toLong).product * widthOf(sds.ntype))
         case SpecialChunked => chunkedPayload(f, sds, d, b)
         case SpecialLinked => linkedPayload(f, sds.name, d, b)
         case SpecialExt =>
@@ -445,9 +456,17 @@ object Hdf {
     * DFTAG_COMPRESSED element with `payload_ref`. `b` is the
     * big-endian slice of the special header; `owner` names refusals. */
   private def compPayload(f: HdfFile, owner: String, d: DD,
-      b: ByteBuffer): Array[Byte] = {
+      b: ByteBuffer, expectBytes: Long): Array[Byte] = {
     require(d.len >= 14, s"SDS '$owner': truncated COMP header")
     val uncompLen = b.getInt(4)
+    // ALLOCATION gate (r14 whole-round review): uncomp_len sizes the
+    // RLE/deflate output buffer — bound it by what the element can
+    // legitimately hold (the caller's dims×width) BEFORE decoding, or
+    // a corrupt length requests a multi-GB array the dims gate in
+    // read() never sees
+    require(uncompLen >= 0 && uncompLen <= expectBytes,
+      s"SDS '$owner': COMP uncompressed length $uncompLen negative or " +
+        s"past the $expectBytes bytes the element's dims declare")
     val dataRef = b.getShort(8) & 0xffff
     val coder = b.getShort(12) & 0xffff
     // refuse unsupported coders BEFORE resolving the payload —
@@ -728,7 +747,8 @@ object Hdf {
           require(code == SpecialComp,
             s"SDS '$name': chunk $r special code $code unsupported " +
               "(only COMP chunks decode; nested chunking refused)")
-          compPayload(f, s"$name[chunk $r]", cdd, cb)
+          compPayload(f, s"$name[chunk $r]", cdd, cb,
+            chunkElems.toLong * w)
         }
       require(raw.length >= chunkElems.toLong * w,
         s"SDS '$name': chunk $r has ${raw.length} bytes < " +
@@ -897,6 +917,8 @@ object Hdf {
       val n = s.dims.map(_.toLong).product
       require(s.values.length == n,
         s"SDS '${s.name}': ${s.values.length} values for dims ${s.dims}")
+      require(n <= (1L << 27), s"SDS '${s.name}': $n elements past " +
+        "the 2^27 cap the reader enforces (r14)")
       val w = widthOf(s.ntype)
       val r = ref()
 
@@ -1130,7 +1152,7 @@ object Hdf {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (p, bytes) =>
-        gridCells(decode(bytes), sdsName, siblingResolver(p))
+        gridCells(decode(bytes), sdsName, memoizedSiblings(p))
           .filterNot(_.value.isNaN)
           .map(c => (p, sdsName, c.x, c.y, c.value))
       })

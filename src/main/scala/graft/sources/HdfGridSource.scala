@@ -175,11 +175,13 @@ final class HdfReaderFactory(fields: Array[String], sdsOpt: Option[String],
       private val names = p.sds.getOrElse(
         f.sds.map(_.name).filter(n => sdsOpt.forall(_ == n)))
       private val pathUtf = UTF8String.fromString(p.file)
+      // external elements resolve sibling-relative to THIS tile file
+      // (the Hdf5 external-link discipline — r14); memoized so the
+      // partition's K datasets pay one read per sibling
+      private val siblings = Hdf.memoizedSiblings(p.file)
       private val cells = names.iterator.flatMap { n =>
         val nUtf = UTF8String.fromString(n)
-        // external elements resolve sibling-relative to THIS tile file
-        // (the Hdf5 external-link discipline — r14)
-        Hdf.gridCells(f, n, Hdf.siblingResolver(p.file))
+        Hdf.gridCells(f, n, siblings)
           .filter(c => keepFill || !c.value.isNaN)
           .map(c => (nUtf, c))
       }

@@ -73,7 +73,12 @@ object NetCdf {
 
   final case class NcFile(
       version: Int, numRecs: Int, dims: Seq[Dim], gatts: Seq[Att],
-      vars: Seq[Variable], bytes: Array[Byte]) {
+      vars: Seq[Variable], bytes: Array[Byte],
+      // the TRUE file length (= bytes.length except for
+      // decodeHeader's bounded-prefix files) — what the allocation
+      // gate in read() validates declared sizes against (r14 review:
+      // gating on the prefix length misdiagnosed healthy files)
+      fullLen: Long) {
 
     def variable(name: String): Variable = vars.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
@@ -112,10 +117,13 @@ object NetCdf {
       require(total <= Int.MaxValue, s"variable '$name' too large: $total")
       // ALLOCATION gate: classic NetCDF stores data uncompressed, so
       // a variable can never hold more bytes than the file — refuse
-      // corrupt dim/record counts BEFORE allocating (r14 fuzz battery)
-      require(total >= 0 && total * w <= bytes.length,
+      // corrupt dim/record counts BEFORE allocating (r14 fuzz
+      // battery). Validated against the TRUE file length, so a
+      // header-prefix decode keeps its own "reads past the prefix"
+      // diagnostic instead of blaming a healthy file (r14 review)
+      require(total >= 0 && total * w <= fullLen,
         s"variable '$name': declared ${total * w} data bytes in a " +
-          s"${bytes.length}-byte file — corrupt dims or record count")
+          s"$fullLen-byte file — corrupt dims or record count")
       val out = new Array[Double](total.toInt)
       if (isRecordVar(v)) {
         val perRec = (total / math.max(1, numRecs)).toInt
@@ -289,7 +297,7 @@ object NetCdf {
         s"variable $nm: begin $begin outside file")
       Variable(nm, dimIds, atts, t, begin)
     }
-    NcFile(version, numRecs, dims, gatts, vars, bytes)
+    NcFile(version, numRecs, dims, gatts, vars, bytes, fileLen)
   }
 
   // ---- encode -----------------------------------------------------------
