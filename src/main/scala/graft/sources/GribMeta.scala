@@ -484,6 +484,29 @@ object GribMeta {
       5 + dataBytes, packCodes(_, xs, nBits))
   }
 
+  /** Shared spectral writer validation (both editions, r14 review):
+    * non-negative truncation, code range, Long pentagonal count under
+    * the decoder's 2^27 cap, (J+1)(J+2)−1 packed codes. Returns the
+    * total coefficient count. */
+  private def validateSpectral(truncation: Int, nBits: Int,
+      xs: Array[Long]): Long = {
+    require(truncation >= 0, s"bad truncation $truncation")
+    require(nBits >= 0 && nBits <= 32, s"bad nBits $nBits")
+    require(xs.forall(x => x >= 0 && x < (1L << nBits)),
+      s"packed code out of the $nBits-bit range")
+    // Long arithmetic: an Int (t+1)*(t+2) wraps for t >= 46341 and
+    // would admit a mismatched code count (r14 late-wave review)
+    val total = (truncation + 1).toLong * (truncation + 2)
+    require(total <= (1L << 27),
+      s"T$truncation carries $total coefficients — past the 2^27 cap " +
+        "the decoder enforces")
+    require(xs.length.toLong == total - 1,
+      s"${xs.length} packed codes for a T$truncation field — triangular " +
+        s"truncation carries (J+1)(J+2) = $total real coefficients, the " +
+        "(0,0) real part riding unpacked")
+    total
+  }
+
   /** GRIB2 WRITER for SPECTRAL SIMPLE packing (data representation
     * template 5.50 over the spherical-harmonic grid template 3.50) —
     * the ECMWF model-level ARCHIVE packing (the reference's ECMWF
@@ -502,20 +525,7 @@ object GribMeta {
       real00: Float, xs: Array[Long],
       centre: Int = 0, discipline: Int = 0,
       refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0)): Array[Byte] = {
-    require(truncation >= 0, s"bad truncation $truncation")
-    require(nBits >= 0 && nBits <= 32, s"bad nBits $nBits")
-    require(xs.forall(x => x >= 0 && x < (1L << nBits)),
-      s"packed code out of the $nBits-bit range")
-    // Long arithmetic: an Int (t+1)*(t+2) wraps for t >= 46341 and
-    // would admit a mismatched code count (r14 late-wave review)
-    val total = (truncation + 1).toLong * (truncation + 2)
-    require(total <= (1L << 27),
-      s"T$truncation carries $total coefficients — past the 2^27 cap " +
-        "the decoder enforces")
-    require(xs.length.toLong == total - 1,
-      s"${xs.length} packed codes for a T$truncation field — triangular " +
-        s"truncation carries (J+1)(J+2) = $total real coefficients, the " +
-        "(0,0) real part riding section 5 unpacked")
+    val total = validateSpectral(truncation, nBits, xs)
     val dataBytes = ((xs.length.toLong * nBits + 7) / 8).toInt
     buildFrame(paramCategory, paramNumber, centre, discipline, refTime,
       None,
@@ -809,18 +819,7 @@ object GribMeta {
       real00: Double, xs: Array[Long],
       centre: Int = 0,
       refTime: (Int, Int, Int, Int, Int) = (2000, 1, 1, 0, 0)): Array[Byte] = {
-    require(truncation >= 0, s"bad truncation $truncation")
-    require(nBits >= 0 && nBits <= 32, s"bad nBits $nBits")
-    require(xs.forall(x => x >= 0 && x < (1L << nBits)),
-      s"packed code out of the $nBits-bit range")
-    val total = (truncation + 1).toLong * (truncation + 2) // no Int wrap
-    require(total <= (1L << 27),
-      s"T$truncation carries $total coefficients — past the 2^27 cap " +
-        "the decoder enforces")
-    require(xs.length.toLong == total - 1,
-      s"${xs.length} packed codes for a T$truncation field — triangular " +
-        s"truncation carries (J+1)(J+2) = $total real coefficients, the " +
-        "(0,0) real part riding BDS octets 12-15 unpacked")
+    validateSpectral(truncation, nBits, xs)
     buildG1Message(-1, -1, paramNumber, centre, refTime, decScale = 0,
       bitmap = None,
       g1SimpleBds(8, binScale, refValue, nBits, 4,
@@ -966,16 +965,20 @@ object GribMeta {
         // review): spectral coefficients fanned as lat/lon pixels —
         // or pixels decoded from a spherical-harmonic grid — would be
         // silently misshaped rows, not an error
+        // the spherical-harmonic grid FAMILY is 3.50-3.53 (plain,
+        // rotated, stretched, both — same coefficient transmission)
+        val spectralGrid = m.gridTemplate >= 50 && m.gridTemplate <= 53
         if (p.template == 50)
-          require(m.gridTemplate == 50,
+          require(spectralGrid,
             s"message ${m.msgIndex}: spectral packing (5.50) over " +
               s"grid template 3.${m.gridTemplate} is contradictory — " +
-              "spherical-harmonic coefficients need grid template 3.50")
+              "spherical-harmonic coefficients need grid template " +
+              "3.50-3.53")
         else
-          require(m.gridTemplate != 50,
+          require(!spectralGrid,
             s"message ${m.msgIndex}: grid-point packing " +
               s"(5.${p.template}) over the spherical-harmonic grid " +
-              "template 3.50 is contradictory")
+              s"template 3.${m.gridTemplate} is contradictory")
       }
       else {
         // GRIB1 BDS flag nibble (template here = flags bits 4-7):
@@ -1145,9 +1148,10 @@ object GribMeta {
         require(k == xs.length, s"message ${m.msgIndex}: " +
           s"${xs.length} complex-packed values but only $k present points")
       } else {
-        require(p.nBits <= 64,
+        require(p.nBits <= 63,
           s"message ${m.msgIndex}: packed-field width ${p.nBits} " +
-            "exceeds 64 bits — refusing rather than truncating silently")
+            "exceeds 63 bits — a 64-bit field would sign-flip the " +
+            "Long accumulator; refusing rather than misdecoding")
         var bitPos = 0L
         val dataBits = (p.dataEnd - p.dataOff).toLong * 8
         var i = 0
@@ -1182,9 +1186,10 @@ object GribMeta {
       count: Int, nBits: Int, msgIndex: Int, what: String): Array[Long] = {
     // a u8-field width past 64 would silently shift bits off the Long
     // accumulator — refuse, never decode garbage (r14 review)
-    require(nBits <= 64,
-      s"message $msgIndex: $what width $nBits exceeds 64 bits — " +
-        "refusing rather than truncating silently")
+    require(nBits <= 63,
+      s"message $msgIndex: $what width $nBits exceeds 63 bits — a " +
+        "64-bit field would sign-flip the Long accumulator; refusing " +
+        "rather than misdecoding")
     val out = new Array[Long](count)
     if (nBits == 0) return out
     val dataBits = (end - off).toLong * 8
@@ -1557,9 +1562,10 @@ object GribMeta {
     val dataStart = pos
     def readBits(n: Int): Long = {
       if (n == 0) return 0L
-      require(n <= 64,
+      require(n <= 63,
         s"message $msgIndex: complex-packed field width $n exceeds " +
-          "64 bits — refusing rather than truncating silently")
+          "63 bits — a 64-bit field would sign-flip the Long " +
+          "accumulator; refusing rather than misdecoding")
       require(bitPos + n <= dataBits,
         s"message $msgIndex: complex-packed stream exhausted")
       var x = 0L
@@ -1686,17 +1692,18 @@ object GribMeta {
     require(n1 >= 22 + nWidthOctets && n2 >= n1 && soAt <= bdsEnd,
       s"message $msgIndex: second-order frame N1=$n1 N2=$n2 off-shape " +
         s"for $nWidthOctets width octets and BDS length ${p.sec5Len}")
-    require(p.nBits <= 64,
-      s"message $msgIndex: first-order width ${p.nBits} exceeds 64 " +
-        "bits — a wider field would silently truncate in the " +
-        "shift-accumulate loop")
+    require(p.nBits <= 63,
+      s"message $msgIndex: first-order width ${p.nBits} exceeds 63 " +
+        "bits — a wider field would silently truncate or sign-flip " +
+        "in the shift-accumulate loop")
     val widths =
       if (diffWidths) Array.tabulate(p1)(g => u8(bytes, widthsAt + g))
       else Array.fill(math.max(p1, 1))(u8(bytes, widthsAt))
     widths.zipWithIndex.foreach { case (w, g) =>
-      require(w <= 64,
+      require(w <= 63,
         s"message $msgIndex: second-order width $w (group $g) exceeds " +
-          "64 bits — refusing rather than truncating silently")
+          "63 bits — refusing rather than truncating or sign-flipping " +
+          "silently")
     }
     // group-start flags, one per packed point
     val starts = new Array[Boolean](nPresent)

@@ -127,6 +127,16 @@ object Hdf {
         "(CHAR/custom types refused — this reader never guesses)")
   }
 
+  /** Overflow-proof element count of declared dims: a corrupt SDD can
+    * declare dims whose Long product WRAPS (even to 0), sliding past
+    * the 2^27 gates with a wrong-shaped "success" (r14 review);
+    * multiplyExact overflow surfaces as a named CodecGate refusal. */
+  private def nElems(dims: Seq[Int], owner: String): Long = {
+    require(dims.forall(_ >= 0),
+      s"SDS '$owner': negative dimension in ${dims.mkString("x")}")
+    dims.foldLeft(1L)((a, b) => Math.multiplyExact(a, b.toLong))
+  }
+
   // -- decode -----------------------------------------------------------
 
   /** Full decode: DD walk + SDS assembly over the whole byte array. */
@@ -327,11 +337,13 @@ object Hdf {
       special match {
         case SpecialComp =>
           compPayload(f, sds.name, d, b,
-            sds.dims.map(_.toLong).product * widthOf(sds.ntype))
+            Math.multiplyExact(nElems(sds.dims, sds.name),
+              widthOf(sds.ntype).toLong))
         case SpecialChunked => chunkedPayload(f, sds, d, b)
         case SpecialLinked => linkedPayload(f, sds.name, d, b)
         case SpecialExt =>
-          val expect = sds.dims.map(_.toLong).product * widthOf(sds.ntype)
+          val expect = Math.multiplyExact(nElems(sds.dims, sds.name),
+            widthOf(sds.ntype).toLong)
           extPayload(sds.name, expect, d, b, external)
         case SpecialVLinked => throw new IllegalArgumentException(
           s"SDS '${sds.name}': variable-length linked-block storage " +
@@ -657,7 +669,7 @@ object Hdf {
 
     // output buffer pre-filled with the fill PATTERN (record fill when
     // it is exactly one element wide, else the SDS fill value, else 0)
-    val total = sds.dims.map(_.toLong).product
+    val total = nElems(sds.dims, name)
     require(total * w <= Int.MaxValue,
       s"SDS '$name' too large for one in-memory read")
     val out = new Array[Byte]((total * w).toInt)
@@ -859,7 +871,7 @@ object Hdf {
       CodecGate.gated("HDF4") {
     val s = f.sdsNamed(name)
     val w = widthOf(s.ntype)
-    val n = s.dims.map(_.toLong).product
+    val n = nElems(s.dims, name)
     // ALLOCATION gate first (r14 fuzz battery): dims are DECLARED
     // fields — refuse negative or implausibly large products before
     // payload() sizes decompression buffers off them (2^27 elements

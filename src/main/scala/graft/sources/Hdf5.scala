@@ -122,7 +122,11 @@ object Hdf5 {
       // resolve it, whole-file enumerations (DSv2 planning, scan)
       // skip aliases so a linked dataset is never read twice
       aliasOf: Option[String] = None) {
-    def n: Long = if (dims.isEmpty) 1L else dims.product
+    // overflow-proof: corrupt dims whose product WRAPS must surface
+    // as a (gate-renamed) refusal, not a small wrong count (r14)
+    def n: Long =
+      if (dims.isEmpty) 1L
+      else dims.foldLeft(1L)((a, b) => Math.multiplyExact(a, b))
     def numAttr(name: String): Option[Double] = attrs.get(name).collect {
       case d: Double => d
     }

@@ -1249,8 +1249,8 @@ object Jpeg2k {
   def encode(w: Int, h: Int, depth: Int, samples: Array[Long],
       levels: Int = 5): Array[Byte] = {
     // writer-side mirror of the decoder's 2^26-pixel cap (r14)
-    require(w >= 1 && h >= 1 && w.toLong * h <= (1L << 26),
-      s"image ${w}x$h is empty or past the 2^26-pixel cap the decoder enforces")
+    require(w.toLong * h <= (1L << 26),
+      s"image ${w}x$h past the 2^26-pixel cap the decoder enforces")
     require(w >= 1 && h >= 1 && w.toLong * h == samples.length,
       s"${samples.length} samples for ${w}x$h")
     require(depth >= 1 && depth <= 25,

@@ -113,7 +113,13 @@ object NetCdf {
         s"variable '$name' is NC_CHAR text, not numeric grid data")
       val w = widthOf(v.ncType)
       val shape = shapeOf(v)
-      val total = shape.foldLeft(1L)(_ * _)
+      // overflow-proof product: a corrupt header can declare dims
+      // whose Long product WRAPS (even to 0), sliding past the gates
+      // below with a wrong-shaped "success" (r14 review);
+      // multiplyExact's overflow surfaces as a named CodecGate refusal
+      require(shape.forall(_ >= 0),
+        s"variable '$name': negative dimension in ${shape.mkString("x")}")
+      val total = shape.foldLeft(1L)((a, b) => Math.multiplyExact(a, b.toLong))
       require(total <= Int.MaxValue, s"variable '$name' too large: $total")
       // ALLOCATION gate: classic NetCDF stores data uncompressed, so
       // a variable can never hold more bytes than the file — refuse
