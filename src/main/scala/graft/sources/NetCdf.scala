@@ -299,7 +299,15 @@ object NetCdf {
       // vsize: redundant (recomputed from dims) and overflow-prone
       if (version == 5) r.i8() else r.i4()
       val begin = if (version >= 2) r.i8() else r.i4().toLong
-      require(begin >= 0 && begin <= fileLen,
+      // a RECORD variable's begin is where its per-record slice WOULD
+      // land; with zero records written (a freshly-created time-series
+      // file — valid, and exactly what encode() emits for numRecs = 0)
+      // the offsets of the 2nd+ record variables sit past EOF and no
+      // byte is ever read there, so the EOF gate applies only when
+      // records exist (r14 property battery: the writer emitted a
+      // file this gate then refused)
+      val isRec = dimIds.headOption.exists(id => dims(id).isRecord)
+      require(begin >= 0 && (begin <= fileLen || (isRec && numRecs == 0)),
         s"variable $nm: begin $begin outside file")
       Variable(nm, dimIds, atts, t, begin)
     }

@@ -103,6 +103,32 @@ class NetCdfSpec extends SparkSpec {
     }
   }
 
+  test("zero records: a freshly-created time-series file decodes and reads " +
+      "empty (2nd record var's begin legally sits past EOF)") {
+    // with numRecs = 0 the record section is empty, but each record
+    // variable's begin still points where its slice WOULD land — for
+    // the 2nd+ record variable that is past EOF. The decoder must not
+    // refuse the file its own writer emits for this valid shape
+    // (r14 property-battery finding: the begin<=fileLen gate did)
+    val enc = NetCdf.encode(
+      Seq(NetCdf.Dim("time", 0), NetCdf.Dim("x", 3)), Nil,
+      Seq(
+        NetCdf.VarSpec("x", Seq("x"), NetCdf.NcShort,
+          values = Array(1.0, 2.0, 3.0)),
+        NetCdf.VarSpec("a", Seq("time", "x"), NetCdf.NcFloat),
+        NetCdf.VarSpec("b", Seq("time", "x"), NetCdf.NcDouble)),
+      numRecs = 0)
+    val f = NetCdf.decode(enc)
+    assert(f.numRecs == 0)
+    assert(f.read("x").toSeq == Seq(1.0, 2.0, 3.0))
+    assert(f.read("a").isEmpty && f.read("b").isEmpty)
+    // a FIXED variable past EOF still refuses — the relaxation is
+    // record-vars-at-zero-records only
+    intercept[IllegalArgumentException] {
+      NetCdf.decodeHeader(enc, fileLen = 8)
+    }
+  }
+
   test("single record variable uses the unpadded record stride (spec special case)") {
     // one record var of 3 bytes/record: stride 3, NOT padded to 4 —
     // the classic-format exception; a reader assuming padding misreads
