@@ -219,6 +219,47 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("concatenated mixed-edition GRIB archives round-trip (random order)") {
+    // inter-message arithmetic — each message's declared length must
+    // advance the walk EXACTLY to the next GRIB magic across editions
+    // and packing families (odd-length GRIB1 BDS padding, §7 tails)
+    val rnd = new scala.util.Random(0xa9c)
+    for (c <- 0 until 25) {
+      val n = 2 + rnd.nextInt(5)
+      // each message is pinned against its OWN single-message decode
+      // (which the per-family tests above pin against the formula) —
+      // the archive walk must reproduce them at shifted offsets
+      val msgs = (0 until n).map { i =>
+        val (ni, nj) = (1 + rnd.nextInt(7), 1 + rnd.nextInt(5))
+        val nBits = 1 + rnd.nextInt(20)
+        val (binE, decD) = (rnd.nextInt(9) - 4, rnd.nextInt(3) - 1)
+        val (xs, bmp, _) = gribCase(rnd, nBits, rnd.nextBoolean(), ni, nj,
+          atLeastOne = true)
+        val ref2 = rnd.nextInt(1 << 10) / 8f
+        val ref1 = rnd.nextInt(1 << 10) / 4.0
+        rnd.nextInt(4) match {
+          case 0 => GribMeta.encodeSimple(ni, nj, 1, i, ref2, binE, decD,
+            nBits, xs, bmp)
+          case 1 => GribMeta.encodeComplex(ni, nj, 1, i, ref2, binE, decD,
+            xs, bmp, groupLen = 1 + rnd.nextInt(9))
+          case 2 => GribMeta.encodeG1Simple(ni, nj, i, ref1, binE, decD,
+            nBits, xs, bmp)
+          case _ => GribMeta.encodeG1SecondOrder(ni, nj, i, ref1, binE, decD,
+            xs, bmp, groupLen = 1 + rnd.nextInt(9))
+        }
+      }
+      val all = GribMeta.values(msgs.reduce(_ ++ _))
+      assert(all.length == n, s"case $c: ${all.length} of $n messages")
+      all.zip(msgs).zipWithIndex.foreach { case (((m, got), bytes), i) =>
+        val Seq((single, want)) = GribMeta.values(bytes)
+        assert(m.msgIndex == i && m.paramNumber == single.paramNumber &&
+          m.edition == single.edition,
+          s"case $c msg $i: walk misaligned")
+        assertSame(got, want, s"case $c msg $i (edition ${m.edition})")
+      }
+    }
+  }
+
   test("GeoTIFF strip + COG round-trip random rasters, both sample types") {
     val rnd = new scala.util.Random(0x71ff)
     for (c <- 0 until 40) {
@@ -291,21 +332,27 @@ class CodecPropertySpec extends AnyFunSuite {
       case UInt16 => (0, 65535)
       case _ => (-(1 << 20), 1 << 20)
     }
-    for (c <- 0 until 40) {
-      val dims = Seq.fill(1 + rnd.nextInt(2))(1 + rnd.nextInt(8))
-      val t = types(rnd.nextInt(types.length))
-      val comp = Seq("none", "rle", "deflate")(rnd.nextInt(3))
-      val (lo, hi) = range(t)
-      val values = Array.fill(dims.product)(
-        (lo + rnd.nextInt(hi - lo + 1)).toDouble)
-      val chunk = if (rnd.nextBoolean() && dims.forall(_ > 1))
-        Some(dims.map(d => 1 + rnd.nextInt(d))) else None
-      val spec = SdsSpec(s"sds$c", dims, t, values, comp = comp,
-        chunkDims = chunk)
-      val f = Hdf.decode(Hdf.encode(Seq(spec)))
-      assertSame(Hdf.read(f, spec.name), values,
-        s"case $c: dims=${dims.mkString("x")} type=$t comp=$comp " +
-          s"chunk=${chunk.map(_.mkString("x"))}")
+    for (c <- 0 until 30) {
+      // multi-SDS files: the DD block walk and per-element offsets
+      // must hold with several datasets interleaved in one file
+      val specs = (0 until 1 + rnd.nextInt(3)).map { s =>
+        val dims = Seq.fill(1 + rnd.nextInt(2))(1 + rnd.nextInt(8))
+        val t = types(rnd.nextInt(types.length))
+        val comp = Seq("none", "rle", "deflate")(rnd.nextInt(3))
+        val (lo, hi) = range(t)
+        val values = Array.fill(dims.product)(
+          (lo + rnd.nextInt(hi - lo + 1)).toDouble)
+        val chunk = if (rnd.nextBoolean() && dims.forall(_ > 1))
+          Some(dims.map(d => 1 + rnd.nextInt(d))) else None
+        SdsSpec(s"sds${c}_$s", dims, t, values, comp = comp,
+          chunkDims = chunk)
+      }
+      val f = Hdf.decode(Hdf.encode(specs))
+      for (spec <- specs)
+        assertSame(Hdf.read(f, spec.name), spec.values,
+          s"case $c ${spec.name}: dims=${spec.dims.mkString("x")} " +
+            s"type=${spec.ntype} comp=${spec.comp} " +
+            s"chunk=${spec.chunkDims.map(_.mkString("x"))}")
     }
   }
 
@@ -317,24 +364,30 @@ class CodecPropertySpec extends AnyFunSuite {
       Dtype(0, 4, littleEndian = true, signed = true),  // int32
       Dtype(1, 4, littleEndian = true, signed = true),  // float32
       Dtype(1, 8, littleEndian = true, signed = true))  // float64
-    for (c <- 0 until 40) {
-      val dims = Seq.fill(1 + rnd.nextInt(3))(1L + rnd.nextInt(6))
-      val dt = dtypes(rnd.nextInt(dtypes.length))
-      val values = Array.fill(dims.product.toInt)(
-        (rnd.nextInt(65536) - 32768).toDouble)
-      val chunk = if (rnd.nextBoolean())
-        Some(dims.map(d => 1 + rnd.nextInt(d.toInt))) else None
-      val filters = if (chunk.isEmpty) Nil
-        else Seq("shuffle", "deflate", "fletcher32").filter(_ =>
-          rnd.nextBoolean())
-      val spec = DsSpec(s"ds$c", dims, dt, values, chunk = chunk,
-        filters = filters)
-      val bytes = Hdf5.encode(Seq(spec))
+    for (c <- 0 until 30) {
+      // multi-dataset files: object-header placement, B-tree and heap
+      // offsets must hold with several datasets in one file
+      val specs = (0 until 1 + rnd.nextInt(3)).map { s =>
+        val dims = Seq.fill(1 + rnd.nextInt(3))(1L + rnd.nextInt(6))
+        val dt = dtypes(rnd.nextInt(dtypes.length))
+        val values = Array.fill(dims.product.toInt)(
+          (rnd.nextInt(65536) - 32768).toDouble)
+        val chunk = if (rnd.nextBoolean())
+          Some(dims.map(d => 1 + rnd.nextInt(d.toInt))) else None
+        val filters = if (chunk.isEmpty) Nil
+          else Seq("shuffle", "deflate", "fletcher32").filter(_ =>
+            rnd.nextBoolean())
+        DsSpec(s"ds${c}_$s", dims, dt, values, chunk = chunk,
+          filters = filters)
+      }
+      val bytes = Hdf5.encode(specs)
       val f = Hdf5.decode(bytes)
-      assertSame(Hdf5.read(bytes, f, s"/ds$c"), values,
-        s"case $c: dims=${dims.mkString("x")} dtype=${dt.name} " +
-          s"chunk=${chunk.map(_.mkString("x"))} " +
-          s"filters=${filters.mkString("+")}")
+      for (spec <- specs)
+        assertSame(Hdf5.read(bytes, f, s"/${spec.name}"), spec.values,
+          s"case $c ${spec.name}: dims=${spec.dims.mkString("x")} " +
+            s"dtype=${spec.dtype.name} " +
+            s"chunk=${spec.chunk.map(_.mkString("x"))} " +
+            s"filters=${spec.filters.mkString("+")}")
     }
   }
 }
