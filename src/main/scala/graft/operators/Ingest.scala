@@ -3358,11 +3358,13 @@ object Ingest {
     * reference's own per-date `{ns}_{date}.tif` layout): the same
     * deterministic lineitem grid is published as one float32 GeoTIFF
     * per date key through [[graft.sources.GeoTiff.publishTif]]
-    * (missing cells land as −9999 nodata) and read BACK through the
-    * [[graft.sources.TiffGridSource]] DSv2 scan, date keys recovered
-    * from the layout's file names. DuckDB recomputes the grid
-    * directly — a bit-slip in the TIFF encode, strip decode, nodata
-    * masking, or the per-file task fan-out breaks the hash. Values
+    * (missing cells land as −9999 nodata; date 2 GZIP-WRAPPED — the
+    * CHIRPS `.tif.gz` distribution shape, r14) and read BACK through
+    * the [[graft.sources.TiffGridSource]] DSv2 scan, date keys
+    * recovered from the layout's file names. DuckDB recomputes the
+    * grid directly — a bit-slip in the TIFF encode, strip decode,
+    * gzip unwrap, nodata masking, or the per-file task fan-out breaks
+    * the hash. Values
     * 2048 + q/4 are exact in float32 while 4·value < 2^24 (q below
     * ~16.7M — orders of magnitude above any tested scale), so no
     * rounding is needed on either side.
@@ -3390,15 +3392,28 @@ object Ingest {
       .agg((lit(2048.0) + sum(col("l_quantity")) / 4).as("v"))
       .persist()
     val outDir = graft.Fixtures.pathFor(dir, "i64_tif")
+    // the fixture dir is deterministic and persists across runs — wipe
+    // stale product files first so a layout change (e.g. a date moving
+    // from .tif to .tif.gz) never leaves BOTH twins for the scan to
+    // double-count (r14)
+    val ns = java.nio.file.Paths.get(outDir, "qty")
+    if (java.nio.file.Files.isDirectory(ns)) {
+      val s = java.nio.file.Files.list(ns)
+      try s.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
     Seq(0, 1).foreach { t =>
+      // date 2 publishes GZIP-WRAPPED (`.tif.gz`, the CHIRPS
+      // distribution shape the reference gunzips by hand) so the
+      // transparent unwrap sits INSIDE the DuckDB hash gate (r14)
       GeoTiff.publishTif(grid.filter(col("t") === t), "x", "y", "v",
-        nx, ny, outDir, "qty", f"1995-01-${t + 1}%02d")
+        nx, ny, outDir, "qty", f"1995-01-${t + 1}%02d", gzip = t == 1)
     }
     grid.unpersist()
     spark.read.format("graft.sources.TiffGridSource")
       .option("path", s"$outDir/qty").load()
       .select(
-        regexp_extract(col("path"), "_(\\d{4}-\\d{2}-\\d{2})\\.tif$", 1)
+        regexp_extract(col("path"), "_(\\d{4}-\\d{2}-\\d{2})\\.tif(?:\\.gz)?$", 1)
           .as("time_day"),
         col("x"), col("y"), col("value"))
       .orderBy(col("time_day"), col("y"), col("x"))

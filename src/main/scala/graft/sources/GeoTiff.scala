@@ -82,9 +82,20 @@ object GeoTiff {
     case _ => 1
   }
 
+  /** Transparent unwrap of gzip-wrapped TIFFs (`.tif.gz`, the CHIRPS
+    * distribution shape — the reference gunzips before GDAL;
+    * `chirps_rainfall/__init__.py:334`): magic-sniffed so plain files
+    * pay nothing, inflation hard-capped at 2^29 bytes (the 2^27-pixel
+    * raster cap at float32 is exactly 2^29 — anything bigger the
+    * decoder would refuse anyway). */
+  private def unwrap(bytes: Array[Byte]): Array[Byte] =
+    if (Gz.isGz(bytes)) Gz.gunzip(bytes, 1L << 29, "GeoTIFF") else bytes
+
   /** Number of IFDs chained in a classic TIFF (1 for the plain writer,
-    * 1 + overview count for [[encodeCog]] output). */
-  def ifdCount(bytes: Array[Byte]): Int = CodecGate.gated("GeoTIFF") {
+    * 1 + overview count for [[encodeCog]] output). Accepts
+    * gzip-wrapped input like [[decode]]. */
+  def ifdCount(rawBytes: Array[Byte]): Int = CodecGate.gated("GeoTIFF") {
+    val bytes = unwrap(rawBytes)
     val head = ByteBuffer.wrap(bytes)
     head.order(if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     var off = head.getInt(4).toLong & 0xffffffffL
@@ -101,9 +112,10 @@ object GeoTiff {
 
   /** Decode a single-band GeoTIFF byte array into a [[Raster]].
     * `ifdIndex` selects along the next-IFD chain — 0 is the full-res
-    * image, 1.. are [[encodeCog]] overview levels. */
+    * image, 1.. are [[encodeCog]] overview levels. Gzip-wrapped input
+    * (`.tif.gz`) unwraps transparently. */
   def decode(bytes: Array[Byte], ifdIndex: Int = 0): Raster =
-    CodecGate.gated("GeoTIFF")(decodeIfd(bytes, ifdIndex))
+    CodecGate.gated("GeoTIFF")(decodeIfd(unwrap(bytes), ifdIndex))
 
   private def decodeIfd(bytes: Array[Byte], ifdIndex: Int): Raster = {
     val head = ByteBuffer.wrap(bytes)
@@ -601,6 +613,9 @@ object GeoTiff {
       dateKey: String, scaleX: Double = 1.0, scaleY: Double = 1.0,
       tieX: Double = 0.0, tieY: Double = 0.0,
       nodata: Double = -9999.0, cog: Boolean = false,
+      // `.tif.gz` publish (the CHIRPS distribution shape) — the DSv2
+      // scan and decode() read it back transparently
+      gzip: Boolean = false,
       maxDriverCells: Long = DriverPublishMaxCells): java.nio.file.Path = {
     require(width.toLong * height <= maxDriverCells,
       s"grid ${width}x$height exceeds the driver-collect publish budget " +
@@ -622,7 +637,8 @@ object GeoTiff {
       Some(nodata), values)
     val bytes = if (cog) encodeCog(r) else encode(r)
     writeAtomic(java.nio.file.Paths.get(outDir, namespace),
-      s"${namespace}_$dateKey.tif", bytes)
+      s"${namespace}_$dateKey.tif${if (gzip) ".gz" else ""}",
+      if (gzip) Gz.gzip(bytes) else bytes)
   }
 
   /** Driver-collect ceiling for [[publishTif]] (cells). A 4096×4096

@@ -1,0 +1,66 @@
+package graft.sources
+
+/** Bounded gzip plumbing for gzip-wrapped archive files — the CHIRPS
+  * distribution shape (the reference's
+  * `ingest/chirps_rainfall/__init__.py:334` downloads `*.tif.gz` and
+  * gunzips before decoding; the engine unwraps at the codec boundary
+  * instead so `.tif.gz` archives read as first-class tables).
+  * Byte-level and allocation-gated: [[gunzip]] inflates with a hard
+  * output cap so a corrupt or adversarial stream never requests
+  * unbounded memory, and renames the JDK's ZipException/EOFException
+  * (IOException subclasses [[CodecGate]] deliberately passes through
+  * for live-filesystem paths) to named refusals — with a byte-array
+  * source, corrupt input is the only plausible cause. */
+object Gz {
+
+  /** RFC 1952 magic sniff — the dispatch the codec entries use, so a
+    * plain file never pays an inflation attempt. */
+  def isGz(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte
+
+  /** Inflate a gzip member chain to at most `cap` bytes, counting as
+    * it streams — the refusal fires BEFORE the over-cap chunk is
+    * buffered, so a gzip bomb costs at most `cap` memory. Refusals
+    * name `what`. */
+  def gunzip(bytes: Array[Byte], cap: Long, what: String): Array[Byte] = {
+    require(isGz(bytes), s"$what: not a gzip stream")
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(bytes.length.toLong * 4, 1024), 1L << 20).toInt)
+    def rename(e: java.io.IOException): Nothing =
+      throw new IllegalArgumentException(
+        s"$what: corrupt or truncated gzip stream — ${e.getMessage}", e)
+    val in =
+      try new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case e: java.io.IOException => rename(e) }
+    // finally-close even on the refusal path — GZIPInputStream holds a
+    // native Inflater buffer that otherwise waits for GC
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var total = 0L
+      var n = in.read(buf)
+      while (n > 0) {
+        total += n
+        require(total <= cap,
+          s"$what: gzip payload exceeds the $cap-byte inflation cap")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } catch {
+      case e: java.io.IOException => rename(e)
+    } finally in.close()
+    out.toByteArray
+  }
+
+  /** Deterministic gzip (the JDK writes MTIME/XFL/OS as zeros, so the
+    * same input always produces the same bytes — the publish twins'
+    * hash gates rely on it). */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes)
+    gz.finish()
+    gz.close()
+    bos.toByteArray
+  }
+}

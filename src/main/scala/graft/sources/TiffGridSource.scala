@@ -53,9 +53,11 @@ object TiffGridSource {
     StructField("value", DoubleType, nullable = true)))
 
   /** Expand a path/glob to concrete file paths (Hadoop FS semantics;
-    * a bare directory lists its *.tif leaves). */
+    * a bare directory lists its *.tif AND *.tif.gz leaves — the
+    * CHIRPS distribution ships gzip-wrapped TIFFs, which
+    * [[GeoTiff.decode]] unwraps transparently task-side). */
   def listFiles(pathOrGlob: String): Seq[String] =
-    GridFiles.list(pathOrGlob, "tif")
+    GridFiles.list(pathOrGlob, "tif", "tif.gz")
 }
 
 final class TiffGridTable(path: String, keepNodata: Boolean)

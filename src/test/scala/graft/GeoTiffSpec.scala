@@ -266,6 +266,48 @@ class GeoTiffSpec extends SparkSpec {
     assert(fnRows == rows.map(t => (t._2, t._3, t._4)))
   }
 
+  test("gzip-wrapped TIFFs (.tif.gz, the CHIRPS distribution shape): " +
+      "transparent decode, DSv2 scan, named refusals") {
+    import graft.sources.Gz
+    val r = Raster(5, 4, 1, 1, 10, 20, Some(-9999.0),
+      grid(5, 4)((x, y) => if (x == y) -9999.0 else x * 3 + y * 0.5))
+    val plain = GeoTiff.encode(r)
+    val gz = Gz.gzip(plain)
+    // transparent unwrap on BOTH codec entries
+    val back = GeoTiff.decode(gz)
+    assert(back.width == 5 && back.height == 4 &&
+      back.values.sameElements(r.values))
+    assert(GeoTiff.ifdCount(
+      Gz.gzip(GeoTiff.encodeCog(r, tileSize = 16, minOverviewDim = 2))) >= 2)
+    // deterministic bytes — the i64 hash gate republishes every run
+    assert(Gz.gzip(plain).sameElements(gz))
+    // DSv2: a directory MIXING plain and gz files lists and reads both
+    val dir = java.nio.file.Files.createTempDirectory("graft_tifgz").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.tif"), plain)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.tif.gz"), gz)
+    val df = spark.read.format("graft.sources.TiffGridSource")
+      .option("path", dir).load()
+    assert(df.rdd.getNumPartitions == 2)
+    val perFile = df.groupBy("path").count().collect()
+      .map(rw => (rw.getString(0).split('/').last, rw.getLong(1))).toMap
+    assert(perFile == Map("a.tif" -> 16L, "b.tif.gz" -> 16L), perFile)
+    // refusals by name: truncated stream, inflation cap, non-gzip
+    val eTrunc = intercept[IllegalArgumentException] {
+      GeoTiff.decode(java.util.Arrays.copyOf(gz, gz.length - 5))
+    }
+    assert(eTrunc.getMessage.contains("gzip"), eTrunc.getMessage)
+    val eCap = intercept[IllegalArgumentException] {
+      Gz.gunzip(gz, cap = 8, "x")
+    }
+    assert(eCap.getMessage.contains("inflation cap"), eCap.getMessage)
+    assert(intercept[IllegalArgumentException] {
+      Gz.gunzip(plain, 1L << 20, "x")
+    }.getMessage.contains("not a gzip stream"))
+    // every truncation/bit-flip of the wrapped fixture decodes or
+    // refuses by name — never a raw ZipException out of the JDK
+    CodecFuzz.sweep("tif-gz", gz, GeoTiff.decode(_))
+  }
+
   test("encodeCog: tiled pyramid round-trips; overview IFDs carry i27-coarsened means") {
     // 100×75 with nodata holes, 32px tiles, overviews to ≤30px:
     // levels 100×75 → 50×38 → 25×19, so 3 chained IFDs
