@@ -291,14 +291,21 @@ class CodecPropertySpec extends AnyFunSuite {
   test("NetCDF fixed + record variables round-trip across types/versions") {
     import NetCdf._
     val rnd = new scala.util.Random(0xecd)
-    val types = Seq(NcByte, NcShort, NcInt, NcFloat, NcDouble)
-    def range(t: Int): Int = t match {
-      case NcByte => 127
-      case NcShort => 32767
-      case _ => 1 << 20
+    val classicTypes = Seq(NcByte, NcShort, NcInt, NcFloat, NcDouble)
+    // CDF-5 adds the unsigned + 64-bit codes
+    val wideTypes = classicTypes ++
+      Seq(NcUByte, NcUShort, NcUInt, NcInt64, NcUInt64)
+    def range(t: Int): (Int, Int) = t match {
+      case NcByte => (-127, 127)
+      case NcShort => (-32767, 32767)
+      case NcUByte => (0, 255)
+      case NcUShort => (0, 65535)
+      case NcUInt | NcUInt64 => (0, 1 << 20)
+      case _ => (-(1 << 20), 1 << 20)
     }
     for (c <- 0 until 40) {
       val version = Seq(1, 2, 5)(rnd.nextInt(3))
+      val types = if (version == 5) wideTypes else classicTypes
       val fixedDims = Seq.fill(1 + rnd.nextInt(2))(1 + rnd.nextInt(5))
       val dims = Dim("rec", 0) +:
         fixedDims.zipWithIndex.map { case (len, i) => Dim(s"d$i", len) }
@@ -308,10 +315,10 @@ class CodecPropertySpec extends AnyFunSuite {
         val t = types(rnd.nextInt(types.length))
         val isRec = rnd.nextBoolean()
         val n = if (isRec) perRec * numRecs else perRec
+        val (lo, hi) = range(t)
         VarSpec(s"v$v",
           (if (isRec) Seq("rec") else Nil) ++ fixedDims.indices.map(i => s"d$i"),
-          t, values = Array.fill(n)(
-            (rnd.nextInt(2 * range(t) + 1) - range(t)).toDouble))
+          t, values = Array.fill(n)((lo + rnd.nextInt(hi - lo + 1)).toDouble))
       }
       val f = NetCdf.decode(NetCdf.encode(dims, Nil, vars, numRecs, version))
       for (v <- vars)
@@ -377,17 +384,24 @@ class CodecPropertySpec extends AnyFunSuite {
         val filters = if (chunk.isEmpty) Nil
           else Seq("shuffle", "deflate", "fletcher32").filter(_ =>
             rnd.nextBoolean())
-        DsSpec(s"ds${c}_$s", dims, dt, values, chunk = chunk,
-          filters = filters)
+        val fill = if (rnd.nextBoolean()) Some(-999.0) else None
+        val attrs = if (rnd.nextBoolean())
+          Seq("scale_factor" -> 0.5, "add_offset" -> 2.0) else Nil
+        DsSpec(s"ds${c}_$s", dims, dt, values, fill = fill,
+          attrs = attrs, chunk = chunk, filters = filters)
       }
       val bytes = Hdf5.encode(specs)
       val f = Hdf5.decode(bytes)
-      for (spec <- specs)
-        assertSame(Hdf5.read(bytes, f, s"/${spec.name}"), spec.values,
-          s"case $c ${spec.name}: dims=${spec.dims.mkString("x")} " +
-            s"dtype=${spec.dtype.name} " +
-            s"chunk=${spec.chunk.map(_.mkString("x"))} " +
-            s"filters=${spec.filters.mkString("+")}")
+      for (spec <- specs) {
+        val what = s"case $c ${spec.name}: dims=${spec.dims.mkString("x")} " +
+          s"dtype=${spec.dtype.name} " +
+          s"chunk=${spec.chunk.map(_.mkString("x"))} " +
+          s"filters=${spec.filters.mkString("+")}"
+        assertSame(Hdf5.read(bytes, f, s"/${spec.name}"), spec.values, what)
+        val ds = f.datasetAt(s"/${spec.name}")
+        for ((k, v) <- spec.attrs)
+          assert(ds.numAttr(k).contains(v), s"$what attr $k")
+      }
     }
   }
 }
