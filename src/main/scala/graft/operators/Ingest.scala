@@ -3137,7 +3137,10 @@ object Ingest {
     * codec bit-slip (layout, record stride, CF unpack, time base)
     * breaks the hash. The reference's `.nc`→slice→product path
     * (`cams_forecast/__init__.py:63`, `tamsat_rainfall/__init__.py:184`)
-    * as ONE oracled operator.
+    * as ONE oracled operator. r14: one file per step, step 1
+    * GZIP-WRAPPED (`.nc.gz`) — the transparent task-side unwrap and
+    * the bounded ISIZE-trailer planning path both sit inside the
+    * hash gate; t recovered from the decoded time axis.
     *
     * Scale shape: the grid is FIXED-size (2×8×12 — model-state-sized,
     * like s04's codebook), so the driver-side encode is bounded by the
@@ -3170,27 +3173,42 @@ object Ingest {
     cells.foreach(r =>
       values(r.getInt(0) * ny * nx + r.getInt(1) * nx + r.getInt(2)) =
         r.getDouble(3))
-    val nc = NetCdf.encode(
+    // one file per time step — step 1 lands GZIP-WRAPPED (`.nc.gz`,
+    // the common archive distribution shape) so the transparent
+    // unwrap AND the bounded gz planning path sit INSIDE the DuckDB
+    // hash gate (r14); t is recovered from the time AXIS (each file's
+    // in-file step index is 0)
+    def ncFor(t: Int): Array[Byte] = NetCdf.encode(
       Seq(Dim("time", 0), Dim("lat", ny), Dim("lon", nx)), Nil,
       Seq(
         VarSpec("time", Seq("time"), NetCdf.NcDouble,
           atts = Seq(Att("units", Some("days since 1995-01-01"), Array.empty)),
-          values = Array.tabulate(nt)(_.toDouble)),
+          values = Array(t.toDouble)),
         VarSpec("lat", Seq("lat"), NetCdf.NcDouble,
           values = Array.tabulate(ny)(10.0 - _ * 0.5)),
         VarSpec("lon", Seq("lon"), NetCdf.NcDouble,
           values = Array.tabulate(nx)(-10.0 + _ * 0.5)),
         VarSpec("qty", Seq("time", "lat", "lon"), NetCdf.NcDouble,
           atts = Seq(Att("_FillValue", None, Array(-9999.0))),
-          values = values)),
-      numRecs = nt)
+          values = java.util.Arrays.copyOfRange(
+            values, t * ny * nx, (t + 1) * ny * nx))),
+      numRecs = 1)
     val ncDir = java.nio.file.Paths.get(
       graft.Fixtures.pathFor(dir, "i62_nc"))
     java.nio.file.Files.createDirectories(ncDir)
-    java.nio.file.Files.write(ncDir.resolve("grid.nc"), nc)
+    // wipe stale layouts first (the fixture dir persists across runs —
+    // the old single-file grid.nc held BOTH steps and would double rows)
+    val stale = java.nio.file.Files.list(ncDir)
+    try stale.forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally stale.close()
+    java.nio.file.Files.write(ncDir.resolve("grid0.nc"), ncFor(0))
+    java.nio.file.Files.write(ncDir.resolve("grid1.nc.gz"),
+      graft.sources.Gz.gzip(ncFor(1)))
     spark.read.format("graft.sources.NcGridSource")
       .option("path", ncDir.toString).option("var", "qty").load()
-      .select(col("t"),
+      .select(
+        datediff(col("time"), lit("1995-01-01").cast("date"))
+          .cast("int").as("t"),
         date_format(col("time"), "yyyy-MM-dd").as("time_day"),
         col("x"), col("y"), col("lon"), col("lat"),
         round(col("value"), 2).as("value"))

@@ -30,6 +30,19 @@ object GridFiles {
     try in.readAllBytes() finally in.close()
   }
 
+  /** Last `n` bytes of the file (fewer when the file is shorter) —
+    * the gzip ISIZE trailer read the gz-wrapped planning path uses. */
+  def readTail(file: String, n: Int): Array[Byte] = {
+    val hp = new org.apache.hadoop.fs.Path(file)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val len = fs.getFileStatus(hp).getLen
+    val take = math.min(len, n.toLong).toInt
+    val buf = new Array[Byte](take)
+    val in = fs.open(hp)
+    try in.readFully(len - take, buf) finally in.close()
+    buf
+  }
+
   /** First `maxLen` bytes plus the file's true length — the bounded
     * header read a planner uses instead of buffering whole cubes. */
   def readPrefix(file: String, maxLen: Int): (Array[Byte], Long) = {

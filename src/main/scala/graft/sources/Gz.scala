@@ -52,6 +52,45 @@ object Gz {
     out.toByteArray
   }
 
+  /** Inflate at most `maxOut` bytes from a bounded INPUT PREFIX of a
+    * gzip stream — the planner-side rung of the bounded-header-read
+    * discipline (a DSv2 planner must never buffer whole cubes, even
+    * wrapped ones). TOLERANT by design: the input being truncated
+    * mid-stream is the expected case for a prefix, so an IO error
+    * after some output simply returns what inflated — the STRICT
+    * decode (and its named refusals) happens task-side via
+    * [[gunzip]]. */
+  def gunzipPrefix(inputPrefix: Array[Byte], maxOut: Int): Array[Byte] = {
+    require(isGz(inputPrefix), "not a gzip stream")
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(maxOut, 1 << 20))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(inputPrefix))
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf, 0, math.min(buf.length, maxOut))
+        while (n > 0 && out.size() < maxOut) {
+          out.write(buf, 0, math.min(n, maxOut - out.size()))
+          n = in.read(buf, 0, math.min(buf.length, maxOut - out.size()))
+        }
+      } finally in.close()
+    } catch {
+      case _: java.io.IOException => () // truncated input — expected
+    }
+    out.toByteArray
+  }
+
+  /** Uncompressed length from the gzip ISIZE trailer (`tail` is the
+    * stream's LAST FOUR bytes, little-endian u32) — exact for
+    * single-member streams under 4 GiB; callers validate consistency
+    * and fall back to a whole-file decode otherwise. */
+  def isize(tail: Array[Byte]): Long = {
+    require(tail.length == 4, s"ISIZE needs the last 4 bytes, got ${tail.length}")
+    (tail(0) & 0xffL) | ((tail(1) & 0xffL) << 8) |
+      ((tail(2) & 0xffL) << 16) | ((tail(3) & 0xffL) << 24)
+  }
+
   /** Deterministic gzip (the JDK writes MTIME/XFL/OS as zeros, so the
     * same input always produces the same bytes — the publish twins'
     * hash gates rely on it). */

@@ -68,9 +68,11 @@ object NcGridSource {
     StructField("value", DoubleType, nullable = true)))
 
   /** Expand a path/glob to concrete file paths (a bare directory lists
-    * its *.nc leaves). */
+    * its *.nc AND *.nc.gz leaves — the gz-wrapped archive shape;
+    * [[NetCdf.decode]] unwraps task-side, [[planningHeader]] plans
+    * from a bounded inflated prefix). */
   def listFiles(pathOrGlob: String): Seq[String] =
-    GridFiles.list(pathOrGlob, "nc")
+    GridFiles.list(pathOrGlob, "nc", "nc.gz")
 
   /** Planner prefix size: classic headers are dims+attrs+var metadata —
     * KBs in practice; 1 MB covers even thousand-variable files. */
@@ -89,12 +91,29 @@ object NcGridSource {
 
   /** Header for planning: bounded prefix read first (the driver must
     * never buffer whole cubes — r9 review), whole-file fallback only
-    * when the header genuinely outruns the prefix. */
+    * when the header genuinely outruns the prefix. Gz-wrapped files
+    * keep the bound: a bounded OUTPUT prefix inflates from the bounded
+    * INPUT prefix, and the true uncompressed length comes from the
+    * gzip ISIZE trailer (exact for single-member streams < 4 GiB;
+    * anything inconsistent — multi-member, wrapped ISIZE — falls back
+    * to the whole-file decode, which unwraps strictly). */
   private[graft] def planningHeader(file: String): NetCdf.NcFile = {
     val (prefix, len) = GridFiles.readPrefix(file, HeaderPrefixBytes)
-    try NetCdf.decodeHeader(prefix, len)
-    catch { case _: Exception if len > prefix.length =>
-      NetCdf.decode(GridFiles.readBytes(file))
+    if (Gz.isGz(prefix)) {
+      val inflated = Gz.gunzipPrefix(prefix, HeaderPrefixBytes)
+      try {
+        val isz = Gz.isize(GridFiles.readTail(file, 4))
+        require(isz >= inflated.length,
+          s"gzip ISIZE $isz inconsistent with the inflated prefix")
+        NetCdf.decodeHeader(inflated, isz)
+      } catch { case _: Exception =>
+        NetCdf.decode(GridFiles.readBytes(file))
+      }
+    } else {
+      try NetCdf.decodeHeader(prefix, len)
+      catch { case _: Exception if len > prefix.length =>
+        NetCdf.decode(GridFiles.readBytes(file))
+      }
     }
   }
 }

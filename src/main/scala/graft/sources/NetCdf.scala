@@ -195,9 +195,16 @@ object NetCdf {
     }
   }
 
-  /** Parse the header; payload access stays lazy via [[NcFile.read]]. */
-  def decode(bytes: Array[Byte]): NcFile =
-    CodecGate.gated("NetCDF")(decodeImpl(bytes, bytes.length))
+  /** Parse the header; payload access stays lazy via [[NcFile.read]].
+    * Gzip-wrapped input (`.nc.gz`, a common archive distribution
+    * shape) unwraps transparently — magic-sniffed, inflation capped at
+    * what one in-memory byte array can hold (the classic-format reads
+    * below already require that). */
+  def decode(bytes: Array[Byte]): NcFile = CodecGate.gated("NetCDF") {
+    val b = if (Gz.isGz(bytes)) Gz.gunzip(bytes, Int.MaxValue - 16L, "NetCDF")
+      else bytes
+    decodeImpl(b, b.length)
+  }
 
   /** Header-only parse from a bounded PREFIX of the file: variable
     * `begin` offsets validate against the real `fileLen` instead of
@@ -205,7 +212,9 @@ object NetCdf {
     * pulling whole cubes through the driver ([[NcGridSource]]'s split
     * sizing). Throws if the header itself outruns the prefix; data
     * reads on the returned file will bound-check against the prefix
-    * and fail loudly, by design. */
+    * and fail loudly, by design. The prefix must be UNCOMPRESSED
+    * bytes — the gz-wrapped planning path inflates its own bounded
+    * prefix first ([[NcGridSource]].planningHeader). */
   def decodeHeader(prefix: Array[Byte], fileLen: Long): NcFile =
     CodecGate.gated("NetCDF")(decodeImpl(prefix, fileLen))
 
@@ -587,6 +596,15 @@ object NetCdf {
     val yAxis = findAxis(LatNames, dimNames.size - 2)
     require(xAxis != yAxis, s"$varName: could not resolve distinct x/y axes")
     val tAxis = lower.indexWhere(TimeNames.contains)
+    // a 2-D (time, x) SERIES is not a georeferenced grid: the y-axis
+    // FALLBACK (dims.size - 2) would land on the time dimension and
+    // double-count its stride — off the end of the variable at best,
+    // silently inside the NEXT record variable's slab at worst (r14
+    // review, found by the .nc.gz spec). Refuse by name instead.
+    require(yAxis != tAxis && xAxis != tAxis,
+      s"$varName: could not resolve x/y axes distinct from the time " +
+        s"axis (dims ${dimNames.mkString("(", ", ", ")")}) — a " +
+        "(time, series) variable is not a 2-D grid; reshape upstream")
     val extra = dimNames.indices
       .filterNot(i => i == xAxis || i == yAxis || i == tAxis)
     extra.foreach(i => require(shape(i) == 1,

@@ -129,6 +129,81 @@ class NetCdfSpec extends SparkSpec {
     }
   }
 
+  test("gzip-wrapped NetCDF (.nc.gz): transparent decode, bounded gz " +
+      "planning via the ISIZE trailer, DSv2 scan, named refusals") {
+    import graft.sources.{Gz, NcGridSource}
+    val plain = NetCdf.encode(
+      Seq(NetCdf.Dim("time", 0), NetCdf.Dim("lat", 2), NetCdf.Dim("lon", 3)),
+      Nil,
+      Seq(
+        NetCdf.VarSpec("time", Seq("time"), NetCdf.NcDouble,
+          atts = Seq(NetCdf.Att("units",
+            Some("days since 1995-01-01"), Array.empty)),
+          values = Array(0.0)),
+        NetCdf.VarSpec("lat", Seq("lat"), NetCdf.NcDouble,
+          values = Array(10.0, 9.5)),
+        NetCdf.VarSpec("lon", Seq("lon"), NetCdf.NcDouble,
+          values = Array(-1.0, -0.5, 0.0)),
+        NetCdf.VarSpec("qty", Seq("time", "lat", "lon"), NetCdf.NcDouble,
+          values = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))),
+      numRecs = 1)
+    val gz = Gz.gzip(plain)
+    // transparent unwrap on decode
+    assert(NetCdf.decode(gz).read("qty").toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    // ISIZE trailer recovers the true uncompressed length
+    assert(Gz.isize(gz.takeRight(4)) == plain.length.toLong)
+    // bounded planning: planningHeader on a gz FILE uses the inflated
+    // prefix + ISIZE (for this small file the prefix holds everything)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ncgz")
+    java.nio.file.Files.write(dir.resolve("a.nc"), plain)
+    java.nio.file.Files.write(dir.resolve("b.nc.gz"), gz)
+    val hdr = NcGridSource.planningHeader(dir.resolve("b.nc.gz").toString)
+    assert(hdr.numRecs == 1 && hdr.vars.map(_.name).contains("qty"))
+    assert(NcGridSource.timeSteps(hdr, "qty") == 1)
+    // DSv2: a dir mixing plain and gz lists both; per-file rows match
+    val df = spark.read.format("graft.sources.NcGridSource")
+      .option("path", dir.toString).option("var", "qty").load()
+    val perFile = df.groupBy("path").count().collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1))).toMap
+    assert(perFile == Map("a.nc" -> 6L, "b.nc.gz" -> 6L), perFile)
+    // truncated gz refuses by name on the strict decode
+    val e = intercept[IllegalArgumentException] {
+      NetCdf.decode(java.util.Arrays.copyOf(gz, gz.length - 4))
+    }
+    assert(e.getMessage.contains("gzip"), e.getMessage)
+    // gunzipPrefix is TOLERANT of input truncation (planning semantics):
+    // half the stream still inflates a usable header prefix
+    val part = Gz.gunzipPrefix(
+      java.util.Arrays.copyOf(gz, gz.length / 2), 1 << 20)
+    assert(part.length >= 8 &&
+      part(0) == 'C'.toByte && part(1) == 'D'.toByte && part(2) == 'F'.toByte)
+    // every truncation/bit-flip of the wrapped fixture decodes or
+    // refuses by name through the strict entry
+    CodecFuzz.sweep("nc-gz", gz, NetCdf.decode(_))
+  }
+
+  test("a 2-D (time, series) variable refuses the grid path by name — " +
+      "the y-axis fallback must never alias the time axis") {
+    // with qty(time, x) the y fallback (dims.size - 2) lands ON the
+    // time dim; before the r14 guard the stride double-count read off
+    // the end of the variable — or silently INSIDE the next record
+    // variable's slab. Both record vars here make the silent shape
+    // reachable; the refusal must name the axis problem instead.
+    val enc = NetCdf.encode(
+      Seq(NetCdf.Dim("time", 0), NetCdf.Dim("x", 3)), Nil,
+      Seq(
+        NetCdf.VarSpec("qty", Seq("time", "x"), NetCdf.NcDouble,
+          values = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)),
+        NetCdf.VarSpec("other", Seq("time", "x"), NetCdf.NcDouble,
+          values = Array(7.0, 8.0, 9.0, 10.0, 11.0, 12.0))),
+      numRecs = 2)
+    val e = intercept[IllegalArgumentException] {
+      NetCdf.gridCells(NetCdf.decode(enc), "qty").toSeq
+    }
+    assert(e.getMessage.contains("time"), e.getMessage)
+  }
+
   test("single record variable uses the unpadded record stride (spec special case)") {
     // one record var of 3 bytes/record: stride 3, NOT padded to 4 —
     // the classic-format exception; a reader assuming padding misreads
