@@ -3244,8 +3244,10 @@ object Ingest {
     * message through [[graft.sources.GribMeta.encodeG1Spectral]]
     * (r14: the pre-GRIB2 spectral archive shape — type-50 triangular
     * GDS, the (0,0) real part as an exact IBM-32 float in BDS octets
-    * 12-15) — landed as one concatenated MIXED-EDITION archive,
-    * decoded back task-side by
+    * 12-15) — slices 0-6 landed as one concatenated MIXED-EDITION
+    * archive and slice 7 GZIP-WRAPPED (`.grib.gz`, the historical
+    * NCEP/CPC distribution shape — r14; t rides param_number since
+    * msg_index is per-file), decoded back task-side by
     * [[graft.sources.GribMeta.readValues]], and hash-checked against
     * DuckDB recomputing the grid directly — bit-slips anywhere in the
     * section walk, bitmap masking, (R + X·2^E) unpacking,
@@ -3364,10 +3366,24 @@ object Ingest {
     val gribDir = java.nio.file.Paths.get(
       graft.Fixtures.pathFor(dir, "i63_grib"))
     java.nio.file.Files.createDirectories(gribDir)
+    // wipe stale layouts (the fixture dir persists across runs — an
+    // old single-archive slices.grib2 held all 8 slices and would
+    // double rows against the new two-file layout)
+    val staleG = java.nio.file.Files.list(gribDir)
+    try staleG.forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally staleG.close()
+    // slices 0-6 land as one concatenated mixed-edition archive;
+    // slice 7 lands GZIP-WRAPPED (`.grib.gz`, the historical NCEP/CPC
+    // distribution shape) so the transparent unwrap sits INSIDE the
+    // hash gate (r14). t rides param_number (set = slice index by
+    // every encoder above) — msg_index is per-FILE and would collide
+    // across the two archives.
     java.nio.file.Files.write(gribDir.resolve("slices.grib2"),
-      msgs.reduce(_ ++ _))
-    GribMeta.readValues(spark, gribDir.resolve("slices.grib2").toString)
-      .select(col("msg_index").as("t"), col("x"), col("y"), col("value"))
+      msgs.take(7).reduce(_ ++ _))
+    java.nio.file.Files.write(gribDir.resolve("slice7.grib.gz"),
+      graft.sources.Gz.gzip(msgs(7)))
+    GribMeta.readValues(spark, gribDir.toString)
+      .select(col("param_number").as("t"), col("x"), col("y"), col("value"))
       .orderBy(col("t"), col("y"), col("x"))
   }
 

@@ -61,8 +61,12 @@ object GribGridSource {
     StructField("y", IntegerType, nullable = false),
     StructField("value", DoubleType, nullable = true)))
 
+  /** A bare directory lists plain AND gz-wrapped archives — the
+    * historical NCEP/CPC `.grb.gz` distribution shape; gz files plan
+    * one whole-file split each (gzip is not seekable). */
   def listFiles(pathOrGlob: String): Seq[String] =
-    GridFiles.list(pathOrGlob, "grib2", "grib", "grb")
+    GridFiles.list(pathOrGlob, "grib2", "grib", "grb",
+      "grib2.gz", "grib.gz", "grb.gz")
 
   /** Message (offset, length) pairs of a GRIB archive by hopping the
     * fixed-size indicators with positioned reads — O(messages) driver
@@ -170,9 +174,17 @@ final class GribScan(path: String, required: StructType, keepMissing: Boolean)
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     GribGridSource.listFiles(path).flatMap { f =>
-      GribGridSource.messageRanges(f).zipWithIndex.map { case ((off, len), i) =>
-        GribPartition(f, i, off, len): InputPartition
-      }
+      if (f.endsWith(".gz"))
+        // gzip is not seekable, so the per-message fan-out is
+        // structurally unavailable: ONE whole-file split whose task
+        // inflates and walks every message (offset/length sentinels).
+        // Large wrapped archives should be gunzipped on landing to
+        // regain per-message parallelism — documented scale boundary.
+        Seq(GribPartition(f, 0, -1L, -1L): InputPartition)
+      else
+        GribGridSource.messageRanges(f).zipWithIndex.map { case ((off, len), i) =>
+          GribPartition(f, i, off, len): InputPartition
+        }
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GribReaderFactory(required.fieldNames, keepMissing)
@@ -203,41 +215,66 @@ final class GribReaderFactory(fields: Array[String], keepMissing: Boolean)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GribPartition]
     new PartitionReader[InternalRow] {
-      // only THIS message's byte range is read — a 100-message archive
-      // never funnels whole-file bytes through every task
-      private val (msg, vals) = GribMeta.values(
-        GribGridSource.readRange(p.file, p.offset, p.length)).head
-      private val ni = if (msg.ni > 0) msg.ni else vals.length
+      // only THIS message's byte range is read for plain archives — a
+      // 100-message archive never funnels whole-file bytes through
+      // every task. A GZ-WRAPPED archive (offset sentinel < 0)
+      // inflates whole and walks ALL its messages in this one task
+      // (gzip is not seekable — the planner's documented boundary).
+      private val msgs: Seq[(GribMeta.Message, Array[Double])] =
+        if (p.offset >= 0)
+          GribMeta.values(GribGridSource.readRange(p.file, p.offset, p.length))
+        else GribMeta.values(GridFiles.readBytes(p.file))
       private val pathUtf = UTF8String.fromString(p.file)
-      private val refUtf = UTF8String.fromString(msg.refTime)
+      // per-message fields hoisted out of the per-point loop (the r8
+      // review discipline), reloaded as the message cursor advances
+      private var mi = 0
       private var i = -1
+      private var msg: GribMeta.Message = _
+      private var vals: Array[Double] = Array.emptyDoubleArray
+      private var ni = 1
+      private var refUtf: UTF8String = _
+      private var msgIdx = 0
+      private def loadMsg(): Unit = {
+        msg = msgs(mi)._1
+        vals = msgs(mi)._2
+        ni = if (msg.ni > 0) msg.ni else math.max(vals.length, 1)
+        refUtf = UTF8String.fromString(msg.refTime)
+        // plain splits carry the archive-walk index from the planner;
+        // a gz whole-file split reads it off each decoded message
+        msgIdx = if (p.offset >= 0) p.msgIndex else msg.msgIndex
+      }
+      if (msgs.nonEmpty) loadMsg()
       private var current: InternalRow = _
 
       override def next(): Boolean = {
-        while (true) {
+        while (mi < msgs.length) {
           i += 1
-          if (i >= vals.length) return false
-          val v = vals(i)
-          val missing = v.isNaN
-          if (!missing || keepMissing) {
-            val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(codes.length)
-            var c = 0
-            while (c < codes.length) {
-              codes(c) match {
-                case FPath => row.update(c, pathUtf)
-                case FMsg => row.setInt(c, p.msgIndex)
-                case FCat => row.setInt(c, msg.paramCategory)
-                case FNum => row.setInt(c, msg.paramNumber)
-                case FRef => row.update(c, refUtf)
-                case FX => row.setInt(c, i % ni)
-                case FY => row.setInt(c, i / ni)
-                case FValue =>
-                  if (missing) row.setNullAt(c) else row.setDouble(c, v)
+          if (i >= vals.length) {
+            mi += 1
+            if (mi < msgs.length) { loadMsg(); i = -1 }
+          } else {
+            val v = vals(i)
+            val missing = v.isNaN
+            if (!missing || keepMissing) {
+              val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(codes.length)
+              var c = 0
+              while (c < codes.length) {
+                codes(c) match {
+                  case FPath => row.update(c, pathUtf)
+                  case FMsg => row.setInt(c, msgIdx)
+                  case FCat => row.setInt(c, msg.paramCategory)
+                  case FNum => row.setInt(c, msg.paramNumber)
+                  case FRef => row.update(c, refUtf)
+                  case FX => row.setInt(c, i % ni)
+                  case FY => row.setInt(c, i / ni)
+                  case FValue =>
+                    if (missing) row.setNullAt(c) else row.setDouble(c, v)
+                }
+                c += 1
               }
-              c += 1
+              current = row
+              return true
             }
-            current = row
-            return true
           }
         }
         false

@@ -100,9 +100,18 @@ object GribMeta {
     (sign << 31) | (a.toLong << 24) | mi
   }
 
-  /** All messages in a (possibly multi-message) GRIB byte array. */
+  /** Transparent unwrap of gzip-wrapped archives (`.grb.gz` — the
+    * historical NCEP/CPC distribution shape): magic-sniffed so plain
+    * archives pay nothing; the strict bounded [[Gz.gunzip]] caps a
+    * corrupt length at one in-memory array. */
+  private def unwrap(bytes: Array[Byte]): Array[Byte] =
+    if (Gz.isGz(bytes)) Gz.gunzip(bytes, Int.MaxValue - 16L, "GRIB")
+    else bytes
+
+  /** All messages in a (possibly multi-message) GRIB byte array.
+    * Gzip-wrapped archives unwrap transparently. */
   def decode(bytes: Array[Byte]): Seq[Message] =
-    CodecGate.gated("GRIB")(parse(bytes).map(_._1))
+    CodecGate.gated("GRIB")(parse(unwrap(bytes)).map(_._1))
 
   private def parse(bytes: Array[Byte]): Seq[(Message, Option[Pack])] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Message, Option[Pack])]
@@ -937,8 +946,12 @@ object GribMeta {
     * discipline; this decoder never guesses at bytes it does not
     * understand. Returns one value array per message, grid-ordered as
     * transmitted (row-major for lat/lon grids). */
-  def values(bytes: Array[Byte]): Seq[(Message, Array[Double])] =
-    CodecGate.gated("GRIB")(parse(bytes).map { case (m, packOpt) =>
+  def values(rawBytes: Array[Byte]): Seq[(Message, Array[Double])] =
+    CodecGate.gated("GRIB") {
+    // bind the UNWRAPPED array once — every Pack offset below indexes
+    // into it, so the gz sniff must never mix raw and inflated bytes
+    val bytes = unwrap(rawBytes)
+    parse(bytes).map { case (m, packOpt) =>
       val p = packOpt.getOrElse(throw new IllegalArgumentException(
         s"message ${m.msgIndex}: no data section"))
       if (m.edition == 2) {
@@ -1176,7 +1189,8 @@ object GribMeta {
         }
       }
       (m, out)
-    })
+    }
+  }
 
   /** `count` big-endian `nBits`-wide fields from `[off, end)`, bounds
     * required BEFORE each read — the shared MSB-first unpack the

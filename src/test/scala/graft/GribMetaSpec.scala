@@ -818,6 +818,44 @@ class GribMetaSpec extends SparkSpec {
     assert(e4.getMessage.contains("order"), e4.getMessage)
   }
 
+  test("gzip-wrapped GRIB (.grb.gz, the NCEP/CPC archive shape): " +
+      "transparent decode, one whole-file DSv2 split, named refusals") {
+    import graft.sources.Gz
+    // two messages so the whole-file split proves the MULTI-message
+    // walk (msg_index read off each decoded message, not the planner)
+    val plain = grib2Simple(0f, 0, 0, 8, Seq(1L, 2L, 3L, 4L), None, 2, 2,
+      cat = 2, num = 5) ++
+      grib2Simple(10f, 0, 0, 8, Seq(5L, 6L, 7L, 8L), None, 2, 2,
+        cat = 2, num = 6)
+    val gz = Gz.gzip(plain)
+    // values()/decode() unwrap transparently
+    assert(GribMeta.decode(gz).map(_.paramNumber) == Seq(5, 6))
+    assert(GribMeta.values(gz).map(_._2.toSeq) ==
+      GribMeta.values(plain).map(_._2.toSeq))
+    // DSv2: a dir mixing plain and wrapped archives — per-message
+    // splits for the plain file, ONE whole-file split for the gz
+    // (gzip is not seekable), identical rows from both
+    val dir = java.nio.file.Files.createTempDirectory("graft_gribgz").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.grib2"), plain)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.grb.gz"), gz)
+    val df = spark.read.format("graft.sources.GribGridSource")
+      .option("path", dir).load()
+    assert(df.rdd.getNumPartitions == 3, s"${df.rdd.getNumPartitions}")
+    val byFile = df.collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1), r.getInt(3),
+        r.getInt(5), r.getInt(6), r.getDouble(7)))
+      .groupBy(_._1).map { case (f, rs) => f -> rs.map(t => t.copy(_1 = "")).toSet }
+    assert(byFile("a.grib2") == byFile("b.grb.gz"),
+      s"plain and wrapped rows diverge: $byFile")
+    assert(byFile("a.grib2").map(_._2) == Set(0, 1)) // both msg indexes
+    // truncated gz refuses by name; the corruption sweep holds
+    val e = intercept[IllegalArgumentException] {
+      GribMeta.values(java.util.Arrays.copyOf(gz, gz.length - 4))
+    }
+    assert(e.getMessage.contains("gzip"), e.getMessage)
+    CodecFuzz.sweep("grib-gz", gz, GribMeta.values(_))
+  }
+
   test("GribGridSource: DSv2 table, one partition per message, pruned positioned reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gribdsv2").toString
     // file a: two messages (params 2 and 3); file b: one with a bitmap
