@@ -85,11 +85,15 @@ object GeoTiff {
   /** Transparent unwrap of gzip-wrapped TIFFs (`.tif.gz`, the CHIRPS
     * distribution shape — the reference gunzips before GDAL;
     * `chirps_rainfall/__init__.py:334`): magic-sniffed so plain files
-    * pay nothing, inflation hard-capped at 2^29 bytes (the 2^27-pixel
-    * raster cap at float32 is exactly 2^29 — anything bigger the
-    * decoder would refuse anyway). */
+    * pay nothing, inflation hard-capped at the 2^27-pixel raster cap
+    * times the WIDEST sample the decoder accepts (float64 = 8 B/px →
+    * 2^30), plus 1 MiB of header/IFD allowance — so every raster the
+    * decoder could legitimately accept fits the cap regardless of
+    * sample type (r14 advice: the old float32-derived 2^29 refused
+    * large gz-wrapped float64 TIFFs whose plain twins decoded fine). */
   private def unwrap(bytes: Array[Byte]): Array[Byte] =
-    if (Gz.isGz(bytes)) Gz.gunzip(bytes, 1L << 29, "GeoTIFF") else bytes
+    if (Gz.isGz(bytes)) Gz.gunzip(bytes, (1L << 30) + (1L << 20), "GeoTIFF")
+    else bytes
 
   /** Number of IFDs chained in a classic TIFF (1 for the plain writer,
     * 1 + overview count for [[encodeCog]] output). Accepts

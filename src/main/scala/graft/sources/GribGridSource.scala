@@ -219,39 +219,48 @@ final class GribReaderFactory(fields: Array[String], keepMissing: Boolean)
       // 100-message archive never funnels whole-file bytes through
       // every task. A GZ-WRAPPED archive (offset sentinel < 0)
       // inflates whole and walks ALL its messages in this one task
-      // (gzip is not seekable — the planner's documented boundary).
-      private val msgs: Seq[(GribMeta.Message, Array[Double])] =
+      // (gzip is not seekable — the planner's documented boundary);
+      // the LAZY iterator decodes one message's values at a time, so
+      // the task holds the inflated archive plus a single message's
+      // doubles — never every message's decoded output at once (r14
+      // advice: the eager Seq OOMed on large wrapped archives).
+      private val msgs: Iterator[(GribMeta.Message, Array[Double])] =
         if (p.offset >= 0)
           GribMeta.values(GribGridSource.readRange(p.file, p.offset, p.length))
-        else GribMeta.values(GridFiles.readBytes(p.file))
+            .iterator
+        else GribMeta.valuesIterator(GridFiles.readBytes(p.file))
       private val pathUtf = UTF8String.fromString(p.file)
       // per-message fields hoisted out of the per-point loop (the r8
-      // review discipline), reloaded as the message cursor advances
-      private var mi = 0
+      // review discipline), reloaded as the message cursor advances;
+      // the previous message's vals array is DROPPED on advance
       private var i = -1
+      private var exhausted = false
       private var msg: GribMeta.Message = _
       private var vals: Array[Double] = Array.emptyDoubleArray
       private var ni = 1
       private var refUtf: UTF8String = _
       private var msgIdx = 0
-      private def loadMsg(): Unit = {
-        msg = msgs(mi)._1
-        vals = msgs(mi)._2
-        ni = if (msg.ni > 0) msg.ni else math.max(vals.length, 1)
-        refUtf = UTF8String.fromString(msg.refTime)
-        // plain splits carry the archive-walk index from the planner;
-        // a gz whole-file split reads it off each decoded message
-        msgIdx = if (p.offset >= 0) p.msgIndex else msg.msgIndex
-      }
-      if (msgs.nonEmpty) loadMsg()
+      private def loadMsg(): Unit =
+        if (!msgs.hasNext) exhausted = true
+        else {
+          val (m, v) = msgs.next()
+          msg = m
+          vals = v
+          ni = if (msg.ni > 0) msg.ni else math.max(vals.length, 1)
+          refUtf = UTF8String.fromString(msg.refTime)
+          // plain splits carry the archive-walk index from the
+          // planner; a gz whole-file split reads it off each message
+          msgIdx = if (p.offset >= 0) p.msgIndex else msg.msgIndex
+          i = -1
+        }
+      loadMsg()
       private var current: InternalRow = _
 
       override def next(): Boolean = {
-        while (mi < msgs.length) {
+        while (!exhausted) {
           i += 1
           if (i >= vals.length) {
-            mi += 1
-            if (mi < msgs.length) { loadMsg(); i = -1 }
+            loadMsg()
           } else {
             val v = vals(i)
             val missing = v.isNaN

@@ -951,7 +951,34 @@ object GribMeta {
     // bind the UNWRAPPED array once — every Pack offset below indexes
     // into it, so the gz sniff must never mix raw and inflated bytes
     val bytes = unwrap(rawBytes)
-    parse(bytes).map { case (m, packOpt) =>
+    parse(bytes).map { case (m, p) => (m, decodeMessage(bytes, m, p)) }
+  }
+
+  /** Lazy per-message twin of [[values]] for whole-archive tasks (the
+    * gz-wrapped split shape, where gzip's non-seekability forces one
+    * task to walk every message): the section walk runs once up
+    * front, then each `next()` decodes ONE message's value array — so
+    * task memory holds the inflated archive plus a single message's
+    * doubles, never every message's decoded output at once (r14
+    * advice: the eager Seq made a large wrapped archive OOM a task
+    * rather than degrade). Refusals keep the [[CodecGate]] naming,
+    * surfaced per message as the iterator advances. */
+  def valuesIterator(rawBytes: Array[Byte]): Iterator[(Message, Array[Double])] = {
+    val (bytes, metas) = CodecGate.gated("GRIB") {
+      val b = unwrap(rawBytes)
+      (b, parse(b))
+    }
+    metas.iterator.map { case (m, p) =>
+      CodecGate.gated("GRIB")((m, decodeMessage(bytes, m, p)))
+    }
+  }
+
+  /** Decode ONE parsed message's payload into grid-ordered values —
+    * the shared kernel behind [[values]] and [[valuesIterator]];
+    * `bytes` is the UNWRAPPED archive the message's Pack offsets
+    * index into. */
+  private def decodeMessage(bytes: Array[Byte], m: Message,
+      packOpt: Option[Pack]): Array[Double] = {
       val p = packOpt.getOrElse(throw new IllegalArgumentException(
         s"message ${m.msgIndex}: no data section"))
       if (m.edition == 2) {
@@ -1188,8 +1215,7 @@ object GribMeta {
           i += 1
         }
       }
-      (m, out)
-    }
+      out
   }
 
   /** `count` big-endian `nBits`-wide fields from `[off, end)`, bounds

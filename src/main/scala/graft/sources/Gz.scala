@@ -91,6 +91,69 @@ object Gz {
       ((tail(2) & 0xffL) << 16) | ((tail(3) & 0xffL) << 24)
   }
 
+  /** Gunzip-on-landing: stream-inflate a gzip-wrapped LANDED file to
+    * its unwrapped sibling (`x.grb.gz` → `x.grb`) and delete the
+    * wrapped original — the reference's own acquisition shape
+    * (`chirps_rainfall/__init__.py:334` downloads `*.tif.gz` and
+    * gunzips before decoding). Landing unwrapped is the SCALE path
+    * for formats whose DSv2 planner fans out per record: gzip is not
+    * seekable, so a wrapped GRIB archive plans ONE whole-file split
+    * while its unwrapped twin plans per-message
+    * ([[GribGridSource]]).
+    *
+    * Keeps the atomic-landing contract ([[HttpFetcher]]): inflates to
+    * a `.tmp-*` sibling in 64 KiB chunks (memory never holds the
+    * archive), atomically moves into place, deletes the wrapped file
+    * LAST — a crash leaves either the wrapped original (retry
+    * re-unwraps) or both twins momentarily (re-unwrap is an
+    * idempotent overwrite), never a torn output. The wrapped original
+    * must go: a landing-dir listing holding both twins would read
+    * every message twice. Corrupt/truncated streams refuse by name
+    * (ZipException/EOFException renamed); genuine filesystem errors
+    * pass through as IO. */
+  def gunzipLanding(gzPath: java.nio.file.Path,
+      cap: Long = 1L << 33): java.nio.file.Path = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val name = gzPath.getFileName.toString
+    require(name.length > 3 && name.toLowerCase.endsWith(".gz"),
+      s"$name: gunzip-on-landing needs a '.gz'-suffixed name to strip")
+    val dest = gzPath.resolveSibling(name.dropRight(3))
+    val tmp = gzPath.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
+    try {
+      val in = new java.util.zip.GZIPInputStream(Files.newInputStream(gzPath))
+      try {
+        val out = Files.newOutputStream(tmp)
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var total = 0L
+          var n = in.read(buf)
+          while (n > 0) {
+            total += n
+            require(total <= cap,
+              s"$name: gzip payload exceeds the $cap-byte inflation cap")
+            out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+        } finally out.close()
+      } finally in.close()
+      try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch {
+      case e @ (_: java.util.zip.ZipException | _: java.io.EOFException) =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalArgumentException(
+          s"$name: corrupt or truncated gzip stream — ${e.getMessage}", e)
+      case e: Throwable =>
+        Files.deleteIfExists(tmp)
+        throw e
+    }
+    Files.delete(gzPath)
+    dest
+  }
+
   /** Deterministic gzip (the JDK writes MTIME/XFL/OS as zeros, so the
     * same input always produces the same bytes — the publish twins'
     * hash gates rely on it). */

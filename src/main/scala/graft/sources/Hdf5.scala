@@ -216,17 +216,23 @@ object Hdf5 {
         s"external link '${link.path}': target file '${cur.file}' is " +
           "absolute or carries '.'/'..' components — only " +
           "sibling-relative targets resolve")
-      // ':' blocks URI schemes AND colon-named siblings (e.g. ISO-
-      // timestamp granules): Hadoop Path cannot address a relative
-      // child with a colon at all (it parses as a URI scheme), so the
-      // restriction is the transport layer's, named here rather than
-      // surfacing as a Path URISyntaxException (r13 advice)
-      require(!cur.file.contains(":"),
+      // a URI-scheme PREFIX (RFC 3986 `scheme:` — letter then
+      // letters/digits/+/./-) is refused by name: a link must never
+      // re-route the read onto another transport. A bare colon
+      // ELSEWHERE in the name is legitimate — ISO-timestamp granule
+      // names (`...T00:00:00.h5`, the HDF-EOS5 stitch shape) carry
+      // them — so the target resolves via absolute-STRING
+      // concatenation: Hadoop's child-Path constructor parses a
+      // relative child whose first segment holds a colon as a URI
+      // scheme, but in an absolute string the leading '/' precedes
+      // every colon so no segment can read as one (r14 advice: the
+      // old any-colon refusal also refused timestamp-named siblings)
+      require(!cur.file.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*"),
         s"external link '${link.path}': target file '${cur.file}' " +
-          "carries ':' — URI-scheme targets are refused and Hadoop " +
-          "Path cannot address colon-named relative siblings; rename " +
-          "the target file colon-free")
-      val tFile = new org.apache.hadoop.fs.Path(curDir, cur.file)
+          "carries a URI scheme prefix — targets resolve only as " +
+          "sibling-relative file names")
+      val tFile = new org.apache.hadoop.fs.Path(
+        s"${curDir.toString.stripSuffix("/")}/${cur.file}")
       val fs = tFile.getFileSystem(new org.apache.hadoop.conf.Configuration())
       require(fs.isFile(tFile),
         s"external link '${link.path}': target file '${cur.file}' " +

@@ -159,6 +159,21 @@ final class HttpFetcher(
     destPath
   }
 
+  /** [[fetch]] + gunzip-on-landing: stream the download to `dest`
+    * (whose name must end `.gz`), then inflate it to the unwrapped
+    * sibling via [[Gz.gunzipLanding]] and drop the wrapped file — the
+    * reference's own download path for gz-distributed products
+    * (`chirps_rainfall/__init__.py:334` gunzips `*.tif.gz` on fetch).
+    * Landing unwrapped keeps per-record DSv2 planners fanning out:
+    * [[GribGridSource]] plans ONE whole-file split for a `.grb.gz`
+    * but per-message splits for its unwrapped twin. Returns the
+    * UNWRAPPED path; both the download and the inflation keep the
+    * atomic tmp→move contract, so a crash at any point retries
+    * cleanly next cycle. */
+  def fetchGunzipped(url: String, dest: String,
+      cap: Long = 1L << 33): Path =
+    Gz.gunzipLanding(fetch(url, dest), cap)
+
   /** Land a SET of slices with bounded concurrency — the reference's
     * per-cycle multi-file walk (`ecmwf_opendata/client.py` downloads
     * one file per forecast step; a date's file set lands together).

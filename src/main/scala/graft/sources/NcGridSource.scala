@@ -89,25 +89,44 @@ object NcGridSource {
     if (tAxis < 0) 1 else f.shapeOf(v)(tAxis)
   }
 
+  /** Max DEFLATE expansion (one bit can encode a 258-byte match →
+    * ×1032): an ISIZE trailer claiming more than this per compressed
+    * byte cannot belong to the stream's only member — the file is
+    * multi-member or crafted, so planning must not trust it. */
+  private[graft] val MaxDeflateRatio = 1032L
+
   /** Header for planning: bounded prefix read first (the driver must
     * never buffer whole cubes — r9 review), whole-file fallback only
     * when the header genuinely outruns the prefix. Gz-wrapped files
     * keep the bound: a bounded OUTPUT prefix inflates from the bounded
     * INPUT prefix, and the true uncompressed length comes from the
-    * gzip ISIZE trailer (exact for single-member streams < 4 GiB;
-    * anything inconsistent — multi-member, wrapped ISIZE — falls back
-    * to the whole-file decode, which unwraps strictly). */
+    * gzip ISIZE trailer — validated BOTH ways (≥ the inflated prefix
+    * AND ≤ [[MaxDeflateRatio]] × the compressed length: a multi-member
+    * or crafted stream's trailer covers only the LAST member mod 2^32,
+    * so an unbounded check could bless a wildly overstated file length
+    * — r14 advice). Anything inconsistent falls back to the whole-file
+    * decode, which unwraps strictly. A wrapped file the prefix already
+    * covers WHOLE skips the prefix machinery entirely and decodes
+    * strictly ONCE — the old any-exception fallback re-read and
+    * re-inflated a corrupt small file just to reproduce the same
+    * refusal (r14 advice). */
   private[graft] def planningHeader(file: String): NetCdf.NcFile = {
     val (prefix, len) = GridFiles.readPrefix(file, HeaderPrefixBytes)
     if (Gz.isGz(prefix)) {
-      val inflated = Gz.gunzipPrefix(prefix, HeaderPrefixBytes)
-      try {
-        val isz = Gz.isize(GridFiles.readTail(file, 4))
-        require(isz >= inflated.length,
-          s"gzip ISIZE $isz inconsistent with the inflated prefix")
-        NetCdf.decodeHeader(inflated, isz)
-      } catch { case _: Exception =>
-        NetCdf.decode(GridFiles.readBytes(file))
+      if (len <= prefix.length) NetCdf.decode(prefix)
+      else {
+        val inflated = Gz.gunzipPrefix(prefix, HeaderPrefixBytes)
+        try {
+          val isz = Gz.isize(GridFiles.readTail(file, 4))
+          require(isz >= inflated.length,
+            s"gzip ISIZE $isz inconsistent with the inflated prefix")
+          require(isz <= len * MaxDeflateRatio,
+            s"gzip ISIZE $isz exceeds ${MaxDeflateRatio}x the compressed " +
+              s"length $len — multi-member or crafted trailer")
+          NetCdf.decodeHeader(inflated, isz)
+        } catch { case _: Exception =>
+          NetCdf.decode(GridFiles.readBytes(file))
+        }
       }
     } else {
       try NetCdf.decodeHeader(prefix, len)

@@ -854,6 +854,22 @@ class GribMetaSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("gzip"), e.getMessage)
     CodecFuzz.sweep("grib-gz", gz, GribMeta.values(_))
+    // r15: the whole-file walk rides the LAZY per-message iterator —
+    // parity with the eager entry on every message
+    assert(GribMeta.valuesIterator(gz).map { case (m, v) =>
+      (m.msgIndex, v.toSeq) }.toList ==
+      GribMeta.values(plain).map { case (m, v) =>
+        (m.msgIndex, v.toSeq) }.toList)
+    // and refusals stay per-message: a bad SECOND message names its
+    // refusal when the iterator ADVANCES onto it, after the first
+    // message's values are already out — the eager entry refused the
+    // whole archive up front
+    val mixed = grib2Simple(0f, 0, 0, 8, Seq(1L, 2L, 3L, 4L), None, 2, 2) ++
+      grib2Simple(0f, 0, 0, 8, Seq(1L, 2L, 3L, 4L), None, 2, 2, drTpl = 1)
+    val it = GribMeta.valuesIterator(Gz.gzip(mixed))
+    assert(it.next()._2.toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    val eIt = intercept[IllegalArgumentException] { it.next() }
+    assert(eIt.getMessage.contains("5.1"), eIt.getMessage)
   }
 
   test("GribGridSource: DSv2 table, one partition per message, pruned positioned reads") {

@@ -215,6 +215,11 @@ class Hdf5Spec extends SparkSpec {
     Files.write(dir.resolve("b.h5"), fixtureV2()._1)
     Files.write(dir.resolve("c.h5"),
       fixtureExtLinks(Seq(("lx", "b.h5", "temp")))) // relative obj path
+    // colon-named sibling — the ISO-timestamp granule shape
+    // (HDF-EOS5 stitch files link `...T00:00:00.h5` targets); r15:
+    // resolves via absolute-string path construction instead of the
+    // old any-colon refusal
+    Files.write(dir.resolve("g_T00:00.h5"), fixtureV2()._1)
     Files.write(dir.resolve("a.h5"), fixtureExtLinks(Seq(
       ("le", "b.h5", "/temp"),
       ("le2", "c.h5", "/lx"),     // chain: a → c → b
@@ -224,9 +229,8 @@ class Hdf5Spec extends SparkSpec {
       ("lg", "b.h5", "/"),        // group target
       ("la", "/etc/x.h5", "/x"),  // absolute file name
       ("lp", "../b.h5", "/temp"), // dotted file name
-      ("lq", "g_T00:00.h5", "/x") // colon-named sibling (r14: named
-                                  // refusal — Hadoop Path can't
-                                  // address a relative colon child)
+      ("lq", "g_T00:00.h5", "/temp"), // colon-named sibling: resolves
+      ("lu", "s3:granule.h5", "/x")   // URI-scheme prefix: refuses
     )))
     val aPath = dir.resolve("a.h5").toString
     val a = Hdf5.decode(Files.readAllBytes(dir.resolve("a.h5")))
@@ -249,7 +253,10 @@ class Hdf5Spec extends SparkSpec {
     refuses("/lg", "GROUP")
     refuses("/la", "absolute")
     refuses("/lp", "absolute or carries")
-    refuses("/lq", "colon-free")
+    refuses("/lu", "URI scheme prefix")
+    // the colon-named sibling resolves to its own file
+    assert(Hdf5.resolveExternalLink(aPath, linkOf("/lq"), decodeFile) ==
+      ((dir.resolve("g_T00:00.h5").toString, "/temp")))
   }
 
   test("H5GridSource follows an EXPLICITLY-selected external link to " +
@@ -310,6 +317,36 @@ class Hdf5Spec extends SparkSpec {
       Seq((p: String) => p.endsWith("b.h5")), Nil, 8).planInputPartitions()
     assert(!pruned.exists(_.isInstanceOf[graft.sources.H5ExtPartition]),
       pruned.toSeq.toString)
+  }
+
+  test("H5GridSource planning refusal on an undecodable external-link " +
+      "TARGET keeps the ROOT CAUSE — message and cause chain carry it " +
+      "(an undecodable source file itself plans a loud whole-file split)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_h5plancause")
+    Files.write(dir.resolve("broken.h5"),
+      "not an hdf5 file at all".getBytes("US-ASCII"))
+    Files.write(dir.resolve("a.h5"),
+      fixtureExtLinks(Seq(("le", "broken.h5", "/temp"))))
+    val e = intercept[IllegalArgumentException] {
+      new graft.sources.H5Scan(dir.toString, Some("/le"),
+        graft.sources.H5GridSource.fullSchema, false, Nil, Nil, 8)
+        .planInputPartitions()
+    }
+    assert(e.getMessage.contains("failed to decode"), e.getMessage)
+    val cause = e.getCause
+    assert(cause != null, "planning refusal must chain the root cause")
+    assert(e.getMessage.contains(cause.getMessage),
+      s"outer '${e.getMessage}' must carry root '${cause.getMessage}'")
+    // the undecodable file ITSELF doesn't kill an unfiltered plan: it
+    // contributes one whole-file split whose TASK refuses loudly
+    val parts = new graft.sources.H5Scan(dir.toString, None,
+      graft.sources.H5GridSource.fullSchema, false, Nil, Nil, 8)
+      .planInputPartitions()
+    assert(parts.exists {
+      case graft.sources.H5Partition(f, None) => f.endsWith("broken.h5")
+      case _ => false
+    }, parts.toSeq.toString)
   }
 
   // ---- fixture B: superblock v0, v1 headers, TREE/SNOD/HEAP groups ----

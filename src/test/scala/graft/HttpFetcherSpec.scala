@@ -341,4 +341,74 @@ class HttpFetcherSpec extends SparkSpec {
       assert(r.head.publishedDates == Seq("2024-05-01"), r.toString)
     }
   }
+
+  test("gunzip-on-landing: a .grb.gz acquisition lands UNWRAPPED " +
+      "through a Jobs cycle, so the GRIB planner fans out per message " +
+      "(a wrapped landing would plan one serial whole-file split); a " +
+      "corrupt download refuses by name and keeps the wrapped file " +
+      "for the retry") {
+    import graft.sources.{GribMeta, Gz, JobConfig, Jobs, Notifier}
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // three-message GRIB2 archive — the open-data shape (one message
+    // per variable/step) whose parallelism gunzip-on-landing preserves
+    val plain = (0 until 3).toArray.flatMap { k =>
+      GribMeta.encodeSimple(2, 2, 2, 5 + k, 0f, 0, 0, 8,
+        Array(1L + k, 2L, 3L, 4L))
+    }
+    val gz = Gz.gzip(plain)
+    val root = java.nio.file.Files.createTempDirectory("graft_gzland").toString
+    withServer { ex =>
+      ex.sendResponseHeaders(200, gz.length.toLong)
+      ex.getResponseBody.write(gz)
+    } { base =>
+      val landing = s"$root/landing"
+      val jobs = new Jobs(spark, s"$root/state", Notifier.Noop)
+        .register(JobConfig("dsG",
+          s => {
+            // the acquisition step the reference's chirps job runs:
+            // download the wrapped archive, land it unwrapped
+            new HttpFetcher().fetchGunzipped(
+              s"$base/d.grb.gz", s"$landing/d.grb.gz")
+            s.read.format("graft.sources.GribGridSource")
+              .option("path", landing).load()
+              .withColumn("ts",
+                to_timestamp(col("ref_time"), "yyyy-MM-dd'T'HH:mm"))
+          },
+          "ts", identity, s"$root/out", retentionDays = 30))
+      val r = jobs.runAll(1)
+      assert(r.head.error.isEmpty, r.toString)
+      assert(r.head.ingested == 12L, r.toString) // 3 messages × 4 points
+      assert(r.head.publishedDates == Seq("2000-01-01"), r.toString)
+      // the landing dir holds ONLY the unwrapped twin…
+      val names = new java.io.File(landing).listFiles().map(_.getName).toSet
+      assert(names == Set("d.grb"), names)
+      // …so the DSv2 plan over it fans out PER MESSAGE — the scale
+      // point of unwrapping on landing (wrapped: 1 serial split)
+      val parts = spark.read.format("graft.sources.GribGridSource")
+        .option("path", landing).load().rdd.getNumPartitions
+      assert(parts == 3, s"expected 3 per-message splits, got $parts")
+    }
+    // corrupt download: the unwrap refuses BY NAME, no unwrapped or
+    // tmp residue appears, and the wrapped file survives for the
+    // next cycle's retry (watermark semantics stay intact upstream)
+    val bad = java.util.Arrays.copyOf(gz, gz.length - 5)
+    withServer { ex =>
+      ex.sendResponseHeaders(200, bad.length.toLong)
+      ex.getResponseBody.write(bad)
+    } { base =>
+      val landing2 = s"$root/landing2"
+      val e = intercept[IllegalArgumentException] {
+        new HttpFetcher().fetchGunzipped(
+          s"$base/d.grb.gz", s"$landing2/d.grb.gz")
+      }
+      assert(e.getMessage.contains("gzip"), e.getMessage)
+      val left = new java.io.File(landing2).listFiles().map(_.getName).toSet
+      assert(left == Set("d.grb.gz"), left)
+    }
+    // a non-.gz name refuses up front — nothing to strip
+    val eName = intercept[IllegalArgumentException] {
+      Gz.gunzipLanding(java.nio.file.Paths.get(s"$root/plain.grb"))
+    }
+    assert(eName.getMessage.contains(".gz"), eName.getMessage)
+  }
 }

@@ -181,6 +181,71 @@ class NetCdfSpec extends SparkSpec {
     // every truncation/bit-flip of the wrapped fixture decodes or
     // refuses by name through the strict entry
     CodecFuzz.sweep("nc-gz", gz, NetCdf.decode(_))
+    // r15: a corrupt gz the PREFIX already covers whole decodes
+    // strictly ONCE and refuses by name — no second driver-side
+    // read+inflate just to reproduce the refusal (r14 advice)
+    val bad = gz.clone()
+    bad(gz.length / 2) = (bad(gz.length / 2) ^ 0x5a).toByte
+    java.nio.file.Files.write(dir.resolve("bad.nc.gz"), bad)
+    val eBad = intercept[Exception] {
+      NcGridSource.planningHeader(dir.resolve("bad.nc.gz").toString)
+    }
+    assert(eBad.getMessage.toLowerCase.contains("gzip") ||
+      eBad.getMessage.contains("CDF"), eBad.getMessage)
+  }
+
+  test("gz planning past the 1 MiB prefix: ISIZE bounded both ways — " +
+      "a valid trailer plans bounded, a multi-member trailer falls " +
+      "back to the strict whole-file decode, an overstated trailer " +
+      "refuses at plan time by name") {
+    import graft.sources.{Gz, NcGridSource}
+    // incompressible payload (LCG doubles) so the gz outruns the 1 MiB
+    // planning prefix and the trailer branch actually exercises
+    val n = 400 * 500
+    var seed = 0x2545f4914f6cdd1dL
+    val vals = Array.fill(n) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val plain = NetCdf.encode(
+      Seq(NetCdf.Dim("lat", 400), NetCdf.Dim("lon", 500)), Nil,
+      Seq(NetCdf.VarSpec("qty", Seq("lat", "lon"), NetCdf.NcDouble,
+        values = vals)),
+      numRecs = 0)
+    val gz = Gz.gzip(plain)
+    assert(gz.length > NcGridSource.HeaderPrefixBytes,
+      s"fixture must outrun the planning prefix, got ${gz.length}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ncgzbig")
+    java.nio.file.Files.write(dir.resolve("big.nc.gz"), gz)
+    // valid single-member trailer: bounded planning path
+    val hdr = NcGridSource.planningHeader(dir.resolve("big.nc.gz").toString)
+    assert(hdr.vars.map(_.name).contains("qty"))
+    assert(hdr.shapeOf(hdr.variable("qty")).toSeq == Seq(400, 500))
+    // multi-member stream: trailer covers only the LAST member, so
+    // ISIZE < the inflated prefix → graceful strict whole-file
+    // fallback (the JDK inflater chains members) still plans right
+    val cut = plain.length / 2
+    val multi = Gz.gzip(java.util.Arrays.copyOfRange(plain, 0, cut)) ++
+      Gz.gzip(java.util.Arrays.copyOfRange(plain, cut, plain.length))
+    java.nio.file.Files.write(dir.resolve("multi.nc.gz"), multi)
+    val hdr2 = NcGridSource.planningHeader(dir.resolve("multi.nc.gz").toString)
+    assert(hdr2.shapeOf(hdr2.variable("qty")).toSeq == Seq(400, 500))
+    // overstated trailer (crafted 0xFFFFFFFF — past 1032× the
+    // compressed length, DEFLATE's hard expansion bound): the r14-
+    // advice check refuses to trust it, and the strict fallback's
+    // trailer verification refuses the file by name AT PLAN TIME —
+    // the old unbounded check planned var offsets against a wrong
+    // file length instead
+    val forged = gz.clone()
+    forged(forged.length - 4) = 0xff.toByte
+    forged(forged.length - 3) = 0xff.toByte
+    forged(forged.length - 2) = 0xff.toByte
+    forged(forged.length - 1) = 0xff.toByte
+    java.nio.file.Files.write(dir.resolve("forged.nc.gz"), forged)
+    val e = intercept[Exception] {
+      NcGridSource.planningHeader(dir.resolve("forged.nc.gz").toString)
+    }
+    assert(e.getMessage.toLowerCase.contains("gzip"), e.getMessage)
   }
 
   test("a 2-D (time, series) variable refuses the grid path by name — " +
