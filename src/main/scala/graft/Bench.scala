@@ -47,6 +47,30 @@ object Bench {
     * observed idle) and well below what a co-running build causes. */
   val LoadSpreadFlag = 1.5
 
+  /** Per-query stall gate vs the round's clean BenchScale artifact:
+    * any query this much slower than its committed sf0.1 twin (above
+    * [[StallFloorSec]]) marks the run CONTENDED. The calibration
+    * probes bracket the suite and missed an IN-RUN stall once
+    * (BENCH_r14: p01 at 44 s vs 4-5 s clean, calib 0.14-0.17 s,
+    * load_flag=false) — a per-query check against a known-clean twin
+    * catches exactly that shape. 3× sits above the ±40 % ambient
+    * swing the artifact history shows and well under the 10× a
+    * co-running build causes. */
+  val StallGate = 3.0
+
+  /** Queries faster than this are never stall-flagged — constant
+    * scheduling overhead dominates their ratio. */
+  val StallFloorSec = 2.0
+
+  /** Queries that stalled vs their clean twins (same-scale column of
+    * the committed BenchScale artifact). Empty twin map = no check. */
+  def stalls(results: Seq[(String, Double)], twin: Map[String, Double],
+      gate: Double = StallGate, floor: Double = StallFloorSec): Seq[String] =
+    results.collect {
+      case (n, s) if s > floor &&
+        twin.get(n).exists(t => t > 0 && s / t > gate) => n
+    }.sorted
+
   /** Fixed pure-CPU calibration probe: 64M xxhash64 over an in-memory
     * range — no IO, no shuffle, insensitive to page cache, so its
     * wall time moves ONLY with available CPU. Timed at suite
@@ -69,10 +93,15 @@ object Bench {
     math.min(once(), once())
   }
 
-  /** Render the one-line driver JSON within [[LineBudget]]. */
+  /** Render the one-line driver JSON within [[LineBudget]].
+    * `stalled` (from [[stalls]]) forces `load_flag` true and lists the
+    * offending queries — an in-run contention stall must never read
+    * as a code regression just because the calibration probes
+    * straddled it. */
   def renderJson(results: Seq[(String, Double)], failed: Seq[String], sfDir: String,
       staged: Seq[(String, (Double, Double))] = Nil,
-      calib: Seq[Double] = Nil): String = {
+      calib: Seq[Double] = Nil,
+      stalled: Seq[String] = Nil): String = {
     val total = results.map(_._2).sum
     // failed queries are flagged in the JSON and fail the run — a
     // fast-fail timing must never read as a performance win
@@ -89,15 +118,26 @@ object Bench {
         .mkString(""","staged":{""", ",", "}")
     // contention sentinel: fixed-size (3 samples, 2 decimals) so the
     // budget stays exact; a flagged artifact reads as "machine was
-    // loaded", never as a code regression
+    // loaded", never as a code regression. The per-query stall list
+    // (vs the clean BenchScale twin) ORs into the flag — r14's
+    // contended run had one query at 10× with calib probes clean.
+    val stalledJson =
+      if (stalled.isEmpty) ""
+      else (if (stalled.size <= 5) stalled.map("\"" + _ + "\"")
+            else stalled.take(5).map("\"" + _ + "\"") :+
+              s""""+${stalled.size - 5} more"""")
+        .mkString(""","stalled":[""", ",", "]")
     val calibJson =
-      if (calib.isEmpty) ""
+      if (calib.isEmpty && stalled.isEmpty) ""
       else {
-        val flagged = calib.min > 0 && calib.max / calib.min > LoadSpreadFlag
+        val spread = calib.nonEmpty && calib.min > 0 &&
+          calib.max / calib.min > LoadSpreadFlag
+        val flagged = spread || stalled.nonEmpty
         calib.map(c => f"$c%.2f").mkString(""","calib":[""", ",",
           s"""],"load_flag":$flagged""")
       }
-    val suffix = f"""$stagedJson$calibJson,"errors":$errs,"sf":"$sfDir"}"""
+    val suffix =
+      f"""$stagedJson$stalledJson$calibJson,"errors":$errs,"sf":"$sfDir"}"""
     // slowest-first so the entries that matter for grading always fit
     val bySlowest = results.sortBy { case (n, s) => (-s, n) }
     val entries = bySlowest.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
@@ -184,8 +224,22 @@ object Bench {
     } catch { case _: java.io.IOException => () } // diagnostics only
 
     calib += calibrate(spark)
+    // per-query stall check vs the round's committed clean BenchScale
+    // artifact — same-scale column only (the driver benches sf0.1);
+    // any other sf dir has no clean twin and skips the check
+    val twin: Map[String, Double] =
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Map.empty
+      else {
+        val f = java.nio.file.Paths.get(BenchScale.ArtifactPath)
+        if (java.nio.file.Files.exists(f))
+          BenchScale.parseQueries(
+            new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+            .map { case (k, (sf01, _)) => k -> sf01 }
+        else Map.empty
+      }
+    val stalled = stalls(results, twin)
     println(renderJson(results, failed.toList, sfDir, stagedTimes.toList,
-      calib.toList))
+      calib.toList, stalled))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

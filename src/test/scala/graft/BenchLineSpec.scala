@@ -65,6 +65,31 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!Bench.renderJson(fakeResults(10), Nil, "sfdir").contains("staged"))
   }
 
+  test("per-query stall tripwire: a query far over its clean twin " +
+      "forces load_flag true even with quiet calib probes") {
+    // the BENCH_r14 shape: one query at 10× its clean time while the
+    // calibration probes (suite start/middle/end) straddled the stall
+    val rs = fakeResults(100) :+ ("p01_training_pipeline" -> 44.0)
+    val twin = Map("p01_training_pipeline" -> 4.4)
+    val stalled = Bench.stalls(rs, twin)
+    assert(stalled == Seq("p01_training_pipeline"), stalled)
+    val line = Bench.renderJson(rs, Nil, "sfdir",
+      calib = Seq(0.14, 0.15, 0.17), stalled = stalled)
+    assert(line.contains(""""load_flag":true"""), line)
+    assert(line.contains(""""stalled":["p01_training_pipeline"]"""), line)
+    assert(line.length <= Bench.LineBudget)
+    // under the gate, or under the floor, or no twin: no stall
+    assert(Bench.stalls(Seq("a" -> 10.0), Map("a" -> 4.0)).isEmpty) // 2.5×
+    assert(Bench.stalls(Seq("a" -> 1.9), Map("a" -> 0.1)).isEmpty)  // floor
+    assert(Bench.stalls(Seq("a" -> 44.0), Map.empty).isEmpty)       // no twin
+    // the stalled list is capped like the failure list
+    val many = (1 to 20).map(i => f"q${i}%03d_some_rather_long_operator_name")
+    val capped = Bench.renderJson(fakeResults(200), Nil, "sfdir",
+      calib = Seq(0.14, 0.15, 0.17), stalled = many)
+    assert(capped.length <= Bench.LineBudget, s"line ${capped.length} chars")
+    assert(capped.contains("more"))
+  }
+
   test("failure list is capped so errors can't blow the budget") {
     val failed = (1 to 50).map(i => f"q${i}%03d_some_rather_long_operator_name")
     val line = Bench.renderJson(fakeResults(200), failed, "sfdir")
