@@ -27,13 +27,13 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchScale {
 
-  val ArtifactPath = "BENCH_sf1_r14.json"
+  val ArtifactPath = "BENCH_sf1_r15.json"
 
   /** The previous round's graded artifact — the per-query baseline the
     * IN-ROUND tripwire diffs against (the r9 verdict's item 8: the
     * judge ran this diff by hand each round; now the run itself flags
     * per-query slips and ScaleSpec gates on them). */
-  val PrevArtifactPath = "BENCH_sf1_r13.json"
+  val PrevArtifactPath = "BENCH_sf1_r14.json"
 
   /** ratio beyond which growth on ×10 data counts as super-linear
     * (2× the uniform 10× scaling). */

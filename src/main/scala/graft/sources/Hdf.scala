@@ -40,10 +40,11 @@ import org.apache.spark.sql.functions._
   * Also decoded: LINKED-block elements (r12), SZIP/CCSDS coders via
   * the clean-room [[Szip]] (r12), EXTERNAL elements through a
   * sibling-relative resolver and the N-BIT coder (r14 — the legacy
-  * MODIS L1 shapes).
+  * MODIS L1 shapes), and the skipping-Huffman coder via the splay
+  * codec [[SkpHuff]] (r15 — conventions documented there).
   *
   * Refused LOUDLY (the codec-gate discipline — never guess at bytes):
-  * skipping-Huffman / JPEG coders, N-bit float or both-flags layouts,
+  * the JPEG coder, N-bit float or both-flags layouts,
   * CHAR data on the numeric path, variable-length linked blocks, and
   * any chunk table off the standard `{origin[ndims], chk_tag,
   * chk_ref}` record shape. The DD WALK still inventories such files
@@ -491,12 +492,13 @@ object Hdf {
       case CompNBit => require(d.len >= 34,
         s"SDS '$owner': truncated N-bit coder info " +
           s"(${d.len}-byte header, need 34)")
-      case CompSkpHuff => throw new IllegalArgumentException(
-        s"SDS '$owner': skipping-Huffman coder unsupported — " +
-          "only NONE/RLE/NBIT/DEFLATE/SZIP decode")
+      case CompSkpHuff => require(d.len >= 22,
+        s"SDS '$owner': truncated skipping-Huffman coder info " +
+          s"(${d.len}-byte header, need 22)")
       case other => throw new IllegalArgumentException(
         s"SDS '$owner': coder $other unsupported (JPEG needs " +
-          "external codecs) — only NONE/RLE/NBIT/DEFLATE/SZIP decode")
+          "external codecs) — only NONE/RLE/NBIT/SKPHUFF/DEFLATE/SZIP " +
+          "decode")
     }
     val comp = f.dds.find(x => x.tag == TagCompressed && x.ref == dataRef)
       .getOrElse(throw new IllegalArgumentException(
@@ -511,6 +513,17 @@ object Hdf {
       case CompRle => rleDecode(raw, uncompLen)
       case CompDeflate => inflate(raw, uncompLen)
       case CompNBit => nbitDecode(owner, raw, uncompLen, d, b)
+      case CompSkpHuff =>
+        // coder info (big-endian, after the 14-byte COMP header):
+        // skp_size(4) comp_size(4) — the HDF4 skipping-Huffman record
+        // (skip size = bytes per element; the second field records the
+        // compressed size and is informational). Decode via the splay
+        // codec, [[SkpHuff]].
+        val skp = b.getInt(14)
+        require(skp >= 1 && skp <= 1024,
+          s"SDS '$owner': skipping-Huffman skip size $skp out of " +
+            "range (1..1024 — element widths are 1-8 bytes)")
+        SkpHuff.decode(owner, raw, uncompLen, skp)
       case CompSzip =>
         // coder info (big-endian, HCPquery_encode_header order):
         // pixels(4) pixels_per_scanline(4) options_mask(4)
@@ -974,19 +987,38 @@ object Hdf {
       // data payload
       val raw = ByteBuffer.allocate((n * w).toInt).order(ByteOrder.BIG_ENDIAN)
       s.values.foreach(putVal(raw, _))
-      def compHeader(uncompLen: Int, payloadRef: Int): Array[Byte] = {
-        val hdr = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+      def packOne(plain: Array[Byte]): Array[Byte] = s.comp match {
+        case "rle" => rleEncode(plain)
+        case "skphuff" => SkpHuff.encode(plain, widthOf(s.ntype))
+        case _ => Deflate(plain)
+      }
+      def compHeader(uncompLen: Int, payloadRef: Int,
+          compLen: Int): Array[Byte] = {
+        val coder = s.comp match {
+          case "rle" => CompRle
+          case "skphuff" => CompSkpHuff
+          case _ => CompDeflate
+        }
+        val hdr = ByteBuffer
+          .allocate(if (coder == CompSkpHuff) 22 else 16)
+          .order(ByteOrder.BIG_ENDIAN)
         hdr.putShort(SpecialComp.toShort)
         hdr.putShort(0) // header version
         hdr.putInt(uncompLen)
         hdr.putShort(payloadRef.toShort) // DFTAG_COMPRESSED payload ref
         hdr.putShort(0) // model: stdio
-        hdr.putShort((if (s.comp == "rle") CompRle else CompDeflate).toShort)
-        hdr.putShort(0) // coder info (deflate level slot)
+        hdr.putShort(coder.toShort)
+        if (coder == CompSkpHuff) {
+          // skip size = element width (the library's own SDsetcompress
+          // usage) + the informational compressed size
+          hdr.putInt(widthOf(s.ntype))
+          hdr.putInt(compLen)
+        } else hdr.putShort(0) // coder info (deflate level slot)
         hdr.array()
       }
-      require(Set("none", "rle", "deflate")(s.comp),
-        s"SDS '${s.name}': unknown comp '${s.comp}' (none|rle|deflate)")
+      require(Set("none", "rle", "deflate", "skphuff")(s.comp),
+        s"SDS '${s.name}': unknown comp '${s.comp}' " +
+          "(none|rle|deflate|skphuff)")
       val dataMembers: Seq[(Int, Int)] = s.chunkDims match {
         case Some(cd) =>
           // CHUNKED storage: full-size chunk elements (plain or COMP
@@ -1043,11 +1075,11 @@ object Hdf {
             if (s.comp == "none") {
               els += El(TagChunk, cref, chunk)
             } else {
-              val packed =
-                if (s.comp == "rle") rleEncode(chunk) else Deflate(chunk)
+              val packed = packOne(chunk)
               val pref = ref()
               els += El(TagCompressed, pref, packed)
-              els += El(TagChunk | ExtendedBit, cref, compHeader(chunk.length, pref))
+              els += El(TagChunk | ExtendedBit, cref,
+                compHeader(chunk.length, pref, packed.length))
             }
             (origin, cref)
           }
@@ -1112,12 +1144,11 @@ object Hdf {
             els += El(TagSD, r, raw.array())
             Seq((TagSD, r))
           case _ =>
-            val packed =
-              if (s.comp == "rle") rleEncode(raw.array())
-              else Deflate(raw.array())
+            val packed = packOne(raw.array())
             val compRef = ref()
             els += El(TagCompressed, compRef, packed)
-            els += El(TagSD | ExtendedBit, r, compHeader(raw.array().length, compRef))
+            els += El(TagSD | ExtendedBit, r,
+              compHeader(raw.array().length, compRef, packed.length))
             Seq((TagSD | ExtendedBit, r))
         }
       }

@@ -345,7 +345,7 @@ class CodecPropertySpec extends AnyFunSuite {
       val specs = (0 until 1 + rnd.nextInt(3)).map { s =>
         val dims = Seq.fill(1 + rnd.nextInt(2))(1 + rnd.nextInt(8))
         val t = types(rnd.nextInt(types.length))
-        val comp = Seq("none", "rle", "deflate")(rnd.nextInt(3))
+        val comp = Seq("none", "rle", "deflate", "skphuff")(rnd.nextInt(4))
         val (lo, hi) = range(t)
         val values = Array.fill(dims.product)(
           (lo + rnd.nextInt(hi - lo + 1)).toDouble)

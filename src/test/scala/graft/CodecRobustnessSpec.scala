@@ -105,12 +105,14 @@ class CodecRobustnessSpec extends AnyFunSuite {
     })
   }
 
-  test("HDF4 (rle + deflate SDS) survives the corruption sweep") {
+  test("HDF4 (rle + deflate + skphuff SDS) survives the corruption sweep") {
     val enc = Hdf.encode(Seq(
       Hdf.SdsSpec("a", Seq(2, 3), 22, Array.tabulate(6)(_.toDouble),
         fill = Some(-3000.0), comp = "rle"),
       Hdf.SdsSpec("b", Seq(2, 3), 5, Array.tabulate(6)(_ * 1.5),
-        comp = "deflate")))
+        comp = "deflate"),
+      Hdf.SdsSpec("c", Seq(3, 3), 22, Array.tabulate(9)(i => (i * 7 % 5).toDouble),
+        comp = "skphuff")))
     sweep("hdf4", enc, bytes => {
       val f = Hdf.decode(bytes)
       f.sds.foreach(s => Hdf.read(f, s.name))

@@ -280,6 +280,71 @@ class HdfSpec extends SparkSpec {
     refuseNbit(nbitHdr(2, 0, 0, 3, 6), "off the 2-byte element")
   }
 
+  test("skipping-Huffman coder (3): splay codec invariants, hand-built " +
+      "fixture, writer round-trip, refusals by name") {
+    import graft.sources.SkpHuff
+    // fresh-tree identity: the balanced initial tree codes byte v as
+    // its own 8 bits (leaf 256+v spelled below the leading 1), so the
+    // FIRST symbol of every tree passes through verbatim — a
+    // hand-computable anchor for the whole convention set
+    for (v <- Seq(0x00, 0x01, 0x7f, 0x80, 0xAB, 0xff))
+      assert(SkpHuff.encode(Array(v.toByte), 1).toSeq == Seq(v.toByte),
+        s"first-code identity failed for $v")
+    // with skip size 2 the SECOND byte hits its OWN fresh tree: a
+    // 2-byte element compresses to exactly itself
+    assert(SkpHuff.encode(Array(0x01, 0x02).map(_.toByte), 2).toSeq ==
+      Seq(0x01.toByte, 0x02.toByte))
+    // adaptation: splaying pulls a repeated symbol toward the root —
+    // a 100-byte run codes far under its plain size
+    val run = Array.fill(100)(7.toByte)
+    val packedRun = SkpHuff.encode(run, 1)
+    assert(packedRun.length < 50, s"${packedRun.length} bytes for 100-run")
+    assert(SkpHuff.decode("t", packedRun, 100, 1).toSeq == run.toSeq)
+    // random round-trip across skip sizes (the kernel under the
+    // writer; CodecPropertySpec exercises the full SDS path)
+    val rnd = new scala.util.Random(0x5111)
+    for (skp <- Seq(1, 2, 4, 8); _ <- 0 until 5) {
+      val data = Array.fill(1 + rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val back = SkpHuff.decode("t", SkpHuff.encode(data, skp), data.length, skp)
+      assert(back.toSeq == data.toSeq, s"skp=$skp")
+    }
+    // hand-built COMP fixture: one Int16 element 0x0102 under a
+    // 22-byte skphuff header (skp_size 2) — by the fresh-tree
+    // identity its payload is literally 0x01 0x02
+    def skpHdr(uncompLen: Int, skp: Int): Array[Byte] = {
+      val h = java.nio.ByteBuffer.allocate(22)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      h.putShort(3).putShort(0).putInt(uncompLen).putShort(2).putShort(0)
+      h.putShort(Hdf.CompSkpHuff.toShort)
+      h.putInt(skp).putInt(0) // skp_size, comp size (informational)
+      h.array()
+    }
+    val plain = handSpecial((1, 1), skpHdr(2, 2),
+      Some((Hdf.TagCompressed, Array(0x01, 0x02).map(_.toByte))))
+    assert(Hdf.read(Hdf.decode(plain), "sds_1").toSeq == Seq(258.0))
+    // writer round-trip, contiguous AND chunked, with adversarial
+    // (incompressible) data
+    val vals = Array.tabulate(64)(i => ((i * 131) % 4099 - 2048).toDouble)
+    val enc = Hdf.encode(Seq(
+      Hdf.SdsSpec("s", Seq(8, 8), 22, vals, comp = "skphuff"),
+      Hdf.SdsSpec("sc", Seq(8, 8), 24, vals, comp = "skphuff",
+        chunkDims = Some(Seq(3, 5)))))
+    val f = Hdf.decode(enc)
+    assert(Hdf.read(f, "s").toSeq == vals.toSeq)
+    assert(Hdf.read(f, "sc").toSeq == vals.toSeq)
+    // refusals by name: truncated payload, out-of-range skip size
+    val eTrunc = intercept[IllegalArgumentException] {
+      Hdf.read(Hdf.decode(handSpecial((1, 2), skpHdr(4, 2),
+        Some((Hdf.TagCompressed, Array(0x01.toByte))))), "sds_1")
+    }
+    assert(eTrunc.getMessage.contains("exhausted"), eTrunc.getMessage)
+    val eSkp = intercept[IllegalArgumentException] {
+      Hdf.read(Hdf.decode(handSpecial((1, 1), skpHdr(2, 0),
+        Some((Hdf.TagCompressed, Array(0x01, 0x02).map(_.toByte))))), "sds_1")
+    }
+    assert(eSkp.getMessage.contains("skip size"), eSkp.getMessage)
+  }
+
   test("external elements (special 2) read their sibling file through " +
       "the resolver; byte-level decode and off-shape records refuse") {
     import java.nio.{ByteBuffer, ByteOrder}
