@@ -40,11 +40,13 @@ import org.apache.spark.sql.functions._
   * Also decoded: LINKED-block elements (r12), SZIP/CCSDS coders via
   * the clean-room [[Szip]] (r12), EXTERNAL elements through a
   * sibling-relative resolver and the N-BIT coder (r14 — the legacy
-  * MODIS L1 shapes), and the skipping-Huffman coder via the splay
-  * codec [[SkpHuff]] (r15 — conventions documented there).
+  * MODIS L1 shapes), the skipping-Huffman coder via the splay codec
+  * [[SkpHuff]] (r15 — conventions documented there), and the JPEG
+  * coder via the JDK's ImageIO on the 8-bit grayscale contract (r15,
+  * [[jpegDecode]]).
   *
   * Refused LOUDLY (the codec-gate discipline — never guess at bytes):
-  * the JPEG coder, N-bit float or both-flags layouts,
+  * color/palette JPEG payloads, N-bit float or both-flags layouts,
   * CHAR data on the numeric path, variable-length linked blocks, and
   * any chunk table off the standard `{origin[ndims], chk_tag,
   * chk_ref}` record shape. The DD WALK still inventories such files
@@ -89,6 +91,7 @@ object Hdf {
   val CompSkpHuff = 3
   val CompDeflate = 4
   val CompSzip = 5
+  val CompJpeg = 7 // 6 is the library's COMP_CODE_INVALID placeholder
 
   // DFNT number types (numeric subset)
   val Float32 = 5
@@ -495,10 +498,11 @@ object Hdf {
       case CompSkpHuff => require(d.len >= 22,
         s"SDS '$owner': truncated skipping-Huffman coder info " +
           s"(${d.len}-byte header, need 22)")
+      case CompJpeg => () // the JFIF stream is self-describing; the
+                          // quality/baseline coder info is write-only
       case other => throw new IllegalArgumentException(
-        s"SDS '$owner': coder $other unsupported (JPEG needs " +
-          "external codecs) — only NONE/RLE/NBIT/SKPHUFF/DEFLATE/SZIP " +
-          "decode")
+        s"SDS '$owner': coder $other unsupported — only NONE/RLE/" +
+          "NBIT/SKPHUFF/DEFLATE/SZIP/JPEG decode")
     }
     val comp = f.dds.find(x => x.tag == TagCompressed && x.ref == dataRef)
       .getOrElse(throw new IllegalArgumentException(
@@ -524,6 +528,7 @@ object Hdf {
           s"SDS '$owner': skipping-Huffman skip size $skp out of " +
             "range (1..1024 — element widths are 1-8 bytes)")
         SkpHuff.decode(owner, raw, uncompLen, skp)
+      case CompJpeg => jpegDecode(owner, raw, uncompLen)
       case CompSzip =>
         // coder info (big-endian, HCPquery_encode_header order):
         // pixels(4) pixels_per_scanline(4) options_mask(4)
@@ -615,6 +620,84 @@ object Hdf {
       i += 1
     }
     out
+  }
+
+  /** Decode one JPEG-coded payload (coder 7 — the legacy browse/raster
+    * compression older MODIS-era products carry) via the JDK's ImageIO
+    * JPEG decoder — a platform API, not an external codec: the GRIB
+    * 5.41 PNG discipline ([[GribMeta]]). The library's JPEG coder
+    * applies to 8-BIT data, so the contract here is single-band 8-bit
+    * non-palette grayscale carrying exactly the element's bytes in
+    * raster order (image width = the SDS's fastest-varying dim);
+    * multi-band, palette, or off-count images refuse by name. JPEG is
+    * lossy BY FORMAT — the decoded stream is exactly what the encoder
+    * published, so reading is deterministic; the engine's own writer
+    * twin exists for fixtures only and never for publish. */
+  private def jpegDecode(owner: String, raw: Array[Byte],
+      uncompLen: Int): Array[Byte] = {
+    // ImageIO raises IOException subclasses on corrupt streams; with a
+    // byte-array source corrupt input is the only plausible cause, so
+    // rename HERE (CodecGate deliberately passes IOException through)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(raw))
+      catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"SDS '$owner': JPEG coder declared but the payload is not " +
+            s"a decodable JPEG stream — ${e.getMessage}", e)
+      }
+    require(img != null,
+      s"SDS '$owner': JPEG coder declared but the payload is not a " +
+        "decodable JPEG stream")
+    val raster = img.getRaster
+    require(raster.getNumBands == 1 &&
+      !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel] &&
+      img.getColorModel.getComponentSize(0) == 8,
+      s"SDS '$owner': JPEG with ${raster.getNumBands} band(s) off the " +
+        "8-bit grayscale SDS contract — color or palette JPEG carries " +
+        "no defined numeric-element mapping here")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w.toLong * h == uncompLen,
+      s"SDS '$owner': JPEG carries ${w.toLong * h} pixels for the " +
+        s"$uncompLen-byte element")
+    val out = new Array[Byte](uncompLen)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(i) = raster.getSample(x, y, 0).toByte
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** ImageIO-written grayscale JPEG of `plain` (width = `width`) at
+    * maximum quality — the FIXTURE-ONLY writer twin of [[jpegDecode]]
+    * (JPEG is lossy; the publish paths never emit it; constant blocks
+    * round-trip exactly, which is what the specs pin). */
+  private def jpegEncode(plain: Array[Byte], width: Int): Array[Byte] = {
+    require(plain.length % width == 0,
+      s"JPEG fixture: ${plain.length} bytes not a multiple of width $width")
+    val h = plain.length / width
+    val img = new java.awt.image.BufferedImage(width, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, h, plain)
+    val bos = new java.io.ByteArrayOutputStream(plain.length / 2 + 1024)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   /** CHUNKED storage (special code 6) — the layout LAADS/LP DAAC MODIS
@@ -990,6 +1073,7 @@ object Hdf {
       def packOne(plain: Array[Byte]): Array[Byte] = s.comp match {
         case "rle" => rleEncode(plain)
         case "skphuff" => SkpHuff.encode(plain, widthOf(s.ntype))
+        case "jpeg" => jpegEncode(plain, s.dims.last)
         case _ => Deflate(plain)
       }
       def compHeader(uncompLen: Int, payloadRef: Int,
@@ -997,10 +1081,12 @@ object Hdf {
         val coder = s.comp match {
           case "rle" => CompRle
           case "skphuff" => CompSkpHuff
+          case "jpeg" => CompJpeg
           case _ => CompDeflate
         }
         val hdr = ByteBuffer
-          .allocate(if (coder == CompSkpHuff) 22 else 16)
+          .allocate(if (coder == CompSkpHuff || coder == CompJpeg) 22
+            else 16)
           .order(ByteOrder.BIG_ENDIAN)
         hdr.putShort(SpecialComp.toShort)
         hdr.putShort(0) // header version
@@ -1008,17 +1094,30 @@ object Hdf {
         hdr.putShort(payloadRef.toShort) // DFTAG_COMPRESSED payload ref
         hdr.putShort(0) // model: stdio
         hdr.putShort(coder.toShort)
-        if (coder == CompSkpHuff) {
-          // skip size = element width (the library's own SDsetcompress
-          // usage) + the informational compressed size
-          hdr.putInt(widthOf(s.ntype))
-          hdr.putInt(compLen)
-        } else hdr.putShort(0) // coder info (deflate level slot)
+        coder match {
+          case CompSkpHuff =>
+            // skip size = element width (the library's own
+            // SDsetcompress usage) + the informational compressed size
+            hdr.putInt(widthOf(s.ntype))
+            hdr.putInt(compLen)
+          case CompJpeg =>
+            hdr.putInt(100).putInt(1) // quality, force_baseline
+          case _ => hdr.putShort(0) // coder info (deflate level slot)
+        }
         hdr.array()
       }
-      require(Set("none", "rle", "deflate", "skphuff")(s.comp),
+      require(Set("none", "rle", "deflate", "skphuff", "jpeg")(s.comp),
         s"SDS '${s.name}': unknown comp '${s.comp}' " +
-          "(none|rle|deflate|skphuff)")
+          "(none|rle|deflate|skphuff|jpeg)")
+      if (s.comp == "jpeg") {
+        // the JPEG coder's contract is 8-bit grayscale, and JPEG is
+        // LOSSY — fixture writing only, contiguous only (a per-chunk
+        // JPEG would need per-chunk image geometry)
+        require(widthOf(s.ntype) == 1,
+          s"SDS '${s.name}': JPEG comp applies to 1-byte types")
+        require(s.chunkDims.isEmpty,
+          s"SDS '${s.name}': JPEG comp is contiguous-only here")
+      }
       val dataMembers: Seq[(Int, Int)] = s.chunkDims match {
         case Some(cd) =>
           // CHUNKED storage: full-size chunk elements (plain or COMP

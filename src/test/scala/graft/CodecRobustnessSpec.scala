@@ -112,7 +112,9 @@ class CodecRobustnessSpec extends AnyFunSuite {
       Hdf.SdsSpec("b", Seq(2, 3), 5, Array.tabulate(6)(_ * 1.5),
         comp = "deflate"),
       Hdf.SdsSpec("c", Seq(3, 3), 22, Array.tabulate(9)(i => (i * 7 % 5).toDouble),
-        comp = "skphuff")))
+        comp = "skphuff"),
+      Hdf.SdsSpec("j", Seq(8, 8), 21, Array.fill(64)(42.0),
+        comp = "jpeg")))
     sweep("hdf4", enc, bytes => {
       val f = Hdf.decode(bytes)
       f.sds.foreach(s => Hdf.read(f, s.name))

@@ -176,7 +176,8 @@ class HdfSpec extends SparkSpec {
     def compHdr(coder: Int) = special(hdr16(3, 0, 0, 2, 1, 0, coder))
     refuse(compHdr(Hdf.CompNBit), "n-bit")
     refuse(compHdr(Hdf.CompSkpHuff), "huffman")
-    refuse(compHdr(7), "coder 7") // JPEG stays a refusal
+    refuse(compHdr(9), "coder 9") // unknown coders still refuse (7 =
+                                  // JPEG decodes as of r15)
     // szip with a header too short for its coder info refuses by name
     refuse(compHdr(Hdf.CompSzip), "truncated szip coder info")
     // CHAR data type on the numeric path
@@ -204,7 +205,7 @@ class HdfSpec extends SparkSpec {
     * given tag with ref 2. */
   private def handSpecial(dims: (Int, Int), spHdr: Array[Byte],
       payload: Option[(Int, Array[Byte])] = None): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(512)
+    val bb = java.nio.ByteBuffer.allocate(8192)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     val nDD = 4 + payload.size
     bb.putInt(0x0e031301)
@@ -343,6 +344,71 @@ class HdfSpec extends SparkSpec {
         Some((Hdf.TagCompressed, Array(0x01, 0x02).map(_.toByte))))), "sds_1")
     }
     assert(eSkp.getMessage.contains("skip size"), eSkp.getMessage)
+  }
+
+  test("JPEG coder (7) decodes via ImageIO: constant blocks exact, " +
+      "gradient within tolerance, refusals by name") {
+    // constant uint8 grid: DC-only JPEG blocks decode EXACTLY, so the
+    // lossy format still yields a bit-exact writer round-trip
+    val const = Array.fill(64)(137.0)
+    val encC = Hdf.encode(Seq(
+      Hdf.SdsSpec("c", Seq(8, 8), Hdf.UInt8, const, comp = "jpeg")))
+    assert(Hdf.read(Hdf.decode(encC), "c").toSeq == const.toSeq)
+    // smooth gradient at max quality decodes within a small tolerance
+    // (JPEG is lossy by format — reading a published stream is still
+    // deterministic, which is what the decode contract needs)
+    val grad = Array.tabulate(256)(i => ((i / 16) * 8 + 60).toDouble)
+    val encG = Hdf.encode(Seq(
+      Hdf.SdsSpec("g", Seq(16, 16), Hdf.UInt8, grad, comp = "jpeg")))
+    val back = Hdf.read(Hdf.decode(encG), "g")
+    assert(back.length == 256)
+    grad.zip(back).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 4.0, s"$a vs $b")
+    }
+    // hand-built refusal fixtures under a 22-byte JPEG COMP header
+    def jpegHdr(uncompLen: Int): Array[Byte] = {
+      val h = java.nio.ByteBuffer.allocate(22)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      h.putShort(3).putShort(0).putInt(uncompLen).putShort(2).putShort(0)
+      h.putShort(Hdf.CompJpeg.toShort)
+      h.putInt(100).putInt(1) // quality, force_baseline
+      h.array()
+    }
+    def jpegOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    def refuseJpeg(dims: (Int, Int), uncompLen: Int,
+        payload: Array[Byte], want: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Hdf.read(Hdf.decode(handSpecial(dims, jpegHdr(uncompLen),
+          Some((Hdf.TagCompressed, payload)))), "sds_1")
+      }
+      assert(e.getMessage.contains(want), e.getMessage)
+    }
+    // color JPEG: no defined numeric-element mapping — refuse by name
+    val rgb = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    refuseJpeg((1, 32), 64, jpegOf(rgb), "band")
+    // pixel count off the element's byte count
+    val gray = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    refuseJpeg((1, 16), 32, jpegOf(gray), "carries 64 pixels")
+    // not a JPEG stream at all
+    refuseJpeg((1, 16), 32, "definitely not a jpeg".getBytes("US-ASCII"),
+      "decodable JPEG")
+    // writer-side contracts: 1-byte types only, contiguous only
+    val e1 = intercept[IllegalArgumentException] {
+      Hdf.encode(Seq(Hdf.SdsSpec("x", Seq(2, 2), Hdf.Int16,
+        Array.fill(4)(1.0), comp = "jpeg")))
+    }
+    assert(e1.getMessage.contains("1-byte"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Hdf.encode(Seq(Hdf.SdsSpec("x", Seq(4, 4), Hdf.UInt8,
+        Array.fill(16)(1.0), comp = "jpeg", chunkDims = Some(Seq(2, 2)))))
+    }
+    assert(e2.getMessage.contains("contiguous"), e2.getMessage)
   }
 
   test("external elements (special 2) read their sibling file through " +
