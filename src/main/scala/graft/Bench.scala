@@ -103,11 +103,15 @@ object Bench {
       calib: Seq[Double] = Nil,
       stalled: Seq[String] = Nil): String = {
     val total = results.map(_._2).sum
+    // capped name-list rendering shared by the failure and stall
+    // fields — long lists must never blow the line budget
+    def cappedList(names: Seq[String]): String =
+      if (names.size <= 5) names.map("\"" + _ + "\"").mkString("[", ",", "]")
+      else names.take(5).map("\"" + _ + "\"")
+        .mkString("[", ",", s""","+${names.size - 5} more"]""")
     // failed queries are flagged in the JSON and fail the run — a
     // fast-fail timing must never read as a performance win
-    val errs =
-      if (failed.size <= 5) failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      else failed.take(5).map("\"" + _ + "\"").mkString("[", ",", s""","+${failed.size - 5} more"]""")
+    val errs = cappedList(failed)
     val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":{"""
     // both columns for the staged queries, fixed small (≤5 entries) —
     // goes in the measured suffix so the budget math stays exact
@@ -123,10 +127,7 @@ object Bench {
     // contended run had one query at 10× with calib probes clean.
     val stalledJson =
       if (stalled.isEmpty) ""
-      else (if (stalled.size <= 5) stalled.map("\"" + _ + "\"")
-            else stalled.take(5).map("\"" + _ + "\"") :+
-              s""""+${stalled.size - 5} more"""")
-        .mkString(""","stalled":[""", ",", "]")
+      else s""","stalled":${cappedList(stalled)}"""
     val calibJson =
       if (calib.isEmpty && stalled.isEmpty) ""
       else {
@@ -227,16 +228,20 @@ object Bench {
     // per-query stall check vs the round's committed clean BenchScale
     // artifact — same-scale column only (the driver benches sf0.1);
     // any other sf dir has no clean twin and skips the check
+    // current round's clean artifact when it exists, else the PREVIOUS
+    // round's committed one — the check must be armed on a fresh
+    // checkout too (the r14 incident happened on exactly the
+    // driver-bench-before-BenchScale ordering; r15 review): per-query
+    // times swing ±40 % between rounds, well inside the 3× gate
     val twin: Map[String, Double] =
       if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Map.empty
-      else {
-        val f = java.nio.file.Paths.get(BenchScale.ArtifactPath)
-        if (java.nio.file.Files.exists(f))
-          BenchScale.parseQueries(
-            new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
-            .map { case (k, (sf01, _)) => k -> sf01 }
-        else Map.empty
-      }
+      else Seq(BenchScale.ArtifactPath, BenchScale.PrevArtifactPath)
+        .map(java.nio.file.Paths.get(_))
+        .find(java.nio.file.Files.exists(_))
+        .map(f => BenchScale.parseQueries(
+          new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+          .map { case (k, (sf01, _)) => k -> sf01 })
+        .getOrElse(Map.empty)
     val stalled = stalls(results, twin)
     println(renderJson(results, failed.toList, sfDir, stagedTimes.toList,
       calib.toList, stalled))

@@ -85,14 +85,17 @@ object GeoTiff {
   /** Transparent unwrap of gzip-wrapped TIFFs (`.tif.gz`, the CHIRPS
     * distribution shape — the reference gunzips before GDAL;
     * `chirps_rainfall/__init__.py:334`): magic-sniffed so plain files
-    * pay nothing, inflation hard-capped at the 2^27-pixel raster cap
-    * times the WIDEST sample the decoder accepts (float64 = 8 B/px →
-    * 2^30), plus 1 MiB of header/IFD allowance — so every raster the
-    * decoder could legitimately accept fits the cap regardless of
-    * sample type (r14 advice: the old float32-derived 2^29 refused
-    * large gz-wrapped float64 TIFFs whose plain twins decoded fine). */
+    * pay nothing, inflation hard-capped at the byte-array maximum the
+    * decoder could ever index (classic-TIFF offsets are 32-bit and
+    * every access goes through one wrapped array) — any per-raster
+    * cap would refuse LEGITIMATE multi-IFD files a plain twin
+    * decodes: a float64 COG at the 2^27-pixel base cap carries ~2^30
+    * bytes of base raster PLUS its overview pyramid (r14 advice fixed
+    * the float32-derived cap; r15 review caught the same class again
+    * on the pyramid). A crafted bomb costs at most one bounded array,
+    * the same worst case the GRIB unwrap accepts. */
   private def unwrap(bytes: Array[Byte]): Array[Byte] =
-    if (Gz.isGz(bytes)) Gz.gunzip(bytes, (1L << 30) + (1L << 20), "GeoTIFF")
+    if (Gz.isGz(bytes)) Gz.gunzip(bytes, Int.MaxValue - 16L, "GeoTIFF")
     else bytes
 
   /** Number of IFDs chained in a classic TIFF (1 for the plain writer,

@@ -342,7 +342,7 @@ object Hdf {
         case SpecialComp =>
           compPayload(f, sds.name, d, b,
             Math.multiplyExact(nElems(sds.dims, sds.name),
-              widthOf(sds.ntype).toLong))
+              widthOf(sds.ntype).toLong), sds.dims.last)
         case SpecialChunked => chunkedPayload(f, sds, d, b)
         case SpecialLinked => linkedPayload(f, sds.name, d, b)
         case SpecialExt =>
@@ -472,7 +472,7 @@ object Hdf {
     * DFTAG_COMPRESSED element with `payload_ref`. `b` is the
     * big-endian slice of the special header; `owner` names refusals. */
   private def compPayload(f: HdfFile, owner: String, d: DD,
-      b: ByteBuffer, expectBytes: Long): Array[Byte] = {
+      b: ByteBuffer, expectBytes: Long, rowWidth: Int): Array[Byte] = {
     require(d.len >= 14, s"SDS '$owner': truncated COMP header")
     val uncompLen = b.getInt(4)
     // ALLOCATION gate (r14 whole-round review): uncomp_len sizes the
@@ -528,7 +528,7 @@ object Hdf {
           s"SDS '$owner': skipping-Huffman skip size $skp out of " +
             "range (1..1024 — element widths are 1-8 bytes)")
         SkpHuff.decode(owner, raw, uncompLen, skp)
-      case CompJpeg => jpegDecode(owner, raw, uncompLen)
+      case CompJpeg => jpegDecode(owner, raw, uncompLen, rowWidth)
       case CompSzip =>
         // coder info (big-endian, HCPquery_encode_header order):
         // pixels(4) pixels_per_scanline(4) options_mask(4)
@@ -628,51 +628,64 @@ object Hdf {
     * 5.41 PNG discipline ([[GribMeta]]). The library's JPEG coder
     * applies to 8-BIT data, so the contract here is single-band 8-bit
     * non-palette grayscale carrying exactly the element's bytes in
-    * raster order (image width = the SDS's fastest-varying dim);
-    * multi-band, palette, or off-count images refuse by name. JPEG is
+    * raster order, the image width ENFORCED equal to the element's
+    * fastest-varying dim (a re-shaped image would silently reorder
+    * the grid); multi-band, palette, off-count or off-width images
+    * refuse by name, and the SOF dimensions gate BEFORE any pixel
+    * allocation. JPEG is
     * lossy BY FORMAT — the decoded stream is exactly what the encoder
     * published, so reading is deterministic; the engine's own writer
     * twin exists for fixtures only and never for publish. */
-  private def jpegDecode(owner: String, raw: Array[Byte],
-      uncompLen: Int): Array[Byte] = {
+  private def jpegDecode(owner: String, raw: Array[Byte], uncompLen: Int,
+      rowWidth: Int): Array[Byte] = {
     // ImageIO raises IOException subclasses on corrupt streams; with a
     // byte-array source corrupt input is the only plausible cause, so
     // rename HERE (CodecGate deliberately passes IOException through)
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(raw))
-      catch {
-        case e: java.io.IOException => throw new IllegalArgumentException(
-          s"SDS '$owner': JPEG coder declared but the payload is not " +
-            s"a decodable JPEG stream — ${e.getMessage}", e)
-      }
-    require(img != null,
-      s"SDS '$owner': JPEG coder declared but the payload is not a " +
-        "decodable JPEG stream")
-    val raster = img.getRaster
-    require(raster.getNumBands == 1 &&
-      !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel] &&
-      img.getColorModel.getComponentSize(0) == 8,
-      s"SDS '$owner': JPEG with ${raster.getNumBands} band(s) off the " +
-        "8-bit grayscale SDS contract — color or palette JPEG carries " +
-        "no defined numeric-element mapping here")
-    val w = img.getWidth
-    val h = img.getHeight
-    require(w.toLong * h == uncompLen,
-      s"SDS '$owner': JPEG carries ${w.toLong * h} pixels for the " +
-        s"$uncompLen-byte element")
-    val out = new Array[Byte](uncompLen)
-    var i = 0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        out(i) = raster.getSample(x, y, 0).toByte
-        i += 1
-        x += 1
-      }
-      y += 1
-    }
-    out
+    def rename(e: java.io.IOException): Nothing =
+      throw new IllegalArgumentException(
+        s"SDS '$owner': JPEG coder declared but the payload is not " +
+          s"a decodable JPEG stream — ${e.getMessage}", e)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(raw))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        s"SDS '$owner': JPEG coder declared but the payload is not a " +
+          "decodable JPEG stream")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        // DIMENSION gates read from the SOF header BEFORE any pixel
+        // decode — a crafted stream declaring 65535×65535 must refuse
+        // here, never allocate its raster first (the declared-count
+        // allocation discipline, r15 review)
+        val (w, h) =
+          try (reader.getWidth(0), reader.getHeight(0))
+          catch { case e: java.io.IOException => rename(e) }
+        require(w == rowWidth,
+          s"SDS '$owner': JPEG width $w != the element's " +
+            s"fastest-varying dim $rowWidth — a re-shaped image would " +
+            "silently reorder the grid")
+        require(w.toLong * h == uncompLen,
+          s"SDS '$owner': JPEG carries ${w.toLong * h} pixels for the " +
+            s"$uncompLen-byte element")
+        val img =
+          try reader.read(0)
+          catch { case e: java.io.IOException => rename(e) }
+        val raster = img.getRaster
+        require(raster.getNumBands == 1 &&
+          !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel] &&
+          img.getColorModel.getComponentSize(0) == 8 &&
+          raster.getTransferType == java.awt.image.DataBuffer.TYPE_BYTE,
+          s"SDS '$owner': JPEG with ${raster.getNumBands} band(s) off " +
+            "the 8-bit grayscale SDS contract — color or palette JPEG " +
+            "carries no defined numeric-element mapping here")
+        // one bulk row-major transfer (the gray raster's native order)
+        val out = new Array[Byte](uncompLen)
+        raster.getDataElements(0, 0, w, h, out)
+        out
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   /** ImageIO-written grayscale JPEG of `plain` (width = `width`) at
@@ -856,7 +869,7 @@ object Hdf {
             s"SDS '$name': chunk $r special code $code unsupported " +
               "(only COMP chunks decode; nested chunking refused)")
           compPayload(f, s"$name[chunk $r]", cdd, cb,
-            chunkElems.toLong * w)
+            chunkElems.toLong * w, cdims.last)
         }
       require(raw.length >= chunkElems.toLong * w,
         s"SDS '$name': chunk $r has ${raw.length} bytes < " +

@@ -105,15 +105,24 @@ object NcGridSource {
     * or crafted stream's trailer covers only the LAST member mod 2^32,
     * so an unbounded check could bless a wildly overstated file length
     * — r14 advice). Anything inconsistent falls back to the whole-file
-    * decode, which unwraps strictly. A wrapped file the prefix already
-    * covers WHOLE skips the prefix machinery entirely and decodes
-    * strictly ONCE — the old any-exception fallback re-read and
-    * re-inflated a corrupt small file just to reproduce the same
-    * refusal (r14 advice). */
+    * decode, which unwraps strictly. A wrapped file that is SMALL both
+    * ways — compressed inside the prefix AND its ISIZE inside the
+    * prefix budget — skips the prefix machinery and decodes strictly
+    * ONCE (the old any-exception fallback re-read and re-inflated a
+    * corrupt small file just to reproduce the same refusal, r14
+    * advice); a small-compressed/large-inflated file stays on the
+    * bounded path, since 1032× expansion is legal. */
   private[graft] def planningHeader(file: String): NetCdf.NcFile = {
     val (prefix, len) = GridFiles.readPrefix(file, HeaderPrefixBytes)
     if (Gz.isGz(prefix)) {
-      if (len <= prefix.length) NetCdf.decode(prefix)
+      // the single-strict-decode shortcut needs BOTH sizes small: a
+      // 900 KB gz can legally inflate to ~900 MB (1032×), and
+      // inflating that in the driver would break this function's own
+      // never-buffer-cubes invariant — such files take the bounded
+      // prefix path below instead (r15 review)
+      if (len >= 4 && len <= prefix.length &&
+          Gz.isize(prefix.takeRight(4)) <= HeaderPrefixBytes)
+        NetCdf.decode(prefix)
       else {
         val inflated = Gz.gunzipPrefix(prefix, HeaderPrefixBytes)
         try {

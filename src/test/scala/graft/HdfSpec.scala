@@ -388,13 +388,19 @@ class HdfSpec extends SparkSpec {
       assert(e.getMessage.contains(want), e.getMessage)
     }
     // color JPEG: no defined numeric-element mapping — refuse by name
-    val rgb = new java.awt.image.BufferedImage(8, 8,
+    // (32×2 so the dimension gates pass and the band gate is what fires)
+    val rgb = new java.awt.image.BufferedImage(32, 2,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     refuseJpeg((1, 32), 64, jpegOf(rgb), "band")
-    // pixel count off the element's byte count
-    val gray = new java.awt.image.BufferedImage(8, 8,
+    // pixel count off the element's byte count (width matches)
+    val gray16 = new java.awt.image.BufferedImage(16, 4,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    refuseJpeg((1, 16), 32, jpegOf(gray), "carries 64 pixels")
+    refuseJpeg((1, 16), 32, jpegOf(gray16), "carries 64 pixels")
+    // width off the fastest-varying dim: a re-shaped image would
+    // silently reorder the grid — refuse by name
+    val gray8 = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    refuseJpeg((1, 32), 64, jpegOf(gray8), "fastest-varying")
     // not a JPEG stream at all
     refuseJpeg((1, 16), 32, "definitely not a jpeg".getBytes("US-ASCII"),
       "decodable JPEG")
