@@ -47,6 +47,17 @@ object Bench {
     * observed idle) and well below what a co-running build causes. */
   val LoadSpreadFlag = 1.5
 
+  /** Absolute calibration ceiling: the fixed probe runs 0.14-0.17 s
+    * on this pinned local[32] sandbox in EVERY committed clean
+    * artifact (r14, r15 — it is pure CPU, insensitive to page cache).
+    * UNIFORM contention slows all probes together, so the spread gate
+    * alone stays silent (observed: calib 0.41-0.56, spread 1.37, on a
+    * run where one query took 3× its clean time); any probe floor
+    * above 2× the clean ceiling marks the run loaded regardless of
+    * spread. A future faster machine only makes this gate laxer,
+    * never a false flag. */
+  val CalibAbsFlag = 0.35
+
   /** Per-query stall gate vs the round's clean BenchScale artifact:
     * any query this much slower than its committed sf0.1 twin (above
     * [[StallFloorSec]]) marks the run CONTENDED. The calibration
@@ -133,7 +144,10 @@ object Bench {
       else {
         val spread = calib.nonEmpty && calib.min > 0 &&
           calib.max / calib.min > LoadSpreadFlag
-        val flagged = spread || stalled.nonEmpty
+        // uniform contention slows every probe together — the spread
+        // gate alone misses it; the absolute ceiling doesn't
+        val slow = calib.nonEmpty && calib.min > CalibAbsFlag
+        val flagged = spread || slow || stalled.nonEmpty
         calib.map(c => f"$c%.2f").mkString(""","calib":[""", ",",
           s"""],"load_flag":$flagged""")
       }

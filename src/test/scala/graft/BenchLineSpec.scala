@@ -52,6 +52,15 @@ class BenchLineSpec extends AnyFunSuite {
     assert(loaded.length <= Bench.LineBudget)
     // no samples (filtered dev runs): field simply absent
     assert(!Bench.renderJson(fakeResults(5), Nil, "sfdir").contains("calib"))
+    // UNIFORM contention: every probe slow, spread small — the
+    // absolute ceiling flags what the spread gate can't (observed
+    // live: calib 0.41-0.56 with one query at 3x its clean time)
+    val uniform = Bench.renderJson(fakeResults(200), Nil, "sfdir",
+      calib = Seq(0.41, 0.47, 0.56))
+    assert(uniform.contains(""""load_flag":true"""), uniform)
+    // clean absolute range stays unflagged
+    assert(Bench.renderJson(fakeResults(200), Nil, "sfdir",
+      calib = Seq(0.14, 0.17, 0.15)).contains(""""load_flag":false"""))
   }
 
   test("staged queries publish both columns and stay inside the budget") {
