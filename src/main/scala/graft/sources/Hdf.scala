@@ -225,6 +225,12 @@ object Hdf {
         s"NDG ref=${g.ref} has no dimension record (DFTAG_SDD)"))
       val sb = slice(sdd)
       val rank = sb.getShort(0) & 0xffff
+      // the library's own bounds (SDcreate: 1..MAX_VAR_DIMS); a rank-0
+      // record would leave dims empty and crash every dims.last /
+      // dims.product consumer with an UNNAMED error downstream (r15
+      // review: the JPEG coder's fastest-dim gate reads dims.last)
+      require(rank >= 1 && rank <= 32,
+        s"SDD ref=${sdd.ref}: rank $rank out of range (1..32)")
       require(sdd.len >= 2 + 4L * rank + 4,
         s"SDD ref=${sdd.ref}: rank $rank overruns the record")
       val dims = (0 until rank).map(i => sb.getInt(2 + 4 * i))
@@ -653,6 +659,13 @@ object Hdf {
         s"SDS '$owner': JPEG coder declared but the payload is not a " +
           "decodable JPEG stream")
       val reader = readers.next()
+      // the enumeration matches by CONTENT — a grayscale PNG/BMP that
+      // happens to fit the shape gates would otherwise decode under
+      // the JPEG coder silently (r15 review); gate the format by name
+      require(reader.getFormatName.toLowerCase.contains("jpeg"),
+        s"SDS '$owner': coder 7 payload decodes as " +
+          s"${reader.getFormatName}, not JPEG — refusing a mislabeled " +
+          "stream")
       try {
         reader.setInput(iis, true, true)
         // DIMENSION gates read from the SOF header BEFORE any pixel

@@ -118,12 +118,25 @@ object NcGridSource {
       // the single-strict-decode shortcut needs BOTH sizes small: a
       // 900 KB gz can legally inflate to ~900 MB (1032×), and
       // inflating that in the driver would break this function's own
-      // never-buffer-cubes invariant — such files take the bounded
-      // prefix path below instead (r15 review)
-      if (len >= 4 && len <= prefix.length &&
-          Gz.isize(prefix.takeRight(4)) <= HeaderPrefixBytes)
-        NetCdf.decode(prefix)
-      else {
+      // never-buffer-cubes invariant. The ISIZE screen is only a
+      // fast-path hint — a multi-member trailer covers its LAST
+      // member and can lie small — so the shortcut inflates under its
+      // OWN planning-budget cap: a spoofed trailer trips the cap
+      // during inflation (never after a big allocation) and the file
+      // drops to the bounded prefix path below (r15 review ×2)
+      val small: Option[Array[Byte]] =
+        if (len >= 4 && len <= prefix.length &&
+            Gz.isize(prefix.takeRight(4)) <= HeaderPrefixBytes)
+          try Some(Gz.gunzip(prefix, HeaderPrefixBytes, "NetCDF planning"))
+          catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("inflation cap") => None
+          }
+        else None
+      small match {
+        case Some(plain) => NetCdf.decode(plain)
+        case None =>
+      {
         val inflated = Gz.gunzipPrefix(prefix, HeaderPrefixBytes)
         try {
           val isz = Gz.isize(GridFiles.readTail(file, 4))
@@ -136,6 +149,7 @@ object NcGridSource {
         } catch { case _: Exception =>
           NetCdf.decode(GridFiles.readBytes(file))
         }
+      }
       }
     } else {
       try NetCdf.decodeHeader(prefix, len)

@@ -281,6 +281,20 @@ class HdfSpec extends SparkSpec {
     refuseNbit(nbitHdr(2, 0, 0, 3, 6), "off the 2-byte element")
   }
 
+  test("rank-0 SDD refuses by name at decode — empty dims must never " +
+      "reach the dims.last/product consumers as an unnamed crash") {
+    val bytes = handBuilt()
+    // the hand-built fixture's SDD rank short sits right after the
+    // record's start; locate it by the known layout: SDD payload
+    // begins with putShort(rank=2)
+    val sddRank = bytes.indexOfSlice(Array[Byte](0, 2, 0, 0, 0, 2, 0, 0, 0, 3))
+    assert(sddRank >= 0, "SDD rank field not found in fixture")
+    val patched = bytes.clone()
+    patched(sddRank + 1) = 0 // rank 2 → 0
+    val e = intercept[IllegalArgumentException] { Hdf.decode(patched) }
+    assert(e.getMessage.contains("rank 0 out of range"), e.getMessage)
+  }
+
   test("skipping-Huffman coder (3): splay codec invariants, hand-built " +
       "fixture, writer round-trip, refusals by name") {
     import graft.sources.SkpHuff
@@ -404,6 +418,18 @@ class HdfSpec extends SparkSpec {
     // not a JPEG stream at all
     refuseJpeg((1, 16), 32, "definitely not a jpeg".getBytes("US-ASCII"),
       "decodable JPEG")
+    // a DIFFERENT ImageIO-decodable format fitting every shape gate
+    // (grayscale PNG, right width and pixel count) still refuses by
+    // format name — content-matched readers must not smuggle non-JPEG
+    // streams through the JPEG coder (r15 review)
+    val pngGray = new java.awt.image.BufferedImage(16, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val pngBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(pngGray, "png", bos)
+      bos.toByteArray
+    }
+    refuseJpeg((1, 16), 32, pngBytes, "not JPEG")
     // writer-side contracts: 1-byte types only, contiguous only
     val e1 = intercept[IllegalArgumentException] {
       Hdf.encode(Seq(Hdf.SdsSpec("x", Seq(2, 2), Hdf.Int16,

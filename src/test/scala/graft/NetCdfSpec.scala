@@ -246,6 +246,24 @@ class NetCdfSpec extends SparkSpec {
       NcGridSource.planningHeader(dir.resolve("forged.nc.gz").toString)
     }
     assert(e.getMessage.toLowerCase.contains("gzip"), e.getMessage)
+    // r15 review: a SMALL multi-member stream (compressed inside the
+    // prefix) whose LAST member's trailer lies small must not ride
+    // the strict shortcut into an uncapped driver inflate — the
+    // shortcut's own planning-budget cap trips DURING inflation and
+    // the file falls through the bounded path to a correct header
+    val zeros = NetCdf.encode(
+      Seq(NetCdf.Dim("lat", 400), NetCdf.Dim("lon", 500)), Nil,
+      Seq(NetCdf.VarSpec("qty", Seq("lat", "lon"), NetCdf.NcDouble,
+        values = new Array[Double](400 * 500))),
+      numRecs = 0)
+    assert(zeros.length > NcGridSource.HeaderPrefixBytes) // inflates big
+    val zcut = zeros.length / 2
+    val zmulti = Gz.gzip(java.util.Arrays.copyOfRange(zeros, 0, zcut)) ++
+      Gz.gzip(java.util.Arrays.copyOfRange(zeros, zcut, zeros.length))
+    assert(zmulti.length < NcGridSource.HeaderPrefixBytes) // compressed small
+    java.nio.file.Files.write(dir.resolve("zsmall.nc.gz"), zmulti)
+    val hdr3 = NcGridSource.planningHeader(dir.resolve("zsmall.nc.gz").toString)
+    assert(hdr3.shapeOf(hdr3.variable("qty")).toSeq == Seq(400, 500))
   }
 
   test("a 2-D (time, series) variable refuses the grid path by name — " +
