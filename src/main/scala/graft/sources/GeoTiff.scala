@@ -85,17 +85,22 @@ object GeoTiff {
   /** Transparent unwrap of gzip-wrapped TIFFs (`.tif.gz`, the CHIRPS
     * distribution shape — the reference gunzips before GDAL;
     * `chirps_rainfall/__init__.py:334`): magic-sniffed so plain files
-    * pay nothing, inflation hard-capped at the byte-array maximum the
-    * decoder could ever index (classic-TIFF offsets are 32-bit and
-    * every access goes through one wrapped array) — any per-raster
-    * cap would refuse LEGITIMATE multi-IFD files a plain twin
-    * decodes: a float64 COG at the 2^27-pixel base cap carries ~2^30
-    * bytes of base raster PLUS its overview pyramid (r14 advice fixed
-    * the float32-derived cap; r15 review caught the same class again
-    * on the pyramid). A crafted bomb costs at most one bounded array,
-    * the same worst case the GRIB unwrap accepts. */
+    * pay nothing, inflation capped at DEFLATE's own expansion bound
+    * ([[Gz.deflateBound]]: 1032× the COMPRESSED length — r15 advice).
+    * That cap can never refuse a legitimate file (no valid DEFLATE
+    * stream exceeds it, so any content-derived per-raster cap would
+    * be strictly more refusing — the r14/r15 lesson was that both the
+    * float32-derived and the pixel-count caps refused legitimate
+    * multi-IFD float64 COGs), yet it bounds what a crafted few-KB
+    * bomb can allocate to a few MB instead of the ~2 GiB the old
+    * byte-array-maximum cap accepted. The byte-array maximum stays as
+    * the outer clamp: classic-TIFF offsets are 32-bit and every
+    * access goes through one wrapped array. */
   private def unwrap(bytes: Array[Byte]): Array[Byte] =
-    if (Gz.isGz(bytes)) Gz.gunzip(bytes, Int.MaxValue - 16L, "GeoTIFF")
+    if (Gz.isGz(bytes))
+      Gz.gunzip(bytes,
+        math.min(Int.MaxValue - 16L, Gz.deflateBound(bytes.length)),
+        "GeoTIFF")
     else bytes
 
   /** Number of IFDs chained in a classic TIFF (1 for the plain writer,

@@ -7,7 +7,14 @@ package graft.sources
 object GridFiles {
 
   /** Expand a path/glob to concrete file paths; a bare directory lists
-    * its `*.$ext` leaves. */
+    * its `*.$ext` leaves. A gz-wrapped file whose UNWRAPPED sibling is
+    * co-listed (`x.grb.gz` beside `x.grb`) is dropped: the pair is one
+    * archive twice — [[Gz.gunzipLanding]]'s crash window between its
+    * atomic move and the wrapped-original delete legally leaves both
+    * twins on disk momentarily, and a listing that kept both would
+    * double-read every record of that archive. The unwrapped twin wins
+    * (it is the complete post-move output and the one whose planner
+    * fans out per record). */
   def list(pathOrGlob: String, exts: String*): Seq[String] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val p = new org.apache.hadoop.fs.Path(pathOrGlob)
@@ -18,7 +25,10 @@ object GridFiles {
           fs.globStatus(new org.apache.hadoop.fs.Path(p, s"*.$ext")))
           .toSeq.flatten)
       else Option(fs.globStatus(p)).toSeq.flatten
-    expanded.filter(_.isFile).map(_.getPath.toString).distinct.sorted
+    val all = expanded.filter(_.isFile).map(_.getPath.toString).distinct
+    val plain = all.filterNot(_.endsWith(".gz")).toSet
+    all.filterNot(f => f.endsWith(".gz") && plain.contains(f.dropRight(3)))
+      .sorted
   }
 
   /** Whole-file bytes (codec decode is in-memory by design — grid

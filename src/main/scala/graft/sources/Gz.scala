@@ -81,6 +81,26 @@ object Gz {
     out.toByteArray
   }
 
+  /** DEFLATE's hard maximum expansion: a stream of `n` compressed
+    * bytes cannot legally inflate past ~1032×`n` — zlib's documented
+    * worst case (an RFC 1951 length/distance pair emits at most 258
+    * bytes and costs at least two bits in the most degenerate dynamic
+    * Huffman code: 4×258 = 1032 output bytes per input byte). Holds
+    * per member, therefore for member CHAINS too — so
+    * `compressedLen × 1032` is an inflation cap that can NEVER refuse
+    * a legitimate gzip file, yet bounds what a crafted few-KB bomb can
+    * make a decoder allocate to a few MB (r15 advice: the
+    * format-maximum array cap accepted a ~2 GiB allocation from a
+    * tiny input before any content gate ran). */
+  val MaxDeflateRatio = 1032L
+
+  /** Inflation cap derived from the compressed length via
+    * [[MaxDeflateRatio]], with a small constant floor so degenerate
+    * tiny inputs (a ~20-byte gzip of an empty file) never compute a
+    * cap below their legal output. */
+  def deflateBound(compressedLen: Long): Long =
+    compressedLen * MaxDeflateRatio + 4096L
+
   /** Uncompressed length from the gzip ISIZE trailer (`tail` is the
     * stream's LAST FOUR bytes, little-endian u32) — exact for
     * single-member streams under 4 GiB; callers validate consistency
@@ -150,9 +170,33 @@ object Gz {
         Files.deleteIfExists(tmp)
         throw e
     }
-    Files.delete(gzPath)
+    deleteWrapped(gzPath, dest)
     dest
   }
+
+  /** Final step of [[gunzipLanding]]: remove the wrapped original once
+    * the unwrapped twin is in place. `deleteIfExists`, not `delete` — a
+    * concurrent or re-entrant cycle that already unwrapped the same
+    * file leaves nothing to remove, and that cycle's landing SUCCEEDED
+    * (r15 advice: the both-twins-momentarily crash window already
+    * treats the wrapped original as optionally present). A delete that
+    * genuinely fails (the file is there but won't go) rethrows with
+    * the operational context the raw IO error lacks: both twins now
+    * co-exist, and until the wrapped one is removed a landing-dir
+    * listing would double-read the archive — the connectors'
+    * co-listed-twin guard ([[GridFiles.list]]) masks that, but an
+    * operator cleaning up by hand needs to know which file to drop. */
+  private[graft] def deleteWrapped(gzPath: java.nio.file.Path,
+      dest: java.nio.file.Path): Unit =
+    try java.nio.file.Files.deleteIfExists(gzPath)
+    catch {
+      case e: java.io.IOException => throw new java.io.IOException(
+        s"${gzPath.getFileName}: unwrapped sibling landed at " +
+          s"${dest.getFileName} but deleting the wrapped original " +
+          s"failed — both twins co-exist until ${gzPath.getFileName} " +
+          "is removed (listings guard against the double-read, but the " +
+          "wrapped copy is now residue)", e)
+    }
 
   /** Deterministic gzip (the JDK writes MTIME/XFL/OS as zeros, so the
     * same input always produces the same bytes — the publish twins'

@@ -219,9 +219,62 @@ final class HttpFetcher(
     * validators. */
   def fetchIfChanged(url: String, dest: String): Option[Path] = {
     val destPath = Paths.get(dest)
+    fetchIfChangedAt(url, destPath, contentAt = destPath)
+  }
+
+  /** [[fetchIfChanged]] + gunzip-on-landing: the conditional-GET
+    * watermark for gz-distributed products. 304 returns None WITHOUT
+    * touching the landing dir — nothing downloaded, so there is no
+    * temp to unwrap and the previously-landed unwrapped twin stands
+    * (r15 review: the skip path must never attempt a re-unwrap of a
+    * missing file). 200 lands `dest` (whose name must end `.gz`)
+    * atomically, inflates it to the unwrapped sibling via
+    * [[Gz.gunzipLanding]], and returns the UNWRAPPED path.
+    *
+    * The stored validators are replayed only while the UNWRAPPED twin
+    * exists — the `.gz` itself is deleted as gunzip-on-landing's last
+    * step, so keying the replay on it (as the plain [[fetchIfChanged]]
+    * does on its dest) would re-download every cycle. And they are
+    * written only AFTER the unwrap lands (the `postLand` ordering
+    * below): a corrupt download refuses mid-unwrap and leaves the
+    * wrapped file but NO validators, so the next cycle re-downloads
+    * in full rather than 304-skipping content that never landed. */
+  def fetchGunzippedIfChanged(url: String, dest: String,
+      cap: Long = 1L << 33): Option[Path] = {
+    val destPath = Paths.get(dest)
+    val name = destPath.getFileName.toString
+    require(name.length > 3 && name.toLowerCase.endsWith(".gz"),
+      s"$name: gunzip-on-landing needs a '.gz'-suffixed name to strip")
+    val unwrapped = destPath.resolveSibling(name.dropRight(3))
+    fetchIfChangedAt(url, destPath, contentAt = unwrapped,
+      postLand = Gz.gunzipLanding(_, cap))
+  }
+
+  /** Core of the conditional fetch: `contentAt` is the path whose
+    * presence proves the PREVIOUS cycle's content actually landed —
+    * the stored validators are replayed only then, so a 304 can never
+    * bless content that is gone (retention-deleted, or a gz whose
+    * unwrap failed). The plain fetch keys on its own dest; the
+    * gunzipped fetch keys on the unwrapped twin.
+    *
+    * `postLand` runs between the content move and the NEW-validator
+    * write, and its result is what the caller gets back — for the
+    * gunzipped flavor it is the unwrap. The ordering is load-bearing:
+    * the validators attest `contentAt`, which for a wrapped download
+    * only becomes current once the unwrap lands, so writing them
+    * before `postLand` would open a crash window (landed `.gz`, new
+    * validators, STALE unwrapped twin) where the next cycle's 304
+    * blesses the stale content. With the unwrap inside, every crash
+    * window leaves either no validators (redundant re-download next
+    * cycle) or validators beside their own content — the same
+    * contract the plain fetch documents. A `postLand` throw (corrupt
+    * stream) likewise leaves no validators, so the retry re-downloads
+    * in full. */
+  private def fetchIfChangedAt(url: String, destPath: Path,
+      contentAt: Path, postLand: Path => Path = identity): Option[Path] = {
     val sidecar = destPath.resolveSibling(destPath.getFileName.toString + ".http-state")
     val validators: Map[String, String] =
-      if (Files.exists(sidecar) && Files.exists(destPath))
+      if (Files.exists(sidecar) && Files.exists(contentAt))
         Files.readAllLines(sidecar).toArray(Array.empty[String]).flatMap { l =>
           l.split("\t", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
         }.toMap
@@ -257,6 +310,10 @@ final class HttpFetcher(
         catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
           Files.move(tmp, destPath, StandardCopyOption.REPLACE_EXISTING)
         }
+        // postLand (the gunzipped flavor's unwrap) BEFORE the new
+        // validators: they attest contentAt, which is only current
+        // once this step lands — see the Scaladoc ordering note
+        val landed = postLand(destPath)
         val lines = Seq(
           resp.headers().firstValue("ETag").map(v => s"etag\t$v"),
           resp.headers().firstValue("Last-Modified").map(v => s"last-modified\t$v"))
@@ -269,7 +326,7 @@ final class HttpFetcher(
         catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
           Files.move(scTmp, sidecar, StandardCopyOption.REPLACE_EXISTING)
         }
-        Some(destPath)
+        Some(landed)
       case bad =>
         Files.deleteIfExists(tmp)
         throw new java.io.IOException(s"GET $url failed: HTTP $bad")

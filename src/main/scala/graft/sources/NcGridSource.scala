@@ -93,7 +93,7 @@ object NcGridSource {
     * ×1032): an ISIZE trailer claiming more than this per compressed
     * byte cannot belong to the stream's only member — the file is
     * multi-member or crafted, so planning must not trust it. */
-  private[graft] val MaxDeflateRatio = 1032L
+  private[graft] val MaxDeflateRatio = Gz.MaxDeflateRatio
 
   /** Header for planning: bounded prefix read first (the driver must
     * never buffer whole cubes — r9 review), whole-file fallback only

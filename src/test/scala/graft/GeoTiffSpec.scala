@@ -308,6 +308,31 @@ class GeoTiffSpec extends SparkSpec {
     CodecFuzz.sweep("tif-gz", gz, GeoTiff.decode(_))
   }
 
+  test("gz inflation cap is DEFLATE's own expansion bound: a tiny wrapped " +
+      "bomb can only demand a few MB, and no legitimate stream can ever " +
+      "hit the cap") {
+    import graft.sources.Gz
+    // bound math: 1032x the compressed length plus the tiny-input floor
+    assert(Gz.deflateBound(0) == 4096L)
+    assert(Gz.deflateBound(1000) == 1000L * 1032 + 4096)
+    // a 2 KB crafted .tif.gz can no longer force a ~2 GiB single-array
+    // allocation before any TIFF gate runs: its cap is ~2 MB
+    // (r15 advice — previously the cap was the byte-array maximum)
+    assert(Gz.deflateBound(2048) < (3L << 20))
+    // a maximally-compressible LEGITIMATE raster (a constant field —
+    // the highest real-world-ratio shape) still decodes: DEFLATE
+    // cannot exceed 1032x by construction, so unlike the refused-
+    // legitimate-COG caps of r14/r15 this one cannot refuse ANY valid
+    // stream, only bound the crafted ones
+    val const = Raster(256, 256, 1, 1, 0, 0, None,
+      Array.fill(256 * 256)(7.0))
+    val plain = GeoTiff.encode(const)
+    val wrapped = Gz.gzip(plain)
+    assert(plain.length > 100 * wrapped.length,
+      s"fixture not high-ratio: ${plain.length}/${wrapped.length}")
+    assert(GeoTiff.decode(wrapped).values.sameElements(const.values))
+  }
+
   test("encodeCog: tiled pyramid round-trips; overview IFDs carry i27-coarsened means") {
     // 100×75 with nodata holes, 32px tiles, overviews to ≤30px:
     // levels 100×75 → 50×38 → 25×19, so 3 chained IFDs

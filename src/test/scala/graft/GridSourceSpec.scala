@@ -182,4 +182,80 @@ class GridSourceSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
     }
   }
+
+  test("co-listed gz twins plan as ONE archive on all three listing connectors: " +
+      "the crash window between gunzip-on-landing's move and delete must never " +
+      "double-read") {
+    import graft.sources.{GeoTiff, GribGridSource, GribMeta, GridFiles,
+      Gz, NcGridSource, NetCdf, TiffGridSource}
+    import java.nio.file.{Files, Paths}
+    // Gz.gunzipLanding legally leaves BOTH twins on disk between its
+    // atomic move and the wrapped-original delete; a listing that kept
+    // both would read every record twice. The unwrapped twin must win.
+    val dir = Files.createTempDirectory("graft_twins").toString
+
+    // GRIB: a two-message archive planted as both twins — planning
+    // must fan out per message of the UNWRAPPED twin only (the gz twin
+    // would have added one serial whole-file split re-reading both)
+    val grib = (0 until 2).toArray.flatMap(k =>
+      GribMeta.encodeSimple(2, 2, 2, 5 + k, 0f, 0, 0, 8,
+        Array(1L + k, 2L, 3L, 4L)))
+    Files.write(Paths.get(s"$dir/x.grb"), grib)
+    Files.write(Paths.get(s"$dir/x.grb.gz"), Gz.gzip(grib))
+    assert(GribGridSource.listFiles(dir).map(_.split('/').last) == Seq("x.grb"))
+    val g = spark.read.format("graft.sources.GribGridSource")
+      .option("path", dir).load()
+    assert(g.rdd.getNumPartitions == 2,
+      s"expected 2 per-message splits of ONE archive, got ${g.rdd.getNumPartitions}")
+    assert(g.count() == 8, "2 messages x 4 points, read once")
+
+    // NetCDF: same fixture as the .nc.gz suite, both twins planted
+    val nc = NetCdf.encode(
+      Seq(NetCdf.Dim("time", 0), NetCdf.Dim("lat", 2), NetCdf.Dim("lon", 3)),
+      Nil,
+      Seq(
+        NetCdf.VarSpec("time", Seq("time"), NetCdf.NcDouble,
+          atts = Seq(NetCdf.Att("units",
+            Some("days since 1995-01-01"), Array.empty)),
+          values = Array(0.0)),
+        NetCdf.VarSpec("lat", Seq("lat"), NetCdf.NcDouble,
+          values = Array(10.0, 9.5)),
+        NetCdf.VarSpec("lon", Seq("lon"), NetCdf.NcDouble,
+          values = Array(-1.0, -0.5, 0.0)),
+        NetCdf.VarSpec("qty", Seq("time", "lat", "lon"), NetCdf.NcDouble,
+          values = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))),
+      numRecs = 1)
+    Files.write(Paths.get(s"$dir/y.nc"), nc)
+    Files.write(Paths.get(s"$dir/y.nc.gz"), Gz.gzip(nc))
+    assert(NcGridSource.listFiles(dir).map(_.split('/').last) == Seq("y.nc"))
+    val n = spark.read.format("graft.sources.NcGridSource")
+      .option("path", dir).option("var", "qty").load()
+    assert(n.rdd.getNumPartitions == 1)
+    assert(n.count() == 6, "one 2x3 slice, read once")
+
+    // GeoTIFF: 2x2 raster, both twins planted
+    val tif = GeoTiff.encode(GeoTiff.Raster(2, 2, 1, 1, 10, 20, None,
+      Array(1.0, 2.0, 3.0, 4.0)))
+    Files.write(Paths.get(s"$dir/z.tif"), tif)
+    Files.write(Paths.get(s"$dir/z.tif.gz"), Gz.gzip(tif))
+    assert(TiffGridSource.listFiles(dir).map(_.split('/').last) == Seq("z.tif"))
+    val t = spark.read.format("graft.sources.TiffGridSource")
+      .option("path", dir).load()
+    assert(t.rdd.getNumPartitions == 1)
+    assert(t.count() == 4, "one 2x2 raster, read once")
+    // values identical to a lone-plain-file read (the guard changed
+    // WHICH twin is read, never what it contains)
+    assert(t.agg(sum("value")).collect()(0).getDouble(0) == 10.0)
+
+    // the guard is twin-scoped, not gz-hostile: a LONE gz (no plain
+    // sibling) still lists and reads — and glob expansion (the
+    // non-directory listing path) applies the same guard
+    val lone = Files.createTempDirectory("graft_lonegz").toString
+    Files.write(Paths.get(s"$lone/only.grb.gz"), Gz.gzip(grib))
+    assert(GribGridSource.listFiles(lone).map(_.split('/').last) ==
+      Seq("only.grb.gz"))
+    assert(spark.read.format("graft.sources.GribGridSource")
+      .option("path", lone).load().count() == 8)
+    assert(GridFiles.list(s"$dir/x.grb*").map(_.split('/').last) == Seq("x.grb"))
+  }
 }

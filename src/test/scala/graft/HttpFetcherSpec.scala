@@ -411,4 +411,114 @@ class HttpFetcherSpec extends SparkSpec {
     }
     assert(eName.getMessage.contains(".gz"), eName.getMessage)
   }
+
+  test("deleteWrapped: a concurrently-removed wrapped original is a quiet " +
+      "no-op; a genuine delete failure names BOTH twins for the operator") {
+    import graft.sources.Gz
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_delw")
+    // the gz already gone (another cycle unwrapped the same file):
+    // that cycle's landing SUCCEEDED — deleteIfExists, never a
+    // NoSuchFileException failing a completed landing (r15 advice)
+    Gz.deleteWrapped(dir.resolve("gone.grb.gz"), dir.resolve("gone.grb"))
+    // an un-deletable path (a non-empty directory bearing the wrapped
+    // name) rethrows WITH the both-twins context the raw IO error
+    // lacks (r15 verdict item 3a)
+    val gzDir = dir.resolve("x.grb.gz")
+    Files.createDirectory(gzDir)
+    Files.write(gzDir.resolve("child"), Array[Byte](1))
+    val e = intercept[java.io.IOException] {
+      Gz.deleteWrapped(gzDir, dir.resolve("x.grb"))
+    }
+    assert(e.getMessage.contains("both twins co-exist"), e.getMessage)
+    assert(e.getMessage.contains("x.grb.gz"), e.getMessage)
+    assert(e.getCause.isInstanceOf[java.io.IOException], String.valueOf(e.getCause))
+  }
+
+  test("fetchGunzippedIfChanged: 200 lands UNWRAPPED and stores the validator; " +
+      "304 skips without touching the landing dir or re-unwrapping; a corrupt " +
+      "landing never wedges the watermark") {
+    import graft.sources.Gz
+    import java.nio.file.{Files, Paths}
+    @volatile var etag = "\"v1\""
+    @volatile var content = Gz.gzip("generation-1 content".getBytes("UTF-8"))
+    withServer { ex =>
+      val sent = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+      if (sent.contains(etag)) ex.sendResponseHeaders(304, -1)
+      else {
+        ex.getResponseHeaders.set("ETag", etag)
+        ex.sendResponseHeaders(200, content.length.toLong)
+        ex.getResponseBody.write(content)
+      }
+    } { base =>
+      val dir = Files.createTempDirectory("graft_condgz").toString
+      val dest = s"$dir/slice.bin.gz"
+      val f = new HttpFetcher()
+      def names = new java.io.File(dir).listFiles().map(_.getName).toSet
+      // cycle 1: lands + unwraps; the wrapped file is gone, the
+      // returned path is the UNWRAPPED twin
+      val p1 = f.fetchGunzippedIfChanged(s"$base/f", dest)
+      assert(p1.map(_.getFileName.toString).contains("slice.bin"), p1.toString)
+      assert(new String(Files.readAllBytes(p1.get), "UTF-8") ==
+        "generation-1 content")
+      assert(names == Set("slice.bin", "slice.bin.gz.http-state"), names)
+      // cycle 2, nothing new: 304 → None, landing dir byte-identical —
+      // in particular NO re-unwrap attempt of the (absent) wrapped file
+      // (r15 verdict item 3b)
+      assert(f.fetchGunzippedIfChanged(s"$base/f", dest).isEmpty)
+      assert(names == Set("slice.bin", "slice.bin.gz.http-state"), names)
+      assert(new String(Files.readAllBytes(Paths.get(s"$dir/slice.bin")),
+        "UTF-8") == "generation-1 content")
+      // remote publishes generation 2: validator mismatch → re-land,
+      // re-unwrap, new validator stored
+      etag = "\"v2\""
+      content = Gz.gzip("generation-2!".getBytes("UTF-8"))
+      val p3 = f.fetchGunzippedIfChanged(s"$base/f", dest)
+      assert(p3.isDefined)
+      assert(new String(Files.readAllBytes(p3.get), "UTF-8") == "generation-2!")
+      assert(f.fetchGunzippedIfChanged(s"$base/f", dest).isEmpty, "304 on v2")
+      // a non-.gz dest refuses up front, before any network call
+      val eName = intercept[IllegalArgumentException] {
+        f.fetchGunzippedIfChanged(s"$base/f", s"$dir/plain.bin")
+      }
+      assert(eName.getMessage.contains(".gz"), eName.getMessage)
+    }
+    // corrupt download: the unwrap refuses by name and the NEXT cycle
+    // re-downloads in FULL — the stored validator must not be replayed
+    // while the unwrapped twin is missing (a 304 would bless content
+    // that never landed)
+    val goodGz = Gz.gzip("finally whole".getBytes("UTF-8"))
+    val badGz = java.util.Arrays.copyOf(goodGz, goodGz.length - 5)
+    @volatile var serveBad = true
+    withServer { ex =>
+      val sent = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+      if (sent.contains("\"vX\"")) ex.sendResponseHeaders(304, -1)
+      else {
+        val body = if (serveBad) badGz else goodGz
+        ex.getResponseHeaders.set("ETag", "\"vX\"")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+      }
+    } { base =>
+      val dir = Files.createTempDirectory("graft_condgz2").toString
+      val dest = s"$dir/slice.bin.gz"
+      val f = new HttpFetcher()
+      val e = intercept[IllegalArgumentException] {
+        f.fetchGunzippedIfChanged(s"$base/f", dest)
+      }
+      assert(e.getMessage.contains("gzip"), e.getMessage)
+      assert(!Files.exists(Paths.get(s"$dir/slice.bin")), "nothing landed")
+      // the no-validators crash contract: validators are written only
+      // AFTER the unwrap, so a refused landing stores none — there is
+      // no window where new validators sit beside stale/absent content
+      assert(!Files.exists(Paths.get(s"$dir/slice.bin.gz.http-state")),
+        "no validators may be stored for content that never unwrapped")
+      // retry cycle: the server now has the whole file; a wrongly
+      // replayed validator would 304 and return None here
+      serveBad = false
+      val p = f.fetchGunzippedIfChanged(s"$base/f", dest)
+      assert(p.isDefined, "validator must not be replayed without the unwrapped twin")
+      assert(new String(Files.readAllBytes(p.get), "UTF-8") == "finally whole")
+    }
+  }
 }
