@@ -47,6 +47,18 @@ object Bench {
     * observed idle) and well below what a co-running build causes. */
   val LoadSpreadFlag = 1.5
 
+  /** Top of the CLEAN calibration band (probes run 0.14-0.18 s on
+    * every committed clean artifact): the spread gate's qualifier. A
+    * spread whose slowest probe still sits under this ceiling was
+    * caused by an anomalously FAST sample (surplus CPU — contention
+    * can only ever SLOW a pure-CPU probe), not by load; a spread whose
+    * max exceeds it has a genuinely slowed probe and flags. Distinct
+    * from [[CalibAbsFlag]] (2× this), which gates the MIN probe for
+    * uniform contention — qualifying the spread on that looser bound
+    * would open a blind window (e.g. [0.15, 0.33, 0.15]: one probe
+    * 2× slow, spread 2.2×, yet max under 0.35 — r16 review). */
+  val CalibCleanCeiling = 0.2
+
   /** Absolute calibration ceiling: the fixed probe runs 0.14-0.17 s
     * on this pinned local[32] sandbox in EVERY committed clean
     * artifact (r14, r15 — it is pure CPU, insensitive to page cache).
@@ -150,7 +162,7 @@ object Bench {
         // which the unqualified ratio read as a 2.1x "spread")
         val spread = calib.nonEmpty && calib.min > 0 &&
           calib.max / calib.min > LoadSpreadFlag &&
-          calib.max > CalibAbsFlag
+          calib.max > CalibCleanCeiling
         // uniform contention slows every probe together — the spread
         // gate alone misses it; the absolute ceiling doesn't
         val slow = calib.nonEmpty && calib.min > CalibAbsFlag

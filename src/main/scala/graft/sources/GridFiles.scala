@@ -26,8 +26,13 @@ object GridFiles {
           .toSeq.flatten)
       else Option(fs.globStatus(p)).toSeq.flatten
     val all = expanded.filter(_.isFile).map(_.getPath.toString).distinct
-    val plain = all.filterNot(_.endsWith(".gz")).toSet
-    all.filterNot(f => f.endsWith(".gz") && plain.contains(f.dropRight(3)))
+    // suffix test case-insensitive to match what gunzip-on-landing
+    // accepts (`X.GRB.GZ` unwraps too); the SIBLING lookup stays
+    // case-exact because the unwrap strips exactly three characters
+    // and preserves the stem verbatim (r16 review)
+    def isGzName(f: String) = f.length > 3 && f.toLowerCase.endsWith(".gz")
+    val plain = all.filterNot(isGzName).toSet
+    all.filterNot(f => isGzName(f) && plain.contains(f.dropRight(3)))
       .sorted
   }
 

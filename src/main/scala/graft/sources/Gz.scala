@@ -135,9 +135,7 @@ object Gz {
       cap: Long = 1L << 33): java.nio.file.Path = {
     import java.nio.file.{Files, StandardCopyOption}
     val name = gzPath.getFileName.toString
-    require(name.length > 3 && name.toLowerCase.endsWith(".gz"),
-      s"$name: gunzip-on-landing needs a '.gz'-suffixed name to strip")
-    val dest = gzPath.resolveSibling(name.dropRight(3))
+    val dest = unwrappedSibling(gzPath)
     val tmp = gzPath.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
     try {
       val in = new java.util.zip.GZIPInputStream(Files.newInputStream(gzPath))
@@ -172,6 +170,21 @@ object Gz {
     }
     deleteWrapped(gzPath, dest)
     dest
+  }
+
+  /** The unwrapped-sibling path gunzip-on-landing of `gzPath` produces
+    * (`x.grb.gz` → `x.grb`): the name must end `.gz` (any case — the
+    * landing accepts what remotes actually serve), exactly three
+    * characters are stripped, and the stem is preserved VERBATIM. One
+    * derivation, shared by [[gunzipLanding]] (its dest) and
+    * `HttpFetcher.fetchGunzippedIfChanged` (its validator anchor), so
+    * the two can never drift apart — a drifted anchor would silently
+    * disable the 304 skip and re-download every cycle (r16 review). */
+  def unwrappedSibling(gzPath: java.nio.file.Path): java.nio.file.Path = {
+    val name = gzPath.getFileName.toString
+    require(name.length > 3 && name.toLowerCase.endsWith(".gz"),
+      s"$name: gunzip-on-landing needs a '.gz'-suffixed name to strip")
+    gzPath.resolveSibling(name.dropRight(3))
   }
 
   /** Final step of [[gunzipLanding]]: remove the wrapped original once

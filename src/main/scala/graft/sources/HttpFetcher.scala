@@ -242,11 +242,10 @@ final class HttpFetcher(
   def fetchGunzippedIfChanged(url: String, dest: String,
       cap: Long = 1L << 33): Option[Path] = {
     val destPath = Paths.get(dest)
-    val name = destPath.getFileName.toString
-    require(name.length > 3 && name.toLowerCase.endsWith(".gz"),
-      s"$name: gunzip-on-landing needs a '.gz'-suffixed name to strip")
-    val unwrapped = destPath.resolveSibling(name.dropRight(3))
-    fetchIfChangedAt(url, destPath, contentAt = unwrapped,
+    // ONE sibling derivation (and '.gz' gate), shared with the unwrap
+    // itself — a drifted anchor would silently disable the 304 skip
+    fetchIfChangedAt(url, destPath,
+      contentAt = Gz.unwrappedSibling(destPath),
       postLand = Gz.gunzipLanding(_, cap))
   }
 

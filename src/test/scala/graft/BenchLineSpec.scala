@@ -66,6 +66,11 @@ class BenchLineSpec extends AnyFunSuite {
     // (observed live on an idle machine: [0.16, 0.08, 0.17] = 2.1x)
     assert(Bench.renderJson(fakeResults(200), Nil, "sfdir",
       calib = Seq(0.16, 0.08, 0.17)).contains(""""load_flag":false"""))
+    // …but the qualifier is the CLEAN-band ceiling, not the (2x looser)
+    // uniform-contention bound: one probe slowed 2x with the others
+    // clean MUST still flag (the r16-review blind-window shape)
+    assert(Bench.renderJson(fakeResults(200), Nil, "sfdir",
+      calib = Seq(0.15, 0.33, 0.15)).contains(""""load_flag":true"""))
   }
 
   test("staged queries publish both columns and stay inside the budget") {

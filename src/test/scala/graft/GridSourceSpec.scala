@@ -257,5 +257,17 @@ class GridSourceSpec extends SparkSpec {
     assert(spark.read.format("graft.sources.GribGridSource")
       .option("path", lone).load().count() == 8)
     assert(GridFiles.list(s"$dir/x.grb*").map(_.split('/').last) == Seq("x.grb"))
+
+    // case parity with gunzip-on-landing: an upper-case .GZ twin pair
+    // (which gunzipLanding ACCEPTS and unwraps to the case-exact stem)
+    // is guarded too — glob listing, since directory listings only
+    // glob the lower-case extension patterns (r16 review)
+    val up = Files.createTempDirectory("graft_upgz").toString
+    Files.write(Paths.get(s"$up/U.GRB"), grib)
+    Files.write(Paths.get(s"$up/U.GRB.GZ"), Gz.gzip(grib))
+    assert(GridFiles.list(s"$up/U.*").map(_.split('/').last) == Seq("U.GRB"))
+    // and the shared sibling derivation is what the guard mirrors
+    assert(Gz.unwrappedSibling(Paths.get(s"$up/U.GRB.GZ")).getFileName
+      .toString == "U.GRB")
   }
 }
