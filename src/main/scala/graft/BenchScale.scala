@@ -27,13 +27,13 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchScale {
 
-  val ArtifactPath = "BENCH_sf1_r16.json"
+  val ArtifactPath = "BENCH_sf1_r17.json"
 
   /** The previous round's graded artifact — the per-query baseline the
     * IN-ROUND tripwire diffs against (the r9 verdict's item 8: the
     * judge ran this diff by hand each round; now the run itself flags
     * per-query slips and ScaleSpec gates on them). */
-  val PrevArtifactPath = "BENCH_sf1_r15.json"
+  val PrevArtifactPath = "BENCH_sf1_r16.json"
 
   /** Clean sf0.1 per-query twin map for the in-run stall gates: the
     * CURRENT round's committed clean artifact when it exists, else the
@@ -55,6 +55,34 @@ object BenchScale {
   /** ratio beyond which growth on ×10 data counts as super-linear
     * (2× the uniform 10× scaling). */
   val RatioGate = 20.0
+
+  /** SHA-256 over every product-source file (sorted relative path +
+    * NUL + bytes) — the provenance stamp [[main]] writes into the
+    * artifact as `"src_hash"`. Two rounds in a row shipped a clean
+    * artifact whose data PREDATED the round's last product commit
+    * (r15/r16 verdicts, "what's wrong" #1): with the stamp, "the
+    * artifact was rolled on exactly the shipped product sources" is a
+    * mechanical equality check (ScaleSpec's provenance gate, enforced
+    * at round end via GRAFT_ENFORCE_BENCH_PROVENANCE=1) instead of a
+    * by-hand git-timestamp audit. */
+  def srcHash(root: String = "src/main"): String = {
+    import scala.jdk.CollectionConverters._
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val base = java.nio.file.Paths.get(root)
+    val walk = java.nio.file.Files.walk(base)
+    try {
+      walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .toSeq
+        .sortBy(base.relativize(_).toString)
+        .foreach { f =>
+          md.update(base.relativize(f).toString.getBytes("UTF-8"))
+          md.update(0.toByte)
+          md.update(java.nio.file.Files.readAllBytes(f))
+        }
+    } finally walk.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** per-query wall-clock ratio vs the PREVIOUS round, at the same
     * scale, beyond which a query counts as slipped in-round. */
@@ -154,6 +182,7 @@ object BenchScale {
       errors.map("\"" + _ + "\"").mkString("\"errors\":[", ",", "],") +
       slipped.map("\"" + _ + "\"").mkString("\"slipped\":[", ",", "],") +
       s""""slip_gate":$SlipGate,"prev":"$PrevArtifactPath",""" +
+      s""""src_hash":"${srcHash()}",""" +
       s""""ratio_gate":$RatioGate,"floor_sec":$FloorSec,"queries":$qs}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(ArtifactPath), json.getBytes("UTF-8"))

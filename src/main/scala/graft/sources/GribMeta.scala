@@ -102,10 +102,19 @@ object GribMeta {
 
   /** Transparent unwrap of gzip-wrapped archives (`.grb.gz` — the
     * historical NCEP/CPC distribution shape): magic-sniffed so plain
-    * archives pay nothing; the strict bounded [[Gz.gunzip]] caps a
-    * corrupt length at one in-memory array. */
+    * archives pay nothing. Inflation is capped at
+    * [[Gz.deflateBound]] — DEFLATE's own worst-case expansion of the
+    * compressed length, which can never refuse a legitimate stream
+    * yet bounds what a crafted few-KB bomb can force this decoder to
+    * allocate to a few MB (the same two-sided bound
+    * [[GeoTiff.decode]] uses; previously only the ~2 GiB byte-array
+    * maximum applied here). The byte-array maximum stays as the
+    * outer clamp since every access goes through one wrapped array. */
   private def unwrap(bytes: Array[Byte]): Array[Byte] =
-    if (Gz.isGz(bytes)) Gz.gunzip(bytes, Int.MaxValue - 16L, "GRIB")
+    if (Gz.isGz(bytes))
+      Gz.gunzip(bytes,
+        math.min(Int.MaxValue - 16L, Gz.deflateBound(bytes.length)),
+        "GRIB")
     else bytes
 
   /** All messages in a (possibly multi-message) GRIB byte array.

@@ -14,7 +14,16 @@ object GridFiles {
     * twins on disk momentarily, and a listing that kept both would
     * double-read every record of that archive. The unwrapped twin wins
     * (it is the complete post-move output and the one whose planner
-    * fans out per record). */
+    * fans out per record).
+    *
+    * Freshness caveat (r16 advice): in the CONDITIONAL re-download
+    * path a fresh `.gz` can land over a STALE unwrapped twin before
+    * the unwrap completes, so a listing taken in that window reads the
+    * previous generation — consistent but stale. The guard trades that
+    * momentary stale read for never double-reading; callers needing
+    * freshness must sequence listing after
+    * [[HttpFetcher.fetchGunzippedIfChanged]] returns (which only
+    * returns after the unwrap has atomically landed). */
   def list(pathOrGlob: String, exts: String*): Seq[String] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val p = new org.apache.hadoop.fs.Path(pathOrGlob)

@@ -197,11 +197,18 @@ object NetCdf {
 
   /** Parse the header; payload access stays lazy via [[NcFile.read]].
     * Gzip-wrapped input (`.nc.gz`, a common archive distribution
-    * shape) unwraps transparently — magic-sniffed, inflation capped at
-    * what one in-memory byte array can hold (the classic-format reads
-    * below already require that). */
+    * shape) unwraps transparently — magic-sniffed, inflation capped
+    * at [[Gz.deflateBound]] (DEFLATE's own worst-case expansion of
+    * the compressed length: never refuses a legitimate stream,
+    * bounds a crafted few-KB bomb to a few MB — the same two-sided
+    * bound [[GeoTiff.decode]] and [[GribMeta.decode]] use), with the
+    * byte-array maximum as the outer clamp (the classic-format reads
+    * below already require one in-memory array). */
   def decode(bytes: Array[Byte]): NcFile = CodecGate.gated("NetCDF") {
-    val b = if (Gz.isGz(bytes)) Gz.gunzip(bytes, Int.MaxValue - 16L, "NetCDF")
+    val b = if (Gz.isGz(bytes))
+      Gz.gunzip(bytes,
+        math.min(Int.MaxValue - 16L, Gz.deflateBound(bytes.length)),
+        "NetCDF")
       else bytes
     decodeImpl(b, b.length)
   }

@@ -872,6 +872,24 @@ class GribMetaSpec extends SparkSpec {
     assert(eIt.getMessage.contains("5.1"), eIt.getMessage)
   }
 
+  test("gz inflation cap is DEFLATE's own expansion bound (r16 advice: " +
+      "GRIB unwrap previously allowed ~2 GiB from a few-KB bomb): a " +
+      "maximally-compressible legitimate archive still decodes") {
+    import graft.sources.Gz
+    // an archive of identical constant-field messages is the highest
+    // real-world-ratio shape; DEFLATE cannot exceed 1032x by
+    // construction, so the new deflateBound cap can refuse only
+    // crafted streams, never this one
+    val msg = grib2Simple(7f, 0, 0, 8, Seq.fill(800)(0L), None, 40, 20)
+    val plain = Array.fill(60)(msg).flatten
+    val wrapped = Gz.gzip(plain)
+    assert(plain.length > 100 * wrapped.length,
+      s"fixture not high-ratio: ${plain.length}/${wrapped.length}")
+    val msgs = GribMeta.values(wrapped)
+    assert(msgs.size == 60)
+    assert(msgs.forall(_._2.forall(_ == 7.0)))
+  }
+
   test("GribGridSource: DSv2 table, one partition per message, pruned positioned reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gribdsv2").toString
     // file a: two messages (params 2 and 3); file b: one with a bitmap

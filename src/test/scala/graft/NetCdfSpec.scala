@@ -194,6 +194,26 @@ class NetCdfSpec extends SparkSpec {
       eBad.getMessage.contains("CDF"), eBad.getMessage)
   }
 
+  test("gz inflation cap on decode is DEFLATE's own expansion bound " +
+      "(r16 advice: previously only the byte-array maximum applied): a " +
+      "maximally-compressible legitimate file still decodes") {
+    import graft.sources.Gz
+    // an all-zeros 400x500 double grid is the highest real-world-ratio
+    // shape; DEFLATE cannot exceed 1032x by construction, so the new
+    // deflateBound cap can refuse only crafted streams, never this one
+    val plain = NetCdf.encode(
+      Seq(NetCdf.Dim("lat", 400), NetCdf.Dim("lon", 500)), Nil,
+      Seq(NetCdf.VarSpec("qty", Seq("lat", "lon"), NetCdf.NcDouble,
+        values = new Array[Double](400 * 500))),
+      numRecs = 0)
+    val wrapped = Gz.gzip(plain)
+    assert(plain.length > 100 * wrapped.length,
+      s"fixture not high-ratio: ${plain.length}/${wrapped.length}")
+    val f = NetCdf.decode(wrapped)
+    assert(f.shapeOf(f.variable("qty")).toSeq == Seq(400, 500))
+    assert(f.read("qty").forall(_ == 0.0))
+  }
+
   test("gz planning past the 1 MiB prefix: ISIZE bounded both ways — " +
       "a valid trailer plans bounded, a multi-member trailer falls " +
       "back to the strict whole-file decode, an overstated trailer " +

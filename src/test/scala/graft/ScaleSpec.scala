@@ -114,6 +114,53 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bench provenance: the artifact records the product-source hash " +
+      "it was rolled on; round-end enforcement pins it to the tree") {
+    // mechanizes the bench-last invariant the r15/r16 rounds broke by
+    // hand (clean artifact predating the last product commit): the
+    // artifact itself carries srcHash(src/main) from roll time, so
+    // "rolled on exactly the shipped product sources" is an equality
+    // check, not a git-timestamp audit. The equality half only arms
+    // at round end (GRAFT_ENFORCE_BENCH_PROVENANCE=1, run via
+    // testOnly AFTER the final roll) — mid-round the tree is always
+    // ahead of the artifact and a hard gate would keep the suite red
+    // during normal development.
+    val f = new java.io.File(BenchScale.ArtifactPath)
+    assume(f.exists(), s"run graft.BenchScale to generate ${BenchScale.ArtifactPath}")
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val stamped = "\"src_hash\":\"([0-9a-f]{64})\"".r
+      .findFirstMatchIn(txt).map(_.group(1))
+    assert(stamped.nonEmpty,
+      s"${BenchScale.ArtifactPath} carries no src_hash stamp — re-roll " +
+        "BenchScale (provenance unknowable without it)")
+    if (sys.env.get("GRAFT_ENFORCE_BENCH_PROVENANCE").contains("1"))
+      assert(stamped.contains(BenchScale.srcHash()),
+        s"${BenchScale.ArtifactPath} was rolled on DIFFERENT product " +
+          "sources than this tree — re-roll BenchScale as the round's " +
+          "last act (the r15/r16 bench-last invariant)")
+  }
+
+  test("srcHash: deterministic, and sensitive to content, rename, and new files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srchash_")
+    def w(name: String, body: String): Unit = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    }
+    w("a/One.scala", "object One")
+    w("b/Two.scala", "object Two")
+    val h0 = BenchScale.srcHash(dir.toString)
+    assert(h0.matches("[0-9a-f]{64}"))
+    assert(BenchScale.srcHash(dir.toString) == h0) // deterministic
+    w("b/Two.scala", "object Two2") // content change
+    val h1 = BenchScale.srcHash(dir.toString)
+    assert(h1 != h0)
+    w("b/Two.scala", "object Two")
+    assert(BenchScale.srcHash(dir.toString) == h0) // restored == original
+    w("c/Three.scala", "object Three") // new file
+    assert(BenchScale.srcHash(dir.toString) != h0)
+  }
+
   test("salted join equals the plain join") {
     val t = Tables(spark, sf)
     val plain = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
