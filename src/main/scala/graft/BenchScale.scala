@@ -45,8 +45,7 @@ object BenchScale {
     * ScaleSpec gates (r15 verdict item 7: the logic existed twice). */
   def cleanTwinSf01(
       paths: Seq[String] = Seq(ArtifactPath, PrevArtifactPath)): Map[String, Double] =
-    paths.map(java.nio.file.Paths.get(_))
-      .find(java.nio.file.Files.exists(_))
+    newestArtifact(paths)
       .map(f => parseQueries(
         new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
         .map { case (k, (sf01, _)) => k -> sf01 })
@@ -64,7 +63,18 @@ object BenchScale {
     * artifact was rolled on exactly the shipped product sources" is a
     * mechanical equality check (ScaleSpec's provenance gate, enforced
     * at round end via GRAFT_ENFORCE_BENCH_PROVENANCE=1) instead of a
-    * by-hand git-timestamp audit. */
+    * by-hand git-timestamp audit.
+    *
+    * [[main]] computes the stamp FIRST, before the timed suites: it
+    * fails fast if cwd is not the repo root (instead of throwing
+    * after a ~30-min double-suite run), and it records the tree as it
+    * stood when sbt compiled it — the run mode is `sbt runMain`,
+    * which compiles from this same tree immediately before main
+    * starts, so stamp == compiled sources up to that seconds-wide
+    * window (an edit made DURING the run changes neither the running
+    * classes nor the stamp). Each file is framed as path + NUL +
+    * length + bytes so distinct trees can never concatenate to the
+    * same digest input. */
   def srcHash(root: String = "src/main"): String = {
     import scala.jdk.CollectionConverters._
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -76,13 +86,26 @@ object BenchScale {
         .toSeq
         .sortBy(base.relativize(_).toString)
         .foreach { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f)
           md.update(base.relativize(f).toString.getBytes("UTF-8"))
           md.update(0.toByte)
-          md.update(java.nio.file.Files.readAllBytes(f))
+          md.update(bytes.length.toString.getBytes("UTF-8"))
+          md.update(0.toByte)
+          md.update(bytes)
         }
     } finally walk.close()
     md.digest().map("%02x".format(_)).mkString
   }
+
+  /** The newest existing bench-scale artifact, current round first —
+    * the ONE resolution order [[cleanTwinSf01]] and ScaleSpec's
+    * flagged/slipped gate share (r17 review: gating on the current
+    * round's path alone disarmed the gate for the whole stretch
+    * between the round-start bump and the round-end roll, while the
+    * committed previous artifact sat there able to gate). */
+  def newestArtifact(
+      paths: Seq[String] = Seq(ArtifactPath, PrevArtifactPath)): Option[java.nio.file.Path] =
+    paths.map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
 
   /** per-query wall-clock ratio vs the PREVIOUS round, at the same
     * scale, beyond which a query counts as slipped in-round. */
@@ -120,6 +143,10 @@ object BenchScale {
     }
 
   def main(args: Array[String]): Unit = {
+    // provenance stamp first: fails fast when cwd is not the repo
+    // root, and records the tree exactly as sbt just compiled it —
+    // not as it stands after a ~30-min double-suite run
+    val stamp = srcHash()
     val sf1Dir = args.headOption.getOrElse("target/sf1")
     if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
       println(s"[bench-scale] $sf1Dir missing — building via Sf1Data")
@@ -182,7 +209,7 @@ object BenchScale {
       errors.map("\"" + _ + "\"").mkString("\"errors\":[", ",", "],") +
       slipped.map("\"" + _ + "\"").mkString("\"slipped\":[", ",", "],") +
       s""""slip_gate":$SlipGate,"prev":"$PrevArtifactPath",""" +
-      s""""src_hash":"${srcHash()}",""" +
+      s""""src_hash":"$stamp",""" +
       s""""ratio_gate":$RatioGate,"floor_sec":$FloorSec,"queries":$qs}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(ArtifactPath), json.getBytes("UTF-8"))

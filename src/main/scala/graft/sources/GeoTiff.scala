@@ -97,10 +97,7 @@ object GeoTiff {
     * the outer clamp: classic-TIFF offsets are 32-bit and every
     * access goes through one wrapped array. */
   private def unwrap(bytes: Array[Byte]): Array[Byte] =
-    if (Gz.isGz(bytes))
-      Gz.gunzip(bytes,
-        math.min(Int.MaxValue - 16L, Gz.deflateBound(bytes.length)),
-        "GeoTIFF")
+    if (Gz.isGz(bytes)) Gz.gunzipBounded(bytes, "GeoTIFF")
     else bytes
 
   /** Number of IFDs chained in a classic TIFF (1 for the plain writer,

@@ -106,15 +106,11 @@ object GribMeta {
     * [[Gz.deflateBound]] — DEFLATE's own worst-case expansion of the
     * compressed length, which can never refuse a legitimate stream
     * yet bounds what a crafted few-KB bomb can force this decoder to
-    * allocate to a few MB (the same two-sided bound
-    * [[GeoTiff.decode]] uses; previously only the ~2 GiB byte-array
-    * maximum applied here). The byte-array maximum stays as the
-    * outer clamp since every access goes through one wrapped array. */
+    * allocate to a few MB (the shared [[Gz.gunzipBounded]] two-sided
+    * bound [[GeoTiff.decode]] uses; previously only the ~2 GiB
+    * byte-array maximum applied here). */
   private def unwrap(bytes: Array[Byte]): Array[Byte] =
-    if (Gz.isGz(bytes))
-      Gz.gunzip(bytes,
-        math.min(Int.MaxValue - 16L, Gz.deflateBound(bytes.length)),
-        "GRIB")
+    if (Gz.isGz(bytes)) Gz.gunzipBounded(bytes, "GRIB")
     else bytes
 
   /** All messages in a (possibly multi-message) GRIB byte array.

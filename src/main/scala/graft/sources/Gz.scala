@@ -101,6 +101,16 @@ object Gz {
   def deflateBound(compressedLen: Long): Long =
     compressedLen * MaxDeflateRatio + 4096L
 
+  /** [[gunzip]] with the ONE standard two-sided inflation cap: the
+    * smaller of [[deflateBound]] (can never refuse a legitimate
+    * stream, bounds a crafted few-KB bomb to a few MB) and the
+    * byte-array maximum (every codec wraps one in-memory array).
+    * GeoTiff, GribMeta, and NetCdf all unwrap through here — the
+    * bound is policy, defined once (r17 review: it had drifted into
+    * three verbatim copies). */
+  def gunzipBounded(bytes: Array[Byte], what: String): Array[Byte] =
+    gunzip(bytes, math.min(Int.MaxValue - 16L, deflateBound(bytes.length)), what)
+
   /** Uncompressed length from the gzip ISIZE trailer (`tail` is the
     * stream's LAST FOUR bytes, little-endian u32) — exact for
     * single-member streams under 4 GiB; callers validate consistency

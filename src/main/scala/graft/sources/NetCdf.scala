@@ -200,15 +200,12 @@ object NetCdf {
     * shape) unwraps transparently — magic-sniffed, inflation capped
     * at [[Gz.deflateBound]] (DEFLATE's own worst-case expansion of
     * the compressed length: never refuses a legitimate stream,
-    * bounds a crafted few-KB bomb to a few MB — the same two-sided
-    * bound [[GeoTiff.decode]] and [[GribMeta.decode]] use), with the
-    * byte-array maximum as the outer clamp (the classic-format reads
-    * below already require one in-memory array). */
+    * bounds a crafted few-KB bomb to a few MB — the shared
+    * [[Gz.gunzipBounded]] two-sided bound [[GeoTiff.decode]] and
+    * [[GribMeta.decode]] use; the byte-array maximum is its outer
+    * clamp, which the classic-format reads below already require). */
   def decode(bytes: Array[Byte]): NcFile = CodecGate.gated("NetCDF") {
-    val b = if (Gz.isGz(bytes))
-      Gz.gunzip(bytes,
-        math.min(Int.MaxValue - 16L, Gz.deflateBound(bytes.length)),
-        "NetCDF")
+    val b = if (Gz.isGz(bytes)) Gz.gunzipBounded(bytes, "NetCDF")
       else bytes
     decodeImpl(b, b.length)
   }

@@ -10,10 +10,15 @@ class ScaleSpec extends SparkSpec {
     // (runMain graft.BenchScale — sf0.1 AND the uniform ×10 corpus);
     // this spec gates on its RESULT so a super-linear regression fails
     // the build without paying the ~30 min run per test cycle
-    val f = new java.io.File(BenchScale.ArtifactPath)
-    assume(f.exists(), s"run graft.BenchScale to generate ${BenchScale.ArtifactPath}")
-    val txt = new String(
-      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    // current round's artifact when rolled, else the committed
+    // previous round's — the same resolution as the stall-gate twin
+    // (r17 review: gating on the current path alone left the whole
+    // bump-to-roll stretch ungated while the previous artifact could
+    // still catch a super-linear regression)
+    val f = BenchScale.newestArtifact()
+      .getOrElse(fail(s"no bench-scale artifact in the tree — run " +
+        s"graft.BenchScale to generate ${BenchScale.ArtifactPath}"))
+    val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
     val flagged = "\"flagged\":\\[(.*?)\\]".r
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse("MISSING")
     assert(flagged == "",
@@ -125,15 +130,24 @@ class ScaleSpec extends SparkSpec {
     // testOnly AFTER the final roll) — mid-round the tree is always
     // ahead of the artifact and a hard gate would keep the suite red
     // during normal development.
+    val enforce = sys.env.get("GRAFT_ENFORCE_BENCH_PROVENANCE").contains("1")
     val f = new java.io.File(BenchScale.ArtifactPath)
-    assume(f.exists(), s"run graft.BenchScale to generate ${BenchScale.ArtifactPath}")
+    if (enforce)
+      // round-end mode: a missing artifact is the WORST provenance
+      // violation (nothing was rolled at all) — it must fail loudly,
+      // never cancel into a green report (r17 review)
+      assert(f.exists(),
+        s"${BenchScale.ArtifactPath} does not exist — the round's final " +
+          "BenchScale roll never happened")
+    else
+      assume(f.exists(), s"run graft.BenchScale to generate ${BenchScale.ArtifactPath}")
     val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
     val stamped = "\"src_hash\":\"([0-9a-f]{64})\"".r
       .findFirstMatchIn(txt).map(_.group(1))
     assert(stamped.nonEmpty,
       s"${BenchScale.ArtifactPath} carries no src_hash stamp — re-roll " +
         "BenchScale (provenance unknowable without it)")
-    if (sys.env.get("GRAFT_ENFORCE_BENCH_PROVENANCE").contains("1"))
+    if (enforce)
       assert(stamped.contains(BenchScale.srcHash()),
         s"${BenchScale.ArtifactPath} was rolled on DIFFERENT product " +
           "sources than this tree — re-roll BenchScale as the round's " +
@@ -158,7 +172,20 @@ class ScaleSpec extends SparkSpec {
     w("b/Two.scala", "object Two")
     assert(BenchScale.srcHash(dir.toString) == h0) // restored == original
     w("c/Three.scala", "object Three") // new file
-    assert(BenchScale.srcHash(dir.toString) != h0)
+    val h2 = BenchScale.srcHash(dir.toString)
+    assert(h2 != h0)
+    // rename: same bytes under a different path must change the hash
+    java.nio.file.Files.move(
+      dir.resolve("c/Three.scala"), dir.resolve("c/Moved.scala"))
+    assert(BenchScale.srcHash(dir.toString) != h2)
+    // framing: {"d/x" -> "Xy Y"} vs {"d/x" -> "X", "d/y" -> "Y"}
+    // must not concatenate to the same digest input
+    w("d/x", "Xy Y")
+    val hJoined = BenchScale.srcHash(dir.toString)
+    java.nio.file.Files.delete(dir.resolve("d/x"))
+    w("d/x", "X")
+    w("d/y", "Y")
+    assert(BenchScale.srcHash(dir.toString) != hJoined)
   }
 
   test("salted join equals the plain join") {
