@@ -44,7 +44,7 @@ object BenchScale {
     * resolution order, shared by [[Bench]]'s stall tripwire and the
     * ScaleSpec gates (r15 verdict item 7: the logic existed twice). */
   def cleanTwinSf01(
-      paths: Seq[String] = Seq(ArtifactPath, PrevArtifactPath)): Map[String, Double] =
+      paths: Seq[String] = DefaultArtifactPaths): Map[String, Double] =
     newestArtifact(paths)
       .map(f => parseQueries(
         new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
@@ -55,8 +55,9 @@ object BenchScale {
     * (2× the uniform 10× scaling). */
   val RatioGate = 20.0
 
-  /** SHA-256 over every product-source file (sorted relative path +
-    * NUL + bytes) — the provenance stamp [[main]] writes into the
+  /** SHA-256 over every product-source file (sorted by relative
+    * path, each framed as path + NUL + length + NUL + bytes) — the
+    * provenance stamp [[main]] writes into the
     * artifact as `"src_hash"`. Two rounds in a row shipped a clean
     * artifact whose data PREDATED the round's last product commit
     * (r15/r16 verdicts, "what's wrong" #1): with the stamp, "the
@@ -72,9 +73,10 @@ object BenchScale {
     * which compiles from this same tree immediately before main
     * starts, so stamp == compiled sources up to that seconds-wide
     * window (an edit made DURING the run changes neither the running
-    * classes nor the stamp). Each file is framed as path + NUL +
-    * length + bytes so distinct trees can never concatenate to the
-    * same digest input. */
+    * classes nor the stamp). The path + NUL + length + NUL + bytes
+    * frame is prefix-free (paths and decimal lengths cannot contain
+    * NUL), so distinct trees can never concatenate to the same
+    * digest input. */
   def srcHash(root: String = "src/main"): String = {
     import scala.jdk.CollectionConverters._
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -97,6 +99,13 @@ object BenchScale {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** The ONE artifact resolution order — current round's path first,
+    * previous round's as the fallback — shared by [[cleanTwinSf01]],
+    * [[newestArtifact]], and (through them) Bench's stall tripwire
+    * and ScaleSpec's gates. Defined once: a second copy of this list
+    * is exactly the twin-drift the shared helpers exist to prevent. */
+  val DefaultArtifactPaths: Seq[String] = Seq(ArtifactPath, PrevArtifactPath)
+
   /** The newest existing bench-scale artifact, current round first —
     * the ONE resolution order [[cleanTwinSf01]] and ScaleSpec's
     * flagged/slipped gate share (r17 review: gating on the current
@@ -104,7 +113,7 @@ object BenchScale {
     * between the round-start bump and the round-end roll, while the
     * committed previous artifact sat there able to gate). */
   def newestArtifact(
-      paths: Seq[String] = Seq(ArtifactPath, PrevArtifactPath)): Option[java.nio.file.Path] =
+      paths: Seq[String] = DefaultArtifactPaths): Option[java.nio.file.Path] =
     paths.map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
 
   /** per-query wall-clock ratio vs the PREVIOUS round, at the same

@@ -23,12 +23,18 @@ class ScaleSpec extends SparkSpec {
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse("MISSING")
     assert(flagged == "",
       s"super-linear growth on the ×10 corpus (ratio > ${BenchScale.RatioGate}): $flagged")
-    // and the in-round tripwire: no query slipped >2× vs the previous
-    // round's artifact at either scale
+    // and the in-round tripwire: no query slipped >2× vs the baseline
+    // the RESOLVED artifact was diffed against (its embedded "prev"
+    // field — when the gate falls back to the previous round's
+    // artifact, ITS slips were measured against the round before it,
+    // so citing this test run's PrevArtifactPath would point a
+    // developer at the wrong baseline file; r17 review)
+    val baseline = "\"prev\":\"(.*?)\"".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("<unstamped>")
     val slipped = "\"slipped\":\\[(.*?)\\]".r
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse("MISSING")
     assert(slipped == "",
-      s"per-query slip vs ${BenchScale.PrevArtifactPath} " +
+      s"per-query slip in ${f.getFileName} vs its baseline $baseline " +
         s"(> ${BenchScale.SlipGate}x): $slipped")
   }
 
@@ -178,9 +184,13 @@ class ScaleSpec extends SparkSpec {
     java.nio.file.Files.move(
       dir.resolve("c/Three.scala"), dir.resolve("c/Moved.scala"))
     assert(BenchScale.srcHash(dir.toString) != h2)
-    // framing: {"d/x" -> "Xy Y"} vs {"d/x" -> "X", "d/y" -> "Y"}
-    // must not concatenate to the same digest input
-    w("d/x", "Xy Y")
+    // framing: under the OLD path+NUL+bytes scheme these two trees
+    // digest the IDENTICAL stream d/x NUL X d/y NUL Y — the first
+    // file's content embeds the NUL and the second file's path — so
+    // reverting the length frame fails exactly here (r17 review: the
+    // first counterexample differed under both schemes and protected
+    // nothing)
+    w("d/x", "Xd/y\u0000Y")
     val hJoined = BenchScale.srcHash(dir.toString)
     java.nio.file.Files.delete(dir.resolve("d/x"))
     w("d/x", "X")
