@@ -82,23 +82,122 @@ object GeoTiff {
     case _ => 1
   }
 
+  /** Output bytes of the inflated stream the header probe may buffer
+    * before [[headerDerivedBound]] runs — generous for every header
+    * shape this writer or GDAL front-packs (8-byte header + chained
+    * IFDs + their value arrays; a 16M-strip offset table would not
+    * fit, and such a file falls back to the deflate bound). */
+  private val HeaderProbeLen = 1 << 20
+
   /** Transparent unwrap of gzip-wrapped TIFFs (`.tif.gz`, the CHIRPS
     * distribution shape — the reference gunzips before GDAL;
     * `chirps_rainfall/__init__.py:334`): magic-sniffed so plain files
-    * pay nothing, inflation capped at DEFLATE's own expansion bound
-    * ([[Gz.deflateBound]]: 1032× the COMPRESSED length — r15 advice).
-    * That cap can never refuse a legitimate file (no valid DEFLATE
-    * stream exceeds it, so any content-derived per-raster cap would
-    * be strictly more refusing — the r14/r15 lesson was that both the
-    * float32-derived and the pixel-count caps refused legitimate
-    * multi-IFD float64 COGs), yet it bounds what a crafted few-KB
-    * bomb can allocate to a few MB instead of the ~2 GiB the old
-    * byte-array-maximum cap accepted. The byte-array maximum stays as
-    * the outer clamp: classic-TIFF offsets are 32-bit and every
-    * access goes through one wrapped array. */
+    * pay nothing, inflation bounded in TWO stages (r16 verdict,
+    * optional hardening (a)). Stage 1 inflates at most
+    * [[HeaderProbeLen]] bytes and [[headerDerivedBound]] reads the
+    * file's OWN declared extent from its IFD structures; stage 2
+    * buffers only that much, draining (and CRC-validating) the rest of
+    * the stream without allocating for it. When the header cannot be
+    * bounded from the probe — GDAL legitimately appends overview IFDs
+    * at the END of classic files — the cap falls back to DEFLATE's own
+    * expansion bound ([[Gz.deflateBound]]: 1032× the COMPRESSED
+    * length — r15 advice), which no valid stream can exceed. Neither
+    * stage can refuse a legitimate file (the r14/r15 lesson was that
+    * content-derived REFUSING caps rejected legitimate multi-IFD
+    * float64 COGs — the derived bound here only stops BUFFERING, never
+    * the decode), but a crafted bomb that lies small in its header now
+    * allocates its declared extent instead of the ~1 GiB deflate-bound
+    * margin a ~1 MB compressed stream could previously fill. The
+    * byte-array maximum stays as the outer clamp: classic-TIFF offsets
+    * are 32-bit and every access goes through one wrapped array. */
   private def unwrap(bytes: Array[Byte]): Array[Byte] =
-    if (Gz.isGz(bytes)) Gz.gunzipBounded(bytes, "GeoTIFF")
+    if (Gz.isGz(bytes))
+      Gz.gunzipHeaderBounded(bytes, "GeoTIFF", HeaderProbeLen)(headerDerivedBound)
     else bytes
+
+  /** Declared content extent of a classic TIFF, computed from an
+    * inflated PREFIX of the file (stage 1 of [[unwrap]]): the maximum
+    * byte position any chained IFD, out-of-line entry value, or
+    * strip/tile chunk reaches. A TRUE upper bound on every byte
+    * [[decodeIfd]] or [[ifdCount]] can reference — both read only
+    * referenced structures, so truncating the file here decodes
+    * identically for EVERY `ifdIndex`. Returns None (caller falls back
+    * to the deflate bound) whenever the walk cannot complete inside
+    * the prefix: an IFD or a strip/tile offset array past the probe,
+    * a half-present offset/count pair, or a cyclic chain — legitimate
+    * layouts exist for the first two (GDAL appends overview IFDs at
+    * file end), so an incomplete walk must widen the cap, never guess.
+    * A prefix that is not classic TIFF at all returns its own length:
+    * the decoder's magic gate then refuses by name without the stream
+    * ever inflating past the probe. Total by construction (every read
+    * is bounds-checked first) — it runs on fuzzed prefixes. */
+  private[graft] def headerDerivedBound(prefix: Array[Byte]): Option[Long] = {
+    if (prefix.length < 8) return None
+    val head = ByteBuffer.wrap(prefix)
+    val order = (prefix(0), prefix(1)) match {
+      case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
+      case ('M', 'M') => ByteOrder.BIG_ENDIAN
+      case _ => return Some(prefix.length.toLong)
+    }
+    head.order(order)
+    if (head.getShort(2) != 42) return Some(prefix.length.toLong)
+    var need = 8L
+    var off = head.getInt(4).toLong & 0xffffffffL
+    val visited = scala.collection.mutable.Set.empty[Long]
+    while (off != 0) {
+      if (!visited.add(off)) return None // cyclic: the strict decode refuses
+      if (off + 2 > prefix.length) return None
+      val n = head.getShort(off.toInt) & 0xffff
+      val ifdEnd = off + 2 + n.toLong * 12 + 4
+      if (ifdEnd > prefix.length) return None
+      need = math.max(need, ifdEnd)
+      val chunkVals = scala.collection.mutable.Map.empty[Int, Array[Long]]
+      var i = 0
+      while (i < n) {
+        val eOff = (off + 2 + i * 12).toInt
+        val tag = head.getShort(eOff) & 0xffff
+        val typ = head.getShort(eOff + 2) & 0xffff
+        val count = head.getInt(eOff + 4).toLong & 0xffffffffL
+        val valueOff = head.getInt(eOff + 8).toLong & 0xffffffffL
+        val sz = typeSize(typ)
+        val byteLen = sz.toLong * count
+        if (byteLen > 4) need = math.max(need, valueOff + byteLen)
+        if (tag == TStripOffsets || tag == TStripByteCounts ||
+            tag == TTileOffsets || tag == TTileByteCounts) {
+          // chunk arrays must be READ to find where the data ends
+          if (sz != 2 && sz != 4) return None
+          val base = if (byteLen <= 4) eOff + 8L else valueOff
+          if (base + byteLen > prefix.length) return None
+          val vs = new Array[Long](count.toInt)
+          var k = 0
+          while (k < vs.length) {
+            val o = (base + k.toLong * sz).toInt
+            vs(k) = if (sz == 2) head.getShort(o).toLong & 0xffffL
+                    else head.getInt(o).toLong & 0xffffffffL
+            k += 1
+          }
+          chunkVals(tag) = vs
+        }
+        i += 1
+      }
+      val pairs = Seq((TStripOffsets, TStripByteCounts),
+        (TTileOffsets, TTileByteCounts))
+      for ((oTag, cTag) <- pairs) {
+        (chunkVals.get(oTag), chunkVals.get(cTag)) match {
+          case (Some(os), Some(cs)) =>
+            if (os.length != cs.length) return None
+            var k = 0
+            while (k < os.length) {
+              need = math.max(need, os(k) + cs(k)); k += 1
+            }
+          case (None, None) => ()
+          case _ => return None // half a pair: strict decode refuses by name
+        }
+      }
+      off = head.getInt((ifdEnd - 4).toInt).toLong & 0xffffffffL
+    }
+    Some(need)
+  }
 
   /** Number of IFDs chained in a classic TIFF (1 for the plain writer,
     * 1 + overview count for [[encodeCog]] output). Accepts

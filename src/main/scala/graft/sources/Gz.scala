@@ -111,6 +111,76 @@ object Gz {
   def gunzipBounded(bytes: Array[Byte], what: String): Array[Byte] =
     gunzip(bytes, math.min(Int.MaxValue - 16L, deflateBound(bytes.length)), what)
 
+  /** Two-stage header-derived inflation bound (r16 verdict, optional
+    * hardening (a)): inflate the first `probeLen` output bytes, let
+    * `derive` compute the file's own declared content extent from that
+    * prefix, then buffer only `max(derive, probeLen)` bytes while
+    * still DRAINING the stream to its end — so the gzip trailer
+    * (CRC32 + ISIZE) is validated exactly as in [[gunzip]].
+    *
+    * Three outcomes, none of which can refuse a legitimate file:
+    *   - the stream ends inside the probe → the whole (small) file,
+    *     fully validated — the common small-product path, unchanged;
+    *   - `derive(prefix)` = Some(need) → the buffer stops growing at
+    *     `max(need, probeLen)` but inflation continues through a
+    *     scratch window to the end of the member chain: trailing bytes
+    *     no declared structure references are DISCARDED, not refused
+    *     (a rewritten archive's dead tail must keep decoding), and a
+    *     corrupt trailer still refuses by name;
+    *   - `derive(prefix)` = None (the header cannot be bounded from
+    *     the probe) → fall back to buffering under the
+    *     [[gunzipBounded]] two-sided cap — today's exact behavior.
+    *
+    * Closes the allocation margin [[deflateBound]] leaves open: a
+    * crafted stream that LIES small in its header now allocates only
+    * its declared extent (plus the probe), and one with no parseable
+    * header at all allocates at most the probe before the decoder's
+    * magic gate refuses it — while total inflation WORK stays bounded
+    * by the same two-sided cap. `derive` must be a TRUE upper bound on
+    * every byte the decoder can reference (truncating there must be
+    * invisible), total (never throw — it runs on fuzzed prefixes), and
+    * must return None whenever it cannot tell. */
+  def gunzipHeaderBounded(bytes: Array[Byte], what: String, probeLen: Int)(
+      derive: Array[Byte] => Option[Long]): Array[Byte] = {
+    require(isGz(bytes), s"$what: not a gzip stream")
+    require(probeLen > 0, s"$what: probeLen must be positive")
+    val hardCap = math.min(Int.MaxValue - 16L, deflateBound(bytes.length))
+    def rename(e: java.io.IOException): Nothing =
+      throw new IllegalArgumentException(
+        s"$what: corrupt or truncated gzip stream — ${e.getMessage}", e)
+    val in =
+      try new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case e: java.io.IOException => rename(e) }
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(bytes.length.toLong * 4, 1024), 1L << 20).toInt)
+    var keep = -1L // buffer ceiling; -1 until the probe resolves it
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var total = 0L // total inflated bytes seen (kept + discarded)
+      var n = in.read(buf)
+      while (n > 0) {
+        total += n
+        require(total <= hardCap,
+          s"$what: gzip payload exceeds the $hardCap-byte inflation cap")
+        if (keep < 0) {
+          out.write(buf, 0, n)
+          if (out.size() >= probeLen)
+            keep = derive(java.util.Arrays.copyOf(out.toByteArray, probeLen))
+              .map(need => math.min(math.max(need, probeLen.toLong), hardCap))
+              .getOrElse(hardCap)
+        } else if (out.size() < keep) {
+          out.write(buf, 0, math.min(n.toLong, keep - out.size()).toInt)
+        } // else: discard — dead bytes past every declared structure
+        n = in.read(buf)
+      }
+    } catch { case e: java.io.IOException => rename(e) }
+    finally in.close()
+    val arr = out.toByteArray
+    if (keep >= 0 && arr.length > keep) java.util.Arrays.copyOf(arr, keep.toInt)
+    else arr
+  }
+
   /** Uncompressed length from the gzip ISIZE trailer (`tail` is the
     * stream's LAST FOUR bytes, little-endian u32) — exact for
     * single-member streams under 4 GiB; callers validate consistency

@@ -195,19 +195,77 @@ object NetCdf {
     }
   }
 
+  /** Output bytes the two-stage gz probe may buffer before
+    * [[headerDerivedBound]] runs — a classic header (dims + atts +
+    * var table) comfortably fits; one that does not falls back to the
+    * deflate bound. */
+  private val HeaderProbeLen = 1 << 20
+
   /** Parse the header; payload access stays lazy via [[NcFile.read]].
     * Gzip-wrapped input (`.nc.gz`, a common archive distribution
-    * shape) unwraps transparently — magic-sniffed, inflation capped
-    * at [[Gz.deflateBound]] (DEFLATE's own worst-case expansion of
-    * the compressed length: never refuses a legitimate stream,
-    * bounds a crafted few-KB bomb to a few MB — the shared
-    * [[Gz.gunzipBounded]] two-sided bound [[GeoTiff.decode]] and
-    * [[GribMeta.decode]] use; the byte-array maximum is its outer
-    * clamp, which the classic-format reads below already require). */
+    * shape) unwraps transparently — magic-sniffed, inflation bounded
+    * in TWO stages like [[GeoTiff.decode]] (r16 verdict, optional
+    * hardening (a)): [[Gz.gunzipHeaderBounded]] inflates at most a
+    * [[HeaderProbeLen]] probe, [[headerDerivedBound]] reads the
+    * file's OWN declared data extent from its header (classic NetCDF
+    * stores data uncompressed at header-declared `begin` offsets, so
+    * the extent is exact), and buffering stops there while the stream
+    * still drains to its CRC-validated end. Headers the probe cannot
+    * bound fall back to [[Gz.deflateBound]] (DEFLATE's own worst-case
+    * expansion of the compressed length: never refuses a legitimate
+    * stream, bounds a crafted few-KB bomb to a few MB); the
+    * byte-array maximum is the outer clamp, which the classic-format
+    * reads below already require. */
   def decode(bytes: Array[Byte]): NcFile = CodecGate.gated("NetCDF") {
-    val b = if (Gz.isGz(bytes)) Gz.gunzipBounded(bytes, "NetCDF")
+    val b = if (Gz.isGz(bytes))
+      Gz.gunzipHeaderBounded(bytes, "NetCDF", HeaderProbeLen)(headerDerivedBound)
       else bytes
     decodeImpl(b, b.length)
+  }
+
+  /** Declared content extent of a classic NetCDF file, computed from
+    * an inflated PREFIX (stage 1 of [[decode]]'s two-stage gz bound):
+    * the maximum byte position any variable's data can reach — fixed
+    * vars end at `begin + Πdims·width`, record vars at
+    * `begin + (numrecs−1)·recordStride + per-record size`. A TRUE
+    * upper bound on every byte [[NcFile.read]] can touch (readSlab
+    * addresses only declared slabs), so truncating there is invisible
+    * to the decode; trailing alignment pad past the last slab is
+    * discarded, never read. Returns None — caller falls back to the
+    * deflate bound — whenever the header outruns the prefix, declares
+    * nothing (no variables), refuses (STREAMING numrecs), or any
+    * extent arithmetic overflows (crafted counts must widen the cap,
+    * not under-cut it). A prefix without the CDF magic returns its
+    * own length: the decoder's magic gate then refuses by name
+    * without the stream inflating past the probe. Total by
+    * construction (decodeImpl's own bounds checks surface as
+    * exceptions, all caught). */
+  private[graft] def headerDerivedBound(prefix: Array[Byte]): Option[Long] = {
+    if (prefix.length < 4) return None
+    if (!(prefix(0) == 'C' && prefix(1) == 'D' && prefix(2) == 'F'))
+      return Some(prefix.length.toLong)
+    try {
+      val f = decodeImpl(prefix, Long.MaxValue)
+      if (f.vars.isEmpty) None
+      else {
+        var need = 0L
+        f.vars.foreach { v =>
+          val w = widthOf(v.ncType).toLong
+          val perRecCount = v.dimIds.dropWhile(id => f.dims(id).isRecord)
+            .map(f.dims(_).length.toLong)
+            .foldLeft(1L)((a, b) => Math.multiplyExact(a, b))
+          val end =
+            if (f.isRecordVar(v)) {
+              if (f.numRecs == 0) v.begin
+              else Math.addExact(v.begin, Math.addExact(
+                Math.multiplyExact(f.numRecs - 1L, f.recordStride),
+                Math.multiplyExact(perRecCount, w)))
+            } else Math.addExact(v.begin, Math.multiplyExact(perRecCount, w))
+          need = math.max(need, end)
+        }
+        Some(need)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Header-only parse from a bounded PREFIX of the file: variable

@@ -333,6 +333,73 @@ class GeoTiffSpec extends SparkSpec {
     assert(GeoTiff.decode(wrapped).values.sameElements(const.values))
   }
 
+  test("two-stage gz bound: the header's own declared extent caps the " +
+      "buffer, dead tail bytes are discarded not refused, and an " +
+      "unboundable header falls back to the deflate bound") {
+    import graft.sources.Gz
+    import java.nio.{ByteBuffer, ByteOrder}
+    val r = Raster(6, 5, 1, 1, 0, 0, Some(-1.0),
+      grid(6, 5)((x, y) => x * 2.0 + y))
+    val plain = GeoTiff.encode(r)
+    // both writers pack every referenced structure up to EXACTLY the
+    // file end, so the derived extent is the file length — the bound
+    // is tight, not merely safe
+    assert(GeoTiff.headerDerivedBound(plain).contains(plain.length.toLong))
+    val cog = GeoTiff.encodeCog(r, tileSize = 16, minOverviewDim = 2)
+    assert(GeoTiff.headerDerivedBound(cog).contains(cog.length.toLong))
+    // a bomb that LIES small: a valid tiny TIFF + 48 MB of dead zeros
+    // gzips to ~50 KB, so the single-stage deflate bound would buffer
+    // all ~48 MB; the two-stage path keeps max(declared, probe) = the
+    // 1 MiB probe, yet the tiny raster still decodes intact
+    val bomb = Gz.gzip(plain ++ new Array[Byte](48 << 20))
+    val kept = Gz.gunzipHeaderBounded(bomb, "t", 1 << 20)(
+      GeoTiff.headerDerivedBound)
+    assert(kept.length == (1 << 20), kept.length.toString)
+    assert(GeoTiff.decode(bomb).values.sameElements(r.values))
+    // the drain-to-end still validates the gzip trailer: corrupting the
+    // LAST byte (past everything kept) refuses by name, so the discard
+    // never trades away the corrupt-archive refusal
+    val corrupt = bomb.clone()
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x55).toByte
+    val eTail = intercept[IllegalArgumentException](GeoTiff.decode(corrupt))
+    assert(eTail.getMessage.contains("gzip"), eTail.getMessage)
+    // a bomb with NO parseable header: allocation stops at the probe
+    // and the decoder's magic gate refuses by name
+    val junk = Gz.gzip(new Array[Byte](32 << 20))
+    assert(Gz.gunzipHeaderBounded(junk, "t", 1 << 20)(
+      GeoTiff.headerDerivedBound).length == (1 << 20))
+    val eMagic = intercept[IllegalArgumentException](GeoTiff.decode(junk))
+    assert(eMagic.getMessage.contains("byte-order"), eMagic.getMessage)
+    // fallback cases widen, never guess: an IFD past the prefix (the
+    // GDAL appended-overview layout) and a cyclic chain both → None
+    val farIfd = plain.clone()
+    ByteBuffer.wrap(farIfd).order(ByteOrder.LITTLE_ENDIAN).putInt(4, 5 << 20)
+    assert(GeoTiff.headerDerivedBound(farIfd).isEmpty)
+    val cyclic = plain.clone()
+    // next-IFD pointer back to the first IFD (offset 8): entry count
+    // is at 8, the pointer slot follows the 12-byte entries
+    val nEntries = ByteBuffer.wrap(cyclic).order(ByteOrder.LITTLE_ENDIAN)
+      .getShort(8) & 0xffff
+    ByteBuffer.wrap(cyclic).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(8 + 2 + nEntries * 12, 8)
+    assert(GeoTiff.headerDerivedBound(cyclic).isEmpty)
+    // a probe too small to hold the IFD also falls back — and the
+    // end-to-end fallback path still decodes the file byte-identically
+    assert(GeoTiff.headerDerivedBound(
+      java.util.Arrays.copyOf(plain, 12)).isEmpty)
+    assert(Gz.gunzipHeaderBounded(Gz.gzip(plain), "t", 12)(
+      GeoTiff.headerDerivedBound).sameElements(plain))
+    // derive is TOTAL on fuzzed prefixes: every truncation and every
+    // single-byte corruption of a real header returns, never throws
+    (0 until plain.length by 7).foreach { cut =>
+      GeoTiff.headerDerivedBound(java.util.Arrays.copyOf(plain, cut))
+    }
+    (0 until math.min(plain.length, 64)).foreach { i =>
+      val m = plain.clone(); m(i) = (m(i) ^ 0xff).toByte
+      GeoTiff.headerDerivedBound(m)
+    }
+  }
+
   test("encodeCog: tiled pyramid round-trips; overview IFDs carry i27-coarsened means") {
     // 100×75 with nodata holes, 32px tiles, overviews to ≤30px:
     // levels 100×75 → 50×38 → 25×19, so 3 chained IFDs

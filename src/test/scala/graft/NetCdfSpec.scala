@@ -214,6 +214,62 @@ class NetCdfSpec extends SparkSpec {
     assert(f.read("qty").forall(_ == 0.0))
   }
 
+  test("two-stage gz bound on decode: the header's declared extent caps " +
+      "the buffer, dead tail bytes are discarded with the gzip trailer " +
+      "still validating, and unboundable headers fall back") {
+    import graft.sources.Gz
+    // a record-var file: extent = begin + (numrecs-1)*stride + perRec
+    val plain = NetCdf.encode(
+      Seq(NetCdf.Dim("t", 0), NetCdf.Dim("x", 3)), Nil,
+      Seq(NetCdf.VarSpec("v", Seq("t", "x"), NetCdf.NcShort,
+        values = Array.tabulate(12)(_.toDouble))),
+      numRecs = 4)
+    // tight bound: within alignment pad of the true file end
+    val need = NetCdf.headerDerivedBound(plain).get
+    assert(need <= plain.length && need >= plain.length - 4,
+      s"need=$need file=${plain.length}")
+    // a bomb that LIES small: valid tiny file + 48 MB dead zeros gzips
+    // to ~50 KB; the single-stage deflate bound would buffer all of
+    // it, the two-stage path keeps max(declared, probe) = the probe
+    val bomb = Gz.gzip(plain ++ new Array[Byte](48 << 20))
+    assert(Gz.gunzipHeaderBounded(bomb, "t", 1 << 20)(
+      NetCdf.headerDerivedBound).length == (1 << 20))
+    val back = NetCdf.decode(bomb)
+    assert(back.numRecs == 4 &&
+      back.read("v").toSeq == (0 until 12).map(_.toDouble))
+    // the drain still validates the gzip trailer: a corrupt LAST byte
+    // (past everything kept) refuses by name
+    val corrupt = bomb.clone()
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x55).toByte
+    val eTail = intercept[IllegalArgumentException](NetCdf.decode(corrupt))
+    assert(eTail.getMessage.contains("gzip"), eTail.getMessage)
+    // no CDF magic at all: allocation stops at the probe, the magic
+    // gate refuses by name
+    val junk = Gz.gzip(new Array[Byte](32 << 20))
+    assert(Gz.gunzipHeaderBounded(junk, "t", 1 << 20)(
+      NetCdf.headerDerivedBound).length == (1 << 20))
+    assert(intercept[IllegalArgumentException](NetCdf.decode(junk))
+      .getMessage.contains("CDF"))
+    // fallbacks widen, never guess: header outrunning the prefix, and
+    // a header declaring no variables at all
+    assert(NetCdf.headerDerivedBound(
+      java.util.Arrays.copyOf(plain, 16)).isEmpty)
+    assert(NetCdf.headerDerivedBound(
+      NetCdf.encode(Seq(NetCdf.Dim("x", 3)), Nil, Nil)).isEmpty)
+    // end-to-end fallback still decodes byte-identically
+    assert(Gz.gunzipHeaderBounded(Gz.gzip(plain), "t", 16)(
+      NetCdf.headerDerivedBound).sameElements(plain))
+    // derive is TOTAL on fuzzed prefixes: truncations and bit flips
+    // return (Some or None), never throw
+    (0 until plain.length by 5).foreach { cut =>
+      NetCdf.headerDerivedBound(java.util.Arrays.copyOf(plain, cut))
+    }
+    (0 until math.min(plain.length, 64)).foreach { i =>
+      val m = plain.clone(); m(i) = (m(i) ^ 0xff).toByte
+      NetCdf.headerDerivedBound(m)
+    }
+  }
+
   test("gz planning past the 1 MiB prefix: ISIZE bounded both ways — " +
       "a valid trailer plans bounded, a multi-member trailer falls " +
       "back to the strict whole-file decode, an overstated trailer " +
