@@ -82,19 +82,12 @@ object GeoTiff {
     case _ => 1
   }
 
-  /** Output bytes of the inflated stream the header probe may buffer
-    * before [[headerDerivedBound]] runs — generous for every header
-    * shape this writer or GDAL front-packs (8-byte header + chained
-    * IFDs + their value arrays; a 16M-strip offset table would not
-    * fit, and such a file falls back to the deflate bound). */
-  private val HeaderProbeLen = 1 << 20
-
   /** Transparent unwrap of gzip-wrapped TIFFs (`.tif.gz`, the CHIRPS
     * distribution shape — the reference gunzips before GDAL;
     * `chirps_rainfall/__init__.py:334`): magic-sniffed so plain files
     * pay nothing, inflation bounded in TWO stages (r16 verdict,
     * optional hardening (a)). Stage 1 inflates at most
-    * [[HeaderProbeLen]] bytes and [[headerDerivedBound]] reads the
+    * [[Gz.HeaderProbeLen]] bytes and [[headerDerivedBound]] reads the
     * file's OWN declared extent from its IFD structures; stage 2
     * buffers only that much, draining (and CRC-validating) the rest of
     * the stream without allocating for it. When the header cannot be
@@ -112,7 +105,7 @@ object GeoTiff {
     * are 32-bit and every access goes through one wrapped array. */
   private def unwrap(bytes: Array[Byte]): Array[Byte] =
     if (Gz.isGz(bytes))
-      Gz.gunzipHeaderBounded(bytes, "GeoTIFF", HeaderProbeLen)(headerDerivedBound)
+      Gz.gunzipHeaderBounded(bytes, "GeoTIFF")(headerDerivedBound)
     else bytes
 
   /** Declared content extent of a classic TIFF, computed from an
@@ -144,8 +137,17 @@ object GeoTiff {
     var need = 8L
     var off = head.getInt(4).toLong & 0xffffffffL
     val visited = scala.collection.mutable.Set.empty[Long]
+    // cumulative work caps (r17 review): the walk reads every entry
+    // tagged as a chunk array, so a crafted probe packing 64K such
+    // entries × 256K-element arrays would cost ~10^10 reads here —
+    // work the strict decoder never does (it collapses duplicate tags
+    // first). Budgets far above any legitimate header; exceeding one
+    // returns None, which only WIDENS the cap — never refuses.
+    var chunkElemBudget = 1L << 22
+    val maxIfds = 1024
     while (off != 0) {
       if (!visited.add(off)) return None // cyclic: the strict decode refuses
+      if (visited.size > maxIfds) return None
       if (off + 2 > prefix.length) return None
       val n = head.getShort(off.toInt) & 0xffff
       val ifdEnd = off + 2 + n.toLong * 12 + 4
@@ -168,6 +170,8 @@ object GeoTiff {
           if (sz != 2 && sz != 4) return None
           val base = if (byteLen <= 4) eOff + 8L else valueOff
           if (base + byteLen > prefix.length) return None
+          chunkElemBudget -= count
+          if (chunkElemBudget < 0) return None
           val vs = new Array[Long](count.toInt)
           var k = 0
           while (k < vs.length) {

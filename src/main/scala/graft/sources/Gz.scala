@@ -111,6 +111,16 @@ object Gz {
   def gunzipBounded(bytes: Array[Byte], what: String): Array[Byte] =
     gunzip(bytes, math.min(Int.MaxValue - 16L, deflateBound(bytes.length)), what)
 
+  /** Default `probeLen` for [[gunzipHeaderBounded]] — ONE probe-size
+    * policy for every format that derives its extent from a header
+    * prefix (r17 review: GeoTiff and NetCdf each carried their own
+    * copy of this constant, free to drift). 1 MiB of INFLATED output
+    * comfortably holds every front-packed header shape the deriving
+    * codecs see (chained TIFF IFDs + value arrays, a classic NetCDF
+    * dim/att/var table); a header that does not fit falls back to the
+    * deflate bound by returning None. */
+  val HeaderProbeLen: Int = 1 << 20
+
   /** Two-stage header-derived inflation bound (r16 verdict, optional
     * hardening (a)): inflate the first `probeLen` output bytes, let
     * `derive` compute the file's own declared content extent from that
@@ -140,7 +150,8 @@ object Gz {
     * every byte the decoder can reference (truncating there must be
     * invisible), total (never throw — it runs on fuzzed prefixes), and
     * must return None whenever it cannot tell. */
-  def gunzipHeaderBounded(bytes: Array[Byte], what: String, probeLen: Int)(
+  def gunzipHeaderBounded(bytes: Array[Byte], what: String,
+      probeLen: Int = HeaderProbeLen)(
       derive: Array[Byte] => Option[Long]): Array[Byte] = {
     require(isGz(bytes), s"$what: not a gzip stream")
     require(probeLen > 0, s"$what: probeLen must be positive")
@@ -158,7 +169,12 @@ object Gz {
     try {
       val buf = new Array[Byte](64 * 1024)
       var total = 0L // total inflated bytes seen (kept + discarded)
-      var n = in.read(buf)
+      // probe-phase reads stop AT the probe boundary, so at resolution
+      // time the buffer holds exactly probeLen bytes and its toByteArray
+      // IS the prefix — one copy, not copy-then-copyOf (r17 review)
+      def readNext(): Int = in.read(buf, 0,
+        if (keep < 0) math.min(buf.length, probeLen - out.size()) else buf.length)
+      var n = readNext()
       while (n > 0) {
         total += n
         require(total <= hardCap,
@@ -166,13 +182,13 @@ object Gz {
         if (keep < 0) {
           out.write(buf, 0, n)
           if (out.size() >= probeLen)
-            keep = derive(java.util.Arrays.copyOf(out.toByteArray, probeLen))
+            keep = derive(out.toByteArray)
               .map(need => math.min(math.max(need, probeLen.toLong), hardCap))
               .getOrElse(hardCap)
         } else if (out.size() < keep) {
           out.write(buf, 0, math.min(n.toLong, keep - out.size()).toInt)
         } // else: discard — dead bytes past every declared structure
-        n = in.read(buf)
+        n = readNext()
       }
     } catch { case e: java.io.IOException => rename(e) }
     finally in.close()

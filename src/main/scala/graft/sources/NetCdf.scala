@@ -188,25 +188,22 @@ object NetCdf {
       }
     def name(): String = {
       val n = count()
-      require(n >= 0 && pos + n <= bytes.length, s"bad name length $n at $pos")
+      // Long compare: pos + n wraps negative for n near Int.MaxValue,
+      // and a negative LHS passes the <= check (r17 review)
+      require(n >= 0 && pos.toLong + n <= bytes.length,
+        s"bad name length $n at $pos")
       val s = new String(bytes, pos, n, "UTF-8")
       pos += pad4(n).toInt
       s
     }
   }
 
-  /** Output bytes the two-stage gz probe may buffer before
-    * [[headerDerivedBound]] runs — a classic header (dims + atts +
-    * var table) comfortably fits; one that does not falls back to the
-    * deflate bound. */
-  private val HeaderProbeLen = 1 << 20
-
   /** Parse the header; payload access stays lazy via [[NcFile.read]].
     * Gzip-wrapped input (`.nc.gz`, a common archive distribution
     * shape) unwraps transparently — magic-sniffed, inflation bounded
     * in TWO stages like [[GeoTiff.decode]] (r16 verdict, optional
     * hardening (a)): [[Gz.gunzipHeaderBounded]] inflates at most a
-    * [[HeaderProbeLen]] probe, [[headerDerivedBound]] reads the
+    * [[Gz.HeaderProbeLen]] probe, [[headerDerivedBound]] reads the
     * file's OWN declared data extent from its header (classic NetCDF
     * stores data uncompressed at header-declared `begin` offsets, so
     * the extent is exact), and buffering stops there while the stream
@@ -218,7 +215,7 @@ object NetCdf {
     * reads below already require. */
   def decode(bytes: Array[Byte]): NcFile = CodecGate.gated("NetCDF") {
     val b = if (Gz.isGz(bytes))
-      Gz.gunzipHeaderBounded(bytes, "NetCDF", HeaderProbeLen)(headerDerivedBound)
+      Gz.gunzipHeaderBounded(bytes, "NetCDF")(headerDerivedBound)
       else bytes
     decodeImpl(b, b.length)
   }
@@ -310,8 +307,14 @@ object NetCdf {
         val count = r.count()
         require(count >= 0, s"bad attribute count for $nm")
         val w = widthOf(t)
-        val end = r.pos + pad4(count.toLong * w).toInt
-        require(end <= bytes.length, s"attribute $nm overruns file")
+        // Long arithmetic end-to-end: pad4(count·w).toInt wrapped to 0
+        // for count·w = 2^32, sliding a crafted attribute past this
+        // gate into a ~4 GiB value-array allocation (r17 review) — the
+        // require must see the UNtruncated length
+        val byteLen = pad4(count.toLong * w)
+        require(r.pos + byteLen <= bytes.length,
+          s"attribute $nm overruns file")
+        val end = (r.pos + byteLen).toInt
         val att =
           if (t == NcChar)
             Att(nm, Some(new String(bytes, r.pos, count, "UTF-8")), Array.empty)

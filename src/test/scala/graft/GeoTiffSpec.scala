@@ -398,6 +398,32 @@ class GeoTiffSpec extends SparkSpec {
       val m = plain.clone(); m(i) = (m(i) ^ 0xff).toByte
       GeoTiff.headerDerivedBound(m)
     }
+    // r17 review: cumulative work caps. A probe packing many entries
+    // that each point a 256K-element strip array at the same region
+    // would cost ~10^10 reads without the element budget; a chain of
+    // thousands of micro-IFDs would walk unboundedly without the IFD
+    // cap. Both must fall back (None widens the cap, never refuses)
+    // and return fast.
+    val manyEntries = java.nio.ByteBuffer.allocate(1 << 20)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    manyEntries.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    manyEntries.putShort(8, 64.toShort) // one IFD, 64 entries
+    (0 until 64).foreach { i =>
+      manyEntries.position(10 + i * 12)
+      manyEntries.putShort(273.toShort).putShort(4.toShort)
+        .putInt(262144).putInt(0) // StripOffsets, LONG, 256K elems
+    }
+    val t0 = System.nanoTime()
+    assert(GeoTiff.headerDerivedBound(manyEntries.array()).isEmpty)
+    assert((System.nanoTime() - t0) < 2e9, "element budget did not bound work")
+    val ifdChain = java.nio.ByteBuffer.allocate(16 * 1024)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    ifdChain.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    (0 until 2000).foreach { i => // 2000 empty IFDs, each 6 bytes
+      ifdChain.position(8 + i * 6)
+      ifdChain.putShort(0.toShort).putInt(if (i == 1999) 0 else 8 + (i + 1) * 6)
+    }
+    assert(GeoTiff.headerDerivedBound(ifdChain.array()).isEmpty)
   }
 
   test("encodeCog: tiled pyramid round-trips; overview IFDs carry i27-coarsened means") {

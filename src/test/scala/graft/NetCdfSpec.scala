@@ -268,6 +268,24 @@ class NetCdfSpec extends SparkSpec {
       val m = plain.clone(); m(i) = (m(i) ^ 0xff).toByte
       NetCdf.headerDerivedBound(m)
     }
+    // r17 review: a crafted attribute whose count*width is exactly
+    // 2^32 used to wrap pad4(...).toInt to 0, pass the overrun gate,
+    // and allocate a ~4 GiB value array — it must refuse by name
+    // (strict path) and fall back quietly (derive path), never
+    // allocate
+    val attBomb = java.nio.ByteBuffer.allocate(40)
+      .put("CDF".getBytes("US-ASCII")).put(1.toByte)
+      .putInt(0)                 // numrecs
+      .putInt(0).putInt(0)       // absent dim list
+      .putInt(0x0C).putInt(1)    // gatt list, one attribute
+      .putInt(1).put('a'.toByte) // name "a"
+      .put(new Array[Byte](3))   // name pad to 4
+      .putInt(NetCdf.NcDouble)
+      .putInt(0x20000000)        // nelems: 2^29 doubles = 2^32 bytes
+      .array()
+    val eAtt = intercept[IllegalArgumentException](NetCdf.decode(attBomb))
+    assert(eAtt.getMessage.contains("overruns"), eAtt.getMessage)
+    assert(NetCdf.headerDerivedBound(attBomb).isEmpty)
   }
 
   test("gz planning past the 1 MiB prefix: ISIZE bounded both ways — " +
