@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharEntropyStatsExpr, CosineSimExpr, DotExpr, HyperplaneBucketExpr, Md5SeededExpr, MinHashSigExpr, NormExpr, RepetitionStatsExpr, RollingFingerprintExpr, TokenCountsExpr, TopKAggregate, WinnowFingerprintsExpr, WordShinglesExpr, XxShinglesExpr}
+import graft.functions.{CharEntropyStatsExpr, CosineSimExpr, DotExpr, HyperplaneBucketExpr, Md5SeededExpr, MinHashSigExpr, NormExpr, RepetitionStatsExpr, RollingFingerprintExpr, SimhashMaskExpr, TokenCountsExpr, TopKAggregate, WinnowFingerprintsExpr, WordShinglesExpr, XxMinhashSigExpr, XxShinglesExpr}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.SparkSessionExtensions
@@ -59,6 +59,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSigExpr(exprs(0), intArg(exprs(1)))),
+    (FunctionIdentifier("graft_xx_minhash_sig"),
+      new ExpressionInfo(classOf[XxMinhashSigExpr].getName, "graft_xx_minhash_sig"),
+      (exprs: Seq[Expression]) => XxMinhashSigExpr(exprs(0), intArg(exprs(1)))),
+    (FunctionIdentifier("graft_simhash_mask"),
+      new ExpressionInfo(classOf[SimhashMaskExpr].getName, "graft_simhash_mask"),
+      (exprs: Seq[Expression]) => SimhashMaskExpr(exprs(0))),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAggregate].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKAggregate(

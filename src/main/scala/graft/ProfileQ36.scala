@@ -15,11 +15,16 @@ object ProfileQ36 {
     // 4th arg "noaqe": measure the loop without per-stage re-planning
     if (args.lift(3).contains("noaqe"))
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val t0 = System.nanoTime()
-    val n = graft.operators.Relational.q36.fn(spark, sfDir).count()
-    println(f"rows=$n rounds=${graft.operators.Relational.q36RoundsFor(sfDir)} " +
-      f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s " +
-      f"(parts=${args.lift(1).getOrElse("auto")} block=${args.lift(2).getOrElse("4")})")
+    // 5th arg: warm repetitions — single cold-JVM runs carry ±3 s of
+    // JIT/codegen noise; A/B compares the warm minimum
+    val reps = args.lift(4).map(_.toInt).getOrElse(1)
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = graft.operators.Relational.q36.fn(spark, sfDir).count()
+      println(f"rep$i rows=$n rounds=${graft.operators.Relational.q36RoundsFor(sfDir)} " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(parts=${args.lift(1).getOrElse("auto")} block=${args.lift(2).getOrElse("4")})")
+    }
     spark.stop()
   }
 }

@@ -58,4 +58,28 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Hash-repartition `df` to the session parallelism when its input is
+    * too small to scan in parallel — the input-parallelism fix for
+    * expensive per-row kernels over a scan of few (or unsplittable)
+    * files: a 1 MB single-row-group documents file plans as ONE scan
+    * partition, so shingling/hashing/BPE kernels otherwise run serial
+    * on a 32-core session. Gated on the OPTIMIZER size estimate, not on
+    * `df.rdd` — building the RDD would compile a second whole-stage-
+    * codegen plan per call (~0.3-1 s of driver time per cold query,
+    * measured as a uniform in-suite regression). The estimate errs
+    * toward spreading (a huge single-row-group file still estimates
+    * many splits), which only matters below `p/2 × maxPartitionBytes`
+    * of input — at scale a real corpus scan passes the gate untouched
+    * and no shuffle is added. Hash (not round-robin) on the given key:
+    * deterministic under retries and no sort-before-repartition pass. */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    if (df.isStreaming) return df // no stats on streaming plans
+    val sess = df.sparkSession
+    val p = sess.sparkContext.defaultParallelism
+    val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(maxSplit) * math.max(1, p / 2)) df
+    else df.repartition(p, org.apache.spark.sql.functions.col(key))
+  }
 }

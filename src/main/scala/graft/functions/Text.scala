@@ -72,12 +72,16 @@ object Text {
     */
   def minhashSignatures(docs: org.apache.spark.sql.DataFrame, idCol: String,
       shingleArr: Column, numHashes: Int = 64): org.apache.spark.sql.DataFrame = {
-    val exploded = docs.select(col(idCol), explode(shingleArr).as("s"))
-      .select(col(idCol), xxhash64(col("s")).as("h"))
-    val mins = (0 until numHashes).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
-    exploded.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+    // One-pass per-row projection ([[XxMinhashSigExpr]], bit-identical
+    // to the old explode + min(xxhash64(h, j)) grouped agg — spec-
+    // pinned): no row multiplication, no hash aggregate, no exchange.
+    // The size filter preserves the explode semantics (a doc with no
+    // shingles vanished from the grouped result). Callers pass one row
+    // per id, which the old groupBy collapsed and this shape assumes.
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.filter(size(shingleArr) > 0)
+      .select(col(idCol), ColumnBridge.column(XxMinhashSigExpr(
+        ColumnBridge.expression(shingleArr), numHashes)).as("sig"))
   }
 
   /** SimHash sign-bit fingerprints, same explode + grouped-agg shape:
@@ -109,15 +113,15 @@ object Text {
     * index (d03's fixture) shrinks ~10×. */
   def simhashMaskOf(docs: org.apache.spark.sql.DataFrame, idCol: String,
       toks: Column): org.apache.spark.sql.DataFrame = {
-    val exploded = docs.select(col(idCol), explode(toks).as("t"))
-      .select(col(idCol), xxhash64(col("t")).as("h"))
-    val sums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"c$i")
-    }
-    exploded.groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
-      .select(col(idCol), (0 until 64).map(i =>
-          when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+    // One-pass per-row projection ([[SimhashMaskExpr]], bit-identical
+    // to the old explode + 64 conditional-sum grouped agg — spec-
+    // pinned): no row multiplication, no hash aggregate, no exchange.
+    // The size filter preserves the explode semantics (a doc with no
+    // tokens vanished from the grouped result). Callers pass one row
+    // per id, which the old groupBy collapsed and this shape assumes.
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.filter(size(toks) > 0)
+      .select(col(idCol), ColumnBridge.column(SimhashMaskExpr(
+        ColumnBridge.expression(toks))).as("fp"))
   }
 }

@@ -1264,9 +1264,15 @@ object Relational {
     // Loop-shuffle sizing (the r3 lesson: size iterative-loop shuffles
     // to the data, not the session default), estimated from the
     // metadata-only lineitem row count (parquet footers — no scan).
+    // Floored at a quarter of the core count: the data-derived width
+    // alone left the whole loop on 2 tasks at sf0.1 (32 cores idle —
+    // measured 5.3 s vs 4.4 s at width 8); the floor tracks the
+    // session's actual parallelism, so it scales DOWN with the core
+    // count too, never a local[32] constant.
     val nPart = math.max(1, math.min(
       spark.conf.get("graft.q36.loopPartitions",
-        (t.lineitem.count() / 500000 + 1).toString).toInt,
+        math.max(spark.sparkContext.defaultParallelism / 4,
+          t.lineitem.count() / 500000 + 1).toString).toInt,
       spark.sparkContext.defaultParallelism * 4))
     val e0 = t.orders
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
@@ -1309,6 +1315,25 @@ object Relational {
       .localCheckpoint(true)
     var roundsDone = 0
     var converged = false
+    // Loop-width pin: a round consumes ranks partitioned hash(node,
+    // nPart) (ed's layout) and produces them from an agg exchange of
+    // width spark.sql.shuffle.partitions — with the session default the
+    // two widths differ, so every round pays TWO node-table exchanges
+    // (the agg's, then a re-shuffle into ed's layout for the next
+    // join). Pinning the loop's shuffle width to nPart — and holding
+    // AQE partition coalescing off so the width sticks — makes the agg
+    // exchange itself land in ed's layout: the join side of every
+    // round is exchange-free, ONE node-table exchange per round
+    // (measured 6.3 s → 4.6 s warm at sf0.1, 20 rounds). Scale-
+    // adaptive, not a local[32] constant: nPart derives from the input
+    // row count. Confs are restored before the returned frame is ever
+    // planned (try/finally; fn's caller plans it after return).
+    val oldSp = spark.conf.get("spark.sql.shuffle.partitions")
+    val oldCo = spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
     while (!converged && roundsDone < cap) {
       val prev = pr
       var cur = pr
@@ -1325,21 +1350,34 @@ object Relational {
       // inside the same job as the rounds, so the post-checkpoint delta
       // probe below is a join-free scan of node-sized cached blocks
       // instead of a separate shuffle-join job per block.
+      // the delta rides the SAME job as the checkpoint (observe: a
+      // CollectMetrics side-channel on the rows the checkpoint is
+      // materializing anyway) — the separate per-block delta-probe job
+      // this replaces was pure scheduling overhead
+      val obs = new org.apache.spark.sql.Observation()
       cur = cur
         .join(prev.select(col("node"), col("pr").as("p1")).hint("shuffle_hash"),
           "node")
+        .observe(obs, sum(abs(col("pr") - col("p1"))).as("d"))
         .localCheckpoint(true)
       roundsDone += n
       // first block's action is also what materializes ed: release the
       // raw edge cache, nothing reads it again
       if (roundsDone == n) eP.unpersist()
-      val delta = cur.agg(sum(abs(col("pr") - col("p1"))).as("d"))
-        .first().getLong(0)
+      val delta = obs.get("d") match {
+        case l: java.lang.Long => l.longValue()
+        case other => throw new IllegalStateException(
+          s"q36 delta metric missing or non-long: $other")
+      }
       prev.unpersist()
       pr = cur.select(col("node"), col("pr"))
       // per-node per-round average movement (floor division keeps it
       // overflow-safe for any tol and block-size-independent)
       if (delta / (math.max(1L, nn) * n) < tolPerNode) converged = true
+    }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", oldSp)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", oldCo)
     }
     q36AdoptedRounds.put(dir, roundsDone)
     pr.join(d, col("node") === col("src"))

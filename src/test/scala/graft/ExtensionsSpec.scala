@@ -24,6 +24,8 @@ class ExtensionsSpec extends SparkSpec {
       "graft_xx_shingles" -> Seq(toks, Literal(2)),
       "graft_md5_seeded" -> Seq(Literal("ab"), Literal(4)),
       "graft_minhash_sig" -> Seq(toks, Literal(4)),
+      "graft_xx_minhash_sig" -> Seq(toks, Literal(4)),
+      "graft_simhash_mask" -> Seq(toks),
       "graft_topk" -> Seq(Literal(1.0), Literal(2L), Literal(3)),
       "graft_char_entropy_stats" -> Seq(Literal("ab")),
       "graft_token_counts" -> Seq(toks),

@@ -513,11 +513,17 @@ class TextDedupSpec extends SparkSpec {
     javax.imageio.ImageIO.write(small, "png", b2)
     assert(Multimodal.thumbRow(4L, b2.toByteArray).thumb_bytes == 64)
     // plan shape: the codec rung rides m03's single object-batch stage —
-    // swapping codecs changes no plan
+    // swapping codecs changes no plan. The decode stage is never
+    // IMPLICITLY re-shuffled: the only hash exchange allowed is the
+    // explicit scan spread (REPARTITION_BY_NUM), never an
+    // ENSURE_REQUIREMENTS one injected by a plan requirement.
     val planReal = physicalPlan(pipe.toDF())
     val planM03 = physicalPlan(Multimodal.m03.fn(spark, sf))
-    for (p <- Seq(planReal, planM03))
-      assert(p.contains("MapPartitions") && !p.contains("Exchange hashpartitioning"))
+    for (p <- Seq(planReal, planM03)) {
+      assert(p.contains("MapPartitions"))
+      assert("""Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS""".r
+        .findFirstIn(p).isEmpty, p)
+    }
   }
 
   test("m05 audio energy: PCM decode, windowing, and relative silence on crafted bytes") {
@@ -1476,6 +1482,71 @@ class TextDedupSpec extends SparkSpec {
     val w = withNull.select(sigExpr.as("a"), composed.as("b")).collect()(0)
     assert(w.getSeq[String](0) == w.getSeq[String](1))
     assert(w.getSeq[String](0).forall(_ != null))
+  }
+
+  test("xx minhash-sig expression is bit-identical to the explode + grouped-min " +
+      "composition it replaced") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), array_distinct(ColumnBridge.column(
+        graft.functions.XxShinglesExpr(
+          ColumnBridge.expression(Text.tokens(col("text"))), 3))).as("sh"))
+    // the OLD Text.minhashSignatures shape, verbatim
+    def composed(df: org.apache.spark.sql.DataFrame, n: Int) = {
+      val exploded = df.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      val mins = (0 until n).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+      exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"), array((0 until n).map(j => col(s"m$j")): _*).as("sig"))
+    }
+    val a = Text.minhashSignatures(docs, "doc_id", col("sh"), 16)
+      .orderBy("doc_id").collect()
+    val b = composed(docs, 16).orderBy("doc_id").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      assert(x.getSeq[Long](1) == y.getSeq[Long](1), s"doc ${x.getLong(0)}")
+    }
+    // empty shingle arrays vanish on BOTH paths (the explode semantics
+    // the size filter preserves)
+    val empty = Seq((1L, Seq.empty[Long]), (2L, Seq(7L, 9L))).toDF("doc_id", "sh")
+    assert(Text.minhashSignatures(empty, "doc_id", col("sh"), 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(composed(empty, 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // null elements contribute the bare seed on both paths
+    val withNull = Seq((1L, Seq[java.lang.Long](3L, null, 11L))).toDF("doc_id", "sh")
+      .select(col("doc_id"), col("sh").cast("array<long>").as("sh"))
+    val na = Text.minhashSignatures(withNull, "doc_id", col("sh"), 4).collect()(0)
+    val nb = composed(withNull, 4).collect()(0)
+    assert(na.getSeq[Long](1) == nb.getSeq[Long](1))
+  }
+
+  test("simhash mask expression is bit-identical to the explode + vote-sum " +
+      "composition it replaced") {
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents
+    // the OLD Text.simhashMaskOf shape, verbatim
+    def composed(df: org.apache.spark.sql.DataFrame) = {
+      val exploded = df.select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      val sums = (0 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"c$i")
+      }
+      exploded.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), (0 until 64).map(i =>
+            when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+    }
+    val a = Text.simhashMaskOf(docs, "doc_id", Text.tokens(col("text")))
+      .orderBy("doc_id").collect()
+    val b = composed(docs).orderBy("doc_id").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      assert(x.getLong(1) == y.getLong(1), s"doc ${x.getLong(0)}")
+    }
   }
 
   test("t26 BPE encode: greedy chain hand-traced, corpus totals re-aggregate t17") {
