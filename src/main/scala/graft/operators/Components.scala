@@ -56,15 +56,18 @@ object Components {
 
   /** Edge count below which the component solve runs ON THE DRIVER
     * (union-find over the collected edge list) instead of iterating
-    * Spark jobs. The same gating argument as a broadcast join: 100k
-    * pairs ≈ 1.6 MB — bounded driver data — while the DISTRIBUTED loop
-    * pays ~2 jobs per round × O(log²) rounds of fixed scheduling
-    * overhead, which dominates wall-clock for small graphs (i39b's
-    * contour graph is bounded by GRID RESOLUTION, not data volume:
-    * 8.9 s of job overhead collapses to one collect). Above the gate —
-    * every corpus-scale near-dup graph — the distributed path is
-    * unchanged. */
-  val DriverSolveEdgeCap = 100000L
+    * Spark jobs. The same gating argument as a broadcast join: 1M
+    * pairs ≈ 16 MB — bounded driver data, far under maxResultSize —
+    * while the DISTRIBUTED loop pays ~2 jobs per round × O(log²)
+    * rounds of fixed scheduling overhead, which dominates wall-clock
+    * for small graphs (i39b's contour graph is bounded by GRID
+    * RESOLUTION, not data volume: 8.9 s of job overhead collapses to
+    * one collect; the ×10 near-dup corpus lands ~250k confirmed pairs,
+    * measured 5.0 s → 3.1 s for d06 when they solve driver-side).
+    * Above the gate — every corpus-scale near-dup graph — the
+    * distributed path is unchanged, and the gate probe itself is a
+    * bounded limit(cap+1) collect. */
+  val DriverSolveEdgeCap = 1000000L
 
   /** Components of the undirected graph given by `pairs` (first two
     * columns = the two endpoint ids, LongType). Returns one row per

@@ -420,7 +420,7 @@ object Dedup {
         |  FROM cand JOIN fp x ON x.doc_id = id1 JOIN fp y ON y.doc_id = id2)
         |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3
         |ORDER BY id1, id2""".stripMargin) { (spark, dir) =>
-      val th = Tables(spark, dir).documents
+      val th = Tables.spread(Tables(spark, dir).documents, "doc_id")
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
         .select(col("doc_id"), md5(col("t")).as("h"))
       val bitCols = (0 until 16).map { i =>
@@ -848,7 +848,10 @@ object Dedup {
     * (broadcast) eval shingle stream — d08's core, reused by p02. */
   def contamination(train: DataFrame, evalDocs: DataFrame,
       minOverlap: Int = 2): DataFrame =
-    shingleStream(train)
+    // the TRAIN side is spread (corpus-wide shingling + broadcast-join
+    // probe — an expensive serial kernel when the scan planned one
+    // split); the eval side stays as-is: it is the broadcast build
+    shingleStream(graft.Tables.spread(train, "doc_id"))
       .join(broadcast(shingleStream(evalDocs).withColumnRenamed("doc_id", "eval_id")), "g")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_overlap"),
@@ -1044,7 +1047,7 @@ object Dedup {
     * first-occurrence retention, reassembly. Factored so the
     * adversarial spec can flood it with identical documents. */
   private[graft] def spanDedup(docs: DataFrame, spanW: Int): DataFrame = {
-    val sp = docs
+    val sp = graft.Tables.spread(docs, "doc_id")
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("tk"),
         ceil(size(col("tk")) / lit(spanW.toDouble)).cast("int").as("nc"))
@@ -1363,7 +1366,7 @@ object Dedup {
 
   private[graft] def winnowPairs(docs: DataFrame, cap: Int = BucketCap,
       minShared: Int = 3, minOverlap: Double = 0.5): DataFrame = {
-    val fps = docs
+    val fps = graft.Tables.spread(docs, "doc_id")
       .filter(length(col("text")) >= 11)
       .select(col("doc_id"),
         explode(Text.winnowFingerprints(col("text"))).as("fp"))

@@ -284,6 +284,19 @@ object Ingest {
     * pushable). Horizontal edges never flip crossing parity and are
     * skipped, which also keeps the per-edge division ANSI-safe. */
   def pointInPolygon(x: Column, y: Column, poly: Seq[(Double, Double)]): Column = {
+    // one compact codegen'd kernel (PointInPolygonExpr, bit-identical —
+    // spec-pinned): the unrolled composition below duplicated the full
+    // x/y chains into every edge branch, blowing the predicate past the
+    // codegen size limits into interpreted eval (~4.5 µs/row measured)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.PointInPolygonExpr(
+      ColumnBridge.expression(x), ColumnBridge.expression(y), poly))
+  }
+
+  /** The unrolled Catalyst composition [[pointInPolygon]] replaced —
+    * kept as the parity-spec reference. */
+  private[graft] def pointInPolygonComposed(x: Column, y: Column,
+      poly: Seq[(Double, Double)]): Column = {
     val n = poly.length
     val crossings = (0 until n).flatMap { k =>
       val (xi, yi) = poly(k)

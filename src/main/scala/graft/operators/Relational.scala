@@ -278,7 +278,17 @@ object Relational {
     // gate and is measured 5x cheaper per row than rsd 0.01 (1.0 s vs
     // 5.8 s for the 3-column agg — the HLL++ register array crosses a
     // size cliff below rsd ~0.015).
-    val approx = li
+    //
+    // Key projection is SPREAD when the scan planned too few splits
+    // (single-row-group file): the per-row HLL register updates were
+    // running serial on one core (~7 s of q10's ×10 wall). Persisted
+    // ONLY when the spread fired — both agg jobs then share the one
+    // exchange instead of re-scanning; at real corpus widths the gate
+    // passes the scan through untouched and nothing is cached.
+    val rawKeys = li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val spreadKeys = Tables.spread(rawKeys, "l_orderkey")
+    val keys = if (spreadKeys eq rawKeys) rawKeys else spreadKeys.persist()
+    val approx = keys
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("parts"),
@@ -287,7 +297,7 @@ object Relational {
         lit("orders"), col("orders"), lit("parts"), col("parts"),
         lit("supps"), col("supps"))).as(Seq("metric", "approx")))
     val fxPath = graft.Fixtures.write(approx, dir, "q10_approx")
-    val exact = li
+    val exact = keys
       .agg(
         countDistinct(col("l_orderkey")).as("orders"),
         countDistinct(col("l_partkey")).as("parts"),

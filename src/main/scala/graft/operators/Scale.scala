@@ -29,22 +29,29 @@ object Scale {
     * works; uniqueness isn't required, only spread). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
       saltBy: Seq[Column], numSalts: Int, hotThreshold: Long): DataFrame = {
+    // ONE join, no hot/cold split: each side reads ONCE (the previous
+    // semi/anti formulation scanned the fact three times and the dim
+    // twice — at any scale, and serially on few-split inputs). A cold
+    // fact row salts to 0 and meets the cold dim row's single salt-0
+    // copy; a hot fact row salts by hash and meets exactly one of the
+    // hot dim row's numSalts copies — row-for-row the plain join.
     val hot = fact.groupBy(col(factKey).as("__hk")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= hotThreshold).select(col("__hk"))
-    val factHot = fact.join(broadcast(hot), fact(factKey) === col("__hk"), "left_semi")
-    val factCold = fact.join(broadcast(hot), fact(factKey) === col("__hk"), "left_anti")
-    val dimHot = dim.join(broadcast(hot), dim(dimKey) === col("__hk"), "left_semi")
-    val dimCold = dim.join(broadcast(hot), dim(dimKey) === col("__hk"), "left_anti")
-    val saltedFact = factHot.withColumn("__salt",
-      pmod(xxhash64(saltBy: _*), lit(numSalts)).cast("int"))
-    val explodedDim = dimHot.withColumn("__salt",
-      explode(array((0 until numSalts).map(lit): _*)))
-    val hotJoined = saltedFact.join(explodedDim,
+      .filter(col("__n") >= hotThreshold)
+      .select(col("__hk"), lit(true).as("__hot"))
+    val saltedFact = fact
+      .join(broadcast(hot), fact(factKey) === col("__hk"), "left_outer")
+      .withColumn("__salt", when(col("__hot"),
+        pmod(xxhash64(saltBy: _*), lit(numSalts)).cast("int")).otherwise(lit(0)))
+      .drop("__hk", "__hot")
+    val explodedDim = dim
+      .join(broadcast(hot), dim(dimKey) === col("__hk"), "left_outer")
+      .withColumn("__salt", explode(when(col("__hot"),
+        array((0 until numSalts).map(lit): _*)).otherwise(array(lit(0)))))
+      .drop("__hk", "__hot")
+    saltedFact.join(explodedDim,
         saltedFact(factKey) === explodedDim(dimKey) &&
         saltedFact("__salt") === explodedDim("__salt"))
       .drop("__salt")
-    factCold.join(dimCold, factCold(factKey) === dimCold(dimKey))
-      .unionByName(hotJoined)
   }
 
   /** q15: salted orders⋈lineitem — must hash-match the plain join. */
@@ -58,8 +65,18 @@ object Scale {
     val t = Tables(spark, dir)
     // threshold: a key carrying ≥1000 lineitems is "hot" (TPC-H degree
     // is ≤7, so the driver SFs exercise the cold path; the ×10 skew
-    // bench's 300k-row hot key exercises the salted path)
-    saltedJoin(t.lineitem, t.orders, "l_orderkey", "o_orderkey",
+    // bench's 300k-row hot key exercises the salted path).
+    // Fact projected to the five consumed columns, spread when the
+    // scan planned too few splits, and persisted ONLY then (the q10
+    // pattern): the hot prepass and the join probe each re-ran the
+    // serial single-split scan otherwise; at real corpus widths
+    // nothing is spread or cached.
+    val rawFact = t.lineitem.select(col("l_orderkey"), col("l_partkey"),
+      col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+    val spreadFact = Tables.spread(rawFact, "l_orderkey")
+    val fact = if (spreadFact eq rawFact) rawFact else spreadFact.persist()
+    saltedJoin(fact, t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+        "l_orderkey", "o_orderkey",
         Seq(col("l_partkey"), col("l_linenumber")), numSalts = 8, hotThreshold = 1000L)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),

@@ -173,7 +173,7 @@ object TextAnalysis {
     // ONE vocab-keyed partial agg; the old explode shuffled the full
     // occurrence stream and paid countDistinct's two-phase expand on
     // top (the exact per-token feeder the t24 scale note flags)
-    Tables(spark, dir).documents
+    Tables.spread(Tables(spark, dir).documents, "doc_id")
       .select(explode(Text.tokenCounts(
           filter(split(lower(col("text")), " "), t => t =!= "")))
         .as(Seq("tk", "cnt")))
@@ -250,7 +250,7 @@ object TextAnalysis {
     // than OOMs; at 100 TB you'd materialize tf once as a table — the
     // cache-vs-recompute call is the caller's, recomputing costs a
     // second full explode+agg pass)
-    val tf = docs
+    val tf = Tables.spread(docs, "doc_id")
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))
       .filter(col("tk") =!= "")
       .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
@@ -454,7 +454,7 @@ object TextAnalysis {
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
       |  ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*) + 1e-9, 4) AS avg_logprob
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val tok = Tables(spark, dir).documents
+    val tok = Tables.spread(Tables(spark, dir).documents, "doc_id")
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
       .persist() // feeds vocab AND scoring — one corpus scan, not two
     val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
@@ -549,7 +549,7 @@ object TextAnalysis {
       |  ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*) + 1e-9, 4) AS avg_logprob,
       |  ROUND(EXP(-(ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*) + 1e-9, 4))) + 1e-9, 4) AS ppl
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val bg = Tables(spark, dir).documents
+    val bg = Tables.spread(Tables(spark, dir).documents, "doc_id")
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(Text.shingles(col("tk"), 2)).as("b"))
       .persist() // feeds the count table AND the scoring join
@@ -616,7 +616,7 @@ object TextAnalysis {
       |  ROUND(CAST(MAX(top.top_gap) AS DOUBLE) + 1e-9, 6) AS top_gap
       |FROM gap JOIN top ON gap.source = top.source
       |GROUP BY gap.source ORDER BY source""".stripMargin) { (spark, dir) =>
-    val cnt = Tables(spark, dir).documents
+    val cnt = Tables.spread(Tables(spark, dir).documents, "doc_id")
       .select(col("source"),
         when(substring(md5(col("doc_id").cast("string")), 1, 1) < "8", 0).otherwise(1)
           .as("half"),
@@ -682,7 +682,7 @@ object TextAnalysis {
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
       |  ROUND(CAST(SUM(llr) AS DOUBLE) / COUNT(*) + 1e-9, 4) + 0.0 AS dsir_weight
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val tok = Tables(spark, dir).documents
+    val tok = Tables.spread(Tables(spark, dir).documents, "doc_id")
       .select(col("doc_id"), (col("source") === "src0").as("tgt"),
         explode(Text.tokens(col("text"))).as("t"))
       .persist() // feeds both LM count tables AND scoring — one corpus scan
@@ -842,7 +842,11 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
     val stats = (1 to iters).iterator.map { k =>
-      val w = s.withColumn("nxt", lead(col("tok"), 1).over(dw))
+      // persisted: the lead-windowed stream feeds TWO jobs per round
+      // (the pair-count collect and the rewrite checkpoint) — without
+      // the cache the window shuffle+sort of the whole token stream
+      // runs twice per round
+      val w = s.withColumn("nxt", lead(col("tok"), 1).over(dw)).persist()
       // the adopted merges: ≤ batch rows, driver-held (the trainer's
       // model state — s04's codebook precedent), shipped back as
       // literals; candidates beyond the batch cover greedy skips
@@ -851,7 +855,7 @@ object TextAnalysis {
         .orderBy(col("c").desc, col("tok"), col("nxt"))
         .limit(math.max(16, batch * 4))
         .collect()
-      if (top.isEmpty) None
+      if (top.isEmpty) { w.unpersist(); None }
       else {
         val adopted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         val used = scala.collection.mutable.Set.empty[String]
@@ -864,9 +868,19 @@ object TextAnalysis {
           }
         // eager lineage truncation per round (the d06 localCheckpoint
         // lesson): rounds stay constant-cost instead of re-analyzing a
-        // plan that grows by one rewrite per iteration
-        s = bpeMergeRound(w, adopted.map(p => (p._1, p._2)).toSeq).localCheckpoint()
-        val nAfter = s.count()
+        // plan that grows by one rewrite per iteration. The post-merge
+        // token count rides the SAME checkpoint job (observe) instead
+        // of a third job per round.
+        val obs = new org.apache.spark.sql.Observation()
+        s = bpeMergeRound(w, adopted.map(p => (p._1, p._2)).toSeq)
+          .observe(obs, count(lit(1)).as("n"))
+          .localCheckpoint()
+        w.unpersist()
+        val nAfter = obs.get("n") match {
+          case l: java.lang.Long => l.longValue()
+          case other => throw new IllegalStateException(
+            s"bpe round count metric missing or non-long: $other")
+        }
         Some(adopted.toSeq.map { case (a, b, c) => (k, s"$a+$b", c, nAfter) })
       }
     }.takeWhile(_.isDefined).flatten.flatten.toSeq
@@ -919,7 +933,7 @@ object TextAnalysis {
       |FROM stats s JOIN reg USING (source)
       |ORDER BY source""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables(spark, dir).documents
+    val tf = Tables.spread(Tables(spark, dir).documents, "doc_id")
       .select(col("source"), explode(Text.tokens(col("text"))).as("t"))
       .groupBy(col("source"), col("t")).agg(count(lit(1)).as("f"))
       .persist() // vocab-sized; feeds the stats AND the rank window
@@ -1006,7 +1020,7 @@ object TextAnalysis {
       |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
       |  ROUND(AVG(CAST(score AS DOUBLE)) + 1e-9, 4) + 0.0 AS avg_score
       |FROM doc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
-    val docs = Tables(spark, dir).documents
+    val docs = Tables.spread(Tables(spark, dir).documents, "doc_id")
     val trainSide = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
     val tok = docs
       .select(col("doc_id"), trainSide.as("train"),
@@ -1079,7 +1093,7 @@ object TextAnalysis {
       |    + 1e-9, 4) AS novelty
       |FROM g JOIN f USING (sh)
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (spark, dir) =>
-    val g = Tables(spark, dir).documents
+    val g = Tables.spread(Tables(spark, dir).documents, "doc_id")
       .select(col("doc_id"),
         explode(array_distinct(Text.shingles(Text.tokens(col("text")), 3))).as("sh"))
       .persist() // feeds the first-occurrence agg AND the scoring join
@@ -1123,7 +1137,7 @@ object TextAnalysis {
       |FROM r WHERE rnk <= 8
       |ORDER BY term, rnk""".stripMargin) { (spark, dir) =>
     graft.functions.TopKAggregate.register(spark)
-    val tf = Tables(spark, dir).documents
+    val tf = Tables.spread(Tables(spark, dir).documents, "doc_id")
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
     tf.groupBy(col("term"))
@@ -1385,7 +1399,7 @@ object TextAnalysis {
        |SELECT doc_id, dl, tf1, tf2, tf3,
        |  ROUND(raw + 1e-9, 4) AS score
        |FROM sc ORDER BY raw DESC, doc_id LIMIT 10""".stripMargin) { (spark, dir) =>
-    bm25Raw(Tables(spark, dir).documents)
+    bm25Raw(Tables.spread(Tables(spark, dir).documents, "doc_id"))
       .orderBy(col("raw").desc, col("doc_id"))
       .limit(10)
       .select(col("doc_id"), col("dl"), col("tf1"), col("tf2"), col("tf3"),
@@ -1440,7 +1454,10 @@ object TextAnalysis {
         .localCheckpoint()
       val before = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_before"))
       (1 to iters).foreach { _ =>
-        val w = s.withColumn("nxt", lead(col("tok"), 1).over(dw))
+        // persisted: the lead-windowed stream feeds both the top-pair
+        // collect and the rewrite checkpoint (the t17 fix) — without
+        // the cache the window shuffle+sort runs twice per round
+        val w = s.withColumn("nxt", lead(col("tok"), 1).over(dw)).persist()
         val top = w.filter(col("nxt").isNotNull)
           .groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("tok"), col("nxt"))
@@ -1448,6 +1465,7 @@ object TextAnalysis {
         if (top.nonEmpty)
           s = bpeMergeRound(w, top(0).getString(0), top(0).getString(1))
             .localCheckpoint()
+        w.unpersist()
       }
       val after = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_after"))
       before.join(after, "doc_id")
@@ -1569,7 +1587,7 @@ object TextAnalysis {
       |  ROUND(EXP(-(ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*) + 1e-9, 4))) + 1e-9, 4)
       |    AS ppl
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val bg = Tables(spark, dir).documents
+    val bg = Tables.spread(Tables(spark, dir).documents, "doc_id")
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(Text.shingles(col("tk"), 2)).as("b"))
       .select(col("doc_id"),

@@ -171,6 +171,24 @@ class IngestSpec extends SparkSpec {
       s"${r.getAs[String]("name")} misclassified"))
   }
 
+  test("point-in-polygon kernel is bit-identical to the unrolled composition " +
+      "on the full events corpus (all zones)") {
+    val lon = col("value") * 2 % 360.0 - 180.0
+    val lat = (col("value") * 1.7 + col("user_id")) % 120.0 - 60.0
+    val ev = Tables(spark, sf).events
+    for ((name, poly) <- Seq(("africa", Ingest.AfricaPolygon))) {
+      val fast = ev.withColumn("in",
+        Ingest.pointInPolygon(lon, lat, poly))
+      val slow = ev.withColumn("in",
+        Ingest.pointInPolygonComposed(lon, lat, poly))
+      val diff = fast.select(col("event_id"), col("in"))
+        .exceptAll(slow.select(col("event_id"), col("in"))).count()
+      assert(diff == 0, s"$name: $diff rows diverge from the composition")
+      // and the kernel actually selects something on this corpus
+      assert(fast.filter(col("in")).count() > 0, name)
+    }
+  }
+
   test("i30 zonal stats: zones partition every point, all zones populated") {
     val rows = Ingest.i30.fn(spark, sf).collect()
     val zones = rows.map(_.getAs[String]("zone")).toSet
