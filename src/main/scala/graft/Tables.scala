@@ -82,4 +82,20 @@ object Tables {
     if (bytes >= BigInt(maxSplit) * math.max(1, p / 2)) df
     else df.repartition(p, org.apache.spark.sql.functions.col(key))
   }
+
+  /** [[spread]] without a key (round-robin) — for frames whose columns
+    * are all low-cardinality (a hash spread would collapse onto a few
+    * partitions). Round-robin repartition locally sorts its input
+    * first (sortBeforeRepartition, on by default) so retries replay
+    * the same placement; downstream consumers here are aggregations,
+    * indifferent to placement entirely. */
+  def spreadRR(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val sess = df.sparkSession
+    val p = sess.sparkContext.defaultParallelism
+    val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(maxSplit) * math.max(1, p / 2)) df
+    else df.repartition(p)
+  }
 }

@@ -1136,7 +1136,7 @@ object Dedup {
   /** The d13 pipeline over any (doc_id, text) frame. */
   private[graft] def containmentPairs(docs: DataFrame, dfCap: Int = 16,
       minShared: Int = 4, minContainment: Double = 0.8): DataFrame = {
-    val sh = docShingles(docs).persist()
+    val sh = docShingles(graft.Tables.spread(docs, "doc_id")).persist()
     val post = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val postc = capBuckets(post.select(col("doc_id"), col("s")), Seq("s"), dfCap)
     val cand = postc.toDF("id1", "s")

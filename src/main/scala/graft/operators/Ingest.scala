@@ -842,7 +842,10 @@ object Ingest {
       |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v
       |FROM events
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
-    Tables(spark, dir).events
+    // spread: the per-row JSON parse in the partial-agg stage ran
+    // serial on the single-split scan (no key column is high-cardinality
+    // here — round-robin)
+    Tables.spreadRR(Tables(spark, dir).events.select(col("props"), col("value")))
       .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .orderBy(col("k"))
@@ -1067,9 +1070,18 @@ object Ingest {
     val xml = concat(
       lit("<item><id>"), col("event_id"), lit("</id><typ>"), col("event_type"),
       lit("</typ><v>"), col("value"), lit("</v></item>"))
-    Tables(spark, dir).events
-      .select(from_xml(xml, xmlSchema).as("x"))
-      .filter(col("x.id") % 50 === 0)
+    // spread + persist-when-spread (the q10 pattern): the pushed-down
+    // filter inlines the from_xml parse below any exchange, so the
+    // whole corpus re-parses serially on the single-split scan; the
+    // cache boundary pins the parse above the spread, parsed ONCE in
+    // parallel. At real corpus widths nothing is spread or cached and
+    // the scan-side filter-parse prunes as before.
+    val raw = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    val spreadEv = Tables.spread(raw, "event_id")
+    val parsed = spreadEv.select(from_xml(xml, xmlSchema).as("x"))
+    val src = if (spreadEv eq raw) parsed else parsed.persist()
+    src.filter(col("x.id") % 50 === 0)
       .select(col("x.id").as("event_id"), col("x.typ").as("typ"),
         round(col("x.v"), 2).as("v"))
       .orderBy(col("event_id"))

@@ -514,7 +514,10 @@ object Relational {
   def q20: QueryDef = QueryDef.dynamic(
     "q20_sketch_merge")(dir =>
     q20OracleSql(graft.Fixtures.pathFor(dir, "q20_est"))) { (spark, dir) =>
-    val orders = Tables(spark, dir).orders
+    // spread: the per-row sketch updates + the countDistinct Expand ran
+    // serial on the single-split scan (key projection only — 2 columns)
+    val orders = Tables.spread(Tables(spark, dir).orders
+      .select(col("o_orderdate"), col("o_custkey")), "o_custkey")
     val monthly = orders
       .groupBy(month(col("o_orderdate")).as("mon"))
       .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
@@ -1588,19 +1591,33 @@ object Relational {
         round(col("l_extendedprice") * 100).cast("long").as("v"))
     val ha = li.filter(col("l_orderkey") % 2 === 0)
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    // persisted: both histograms are VALUE GRIDS (bounded by the cents
+    // domain, not the corpus) and each feeds two consumers — without
+    // the cache every consumer job re-scanned and re-aggregated the
+    // fact table (4 recomputes measured in the old plan)
     val hb = li.filter(col("l_orderkey") % 2 === 1)
-      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c")).persist()
     val bk = ha.select(col("v"), col("c"),
         sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
         sum(col("c")).over(Window.partitionBy()).as("total"))
       .withColumn("bucket", expr("CAST(((cum - c) * 10) div total AS INT)"))
-    val edges = bk.groupBy(col("bucket")).agg(min(col("v")).as("lo"))
+      .persist()
+    // the 10 bin edges are driver-held model state (the s04 codebook
+    // precedent): re-inlined as a bucket-descending when-chain, the
+    // actual-side assignment is a PROJECTION — the old broadcast
+    // non-equi join multiplied the whole value grid ×10 through a
+    // nested-loop probe and re-deduped it with an extra aggregation
+    val edgeRows = bk.groupBy(col("bucket")).agg(min(col("v")).as("lo"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
     val abuck = bk.groupBy(col("bucket")).agg(sum(col("c")).as("n_a"))
-    val bassign = hb.join(broadcast(edges), col("lo") <= col("v"), "left")
-      .groupBy(col("v"), col("c"))
-      .agg(coalesce(max(col("bucket")), lit(0)).as("bucket"))
-    val bbuck = bassign.groupBy(col("bucket")).agg(sum(col("c")).as("n_b"))
-    val na = ha.agg(sum(col("c"))).collect()(0).getLong(0).toDouble
+    // first match in bucket-descending order == MAX bucket with lo ≤ v;
+    // no edge ≤ v clamps to bucket 0, exactly the old COALESCE(max, 0)
+    val bucketOf = edgeRows.foldLeft(when(lit(false), 0)) {
+      case (w, (b, lo)) => w.when(col("v") >= lit(lo), lit(b))
+    }.otherwise(lit(0))
+    val bbuck = hb.withColumn("bucket", bucketOf)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("n_b"))
+    val na = bk.agg(sum(col("c"))).collect()(0).getLong(0).toDouble
     val nb = hb.agg(sum(col("c"))).collect()(0).getLong(0).toDouble
     val p = (col("n_a") + 1.0) / (lit(na) + 10.0)
     val q = (coalesce(col("n_b"), lit(0L)) + 1.0) / (lit(nb) + 10.0)
